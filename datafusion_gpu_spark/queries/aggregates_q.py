@@ -1,0 +1,138 @@
+"""Aggregate surface beyond plain sum/avg (SURVEY §2.4b).
+
+Statistical aggregates are rounded on both sides: Spark and DuckDB use
+different (but both numerically-stable) accumulation schemes, so raw
+doubles differ in the last few ulps; rounding to a quantum far above the
+cross-engine noise but far below the signal keeps the hash compare stable.
+"""
+
+from __future__ import annotations
+
+from datafusion_gpu_spark.queries import sql_query
+
+_STATS = """
+SELECT l_returnflag AS flag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 2) AS sd_price,
+       ROUND(STDDEV_POP(l_extendedprice), 2)  AS sdp_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_DISTINCT = """
+SELECT l_returnflag AS flag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# array_agg w/ ORDER BY -> emitted as a joined string so the compare is on
+# a scalar; Spark spells it sort_array(collect_list(..)), DuckDB string_agg.
+_COLLECT_SPARK = """
+SELECT n.n_name AS nation,
+       array_join(sort_array(collect_list(s.s_name)), ',') AS suppliers
+FROM nation n JOIN supplier s ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+_COLLECT_DUCK = """
+SELECT n.n_name AS nation,
+       string_agg(s.s_name, ',' ORDER BY s.s_name) AS suppliers
+FROM nation n JOIN supplier s ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name
+"""
+
+_ROLLUP = """
+SELECT COALESCE(r.r_name, 'ALL') AS region,
+       COALESCE(n.n_name, 'ALL') AS nation,
+       COUNT(*) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP(r.r_name, n.n_name)
+"""
+
+_GROUPING_SETS = """
+SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+       COALESCE(CAST(c_nationkey AS STRING), 'ALL') AS nationkey,
+       COUNT(*) AS n,
+       ROUND(SUM(c_acctbal), 2) AS bal
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+"""
+
+_GROUPING_SETS_DUCK = _GROUPING_SETS.replace("AS STRING", "AS VARCHAR")
+
+_FILTER_CLAUSE = """
+SELECT l_linestatus AS status,
+       COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+       COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       SUM(l_quantity) FILTER (WHERE l_quantity >= 25) AS qty_large
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+_BOOL_BIT = """
+SELECT o_orderpriority AS priority,
+       BOOL_AND(o_totalprice > 1000)    AS all_above_1k,
+       BOOL_OR(o_orderstatus = 'P')     AS any_pending,
+       BIT_AND(o_orderkey % 256)        AS band,
+       BIT_OR(o_orderkey % 256)         AS bor,
+       BIT_XOR(o_orderkey)              AS bxor
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+_MEDIAN = """
+SELECT l_returnflag AS flag,
+       ROUND(MEDIAN(l_extendedprice), 4) AS med_price,
+       MEDIAN(l_quantity) AS med_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_MINMAX_BY = """
+SELECT l_returnflag AS flag,
+       MAX_BY(l_orderkey, l_extendedprice) AS top_order,
+       MIN_BY(l_orderkey, l_extendedprice) AS bottom_order,
+       ROUND(MAX(l_extendedprice), 2) AS top_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# Approximate aggregates: algorithms differ across engines by design, so no
+# value oracle — the driver records a rows-only check (SURVEY §2.4b).
+_APPROX = """
+SELECT l_returnflag AS flag,
+       APPROX_COUNT_DISTINCT(l_partkey) AS approx_parts,
+       ROUND(APPROX_PERCENTILE(l_extendedprice, 0.5), 2) AS approx_med
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+QUERIES = {
+    "agg_statistical": sql_query(_STATS),
+    "agg_count_distinct": sql_query(_DISTINCT),
+    "agg_collect_ordered": sql_query(_COLLECT_SPARK),
+    "agg_rollup": sql_query(_ROLLUP),
+    "agg_grouping_sets": sql_query(_GROUPING_SETS),
+    "agg_filter_clause": sql_query(_FILTER_CLAUSE),
+    "agg_bool_bit": sql_query(_BOOL_BIT),
+    "agg_median": sql_query(_MEDIAN),
+    "agg_min_max_by": sql_query(_MINMAX_BY),
+    "agg_approximate": sql_query(_APPROX),
+}
+
+ORACLES = {
+    "agg_statistical": _STATS,
+    "agg_count_distinct": _DISTINCT,
+    "agg_collect_ordered": _COLLECT_DUCK,
+    "agg_rollup": _ROLLUP,
+    "agg_grouping_sets": _GROUPING_SETS_DUCK,
+    "agg_filter_clause": _FILTER_CLAUSE,
+    "agg_bool_bit": _BOOL_BIT,
+    "agg_median": _MEDIAN,
+    "agg_min_max_by": _MINMAX_BY,
+    # agg_approximate: deliberately no oracle (approximate by design)
+}

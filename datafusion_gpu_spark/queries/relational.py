@@ -1,0 +1,226 @@
+"""Join variants, set ops, subqueries, CTE/VALUES, pivot, DISTINCT ON
+(SURVEY §2.3, §2.6, §2.8, §2.2).
+
+Scale notes: the outer/semi/anti joins key on the natural join columns so
+they shuffle-hash partition cleanly (or broadcast when one side is a dim);
+the deliberately non-equi band join uses two bounded tables so it plans as
+a broadcast nested-loop — the only join shape where that is acceptable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.queries import load, sql_query
+
+# -- shared-dialect strings ------------------------------------------------
+
+_LEFT_OUTER = """
+SELECT c.c_custkey AS custkey,
+       COUNT(o.o_orderkey) AS n_orders,
+       ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 2) AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey
+"""
+
+_FULL_OUTER = """
+SELECT COALESCE(s.nk, c.nk) AS nationkey,
+       COALESCE(s.n_suppliers, 0) AS n_suppliers,
+       COALESCE(c.n_customers, 0) AS n_customers
+FROM (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY s_nationkey) s
+FULL JOIN (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY c_nationkey) c
+  ON s.nk = c.nk
+"""
+
+_SEMI = """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM events e
+              WHERE e.user_id = c.c_custkey AND e.event_type = 'purchase')
+"""
+
+_ANTI = """
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM events e
+                  WHERE e.user_id = c.c_custkey AND e.event_type = 'error')
+"""
+
+_CROSS = """
+SELECT r1.r_name AS region_a, r2.r_name AS region_b
+FROM region r1
+CROSS JOIN region r2
+WHERE r1.r_name < r2.r_name
+"""
+
+_NON_EQUI = """
+SELECT s.s_suppkey AS suppkey, COUNT(*) AS n_close
+FROM supplier s
+JOIN customer c ON c.c_acctbal BETWEEN s.s_acctbal - 10 AND s.s_acctbal + 10
+GROUP BY s.s_suppkey
+"""
+
+_SET_UNION = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+_SET_INTERSECT = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+_SET_EXCEPT = """
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+# DISTINCT ON (latest order per customer) via the row_number()==1 rewrite —
+# SURVEY §2.6's mapping for DataFusion's DISTINCT ON extension.
+_DISTINCT_ON = """
+SELECT custkey, orderkey, ROUND(totalprice, 2) AS totalprice
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM orders
+) ranked
+WHERE rn = 1
+"""
+
+_SUBQ_SCALAR = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+GROUP BY o_orderpriority
+"""
+
+_SUBQ_CORRELATED = """
+SELECT o.o_orderstatus AS status, COUNT(*) AS n
+FROM orders o
+WHERE o.o_totalprice > (SELECT AVG(o2.o_totalprice)
+                        FROM orders o2
+                        WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o.o_orderstatus
+"""
+
+_SUBQ_IN = """
+SELECT o_orderpriority AS priority, COUNT(*) AS n
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+GROUP BY o_orderpriority
+"""
+
+# -- dialect-split queries -------------------------------------------------
+
+_CTE_VALUES_SPARK = """
+WITH seg AS (
+  SELECT * FROM VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)
+  AS t(seg_name, seg_code)
+)
+SELECT s.seg_code AS seg_code, COUNT(*) AS n_customers
+FROM customer c JOIN seg s ON c.c_mktsegment = s.seg_name
+GROUP BY s.seg_code
+"""
+
+_CTE_VALUES_DUCK = """
+WITH seg(seg_name, seg_code) AS (
+  VALUES ('BUILDING', 1), ('AUTOMOBILE', 2), ('MACHINERY', 3)
+)
+SELECT s.seg_code AS seg_code, COUNT(*) AS n_customers
+FROM customer c JOIN seg s ON c.c_mktsegment = s.seg_name
+GROUP BY s.seg_code
+"""
+
+
+def _pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per (priority, status) — DataFrame .pivot() API surface."""
+    load(spark, sf_dir)
+    orders = spark.table("orders")
+    df = (
+        orders.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves empty cells NULL; the oracle's CASE-counts produce 0
+    return df.select(
+        "priority",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_filled"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+_PIVOT_DUCK = """
+SELECT o_orderpriority AS priority,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _join_semi_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics as _SEMI, via the DataFrame left_semi join type."""
+    load(spark, sf_dir)
+    customer = spark.table("customer")
+    purchases = spark.table("events").where(F.col("event_type") == "purchase")
+    return customer.join(
+        purchases, customer.c_custkey == purchases.user_id, "left_semi"
+    ).select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment")
+    )
+
+
+_LIMIT_OFFSET = """
+SELECT o_orderkey AS orderkey, ROUND(o_totalprice, 2) AS totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20 OFFSET 10
+"""
+
+QUERIES = {
+    "join_left_outer": sql_query(_LEFT_OUTER),
+    "join_full_outer": sql_query(_FULL_OUTER),
+    "join_semi_exists": sql_query(_SEMI),
+    "join_semi_api": _join_semi_api,
+    "join_anti_not_exists": sql_query(_ANTI),
+    "join_cross": sql_query(_CROSS),
+    "join_non_equi_band": sql_query(_NON_EQUI),
+    "set_union": sql_query(_SET_UNION),
+    "set_intersect": sql_query(_SET_INTERSECT),
+    "set_except": sql_query(_SET_EXCEPT),
+    "distinct_on_latest_order": sql_query(_DISTINCT_ON),
+    "subquery_scalar": sql_query(_SUBQ_SCALAR),
+    "subquery_correlated": sql_query(_SUBQ_CORRELATED),
+    "subquery_in": sql_query(_SUBQ_IN),
+    "cte_values_join": sql_query(_CTE_VALUES_SPARK),
+    "pivot_orders": _pivot,
+    "sort_limit_offset": sql_query(_LIMIT_OFFSET),
+}
+
+ORACLES = {
+    "join_left_outer": _LEFT_OUTER,
+    "join_full_outer": _FULL_OUTER,
+    "join_semi_exists": _SEMI,
+    "join_semi_api": _SEMI,
+    "join_anti_not_exists": _ANTI,
+    "join_cross": _CROSS,
+    "join_non_equi_band": _NON_EQUI,
+    "set_union": _SET_UNION,
+    "set_intersect": _SET_INTERSECT,
+    "set_except": _SET_EXCEPT,
+    "distinct_on_latest_order": _DISTINCT_ON,
+    "subquery_scalar": _SUBQ_SCALAR,
+    "subquery_correlated": _SUBQ_CORRELATED,
+    "subquery_in": _SUBQ_IN,
+    "cte_values_join": _CTE_VALUES_DUCK,
+    "pivot_orders": _PIVOT_DUCK,
+    "sort_limit_offset": _LIMIT_OFFSET,
+}

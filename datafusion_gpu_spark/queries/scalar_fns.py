@@ -1,0 +1,287 @@
+"""Scalar-function packs (SURVEY §2.7): string, math, datetime, conditional,
+crypto/encoding, array, struct/map, JSON, unnest/lateral.
+
+Where Spark and DuckDB names differ (CAST targets, strpos/instr, sha2 vs
+sha256, time_bucket vs date_bin, LATERAL VIEW vs unnest) the two sides get
+separate strings; semantics are pinned equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.functions import date_bin
+from datafusion_gpu_spark.queries import load, sql_query
+
+_STRING_SPARK = """
+SELECT p_partkey AS pk,
+       lower(p_name)                         AS lo,
+       upper(p_brand)                        AS up,
+       substr(p_name, 1, 5)                  AS s5,
+       length(p_name)                        AS len,
+       replace(p_type, ' ', '_')             AS rep,
+       concat_ws('-', p_brand, p_type)       AS cw,
+       lpad(p_brand, 12, '*')                AS lp,
+       rpad(p_brand, 12, '.')                AS rp,
+       trim('  pad  ')                       AS tr,
+       reverse(p_brand)                      AS rev,
+       left(p_name, 3)                       AS l3,
+       right(p_name, 3)                      AS r3,
+       split_part(p_type, ' ', 1)            AS sp1,
+       instr(p_name, 'a')                    AS pos_a,
+       startswith(p_name, 'p')               AS st,
+       endswith(p_name, 's')                 AS en,
+       repeat('ab', 3)                       AS rp3,
+       levenshtein(p_brand, 'Brand#1')       AS lev,
+       ascii(p_brand)                        AS asc_b
+FROM part
+"""
+
+_STRING_DUCK = """
+SELECT p_partkey AS pk,
+       lower(p_name)                         AS lo,
+       upper(p_brand)                        AS up,
+       substr(p_name, 1, 5)                  AS s5,
+       CAST(length(p_name) AS INT)           AS len,
+       replace(p_type, ' ', '_')             AS rep,
+       concat_ws('-', p_brand, p_type)       AS cw,
+       lpad(p_brand, 12, '*')                AS lp,
+       rpad(p_brand, 12, '.')                AS rp,
+       trim('  pad  ')                       AS tr,
+       reverse(p_brand)                      AS rev,
+       left(p_name, 3)                       AS l3,
+       right(p_name, 3)                      AS r3,
+       split_part(p_type, ' ', 1)            AS sp1,
+       CAST(strpos(p_name, 'a') AS INT)      AS pos_a,
+       starts_with(p_name, 'p')              AS st,
+       ends_with(p_name, 's')                AS en,
+       repeat('ab', 3)                       AS rp3,
+       CAST(levenshtein(p_brand, 'Brand#1') AS INT) AS lev,
+       ascii(p_brand)                        AS asc_b
+FROM part
+"""
+
+_MATH = """
+SELECT l_orderkey AS ok, l_linenumber AS ln,
+       ROUND(abs(l_extendedprice - 50000), 2)        AS a,
+       CAST(ceil(l_extendedprice / 1000) AS BIGINT)  AS c,
+       CAST(floor(l_discount * 100) AS BIGINT)       AS f,
+       ROUND(exp(l_discount), 8)                     AS e,
+       ROUND(ln(l_extendedprice), 8)                 AS lg,
+       ROUND(log10(l_extendedprice), 8)              AS l10,
+       ROUND(power(l_quantity, 2), 2)                AS p2,
+       ROUND(sqrt(l_quantity), 8)                    AS sq,
+       CAST(sign(l_quantity - 25) AS INT)            AS sg,
+       ROUND(sin(l_discount), 8)                     AS sn,
+       ROUND(cos(l_discount), 8)                     AS cs,
+       ROUND(atan2(l_quantity, 10), 8)               AS at2,
+       CAST(l_quantity AS BIGINT) % 7                AS md
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
+_DT_SPARK = """
+SELECT o_orderkey AS ok,
+       year(o_orderdate)                         AS y,
+       month(o_orderdate)                        AS m,
+       day(o_orderdate)                          AS d,
+       quarter(o_orderdate)                      AS q,
+       dayofweek(o_orderdate) - 1                AS dow,
+       date_trunc('month', o_orderdate)          AS mon,
+       CAST(o_orderdate AS DATE)                 AS dt,
+       datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS dd,
+       unix_timestamp(o_orderdate)               AS epoch_s,
+       o_orderdate + INTERVAL '7' DAY            AS plus7,
+       make_date(1995, 1, 1)                     AS md
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+_DT_DUCK = """
+SELECT o_orderkey AS ok,
+       CAST(year(o_orderdate) AS INT)            AS y,
+       CAST(month(o_orderdate) AS INT)           AS m,
+       CAST(day(o_orderdate) AS INT)             AS d,
+       CAST(quarter(o_orderdate) AS INT)         AS q,
+       CAST(dayofweek(o_orderdate) AS INT)       AS dow,
+       date_trunc('month', o_orderdate)          AS mon,
+       CAST(o_orderdate AS DATE)                 AS dt,
+       CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS dd,
+       CAST(epoch(o_orderdate) AS BIGINT)        AS epoch_s,
+       o_orderdate + INTERVAL 7 DAY              AS plus7,
+       make_date(1995, 1, 1)                     AS md
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+
+def _date_bin_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFusion date_bin parity: 7-day bins anchored at 1995-01-01,
+    via the engine's codegen-friendly date_bin shim."""
+    load(spark, sf_dir)
+    week = date_bin(7 * 86400, F.col("o_orderdate"), "1995-01-01 00:00:00")
+    return (
+        spark.table("orders")
+        .groupBy(week.alias("bin_start"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+_DATE_BIN_DUCK = """
+SELECT make_timestamp(
+         ((epoch_us(o_orderdate) - epoch_us(TIMESTAMP '1995-01-01'))
+          // 604800000000) * 604800000000
+         + epoch_us(TIMESTAMP '1995-01-01')) AS bin_start,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY 1
+"""
+
+_COND = """
+SELECT o_orderkey AS ok,
+       CASE WHEN o_totalprice > 300000 THEN 'high'
+            WHEN o_totalprice > 100000 THEN 'mid'
+            ELSE 'low' END                        AS tier,
+       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status2,
+       GREATEST(o_custkey, o_orderkey % 1000)     AS g,
+       LEAST(o_custkey, o_orderkey % 1000)        AS l,
+       TRY_CAST(o_orderpriority AS INT)           AS bad_cast,
+       IFNULL(NULLIF(o_orderstatus, o_orderstatus), 'same') AS ifn
+FROM orders
+WHERE o_orderkey < 2000
+"""
+
+_CRYPTO_SPARK = """
+SELECT c_custkey AS ck,
+       md5(c_name)                              AS h_md5,
+       sha2(c_name, 256)                        AS h_sha256,
+       base64(CAST(c_name AS BINARY))           AS b64,
+       lower(hex(c_name))                       AS hx
+FROM customer
+WHERE c_custkey < 200
+"""
+
+_CRYPTO_DUCK = """
+SELECT c_custkey AS ck,
+       md5(c_name)                              AS h_md5,
+       sha256(c_name)                           AS h_sha256,
+       to_base64(encode(c_name))                AS b64,
+       lower(hex(c_name))                       AS hx
+FROM customer
+WHERE c_custkey < 200
+"""
+
+_ARRAY_SPARK = """
+SELECT doc_id,
+       size(split(text, ' '))                                  AS n_words,
+       size(array_distinct(split(text, ' ')))                  AS n_uniq,
+       array_contains(split(text, ' '), 'data')                AS has_data,
+       array_join(slice(sort_array(array_distinct(split(text, ' '))), 1, 5), ',') AS first5,
+       element_at(split(text, ' '), 1)                         AS w1,
+       size(array_intersect(split(text, ' '), array('data', 'row', 'table'))) AS n_kw
+FROM documents
+"""
+
+_ARRAY_DUCK = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT)               AS n_words,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_uniq,
+       list_contains(string_split(text, ' '), 'data')          AS has_data,
+       array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:5], ',') AS first5,
+       string_split(text, ' ')[1]                              AS w1,
+       CAST(len(list_intersect(list_distinct(string_split(text, ' ')),
+                               ['data', 'row', 'table'])) AS INT) AS n_kw
+FROM documents
+"""
+
+_JSON_SPARK = """
+SELECT event_type,
+       SUM(CAST(get_json_object(props, '$.k') AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+_JSON_DUCK = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+_UNNEST_SPARK = """
+SELECT word, COUNT(*) AS n
+FROM documents
+LATERAL VIEW explode(split(text, ' ')) t AS word
+GROUP BY word
+"""
+
+_UNNEST_DUCK = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+GROUP BY word
+"""
+
+_STRUCT_SPARK = """
+SELECT s.id AS id, s.seg AS seg, m['bal'] AS bal
+FROM (
+  SELECT named_struct('id', c_custkey, 'seg', c_mktsegment) AS s,
+         map('bal', ROUND(c_acctbal, 2)) AS m
+  FROM customer WHERE c_custkey < 100
+) t
+"""
+
+# The oracle states the expected RESULT directly — the struct/map round-trip
+# under test is the Spark side's.
+_STRUCT_DUCK = """
+SELECT c_custkey AS id, c_mktsegment AS seg, ROUND(c_acctbal, 2) AS bal
+FROM customer WHERE c_custkey < 100
+"""
+
+_REGEX_SPARK = """
+SELECT p_partkey AS pk,
+       p_type RLIKE '^[a-z]+ [a-z]+$'                  AS matches,
+       regexp_replace(p_type, '[aeiou]', '_')          AS repl,
+       regexp_extract(p_type, '([a-z]+)', 1)           AS first_word,
+       CAST(regexp_count(p_type, 'a') AS INT)          AS n_a
+FROM part
+"""
+
+_REGEX_DUCK = """
+SELECT p_partkey AS pk,
+       regexp_matches(p_type, '^[a-z]+ [a-z]+$')       AS matches,
+       regexp_replace(p_type, '[aeiou]', '_', 'g')     AS repl,
+       regexp_extract(p_type, '([a-z]+)', 1)           AS first_word,
+       CAST(len(regexp_extract_all(p_type, 'a')) AS INT) AS n_a
+FROM part
+"""
+
+QUERIES = {
+    "fn_string_pack": sql_query(_STRING_SPARK),
+    "fn_math_pack": sql_query(_MATH),
+    "fn_datetime_pack": sql_query(_DT_SPARK),
+    "fn_date_bin": _date_bin_q,
+    "fn_conditional": sql_query(_COND),
+    "fn_crypto_pack": sql_query(_CRYPTO_SPARK),
+    "fn_array_pack": sql_query(_ARRAY_SPARK),
+    "fn_json_extract": sql_query(_JSON_SPARK),
+    "fn_unnest_wordcount": sql_query(_UNNEST_SPARK),
+    "fn_struct_map": sql_query(_STRUCT_SPARK),
+    "fn_regex_pack": sql_query(_REGEX_SPARK),
+}
+
+ORACLES = {
+    "fn_string_pack": _STRING_DUCK,
+    "fn_math_pack": _MATH,
+    "fn_datetime_pack": _DT_DUCK,
+    "fn_date_bin": _DATE_BIN_DUCK,
+    "fn_conditional": _COND,
+    "fn_crypto_pack": _CRYPTO_DUCK,
+    "fn_array_pack": _ARRAY_DUCK,
+    "fn_json_extract": _JSON_DUCK,
+    "fn_unnest_wordcount": _UNNEST_DUCK,
+    "fn_struct_map": _STRUCT_DUCK,
+    "fn_regex_pack": _REGEX_DUCK,
+}

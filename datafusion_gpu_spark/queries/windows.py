@@ -1,0 +1,107 @@
+"""Window-function surface (SURVEY §2.5).
+
+Every ORDER BY inside an OVER clause carries a unique tiebreaker
+(orderkey / linenumber) so ranking and frame results are deterministic on
+both engines. Running sums are rounded: same order => same additions, but
+the rounding guards against segment-tree vs streaming accumulation
+differences.
+"""
+
+from __future__ import annotations
+
+from datafusion_gpu_spark.queries import sql_query
+
+_RANKING = """
+SELECT flag, orderkey, linenumber, rn, rk, drk, nt
+FROM (
+  SELECT l_returnflag AS flag, l_orderkey AS orderkey, l_linenumber AS linenumber,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn,
+         RANK()       OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS drk,
+         NTILE(4)     OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS nt
+  FROM lineitem
+) t
+WHERE rn <= 5
+"""
+
+_ANALYTIC = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       LAG(o_orderkey)  OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS prev_order,
+       LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS next_order
+FROM orders
+"""
+
+_FRAME_ROWS = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             2) AS running_spend
+FROM orders
+"""
+
+_FRAME_RANGE = """
+SELECT flag, orderkey, linenumber, qty_win
+FROM (
+  SELECT l_returnflag AS flag, l_orderkey AS orderkey, l_linenumber AS linenumber,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_orderkey
+                               RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS qty_win
+  FROM lineitem
+) t
+WHERE orderkey < 1000
+"""
+
+_FIRST_LAST = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS first_order,
+       LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS last_order,
+       NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND UNBOUNDED FOLLOWING) AS second_order
+FROM orders
+"""
+
+_CUME = """
+SELECT o_orderkey AS orderkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_totalprice, o_orderkey), 8) AS pr,
+       ROUND(CUME_DIST()    OVER (ORDER BY o_totalprice, o_orderkey), 8) AS cd
+FROM orders
+WHERE o_orderkey < 500
+"""
+
+# DuckDB's ranking fns return BIGINT where Spark returns INT — pin the
+# oracle to INT so the schemas hash identically.
+_RANKING_DUCK = (
+    _RANKING.replace("rn, rk, drk, nt", "CAST(rn AS INT) AS rn, CAST(rk AS INT) AS rk, "
+                     "CAST(drk AS INT) AS drk, CAST(nt AS INT) AS nt")
+)
+
+QUERIES = {
+    "window_ranking": sql_query(_RANKING),
+    "window_lag_lead": sql_query(_ANALYTIC),
+    "window_rows_frame": sql_query(_FRAME_ROWS),
+    "window_range_frame": sql_query(_FRAME_RANGE),
+    "window_first_last_nth": sql_query(_FIRST_LAST),
+    "window_percent_rank": sql_query(_CUME),
+}
+
+ORACLES = {
+    "window_ranking": _RANKING_DUCK,
+    "window_lag_lead": _ANALYTIC,
+    "window_rows_frame": _FRAME_ROWS,
+    "window_range_frame": _FRAME_RANGE,
+    "window_first_last_nth": _FIRST_LAST,
+    "window_percent_rank": _CUME,
+}
