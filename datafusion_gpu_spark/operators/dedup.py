@@ -1,0 +1,304 @@
+"""Document deduplication operators.
+
+All variants follow one scale discipline: never materialize the O(n^2)
+pair space. Pairs only ever come from an equality join on a *key* (hash of
+normalized text, a shingle, an LSH band bucket, a SimHash chunk), which
+Spark executes as a shuffle-hash join partitioned by that key — so the
+work per node is bounded by bucket size, not corpus size. Everything is
+built-in JVM expressions (split/transform/xxhash64/groupBy); no Python in
+the hot path.
+
+Pipeline shapes:
+- exact:        normalize -> md5 -> groupBy(key)            (1 shuffle)
+- ngram:        shingle -> explode -> self-join on shingle -> jaccard
+- minhash+LSH:  shingle -> 64 x min(xxhash64) signature -> band buckets ->
+                candidate pairs -> exact-jaccard verification
+- simhash:      word hashes -> 64 weighted-bit-majority signature ->
+                chunk pigeonhole buckets -> hamming verification
+- embedding:    block on a coarse key (label) -> in-block cosine pairs
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# -- normalization / shingling ----------------------------------------------
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form: lowercase, trimmed, whitespace collapsed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Array of n-word shingles (JVM-side transform over split words)."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(words, i + k) for k in range(n)])
+
+    length = F.size(words) - (n - 1)
+    # guard: sequence(1, 0) would DESCEND in Spark, so short docs get []
+    return F.when(
+        length >= 1, F.transform(F.sequence(F.lit(1), length), make)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) with per-document distinct shingles (set
+    semantics for Jaccard)."""
+    return docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle"),
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    One hash-shuffle on the 32-hex-char key (never the full text), with
+    map-side partial aggregation; the keeper is the min doc_id so the
+    result is deterministic.
+    """
+    key = F.md5(normalize_text(F.col("text"))).alias("content_key")
+    return (
+        docs.select(key, "doc_id")
+        .groupBy("content_key")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -- exact n-gram Jaccard pairs ----------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float, n: int = 3, block_col: str | None = None
+) -> DataFrame:
+    """All document pairs with n-word-shingle Jaccard >= threshold.
+
+    Pairs are generated only through the shingle equality join (hash
+    partitioned by shingle); a hot shingle bounds a single task, so the
+    skew mitigation at scale is dropping ubiquitous shingles (doc-freq
+    cap) or salting — both local changes to the `sh` relation.
+    """
+    cols = ["doc_id"] + ([block_col] if block_col else [])
+    base = docs.select(*cols, F.array_distinct(word_shingles("text", n)).alias("sh"))
+    sh = base.select(*cols, F.explode("sh").alias("shingle"))
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    cond = (F.col("a.shingle") == F.col("b.shingle")) & (
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    if block_col:
+        cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
+    common = (
+        a.join(b, cond)
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> DataFrame:
+    """(doc_id, sig array<bigint>): per-doc min of xxhash64(seed_i, shingle)
+    — the classic minwise estimator, computed as num_hashes JVM-side MIN
+    aggregates over the exploded shingle set (one shuffle keyed by doc)."""
+    sh = exploded_shingles(docs, n)
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*aggs)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    n: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard so the output contains no false positives.
+
+    With 32 bands x 2 rows, a true pair at j=0.8 is missed with
+    probability (1 - 0.8^2)^32 ~ 1e-14 — at 100 TB the knob is
+    (bands, rows_per_band), not the algorithm. Candidates come from the
+    band-bucket equality join; verification re-joins only candidate pairs
+    against the shingle sets.
+    """
+    bands = num_hashes // rows_per_band
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_cols = [
+        F.xxhash64(
+            F.lit(j), *[F.element_at("sig", j * rows_per_band + r + 1) for r in range(rows_per_band)]
+        )
+        for j in range(bands)
+    ]
+    buckets = sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification restricted to the candidate set
+    base = docs.select("doc_id", F.array_distinct(word_shingles("text", n)).alias("sh"))
+    sh = base.select("doc_id", F.explode("sh").alias("shingle"))
+    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    common = (
+        candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(
+            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "shingle", "shingle_b"
+            ),
+            "doc_b",
+        )
+        .where(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    sb = sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jacc, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# -- SimHash -----------------------------------------------------------------
+
+
+def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+    """(doc_id, simhash bigint): weighted bit-majority over word hashes.
+
+    Each distinct word contributes its count as weight to every bit of
+    xxhash64(word); the signature bit is the sign of the weighted sum —
+    all expressed as `bits` conditional SUM aggregates (one shuffle)."""
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
+    )
+    wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
+    h = F.xxhash64(F.col("word"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
+                -F.col("cnt")
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = wc.groupBy("doc_id").agg(*bit_sums)
+    sig = None
+    for i in range(bits):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return agg.select("doc_id", sig.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 7, chunks: int = 8) -> DataFrame:
+    """Pairs with SimHash Hamming distance <= max_hamming.
+
+    Pigeonhole guarantee: distance < chunks implies at least one identical
+    chunk, so candidate generation is an equality join on (chunk_id,
+    chunk_value) and verification is one bit_count(xor) — no pair scan.
+    Requires max_hamming <= chunks - 1 for completeness.
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sig = simhash_signatures(docs)
+    chunk_cols = [
+        (F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)))
+        for i in range(chunks)
+    ]
+    buckets = sig.select(
+        "doc_id", "simhash", F.posexplode(F.array(*chunk_cols)).alias("chunk", "val")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
+# -- embedding near-dup --------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    embs: DataFrame, threshold: float = 0.4, block_col: str = "label"
+) -> DataFrame:
+    """Embedding-cosine near-duplicates within a blocking key.
+
+    The block join bounds the pair space (the 100 TB version blocks on an
+    LSH bucket instead of a label — see operators.similarity); the cosine
+    itself is a JVM fold (zip_with + aggregate) in float64.
+    """
+    from datafusion_gpu_spark.operators.similarity import cosine_similarity
+
+    a = embs.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").alias("ea"),
+    )
+    b = embs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col(block_col).alias("blk"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "blk").where(F.col("vec_a") < F.col("vec_b"))
+    cs = cosine_similarity(F.col("ea"), F.col("eb"))
+    return pairs.select(
+        "vec_a", "vec_b", F.col("blk").alias("label"), F.round(cs, 6).alias("cosine")
+    ).where(F.col("cosine") >= threshold)

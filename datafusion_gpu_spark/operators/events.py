@@ -1,0 +1,109 @@
+"""Event-stream operators over the bounded `events` table: fixed time
+buckets, gap sessionization, as-of join. The same logic re-targets
+Structured Streaming (datafusion_gpu_spark.streaming) — here it runs
+bounded, which is what the reference's engine would do (it has no
+unbounded sources, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _epoch_us(ts_col: str) -> F.Column:
+    # NTZ-safe (session tz is pinned UTC by register_tables)
+    return F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-(window, event_type) counts and value sums — F.window is the
+    canonical epoch-aligned tumbling bucket (same alignment as DuckDB's
+    time_bucket)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to
+    the previous event exceeds the threshold; session id = running count
+    of session starts (two window passes over the same (user, ts)
+    partitioning — one shuffle total)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(_epoch_us("ts")).over(w)
+    is_new = F.when(
+        prev_ts.isNull() | ((_epoch_us("ts") - prev_ts) > gap_us), 1
+    ).otherwise(0)
+    sessions = events.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def asof_join_prior(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    right.ts <= left.ts and equal key (DuckDB/QuestDB ASOF semantics —
+    the reference's engine lacks this, SURVEY §2.3 'out of scope').
+
+    Spark-first spelling: union both sides tagged, one window pass
+    ordered by (ts, side) with last_value(ignoreNulls) carrying the
+    latest right id forward — a single shuffle on the join key, no
+    nested-loop, no per-key skew beyond the key's own row count.
+    Right rows sort before left rows at equal ts so ties count.
+    """
+    l_tag = left.select(
+        F.col(on).alias("k"),
+        F.col(ts).alias("t"),
+        F.col(left_id).alias("left_id"),
+        F.lit(None).cast("long").alias("right_id"),
+        F.lit(1).alias("side"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("k"),
+        F.col(ts).alias("t"),
+        F.lit(None).cast("long").alias("left_id"),
+        F.col(right_id).alias("right_id"),
+        F.lit(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "matched_right", F.last("right_id", ignorenulls=True).over(w)
+    )
+    return merged.where(F.col("side") == 1).select(
+        F.col("k").alias(on),
+        F.col("left_id"),
+        F.col("matched_right").alias("prior_right_id"),
+    )

@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Design (SURVEY §7 Phase 3 / task brief): image/audio/video travel as
+``binary`` columns with a metadata struct; decode / feature-extraction run
+as Arrow-batched pandas functions over ``mapInPandas`` so each Python
+worker sees a columnar batch (the exact boundary the reference's GPU UDAFs
+use for host->device transfer). The actual codec call is STUBBED — the
+container has no image/audio libraries — behind ``decode_image``; the
+Spark-side plumbing (schema, batch shape, partitioning) is real and
+tested, and ``extract_features`` demonstrates it with a deterministic
+byte-level feature set.
+
+Scale notes: payloads never pass through the driver; mapInPandas streams
+Arrow batches executor-side, and the metadata struct lets filters prune
+on (modality, byte size) before any Python is invoked.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of the (stubbed) decode/feature pass.
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec hook — requires an image library not present in this
+    container. The pipeline around it is exercised via the deterministic
+    fake in ``_fake_decode``."""
+    raise NotImplementedError(
+        "image decoding requires an imaging library (e.g. Pillow/libvips); "
+        "not available in this environment — use extract_features, which "
+        "runs the same mapInPandas plumbing with a deterministic fake"
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a codec: byte length + fake dimensions
+    derived from it. Mirrorable in SQL for the correctness oracle."""
+    n = len(payload)
+    return n, n % 640 + 1, (n * 7) % 480 + 1, 3
+
+
+def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Treat each document's text as an opaque payload: binary column +
+    typed metadata struct — the multimodal table layout."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "utf-8")).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(binary_df: DataFrame) -> DataFrame:
+    """mapInPandas decode pass: Arrow batches in, feature rows out.
+
+    One Python worker per partition batch; no shuffle — features land
+    partition-aligned with the payloads for any downstream join.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [_fake_decode(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "n_bytes": [d[0] for d in decoded],
+                    "width": [d[1] for d in decoded],
+                    "height": [d[2] for d in decoded],
+                    "channels": [d[3] for d in decoded],
+                }
+            )
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

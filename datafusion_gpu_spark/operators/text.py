@@ -1,0 +1,98 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+fingerprinting. All pure built-in column expressions (codegen-friendly,
+no Python workers), each with exactly-mirrorable SQL semantics so the
+DuckDB oracle can replay the formula.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators.dedup import normalize_text
+
+#: Tiny deterministic stopword profiles for the n-gram/stopword heuristic.
+#: (The corpus is synthetic; the operator contract is the deterministic
+#: argmax formula, mirrored 1:1 in the SQL oracle.)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "es"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+#: Deterministic tiebreak order (first wins on equal score).
+LANG_ORDER = ("en", "es", "de", "fr")
+
+
+def _marker_count(words: Column, markers: tuple[str, ...]) -> Column:
+    marker_arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Argmax over stopword-profile hit counts; 'und' (undetermined) when
+    every profile scores zero. Ties resolve in LANG_ORDER."""
+    c = F.col(col) if isinstance(col, str) else col
+    words = F.split(normalize_text(c), " ")
+    scores = {lang: _marker_count(words, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):  # build CASE so earlier langs win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features + a composite score in [0, ~1].
+
+    Features: char/word counts, mean word length, punctuation ratio,
+    stopword ratio. The score formula is arbitrary but fixed — the point
+    is the deterministic, scale-free columnar pipeline.
+    """
+    c = F.col(text_col)
+    words = F.split(normalize_text(c), " ")
+    n_chars = F.length(c)
+    n_words = F.size(words)
+    mean_wlen = (F.length(F.regexp_replace(normalize_text(c), " ", "")) / n_words)
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    stop = _marker_count(words, LANG_MARKERS["en"])
+    score = (
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (stop / n_words) * 0.4
+        + (F.lit(1.0) - punct / n_chars) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        punct.alias("n_punct"),
+        stop.alias("n_stopwords"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+#: BPE-ish tokenizer regex: letter runs | digit runs | single non-space symbol.
+TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens + regex (BPE-ish) tokens per document."""
+    c = normalize_text(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(F.split(c, " ")).alias("ws_tokens"),
+        F.regexp_count(c, F.lit(TOKEN_PATTERN)).cast("int").alias("re_tokens"),
+    )
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprints: md5 of normalized text (exact identity) and
+    the min word-hash (a 1-permutation MinHash — cheap near-identity)."""
+    c = F.col(text_col)
+    words = F.split(normalize_text(c), " ")
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(c)).alias("content_md5"),
+        F.array_min(F.transform(words, lambda w: F.md5(w))).alias("min_word_md5"),
+    )
