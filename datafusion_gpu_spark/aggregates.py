@@ -69,6 +69,11 @@ def _sum_f32_numpy(values: pd.Series) -> np.float32:
         # (cubecl rs:71-74)
         raise TypeError(f"sum_arrow: unsupported input dtype {arr.dtype}")
     arr = arr[~pd.isna(arr)].astype(np.float32, copy=False)
+    if arr.size == 0:
+        # SQL SUM semantics: empty / all-null input -> NULL (the DuckDB
+        # oracle CAST(SUM(..) AS REAL) agrees; the reference returns 0.0
+        # here, cubecl rs:215-220 — documented strictly-better divergence)
+        return None
     return np.float32(arr.sum(dtype=np.float64))
 
 
@@ -77,6 +82,8 @@ def _sum_f32_gpu(values: pd.Series) -> np.float32:
     (cudarc rs:130-137), device tree reduction (src/sum.cu), scalar back."""
     arr = values.to_numpy()
     arr = arr[~pd.isna(arr)].astype(np.float32, copy=False)
+    if arr.size == 0:
+        return None  # SQL SUM semantics, same as the CPU path
     dev = _cp.asarray(arr)
     return np.float32(dev.sum(dtype=_cp.float64).get())
 

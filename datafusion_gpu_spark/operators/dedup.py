@@ -228,9 +228,9 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     agg = wc.groupBy("doc_id").agg(*bit_sums)
     sig = None
     for i in range(bits):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(
-            F.lit(0).cast("long")
-        )
+        term = F.when(
+            F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
         sig = term if sig is None else sig.bitwiseOR(term)
     return agg.select("doc_id", sig.alias("simhash"))
 

@@ -78,7 +78,9 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
     for p, plane in enumerate(planes):
         proj = dot(emb, F.array(*[F.lit(v) for v in plane]).cast("array<float>"))
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.lit(1).cast("long") << p).otherwise(F.lit(0).cast("long"))
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
         )
     return bucket
 

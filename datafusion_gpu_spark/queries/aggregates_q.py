@@ -92,10 +92,17 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
-_MINMAX_BY = """
+# The ordering key embeds l_orderkey as a tiebreaker: l_extendedprice is
+# not unique within a group, and on a price tie Spark and DuckDB would
+# otherwise be free to pick different orderkeys. DuckDB's MAX_BY takes no
+# struct keys, so the composite is numeric: prices have 2 decimals, so
+# round(price*100) is an exact integer <= ~1.1e7 and the key
+# price_cents * 10^9 + orderkey is collision-free for orderkey < 10^9.
+_MINMAX_KEY = "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) * 1000000000 + l_orderkey"
+_MINMAX_BY = f"""
 SELECT l_returnflag AS flag,
-       MAX_BY(l_orderkey, l_extendedprice) AS top_order,
-       MIN_BY(l_orderkey, l_extendedprice) AS bottom_order,
+       MAX_BY(l_orderkey, {_MINMAX_KEY}) AS top_order,
+       MIN_BY(l_orderkey, {_MINMAX_KEY}) AS bottom_order,
        ROUND(MAX(l_extendedprice), 2) AS top_price
 FROM lineitem
 GROUP BY l_returnflag
