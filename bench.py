@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Benchmark harness — the repo's analogue of the reference's criterion
+bench (/root/reference/benches/cuda_sum.rs:16-44) extended to the star
+schema.
+
+Protocol (BASELINE.md "Port measurement protocol"):
+- ONE warm SparkSession reused for every sample (the OnceCell analogue,
+  cuda_sum.rs:16-29);
+- a cached 1,000,000-row ``types`` table (cuda_sum.rs:24) for the
+  reference's own three README queries (sum(float) / custom f32 sums);
+- the driver's sf tables (default /root/testdata/sf0.1) for the TPC-H and
+  pipeline headliners;
+- per query: one untimed warm-up, then N timed ``collect()`` iterations
+  (collect, not show — cuda_sum.rs:31-36), reporting the MEDIAN.
+
+Output contract (driver): exactly ONE JSON line on stdout:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: median_sec, ...}, "sf": ...}
+All progress goes to stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+#: (name, samples, SQL) for the warm 1M-row ``types`` table — the
+#: reference's README.md:71-75 queries, 50 samples apiece like criterion.
+TYPES_BENCHES = [
+    ("ref_sum_float", 50, "SELECT sum(float) AS s FROM types"),
+    ("ref_sum_arrow_cpu", 20, "SELECT sum_arrow_cpu(float) AS s FROM types"),
+    ("ref_sum_f32_scalable", 50,
+     "SELECT CAST(SUM(CAST(float AS FLOAT)) AS FLOAT) AS s FROM types"),
+    # Throughput at 100x the reference's row count: tiny-query latency is
+    # fixed JVM/py4j overhead (~50-90 ms floor), so the honest comparison
+    # vs BASELINE.md's 7.5 ms / 1M rows (=133M rows/s) is rows-per-second
+    # once compute dominates.
+    ("ref_sum_float_100m", 10, "SELECT sum(float) AS s FROM types_100m"),
+]
+
+#: Registry queries benched against the sf dir (5 samples each — these
+#: scan parquet, so one sample is already thousands of tasks at sf0.1).
+SF_BENCHES = [
+    ("tpch_q1_pricing_summary", 5),
+    ("tpch_q3_shipping_priority", 5),
+    ("tpch_q5_local_supplier", 5),
+    ("tpch_q6_forecast_revenue", 5),
+    ("tpch_q10_returned_items", 5),
+    ("window_rows_frame", 3),
+    ("dedup_exact", 3),
+    ("dedup_minhash_lsh", 3),
+    ("text_quality", 3),
+    ("sim_topk_bruteforce", 3),
+    ("events_sessionize", 3),
+]
+
+
+def timed_median(fn, samples: int) -> float:
+    fn()  # warm-up (plan + shuffle files + code cache), untimed
+    times = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return statistics.median(times)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf"))
+    except ValueError:
+        sf = None
+
+    from datafusion_gpu_spark.context import build_ctx, get_spark, make_types_df
+
+    t0 = time.perf_counter()
+    spark = get_spark("datafusion-gpu-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    build_ctx(spark, sf_dir=sf_dir)
+    # 8 partitions for the 1M table: per-task scheduling is the dominant
+    # cost at this size (32 partitions measures the scheduler, not the sum).
+    types = make_types_df(spark, 1_000_000).coalesce(8).cache()
+    types.createOrReplaceTempView("types")
+    types.count()  # materialize the cache before any timing
+    types_100m = make_types_df(spark, 100_000_000).cache()
+    types_100m.createOrReplaceTempView("types_100m")
+    types_100m.count()
+    log(f"session + 1M types + {sf_dir} registered in "
+        f"{time.perf_counter() - t0:.1f}s")
+
+    from datafusion_gpu_spark.queries import all_queries
+
+    registry = all_queries()
+    results: dict[str, float] = {}
+
+    for name, samples, sql in TYPES_BENCHES:
+        med = timed_median(lambda: spark.sql(sql).collect(), samples)
+        results[name] = round(med, 4)
+        log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
+
+    for name, samples in SF_BENCHES:
+        if name not in registry:
+            log(f"{name}: SKIPPED (not in registry)")
+            continue
+        fn = registry[name]
+        med = timed_median(lambda: fn(spark, sf_dir).collect(), samples)
+        results[name] = round(med, 4)
+        log(f"{name}: median {med:.2f} s over {samples} samples")
+
+    total = round(sum(results.values()), 4)
+    print(json.dumps({
+        "metric": "headline_median_total",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": sf,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
