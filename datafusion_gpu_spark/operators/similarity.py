@@ -4,8 +4,9 @@ Two tiers, same contract:
 
 - ``cosine_topk_bruteforce``: exact top-k. The query set is broadcast
   (it is small by construction), the corpus is scanned once, and the
-  per-query top-k is a window over (query, score) — at 1000 executors
-  that is one corpus pass with no corpus shuffle at all.
+  per-query top-k is two-stage (partition-local prune, then a global
+  merge over n_partitions * k rows per query) — at 1000 executors that
+  is one corpus pass with no corpus-sized shuffle anywhere.
 - ``lsh_ann_topk``: approximate top-k via signed-random-projection LSH.
   Deterministic hyperplanes (seeded), bucket equality join instead of a
   cross join — the 100 TB path where even one corpus x query scan per
@@ -18,9 +19,13 @@ Python, stays inside codegen.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -38,13 +43,63 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+_SCORED_SCHEMA = StructType(
+    [
+        StructField("query_id", LongType()),
+        StructField("vec_id", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k without a window over the full scored set.
+
+    Stage 1 (mapInPandas, NO shuffle): each partition keeps only its own
+    top-k per query — a running merge across Arrow batches, so partition
+    memory is O(queries_seen * k), never partition size. Stage 2: the
+    global window ranks the surviving n_partitions * n_queries * k rows —
+    a tiny relation regardless of corpus size. At 100 TB this replaces
+    "shuffle every score into n_queries tasks, sort corpus-size rows"
+    with "shuffle n_partitions * k rows per query".
+
+    Ranking is (cosine DESC, vec_id ASC) at full double precision in both
+    stages, so results are identical to the single-window spelling.
+    """
+
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            cand = pdf if best is None else pd.concat((best, pdf))
+            cand = cand.sort_values(
+                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+            )
+            best = cand.groupby("query_id", sort=False).head(k)
+        if best is not None:
+            yield best
+
+    pruned = scored.select("query_id", "vec_id", "cosine").mapInPandas(
+        local_topk, _SCORED_SCHEMA
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+        )
+    )
+
+
 def cosine_topk_bruteforce(
     corpus: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
     """Exact top-k neighbors per query vector.
 
     ``queries`` (vec_id, embedding) is broadcast; corpus partitions never
-    move. Ties broken by vec_id so results are deterministic.
+    move — scoring is one corpus pass, then the two-stage top-k keeps the
+    shuffle at n_partitions * k rows per query. Ties broken by vec_id so
+    results are deterministic.
     """
     q = F.broadcast(
         queries.select(
@@ -54,14 +109,8 @@ def cosine_topk_bruteforce(
     c = corpus.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ce"))
     scored = q.crossJoin(c).where(F.col("query_id") != F.col("vec_id"))
     cs = cosine_similarity(F.col("qe"), F.col("ce"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("vec_id")
-    )
-    return (
-        scored.select("query_id", "vec_id", F.round(cs, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+    return _two_stage_topk(
+        scored.select("query_id", "vec_id", cs.alias("cosine")), k
     )
 
 
@@ -89,33 +138,49 @@ def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    planes: int = 12,
+    planes: int = 8,
+    num_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the query's LSH bucket, then
-    exact cosine rerank within candidates. Recall rises with fewer planes
-    (bigger buckets) or multiple tables; this single-table variant is the
-    skeleton the scale path tunes."""
-    hp = _hyperplanes(dim, planes, seed)
-    c = corpus.select(
-        F.col("vec_id").alias("vec_id"),
-        F.col("embedding").alias("ce"),
-        lsh_bucket(F.col("embedding"), hp).alias("bucket"),
-    )
-    q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            lsh_bucket(F.col("embedding"), hp).alias("bucket"),
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``num_tables`` independent hash tables, then exact cosine rerank.
+
+    Recall knobs: fewer ``planes`` -> bigger buckets; more ``num_tables``
+    -> more chances to collide (miss prob for a pair with cosine angle
+    theta is (1 - (1 - theta/pi)^planes)^num_tables). The bucket relation
+    is slim (ids + bucket only); embeddings are joined back only for the
+    candidate set — at scale the corpus side of that join is a
+    pre-bucketed index, so the probe is co-partitioned, and the top-k is
+    the same two-stage prune as the exact path.
+    """
+    tables = [
+        _hyperplanes(dim, planes, seed + t) for t in range(num_tables)
+    ]
+
+    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
+        per_table = F.array(
+            *[lsh_bucket(F.col("embedding"), hp) for hp in tables]
         )
+        return df.select(
+            F.col("vec_id").alias(id_alias),
+            F.posexplode(per_table).alias("table", "bucket"),
+        )
+
+    cb = buckets(corpus, "vec_id")
+    qb = F.broadcast(buckets(queries, "query_id"))
+    candidates = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
+        .distinct()
     )
-    scored = q.join(c, "bucket").where(F.col("query_id") != F.col("vec_id"))
+    ce = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    qe = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    scored = candidates.join(ce, "vec_id").join(qe, "query_id")
     cs = cosine_similarity(F.col("qe"), F.col("ce"))
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        scored.select("query_id", "vec_id", F.round(cs, 6).alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+    return _two_stage_topk(
+        scored.select("query_id", "vec_id", cs.alias("cosine")), k
     )
