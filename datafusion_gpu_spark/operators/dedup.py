@@ -47,6 +47,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def word_hash60(col: Column | str) -> Column:
+    """Portable 60-bit word hash: first 15 hex chars of md5, as bigint.
+
+    Used where a correctness oracle must replay the hash bit-for-bit in
+    another engine (DuckDB computes the identical value as
+    ``CAST('0x' || substring(md5(w), 1, 15) AS BIGINT)``). Still uniform
+    and JVM-side; xxhash64 stays the default for oracle-free paths where
+    only determinism-within-Spark matters.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
 def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) with per-document distinct shingles (set
     semantics for Jaccard)."""
@@ -205,18 +218,19 @@ def minhash_lsh_pairs(
 # -- SimHash -----------------------------------------------------------------
 
 
-def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
+def simhash_signatures(docs: DataFrame, bits: int = 60) -> DataFrame:
     """(doc_id, simhash bigint): weighted bit-majority over word hashes.
 
     Each distinct word contributes its count as weight to every bit of
-    xxhash64(word); the signature bit is the sign of the weighted sum —
-    all expressed as `bits` conditional SUM aggregates (one shuffle)."""
+    its 60-bit portable hash (word_hash60 — replayable in the DuckDB
+    oracle); the signature bit is the sign of the weighted sum — all
+    expressed as `bits` conditional SUM aggregates (one shuffle)."""
     words = docs.select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
     )
     wc = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.xxhash64(F.col("word"))
+    h = word_hash60(F.col("word"))
     bit_sums = [
         F.sum(
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.col("cnt")).otherwise(
@@ -235,7 +249,9 @@ def simhash_signatures(docs: DataFrame, bits: int = 64) -> DataFrame:
     return agg.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 7, chunks: int = 8) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = 3, chunks: int = 6, bits: int = 60
+) -> DataFrame:
     """Pairs with SimHash Hamming distance <= max_hamming.
 
     Pigeonhole guarantee: distance < chunks implies at least one identical
@@ -243,9 +259,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 7, chunks: int = 8) -> Dat
     chunk_value) and verification is one bit_count(xor) — no pair scan.
     Requires max_hamming <= chunks - 1 for completeness.
     """
-    width = 64 // chunks
+    width = bits // chunks
     mask = (1 << width) - 1
-    sig = simhash_signatures(docs)
+    sig = simhash_signatures(docs, bits)
     chunk_cols = [
         (F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(F.lit(mask)))
         for i in range(chunks)

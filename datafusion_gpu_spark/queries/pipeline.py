@@ -1,7 +1,418 @@
-"""Training-data-pipeline operator queries (dedup, similarity, text,
-multimodal, events) — filled in by datafusion_gpu_spark.operators.*."""
+"""Training-data-pipeline operator queries — the correctness-gate surface
+for datafusion_gpu_spark.operators.{dedup,similarity,text,multimodal,events}.
+
+Every entry pairs the Spark operator with a DuckDB oracle that replays the
+*same deterministic formula* in ANSI-ish SQL:
+
+- text/quality/tokens/fingerprints/multimodal: direct expression mirrors;
+- simhash: the word hash is the portable 60-bit md5 prefix
+  (dedup.word_hash60), so the oracle rebuilds the full signature
+  bit-for-bit and then checks ALL pairs (the Spark side's pigeonhole
+  chunk join is an optimization, provably complete for
+  max_hamming <= chunks-1, so results must be identical);
+- minhash-LSH: the oracle computes the exact n-gram-Jaccard pair set at
+  the same threshold — the Spark side verifies candidates with exact
+  Jaccard, so equality means the banding lost nothing (recall check) and
+  emitted nothing spurious (precision is guaranteed by construction);
+- LSH ANN: the oracle inlines the same seeded +-1 hyperplanes and replays
+  bucket assignment, candidate union and rerank exactly;
+- rounding to 6 decimals on both sides quashes sub-1e-12 accumulation
+  noise in double arithmetic (both engines fold the same order anyway).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators import dedup, events, multimodal, similarity, text
+from datafusion_gpu_spark.queries import load
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments
+# ---------------------------------------------------------------------------
+
+#: normalize_text mirror (DuckDB needs the explicit 'g' flag Spark implies)
+_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+def _markers_sql(lang: str) -> str:
+    inner = ", ".join(f"'{m}'" for m in text.LANG_MARKERS[lang])
+    return f"len(list_filter(w, x -> list_contains([{inner}], x)))"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+    )
+
+
+#: exact n-gram (3-word) Jaccard pair CTE, parameterized by threshold —
+#: mirrors dedup.word_shingles/ngram_jaccard_pairs and doubles as the
+#: recall+precision oracle for the MinHash-LSH variant.
+def _jaccard_pairs_sql(threshold: float) -> str:
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE []::VARCHAR[] END) AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b,
+         ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+) WHERE jaccard >= {threshold}
+"""
+
+
+def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
+    """Full signature replay (word_hash60 is engine-portable), then an
+    all-pairs hamming check — tiny at oracle scale, and the Spark side's
+    pigeonhole join is exactly equivalent for max_hamming <= chunks-1."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN cnt ELSE -cnt END) AS b{i}"
+        for i in range(bits)
+    )
+    sig_terms = "\n       + ".join(
+        f"CASE WHEN b{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END"
+        for i in range(bits)
+    )
+    return f"""
+WITH wc AS (
+  SELECT doc_id, word, COUNT(*)::BIGINT AS cnt
+  FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word FROM documents)
+  GROUP BY doc_id, word
+),
+hashed AS (
+  SELECT doc_id, CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) AS h, cnt
+  FROM wc
+),
+bitsums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id,
+         {sig_terms} AS simhash
+  FROM bitsums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash))::INT AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+def _lsh_ann_oracle(
+    k: int = 5, planes: int = 6, num_tables: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """Replays similarity.lsh_ann_topk exactly: same seeded hyperplanes
+    (inlined as +-embedding[i] terms), same bucket bits, same multi-table
+    candidate union, same (cosine DESC, vec_id) rerank."""
+
+    def bucket_expr(hp: list[list[float]]) -> str:
+        cases = []
+        for p, plane in enumerate(hp):
+            terms = " ".join(
+                ("+" if s > 0 else "-") + f" embedding[{i + 1}]::DOUBLE"
+                for i, s in enumerate(plane)
+            )
+            cases.append(
+                f"CASE WHEN (0.0 {terms}) > 0 "
+                f"THEN (1::BIGINT << {p}) ELSE 0::BIGINT END"
+            )
+        return "(" + "\n   + ".join(cases) + ")"
+
+    tables = [
+        similarity._hyperplanes(dim, planes, seed + t) for t in range(num_tables)
+    ]
+    cb = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {t} AS tbl, {bucket_expr(hp)} AS bucket FROM embeddings"
+        for t, hp in enumerate(tables)
+    )
+    cos = _cos_sql("q.embedding", "c.embedding")
+    return f"""
+WITH cb AS (
+{cb}
+),
+qb AS (SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < 8),
+cand AS (
+  SELECT DISTINCT qb.query_id, cb.vec_id
+  FROM qb JOIN cb ON qb.tbl = cb.tbl AND qb.bucket = cb.bucket
+                 AND qb.query_id != cb.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {cos} AS cos
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+WHERE "rank" <= {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return spark.table("documents")
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+
+
+def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3, chunks=6)
+
+
+def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return dedup.embedding_near_dup_pairs(spark.table("embeddings"), threshold=0.2)
+
+
+def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.cosine_topk_bruteforce(embs, embs.where("vec_id < 8"), k=5)
+
+
+def _sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.lsh_ann_topk(
+        embs, embs.where("vec_id < 8"), k=5, planes=6, num_tables=2
+    )
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_features(_docs(spark, sf_dir))
+
+
+def _text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", text.lang_id("text").alias("lang_pred"))
+
+
+def _text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_counts(_docs(spark, sf_dir))
+
+
+def _text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.fingerprints(_docs(spark, sf_dir))
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.extract_features(
+        multimodal.attach_binary(_docs(spark, sf_dir))
+    )
+
+
+def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.tumbling_window_agg(spark.table("events"), "1 hour")
+
+
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.sessionize(spark.table("events"), gap_minutes=30)
+
+
+def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    left = ev.where("event_type = 'view'")
+    # dedupe the right side on (user_id, ts) so the as-of pick is
+    # well-defined in every engine (ties broken by max event_id)
+    right = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    return events.asof_join_prior(left, right, on="user_id")
+
+
+QUERIES = {
+    "dedup_exact": _dedup_exact,
+    "dedup_ngram_jaccard": _dedup_ngram,
+    "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_simhash": _dedup_simhash,
+    "dedup_embedding_cosine": _dedup_embedding,
+    "sim_topk_bruteforce": _sim_topk_bruteforce,
+    "sim_topk_lsh": _sim_topk_lsh,
+    "text_quality": _text_quality,
+    "text_lang_id": _text_lang_id,
+    "text_tokens": _text_tokens,
+    "text_fingerprints": _text_fingerprints,
+    "multimodal_features": _multimodal_features,
+    "events_tumbling": _events_tumbling,
+    "events_sessionize": _events_sessionize,
+    "events_asof": _events_asof,
+}
+
+_COS_AB = _cos_sql("a.embedding", "b.embedding")
+_COS_QC = _cos_sql("q.embedding", "c.embedding")
+
+ORACLES = {
+    "dedup_exact": f"""
+SELECT md5({_NORM}) AS content_key, MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+    "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3),
+    "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
+    "dedup_simhash": _simhash_oracle(max_hamming=3),
+    "dedup_embedding_cosine": f"""
+SELECT * FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+         ROUND({_COS_AB}, 6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.2
+""",
+    "sim_topk_bruteforce": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_QC} AS cos
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+WHERE "rank" <= 5
+""",
+    "sim_topk_lsh": _lsh_ann_oracle(),
+    "text_quality": f"""
+WITH t AS (
+  SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(w) AS n_words,
+         length(regexp_replace(norm, ' ', '', 'g')) AS clen,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           AS n_punct,
+         {_markers_sql("en")} AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_chars, n_words,
+       ROUND(clen / n_words, 6) AS mean_word_len,
+       n_punct, n_stopwords,
+       ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+             + (n_stopwords / n_words) * 0.4
+             + (1.0 - n_punct / n_chars) * 0.2, 6) AS quality_score
+FROM f
+""",
+    "text_lang_id": f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         {_markers_sql("en")} AS s_en,
+         {_markers_sql("es")} AS s_es,
+         {_markers_sql("de")} AS s_de,
+         {_markers_sql("fr")} AS s_fr
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+            WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+            WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+            WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+            ELSE 'fr' END AS lang_pred
+FROM s
+""",
+    "text_tokens": f"""
+SELECT doc_id,
+       len(string_split({_NORM}, ' ')) AS ws_tokens,
+       len(regexp_extract_all({_NORM}, '{text.TOKEN_PATTERN}'))::INT AS re_tokens
+FROM documents
+""",
+    "text_fingerprints": f"""
+SELECT doc_id, md5({_NORM}) AS content_md5,
+       list_min(list_transform(string_split({_NORM}, ' '), w -> md5(w)))
+         AS min_word_md5
+FROM documents
+""",
+    "multimodal_features": """
+SELECT doc_id,
+       octet_length(encode(text))::INT AS n_bytes,
+       (octet_length(encode(text)) % 640 + 1)::INT AS width,
+       ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS height,
+       3 AS channels
+FROM documents
+""",
+    "events_tumbling": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "events_sessionize": """
+SELECT user_id, SUM(is_new)::BIGINT AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+         CASE WHEN prev_ts IS NULL
+                   OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM (
+    SELECT user_id, ts,
+           lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+    FROM events
+  )
+) GROUP BY user_id
+""",
+    "events_asof": """
+WITH l AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+),
+r AS (
+  SELECT user_id, ts, MAX(event_id) AS event_id
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+)
+SELECT l.user_id, l.event_id AS left_id, r.event_id AS prior_right_id
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+}
