@@ -58,10 +58,20 @@ def _modules():
         aggregates_q,
         custom_agg,
         pipeline,
+        reference_tables,
         relational,
         scalar_fns,
         tpch,
         windows,
     )
 
-    return (tpch, relational, aggregates_q, windows, scalar_fns, custom_agg, pipeline)
+    return (
+        tpch,
+        relational,
+        aggregates_q,
+        windows,
+        scalar_fns,
+        custom_agg,
+        pipeline,
+        reference_tables,
+    )
