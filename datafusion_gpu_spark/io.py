@@ -1,0 +1,114 @@
+"""File IO surface: readers and write sinks (SURVEY §2.1).
+
+The reference reaches these through the embedded engine's SQL layer
+(``COPY … TO``, ``CREATE EXTERNAL TABLE``, format crates proven compiled
+in — SURVEY §2.1 rows 4-9); the Spark-first spelling is the
+DataFrameReader/Writer API plus two thin custom paths:
+
+- **Arrow IPC** (no native Spark reader/writer): both directions run
+  *distributed* over ``mapInPandas`` — the writer emits one IPC file per
+  partition and returns the manifest, the reader parallelizes the file
+  list and each task decodes its files with pyarrow. Nothing but file
+  paths ever passes through the driver; on a multi-node cluster the
+  directory must be shared storage (as for any file sink).
+- **NDJSON / CSV / Parquet**: Spark-native, including transparent
+  .gz/.bz2/.zst decompression on read.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# -- native formats ----------------------------------------------------------
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """NDJSON sink (one JSON object per line, Spark's native json format)."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:
+    """NDJSON scan w/ schema inference (or explicit schema to skip the
+    inference pass — preferred at scale: inference reads the data twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(spark: SparkSession, path: str, header: bool = True, infer: bool = True) -> DataFrame:
+    return spark.read.csv(path, header=header, inferSchema=infer)
+
+
+# -- Arrow IPC (custom thin path) -------------------------------------------
+
+
+def write_arrow_ipc(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed Arrow IPC (Feather v2) sink: one file per non-empty
+    partition, written executor-side. Returns the manifest (path, rows);
+    collecting the manifest is what triggers the write."""
+    import pyarrow as pa
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        writer = None
+        path = None
+        rows = 0
+        for pdf in batches:
+            tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+            if writer is None:
+                path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.arrow")
+                writer = pa.ipc.new_file(path, tbl.schema)
+            writer.write_table(tbl)
+            rows += len(pdf)
+        if writer is not None:
+            writer.close()
+            yield pd.DataFrame({"path": [path], "rows": [rows]})
+
+    return df.mapInPandas(write_part, "path string, rows long")
+
+
+def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed Arrow IPC scan: the driver lists files and reads ONE
+    footer for the schema (O(1) metadata); decoding fans out over the
+    cluster via mapInPandas on the file list."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = sorted(glob.glob(os.path.join(path, "*.arrow"))) if os.path.isdir(path) else [path]
+    if not files:
+        raise FileNotFoundError(f"no .arrow files under {path}")
+    with pa.memory_map(files[0]) as src:
+        arrow_schema = pa.ipc.open_file(src).schema
+    spark_schema = from_arrow_schema(arrow_schema)
+
+    file_df = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism)
+    )
+
+    def read_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                with pa.memory_map(p) as src:
+                    yield pa.ipc.open_file(src).read_all().to_pandas()
+
+    return file_df.mapInPandas(read_files, spark_schema)

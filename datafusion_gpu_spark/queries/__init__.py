@@ -57,6 +57,7 @@ def _modules():
     from datafusion_gpu_spark.queries import (
         aggregates_q,
         custom_agg,
+        io_q,
         pipeline,
         reference_tables,
         relational,
@@ -74,4 +75,5 @@ def _modules():
         custom_agg,
         pipeline,
         reference_tables,
+        io_q,
     )

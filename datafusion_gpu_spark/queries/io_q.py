@@ -1,0 +1,106 @@
+"""Round-trip correctness queries for the IO surface (SURVEY §2.1 sink
+rows + JSON/Arrow scans).
+
+Each query WRITES a driver table through a sink, READS it back through
+the matching scan, and aggregates the re-read data; the DuckDB oracle
+computes the same aggregate on the ORIGINAL parquet table — so a pass
+proves the write+read pair is value-preserving, not just runnable.
+Aggregates are order-insensitive (files come back in arbitrary order).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_gpu_spark import io
+from datafusion_gpu_spark.queries import load
+
+#: Executor-visible scratch space (single shared FS on local mode; would
+#: be an object-store path on a real cluster).
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "nation_json")
+    io.write_json(spark.table("nation"), out)
+    back = io.read_json(spark, out)
+    back.createOrReplaceTempView("nation_rt")
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey) AS sum_key,
+               MIN(n_name) AS min_name
+        FROM nation_rt GROUP BY n_regionkey
+        """
+    )
+
+
+_JSON_DUCK = """
+SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey)::BIGINT AS sum_key,
+       MIN(n_name) AS min_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def _roundtrip_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "supplier_csv")
+    io.write_csv(spark.table("supplier").select("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), out)
+    back = io.read_csv(spark, out)
+    back.createOrReplaceTempView("supplier_rt")
+    return spark.sql(
+        """
+        SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS sum_bal,
+               MIN(s_name) AS min_name
+        FROM supplier_rt GROUP BY s_nationkey
+        """
+    )
+
+
+_CSV_DUCK = """
+SELECT s_nationkey, COUNT(*) AS n, ROUND(SUM(s_acctbal), 2) AS sum_bal,
+       MIN(s_name) AS min_name
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def _roundtrip_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "customer_arrow")
+    manifest = io.write_arrow_ipc(
+        spark.table("customer").select(
+            "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+        ),
+        out,
+    )
+    manifest.collect()  # trigger the distributed write
+    back = io.read_arrow_ipc(spark, out)
+    back.createOrReplaceTempView("customer_rt")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey) AS sum_key,
+               ROUND(SUM(c_acctbal), 2) AS sum_bal
+        FROM customer_rt GROUP BY c_mktsegment
+        """
+    )
+
+
+_ARROW_DUCK = """
+SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey)::BIGINT AS sum_key,
+       ROUND(SUM(c_acctbal), 2) AS sum_bal
+FROM customer GROUP BY c_mktsegment
+"""
+
+QUERIES = {
+    "io_roundtrip_json": _roundtrip_json,
+    "io_roundtrip_csv": _roundtrip_csv,
+    "io_roundtrip_arrow": _roundtrip_arrow,
+}
+
+ORACLES = {
+    "io_roundtrip_json": _JSON_DUCK,
+    "io_roundtrip_csv": _CSV_DUCK,
+    "io_roundtrip_arrow": _ARROW_DUCK,
+}
