@@ -39,8 +39,11 @@ TESTDATA_TABLES = (
     "embeddings",
 )
 
-#: Dimension tables small enough to broadcast at any scale factor.
-BROADCAST_TABLES = {"region", "nation", "supplier", "part"}
+#: Dimension tables with FIXED cardinality (5 / 25 rows at every scale
+#: factor) — safe to broadcast-hint unconditionally. customer/supplier/
+#: part grow with sf, so they are left to AQE + autoBroadcastJoinThreshold
+#: which sees their actual size at runtime.
+BROADCAST_TABLES = {"region", "nation"}
 
 
 def get_spark(
@@ -66,6 +69,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.session.timeZone", "UTC")
+        # Session-wide, set once at build (not as a read side effect):
+        # TESTDATA parquet carries TIMESTAMP(NANOS), which Spark otherwise
+        # rejects; read_parquet rebuilds proper timestamps from the longs.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
@@ -123,6 +130,8 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     ns_cols = _ns_timestamp_columns(path)
     if not ns_cols:
         return spark.read.parquet(path)
+    # normally already set at session build (get_spark); repeated here so
+    # externally-built sessions (e.g. the driver's) read ns files too
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
@@ -145,6 +154,10 @@ def register_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if not os.path.exists(path):
             continue
         df = read_parquet(spark, path)
+        if name in BROADCAST_TABLES:
+            # hint survives into every SQL/DataFrame use of the view, so
+            # fixed-size dims broadcast regardless of threshold config
+            df = F.broadcast(df)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

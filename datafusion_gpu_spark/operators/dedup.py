@@ -94,19 +94,39 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float, n: int = 3, block_col: str | None = None
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    block_col: str | None = None,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All document pairs with n-word-shingle Jaccard >= threshold.
 
     Pairs are generated only through the shingle equality join (hash
-    partitioned by shingle); a hot shingle bounds a single task, so the
-    skew mitigation at scale is dropping ubiquitous shingles (doc-freq
-    cap) or salting — both local changes to the `sh` relation.
+    partitioned by shingle), so per-task work is bounded by shingle
+    bucket size. The skew killer at corpus scale is a ubiquitous shingle
+    ("in the of") whose bucket alone is quadratic: ``max_doc_freq`` drops
+    every shingle appearing in more than that many documents *before*
+    the self-join — stopword-removal semantics, i.e. Jaccard is computed
+    over the surviving shingle space (both numerator and set sizes), so
+    the result stays a well-defined similarity and the DuckDB oracle can
+    replay it exactly. None (default) keeps exact full-space Jaccard.
     """
     cols = ["doc_id"] + ([block_col] if block_col else [])
     base = docs.select(*cols, F.array_distinct(word_shingles("text", n)).alias("sh"))
     sh = base.select(*cols, F.explode("sh").alias("shingle"))
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    if max_doc_freq is not None:
+        # sh is distinct per (doc, shingle), so count(*) == doc frequency
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    else:
+        sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (

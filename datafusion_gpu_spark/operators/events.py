@@ -1,8 +1,9 @@
 """Event-stream operators over the bounded `events` table: fixed time
-buckets, gap sessionization, as-of join. The same logic re-targets
-Structured Streaming (datafusion_gpu_spark.streaming) — here it runs
-bounded, which is what the reference's engine would do (it has no
-unbounded sources, SURVEY §2.9).
+buckets, gap sessionization, as-of join. Bounded execution is parity
+with the reference (it has no unbounded sources, SURVEY §2.9); the
+unbounded spelling of the windowed aggregate lives in
+datafusion_gpu_spark.streaming (Structured Streaming file source +
+watermark).
 """
 
 from __future__ import annotations

@@ -57,7 +57,18 @@ def _cos_sql(a: str, b: str) -> str:
 #: exact n-gram (3-word) Jaccard pair CTE, parameterized by threshold —
 #: mirrors dedup.word_shingles/ngram_jaccard_pairs and doubles as the
 #: recall+precision oracle for the MinHash-LSH variant.
-def _jaccard_pairs_sql(threshold: float) -> str:
+def _jaccard_pairs_sql(threshold: float, max_doc_freq: int | None = None) -> str:
+    if max_doc_freq is None:
+        filtered = """
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),"""
+    else:
+        filtered = f"""
+ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle
+         HAVING COUNT(*) <= {max_doc_freq}),
+ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),"""
     return f"""
 WITH base AS (
   SELECT doc_id,
@@ -66,9 +77,7 @@ WITH base AS (
                                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
              ELSE []::VARCHAR[] END) AS sh
   FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
-),
-sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
-ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+),{filtered}
 common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
   FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -193,7 +202,11 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.3)
+    # max_doc_freq exercises the hot-shingle skew cap through the gate;
+    # the oracle replays the identical stopword-removal semantics
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.3, max_doc_freq=100
+    )
 
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -297,7 +310,7 @@ SELECT md5({_NORM}) AS content_key, MIN(doc_id) AS keep_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY 1
 """,
-    "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3),
+    "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
     "dedup_simhash": _simhash_oracle(max_hamming=3),
     "dedup_embedding_cosine": f"""

@@ -185,6 +185,30 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20 OFFSET 10
 """
 
+# Recursive CTE — SURVEY §2.2 assumed this was a Spark gap; Spark >= 4.0
+# supports WITH RECURSIVE natively, so it is a checked query, not a gap.
+# Identical text runs on DuckDB.
+_CTE_RECURSIVE = """
+WITH RECURSIVE ladder(n) AS (
+  SELECT 1
+  UNION ALL
+  SELECT n + 1 FROM ladder WHERE n < 25
+)
+SELECT l.n AS nation_slot, COUNT(c.c_custkey) AS n_customers
+FROM ladder l LEFT JOIN customer c ON c.c_nationkey = l.n - 1
+GROUP BY l.n
+"""
+
+# EXPLAIN surface demo (SURVEY §2.2 row 18): output is engine-specific
+# plan text, so this is a rows-only entry — the driver checks it runs and
+# yields a stable one-row result.
+_EXPLAIN = """
+EXPLAIN FORMATTED
+SELECT n.n_name, COUNT(*) AS n
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name
+"""
+
 QUERIES = {
     "join_left_outer": sql_query(_LEFT_OUTER),
     "join_full_outer": sql_query(_FULL_OUTER),
@@ -201,6 +225,8 @@ QUERIES = {
     "subquery_correlated": sql_query(_SUBQ_CORRELATED),
     "subquery_in": sql_query(_SUBQ_IN),
     "cte_values_join": sql_query(_CTE_VALUES_SPARK),
+    "cte_recursive": sql_query(_CTE_RECURSIVE),
+    "explain_plan": sql_query(_EXPLAIN),
     "pivot_orders": _pivot,
     "sort_limit_offset": sql_query(_LIMIT_OFFSET),
 }
@@ -221,6 +247,8 @@ ORACLES = {
     "subquery_correlated": _SUBQ_CORRELATED,
     "subquery_in": _SUBQ_IN,
     "cte_values_join": _CTE_VALUES_DUCK,
+    "cte_recursive": _CTE_RECURSIVE,
+    # explain_plan: deliberately no oracle (plan text is engine-specific)
     "pivot_orders": _PIVOT_DUCK,
     "sort_limit_offset": _LIMIT_OFFSET,
 }

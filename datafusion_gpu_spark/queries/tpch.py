@@ -5,8 +5,10 @@ top-k pipeline end to end. Scale design notes per query:
 
 - filters are literal predicates on scan columns -> parquet pushdown +
   row-group pruning for free;
-- every fact x dim join broadcasts the dim side (region/nation/supplier/
-  part are bounded; customer/orders stay shuffle-hash under AQE);
+- fixed-cardinality dims (region/nation) carry an explicit broadcast
+  hint from register_tables; sf-scaled tables (customer/supplier/part/
+  orders) are left to AQE + autoBroadcastJoinThreshold, which sees their
+  true size at runtime — so the plan stays correct at any scale factor;
 - aggregates are built-in JVM sums -> two-phase partial/final, map-side
   combine, no Python boundary;
 - top-k (ORDER BY + LIMIT) plans as TakeOrderedAndProject (bounded heap),

@@ -56,6 +56,9 @@ def run_sql(spark: SparkSession, sql: str, out=sys.stdout) -> bool:
     either way the caller keeps the session (main.rs:54-60).
     """
     try:
+        from datafusion_gpu_spark.dialect import check_dialect
+
+        check_dialect(sql)
         df = spark.sql(sql)
         t0 = time.perf_counter()
         rows = df.limit(SHOW_ROWS + 1).collect()

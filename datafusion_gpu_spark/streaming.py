@@ -1,0 +1,99 @@
+"""Structured Streaming surface — beyond-parity (SURVEY §2.9: the
+reference registers only bounded sources, so nothing here is required
+for parity; it exists because a training-data pipeline at 100 TB ingests
+continuously).
+
+Spelling: the same logical plans as operators.events, re-targeted at an
+unbounded file source. A parquet directory is the canonical bridge —
+in production the stream tails an object-store prefix or Kafka topic;
+in tests it replays the driver's events table and
+``processAllAvailable()`` makes the run deterministic.
+
+Scale notes: watermark + windowed aggregation is incremental state in
+the executors (no unbounded buffering); ``complete`` output mode is for
+the bounded replay/test path, ``append`` + watermark is the production
+mode where only finalized windows emit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.context import read_parquet
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbounded view of the events table via the file streaming source.
+
+    Streams need an explicit schema: it is taken from one batch-read of
+    the same file (footer metadata only — no data scan), including the
+    ns-timestamp handling from context.read_parquet: the stream reads
+    raw int64 nanos and rebuilds the timestamp column in-plan.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
+    converted = read_parquet(spark, path).schema
+    # the file source requires a directory: stream the sf dir and select
+    # just the events file via pathGlobFilter
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # rebuild ns-long columns into proper timestamps, mirroring read_parquet
+    for field in converted.fields:
+        if str(field.dataType) != str(raw_schema[field.name].dataType):
+            stream = stream.withColumn(
+                field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+            )
+    return stream
+
+
+def stream_tumbling_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.events.tumbling_window_agg: watermarked
+    event-time tumbling windows, incremental per-(window, type) state."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
+    """Drain a (bounded) stream into an in-memory table and return it.
+
+    ``processAllAvailable`` blocks until every pending file is processed,
+    making the replay deterministic; the returned DataFrame is a normal
+    batch view of the sink table.
+    """
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    return df.sparkSession.table(name)
