@@ -65,8 +65,15 @@ def write_arrow_ipc(df: DataFrame, out_dir: str) -> DataFrame:
     """Distributed Arrow IPC (Feather v2) sink: one file per non-empty
     partition, written executor-side. Returns the manifest (path, rows);
     collecting the manifest is what triggers the write."""
+    import shutil
+
     import pyarrow as pa
 
+    # overwrite semantics like DataFrameWriter.mode("overwrite"): stale
+    # part files from a previous write must not survive (uuid names would
+    # otherwise accumulate and duplicate rows on re-read)
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -1,0 +1,67 @@
+"""Context/bootstrap tests: types generator determinism, CSV inference
+(SURVEY §5.2 items 2 and 4), REPL parity queries."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.context import make_types_df, register_test_csv
+from datafusion_gpu_spark.queries.reference_tables import TEST_CSV
+
+
+def test_types_schema(spark):
+    df = make_types_df(spark, 100)
+    assert [(f.name, str(f.dataType)) for f in df.schema.fields] == [
+        ("string", "StringType()"),
+        ("float", "FloatType()"),
+        ("int", "IntegerType()"),
+    ]
+
+
+def test_types_deterministic_and_partition_invariant(spark):
+    a = make_types_df(spark, 1000, seed=7).toPandas()
+    b = make_types_df(spark, 1000, seed=7).repartition(13).toPandas()
+    key = lambda d: d.sort_values(["int", "float", "string"]).reset_index(drop=True)  # noqa: E731
+    assert key(a).equals(key(b))
+    c = make_types_df(spark, 1000, seed=8).toPandas()
+    assert not key(a).equals(key(c))
+
+
+def test_types_value_ranges(spark):
+    row = (
+        make_types_df(spark, 5000)
+        .agg(
+            F.min("float").alias("fmin"),
+            F.max("float").alias("fmax"),
+            F.countDistinct("string").alias("letters"),
+        )
+        .collect()[0]
+    )
+    assert 0.0 <= row.fmin and row.fmax < 1.0
+    assert row.letters == 26  # 'a'..='z' (src/lib.rs:65)
+
+
+def test_csv_inference(spark):
+    df = register_test_csv(spark, TEST_CSV)
+    assert len(df.columns) == 13 and df.count() == 100
+    dtypes = dict(df.dtypes)
+    assert dtypes["c1"] == "string"
+    assert dtypes["c2"] == "int"
+    assert dtypes["c6"] == "bigint"
+    assert dtypes["c11"] == "double"
+    assert dtypes["c13"] == "string"
+
+
+def test_readme_parity_queries_run_verbatim(spark):
+    """The reference's manual correctness procedure (README.md:71-75)."""
+    from datafusion_gpu_spark.context import build_ctx
+
+    build_ctx(spark, types_table_length=100_000)
+    base = spark.sql("SELECT sum(float) AS s FROM types").collect()[0].s
+    for q in (
+        "SELECT sum_cudarc(float) FROM types",
+        "SELECT sum_cubecl(float) FROM types",
+    ):
+        got = spark.sql(q).collect()[0][0]
+        assert abs(base - got) / abs(base) < 1e-4

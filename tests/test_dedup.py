@@ -1,0 +1,90 @@
+"""Dedup operator behavior on planted corpora: exact groups, LSH recall
+on true near-duplicates, simhash on light edits, hot-shingle cap."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the rain falls "
+    "on the quiet green hills and the river runs to the sea"
+)
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    docs = [
+        (0, _BASE),
+        (1, "  THE quick   brown fox jumps over the lazy dog while the rain "
+            "falls on the quiet green hills and the river runs to the sea "),
+        (2, _BASE.replace("lazy", "sleepy")),  # near-duplicate (1-word edit)
+        (3, "completely different text about databases and distributed "
+            "query engines running aggregations at petabyte scale"),
+        (4, "yet another unrelated document mentioning spark catalyst "
+            "optimizer partitions shuffles and broadcast joins"),
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_exact_dedup_groups_whitespace_case_variants(planted):
+    rows = {r.keep_id: r.n_copies for r in exact_dedup(planted).collect()}
+    assert rows[0] == 2  # doc 1 normalizes to doc 0
+    assert sum(rows.values()) == 5
+
+
+def test_minhash_lsh_finds_planted_near_dup(planted):
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(planted, 0.5).collect()}
+    assert (0, 1) in pairs  # exact after normalization, jaccard 1.0
+    assert (0, 2) in pairs  # one-word edit keeps most shingles
+    assert not any({a, b} & {3, 4} and {a, b} & {0, 1, 2} for a, b in pairs)
+
+
+def test_minhash_equals_exact_jaccard(planted):
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_pairs(planted, 0.3).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(planted, 0.3).collect()
+    }
+    assert lsh == exact  # banding lost nothing; verification adds nothing
+
+
+def test_simhash_close_for_light_edit(planted):
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_pairs(planted, 5).collect()}
+    assert pairs.get((0, 1)) == 0  # identical after normalization
+    assert (0, 2) in pairs  # light edit stays within hamming 5
+
+
+def test_hot_shingle_cap_drops_ubiquitous_shingles(spark):
+    # every doc shares one ubiquitous phrase; without the cap they all
+    # pair up, with the cap only the genuinely similar pair survives
+    common = "as seen on the world wide web"
+    docs = [(i, f"{common} unique filler number {i} talks about topic {i * 7}")
+            for i in range(8)]
+    docs.append((100, docs[0][1] + " extra"))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, threshold=0.2)
+    capped = ngram_jaccard_pairs(df, threshold=0.2, max_doc_freq=4)
+    pairs_capped = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert (0, 100) in pairs_capped  # true near-dup survives
+    # the ubiquitous-phrase-only pairs are gone
+    assert len(pairs_capped) < uncapped.count()
+
+
+def test_cap_none_keeps_exact_semantics(planted):
+    a = {(r.doc_a, r.doc_b, r.jaccard) for r in ngram_jaccard_pairs(planted, 0.3).collect()}
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in ngram_jaccard_pairs(planted, 0.3, max_doc_freq=10**6).collect()
+    }
+    assert a == b  # an unreachable cap must not change results

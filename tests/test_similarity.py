@@ -1,0 +1,70 @@
+"""Similarity search: exact top-k vs a NumPy reference, two-stage prune
+correctness, LSH recall on planted near-duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datafusion_gpu_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_ann_topk,
+)
+
+DIM = 16
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, DIM)).astype(np.float32)
+    vecs[50] = vecs[0] + rng.normal(scale=0.01, size=DIM).astype(np.float32)  # planted
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, qid, k):
+    n = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+    cos = n @ n[qid]
+    order = sorted(range(len(vecs)), key=lambda i: (-cos[i], i))
+    return [i for i in order if i != qid][:k]
+
+
+def test_bruteforce_matches_numpy(embeddings):
+    df, vecs = embeddings
+    res = cosine_topk_bruteforce(df, df.where("vec_id < 4"), k=7).toPandas()
+    for qid in range(4):
+        got = res[res.query_id == qid].sort_values("rank")["vec_id"].tolist()
+        assert got == _numpy_topk(vecs, qid, 7), f"query {qid}"
+
+
+def test_two_stage_prune_is_exact_across_partitionings(embeddings):
+    df, _ = embeddings
+    q = df.where("vec_id < 3")
+    a = cosine_topk_bruteforce(df.repartition(1), q, k=5).toPandas()
+    b = cosine_topk_bruteforce(df.repartition(16), q, k=5).toPandas()
+    key = lambda d: d.sort_values(["query_id", "rank"]).reset_index(drop=True)  # noqa: E731
+    assert key(a).equals(key(b))
+
+
+def test_lsh_recall_on_planted_near_dup(embeddings):
+    df, _ = embeddings
+    # vec 50 is a 1% perturbation of vec 0 (cosine ~0.9999): with 4
+    # planes x 8 tables the miss probability is < 1e-6
+    res = lsh_ann_topk(
+        df, df.where("vec_id = 0"), k=3, planes=4, num_tables=8, dim=DIM
+    ).toPandas()
+    assert 50 in res["vec_id"].tolist()
+    assert res.sort_values("rank")["vec_id"].iloc[0] == 50
+
+
+def test_lsh_scores_are_exact_cosines(embeddings):
+    df, vecs = embeddings
+    res = lsh_ann_topk(
+        df, df.where("vec_id = 0"), k=3, planes=4, num_tables=8, dim=DIM
+    ).toPandas()
+    n = vecs / np.linalg.norm(vecs.astype(np.float64), axis=1, keepdims=True)
+    for _, row in res.iterrows():
+        true_cos = float(n[0] @ n[int(row.vec_id)])
+        assert row.cosine == pytest.approx(true_cos, abs=1e-6)

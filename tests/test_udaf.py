@@ -1,0 +1,99 @@
+"""UDAF lifecycle + coercion matrix (SURVEY §5.2 item 3, mirroring the
+reference's coerce_types rules at cubecl_sum_udaf.rs:64-75 and the
+documented strictly-better divergences in aggregates.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import FloatType
+
+from datafusion_gpu_spark.aggregates import (
+    register_aggregates,
+    sum_arrow_cpu,
+    sum_f32_distributed,
+)
+
+
+@pytest.fixture(scope="module")
+def typed_df(spark):
+    return spark.createDataFrame(
+        [("a", 1.5, 1, "x"), ("a", 2.25, 2, "y"), ("b", None, 3, "z")],
+        "g string, f double, i long, s string",
+    )
+
+
+def test_string_input_rejected(typed_df):
+    # the reference plans an error for non-numeric input (cubecl rs:71-74)
+    with pytest.raises(Exception, match="unsupported input dtype|sum_arrow"):
+        typed_df.agg(sum_arrow_cpu(F.col("s"))).collect()
+
+
+def test_int_input_coerced(typed_df):
+    [row] = typed_df.agg(sum_arrow_cpu(F.col("i")).alias("s")).collect()
+    assert row.s == pytest.approx(6.0)
+
+
+def test_null_skipped(typed_df):
+    [row] = typed_df.agg(sum_arrow_cpu(F.col("f")).alias("s")).collect()
+    assert row.s == pytest.approx(3.75)
+
+
+def test_empty_global_agg_yields_no_row(typed_df):
+    # Spark never invokes a grouped-agg pandas UDF on an empty relation:
+    # a global agg over zero rows returns zero rows (pin the contract;
+    # the reference would have produced one 0.0 row, cubecl rs:215-220)
+    rows = (
+        typed_df.where(F.lit(False)).agg(sum_arrow_cpu(F.col("f")).alias("s")).collect()
+    )
+    assert rows == []
+
+
+def test_all_null_group_is_null(typed_df):
+    [row] = (
+        typed_df.where(F.col("g") == "b")
+        .agg(sum_arrow_cpu(F.col("f")).alias("s"))
+        .collect()
+    )
+    assert row.s is None
+
+
+def test_result_type_is_float32(typed_df):
+    df = typed_df.agg(sum_arrow_cpu(F.col("f")).alias("s"))
+    assert df.schema["s"].dataType == FloatType()
+
+
+def test_grouped_matches_numpy(spark):
+    pdf = spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") / 3.0).cast("float").alias("v")
+    )
+    rows = pdf.groupBy("g").agg(sum_arrow_cpu(F.col("v")).alias("s")).collect()
+    vals = pdf.toPandas()
+    for row in rows:
+        expected = np.float32(
+            vals[vals.g == row.g]["v"].to_numpy().astype(np.float32).sum(dtype=np.float64)
+        )
+        assert row.s == pytest.approx(float(expected), rel=1e-6)
+
+
+def test_distributed_variant_matches_udaf(spark):
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 0.5).cast("float").alias("v")
+    )
+    a = {r.g: r["sum_v"] for r in sum_f32_distributed(df, "v", "g").collect()}
+    b = {
+        r.g: r.s
+        for r in df.groupBy("g").agg(sum_arrow_cpu(F.col("v")).alias("s")).collect()
+    }
+    for g in a:
+        assert a[g] == pytest.approx(b[g], rel=1e-5)
+
+
+def test_sql_registration_names(spark):
+    register_aggregates(spark)
+    df = spark.range(0, 100).select((F.col("id") * 1.0).cast("float").alias("v"))
+    df.createOrReplaceTempView("udaf_probe")
+    for name in ("sum_arrow", "sum_arrow_cpu", "sum_cudarc", "sum_cubecl"):
+        [row] = spark.sql(f"SELECT {name}(v) AS s FROM udaf_probe").collect()
+        assert row.s == pytest.approx(4950.0)
