@@ -40,9 +40,14 @@ def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
     df.write.mode("overwrite").option("header", header).csv(path)
 
 
-def write_json(df: DataFrame, path: str) -> None:
-    """NDJSON sink (one JSON object per line, Spark's native json format)."""
-    df.write.mode("overwrite").json(path)
+def write_json(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """NDJSON sink (one JSON object per line, Spark's native json format);
+    pass compression='gzip'/'bzip2'/'zstd' for compressed part files —
+    the reader decompresses them transparently."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
 
 
 def read_json(spark: SparkSession, path: str, schema: StructType | str | None = None) -> DataFrame:

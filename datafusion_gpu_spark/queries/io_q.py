@@ -93,14 +93,37 @@ SELECT c_mktsegment, COUNT(*) AS n, SUM(c_custkey)::BIGINT AS sum_key,
 FROM customer GROUP BY c_mktsegment
 """
 
+def _roundtrip_json_gzip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-scan demo (SURVEY §2.1 row 7): gzip NDJSON part files,
+    decompressed transparently on read."""
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "region_json_gz")
+    io.write_json(spark.table("region"), out, compression="gzip")
+    back = io.read_json(spark, out)
+    back.createOrReplaceTempView("region_rt")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n, SUM(r_regionkey) AS sum_key, MIN(r_name) AS min_name
+        FROM region_rt
+        """
+    )
+
+
+_JSON_GZIP_DUCK = """
+SELECT COUNT(*) AS n, SUM(r_regionkey)::BIGINT AS sum_key, MIN(r_name) AS min_name
+FROM region
+"""
+
 QUERIES = {
     "io_roundtrip_json": _roundtrip_json,
+    "io_roundtrip_json_gzip": _roundtrip_json_gzip,
     "io_roundtrip_csv": _roundtrip_csv,
     "io_roundtrip_arrow": _roundtrip_arrow,
 }
 
 ORACLES = {
     "io_roundtrip_json": _JSON_DUCK,
+    "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,
     "io_roundtrip_csv": _CSV_DUCK,
     "io_roundtrip_arrow": _ARROW_DUCK,
 }

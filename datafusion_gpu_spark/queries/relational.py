@@ -185,6 +185,60 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20 OFFSET 10
 """
 
+# RIGHT OUTER join exercised on its own (not as the left-outer mirror):
+# unmatched right rows must survive with NULL left columns.
+_RIGHT_OUTER_SPARK = """
+SELECT c.c_custkey AS custkey, COUNT(o.o_orderkey) AS n_orders
+FROM (SELECT * FROM orders WHERE o_totalprice > 200000) o
+RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey
+"""
+
+# Sort-merge strategy pinned via hint (SURVEY §2.3 row): Spark honors
+# /*+ MERGE */ and plans SortMergeJoin even under the broadcast threshold;
+# DuckDB reads the hint as a plain comment, so the same text is the oracle.
+_SMJ_HINT = """
+SELECT /*+ MERGE(o) */ c.c_mktsegment AS segment,
+       COUNT(o.o_orderkey) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def _ddl_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL surface (SURVEY §2.1 row 10): CREATE OR REPLACE TEMPORARY VIEW
+    through SQL, then query it — the reference reaches DDL through the
+    same ctx.sql() passthrough (src/main.rs:54)."""
+    load(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW big_spenders AS
+        SELECT o_custkey, SUM(o_totalprice) AS spent
+        FROM orders GROUP BY o_custkey HAVING SUM(o_totalprice) > 400000
+        """
+    )
+    return spark.sql(
+        """
+        SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+               ROUND(SUM(b.spent), 2) AS total_spent
+        FROM big_spenders b JOIN customer c ON b.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """
+    )
+
+
+_DDL_VIEW_DUCK = """
+WITH big_spenders AS (
+  SELECT o_custkey, SUM(o_totalprice) AS spent
+  FROM orders GROUP BY o_custkey HAVING SUM(o_totalprice) > 400000
+)
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n,
+       ROUND(SUM(b.spent), 2) AS total_spent
+FROM big_spenders b JOIN customer c ON b.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
 # Recursive CTE — SURVEY §2.2 assumed this was a Spark gap; Spark >= 4.0
 # supports WITH RECURSIVE natively, so it is a checked query, not a gap.
 # Identical text runs on DuckDB.
@@ -224,6 +278,9 @@ QUERIES = {
     "subquery_scalar": sql_query(_SUBQ_SCALAR),
     "subquery_correlated": sql_query(_SUBQ_CORRELATED),
     "subquery_in": sql_query(_SUBQ_IN),
+    "join_right_outer": sql_query(_RIGHT_OUTER_SPARK),
+    "join_sort_merge_hint": sql_query(_SMJ_HINT),
+    "ddl_create_view": _ddl_create_view,
     "cte_values_join": sql_query(_CTE_VALUES_SPARK),
     "cte_recursive": sql_query(_CTE_RECURSIVE),
     "explain_plan": sql_query(_EXPLAIN),
@@ -246,6 +303,9 @@ ORACLES = {
     "subquery_scalar": _SUBQ_SCALAR,
     "subquery_correlated": _SUBQ_CORRELATED,
     "subquery_in": _SUBQ_IN,
+    "join_right_outer": _RIGHT_OUTER_SPARK,
+    "join_sort_merge_hint": _SMJ_HINT,
+    "ddl_create_view": _DDL_VIEW_DUCK,
     "cte_values_join": _CTE_VALUES_DUCK,
     "cte_recursive": _CTE_RECURSIVE,
     # explain_plan: deliberately no oracle (plan text is engine-specific)

@@ -258,8 +258,32 @@ SELECT p_partkey AS pk,
 FROM part
 """
 
+def _fn_alias_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The name-gap shim surface (functions/aliases.py): strpos and
+    arrow_typeof, exercised through the DataFrame API."""
+    from datafusion_gpu_spark.functions import arrow_typeof, strpos
+
+    load(spark, sf_dir)
+    return spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"),
+        strpos("c_name", "1").alias("pos_one"),
+        arrow_typeof(F.col("c_acctbal")).alias("bal_type"),
+    )
+
+
+# strpos is native DuckDB with identical 1-based/0-absent semantics;
+# arrow_typeof's engine-level type NAME differs by engine, so the oracle
+# states the expected Spark name as a literal (self-validating column).
+_ALIAS_SHIMS_DUCK = """
+SELECT c_custkey AS custkey,
+       strpos(c_name, '1') AS pos_one,
+       'double' AS bal_type
+FROM customer
+"""
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
+    "fn_alias_shims": _fn_alias_shims,
     "fn_math_pack": sql_query(_MATH),
     "fn_datetime_pack": sql_query(_DT_SPARK),
     "fn_date_bin": _date_bin_q,
@@ -274,6 +298,7 @@ QUERIES = {
 
 ORACLES = {
     "fn_string_pack": _STRING_DUCK,
+    "fn_alias_shims": _ALIAS_SHIMS_DUCK,
     "fn_math_pack": _MATH,
     "fn_datetime_pack": _DT_DUCK,
     "fn_date_bin": _DATE_BIN_DUCK,

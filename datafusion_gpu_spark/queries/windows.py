@@ -88,6 +88,26 @@ _RANKING_DUCK = (
                      "CAST(drk AS INT) AS drk, CAST(nt AS INT) AS nt")
 )
 
+# GROUPS frame (SURVEY §2.5 gap): Spark has no GROUPS BETWEEN, but
+# dense_rank numbers the peer groups and an integer RANGE frame over that
+# rank is exactly "N peer groups preceding .. current" — so the gap is
+# EMULATED (the rewrite dialect.py's error message prescribes). The
+# bundled DuckDB lacks GROUPS mode too ("not implemented yet"), so the
+# oracle replays the same rewrite, checking the emulation cross-engine.
+_GROUPS_EMULATED_SPARK = """
+WITH g AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) AS grp
+  FROM orders
+)
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY grp
+             RANGE BETWEEN 1 PRECEDING AND CURRENT ROW), 2) AS grp_sum
+FROM g
+"""
+
+_GROUPS_NATIVE_DUCK = _GROUPS_EMULATED_SPARK
+
 QUERIES = {
     "window_ranking": sql_query(_RANKING),
     "window_lag_lead": sql_query(_ANALYTIC),
@@ -95,6 +115,7 @@ QUERIES = {
     "window_range_frame": sql_query(_FRAME_RANGE),
     "window_first_last_nth": sql_query(_FIRST_LAST),
     "window_percent_rank": sql_query(_CUME),
+    "window_groups_frame_emulated": sql_query(_GROUPS_EMULATED_SPARK),
 }
 
 ORACLES = {
@@ -104,4 +125,5 @@ ORACLES = {
     "window_range_frame": _FRAME_RANGE,
     "window_first_last_nth": _FIRST_LAST,
     "window_percent_rank": _CUME,
+    "window_groups_frame_emulated": _GROUPS_NATIVE_DUCK,
 }

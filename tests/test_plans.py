@@ -1,0 +1,65 @@
+"""Physical-plan audits: the optimizations the engine claims must be
+visible in EXPLAIN output (pushdown, broadcast, top-k fusion, pinned
+join strategies, two-stage top-k)."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from tests.conftest import SF_DIR
+
+QUERIES = entry.queries()
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q5_broadcasts_and_pushes_down(spark):
+    plan = plan_of(spark, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all dims broadcast at this sf
+    assert "PushedFilters" in plan or "PushedFilters" in QUERIES[
+        "tpch_q5_local_supplier"
+    ](spark, SF_DIR)._jdf.queryExecution().toString()
+
+
+def test_q3_topk_is_bounded_heap(spark):
+    plan = plan_of(spark, "tpch_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan  # ORDER BY+LIMIT fused, no global sort
+
+
+def test_smj_hint_pins_sort_merge(spark):
+    plan = plan_of(spark, "join_sort_merge_hint")
+    assert "SortMergeJoin" in plan
+
+
+def test_fixed_dims_broadcast_from_view_registration(spark):
+    # the region/nation views carry an explicit broadcast hint — any join
+    # against them must plan a broadcast, not a shuffle
+    from datafusion_gpu_spark.context import register_tables
+
+    register_tables(spark, SF_DIR)
+    df = spark.sql(
+        "SELECT n.n_name, COUNT(*) AS n FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_two_stage_topk_has_local_prune(spark):
+    # the partition-local mapInPandas prune must sit below the final window
+    plan = plan_of(spark, "sim_topk_bruteforce")
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+
+
+@pytest.mark.parametrize("name", ["tpch_q6_forecast_revenue"])
+def test_scan_prunes_columns(spark, name):
+    text = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().toString()
+    # Q6 touches 4 lineitem columns; the parquet ReadSchema must not
+    # contain unrelated ones
+    assert "l_orderkey" not in text.split("ReadSchema")[1][:400]
