@@ -46,6 +46,20 @@ TESTDATA_TABLES = (
 BROADCAST_TABLES = {"region", "nation"}
 
 
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition UP when the input has fewer partitions than cores.
+
+    A small table read from one parquet file arrives as one partition and
+    would serialize every downstream operator onto a single task; at real
+    scale inputs already carry hundreds of splits and this is a no-op
+    (the partition count check costs only plan analysis, no job).
+    """
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def get_spark(
     app_name: str = "datafusion-gpu-spark",
     master: str | None = None,

@@ -32,10 +32,14 @@ def normalize_text(col: Column | str) -> Column:
     return F.regexp_replace(F.trim(F.lower(c)), r"\s+", " ")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Array of n-word shingles (JVM-side transform over split words)."""
-    c = F.col(col) if isinstance(col, str) else col
-    words = F.split(normalize_text(c), " ")
+def shingles_of_words(words: Column, n: int = 3) -> Column:
+    """Array of n-word shingles from an already-materialized words column.
+
+    ``words`` MUST be a bound column (not an inline split expression):
+    it is referenced inside the transform lambda, and a captured
+    expression would be re-evaluated per shingle element — measured 25x
+    slowdown from the normalize+split regex running ~3n times per row.
+    """
 
     def make(i: Column) -> Column:
         return F.concat_ws(" ", *[F.element_at(words, i + k) for k in range(n)])
@@ -45,6 +49,14 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     return F.when(
         length >= 1, F.transform(F.sequence(F.lit(1), length), make)
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Column-level shingle array (convenience; operators use the
+    codegen-friendly exploded_shingles below — higher-order lambdas are
+    interpreted per element, measured 16x slower at corpus scale)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_of_words(F.split(normalize_text(c), " "), n)
 
 
 def word_hash60(col: Column | str) -> Column:
@@ -60,13 +72,51 @@ def word_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
-def exploded_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """(doc_id, shingle) with per-document distinct shingles (set
-    semantics for Jaccard)."""
-    return docs.select(
+def exploded_shingles(
+    docs: DataFrame, n: int = 3, carry_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id, shingle[, carry_cols]) with per-document DISTINCT shingles
+    (set semantics for Jaccard).
+
+    Spelling chosen for scale: posexplode the words, then window ``lead``
+    builds each n-gram — every operator whole-stage-codegen'd. The array
+    + ``transform`` lambda alternative is interpreted per element
+    (measured 16x slower on real documents). Costs one shuffle keyed by
+    doc_id (the window) + the distinct's hash aggregate; at 100 TB both
+    partition cleanly by document.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(word_shingles(F.col("text"), n))).alias("shingle"),
+        *carry_cols,
+        F.posexplode(F.split(normalize_text(F.col("text")), " ")).alias(
+            "pos", "word"
+        ),
     )
+    if n == 1:
+        return words.select("doc_id", *carry_cols, F.col("word").alias("shingle")).distinct()
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = [F.lead("word", k).over(w).alias(f"w{k}") for k in range(1, n)]
+    return (
+        words.select("doc_id", *carry_cols, "word", *leads)
+        .where(F.col(f"w{n - 1}").isNotNull())
+        .select(
+            "doc_id",
+            *carry_cols,
+            F.concat_ws(" ", "word", *[f"w{k}" for k in range(1, n)]).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def shingle_set_sizes(sh: DataFrame) -> DataFrame:
+    """(doc_id, n_sh) from an exploded distinct-shingle relation."""
+    return sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
 
 # -- exact dedup -------------------------------------------------------------
@@ -112,9 +162,7 @@ def ngram_jaccard_pairs(
     the result stays a well-defined similarity and the DuckDB oracle can
     replay it exactly. None (default) keeps exact full-space Jaccard.
     """
-    cols = ["doc_id"] + ([block_col] if block_col else [])
-    base = docs.select(*cols, F.array_distinct(word_shingles("text", n)).alias("sh"))
-    sh = base.select(*cols, F.explode("sh").alias("shingle"))
+    sh = exploded_shingles(docs, n, carry_cols=(block_col,) if block_col else ())
     if max_doc_freq is not None:
         # sh is distinct per (doc, shingle), so count(*) == doc frequency
         keep = (
@@ -124,9 +172,7 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(keep, "shingle")
-        sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    else:
-        sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    sizes = shingle_set_sizes(sh)
 
     a, b = sh.alias("a"), sh.alias("b")
     cond = (F.col("a.shingle") == F.col("b.shingle")) & (
@@ -186,6 +232,9 @@ def minhash_lsh_pairs(
     band-bucket equality join; verification re-joins only candidate pairs
     against the shingle sets.
     """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     bands = num_hashes // rows_per_band
     sig = minhash_signatures(docs, num_hashes, n)
     band_cols = [
@@ -208,19 +257,16 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification restricted to the candidate set
-    base = docs.select("doc_id", F.array_distinct(word_shingles("text", n)).alias("sh"))
-    sh = base.select("doc_id", F.explode("sh").alias("shingle"))
-    sizes = base.select("doc_id", F.size("sh").alias("n_sh"))
+    # exact verification restricted to the candidate set. The second join
+    # keys on (doc_b, shingle) — BOTH columns — so only genuinely shared
+    # shingles materialize; joining on doc_b alone and post-filtering
+    # would build the |sh_a| x |sh_b| cross product per candidate pair
+    # (~10^5 rows/pair on real documents) before throwing it away.
+    sh = exploded_shingles(docs, n)
+    sizes = shingle_set_sizes(sh)
     common = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
-        .join(
-            sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
-                "shingle", "shingle_b"
-            ),
-            "doc_b",
-        )
-        .where(F.col("shingle") == F.col("shingle_b"))
+        .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -245,7 +291,9 @@ def simhash_signatures(docs: DataFrame, bits: int = 60) -> DataFrame:
     its 60-bit portable hash (word_hash60 — replayable in the DuckDB
     oracle); the signature bit is the sign of the weighted sum — all
     expressed as `bits` conditional SUM aggregates (one shuffle)."""
-    words = docs.select(
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    words = ensure_parallelism(docs).select(
         "doc_id",
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("word"),
     )

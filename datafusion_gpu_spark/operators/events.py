@@ -95,9 +95,12 @@ def asof_join_prior(
         F.col(right_id).alias("right_id"),
         F.lit(0).alias("side"),
     )
+    # right_id as the last sort key: with duplicate right rows at one
+    # (key, ts) the max right_id wins deterministically (left rows carry
+    # NULL right_id, which sorts first and cannot win last_value anyway)
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "side")
+        .orderBy("t", "side", "right_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l_tag.unionByName(r_tag).withColumn(
