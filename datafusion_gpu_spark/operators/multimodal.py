@@ -80,6 +80,10 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
     partition-aligned with the payloads for any downstream join.
     """
 
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             decoded = [_fake_decode(p) for p in pdf["payload"]]

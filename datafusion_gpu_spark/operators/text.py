@@ -43,6 +43,9 @@ def lang_id(col: Column | str) -> Column:
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     """Per-document quality features + a composite score in [0, ~1].
 
     Features: char/word counts, mean word length, punctuation ratio,
@@ -78,6 +81,9 @@ TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 ]"
 
 def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace tokens + regex (BPE-ish) tokens per document."""
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     c = normalize_text(F.col(text_col))
     return docs.select(
         "doc_id",
@@ -89,6 +95,9 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Content fingerprints: md5 of normalized text (exact identity) and
     the min word-hash (a 1-permutation MinHash — cheap near-identity)."""
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     c = F.col(text_col)
     words = F.split(normalize_text(c), " ")
     return docs.select(

@@ -63,11 +63,13 @@ def _modules():
         relational,
         scalar_fns,
         tpch,
+        tpch_extra,
         windows,
     )
 
     return (
         tpch,
+        tpch_extra,
         relational,
         aggregates_q,
         windows,
