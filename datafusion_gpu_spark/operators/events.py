@@ -37,6 +37,44 @@ def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
     )
 
 
+def hopping_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Overlapping (hopping) windows: every event lands in width/slide
+    windows — F.window with a slideDuration expands rows JVM-side, and
+    the aggregate stays two-phase."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows (F.session_window): per-(user, session)
+    span and event count, sessions closing after ``gap`` idle. Same
+    semantics as the manual sessionize() below, but windowed state is
+    managed by Spark — and this form re-targets Structured Streaming
+    unchanged."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the gap to
     the previous event exceeds the threshold; session id = running count

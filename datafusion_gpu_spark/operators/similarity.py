@@ -114,6 +114,73 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: the corpus is partitioned into Voronoi
+    cells around centroid vectors; a query searches only its ``n_probe``
+    nearest cells, cutting scored candidates to ~n_probe/n_clusters of
+    the corpus.
+
+    Centroids here are a deterministic corpus sample (lowest vec_ids) so
+    the correctness oracle can replay cell assignment exactly; at scale
+    you would k-means them — the operator contract (assign, probe,
+    rerank) is unchanged by how centroids are chosen. Cell assignment is
+    one broadcast join + max_by aggregation (map-side combinable, no
+    window over the expanded relation); the rerank reuses the two-stage
+    exact top-k.
+    """
+    cent = F.broadcast(
+        corpus.where(F.col("vec_id") < n_clusters).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+        )
+    )
+    scored_cells = (
+        corpus.select("vec_id", "embedding")
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "cid",
+            cosine_similarity(F.col("embedding"), F.col("cemb")).alias("ccos"),
+        )
+    )
+    # max (cosine, then LOWEST cid on ties): struct max is lexicographic,
+    # so negate cid — mirrors the oracle's ORDER BY ccos DESC, cid
+    assign = scored_cells.groupBy("vec_id").agg(
+        F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
+    )
+    qcells = (
+        queries.select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "cid",
+            cosine_similarity(F.col("embedding"), F.col("cemb")).alias("ccos"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
+    probes = (
+        qcells.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= n_probe)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    # each corpus vector lives in exactly one cell -> no duplicate pairs
+    cand = probes.join(assign, "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    ).select("query_id", "vec_id")
+    ce = corpus.select("vec_id", F.col("embedding").alias("ce"))
+    qe = F.broadcast(
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    )
+    scored = cand.join(ce, "vec_id").join(qe, "query_id")
+    cs = cosine_similarity(F.col("qe"), F.col("ce"))
+    return _two_stage_topk(scored.select("query_id", "vec_id", cs.alias("cosine")), k)
+
+
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     """Deterministic +-1 hyperplanes (seeded NumPy, tiny, broadcast as
     literals into the plan)."""

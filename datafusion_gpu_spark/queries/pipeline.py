@@ -236,6 +236,14 @@ def _sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.ivf_topk(
+        embs, embs.where("vec_id < 8"), k=5, n_clusters=16, n_probe=4
+    )
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(_docs(spark, sf_dir))
 
@@ -262,6 +270,16 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return events.tumbling_window_agg(spark.table("events"), "1 hour")
+
+
+def _events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.hopping_window_agg(spark.table("events"), "1 hour", "30 minutes")
+
+
+def _events_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.session_window_agg(spark.table("events"), "30 minutes")
 
 
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,12 +309,15 @@ QUERIES = {
     "dedup_embedding_cosine": _dedup_embedding,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "sim_topk_lsh": _sim_topk_lsh,
+    "sim_topk_ivf": _sim_topk_ivf,
     "text_quality": _text_quality,
     "text_lang_id": _text_lang_id,
     "text_tokens": _text_tokens,
     "text_fingerprints": _text_fingerprints,
     "multimodal_features": _multimodal_features,
     "events_tumbling": _events_tumbling,
+    "events_hopping": _events_hopping,
+    "events_session_native": _events_session_native,
     "events_sessionize": _events_sessionize,
     "events_asof": _events_asof,
 }
@@ -337,6 +358,52 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
 """,
     "sim_topk_lsh": _lsh_ann_oracle(),
+    # IVF replay: same deterministic centroids (vec_id < 16), same
+    # assignment tiebreak (cosine DESC, cid), same n_probe=4, same rerank
+    "sim_topk_ivf": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16
+),
+ac AS (
+  SELECT e.vec_id, c.cid, {_cos_sql("e.embedding", "c.cemb")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cell FROM (
+    SELECT vec_id AS query_id, cid AS cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM ac WHERE vec_id < 8
+  ) WHERE rn <= 4
+),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assign a USING (cell)
+  WHERE a.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.vec_id, {_COS_QC} AS cos
+  FROM cand
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+  JOIN embeddings q ON q.vec_id = cand.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+WHERE "rank" <= 5
+""",
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
@@ -402,6 +469,38 @@ FROM documents
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    # hopping windows: an event at t belongs to both the slide bucket it
+    # falls in and the one slide earlier (width/slide = 2)
+    "events_hopping": """
+SELECT window_start, event_type, COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM (
+  SELECT time_bucket(INTERVAL '30 minutes', ts)
+           - off * INTERVAL '30 minutes' AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) offs
+)
+GROUP BY 1, 2
+""",
+    # native session_window semantics: an event at exactly prev + gap
+    # starts a NEW session (window end is exclusive), hence >= not >
+    "events_session_native": """
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+    FROM events
+  )
+)
+GROUP BY user_id, sid
 """,
     "events_sessionize": """
 SELECT user_id, SUM(is_new)::BIGINT AS n_sessions, COUNT(*) AS n_events
