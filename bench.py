@@ -57,8 +57,11 @@ SF_BENCHES = [
     ("window_rows_frame", 3),
     ("dedup_exact", 3),
     ("dedup_minhash_lsh", 3),
+    ("dedup_ngram_jaccard", 3),
+    ("dedup_simhash", 3),
     ("text_quality", 3),
     ("sim_topk_bruteforce", 3),
+    ("sim_topk_ivf", 3),
     ("events_sessionize", 3),
 ]
 

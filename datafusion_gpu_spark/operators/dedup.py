@@ -360,14 +360,61 @@ def simhash_pairs(
 # -- embedding near-dup --------------------------------------------------------
 
 
+def embedding_near_dup_lsh(
+    embs: DataFrame,
+    threshold: float = 0.2,
+    planes: int = 6,
+    num_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicates blocked on LSH buckets — the
+    100 TB spelling embedding_near_dup_pairs' docstring points to: no
+    label needed, pair space bounded by bucket size, recall tunable via
+    (planes, num_tables). Emitted pairs are exact-cosine verified, so
+    precision is 1.0 by construction.
+    """
+    from datafusion_gpu_spark.operators.similarity import (
+        _hyperplanes,
+        cosine_similarity,
+        lsh_bucket,
+    )
+
+    tables = [_hyperplanes(dim, planes, seed + t) for t in range(num_tables)]
+    per_table = F.array(*[lsh_bucket(F.col("embedding"), hp) for hp in tables])
+    buckets = embs.select(
+        "vec_id", F.posexplode(per_table).alias("tbl", "bucket")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.tbl") == F.col("y.tbl"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(F.col("x.vec_id").alias("vec_a"), F.col("y.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = embs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cs = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cs, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embs: DataFrame, threshold: float = 0.4, block_col: str = "label"
 ) -> DataFrame:
     """Embedding-cosine near-duplicates within a blocking key.
 
     The block join bounds the pair space (the 100 TB version blocks on an
-    LSH bucket instead of a label — see operators.similarity); the cosine
-    itself is a JVM fold (zip_with + aggregate) in float64.
+    LSH bucket instead of a label — embedding_near_dup_lsh above); the
+    cosine itself is a JVM fold (zip_with + aggregate) in float64.
     """
     from datafusion_gpu_spark.operators.similarity import cosine_similarity
 

@@ -132,12 +132,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
 """
 
 
-def _lsh_ann_oracle(
-    k: int = 5, planes: int = 6, num_tables: int = 2, dim: int = 64, seed: int = 42
+def _lsh_buckets_cte(
+    planes: int = 6, num_tables: int = 2, dim: int = 64, seed: int = 42
 ) -> str:
-    """Replays similarity.lsh_ann_topk exactly: same seeded hyperplanes
-    (inlined as +-embedding[i] terms), same bucket bits, same multi-table
-    candidate union, same (cosine DESC, vec_id) rerank."""
+    """(vec_id, tbl, bucket) relation replaying similarity.lsh_bucket
+    with the same seeded hyperplanes, inlined as +-embedding[i] terms."""
 
     def bucket_expr(hp: list[list[float]]) -> str:
         cases = []
@@ -155,14 +154,21 @@ def _lsh_ann_oracle(
     tables = [
         similarity._hyperplanes(dim, planes, seed + t) for t in range(num_tables)
     ]
-    cb = "\nUNION ALL\n".join(
+    return "\nUNION ALL\n".join(
         f"SELECT vec_id, {t} AS tbl, {bucket_expr(hp)} AS bucket FROM embeddings"
         for t, hp in enumerate(tables)
     )
+
+
+def _lsh_ann_oracle(
+    k: int = 5, planes: int = 6, num_tables: int = 2, dim: int = 64, seed: int = 42
+) -> str:
+    """Replays similarity.lsh_ann_topk exactly: same bucket relation,
+    same multi-table candidate union, same (cosine DESC, vec_id) rerank."""
     cos = _cos_sql("q.embedding", "c.embedding")
     return f"""
 WITH cb AS (
-{cb}
+{_lsh_buckets_cte(planes, num_tables, dim, seed)}
 ),
 qb AS (SELECT vec_id AS query_id, tbl, bucket FROM cb WHERE vec_id < 8),
 cand AS (
@@ -220,6 +226,11 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return dedup.embedding_near_dup_pairs(spark.table("embeddings"), threshold=0.2)
+
+
+def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return dedup.embedding_near_dup_lsh(spark.table("embeddings"), threshold=0.2)
 
 
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +318,7 @@ QUERIES = {
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
+    "dedup_embedding_lsh": _dedup_embedding_lsh,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
@@ -340,6 +352,22 @@ SELECT * FROM (
          ROUND({_COS_AB}, 6) AS cosine
   FROM embeddings a
   JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.2
+""",
+    "dedup_embedding_lsh": f"""
+WITH cb AS (
+{_lsh_buckets_cte()}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+  FROM cb x JOIN cb y ON x.tbl = y.tbl AND x.bucket = y.bucket
+                     AND x.vec_id < y.vec_id
+)
+SELECT * FROM (
+  SELECT vec_a, vec_b, ROUND({_COS_AB}, 6) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = vec_a
+  JOIN embeddings b ON b.vec_id = vec_b
 ) WHERE cosine >= 0.2
 """,
     "sim_topk_bruteforce": f"""

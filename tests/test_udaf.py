@@ -90,6 +90,17 @@ def test_distributed_variant_matches_udaf(spark):
         assert a[g] == pytest.approx(b[g], rel=1e-5)
 
 
+def test_gpu_probe_graceful_without_cuda(spark):
+    # SURVEY §2.10: the backend probe must degrade to CPU without error
+    # when CuPy/CUDA are absent (this container has neither)
+    from datafusion_gpu_spark.aggregates import gpu_available, sum_arrow
+
+    assert gpu_available() is False
+    df = spark.range(0, 100).select((F.col("id") * 1.0).cast("float").alias("v"))
+    [row] = df.agg(sum_arrow(F.col("v")).alias("s")).collect()
+    assert row.s == pytest.approx(4950.0)
+
+
 def test_sql_registration_names(spark):
     register_aggregates(spark)
     df = spark.range(0, 100).select((F.col("id") * 1.0).cast("float").alias("v"))
