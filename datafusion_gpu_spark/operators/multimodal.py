@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -57,6 +58,54 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     derived from it. Mirrorable in SQL for the correctness oracle."""
     n = len(payload)
     return n, n % 640 + 1, (n * 7) % 480 + 1, 3
+
+
+#: Output schema of the chunk/frame-sampling pass.
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("offset", IntegerType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+
+def sample_chunks(
+    binary_df: DataFrame, chunk_bytes: int = 64, stride: int = 2
+) -> DataFrame:
+    """Frame-sampling model for video-like payloads: split each payload
+    into fixed-size byte chunks and keep every ``stride``-th one (chunk
+    0, stride, 2*stride, …), emitting per-chunk metadata + content hash.
+
+    Runs as the same Arrow-batched mapInPandas plumbing as the decode
+    pass — real byte slicing in Python, one worker per partition, no
+    shuffle, and the downstream join key (doc_id, chunk_idx) stays
+    partition-aligned with the payloads.
+    """
+    import hashlib
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("doc_id", "chunk_idx", "offset", "n_bytes", "chunk_md5")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_chunks = (len(data) + chunk_bytes - 1) // chunk_bytes
+                for idx in range(0, n_chunks, stride):
+                    chunk = data[idx * chunk_bytes : (idx + 1) * chunk_bytes]
+                    rows["doc_id"].append(doc_id)
+                    rows["chunk_idx"].append(idx)
+                    rows["offset"].append(idx * chunk_bytes)
+                    rows["n_bytes"].append(len(chunk))
+                    rows["chunk_md5"].append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, CHUNK_SCHEMA)
 
 
 def attach_binary(docs: DataFrame, text_col: str = "text") -> DataFrame:

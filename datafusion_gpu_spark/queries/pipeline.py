@@ -25,7 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_gpu_spark.operators import dedup, events, multimodal, similarity, text
+from datafusion_gpu_spark.operators import (
+    dedup,
+    events,
+    multimodal,
+    similarity,
+    skew,
+    text,
+)
 from datafusion_gpu_spark.queries import load
 
 # ---------------------------------------------------------------------------
@@ -278,6 +285,22 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal.sample_chunks(
+        multimodal.attach_binary(_docs(spark, sf_dir)), chunk_bytes=64, stride=2
+    )
+
+
+def _events_salted_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    df = skew.salted_sum(
+        spark.table("events"), ["event_type"], "value", "event_id", buckets=32
+    )
+    return df.select(
+        "event_type", F.round("sum_value", 2).alias("sum_value"), "n_rows"
+    )
+
+
 def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return events.tumbling_window_agg(spark.table("events"), "1 hour")
@@ -327,6 +350,8 @@ QUERIES = {
     "text_tokens": _text_tokens,
     "text_fingerprints": _text_fingerprints,
     "multimodal_features": _multimodal_features,
+    "multimodal_chunks": _multimodal_chunks,
+    "events_salted_sum": _events_salted_sum,
     "events_tumbling": _events_tumbling,
     "events_hopping": _events_hopping,
     "events_session_native": _events_session_native,
@@ -492,6 +517,27 @@ SELECT doc_id,
        ((octet_length(encode(text)) * 7) % 480 + 1)::INT AS height,
        3 AS channels
 FROM documents
+""",
+    # chunk/frame sampling: text is pure ASCII in this corpus, so byte
+    # slicing in Python == substr on the string in SQL, md5 included
+    "multimodal_chunks": """
+SELECT doc_id,
+       CAST(i - 1 AS INT) AS chunk_idx,
+       CAST((i - 1) * 64 AS INT) AS offset,
+       CAST(length(substr(text, (i - 1) * 64 + 1, 64)) AS INT) AS n_bytes,
+       md5(substr(text, (i - 1) * 64 + 1, 64)) AS chunk_md5
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1,
+             CAST(ceil(length(text) / 64.0) AS INT))) AS i
+  FROM documents
+)
+WHERE (i - 1) % 2 = 0
+""",
+    # salting reassociates addition only — the oracle is the plain agg
+    "events_salted_sum": """
+SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_rows
+FROM events GROUP BY event_type
 """,
     "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -57,6 +57,27 @@ def test_two_stage_topk_has_local_prune(spark):
     assert "Window" in plan
 
 
+def test_partitioned_write_prunes_partitions(spark):
+    # hive-partitioned sink + filtered re-read must plan PartitionFilters,
+    # i.e. prune directories instead of scanning them
+    import os
+
+    from datafusion_gpu_spark import io
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.queries.io_q import SCRATCH
+    from pyspark.sql import functions as F
+
+    tables = register_tables(spark, SF_DIR)
+    out = os.path.join(SCRATCH, "orders_by_status")
+    io.write_parquet(tables["orders"], out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).where(F.col("o_orderstatus") == "F")
+    text = back._jdf.queryExecution().toString()
+    assert "PartitionFilters" in text and "o_orderstatus" in text.split("PartitionFilters")[1][:120]
+    n_filtered = back.count()
+    n_all = tables["orders"].where("o_orderstatus = 'F'").count()
+    assert n_filtered == n_all
+
+
 @pytest.mark.parametrize("name", ["tpch_q6_forecast_revenue"])
 def test_scan_prunes_columns(spark, name):
     text = QUERIES[name](spark, SF_DIR)._jdf.queryExecution().toString()
