@@ -78,6 +78,38 @@ def stream_tumbling_counts(
     )
 
 
+def stream_user_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    a per-user running event counter held in explicit group state — the
+    Structured-Streaming analogue of the reference's accumulator
+    lifecycle (update_batch/state/evaluate, cudarc rs:115-161), with
+    Spark managing state placement/recovery instead of one process.
+
+    Each micro-batch updates the per-user state with the batch's rows
+    and emits the new running total; the state store partitions by
+    user_id, so 10^9 users spread across executors.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir)
+
+    def update(key, pdfs, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> DataFrame:
     """Drain a (bounded) stream into an in-memory table and return it.
 

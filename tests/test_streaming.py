@@ -5,9 +5,28 @@ processAllAvailable)."""
 from __future__ import annotations
 
 from datafusion_gpu_spark.context import register_tables
+from datafusion_gpu_spark.streaming import (
+    run_stream_to_memory,
+    stream_tumbling_counts,
+    stream_user_event_counts,
+)
 from datafusion_gpu_spark.operators.events import tumbling_window_agg
-from datafusion_gpu_spark.streaming import run_stream_to_memory, stream_tumbling_counts
 from tests.conftest import SF_DIR
+
+
+def test_stateful_user_counts_equal_batch(spark):
+    tables = register_tables(spark, SF_DIR)
+    batch = {
+        r.user_id: r.n
+        for r in tables["events"].groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    out = run_stream_to_memory(
+        stream_user_event_counts(spark, SF_DIR), "test_user_counts", mode="update"
+    ).toPandas()
+    # update mode re-emits per micro-batch; the LAST emission per user is
+    # the running total — with availableNow replay it must equal batch
+    final = out.groupby("user_id")["n_events"].max().to_dict()
+    assert final == batch
 
 
 def test_stream_tumbling_equals_batch(spark):
