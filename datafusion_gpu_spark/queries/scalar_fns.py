@@ -281,9 +281,51 @@ SELECT c_custkey AS custkey,
 FROM customer
 """
 
+# Null-semantics pack: IS [NOT] DISTINCT FROM, TRY_CAST, NULLIF, IFNULL
+# — identical text runs on DuckDB.
+_NULL_SEMANTICS = """
+SELECT c_custkey AS ck,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       (NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL)
+         AS is_building,
+       (c_mktsegment IS DISTINCT FROM 'MACHINERY') AS not_machinery,
+       TRY_CAST(c_name AS INT) AS bad_cast,
+       IFNULL(NULLIF(c_mktsegment, 'BUILDING'), 'was-building') AS filled
+FROM customer
+"""
+
+
+def _fn_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: SQL-registered table function consumed via
+    LATERAL — row-at-a-time Python by design (the codegen twin is
+    fn_unnest_wordcount)."""
+    from datafusion_gpu_spark.functions.udtfs import register_udtfs
+
+    load(spark, sf_dir)
+    register_udtfs(spark)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.word, t.wlen
+        FROM documents d, LATERAL split_words(d.text) t
+        WHERE d.doc_id < 20
+        """
+    )
+
+
+_UDTF_SPLIT_DUCK = """
+SELECT doc_id, word, CAST(length(word) AS INT) AS wlen
+FROM (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+  FROM documents WHERE doc_id < 20
+)
+WHERE word != ''
+"""
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
     "fn_alias_shims": _fn_alias_shims,
+    "fn_null_semantics": sql_query(_NULL_SEMANTICS),
+    "fn_udtf_split": _fn_udtf_split,
     "fn_math_pack": sql_query(_MATH),
     "fn_datetime_pack": sql_query(_DT_SPARK),
     "fn_date_bin": _date_bin_q,
@@ -299,6 +341,8 @@ QUERIES = {
 ORACLES = {
     "fn_string_pack": _STRING_DUCK,
     "fn_alias_shims": _ALIAS_SHIMS_DUCK,
+    "fn_null_semantics": _NULL_SEMANTICS,
+    "fn_udtf_split": _UDTF_SPLIT_DUCK,
     "fn_math_pack": _MATH,
     "fn_datetime_pack": _DT_DUCK,
     "fn_date_bin": _DATE_BIN_DUCK,
