@@ -118,6 +118,26 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# …but the ERROR BOUND is checkable: Spark computes |approx - exact|
+# relative error against its own exact aggregates and the oracle states
+# the expected verdict — HLL++ (rsd default 5%) and approx_percentile
+# must land within 5%.
+_APPROX_BOUNDED = """
+SELECT l_returnflag AS flag,
+       (ABS(APPROX_COUNT_DISTINCT(l_partkey) - COUNT(DISTINCT l_partkey))
+          / COUNT(DISTINCT l_partkey) < 0.05) AS hll_ok,
+       (ABS(APPROX_PERCENTILE(l_extendedprice, 0.5)
+            - PERCENTILE(l_extendedprice, 0.5))
+          / PERCENTILE(l_extendedprice, 0.5) < 0.05) AS pct_ok
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+_APPROX_BOUNDED_DUCK = """
+SELECT l_returnflag AS flag, TRUE AS hll_ok, TRUE AS pct_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_count_distinct": sql_query(_DISTINCT),
@@ -129,6 +149,7 @@ QUERIES = {
     "agg_median": sql_query(_MEDIAN),
     "agg_min_max_by": sql_query(_MINMAX_BY),
     "agg_approximate": sql_query(_APPROX),
+    "agg_approx_error_bounded": sql_query(_APPROX_BOUNDED),
 }
 
 ORACLES = {
@@ -141,5 +162,7 @@ ORACLES = {
     "agg_bool_bit": _BOOL_BIT,
     "agg_median": _MEDIAN,
     "agg_min_max_by": _MINMAX_BY,
-    # agg_approximate: deliberately no oracle (approximate by design)
+    # agg_approximate: deliberately no oracle (approximate by design);
+    # its error BOUND is checked by agg_approx_error_bounded below
+    "agg_approx_error_bounded": _APPROX_BOUNDED_DUCK,
 }
