@@ -64,12 +64,14 @@ def _modules():
         scalar_fns,
         tpch,
         tpch_extra,
+        tpch_full,
         windows,
     )
 
     return (
         tpch,
         tpch_extra,
+        tpch_full,
         relational,
         aggregates_q,
         windows,
