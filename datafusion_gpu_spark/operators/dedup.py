@@ -433,3 +433,83 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "vec_a", "vec_b", F.col("blk").alias("label"), F.round(cs, 6).alias("cosine")
     ).where(F.col("cosine") >= threshold)
+
+
+# -- duplicate-cluster resolution -------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs`` — the
+    last stage of a dedup pipeline: pair lists don't dedup a corpus,
+    clusters do (A~B, B~C must collapse to ONE keeper even when A~C was
+    never emitted).
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round every node takes the min label among itself and its
+    neighbors; fixpoint = components labeled by their min member. Each
+    round is one self-contained join+groupBy (O(|E|) shuffle), and the
+    round count is the graph diameter — near-dup graphs are
+    quasi-cliques from a bucket join, so 2-4 rounds in practice, which
+    is why the simple propagation beats the fancier large-star/
+    small-star alternation until diameters get long. ``localCheckpoint``
+    truncates the growing lineage each round (on a real cluster, set a
+    checkpoint dir and use ``checkpoint`` for fault tolerance instead).
+
+    Keeper convention downstream: keep ``node == component`` (the min
+    doc_id of each cluster), drop the rest.
+    """
+    fwd = pairs.select(
+        F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels.select(
+                F.col("node").alias("dst"), F.col("component").alias("nbr_component")
+            ),
+            "dst",
+        ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+        )
+        labels = new_labels
+        if changed.isEmpty():
+            break
+    return labels
+
+
+def dedup_resolution(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(doc_id, component, is_keeper) over the WHOLE corpus: every doc
+    gets a cluster id (its own id when it has no near-duplicate) and the
+    min-id member of each cluster is flagged as the keeper — `WHERE
+    is_keeper` is the deduplicated corpus."""
+    comp = connected_components(pairs)
+    return (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).alias("component"),
+        )
+        .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
+    )

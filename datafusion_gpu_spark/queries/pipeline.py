@@ -240,6 +240,14 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(spark.table("embeddings"), threshold=0.2)
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # full pipeline: MinHash-LSH pairs -> connected components -> keeper
+    # flag per document (the actual "dedup the corpus" deliverable)
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5)
+    return dedup.dedup_resolution(docs, pairs)
+
+
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -339,6 +347,7 @@ QUERIES = {
     "dedup_exact": _dedup_exact,
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_components": _dedup_components,
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
@@ -370,6 +379,28 @@ FROM documents GROUP BY 1
 """,
     "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
+    # transitive closure over the SAME pair set (recursive CTE), min-id
+    # labeling — must equal the Spark side's hash-min fixpoint exactly
+    "dedup_components": f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({_jaccard_pairs_sql(0.5)})
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.comp FROM edges e JOIN reach r ON e.src = r.node
+),
+comps AS (SELECT node, MIN(comp) AS component FROM reach GROUP BY node)
+SELECT d.doc_id AS doc_id,
+       COALESCE(c.component, d.doc_id) AS component,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_keeper
+FROM documents d LEFT JOIN comps c ON c.node = d.doc_id
+""",
     "dedup_simhash": _simhash_oracle(max_hamming=3),
     "dedup_embedding_cosine": f"""
 SELECT * FROM (

@@ -88,3 +88,25 @@ def test_cap_none_keeps_exact_semantics(planted):
         for r in ngram_jaccard_pairs(planted, 0.3, max_doc_freq=10**6).collect()
     }
     assert a == b  # an unreachable cap must not change results
+
+
+def test_connected_components_collapse_transitive_chain(spark):
+    # A~B and B~C but never A~C: the cluster must still collapse to one
+    # keeper — the property pair-list dedup alone cannot deliver
+    from datafusion_gpu_spark.operators.dedup import (
+        connected_components,
+        dedup_resolution,
+    )
+
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (40, 50)], "doc_a long, doc_b long"
+    )
+    comp = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comp == {10: 10, 20: 10, 30: 10, 40: 40, 50: 40}
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in (10, 20, 30, 40, 50, 99)], "doc_id long, text string"
+    )
+    res = dedup_resolution(docs, pairs).collect()
+    keepers = sorted(r.doc_id for r in res if r.is_keeper)
+    assert keepers == [10, 40, 99]  # 99 has no pairs -> its own keeper
