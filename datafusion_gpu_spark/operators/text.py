@@ -105,3 +105,41 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.md5(normalize_text(c)).alias("content_md5"),
         F.array_min(F.transform(words, lambda w: F.md5(w))).alias("min_word_md5"),
     )
+
+
+#: PII patterns, applied in order (IP before phone so "1.2.3.4" is not
+#: half-eaten as a dotted phone; SSN before phone — 3-2-4 vs 3-3-4
+#: groupings are disjoint but order makes intent explicit). Regexes stay
+#: in the portable Java∩RE2 subset so the SQL oracle replays them.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<ID>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted, n_email, n_ip, n_ssn, n_phone): scrub personally
+    identifying strings from a corpus before training — emails, IPv4s,
+    SSN-shaped ids, phone numbers — each replaced by a typed placeholder
+    token, plus per-kind match counts for corpus auditing.
+
+    A chain of regexp_replace/regexp_count column expressions: whole-stage
+    codegen end to end, embarrassingly parallel, no shuffle at any scale.
+    Counts are taken BEFORE any replacement so overlapping kinds audit
+    against the original text, while replacements apply in PII_PATTERNS
+    order.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    c = F.col(text_col)
+    counts = [
+        F.regexp_count(c, F.lit(pat)).cast("int").alias(f"n_{kind}")
+        for kind, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return docs.select("doc_id", red.alias("redacted"), *counts)

@@ -287,6 +287,25 @@ def _text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprints(_docs(spark, sf_dir))
 
 
+def _text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.redact_pii(_docs(spark, sf_dir))
+
+
+def _pii_oracle() -> str:
+    """Build the DuckDB mirror from the SAME PII_PATTERNS tuple so the
+    two sides cannot drift (DuckDB needs the explicit 'g' flag; counts
+    via len(regexp_extract_all) — all patterns are in the Java∩RE2
+    subset)."""
+    red = "text"
+    for _, pat, token in text.PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::INT AS n_{kind}"
+        for kind, pat, _ in text.PII_PATTERNS
+    )
+    return f"SELECT doc_id, {red} AS redacted,\n       {counts}\nFROM documents"
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary(_docs(spark, sf_dir))
@@ -358,6 +377,7 @@ QUERIES = {
     "text_lang_id": _text_lang_id,
     "text_tokens": _text_tokens,
     "text_fingerprints": _text_fingerprints,
+    "text_pii_redact": _text_pii_redact,
     "multimodal_features": _multimodal_features,
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
@@ -488,6 +508,7 @@ r AS (
 SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
 """,
+    "text_pii_redact": _pii_oracle(),
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w

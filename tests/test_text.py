@@ -1,0 +1,50 @@
+"""Text-operator behavior on planted inputs (the synthetic corpus holds
+no real PII, so redaction is exercised here with seeded examples)."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_gpu_spark.operators.text import redact_pii
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    docs = [
+        (0, "contact jane.doe+test@example.co.uk or call 555-867-5309 now"),
+        (1, "server at 192.168.1.254 logged ssn 123-45-6789 twice"),
+        (2, "no sensitive content in this perfectly ordinary sentence"),
+        (3, "two mails: a@b.io and c.d@e-f.org; phone 800.555.1212"),
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_redact_pii_replaces_and_counts(pii_docs):
+    rows = {r.doc_id: r for r in redact_pii(pii_docs).collect()}
+
+    r0 = rows[0]
+    assert r0.redacted == "contact <EMAIL> or call <PHONE> now"
+    assert (r0.n_email, r0.n_phone, r0.n_ip, r0.n_ssn) == (1, 1, 0, 0)
+
+    r1 = rows[1]
+    assert r1.redacted == "server at <IP> logged ssn <ID> twice"
+    assert (r1.n_ip, r1.n_ssn) == (1, 1)
+
+    r2 = rows[2]
+    assert r2.redacted == pii_docs.collect()[2].text  # untouched
+    assert (r2.n_email, r2.n_ip, r2.n_ssn, r2.n_phone) == (0, 0, 0, 0)
+
+    r3 = rows[3]
+    assert r3.redacted == "two mails: <EMAIL> and <EMAIL>; phone <PHONE>"
+    assert (r3.n_email, r3.n_phone) == (2, 1)
+
+
+def test_redact_pii_counts_audit_original_not_redacted(spark):
+    # an SSN-shaped string inside a phone-shaped context: counts come
+    # from the original text even after earlier patterns rewrote it
+    docs = spark.createDataFrame(
+        [(0, "id 111-22-3333 then 444-555-6666")], "doc_id long, text string"
+    )
+    r = redact_pii(docs).collect()[0]
+    assert r.redacted == "id <ID> then <PHONE>"
+    assert (r.n_ssn, r.n_phone) == (1, 1)

@@ -99,9 +99,11 @@ def main() -> int:
     qs, oracles = entry.queries(), entry.oracle_sql()
 
     failed, no_oracle = [], []
+    n_run = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
@@ -136,8 +138,9 @@ def main() -> int:
             print(f"pass  {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]{extra}")
 
     print(
-        f"\n{len(qs) - len(failed) - len(no_oracle)} pass, "
-        f"{len(failed)} fail, {len(no_oracle)} rows-only, {len(qs)} total"
+        f"\n{n_run - len(failed) - len(no_oracle)} pass, "
+        f"{len(failed)} fail, {len(no_oracle)} rows-only, "
+        f"{n_run} run of {len(qs)} registered"
     )
     return 1 if failed else 0
 
