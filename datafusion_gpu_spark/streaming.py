@@ -129,3 +129,22 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "complete") -> Da
     finally:
         query.stop()
     return df.sparkSession.table(name)
+
+
+def stream_dedup_events(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicatesWithinWatermark on the
+    event key — the streaming twin of dedup.exact_dedup's "keep one copy
+    per key" contract. State holds one entry per key only until the
+    watermark passes its event time, so the store is bounded by the
+    watermark horizon x key arrival rate, not by stream length — the
+    property that makes streaming dedup viable on an unbounded 100 TB/day
+    ingest where an ever-growing exact-key store would OOM.
+    """
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts", "value")
+    )

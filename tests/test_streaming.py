@@ -39,3 +39,21 @@ def test_stream_tumbling_equals_batch(spark):
         drop=True
     )
     assert key(batch).equals(key(stream))
+
+
+def test_stream_dedup_keeps_one_row_per_key(spark):
+    from datafusion_gpu_spark.streaming import stream_dedup_events
+
+    tables = register_tables(spark, SF_DIR)
+    expected_keys = {
+        (r.user_id, r.event_type)
+        for r in tables["events"].select("user_id", "event_type").distinct().collect()
+    }
+    out = run_stream_to_memory(
+        stream_dedup_events(spark, SF_DIR), "test_dedup_stream", mode="append"
+    ).toPandas()
+    # which row survives per key is engine-chosen; the contract is the
+    # key set and exactly-one-row-per-key
+    got_keys = set(zip(out["user_id"], out["event_type"]))
+    assert got_keys == expected_keys
+    assert len(out) == len(expected_keys)
