@@ -152,3 +152,28 @@ def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:
                     yield pa.ipc.open_file(src).read_all().to_pandas()
 
     return file_df.mapInPandas(read_files, spark_schema)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int = 16,
+    sort_by: list[str] | None = None,
+) -> None:
+    """Persist a DataFrame as a bucketed (and optionally sorted) managed
+    table — the co-located-join layout for 100 TB fact tables.
+
+    Two facts bucketed identically on their join key join WITHOUT a
+    shuffle: each task reads bucket i of both sides (Spark requires
+    saveAsTable for bucket metadata — a plain parquet path has nowhere
+    to record the hash layout). At scale this converts every recurring
+    fact-fact join from a full network shuffle of both inputs into a
+    local merge per bucket; pick num_buckets so one bucket of the larger
+    side fits an executor's memory (e.g. 100 TB / 2048 buckets ≈ 50 GB
+    per bucket pre-compression).
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    w.saveAsTable(table)

@@ -84,3 +84,39 @@ def test_scan_prunes_columns(spark, name):
     # Q6 touches 4 lineitem columns; the parquet ReadSchema must not
     # contain unrelated ones
     assert "l_orderkey" not in text.split("ReadSchema")[1][:400]
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # bucketing both sides on the join key removes the Exchange entirely
+    # — the co-located join layout recurring fact-fact joins rely on at
+    # scale. Managed tables need a warehouse; bucket metadata lives in
+    # the session catalog.
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.io import write_bucketed
+
+    tables = register_tables(spark, SF_DIR)
+    write_bucketed(
+        tables["orders"], "b_orders", ["o_orderkey"], num_buckets=8
+    )
+    write_bucketed(
+        tables["lineitem"], "b_lineitem", ["l_orderkey"], num_buckets=8
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            spark.table("b_orders")["o_orderkey"]
+            == spark.table("b_lineitem")["l_orderkey"],
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither side shuffles
+        # sanity: same row count as the shuffled spelling
+        assert joined.count() == tables["orders"].join(
+            tables["lineitem"],
+            tables["orders"]["o_orderkey"] == tables["lineitem"]["l_orderkey"],
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
