@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_gpu_spark.operators import (
+    curation,
     dedup,
     events,
     multimodal,
@@ -306,6 +307,39 @@ def _pii_oracle() -> str:
     return f"SELECT doc_id, {red} AS redacted,\n       {counts}\nFROM documents"
 
 
+_SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
+
+
+def _curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
+
+
+def _curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.stratified_sample(_docs(spark, sf_dir), _SAMPLE_RATES).select(
+        "doc_id", "lang"
+    )
+
+
+def _bucket_sql(salt: str) -> str:
+    """DuckDB mirror of curation._hash_bucket (portable md5-prefix hash)."""
+    return (
+        f"CAST('0x' || substring(md5('{salt}:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+        f" AS BIGINT) % 1000000"
+    )
+
+
+def _stratified_oracle() -> str:
+    rate = "CASE " + " ".join(
+        f"WHEN lang = '{s}' THEN {r}" for s, r in _SAMPLE_RATES.items()
+    ) + " ELSE 0.0 END"
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, {_bucket_sql('sample-v1')} AS b, {rate} AS rate
+  FROM documents
+) WHERE b < CAST(rate * 1000000 AS BIGINT)
+"""
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary(_docs(spark, sf_dir))
@@ -378,6 +412,8 @@ QUERIES = {
     "text_tokens": _text_tokens,
     "text_fingerprints": _text_fingerprints,
     "text_pii_redact": _text_pii_redact,
+    "curation_hash_split": _curation_hash_split,
+    "curation_stratified_sample": _curation_stratified,
     "multimodal_features": _multimodal_features,
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
@@ -509,6 +545,14 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
 """,
     "text_pii_redact": _pii_oracle(),
+    "curation_hash_split": f"""
+SELECT doc_id,
+       CASE WHEN b < 900000 THEN 'train'
+            WHEN b < 950000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, {_bucket_sql('split-v1')} AS b FROM documents)
+""",
+    "curation_stratified_sample": _stratified_oracle(),
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w

@@ -1,0 +1,58 @@
+"""Curation-operator invariants: the properties that make hash-based
+splitting/sampling the right tool (determinism across runs, nested
+samples, monotone split growth) — none of which random sampling has."""
+
+from __future__ import annotations
+
+import pytest
+
+from datafusion_gpu_spark.operators.curation import hash_split, stratified_sample
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [(i, "en" if i % 3 else "de") for i in range(2000)]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def test_split_is_deterministic_and_complete(corpus):
+    a = {r.doc_id: r.split for r in hash_split(corpus).collect()}
+    b = {r.doc_id: r.split for r in hash_split(corpus).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 0.85 * n <= n_train <= 0.95 * n  # ~0.9 +- hash noise
+
+
+def test_split_growth_is_monotone(corpus):
+    # raising train's share must only ADD docs to train, never evict
+    small = {r.doc_id for r in hash_split(
+        corpus, weights={"train": 0.5, "val": 0.25, "test": 0.25}
+    ).collect() if r.split == "train"}
+    big = {r.doc_id for r in hash_split(
+        corpus, weights={"train": 0.8, "val": 0.1, "test": 0.1}
+    ).collect() if r.split == "train"}
+    assert small <= big
+
+
+def test_samples_are_nested_across_rates(corpus):
+    ten = {r.doc_id for r in stratified_sample(corpus, {"en": 0.1, "de": 0.1}).collect()}
+    thirty = {
+        r.doc_id for r in stratified_sample(corpus, {"en": 0.3, "de": 0.3}).collect()
+    }
+    assert ten <= thirty
+    assert len(ten) < len(thirty)
+
+
+def test_stratified_rates_apply_per_stratum(corpus):
+    kept = stratified_sample(corpus, {"en": 0.4, "de": 0.0}).collect()
+    langs = {r.lang for r in kept}
+    assert langs == {"en"}  # de sampled out entirely
+    n_en = corpus.where("lang = 'en'").count()
+    assert 0.3 * n_en <= len(kept) <= 0.5 * n_en
+
+
+def test_bad_weights_rejected(corpus):
+    with pytest.raises(ValueError):
+        hash_split(corpus, weights={"train": 0.5, "val": 0.1})
