@@ -60,6 +60,7 @@ SF_BENCHES = [
     ("dedup_ngram_jaccard", 3),
     ("dedup_simhash", 3),
     ("text_quality", 3),
+    ("text_pii_redact", 3),
     ("sim_topk_bruteforce", 3),
     ("sim_topk_ivf", 3),
     ("events_sessionize", 3),

@@ -80,6 +80,38 @@ EXCEPT
 SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
+# ALL variants keep multiplicities (bag semantics): an order key URGENT
+# n times and BUILDING m times appears max(m-n, 0) / min(m, n) times.
+_SET_EXCEPT_ALL = """
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT ALL
+SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+"""
+
+_SET_INTERSECT_ALL = """
+SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT ALL
+SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+"""
+
+# UNPIVOT: wide metrics -> (key, metric, val) long form. Spark's UNPIVOT
+# clause; the oracle spells the same relation as a UNION ALL (DuckDB's
+# UNPIVOT syntax differs, and the rewrite IS the semantics).
+_UNPIVOT_SPARK = """
+SELECT custkey, metric, val FROM (
+  SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+         CAST(c_nationkey AS DOUBLE) AS nkey
+  FROM customer
+) UNPIVOT (val FOR metric IN (acctbal, nkey))
+"""
+
+_UNPIVOT_DUCK = """
+SELECT c_custkey AS custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+UNION ALL
+SELECT c_custkey AS custkey, 'nkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val
+FROM customer
+"""
+
 # DISTINCT ON (latest order per customer) via the row_number()==1 rewrite —
 # SURVEY §2.6's mapping for DataFusion's DISTINCT ON extension.
 _DISTINCT_ON = """
@@ -274,6 +306,9 @@ QUERIES = {
     "set_union": sql_query(_SET_UNION),
     "set_intersect": sql_query(_SET_INTERSECT),
     "set_except": sql_query(_SET_EXCEPT),
+    "set_except_all": sql_query(_SET_EXCEPT_ALL),
+    "set_intersect_all": sql_query(_SET_INTERSECT_ALL),
+    "unpivot_customer_metrics": sql_query(_UNPIVOT_SPARK),
     "distinct_on_latest_order": sql_query(_DISTINCT_ON),
     "subquery_scalar": sql_query(_SUBQ_SCALAR),
     "subquery_correlated": sql_query(_SUBQ_CORRELATED),
@@ -299,6 +334,9 @@ ORACLES = {
     "set_union": _SET_UNION,
     "set_intersect": _SET_INTERSECT,
     "set_except": _SET_EXCEPT,
+    "set_except_all": _SET_EXCEPT_ALL,
+    "set_intersect_all": _SET_INTERSECT_ALL,
+    "unpivot_customer_metrics": _UNPIVOT_DUCK,
     "distinct_on_latest_order": _DISTINCT_ON,
     "subquery_scalar": _SUBQ_SCALAR,
     "subquery_correlated": _SUBQ_CORRELATED,
