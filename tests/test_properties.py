@@ -1,0 +1,87 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — the strongest form of the oracle story.
+
+Example counts are small (each example is a Spark job); deadline=None
+because JVM scheduling jitter would otherwise flake."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=2**40), min_size=1,
+                  max_size=200, unique=True),
+    w_train=st.integers(min_value=1, max_value=8),
+    w_val=st.integers(min_value=1, max_value=8),
+)
+def test_hash_split_partitions_any_keyset(spark, keys, w_train, w_val):
+    # every key lands in exactly one split, for arbitrary ids and weights
+    from datafusion_gpu_spark.operators.curation import hash_split
+
+    total = w_train + w_val + 2
+    weights = {
+        "train": w_train / total,
+        "val": w_val / total,
+        "test": 2 / total,
+    }
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    out = hash_split(df, weights=weights).collect()
+    assert len(out) == len(keys)
+    assert {r.doc_id for r in out} == set(keys)
+    assert all(r.split in weights for r in out)
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_custom_f32_sum_matches_numpy_float32(spark, vals):
+    # the UDAF contract: f32 accumulation semantics for arbitrary floats
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.aggregates import sum_arrow_cpu
+
+    df = spark.createDataFrame([(float(v),) for v in vals], "f double")
+    got = df.agg(sum_arrow_cpu(F.col("f")).alias("s")).collect()[0].s
+    want = np.sum(np.array(vals, dtype=np.float32))
+    assert np.isclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+@settings(**_SETTINGS)
+@given(
+    n_vecs=st.integers(min_value=3, max_value=40),
+    dim=st.integers(min_value=2, max_value=16),
+    k=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_two_stage_topk_equals_numpy_for_any_corpus(spark, n_vecs, dim, k, seed):
+    # exact top-k must be exact no matter the corpus shape/partitioning
+    from datafusion_gpu_spark.operators.similarity import cosine_topk_bruteforce
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n_vecs, dim)).astype(np.float64)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n_vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = cosine_topk_bruteforce(df, df.where("vec_id = 0"), k=k).collect()
+
+    q = vecs[0]
+    cos = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    cos[0] = -np.inf  # self excluded
+    order = sorted(range(n_vecs), key=lambda i: (-round(cos[i], 6), i))
+    want = order[: min(k, n_vecs - 1)]
+    got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    assert got == want
