@@ -87,3 +87,40 @@ def stratified_sample(
         default_rate
     )
     return docs.where(bucket < (rate * _BUCKETS).cast("long"))
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_col: str = "n_tokens",
+    budget: int = 2048,
+    shards: int = 64,
+    key: str = "doc_id",
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins (sequence
+    packing): within a shard, documents are laid out in key order and a
+    new bin starts whenever the running token total crosses the budget.
+
+    bin = floor(tokens_before_this_doc / budget) — contiguous greedy
+    packing in a deterministic order, the standard approximation of
+    first-fit (bins overflow by at most one document rather than
+    splitting documents). Sharding by salted hash keeps every window
+    partition-sized — the cumulative sum never runs over more than
+    corpus/shards rows, so the operator scales by raising ``shards``
+    with the corpus (at 100 TB, thousands of shards keep each window's
+    state executor-local; one shuffle total).
+    """
+    from pyspark.sql import Window
+
+    shard = _hash_bucket(F.col(key), salt) % shards
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = docs.withColumn("shard", shard).withColumn(
+        "tokens_before", F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    )
+    return out.withColumn(
+        "bin", (F.col("tokens_before") / budget).cast("long")
+    ).drop("tokens_before")

@@ -340,6 +340,15 @@ SELECT doc_id, lang FROM (
 """
 
 
+def _curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    with_tokens = docs.withColumn(
+        "n_tokens", F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+    )
+    packed = curation.pack_sequences(with_tokens, budget=512, shards=8)
+    return packed.select("doc_id", "shard", "bin")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary(_docs(spark, sf_dir))
@@ -414,6 +423,7 @@ QUERIES = {
     "text_pii_redact": _text_pii_redact,
     "curation_hash_split": _curation_hash_split,
     "curation_stratified_sample": _curation_stratified,
+    "curation_pack_sequences": _curation_pack,
     "multimodal_features": _multimodal_features,
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
@@ -553,6 +563,27 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_bucket_sql('split-v1')} AS b FROM documents)
 """,
     "curation_stratified_sample": _stratified_oracle(),
+    # same shard hash, same doc_id order, same running-sum-before window;
+    # FLOOR (not CAST) — DuckDB CAST rounds where Spark truncates
+    "curation_pack_sequences": f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split({_NORM}, ' ')) AS n_tokens,
+         ({_bucket_sql('pack-v1')}) % 8 AS shard
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shard,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM t
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS bin
+FROM c
+""",
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w

@@ -56,3 +56,27 @@ def test_stratified_rates_apply_per_stratum(corpus):
 def test_bad_weights_rejected(corpus):
     with pytest.raises(ValueError):
         hash_split(corpus, weights={"train": 0.5, "val": 0.1})
+
+
+def test_pack_sequences_matches_greedy_reference(spark):
+    from collections import defaultdict
+
+    from datafusion_gpu_spark.operators.curation import pack_sequences
+
+    rows = [(i, (i * 37) % 300 + 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens int")
+    out = pack_sequences(df, budget=1000, shards=4).collect()
+    assert len(out) == 500
+
+    by_shard = defaultdict(list)
+    for r in sorted(out, key=lambda r: r.doc_id):
+        by_shard[r.shard].append(r)
+    tokens = dict(rows)
+    for shard_rows in by_shard.values():
+        cum = 0
+        for r in shard_rows:
+            assert r.bin == cum // 1000  # greedy contiguous packing
+            cum += tokens[r.doc_id]
+        # bins are dense 0..max within a shard
+        bins = [r.bin for r in shard_rows]
+        assert bins == sorted(bins)
