@@ -251,3 +251,27 @@ def lsh_ann_topk(
     return _two_stage_topk(
         scored.select("query_id", "vec_id", cs.alias("cosine")), k
     )
+
+
+def quantize_embeddings(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, scale, qvec): symmetric int8 quantization — per-vector
+    max-abs scale, elements rounded to [-127, 127]. The standard 4x
+    memory/bandwidth reduction before an ANN index is built; at 100 TB
+    the win is shuffle and cache volume, the dot products themselves
+    rerank in float on the tiny candidate sets.
+
+    Pure column expressions (the per-element lambda runs interpreted,
+    but over 64-element arrays it is a few ns per row — the measured
+    16x HOF penalty only bites on per-token lambdas over long arrays).
+    Zero vectors quantize to zeros (scale stays 0, not NaN).
+    """
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    qvec = F.when(scale == 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(x, lambda v: F.round(v.cast("double") / scale * 127).cast("int"))
+    )
+    return embs.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        qvec.alias("qvec"),
+    )

@@ -340,6 +340,11 @@ SELECT doc_id, lang FROM (
 """
 
 
+def _sim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return similarity.quantize_embeddings(spark.table("embeddings"))
+
+
 def _curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     with_tokens = docs.withColumn(
@@ -416,6 +421,7 @@ QUERIES = {
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
+    "sim_quantize_int8": _sim_quantize,
     "text_quality": _text_quality,
     "text_lang_id": _text_lang_id,
     "text_tokens": _text_tokens,
@@ -508,6 +514,21 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
 """,
     "sim_topk_lsh": _lsh_ann_oracle(),
+    # same max-abs scale, same x/s*127 double arithmetic, same
+    # round-half-away-from-zero in both engines
+    "sim_quantize_int8": """
+SELECT vec_id,
+       ROUND(list_max(list_transform(embedding, x -> abs(x::DOUBLE))), 6)
+         AS scale,
+       CASE WHEN list_max(list_transform(embedding, x -> abs(x::DOUBLE))) = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                 x -> CAST(round(x::DOUBLE
+                      / list_max(list_transform(embedding, y -> abs(y::DOUBLE)))
+                      * 127) AS INT))
+       END AS qvec
+FROM embeddings
+""",
     # IVF replay: same deterministic centroids (vec_id < 16), same
     # assignment tiebreak (cosine DESC, cid), same n_probe=4, same rerank
     "sim_topk_ivf": f"""

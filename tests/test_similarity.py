@@ -68,3 +68,28 @@ def test_lsh_scores_are_exact_cosines(embeddings):
     for _, row in res.iterrows():
         true_cos = float(n[0] @ n[int(row.vec_id)])
         assert row.cosine == pytest.approx(true_cos, abs=1e-6)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(7)
+    rows = [(i, [float(x) for x in rng.normal(size=16)]) for i in range(50)]
+    rows.append((50, [0.0] * 16))  # zero vector must not NaN
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    originals = dict(rows)
+    for vid, r in out.items():
+        x = np.array(originals[vid], dtype=np.float64)
+        assert len(r.qvec) == 16
+        assert max(abs(q) for q in r.qvec) <= 127
+        if r.scale == 0:
+            assert all(q == 0 for q in r.qvec)
+            continue
+        deq = np.array(r.qvec, dtype=np.float64) * r.scale / 127
+        # symmetric quantization: error <= half a quantization step
+        assert np.max(np.abs(deq - np.float32(x).astype(np.float64))) <= (
+            r.scale / 127 / 2 + 1e-6
+        )
