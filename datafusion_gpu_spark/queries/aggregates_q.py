@@ -64,6 +64,18 @@ GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
 
 _GROUPING_SETS_DUCK = _GROUPING_SETS.replace("AS STRING", "AS VARCHAR")
 
+# CUBE = all 2^k grouping sets; GROUPING() disambiguates a real NULL key
+# from a subtotal row (both engines number the bitmask identically).
+_CUBE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
+
 _FILTER_CLAUSE = """
 SELECT l_linestatus AS status,
        COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
@@ -144,6 +156,7 @@ QUERIES = {
     "agg_collect_ordered": sql_query(_COLLECT_SPARK),
     "agg_rollup": sql_query(_ROLLUP),
     "agg_grouping_sets": sql_query(_GROUPING_SETS),
+    "agg_cube": sql_query(_CUBE),
     "agg_filter_clause": sql_query(_FILTER_CLAUSE),
     "agg_bool_bit": sql_query(_BOOL_BIT),
     "agg_median": sql_query(_MEDIAN),
@@ -158,6 +171,7 @@ ORACLES = {
     "agg_collect_ordered": _COLLECT_DUCK,
     "agg_rollup": _ROLLUP,
     "agg_grouping_sets": _GROUPING_SETS_DUCK,
+    "agg_cube": _CUBE,
     "agg_filter_clause": _FILTER_CLAUSE,
     "agg_bool_bit": _BOOL_BIT,
     "agg_median": _MEDIAN,

@@ -80,6 +80,16 @@ EXCEPT
 SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
+# Table-valued function in FROM: the distributed row generator (DuckDB
+# names the produced column after the function; alias both to id).
+_RANGE_TVF_SPARK = """
+SELECT id, id * id AS sq FROM range(0, 1000, 7)
+"""
+
+_RANGE_TVF_DUCK = """
+SELECT range AS id, range * range AS sq FROM range(0, 1000, 7)
+"""
+
 # ALL variants keep multiplicities (bag semantics): an order key URGENT
 # n times and BUILDING m times appears max(m-n, 0) / min(m, n) times.
 _SET_EXCEPT_ALL = """
@@ -309,6 +319,7 @@ QUERIES = {
     "set_except_all": sql_query(_SET_EXCEPT_ALL),
     "set_intersect_all": sql_query(_SET_INTERSECT_ALL),
     "unpivot_customer_metrics": sql_query(_UNPIVOT_SPARK),
+    "table_function_range": sql_query(_RANGE_TVF_SPARK),
     "distinct_on_latest_order": sql_query(_DISTINCT_ON),
     "subquery_scalar": sql_query(_SUBQ_SCALAR),
     "subquery_correlated": sql_query(_SUBQ_CORRELATED),
@@ -337,6 +348,7 @@ ORACLES = {
     "set_except_all": _SET_EXCEPT_ALL,
     "set_intersect_all": _SET_INTERSECT_ALL,
     "unpivot_customer_metrics": _UNPIVOT_DUCK,
+    "table_function_range": _RANGE_TVF_DUCK,
     "distinct_on_latest_order": _DISTINCT_ON,
     "subquery_scalar": _SUBQ_SCALAR,
     "subquery_correlated": _SUBQ_CORRELATED,
