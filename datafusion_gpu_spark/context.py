@@ -74,8 +74,15 @@ def get_spark(
     session time zone for deterministic timestamp semantics.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # local mode = ONE JVM for driver + all executor threads. Left unset,
+    # spark.driver.memory defaults to 1g — 32 threads starving in a 1 GiB
+    # heap (measured: GCLocker allocation stalls and lost spill files on
+    # 50k-doc dedup). Sized to the machine, overridable for smaller hosts.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (
         SparkSession.builder.appName(app_name)
+        .config("spark.driver.memory", mem)
+        .config("spark.driver.maxResultSize", "4g")
         .master(master or f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
