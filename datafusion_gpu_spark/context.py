@@ -77,8 +77,12 @@ def get_spark(
     # local mode = ONE JVM for driver + all executor threads. Left unset,
     # spark.driver.memory defaults to 1g — 32 threads starving in a 1 GiB
     # heap (measured: GCLocker allocation stalls and lost spill files on
-    # 50k-doc dedup). Sized to the machine, overridable for smaller hosts.
-    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # 50k-doc dedup). But BIGGER IS NOT BETTER: at 48g, G1's adaptive
+    # young gen grows to tens of GB and every query pays long evacuation
+    # pauses (measured: the same 200k-doc dedup probe ran 5.8x SLOWER at
+    # 48g than at 8g — 243.7s vs 42.1s). 8g clears the stall regime while
+    # keeping young-gen pauses short.
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.driver.memory", mem)
