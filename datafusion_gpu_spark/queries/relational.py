@@ -80,6 +80,25 @@ EXCEPT
 SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'
 """
 
+# Correlated LATERAL derived table (top-2 orders per customer) — the
+# per-row-subquery spelling of DISTINCT ON/top-k-per-group; Catalyst
+# decorrelates it into a ranked window join rather than a per-row probe.
+_LATERAL = """
+SELECT c.c_custkey AS custkey, t.orderkey, t.totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey AS orderkey, ROUND(o_totalprice, 2) AS totalprice
+  FROM orders o WHERE o.o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+WHERE c.c_custkey < 100
+"""
+
+# GROUP BY ALL: group on every non-aggregate select item.
+_GROUP_BY_ALL = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders GROUP BY ALL
+"""
+
 # Table-valued function in FROM: the distributed row generator (DuckDB
 # names the produced column after the function; alias both to id).
 _RANGE_TVF_SPARK = """
@@ -320,6 +339,8 @@ QUERIES = {
     "set_intersect_all": sql_query(_SET_INTERSECT_ALL),
     "unpivot_customer_metrics": sql_query(_UNPIVOT_SPARK),
     "table_function_range": sql_query(_RANGE_TVF_SPARK),
+    "join_lateral_topk": sql_query(_LATERAL),
+    "agg_group_by_all": sql_query(_GROUP_BY_ALL),
     "distinct_on_latest_order": sql_query(_DISTINCT_ON),
     "subquery_scalar": sql_query(_SUBQ_SCALAR),
     "subquery_correlated": sql_query(_SUBQ_CORRELATED),
@@ -349,6 +370,8 @@ ORACLES = {
     "set_intersect_all": _SET_INTERSECT_ALL,
     "unpivot_customer_metrics": _UNPIVOT_DUCK,
     "table_function_range": _RANGE_TVF_DUCK,
+    "join_lateral_topk": _LATERAL,
+    "agg_group_by_all": _GROUP_BY_ALL,
     "distinct_on_latest_order": _DISTINCT_ON,
     "subquery_scalar": _SUBQ_SCALAR,
     "subquery_correlated": _SUBQ_CORRELATED,
