@@ -114,7 +114,38 @@ SELECT COUNT(*) AS n, SUM(r_regionkey)::BIGINT AS sum_key, MIN(r_name) AS min_na
 FROM region
 """
 
+def _copy_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-level sink — the engine analogue of DataFusion's
+    ``COPY (SELECT ...) TO 'path'``: INSERT OVERWRITE DIRECTORY writes
+    the query result as parquet purely through SQL, no DataFrame API.
+    The read-back aggregate must match the oracle's direct SELECT."""
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "region_copy_sql")
+    spark.sql(
+        f"""
+        INSERT OVERWRITE DIRECTORY '{out}' USING PARQUET
+        SELECT r_regionkey, r_name FROM region
+        """
+    )
+    spark.read.parquet(out).createOrReplaceTempView("region_copy_rt")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n, SUM(r_regionkey) AS sum_key,
+               MIN(r_name) AS min_name
+        FROM region_copy_rt
+        """
+    )
+
+
+_COPY_SQL_DUCK = """
+SELECT COUNT(*) AS n, SUM(r_regionkey)::BIGINT AS sum_key,
+       MIN(r_name) AS min_name
+FROM region
+"""
+
+
 QUERIES = {
+    "io_copy_to_sql": _copy_to_sql,
     "io_roundtrip_json": _roundtrip_json,
     "io_roundtrip_json_gzip": _roundtrip_json_gzip,
     "io_roundtrip_csv": _roundtrip_csv,
@@ -122,6 +153,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "io_copy_to_sql": _COPY_SQL_DUCK,
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,
     "io_roundtrip_csv": _CSV_DUCK,
