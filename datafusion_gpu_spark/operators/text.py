@@ -143,3 +143,78 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
     return docs.select("doc_id", red.alias("redacted"), *counts)
+
+
+def collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus-level collocations: adjacent word pairs ranked by pointwise
+    mutual information — the standard signal for multi-word expressions
+    ("new york") when building tokenizer merge rules or phrase tables.
+
+    PMI = ln(n_pair * N_pairs / (n_left * n_right)), computed from three
+    aggregations over ONE exploded word relation: pair counts, unigram
+    counts (reused for both sides via two broadcast-sized joins after
+    the min_count cut), and the scalar totals. All JVM expressions; the
+    min_count filter bounds the join inputs long before the ranking, so
+    at corpus scale the top-N window sees only frequent pairs, never the
+    raw pair space.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = words.select(
+        F.col("word").alias("left"),
+        F.lead("word").over(w).alias("right"),
+    ).where(F.col("right").isNotNull())
+
+    pair_counts = pairs.groupBy("left", "right").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    uni = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_word"))
+    n_pairs_total = pairs.count()  # scalar; one job, reused as a literal
+
+    frequent = pair_counts.where(F.col("n_pair") >= min_count)
+    scored = (
+        frequent.join(
+            uni.select(F.col("word").alias("left"), F.col("n_word").alias("n_left")),
+            "left",
+        )
+        .join(
+            uni.select(
+                F.col("word").alias("right"), F.col("n_word").alias("n_right")
+            ),
+            "right",
+        )
+        .select(
+            "left",
+            "right",
+            "n_pair",
+            F.round(
+                F.log(
+                    F.col("n_pair")
+                    * F.lit(float(n_pairs_total))
+                    / (F.col("n_left") * F.col("n_right"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    # top-N via ORDER BY + LIMIT: Spark plans TakeOrderedAndProject (a
+    # bounded per-partition heap + tiny merge), never a single-partition
+    # global window
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("left"), F.col("right")
+    ).limit(top_n)

@@ -310,6 +310,10 @@ def _pii_oracle() -> str:
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 
 
+def _text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
+
+
 def _curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -427,6 +431,7 @@ QUERIES = {
     "text_tokens": _text_tokens,
     "text_fingerprints": _text_fingerprints,
     "text_pii_redact": _text_pii_redact,
+    "text_collocations": _text_collocations,
     "curation_hash_split": _curation_hash_split,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
@@ -576,6 +581,34 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
 """,
     "text_pii_redact": _pii_oracle(),
+    # same pair relation (adjacent words), same PMI formula and
+    # (pmi, left, right) total order at the top-N cut
+    "text_collocations": f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> {{'l': w[i], 'r': w[i + 1]}})) AS p
+  FROM base WHERE len(w) >= 2
+),
+pc AS (SELECT p.l AS "left", p.r AS "right", COUNT(*) AS n_pair
+       FROM pairs GROUP BY 1, 2),
+uc AS (SELECT word, COUNT(*) AS n_word
+       FROM (SELECT unnest(w) AS word FROM base) GROUP BY 1),
+tot AS (SELECT COUNT(*) AS n FROM pairs),
+scored AS (
+  SELECT "left", "right", n_pair,
+         ROUND(ln(n_pair * (SELECT n FROM tot)::DOUBLE
+                  / (ul.n_word * ur.n_word)), 6) AS pmi
+  FROM pc
+  JOIN uc ul ON ul.word = "left"
+  JOIN uc ur ON ur.word = "right"
+  WHERE n_pair >= 5
+)
+SELECT "left", "right", n_pair, pmi
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, "left", "right") AS rk
+      FROM scored)
+WHERE rk <= 50
+""",
     "curation_hash_split": f"""
 SELECT doc_id,
        CASE WHEN b < 900000 THEN 'train'

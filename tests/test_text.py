@@ -48,3 +48,26 @@ def test_redact_pii_counts_audit_original_not_redacted(spark):
     r = redact_pii(docs).collect()[0]
     assert r.redacted == "id <ID> then <PHONE>"
     assert (r.n_ssn, r.n_phone) == (1, 1)
+
+
+def test_collocations_rank_planted_phrase_first(spark):
+    from datafusion_gpu_spark.operators.text import collocations
+
+    # "spark catalyst" always co-occurs (PMI max); filler words pair
+    # with many different neighbors (PMI low)
+    docs = [
+        (i, f"w{i%7} the spark catalyst the w{(i*3)%7} engine runs the w{(i*5)%7}")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = collocations(df, min_count=5, top_n=10).collect()
+    assert rows, "no collocations found"
+    # "spark catalyst" and "engine runs" are equally exclusive pairs
+    # (same PMI, tie broken alphabetically) — both must lead the ranking
+    top_two = {(r.left, r.right) for r in rows[:2]}
+    assert top_two == {("engine", "runs"), ("spark", "catalyst")}
+    by_pair = {(r.left, r.right): r for r in rows}
+    assert by_pair[("spark", "catalyst")].n_pair == 40  # once per doc
+    # ranking is by PMI descending
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
