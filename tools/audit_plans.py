@@ -24,6 +24,7 @@ COUNTERS = {
     "bhj": r"BroadcastHashJoin",
     "smj": r"SortMergeJoin",
     "bnlj": r"BroadcastNestedLoopJoin",
+    "cartesian": r"CartesianProduct",
     # executedPlan().toString() marks codegen stages with "*(n) " prefixes
     "codegen": r"\*\(\d+\)",
     "python": r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython",
