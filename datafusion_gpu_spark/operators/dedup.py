@@ -474,6 +474,12 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    # Convergence via the label-sum invariant: hash-min only ever LOWERS
+    # a node's label, so sum(component) is strictly decreasing until the
+    # fixpoint — an unchanged sum proves convergence with one cheap
+    # aggregate on the already-checkpointed result instead of a
+    # self-join + isEmpty pass per round.
+    prev_sum = None
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(
@@ -481,20 +487,16 @@ def connected_components(
             ),
             "dst",
         ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
-        new_labels = (
+        labels = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.component") != F.col("o.component"))
-        )
-        labels = new_labels
-        if changed.isEmpty():
+        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels
 
 
