@@ -93,3 +93,23 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         assert np.max(np.abs(deq - np.float32(x).astype(np.float64))) <= (
             r.scale / 127 / 2 + 1e-6
         )
+
+
+def test_vectorized_topk_equals_jvm_spelling(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_vectorized,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=24)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where("vec_id < 5")
+    key = lambda r: (r.query_id, r.rank)  # noqa: E731
+    jvm = sorted(cosine_topk_bruteforce(df, q, k=7).collect(), key=key)
+    vec = sorted(cosine_topk_vectorized(df, q, k=7).collect(), key=key)
+    assert [(r.query_id, r.vec_id, r.cosine, r.rank) for r in jvm] == [
+        (r.query_id, r.vec_id, r.cosine, r.rank) for r in vec
+    ]
