@@ -249,6 +249,16 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_resolution(docs, pairs)
 
 
+def _sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NumPy-GEMM twin of sim_topk_bruteforce — must be value-identical,
+    # so it shares the same oracle (rank ties at 1e-16 are the only
+    # theoretical divergence; adjacent-cosine spacing at this corpus
+    # size is ~1e-5, ten orders of magnitude away)
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.cosine_topk_vectorized(embs, embs.where("vec_id < 8"), k=5)
+
+
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -423,6 +433,7 @@ QUERIES = {
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
+    "sim_topk_vectorized": _sim_topk_vectorized,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
     "sim_quantize_int8": _sim_quantize,
@@ -504,6 +515,21 @@ SELECT * FROM (
 ) WHERE cosine >= 0.2
 """,
     "sim_topk_bruteforce": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_QC} AS cos
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+WHERE "rank" <= 5
+""",
+    "sim_topk_vectorized": f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_QC} AS cos
   FROM embeddings q
