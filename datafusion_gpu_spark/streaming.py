@@ -148,3 +148,22 @@ def stream_dedup_events(
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "ts", "value")
     )
+
+
+def stream_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the unbounded event stream enriched against
+    the bounded customer dimension — the canonical production pattern
+    (facts stream in, dims are a table). The static side is re-read per
+    micro-batch, so dim updates are picked up without restarting; Spark
+    broadcasts it under the join threshold exactly as in batch.
+    """
+    from datafusion_gpu_spark.context import read_parquet
+    import os
+
+    ev = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    customer = read_parquet(spark, os.path.join(sf_dir, "customer.parquet"))
+    return ev.join(
+        customer, ev["user_id"] == customer["c_custkey"], "inner"
+    ).select(
+        "event_id", "user_id", "ts", "value", "c_mktsegment", "c_nationkey"
+    )

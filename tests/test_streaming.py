@@ -57,3 +57,25 @@ def test_stream_dedup_keeps_one_row_per_key(spark):
     got_keys = set(zip(out["user_id"], out["event_type"]))
     assert got_keys == expected_keys
     assert len(out) == len(expected_keys)
+
+
+def test_stream_static_join_equals_batch(spark):
+    from datafusion_gpu_spark.streaming import stream_enriched_purchases
+
+    tables = register_tables(spark, SF_DIR)
+    batch = (
+        tables["events"].where("event_type = 'purchase'")
+        .join(tables["customer"],
+              tables["events"]["user_id"] == tables["customer"]["c_custkey"])
+        .select("event_id", "c_mktsegment")
+        .toPandas()
+    )
+    stream = run_stream_to_memory(
+        stream_enriched_purchases(spark, SF_DIR), "test_enrich_stream",
+        mode="append",
+    ).toPandas()
+    assert len(stream) == len(batch)
+    key = lambda d: d.sort_values("event_id").reset_index(drop=True)  # noqa: E731
+    assert key(batch)["c_mktsegment"].equals(
+        key(stream[["event_id", "c_mktsegment"]])["c_mktsegment"]
+    )
