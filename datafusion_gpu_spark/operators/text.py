@@ -218,3 +218,53 @@ def collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("left"), F.col("right")
     ).limit(top_n)
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, text_col: str = "text", n: int = 3, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS algorithm): hash every
+    word n-gram, slide a window of ``window`` consecutive hashes, keep
+    each window's minimum, emit the distinct survivors per document.
+
+    Guarantees (Schleimer et al., SIGMOD'03): any shared run of at least
+    ``window + n - 1`` words between two documents shares at least one
+    selected fingerprint — so matching documents on fingerprints finds
+    every sufficiently long overlap, at ~2/(window+1) the density of
+    full shingling. One explode + one bounded ROWS-frame window + one
+    distinct: a single shuffle keyed by doc, partition state bounded by
+    the window width. The hash is the portable 60-bit md5 prefix so SQL
+    oracles replay selections bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.dedup import word_hash60
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    w_order = Window.partitionBy("doc_id").orderBy("pos")
+    gram = F.concat_ws(
+        " ", "word", *[F.lead("word", i).over(w_order) for i in range(1, n)]
+    )
+    grams = words.select(
+        "doc_id",
+        "pos",
+        word_hash60(gram).alias("h"),
+        F.lead("word", n - 1).over(w_order).alias("_full"),
+    ).where(F.col("_full").isNotNull())
+    w_frame = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(window - 1), 0)
+    )
+    selected = (
+        grams.withColumn("fp", F.min("h").over(w_frame))
+        .where(F.col("pos") >= window - 1 + 0)  # first full window
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    return selected

@@ -320,6 +320,10 @@ def _pii_oracle() -> str:
 _SAMPLE_RATES = {"en": 0.5, "de": 0.25, "zh": 0.1}
 
 
+def _text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnowing_fingerprints(_docs(spark, sf_dir), n=3, window=4)
+
+
 def _text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
 
@@ -443,6 +447,7 @@ QUERIES = {
     "text_fingerprints": _text_fingerprints,
     "text_pii_redact": _text_pii_redact,
     "text_collocations": _text_collocations,
+    "text_winnowing": _text_winnowing,
     "curation_hash_split": _curation_hash_split,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
@@ -634,6 +639,27 @@ SELECT "left", "right", n_pair, pmi
 FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, "left", "right") AS rk
       FROM scored)
 WHERE rk <= 50
+""",
+    # same 3-gram hash (portable md5 prefix), same 4-wide ROWS frame min,
+    # same first-full-window cut at pos >= 3
+    "text_winnowing": f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> {{'pos': i - 1,
+                       'h': CAST('0x' || substring(
+                              md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]),
+                              1, 15) AS BIGINT)}})) AS g
+  FROM base WHERE len(w) >= 3
+),
+win AS (
+  SELECT doc_id, g.pos AS pos,
+         MIN(g.h) OVER (PARTITION BY doc_id ORDER BY g.pos
+                        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+  FROM grams
+)
+SELECT DISTINCT doc_id, fp FROM win WHERE pos >= 3
 """,
     "curation_hash_split": f"""
 SELECT doc_id,

@@ -71,3 +71,21 @@ def test_collocations_rank_planted_phrase_first(spark):
     # ranking is by PMI descending
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
+
+
+def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark):
+    from datafusion_gpu_spark.operators.text import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words = window+n-1
+    docs = [
+        (0, f"one two three {shared} four five six"),
+        (1, f"seven eight nine ten {shared} eleven"),
+        (2, "totally unrelated words with nothing in common here at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnowing_fingerprints(df, n=3, window=4).collect()
+    by_doc = {d: {r.fp for r in fps if r.doc_id == d} for d in (0, 1, 2)}
+    # Schleimer guarantee: overlap of >= w+n-1 words shares >= 1 fingerprint
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
