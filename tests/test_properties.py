@@ -58,7 +58,17 @@ def test_custom_f32_sum_matches_numpy_float32(spark, vals):
     df = spark.createDataFrame([(float(v),) for v in vals], "f double")
     got = df.agg(sum_arrow_cpu(F.col("f")).alias("s")).collect()[0].s
     want = np.sum(np.array(vals, dtype=np.float32))
-    assert np.isclose(got, want, rtol=1e-5, atol=1e-3)
+    # f32 summation is order-dependent (the engine merges partition
+    # partials; numpy sums pairwise) — the proper bound is the standard
+    # n-term forward-error envelope over SUM(|x|), not a fixed rtol:
+    # hypothesis found cancellation cases ([9.7e5, 1.9, -9.7e5]) where
+    # two valid orders differ by ~1e-5 relative to the tiny result.
+    bound = (
+        len(vals) * float(np.finfo(np.float32).eps)
+        * float(np.sum(np.abs(np.array(vals, dtype=np.float64))))
+        + 1e-3
+    )
+    assert abs(float(got) - float(want)) <= bound
 
 
 @settings(**_SETTINGS)
