@@ -167,3 +167,31 @@ def stream_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_id", "user_id", "ts", "value", "c_mktsegment", "c_nationkey"
     )
+
+
+def stream_to_parquet(
+    df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> "object":
+    """foreachBatch parquet sink: each micro-batch lands as a partition
+    directory keyed by batch id, so a replayed batch (restart after a
+    failure between write and commit) OVERWRITES its own directory
+    instead of duplicating rows — idempotence via dynamic partition
+    overwrite, the pattern exactly-once file sinks are built from.
+    Returns the started StreamingQuery (caller stops it).
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(out_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -79,3 +79,21 @@ def test_stream_static_join_equals_batch(spark):
     assert key(batch)["c_mktsegment"].equals(
         key(stream[["event_id", "c_mktsegment"]])["c_mktsegment"]
     )
+
+
+def test_foreach_batch_parquet_sink_roundtrip(spark, tmp_path):
+    from datafusion_gpu_spark.streaming import stream_events, stream_to_parquet
+
+    out = str(tmp_path / "events_sink")
+    ckpt = str(tmp_path / "ckpt")
+    ev = stream_events(spark, SF_DIR).select("event_id", "user_id", "value")
+    q = stream_to_parquet(ev, out, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    tables = register_tables(spark, SF_DIR)
+    written = spark.read.parquet(out)
+    assert written.count() == tables["events"].count()
+    # every source event id arrives exactly once
+    assert written.select("event_id").distinct().count() == written.count()
