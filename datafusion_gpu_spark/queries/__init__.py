@@ -39,18 +39,52 @@ def sql_query(statement: str) -> QueryFn:
     return run
 
 
+# Queries already green in a driver CORRECTNESS file (rounds 1-2). The driver
+# gate checks at most 50 queries per round in registry order, so entries NOT in
+# this set — the pipeline/io/text/sim/curation/events operators it has never
+# touched — are surfaced first until every query has a driver row.
+_DRIVER_CHECKED = frozenset({
+    "agg_approximate", "agg_bool_bit", "agg_collect_ordered", "agg_count_distinct",
+    "agg_filter_clause", "agg_group_by_all", "agg_grouping_sets", "agg_median",
+    "agg_min_max_by", "agg_rollup", "agg_statistical", "cte_recursive",
+    "cte_values_join", "custom_sum_f32_grouped", "ddl_create_view", "distinct_on_latest_order",
+    "explain_plan", "fn_array_pack", "fn_conditional", "fn_crypto_pack",
+    "fn_date_bin", "fn_datetime_pack", "fn_json_extract", "fn_math_pack",
+    "fn_regex_pack", "fn_string_pack", "fn_struct_map", "fn_unnest_wordcount",
+    "join_anti_not_exists", "join_cross", "join_full_outer", "join_lateral_topk",
+    "join_left_outer", "join_non_equi_band", "join_right_outer", "join_semi_api",
+    "join_semi_exists", "join_sort_merge_hint", "pivot_orders", "set_except",
+    "set_except_all", "set_intersect", "set_intersect_all", "set_union",
+    "sort_limit_offset", "subquery_correlated", "subquery_in", "subquery_scalar",
+    "table_function_range", "tpch_q10_returned_items", "tpch_q11_important_stock", "tpch_q12_priority_pivot",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share", "tpch_q15_top_supplier_view", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume", "tpch_q19_disjunctive_pred", "tpch_q1_pricing_summary",
+    "tpch_q20_excess_stock", "tpch_q21_waiting_supplier", "tpch_q22_inactive_customers", "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority", "tpch_q4_priority_exists", "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit_rollup", "unpivot_customer_metrics",
+    "window_first_last_nth", "window_lag_lead", "window_percent_rank", "window_range_frame",
+    "window_ranking", "window_rows_frame",
+})
+
+
+def _unchecked_first(registry: dict) -> dict:
+    fresh = {k: v for k, v in registry.items() if k not in _DRIVER_CHECKED}
+    seen = {k: v for k, v in registry.items() if k in _DRIVER_CHECKED}
+    return {**fresh, **seen}
+
+
 def all_queries() -> dict[str, QueryFn]:
     registry: dict[str, QueryFn] = {}
     for mod in _modules():
         registry.update(mod.QUERIES)
-    return registry
+    return _unchecked_first(registry)
 
 
 def all_oracles() -> dict[str, str]:
     registry: dict[str, str] = {}
     for mod in _modules():
         registry.update(mod.ORACLES)
-    return registry
+    return _unchecked_first(registry)
 
 
 def _modules():
