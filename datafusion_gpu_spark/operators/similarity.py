@@ -1,20 +1,34 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers, same contract:
+Three tiers, same contract (query_id, vec_id, cosine, rank):
 
-- ``cosine_topk_bruteforce``: exact top-k. The query set is broadcast
-  (it is small by construction), the corpus is scanned once, and the
-  per-query top-k is two-stage (partition-local prune, then a global
-  merge over n_partitions * k rows per query) — at 1000 executors that
-  is one corpus pass with no corpus-sized shuffle anywhere.
+- ``cosine_topk_bruteforce`` / ``cosine_topk_vectorized``: exact top-k.
+  The query set is collected to the driver (it is small by construction
+  — the same assumption a broadcast join makes) and shipped in the task
+  closure; the corpus is scanned once and each Arrow batch is scored as
+  one (batch x dim) @ (dim x queries) float64 GEMM with the
+  partition-local top-k prune fused into the same pass. At 1000
+  executors that is one corpus pass with no corpus-sized shuffle
+  anywhere. Measured ~22x the scoring throughput of the interpreted
+  JVM fold it replaced (SCALE.md).
 - ``lsh_ann_topk``: approximate top-k via signed-random-projection LSH.
   Deterministic hyperplanes (seeded), bucket equality join instead of a
   cross join — the 100 TB path where even one corpus x query scan per
   query batch is too much. Probe over multiple hash tables to trade
-  recall for cost.
+  recall for cost. Buckets and the candidate rerank are both GEMM.
+- ``ivf_topk``: inverted-file ANN — corpus partitioned into Voronoi
+  cells, queries probe their n_probe nearest cells only.
 
-The cosine itself is a JVM fold (zip_with + aggregate) in float64 — no
-Python, stays inside codegen.
+``cosine_topk_jvm_fold`` keeps the pure-JVM ``zip_with``/``aggregate``
+spelling for cross-checking the GEMM paths (tests pin their equality);
+it is intentionally NOT the production scorer — the interpreted
+higher-order-function fold measured ~0.8M cosines/s vs ~17M for the
+GEMM on 64-dim vectors.
+
+Parity: the reference ships vector compute as custom kernels over Arrow
+buffers (/root/reference/src/cudarc_sum_udaf.rs:115-161 — device GEMV-
+style reduction); the Spark-first equivalent is Arrow-batched NumPy
+inside mapInPandas, which BLAS-vectorizes on the executor.
 """
 
 from __future__ import annotations
@@ -25,12 +39,23 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Float64 dot product of two array<float> columns (JVM fold)."""
+    """Float64 dot product of two array<float> columns (JVM fold).
+
+    Column-expression spelling for use inside larger codegen expressions
+    (dedup pair scoring, parity tests). Hot loops should prefer the
+    GEMM paths below — the interpreted lambda costs ~16x per element.
+    """
     prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
 
@@ -51,36 +76,50 @@ _SCORED_SCHEMA = StructType(
     ]
 )
 
+_BUCKET_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType()),
+        StructField("table", IntegerType()),
+        StructField("bucket", LongType()),
+    ]
+)
 
-def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
-    """Exact per-query top-k without a window over the full scored set.
 
-    Stage 1 (mapInPandas, NO shuffle): each partition keeps only its own
-    top-k per query — a running merge across Arrow batches, so partition
-    memory is O(queries_seen * k), never partition size. Stage 2: the
-    global window ranks the surviving n_partitions * n_queries * k rows —
-    a tiny relation regardless of corpus size. At 100 TB this replaces
-    "shuffle every score into n_queries tasks, sort corpus-size rows"
-    with "shuffle n_partitions * k rows per query".
+def _rows_matrix(col: pd.Series) -> np.ndarray:
+    """Stack an Arrow list column into an (n, dim) float64 matrix."""
+    return np.stack(col.to_list()).astype(np.float64)
 
-    Ranking is (cosine DESC, vec_id ASC) at full double precision in both
-    stages, so results are identical to the single-window spelling.
-    """
 
-    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best: pd.DataFrame | None = None
-        for pdf in batches:
-            cand = pdf if best is None else pd.concat((best, pdf))
-            cand = cand.sort_values(
-                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
-            )
-            best = cand.groupby("query_id", sort=False).head(k)
-        if best is not None:
-            yield best
+def _l2_normalize(M: np.ndarray) -> np.ndarray:
+    """Row-normalize with a zero-vector guard: an all-zero embedding
+    keeps cosine 0 instead of NaN (whose sort placement differs between
+    NumPy and the JVM/SQL paths)."""
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    return M / np.where(n == 0, 1.0, n)
 
-    pruned = scored.select("query_id", "vec_id", "cosine").mapInPandas(
-        local_topk, _SCORED_SCHEMA
+
+def _query_matrix(queries: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Collect the (small) query set: (ids, L2-normalized float64 rows)."""
+    qpd = queries.select("vec_id", "embedding").toPandas()
+    qids = qpd["vec_id"].to_numpy().astype("int64")
+    return qids, _l2_normalize(_rows_matrix(qpd["embedding"]))
+
+
+def _merge_topk(best: pd.DataFrame | None, batch: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Running per-query top-k merge across Arrow batches — partition
+    memory stays O(queries_seen * k), never partition size."""
+    cand = batch if best is None else pd.concat((best, batch))
+    cand = cand.sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
     )
+    return cand.groupby("query_id", sort=False).head(k)
+
+
+def _final_topk(pruned: DataFrame, k: int) -> DataFrame:
+    """Stage 2 of the two-stage top-k: rank the n_partitions * k
+    survivors per query — a tiny relation regardless of corpus size.
+    Ranking is (cosine DESC, vec_id ASC) at full double precision, so
+    results are identical to a single window over all scores."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         pruned.withColumn("rank", F.row_number().over(w))
@@ -91,58 +130,89 @@ def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
     )
 
 
-def cosine_topk_bruteforce(
-    corpus: DataFrame, queries: DataFrame, k: int = 10
-) -> DataFrame:
-    """Exact top-k neighbors per query vector.
+def _two_stage_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over a pre-scored relation without a window
+    over the full scored set: partition-local prune (mapInPandas, NO
+    shuffle), then the global window ranks n_partitions * n_queries * k
+    rows. At 100 TB this replaces "shuffle every score into n_queries
+    tasks" with "shuffle n_partitions * k rows per query"."""
 
-    ``queries`` (vec_id, embedding) is broadcast; corpus partitions never
-    move — scoring is one corpus pass, then the two-stage top-k keeps the
-    shuffle at n_partitions * k rows per query. Ties broken by vec_id so
-    results are deterministic.
+    def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            best = _merge_topk(best, pdf, k)
+        if best is not None:
+            yield best
+
+    pruned = scored.select("query_id", "vec_id", "cosine").mapInPandas(
+        local_topk, _SCORED_SCHEMA
+    )
+    return _final_topk(pruned, k)
+
+
+def _rerank_pairs_vectorized(
+    cand: DataFrame, corpus: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine rerank of a (query_id, vec_id) candidate relation.
+
+    Embeddings are joined back only for the candidate set; scoring is a
+    vectorized row-wise dot per Arrow batch (einsum — each row pairs
+    with its own query, so no full GEMM is needed), with the partition-
+    local top-k prune fused into the same pass. The query matrix rides
+    the task closure; the candidate x corpus join is the only shuffle.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-        )
-    )
-    c = corpus.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ce"))
-    scored = q.crossJoin(c).where(F.col("query_id") != F.col("vec_id"))
-    cs = cosine_similarity(F.col("qe"), F.col("ce"))
-    return _two_stage_topk(
-        scored.select("query_id", "vec_id", cs.alias("cosine")), k
-    )
+    qids, Qn = _query_matrix(queries)
+    qindex = pd.Series(np.arange(len(qids)), index=qids)
+
+    joined = cand.join(
+        corpus.select("vec_id", F.col("embedding").alias("ce")), "vec_id"
+    ).select("query_id", "vec_id", "ce")
+
+    def score_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Cn = _l2_normalize(_rows_matrix(pdf["ce"]))
+            qi = qindex[pdf["query_id"].to_numpy()].to_numpy()
+            cos = np.einsum("ij,ij->i", Cn, Qn[qi])
+            batch = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy().astype("int64"),
+                    "vec_id": pdf["vec_id"].to_numpy().astype("int64"),
+                    "cosine": cos,
+                }
+            )
+            best = _merge_topk(best, batch, k)
+        if best is not None:
+            yield best
+
+    pruned = joined.mapInPandas(score_prune, _SCORED_SCHEMA)
+    return _final_topk(pruned, k)
 
 
 def cosine_topk_vectorized(
     corpus: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:
-    """Exact top-k, NumPy-GEMM edition: scoring AND partition-local
-    pruning fused into one Arrow pass over the corpus.
+    """Exact top-k neighbors per query vector — NumPy-GEMM scoring AND
+    partition-local pruning fused into one Arrow pass over the corpus.
 
-    The JVM spelling above pays an interpreted lambda per element
-    (measured ~0.8M cosines/s on 64-dim vectors); here each Arrow batch
-    becomes one (batch x dim) @ (dim x queries) matrix multiply —
-    measured ~50x more scoring throughput on the same corpus. The query
-    set is collected to the driver and shipped in the task closure (it
-    is small by construction — the same assumption the broadcast join
-    makes). Results are identical modulo float64 summation order
-    (~1e-16), which round(6) absorbs; ties break by vec_id in both.
-
-    Same 100 TB shape as the JVM path: one corpus pass, no shuffle until
-    the n_partitions x k survivors merge in the final tiny window.
+    Each Arrow batch becomes one (batch x dim) @ (dim x queries) float64
+    matrix multiply. Results are identical to the JVM fold spelling
+    modulo float64 summation order (~1e-16), which round(6) absorbs;
+    ties break by vec_id in both. Same 100 TB shape: one corpus pass,
+    no shuffle until the n_partitions x k survivors merge in the final
+    tiny window.
     """
-    qpd = queries.select("vec_id", "embedding").toPandas()
-    qids = qpd["vec_id"].to_numpy().astype("int64")
-    Q = np.stack(qpd["embedding"].to_list()).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids, Qn = _query_matrix(queries)
 
     def score_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         best: pd.DataFrame | None = None
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf["vec_id"].to_numpy().astype("int64")
-            C = np.stack(pdf["embedding"].to_list()).astype(np.float64)
-            Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = _l2_normalize(_rows_matrix(pdf["embedding"]))
             cos = Cn @ Qn.T  # (batch, n_queries)
             frames = []
             for j, qid in enumerate(qids):
@@ -156,25 +226,47 @@ def cosine_topk_vectorized(
                         {"query_id": qid, "vec_id": ij[order], "cosine": cj[order]}
                     )
                 )
-            batch_best = pd.concat(frames)
-            cand = batch_best if best is None else pd.concat((best, batch_best))
-            cand = cand.sort_values(
-                ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
-            )
-            best = cand.groupby("query_id", sort=False).head(k)
+            best = _merge_topk(best, pd.concat(frames), k)
         if best is not None:
             yield best
 
     pruned = corpus.select("vec_id", "embedding").mapInPandas(
         score_prune, _SCORED_SCHEMA
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    return (
-        pruned.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
+    return _final_topk(pruned, k)
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (production spelling).
+
+    Delegates to the GEMM scorer — brute force means every (query,
+    corpus) pair is scored, not that the scoring loop is interpreted.
+    ``cosine_topk_jvm_fold`` retains the pure-JVM spelling for parity
+    checks.
+    """
+    return cosine_topk_vectorized(corpus, queries, k)
+
+
+def cosine_topk_jvm_fold(
+    corpus: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact top-k with the cosine as a JVM ``zip_with``/``aggregate``
+    fold — zero Python in the scoring loop, but the higher-order
+    functions run interpreted (~0.8M cos/s measured). Kept as the
+    cross-check twin for the GEMM paths; not used by any gated query.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
         )
+    )
+    c = corpus.select(F.col("vec_id").alias("vec_id"), F.col("embedding").alias("ce"))
+    scored = q.crossJoin(c).where(F.col("query_id") != F.col("vec_id"))
+    cs = cosine_similarity(F.col("qe"), F.col("ce"))
+    return _two_stage_topk(
+        scored.select("query_id", "vec_id", cs.alias("cosine")), k
     )
 
 
@@ -192,68 +284,89 @@ def ivf_topk(
 
     Centroids here are a deterministic corpus sample (lowest vec_ids) so
     the correctness oracle can replay cell assignment exactly; at scale
-    you would k-means them — the operator contract (assign, probe,
-    rerank) is unchanged by how centroids are chosen. Cell assignment is
-    one broadcast join + max_by aggregation (map-side combinable, no
-    window over the expanded relation); the rerank reuses the two-stage
-    exact top-k.
+    you would k-means them (``ivf_kmeans_centroids`` below) — the
+    operator contract (assign, probe, rerank) is unchanged by how
+    centroids are chosen. Cell assignment is one GEMM argmax per Arrow
+    batch (centroids ride the closure; ties to the LOWEST cid, matching
+    the oracle's ORDER BY ccos DESC, cid); query probes are computed on
+    the driver from the same matrices (the query set is already
+    collected for the rerank). The rerank is the shared vectorized
+    candidate scorer.
     """
-    cent = F.broadcast(
-        corpus.where(F.col("vec_id") < n_clusters).select(
-            F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    cent_pd = (
+        corpus.where(F.col("vec_id") < n_clusters)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")  # ascending cid => argmax tie -> lowest cid
+    )
+    cids = cent_pd["vec_id"].to_numpy().astype("int64")
+    Centn = _l2_normalize(_rows_matrix(cent_pd["embedding"]))
+    return _ivf_probe_rerank(corpus, queries, cids, Centn, k, n_probe)
+
+
+def _ivf_probe_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cids: np.ndarray,
+    Centn: np.ndarray,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF back half: GEMM cell assignment, driver-side probe
+    selection, vectorized candidate rerank. ``cids`` must be ascending
+    so argmax's first-max tiebreak picks the lowest cell id."""
+    assign_schema = StructType(
+        [StructField("vec_id", LongType()), StructField("cell", LongType())]
+    )
+
+    def assign_cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            Cn = _l2_normalize(_rows_matrix(pdf["embedding"]))
+            cell = cids[np.argmax(Cn @ Centn.T, axis=1)]
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy().astype("int64"), "cell": cell}
+            )
+
+    assign = corpus.select("vec_id", "embedding").mapInPandas(
+        assign_cells, assign_schema
+    )
+
+    # Query probes: n_probe nearest cells per query, computed on the
+    # driver (queries are tiny and already collected for the rerank).
+    qids, Qn = _query_matrix(queries)
+    qcos = Qn @ Centn.T  # (n_queries, n_clusters)
+    probe_rows = []
+    for i, qid in enumerate(qids):
+        order = np.lexsort((cids, -qcos[i]))[:n_probe]  # ccos DESC, cid ASC
+        probe_rows.extend((int(qid), int(c)) for c in cids[order])
+    probes = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            probe_rows, schema="query_id long, cell long"
         )
     )
-    scored_cells = (
-        corpus.select("vec_id", "embedding")
-        .crossJoin(cent)
-        .select(
-            "vec_id",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("cemb")).alias("ccos"),
-        )
-    )
-    # max (cosine, then LOWEST cid on ties): struct max is lexicographic,
-    # so negate cid — mirrors the oracle's ORDER BY ccos DESC, cid
-    assign = scored_cells.groupBy("vec_id").agg(
-        F.expr("max_by(cid, struct(ccos, -cid))").alias("cell")
-    )
-    qcells = (
-        queries.select(F.col("vec_id").alias("query_id"), "embedding")
-        .crossJoin(cent)
-        .select(
-            "query_id",
-            "cid",
-            cosine_similarity(F.col("embedding"), F.col("cemb")).alias("ccos"),
-        )
-    )
-    wq = Window.partitionBy("query_id").orderBy(F.col("ccos").desc(), F.col("cid"))
-    probes = (
-        qcells.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= n_probe)
-        .select("query_id", F.col("cid").alias("cell"))
-    )
+
     # each corpus vector lives in exactly one cell -> no duplicate pairs
-    cand = probes.join(assign, "cell").where(
-        F.col("query_id") != F.col("vec_id")
-    ).select("query_id", "vec_id")
-    ce = corpus.select("vec_id", F.col("embedding").alias("ce"))
-    qe = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    cand = (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "vec_id")
     )
-    scored = cand.join(ce, "vec_id").join(qe, "query_id")
-    cs = cosine_similarity(F.col("qe"), F.col("ce"))
-    return _two_stage_topk(scored.select("query_id", "vec_id", cs.alias("cosine")), k)
+    return _rerank_pairs_vectorized(cand, corpus, queries, k)
 
 
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
-    """Deterministic +-1 hyperplanes (seeded NumPy, tiny, broadcast as
-    literals into the plan)."""
+    """Deterministic +-1 hyperplanes (seeded NumPy, tiny, shipped in the
+    task closure / inlined by the oracle)."""
     rng = np.random.default_rng(seed)
     return (rng.integers(0, 2, size=(planes, dim)) * 2.0 - 1.0).tolist()
 
 
 def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
-    """Signed-random-projection bucket id: bit p = sign(emb . plane_p)."""
+    """Signed-random-projection bucket id: bit p = sign(emb . plane_p).
+    Column-expression spelling (interpreted fold) — the hot path uses
+    the GEMM bucketing inside ``lsh_ann_topk``."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         proj = dot(emb, F.array(*[F.lit(v) for v in plane]).cast("array<float>"))
@@ -263,6 +376,21 @@ def lsh_bucket(emb: Column, planes: list[list[float]]) -> Column:
             )
         )
     return bucket
+
+
+def _bucket_ids(E: np.ndarray, H: np.ndarray, planes: int, num_tables: int) -> np.ndarray:
+    """(n, num_tables) int64 bucket ids from one (n, T*P) projection GEMM.
+
+    Bit p of table t is sign(e . H[t*P + p]) — float64 dot, strictly
+    positive test, matching the JVM/SQL fold bit-for-bit away from the
+    measure-zero proj==0 boundary.
+    """
+    bits = (E @ H.T > 0).astype(np.int64)  # (n, T*P)
+    weights = 1 << np.arange(planes, dtype=np.int64)
+    return np.stack(
+        [bits[:, t * planes : (t + 1) * planes] @ weights for t in range(num_tables)],
+        axis=1,
+    )
 
 
 def lsh_ann_topk(
@@ -279,42 +407,62 @@ def lsh_ann_topk(
 
     Recall knobs: fewer ``planes`` -> bigger buckets; more ``num_tables``
     -> more chances to collide (miss prob for a pair with cosine angle
-    theta is (1 - (1 - theta/pi)^planes)^num_tables). The bucket relation
-    is slim (ids + bucket only); embeddings are joined back only for the
+    theta is (1 - (1 - theta/pi)^planes)^num_tables). Corpus buckets are
+    one projection GEMM per Arrow batch (hyperplanes ride the closure);
+    query buckets are computed on the driver. The bucket relation is
+    slim (ids + bucket only); embeddings are joined back only for the
     candidate set — at scale the corpus side of that join is a
     pre-bucketed index, so the probe is co-partitioned, and the top-k is
     the same two-stage prune as the exact path.
     """
     tables = [
-        _hyperplanes(dim, planes, seed + t) for t in range(num_tables)
+        np.array(_hyperplanes(dim, planes, seed + t)) for t in range(num_tables)
     ]
+    H = np.concatenate(tables, axis=0)  # (T*P, dim)
 
-    def buckets(df: DataFrame, id_alias: str) -> DataFrame:
-        per_table = F.array(
-            *[lsh_bucket(F.col("embedding"), hp) for hp in tables]
-        )
-        return df.select(
-            F.col("vec_id").alias(id_alias),
-            F.posexplode(per_table).alias("table", "bucket"),
-        )
+    def corpus_buckets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            E = _rows_matrix(pdf["embedding"])
+            B = _bucket_ids(E, H, planes, num_tables)  # (n, T)
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(
+                        pdf["vec_id"].to_numpy().astype("int64"), num_tables
+                    ),
+                    "table": np.tile(
+                        np.arange(num_tables, dtype=np.int32), n
+                    ),
+                    "bucket": B.reshape(-1),
+                }
+            )
 
-    cb = buckets(corpus, "vec_id")
-    qb = F.broadcast(buckets(queries, "query_id"))
+    cb = corpus.select("vec_id", "embedding").mapInPandas(
+        corpus_buckets, _BUCKET_SCHEMA
+    )
+
+    qpd = queries.select("vec_id", "embedding").toPandas()
+    QB = _bucket_ids(_rows_matrix(qpd["embedding"]), H, planes, num_tables)
+    q_rows = [
+        (int(qid), int(t), int(QB[i, t]))
+        for i, qid in enumerate(qpd["vec_id"].to_numpy())
+        for t in range(num_tables)
+    ]
+    qb = F.broadcast(
+        corpus.sparkSession.createDataFrame(
+            q_rows, schema="query_id long, table int, bucket long"
+        )
+    )
+
     candidates = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("query_id") != F.col("vec_id"))
         .select("query_id", "vec_id")
         .distinct()
     )
-    ce = corpus.select("vec_id", F.col("embedding").alias("ce"))
-    qe = F.broadcast(
-        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    )
-    scored = candidates.join(ce, "vec_id").join(qe, "query_id")
-    cs = cosine_similarity(F.col("qe"), F.col("ce"))
-    return _two_stage_topk(
-        scored.select("query_id", "vec_id", cs.alias("cosine")), k
-    )
+    return _rerank_pairs_vectorized(candidates, corpus, queries, k)
 
 
 def quantize_embeddings(embs: DataFrame, vec_col: str = "embedding") -> DataFrame:

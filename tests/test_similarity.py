@@ -99,7 +99,7 @@ def test_vectorized_topk_equals_jvm_spelling(spark):
     import numpy as np
 
     from datafusion_gpu_spark.operators.similarity import (
-        cosine_topk_bruteforce,
+        cosine_topk_jvm_fold,
         cosine_topk_vectorized,
     )
 
@@ -108,8 +108,45 @@ def test_vectorized_topk_equals_jvm_spelling(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     q = df.where("vec_id < 5")
     key = lambda r: (r.query_id, r.rank)  # noqa: E731
-    jvm = sorted(cosine_topk_bruteforce(df, q, k=7).collect(), key=key)
+    jvm = sorted(cosine_topk_jvm_fold(df, q, k=7).collect(), key=key)
     vec = sorted(cosine_topk_vectorized(df, q, k=7).collect(), key=key)
     assert [(r.query_id, r.vec_id, r.cosine, r.rank) for r in jvm] == [
         (r.query_id, r.vec_id, r.cosine, r.rank) for r in vec
     ]
+
+
+def test_zero_vector_corpus_row_does_not_nan(spark):
+    # an all-zero embedding must score cosine 0, not NaN (NaN sort
+    # placement differs between NumPy and the JVM/SQL paths)
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import cosine_topk_vectorized
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(20)]
+    rows.append((20, [0.0] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    res = cosine_topk_vectorized(df, df.where("vec_id < 2"), k=21).toPandas()
+    assert not res["cosine"].isna().any()
+    zero_rows = res[res.vec_id == 20]
+    assert (zero_rows["cosine"] == 0.0).all()
+
+
+def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
+    # with n_probe == n_clusters every cell is searched, so IVF must
+    # reduce to the exact answer
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=DIM)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id < 3")
+    key = lambda d: d.sort_values(["query_id", "rank"]).reset_index(drop=True)  # noqa: E731
+    exact = key(cosine_topk_vectorized(df, q, k=5).toPandas())
+    ivf = key(ivf_topk(df, q, k=5, n_clusters=8, n_probe=8).toPandas())
+    assert exact.equals(ivf)
