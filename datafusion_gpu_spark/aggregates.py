@@ -35,12 +35,14 @@ below: built-in JVM partial aggregation, identical f32 result semantics.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import FloatType
+from pyspark.sql.types import DoubleType, FloatType, StructField, StructType
 
 try:  # the `cuda` feature-flag analogue: probe, don't require
     import cupy as _cp  # type: ignore
@@ -105,11 +107,20 @@ def sum_arrow_cpu(v: pd.Series) -> np.float32:  # type: ignore[misc]
 def register_aggregates(spark: SparkSession) -> None:
     """SQL-name registration — the ``ctx.register_udaf`` analogue
     (src/lib.rs:53-55). Reference names are kept as aliases so the
-    reference's own README queries (README.md:71-75) run verbatim."""
+    reference's own README queries (README.md:71-75) run verbatim.
+
+    A SQL-registered Python aggregate is necessarily the single-shot
+    grouped-agg pandas UDF (Spark exposes no partial/merge hook for
+    Python UDAFs in SQL) — ``sum_arrow_unfused`` names that limitation
+    explicitly. The production spelling of the same kernel is
+    ``sum_f32_partial_final`` below: identical result semantics, but the
+    shuffle carries per-partition partials instead of whole groups.
+    """
     spark.udf.register("sum_arrow", sum_arrow)
     spark.udf.register("sum_arrow_cpu", sum_arrow_cpu)
     spark.udf.register("sum_cudarc", sum_arrow)  # GPU-preferring alias
     spark.udf.register("sum_cubecl", sum_arrow_cpu)
+    spark.udf.register("sum_arrow_unfused", sum_arrow_cpu)  # explicit demo name
 
 
 def sum_f32_col(col: str | Column) -> Column:
@@ -130,3 +141,78 @@ def sum_f32_distributed(df: DataFrame, value_col: str, *group_cols: str) -> Data
     if group_cols:
         return df.groupBy(*group_cols).agg(agg)
     return df.agg(agg)
+
+
+def sum_f32_partial_final(
+    df: DataFrame, value_col: str, *group_cols: str, alias: str | None = None
+) -> DataFrame:
+    """Two-phase spelling of the custom f32 sum with the Python kernel
+    kept in the loop — the Spark analogue of the accumulator protocol
+    the reference lacks (``state()``/``merge_batch``, cubecl rs:215-232):
+
+    - stage 1 (mapInPandas, map-side combine, NO shuffle): the NumPy
+      kernel coerces values to float32 and reduces them in float64 per
+      group per PARTITION — ``update_batch`` (cudarc rs:116) — emitting
+      one float64 partial row per (group, partition);
+    - stage 2: the built-in JVM sum merges the partials
+      (``merge_batch``) and a single cast to float emits the f32 result
+      (``evaluate``, cudarc rs:146-148).
+
+    The shuffle carries one row per group per partition instead of every
+    input row — the grouped-agg pandas UDF registered for SQL ships
+    whole groups to one Python worker (``sum_arrow_unfused``); this is
+    the 100 TB spelling of the same semantics. Partials stay float64 so
+    the result is bit-identical to a single f64 accumulation (modulo
+    summation order, which the final f32 cast absorbs): nulls skipped,
+    all-null group -> NULL, non-numeric input rejected.
+    """
+    out = alias or f"sum_{value_col}"
+    gcols = list(group_cols)
+    pschema = StructType(
+        [df.schema[g] for g in gcols] + [StructField("partial", DoubleType())]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        frames: list[pd.DataFrame] = []
+        for pdf in batches:
+            v = pdf[value_col].to_numpy()
+            if v.dtype == object or v.dtype.kind not in "iuf":
+                raise TypeError(
+                    f"sum_f32_partial_final: unsupported input dtype {v.dtype}"
+                )
+            # null -> NaN so all-null groups keep their key with a NULL
+            # partial (min_count=1) instead of vanishing from the output
+            mask = pd.isna(v)
+            v64 = v.astype(np.float32, copy=False).astype(np.float64)
+            if mask.any():
+                v64 = np.where(mask, np.nan, v64)
+            if gcols:
+                sub = pdf[gcols].copy()
+                sub["partial"] = v64
+                # combine per batch: partition memory stays
+                # O(batches * distinct_groups), never partition rows
+                frames.append(
+                    sub.groupby(gcols, dropna=False, sort=False)["partial"]
+                    .sum(min_count=1)
+                    .reset_index()
+                )
+            else:
+                frames.append(pd.DataFrame({"partial": [np.nansum(v64)]})
+                              if (~mask).any() else pd.DataFrame({"partial": [np.nan]}))
+        if not frames:
+            return
+        allp = pd.concat(frames)
+        if gcols:
+            yield (
+                allp.groupby(gcols, dropna=False, sort=False)["partial"]
+                .sum(min_count=1)
+                .reset_index()
+            )
+        else:
+            yield pd.DataFrame({"partial": [allp["partial"].sum(min_count=1)]})
+
+    pdf_partials = df.select(*gcols, value_col).mapInPandas(partials, pschema)
+    agg = F.sum("partial").cast("float").alias(out)
+    if gcols:
+        return pdf_partials.groupBy(*gcols).agg(agg)
+    return pdf_partials.agg(agg)

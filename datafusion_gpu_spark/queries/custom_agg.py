@@ -13,18 +13,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_gpu_spark.aggregates import sum_arrow_cpu, sum_f32_col
+from datafusion_gpu_spark.aggregates import (
+    sum_arrow_cpu,
+    sum_f32_col,
+    sum_f32_partial_final,
+)
 from datafusion_gpu_spark.queries import load, sql_query
 
-_GROUPED = """
-SELECT l_returnflag AS flag, sum_arrow_cpu(l_quantity) AS sum_qty_f32
-FROM lineitem
-GROUP BY l_returnflag
-"""
+
+def _grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference-named custom sum, production spelling: the NumPy kernel
+    computes per-partition partials (map-side combine) and the JVM merges
+    them — the shuffle carries one row per (flag, partition), not every
+    lineitem row. Same result semantics as the grouped-agg pandas UDF
+    (see ``custom_sum_f32_unfused`` for that single-shot spelling)."""
+    load(spark, sf_dir)
+    return sum_f32_partial_final(
+        spark.table("lineitem").select(F.col("l_returnflag").alias("flag"), "l_quantity"),
+        "l_quantity",
+        "flag",
+        alias="sum_qty_f32",
+    )
+
 
 _GROUPED_DUCK = """
 SELECT l_returnflag AS flag,
        CAST(SUM(CAST(l_quantity AS REAL)) AS REAL) AS sum_qty_f32
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+# the single-shot grouped-agg pandas UDF: whole groups ship to one
+# Python worker — the reference's own limitation (no GroupsAccumulator,
+# cubecl rs:81-83), kept as an explicitly named demo
+_UNFUSED = """
+SELECT l_returnflag AS flag, sum_arrow_unfused(l_quantity) AS sum_qty_f32
 FROM lineitem
 GROUP BY l_returnflag
 """
@@ -75,7 +98,8 @@ GROUP BY l_returnflag
 """
 
 QUERIES = {
-    "custom_sum_f32_grouped": sql_query(_GROUPED),
+    "custom_sum_f32_grouped": _grouped,
+    "custom_sum_f32_unfused": sql_query(_UNFUSED),
     "custom_sum_f32_global": sql_query(_GLOBAL),
     "custom_sum_f32_scalable": _scalable,
     "custom_sum_f32_dataframe_api": _udaf_api,
@@ -83,6 +107,7 @@ QUERIES = {
 
 ORACLES = {
     "custom_sum_f32_grouped": _GROUPED_DUCK,
+    "custom_sum_f32_unfused": _GROUPED_DUCK,
     "custom_sum_f32_global": _GLOBAL_DUCK,
     "custom_sum_f32_scalable": _SCALABLE_DUCK,
     "custom_sum_f32_dataframe_api": _UDAF_API_DUCK,

@@ -105,6 +105,73 @@ def test_sql_registration_names(spark):
     register_aggregates(spark)
     df = spark.range(0, 100).select((F.col("id") * 1.0).cast("float").alias("v"))
     df.createOrReplaceTempView("udaf_probe")
-    for name in ("sum_arrow", "sum_arrow_cpu", "sum_cudarc", "sum_cubecl"):
+    for name in (
+        "sum_arrow",
+        "sum_arrow_cpu",
+        "sum_cudarc",
+        "sum_cubecl",
+        "sum_arrow_unfused",
+    ):
         [row] = spark.sql(f"SELECT {name}(v) AS s FROM udaf_probe").collect()
         assert row.s == pytest.approx(4950.0)
+
+
+def test_partial_final_matches_udaf(spark):
+    from datafusion_gpu_spark.aggregates import sum_f32_partial_final
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 7).alias("g"), (F.col("id") / 3.0).cast("float").alias("v")
+    ).repartition(16)
+    a = {r.g: r.s for r in sum_f32_partial_final(df, "v", "g", alias="s").collect()}
+    b = {
+        r.g: r.s
+        for r in df.groupBy("g").agg(sum_arrow_cpu(F.col("v")).alias("s")).collect()
+    }
+    assert set(a) == set(b)
+    for g in a:
+        assert a[g] == pytest.approx(b[g], rel=1e-6)
+
+
+def test_partial_final_all_null_group_keeps_key(spark, typed_df):
+    from datafusion_gpu_spark.aggregates import sum_f32_partial_final
+
+    out = {r.g: r.s for r in sum_f32_partial_final(typed_df, "f", "g", alias="s").collect()}
+    assert out["a"] == pytest.approx(3.75)
+    assert "b" in out and out["b"] is None  # all-null group survives as NULL
+
+
+def test_partial_final_global_and_empty(spark, typed_df):
+    from datafusion_gpu_spark.aggregates import sum_f32_partial_final
+
+    [row] = sum_f32_partial_final(typed_df, "f", alias="s").collect()
+    assert row.s == pytest.approx(3.75)
+    [row] = sum_f32_partial_final(
+        typed_df.where(F.lit(False)), "f", alias="s"
+    ).collect()
+    assert row.s is None  # SQL SUM over empty input -> one NULL row
+
+
+def test_partial_final_rejects_strings(typed_df):
+    from datafusion_gpu_spark.aggregates import sum_f32_partial_final
+
+    with pytest.raises(Exception, match="unsupported input dtype"):
+        sum_f32_partial_final(typed_df, "s", "g").collect()
+
+
+def test_partial_final_plan_shuffles_partials_only(spark):
+    # the scale contract: the Python boundary is BEFORE the exchange
+    # (map-side combine), and no whole-group AggregateInPandas exists
+    from datafusion_gpu_spark.aggregates import sum_f32_partial_final
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") % 3).alias("g"), (F.col("id") * 1.0).cast("float").alias("v")
+    )
+    plan = (
+        sum_f32_partial_final(df, "v", "g")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "AggregateInPandas" not in plan
+    assert "MapInPandas" in plan
+    assert "partial_sum" in plan
