@@ -356,6 +356,50 @@ def _ivf_probe_rerank(
     return _rerank_pairs_vectorized(cand, corpus, queries, k)
 
 
+def ivf_kmeans_centroids(
+    corpus: DataFrame, n_clusters: int = 16, n_iter: int = 20, seed: int = 42
+) -> np.ndarray:
+    """K-means centroids for IVF via Spark ML KMeans (k-means|| init,
+    distributed Lloyd iterations, cosine distance — the real-recall
+    path the deterministic id-sample mode trades away for oracle
+    replayability). Returns the (n_clusters, dim) L2-normalized
+    centroid matrix; cell ids are the 0..n_clusters-1 row positions.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(
+        k=n_clusters, maxIter=n_iter, seed=seed, distanceMeasure="cosine"
+    ).fit(feat)
+    return _l2_normalize(np.stack(model.clusterCenters()))
+
+
+def ivf_topk_kmeans(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    n_iter: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with k-means centroids — same assign/probe/rerank contract
+    as ``ivf_topk``, but cells are learned (Spark ML k-means||, cosine
+    distance) instead of sampled, so cell populations are balanced and
+    probe recall is governed by cluster geometry rather than luck of the
+    id order. Not SQL-replayable (k-means|| is iterative and
+    initialization-dependent), so the gate records a rows-only check;
+    the planted-cluster recall test pins that this mode beats the
+    id-sample baseline.
+    """
+    Centn = ivf_kmeans_centroids(corpus, n_clusters, n_iter, seed)
+    cids = np.arange(n_clusters, dtype=np.int64)
+    return _ivf_probe_rerank(corpus, queries, cids, Centn, k, n_probe)
+
+
 def _hyperplanes(dim: int, planes: int, seed: int) -> list[list[float]]:
     """Deterministic +-1 hyperplanes (seeded NumPy, tiny, shipped in the
     task closure / inlined by the oracle)."""

@@ -281,6 +281,17 @@ def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means-centroid IVF — rows-only by design: k-means|| is
+    iterative and initialization-dependent, so no SQL oracle can replay
+    it; the planted-cluster recall test pins quality instead."""
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.ivf_topk_kmeans(
+        embs, embs.where("vec_id < 8"), k=5, n_clusters=16, n_probe=4
+    )
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(_docs(spark, sf_dir))
 
@@ -440,6 +451,7 @@ QUERIES = {
     "sim_topk_vectorized": _sim_topk_vectorized,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
+    "sim_topk_ivf_kmeans": _sim_topk_ivf_kmeans,
     "sim_quantize_int8": _sim_quantize,
     "text_quality": _text_quality,
     "text_lang_id": _text_lang_id,

@@ -132,6 +132,55 @@ def test_zero_vector_corpus_row_does_not_nan(spark):
     assert (zero_rows["cosine"] == 0.0).all()
 
 
+def test_ivf_kmeans_recall_beats_id_sample(spark):
+    # planted corpus adversarial to the id-sample centroid mode: the 8
+    # lowest vec_ids (the sampled centroids) all sit in ONE cluster, so
+    # sample-mode cell assignment is noise and probing 2 of 8 cells
+    # recalls ~25%; k-means recovers the true cells and the query's
+    # top-k neighbors live in its own cluster
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        ivf_topk,
+        ivf_topk_kmeans,
+    )
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(8, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    # ids 0..7 — the centroids id-sample mode will pick — are a NEAR-
+    # IDENTICAL sub-blob of cluster 0 (0.01 noise): every other point's
+    # cell scores then differ only by its own 0.15 noise projection, so
+    # sample-mode assignment is ~uniform across the 8 cells and a
+    # 2-of-8 probe recalls ~25%
+    degenerate = centers[0] + 0.01 * rng.normal(size=(8, DIM))
+    vecs = [degenerate]
+    for c in range(8):
+        vecs.append(centers[c] + 0.15 * rng.normal(size=(40, DIM)))
+    all_vecs = np.concatenate(vecs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one query per distinct cluster (first point of clusters 1, 3, 5)
+    qids = [48, 128, 208]
+    q = df.where(f"vec_id IN ({','.join(map(str, qids))})")
+
+    def recall(res, exact):
+        tot = 0.0
+        for qid in qids:
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(res[res.query_id == qid]["vec_id"])
+            tot += len(e & a) / len(e)
+        return tot / len(qids)
+
+    exact = cosine_topk_vectorized(df, q, k=10).toPandas()
+    sample = ivf_topk(df, q, k=10, n_clusters=8, n_probe=2).toPandas()
+    kmeans = ivf_topk_kmeans(df, q, k=10, n_clusters=8, n_probe=2).toPandas()
+    r_sample, r_kmeans = recall(sample, exact), recall(kmeans, exact)
+    assert r_kmeans > r_sample
+    assert r_kmeans >= 0.9
+
+
 def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
     # with n_probe == n_clusters every cell is searched, so IVF must
     # reduce to the exact answer
