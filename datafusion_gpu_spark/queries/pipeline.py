@@ -425,6 +425,17 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(spark.table("events"), gap_minutes=30)
 
 
+def _streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the idempotent foreachBatch parquet
+    sink, graded by the SAME oracle as the batch twin (events_tumbling):
+    stream == batch is checked by the driver gate itself, not only by
+    pytest equality."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_tumbling_counts(spark, sf_dir)
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     ev = spark.table("events")
@@ -467,6 +478,7 @@ QUERIES = {
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
     "events_tumbling": _events_tumbling,
+    "streaming_tumbling_counts": _streaming_tumbling_counts,
     "events_hopping": _events_hopping,
     "events_session_native": _events_session_native,
     "events_sessionize": _events_sessionize,
@@ -785,6 +797,13 @@ SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_rows
 FROM events GROUP BY event_type
 """,
     "events_tumbling": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    # the streaming twin lands through the foreachBatch sink but must
+    # equal the identical batch aggregation
+    "streaming_tumbling_counts": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
