@@ -46,24 +46,31 @@ TYPES_BENCHES = [
     ("ref_sum_float_100m", 10, "SELECT sum(float) AS s FROM types_100m"),
 ]
 
-#: Registry queries benched against the sf dir (5 samples each — these
-#: scan parquet, so one sample is already thousands of tasks at sf0.1).
+#: Registry queries benched against the sf dir. >=10 samples per query
+#: (medians at 1-4 s wobbled ~20% on 3-5 samples); the soft deadline
+#: below drops straggling queries to 3 samples rather than letting the
+#: driver's run time out with no JSON line at all.
+SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "10"))
+SOFT_DEADLINE_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "480"))
 SF_BENCHES = [
-    ("tpch_q1_pricing_summary", 5),
-    ("tpch_q3_shipping_priority", 5),
-    ("tpch_q5_local_supplier", 5),
-    ("tpch_q6_forecast_revenue", 5),
-    ("tpch_q10_returned_items", 5),
-    ("window_rows_frame", 3),
-    ("dedup_exact", 3),
-    ("dedup_minhash_lsh", 3),
-    ("dedup_ngram_jaccard", 3),
-    ("dedup_simhash", 3),
-    ("text_quality", 3),
-    ("text_pii_redact", 3),
-    ("sim_topk_bruteforce", 3),
-    ("sim_topk_ivf", 3),
-    ("events_sessionize", 3),
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items",
+    "window_rows_frame",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_components",
+    "text_quality",
+    "text_pii_redact",
+    "sim_topk_bruteforce",
+    "sim_topk_vectorized",
+    "sim_topk_ivf",
+    "curation_pack_sequences",
+    "events_sessionize",
 ]
 
 
@@ -95,7 +102,13 @@ def main() -> int:
     types = make_types_df(spark, 1_000_000).coalesce(8).cache()
     types.createOrReplaceTempView("types")
     types.count()  # materialize the cache before any timing
-    types_100m = make_types_df(spark, 100_000_000).cache()
+    # The 100M throughput probe caches ONLY the benched column: Spark's
+    # deserialized row cache cannot column-prune at scan time (the string
+    # column is decoded per row even for sum(float) — measured 246 ms vs
+    # 154 ms), while the reference's Arrow MemTable scan is columnar and
+    # reads just the float buffer. A single-column cached view is the
+    # Spark spelling of that same IO behavior.
+    types_100m = make_types_df(spark, 100_000_000).select("float").cache()
     types_100m.createOrReplaceTempView("types_100m")
     types_100m.count()
     log(f"session + 1M types + {sf_dir} registered in "
@@ -111,11 +124,14 @@ def main() -> int:
         results[name] = round(med, 4)
         log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
 
-    for name, samples in SF_BENCHES:
+    for name in SF_BENCHES:
         if name not in registry:
             log(f"{name}: SKIPPED (not in registry)")
             continue
         fn = registry[name]
+        samples = SAMPLES
+        if time.perf_counter() - t0 > SOFT_DEADLINE_S:
+            samples = min(3, SAMPLES)  # protect the run from timing out
         med = timed_median(lambda: fn(spark, sf_dir).collect(), samples)
         results[name] = round(med, 4)
         log(f"{name}: median {med:.2f} s over {samples} samples")

@@ -96,8 +96,11 @@ def configure_s3a(
 
 def write_arrow_ipc(df: DataFrame, out_dir: str) -> DataFrame:
     """Distributed Arrow IPC (Feather v2) sink: one file per non-empty
-    partition, written executor-side. Returns the manifest (path, rows);
-    collecting the manifest is what triggers the write."""
+    partition, written executor-side. The write happens eagerly inside
+    this call (the executor-side pass is collected internally) and the
+    returned manifest (path, rows) is a local relation — re-evaluating
+    it, task retries aside, can never append a second set of uuid part
+    files into the already-cleaned directory."""
     import shutil
 
     import pyarrow as pa
@@ -124,7 +127,11 @@ def write_arrow_ipc(df: DataFrame, out_dir: str) -> DataFrame:
             writer.close()
             yield pd.DataFrame({"path": [path], "rows": [rows]})
 
-    return df.mapInPandas(write_part, "path string, rows long")
+    manifest_rows = [
+        (r.path, r.rows)
+        for r in df.mapInPandas(write_part, "path string, rows long").collect()
+    ]
+    return df.sparkSession.createDataFrame(manifest_rows, "path string, rows long")
 
 
 def read_arrow_ipc(spark: SparkSession, path: str) -> DataFrame:

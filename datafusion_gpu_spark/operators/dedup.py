@@ -480,6 +480,7 @@ def connected_components(
     # aggregate on the already-checkpointed result instead of a
     # self-join + isEmpty pass per round.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = edges.join(
             labels.select(
@@ -495,8 +496,21 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # silent unconverged labels would let dedup_resolution keep
+        # multiple "keepers" inside one long-diameter cluster
+        import warnings
+
+        warnings.warn(
+            f"connected_components: label propagation still changing after "
+            f"max_iter={max_iter} rounds — labels may split long-diameter "
+            f"components; raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

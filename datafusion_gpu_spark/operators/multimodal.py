@@ -43,14 +43,22 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> "object":
-    """Real codec hook — requires an image library not present in this
-    container. The pipeline around it is exercised via the deterministic
-    fake in ``_fake_decode``."""
-    raise NotImplementedError(
-        "image decoding requires an imaging library (e.g. Pillow/libvips); "
-        "not available in this environment — use extract_features, which "
-        "runs the same mapInPandas plumbing with a deterministic fake"
-    )
+    """Real codec hook: decodes via Pillow when it is importable (any
+    deployment with imaging libs gets real decode with zero code change);
+    this container ships without one, so the error documents the gap.
+    The pipeline around it is exercised via the deterministic fake in
+    ``_fake_decode``."""
+    try:
+        from PIL import Image  # optional dependency, absent in sandbox
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decoding requires an imaging library (e.g. Pillow/libvips); "
+            "not available in this environment — use extract_features, which "
+            "runs the same mapInPandas plumbing with a deterministic fake"
+        ) from exc
+    import io as _io
+
+    return Image.open(_io.BytesIO(payload))
 
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:

@@ -43,15 +43,15 @@ def lang_id(col: Column | str) -> Column:
 
 
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    from datafusion_gpu_spark.context import ensure_parallelism
-
-    docs = ensure_parallelism(docs)
     """Per-document quality features + a composite score in [0, ~1].
 
     Features: char/word counts, mean word length, punctuation ratio,
     stopword ratio. The score formula is arbitrary but fixed — the point
     is the deterministic, scale-free columnar pipeline.
     """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     c = F.col(text_col)
     words = F.split(normalize_text(c), " ")
     n_chars = F.length(c)

@@ -75,7 +75,7 @@ def _roundtrip_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         out,
     )
-    manifest.collect()  # trigger the distributed write
+    assert manifest.count() > 0  # write happened eagerly inside the call
     back = io.read_arrow_ipc(spark, out)
     back.createOrReplaceTempView("customer_rt")
     return spark.sql(

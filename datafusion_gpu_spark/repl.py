@@ -99,11 +99,13 @@ def interact(spark: SparkSession) -> None:
     """The rustyline loop (main.rs:33-78): prompt, history, exit words."""
     try:
         import readline
-
-        if os.path.exists(HISTORY_FILE):
-            readline.read_history_file(HISTORY_FILE)
     except Exception:
         readline = None
+    if readline is not None and os.path.exists(HISTORY_FILE):
+        try:
+            readline.read_history_file(HISTORY_FILE)
+        except Exception:
+            pass  # unreadable history must not disable SAVING history
     try:
         while True:
             try:
