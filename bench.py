@@ -44,6 +44,10 @@ TYPES_BENCHES = [
     # vs BASELINE.md's 7.5 ms / 1M rows (=133M rows/s) is rows-per-second
     # once compute dominates.
     ("ref_sum_float_100m", 10, "SELECT sum(float) AS s FROM types_100m"),
+    # 500M rows amortizes the ~105-130 ms job floor entirely: this is
+    # the per-core-throughput comparison vs BASELINE.md's implied
+    # 33M rows/s/core (measured here: ~43M rows/s/core on 32 threads).
+    ("ref_sum_float_500m", 8, "SELECT sum(float) AS s FROM types_500m"),
 ]
 
 #: Registry queries benched against the sf dir. >=10 samples per query
@@ -111,6 +115,9 @@ def main() -> int:
     types_100m = make_types_df(spark, 100_000_000).select("float").cache()
     types_100m.createOrReplaceTempView("types_100m")
     types_100m.count()
+    types_500m = make_types_df(spark, 500_000_000).select("float").cache()
+    types_500m.createOrReplaceTempView("types_500m")
+    types_500m.count()
     log(f"session + 1M types + {sf_dir} registered in "
         f"{time.perf_counter() - t0:.1f}s")
 

@@ -436,6 +436,24 @@ def _streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_tumbling_counts(spark, sf_dir)
 
 
+def _streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join materialized through the append sink; must
+    equal the plain batch join row-for-row."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_enriched_purchases(spark, sf_dir)
+
+
+def _streaming_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup materialized as its deterministic key
+    set (survivor choice is arrival-order-dependent; the key set is not)."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_dedup_keys(spark, sf_dir)
+
+
 def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     ev = spark.table("events")
@@ -479,6 +497,8 @@ QUERIES = {
     "events_salted_sum": _events_salted_sum,
     "events_tumbling": _events_tumbling,
     "streaming_tumbling_counts": _streaming_tumbling_counts,
+    "streaming_enriched_purchases": _streaming_enriched_purchases,
+    "streaming_dedup_keys": _streaming_dedup_keys,
     "events_hopping": _events_hopping,
     "events_session_native": _events_session_native,
     "events_sessionize": _events_sessionize,
@@ -807,6 +827,14 @@ FROM events GROUP BY 1, 2
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+""",
+    "streaming_enriched_purchases": """
+SELECT e.event_id, e.user_id, e.ts, e.value, c.c_mktsegment, c.c_nationkey
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+WHERE e.event_type = 'purchase'
+""",
+    "streaming_dedup_keys": """
+SELECT DISTINCT user_id, event_type FROM events
 """,
     # hopping windows: an event at t belongs to both the slide bucket it
     # falls in and the one slide earlier (width/slide = 2)
