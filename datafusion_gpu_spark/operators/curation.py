@@ -89,6 +89,108 @@ def stratified_sample(
     return docs.where(bucket < (rate * _BUCKETS).cast("long"))
 
 
+def mix_domains(
+    docs: DataFrame,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain-mixing downsample: equalize source representation under a
+    global document budget. With budget ``budget_frac * N`` docs split
+    evenly across sources, each source keeps
+    ``min(1, budget / n_sources / n_source)`` of its docs — head sources
+    (CommonCrawl) get downsampled hard, tail sources (curated books)
+    keep everything, which is the standard pretraining-mixture move.
+
+    Rates derive from one tiny groupBy (sources are a dimension); the
+    keep decision is the salted hash filter (deterministic, nested,
+    replayable — see module docstring), applied map-side after a
+    broadcast join of the per-source rate. No corpus-sized shuffle.
+    Emits (key, source, keep_rate round(6)) for kept rows.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac)
+        * F.col("n_total")
+        / F.col("n_sources")
+        / F.col("n_s"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        source_col, rate.alias("keep_rate")
+    )
+    bucket = _hash_bucket(F.col(key), salt)
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(bucket < (F.col("keep_rate") * _BUCKETS).cast("long"))
+        .select(key, source_col, F.round("keep_rate", 6).alias("keep_rate"))
+    )
+
+
+def deterministic_shuffle(
+    docs: DataFrame,
+    key: str = "doc_id",
+    salt: str = "shuffle-v1",
+    coarse_bits: int = 8,
+) -> DataFrame:
+    """Deterministic global training order: every row gets a dense
+    ``shuffle_pos`` in [0, N) by sorting on a salted hash — the
+    reproducible equivalent of "shuffle the corpus once before
+    training", stable across runs, reshards, and engines (same salt =
+    same order).
+
+    Scale spelling of the global ROW_NUMBER: the top ``coarse_bits`` of
+    the 60-bit hash form an order-aligned coarse bucket, so position =
+    (count of rows in earlier buckets) + (rank within bucket). The
+    within-bucket window is a normal partitioned sort; the bucket counts
+    are a 2^coarse_bits-row aggregate whose running sum is driver-tiny.
+    No single-partition global window anywhere — raise coarse_bits with
+    the corpus so each bucket stays executor-sized. Ties (hash
+    collisions) break on the key, so the order is total.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucketed = docs.select(key, h.alias("h")).withColumn(
+        "b", F.shiftright("h", 60 - coarse_bits)
+    )
+    within = F.row_number().over(
+        Window.partitionBy("b").orderBy("h", key)
+    )
+    counts = bucketed.groupBy("b").agg(F.count(F.lit(1)).alias("n_b"))
+    offsets = counts.select(
+        "b",
+        F.coalesce(
+            F.sum("n_b").over(
+                Window.orderBy("b").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("offset"),
+    )
+    return (
+        bucketed.withColumn("pos_in_bucket", within)
+        .join(F.broadcast(offsets), "b")
+        .select(
+            key,
+            (F.col("offset") + F.col("pos_in_bucket") - 1).alias(
+                "shuffle_pos"
+            ),
+        )
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     token_col: str = "n_tokens",

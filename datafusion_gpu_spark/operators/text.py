@@ -145,6 +145,176 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", red.alias("redacted"), *counts)
 
 
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021,
+    §A1.1): the fraction of duplicated words, the share of the document
+    claimed by its single most frequent word / 2-gram, and the share of
+    characters inside duplicated 3-grams. Heavily repeated boilerplate
+    (nav bars, SEO spam, template farms) scores high on all four and is
+    the first thing a pretraining-corpus filter drops.
+
+    One pass: ``inline`` explodes each word position into its 1/2/3-gram
+    rows (pure codegen, no HOF lambda), then a (doc, n, gram) count and a
+    per-doc conditional aggregate — two key shuffles total, both bounded
+    by document size, no joins. ``repetitive`` applies fixed thresholds
+    on the two strongest signals. The top-2-gram metric considers only
+    REPEATED grams (count > 1): a short document's single long 2-gram is
+    coverage, not repetition.
+
+    Fractions are round(6) so the DuckDB oracle replays them exactly.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    leads = words.select(
+        "doc_id",
+        "word",
+        F.lead("word", 1).over(w).alias("w1"),
+        F.lead("word", 2).over(w).alias("w2"),
+    )
+    grams = (
+        leads.select(
+            "doc_id",
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.lit(1).alias("n"), F.col("word").alias("gram")
+                    ),
+                    F.struct(
+                        F.lit(2).alias("n"),
+                        F.when(
+                            F.col("w1").isNotNull(),
+                            F.concat_ws(" ", "word", "w1"),
+                        ).alias("gram"),
+                    ),
+                    F.struct(
+                        F.lit(3).alias("n"),
+                        F.when(
+                            F.col("w2").isNotNull(),
+                            F.concat_ws(" ", "word", "w1", "w2"),
+                        ).alias("gram"),
+                    ),
+                )
+            ),
+        )
+        .where(F.col("gram").isNotNull())
+    )
+    counts = grams.groupBy("doc_id", "n", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is1 = F.col("n") == 1
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is1, F.col("cnt"))).alias("n_words"),
+        F.count(F.when(is1, F.lit(1))).alias("n_distinct_words"),
+        F.max(F.when(is1, F.col("cnt"))).alias("top_word_cnt"),
+        F.max(
+            F.when(
+                (F.col("n") == 2) & (F.col("cnt") > 1),
+                F.col("cnt") * F.length("gram"),
+            )
+        ).alias("top2_chars"),
+        F.sum(
+            F.when(
+                (F.col("n") == 3) & (F.col("cnt") > 1),
+                F.col("cnt") * F.length("gram"),
+            )
+        ).alias("dup3_chars"),
+        F.sum(F.when(is1, F.col("cnt") * F.length("gram"))).alias("word_chars"),
+    )
+    norm_len = F.col("word_chars") + F.col("n_words") - 1  # separators
+    dup_word = F.round(
+        1.0 - F.col("n_distinct_words") / F.col("n_words"), 6
+    )
+    top_word = F.round(F.col("top_word_cnt") / F.col("n_words"), 6)
+    top2 = F.round(F.coalesce(F.col("top2_chars"), F.lit(0)) / norm_len, 6)
+    dup3 = F.round(F.coalesce(F.col("dup3_chars"), F.lit(0)) / norm_len, 6)
+    return per_doc.select(
+        "doc_id",
+        F.col("n_words"),
+        dup_word.alias("dup_word_frac"),
+        top_word.alias("top_word_frac"),
+        top2.alias("top_2gram_char_frac"),
+        dup3.alias("dup_3gram_char_frac"),
+        # Gopher drops docs with top-2gram share > 0.20 or heavy
+        # duplicated-n-gram coverage; threshold on the ROUNDED values so
+        # the oracle's boundary decisions match bit-for-bit.
+        (
+            (top2 > 0.20) | (dup3 > 0.60)
+        ).alias("repetitive"),
+    )
+
+
+def contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    threshold: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: for every corpus document, count how
+    many of its distinct word n-grams also appear anywhere in a benchmark
+    set (the standard eval-leakage check before training — e.g. GPT-3
+    appendix C / PaLM §7 use 8-13-gram overlap; the contract here is the
+    same, n is a knob).
+
+    The benchmark's distinct gram-hash set is tiny relative to the corpus
+    (evals are MBs, corpora are TBs) — it broadcasts, so the corpus scan
+    is map-side: explode grams, hash (portable 60-bit so the oracle
+    replays), per-doc distinct, broadcast-semi-join, count. One shuffle
+    (the per-doc count), no corpus-sized join. Docs sharing >= threshold
+    grams with the benchmark are flagged.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.dedup import word_hash60
+
+    def _gram_hashes(rel: DataFrame) -> DataFrame:
+        words = rel.select(
+            "doc_id",
+            F.posexplode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("pos", "word"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        gram = F.concat_ws(
+            " ", "word", *[F.lead("word", i).over(w) for i in range(1, n)]
+        )
+        last = F.lead("word", n - 1).over(w)
+        return words.select(
+            "doc_id", word_hash60(gram).alias("h"), last.alias("_full")
+        ).where(F.col("_full").isNotNull()).drop("_full")
+
+    docs = ensure_parallelism(docs)
+    bench_grams = _gram_hashes(bench).select("h").distinct()
+    doc_grams = _gram_hashes(docs).distinct()
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "h")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )
+
+
 def collocations(
     docs: DataFrame,
     text_col: str = "text",

@@ -339,6 +339,25 @@ def _text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.collocations(_docs(spark, sf_dir), min_count=5, top_n=50)
 
 
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_features(_docs(spark, sf_dir))
+
+
+def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = docs.where("doc_id % 37 = 0")
+    corpus = docs.where("doc_id % 37 != 0")
+    return text.contamination(corpus, bench, n=3, threshold=5)
+
+
+def _curation_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.mix_domains(_docs(spark, sf_dir), budget_frac=0.5)
+
+
+def _curation_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.deterministic_shuffle(_docs(spark, sf_dir))
+
+
 def _curation_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.hash_split(_docs(spark, sf_dir)).select("doc_id", "split")
 
@@ -489,6 +508,10 @@ QUERIES = {
     "text_pii_redact": _text_pii_redact,
     "text_collocations": _text_collocations,
     "text_winnowing": _text_winnowing,
+    "text_repetition": _text_repetition,
+    "text_contamination": _text_contamination,
+    "curation_mix_domains": _curation_mix_domains,
+    "curation_shuffle": _curation_shuffle,
     "curation_hash_split": _curation_hash_split,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
@@ -704,6 +727,101 @@ win AS (
   FROM grams
 )
 SELECT DISTINCT doc_id, fp FROM win WHERE pos >= 3
+""",
+    # same 1/2/3-gram relation, same per-doc conditional aggregate, same
+    # round(6)-then-threshold flag. Spark's inline() explode is mirrored
+    # by three UNION ALL gram branches.
+    "text_repetition": f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+u AS (
+  SELECT doc_id, 1 AS n, unnest(w) AS gram FROM base
+  UNION ALL
+  SELECT doc_id, 2 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM base WHERE len(w) >= 2
+  UNION ALL
+  SELECT doc_id, 3 AS n,
+         unnest(list_transform(generate_series(1, len(w) - 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM base WHERE len(w) >= 3
+),
+c AS (SELECT doc_id, n, gram, COUNT(*) AS cnt FROM u GROUP BY 1, 2, 3),
+p AS (
+  SELECT doc_id,
+         SUM(CASE WHEN n = 1 THEN cnt END)::BIGINT AS n_words,
+         COUNT(CASE WHEN n = 1 THEN 1 END)::BIGINT AS n_distinct,
+         MAX(CASE WHEN n = 1 THEN cnt END)::BIGINT AS top_word_cnt,
+         MAX(CASE WHEN n = 2 AND cnt > 1 THEN cnt * length(gram) END)::BIGINT
+           AS top2_chars,
+         SUM(CASE WHEN n = 3 AND cnt > 1 THEN cnt * length(gram) END)::BIGINT
+           AS dup3_chars,
+         SUM(CASE WHEN n = 1 THEN cnt * length(gram) END)::BIGINT AS word_chars
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_words,
+       ROUND(1.0 - n_distinct / CAST(n_words AS DOUBLE), 6) AS dup_word_frac,
+       ROUND(top_word_cnt / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+       ROUND(COALESCE(top2_chars, 0) / CAST(word_chars + n_words - 1 AS DOUBLE), 6)
+         AS top_2gram_char_frac,
+       ROUND(COALESCE(dup3_chars, 0) / CAST(word_chars + n_words - 1 AS DOUBLE), 6)
+         AS dup_3gram_char_frac,
+       (ROUND(COALESCE(top2_chars, 0) / CAST(word_chars + n_words - 1 AS DOUBLE), 6)
+          > 0.20
+        OR ROUND(COALESCE(dup3_chars, 0) / CAST(word_chars + n_words - 1 AS DOUBLE), 6)
+          > 0.60) AS repetitive
+FROM p
+""",
+    # same 3-gram 60-bit hash, same distinct-per-side sets, same
+    # threshold; benchmark = doc_id % 37 == 0, corpus = the rest
+    "text_contamination": f"""
+WITH corpus AS (SELECT doc_id, string_split({_NORM}, ' ') AS w
+                FROM documents WHERE doc_id % 37 != 0),
+bench AS (SELECT string_split({_NORM}, ' ') AS w
+          FROM documents WHERE doc_id % 37 = 0),
+bg AS (
+  SELECT DISTINCT CAST('0x' || substring(
+           md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS h
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM bench WHERE len(w) >= 3)
+),
+cg AS (
+  SELECT DISTINCT doc_id, CAST('0x' || substring(
+           md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 15) AS BIGINT) AS h
+  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        FROM corpus WHERE len(w) >= 3)
+),
+hits AS (SELECT doc_id, COUNT(*) AS n_overlap FROM cg JOIN bg USING (h) GROUP BY 1)
+SELECT c.doc_id,
+       COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
+       COALESCE(h.n_overlap, 0) >= 5 AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+""",
+    # same per-source rate formula (0.5 of the corpus split evenly across
+    # sources), same salted hash filter; FLOOR mirrors Spark's long cast
+    "curation_mix_domains": f"""
+WITH c AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+t AS (SELECT SUM(n_s)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_sources FROM c),
+r AS (SELECT source,
+             LEAST(1.0::DOUBLE, 0.5::DOUBLE * n_total / n_sources / n_s)
+               AS keep_rate
+      FROM c, t)
+SELECT d.doc_id, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN r USING (source)
+WHERE {_bucket_sql('mix-v1')} < CAST(FLOOR(r.keep_rate * 1000000) AS BIGINT)
+""",
+    # the scalable bucket-offset spelling must equal the plain global
+    # ROW_NUMBER over the salted hash order
+    "curation_shuffle": """
+WITH h AS (
+  SELECT doc_id,
+         CAST('0x' || substring(md5('shuffle-v1:' || CAST(doc_id AS VARCHAR)),
+              1, 15) AS BIGINT) AS h
+  FROM documents
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
+FROM h
 """,
     "curation_hash_split": f"""
 SELECT doc_id,

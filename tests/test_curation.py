@@ -80,3 +80,52 @@ def test_pack_sequences_matches_greedy_reference(spark):
         # bins are dense 0..max within a shard
         bins = [r.bin for r in shard_rows]
         assert bins == sorted(bins)
+
+
+def test_mix_domains_equalizes_sources_under_budget(spark):
+    from datafusion_gpu_spark.operators.curation import mix_domains
+
+    # head source 10x the tail source
+    rows = [(i, "head" if i < 2000 else "tail") for i in range(2200)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept = mix_domains(docs, budget_frac=0.5).collect()
+    by_source = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r)
+
+    # budget = 1100 docs, 550 per source: head downsampled to ~550,
+    # tail (only 200 docs) keeps everything at rate 1.0
+    assert len(by_source["tail"]) == 200
+    assert all(r.keep_rate == 1.0 for r in by_source["tail"])
+    n_head = len(by_source["head"])
+    assert 0.8 * 550 <= n_head <= 1.2 * 550  # hash noise around the rate
+
+    # deterministic: same salt, same kept set
+    again = {r.doc_id for r in mix_domains(docs, budget_frac=0.5).collect()}
+    assert {r.doc_id for r in kept} == again
+
+
+def test_deterministic_shuffle_is_a_dense_global_rank(spark):
+    from datafusion_gpu_spark.operators.curation import deterministic_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(5000)], "doc_id long"
+    )
+    out = deterministic_shuffle(docs).collect()
+
+    # dense bijection onto [0, N)
+    positions = sorted(r.shuffle_pos for r in out)
+    assert positions == list(range(5000))
+
+    # deterministic across runs, and actually shuffled (not identity)
+    again = {r.doc_id: r.shuffle_pos for r in deterministic_shuffle(docs).collect()}
+    assert {r.doc_id: r.shuffle_pos for r in out} == again
+    assert any(again[i] != i for i in range(100))
+
+    # coarse_bits only changes the plan, never the order
+    coarse = {
+        r.doc_id: r.shuffle_pos
+        for r in deterministic_shuffle(docs, coarse_bits=4).collect()
+    }
+    assert coarse == again

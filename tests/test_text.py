@@ -89,3 +89,67 @@ def test_winnowing_guarantees_shared_fingerprint_on_long_overlap(spark):
     assert by_doc[0] & by_doc[1]
     assert not (by_doc[0] & by_doc[2])
     assert not (by_doc[1] & by_doc[2])
+
+
+def test_repetition_features_on_planted_docs(spark):
+    from datafusion_gpu_spark.operators.text import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            # pure repetition: one word 6 times
+            (0, "spam spam spam spam spam spam"),
+            # alternating 2-gram loop: "x y" dominates
+            (1, "x y x y x y x y"),
+            # all-distinct words: no repetition at all
+            (2, "alpha beta gamma delta epsilon"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+
+    r0 = rows[0]
+    assert r0.n_words == 6
+    assert r0.dup_word_frac == pytest.approx(5 / 6, abs=1e-6)
+    assert r0.top_word_frac == 1.0
+    assert r0.repetitive  # "spam spam" covers >20% of chars
+
+    r1 = rows[1]
+    # "x y" occurs 4 times as a 2-gram: 4*3 chars / 15 norm chars
+    assert r1.top_2gram_char_frac == pytest.approx(12 / 15, abs=1e-6)
+    assert r1.repetitive
+
+    r2 = rows[2]
+    assert r2.dup_word_frac == 0.0
+    assert r2.top_word_frac == pytest.approx(1 / 5, abs=1e-6)
+    assert r2.dup_3gram_char_frac == 0.0
+    assert not r2.repetitive
+
+
+def test_contamination_flags_planted_benchmark_copy(spark):
+    from datafusion_gpu_spark.operators.text import contamination
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # verbatim copy of the benchmark doc -> every 3-gram overlaps
+            (0, "the quick brown fox jumps over the lazy dog tonight"),
+            # partial overlap: shares one 5-word run = three 3-grams
+            (1, "yesterday the quick brown fox slept"),
+            # clean doc: zero shared 3-grams
+            (2, "completely unrelated words about database engines here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in contamination(corpus, bench, n=3, threshold=4).collect()
+    }
+    assert rows[0].n_overlap == 8  # 10 words -> 8 distinct 3-grams
+    assert rows[0].contaminated
+    assert rows[1].n_overlap == 2  # "the quick brown", "quick brown fox"
+    assert not rows[1].contaminated
+    assert rows[2].n_overlap == 0
+    assert not rows[2].contaminated
