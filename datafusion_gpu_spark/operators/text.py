@@ -315,6 +315,59 @@ def contamination(
     )
 
 
+def perplexity_filter(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    threshold: float = 3.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality filter: score every document by
+    its average negative log-likelihood under a unigram LM with add-alpha
+    smoothing trained on the corpus itself, and flag outliers. Documents
+    whose word distribution diverges from the corpus (gibberish, boiler-
+    plate, wrong-language fragments) score high and are the classic
+    perplexity-filter drops (Wenzek et al. 2020 use a KenLM 5-gram; the
+    contract here is the same shape with the simplest estimator).
+
+    p(w) = (count(w) + alpha) / (total + alpha * vocab). The vocabulary
+    relation is an aggregate of the corpus (dimension-sized: vocabularies
+    are millions of rows when corpora are billions of documents) — it
+    broadcasts into a map-side join against the exploded words, and the
+    per-doc average is the one corpus-keyed shuffle. avg_nll rounds to
+    6dp so the oracle's fold order can't flip the threshold comparison.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    stats = counts.agg(
+        F.sum("n_w").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    logp = F.log(
+        (F.col("n_w") + F.lit(alpha))
+        / (F.col("total") + F.lit(alpha) * F.col("vocab"))
+    )
+    avg_nll = F.round(F.avg(-logp), 6)
+    return (
+        words.join(F.broadcast(counts), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            avg_nll.alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "avg_nll",
+            (F.col("avg_nll") > threshold).alias("low_quality"),
+        )
+    )
+
+
 def collocations(
     docs: DataFrame,
     text_col: str = "text",

@@ -30,6 +30,7 @@ from datafusion_gpu_spark.operators import (
     dedup,
     events,
     multimodal,
+    retrieval,
     similarity,
     skew,
     text,
@@ -350,6 +351,16 @@ def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination(corpus, bench, n=3, threshold=5)
 
 
+def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.perplexity_filter(_docs(spark, sf_dir))
+
+
+def _retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.bm25_topk(
+        _docs(spark, sf_dir), ["table", "scan", "vector"], k=20
+    )
+
+
 def _curation_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.mix_domains(_docs(spark, sf_dir), budget_frac=0.5)
 
@@ -510,6 +521,8 @@ QUERIES = {
     "text_winnowing": _text_winnowing,
     "text_repetition": _text_repetition,
     "text_contamination": _text_contamination,
+    "text_perplexity": _text_perplexity,
+    "retrieval_bm25": _retrieval_bm25,
     "curation_mix_domains": _curation_mix_domains,
     "curation_shuffle": _curation_shuffle,
     "curation_hash_split": _curation_hash_split,
@@ -796,6 +809,44 @@ SELECT c.doc_id,
        COALESCE(h.n_overlap, 0)::BIGINT AS n_overlap,
        COALESCE(h.n_overlap, 0) >= 5 AS contaminated
 FROM corpus c LEFT JOIN hits h USING (doc_id)
+""",
+    # same smoothed unigram LM trained on the corpus itself; every
+    # fractional literal is ::DOUBLE (bare decimals parse as DECIMAL in
+    # DuckDB and would divide with different rounding than Spark doubles)
+    "text_perplexity": f"""
+WITH w AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+           FROM documents),
+c AS (SELECT word, COUNT(*)::BIGINT AS n_w FROM w GROUP BY 1),
+s AS (SELECT SUM(n_w)::BIGINT AS total, COUNT(*)::BIGINT AS vocab FROM c),
+j AS (SELECT doc_id,
+             ln((n_w + 0.5::DOUBLE) / (total + 0.5::DOUBLE * vocab)) AS logp
+      FROM w JOIN c USING (word), s)
+SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       ROUND(AVG(-logp), 6) AS avg_nll,
+       ROUND(AVG(-logp), 6) > 3.5::DOUBLE AS low_quality
+FROM j GROUP BY doc_id
+""",
+    # same Lucene-variant IDF, same length normalization, same rounded
+    # score as the sort key with doc_id tiebreak
+    "retrieval_bm25": f"""
+WITH lens AS (SELECT doc_id, len(string_split({_NORM}, ' ')) AS dl
+              FROM documents),
+stats AS (SELECT COUNT(*)::BIGINT AS n_docs, AVG(dl) AS avgdl FROM lens),
+w AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM w
+       WHERE word IN ('table', 'scan', 'vector') GROUP BY 1, 2),
+dfx AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id,
+       ROUND(SUM(ln(1.0::DOUBLE + (n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+                 * (tf * 2.2::DOUBLE
+                    / (tf + 1.2::DOUBLE
+                       * (0.25::DOUBLE + 0.75::DOUBLE * dl / avgdl)))), 6)
+         AS bm25
+FROM tf JOIN dfx USING (word) JOIN lens USING (doc_id), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 20
 """,
     # same per-source rate formula (0.5 of the corpus split evenly across
     # sources), same salted hash filter; FLOOR mirrors Spark's long cast

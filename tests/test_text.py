@@ -153,3 +153,48 @@ def test_contamination_flags_planted_benchmark_copy(spark):
     assert not rows[1].contaminated
     assert rows[2].n_overlap == 0
     assert not rows[2].contaminated
+
+
+def test_perplexity_filter_flags_rare_word_docs(spark):
+    from datafusion_gpu_spark.operators.text import perplexity_filter
+
+    # 20 docs of common words + one gibberish doc of corpus-rare words
+    rows = [(i, "the cat sat on the mat again today") for i in range(20)]
+    rows.append((99, "zxqv wbnk prtl ghst zxqv"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in perplexity_filter(docs, threshold=4.0).collect()}
+    common_nll = out[0].avg_nll
+    rare_nll = out[99].avg_nll
+    assert rare_nll > common_nll  # rare words cost more under the LM
+    assert out[99].low_quality
+    assert not out[0].low_quality
+    # all common docs share the exact same score (same words)
+    assert len({out[i].avg_nll for i in range(20)}) == 1
+
+
+def test_bm25_ranks_term_frequency_and_rarity(spark):
+    import math
+
+    from datafusion_gpu_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (0, "table table table join"),      # high tf for 'table'
+            (1, "table scan filter merge"),     # one hit each of two terms
+            (2, "sort window group order"),     # no query terms
+            (3, "scan scan scan scan"),         # high tf for rarer 'scan'
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["table", "scan"], k=10).collect()
+    ranked = [r.doc_id for r in out]
+    assert 2 not in ranked  # zero-hit docs never appear
+    assert set(ranked) == {0, 1, 3}
+
+    # manual BM25 for doc 3 ('scan' tf=4, df=2, N=4, dl=4, avgdl=4):
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    tf_norm = 4 * 2.2 / (4 + 1.2 * (0.25 + 0.75 * 4 / 4))
+    expected = round(idf * tf_norm, 6)
+    got = {r.doc_id: r.bm25 for r in out}[3]
+    assert got == pytest.approx(expected, abs=2e-6)
