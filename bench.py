@@ -74,6 +74,11 @@ SF_BENCHES = [
     "sim_topk_vectorized",
     "sim_topk_ivf",
     "curation_pack_sequences",
+    "curation_shuffle",
+    "text_repetition",
+    "text_contamination",
+    "text_perplexity",
+    "retrieval_bm25",
     "events_sessionize",
 ]
 

@@ -120,3 +120,32 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_repetition_features_is_single_shuffle(spark):
+    # doc_id hash partitioning from the lead() window must satisfy BOTH
+    # downstream group-bys (subset-key clustering) — one Exchange total
+    import re
+
+    plan = plan_of(spark, "text_repetition")
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1
+
+
+def test_contamination_broadcasts_benchmark_grams(spark):
+    plan = plan_of(spark, "text_contamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_is_bounded_heap(spark):
+    plan = plan_of(spark, "retrieval_bm25")
+    assert "TakeOrderedAndProject" in plan  # no global sort for top-k
+
+
+def test_deterministic_shuffle_windows_by_bucket(spark):
+    # the corpus-sized row_number must partition by the coarse bucket;
+    # only the 2^coarse_bits-row offset relation may be single-partition
+    import re
+
+    plan = plan_of(spark, "curation_shuffle")
+    assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+", plan)
