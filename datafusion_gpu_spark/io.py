@@ -63,6 +63,19 @@ def read_csv(spark: SparkSession, path: str, header: bool = True, infer: bool = 
     return spark.read.csv(path, header=header, inferSchema=infer)
 
 
+def write_orc(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """ORC sink (Spark-native columnar format beside parquet — the
+    warehouse-interchange case; zlib/snappy/zstd per-file compression)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 # -- object stores -----------------------------------------------------------
 
 

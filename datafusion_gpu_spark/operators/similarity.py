@@ -293,28 +293,18 @@ def ivf_topk(
     collected for the rerank). The rerank is the shared vectorized
     candidate scorer.
     """
-    cent_pd = (
-        corpus.where(F.col("vec_id") < n_clusters)
-        .select("vec_id", "embedding")
-        .toPandas()
-        .sort_values("vec_id")  # ascending cid => argmax tie -> lowest cid
-    )
-    cids = cent_pd["vec_id"].to_numpy().astype("int64")
-    Centn = _l2_normalize(_rows_matrix(cent_pd["embedding"]))
+    cids, Centn = deterministic_centroids(corpus, n_clusters)
     return _ivf_probe_rerank(corpus, queries, cids, Centn, k, n_probe)
 
 
-def _ivf_probe_rerank(
-    corpus: DataFrame,
-    queries: DataFrame,
-    cids: np.ndarray,
-    Centn: np.ndarray,
-    k: int,
-    n_probe: int,
+def cell_assignments(
+    corpus: DataFrame, cids: np.ndarray, Centn: np.ndarray
 ) -> DataFrame:
-    """Shared IVF back half: GEMM cell assignment, driver-side probe
-    selection, vectorized candidate rerank. ``cids`` must be ascending
-    so argmax's first-max tiebreak picks the lowest cell id."""
+    """(vec_id, cell): nearest-centroid assignment by cosine — one GEMM
+    argmax per Arrow batch, centroids ride the task closure, no shuffle.
+    ``cids`` must be ascending so argmax's first-max tiebreak picks the
+    lowest cell id (matching a SQL ``ORDER BY ccos DESC, cid`` replay).
+    Shared by IVF probing and semantic dedup's cluster blocking."""
     assign_schema = StructType(
         [StructField("vec_id", LongType()), StructField("cell", LongType())]
     )
@@ -329,9 +319,39 @@ def _ivf_probe_rerank(
                 {"vec_id": pdf["vec_id"].to_numpy().astype("int64"), "cell": cell}
             )
 
-    assign = corpus.select("vec_id", "embedding").mapInPandas(
+    return corpus.select("vec_id", "embedding").mapInPandas(
         assign_cells, assign_schema
     )
+
+
+def deterministic_centroids(
+    corpus: DataFrame, n_clusters: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(cids, L2-normalized centroid matrix) from the lowest ``n_clusters``
+    vec_ids — the oracle-replayable centroid choice (``ivf_kmeans_centroids``
+    is the learned alternative)."""
+    cent_pd = (
+        corpus.where(F.col("vec_id") < n_clusters)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")  # ascending cid => argmax tie -> lowest cid
+    )
+    cids = cent_pd["vec_id"].to_numpy().astype("int64")
+    return cids, _l2_normalize(_rows_matrix(cent_pd["embedding"]))
+
+
+def _ivf_probe_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cids: np.ndarray,
+    Centn: np.ndarray,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF back half: GEMM cell assignment, driver-side probe
+    selection, vectorized candidate rerank. ``cids`` must be ascending
+    so argmax's first-max tiebreak picks the lowest cell id."""
+    assign = cell_assignments(corpus, cids, Centn)
 
     # Query probes: n_probe nearest cells per query, computed on the
     # driver (queries are tiny and already collected for the rerank).

@@ -107,6 +107,51 @@ def fingerprints(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_id, start, n_tokens, chunk_md5): split each document
+    into overlapping ``chunk_tokens``-word windows every ``stride`` words —
+    the context-window packing / RAG-chunking primitive (stride < chunk
+    gives the overlap that keeps sentences from being cut at every
+    boundary; the final partial window is kept).
+
+    Chunks are emitted as md5 digests plus offsets, not repeated text: at
+    100 TB an overlapping chunker that materializes text amplifies the
+    corpus by chunk/stride — downstream consumers slice the original
+    column by (start, n_tokens) instead. posexplode over a
+    sequence-of-starts; slice/array_join/size are codegen'd array ops (no
+    per-token lambda — the 16x interpreted-HOF penalty does not apply).
+    Embarrassingly parallel, zero shuffle.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    # chunk c covers words [c*stride, c*stride + chunk_tokens); last start
+    # is the greatest multiple of stride < n
+    starts = F.sequence(F.lit(0), F.floor((n - 1) / stride).cast("long") * stride,
+                        F.lit(stride))
+    chunk = F.slice(F.col("w"), F.col("start") + 1, chunk_tokens)
+    return (
+        docs.where(n >= 1)
+        .select(
+            "doc_id", words.alias("w"), F.posexplode(starts).alias("chunk_id", "start")
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            "start",
+            F.size(chunk).alias("n_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+    )
+
+
 #: PII patterns, applied in order (IP before phone so "1.2.3.4" is not
 #: half-eaten as a dotted phone; SSN before phone — 3-2-4 vs 3-3-4
 #: groupings are disjoint but order makes intent explicit). Regexes stay

@@ -114,6 +114,33 @@ SELECT COUNT(*) AS n, SUM(r_regionkey)::BIGINT AS sum_key, MIN(r_name) AS min_na
 FROM region
 """
 
+def _roundtrip_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink+scan round-trip (zstd-compressed part files)."""
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "part_orc")
+    io.write_orc(
+        spark.table("part").select("p_partkey", "p_brand", "p_size", "p_retailprice"),
+        out,
+        compression="zstd",
+    )
+    back = io.read_orc(spark, out)
+    back.createOrReplaceTempView("part_rt")
+    return spark.sql(
+        """
+        SELECT p_brand, COUNT(*) AS n, SUM(p_size) AS sum_size,
+               ROUND(SUM(p_retailprice), 2) AS sum_price
+        FROM part_rt GROUP BY p_brand
+        """
+    )
+
+
+_ORC_DUCK = """
+SELECT p_brand, COUNT(*) AS n, SUM(p_size)::BIGINT AS sum_size,
+       ROUND(SUM(p_retailprice), 2) AS sum_price
+FROM part GROUP BY p_brand
+"""
+
+
 def _copy_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-level sink — the engine analogue of DataFusion's
     ``COPY (SELECT ...) TO 'path'``: INSERT OVERWRITE DIRECTORY writes
@@ -149,6 +176,7 @@ QUERIES = {
     "io_roundtrip_json": _roundtrip_json,
     "io_roundtrip_json_gzip": _roundtrip_json_gzip,
     "io_roundtrip_csv": _roundtrip_csv,
+    "io_roundtrip_orc": _roundtrip_orc,
     "io_roundtrip_arrow": _roundtrip_arrow,
 }
 
@@ -157,5 +185,6 @@ ORACLES = {
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,
     "io_roundtrip_csv": _CSV_DUCK,
+    "io_roundtrip_orc": _ORC_DUCK,
     "io_roundtrip_arrow": _ARROW_DUCK,
 }

@@ -250,6 +250,11 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_resolution(docs, pairs)
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return dedup.semantic_dedup(spark.table("embeddings"), n_clusters=16, threshold=0.2)
+
+
 def _sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NumPy-GEMM twin of sim_topk_bruteforce — must be value-identical,
     # so it shares the same oracle (rank ties at 1e-16 are the only
@@ -359,6 +364,14 @@ def _retrieval_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_topk(
         _docs(spark, sf_dir), ["table", "scan", "vector"], k=20
     )
+
+
+def _retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return retrieval.tfidf_top_terms(_docs(spark, sf_dir), k=5, min_df=2)
+
+
+def _text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, stride=48)
 
 
 def _curation_mix_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,6 +519,7 @@ QUERIES = {
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
+    "dedup_semantic": _dedup_semantic,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "sim_topk_vectorized": _sim_topk_vectorized,
     "sim_topk_lsh": _sim_topk_lsh,
@@ -523,6 +537,8 @@ QUERIES = {
     "text_contamination": _text_contamination,
     "text_perplexity": _text_perplexity,
     "retrieval_bm25": _retrieval_bm25,
+    "retrieval_tfidf": _retrieval_tfidf,
+    "text_chunks": _text_chunks,
     "curation_mix_domains": _curation_mix_domains,
     "curation_shuffle": _curation_shuffle,
     "curation_hash_split": _curation_hash_split,
@@ -690,6 +706,71 @@ r AS (
 )
 SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
 WHERE "rank" <= 5
+""",
+    # SemDeDup replay: same deterministic centroids and assignment
+    # tiebreak as the IVF oracle, same rounded-cosine threshold, same
+    # keep-the-lowest-id rule within a cell
+    "dedup_semantic": f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16
+),
+ac AS (
+  SELECT e.vec_id, c.cid, {_cos_sql("e.embedding", "c.cemb")} AS ccos
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY ccos DESC, cid) AS rn
+    FROM ac
+  ) WHERE rn = 1
+),
+dups AS (
+  SELECT DISTINCT b.vec_id AS vec_id
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE ROUND({_cos_sql("ea.embedding", "eb.embedding")}, 6) >= 0.2
+)
+SELECT s.vec_id, s.cell, d.vec_id IS NULL AS is_keeper
+FROM assign s LEFT JOIN dups d ON d.vec_id = s.vec_id
+""",
+    # same smoothed idf (ln((N+1)/(df+1)) + 1), same min_df cut, same
+    # (tfidf DESC, word) rank on the ROUNDED score
+    "retrieval_tfidf": f"""
+WITH w AS (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, COUNT(*)::BIGINT AS tf FROM w GROUP BY 1, 2),
+dfx AS (SELECT word, COUNT(*)::BIGINT AS df FROM tf GROUP BY 1
+        HAVING COUNT(*) >= 2),
+n AS (SELECT COUNT(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, word, tf,
+         ROUND(tf * (ln((n_docs + 1.0::DOUBLE) / (df + 1.0::DOUBLE))
+                     + 1.0::DOUBLE), 6) AS tfidf
+  FROM tf JOIN dfx USING (word), n
+)
+SELECT doc_id, word, tf, tfidf, "rank" FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, word) AS "rank"
+  FROM scored
+) WHERE "rank" <= 5
+""",
+    # same word windows: starts at multiples of 48 below len, 64-wide
+    # slices (list_slice clamps at the tail exactly like Spark slice)
+    "text_chunks": f"""
+WITH base AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, ((len(w) - 1) // 48) * 48, 48)) AS start
+  FROM base WHERE len(w) >= 1
+)
+SELECT doc_id, (start // 48)::INT AS chunk_id, start,
+       len(list_slice(w, start + 1, start + 64))::INT AS n_tokens,
+       md5(array_to_string(list_slice(w, start + 1, start + 64), ' '))
+         AS chunk_md5
+FROM s
 """,
     "text_pii_redact": _pii_oracle(),
     # same pair relation (adjacent words), same PMI formula and

@@ -110,3 +110,43 @@ def test_connected_components_collapse_transitive_chain(spark):
     res = dedup_resolution(docs, pairs).collect()
     keepers = sorted(r.doc_id for r in res if r.is_keeper)
     assert keepers == [10, 40, 99]  # 99 has no pairs -> its own keeper
+
+
+def test_semantic_dedup_drops_near_neighbor_in_cell(spark):
+    from datafusion_gpu_spark.operators.dedup import semantic_dedup
+
+    # centroids are vec 0 (x-axis) and vec 1 (y-axis). vec 2 is nearly
+    # parallel to vec 0 (cos ~0.999 -> dropped, keeper is the lower id);
+    # vec 3 lands in cell 1 but at cos ~0.71 to everything there -> kept
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),
+        (3, [0.1, 0.7, 0.7, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in semantic_dedup(embs, n_clusters=2, threshold=0.9).collect()}
+
+    assert len(out) == 4  # every vector gets a verdict
+    assert (out[0].cell, out[0].is_keeper) == (0, True)
+    assert (out[2].cell, out[2].is_keeper) == (0, False)  # near-dup of 0
+    assert (out[1].cell, out[1].is_keeper) == (1, True)
+    assert (out[3].cell, out[3].is_keeper) == (1, True)  # similar but < 0.9
+
+
+def test_semantic_dedup_keeps_lowest_id_per_duplicate_group(spark):
+    from datafusion_gpu_spark.operators.dedup import semantic_dedup
+
+    # three mutually-near vectors: only the lowest id survives
+    base = [0.6, 0.8, 0.0, 0.0]
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 0.0, 1.0, 0.0]),
+        (5, base),
+        (6, [0.61, 0.79, 0.0, 0.0]),
+        (7, [0.59, 0.81, 0.0, 0.0]),
+    ]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semantic_dedup(embs, n_clusters=2, threshold=0.95)
+    keepers = {r.vec_id for r in out.where("is_keeper").collect()}
+    assert 5 in keepers and 6 not in keepers and 7 not in keepers

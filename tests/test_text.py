@@ -198,3 +198,59 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     expected = round(idf * tf_norm, 6)
     got = {r.doc_id: r.bm25 for r in out}[3]
     assert got == pytest.approx(expected, abs=2e-6)
+
+
+def test_chunk_documents_windows_and_tail(spark):
+    from datafusion_gpu_spark.operators.text import chunk_documents
+
+    # 10 words, chunk=4, stride=3 -> starts 0,3,6,9; last chunk is the
+    # 1-word tail (slice clamps)
+    words = [f"w{i}" for i in range(10)]
+    docs = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    out = sorted(
+        chunk_documents(docs, chunk_tokens=4, stride=3).collect(),
+        key=lambda r: r.chunk_id,
+    )
+    assert [(r.chunk_id, r.start, r.n_tokens) for r in out] == [
+        (0, 0, 4), (1, 3, 4), (2, 6, 4), (3, 9, 1)
+    ]
+    # overlap: chunk 0 covers w0..w3, chunk 1 covers w3..w6
+    import hashlib
+
+    def h(ws):
+        return hashlib.md5(" ".join(ws).encode()).hexdigest()
+
+    assert out[0].chunk_md5 == h(words[0:4])
+    assert out[1].chunk_md5 == h(words[3:7])
+    assert out[3].chunk_md5 == h(words[9:10])
+
+
+def test_chunk_documents_short_doc_single_chunk(spark):
+    from datafusion_gpu_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame([(1, "only three words")], "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    assert len(out) == 1
+    assert (out[0].chunk_id, out[0].start, out[0].n_tokens) == (0, 0, 3)
+
+
+def test_tfidf_ranks_distinctive_term_first(spark):
+    from datafusion_gpu_spark.operators.retrieval import tfidf_top_terms
+
+    # "zebra" appears twice but only in docs 0/1 (df=2, passes min_df);
+    # filler words are in every doc (idf floor) -> zebra ranks first
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick fox zebra zebra jumps"),
+            (1, "the quick fox zebra sits still"),
+            (2, "the quick fox runs away fast"),
+            (3, "the quick fox naps in shade"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=3, min_df=2)
+    top = {r.doc_id: r.word for r in out.where("rank = 1").collect()}
+    assert top[0] == "zebra"
+    assert top[1] == "zebra"
+    # hapax words (df=1) are cut by min_df: "runs" never appears
+    assert out.where("word = 'runs'").count() == 0
