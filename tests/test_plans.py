@@ -149,3 +149,28 @@ def test_deterministic_shuffle_windows_by_bucket(spark):
 
     plan = plan_of(spark, "curation_shuffle")
     assert re.search(r"row_number\(\) windowspecdefinition\(b#\d+", plan)
+
+
+def test_text_chunks_is_shuffle_free(spark):
+    # overlapping chunking is embarrassingly parallel: posexplode + array
+    # slicing only, no Exchange of any kind
+    import re
+
+    plan = plan_of(spark, "text_chunks")
+    assert not re.search(r"Exchange (?:hash|range|Single)", plan)
+
+
+def test_tfidf_broadcasts_df_relation(spark):
+    # the vocabulary-sized df relation must broadcast; the corpus never
+    # joins corpus (no cartesian anywhere)
+    plan = plan_of(spark, "retrieval_tfidf")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_blocks_on_cell(spark):
+    # the within-cell self-join must be a key-equality join on cell,
+    # never an unblocked pair enumeration
+    plan = plan_of(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
