@@ -226,3 +226,70 @@ def pack_sequences(
     return out.withColumn(
         "bin", (F.col("tokens_before") / budget).cast("long")
     ).drop("tokens_before")
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_quality: float = 0.35,
+    lang: str = "en",
+    budget: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """End-to-end corpus curation: quality gate -> language gate -> exact
+    dedup -> token count -> sequence packing, fused into one plan.
+
+    This is the composition a pretraining-data pipeline actually runs,
+    expressed so Catalyst fuses the cheap stages: the quality score,
+    predicted language, content key, and token count are all computed in
+    a single codegen'd projection over the scan (no materialization
+    between "stages"), the two gates become one pushed filter, and only
+    the genuinely stateful steps shuffle — one window over ``content_key``
+    for keep-lowest-id dedup and the salted-shard window inside
+    :func:`pack_sequences`. Two exchanges total regardless of corpus
+    size; at 100 TB the dedup window's per-key state is the duplicate
+    count (tiny) and packing scales by ``shards``.
+
+    The quality/lang gates filter on the ROUNDED score and the argmax
+    formula of :func:`text.lang_id`/:func:`text.quality_features`, so the
+    SQL oracle replays every boundary decision bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators import text as text_ops
+    from datafusion_gpu_spark.operators.dedup import normalize_text
+
+    docs = ensure_parallelism(docs)
+    c = F.col(text_col)
+    norm = normalize_text(c)
+    words = F.split(norm, " ")
+    n_chars = F.length(c)
+    n_words = F.size(words)
+    punct = n_chars - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    stop = text_ops._marker_count(words, text_ops.LANG_MARKERS["en"])
+    score = F.round(
+        F.least(n_words / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (stop / n_words) * 0.4
+        + (F.lit(1.0) - punct / n_chars) * 0.2,
+        6,
+    )
+    staged = docs.select(
+        "doc_id",
+        score.alias("quality_score"),
+        text_ops.lang_id(c).alias("lang_pred"),
+        F.md5(norm).alias("content_key"),
+        n_words.alias("n_tokens"),
+    ).where(
+        (F.col("quality_score") >= min_quality) & (F.col("lang_pred") == lang)
+    )
+    keep = Window.partitionBy("content_key").orderBy("doc_id")
+    kept = (
+        staged.withColumn("rn", F.row_number().over(keep))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    packed = pack_sequences(
+        kept, token_col="n_tokens", budget=budget, shards=shards
+    )
+    return packed.select("doc_id", "n_tokens", "shard", "bin")

@@ -426,6 +426,12 @@ def _curation_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select("doc_id", "shard", "bin")
 
 
+def _pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.curate_corpus(
+        _docs(spark, sf_dir), min_quality=0.35, lang="en", budget=512, shards=8
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.extract_features(
         multimodal.attach_binary(_docs(spark, sf_dir))
@@ -544,6 +550,7 @@ QUERIES = {
     "curation_hash_split": _curation_hash_split,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
+    "pipeline_end_to_end": _pipeline_end_to_end,
     "multimodal_features": _multimodal_features,
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
@@ -984,6 +991,61 @@ SELECT doc_id, CAST(shard AS BIGINT) AS shard,
        CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS bin
 FROM c
 """,
+    # the full curation composition: every stage reuses an already
+    # hash-exact mirror (quality score, lang argmax, md5 content key,
+    # pack window) chained as CTEs — boundary decisions (>= on the
+    # ROUNDED score, argmax ties, keep-lowest-id) replay bit-for-bit
+    "pipeline_end_to_end": f"""
+WITH t AS (
+  SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id, md5(norm) AS content_key, len(w) AS n_tokens,
+         length(text) AS n_chars, len(w) AS n_words,
+         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+           AS n_punct,
+         {_markers_sql("en")} AS s_en,
+         {_markers_sql("es")} AS s_es,
+         {_markers_sql("de")} AS s_de,
+         {_markers_sql("fr")} AS s_fr
+  FROM t
+),
+g AS (
+  SELECT doc_id, content_key, n_tokens,
+         ROUND(LEAST(n_words / 100.0, 1.0) * 0.4
+               + (s_en / n_words) * 0.4
+               + (1.0 - n_punct / n_chars) * 0.2, 6) AS quality_score,
+         CASE WHEN GREATEST(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+              WHEN s_en = GREATEST(s_en, s_es, s_de, s_fr) THEN 'en'
+              WHEN s_es = GREATEST(s_en, s_es, s_de, s_fr) THEN 'es'
+              WHEN s_de = GREATEST(s_en, s_es, s_de, s_fr) THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM f
+),
+kept AS (
+  SELECT doc_id, n_tokens::INT AS n_tokens FROM (
+    SELECT doc_id, n_tokens,
+           row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+    FROM g WHERE quality_score >= 0.35 AND lang_pred = 'en'
+  ) WHERE rn = 1
+),
+p AS (
+  SELECT doc_id, n_tokens, ({_bucket_sql('pack-v1')}) % 8 AS shard
+  FROM kept
+),
+c AS (
+  SELECT doc_id, n_tokens, shard,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS tokens_before
+  FROM p
+)
+SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
+       CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS bin
+FROM c
+""",
     "text_quality": f"""
 WITH t AS (
   SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
@@ -1027,7 +1089,7 @@ FROM s
 """,
     "text_tokens": f"""
 SELECT doc_id,
-       len(string_split({_NORM}, ' ')) AS ws_tokens,
+       len(string_split({_NORM}, ' '))::INT AS ws_tokens,
        len(regexp_extract_all({_NORM}, '{text.TOKEN_PATTERN}'))::INT AS re_tokens
 FROM documents
 """,

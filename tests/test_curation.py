@@ -129,3 +129,50 @@ def test_deterministic_shuffle_is_a_dense_global_rank(spark):
         for r in deterministic_shuffle(docs, coarse_bits=4).collect()
     }
     assert coarse == again
+
+
+def test_curate_corpus_stage_invariants(spark):
+    # every survivor passed BOTH gates, exact duplicates keep only the
+    # lowest doc_id, and bins never skip within a shard
+    from datafusion_gpu_spark.operators.curation import curate_corpus
+    from datafusion_gpu_spark.operators.text import lang_id, quality_features
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(60):
+        # quality-worthy english filler; every 10th is an exact dup of #0
+        body = "the data of a table and the scan is " + " ".join(
+            f"w{j}" for j in range(i % 7 + 20)
+        )
+        rows.append((i, body if i % 10 else rows[0][1] if rows else body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curate_corpus(docs, min_quality=0.1, budget=64, shards=4)
+    got = {r.doc_id: r for r in out.collect()}
+
+    feats = {r.doc_id: r for r in quality_features(docs).collect()}
+    langs = {
+        r.doc_id: r.lp
+        for r in docs.select("doc_id", lang_id("text").alias("lp")).collect()
+    }
+    dup_ids = {r[0] for r in rows if r[1] == rows[0][1]}
+    for did, r in got.items():
+        assert feats[did].quality_score >= 0.1
+        assert langs[did] == "en"
+    # of the exact-duplicate family only the lowest id survives
+    assert dup_ids & set(got) == {min(dup_ids)}
+    # bins are contiguous from 0 within each shard
+    by_shard = {}
+    for r in got.values():
+        by_shard.setdefault(r.shard, set()).add(r.bin)
+    for bins in by_shard.values():
+        assert bins == set(range(max(bins) + 1))
+
+
+def test_curate_corpus_is_deterministic(spark):
+    from datafusion_gpu_spark.operators.curation import curate_corpus
+
+    rows = [(i, f"the a of and is word{i} " * 3) for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, curate_corpus(docs).collect()))
+    b = sorted(map(tuple, curate_corpus(docs).collect()))
+    assert a == b and a

@@ -174,3 +174,16 @@ def test_semantic_dedup_blocks_on_cell(spark):
     plan = plan_of(spark, "dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pipeline_end_to_end_two_hash_shuffles(spark):
+    # the five "stages" must fuse into one projection + two windows:
+    # exactly one hashpartitioning for the dedup key and one for the
+    # packing shard (the RoundRobin small-file guard is a local-mode
+    # no-op at scale and not counted)
+    import re
+
+    plan = plan_of(spark, "pipeline_end_to_end")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
