@@ -38,7 +38,8 @@ def _roundtrip_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _JSON_DUCK = """
-SELECT n_regionkey, COUNT(*) AS n, SUM(n_nationkey)::BIGINT AS sum_key,
+SELECT n_regionkey::BIGINT AS n_regionkey, COUNT(*) AS n,
+       SUM(n_nationkey)::BIGINT AS sum_key,
        MIN(n_name) AS min_name
 FROM nation GROUP BY n_regionkey
 """

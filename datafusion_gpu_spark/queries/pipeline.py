@@ -197,7 +197,7 @@ r AS (
                             ORDER BY cos DESC, vec_id) AS "rank"
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= {k}
 """
 
@@ -634,7 +634,7 @@ r AS (
                             ORDER BY cos DESC, vec_id) AS "rank"
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= 5
 """,
     "sim_topk_vectorized": f"""
@@ -649,7 +649,7 @@ r AS (
                             ORDER BY cos DESC, vec_id) AS "rank"
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= 5
 """,
     "sim_topk_lsh": _lsh_ann_oracle(),
@@ -711,7 +711,7 @@ r AS (
                             ORDER BY cos DESC, vec_id) AS "rank"
   FROM scored
 )
-SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank" FROM r
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= 5
 """,
     # SemDeDup replay: same deterministic centroids and assignment
@@ -758,7 +758,7 @@ scored AS (
                      + 1.0::DOUBLE), 6) AS tfidf
   FROM tf JOIN dfx USING (word), n
 )
-SELECT doc_id, word, tf, tfidf, "rank" FROM (
+SELECT doc_id, word, tf, tfidf, "rank"::INT AS "rank" FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
                                ORDER BY tfidf DESC, word) AS "rank"
   FROM scored
@@ -1053,12 +1053,12 @@ WITH t AS (
 ),
 f AS (
   SELECT doc_id,
-         length(text) AS n_chars,
-         len(w) AS n_words,
+         length(text)::INT AS n_chars,
+         len(w)::INT AS n_words,
          length(regexp_replace(norm, ' ', '', 'g')) AS clen,
-         length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g'))
+         (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))::INT
            AS n_punct,
-         {_markers_sql("en")} AS n_stopwords
+         ({_markers_sql("en")})::INT AS n_stopwords
   FROM t
 )
 SELECT doc_id, n_chars, n_words,

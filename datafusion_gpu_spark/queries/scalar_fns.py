@@ -276,7 +276,7 @@ def _fn_alias_shims(spark: SparkSession, sf_dir: str) -> DataFrame:
 # states the expected Spark name as a literal (self-validating column).
 _ALIAS_SHIMS_DUCK = """
 SELECT c_custkey AS custkey,
-       strpos(c_name, '1') AS pos_one,
+       strpos(c_name, '1')::INT AS pos_one,
        'double' AS bal_type
 FROM customer
 """
