@@ -74,6 +74,7 @@ SF_BENCHES = [
     "sim_topk_vectorized",
     "sim_topk_ivf",
     "curation_pack_sequences",
+    "pipeline_end_to_end",
     "curation_shuffle",
     "text_repetition",
     "text_contamination",

@@ -187,3 +187,44 @@ def test_pipeline_end_to_end_two_hash_shuffles(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_semijoin_reduction(spark):
+    # Spark 4.1 injects a bloom filter built from the selective (filtered)
+    # join side into the big side's scan — semi-join reduction, the
+    # feature that keeps a 100 TB fact scan from shuffling rows a
+    # selective dim filter would discard anyway. Default thresholds are
+    # sized for real clusters (10 GB application-side scan); lower them
+    # to demonstrate the injection at test scale.
+    from datafusion_gpu_spark.context import register_tables
+    from pyspark.sql import functions as F
+
+    tables = register_tables(spark, SF_DIR)
+    saved = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        orders = tables["orders"].where("o_orderpriority = '1-URGENT'")
+        joined = (
+            tables["lineitem"]
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+        text = joined._jdf.queryExecution().toString()
+        assert "bloom_filter_agg" in text or "BloomFilterAggregate" in text
+        assert "might_contain" in text
+        assert joined.count() == 1
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
