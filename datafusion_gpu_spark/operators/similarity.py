@@ -249,6 +249,58 @@ def cosine_topk_bruteforce(
     return cosine_topk_vectorized(corpus, queries, k)
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the exact top-k
+    cosine neighbors of each query that carry a DIFFERENT label — the
+    high-similarity wrong-class examples a contrastive or reranker
+    objective learns the most from.
+
+    Same fused GEMM score+prune shape as :func:`cosine_topk_vectorized`
+    (one corpus pass, no corpus-sized shuffle, partition state bounded
+    by queries x k); the label mask is applied inside the batch kernel,
+    so the result is the exact different-label top-k, not a post-filter
+    of the global top-k (which could return fewer than k when same-label
+    neighbors crowd the head).
+    """
+    qpd = queries.select("vec_id", label_col, "embedding").toPandas()
+    qids = qpd["vec_id"].to_numpy().astype("int64")
+    qlabels = qpd[label_col].to_numpy()
+    Qn = _l2_normalize(_rows_matrix(qpd["embedding"]))
+
+    def score_prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        best: pd.DataFrame | None = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype("int64")
+            labels = pdf[label_col].to_numpy()
+            Cn = _l2_normalize(_rows_matrix(pdf["embedding"]))
+            cos = Cn @ Qn.T
+            frames = []
+            for j, (qid, qlabel) in enumerate(zip(qids, qlabels)):
+                mask = (ids != qid) & (labels != qlabel)
+                cj, ij = cos[mask, j], ids[mask]
+                order = np.lexsort((ij, -cj))[:k]
+                frames.append(
+                    pd.DataFrame(
+                        {"query_id": qid, "vec_id": ij[order], "cosine": cj[order]}
+                    )
+                )
+            best = _merge_topk(best, pd.concat(frames), k)
+        if best is not None:
+            yield best
+
+    pruned = corpus.select("vec_id", label_col, "embedding").mapInPandas(
+        score_prune, _SCORED_SCHEMA
+    )
+    return _final_topk(pruned, k)
+
+
 def cosine_topk_jvm_fold(
     corpus: DataFrame, queries: DataFrame, k: int = 10
 ) -> DataFrame:

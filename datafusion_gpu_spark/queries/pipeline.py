@@ -271,6 +271,12 @@ def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_bruteforce(embs, embs.where("vec_id < 8"), k=5)
 
 
+def _retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.hard_negatives(embs, embs.where("vec_id < 8"), k=5)
+
+
 def _sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -527,6 +533,7 @@ QUERIES = {
     "dedup_embedding_lsh": _dedup_embedding_lsh,
     "dedup_semantic": _dedup_semantic,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
+    "retrieval_hard_negatives": _retrieval_hard_negatives,
     "sim_topk_vectorized": _sim_topk_vectorized,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
@@ -627,6 +634,24 @@ WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_QC} AS cos
   FROM embeddings q
   JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
+WHERE "rank" <= 5
+""",
+    # same exact-cosine CTE with the label mask applied BEFORE ranking —
+    # the top-k among different-label neighbors, not a post-filter
+    "retrieval_hard_negatives": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {_COS_QC} AS cos
+  FROM embeddings q
+  JOIN embeddings c
+    ON q.vec_id < 8 AND c.vec_id != q.vec_id AND c.label != q.label
 ),
 r AS (
   SELECT query_id, vec_id, cos,

@@ -199,3 +199,35 @@ def test_ivf_topk_matches_bruteforce_on_probed_cells(spark):
     exact = key(cosine_topk_vectorized(df, q, k=5).toPandas())
     ivf = key(ivf_topk(df, q, k=5, n_clusters=8, n_probe=8).toPandas())
     assert exact.equals(ivf)
+
+
+def test_hard_negatives_excludes_query_label_exactly(spark):
+    # two tight clusters with distinct labels + a stray same-label point
+    # sitting closest to the query: the mask must drop it even though it
+    # would top the unmasked ranking
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(7)
+    base_a = rng.normal(size=32)
+    base_b = rng.normal(size=32)
+    rows = []
+    for i in range(30):
+        base, label = (base_a, 0) if i % 2 == 0 else (base_b, 1)
+        vec = base + rng.normal(scale=0.05, size=32)
+        rows.append((i, [float(x) for x in vec], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = df.where("vec_id = 0")
+
+    k = 5
+    out = hard_negatives(df, queries, k=k).collect()
+    labels = {r[0]: r[2] for r in rows}
+    assert len(out) == k
+    assert all(labels[r.vec_id] == 1 for r in out)  # query label is 0
+    # the unmasked top-k would be dominated by same-label cluster mates
+    plain = cosine_topk_vectorized(df, queries, k=k).collect()
+    assert any(labels[r.vec_id] == 0 for r in plain)
+    # ranks are 1..k among negatives only
+    assert sorted(r.rank for r in out) == list(range(1, k + 1))
