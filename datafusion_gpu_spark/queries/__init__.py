@@ -67,10 +67,40 @@ _DRIVER_CHECKED = frozenset({
 })
 
 
+#: Rows-only entries (no oracle — weaker driver check) can wait a round.
+_ROWS_ONLY = frozenset({"explain_plan", "agg_approximate", "sim_topk_ivf_kmeans"})
+
+#: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never
+#: checked — ahead of the pipeline operators, which come ahead of variant
+#: spellings whose siblings are already driver-green.
+_CORE_PREFIXES = (
+    "io_", "types_", "csv_", "events_", "streaming_", "multimodal_",
+    "pipeline_",  # the end-to-end composition flagship
+)
+_PIPELINE_PREFIXES = ("dedup_", "sim_", "retrieval_", "text_", "curation_")
+
+
+def _gate_priority(name: str) -> int:
+    if name in _ROWS_ONLY:
+        return 3
+    if name.startswith(_CORE_PREFIXES):
+        return 0
+    if name.startswith(_PIPELINE_PREFIXES):
+        return 1
+    return 2
+
+
 def _unchecked_first(registry: dict) -> dict:
-    fresh = {k: v for k, v in registry.items() if k not in _DRIVER_CHECKED}
-    seen = {k: v for k, v in registry.items() if k in _DRIVER_CHECKED}
-    return {**fresh, **seen}
+    """Order so the driver's 50-query/round gate always lands on the
+    entries with the least driver evidence: never-checked core surface,
+    then never-checked pipeline operators, then never-checked variant
+    spellings, then everything already green in a CORRECTNESS file.
+    Sort is stable — registry (module) order breaks ties."""
+    fresh = sorted(
+        (k for k in registry if k not in _DRIVER_CHECKED), key=_gate_priority
+    )
+    seen = [k for k in registry if k in _DRIVER_CHECKED]
+    return {k: registry[k] for k in (*fresh, *seen)}
 
 
 def all_queries() -> dict[str, QueryFn]:
