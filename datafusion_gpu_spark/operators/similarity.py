@@ -249,24 +249,19 @@ def cosine_topk_bruteforce(
     return cosine_topk_vectorized(corpus, queries, k)
 
 
-def hard_negatives(
+def _label_masked_topk(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 10,
-    label_col: str = "label",
+    k: int,
+    label_col: str,
+    same_label: bool,
 ) -> DataFrame:
-    """Hard-negative mining for contrastive training: the exact top-k
-    cosine neighbors of each query that carry a DIFFERENT label — the
-    high-similarity wrong-class examples a contrastive or reranker
-    objective learns the most from.
-
-    Same fused GEMM score+prune shape as :func:`cosine_topk_vectorized`
-    (one corpus pass, no corpus-sized shuffle, partition state bounded
-    by queries x k); the label mask is applied inside the batch kernel,
-    so the result is the exact different-label top-k, not a post-filter
-    of the global top-k (which could return fewer than k when same-label
-    neighbors crowd the head).
-    """
+    """Fused GEMM score+prune with a label mask INSIDE the batch kernel:
+    the exact top-k among same-label (positives) or different-label
+    (negatives) neighbors, never a post-filter of the global top-k
+    (which can come up short when the other class crowds the head).
+    Same 100 TB shape as :func:`cosine_topk_vectorized` — one corpus
+    pass, partition state bounded by queries x k, no corpus shuffle."""
     qpd = queries.select("vec_id", label_col, "embedding").toPandas()
     qids = qpd["vec_id"].to_numpy().astype("int64")
     qlabels = qpd[label_col].to_numpy()
@@ -283,7 +278,8 @@ def hard_negatives(
             cos = Cn @ Qn.T
             frames = []
             for j, (qid, qlabel) in enumerate(zip(qids, qlabels)):
-                mask = (ids != qid) & (labels != qlabel)
+                same = labels == qlabel
+                mask = (ids != qid) & (same if same_label else ~same)
                 cj, ij = cos[mask, j], ids[mask]
                 order = np.lexsort((ij, -cj))[:k]
                 frames.append(
@@ -299,6 +295,54 @@ def hard_negatives(
         score_prune, _SCORED_SCHEMA
     )
     return _final_topk(pruned, k)
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: the exact top-k
+    cosine neighbors of each query that carry a DIFFERENT label — the
+    high-similarity wrong-class examples a contrastive or reranker
+    objective learns the most from."""
+    return _label_masked_topk(corpus, queries, k, label_col, same_label=False)
+
+
+def contrastive_triplets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    label_col: str = "label",
+) -> DataFrame:
+    """(anchor, positive, hard-negative) triplet generation: per query,
+    the nearest same-label neighbor (excluding self) and the nearest
+    different-label neighbor, each exact via the label-masked GEMM
+    kernel. Two corpus passes (one per mask), then a join of two
+    queries-sized relations — nothing corpus-sized ever shuffles.
+    The triplet margin (pos_cosine - neg_cosine) is the quantity a
+    contrastive loss pushes apart; emitting both cosines lets a
+    curriculum sort by margin without rescoring."""
+    pos = _label_masked_topk(corpus, queries, 1, label_col, same_label=True)
+    neg = _label_masked_topk(corpus, queries, 1, label_col, same_label=False)
+    return (
+        pos.select(
+            "query_id",
+            F.col("vec_id").alias("pos_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+        .join(
+            neg.select(
+                "query_id",
+                F.col("vec_id").alias("neg_id"),
+                F.col("cosine").alias("neg_cosine"),
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "margin", F.round(F.col("pos_cosine") - F.col("neg_cosine"), 6)
+        )
+    )
 
 
 def cosine_topk_jvm_fold(

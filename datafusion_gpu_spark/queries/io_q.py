@@ -142,6 +142,40 @@ FROM part GROUP BY p_brand
 """
 
 
+def _partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned re-read: the
+    directory layout (o_orderstatus=F/...) is the 100 TB idiom for
+    cheap coarse filters — the filtered read-back only lists/scans the
+    matching directory (PartitionFilters in the plan, pinned by
+    tests/test_plans.py), and the aggregate must still match the
+    oracle's WHERE on the unpartitioned source."""
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "orders_partitioned")
+    io.write_parquet(
+        spark.table("orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+        ),
+        out,
+        partition_by=["o_orderstatus"],
+    )
+    back = spark.read.parquet(out).where("o_orderstatus = 'F'")
+    back.createOrReplaceTempView("orders_part_rt")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(o_totalprice), 2) AS sum_price
+        FROM orders_part_rt GROUP BY o_orderpriority
+        """
+    )
+
+
+_PARTITIONED_DUCK = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       ROUND(SUM(o_totalprice), 2) AS sum_price
+FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
+"""
+
+
 def _copy_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-level sink — the engine analogue of DataFusion's
     ``COPY (SELECT ...) TO 'path'``: INSERT OVERWRITE DIRECTORY writes
@@ -179,9 +213,11 @@ QUERIES = {
     "io_roundtrip_csv": _roundtrip_csv,
     "io_roundtrip_orc": _roundtrip_orc,
     "io_roundtrip_arrow": _roundtrip_arrow,
+    "io_partitioned_parquet": _partitioned_parquet,
 }
 
 ORACLES = {
+    "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_copy_to_sql": _COPY_SQL_DUCK,
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,

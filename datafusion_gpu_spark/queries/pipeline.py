@@ -277,6 +277,12 @@ def _retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.hard_negatives(embs, embs.where("vec_id < 8"), k=5)
 
 
+def _sim_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.contrastive_triplets(embs, embs.where("vec_id < 8"))
+
+
 def _sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -534,6 +540,7 @@ QUERIES = {
     "dedup_semantic": _dedup_semantic,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "retrieval_hard_negatives": _retrieval_hard_negatives,
+    "sim_contrastive_triplets": _sim_contrastive_triplets,
     "sim_topk_vectorized": _sim_topk_vectorized,
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
@@ -643,6 +650,34 @@ r AS (
 )
 SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= 5
+""",
+    # rank-1 of the same-label and different-label maskings of the same
+    # exact-cosine CTE, joined per query; margin mirrors the Spark
+    # round(round - round) exactly
+    "sim_contrastive_triplets": f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         c.label = q.label AS same, {_COS_QC} AS cos
+  FROM embeddings q
+  JOIN embeddings c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+),
+p AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored WHERE same
+),
+n AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS rn
+  FROM scored WHERE NOT same
+)
+SELECT p.query_id, p.vec_id AS pos_id, ROUND(p.cos, 6) AS pos_cosine,
+       n.vec_id AS neg_id, ROUND(n.cos, 6) AS neg_cosine,
+       ROUND(ROUND(p.cos, 6) - ROUND(n.cos, 6), 6) AS margin
+FROM p JOIN n ON p.query_id = n.query_id
+WHERE p.rn = 1 AND n.rn = 1
 """,
     # same exact-cosine CTE with the label mask applied BEFORE ranking —
     # the top-k among different-label neighbors, not a post-filter

@@ -231,3 +231,25 @@ def test_hard_negatives_excludes_query_label_exactly(spark):
     assert any(labels[r.vec_id] == 0 for r in plain)
     # ranks are 1..k among negatives only
     assert sorted(r.rank for r in out) == list(range(1, k + 1))
+
+
+def test_contrastive_triplets_margin_and_exclusions(spark):
+    from datafusion_gpu_spark.operators.similarity import contrastive_triplets
+
+    rng = np.random.default_rng(11)
+    base_a, base_b = rng.normal(size=16), rng.normal(size=16)
+    rows = []
+    for i in range(24):
+        base, label = (base_a, 0) if i % 2 == 0 else (base_b, 1)
+        vec = base + rng.normal(scale=0.05, size=16)
+        rows.append((i, [float(x) for x in vec], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.query_id: r for r in contrastive_triplets(df, df.where("vec_id < 4")).collect()}
+    labels = {r[0]: r[2] for r in rows}
+    assert set(out) == {0, 1, 2, 3}
+    for qid, r in out.items():
+        assert labels[r.pos_id] == labels[qid] and r.pos_id != qid
+        assert labels[r.neg_id] != labels[qid]
+        # tight clusters: same-label neighbor is closer than cross-label
+        assert r.margin > 0
+        assert abs(r.margin - round(r.pos_cosine - r.neg_cosine, 6)) < 1e-9
