@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, ".")
 
 
-def corpus(spark, n: int):
+def corpus(spark, n: int, exact_dups: bool = False):
     from pyspark.sql import functions as F
 
     base = spark.range(n).withColumn(
@@ -35,35 +35,56 @@ def corpus(spark, n: int):
             ),
         ),
     )
+    # curate mode: odd ids are EXACT copies of the even sibling (tests the
+    # dedup stage) and every doc opens with the en stopword profile so the
+    # language gate keeps it; minhash mode keeps the near-dup " tail" delta
+    tail = F.lit("") if exact_dups else F.lit("tail")
+    body = F.concat_ws(" ", F.lit("the a of and is"), F.col("words"))
     return base.select(
         F.col("id").alias("doc_id"),
-        F.when(F.col("id") % 2 == 0, F.concat_ws(" ", F.col("words")))
-        .otherwise(F.concat_ws(" ", F.col("words"), F.lit("tail")))
+        F.when(F.col("id") % 2 == 0, body)
+        .otherwise(F.concat_ws(" ", body, tail))
         .alias("text"),
     ).repartition(32).cache()
 
 
 def main() -> int:
-    sizes = [int(a) for a in sys.argv[1:]] or [5_000, 50_000, 200_000]
+    args = sys.argv[1:]
+    op = "minhash"
+    if args and args[0] in ("minhash", "curate"):
+        op, args = args[0], args[1:]
+    sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
     from datafusion_gpu_spark.context import get_spark
+    from datafusion_gpu_spark.operators.curation import curate_corpus
     from datafusion_gpu_spark.operators.dedup import minhash_lsh_pairs
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     for n in sizes:
-        docs = corpus(spark, n)
+        docs = corpus(spark, n, exact_dups=op == "curate")
         docs.count()
         t0 = time.perf_counter()
-        pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
-        dt = time.perf_counter() - t0
-        expected = n // 2
-        recall = pairs / expected if expected else 1.0
-        print(
-            f"n={n} pairs={pairs} (recall {recall:.3f}) "
-            f"time={dt:.1f}s rate={n / dt:.0f} docs/s",
-            flush=True,
-        )
+        if op == "curate":
+            kept = curate_corpus(docs, budget=2048, shards=64).count()
+            dt = time.perf_counter() - t0
+            expected = (n + 1) // 2  # odd ids are exact dups of evens
+            print(
+                f"n={n} kept={kept} (expected {expected}) "
+                f"time={dt:.1f}s rate={n / dt:.0f} docs/s",
+                flush=True,
+            )
+            assert kept == expected, (kept, expected)
+        else:
+            pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
+            dt = time.perf_counter() - t0
+            expected = n // 2
+            recall = pairs / expected if expected else 1.0
+            print(
+                f"n={n} pairs={pairs} (recall {recall:.3f}) "
+                f"time={dt:.1f}s rate={n / dt:.0f} docs/s",
+                flush=True,
+            )
         docs.unpersist()
     return 0
 
