@@ -228,3 +228,13 @@ def test_runtime_bloom_filter_semijoin_reduction(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_contrastive_triplets_no_corpus_shuffle(spark):
+    # both masked top-k passes prune to queries x 1 rows inside
+    # MapInPandas; the final pos/neg join touches only queries-sized
+    # relations — nothing corpus-sized may shuffle or cross-join
+    plan = plan_of(spark, "sim_contrastive_triplets")
+    assert plan.count("MapInPandas") == 2
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
