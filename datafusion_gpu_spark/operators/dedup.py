@@ -581,3 +581,85 @@ def dedup_resolution(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .withColumn("is_keeper", F.col("doc_id") == F.col("component"))
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 20,
+    max_doc_freq: int | None = 50,
+) -> DataFrame:
+    """Verbatim duplicated spans across documents — the n-gram-granular
+    approximation of suffix-array substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    maximal run of ``n``-word windows shared verbatim between two
+    documents, reported as (doc_a, doc_b, start_a, start_b, span_words).
+    Substring-level dedup catches boilerplate the document-level
+    methods can't (licenses, navigation chrome, quoted passages inside
+    otherwise-unique documents).
+
+    Shape: explode words once, build each position's n-gram hash with a
+    bounded ``collect_list`` window (ROWS CURRENT..n-1 FOLLOWING — state
+    is n words, never the document), cap hot grams by document
+    frequency BEFORE the self-join (the same skew guard as
+    ngram_jaccard_pairs), equi-join on the gram hash, then merge
+    adjacent matches with gaps-and-islands on the (pos_a - pos_b)
+    diagonal: consecutive window positions on one diagonal are one
+    span. Every shuffle is keyed (gram hash, doc pair, diagonal) — no
+    unblocked pair enumeration anywhere, and the hot-gram cap bounds
+    every join bucket.
+    """
+    from pyspark.sql import Window
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    w_gram = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, n - 1)
+    )
+    grams = (
+        words.select(
+            "doc_id",
+            "pos",
+            F.collect_list("word").over(w_gram).alias("gram_words"),
+        )
+        .where(F.size("gram_words") == n)
+        .select(
+            "doc_id", "pos", F.md5(F.concat_ws(" ", "gram_words")).alias("gram")
+        )
+    )
+    if max_doc_freq is not None:
+        keep = (
+            grams.groupBy("gram")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("gram")
+        )
+        grams = grams.join(keep, "gram")
+    a, b = grams.alias("a"), grams.alias("b")
+    matches = a.join(b, "gram").where(F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        F.col("b.pos").alias("pos_b"),
+    )
+    diag = matches.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    w_island = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    islands = diag.withColumn(
+        "island", F.col("pos_a") - F.row_number().over(w_island)
+    )
+    return (
+        islands.groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + n).alias("span_words"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_words")
+    )

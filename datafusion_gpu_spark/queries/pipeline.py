@@ -250,6 +250,10 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dedup_resolution(docs, pairs)
 
 
+def _dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.duplicated_spans(_docs(spark, sf_dir), n=20, max_doc_freq=50)
+
+
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return dedup.semantic_dedup(spark.table("embeddings"), n_clusters=16, threshold=0.2)
@@ -538,6 +542,7 @@ QUERIES = {
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
     "dedup_semantic": _dedup_semantic,
+    "dedup_substring_spans": _dedup_substring_spans,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "retrieval_hard_negatives": _retrieval_hard_negatives,
     "sim_contrastive_triplets": _sim_contrastive_triplets,
@@ -586,6 +591,35 @@ ORACLES = {
 SELECT md5({_NORM}) AS content_key, MIN(doc_id) AS keep_id,
        COUNT(*) AS n_copies
 FROM documents GROUP BY 1
+""",
+    # same 20-gram window hashes (1-based slice == 0-based posexplode),
+    # same doc-frequency cap, same diagonal gaps-and-islands merge
+    "dedup_substring_spans": f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+g0 AS (
+  SELECT doc_id, i - 1 AS pos,
+         md5(array_to_string(w[i:i+19], ' ')) AS gram
+  FROM t, unnest(generate_series(1, len(w) - 20 + 1)) AS u(i)
+),
+keep AS (
+  SELECT gram FROM g0 GROUP BY gram HAVING COUNT(DISTINCT doc_id) <= 50
+),
+g AS (SELECT g0.* FROM g0 JOIN keep USING (gram)),
+m AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.pos AS pos_a, b.pos AS pos_b
+  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+),
+i AS (
+  SELECT *, pos_a - pos_b AS diag,
+         pos_a - ROW_NUMBER() OVER (
+             PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM m
+)
+SELECT doc_a, doc_b, MIN(pos_a)::INT AS start_a, MIN(pos_b)::INT AS start_b,
+       (MAX(pos_a) - MIN(pos_a) + 20)::INT AS span_words
+FROM i GROUP BY doc_a, doc_b, diag, island
 """,
     "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),

@@ -150,3 +150,24 @@ def test_semantic_dedup_keeps_lowest_id_per_duplicate_group(spark):
     out = semantic_dedup(embs, n_clusters=2, threshold=0.95)
     keepers = {r.vec_id for r in out.where("is_keeper").collect()}
     assert 5 in keepers and 6 not in keepers and 7 not in keepers
+
+
+def test_duplicated_spans_finds_maximal_planted_spans(spark):
+    from datafusion_gpu_spark.operators.dedup import duplicated_spans
+
+    shared1 = " ".join(f"s{i}" for i in range(30))   # 30-word passage
+    shared2 = " ".join(f"t{i}" for i in range(15))   # second, separate passage
+    uniq = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, f"{uniq('a', 8)} {shared1} {uniq('b', 5)} {shared2}"),
+        (1, f"{uniq('c', 3)} {shared1} {uniq('d', 12)} {shared2} {uniq('e', 4)}"),
+        (2, uniq("f", 40)),  # no overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(docs, n=10, max_doc_freq=None).collect()
+    spans = {(r.doc_a, r.doc_b, r.span_words) for r in out}
+    # exactly the two planted passages, merged to their full lengths
+    assert spans == {(0, 1, 30), (0, 1, 15)}
+    by_len = {r.span_words: r for r in out}
+    assert by_len[30].start_a == 8 and by_len[30].start_b == 3
+    assert by_len[15].start_a == 8 + 30 + 5 and by_len[15].start_b == 3 + 30 + 12

@@ -238,3 +238,14 @@ def test_contrastive_triplets_no_corpus_shuffle(spark):
     assert plan.count("MapInPandas") == 2
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_substring_spans_all_joins_keyed(spark):
+    # gram self-join and doc-freq cap must stay key-equality joins;
+    # the diagonal merge is one more keyed window — never a pair scan
+    import re
+
+    plan = plan_of(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 6
