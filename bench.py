@@ -68,6 +68,7 @@ SF_BENCHES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_components",
+    "dedup_substring_spans",
     "text_quality",
     "text_pii_redact",
     "sim_topk_bruteforce",
