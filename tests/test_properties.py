@@ -95,3 +95,35 @@ def test_two_stage_topk_equals_numpy_for_any_corpus(spark, n_vecs, dim, k, seed)
     want = order[: min(k, n_vecs - 1)]
     got = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    span_len=st.integers(min_value=10, max_value=40),
+    off_a=st.integers(min_value=0, max_value=25),
+    off_b=st.integers(min_value=0, max_value=25),
+    n=st.integers(min_value=5, max_value=10),
+    seed=st.integers(min_value=0, max_value=2**16),
+)
+def test_duplicated_spans_recovers_any_planted_span(
+    spark, span_len, off_a, off_b, n, seed
+):
+    # a shared passage of span_len >= n words planted at arbitrary
+    # offsets inside otherwise-unique filler must come back as ONE
+    # maximal span with exact starts and length
+    from datafusion_gpu_spark.operators.dedup import duplicated_spans
+
+    rng = np.random.default_rng(seed)
+    shared = " ".join(f"s{rng.integers(1 << 30)}_{i}" for i in range(span_len))
+    fill = lambda tag, m: " ".join(f"{tag}{rng.integers(1 << 30)}_{j}" for j in range(m))
+    rows = [
+        (0, f"{fill('a', off_a)} {shared} {fill('z', 5)}".strip()),
+        (1, f"{fill('b', off_b)} {shared} {fill('y', 3)}".strip()),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_spans(docs, n=n, max_doc_freq=None).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_a, r.doc_b) == (0, 1)
+    assert r.span_words == span_len
+    assert r.start_a == off_a and r.start_b == off_b
