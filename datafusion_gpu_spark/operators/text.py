@@ -536,3 +536,56 @@ def winnowing_fingerprints(
         .distinct()
     )
     return selected
+
+
+def gopher_rules(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    max_punct_per_word: float = 0.1,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """The Gopher document-level quality rules (Rae et al. 2021, §A1.1)
+    as explicit per-rule verdicts: word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, and the required-stopwords rule
+    (the repetition rules of the same appendix live in
+    :func:`repetition_features`). A doc is kept only when every rule
+    passes; emitting the individual booleans makes the filter auditable
+    — a corpus report can aggregate per-rule drop rates.
+
+    Pure codegen column expressions, zero shuffle; thresholds compare
+    the ROUNDED ratios so the SQL oracle replays every boundary
+    decision bit-for-bit.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    c = F.col(text_col)
+    norm = normalize_text(c)
+    words = F.split(norm, " ")
+    n_words = F.size(words)
+    mean_wlen = F.round(
+        F.length(F.regexp_replace(norm, " ", "")) / n_words, 6
+    )
+    punct = F.length(c) - F.length(F.regexp_replace(c, r"[^a-zA-Z0-9\s]", ""))
+    punct_per_word = F.round(punct / n_words, 6)
+    stop = _marker_count(words, LANG_MARKERS["en"])
+    ok_wc = (n_words >= min_words) & (n_words <= max_words)
+    ok_wl = (mean_wlen >= min_mean_wlen) & (mean_wlen <= max_mean_wlen)
+    ok_punct = punct_per_word <= max_punct_per_word
+    ok_stop = stop >= min_stopwords
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        punct_per_word.alias("punct_per_word"),
+        stop.alias("n_stopwords"),
+        ok_wc.alias("ok_word_count"),
+        ok_wl.alias("ok_mean_word_len"),
+        ok_punct.alias("ok_punct_ratio"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_wc & ok_wl & ok_punct & ok_stop).alias("keep"),
+    )

@@ -372,6 +372,10 @@ def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.contamination(corpus, bench, n=3, threshold=5)
 
 
+def _text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.gopher_rules(_docs(spark, sf_dir))
+
+
 def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_filter(_docs(spark, sf_dir))
 
@@ -559,6 +563,7 @@ QUERIES = {
     "text_collocations": _text_collocations,
     "text_winnowing": _text_winnowing,
     "text_repetition": _text_repetition,
+    "text_gopher_rules": _text_gopher_rules,
     "text_contamination": _text_contamination,
     "text_perplexity": _text_perplexity,
     "retrieval_bm25": _retrieval_bm25,
@@ -1139,6 +1144,35 @@ c AS (
 SELECT doc_id, n_tokens, CAST(shard AS BIGINT) AS shard,
        CAST(FLOOR(tokens_before / 512.0) AS BIGINT) AS bin
 FROM c
+""",
+    # Gopher §A1.1 rule pack: thresholds compare the ROUNDED ratios on
+    # both sides so boundary docs resolve identically
+    "text_gopher_rules": f"""
+WITH t AS (
+  SELECT doc_id, text, {_NORM} AS norm, string_split({_NORM}, ' ') AS w
+  FROM documents
+),
+f AS (
+  SELECT doc_id,
+         len(w)::INT AS n_words,
+         ROUND(length(regexp_replace(norm, ' ', '', 'g')) / len(w), 6)
+           AS mean_word_len,
+         ROUND((length(text)
+                - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')))
+               / len(w), 6) AS punct_per_word,
+         ({_markers_sql("en")})::INT AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, punct_per_word, n_stopwords,
+       (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_mean_word_len,
+       (punct_per_word <= 0.1) AS ok_punct_ratio,
+       (n_stopwords >= 2) AS ok_stopwords,
+       ((n_words >= 50 AND n_words <= 100000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (punct_per_word <= 0.1)
+        AND (n_stopwords >= 2)) AS keep
+FROM f
 """,
     "text_quality": f"""
 WITH t AS (

@@ -254,3 +254,26 @@ def test_tfidf_ranks_distinctive_term_first(spark):
     assert top[1] == "zebra"
     # hapax words (df=1) are cut by min_df: "runs" never appears
     assert out.where("word = 'runs'").count() == 0
+
+
+def test_gopher_rules_flag_exactly_the_planted_violation(spark):
+    from datafusion_gpu_spark.operators.text import gopher_rules
+
+    good = "the a of and is " + " ".join(f"word{i}" for i in range(60))
+    rows = [
+        (0, good),                                        # passes all
+        (1, "the a of and is short doc"),                 # too few words
+        (2, ("the a of and is " + "!!! ??? *** " * 30 +
+             " ".join(f"w{i}" for i in range(50)))),      # punct-heavy
+        (3, " ".join(f"x{i}" for i in range(60))),        # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    assert out[0].keep
+    assert not out[1].keep and not out[1].ok_word_count
+    assert not out[2].keep and not out[2].ok_punct_ratio
+    assert not out[3].keep and not out[3].ok_stopwords
+    # each violator fails ONLY its planted rule (word-count rule also
+    # sees doc 2's filler, so check the others explicitly)
+    assert out[1].ok_stopwords and out[1].ok_punct_ratio
+    assert out[3].ok_word_count and out[3].ok_punct_ratio
