@@ -314,6 +314,14 @@ def _sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.pq_topk(
+        embs, embs.where("vec_id < 8"), k=5, m=8, ksub=16, oversample=4
+    )
+
+
 def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.quality_features(_docs(spark, sf_dir))
 
@@ -554,6 +562,7 @@ QUERIES = {
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
     "sim_topk_ivf_kmeans": _sim_topk_ivf_kmeans,
+    "sim_topk_pq": _sim_topk_pq,
     "sim_quantize_int8": _sim_quantize,
     "text_quality": _text_quality,
     "text_lang_id": _text_lang_id,
@@ -752,6 +761,77 @@ SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
 WHERE "rank" <= 5
 """,
     "sim_topk_lsh": _lsh_ann_oracle(),
+    # PQ-ADC replay: same deterministic codebooks (L2-normalized
+    # vec_id < 16 rows sliced into 8 subvectors of 8), same argmin
+    # encode with (distance, code) tiebreak, same 8-term LUT-sum ADC
+    # score, same top-20 candidate cut (score DESC, vec_id), same exact
+    # rerank. Docs sharing all 8 codes tie EXACTLY and break by vec_id
+    # in both engines.
+    "sim_topk_pq": f"""
+WITH nrm AS (
+  SELECT vec_id,
+         CASE WHEN sqrt({_dot_sql("embedding", "embedding")}) = 0
+              THEN list_transform(embedding, x -> x::DOUBLE)
+              ELSE list_transform(embedding,
+                   x -> x::DOUBLE / sqrt({_dot_sql("embedding", "embedding")}))
+         END AS v
+  FROM embeddings
+),
+subs AS (
+  SELECT vec_id, m, v[(m*8+1):(m*8+8)] AS sv
+  FROM nrm CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS m)
+),
+cb AS (
+  SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS code,
+         sv AS cw
+  FROM subs WHERE vec_id < 16
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m ORDER BY
+             list_sum(list_transform(generate_series(1, 8),
+                      i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))),
+             c.code) AS rn
+    FROM subs s JOIN cb c USING (m)
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         list_sum(list_transform(generate_series(1, 8),
+                  i -> q.sv[i] * c.cw[i])) AS part
+  FROM subs q JOIN cb c USING (m)
+  WHERE q.vec_id < 8
+),
+adc AS (
+  SELECT l.query_id, co.vec_id, SUM(l.part) AS score
+  FROM codes co JOIN lut l ON co.m = l.m AND co.code = l.code
+  WHERE co.vec_id != l.query_id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 20
+),
+rr AS (
+  SELECT cand.query_id, cand.vec_id, {_COS_QC} AS cos
+  FROM cand
+  JOIN embeddings q ON q.vec_id = cand.query_id
+  JOIN embeddings c ON c.vec_id = cand.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM rr
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::INT AS "rank" FROM r
+WHERE "rank" <= 5
+""",
     # same max-abs scale, same x/s*127 double arithmetic, same
     # round-half-away-from-zero in both engines
     "sim_quantize_int8": """
