@@ -53,6 +53,15 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream = stream.withColumn(
                 field.name, F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
             )
+    # watermarks require TIMESTAMP (LTZ); parquet micro-precision columns
+    # without UTC-adjustment metadata infer as TIMESTAMP_NTZ. The session
+    # timezone is pinned to UTC (context.get_spark), so this cast keeps the
+    # wall-clock instant while making the column watermark-eligible.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream
 
 
