@@ -140,6 +140,104 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+# -- line-level dedup (CCNet) ------------------------------------------------
+
+
+def split_lines(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, pos, line): newline segmentation with per-line
+    normalization; empty lines dropped. The natural input for
+    :func:`line_dedup` on corpora with layout (web pages, books)."""
+    raw = F.split(F.col(text_col), r"\n+")
+    return (
+        docs.select("doc_id", F.posexplode(raw).alias("pos", "line0"))
+        .select("doc_id", "pos", normalize_text(F.col("line0")).alias("line"))
+        .where(F.length("line") > 0)
+    )
+
+
+def segment_lines(
+    docs: DataFrame, width: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, line): fixed-``width``-word segmentation — the
+    pseudo-line splitter for corpora with no layout (the synthetic
+    documents table is a single-line word stream). Zero shuffle; slice
+    over a bound words array, same codegen discipline as
+    text.chunk_documents."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n_segs = F.ceil(F.size(F.col("w")) / width).cast("int")
+    seg = F.slice(F.col("w"), F.col("pos") * width + 1, width)
+    return (
+        docs.where(F.size(words) >= 1)
+        .select("doc_id", words.alias("w"))
+        .select(
+            "doc_id",
+            "w",
+            F.posexplode(F.sequence(F.lit(1), n_segs)).alias("pos", "_i"),
+        )
+        .select("doc_id", "pos", F.array_join(seg, " ").alias("line"))
+    )
+
+
+def line_dedup(lines: DataFrame, max_line_docs: int = 1) -> DataFrame:
+    """CCNet-style line-level deduplication (Wenzek et al. 2020: dedup
+    identical lines across the corpus before language modeling; also the
+    boilerplate killer in RefinedWeb): a line whose hash occurs in more
+    than ``max_line_docs`` distinct documents is dropped from EVERY
+    document, and each document is re-assembled from its surviving lines.
+
+    Input: (doc_id, pos, line) from :func:`split_lines` /
+    :func:`segment_lines`. Output per doc: n_lines, n_kept,
+    kept_fraction (rounded 6 so thresholds replay), kept_md5 — the md5 of
+    the surviving text in position order (md5('') when nothing survives).
+
+    Scale: only 32-hex line hashes shuffle, never line text. One
+    count-distinct agg over line hashes (map-side partial), one key join
+    back (Spark picks broadcast when the dup-line relation is small —
+    it is, by Zipf: duplicated boilerplate is few distinct strings), one
+    per-doc agg. Parity: reference has no line-level op; this extends
+    SURVEY §2's dedup family per the LLM-pipeline mandate.
+    """
+    hashed = lines.select(
+        "doc_id", "pos", "line", F.md5(F.col("line")).alias("lh")
+    )
+    dup_lines = (
+        hashed.groupBy("lh")
+        .agg(F.count_distinct("doc_id").alias("line_docs"))
+        .where(F.col("line_docs") > max_line_docs)
+        .select("lh")
+    )
+    flagged = hashed.join(dup_lines, "lh", "left_anti")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                        lambda x: x["line"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+        .join(
+            lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines")),
+            "doc_id",
+            "right",
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.round(F.coalesce("n_kept", F.lit(0)) / F.col("n_lines"), 6).alias(
+                "kept_fraction"
+            ),
+            F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
+        )
+    )
+
+
 # -- exact n-gram Jaccard pairs ----------------------------------------------
 
 

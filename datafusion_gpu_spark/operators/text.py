@@ -589,3 +589,76 @@ def gopher_rules(
         ok_stop.alias("ok_stopwords"),
         (ok_wc & ok_wl & ok_punct & ok_stop).alias("keep"),
     )
+
+
+def c4_rules(
+    docs: DataFrame,
+    lines: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 5,
+    require_terminal_punct: bool = True,
+    banned_line_words: tuple[str, ...] = ("javascript",),
+    banned_doc_substrings: tuple[str, ...] = ("lorem ipsum", "{"),
+    min_sentences: int = 3,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2) as auditable
+    per-document verdicts: line-level — keep lines that end in terminal
+    punctuation, have at least ``min_line_words`` words, and mention no
+    banned word; document-level — drop pages containing any banned
+    substring ("lorem ipsum", "{") or fewer than ``min_sentences``
+    sentences. A doc survives when its doc-level rules pass and at least
+    one line survives.
+
+    ``lines`` is a (doc_id, pos, line) relation from dedup.split_lines
+    (natural layout) or dedup.segment_lines (pseudo-lines for
+    layout-free corpora; pass ``require_terminal_punct=False`` and
+    ``min_sentences=0`` there, since such corpora carry no punctuation).
+    Line verdicts are relational — one row per line, plain codegen
+    predicates, no higher-order lambdas — then one per-doc aggregation
+    and one doc-keyed join against the doc-level rule columns; both key
+    on doc_id, so AQE plans them into a single exchange. Ratios are
+    ROUNDED before comparison so the SQL oracle replays every boundary
+    decision.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    l = F.col("line")
+    line_ok = F.size(F.split(l, " ")) >= min_line_words
+    if require_terminal_punct:
+        line_ok = line_ok & l.rlike('[.!?"]$')
+    for w in banned_line_words:
+        line_ok = line_ok & ~F.lower(l).contains(w)
+    per_doc = (
+        lines.select("doc_id", line_ok.alias("line_ok"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("line_ok").cast("int")).alias("n_kept_lines"),
+        )
+    )
+    c = F.col(text_col)
+    ok_banned = F.lit(True)
+    for s in banned_doc_substrings:
+        ok_banned = ok_banned & ~F.lower(c).contains(s)
+    n_sent = F.regexp_count(c, F.lit("[.!?]"))
+    doc_side = docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        ok_banned.alias("ok_no_banned_substring"),
+        (n_sent >= min_sentences).alias("ok_min_sentences"),
+    )
+    return per_doc.join(doc_side, "doc_id").select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.round(F.col("n_kept_lines") / F.col("n_lines"), 6).alias("kept_fraction"),
+        "n_sentences",
+        "ok_min_sentences",
+        "ok_no_banned_substring",
+        (
+            F.col("ok_no_banned_substring")
+            & F.col("ok_min_sentences")
+            & (F.col("n_kept_lines") >= 1)
+        ).alias("keep"),
+    )

@@ -216,6 +216,14 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # width-10 pseudo-lines (the corpus is a single-line word stream);
+    # a line shared by >1 docs is boilerplate and dropped from all
+    return dedup.line_dedup(
+        dedup.segment_lines(_docs(spark, sf_dir), width=10), max_line_docs=1
+    )
+
+
 def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_doc_freq exercises the hot-shingle skew cap through the gate;
     # the oracle replays the identical stopword-removal semantics
@@ -384,6 +392,20 @@ def _text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.gopher_rules(_docs(spark, sf_dir))
 
 
+def _text_c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # layout-free corpus parameterization: width-10 pseudo-lines, line
+    # rule = full-width segments only (ragged tails fail), punctuation
+    # rules off (the corpus carries none)
+    docs = _docs(spark, sf_dir)
+    return text.c4_rules(
+        docs,
+        dedup.segment_lines(docs, width=10),
+        min_line_words=10,
+        require_terminal_punct=False,
+        min_sentences=0,
+    )
+
+
 def _text_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.perplexity_filter(_docs(spark, sf_dir))
 
@@ -547,6 +569,7 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_exact": _dedup_exact,
+    "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_components": _dedup_components,
@@ -573,6 +596,7 @@ QUERIES = {
     "text_winnowing": _text_winnowing,
     "text_repetition": _text_repetition,
     "text_gopher_rules": _text_gopher_rules,
+    "text_c4_rules": _text_c4_rules,
     "text_contamination": _text_contamination,
     "text_perplexity": _text_perplexity,
     "retrieval_bm25": _retrieval_bm25,
@@ -634,6 +658,28 @@ i AS (
 SELECT doc_a, doc_b, MIN(pos_a)::INT AS start_a, MIN(pos_b)::INT AS start_b,
        (MAX(pos_a) - MIN(pos_a) + 20)::INT AS span_words
 FROM i GROUP BY doc_a, doc_b, diag, island
+""",
+    # same width-10 pseudo-line segmentation, doc-frequency cut, and
+    # position-ordered kept-text md5 (md5('') when nothing survives)
+    "dedup_lines": f"""
+WITH t AS (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents),
+seg AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(w[(i-1)*10+1:i*10], ' ') AS line
+  FROM t, unnest(generate_series(1, CAST(ceil(len(w)::DOUBLE / 10) AS BIGINT))) AS u(i)
+),
+h AS (SELECT *, md5(line) AS lh FROM seg),
+dup AS (SELECT lh FROM h GROUP BY lh HAVING COUNT(DISTINCT doc_id) > 1),
+k AS (SELECT h.* FROM h ANTI JOIN dup USING (lh))
+SELECT h.doc_id,
+       COUNT(*) AS n_lines,
+       COUNT(*) FILTER (k.lh IS NOT NULL) AS n_kept,
+       round(COUNT(*) FILTER (k.lh IS NOT NULL)::DOUBLE / COUNT(*), 6)
+           AS kept_fraction,
+       md5(coalesce(string_agg(k.line, ' ' ORDER BY k.pos)
+                    FILTER (k.lh IS NOT NULL), '')) AS kept_md5
+FROM h LEFT JOIN k ON h.doc_id = k.doc_id AND h.pos = k.pos
+GROUP BY h.doc_id
 """,
     "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
@@ -1253,6 +1299,35 @@ SELECT doc_id, n_words, mean_word_len, punct_per_word, n_stopwords,
         AND (punct_per_word <= 0.1)
         AND (n_stopwords >= 2)) AS keep
 FROM f
+""",
+    # C4 rule pack under the layout-free parameterization: same width-10
+    # pseudo-lines; a line passes iff it has 10 words (ragged tails
+    # fail) and no banned word; doc rules = banned substrings + >=0
+    # sentences (trivially true, emitted for auditability)
+    "text_c4_rules": f"""
+WITH t AS (SELECT doc_id, text, string_split({_NORM}, ' ') AS w FROM documents),
+seg AS (
+  SELECT doc_id, array_to_string(w[(i-1)*10+1:i*10], ' ') AS line
+  FROM t, unnest(generate_series(1, CAST(ceil(len(w)::DOUBLE / 10) AS BIGINT))) AS u(i)
+),
+pl AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         SUM((len(string_split(line, ' ')) >= 10
+              AND NOT contains(lower(line), 'javascript'))::INT)::BIGINT
+           AS n_kept_lines
+  FROM seg GROUP BY doc_id
+)
+SELECT pl.doc_id, pl.n_lines, pl.n_kept_lines,
+       ROUND(pl.n_kept_lines::DOUBLE / pl.n_lines, 6) AS kept_fraction,
+       len(regexp_extract_all(t.text, '[.!?]'))::INT AS n_sentences,
+       (len(regexp_extract_all(t.text, '[.!?]')) >= 0) AS ok_min_sentences,
+       (NOT contains(lower(t.text), 'lorem ipsum')
+        AND NOT contains(lower(t.text), '{{')) AS ok_no_banned_substring,
+       ((NOT contains(lower(t.text), 'lorem ipsum')
+         AND NOT contains(lower(t.text), '{{'))
+        AND (len(regexp_extract_all(t.text, '[.!?]')) >= 0)
+        AND pl.n_kept_lines >= 1) AS keep
+FROM pl JOIN t ON pl.doc_id = t.doc_id
 """,
     "text_quality": f"""
 WITH t AS (

@@ -171,3 +171,66 @@ def test_duplicated_spans_finds_maximal_planted_spans(spark):
     by_len = {r.span_words: r for r in out}
     assert by_len[30].start_a == 8 and by_len[30].start_b == 3
     assert by_len[15].start_a == 8 + 30 + 5 and by_len[15].start_b == 3 + 30 + 12
+
+
+# -- line-level dedup (CCNet) -------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def lined(spark):
+    """Three docs sharing a verbatim boilerplate line; doc 2 is all
+    boilerplate, doc 3 is untouched."""
+    boiler = "subscribe to our newsletter for updates"
+    docs = [
+        (0, f"unique opening thoughts\n{boiler}\nunique closing remarks"),
+        (1, f"different first line\n{boiler}"),
+        (2, boiler),
+        (3, "entirely original content\nwith two original lines"),
+    ]
+    return spark.createDataFrame(docs, "doc_id long, text string")
+
+
+def test_line_dedup_drops_shared_line_from_every_doc(lined):
+    from datafusion_gpu_spark.operators.dedup import line_dedup, split_lines
+
+    out = {r.doc_id: r for r in line_dedup(split_lines(lined)).collect()}
+    assert (out[0].n_lines, out[0].n_kept) == (3, 2)
+    assert (out[1].n_lines, out[1].n_kept) == (2, 1)
+    assert (out[2].n_lines, out[2].n_kept) == (1, 0)  # all boilerplate
+    assert (out[3].n_lines, out[3].n_kept) == (2, 2)  # untouched
+    assert out[2].kept_fraction == 0.0 and out[3].kept_fraction == 1.0
+    # empty survivor set has the canonical empty digest
+    import hashlib
+
+    assert out[2].kept_md5 == hashlib.md5(b"").hexdigest()
+    # doc 3's kept text is its full normalized text
+    full = "entirely original content with two original lines"
+    assert out[3].kept_md5 == hashlib.md5(full.encode()).hexdigest()
+
+
+def test_line_dedup_kept_md5_respects_position_order(spark):
+    from datafusion_gpu_spark.operators.dedup import line_dedup, split_lines
+
+    docs = spark.createDataFrame(
+        [(0, "zebra first\napple second"), (1, "unrelated line here")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(split_lines(docs)).collect()}
+    import hashlib
+
+    # position order, NOT lexicographic: zebra line stays first
+    assert out[0].kept_md5 == hashlib.md5(b"zebra first apple second").hexdigest()
+
+
+def test_segment_lines_width_partitions_all_words(spark):
+    from datafusion_gpu_spark.operators.dedup import segment_lines
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(f"w{i}" for i in range(23)))], "doc_id long, text string"
+    )
+    segs = sorted(
+        (r.pos, r.line) for r in segment_lines(docs, width=10).collect()
+    )
+    assert len(segs) == 3  # 10 + 10 + 3
+    assert segs[0][1].split() == [f"w{i}" for i in range(10)]
+    assert segs[2][1].split() == ["w20", "w21", "w22"]  # ragged tail kept

@@ -277,3 +277,58 @@ def test_gopher_rules_flag_exactly_the_planted_violation(spark):
     # sees doc 2's filler, so check the others explicitly)
     assert out[1].ok_stopwords and out[1].ok_punct_ratio
     assert out[3].ok_word_count and out[3].ok_punct_ratio
+
+
+# -- C4 rule pack -------------------------------------------------------------
+
+
+def test_c4_rules_line_and_doc_verdicts(spark):
+    from datafusion_gpu_spark.operators.dedup import split_lines
+    from datafusion_gpu_spark.operators.text import c4_rules
+
+    docs = spark.createDataFrame(
+        [
+            # 2 good lines + 1 no-terminal-punct line; 2 sentences + 1 = 3
+            (0, "This page has a proper first sentence.\n"
+                "and this line has no terminal punctuation\n"
+                "Another proper closing sentence arrives here! Yes."),
+            # javascript line killed; only 1 sentence -> doc dropped
+            (1, "Please enable javascript to view this page.\nshort."),
+            # lorem ipsum page dropped outright despite fine lines
+            (2, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"
+                "A second proper sentence lives right here today.\n"
+                "And a third proper sentence closes the page."),
+            # brace page dropped (code/markup)
+            (3, "function f() { return 1; } is code not prose.\n"
+                "Even with a second sentence written here.\n"
+                "And one more full sentence for the count."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in c4_rules(docs, split_lines(docs), min_line_words=5).collect()
+    }
+    assert out[0].keep and out[0].n_kept_lines == 2 and out[0].n_lines == 3
+    assert out[0].n_sentences == 3 and out[0].kept_fraction == round(2 / 3, 6)
+    assert not out[1].keep  # javascript line gone + only 2 sentences
+    assert out[1].n_kept_lines == 0
+    assert not out[2].keep and not out[2].ok_no_banned_substring
+    assert not out[3].keep and not out[3].ok_no_banned_substring
+    # line verdicts for 2 and 3 still counted (auditable drop reasons)
+    assert out[2].n_kept_lines == 3 and out[2].ok_min_sentences
+
+
+def test_c4_rules_min_line_words_threshold(spark):
+    from datafusion_gpu_spark.operators.dedup import split_lines
+    from datafusion_gpu_spark.operators.text import c4_rules
+
+    docs = spark.createDataFrame(
+        [(0, "One two three four.\nOne two three four five.")],
+        "doc_id long, text string",
+    )
+    out = c4_rules(
+        docs, split_lines(docs), min_line_words=5, min_sentences=2
+    ).collect()[0]
+    assert out.n_kept_lines == 1  # 4-word line fails the 5-word floor
+    assert out.keep
