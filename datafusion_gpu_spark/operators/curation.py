@@ -293,3 +293,116 @@ def curate_corpus(
         kept, token_col="n_tokens", budget=budget, shards=shards
     )
     return packed.select("doc_id", "n_tokens", "shard", "bin")
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    text_col: str = "text",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, Data Selection via
+    Importance Resampling): score every raw document by how target-like
+    its hashed-unigram distribution is. log_weight(d) = sum over d's
+    words of log p_target(bucket(w)) - log p_raw(bucket(w)), with
+    add-``smoothing`` estimates over ``buckets`` hash buckets.
+
+    ``target`` is a boolean Column over ``docs`` marking the target
+    subcorpus (e.g. lang == 'en', source == 'wiki').
+
+    Scale: one explode + (doc_id, bucket) count (single shuffle with
+    map-side combine), the two bucket distributions are one
+    ``buckets``-row aggregate each (broadcast back), one per-doc sum.
+    The bucket hash is the portable md5-prefix (dedup.word_hash60), so
+    the oracle replays scores bit-for-bit; log-weights are ROUNDED to 6
+    decimals to absorb fold-order noise in the double sums.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.dedup import normalize_text, word_hash60
+
+    docs = ensure_parallelism(docs)
+    words = docs.select(
+        "doc_id",
+        target.alias("is_target"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    ).select(
+        "doc_id", "is_target", (word_hash60(F.col("word")) % buckets).alias("bucket")
+    )
+    doc_buckets = words.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dist = (
+        words.groupBy("bucket")
+        .agg(
+            F.sum(F.col("is_target").cast("long")).alias("t_cnt"),
+            F.count(F.lit(1)).alias("r_cnt"),
+        )
+    )
+    totals = dist.agg(
+        F.sum("t_cnt").alias("t_tot"), F.sum("r_cnt").alias("r_tot")
+    )
+    log_ratio = (
+        F.log((F.col("t_cnt") + smoothing) / (F.col("t_tot") + smoothing * buckets))
+        - F.log((F.col("r_cnt") + smoothing) / (F.col("r_tot") + smoothing * buckets))
+    ).alias("log_ratio")
+    ratios = dist.crossJoin(F.broadcast(totals)).select("bucket", log_ratio)
+    return (
+        doc_buckets.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("cnt") * F.col("log_ratio")), 6).alias("log_weight"))
+    )
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target: Column,
+    n: int,
+    text_col: str = "text",
+    buckets: int = 1024,
+    smoothing: float = 1.0,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """Select ``n`` raw documents by DSIR Gumbel-top-k resampling: key =
+    log_weight + Gumbel noise, deterministically derived as
+    -ln(-ln(u)) with u the salted hash uniform — so the draw is a pure
+    function of (salt, doc_id) and replays across engines, reshards and
+    reruns. Keys are ROUNDED to 6 decimals with doc_id as tiebreaker so
+    boundary ordering is identical on both sides. TakeOrderedAndProject
+    fuses the global top-n (no full sort at scale).
+    """
+    u = (_hash_bucket(F.col("doc_id"), salt) + 0.5) / _BUCKETS
+    key = F.round(F.col("log_weight") - F.log(-F.log(u)), 6).alias("gumbel_key")
+    return (
+        dsir_weights(docs, target, text_col, buckets, smoothing)
+        .select("doc_id", "log_weight", key)
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(n)
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: Column,
+    n: int,
+    key: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis 2006):
+    the n rows with the largest u^(1/w) — spelled as ln(u)/w, which
+    orders identically and is numerically safer — with u the salted
+    hash uniform. Inclusion probability is proportional to ``weight``
+    across the draw, yet fully deterministic and oracle-replayable.
+    One scan, zero shuffle, TakeOrderedAndProject top-n.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    u = (_hash_bucket(F.col(key), salt) + 0.5) / _BUCKETS
+    es_key = F.round(F.log(u) / weight, 6).alias("es_key")
+    return (
+        docs.select(key, weight.alias("weight"), es_key)
+        .where(F.col("weight") > 0)
+        .orderBy(F.desc("es_key"), key)
+        .limit(n)
+    )

@@ -442,6 +442,21 @@ def _curation_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # target distribution = the English subcorpus; per-lang word
+    # frequencies differ, so weights genuinely rank docs by en-likeness
+    return curation.dsir_resample(
+        _docs(spark, sf_dir), F.col("lang") == "en", n=100, buckets=256
+    )
+
+
+def _curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # inclusion probability proportional to document length
+    return curation.weighted_sample(
+        _docs(spark, sf_dir), F.col("n_chars").cast("double"), n=100
+    )
+
+
 def _bucket_sql(salt: str) -> str:
     """DuckDB mirror of curation._hash_bucket (portable md5-prefix hash)."""
     return (
@@ -605,6 +620,8 @@ QUERIES = {
     "curation_mix_domains": _curation_mix_domains,
     "curation_shuffle": _curation_shuffle,
     "curation_hash_split": _curation_hash_split,
+    "curation_dsir_resample": _curation_dsir_resample,
+    "curation_weighted_sample": _curation_weighted_sample,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
     "pipeline_end_to_end": _pipeline_end_to_end,
@@ -1186,6 +1203,51 @@ WITH h AS (
 SELECT doc_id,
        ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS shuffle_pos
 FROM h
+""",
+    # DSIR: replay the hashed-unigram bucket distributions, add-1
+    # smoothing, per-doc log-weight (rounded 6), and the deterministic
+    # Gumbel key; doc_id tiebreak pins boundary ordering on both sides
+    "curation_dsir_resample": f"""
+WITH w0 AS (
+  SELECT doc_id, (lang = 'en') AS is_target,
+         unnest(string_split({_NORM}, ' ')) AS word
+  FROM documents
+),
+w AS (
+  SELECT doc_id, is_target,
+         CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 256 AS bucket
+  FROM w0
+),
+db AS (SELECT doc_id, bucket, COUNT(*) AS cnt FROM w GROUP BY 1, 2),
+dist AS (
+  SELECT bucket, SUM(is_target::INT)::BIGINT AS t_cnt, COUNT(*) AS r_cnt
+  FROM w GROUP BY 1
+),
+tot AS (SELECT SUM(t_cnt) AS t_tot, SUM(r_cnt) AS r_tot FROM dist),
+ratios AS (
+  SELECT bucket,
+         ln((t_cnt + 1.0) / (t_tot + 256.0))
+           - ln((r_cnt + 1.0) / (r_tot + 256.0)) AS log_ratio
+  FROM dist, tot
+),
+lw AS (
+  SELECT db.doc_id, ROUND(SUM(db.cnt * r.log_ratio), 6) AS log_weight
+  FROM db JOIN ratios r USING (bucket) GROUP BY 1
+)
+SELECT doc_id, log_weight,
+       ROUND(log_weight - ln(-ln(
+         ({_bucket_sql('dsir-v1')} + 0.5) / 1000000)), 6) AS gumbel_key
+FROM lw
+ORDER BY gumbel_key DESC, doc_id LIMIT 100
+""",
+    # Efraimidis-Spirakis: same hash uniform, same ln(u)/w key
+    "curation_weighted_sample": f"""
+SELECT doc_id, n_chars::DOUBLE AS weight,
+       ROUND(ln(({_bucket_sql('wsample-v1')} + 0.5) / 1000000)
+             / n_chars::DOUBLE, 6) AS es_key
+FROM documents
+WHERE n_chars > 0
+ORDER BY es_key DESC, doc_id LIMIT 100
 """,
     "curation_hash_split": f"""
 SELECT doc_id,

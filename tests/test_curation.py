@@ -176,3 +176,77 @@ def test_curate_corpus_is_deterministic(spark):
     a = sorted(map(tuple, curate_corpus(docs).collect()))
     b = sorted(map(tuple, curate_corpus(docs).collect()))
     assert a == b and a
+
+
+# -- DSIR importance resampling ----------------------------------------------
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import dsir_weights
+
+    target_text = "alpha beta gamma alpha beta gamma alpha beta"
+    docs = spark.createDataFrame(
+        [
+            # the target subcorpus defines the desired distribution
+            (0, target_text, "tgt"), (1, "beta gamma alpha beta gamma", "tgt"),
+            # raw docs: 2-3 match the target vocabulary, 4-5 do not
+            (2, "alpha beta gamma beta alpha", "raw"),
+            (3, "gamma gamma alpha beta alpha beta", "raw"),
+            (4, "delta epsilon zeta delta epsilon", "raw"),
+            (5, "zeta zeta epsilon delta zeta", "raw"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    w = {
+        r.doc_id: r.log_weight
+        for r in dsir_weights(docs, F.col("source") == "tgt").collect()
+    }
+    assert min(w[2], w[3]) > max(w[4], w[5])
+
+
+def test_dsir_resample_prefers_target_like_docs_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import dsir_resample
+
+    rows = [(0, "alpha beta gamma " * 20, "tgt")]
+    rows += [(i, "alpha beta gamma alpha beta " * 10, "raw") for i in range(1, 6)]
+    rows += [(i, "delta epsilon zeta delta " * 10, "raw") for i in range(6, 11)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    pick = dsir_resample(docs, F.col("source") == "tgt", n=4)
+    ids = [r.doc_id for r in pick.collect()]
+    # heavy log-weight separation dominates the bounded Gumbel noise
+    assert set(ids) <= {0, 1, 2, 3, 4, 5}
+    assert ids == [r.doc_id for r in pick.collect()]  # replayable
+
+
+# -- weighted sampling without replacement ------------------------------------
+
+
+def test_weighted_sample_dominant_weights_always_selected(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import weighted_sample
+
+    rows = [(i, 1_000_000.0) for i in range(10)]
+    rows += [(i, 0.001) for i in range(10, 100)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    out = weighted_sample(docs, F.col("w"), n=10)
+    assert {r.doc_id for r in out.collect()} == set(range(10))
+
+
+def test_weighted_sample_deterministic_and_salt_sensitive(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, float(i + 1)) for i in range(50)], "doc_id long, w double"
+    )
+    a = [r.doc_id for r in weighted_sample(docs, F.col("w"), n=5).collect()]
+    b = [r.doc_id for r in weighted_sample(docs, F.col("w"), n=5).collect()]
+    c = [r.doc_id for r in weighted_sample(docs, F.col("w"), n=5, salt="other").collect()]
+    assert a == b
+    assert a != c  # a different salt is a different draw
