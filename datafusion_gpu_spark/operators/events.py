@@ -149,3 +149,70 @@ def asof_join_prior(
         F.col("left_id"),
         F.col("matched_right").alias("prior_right_id"),
     )
+
+
+def gap_fill(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Time-series regularization: resample each user's event stream onto
+    a dense ``unit``-aligned grid and forward-fill the value — the
+    feature-store primitive that turns irregular event logs into
+    fixed-step model inputs (and the batch twin of a streaming
+    sliding-state fill).
+
+    Per (user_id, bucket): the last observed value (ties broken by
+    event_id, so the reduction is deterministic) and the observation
+    count; the grid spans each user's own [min, max] bucket
+    (``sequence`` + explode — no cross-user densification); missing
+    buckets forward-fill via last-non-null over an UNBOUNDED
+    PRECEDING..CURRENT ROW frame. The first bucket is observed by
+    construction, so no leading NULLs survive.
+
+    Scale: one (user, bucket) aggregation, one per-user span
+    aggregation, a grid join keyed the same way, and one per-user
+    ordered window — all partition by user_id, so AQE chains them on a
+    single exchange family. A pathological user spanning years of
+    buckets skews its grid task; cap the span or shard the window by
+    (user, month) when that matters.
+    """
+    bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
+    ranked = (
+        events.select("user_id", bucket, "ts", "event_id", "value")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "bucket").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+    )
+    observed = (
+        ranked.groupBy("user_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("obs_value"),
+        )
+    )
+    spans = observed.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(mn, mx, interval 1 {unit})")).alias("bucket"),
+    )
+    filled = (
+        grid.join(observed, ["user_id", "bucket"], "left")
+        .select(
+            "user_id",
+            "bucket",
+            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+            F.col("obs_value").isNotNull().alias("is_observed"),
+            F.last("obs_value", ignorenulls=True)
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            )
+            .alias("value_filled"),
+        )
+    )
+    return filled

@@ -277,6 +277,11 @@ def _sim_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_vectorized(embs, embs.where("vec_id < 8"), k=5)
 
 
+def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return similarity.knn_graph(spark.table("embeddings"), k=5)
+
+
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -524,6 +529,11 @@ def _events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.tumbling_window_agg(spark.table("events"), "1 hour")
 
 
+def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.gap_fill(spark.table("events"), unit="hour")
+
+
 def _events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return events.hopping_window_agg(spark.table("events"), "1 hour", "30 minutes")
@@ -594,6 +604,7 @@ QUERIES = {
     "dedup_semantic": _dedup_semantic,
     "dedup_substring_spans": _dedup_substring_spans,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
+    "sim_knn_graph": _sim_knn_graph,
     "retrieval_hard_negatives": _retrieval_hard_negatives,
     "sim_contrastive_triplets": _sim_contrastive_triplets,
     "sim_topk_vectorized": _sim_topk_vectorized,
@@ -629,6 +640,7 @@ QUERIES = {
     "multimodal_chunks": _multimodal_chunks,
     "events_salted_sum": _events_salted_sum,
     "events_tumbling": _events_tumbling,
+    "events_gap_fill": _events_gap_fill,
     "streaming_tumbling_counts": _streaming_tumbling_counts,
     "streaming_enriched_purchases": _streaming_enriched_purchases,
     "streaming_dedup_keys": _streaming_dedup_keys,
@@ -746,6 +758,21 @@ SELECT * FROM (
   JOIN embeddings a ON a.vec_id = vec_a
   JOIN embeddings b ON b.vec_id = vec_b
 ) WHERE cosine >= 0.2
+""",
+    # exact kNN graph: all-pairs cosine, top-5 per vector, self excluded
+    "sim_knn_graph": f"""
+WITH scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS vec_id, {_COS_AB} AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id) AS "rank"
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(cos, 6) AS cosine, "rank"::BIGINT AS "rank"
+FROM r WHERE "rank" <= 5
 """,
     "sim_topk_bruteforce": f"""
 WITH scored AS (
@@ -1472,6 +1499,37 @@ WHERE (i - 1) % 2 = 0
     "events_salted_sum": """
 SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_rows
 FROM events GROUP BY event_type
+""",
+    # dense hourly grid per user, last-observation-carried-forward;
+    # per-bucket "last" is pinned by (ts, event_id) row_number on both
+    # sides, so the reduction replays exactly
+    "events_gap_fill": """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+observed AS (
+  SELECT user_id, bucket, COUNT(*) AS n_obs,
+         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
+  FROM ranked GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+          FROM observed GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM spans
+)
+SELECT g.user_id, g.bucket,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       (o.obs_value IS NOT NULL) AS is_observed,
+       last_value(o.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled
+FROM grid g LEFT JOIN observed o
+  ON g.user_id = o.user_id AND g.bucket = o.bucket
 """,
     "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

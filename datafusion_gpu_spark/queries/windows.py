@@ -108,6 +108,45 @@ FROM g
 
 _GROUPS_NATIVE_DUCK = _GROUPS_EMULATED_SPARK
 
+# EXCLUDE CURRENT ROW (SURVEY §2.5 frame-exclusion gap): Spark has no
+# EXCLUDE clause, but over a ROWS frame that contains the current row the
+# excluded aggregate is exact frame arithmetic — sum minus the current
+# value over count minus one (NULL when the exclusion empties the frame,
+# matching the standard). The oracle runs DuckDB's NATIVE EXCLUDE
+# CURRENT ROW, so the emulation is graded against the real semantics.
+# Money flows through exact integer cents (the q9 discipline): a float
+# frame-sum minus a member lands half-cent averages 1 ulp apart across
+# engines and flips ROUND at the .005 boundary (observed: 211/15000
+# rows off by exactly 0.01) — identical integer sums divide to
+# bit-identical doubles instead, so no rounding is needed at all.
+_EXCLUDE_EMULATED_SPARK = """
+SELECT custkey, orderkey,
+       CASE WHEN cnt > 1
+            THEN (s - cents) / (cnt - 1) / 100.0 END AS peer_avg
+FROM (
+  SELECT o_custkey AS custkey, o_orderkey AS orderkey, cents,
+         SUM(cents) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS s,
+         COUNT(*) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS cnt
+  FROM (SELECT *, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders) c
+) t
+"""
+
+_EXCLUDE_NATIVE_DUCK = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       SUM(cents) OVER w / COUNT(*) OVER w / 100.0 AS peer_avg
+FROM (SELECT *, CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders) c
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 5 PRECEDING AND CURRENT ROW
+             EXCLUDE CURRENT ROW)
+"""
+
 QUERIES = {
     "window_ranking": sql_query(_RANKING),
     "window_lag_lead": sql_query(_ANALYTIC),
@@ -116,6 +155,7 @@ QUERIES = {
     "window_first_last_nth": sql_query(_FIRST_LAST),
     "window_percent_rank": sql_query(_CUME),
     "window_groups_frame_emulated": sql_query(_GROUPS_EMULATED_SPARK),
+    "window_exclude_current_emulated": sql_query(_EXCLUDE_EMULATED_SPARK),
 }
 
 ORACLES = {
@@ -126,4 +166,5 @@ ORACLES = {
     "window_first_last_nth": _FIRST_LAST,
     "window_percent_rank": _CUME,
     "window_groups_frame_emulated": _GROUPS_NATIVE_DUCK,
+    "window_exclude_current_emulated": _EXCLUDE_NATIVE_DUCK,
 }

@@ -249,3 +249,25 @@ def test_substring_spans_all_joins_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 6
+
+
+def test_knn_graph_single_pass_no_corpus_shuffle(spark):
+    import re
+
+    # the corpus rides the closure; each partition emits final neighbor
+    # lists — no Exchange before the Python stage
+    plan = plan_of(spark, "sim_knn_graph")
+    stages = plan.split("ArrowEvalPython") if "ArrowEvalPython" in plan else [plan]
+    before_python = plan.split("MapInPandas")[-1]  # below = upstream side
+    assert not re.search(r"Exchange (?:hash|range|Single)", before_python)
+
+
+def test_gap_fill_exchanges_only_on_user_keys(spark):
+    import re
+
+    # every shuffle must be keyed by user_id (grid join, span agg,
+    # forward-fill window) — nothing event-count-sized repartitions on
+    # anything else
+    plan = plan_of(spark, "events_gap_fill")
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1)

@@ -253,3 +253,50 @@ def test_contrastive_triplets_margin_and_exclusions(spark):
         # tight clusters: same-label neighbor is closer than cross-label
         assert r.margin > 0
         assert abs(r.margin - round(r.pos_cosine - r.neg_cosine, 6)) < 1e-9
+
+
+def test_knn_graph_exact_on_planted_clusters(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(7)
+    # two tight clusters far apart: neighbors must stay in-cluster
+    base_a, base_b = rng.normal(size=8), rng.normal(size=8)
+    rows = []
+    for i in range(6):
+        v = base_a + rng.normal(scale=0.01, size=8)
+        rows.append((i, [float(x) for x in v]))
+    for i in range(6, 12):
+        v = -base_a + rng.normal(scale=0.01, size=8)  # antipodal cluster
+        rows.append((i, [float(x) for x in v]))
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = knn_graph(embs, k=3).collect()
+    assert len(out) == 36  # 12 vectors x 3 neighbors
+    for r in out:
+        same = (r.query_id < 6) == (r.vec_id < 6)
+        assert same, f"{r.query_id} crossed clusters to {r.vec_id}"
+        assert r.vec_id != r.query_id
+    ranks = {(r.query_id, r.rank) for r in out}
+    assert len(ranks) == 36  # dense 1..3 per query
+
+
+def test_knn_graph_matches_bruteforce_topk(spark):
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        knn_graph,
+    )
+    from datafusion_gpu_spark.context import read_parquet
+
+    embs = read_parquet(
+        spark, "/root/testdata/sf0.001/embeddings.parquet"
+    ).limit(60)
+    g = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in knn_graph(embs, k=4).collect()
+    }
+    bf = {
+        (r.query_id, r.rank): (r.vec_id, r.cosine)
+        for r in cosine_topk_vectorized(embs, embs, k=4).collect()
+    }
+    assert g == bf

@@ -97,3 +97,44 @@ def test_foreach_batch_parquet_sink_roundtrip(spark, tmp_path):
     assert written.count() == tables["events"].count()
     # every source event id arrives exactly once
     assert written.select("event_id").distinct().count() == written.count()
+
+
+def test_gap_fill_forward_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import gap_fill
+
+    rows = [
+        # user 1: hours 0, 3 observed -> 1, 2 forward-filled with 10.0
+        (1, datetime(2026, 1, 1, 0, 15), 1, 10.0),
+        (2, datetime(2026, 1, 1, 0, 45), 1, 10.0),   # later in same bucket
+        (3, datetime(2026, 1, 1, 3, 30), 1, 99.0),
+        # user 2: single event -> single-bucket grid
+        (4, datetime(2026, 1, 1, 5, 0), 2, 7.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = {(r.user_id, r.bucket.hour): r for r in gap_fill(ev, "hour").collect()}
+    assert len(out) == 5  # user 1 hours 0..3, user 2 hour 5
+    assert out[(1, 0)].n_obs == 2 and out[(1, 0)].value_filled == 10.0
+    assert out[(1, 1)].n_obs == 0 and not out[(1, 1)].is_observed
+    assert out[(1, 1)].value_filled == 10.0  # carried forward
+    assert out[(1, 2)].value_filled == 10.0
+    assert out[(1, 3)].is_observed and out[(1, 3)].value_filled == 99.0
+    assert out[(2, 5)].value_filled == 7.0
+
+
+def test_gap_fill_last_in_bucket_wins_by_event_id(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import gap_fill
+
+    # same timestamp twice: higher event_id is "last"
+    ts = datetime(2026, 1, 1, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, ts, 1, 5.0), (2, ts, 1, 6.0)],
+        "event_id long, ts timestamp_ntz, user_id long, value double",
+    )
+    [row] = gap_fill(ev, "hour").collect()
+    assert row.value_filled == 6.0 and row.n_obs == 2
