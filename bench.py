@@ -82,6 +82,10 @@ SF_BENCHES = [
     "text_perplexity",
     "retrieval_bm25",
     "events_sessionize",
+    "dedup_lines",
+    "sim_knn_graph",
+    "events_gap_fill",
+    "curation_dsir_resample",
 ]
 
 
