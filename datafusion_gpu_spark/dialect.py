@@ -35,3 +35,67 @@ def check_dialect(sql: str) -> None:
     for pattern, message in _GAPS:
         if pattern.search(sql):
             raise UnsupportedSqlError(message)
+
+
+# -- QUALIFY rewrite ---------------------------------------------------------
+#
+# DuckDB/Snowflake-style QUALIFY (filter on window results without a
+# subquery) is not Spark SQL syntax; rather than a documented error, it
+# admits an exact REWRITE: evaluate the predicate as a generated column
+# over the query's result set — which is precisely the relation QUALIFY's
+# window functions are defined over — then filter and drop it. Contract:
+# the predicate may reference the query's OUTPUT columns (aliases
+# included) and window expressions over them; a trailing ORDER BY / LIMIT
+# stays outside the rewrite, preserving its post-QUALIFY placement.
+
+_QUALIFY_KEYWORD = re.compile(r"\bQUALIFY\b", re.I)
+_TRAILING = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.I)
+
+
+def _top_level_spans(sql: str, pattern: re.Pattern[str]) -> list[re.Match[str]]:
+    """Matches of ``pattern`` at parenthesis depth 0 (outside strings)."""
+    out = []
+    depth = 0
+    in_str: str | None = None
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in "'\"":
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, i)
+            if m:
+                out.append(m)
+                i = m.end()
+                continue
+        i += 1
+    return out
+
+
+def rewrite_qualify(sql: str) -> str | None:
+    """Rewrite a top-level QUALIFY clause into the windowed-subquery
+    spelling Spark executes; return None when the statement has no
+    top-level QUALIFY. The caller drops the ``__qualify__`` column."""
+    matches = _top_level_spans(sql, _QUALIFY_KEYWORD)
+    if not matches:
+        return None
+    m = matches[0]
+    inner = sql[: m.start()].rstrip().rstrip(";")
+    rest = sql[m.end() :]
+    trailing = ""
+    t = _top_level_spans(rest, _TRAILING)
+    if t:
+        trailing = rest[t[0].start() :].rstrip().rstrip(";")
+        rest = rest[: t[0].start()]
+    predicate = rest.strip().rstrip(";")
+    return (
+        f"SELECT * FROM (SELECT __q.*, ({predicate}) AS __qualify__ "
+        f"FROM ({inner}) AS __q) WHERE __qualify__ {trailing}"
+    )

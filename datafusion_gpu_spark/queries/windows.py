@@ -147,6 +147,27 @@ WINDOW w AS (PARTITION BY o_custkey
              EXCLUDE CURRENT ROW)
 """
 
+# QUALIFY (SURVEY §2.2 dialect extension): Spark has no QUALIFY clause;
+# dialect.rewrite_qualify turns it into the windowed-subquery spelling.
+# The oracle hands DuckDB the ORIGINAL statement — its native QUALIFY
+# grades the rewrite. Predicate references output aliases only (the
+# rewrite's documented contract).
+_QUALIFY_TOP3 = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS price
+FROM orders
+QUALIFY ROW_NUMBER() OVER (PARTITION BY custkey
+                           ORDER BY price DESC, orderkey) <= 3
+"""
+
+
+def _qualify_query(spark, sf_dir):
+    from datafusion_gpu_spark.dialect import rewrite_qualify
+    from datafusion_gpu_spark.queries import load
+
+    load(spark, sf_dir)
+    return spark.sql(rewrite_qualify(_QUALIFY_TOP3)).drop("__qualify__")
+
+
 QUERIES = {
     "window_ranking": sql_query(_RANKING),
     "window_lag_lead": sql_query(_ANALYTIC),
@@ -156,6 +177,7 @@ QUERIES = {
     "window_percent_rank": sql_query(_CUME),
     "window_groups_frame_emulated": sql_query(_GROUPS_EMULATED_SPARK),
     "window_exclude_current_emulated": sql_query(_EXCLUDE_EMULATED_SPARK),
+    "window_qualify_rewrite": _qualify_query,
 }
 
 ORACLES = {
@@ -167,4 +189,5 @@ ORACLES = {
     "window_percent_rank": _CUME,
     "window_groups_frame_emulated": _GROUPS_NATIVE_DUCK,
     "window_exclude_current_emulated": _EXCLUDE_NATIVE_DUCK,
+    "window_qualify_rewrite": _QUALIFY_TOP3,
 }

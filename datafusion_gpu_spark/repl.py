@@ -56,10 +56,13 @@ def run_sql(spark: SparkSession, sql: str, out=sys.stdout) -> bool:
     either way the caller keeps the session (main.rs:54-60).
     """
     try:
-        from datafusion_gpu_spark.dialect import check_dialect
+        from datafusion_gpu_spark.dialect import check_dialect, rewrite_qualify
 
         check_dialect(sql)
-        df = spark.sql(sql)
+        rewritten = rewrite_qualify(sql)
+        df = spark.sql(rewritten if rewritten is not None else sql)
+        if rewritten is not None:
+            df = df.drop("__qualify__")
         t0 = time.perf_counter()
         rows = df.limit(SHOW_ROWS + 1).collect()
         elapsed = time.perf_counter() - t0

@@ -55,3 +55,46 @@ def test_recursive_cte_is_supported(spark):
         "WHERE n < 3) SELECT * FROM t",
         out=out,
     )
+
+
+# -- QUALIFY rewrite ----------------------------------------------------------
+
+
+def test_rewrite_qualify_basic_shapes():
+    from datafusion_gpu_spark.dialect import rewrite_qualify
+
+    assert rewrite_qualify("SELECT a FROM t") is None
+    out = rewrite_qualify("SELECT a, b FROM t QUALIFY rn <= 2")
+    assert out == (
+        "SELECT * FROM (SELECT __q.*, (rn <= 2) AS __qualify__ "
+        "FROM (SELECT a, b FROM t) AS __q) WHERE __qualify__ "
+    )
+    # trailing ORDER BY / LIMIT stay outside the rewrite
+    out = rewrite_qualify("SELECT a FROM t QUALIFY rn = 1 ORDER BY a LIMIT 3")
+    assert out.endswith("WHERE __qualify__ ORDER BY a LIMIT 3")
+    # QUALIFY inside a subquery or a string literal is not top-level
+    assert rewrite_qualify(
+        "SELECT * FROM (SELECT 'QUALIFY' AS s FROM t) u"
+    ) is None
+
+
+def test_repl_executes_qualify_statement(spark, capsys=None):
+    import io
+
+    from datafusion_gpu_spark.repl import run_sql
+
+    spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (2, 30.0)], "g int, v double"
+    ).createOrReplaceTempView("qt")
+    buf = io.StringIO()
+    ok = run_sql(
+        spark,
+        "SELECT g, v FROM qt "
+        "QUALIFY ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC) = 1 "
+        "ORDER BY g",
+        out=buf,
+    )
+    assert ok, buf.getvalue()
+    text = buf.getvalue()
+    assert "20.0" in text and "30.0" in text
+    assert "10.0" not in text and "__qualify__" not in text
