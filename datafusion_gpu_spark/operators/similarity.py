@@ -823,3 +823,86 @@ def knn_graph(corpus: DataFrame, k: int = 10) -> DataFrame:
         .mapInPandas(neighbors, out_schema)
         .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rank")
     )
+
+
+def _knn_avg(M: np.ndarray, N: np.ndarray, k: int) -> np.ndarray:
+    """Per-row mean of the top-k cosines of M's rows against N's rows
+    (both pre-normalized). Sort-based so ties resolve identically to the
+    SQL oracle's (cos DESC) window."""
+    cos = M @ N.T
+    kk = min(k, cos.shape[1])
+    part = -np.sort(-cos, axis=1)[:, :kk]
+    return part.mean(axis=1)
+
+
+def mine_bitext(
+    side_x: DataFrame,
+    side_y: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.0,
+) -> DataFrame:
+    """Margin-based parallel-text mining (Artetxe & Schwenk 2019 — the
+    CCMatrix/LASER primitive): for every x in X, its best y in Y by
+    margin score cos(x,y) / ((avg_k(x, Y) + avg_k(y, X)) / 2), kept when
+    the margin clears ``margin_threshold``. The margin normalizes away
+    hubness — a y that is everyone's neighbor has a high avg_k(y, X)
+    denominator, so only genuinely-aligned pairs score > 1.
+
+    Two broadcast passes: (1) one scan of Y against the broadcast X
+    matrix yields the |Y|-sized avg_k(y, X) vector (collected — it is
+    one double per Y row); (2) one scan of X against the broadcast Y
+    matrix + that vector computes each x's full margin row and emits its
+    argmax (margin DESC, y_id ASC) — no shuffle in either pass, exact.
+    Scale: X and Y are per-language shards (tens of millions x 1024 in
+    CCMatrix); past broadcast size, block both sides with LSH/IVF cells
+    first, same discipline as knn_graph.
+    """
+    yids, Yn = _query_matrix(side_y)
+    order = np.argsort(yids)
+    yids, Yn = yids[order], Yn[order]
+    xids, Xn = _query_matrix(side_x)
+    xorder = np.argsort(xids)
+    xids, Xn = xids[xorder], Xn[xorder]
+
+    ay = _knn_avg(Yn, Xn, k)  # |Y| doubles, rides the closure below
+
+    def mine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy().astype("int64")
+            Bn = _l2_normalize(_rows_matrix(pdf["embedding"]))
+            cos = Bn @ Yn.T  # (batch, |Y|)
+            kk = min(k, cos.shape[1])
+            ax = (-np.sort(-cos, axis=1)[:, :kk]).mean(axis=1)
+            margin = cos / ((ax[:, None] + ay[None, :]) / 2.0)
+            best = np.argmax(margin, axis=1)  # first max = lowest y_id
+            yield pd.DataFrame(
+                {
+                    "x_id": ids,
+                    "y_id": yids[best],
+                    "cosine": cos[np.arange(len(ids)), best],
+                    "margin": margin[np.arange(len(ids)), best],
+                }
+            )
+
+    out_schema = StructType(
+        [
+            StructField("x_id", LongType()),
+            StructField("y_id", LongType()),
+            StructField("cosine", DoubleType()),
+            StructField("margin", DoubleType()),
+        ]
+    )
+    mined = side_x.select("vec_id", "embedding").mapInPandas(mine, out_schema)
+    # threshold compares the ROUNDED margin so boundary pairs resolve
+    # identically in the SQL oracle
+    return (
+        mined.select(
+            "x_id",
+            "y_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.round("margin", 6).alias("margin"),
+        )
+        .where(F.col("margin") >= margin_threshold)
+    )

@@ -282,6 +282,17 @@ def _sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_graph(spark.table("embeddings"), k=5)
 
 
+def _sim_bitext_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the two "languages" are the even/odd label halves of the corpus —
+    # structurally two embedding shards, exactly the mining setup
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    return similarity.mine_bitext(
+        embs.where("label % 2 = 0"), embs.where("label % 2 = 1"), k=4,
+        margin_threshold=1.0,
+    )
+
+
 def _sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     embs = spark.table("embeddings")
@@ -605,6 +616,7 @@ QUERIES = {
     "dedup_substring_spans": _dedup_substring_spans,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
     "sim_knn_graph": _sim_knn_graph,
+    "sim_bitext_margin": _sim_bitext_margin,
     "retrieval_hard_negatives": _retrieval_hard_negatives,
     "sim_contrastive_triplets": _sim_contrastive_triplets,
     "sim_topk_vectorized": _sim_topk_vectorized,
@@ -758,6 +770,39 @@ SELECT * FROM (
   JOIN embeddings a ON a.vec_id = vec_a
   JOIN embeddings b ON b.vec_id = vec_b
 ) WHERE cosine >= 0.2
+""",
+    # margin mining: full cross cosine, top-k avgs per side, per-x argmax
+    # by (margin DESC, y_id) — numpy argmax picks the first max over
+    # y_id-sorted columns, the same rule
+    "sim_bitext_margin": f"""
+WITH x AS (SELECT * FROM embeddings WHERE label % 2 = 0),
+y AS (SELECT * FROM embeddings WHERE label % 2 = 1),
+cos AS (
+  SELECT x.vec_id AS x_id, y.vec_id AS y_id,
+         {_cos_sql("x.embedding", "y.embedding")} AS c
+  FROM x, y
+),
+ax AS (
+  SELECT x_id, AVG(c) AS a FROM (
+    SELECT x_id, c, ROW_NUMBER() OVER (PARTITION BY x_id ORDER BY c DESC) rn
+    FROM cos) t WHERE rn <= 4 GROUP BY 1
+),
+ay AS (
+  SELECT y_id, AVG(c) AS a FROM (
+    SELECT y_id, c, ROW_NUMBER() OVER (PARTITION BY y_id ORDER BY c DESC) rn
+    FROM cos) t WHERE rn <= 4 GROUP BY 1
+),
+m AS (
+  SELECT cos.x_id, cos.y_id, c, c / ((ax.a + ay.a) / 2) AS margin
+  FROM cos JOIN ax USING (x_id) JOIN ay USING (y_id)
+),
+best AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY x_id
+                               ORDER BY margin DESC, y_id) AS rn
+  FROM m
+)
+SELECT x_id, y_id, ROUND(c, 6) AS cosine, ROUND(margin, 6) AS margin
+FROM best WHERE rn = 1 AND ROUND(margin, 6) >= 1.0
 """,
     # exact kNN graph: all-pairs cosine, top-5 per vector, self excluded
     "sim_knn_graph": f"""

@@ -300,3 +300,26 @@ def test_knn_graph_matches_bruteforce_topk(spark):
         for r in cosine_topk_vectorized(embs, embs, k=4).collect()
     }
     assert g == bf
+
+
+def test_mine_bitext_finds_planted_alignments_despite_hub(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import mine_bitext
+
+    rng = np.random.default_rng(11)
+    X, Y = [], []
+    for i in range(8):
+        v = rng.normal(size=16)
+        X.append((i, [float(t) for t in v]))
+        # the true translation: same direction + small noise
+        Y.append((100 + i, [float(t) for t in v + rng.normal(scale=0.05, size=16)]))
+    # a hub: the mean direction, near-ish to EVERY x
+    hub = np.mean([np.array(e) for _, e in X], axis=0)
+    Y.append((999, [float(t) for t in hub]))
+    sx = spark.createDataFrame(X, "vec_id long, embedding array<float>")
+    sy = spark.createDataFrame(Y, "vec_id long, embedding array<float>")
+    out = {r.x_id: r for r in mine_bitext(sx, sy, k=4, margin_threshold=1.0).collect()}
+    # every x pairs with ITS planted y — the margin demotes the hub
+    assert {i: out[i].y_id for i in out} == {i: 100 + i for i in range(8)}
+    assert all(r.margin >= 1.0 for r in out.values())
