@@ -206,8 +206,50 @@ FROM region
 """
 
 
+def _schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a second writer adds a column; mergeSchema
+    reconciles the footers at read time (old files surface NULLs for the
+    new column) — the contract a long-lived 100 TB dataset depends on
+    as producers upgrade. The oracle replays the union of the two
+    projections on the original table."""
+    import shutil
+
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "documents_evolved")
+    shutil.rmtree(out, ignore_errors=True)
+    docs = spark.table("documents")
+    docs.select("doc_id", "lang").write.parquet(os.path.join(out, "v1"))
+    docs.select("doc_id", "lang", "n_chars").write.parquet(
+        os.path.join(out, "v2")
+    )
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    back.createOrReplaceTempView("documents_evolved")
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n_rows, COUNT(n_chars) AS n_with_chars,
+               SUM(n_chars) AS sum_chars
+        FROM documents_evolved GROUP BY lang
+        """
+    )
+
+
+_SCHEMA_EVOLUTION_DUCK = """
+WITH both_versions AS (
+  SELECT doc_id, lang, NULL::BIGINT AS n_chars FROM documents
+  UNION ALL
+  SELECT doc_id, lang, n_chars FROM documents
+)
+SELECT lang, COUNT(*) AS n_rows, COUNT(n_chars) AS n_with_chars,
+       SUM(n_chars)::BIGINT AS sum_chars
+FROM both_versions GROUP BY lang
+"""
+
+
 QUERIES = {
     "io_copy_to_sql": _copy_to_sql,
+    "io_schema_evolution": _schema_evolution,
     "io_roundtrip_json": _roundtrip_json,
     "io_roundtrip_json_gzip": _roundtrip_json_gzip,
     "io_roundtrip_csv": _roundtrip_csv,
@@ -218,6 +260,7 @@ QUERIES = {
 
 ORACLES = {
     "io_partitioned_parquet": _PARTITIONED_DUCK,
+    "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "io_copy_to_sql": _COPY_SQL_DUCK,
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,

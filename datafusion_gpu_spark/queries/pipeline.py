@@ -560,6 +560,16 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.sessionize(spark.table("events"), gap_minutes=30)
 
 
+def _streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked SESSION windows through the foreachBatch sink — the
+    data-driven window state no tumbling grid expresses; graded by the
+    batch twin's gaps-and-islands oracle (events_session_native)."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_session_counts(spark, sf_dir)
+
+
 def _streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the idempotent foreachBatch parquet
     sink, graded by the SAME oracle as the batch twin (events_tumbling):
@@ -654,6 +664,7 @@ QUERIES = {
     "events_tumbling": _events_tumbling,
     "events_gap_fill": _events_gap_fill,
     "streaming_tumbling_counts": _streaming_tumbling_counts,
+    "streaming_session_counts": _streaming_session_counts,
     "streaming_enriched_purchases": _streaming_enriched_purchases,
     "streaming_dedup_keys": _streaming_dedup_keys,
     "events_hopping": _events_hopping,
@@ -1611,6 +1622,25 @@ GROUP BY 1, 2
 """,
     # native session_window semantics: an event at exactly prev + gap
     # starts a NEW session (window end is exclusive), hence >= not >
+    # streaming session windows: same gaps-and-islands oracle as the
+    # batch twin below — session state must close identically
+    "streaming_session_counts": """
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM (
+  SELECT user_id, ts,
+         SUM(CASE WHEN prev IS NULL OR tus - prev >= 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM (
+    SELECT user_id, ts, event_id, epoch_us(ts) AS tus,
+           lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+    FROM events
+  )
+)
+GROUP BY user_id, sid
+""",
     "events_session_native": """
 SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
 FROM (

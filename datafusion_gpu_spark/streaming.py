@@ -274,3 +274,32 @@ def materialized_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
         .distinct()
     )
+
+
+def stream_session_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of operators.events.session_window_agg: watermarked
+    SESSION windows — state merges adjacent events into a growing span
+    and closes it after ``gap`` idle time, which is only expressible as
+    managed window state (a tumbling grid can't follow data-driven
+    session bounds)."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def materialized_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session windows with a batch contract: identical output
+    shape to the batch twin, so the same gaps-and-islands DuckDB oracle
+    grades both."""
+    return materialize_stream(
+        stream_session_counts(spark, sf_dir), output_mode="complete"
+    ).select("user_id", "session_start", "n_events")

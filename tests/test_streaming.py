@@ -138,3 +138,25 @@ def test_gap_fill_last_in_bucket_wins_by_event_id(spark):
     )
     [row] = gap_fill(ev, "hour").collect()
     assert row.value_filled == 6.0 and row.n_obs == 2
+
+
+def test_stream_session_windows_equal_batch(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.events import session_window_agg
+    from datafusion_gpu_spark.context import read_parquet
+    from datafusion_gpu_spark import streaming
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in streaming.materialized_session_counts(spark, sf).collect()
+    }
+    ev = read_parquet(spark, sf + "/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in session_window_agg(ev, "30 minutes").collect()
+    }
+    assert got == want and len(got) > 0
