@@ -150,8 +150,40 @@ SELECT l_returnflag AS flag, TRUE AS hll_ok, TRUE AS pct_ok
 FROM lineitem GROUP BY l_returnflag
 """
 
+# DataSketches HLL (Spark 3.5+ hll_sketch_agg / hll_union_agg): the
+# MERGEABLE-sketch discipline a 1000-executor rollup needs — partial
+# sketches built per group, unioned across groups without rescanning.
+# Like agg_approximate, the estimate itself is engine-specific; the
+# GRADED invariants are the 5% error bound per lang and that the
+# union-of-sketches estimate meets the same bound on the global count.
+_HLL_SKETCH = """
+WITH w AS (
+  SELECT lang, explode(split(text, ' ')) AS word FROM documents
+),
+per AS (
+  SELECT lang, hll_sketch_agg(word, 12) AS sk,
+         COUNT(DISTINCT word) AS exact_d
+  FROM w GROUP BY lang
+)
+SELECT lang,
+       (ABS(hll_sketch_estimate(sk) - exact_d) / exact_d <= 0.05) AS hll_ok
+FROM per
+UNION ALL
+SELECT 'ALL' AS lang,
+       (ABS(hll_sketch_estimate(hll_union_agg(sk))
+            - (SELECT COUNT(DISTINCT word) FROM w))
+          / (SELECT COUNT(DISTINCT word) FROM w) <= 0.05) AS hll_ok
+FROM per
+"""
+
+_HLL_SKETCH_DUCK = """
+SELECT lang, TRUE AS hll_ok FROM documents GROUP BY lang
+UNION ALL SELECT 'ALL' AS lang, TRUE AS hll_ok
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
+    "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
     "agg_count_distinct": sql_query(_DISTINCT),
     "agg_collect_ordered": sql_query(_COLLECT_SPARK),
     "agg_rollup": sql_query(_ROLLUP),
@@ -179,4 +211,5 @@ ORACLES = {
     # agg_approximate: deliberately no oracle (approximate by design);
     # its error BOUND is checked by agg_approx_error_bounded below
     "agg_approx_error_bounded": _APPROX_BOUNDED_DUCK,
+    "agg_hll_sketch_union": _HLL_SKETCH_DUCK,
 }

@@ -247,9 +247,49 @@ FROM both_versions GROUP BY lang
 """
 
 
+def _python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python Data Source API: a pure-Python custom source with
+    declared InputPartitions (executor-parallel scan, 8 tasks) — the
+    engine-extension analogue of the reference's custom table providers.
+    Deterministic rows from the portable md5 bucket, so DuckDB replays
+    the whole relation from generate_series."""
+    from datafusion_gpu_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    df = (
+        spark.read.format("dgs_synth")
+        .option("n", 50_000)
+        .option("parts", 8)
+        .load()
+    )
+    from pyspark.sql import functions as F
+
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.min("id").alias("min_id"),
+    )
+
+
+_PYTHON_DATASOURCE_DUCK = """
+WITH ids AS (SELECT unnest(generate_series(0, 49999)) AS id),
+b AS (
+  SELECT id,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM ids
+)
+SELECT bucket::INT AS bucket, COUNT(*) AS n,
+       ROUND(SUM(bucket / 100.0), 2) AS sum_val,
+       MIN(id) AS min_id
+FROM b GROUP BY 1
+"""
+
+
 QUERIES = {
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
+    "source_python_datasource": _python_datasource,
     "io_roundtrip_json": _roundtrip_json,
     "io_roundtrip_json_gzip": _roundtrip_json_gzip,
     "io_roundtrip_csv": _roundtrip_csv,
@@ -261,6 +301,7 @@ QUERIES = {
 ORACLES = {
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
+    "source_python_datasource": _PYTHON_DATASOURCE_DUCK,
     "io_copy_to_sql": _COPY_SQL_DUCK,
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,

@@ -59,3 +59,31 @@ def test_csv_roundtrip_with_inference(spark, small_df):
     back = io.read_csv(spark, out)
     assert back.count() == 37
     assert dict(back.dtypes)["v"] == "double"
+
+
+# -- Python Data Source API ---------------------------------------------------
+
+
+def test_python_datasource_partitioned_and_deterministic(spark):
+    import hashlib
+
+    from datafusion_gpu_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("dgs_synth").option("n", 1000).option("parts", 4).load()
+    assert df.rdd.getNumPartitions() == 4  # declared InputPartitions
+    rows = {r.id: (r.bucket, r.val) for r in df.collect()}
+    assert len(rows) == 1000  # every id exactly once across partitions
+    for i in (0, 1, 999):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 100
+        assert rows[i] == (b, b / 100.0)
+    again = {r.id: (r.bucket, r.val) for r in df.collect()}
+    assert rows == again
+
+
+def test_python_datasource_ragged_tail_partition(spark):
+    from datafusion_gpu_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    df = spark.read.format("dgs_synth").option("n", 10).option("parts", 3).load()
+    assert df.count() == 10  # ceil-split covers the ragged tail exactly
