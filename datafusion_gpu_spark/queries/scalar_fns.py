@@ -321,6 +321,28 @@ FROM (
 WHERE word != ''
 """
 
+# Spark 4 VARIANT type: parse_json -> open binary JSON, variant_get with
+# a typed path — schema-on-read over semi-structured columns without a
+# UDF or a fixed struct schema (the shredded scan path at scale). The
+# oracle replays with DuckDB's JSON extraction.
+_VARIANT_SPARK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(variant_get(parse_json(props), '$.k', 'int')) AS sum_k,
+       SUM(CASE WHEN variant_get(parse_json(props), '$.k', 'int') > 50
+                THEN 1 ELSE 0 END) AS n_high
+FROM events GROUP BY event_type
+"""
+
+_VARIANT_DUCK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k,
+       SUM(CASE WHEN json_extract(props, '$.k')::INT > 50
+                THEN 1 ELSE 0 END)::BIGINT AS n_high
+FROM events GROUP BY event_type
+"""
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
     "fn_alias_shims": _fn_alias_shims,
@@ -333,6 +355,7 @@ QUERIES = {
     "fn_crypto_pack": sql_query(_CRYPTO_SPARK),
     "fn_array_pack": sql_query(_ARRAY_SPARK),
     "fn_json_extract": sql_query(_JSON_SPARK),
+    "fn_variant_json": sql_query(_VARIANT_SPARK),
     "fn_unnest_wordcount": sql_query(_UNNEST_SPARK),
     "fn_struct_map": sql_query(_STRUCT_SPARK),
     "fn_regex_pack": sql_query(_REGEX_SPARK),
@@ -350,6 +373,7 @@ ORACLES = {
     "fn_crypto_pack": _CRYPTO_DUCK,
     "fn_array_pack": _ARRAY_DUCK,
     "fn_json_extract": _JSON_DUCK,
+    "fn_variant_json": _VARIANT_DUCK,
     "fn_unnest_wordcount": _UNNEST_DUCK,
     "fn_struct_map": _STRUCT_DUCK,
     "fn_regex_pack": _REGEX_DUCK,

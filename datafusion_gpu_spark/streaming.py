@@ -303,3 +303,85 @@ def materialized_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return materialize_stream(
         stream_session_counts(spark, sf_dir), output_mode="complete"
     ).select("user_id", "session_start", "n_events")
+
+
+def transform_with_state_available() -> bool:
+    """transformWithState's runner protocol needs protobuf; this
+    container ships pyspark without it (and installs are not allowed),
+    so the operator below is importable and plan-buildable but can only
+    EXECUTE where `google.protobuf` exists — probed here, the same
+    graceful-degradation pattern as the GPU backend probe
+    (aggregates.py)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def stream_user_value_ema(
+    spark: SparkSession, sf_dir: str, alpha: float = 0.2
+) -> DataFrame:
+    """Custom stateful operator on the Spark 4 transformWithState API:
+    per-user exponential moving average of ``value`` held in a
+    ValueState — the successor to applyInPandasWithState used above,
+    with typed state handles (value/list/map state, timers, TTL)
+    instead of one opaque tuple.
+
+    Rows are sorted by (ts, event_id) inside each input batch, so with
+    the bounded single-file replay (one micro-batch) the fold order is
+    deterministic and equals the batch twin's; on a live unbounded
+    stream EMA order holds per micro-batch, which is the standard
+    approximation for out-of-order-tolerant smoothing.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("ema_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("ema", DoubleType())]
+    )
+
+    class EmaProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ema_state", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, ema = self._state.get() if self._state.exists() else (0, None)
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                for v in pdf["value"]:
+                    v = float(v)
+                    ema = v if ema is None else alpha * v + (1 - alpha) * ema
+                    n += 1
+            self._state.update((n, ema))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "ema_value": [ema]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").transformWithStateInPandas(
+        EmaProcessor(),
+        outputStructType=out_schema,
+        outputMode="update",
+        timeMode="none",
+    )

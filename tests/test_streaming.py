@@ -160,3 +160,41 @@ def test_stream_session_windows_equal_batch(spark):
         for r in session_window_agg(ev, "30 minutes").collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_transform_with_state_ema_equals_batch(spark):
+    import pytest
+
+    from datafusion_gpu_spark import streaming
+    from datafusion_gpu_spark.context import read_parquet
+
+    if not streaming.transform_with_state_available():
+        # the runner protocol needs google.protobuf, absent in this
+        # container; the plan still builds, so assert THAT and skip
+        df = streaming.stream_user_value_ema(spark, "/root/testdata/sf0.001")
+        assert [f.name for f in df.schema.fields] == [
+            "user_id", "n_events", "ema_value",
+        ]
+        pytest.skip("transformWithState runner needs protobuf (env-blocked)")
+
+    sf = "/root/testdata/sf0.001"
+    out = streaming.run_stream_to_memory(
+        streaming.stream_user_value_ema(spark, sf), "ema_sink", mode="update"
+    )
+    # update mode can emit once per (batch, key); the LAST emission per
+    # user is the final state — with the single-file replay there is one
+    # batch, so rows are already final
+    got = {r.user_id: (r.n_events, round(r.ema_value, 9)) for r in out.collect()}
+
+    ev = read_parquet(spark, sf + "/events.parquet").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    pdf = ev.toPandas().sort_values(["ts", "event_id"])
+    want = {}
+    for uid, g in pdf.groupby("user_id"):
+        ema = None
+        for v in g["value"]:
+            v = float(v)
+            ema = v if ema is None else 0.2 * v + 0.8 * ema
+        want[int(uid)] = (len(g), round(ema, 9))
+    assert got == want and len(got) > 0
