@@ -74,7 +74,8 @@ _ROWS_ONLY = frozenset({"explain_plan", "agg_approximate", "sim_topk_ivf_kmeans"
 #: checked — ahead of the pipeline operators, which come ahead of variant
 #: spellings whose siblings are already driver-green.
 _CORE_PREFIXES = (
-    "io_", "types_", "csv_", "events_", "streaming_", "multimodal_",
+    "io_", "source_", "types_", "csv_", "events_", "streaming_",
+    "multimodal_",
     "pipeline_",  # the end-to-end composition flagship
 )
 _PIPELINE_PREFIXES = ("dedup_", "sim_", "retrieval_", "text_", "curation_")
