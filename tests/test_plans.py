@@ -271,3 +271,29 @@ def test_gap_fill_exchanges_only_on_user_keys(spark):
     plan = plan_of(spark, "events_gap_fill")
     for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
         assert "user_id" in m.group(1)
+
+
+def test_bitext_margin_no_shuffle(spark):
+    import re
+
+    # both mining passes are broadcast GEMMs; nothing corpus-sized may
+    # exchange
+    plan = plan_of(spark, "sim_bitext_margin")
+    assert not re.search(r"Exchange (?:hash|range)", plan)
+
+
+def test_dsir_broadcasts_bucket_ratios(spark):
+    # the log-ratio relation is buckets-sized and must broadcast back to
+    # the per-doc counts, never shuffle-join them
+    plan = plan_of(spark, "curation_dsir_resample")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # Gumbel top-n fused
+
+
+def test_qualify_rewrite_is_filter_over_window(spark):
+    # the rewrite must execute as window -> Filter, with the generated
+    # __qualify__ column dropped from the output
+    df = QUERIES["window_qualify_rewrite"](spark, __import__("tests.conftest", fromlist=["SF_DIR"]).SF_DIR)
+    assert "__qualify__" not in df.columns
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Filter" in plan and "RunningWindowFunction" in plan or "Window" in plan
