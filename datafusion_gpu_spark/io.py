@@ -197,3 +197,42 @@ def write_bucketed(
     if sort_by:
         w = w.sortBy(*sort_by)
     w.saveAsTable(table)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    target_file_mb: int = 128,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ~``target_file_mb`` files — the maintenance job every long-lived
+    100 TB dataset needs (streaming sinks and partitioned writers leave
+    thousands of KB-sized files whose per-file open/footer cost comes to
+    dominate scans; compaction restores scan bandwidth).
+
+    File count = ceil(input_bytes / target); the rewrite is one
+    round-robin repartition (no key skew possible) and one write.
+    Returns {files_before, files_after, rows, bytes_before} so callers
+    can log the win. Local-FS listing here; on a cluster the same logic
+    runs over the object-store listing.
+    """
+    import math
+
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(in_dir)
+        for f in fs
+        if f.endswith(".parquet") or f.endswith(".snappy.parquet")
+    ]
+    bytes_before = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(bytes_before / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(in_dir)
+    df.repartition(n_out).write.mode("overwrite").parquet(out_dir)
+    out_files = glob.glob(os.path.join(out_dir, "*.parquet"))
+    return {
+        "files_before": len(files),
+        "files_after": len(out_files),
+        "rows": spark.read.parquet(out_dir).count(),
+        "bytes_before": bytes_before,
+    }

@@ -286,9 +286,44 @@ FROM b GROUP BY 1
 """
 
 
+def _compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction round trip: fragment the documents table
+    into 32 tiny part files, compact, and aggregate the compacted copy —
+    value-preservation graded against the original table. File-count
+    assertions live in tests/test_io.py (they depend on physical sizes,
+    which an SQL oracle can't replay)."""
+    import shutil
+
+    from datafusion_gpu_spark import io as dio
+
+    load(spark, sf_dir)
+    frag = os.path.join(SCRATCH, "documents_fragmented")
+    out = os.path.join(SCRATCH, "documents_compacted")
+    shutil.rmtree(frag, ignore_errors=True)
+    spark.table("documents").repartition(32).write.parquet(frag)
+    dio.compact_parquet(spark, frag, out, target_file_mb=128)
+    back = spark.read.parquet(out)
+    back.createOrReplaceTempView("documents_compacted")
+    return spark.sql(
+        """
+        SELECT lang, COUNT(*) AS n, SUM(n_chars) AS sum_chars,
+               MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents_compacted GROUP BY lang
+        """
+    )
+
+
+_COMPACT_DUCK = """
+SELECT lang, COUNT(*) AS n, SUM(n_chars)::BIGINT AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM documents GROUP BY lang
+"""
+
+
 QUERIES = {
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
+    "io_compact_small_files": _compact_small_files,
     "source_python_datasource": _python_datasource,
     "io_roundtrip_json": _roundtrip_json,
     "io_roundtrip_json_gzip": _roundtrip_json_gzip,
@@ -302,6 +337,7 @@ ORACLES = {
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "source_python_datasource": _PYTHON_DATASOURCE_DUCK,
+    "io_compact_small_files": _COMPACT_DUCK,
     "io_copy_to_sql": _COPY_SQL_DUCK,
     "io_roundtrip_json": _JSON_DUCK,
     "io_roundtrip_json_gzip": _JSON_GZIP_DUCK,

@@ -473,6 +473,29 @@ def _curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Morton interleave of two 8-bit keys + the curve-segment bucket a
+    # range-partitioned layout write would use (operators.layout)
+    from datafusion_gpu_spark.operators import layout
+
+    load(spark, sf_dir)
+    o = spark.table("orders").where("o_orderkey < 1000")
+    a = (F.col("o_orderkey") % 256).alias("a")
+    b = (F.col("o_custkey") % 256).alias("b")
+    keyed = o.select(F.col("o_orderkey").alias("orderkey"), a, b)
+    z = layout.z_value(F.col("a"), F.col("b"), bits=8)
+    return keyed.select(
+        "orderkey", "a", "b", z.alias("z"),
+        F.floor(z / 4096).cast("int").alias("zbucket"),
+    )
+
+
+_ZORDER_BITS_SQL = " | ".join(
+    f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
+    for i in range(8)
+)
+
+
 def _bucket_sql(salt: str) -> str:
     """DuckDB mirror of curation._hash_bucket (portable md5-prefix hash)."""
     return (
@@ -654,6 +677,7 @@ QUERIES = {
     "curation_shuffle": _curation_shuffle,
     "curation_hash_split": _curation_hash_split,
     "curation_dsir_resample": _curation_dsir_resample,
+    "curation_zorder_key": _curation_zorder_key,
     "curation_weighted_sample": _curation_weighted_sample,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
@@ -1322,6 +1346,16 @@ SELECT doc_id, log_weight,
          ({_bucket_sql('dsir-v1')} + 0.5) / 1000000)), 6) AS gumbel_key
 FROM lw
 ORDER BY gumbel_key DESC, doc_id LIMIT 100
+""",
+    # Morton key: identical bit interleave in DuckDB operator syntax
+    "curation_zorder_key": f"""
+SELECT orderkey, a, b, z, CAST(FLOOR(z / 4096) AS INT) AS zbucket
+FROM (
+  SELECT o_orderkey AS orderkey,
+         o_orderkey % 256 AS a, o_custkey % 256 AS b,
+         ({_ZORDER_BITS_SQL}) AS z
+  FROM orders WHERE o_orderkey < 1000
+) t
 """,
     # Efraimidis-Spirakis: same hash uniform, same ln(u)/w key
     "curation_weighted_sample": f"""

@@ -87,3 +87,84 @@ def test_python_datasource_ragged_tail_partition(spark):
     register_python_sources(spark)
     df = spark.read.format("dgs_synth").option("n", 10).option("parts", 3).load()
     assert df.count() == 10  # ceil-split covers the ragged tail exactly
+
+
+# -- compaction + Z-order layout ---------------------------------------------
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    from datafusion_gpu_spark import io
+    from datafusion_gpu_spark.context import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    frag = str(tmp_path / "fragmented")
+    docs.repartition(32).write.parquet(frag)  # 32 tiny files
+    out = str(tmp_path / "compacted")
+    stats = io.compact_parquet(spark, frag, out, target_file_mb=128)
+    assert stats["files_before"] == 32
+    assert stats["files_after"] == 1  # tiny input -> one target file
+    assert stats["rows"] == docs.count()
+    # value-preserving, not just runnable
+    a = sorted(r.doc_id for r in spark.read.parquet(out).collect())
+    b = sorted(r.doc_id for r in docs.collect())
+    assert a == b
+
+
+def test_z_value_matches_morton_curve(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import z_value
+
+    grid = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x int, y int"
+    )
+    got = {
+        (r.x, r.y): r.z
+        for r in grid.select("x", "y", z_value(F.col("x"), F.col("y"), 2).alias("z")).collect()
+    }
+
+    def morton(x, y):
+        z = 0
+        for i in range(2):
+            z += ((x >> i) & 1) << (2 * i)
+            z += ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(x, y): morton(x, y) for x in range(4) for y in range(4)}
+    assert sorted(got.values()) == list(range(16))  # a bijection on the grid
+
+
+def test_zorder_layout_skips_more_row_groups_than_natural(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import (
+        row_groups_overlapping,
+        zorder_write,
+    )
+
+    n = 1 << 14
+    pts = spark.range(n).select(
+        (F.col("id") % 128).alias("x"),
+        F.floor(F.col("id") / 128).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    # natural layout: ordered by y then x (a plain sort on one dim)
+    nat = str(tmp_path / "natural")
+    pts.repartitionByRange(8, "x").sortWithinPartitions("x").write.parquet(nat)
+    zo = str(tmp_path / "zorder")
+    zorder_write(pts, "x", "y", zo, n_files=8, bits=7)
+    # a small 2-D box: both layouts must return the same rows, but the
+    # z-ordered files' row-group stats exclude far more of the file
+    box = (10, 20, 10, 20)
+    nat_hit, nat_tot = row_groups_overlapping(nat + "/*.parquet", "x", box[0], box[1], "y", box[2], box[3])
+    z_hit, z_tot = row_groups_overlapping(zo + "/*.parquet", "x", box[0], box[1], "y", box[2], box[3])
+    assert z_tot > 0 and nat_tot > 0
+    assert z_hit / z_tot < nat_hit / nat_tot  # strictly better skipping
+    # correctness: identical result set through a real filtered scan
+    q = lambda p: sorted(  # noqa: E731
+        r.payload
+        for r in spark.read.parquet(p)
+        .where("x BETWEEN 10 AND 20 AND y BETWEEN 10 AND 20")
+        .collect()
+    )
+    assert q(nat) == q(zo)
