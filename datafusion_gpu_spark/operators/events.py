@@ -216,3 +216,41 @@ def gap_fill(events: DataFrame, unit: str = "hour") -> DataFrame:
         )
     )
     return filled
+
+
+def interval_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    unit: str = "hour",
+) -> DataFrame:
+    """Interval join without a nested-loop: match events to the
+    (start_ts, end_ts, interval_id) intervals that CONTAIN them by
+    exploding each interval into its covered ``unit`` buckets and
+    equi-joining on the bucket, then refining with the exact bounds.
+
+    A plain `ts BETWEEN start AND end` join has no equality key, so
+    Spark plans BroadcastNestedLoop — O(|events| x |intervals|) compares.
+    The bucket spelling is the scalable rewrite: join work becomes
+    O(|events| + sum of interval spans) keyed rows, a hash join on the
+    bucket (plan-asserted: no BNLJ). Knob: ``unit`` trades explode
+    amplification (long intervals -> many buckets) against refine
+    selectivity — pick it near the median interval length.
+    """
+    ev = events.select(
+        "event_id", "user_id", "event_type", "value", "ts",
+        F.date_trunc(unit, F.col("ts")).alias("bucket"),
+    )
+    iv = intervals.select(
+        "interval_id", "start_ts", "end_ts",
+        F.explode(
+            F.expr(
+                f"sequence(date_trunc('{unit}', start_ts),"
+                f" date_trunc('{unit}', end_ts), interval 1 {unit})"
+            )
+        ).alias("bucket"),
+    )
+    return (
+        ev.join(iv, "bucket")
+        .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
+        .select("interval_id", "event_id", "user_id", "event_type", "value", "ts")
+    )

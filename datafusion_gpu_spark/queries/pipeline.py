@@ -568,6 +568,27 @@ def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.gap_fill(spark.table("events"), unit="hour")
 
 
+def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # intervals = the first 6 hours of every day in the span, derived
+    # deterministically from the data; aggregate per interval/type
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    iv = (
+        ev.select(F.date_trunc("day", F.col("ts")).alias("start_ts"))
+        .distinct()
+        .select(
+            F.col("start_ts").alias("interval_id"),
+            "start_ts",
+            (F.col("start_ts") + F.expr("interval 6 hours")).alias("end_ts"),
+        )
+    )
+    joined = events.interval_join_bucketed(ev, iv, unit="hour")
+    return joined.groupBy("interval_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 def _events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     return events.hopping_window_agg(spark.table("events"), "1 hour", "30 minutes")
@@ -687,6 +708,7 @@ QUERIES = {
     "events_salted_sum": _events_salted_sum,
     "events_tumbling": _events_tumbling,
     "events_gap_fill": _events_gap_fill,
+    "events_interval_join": _events_interval_join,
     "streaming_tumbling_counts": _streaming_tumbling_counts,
     "streaming_session_counts": _streaming_session_counts,
     "streaming_enriched_purchases": _streaming_enriched_purchases,
@@ -1589,6 +1611,20 @@ WHERE (i - 1) % 2 = 0
     "events_salted_sum": """
 SELECT event_type, ROUND(SUM(value), 2) AS sum_value, COUNT(*) AS n_rows
 FROM events GROUP BY event_type
+""",
+    # the oracle does the interval join the direct way (non-equi BETWEEN)
+    # — equality proves the bucket rewrite loses and invents nothing
+    "events_interval_join": """
+WITH iv AS (
+  SELECT DISTINCT date_trunc('day', ts) AS interval_id,
+         date_trunc('day', ts) AS start_ts,
+         date_trunc('day', ts) + INTERVAL '6 hours' AS end_ts
+  FROM events
+)
+SELECT iv.interval_id, e.event_type,
+       COUNT(*) AS n_events, ROUND(SUM(e.value), 2) AS sum_value
+FROM events e JOIN iv ON e.ts >= iv.start_ts AND e.ts < iv.end_ts
+GROUP BY 1, 2
 """,
     # dense hourly grid per user, last-observation-carried-forward;
     # per-bucket "last" is pinned by (ts, event_id) row_number on both

@@ -297,3 +297,12 @@ def test_qualify_rewrite_is_filter_over_window(spark):
     assert "__qualify__" not in df.columns
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Filter" in plan and "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_interval_join_is_hash_join_not_nested_loop(spark):
+    # the whole point of the bucket rewrite: the containment join plans
+    # as an equality join on the bucket, never BroadcastNestedLoop
+    plan = plan_of(spark, "events_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan

@@ -198,3 +198,26 @@ def test_transform_with_state_ema_equals_batch(spark):
             ema = v if ema is None else 0.2 * v + 0.8 * ema
         want[int(uid)] = (len(g), round(ema, 9))
     assert got == want and len(got) > 0
+
+
+def test_interval_join_bucketed_exact_containment(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import interval_join_bucketed
+
+    ev = spark.createDataFrame(
+        [
+            (1, datetime(2026, 1, 1, 0, 30), 1, "a", 1.0),   # inside iv1
+            (2, datetime(2026, 1, 1, 2, 0), 1, "a", 1.0),    # boundary end: excluded
+            (3, datetime(2026, 1, 1, 1, 59, 59), 2, "b", 1.0),  # inside
+            (4, datetime(2026, 1, 2, 5, 0), 2, "b", 1.0),    # outside all
+            (5, datetime(2026, 1, 1, 0, 0), 3, "c", 1.0),    # boundary start: included
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    iv = spark.createDataFrame(
+        [(10, datetime(2026, 1, 1, 0, 0), datetime(2026, 1, 1, 2, 0))],
+        "interval_id long, start_ts timestamp_ntz, end_ts timestamp_ntz",
+    )
+    got = {(r.interval_id, r.event_id) for r in interval_join_bucketed(ev, iv).collect()}
+    assert got == {(10, 1), (10, 3), (10, 5)}  # [start, end) semantics
