@@ -254,3 +254,48 @@ def interval_join_bucketed(
         .where((F.col("ts") >= F.col("start_ts")) & (F.col("ts") < F.col("end_ts")))
         .select("interval_id", "event_id", "user_id", "event_type", "value", "ts")
     )
+
+
+def rolling_anomalies(
+    events: DataFrame,
+    unit: str = "hour",
+    trailing: int = 24,
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly flags over the regularized series: compose
+    :func:`gap_fill` with a trailing-``trailing``-bucket mean/stddev
+    window (EXCLUDING the current bucket — the baseline must not contain
+    the point being judged) and flag |z| >= ``z_threshold``.
+
+    The monitoring primitive over event streams: one extra window pass
+    on the same user_id partitioning gap_fill already established, so
+    no additional shuffle. z is ROUNDED to 6 before the threshold so
+    the SQL oracle replays every flag decision; buckets with fewer than
+    2 prior observations or zero variance get z NULL / flag false.
+    """
+    g = gap_fill(events, unit)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(-trailing, -1)
+    )
+    mu = F.avg("value_filled").over(w)
+    sd = F.stddev_samp("value_filled").over(w)
+    n_prior = F.count("value_filled").over(w)
+    # LOCF makes long constant runs, whose TRUE stddev is 0 — but the
+    # floating sum-of-squares may return 0 in one engine and ~1e-13 in
+    # another, turning z into +-1e19 on one side only. The epsilon guard
+    # (real per-bucket stddevs here are O(10)) makes "zero variance" a
+    # decision both engines reach identically.
+    z = F.when(
+        (n_prior >= 2) & (sd > 1e-9),
+        F.round((F.col("value_filled") - mu) / sd, 6),
+    )
+    return g.select(
+        "user_id",
+        "bucket",
+        "value_filled",
+        n_prior.alias("n_prior"),
+        z.alias("zscore"),
+        F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
+    )

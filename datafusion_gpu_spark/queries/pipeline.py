@@ -568,6 +568,11 @@ def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.gap_fill(spark.table("events"), unit="hour")
 
 
+def _events_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.rolling_anomalies(spark.table("events"), unit="hour")
+
+
 def _events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # intervals = the first 6 hours of every day in the span, derived
     # deterministically from the data; aggregate per interval/type
@@ -709,6 +714,7 @@ QUERIES = {
     "events_tumbling": _events_tumbling,
     "events_gap_fill": _events_gap_fill,
     "events_interval_join": _events_interval_join,
+    "events_anomalies": _events_anomalies,
     "streaming_tumbling_counts": _streaming_tumbling_counts,
     "streaming_session_counts": _streaming_session_counts,
     "streaming_enriched_purchases": _streaming_enriched_purchases,
@@ -718,6 +724,36 @@ QUERIES = {
     "events_sessionize": _events_sessionize,
     "events_asof": _events_asof,
 }
+
+_GAP_FILL_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+observed AS (
+  SELECT user_id, bucket, COUNT(*) AS n_obs,
+         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
+  FROM ranked GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+          FROM observed GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM spans
+)
+SELECT g.user_id, g.bucket,
+       COALESCE(o.n_obs, 0) AS n_obs,
+       (o.obs_value IS NOT NULL) AS is_observed,
+       last_value(o.obs_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS value_filled
+FROM grid g LEFT JOIN observed o
+  ON g.user_id = o.user_id AND g.bucket = o.bucket
+"""
+
 
 _COS_AB = _cos_sql("a.embedding", "b.embedding")
 _COS_QC = _cos_sql("q.embedding", "c.embedding")
@@ -1629,33 +1665,25 @@ GROUP BY 1, 2
     # dense hourly grid per user, last-observation-carried-forward;
     # per-bucket "last" is pinned by (ts, event_id) row_number on both
     # sides, so the reduction replays exactly
-    "events_gap_fill": """
-WITH ranked AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
-),
-observed AS (
-  SELECT user_id, bucket, COUNT(*) AS n_obs,
-         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
-  FROM ranked GROUP BY 1, 2
-),
-spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
-          FROM observed GROUP BY 1),
-grid AS (
-  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
-  FROM spans
-)
-SELECT g.user_id, g.bucket,
-       COALESCE(o.n_obs, 0) AS n_obs,
-       (o.obs_value IS NOT NULL) AS is_observed,
-       last_value(o.obs_value IGNORE NULLS) OVER (
-         PARTITION BY g.user_id ORDER BY g.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS value_filled
-FROM grid g LEFT JOIN observed o
-  ON g.user_id = o.user_id AND g.bucket = o.bucket
+    "events_gap_fill": _GAP_FILL_ORACLE,
+    # same grid, plus the trailing-24 mean/std window excluding the
+    # current bucket; z rounded 6 before the threshold on both sides
+    "events_anomalies": f"""
+WITH grid AS ({_GAP_FILL_ORACLE})
+SELECT user_id, bucket, value_filled,
+       COUNT(value_filled) OVER w AS n_prior,
+       CASE WHEN COUNT(value_filled) OVER w >= 2
+                 AND stddev_samp(value_filled) OVER w > 1e-9
+            THEN ROUND((value_filled - AVG(value_filled) OVER w)
+                       / stddev_samp(value_filled) OVER w, 6) END AS zscore,
+       COALESCE(ABS(CASE WHEN COUNT(value_filled) OVER w >= 2
+                              AND stddev_samp(value_filled) OVER w > 1e-9
+                         THEN ROUND((value_filled - AVG(value_filled) OVER w)
+                                    / stddev_samp(value_filled) OVER w, 6) END)
+                >= 3.0, FALSE) AS is_anomaly
+FROM grid
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 """,
     "events_tumbling": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -221,3 +221,31 @@ def test_interval_join_bucketed_exact_containment(spark):
     )
     got = {(r.interval_id, r.event_id) for r in interval_join_bucketed(ev, iv).collect()}
     assert got == {(10, 1), (10, 3), (10, 5)}  # [start, end) semantics
+
+
+def test_rolling_anomalies_flags_planted_spike_not_constant_runs(spark):
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.operators.events import rolling_anomalies
+
+    base = datetime(2026, 1, 1)
+    rows = []
+    # hours 0-29: alternating 9/11 (sd ~ 1), hour 30: spike to 100
+    for h in range(30):
+        rows.append((h, base + timedelta(hours=h), 1, "t", 9.0 if h % 2 else 11.0))
+    rows.append((30, base + timedelta(hours=30), 1, "t", 100.0))
+    # user 2: constant value -> zero variance -> never anomalous
+    for h in range(10):
+        rows.append((100 + h, base + timedelta(hours=h), 2, "t", 5.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = {
+        (r.user_id, int((r.bucket - base).total_seconds() // 3600)): r
+        for r in rolling_anomalies(ev).collect()
+    }
+    assert out[(1, 30)].is_anomaly and out[(1, 30)].zscore > 3
+    assert not any(r.is_anomaly for (u, _), r in out.items() if u == 2)
+    assert all(r.zscore is None for (u, _), r in out.items() if u == 2)
+    # the spike is the ONLY flag for user 1
+    assert [h for (u, h), r in out.items() if u == 1 and r.is_anomaly] == [30]
