@@ -759,6 +759,38 @@ def pq_topk(
     return _rerank_pairs_vectorized(cand, corpus, queries, k)
 
 
+
+def _topk_order(cos: np.ndarray, kk: int) -> np.ndarray:
+    """Exact (cosine DESC, column-index ASC) top-kk column indices per
+    row, without a full-row argsort (which dominates the GEMM past ~10k
+    columns — measured 9M pair-scores/s full-sort vs GEMM-bound with
+    argpartition).
+
+    argpartition narrows each row to m = max(4kk, 64) candidates in
+    O(n); two stable argsorts of those m order them exactly. A
+    value-tie spanning the partition BOUNDARY could swap which tied
+    column (higher vs lower index) survives, so any row whose kk-th
+    value equals its candidate minimum falls back to the exact full
+    sort — measure-zero on real embeddings, cheap insurance on
+    degenerate ones (e.g. thousands of all-zero vectors at cosine 0).
+    """
+    n = cos.shape[1]
+    if n <= max(4 * kk, 64):
+        return np.argsort(-cos, kind="stable", axis=1)[:, :kk]
+    m = max(4 * kk, 64)
+    part = np.argpartition(-cos, m - 1, axis=1)[:, :m]
+    part.sort(axis=1)  # candidate columns ascending -> stable sort = id tiebreak
+    cand = np.take_along_axis(cos, part, axis=1)
+    sub = np.argsort(-cand, kind="stable", axis=1)[:, :kk]
+    order = np.take_along_axis(part, sub, axis=1)
+    kth = np.take_along_axis(cand, sub[:, -1:], axis=1)[:, 0]
+    risky = kth <= cand.min(axis=1)
+    if risky.any():
+        full = np.argsort(-cos[risky], kind="stable", axis=1)[:, :kk]
+        order[risky] = full
+    return order
+
+
 def knn_graph(corpus: DataFrame, k: int = 10) -> DataFrame:
     """Exact k-nearest-neighbor graph over the corpus: for EVERY vector,
     its top-``k`` cosine neighbors (self excluded) — the substrate for
@@ -798,7 +830,7 @@ def knn_graph(corpus: DataFrame, k: int = 10) -> DataFrame:
             pos = np.searchsorted(all_ids, ids)
             own = (pos < len(all_ids)) & (all_ids[np.minimum(pos, len(all_ids) - 1)] == ids)
             cos[np.arange(len(ids))[own], pos[own]] = -np.inf  # mask self
-            order = np.argsort(-cos, kind="stable", axis=1)[:, :kk]
+            order = _topk_order(cos, kk)
             rows = np.repeat(ids, kk)
             cols = order.ravel()
             yield pd.DataFrame(
@@ -831,7 +863,11 @@ def _knn_avg(M: np.ndarray, N: np.ndarray, k: int) -> np.ndarray:
     SQL oracle's (cos DESC) window."""
     cos = M @ N.T
     kk = min(k, cos.shape[1])
-    part = -np.sort(-cos, axis=1)[:, :kk]
+    if kk >= cos.shape[1]:
+        return cos.mean(axis=1)
+    # a MEAN of the top-k is tie-insensitive (tied elements are equal),
+    # so O(n) partition replaces the full sort exactly
+    part = -np.partition(-cos, kk - 1, axis=1)[:, :kk]
     return part.mean(axis=1)
 
 
