@@ -323,3 +323,37 @@ def test_mine_bitext_finds_planted_alignments_despite_hub(spark):
     # every x pairs with ITS planted y — the margin demotes the hub
     assert {i: out[i].y_id for i in out} == {i: 100 + i for i in range(8)}
     assert all(r.margin >= 1.0 for r in out.values())
+
+
+def test_topk_order_mass_ties_match_full_sort():
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import _topk_order
+
+    rng = np.random.default_rng(3)
+    # 500 columns where most values tie at 0.0 (the all-zero-vector
+    # degenerate case) plus a few distinct tops — the partition boundary
+    # is guaranteed to split a tie, forcing the exact-fallback path
+    rows = []
+    for _ in range(40):
+        r = np.zeros(500)
+        idx = rng.choice(500, size=3, replace=False)
+        r[idx] = rng.normal(size=3)
+        rows.append(r)
+    cos = np.array(rows)
+    got = _topk_order(cos, 10)
+    want = np.argsort(-cos, kind="stable", axis=1)[:, :10]
+    assert (got == want).all()
+
+
+def test_topk_order_small_n_and_exact_values():
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import _topk_order
+
+    rng = np.random.default_rng(5)
+    for n, k in ((50, 10), (300, 7), (1000, 10)):
+        cos = rng.normal(size=(17, n))
+        got = _topk_order(cos, k)
+        want = np.argsort(-cos, kind="stable", axis=1)[:, :k]
+        assert (got == want).all(), (n, k)
