@@ -406,3 +406,48 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), key)
         .limit(n)
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-pretraining
+    sampler, e.g. mBERT/XLM-R's alpha=0.3): target share of source s is
+    n_s^alpha / sum(n^alpha) — alpha=1 keeps natural proportions,
+    alpha=0 equalizes like :func:`mix_domains`, in between tail sources
+    are UPweighted smoothly. Each source keeps
+    min(1, budget * share_s / n_s) of its docs via the same salted-hash
+    filter (deterministic, nested, replayable).
+
+    Same shape as mix_domains: one dimension-sized aggregate, broadcast
+    rates, map-side keep decision, no corpus shuffle. The hash-bucket
+    threshold is an INTEGER (round(rate * 1e6)) so a 1-ulp cross-engine
+    difference in pow() cannot flip a boundary document.
+    """
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    totals = counts.agg(
+        F.sum("n_s").alias("n_total"),
+        F.sum(F.pow("n_s", alpha)).alias("w_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.lit(budget_frac)
+        * F.col("n_total")
+        * (F.pow("n_s", alpha) / F.col("w_total"))
+        / F.col("n_s"),
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        source_col, rate.alias("keep_rate")
+    )
+    threshold = F.round(F.col("keep_rate") * _BUCKETS, 0).cast("long")
+    bucket = _hash_bucket(F.col(key), salt)
+    return (
+        docs.join(F.broadcast(rates), source_col)
+        .where(bucket < threshold)
+        .select(key, source_col, F.round("keep_rate", 6).alias("keep_rate"))
+    )

@@ -299,3 +299,35 @@ def rolling_anomalies(
         z.alias("zscore"),
         F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def winsorize(
+    events: DataFrame,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Percentile winsorization: clip ``value_col`` to its per-group
+    [p_lo, p_hi] exact interpolated percentiles — the outlier treatment
+    a metrics/feature pipeline applies before aggregation so one fat
+    finger doesn't move the mean.
+
+    Bounds come from one dimension-sized exact-percentile aggregate
+    (per group, not per row) broadcast back; the clip is a map-side
+    least/greatest. Both engines define the exact percentile as the
+    same linear interpolation (Spark `percentile` == DuckDB
+    `quantile_cont`), and outputs are ROUNDED so the replay matches.
+    """
+    bounds = events.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {p_lo})").alias("lo"),
+        F.expr(f"percentile({value_col}, {p_hi})").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col(value_col), F.col("lo")), F.col("hi"))
+    return events.join(F.broadcast(bounds), group_col).select(
+        "event_id",
+        group_col,
+        F.round(value_col, 6).alias("value"),
+        F.round(clipped, 6).alias("clipped"),
+        (F.round(clipped, 6) != F.round(value_col, 6)).alias("was_clipped"),
+    )

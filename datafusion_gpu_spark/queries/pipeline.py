@@ -473,6 +473,15 @@ def _curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation.temperature_mix(_docs(spark, sf_dir), alpha=0.3)
+
+
+def _events_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir)
+    return events.winsorize(spark.table("events"), p_lo=0.05, p_hi=0.95)
+
+
 def _curation_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Morton interleave of two 8-bit keys + the curve-segment bucket a
     # range-partitioned layout write would use (operators.layout)
@@ -704,6 +713,8 @@ QUERIES = {
     "curation_hash_split": _curation_hash_split,
     "curation_dsir_resample": _curation_dsir_resample,
     "curation_zorder_key": _curation_zorder_key,
+    "curation_temperature_mix": _curation_temperature_mix,
+    "events_winsorize": _events_winsorize,
     "curation_weighted_sample": _curation_weighted_sample,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
@@ -1404,6 +1415,37 @@ SELECT doc_id, log_weight,
          ({_bucket_sql('dsir-v1')} + 0.5) / 1000000)), 6) AS gumbel_key
 FROM lw
 ORDER BY gumbel_key DESC, doc_id LIMIT 100
+""",
+    # temperature sampler: same pow/share arithmetic, same integer
+    # threshold on the salted hash bucket
+    "curation_temperature_mix": f"""
+WITH counts AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY 1),
+tot AS (SELECT SUM(n_s) AS n_total, SUM(pow(n_s, 0.3)) AS w_total FROM counts),
+rates AS (
+  SELECT source,
+         LEAST(1.0, 0.5 * n_total * (pow(n_s, 0.3) / w_total) / n_s)
+           AS keep_rate
+  FROM counts, tot
+)
+SELECT doc_id, d.source, ROUND(r.keep_rate, 6) AS keep_rate
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_bucket_sql('tmix-v1')}
+      < CAST(ROUND(r.keep_rate * 1000000, 0) AS BIGINT)
+""",
+    # winsorization: Spark exact percentile() == DuckDB quantile_cont
+    # (same linear interpolation); outputs rounded on both sides
+    "events_winsorize": """
+WITH b AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       ROUND(e.value, 6) AS value,
+       ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS clipped,
+       (ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) != ROUND(e.value, 6))
+         AS was_clipped
+FROM events e JOIN b ON e.event_type = b.event_type
 """,
     # Morton key: identical bit interleave in DuckDB operator syntax
     "curation_zorder_key": f"""

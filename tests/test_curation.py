@@ -250,3 +250,19 @@ def test_weighted_sample_deterministic_and_salt_sensitive(spark):
     c = [r.doc_id for r in weighted_sample(docs, F.col("w"), n=5, salt="other").collect()]
     assert a == b
     assert a != c  # a different salt is a different draw
+
+
+def test_temperature_mix_upweights_tail_sources(spark):
+    rows = [(i, "head") for i in range(900)] + [(900 + i, "tail") for i in range(100)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    from datafusion_gpu_spark.operators.curation import temperature_mix
+
+    out = temperature_mix(docs, alpha=0.3, budget_frac=0.5).toPandas()
+    kept = out.groupby("source")["doc_id"].count()
+    # natural share of tail is 10%; alpha=0.3 more than doubles its
+    # share of the kept set (capped at keeping ALL of the tail)
+    assert kept["tail"] == 100  # rate capped at 1.0 -> whole tail kept
+    assert kept["tail"] / kept.sum() > 0.2
+    # alpha=1 reproduces natural proportions (rates equal across sources)
+    nat = temperature_mix(docs, alpha=1.0, budget_frac=0.5).toPandas()
+    assert nat["keep_rate"].nunique() == 1

@@ -249,3 +249,21 @@ def test_rolling_anomalies_flags_planted_spike_not_constant_runs(spark):
     assert all(r.zscore is None for (u, _), r in out.items() if u == 2)
     # the spike is the ONLY flag for user 1
     assert [h for (u, h), r in out.items() if u == 1 and r.is_anomaly] == [30]
+
+
+def test_winsorize_clips_only_tails(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import winsorize
+
+    ts = datetime(2026, 1, 1)
+    rows = [(i, ts, 1, "t", float(i)) for i in range(1, 100)]  # 1..99
+    rows.append((100, ts, 1, "t", 10_000.0))  # fat finger
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string, value double"
+    )
+    out = {r.event_id: r for r in winsorize(ev, 0.05, 0.95).collect()}
+    assert out[100].was_clipped and out[100].clipped < 10_000
+    assert not out[50].was_clipped and out[50].clipped == 50.0
+    n_clipped = sum(1 for r in out.values() if r.was_clipped)
+    assert n_clipped <= 10  # only the tails move
