@@ -343,6 +343,28 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
+# Edit distance: the fuzzy-join primitive (entity resolution, typo-tolerant
+# matching). Self-join nation names, nearest non-self neighbor by
+# levenshtein with a name tiebreak — integer distances replay exactly.
+_EDIT_DISTANCE = """
+SELECT name, best_match, dist
+FROM (
+  SELECT a.n_name AS name, b.n_name AS best_match,
+         levenshtein(a.n_name, b.n_name) AS dist,
+         ROW_NUMBER() OVER (PARTITION BY a.n_name
+                            ORDER BY levenshtein(a.n_name, b.n_name), b.n_name)
+           AS rn
+  FROM nation a JOIN nation b ON a.n_name != b.n_name
+) t
+WHERE rn = 1
+"""
+
+#: DuckDB's levenshtein returns BIGINT where Spark returns INT — pin it
+_EDIT_DISTANCE_DUCK = _EDIT_DISTANCE.replace(
+    "levenshtein(a.n_name, b.n_name) AS dist",
+    "levenshtein(a.n_name, b.n_name)::INT AS dist",
+)
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
     "fn_alias_shims": _fn_alias_shims,
@@ -356,6 +378,7 @@ QUERIES = {
     "fn_array_pack": sql_query(_ARRAY_SPARK),
     "fn_json_extract": sql_query(_JSON_SPARK),
     "fn_variant_json": sql_query(_VARIANT_SPARK),
+    "fn_edit_distance": sql_query(_EDIT_DISTANCE),
     "fn_unnest_wordcount": sql_query(_UNNEST_SPARK),
     "fn_struct_map": sql_query(_STRUCT_SPARK),
     "fn_regex_pack": sql_query(_REGEX_SPARK),
@@ -374,6 +397,7 @@ ORACLES = {
     "fn_array_pack": _ARRAY_DUCK,
     "fn_json_extract": _JSON_DUCK,
     "fn_variant_json": _VARIANT_DUCK,
+    "fn_edit_distance": _EDIT_DISTANCE_DUCK,
     "fn_unnest_wordcount": _UNNEST_DUCK,
     "fn_struct_map": _STRUCT_DUCK,
     "fn_regex_pack": _REGEX_DUCK,
