@@ -35,9 +35,9 @@ def log(msg: str) -> None:
 #: (name, samples, SQL) for the warm 1M-row ``types`` table — the
 #: reference's README.md:71-75 queries, 50 samples apiece like criterion.
 TYPES_BENCHES = [
-    ("ref_sum_float", 50, "SELECT sum(float) AS s FROM types"),
-    ("ref_sum_arrow_cpu", 20, "SELECT sum_arrow_cpu(float) AS s FROM types"),
-    ("ref_sum_f32_scalable", 50,
+    ("ref_sum_float", 30, "SELECT sum(float) AS s FROM types"),
+    ("ref_sum_arrow_cpu", 10, "SELECT sum_arrow_cpu(float) AS s FROM types"),
+    ("ref_sum_f32_scalable", 30,
      "SELECT CAST(SUM(CAST(float AS FLOAT)) AS FLOAT) AS s FROM types"),
     # Throughput at 100x the reference's row count: tiny-query latency is
     # fixed JVM/py4j overhead (~50-90 ms floor), so the honest comparison
@@ -47,13 +47,21 @@ TYPES_BENCHES = [
     # 500M rows amortizes the ~105-130 ms job floor entirely: this is
     # the per-core-throughput comparison vs BASELINE.md's implied
     # 33M rows/s/core (measured here: ~43M rows/s/core on 32 threads).
-    ("ref_sum_float_500m", 8, "SELECT sum(float) AS s FROM types_500m"),
+    ("ref_sum_float_500m", 10, "SELECT sum(float) AS s FROM types_500m"),
 ]
 
-#: Registry queries benched against the sf dir. >=10 samples per query
-#: (medians at 1-4 s wobbled ~20% on 3-5 samples); the soft deadline
-#: below drops straggling queries to 3 samples rather than letting the
-#: driver's run time out with no JSON line at all.
+#: Registry queries benched against the sf dir. EVERY reported median
+#: gets >= SAMPLES samples (medians at 1-4 s wobbled ~20% on 3-5
+#: samples, BENCH_r03's tail got only 3): the set below is trimmed so
+#: 10 samples apiece fits the deadline at r3 speeds (sum of medians
+#: ~35 s -> ~385 s timed + setup), and a warm-up planning pass drops
+#: whole queries from the expensive end (LOGGED) if the machine is
+#: slower — an honest omission beats a 3-sample pseudo-median.
+#: Trimmed vs r2/r3 sets (family still covered, see BENCH_NOTES.md):
+#: dedup_ngram_jaccard + dedup_substring_spans + dedup_simhash (MinHash
+#: is the benched fuzzy-dedup scale path), sim_topk_bruteforce (same
+#: GEMM kernel as sim_topk_vectorized), text_contamination +
+#: text_repetition (text family keeps quality/pii/perplexity).
 SAMPLES = int(os.environ.get("SPARK_GRAFT_BENCH_SAMPLES", "10"))
 SOFT_DEADLINE_S = float(os.environ.get("SPARK_GRAFT_BENCH_DEADLINE", "480"))
 SF_BENCHES = [
@@ -64,36 +72,31 @@ SF_BENCHES = [
     "tpch_q10_returned_items",
     "window_rows_frame",
     "dedup_exact",
+    "dedup_lines",
     "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
     "dedup_components",
-    "dedup_substring_spans",
     "text_quality",
     "text_pii_redact",
-    "sim_topk_bruteforce",
+    "text_perplexity",
     "sim_topk_vectorized",
     "sim_topk_ivf",
+    "sim_knn_graph",
     "curation_pack_sequences",
-    "pipeline_end_to_end",
     "curation_shuffle",
-    "text_repetition",
-    "text_contamination",
-    "text_perplexity",
+    "curation_dsir_resample",
+    "pipeline_end_to_end",
     "retrieval_bm25",
     "events_sessionize",
-    "dedup_lines",
-    "sim_knn_graph",
     # events_gap_fill is gate-checked but not benched: the operator runs
     # ~1.1 s at sf0.1, while bench's collect() of its 1M-row dense grid
     # adds ~6 s of py4j transfer — that measures the driver pipe, not
     # the engine.
-    "curation_dsir_resample",
 ]
 
 
-def timed_median(fn, samples: int) -> float:
-    fn()  # warm-up (plan + shuffle files + code cache), untimed
+def timed_median(fn, samples: int, warmed: bool = False) -> float:
+    if not warmed:
+        fn()  # warm-up (plan + shuffle files + code cache), untimed
     times = []
     for _ in range(samples):
         t0 = time.perf_counter()
@@ -145,17 +148,41 @@ def main() -> int:
         results[name] = round(med, 4)
         log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
 
+    # Planning pass: warm every query once (plan + shuffle files + code
+    # cache) and record its warm time, then project the timed phase at
+    # SAMPLES iterations per query. If the projection overruns the
+    # deadline, drop whole queries from the expensive end (logged) —
+    # every median that IS reported carries the full SAMPLES samples.
+    runners = {}
+    warm_s: dict[str, float] = {}
     for name in SF_BENCHES:
         if name not in registry:
             log(f"{name}: SKIPPED (not in registry)")
             continue
         fn = registry[name]
-        samples = SAMPLES
-        if time.perf_counter() - t0 > SOFT_DEADLINE_S:
-            samples = min(3, SAMPLES)  # protect the run from timing out
-        med = timed_median(lambda: fn(spark, sf_dir).collect(), samples)
+        runners[name] = (lambda f: lambda: f(spark, sf_dir).collect())(fn)
+        w0 = time.perf_counter()
+        runners[name]()
+        warm_s[name] = time.perf_counter() - w0
+    # Steady-state medians run ~0.7x the cold warm-up time; the planner
+    # re-checks before every query with that estimate, replaced by the
+    # true median as queries complete, so an early overestimate doesn't
+    # over-drop.
+    est = {n: 0.7 * w for n, w in warm_s.items()}
+    kept = list(runners)
+    while kept:
+        budget = SOFT_DEADLINE_S - (time.perf_counter() - t0)
+        while kept and sum(est[n] for n in kept) * SAMPLES > budget:
+            victim = max(kept, key=lambda n: est[n])
+            kept.remove(victim)
+            log(f"{victim}: DROPPED by deadline planner (est "
+                f"{est[victim]:.2f} s x {SAMPLES} samples over budget)")
+        if not kept:
+            break
+        name = kept.pop(0)
+        med = timed_median(runners[name], SAMPLES, warmed=True)
         results[name] = round(med, 4)
-        log(f"{name}: median {med:.2f} s over {samples} samples")
+        log(f"{name}: median {med:.2f} s over {SAMPLES} samples")
 
     total = round(sum(results.values()), 4)
     print(json.dumps({

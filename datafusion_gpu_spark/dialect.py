@@ -50,22 +50,36 @@ def check_dialect(sql: str) -> None:
 
 _QUALIFY_KEYWORD = re.compile(r"\bQUALIFY\b", re.I)
 _TRAILING = re.compile(r"\b(ORDER\s+BY|LIMIT)\b", re.I)
+_SET_OP = re.compile(r"\b(UNION|INTERSECT|EXCEPT)\b", re.I)
 
 
 def _top_level_spans(sql: str, pattern: re.Pattern[str]) -> list[re.Match[str]]:
-    """Matches of ``pattern`` at parenthesis depth 0 (outside strings)."""
+    """Matches of ``pattern`` at parenthesis depth 0, outside string
+    literals, quoted identifiers (backtick/double-quote), and SQL
+    comments (``-- ...\\n`` and ``/* ... */``) — a QUALIFY inside a
+    comment is prose, not syntax. Doubled quotes inside a literal
+    (``'it''s'``) scan as close-then-reopen, which is equivalent."""
     out = []
     depth = 0
-    in_str: str | None = None
     i = 0
-    while i < len(sql):
+    n = len(sql)
+    while i < n:
         ch = sql[i]
-        if in_str:
-            if ch == in_str:
-                in_str = None
-        elif ch in "'\"":
-            in_str = ch
-        elif ch == "(":
+        if ch in "'\"`":
+            i += 1
+            while i < n and sql[i] != ch:
+                i += 1
+            i += 1
+            continue
+        if ch == "-" and sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j + 1
+            continue
+        if ch == "/" and sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -86,6 +100,15 @@ def rewrite_qualify(sql: str) -> str | None:
     matches = _top_level_spans(sql, _QUALIFY_KEYWORD)
     if not matches:
         return None
+    if _top_level_spans(sql, _SET_OP):
+        # QUALIFY binds to one branch of a set operation; wrapping the whole
+        # statement would filter the combined result instead. A documented
+        # error beats silently-wrong semantics or a confusing parse failure.
+        raise UnsupportedSqlError(
+            "QUALIFY combined with a top-level set operation (UNION/"
+            "INTERSECT/EXCEPT) is not supported: wrap the QUALIFY branch "
+            "in a parenthesized subquery and apply the set operation over it."
+        )
     m = matches[0]
     inner = sql[: m.start()].rstrip().rstrip(";")
     rest = sql[m.end() :]

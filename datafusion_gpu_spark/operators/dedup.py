@@ -593,6 +593,7 @@ def connected_components(
     a: str = "doc_a",
     b: str = "doc_b",
     max_iter: int = 25,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs`` — the
     last stage of a dedup pipeline: pair lists don't dedup a corpus,
@@ -631,7 +632,9 @@ def connected_components(
     # self-join + isEmpty pass per round.
     prev_sum = None
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         nbr = edges.join(
             labels.select(
                 F.col("node").alias("dst"), F.col("component").alias("nbr_component")
@@ -661,6 +664,12 @@ def connected_components(
             RuntimeWarning,
             stacklevel=2,
         )
+    if stats is not None:
+        # rounds-to-fixpoint = graph diameter + 1 (the last round only
+        # verifies the unchanged label sum) — the scale probe asserts
+        # this stays constant as |E| grows
+        stats["rounds"] = rounds
+        stats["converged"] = converged
     return labels
 
 

@@ -803,7 +803,14 @@ def knn_graph(corpus: DataFrame, k: int = 10) -> DataFrame:
     GEMM, and a STABLE row-wise argsort on -cosine yields exactly the
     (cosine DESC, vec_id ASC) order — no per-query Python loop, no
     cross-batch merge (every row's neighbor list is final in one pass).
-    One corpus scan, zero shuffle (plan-asserted).
+
+    Cost shape: the corpus is read TWICE — once collected to the driver
+    at plan-construction time (an EAGER toPandas(), it fires even if the
+    returned DataFrame is never executed) to build the closure matrix,
+    and once streamed through mapInPandas at execution. The executed
+    plan itself has zero shuffles (plan-asserted); the collect is the
+    price of the broadcast-exact design, same as the query-side collect
+    in the ANN family but corpus-sized.
 
     Scale: broadcast-exact is right up to ~1e6 x 768 floats (~3 GB
     closure); past that, block the pair space first (lsh_ann_topk /

@@ -39,11 +39,27 @@ def sql_query(statement: str) -> QueryFn:
     return run
 
 
-# Queries already green in a driver CORRECTNESS file (rounds 1-2). The driver
+# Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — the pipeline/io/text/sim/curation/events operators it has never
-# touched — are surfaced first until every query has a driver row.
+# this set — the ~39 never-driver-checked queries as of round 4 — are surfaced
+# first until every query has a driver row. sim_quantize_int8 stays OUT: its
+# r3 row was red (driver-canon sort crash), so it must be re-checked.
 _DRIVER_CHECKED = frozenset({
+    # -- green in CORRECTNESS_r03 --
+    "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",
+    "dedup_exact", "dedup_lines", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_semantic", "dedup_simhash", "dedup_substring_spans", "events_anomalies",
+    "events_asof", "events_gap_fill", "events_hopping", "events_interval_join",
+    "events_salted_sum", "events_session_native", "events_sessionize", "events_tumbling",
+    "events_winsorize", "io_compact_small_files", "io_copy_to_sql", "io_partitioned_parquet",
+    "io_roundtrip_arrow", "io_roundtrip_csv", "io_roundtrip_json", "io_roundtrip_json_gzip",
+    "io_roundtrip_orc", "io_schema_evolution", "multimodal_chunks", "multimodal_features",
+    "pipeline_end_to_end", "retrieval_hard_negatives", "sim_bitext_margin", "sim_contrastive_triplets",
+    "sim_knn_graph", "sim_topk_bruteforce", "sim_topk_ivf", "sim_topk_lsh",
+    "sim_topk_pq", "sim_topk_vectorized", "source_python_datasource", "streaming_dedup_keys",
+    "streaming_enriched_purchases", "streaming_session_counts", "streaming_tumbling_counts", "text_quality",
+    "types_sum_parity",
+    # -- green in CORRECTNESS_r01/r02 --
     "agg_approximate", "agg_bool_bit", "agg_collect_ordered", "agg_count_distinct",
     "agg_filter_clause", "agg_group_by_all", "agg_grouping_sets", "agg_median",
     "agg_min_max_by", "agg_rollup", "agg_statistical", "cte_recursive",
@@ -68,7 +84,7 @@ _DRIVER_CHECKED = frozenset({
 
 
 #: Rows-only entries (no oracle — weaker driver check) can wait a round.
-_ROWS_ONLY = frozenset({"explain_plan", "agg_approximate", "sim_topk_ivf_kmeans"})
+_ROWS_ONLY = frozenset({"explain_plan", "agg_approximate"})
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never
 #: checked — ahead of the pipeline operators, which come ahead of variant

@@ -34,10 +34,10 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw int64 nanos and rebuilds the timestamp column in-plan.
     """
     path = os.path.join(sf_dir, "events.parquet")
-    # normally already set at session build (get_spark); repeated here so
-    # externally-built sessions (e.g. the driver's) can stream ns files —
-    # same pattern as context.read_parquet
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ns-precision files require spark.sql.legacy.parquet.nanosAsLong at
+    # session BUILD time (context.get_spark sets it); no runtime conf
+    # mutation here — on a session without it, a ns file fails the batch
+    # read below with Spark's own message naming that conf.
     raw_schema = spark.read.parquet(path).schema  # pre-conversion schema
     converted = read_parquet(spark, path).schema
     # the file source requires a directory: stream the sf dir and select
@@ -364,9 +364,15 @@ def stream_user_value_ema(
 
         def handleInputRows(self, key, rows, timerValues):
             n, ema = self._state.get() if self._state.exists() else (0, None)
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"])
-                for v in pdf["value"]:
+            # Spark splits a key's micro-batch input across Arrow chunks
+            # (arrow.maxRecordsPerBatch); per-chunk sorting would not give
+            # a global (ts, event_id) fold order, so gather all chunks and
+            # sort once — state is per-key bounded, so this is small.
+            chunks = list(rows)
+            if chunks:
+                batch = pd.concat(chunks, ignore_index=True)
+                batch = batch.sort_values(["ts", "event_id"])
+                for v in batch["value"]:
                     v = float(v)
                     ema = v if ema is None else alpha * v + (1 - alpha) * ema
                     n += 1

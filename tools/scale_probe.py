@@ -48,10 +48,108 @@ def corpus(spark, n: int, exact_dups: bool = False):
     ).repartition(32).cache()
 
 
+CHAIN = 8  # planted chain length for the components probe (diameter 7)
+
+
+def chain_edges(spark, n: int):
+    """Planted union of n/CHAIN disjoint chain graphs over nodes
+    0..n-1: edge (i, i+1) unless i closes a chain. Diameter is CHAIN-1
+    at EVERY n, so rounds-to-fixpoint must not grow with |E| — only
+    per-round cost may, and it must stay linear."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n - 1)
+        .where((F.col("id") % CHAIN) != CHAIN - 1)
+        .select(F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b"))
+        .repartition(32)
+    )
+
+
+def probe_components(spark, sizes: list[int]) -> None:
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.dedup import connected_components
+
+    rounds_seen = []
+    for n in sizes:
+        edges = chain_edges(spark, n).cache()
+        n_edges = edges.count()
+        stats: dict = {}
+        t0 = _t.perf_counter()
+        labels = connected_components(edges, stats=stats)
+        n_comp = labels.select("component").distinct().count()
+        dt = _t.perf_counter() - t0
+        # every chain must collapse to exactly one component labeled by
+        # its min node
+        expected = n // CHAIN
+        bad = labels.where(
+            F.col("component") != (F.col("node") - F.col("node") % CHAIN)
+        ).count()
+        print(
+            f"n={n} edges={n_edges} components={n_comp} (expected {expected}) "
+            f"rounds={stats['rounds']} time={dt:.1f}s "
+            f"per_round={dt / stats['rounds']:.2f}s "
+            f"edges_per_round_sec={n_edges * stats['rounds'] / dt:.0f}",
+            flush=True,
+        )
+        assert stats["converged"], stats
+        assert n_comp == expected and bad == 0, (n_comp, expected, bad)
+        rounds_seen.append(stats["rounds"])
+        edges.unpersist()
+    # rounds == diameter+1, independent of |E|
+    assert len(set(rounds_seen)) == 1, rounds_seen
+
+
+def probe_shuffle(spark, sizes: list[int]) -> None:
+    """deterministic_shuffle at growing n: the order must be a total
+    permutation, identical across re-runs AND across input partitioning
+    (the property that makes the training order reproducible on any
+    cluster layout)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import deterministic_shuffle
+
+    for n in sizes:
+        docs = spark.range(n).select(F.col("id").alias("doc_id")).cache()
+        docs.count()
+        t0 = _t.perf_counter()
+        a = deterministic_shuffle(docs).select("doc_id", "shuffle_pos")
+        stat = a.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("shuffle_pos").alias("d"),
+            F.min("shuffle_pos").alias("lo"),
+            F.max("shuffle_pos").alias("hi"),
+        ).collect()[0]
+        dt = _t.perf_counter() - t0
+        assert (stat.n, stat.d, stat.lo, stat.hi) == (n, n, 0, n - 1), stat
+        # re-run on a DIFFERENT partitioning; sample-compare positions
+        b = deterministic_shuffle(docs.repartition(7)).select(
+            "doc_id", F.col("shuffle_pos").alias("pos_b")
+        )
+        mismatch = (
+            a.where(F.col("doc_id") % 97 == 0)
+            .join(b, "doc_id")
+            .where(F.col("shuffle_pos") != F.col("pos_b"))
+            .count()
+        )
+        assert mismatch == 0, mismatch
+        print(
+            f"n={n} permutation-ok partitioning-invariant "
+            f"time={dt:.1f}s rate={n / dt:.0f} rows/s",
+            flush=True,
+        )
+        docs.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -61,6 +159,12 @@ def main() -> int:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if op == "components":
+        probe_components(spark, sizes if args else [100_000, 400_000])
+        return 0
+    if op == "shuffle":
+        probe_shuffle(spark, sizes if args else [100_000, 1_000_000])
+        return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
         docs.count()
