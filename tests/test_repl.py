@@ -78,6 +78,36 @@ def test_rewrite_qualify_basic_shapes():
     ) is None
 
 
+def test_rewrite_qualify_skips_comments_and_quoted_identifiers():
+    from datafusion_gpu_spark.dialect import rewrite_qualify
+
+    # the word QUALIFY inside -- and /* */ comments is prose, not syntax
+    assert rewrite_qualify("-- QUALIFY note\nSELECT a FROM t") is None
+    assert rewrite_qualify("SELECT a FROM t /* QUALIFY here */") is None
+    assert rewrite_qualify('SELECT `QUALIFY` FROM t') is None
+    # a real QUALIFY after a comment still rewrites, and a comment after
+    # it doesn't confuse the trailing-clause scan
+    out = rewrite_qualify(
+        "-- top-k per group\nSELECT a FROM t QUALIFY rn = 1 -- keep first\n"
+    )
+    assert out is not None and "__qualify__" in out
+
+
+def test_rewrite_qualify_rejects_set_operations():
+    import pytest
+
+    from datafusion_gpu_spark.dialect import UnsupportedSqlError, rewrite_qualify
+
+    with pytest.raises(UnsupportedSqlError, match="set operation"):
+        rewrite_qualify(
+            "SELECT a FROM t QUALIFY rn = 1 UNION ALL SELECT a FROM u"
+        )
+    # a set operation inside a subquery is fine
+    assert rewrite_qualify(
+        "SELECT * FROM (SELECT a FROM t UNION SELECT a FROM u) s QUALIFY rn = 1"
+    ) is not None
+
+
 def test_repl_executes_qualify_statement(spark, capsys=None):
     import io
 
