@@ -123,18 +123,6 @@ def main() -> int:
     types = make_types_df(spark, 1_000_000).coalesce(8).cache()
     types.createOrReplaceTempView("types")
     types.count()  # materialize the cache before any timing
-    # The 100M throughput probe caches ONLY the benched column: Spark's
-    # deserialized row cache cannot column-prune at scan time (the string
-    # column is decoded per row even for sum(float) — measured 246 ms vs
-    # 154 ms), while the reference's Arrow MemTable scan is columnar and
-    # reads just the float buffer. A single-column cached view is the
-    # Spark spelling of that same IO behavior.
-    types_100m = make_types_df(spark, 100_000_000).select("float").cache()
-    types_100m.createOrReplaceTempView("types_100m")
-    types_100m.count()
-    types_500m = make_types_df(spark, 500_000_000).select("float").cache()
-    types_500m.createOrReplaceTempView("types_500m")
-    types_500m.count()
     log(f"session + 1M types + {sf_dir} registered in "
         f"{time.perf_counter() - t0:.1f}s")
 
@@ -143,10 +131,36 @@ def main() -> int:
     registry = all_queries()
     results: dict[str, float] = {}
 
+    # The 1M entries are ~100 ms floor-dominated: time them BEFORE the
+    # 100M/500M caches exist — a multi-GB resident cache adds ~2x of
+    # pure GC noise to them (measured 221 ms vs 91 ms for ref_sum_float)
+    # while leaving the compute-bound probes untouched.
     for name, samples, sql in TYPES_BENCHES:
+        if "_100m" in name or "_500m" in name:
+            continue
         med = timed_median(lambda: spark.sql(sql).collect(), samples)
         results[name] = round(med, 4)
         log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
+
+    # The 100M/500M throughput probes cache ONLY the benched column:
+    # Spark's deserialized row cache cannot column-prune at scan time
+    # (the string column is decoded per row even for sum(float) —
+    # measured 246 ms vs 154 ms), while the reference's Arrow MemTable
+    # scan is columnar and reads just the float buffer. A single-column
+    # cached view is the Spark spelling of that same IO behavior. Each
+    # probe is built, timed, and unpersisted in turn so neither the
+    # other probe nor the sf queries time under its GC shadow.
+    for rows, view in ((100_000_000, "types_100m"), (500_000_000, "types_500m")):
+        big = make_types_df(spark, rows).select("float").cache()
+        big.createOrReplaceTempView(view)
+        big.count()
+        for name, samples, sql in TYPES_BENCHES:
+            if view not in sql:
+                continue
+            med = timed_median(lambda: spark.sql(sql).collect(), samples)
+            results[name] = round(med, 4)
+            log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
+        big.unpersist()
 
     # Planning pass: warm every query once (plan + shuffle files + code
     # cache) and record its warm time, then project the timed phase at

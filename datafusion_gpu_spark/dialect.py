@@ -29,11 +29,45 @@ _GAPS: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+def _strip_comments(sql: str) -> str:
+    """Replace ``-- ...\\n`` and ``/* ... */`` comment spans with a
+    space, skipping string literals and quoted identifiers (a '--'
+    inside a string is data, not a comment). Run BEFORE any rewrite:
+    splicing a commented segment into a generated single-line statement
+    would let the '--' comment out the closing parenthesis."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if sql.startswith("--", i):
+            j = sql.find("\n", i)
+            i = n if j == -1 else j  # keep the newline itself
+            out.append(" ")
+            continue
+        if sql.startswith("/*", i):
+            j = sql.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            out.append(" ")
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def check_dialect(sql: str) -> None:
     """Raise UnsupportedSqlError with a documented message when the
-    statement uses a known engine gap; no-op otherwise."""
+    statement uses a known engine gap; no-op otherwise. Comments are
+    stripped first so prose mentioning a gap doesn't trigger it."""
+    stripped = _strip_comments(sql)
     for pattern, message in _GAPS:
-        if pattern.search(sql):
+        if pattern.search(stripped):
             raise UnsupportedSqlError(message)
 
 
@@ -97,6 +131,8 @@ def rewrite_qualify(sql: str) -> str | None:
     """Rewrite a top-level QUALIFY clause into the windowed-subquery
     spelling Spark executes; return None when the statement has no
     top-level QUALIFY. The caller drops the ``__qualify__`` column."""
+    sql = _strip_comments(sql)  # a comment spliced into the generated
+    # single-line statement would comment out the closing parenthesis
     matches = _top_level_spans(sql, _QUALIFY_KEYWORD)
     if not matches:
         return None

@@ -85,12 +85,17 @@ def test_rewrite_qualify_skips_comments_and_quoted_identifiers():
     assert rewrite_qualify("-- QUALIFY note\nSELECT a FROM t") is None
     assert rewrite_qualify("SELECT a FROM t /* QUALIFY here */") is None
     assert rewrite_qualify('SELECT `QUALIFY` FROM t') is None
-    # a real QUALIFY after a comment still rewrites, and a comment after
-    # it doesn't confuse the trailing-clause scan
+    # a real QUALIFY after a comment still rewrites, and comments are
+    # STRIPPED from the generated statement — a '--' spliced into the
+    # single-line rewrite would comment out the closing parenthesis
     out = rewrite_qualify(
         "-- top-k per group\nSELECT a FROM t QUALIFY rn = 1 -- keep first\n"
     )
     assert out is not None and "__qualify__" in out
+    assert "keep first" not in out and "top-k" not in out
+    # ...but a '--' inside a string literal is data, not a comment
+    out = rewrite_qualify("SELECT a FROM t WHERE s != '--x' QUALIFY rn = 1")
+    assert out is not None and "'--x'" in out
 
 
 def test_rewrite_qualify_rejects_set_operations():
