@@ -334,3 +334,50 @@ def test_throughput_probe_plan_is_single_column_cache(spark):
     finally:
         probe.unpersist()
         spark.catalog.dropTempView("types_probe")
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    # the 100 TB skew story's runtime half: AQE detects an oversized
+    # shuffle partition (one hot key) and splits it into parallel
+    # sub-joins — demonstrated at test scale by lowering the size
+    # thresholds the way a cluster's defaults relate to real partitions.
+    # Manual salting (events_salted_sum) covers aggregations; this
+    # covers joins with no code change at all.
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # one hot key (~75% of rows) + 100 cold keys
+        fact = spark.range(400_000).select(
+            F.when(F.col("id") % 4 != 0, F.lit(0))
+            .otherwise(F.col("id") % 101)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(101).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        joined = fact.join(dim, "k")
+        # AQE finalizes at runtime, and only on THIS DataFrame's own
+        # queryExecution — count() would execute a derived plan instead
+        assert len(joined.collect()) == 400_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

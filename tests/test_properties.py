@@ -127,3 +127,45 @@ def test_duplicated_spans_recovers_any_planted_span(
     assert (r.doc_a, r.doc_b) == (0, 1)
     assert r.span_words == span_len
     assert r.start_a == off_a and r.start_b == off_b
+
+
+_SQLISH = st.text(
+    alphabet=list("abc ()'\"`-*/\n;=<>1"), min_size=0, max_size=80
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql=_SQLISH)
+def test_strip_comments_is_idempotent(sql):
+    # pure-python, no Spark: stripping is a fixpoint for ANY input —
+    # what the first pass leaves contains no comment outside strings
+    from datafusion_gpu_spark.dialect import _strip_comments
+
+    once = _strip_comments(sql)
+    assert _strip_comments(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(body=st.text(alphabet=list("abc -*/"), min_size=0, max_size=30))
+def test_strip_comments_preserves_string_literals(body):
+    # a quoted literal survives verbatim even when it spells '--' or '/*'
+    from datafusion_gpu_spark.dialect import _strip_comments
+
+    lit = "'" + body.replace("'", "") + "'"
+    sql = f"SELECT {lit} FROM t -- tail\n"
+    out = _strip_comments(sql)
+    assert lit in out and "tail" not in out
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql=_SQLISH)
+def test_rewrite_qualify_never_crashes(sql):
+    # arbitrary near-SQL text: the rewriter returns None, a string, or
+    # the documented UnsupportedSqlError — never any other exception
+    from datafusion_gpu_spark.dialect import UnsupportedSqlError, rewrite_qualify
+
+    try:
+        out = rewrite_qualify(sql)
+    except UnsupportedSqlError:
+        return
+    assert out is None or isinstance(out, str)
