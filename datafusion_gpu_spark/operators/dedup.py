@@ -607,20 +607,28 @@ def connected_components(
     round count is the graph diameter — near-dup graphs are
     quasi-cliques from a bucket join, so 2-4 rounds in practice, which
     is why the simple propagation beats the fancier large-star/
-    small-star alternation until diameters get long. ``localCheckpoint``
-    truncates the growing lineage each round (on a real cluster, set a
-    checkpoint dir and use ``checkpoint`` for fault tolerance instead).
+    small-star alternation until diameters get long. Lineage is
+    truncated each round: with a checkpoint dir configured
+    (``spark.sparkContext.setCheckpointDir`` — the cluster spelling,
+    fault-tolerant across executor loss) rounds use ``checkpoint``;
+    otherwise ``localCheckpoint`` (executor-local, right for local
+    mode, lost if an executor dies).
 
     Keeper convention downstream: keep ``node == component`` (the min
     doc_id of each cluster), drop the rest.
     """
+    sc = pairs.sparkSession.sparkContext
+    ckpt = (
+        (lambda df: df.checkpoint(eager=True))
+        if sc.getCheckpointDir()
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
     fwd = pairs.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     )
-    edges = (
+    edges = ckpt(
         fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
@@ -641,11 +649,10 @@ def connected_components(
             ),
             "dst",
         ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
-        labels = (
+        labels = ckpt(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:

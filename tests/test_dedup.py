@@ -234,3 +234,31 @@ def test_segment_lines_width_partitions_all_words(spark):
     assert len(segs) == 3  # 10 + 10 + 3
     assert segs[0][1].split() == [f"w{i}" for i in range(10)]
     assert segs[2][1].split() == ["w20", "w21", "w22"]  # ragged tail kept
+
+
+def test_connected_components_uses_cluster_checkpoint_dir(spark, tmp_path):
+    # with a checkpoint dir configured (the cluster spelling), rounds
+    # checkpoint reliably to it instead of executor-local storage —
+    # same labels, and the dir actually receives checkpoint data
+    import os
+
+    from datafusion_gpu_spark.operators.dedup import connected_components
+
+    ckdir = str(tmp_path / "ck")
+    spark.sparkContext.setCheckpointDir(ckdir)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+    walked = [
+        os.path.join(d, f) for d, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert walked, "checkpoint dir received no data"
