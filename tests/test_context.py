@@ -65,3 +65,19 @@ def test_readme_parity_queries_run_verbatim(spark):
     ):
         got = spark.sql(q).collect()[0][0]
         assert abs(base - got) / abs(base) < 1e-4
+
+
+def test_gate_orders_never_driver_checked_queries_first():
+    # the driver checks the FIRST 50 registry entries each round; every
+    # query without a green CORRECTNESS row must precede every query
+    # that already has one, or gate coverage silently stalls
+    from datafusion_gpu_spark.queries import _DRIVER_CHECKED, all_oracles, all_queries
+
+    names = list(all_queries())
+    fresh = [n for n in names if n not in _DRIVER_CHECKED]
+    assert names[: len(fresh)] == fresh
+    # every query has an oracle unless deliberately rows-only (driver
+    # looks oracles up by key, so only membership matters, not order)
+    from datafusion_gpu_spark.queries import _ROWS_ONLY
+
+    assert set(names) - set(all_oracles()) == set(_ROWS_ONLY)
