@@ -71,6 +71,79 @@ def check_dialect(sql: str) -> None:
             raise UnsupportedSqlError(message)
 
 
+# -- reference-named custom sum rewrite --------------------------------------
+#
+# ``sum_cudarc`` / ``sum_cubecl`` (the reference's registered UDAF names,
+# /root/reference/src/lib.rs:53-55) are SQL-registered as grouped-agg pandas
+# UDFs for API parity — but a SQL-registered Python aggregate is necessarily
+# single-shot (Spark exposes no partial/merge hook), shipping whole groups to
+# one Python worker. Their RESULT semantics, however — coerce input to f32,
+# accumulate in f64, emit f32, skip nulls, empty -> NULL — are exactly
+# ``CAST(SUM(CAST(x AS FLOAT)) AS FLOAT)``: Spark's built-in SUM over FLOAT
+# accumulates in DOUBLE, so the rewrite is bit-identical modulo summation
+# order (which the final f32 cast absorbs; the gate hash-compares it daily).
+# The SQL front door therefore rewrites reference-named calls into the
+# two-phase JVM spelling: map-side combine, whole-stage codegen, no Python
+# boundary — the 100 TB plan, under the reference's own names.
+#
+# ``sum_arrow`` / ``sum_arrow_cpu`` / ``sum_arrow_unfused`` are NOT rewritten:
+# they exist precisely to name the Python-kernel path (GPU probe, CPU kernel,
+# single-shot demo).
+
+_REF_SUM_CALL = re.compile(r"\b(sum_cudarc|sum_cubecl)\s*\(", re.I)
+
+
+def rewrite_reference_sums(sql: str) -> str | None:
+    """Rewrite ``sum_cudarc(expr)`` / ``sum_cubecl(expr)`` calls (at any
+    nesting depth, outside strings and comments) into
+    ``CAST(SUM(CAST((expr) AS FLOAT)) AS FLOAT)`` — identical result
+    semantics, JVM two-phase execution. Returns None when the statement
+    contains no such call. Calls with DISTINCT or multiple arguments are
+    left untouched (they fall through to the registered UDAF, which
+    rejects them — same behavior as before)."""
+    sql = _strip_comments(sql)
+    out: list[str] = []
+    i, n = 0, len(sql)
+    changed = False
+    while i < n:
+        ch = sql[i]
+        if ch in "'\"`":
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _REF_SUM_CALL.match(sql, i)
+        if m:
+            # find the balanced closing paren, skipping string literals
+            depth = 1
+            j = m.end()
+            while j < n and depth:
+                cj = sql[j]
+                if cj in "'\"`":
+                    j += 1
+                    while j < n and sql[j] != cj:
+                        j += 1
+                elif cj == "(":
+                    depth += 1
+                elif cj == ")":
+                    depth -= 1
+                j += 1
+            arg = sql[m.end() : j - 1]
+            stripped = arg.strip()
+            if depth == 0 and stripped and not re.match(
+                r"DISTINCT\b", stripped, re.I
+            ) and not _top_level_spans(arg, re.compile(",")):
+                out.append(f"CAST(SUM(CAST(({stripped}) AS FLOAT)) AS FLOAT)")
+                changed = True
+                i = j
+                continue
+        out.append(ch)
+        i += 1
+    return "".join(out) if changed else None
+
+
 # -- QUALIFY rewrite ---------------------------------------------------------
 #
 # DuckDB/Snowflake-style QUALIFY (filter on window results without a

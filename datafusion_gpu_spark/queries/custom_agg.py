@@ -97,8 +97,32 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# the reference's README spelling (README.md:71-75), as typed at the SQL
+# front door: run_sql rewrites the reference-named call into the JVM
+# two-phase CAST(SUM(CAST .. AS FLOAT)) spelling (dialect.py
+# rewrite_reference_sums) — identical f32 result semantics, no Python
+# boundary, map-side combine. Plan-asserted in tests/test_plans.py.
+_SQL_REF_NAMED = """
+SELECT l_returnflag AS flag, sum_cudarc(l_quantity) AS sum_qty_f32
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def _sql_rewritten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the REPL executes for a reference-named sum: the scalable
+    rewrite, not the single-shot UDAF."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums
+
+    rewritten = rewrite_reference_sums(_SQL_REF_NAMED)
+    assert rewritten is not None  # the statement names sum_cudarc
+    return spark.sql(rewritten)
+
+
 QUERIES = {
     "custom_sum_f32_grouped": _grouped,
+    "custom_sum_f32_sql_rewritten": _sql_rewritten,
     "custom_sum_f32_unfused": sql_query(_UNFUSED),
     "custom_sum_f32_global": sql_query(_GLOBAL),
     "custom_sum_f32_scalable": _scalable,
@@ -107,6 +131,7 @@ QUERIES = {
 
 ORACLES = {
     "custom_sum_f32_grouped": _GROUPED_DUCK,
+    "custom_sum_f32_sql_rewritten": _GROUPED_DUCK,
     "custom_sum_f32_unfused": _GROUPED_DUCK,
     "custom_sum_f32_global": _GLOBAL_DUCK,
     "custom_sum_f32_scalable": _SCALABLE_DUCK,

@@ -56,9 +56,18 @@ def run_sql(spark: SparkSession, sql: str, out=sys.stdout) -> bool:
     either way the caller keeps the session (main.rs:54-60).
     """
     try:
-        from datafusion_gpu_spark.dialect import check_dialect, rewrite_qualify
+        from datafusion_gpu_spark.dialect import (
+            check_dialect,
+            rewrite_qualify,
+            rewrite_reference_sums,
+        )
 
         check_dialect(sql)
+        # reference-named custom sums plan as JVM two-phase aggregation
+        # (identical f32 semantics, no single-shot Python group shipping)
+        scalable = rewrite_reference_sums(sql)
+        if scalable is not None:
+            sql = scalable
         rewritten = rewrite_qualify(sql)
         df = spark.sql(rewritten if rewritten is not None else sql)
         if rewritten is not None:

@@ -381,3 +381,13 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_sql_rewritten_reference_sum_is_codegen_only(spark):
+    # custom_sum_f32_sql_rewritten: the REPL's spelling of sum_cudarc must
+    # be two-phase JVM aggregation — partial + final HashAggregate, zero
+    # Python boundary (the registered UDAF would show AggregateInPandas)
+    plan = plan_of(spark, "custom_sum_f32_sql_rewritten")
+    assert plan.count("HashAggregate") >= 2
+    assert "InPandas" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

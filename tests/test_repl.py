@@ -133,3 +133,54 @@ def test_repl_executes_qualify_statement(spark, capsys=None):
     text = buf.getvalue()
     assert "20.0" in text and "30.0" in text
     assert "10.0" not in text and "__qualify__" not in text
+
+
+def test_rewrite_reference_sums_shapes():
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums as r
+
+    assert r("SELECT sum(x) FROM t") is None
+    out = r("SELECT sum_cudarc(float) FROM types")
+    assert out == "SELECT CAST(SUM(CAST((float) AS FLOAT)) AS FLOAT) FROM types"
+    # nested expression argument, alias preserved
+    out = r("SELECT g, sum_cubecl(v + (1)) AS s FROM t GROUP BY g")
+    assert "CAST(SUM(CAST((v + (1)) AS FLOAT)) AS FLOAT) AS s" in out
+    # subquery depth + comment stripped
+    out = r("SELECT (SELECT sum_cudarc(b) FROM u) FROM t -- sum_cubecl(z)")
+    assert out.count("CAST(SUM") == 1
+    # NOT rewritten: explicit kernel-demo names, strings, DISTINCT, 2 args
+    assert r("SELECT sum_arrow_cpu(x) FROM t") is None
+    assert r("SELECT sum_arrow_unfused(x) FROM t") is None
+    assert r("SELECT 'sum_cudarc(x)' FROM t") is None
+    assert r("SELECT sum_cudarc(DISTINCT x) FROM t") is None
+    assert r("SELECT sum_cudarc(x, y) FROM t") is None
+
+
+def test_repl_reference_sum_plans_as_jvm_two_phase(spark):
+    # the REPL front door must execute a reference-named sum as built-in
+    # two-phase aggregation: same f32 result, no Python worker in the plan
+    import io
+
+    from datafusion_gpu_spark.aggregates import register_aggregates
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums
+    from datafusion_gpu_spark.repl import run_sql
+
+    register_aggregates(spark)
+    spark.createDataFrame(
+        [(1, 1.5), (1, 2.5), (2, None), (2, 4.0)], "g int, v float"
+    ).createOrReplaceTempView("rs")
+    sql = "SELECT g, sum_cudarc(v) AS s FROM rs GROUP BY g ORDER BY g"
+    buf = io.StringIO()
+    assert run_sql(spark, sql, out=buf), buf.getvalue()
+    assert "4.0" in buf.getvalue()
+    plan = spark.sql(
+        rewrite_reference_sums(sql)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    assert "InPandas" not in plan and "ArrowEval" not in plan
+    # the UDAF spelling (direct spark.sql, no REPL rewrite) still works
+    # and agrees with the rewritten result
+    udaf = {r.g: r.s for r in spark.sql(
+        "SELECT g, sum_arrow_cpu(v) AS s FROM rs GROUP BY g").collect()}
+    jvm = {r.g: r.s for r in spark.sql(
+        rewrite_reference_sums(sql)).collect()}
+    assert udaf == jvm
