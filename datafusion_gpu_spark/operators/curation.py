@@ -451,3 +451,39 @@ def temperature_mix(
         .where(bucket < threshold)
         .select(key, source_col, F.round("keep_rate", 6).alias("keep_rate"))
     )
+
+
+def quantile_threshold_filter(
+    docs: DataFrame,
+    score_col: str,
+    group_col: str,
+    q: float = 0.25,
+    exact: bool = False,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Keep rows at or above their GROUP's q-quantile of ``score_col`` —
+    per-domain quality filtering (a fixed global threshold over-prunes
+    clean domains and under-prunes noisy ones; the per-domain quantile
+    is the standard fix).
+
+    Scale path (default): ``approx_percentile`` — a mergeable sketch, so
+    the per-group threshold is one map-side-combined aggregation pass
+    regardless of group size. ``exact=True`` switches to the exact
+    interpolated percentile (Spark collects the group's values on one
+    reducer — right for oracle parity and modest group counts, wrong for
+    a billion-row group). Thresholds are a tiny per-group table,
+    broadcast back; the filter itself is pure codegen.
+    """
+    score = F.col(score_col).cast("double")
+    thr = (
+        F.percentile(score, F.lit(q))
+        if exact
+        else F.percentile_approx(score, F.lit(q), F.lit(accuracy))
+    )
+    thresholds = docs.groupBy(group_col).agg(thr.alias("__threshold__"))
+    return (
+        docs.join(F.broadcast(thresholds), group_col)
+        .where(score >= F.col("__threshold__"))
+        .withColumn("threshold", F.round(F.col("__threshold__"), 6))
+        .drop("__threshold__")
+    )

@@ -140,6 +140,33 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(history: DataFrame, batch: DataFrame) -> DataFrame:
+    """Dedup an INCOMING batch against an already-ingested corpus — the
+    shape a 100 TB pipeline actually runs daily (nobody re-dedupes the
+    whole corpus per ingest).
+
+    Returns (content_key, doc_id) — one surviving row per novel content
+    key in the batch, keeper = min doc_id within the batch; content that
+    already exists in history is dropped by a left-anti join on the
+    32-hex-char key.
+
+    Scale shape: history is projected to its HASH column only before the
+    join (in production you persist exactly this projection as the dedup
+    index — parquet bucketed by content_key — so the anti-join co-locates
+    without shuffling the index); the batch side dedupes itself first so
+    the anti-join probes one row per distinct key, and the only payload
+    ever shuffled is 32-char keys + one long.
+    """
+    key = F.md5(normalize_text(F.col("text"))).alias("content_key")
+    hist_keys = history.select(key)
+    batch_first = (
+        batch.select(key, "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return batch_first.join(hist_keys, "content_key", "left_anti")
+
+
 # -- line-level dedup (CCNet) ------------------------------------------------
 
 

@@ -331,3 +331,53 @@ def winsorize(
         F.round(clipped, 6).alias("clipped"),
         (F.round(clipped, 6) != F.round(value_col, 6)).alias("was_clipped"),
     )
+
+
+def multi_resolution_rollup(
+    events: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Minute/hour/day aggregates in one pass over the raw events — the
+    hypertable "continuous aggregate" shape: the MINUTE tier is the only
+    scan of the raw table; the hour tier re-aggregates minute PARTIALS
+    (sum of sums, sum of counts) and the day tier re-aggregates hour
+    partials. At 100 TB the raw scan happens once and each coarser tier
+    costs O(previous tier's groups), not O(raw rows) — and in production
+    the minute tier is what you persist, so daily rollups never touch
+    raw data again.
+
+    Returns (resolution, bucket_start, event_type, n_events, sum_value),
+    one row per (tier, bucket, type); sums are rounded only at the final
+    projection so tiers reaggregate unrounded partials.
+    """
+    minute = events.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col)).alias("sum_value"),
+    )
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_value").alias("sum_value"),
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("resolution"),
+            F.col("bucket").alias("bucket_start"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 2).alias("sum_value"),
+        )
+
+    return tag(minute, "minute").unionAll(tag(hour, "hour")).unionAll(
+        tag(day, "day")
+    )

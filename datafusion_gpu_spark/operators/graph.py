@@ -1,0 +1,96 @@
+"""Iterative graph analytics beyond connected components: PageRank.
+
+Training-data pipelines use link-graph centrality as a document-quality
+prior (the CommonCrawl crawl frontier is harmonic-centrality ranked, and
+"quality weighting by inlink authority" is a standard corpus-curation
+signal). Connected components (dedup.connected_components) answers
+"which docs are the same"; PageRank answers "which nodes matter".
+
+Spark-first shape, same contract as the components operator:
+
+- the edge/out-degree table is computed ONCE, cached, and reused by all
+  iterations — per-round cost is one equality join on ``src`` plus one
+  hash aggregation on ``dst``, both O(|E|) shuffles on a derived key;
+- iteration count is FIXED (power iteration to a chosen depth), so
+  lineage depth is bounded; each round still truncates lineage via
+  checkpoint (cluster: ``setCheckpointDir`` -> fault-tolerant
+  ``checkpoint``; local mode: ``localCheckpoint``) so the plan never
+  re-derives prior rounds;
+- no driver-side data: the only collect in the operator is none at all —
+  the node count feeds the teleport term as a broadcast one-row join.
+
+Dangling nodes (no out-edges) are handled the simple documented way:
+their mass is NOT redistributed (rank leaks each round). This is the
+variant an ANSI-SQL oracle can replay exactly; the normalized variant is
+a one-line post-division and does not change the ranking order within
+this leak model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) after ``iterations`` rounds of power iteration over
+    the directed edge list.
+
+    rank_0(v)   = 1 / N
+    rank_i+1(v) = (1 - d) / N + d * SUM over u->v of rank_i(u) / outdeg(u)
+
+    Every round shuffles O(|E|) rows keyed by node id — never the
+    payload — and the weighted-edge table is cached once. At 100 TB
+    (billions of edges) the joins are plain hash shuffles on long keys;
+    skewed high-in-degree nodes aggregate with map-side partial sums, so
+    a celebrity node costs one partial row per upstream partition, not a
+    single-reducer hot key.
+    """
+    sc = edges.sparkSession.sparkContext
+    ckpt = (
+        (lambda df: df.checkpoint(eager=True))
+        if sc.getCheckpointDir()
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = ckpt(nodes)
+    # one-row broadcast with the teleport constants — no driver collect
+    n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    w_edges = ckpt(
+        e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+        )
+    )
+    ranks = nodes.crossJoin(n_row).select(
+        "node", (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(iterations):
+        contribs = (
+            w_edges.join(ranks, w_edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+        )
+        ranks = ckpt(
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(n_row)
+            .select(
+                "node",
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

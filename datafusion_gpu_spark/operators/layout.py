@@ -80,3 +80,44 @@ def row_groups_overlapping(
             if sa.max >= lo_a and sa.min <= hi_a and sb.max >= lo_b and sb.min <= hi_b:
                 overlapping += 1
     return overlapping, total
+
+
+def merge_upsert(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+) -> DataFrame:
+    """MERGE INTO semantics over immutable files (the Delta/Iceberg
+    ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` analogue, computed
+    as a dataframe): every key present in ``changes`` takes the changes
+    row (update-or-insert); every other base row passes through.
+
+    Implementation is one full-outer join on the key, picking the
+    changes side wherever its key is present — a single hash shuffle on
+    the join key for each input, no driver involvement. At 100 TB the same
+    plan co-locates for free when both sides are bucketed by the key
+    (the compaction layout this module's small-files operator produces),
+    and AQE's skew split handles a hot key. Schemas must match; the
+    result has exactly the base schema.
+    """
+    if base.columns != changes.columns:
+        raise ValueError(
+            f"merge_upsert: schema mismatch base={base.columns} "
+            f"changes={changes.columns}"
+        )
+    b = base.alias("b")
+    c = changes.alias("c")
+    # a NULL non-key column in a matched changes row must still win over
+    # the base value, so non-key columns pick sides by key presence
+    # rather than per-column COALESCE
+    picked = [
+        F.when(F.col(f"c.{key}").isNotNull(), F.col(f"c.{col}"))
+        .otherwise(F.col(f"b.{col}"))
+        .alias(col)
+        if col != key
+        else F.coalesce(F.col(f"c.{key}"), F.col(f"b.{key}")).alias(key)
+        for col in base.columns
+    ]
+    return b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer").select(
+        *picked
+    )

@@ -320,7 +320,61 @@ FROM documents GROUP BY lang
 """
 
 
+def _merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO over immutable files (operators/layout.merge_upsert):
+    base = orders missing every 5th key (pretend-existing table),
+    changes = every 3rd key repriced +100.00 with status 'U' (a mixed
+    update+insert batch). The result is the merged table — one
+    full-outer hash join; the DuckDB oracle replays the same MERGE
+    semantics with a FULL OUTER JOIN."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    load(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderpriority",
+    )
+    base = o.where(F.col("o_orderkey") % 5 != 0)
+    # reprice by an exact 2-decimal delta: a multiplicative bump lands on
+    # half-cent boundaries where Spark (decimal-string HALF_UP) and DuckDB
+    # (binary round) disagree by a cent
+    changes = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    merged = merge_upsert(base, changes, key="o_orderkey")
+    return merged.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "o_orderpriority",
+    )
+
+
+_MERGE_UPSERT_DUCK = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 5 <> 0
+),
+changes AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 3 = 0
+)
+SELECT COALESCE(c.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_custkey ELSE b.o_custkey END AS o_custkey,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderstatus ELSE b.o_orderstatus END AS o_orderstatus,
+       ROUND(CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_totalprice ELSE b.o_totalprice END, 2) AS o_totalprice,
+       CASE WHEN c.o_orderkey IS NOT NULL THEN c.o_orderpriority ELSE b.o_orderpriority END AS o_orderpriority
+FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
+"""
+
+
 QUERIES = {
+    "io_merge_upsert": _merge_upsert,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
     "io_compact_small_files": _compact_small_files,
@@ -334,6 +388,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "io_merge_upsert": _MERGE_UPSERT_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "source_python_datasource": _PYTHON_DATASOURCE_DUCK,

@@ -29,6 +29,7 @@ from datafusion_gpu_spark.operators import (
     curation,
     dedup,
     events,
+    graph,
     multimodal,
     retrieval,
     similarity,
@@ -723,8 +724,74 @@ def _events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.asof_join_prior(left, right, on="user_id")
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: today's batch (doc_id % 10 >= 8) is
+    deduped against the already-ingested corpus (doc_id % 10 < 8) by an
+    anti-join on the 32-hex content key — the daily-ingest shape where
+    the history side is the persisted hash index, never re-read text."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    history = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return dedup.incremental_dedup(history, batch)
+
+
+def _curation_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality floor: keep documents at or above their
+    source's 25th percentile of n_chars. exact=True here so the DuckDB
+    quantile_cont oracle replays the identical interpolated threshold;
+    the default approx_percentile spelling is the 100 TB path (mergeable
+    sketch, no per-group value collection)."""
+    load(spark, sf_dir)
+    out = curation.quantile_threshold_filter(
+        spark.table("documents").select("doc_id", "source", "n_chars"),
+        score_col="n_chars",
+        group_col="source",
+        q=0.25,
+        exact=True,
+    )
+    return out.select("doc_id", "source", "n_chars", "threshold")
+
+
+def _events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute tier scans raw
+    events once; hour and day tiers reaggregate the minute/hour PARTIALS
+    (sum-of-sums). Spark reuses the minute shuffle across tiers
+    (ReusedExchange, plan-asserted in tests/test_plans.py)."""
+    load(spark, sf_dir)
+    return events.multi_resolution_rollup(spark.table("events"))
+
+
+def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (5 power iterations, d=0.85) over the bidirectional
+    customer<->supplier trade graph from orders |x| lineitem — the
+    link-authority quality prior of a crawl-curation pipeline, and the
+    engine's second iterative operator family beside label-propagation
+    components. The oracle unrolls the identical 5 iterations as chained
+    CTEs; both sides round to 8 decimals (double accumulation noise is
+    ~1e-18 at these magnitudes)."""
+    load(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    cs = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = cs.unionAll(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    ranks = graph.pagerank(edges, iterations=5, damping=0.85)
+    return ranks.select("node", F.round("rank", 8).alias("pr"))
+
+
 QUERIES = {
     "dedup_exact": _dedup_exact,
+    "dedup_incremental": _dedup_incremental,
+    "curation_quantile_filter": _curation_quantile_filter,
+    "events_multi_rollup": _events_multi_rollup,
+    "graph_pagerank": _graph_pagerank,
     "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_minhash_lsh": _dedup_minhash,
@@ -822,6 +889,116 @@ _COS_AB = _cos_sql("a.embedding", "b.embedding")
 _COS_QC = _cos_sql("q.embedding", "c.embedding")
 
 ORACLES = {
+    "dedup_incremental": """
+WITH hist AS (
+  SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key
+  FROM documents WHERE doc_id % 10 < 8
+),
+batch AS (
+  SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key, MIN(doc_id) AS doc_id
+  FROM documents WHERE doc_id % 10 >= 8 GROUP BY 1
+)
+SELECT b.content_key, b.doc_id FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.content_key = b.content_key)
+""",
+    "curation_quantile_filter": """
+WITH thr AS (
+  SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS t
+  FROM documents GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_chars, ROUND(thr.t, 6) AS threshold
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE CAST(d.n_chars AS DOUBLE) >= thr.t
+""",
+    "events_multi_rollup": """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, event_type,
+         COUNT(*) AS n_events, SUM(value) AS sv
+  FROM events GROUP BY 1, 2
+),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM minute GROUP BY 1, 2
+),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, event_type,
+         CAST(SUM(n_events) AS BIGINT) AS n_events, SUM(sv) AS sv
+  FROM hour GROUP BY 1, 2
+)
+SELECT 'minute' AS resolution, bucket AS bucket_start, event_type,
+       n_events, ROUND(sv, 2) AS sum_value FROM minute
+UNION ALL
+SELECT 'hour', bucket, event_type, n_events, ROUND(sv, 2) FROM hour
+UNION ALL
+SELECT 'day', bucket, event_type, n_events, ROUND(sv, 2) FROM day
+""",
+    "graph_pagerank": """
+WITH edges AS (
+  SELECT src, dst FROM (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  )
+  UNION
+  SELECT dst AS src, src AS dst FROM (
+    SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  )
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM edges GROUP BY src),
+wedges AS (SELECT e.src, e.dst, 1.0 / o.odeg AS w
+           FROM edges e JOIN outdeg o ON o.src = e.src),
+r0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+r1 AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM r0 r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+),
+r2 AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM r1 r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+),
+r3 AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM r2 r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+),
+r4 AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM r3 r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+),
+r5 AS (
+  SELECT n.node,
+         0.15 / nn.n + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM r4 r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+)
+SELECT node, ROUND(pr, 8) AS pr FROM r5
+""",
     "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_key, MIN(doc_id) AS keep_id,
        COUNT(*) AS n_copies

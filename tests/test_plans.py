@@ -391,3 +391,29 @@ def test_sql_rewritten_reference_sum_is_codegen_only(spark):
     assert plan.count("HashAggregate") >= 2
     assert "InPandas" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_multi_rollup_reuses_minute_exchange(spark):
+    # hour/day tiers must reaggregate the minute tier's shuffle output,
+    # not rescan raw events three times: Spark's exchange reuse shows up
+    # as ReusedExchange under the coarser tiers
+    df = QUERIES["events_multi_rollup"](spark, SF_DIR)
+    df.collect()  # exchange reuse is an AQE decision — read the FINAL plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_merge_upsert_single_shuffle_join(spark):
+    # MERGE = one full-outer hash join on the key; never a nested loop
+    plan = plan_of(spark, "io_merge_upsert")
+    assert "FullOuter" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_is_anti_join_on_hash(spark):
+    # the anti-join must probe on the 32-hex key with the batch side
+    # pre-deduped — LeftAnti hash join, no text column in the shuffle
+    plan = plan_of(spark, "dedup_incremental")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
