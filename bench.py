@@ -87,6 +87,11 @@ SF_BENCHES = [
     "pipeline_end_to_end",
     "retrieval_bm25",
     "events_sessionize",
+    "events_multi_rollup",
+    # graph_pagerank is gate-checked and scale-probed (SCALE.md: 2M
+    # edges, 5 rounds, linear) but not benched: ~5 s/run x 10 samples
+    # would evict dedup_components — the iterative representative with
+    # r2/r3 bench history — from the deadline budget.
     # events_gap_fill is gate-checked but not benched: the operator runs
     # ~1.1 s at sf0.1, while bench's collect() of its 1M-row dense grid
     # adds ~6 s of py4j transfer — that measures the driver pipe, not

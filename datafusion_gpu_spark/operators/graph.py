@@ -38,6 +38,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of power iteration over
     the directed edge list.
@@ -45,12 +46,18 @@ def pagerank(
     rank_0(v)   = 1 / N
     rank_i+1(v) = (1 - d) / N + d * SUM over u->v of rank_i(u) / outdeg(u)
 
-    Every round shuffles O(|E|) rows keyed by node id — never the
-    payload — and the weighted-edge table is cached once. At 100 TB
-    (billions of edges) the joins are plain hash shuffles on long keys;
-    skewed high-in-degree nodes aggregate with map-side partial sums, so
-    a celebrity node costs one partial row per upstream partition, not a
-    single-reducer hot key.
+    The weighted-edge table is materialized ONCE; each round is one
+    join (rank onto edges) plus one hash aggregation on ``dst`` with
+    map-side partial sums — a celebrity node costs one partial row per
+    upstream partition, not a single-reducer hot key.
+
+    ``broadcast_ranks`` (default True) broadcasts the |V|-row rank
+    vector into the edge join, so the O(|E|) edge table is NEVER
+    shuffled after setup — the right plan while |V| x ~24 bytes fits
+    executor memory (hundreds of millions of nodes). For graphs beyond
+    that, pass False: both sides hash-shuffle on the node key and the
+    edge side's exchange is reused across rounds by AQE where possible
+    (the classic co-partitioned PageRank).
     """
     sc = edges.sparkSession.sparkContext
     ckpt = (
@@ -76,14 +83,17 @@ def pagerank(
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    maybe_bcast = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         contribs = (
-            w_edges.join(ranks, w_edges["src"] == ranks["node"])
+            w_edges.join(maybe_bcast(ranks), w_edges["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         ranks = ckpt(
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            nodes.join(
+                maybe_bcast(contribs), nodes["node"] == contribs["dst"], "left"
+            )
             .crossJoin(n_row)
             .select(
                 "node",

@@ -949,3 +949,85 @@ def mine_bitext(
         )
         .where(F.col("margin") >= margin_threshold)
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    lambda_: float = 0.5,
+    pool: int = 50,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    per query, greedily pick k results maximizing
+    ``lambda * relevance - (1 - lambda) * max_similarity_to_selected`` —
+    the standard diversity rerank for retrieval-augmented pipelines
+    (vanilla top-k returns k near-copies whenever a dense cluster sits
+    near the query; training-data retrieval wants coverage).
+
+    Two stages, both scale-shaped:
+    1. candidate pool = exact GEMM top-``pool`` per query
+       (cosine_topk_vectorized: one corpus pass, no corpus shuffle),
+       then one hash join back to the corpus for candidate embeddings;
+    2. the greedy selection runs in applyInPandas per query group —
+       each group is <= pool rows, O(pool^2 * dim) NumPy work,
+       embarrassingly parallel across queries, never more than the
+       pool in memory.
+
+    Deterministic: relevance ties and MMR-score ties both break by
+    vec_id ascending. Returns (query_id, rank, vec_id, relevance)
+    with rank 1..k in selection order.
+    """
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    cands = cosine_topk_vectorized(corpus, queries, k=pool)
+    with_emb = cands.join(
+        corpus.select("vec_id", "embedding"), "vec_id"
+    ).select("query_id", "vec_id", "cosine", "embedding")
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("rank", IntegerType()),
+            StructField("vec_id", LongType()),
+            StructField("relevance", DoubleType()),
+        ]
+    )
+    lam = float(lambda_)
+    k_ = int(k)
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        # stable candidate order: relevance DESC, vec_id ASC
+        pdf = pdf.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy().astype("int64")
+        rel = pdf["cosine"].to_numpy().astype("float64")
+        E = _l2_normalize(_rows_matrix(pdf["embedding"]))
+        n = len(ids)
+        chosen: list[int] = []
+        max_sim = np.zeros(n)  # max cosine to any selected item
+        picked = np.zeros(n, dtype=bool)
+        for _ in range(min(k_, n)):
+            score = lam * rel - (0.0 if not chosen else (1.0 - lam)) * max_sim
+            score = np.where(picked, -np.inf, score)
+            # argmax with vec_id ASC tie-break
+            best = np.lexsort((ids, -score))[0]
+            chosen.append(best)
+            picked[best] = True
+            max_sim = np.maximum(max_sim, E @ E[best])
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "rank": np.arange(1, len(chosen) + 1, dtype="int32"),
+                "vec_id": ids[chosen],
+                "relevance": rel[chosen],
+            }
+        )
+
+    return with_emb.groupBy("query_id").applyInPandas(greedy, out_schema)

@@ -328,6 +328,52 @@ def _sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity rerank, graded by its output contract (the greedy
+    argmax chain is not SQL-replayable): on a planted 8-cluster corpus
+    (40 near-identical members each), vanilla top-5 drowns in the
+    query's own cluster while MMR (lambda=0.3, pool=120 — the pool must
+    exceed the 40-member cluster or there is nothing to diversify INTO)
+    must keep the single most-relevant hit AND spread across clusters. Emits per query:
+    exactly-k results, rank-1 == exact top-1, vanilla stuck in <= 2
+    clusters, MMR covering >= 3, and strictly more than vanilla. The
+    oracle is the planted expectation as literal VALUES."""
+    import numpy as np
+
+    dim = 16
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(8, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = []
+    for c in range(8):
+        vecs.append(centers[c] + 0.15 * rng.normal(size=(40, dim)))
+    all_vecs = np.concatenate(vecs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 85, 290]
+    q = df.where(F.col("vec_id").isin(qids))
+    cluster = (F.col("vec_id") / 40).cast("int")
+    vanilla = similarity.cosine_topk_vectorized(df, q, k=5)
+    mmr = similarity.mmr_rerank(df, q, k=5, lambda_=0.3, pool=120)
+    v_stats = vanilla.groupBy("query_id").agg(
+        F.count_distinct(cluster).alias("v_clusters"),
+        F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("v_top1"),
+    )
+    m_stats = mmr.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_results"),
+        F.count_distinct(cluster).alias("m_clusters"),
+        F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("m_top1"),
+    )
+    return v_stats.join(m_stats, "query_id").select(
+        "query_id",
+        "n_results",
+        (F.col("m_top1") == F.col("v_top1")).alias("keeps_top1"),
+        (F.col("v_clusters") <= 2).alias("vanilla_stuck"),
+        (F.col("m_clusters") >= 3).alias("mmr_spreads"),
+        (F.col("m_clusters") > F.col("v_clusters")).alias("diversity_gained"),
+    )
+
+
 def _sim_topk_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means-centroid IVF, graded by its OUTPUT CONTRACT instead of a
     raw-result replay (k-means|| is iterative — no SQL oracle can replay
@@ -773,17 +819,21 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     o = spark.table("orders")
     li = spark.table("lineitem")
-    cs = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
-        )
-        .distinct()
+    # long node ids inside the iteration (customer 2k, supplier 2k+1):
+    # long-keyed joins/aggregations beat string keys by ~2x, and
+    # pagerank() dedups the raw pair stream itself — the labeled string
+    # spelling appears only in the final projection (and the oracle)
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
     edges = cs.unionAll(cs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     ranks = graph.pagerank(edges, iterations=5, damping=0.85)
-    return ranks.select("node", F.round("rank", 8).alias("pr"))
+    node = F.col("node")
+    label = F.when(
+        node % 2 == 0, F.concat(F.lit("c"), F.shiftright(node, 1))
+    ).otherwise(F.concat(F.lit("s"), F.shiftright(node, 1)))
+    return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
 
 
 QUERIES = {
@@ -810,6 +860,7 @@ QUERIES = {
     "sim_topk_lsh": _sim_topk_lsh,
     "sim_topk_ivf": _sim_topk_ivf,
     "sim_topk_ivf_kmeans_recall": _sim_topk_ivf_kmeans_recall,
+    "sim_mmr_rerank": _sim_mmr_rerank,
     "sim_topk_pq": _sim_topk_pq,
     "sim_quantize_int8": _sim_quantize,
     "text_quality": _text_quality,
@@ -889,6 +940,13 @@ _COS_AB = _cos_sql("a.embedding", "b.embedding")
 _COS_QC = _cos_sql("q.embedding", "c.embedding")
 
 ORACLES = {
+    "sim_mmr_rerank": """
+SELECT * FROM (VALUES
+  (0::BIGINT,   5::BIGINT, TRUE, TRUE, TRUE, TRUE),
+  (85::BIGINT,  5::BIGINT, TRUE, TRUE, TRUE, TRUE),
+  (290::BIGINT, 5::BIGINT, TRUE, TRUE, TRUE, TRUE)
+) AS t(query_id, n_results, keeps_top1, vanilla_stuck, mmr_spreads, diversity_gained)
+""",
     "dedup_incremental": """
 WITH hist AS (
   SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key

@@ -365,6 +365,46 @@ _EDIT_DISTANCE_DUCK = _EDIT_DISTANCE.replace(
     "levenshtein(a.n_name, b.n_name)::INT AS dist",
 )
 
+_URL_SPARK = """
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://www.', source, '.example.com/docs/', doc_id,
+                '?lang=', lang, '&v=2#frag') AS url
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       parse_url(url, 'HOST')                                   AS host,
+       parse_url(url, 'PATH')                                   AS path,
+       parse_url(url, 'QUERY')                                  AS query,
+       parse_url(url, 'QUERY', 'lang')                          AS q_lang,
+       parse_url(url, 'PROTOCOL')                               AS proto,
+       parse_url(url, 'REF')                                    AS frag,
+       regexp_replace(parse_url(url, 'HOST'), '^www\\.', '')    AS apex_host
+FROM urls
+"""
+
+# DuckDB has no parse_url — the oracle replays each component with
+# explicit regexes over the same constructed URL (a stricter check than
+# reusing one parser on both sides)
+_URL_DUCK = """
+WITH urls AS (
+  SELECT doc_id,
+         concat('https://www.', source, '.example.com/docs/', doc_id,
+                '?lang=', lang, '&v=2#frag') AS url
+  FROM documents WHERE doc_id < 500
+)
+SELECT doc_id,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)            AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1)     AS path,
+       regexp_extract(url, '\\?([^#]*)', 1)                     AS query,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1)              AS q_lang,
+       regexp_extract(url, '^([a-z]+)://', 1)                   AS proto,
+       regexp_extract(url, '#(.*)$', 1)                         AS frag,
+       regexp_replace(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1),
+                      '^www\\.', '')                             AS apex_host
+FROM urls
+"""
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
     "fn_alias_shims": _fn_alias_shims,
@@ -375,6 +415,7 @@ QUERIES = {
     "fn_date_bin": _date_bin_q,
     "fn_conditional": sql_query(_COND),
     "fn_crypto_pack": sql_query(_CRYPTO_SPARK),
+    "fn_url_pack": sql_query(_URL_SPARK),
     "fn_array_pack": sql_query(_ARRAY_SPARK),
     "fn_json_extract": sql_query(_JSON_SPARK),
     "fn_variant_json": sql_query(_VARIANT_SPARK),
@@ -394,6 +435,7 @@ ORACLES = {
     "fn_date_bin": _DATE_BIN_DUCK,
     "fn_conditional": _COND,
     "fn_crypto_pack": _CRYPTO_DUCK,
+    "fn_url_pack": _URL_DUCK,
     "fn_array_pack": _ARRAY_DUCK,
     "fn_json_extract": _JSON_DUCK,
     "fn_variant_json": _VARIANT_DUCK,

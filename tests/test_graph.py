@@ -146,3 +146,36 @@ def test_quantile_filter_exact_and_approx_agree_on_clean_data(spark):
     for r in approx.collect():
         assert r.score >= 0
     assert approx.count() >= 1
+
+
+def test_pagerank_broadcast_and_shuffle_modes_agree(spark):
+    # broadcast_ranks is a physical-plan knob only — results identical
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    r_b = _ranks(pagerank(edges, iterations=4, broadcast_ranks=True))
+    r_s = _ranks(pagerank(edges, iterations=4, broadcast_ranks=False))
+    assert set(r_b) == set(r_s)
+    for n in r_b:
+        assert r_b[n] == pytest.approx(r_s[n], abs=1e-12)
+
+
+def test_merge_upsert_algebraic_properties(spark):
+    # empty changes is identity; re-applying the same changes is
+    # idempotent — the two invariants a MERGE engine must satisfy
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"s{i}", float(i)) for i in range(20)], "k int, s string, v double"
+    )
+    empty = base.where("k < 0")
+    ident = merge_upsert(base, empty, "k")
+    assert sorted(map(tuple, ident.collect())) == sorted(map(tuple, base.collect()))
+
+    changes = spark.createDataFrame(
+        [(5, "x", 50.0), (25, "y", 250.0)], "k int, s string, v double"
+    )
+    once = merge_upsert(base, changes, "k")
+    twice = merge_upsert(once, changes, "k")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))

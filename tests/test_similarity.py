@@ -357,3 +357,58 @@ def test_topk_order_small_n_and_exact_values():
         got = _topk_order(cos, k)
         want = np.argsort(-cos, kind="stable", axis=1)[:, :k]
         assert (got == want).all(), (n, k)
+
+
+def test_mmr_rerank_diversity_and_determinism(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        mmr_rerank,
+    )
+
+    rng = np.random.default_rng(7)
+    dim = 8
+    a = rng.normal(size=dim); a /= np.linalg.norm(a)
+    b = rng.normal(size=dim); b /= np.linalg.norm(b)
+    rows = []
+    for i in range(10):   # cluster A: ids 0..9
+        rows.append((i, [float(x) for x in a + 0.05 * rng.normal(size=dim)]))
+    for i in range(10, 20):  # cluster B: ids 10..19
+        rows.append((i, [float(x) for x in b + 0.05 * rng.normal(size=dim)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id = 0")
+
+    vanilla = cosine_topk_vectorized(df, q, k=4).collect()
+    assert all(r.vec_id < 10 for r in vanilla)  # drowns in cluster A
+
+    out = mmr_rerank(df, q, k=4, lambda_=0.2, pool=19).collect()
+    assert len(out) == 4
+    picked = [r.vec_id for r in sorted(out, key=lambda r: r.rank)]
+    # rank 1 is the exact top-1 (pure relevance), later ranks cross over
+    assert picked[0] == vanilla[0].vec_id
+    assert any(v >= 10 for v in picked), picked  # diversity: cluster B appears
+    # deterministic: identical on re-run
+    out2 = mmr_rerank(df, q, k=4, lambda_=0.2, pool=19).collect()
+    assert sorted((r.query_id, r.rank, r.vec_id) for r in out) == sorted(
+        (r.query_id, r.rank, r.vec_id) for r in out2
+    )
+
+
+def test_mmr_rerank_lambda_one_is_vanilla_topk(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        cosine_topk_vectorized,
+        mmr_rerank,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.normal(size=8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where("vec_id IN (3, 17)")
+    mmr = {(r.query_id, r.rank): r.vec_id
+           for r in mmr_rerank(df, q, k=5, lambda_=1.0, pool=20).collect()}
+    van = {(r.query_id, r.rank): r.vec_id
+           for r in cosine_topk_vectorized(df, q, k=5).collect()}
+    assert mmr == van  # lambda=1 disables the diversity term exactly

@@ -146,10 +146,47 @@ def probe_shuffle(spark, sizes: list[int]) -> None:
         docs.unpersist()
 
 
+def probe_pagerank(spark, sizes: list[int]) -> None:
+    """pagerank at growing |E| with FIXED iterations: wall time must
+    scale ~linearly in |E| (per-round cost is one edge join + one hash
+    agg), and on a dangling-free graph total mass stays 1 at every
+    size (sum check doubles as a correctness invariant the synthetic
+    graph makes exact)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import pagerank
+
+    for n in sizes:
+        # ring + fixed chord: out-degree exactly 2, no dangling nodes
+        base = spark.range(n)
+        edges = (
+            base.select(F.col("id").alias("src"), ((F.col("id") + 1) % n).alias("dst"))
+            .unionAll(
+                base.select(
+                    F.col("id").alias("src"), ((F.col("id") * 7 + 3) % n).alias("dst")
+                )
+            )
+            .repartition(32)
+        )
+        t0 = _t.perf_counter()
+        ranks = pagerank(edges, iterations=5)
+        mass = ranks.agg(F.sum("rank")).collect()[0][0]
+        dt = _t.perf_counter() - t0
+        n_edges = 2 * n
+        print(
+            f"n={n} edges={n_edges} mass={mass:.6f} "
+            f"time={dt:.1f}s rate={n_edges / dt:.0f} edges/s",
+            flush=True,
+        )
+        assert abs(mass - 1.0) < 1e-6, mass
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -164,6 +201,9 @@ def main() -> int:
         return 0
     if op == "shuffle":
         probe_shuffle(spark, sizes if args else [100_000, 1_000_000])
+        return 0
+    if op == "pagerank":
+        probe_pagerank(spark, sizes if args else [250_000, 1_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
