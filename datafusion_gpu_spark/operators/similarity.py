@@ -987,8 +987,10 @@ def mmr_rerank(
     )
 
     cands = cosine_topk_vectorized(corpus, queries, k=pool)
-    with_emb = cands.join(
-        corpus.select("vec_id", "embedding"), "vec_id"
+    # broadcast the candidate list (n_queries x pool rows) into the
+    # embedding lookup so the corpus is never shuffled for the join
+    with_emb = corpus.select("vec_id", "embedding").join(
+        F.broadcast(cands), "vec_id"
     ).select("query_id", "vec_id", "cosine", "embedding")
     out_schema = StructType(
         [

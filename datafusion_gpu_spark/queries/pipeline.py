@@ -364,7 +364,7 @@ def _sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(cluster).alias("m_clusters"),
         F.max(F.when(F.col("rank") == 1, F.col("vec_id"))).alias("m_top1"),
     )
-    return v_stats.join(m_stats, "query_id").select(
+    return v_stats.join(F.broadcast(m_stats), "query_id").select(
         "query_id",
         "n_results",
         (F.col("m_top1") == F.col("v_top1")).alias("keeps_top1"),
