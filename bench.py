@@ -184,10 +184,12 @@ def main() -> int:
         runners[name]()
         warm_s[name] = time.perf_counter() - w0
     # Steady-state medians run ~0.7x the cold warm-up time; the planner
-    # re-checks before every query with that estimate, replaced by the
-    # true median as queries complete, so an early overestimate doesn't
-    # over-drop.
+    # re-checks the remaining budget from REAL elapsed time before every
+    # query, and calibrates the 0.7x prior with the measured
+    # median/estimate ratio of completed queries — so a systematically
+    # high warm-up doesn't over-drop the tail.
     est = {n: 0.7 * w for n, w in warm_s.items()}
+    ratios: list[float] = []
     kept = list(runners)
     while kept:
         budget = SOFT_DEADLINE_S - (time.perf_counter() - t0)
@@ -202,6 +204,10 @@ def main() -> int:
         med = timed_median(runners[name], SAMPLES, warmed=True)
         results[name] = round(med, 4)
         log(f"{name}: median {med:.2f} s over {SAMPLES} samples")
+        if est[name] > 0:
+            ratios.append(med / est[name])
+            cal = statistics.median(ratios)
+            est = {n: 0.7 * warm_s[n] * cal for n in est}
 
     total = round(sum(results.values()), 4)
     print(json.dumps({

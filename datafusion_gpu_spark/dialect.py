@@ -29,6 +29,28 @@ _GAPS: list[tuple[re.Pattern[str], str]] = [
 ]
 
 
+def _skip_string(sql: str, i: int) -> int:
+    """Index just past the string literal / quoted identifier opening at
+    ``sql[i]`` (one of ``'`` ``"`` `` ` ``). THE one string scanner every
+    dialect pass shares — so escape handling cannot drift between them.
+    Backslash escapes are honored inside '- and "-quoted literals
+    (Spark's default ``escapedStringLiterals=false``: ``'it\\'s'`` is one
+    literal); backticks escape by doubling, which scans as
+    close-then-reopen — equivalent for every caller here."""
+    quote = sql[i]
+    j = i + 1
+    n = len(sql)
+    while j < n:
+        c = sql[j]
+        if c == "\\" and quote in "'\"" and j + 1 < n:
+            j += 2
+            continue
+        if c == quote:
+            return j + 1
+        j += 1
+    return n
+
+
 def _strip_comments(sql: str) -> str:
     """Replace ``-- ...\\n`` and ``/* ... */`` comment spans with a
     space, skipping string literals and quoted identifiers (a '--'
@@ -40,11 +62,9 @@ def _strip_comments(sql: str) -> str:
     while i < n:
         ch = sql[i]
         if ch in "'\"`":
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         if sql.startswith("--", i):
             j = sql.find("\n", i)
@@ -108,11 +128,9 @@ def rewrite_reference_sums(sql: str) -> str | None:
     while i < n:
         ch = sql[i]
         if ch in "'\"`":
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
             continue
         m = _REF_SUM_CALL.match(sql, i)
         if m:
@@ -122,17 +140,20 @@ def rewrite_reference_sums(sql: str) -> str | None:
             while j < n and depth:
                 cj = sql[j]
                 if cj in "'\"`":
-                    j += 1
-                    while j < n and sql[j] != cj:
-                        j += 1
-                elif cj == "(":
+                    j = _skip_string(sql, j)
+                    continue
+                if cj == "(":
                     depth += 1
                 elif cj == ")":
                     depth -= 1
                 j += 1
             arg = sql[m.end() : j - 1]
             stripped = arg.strip()
-            if depth == 0 and stripped and not re.match(
+            # a grouped-agg pandas UDAF is legal as a window function and
+            # with FILTER — the CAST(SUM(...)) spelling is not; leave
+            # windowed/filtered calls on the registered UDAF path
+            windowed = re.match(r"\s*(OVER|FILTER)\b", sql[j:], re.I)
+            if depth == 0 and stripped and not windowed and not re.match(
                 r"DISTINCT\b", stripped, re.I
             ) and not _top_level_spans(arg, re.compile(",")):
                 out.append(f"CAST(SUM(CAST(({stripped}) AS FLOAT)) AS FLOAT)")
@@ -173,10 +194,7 @@ def _top_level_spans(sql: str, pattern: re.Pattern[str]) -> list[re.Match[str]]:
     while i < n:
         ch = sql[i]
         if ch in "'\"`":
-            i += 1
-            while i < n and sql[i] != ch:
-                i += 1
-            i += 1
+            i = _skip_string(sql, i)
             continue
         if ch == "-" and sql.startswith("--", i):
             j = sql.find("\n", i)

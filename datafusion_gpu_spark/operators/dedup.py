@@ -644,12 +644,9 @@ def connected_components(
     Keeper convention downstream: keep ``node == component`` (the min
     doc_id of each cluster), drop the rest.
     """
-    sc = pairs.sparkSession.sparkContext
-    ckpt = (
-        (lambda df: df.checkpoint(eager=True))
-        if sc.getCheckpointDir()
-        else (lambda df: df.localCheckpoint(eager=True))
-    )
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(pairs.sparkSession.sparkContext)
     fwd = pairs.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     )

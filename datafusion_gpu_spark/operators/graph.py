@@ -59,12 +59,9 @@ def pagerank(
     edge side's exchange is reused across rounds by AQE where possible
     (the classic co-partitioned PageRank).
     """
-    sc = edges.sparkSession.sparkContext
-    ckpt = (
-        (lambda df: df.checkpoint(eager=True))
-        if sc.getCheckpointDir()
-        else (lambda df: df.localCheckpoint(eager=True))
-    )
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -86,36 +86,65 @@ def merge_upsert(
     base: DataFrame,
     changes: DataFrame,
     key: str,
+    reject_duplicate_keys: bool = True,
 ) -> DataFrame:
     """MERGE INTO semantics over immutable files (the Delta/Iceberg
     ``WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT`` analogue, computed
     as a dataframe): every key present in ``changes`` takes the changes
-    row (update-or-insert); every other base row passes through.
+    row (update-or-insert); every other base row passes through. A
+    changes row with a NULL key matches nothing (SQL equality) and is
+    inserted as-is — the same outcome a MERGE's NOT-MATCHED branch
+    produces.
 
     Implementation is one full-outer join on the key, picking the
-    changes side wherever its key is present — a single hash shuffle on
-    the join key for each input, no driver involvement. At 100 TB the same
-    plan co-locates for free when both sides are bucketed by the key
-    (the compaction layout this module's small-files operator produces),
-    and AQE's skew split handles a hot key. Schemas must match; the
-    result has exactly the base schema.
+    changes side wherever a changes row is present (marker column, NOT
+    per-column COALESCE — a NULL in a matched changes row must win, and
+    a NULL-keyed insert must keep its payload). One hash shuffle per
+    input, no driver involvement. At 100 TB the same plan co-locates
+    for free when both sides are bucketed by the key (the compaction
+    layout this module's small-files operator produces), and AQE's skew
+    split handles a hot key. Schemas must match; the result has exactly
+    the base schema.
+
+    ``reject_duplicate_keys`` (default True, matching Delta/Iceberg's
+    "multiple source rows matched" error): duplicate non-NULL keys in
+    ``changes`` fail AT EXECUTION via a lazily-planned window count —
+    no extra eager job, and the window's key shuffle is the same
+    exchange the join needs anyway. Pass False only when the caller has
+    already deduplicated (saves the window).
     """
     if base.columns != changes.columns:
         raise ValueError(
             f"merge_upsert: schema mismatch base={base.columns} "
             f"changes={changes.columns}"
         )
+    if reject_duplicate_keys:
+        from pyspark.sql import Window
+
+        n_dup = F.count(F.lit(1)).over(Window.partitionBy(key))
+        ok = F.col(key).isNull() | (n_dup <= 1)
+        # the assertion rides INSIDE the kept key column (assert_true
+        # yields NULL or raises) so column pruning cannot optimize the
+        # check away
+        guarded_key = F.when(
+            F.assert_true(
+                ok,
+                f"merge_upsert: multiple changes rows matched one {key}; "
+                "deduplicate the changes batch or pass "
+                "reject_duplicate_keys=False",
+            ).isNull(),
+            F.col(key),
+        )
+        changes = changes.withColumn(key, guarded_key)
     b = base.alias("b")
-    c = changes.alias("c")
-    # a NULL non-key column in a matched changes row must still win over
-    # the base value, so non-key columns pick sides by key presence
-    # rather than per-column COALESCE
+    c = changes.withColumn("__from_changes__", F.lit(True)).alias("c")
+    present = F.col("c.__from_changes__").isNotNull()
     picked = [
-        F.when(F.col(f"c.{key}").isNotNull(), F.col(f"c.{col}"))
-        .otherwise(F.col(f"b.{col}"))
-        .alias(col)
+        F.when(present, F.col(f"c.{col}")).otherwise(F.col(f"b.{col}")).alias(col)
         if col != key
-        else F.coalesce(F.col(f"c.{key}"), F.col(f"b.{key}")).alias(key)
+        else F.when(present, F.col(f"c.{key}"))
+        .otherwise(F.col(f"b.{key}"))
+        .alias(key)
         for col in base.columns
     ]
     return b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer").select(

@@ -115,18 +115,20 @@ def _merge_topk(best: pd.DataFrame | None, batch: pd.DataFrame, k: int) -> pd.Da
     return cand.groupby("query_id", sort=False).head(k)
 
 
-def _final_topk(pruned: DataFrame, k: int) -> DataFrame:
+def _final_topk(pruned: DataFrame, k: int, round_cosine: bool = True) -> DataFrame:
     """Stage 2 of the two-stage top-k: rank the n_partitions * k
     survivors per query — a tiny relation regardless of corpus size.
     Ranking is (cosine DESC, vec_id ASC) at full double precision, so
-    results are identical to a single window over all scores."""
+    results are identical to a single window over all scores.
+    ``round_cosine=False`` keeps the full double for internal consumers
+    (MMR reranks on it; rounding first could flip a near-tie against
+    this very ranking)."""
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    cos = F.round(F.col("cosine"), 6) if round_cosine else F.col("cosine")
     return (
         pruned.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id", "vec_id", F.round(F.col("cosine"), 6).alias("cosine"), "rank"
-        )
+        .select("query_id", "vec_id", cos.alias("cosine"), "rank")
     )
 
 
@@ -192,7 +194,7 @@ def _rerank_pairs_vectorized(
 
 
 def cosine_topk_vectorized(
-    corpus: DataFrame, queries: DataFrame, k: int = 10
+    corpus: DataFrame, queries: DataFrame, k: int = 10, round_cosine: bool = True
 ) -> DataFrame:
     """Exact top-k neighbors per query vector — NumPy-GEMM scoring AND
     partition-local pruning fused into one Arrow pass over the corpus.
@@ -233,7 +235,7 @@ def cosine_topk_vectorized(
     pruned = corpus.select("vec_id", "embedding").mapInPandas(
         score_prune, _SCORED_SCHEMA
     )
-    return _final_topk(pruned, k)
+    return _final_topk(pruned, k, round_cosine=round_cosine)
 
 
 def cosine_topk_bruteforce(
@@ -986,7 +988,7 @@ def mmr_rerank(
         StructType,
     )
 
-    cands = cosine_topk_vectorized(corpus, queries, k=pool)
+    cands = cosine_topk_vectorized(corpus, queries, k=pool, round_cosine=False)
     # broadcast the candidate list (n_queries x pool rows) into the
     # embedding lookup so the corpus is never shuffled for the join
     with_emb = corpus.select("vec_id", "embedding").join(

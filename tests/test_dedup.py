@@ -246,19 +246,26 @@ def test_connected_components_uses_cluster_checkpoint_dir(spark, tmp_path):
 
     ckdir = str(tmp_path / "ck")
     spark.sparkContext.setCheckpointDir(ckdir)
-    pairs = spark.createDataFrame(
-        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
-        "doc_a long, doc_b long",
-    )
-    got = {
-        (r.node, r.component) for r in connected_components(pairs).collect()
-    }
-    assert got == {
-        (1, 1), (2, 1), (3, 1),
-        (10, 10), (11, 10),
-        (20, 20), (21, 20), (22, 20),
-    }
-    walked = [
-        os.path.join(d, f) for d, _, fs in os.walk(ckdir) for f in fs
-    ]
-    assert walked, "checkpoint dir received no data"
+    try:
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {
+            (r.node, r.component) for r in connected_components(pairs).collect()
+        }
+        assert got == {
+            (1, 1), (2, 1), (3, 1),
+            (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20),
+        }
+        walked = [
+            os.path.join(d, f) for d, _, fs in os.walk(ckdir) for f in fs
+        ]
+        assert walked, "checkpoint dir received no data"
+    finally:
+        # restore the shared session's local-mode behavior: Scala's
+        # setCheckpointDir(null) resets to None (Option(null)), so later
+        # tests exercise the localCheckpoint path again
+        spark.sparkContext._jsc.sc().setCheckpointDir(None)
+        assert spark.sparkContext.getCheckpointDir() is None

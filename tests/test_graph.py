@@ -179,3 +179,32 @@ def test_merge_upsert_algebraic_properties(spark):
     once = merge_upsert(base, changes, "k")
     twice = merge_upsert(once, changes, "k")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+def test_merge_upsert_null_key_rows_insert_and_duplicates_raise(spark):
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "k int, s string, v double"
+    )
+    # NULL-key changes rows match nothing -> inserted with payload intact
+    ch = spark.createDataFrame(
+        [(None, "x", 1.0), (2, "B", None)], "k int, s string, v double"
+    )
+    rows = {(r.k, r.s, r.v) for r in merge_upsert(base, ch, "k").collect()}
+    assert rows == {(1, "a", 10.0), (2, "B", None), (None, "x", 1.0)}
+    # duplicate non-NULL keys fail at execution, like Delta's
+    # "multiple source rows matched"
+    dup = spark.createDataFrame(
+        [(2, "p", 1.0), (2, "q", 2.0)], "k int, s string, v double"
+    )
+    with pytest.raises(Exception, match="multiple changes rows"):
+        merge_upsert(base, dup, "k").collect()
+    # ...unless the caller opts out
+    n = merge_upsert(base, dup, "k", reject_duplicate_keys=False).count()
+    assert n == 3  # 1 passthrough + 2 rows for the duplicated key
+    # two NULL-key inserts never trip the duplicate check
+    nn = spark.createDataFrame(
+        [(None, "x", 1.0), (None, "y", 2.0)], "k int, s string, v double"
+    )
+    assert merge_upsert(base, nn, "k").count() == 4

@@ -184,3 +184,35 @@ def test_repl_reference_sum_plans_as_jvm_two_phase(spark):
     jvm = {r.g: r.s for r in spark.sql(
         rewrite_reference_sums(sql)).collect()}
     assert udaf == jvm
+
+
+def test_scanners_honor_escaped_quotes():
+    from datafusion_gpu_spark.dialect import (
+        _strip_comments,
+        rewrite_qualify,
+        rewrite_reference_sums,
+    )
+
+    # Spark's default escapedStringLiterals=false: \' stays inside the
+    # literal — the scanner must not close the string early and eat the
+    # rest of the statement as a comment
+    sql = r"SELECT sum_cudarc(x) AS s, 'it\'s -- note' AS t FROM types"
+    out = rewrite_reference_sums(sql)
+    assert out.endswith(r"'it\'s -- note' AS t FROM types")
+    assert _strip_comments(r"SELECT 'a\'b -- x' FROM t") == (
+        r"SELECT 'a\'b -- x' FROM t"
+    )
+    assert rewrite_qualify(r"SELECT 'no \' QUALIFY here' AS s FROM t") is None
+
+
+def test_rewrite_reference_sums_leaves_window_and_filter_calls():
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums as r
+
+    # a grouped-agg pandas UDAF is legal as a window function; the
+    # CAST(SUM(..)) spelling is not — windowed/filtered calls stay on
+    # the registered-UDAF path
+    assert r("SELECT g, sum_cudarc(v) OVER (PARTITION BY g) FROM t") is None
+    assert r("SELECT sum_cudarc(v) FILTER (WHERE v > 0) FROM t") is None
+    # but a plain call NEXT TO a windowed one still rewrites the plain one
+    out = r("SELECT sum_cubecl(v) AS a, sum_cudarc(v) OVER (PARTITION BY g) AS b FROM t")
+    assert out is not None and out.count("CAST(SUM") == 1

@@ -83,8 +83,8 @@ def probe_components(spark, sizes: list[int]) -> None:
         n_comp = labels.select("component").distinct().count()
         dt = _t.perf_counter() - t0
         # every chain must collapse to exactly one component labeled by
-        # its min node
-        expected = n // CHAIN
+        # its min node; a non-multiple n leaves one partial tail chain
+        expected = -(-n // CHAIN)
         bad = labels.where(
             F.col("component") != (F.col("node") - F.col("node") % CHAIN)
         ).count()
