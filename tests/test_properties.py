@@ -169,3 +169,46 @@ def test_rewrite_qualify_never_crashes(sql):
     except UnsupportedSqlError:
         return
     assert out is None or isinstance(out, str)
+
+
+_SQLISH_ESC = st.text(
+    alphabet=list("abc ()'\"`-*/\n;=<>1\\x"), min_size=0, max_size=80
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql=_SQLISH_ESC)
+def test_strip_comments_idempotent_with_escapes(sql):
+    # the escaped-quote alphabet (backslashes) must not break the
+    # fixpoint property of comment stripping
+    from datafusion_gpu_spark.dialect import _strip_comments
+
+    once = _strip_comments(sql)
+    assert _strip_comments(once) == once
+
+
+@settings(max_examples=300, deadline=None)
+@given(body=st.text(alphabet=list("abc -*/x"), min_size=0, max_size=20))
+def test_strip_comments_preserves_escaped_quote_literals(body):
+    # a literal containing \' survives whole — the scanner must not
+    # close the string at the escaped quote and eat the tail as comment
+    from datafusion_gpu_spark.dialect import _strip_comments
+
+    lit = "'" + body.replace("'", "") + "\\' --'"
+    sql = f"SELECT {lit} AS s FROM t -- tail\n"
+    out = _strip_comments(sql)
+    assert lit in out and "tail" not in out
+
+
+@settings(max_examples=300, deadline=None)
+@given(sql=_SQLISH_ESC)
+def test_rewrite_reference_sums_never_crashes(sql):
+    # arbitrary near-SQL with backslashes/quotes: returns None or str,
+    # and a returned rewrite never re-rewrites (fixpoint — the emitted
+    # CAST(SUM(...)) contains no reference-sum call)
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums
+
+    out = rewrite_reference_sums(sql)
+    assert out is None or isinstance(out, str)
+    if out is not None:
+        assert rewrite_reference_sums(out) is None or "sum_cudarc(" in sql.lower()

@@ -183,10 +183,49 @@ def probe_pagerank(spark, sizes: list[int]) -> None:
         assert abs(mass - 1.0) < 1e-6, mass
 
 
+def probe_merge(spark, sizes: list[int]) -> None:
+    """merge_upsert at growing |base|: one full-outer shuffle join, so
+    wall must scale ~linearly; the exact result count is computable
+    (base keys 0..n-1, changes keys = multiples of 3 below 1.2n, so the
+    merged table holds n + the multiples of 3 in [n, 1.2n))."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import merge_upsert
+
+    for n in sizes:
+        base = spark.range(n).select(
+            F.col("id").alias("k"),
+            (F.col("id") % 97).cast("double").alias("v"),
+        )
+        hi = int(n * 1.2)
+        changes = (
+            spark.range(0, hi, 3)
+            .select(F.col("id").alias("k"), F.lit(-1.0).alias("v"))
+        )
+        t0 = _t.perf_counter()
+        merged = merge_upsert(base, changes, "k")
+        got = merged.count()
+        n_updated = merged.where("v = -1.0").count()
+        dt = _t.perf_counter() - t0
+        inserts = len(range(((n + 2) // 3) * 3, hi, 3))
+        expected = n + inserts
+        expected_updated = len(range(0, hi, 3))
+        print(
+            f"n={n} merged={got} (expected {expected}) "
+            f"updated+inserted={n_updated} (expected {expected_updated}) "
+            f"time={dt:.1f}s rate={n / dt:.0f} base_rows/s",
+            flush=True,
+        )
+        assert got == expected, (got, expected)
+        assert n_updated == expected_updated, (n_updated, expected_updated)
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -204,6 +243,9 @@ def main() -> int:
         return 0
     if op == "pagerank":
         probe_pagerank(spark, sizes if args else [250_000, 1_000_000])
+        return 0
+    if op == "merge":
+        probe_merge(spark, sizes if args else [1_000_000, 10_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
