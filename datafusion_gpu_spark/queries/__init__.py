@@ -41,9 +41,10 @@ def sql_query(statement: str) -> QueryFn:
 
 # Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — the ~39 never-driver-checked queries as of round 4 — are surfaced
-# first until every query has a driver row. sim_quantize_int8 stays OUT: its
-# r3 row was red (driver-canon sort crash), so it must be re-checked.
+# this set — the 48 never-driver-checked queries as of round 4 (39 carried
+# from r3 plus the 8 round-4 additions and sim_quantize_int8, which stays OUT
+# because its r3 row was red) — are surfaced first until every query has a
+# driver row; 48 + 2 re-checks fit the 50-query round exactly.
 _DRIVER_CHECKED = frozenset({
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",
@@ -94,7 +95,7 @@ _CORE_PREFIXES = (
     "multimodal_",
     "pipeline_",  # the end-to-end composition flagship
 )
-_PIPELINE_PREFIXES = ("dedup_", "sim_", "retrieval_", "text_", "curation_")
+_PIPELINE_PREFIXES = ("dedup_", "sim_", "retrieval_", "text_", "curation_", "graph_")
 
 
 def _gate_priority(name: str) -> int:
