@@ -155,3 +155,125 @@ def extract_features(binary_df: DataFrame) -> DataFrame:
             )
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def decode_image_array(payload: bytes) -> "object":
+    """(height, width, 3) uint8 RGB pixels. Tries Pillow first (any
+    format, zero code change on deployments with imaging libs); falls
+    back to BUILT-IN pure-NumPy decoders for binary PPM (P6) and
+    uncompressed 24-bit BMP — real pixel decoding with no native
+    dependency, so even this sandbox exercises a true codec path
+    end-to-end instead of a fake."""
+    import numpy as np
+
+    try:
+        import io as _io
+
+        from PIL import Image  # optional; absent in sandbox
+
+        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
+    except ImportError:
+        pass
+    if payload[:2] == b"P6":
+        return _decode_ppm_p6(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp24(payload)
+    raise NotImplementedError(
+        "no imaging library and payload is neither P6 PPM nor 24-bit BMP"
+    )
+
+
+def _decode_ppm_p6(payload: bytes) -> "object":
+    """Binary PPM: 'P6' <ws> width <ws> height <ws> maxval <1 ws byte>
+    raster of height*width*3 bytes. '#' comments run to end-of-line."""
+    import numpy as np
+
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly one whitespace byte before the raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError(f"PPM maxval {maxval} != 255")
+    raster = np.frombuffer(payload, dtype=np.uint8, count=height * width * 3, offset=pos)
+    return raster.reshape(height, width, 3).copy()
+
+
+def _decode_bmp24(payload: bytes) -> "object":
+    """Uncompressed 24-bpp Windows BMP: BGR rows, bottom-up, each row
+    padded to a 4-byte boundary."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_offset,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"only uncompressed 24-bpp BMP (got bpp={bpp})")
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=height * row_bytes, offset=data_offset
+    ).reshape(height, row_bytes)
+    pixels = rows[:, : width * 3].reshape(height, width, 3)
+    if bottom_up:
+        pixels = pixels[::-1]
+    return pixels[..., ::-1].copy()  # BGR -> RGB
+
+
+#: Output schema of the REAL decode pass (built-in codecs).
+DECODED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("mean_r", IntegerType()),
+        StructField("mean_g", IntegerType()),
+        StructField("mean_b", IntegerType()),
+    ]
+)
+
+
+def decode_features(binary_df: DataFrame) -> DataFrame:
+    """REAL image decode over the standard multimodal plumbing: each
+    Arrow batch's payloads decode executor-side via decode_image_array
+    (Pillow when present, built-in PPM/BMP otherwise) and emit exact
+    dimensions + per-channel integer mean. Same scale shape as
+    extract_features: payloads never touch the driver, no shuffle, and
+    metadata filters prune before Python runs."""
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "channels", "mean_r", "mean_g", "mean_b"
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image_array(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["height"].append(px.shape[0])
+                out["width"].append(px.shape[1])
+                out["channels"].append(px.shape[2])
+                out["mean_r"].append(int(px[..., 0].mean()))
+                out["mean_g"].append(int(px[..., 1].mean()))
+                out["mean_b"].append(int(px[..., 2].mean()))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)

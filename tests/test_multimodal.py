@@ -1,0 +1,89 @@
+"""Built-in image decoders (pure NumPy PPM/BMP) and the real decode
+pass over the multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datafusion_gpu_spark.operators.multimodal import (
+    decode_features,
+    decode_image_array,
+)
+
+
+def _ppm_bytes(pixels: np.ndarray, comment: bool = False) -> bytes:
+    h, w, _ = pixels.shape
+    header = b"P6\n"
+    if comment:
+        header += b"# a comment\n"
+    header += f"{w} {h}\n255\n".encode()
+    return header + pixels.astype(np.uint8).tobytes()
+
+
+def _bmp24_bytes(pixels: np.ndarray) -> bytes:
+    """Bottom-up 24-bpp BMP with row padding — the classic layout."""
+    h, w, _ = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    pad = row_bytes - w * 3
+    raster = b""
+    for row in pixels[::-1]:  # bottom-up
+        raster += row[:, ::-1].astype(np.uint8).tobytes()  # RGB -> BGR
+        raster += b"\x00" * pad
+    data_offset = 14 + 40
+    header = b"BM" + struct.pack(
+        "<IHHI", data_offset + len(raster), 0, 0, data_offset
+    )
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raster), 0, 0, 0, 0)
+    return header + dib + raster
+
+
+@pytest.fixture
+def rgb_2x3():
+    # height=2, width=3, distinct channel values everywhere
+    return np.array(
+        [[[255, 0, 0], [0, 255, 0], [0, 0, 255]],
+         [[10, 20, 30], [40, 50, 60], [70, 80, 90]]],
+        dtype=np.uint8,
+    )
+
+
+def test_ppm_decode_exact(rgb_2x3):
+    out = decode_image_array(_ppm_bytes(rgb_2x3))
+    assert out.shape == (2, 3, 3)
+    assert (out == rgb_2x3).all()
+    # header comments are skipped
+    out2 = decode_image_array(_ppm_bytes(rgb_2x3, comment=True))
+    assert (out2 == rgb_2x3).all()
+
+
+def test_bmp_decode_exact_including_padding(rgb_2x3):
+    # width=3 -> 9 bytes/row, padded to 12: the decoder must strip pad
+    # bytes, flip bottom-up rows, and swap BGR back to RGB
+    out = decode_image_array(_bmp24_bytes(rgb_2x3))
+    assert out.shape == (2, 3, 3)
+    assert (out == rgb_2x3).all()
+
+
+def test_unknown_payload_raises():
+    with pytest.raises(NotImplementedError):
+        decode_image_array(b"\x89PNG\r\n\x1a\n not actually decodable here")
+
+
+def test_decode_features_mixed_formats_through_spark(spark, rgb_2x3):
+    solid = np.full((4, 5, 3), (100, 150, 200), dtype=np.uint8)
+    rows = [
+        (1, bytearray(_ppm_bytes(rgb_2x3))),
+        (2, bytearray(_bmp24_bytes(solid))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_features(df).collect()}
+    assert (got[1].height, got[1].width, got[1].channels) == (2, 3, 3)
+    assert (got[2].height, got[2].width) == (4, 5)
+    # solid-color image: channel means are exact
+    assert (got[2].mean_r, got[2].mean_g, got[2].mean_b) == (100, 150, 200)
+    # rgb_2x3 means: r=(255+10+40+70)/6=62, g=(255+20+50+80)/6=67,
+    # b=(255+30+60+90)/6=72 (int truncation)
+    assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (62, 67, 72)
