@@ -41,10 +41,10 @@ def sql_query(statement: str) -> QueryFn:
 
 # Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — the 48 never-driver-checked queries as of round 4 (39 carried
-# from r3 plus the 8 round-4 additions and sim_quantize_int8, which stays OUT
+# this set — the 49 never-driver-checked queries as of round 4 (39 carried
+# from r3 plus the 9 round-4 additions and sim_quantize_int8, which stays OUT
 # because its r3 row was red) — are surfaced first until every query has a
-# driver row; 48 + 2 re-checks fit the 50-query round exactly.
+# driver row; 49 + 1 re-check fill the 50-query round exactly.
 _DRIVER_CHECKED = frozenset({
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",

@@ -808,6 +808,38 @@ def _events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.multi_resolution_rollup(spark.table("events"))
 
 
+def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in the gate: deterministic solid-color PPM
+    payloads (width/height/color derived from doc_id) are encoded and
+    decoded executor-side via the built-in pure-NumPy codec
+    (multimodal.decode_image_array — no imaging library involved), and
+    the decoded dimensions + exact channel means are graded against a
+    DuckDB oracle that computes the same values arithmetically. A codec
+    bug (padding, channel order, header parse) breaks the hash."""
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators.multimodal import decode_features
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                w = int(doc_id) % 13 + 2
+                h = int(doc_id) % 7 + 2
+                rgb = bytes([int(doc_id) % 256, (3 * int(doc_id)) % 256,
+                             (7 * int(doc_id)) % 256])
+                payload = (f"P6\n{w} {h}\n255\n".encode()) + rgb * (w * h)
+                rows["doc_id"].append(int(doc_id))
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return decode_features(binary_df)
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 power iterations, d=0.85) over the bidirectional
     customer<->supplier trade graph from orders |x| lineitem — the
@@ -842,6 +874,7 @@ QUERIES = {
     "curation_quantile_filter": _curation_quantile_filter,
     "events_multi_rollup": _events_multi_rollup,
     "graph_pagerank": _graph_pagerank,
+    "multimodal_decode": _multimodal_decode,
     "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_minhash_lsh": _dedup_minhash,
@@ -946,6 +979,16 @@ SELECT * FROM (VALUES
   (85::BIGINT,  5::BIGINT, TRUE, TRUE, TRUE, TRUE),
   (290::BIGINT, 5::BIGINT, TRUE, TRUE, TRUE, TRUE)
 ) AS t(query_id, n_results, keeps_top1, vanilla_stuck, mmr_spreads, diversity_gained)
+""",
+    "multimodal_decode": """
+SELECT doc_id,
+       CAST(doc_id % 13 + 2 AS INT) AS width,
+       CAST(doc_id % 7 + 2 AS INT) AS height,
+       3 AS channels,
+       CAST(doc_id % 256 AS INT) AS mean_r,
+       CAST((3 * doc_id) % 256 AS INT) AS mean_g,
+       CAST((7 * doc_id) % 256 AS INT) AS mean_b
+FROM documents WHERE doc_id < 300
 """,
     "dedup_incremental": """
 WITH hist AS (
