@@ -381,3 +381,34 @@ def multi_resolution_rollup(
     return tag(minute, "minute").unionAll(tag(hour, "hour")).unionAll(
         tag(day, "day")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 compaction of a change log: one
+    row per (key, version) with ``effective_from`` / ``effective_to``
+    validity bounds and an ``is_current`` flag — the standard warehouse
+    shape for replaying CDC streams into point-in-time-queryable
+    history (join on ``from <= t < to`` answers "what did the row say
+    at time t").
+
+    One window over (key ORDER BY ts, tiebreak): ``effective_to`` is
+    the NEXT version's timestamp (NULL for the open current row). One
+    hash shuffle on the key, codegen-only — at 100 TB this is the same
+    single-exchange shape as any keyed window, and AQE handles skewed
+    keys.
+    """
+    order = [F.col(ts_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    nxt = F.lead(ts_col).over(w)
+    return (
+        changes.withColumn("effective_from", F.col(ts_col))
+        .withColumn("effective_to", nxt)
+        .withColumn("is_current", nxt.isNull())
+    )

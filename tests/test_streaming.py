@@ -267,3 +267,35 @@ def test_winsorize_clips_only_tails(spark):
     assert not out[50].was_clipped and out[50].clipped == 50.0
     n_clipped = sum(1 for r in out.values() if r.was_clipped)
     assert n_clipped <= 10  # only the tails move
+
+
+def test_scd2_history_validity_chain(spark):
+    # CDC log -> type-2 history: contiguous validity windows per key,
+    # exactly one current row, point-in-time join answers correctly
+    from datafusion_gpu_spark.operators.events import scd2_history
+
+    from pyspark.sql import functions as F
+
+    log = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "bronze"),
+         ("u1", "2024-02-01 00:00:00", "silver"),
+         ("u1", "2024-03-01 00:00:00", "gold"),
+         ("u2", "2024-01-15 00:00:00", "bronze")],
+        "user string, ts_s string, tier string",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("ts"), "tier")
+    hist = scd2_history(log, ["user"], "ts").collect()
+    by = {(r.user, r.tier): r for r in hist}
+    assert by[("u1", "bronze")].effective_to == by[("u1", "silver")].effective_from
+    assert by[("u1", "silver")].effective_to == by[("u1", "gold")].effective_from
+    assert by[("u1", "gold")].is_current and by[("u1", "gold")].effective_to is None
+    assert by[("u2", "bronze")].is_current
+    assert sum(1 for r in hist if r.is_current) == 2
+    # point-in-time: what was u1 on Feb 15?
+    h = scd2_history(log, ["user"], "ts")
+    asof = h.where(
+        (F.col("user") == "u1")
+        & (F.col("effective_from") <= F.lit("2024-02-15").cast("timestamp"))
+        & (F.col("effective_to").isNull()
+           | (F.col("effective_to") > F.lit("2024-02-15").cast("timestamp")))
+    ).collect()
+    assert len(asof) == 1 and asof[0].tier == "silver"
