@@ -1,0 +1,109 @@
+"""Mergeable summary sketches for heavy-hitter mining at corpus scale.
+
+``heavy_hitters`` is the two-pass exact scheme a 100 TB pipeline
+actually runs (vocabulary pruning, hot-key detection, boilerplate
+n-grams): pass 1 builds per-partition Misra-Gries summaries (bounded
+memory, one scan, nothing shuffled but the summary rows) and merges
+them into a candidate set that PROVABLY contains every item with
+frequency > n/k (MG merge theorem, Agarwal et al., "Mergeable
+Summaries", PODS 2012); pass 2 counts the candidates exactly with one
+broadcast semi-join + hash aggregation and applies the true threshold.
+Exact heavy hitters, two scans, shuffle bounded by the summaries and
+candidate matches — the full vocabulary is never shuffled.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.window import Window
+
+_SUMMARY_SCHEMA = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("weight", LongType()),
+    ]
+)
+
+
+def heavy_hitters(
+    df: DataFrame, item_col: str, k: int = 100, threshold_fraction: float | None = None
+) -> DataFrame:
+    """(item, n) for every item whose EXACT count exceeds
+    ``threshold_fraction * total`` (default 1/k):
+
+    1. per-partition Misra-Gries (mapInPandas, k counters, one scan);
+       each partition also emits a NULL-item sentinel row carrying its
+       row count, so the grand total rides the same scan and shuffle as
+       the summaries — no separate count() pass;
+    2. merge: sum summary weights per item, subtract the (k+1)-st
+       largest merged weight (the mergeable-summaries decrement), keep
+       positive — a superset of the true heavy hitters, at most k items;
+    3. verify: count the candidates exactly (broadcast semi-join, one
+       scan) and keep those above ``frac * total``.
+
+    The merge window sorts at most k rows per input partition — a
+    driver-sized relation; the verified output is deterministic and
+    exact (the sketch only shapes the candidate superset, and the merge
+    theorem guarantees no true heavy hitter is lost).
+    """
+    frac = threshold_fraction if threshold_fraction is not None else 1.0 / k
+    items = df.select(F.col(item_col).cast("string").alias("item"))
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            for v in pdf["item"]:
+                if v is None:
+                    continue
+                n_local += 1
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    # decrement-all; dict comp keeps it O(k) amortized
+                    counters = {i: c - 1 for i, c in counters.items() if c > 1}
+        out = pd.DataFrame(
+            {
+                "item": [*counters, None],  # None = total-count sentinel
+                "weight": [*counters.values(), n_local],
+            }
+        )
+        yield out
+
+    summaries = items.mapInPandas(partials, _SUMMARY_SCHEMA)
+    merged = summaries.groupBy("item").agg(F.sum("weight").alias("weight"))
+    total_row = F.broadcast(
+        merged.where(F.col("item").isNull()).select(
+            F.col("weight").alias("total")
+        )
+    )
+    real = merged.where(F.col("item").isNotNull())
+    # mergeable-summaries decrement: subtract the (k+1)-st largest weight
+    # (0 when fewer than k+1 merged items survive)
+    w = Window.orderBy(F.col("weight").desc(), F.col("item"))
+    ranked = real.withColumn("rk", F.row_number().over(w))
+    decrement = F.broadcast(
+        ranked.select(
+            F.max(F.when(F.col("rk") == k + 1, F.col("weight"))).alias("dec")
+        ).select(F.coalesce(F.col("dec"), F.lit(0)).alias("dec"))
+    )
+    candidates = (
+        ranked.crossJoin(decrement)
+        .where(F.col("weight") > F.col("dec"))
+        .select("item")
+    )
+    exact = (
+        items.join(F.broadcast(candidates), "item", "left_semi")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return exact.crossJoin(total_row).where(
+        F.col("n") > F.col("total") * F.lit(frac)
+    ).select("item", "n")

@@ -1,0 +1,50 @@
+"""Heavy hitters: exactness of the sketch-then-verify scheme."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators.sketches import heavy_hitters
+
+
+def _exact_hitters(spark_df, frac):
+    total = spark_df.where(F.col("item").isNotNull()).count()
+    exact = (
+        spark_df.where(F.col("item").isNotNull())
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > total * frac)
+    )
+    return {(r.item, r.n) for r in exact.collect()}
+
+
+def test_heavy_hitters_matches_exact_on_zipf(spark):
+    # zipf-ish: item j appears ~N/j times — a long tail with a few
+    # giants; the result must equal the brute-force exact answer
+    rows = [(f"w{j}",) for j in range(1, 200) for _ in range(2000 // j)]
+    df = spark.createDataFrame(rows, "item string").repartition(16)
+    got = {(r.item, r.n) for r in heavy_hitters(df, "item", k=20).collect()}
+    want = _exact_hitters(df, 1 / 20)
+    assert got == want and len(want) > 0
+
+
+def test_heavy_hitters_no_hitters_and_nulls(spark):
+    # uniform data below threshold -> empty result; NULLs are ignored
+    rows = [(f"u{j % 50}",) for j in range(500)] + [(None,)] * 40
+    df = spark.createDataFrame(rows, "item string").repartition(8)
+    out = heavy_hitters(df, "item", k=10).collect()
+    assert out == []  # every item is exactly 1/50 of non-null rows
+
+
+def test_heavy_hitters_custom_threshold_and_partitioning_invariance(spark):
+    rows = [("big",)] * 300 + [(f"t{j}",) for j in range(300)]
+    df = spark.createDataFrame(rows, "item string")
+    for parts in (2, 13):
+        got = {
+            (r.item, r.n)
+            for r in heavy_hitters(
+                df.repartition(parts), "item", k=5, threshold_fraction=0.25
+            ).collect()
+        }
+        assert got == {("big", 300)}  # 300/600 = 0.5 > 0.25; tails are not
