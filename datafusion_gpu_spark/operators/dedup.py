@@ -167,6 +167,40 @@ def incremental_dedup(history: DataFrame, batch: DataFrame) -> DataFrame:
     return batch_first.join(hist_keys, "content_key", "left_anti")
 
 
+def incremental_dedup_bloom(
+    history: DataFrame, batch: DataFrame, n_bits: int = 1 << 23, k: int = 7
+) -> DataFrame:
+    """Bloom-accelerated spelling of ``incremental_dedup`` — IDENTICAL
+    output (a Bloom filter has no false negatives, so every batch key
+    the filter rejects is provably absent from history), cheaper where
+    it counts: only the Bloom-positive slice of the batch reaches the
+    anti-join, so the join probes |new ∩ false positives| + |true dups|
+    rows instead of the whole batch. The filter itself builds in one
+    history scan (per-partition bit arrays OR-merged on the driver —
+    megabytes — then one executor-wide broadcast). At a daily-ingest
+    ratio of mostly-novel content this removes almost the entire join
+    input. Note: ``bloom_build`` runs an eager job at call time.
+    """
+    from datafusion_gpu_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    key = F.md5(normalize_text(F.col("text"))).alias("content_key")
+    hist_keys = history.select(key)
+    bits = bloom_build(hist_keys, "content_key", n_bits=n_bits, k=k)
+    batch_first = (
+        batch.select(key, "doc_id")
+        .groupBy("content_key")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    probed = bloom_might_contain(batch_first, "content_key", bits, k=k)
+    definite_new = probed.where(~F.col("might_contain")).drop("might_contain")
+    possible_dup = probed.where(F.col("might_contain")).drop("might_contain")
+    survivors = possible_dup.join(hist_keys, "content_key", "left_anti")
+    return definite_new.unionByName(survivors)
+
+
 # -- line-level dedup (CCNet) ------------------------------------------------
 
 

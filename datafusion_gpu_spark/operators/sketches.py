@@ -19,7 +19,14 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 from pyspark.sql.window import Window
 
 _SUMMARY_SCHEMA = StructType(
@@ -107,3 +114,75 @@ def heavy_hitters(
     return exact.crossJoin(total_row).where(
         F.col("n") > F.col("total") * F.lit(frac)
     ).select("item", "n")
+
+
+def bloom_build(df: DataFrame, col: str, n_bits: int = 1 << 23, k: int = 7):
+    """Bloom filter over a column, built distributively: each partition
+    sets bits in a local packed uint8 array (vectorized double hashing
+    via pandas' deterministic hash_pandas_object), partials OR together
+    on the driver (n_partitions x n_bits/8 bytes — megabytes, not
+    data). Returns the packed numpy array; broadcast it and probe with
+    ``bloom_might_contain``. No false negatives ever; false-positive
+    rate ~ (1 - e^(-kn/m))^k.
+    """
+    import numpy as np
+
+    n_bytes = n_bits // 8
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(n_bytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            s = pdf[col].dropna().astype(str)
+            if s.empty:
+                continue
+            seen = True
+            h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+            h2 = pd.util.hash_pandas_object(
+                s, index=False, hash_key="1234567890123457"
+            ).to_numpy() | 1  # odd -> full period
+            for i in range(k):
+                pos = (h1 + i * h2) % n_bits
+                np.bitwise_or.at(bits, pos // 8, np.uint8(1) << (pos % 8).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = df.select(F.col(col).cast("string").alias(col)).mapInPandas(
+        partials, StructType([StructField("bits", BinaryType())])
+    ).collect()
+    out = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        out |= np.frombuffer(row.bits, dtype=np.uint8)
+    return out
+
+
+def bloom_might_contain(df: DataFrame, col: str, bits, k: int = 7) -> DataFrame:
+    """Adds a boolean ``might_contain`` column — vectorized probe of the
+    packed Bloom array, shipped to executors via a Spark broadcast (one
+    copy per executor, not per task)."""
+    import numpy as np
+
+    n_bits = int(bits.size) * 8
+    bc = df.sparkSession.sparkContext.broadcast(bits.tobytes())
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField("might_contain", BooleanType())]
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        arr = np.frombuffer(bc.value, dtype=np.uint8)
+        for pdf in batches:
+            s = pdf[col].astype(str)
+            h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
+            h2 = pd.util.hash_pandas_object(
+                s, index=False, hash_key="1234567890123457"
+            ).to_numpy() | 1
+            hit = np.ones(len(pdf), dtype=bool)
+            for i in range(k):
+                pos = (h1 + i * h2) % n_bits
+                hit &= (arr[pos // 8] >> (pos % 8).astype(np.uint8)) & 1 == 1
+            out = pdf.copy()
+            out["might_contain"] = hit
+            yield out
+
+    return df.mapInPandas(probe, out_schema)

@@ -48,3 +48,50 @@ def test_heavy_hitters_custom_threshold_and_partitioning_invariance(spark):
             ).collect()
         }
         assert got == {("big", 300)}  # 300/600 = 0.5 > 0.25; tails are not
+
+
+def test_bloom_no_false_negatives_and_low_fpr(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    members = spark.createDataFrame(
+        [(f"key-{i}",) for i in range(5000)], "item string"
+    ).repartition(8)
+    bits = bloom_build(members, "item", n_bits=1 << 20, k=7)
+    assert isinstance(bits, np.ndarray) and bits.any()
+    # every member probes True — Bloom filters never false-negative
+    probed = bloom_might_contain(members, "item", bits, k=7)
+    assert probed.where("NOT might_contain").count() == 0
+    # disjoint probes: FPR well under 2% at this sizing (m/n=210, k=7)
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(5000)], "item string"
+    )
+    fp = bloom_might_contain(others, "item", bits, k=7).where("might_contain").count()
+    assert fp / 5000 < 0.02, fp
+
+
+def test_incremental_dedup_bloom_equals_exact(spark):
+    from datafusion_gpu_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    history = spark.createDataFrame(
+        [(i, f"seen doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        # 50 dups of history, 100 novel, plus an in-batch dup pair
+        [(1000 + i, f"seen doc {i}") for i in range(50)]
+        + [(2000 + i, f"new doc {i}") for i in range(100)]
+        + [(3000, "twin text"), (3001, "twin text")],
+        "doc_id long, text string",
+    )
+    exact = {(r.content_key, r.doc_id) for r in incremental_dedup(history, batch).collect()}
+    bloom = {(r.content_key, r.doc_id)
+             for r in incremental_dedup_bloom(history, batch).collect()}
+    assert bloom == exact
+    assert len(exact) == 101  # 100 novel + one twin keeper
