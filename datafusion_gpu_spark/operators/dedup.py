@@ -194,7 +194,10 @@ def incremental_dedup_bloom(
         .groupBy("content_key")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    probed = bloom_might_contain(batch_first, "content_key", bits, k=k)
+    # persist: both slices consume `probed`, and without materialization
+    # the groupBy + Python probe subtree would execute twice (the same
+    # double-executed-subtree trap BENCH_NOTES documents)
+    probed = bloom_might_contain(batch_first, "content_key", bits, k=k).persist()
     definite_new = probed.where(~F.col("might_contain")).drop("might_contain")
     possible_dup = probed.where(F.col("might_contain")).drop("might_contain")
     survivors = possible_dup.join(hist_keys, "content_key", "left_anti")

@@ -406,9 +406,27 @@ def scd2_history(
     if tiebreak_col:
         order.append(F.col(tiebreak_col))
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    eff_from = F.col(ts_col)
+    if tiebreak_col is None:
+        # without a tiebreak, duplicate (key, ts) rows would make which
+        # version is "current" depend on arbitrary partition order —
+        # fail at execution instead of replaying nondeterministically
+        # (assert_true rides inside the kept column so pruning cannot
+        # drop the check)
+        n_ts = F.count(F.lit(1)).over(
+            Window.partitionBy(*key_cols, ts_col)
+        )
+        eff_from = F.when(
+            F.assert_true(
+                n_ts == 1,
+                "scd2_history: duplicate (key, ts) rows make the current "
+                "version nondeterministic; pass tiebreak_col",
+            ).isNull(),
+            F.col(ts_col),
+        )
     nxt = F.lead(ts_col).over(w)
     return (
-        changes.withColumn("effective_from", F.col(ts_col))
+        changes.withColumn("effective_from", eff_from)
         .withColumn("effective_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )

@@ -167,13 +167,16 @@ def decode_image_array(payload: bytes) -> "object":
     import numpy as np
 
     try:
+        from PIL import Image  # optional; absent in sandbox
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io as _io
 
-        from PIL import Image  # optional; absent in sandbox
-
-        return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
-    except ImportError:
-        pass
+        try:
+            return np.asarray(Image.open(_io.BytesIO(payload)).convert("RGB"))
+        except Exception:
+            pass  # undecodable by Pillow: fall through to the built-ins
     if payload[:2] == b"P6":
         return _decode_ppm_p6(payload)
     if payload[:2] == b"BM":
@@ -200,11 +203,23 @@ def _decode_ppm_p6(payload: bytes) -> "object":
         while pos < len(payload) and not payload[pos : pos + 1].isspace():
             pos += 1
         fields.append(int(payload[start:pos]))
-    pos += 1  # exactly one whitespace byte before the raster
     width, height, maxval = fields
     if maxval != 255:
         raise NotImplementedError(f"PPM maxval {maxval} != 255")
-    raster = np.frombuffer(payload, dtype=np.uint8, count=height * width * 3, offset=pos)
+    need = height * width * 3
+    # spec: exactly ONE whitespace byte before the raster — but Windows
+    # tooling emits \r\n; disambiguate by exact remaining length so an
+    # off-spec header can never silently shift the pixels
+    if len(payload) - (pos + 1) == need:
+        pos += 1
+    elif payload[pos : pos + 2] == b"\r\n" and len(payload) - (pos + 2) == need:
+        pos += 2
+    else:
+        raise ValueError(
+            f"PPM raster length mismatch: header ends at {pos}, "
+            f"need {need} bytes, have {len(payload) - (pos + 1)}"
+        )
+    raster = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
     return raster.reshape(height, width, 3).copy()
 
 

@@ -59,6 +59,14 @@ def heavy_hitters(
     theorem guarantees no true heavy hitter is lost).
     """
     frac = threshold_fraction if threshold_fraction is not None else 1.0 / k
+    if frac < 1.0 / (k + 1):
+        # the MG merge guarantee only covers items with frequency
+        # > n/(k+1); a lower threshold would silently drop true hitters
+        raise ValueError(
+            f"threshold_fraction={frac} is below the k={k} sketch's "
+            f"guarantee 1/(k+1)={1.0 / (k + 1):.4f}; raise k to at least "
+            f"{int(1.0 / frac)} for this threshold"
+        )
     items = df.select(F.col(item_col).cast("string").alias("item"))
 
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -159,11 +167,17 @@ def bloom_build(df: DataFrame, col: str, n_bits: int = 1 << 23, k: int = 7):
 def bloom_might_contain(df: DataFrame, col: str, bits, k: int = 7) -> DataFrame:
     """Adds a boolean ``might_contain`` column — vectorized probe of the
     packed Bloom array, shipped to executors via a Spark broadcast (one
-    copy per executor, not per task)."""
+    copy per executor, not per task). The probed value is the SPARK
+    string cast of the column — the same derivation ``bloom_build``
+    hashes — so non-string columns (booleans, doubles) probe the
+    identical representation on both sides; a pandas-side str() here
+    would silently false-negative on them. NULLs probe False (the build
+    side never inserts them)."""
     import numpy as np
 
     n_bits = int(bits.size) * 8
     bc = df.sparkSession.sparkContext.broadcast(bits.tobytes())
+    with_str = df.withColumn("__probe_str__", F.col(col).cast("string"))
     out_schema = StructType(
         list(df.schema.fields)
         + [StructField("might_contain", BooleanType())]
@@ -172,17 +186,19 @@ def bloom_might_contain(df: DataFrame, col: str, bits, k: int = 7) -> DataFrame:
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         arr = np.frombuffer(bc.value, dtype=np.uint8)
         for pdf in batches:
-            s = pdf[col].astype(str)
+            raw = pdf["__probe_str__"]
+            nonnull = raw.notna().to_numpy()
+            s = raw.fillna("").astype(str)
             h1 = pd.util.hash_pandas_object(s, index=False).to_numpy()
             h2 = pd.util.hash_pandas_object(
                 s, index=False, hash_key="1234567890123457"
             ).to_numpy() | 1
-            hit = np.ones(len(pdf), dtype=bool)
+            hit = nonnull.copy()
             for i in range(k):
                 pos = (h1 + i * h2) % n_bits
                 hit &= (arr[pos // 8] >> (pos % 8).astype(np.uint8)) & 1 == 1
-            out = pdf.copy()
+            out = pdf.drop(columns=["__probe_str__"])
             out["might_contain"] = hit
             yield out
 
-    return df.mapInPandas(probe, out_schema)
+    return with_str.mapInPandas(probe, out_schema)

@@ -41,10 +41,10 @@ def sql_query(statement: str) -> QueryFn:
 
 # Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — the 49 never-driver-checked queries as of round 4 (39 carried
-# from r3 plus the 9 round-4 additions and sim_quantize_int8, which stays OUT
-# because its r3 row was red) — are surfaced first until every query has a
-# driver row; 49 + 1 re-check fill the 50-query round exactly.
+# this set — 49 entries as of round 4: 48 never-driver-checked (39 carried
+# from r3 + 9 round-4 additions) plus the sim_quantize_int8 re-check (its r3
+# row was red, so it stays OUT) — are surfaced first until every query has a
+# green driver row; 49 of the round's 50 slots, one spare.
 _DRIVER_CHECKED = frozenset({
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",

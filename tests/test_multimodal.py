@@ -87,3 +87,18 @@ def test_decode_features_mixed_formats_through_spark(spark, rgb_2x3):
     # rgb_2x3 means: r=(255+10+40+70)/6=62, g=(255+20+50+80)/6=67,
     # b=(255+30+60+90)/6=72 (int truncation)
     assert (got[1].mean_r, got[1].mean_g, got[1].mean_b) == (62, 67, 72)
+
+
+def test_ppm_crlf_after_maxval_decodes_exactly(rgb_2x3):
+    # Windows tooling emits \r\n where the spec wants one whitespace
+    # byte — the decoder must not shift the raster by one
+    h, w, _ = rgb_2x3.shape
+    payload = f"P6\n{w} {h}\n255\r\n".encode() + rgb_2x3.tobytes()
+    out = decode_image_array(payload)
+    assert (out == rgb_2x3).all()
+
+
+def test_ppm_truncated_raster_raises(rgb_2x3):
+    good = _ppm_bytes(rgb_2x3)
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_image_array(good[:-4])

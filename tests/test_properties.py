@@ -203,12 +203,23 @@ def test_strip_comments_preserves_escaped_quote_literals(body):
 @settings(max_examples=300, deadline=None)
 @given(sql=_SQLISH_ESC)
 def test_rewrite_reference_sums_never_crashes(sql):
-    # arbitrary near-SQL with backslashes/quotes: returns None or str,
-    # and a returned rewrite never re-rewrites (fixpoint — the emitted
-    # CAST(SUM(...)) contains no reference-sum call)
+    # arbitrary near-SQL with backslashes/quotes: returns None or str
     from datafusion_gpu_spark.dialect import rewrite_reference_sums
 
     out = rewrite_reference_sums(sql)
     assert out is None or isinstance(out, str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(arg=st.text(alphabet=list("abc x1+*"), min_size=1, max_size=20),
+       tail=_SQLISH_ESC)
+def test_rewrite_reference_sums_fixpoint_on_real_calls(arg, tail):
+    # interpolate a REAL reference-sum call (the raw alphabet cannot
+    # spell one): a successful rewrite must be a fixpoint — the emitted
+    # CAST(SUM(...)) contains no rewritable call
+    from datafusion_gpu_spark.dialect import rewrite_reference_sums
+
+    sql = f"SELECT sum_cudarc({arg}) AS s FROM t {tail}"
+    out = rewrite_reference_sums(sql)
     if out is not None:
-        assert rewrite_reference_sums(out) is None or "sum_cudarc(" in sql.lower()
+        assert rewrite_reference_sums(out) is None

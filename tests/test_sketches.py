@@ -95,3 +95,32 @@ def test_incremental_dedup_bloom_equals_exact(spark):
              for r in incremental_dedup_bloom(history, batch).collect()}
     assert bloom == exact
     assert len(exact) == 101  # 100 novel + one twin keeper
+
+
+def test_heavy_hitters_rejects_threshold_below_guarantee(spark):
+    df = spark.createDataFrame([("a",)], "item string")
+    with pytest.raises(ValueError, match="guarantee"):
+        heavy_hitters(df, "item", k=10, threshold_fraction=0.01)
+
+
+def test_bloom_non_string_columns_probe_consistently(spark):
+    # build and probe must hash the same (Spark-cast) representation:
+    # booleans and doubles used to false-negative under pandas str()
+    from datafusion_gpu_spark.operators.sketches import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    vals = spark.createDataFrame(
+        [(True, 0.0001), (False, 1.5)], "b boolean, d double"
+    )
+    for col in ("b", "d"):
+        bits = bloom_build(vals, col, n_bits=1 << 16, k=5)
+        probed = bloom_might_contain(vals, col, bits, k=5)
+        assert probed.where("NOT might_contain").count() == 0, col
+    # NULLs probe False (never inserted)
+    withnull = spark.createDataFrame([(None,), ("x",)], "s string")
+    bits = bloom_build(withnull, "s", n_bits=1 << 16, k=5)
+    got = {r.s: r.might_contain
+           for r in bloom_might_contain(withnull, "s", bits, k=5).collect()}
+    assert got["x"] is True and got[None] is False

@@ -299,3 +299,22 @@ def test_scd2_history_validity_chain(spark):
            | (F.col("effective_to") > F.lit("2024-02-15").cast("timestamp")))
     ).collect()
     assert len(asof) == 1 and asof[0].tier == "silver"
+
+
+def test_scd2_duplicate_ts_without_tiebreak_raises(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.events import scd2_history
+
+    log = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:00", "a"), ("u1", "2024-01-01 00:00:00", "b")],
+        "user string, ts_s string, tier string",
+    ).select("user", F.col("ts_s").cast("timestamp").alias("ts"), "tier")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="nondeterministic"):
+        scd2_history(log, ["user"], "ts").collect()
+    # a tiebreak makes the same input legal and deterministic
+    hist = scd2_history(log, ["user"], "ts", tiebreak_col="tier").collect()
+    cur = [r.tier for r in hist if r.is_current]
+    assert cur == ["b"]  # 'b' sorts after 'a' -> current
