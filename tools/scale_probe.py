@@ -222,10 +222,61 @@ def probe_merge(spark, sizes: list[int]) -> None:
         assert n_updated == expected_updated, (n_updated, expected_updated)
 
 
+def probe_bloom_dedup(spark, sizes: list[int]) -> None:
+    """incremental_dedup vs its Bloom-prefiltered spelling at growing
+    history size: outputs must be IDENTICAL (no false negatives), and
+    the probe reports how much of the batch the filter keeps away from
+    the anti-join (the point of the optimization: at mostly-novel
+    ingest only false positives + true dups reach the join)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.dedup import (
+        incremental_dedup,
+        incremental_dedup_bloom,
+    )
+
+    for n in sizes:
+        history = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("seen doc "), F.col("id")).alias("text"),
+        )
+        n_batch = n // 5
+        # 10% dups of history, 90% novel
+        batch = spark.range(n_batch).select(
+            (F.col("id") + 10_000_000).alias("doc_id"),
+            F.when(
+                F.col("id") % 10 == 0,
+                F.concat(F.lit("seen doc "), F.col("id")),
+            ).otherwise(
+                F.concat(F.lit("novel doc "), F.col("id"))
+            ).alias("text"),
+        )
+        t0 = _t.perf_counter()
+        exact = incremental_dedup(history, batch)
+        n_exact = exact.count()
+        t_exact = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        bloom = incremental_dedup_bloom(history, batch)
+        n_bloom = bloom.count()
+        t_bloom = _t.perf_counter() - t0
+        assert n_exact == n_bloom, (n_exact, n_bloom)
+        diff = exact.join(bloom, ["content_key", "doc_id"], "left_anti").count()
+        assert diff == 0, diff
+        expected = n_batch - (n_batch + 9) // 10  # novel batch rows
+        assert n_exact == expected, (n_exact, expected)
+        print(
+            f"n_history={n} n_batch={n_batch} survivors={n_exact} "
+            f"(expected {expected}) exact={t_exact:.1f}s bloom={t_bloom:.1f}s",
+            flush=True,
+        )
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -246,6 +297,9 @@ def main() -> int:
         return 0
     if op == "merge":
         probe_merge(spark, sizes if args else [1_000_000, 10_000_000])
+        return 0
+    if op == "bloom":
+        probe_bloom_dedup(spark, sizes if args else [1_000_000, 5_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
