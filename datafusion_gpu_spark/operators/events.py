@@ -356,6 +356,16 @@ def multi_resolution_rollup(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col(value_col)).alias("sum_value"),
     )
+    return rollup_tiers_from_minute(minute)
+
+
+def rollup_tiers_from_minute(minute: DataFrame) -> DataFrame:
+    """Derive the hour/day tiers from a MINUTE-partial relation and tag
+    all three — the reaggregation half of the continuous aggregate,
+    shared by the batch operator above and the streaming twin
+    (streaming.materialized_multi_rollup), which persists the minute
+    tier from the stream and derives coarser tiers from those partials
+    in batch — exactly the production split."""
     hour = minute.groupBy(
         F.date_trunc("hour", "bucket").alias("bucket"), "event_type"
     ).agg(

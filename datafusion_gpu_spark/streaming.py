@@ -391,3 +391,37 @@ def stream_user_value_ema(
         outputMode="update",
         timeMode="none",
     )
+
+
+def stream_minute_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming HALF of the continuous aggregate: one watermarked
+    minute-tier aggregation over the event stream (streaming allows one
+    stateful aggregation per query without multi-operator append-mode
+    gymnastics — which is fine, because the minute tier is the only
+    tier production streams; coarser tiers reaggregate its partials in
+    batch)."""
+    ev = stream_events(spark, sf_dir)
+    return (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.date_trunc("minute", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
+def materialized_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events.multi_resolution_rollup, split the way a
+    production hypertable splits it: the STREAM maintains the minute
+    tier (complete state through the idempotent foreachBatch parquet
+    sink); hour/day derive from those persisted minute PARTIALS in
+    batch (events.rollup_tiers_from_minute — the identical reaggregation
+    the batch operator uses). Output shape matches the batch twin, so
+    the same three-tier DuckDB oracle grades it."""
+    from datafusion_gpu_spark.operators.events import rollup_tiers_from_minute
+
+    minute = materialize_stream(
+        stream_minute_counts(spark, sf_dir), output_mode="complete"
+    ).select("bucket", "event_type", "n_events", "sum_value")
+    return rollup_tiers_from_minute(minute)

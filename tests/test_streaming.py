@@ -318,3 +318,19 @@ def test_scd2_duplicate_ts_without_tiebreak_raises(spark):
     hist = scd2_history(log, ["user"], "ts", tiebreak_col="tier").collect()
     cur = [r.tier for r in hist if r.is_current]
     assert cur == ["b"]  # 'b' sorts after 'a' -> current
+
+
+def test_streaming_multi_rollup_equals_batch(spark):
+    from datafusion_gpu_spark.operators.events import multi_resolution_rollup
+    from datafusion_gpu_spark.streaming import materialized_multi_rollup
+
+    from datafusion_gpu_spark.context import read_parquet
+
+    sf_dir = "/root/testdata/sf0.001"
+    batch = multi_resolution_rollup(
+        read_parquet(spark, f"{sf_dir}/events.parquet")
+    )
+    stream = materialized_multi_rollup(spark, sf_dir)
+    b = {tuple(r) for r in batch.collect()}
+    s = {tuple(r) for r in stream.collect()}
+    assert b == s and len(b) > 0
