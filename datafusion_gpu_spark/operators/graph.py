@@ -8,9 +8,11 @@ signal). Connected components (dedup.connected_components) answers
 
 Spark-first shape, same contract as the components operator:
 
-- the edge/out-degree table is computed ONCE, cached, and reused by all
-  iterations — per-round cost is one equality join on ``src`` plus one
-  hash aggregation on ``dst``, both O(|E|) shuffles on a derived key;
+- the deduped edge list and the node/out-degree relation are each
+  materialized ONCE (two setup jobs total: one edge distinct, one
+  shuffle producing both the node set and out-degrees) and reused by
+  all iterations — per-round cost is one equality join on ``src`` plus
+  one hash aggregation on ``dst``, both O(|E|) at most;
 - iteration count is FIXED (power iteration to a chosen depth), so
   lineage depth is bounded; each round still truncates lineage via
   checkpoint (cluster: ``setCheckpointDir`` -> fault-tolerant
@@ -46,10 +48,11 @@ def pagerank(
     rank_0(v)   = 1 / N
     rank_i+1(v) = (1 - d) / N + d * SUM over u->v of rank_i(u) / outdeg(u)
 
-    The weighted-edge table is materialized ONCE; each round is one
-    join (rank onto edges) plus one hash aggregation on ``dst`` with
-    map-side partial sums — a celebrity node costs one partial row per
-    upstream partition, not a single-reducer hot key.
+    Each round folds ``rank(u)/outdeg(u)`` into the |V|-row rank
+    relation (no O(|E|) weighted-edge table ever materializes), joins it
+    onto the deduped edges and hash-aggregates on ``dst`` with map-side
+    partial sums — a celebrity node costs one partial row per upstream
+    partition, not a single-reducer hot key.
 
     ``broadcast_ranks`` (default True) broadcasts the |V|-row rank
     vector into the edge join, so the O(|E|) edge table is NEVER
@@ -62,30 +65,40 @@ def pagerank(
     from datafusion_gpu_spark.operators.util import lineage_truncator
 
     ckpt = lineage_truncator(edges.sparkSession.sparkContext)
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
+    # setup is TWO materializations (was three): the deduped edge list,
+    # then one shuffle that yields BOTH the node set and the out-degrees
+    # (sources contribute 1, destinations 0 — every endpoint appears).
+    # The 1/outdeg edge weight never materializes as an O(|E|) table:
+    # it rides the |V|-row rank relation into each round's join instead.
+    e = ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     )
-    nodes = ckpt(nodes)
+    nodes_deg = ckpt(
+        e.select(F.col("src").alias("node"), F.lit(1).alias("out"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("out")))
+        .groupBy("node")
+        .agg(F.sum("out").cast("double").alias("outdeg"))
+    )
+    nodes = nodes_deg.select("node")
     # one-row broadcast with the teleport constants — no driver collect
     n_row = F.broadcast(nodes.agg(F.count(F.lit(1)).cast("double").alias("n")))
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
-    w_edges = ckpt(
-        e.join(outdeg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-        )
-    )
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
     maybe_bcast = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
+        # rank(u)/outdeg(u) on the |V|-row side; dst-only nodes (outdeg
+        # 0) can never match an e.src, so dropping them just shrinks the
+        # broadcast
+        rank_w = (
+            ranks.join(nodes_deg, "node")
+            .where(F.col("outdeg") > 0)
+            .select("node", (F.col("rank") / F.col("outdeg")).alias("rw"))
+        )
         contribs = (
-            w_edges.join(maybe_bcast(ranks), w_edges["src"] == ranks["node"])
+            e.join(maybe_bcast(rank_w), e["src"] == rank_w["node"])
             .groupBy("dst")
-            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
+            .agg(F.sum("rw").alias("contrib"))
         )
         ranks = ckpt(
             nodes.join(

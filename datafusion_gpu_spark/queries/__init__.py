@@ -41,10 +41,12 @@ def sql_query(statement: str) -> QueryFn:
 
 # Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — 49 entries as of round 4: 48 never-driver-checked (39 carried
-# from r3 + 9 round-4 additions) plus the sim_quantize_int8 re-check (its r3
-# row was red, so it stays OUT) — are surfaced first until every query has a
-# green driver row; 49 of the round's 50 slots, one spare.
+# this set — 53 entries as of round 4: 48 never-driver-checked (39 carried
+# from r3 + 9 round-4 additions), the sim_quantize_int8 re-check (its r3
+# row was red, so it stays OUT), and the 4 _LATE_FRESH additions below —
+# are surfaced first until every query has a green driver row. The late
+# tier sorts after the pre-committed 49, so round 4 checks those 49 plus
+# events_scd2_history; the other 3 late entries wait for round 5.
 _DRIVER_CHECKED = frozenset({
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",
@@ -87,6 +89,18 @@ _DRIVER_CHECKED = frozenset({
 #: Rows-only entries (no oracle — weaker driver check) can wait a round.
 _ROWS_ONLY = frozenset({"explain_plan", "agg_approximate"})
 
+#: Gate entries added AFTER round 4's 50-slot budget was committed to the
+#: 48 never-checked + 1 re-check set above: these sort LAST among fresh
+#: entries so they consume only spare slots (one this round, the rest in
+#: round 5) and can never displace a longer-waiting query. Listed in the
+#: order they should claim spare slots.
+_LATE_FRESH = (
+    "events_scd2_history",
+    "dedup_incremental_bloom",
+    "text_heavy_hitters",
+    "streaming_multi_rollup",
+)
+
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never
 #: checked — ahead of the pipeline operators, which come ahead of variant
 #: spellings whose siblings are already driver-green.
@@ -99,6 +113,9 @@ _PIPELINE_PREFIXES = ("dedup_", "sim_", "retrieval_", "text_", "curation_", "gra
 
 
 def _gate_priority(name: str) -> int:
+    if name in _LATE_FRESH:
+        # after every pre-committed fresh tier; ordered within the tier
+        return 4 + _LATE_FRESH.index(name)
     if name in _ROWS_ONLY:
         return 3
     if name.startswith(_CORE_PREFIXES):

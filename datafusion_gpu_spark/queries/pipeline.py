@@ -868,7 +868,77 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
 
 
+def _events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 compaction of the purchase stream: one row per
+    (user, version) with effective_from/effective_to validity bounds and
+    an is_current flag — CDC replay into point-in-time-queryable history
+    (events.scd2_history). One keyed window, one hash shuffle; the
+    oracle replays the identical LEAD() over (user ORDER BY ts,
+    event_id)."""
+    load(spark, sf_dir)
+    changes = (
+        spark.table("events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
+    )
+    hist = events.scd2_history(
+        changes, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
+    )
+    return hist.select(
+        "user_id", "event_id", "value",
+        "effective_from", "effective_to", "is_current",
+    )
+
+
+def _dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered spelling of incremental ingest dedup — MUST
+    produce byte-identical output to dedup_incremental (a Bloom filter
+    has no false negatives), so the two entries share one oracle. The
+    filter builds distributively (per-partition bit arrays OR-merged,
+    one broadcast) and only the Bloom-positive batch slice reaches the
+    anti-join."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    history = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return dedup.incremental_dedup_bloom(history, batch, n_bits=1 << 20, k=5)
+
+
+def _text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary heavy hitters over whitespace tokens: distributed
+    Misra-Gries partials (one scan, k counters/partition) + the
+    mergeable-summaries decrement + an exact verification count — the
+    result equals the brute-force 'tokens above total/k' answer exactly,
+    which is precisely what the DuckDB oracle computes."""
+    from datafusion_gpu_spark.operators import sketches
+
+    load(spark, sf_dir)
+    toks = (
+        spark.table("documents")
+        .select(F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"))
+        .where(F.col("token") != "")
+    )
+    hh = sketches.heavy_hitters(toks, "token", k=40)
+    return hh.select(F.col("item").alias("token"), "n")
+
+
+def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming half of the continuous aggregate through the gate: the
+    stream maintains the minute tier (idempotent foreachBatch sink);
+    hour/day reaggregate those persisted minute partials with the SAME
+    rollup_tiers_from_minute the batch operator uses — graded by the
+    identical three-tier oracle as events_multi_rollup."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_multi_rollup(spark, sf_dir)
+
+
 QUERIES = {
+    "events_scd2_history": _events_scd2_history,
+    "dedup_incremental_bloom": _dedup_incremental_bloom,
+    "text_heavy_hitters": _text_heavy_hitters,
+    "streaming_multi_rollup": _streaming_multi_rollup,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2170,4 +2240,28 @@ r AS (
 SELECT l.user_id, l.event_id AS left_id, r.event_id AS prior_right_id
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts
 """,
+    "events_scd2_history": """
+SELECT user_id, event_id, ROUND(value, 2) AS value,
+       ts AS effective_from,
+       LEAD(ts) OVER w AS effective_to,
+       (LEAD(ts) OVER w IS NULL) AS is_current
+FROM events WHERE event_type = 'purchase'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "text_heavy_hitters": """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+  FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT token, n FROM c WHERE n > (SELECT SUM(n) FROM c) / 40.0
+""",
 }
+
+# Spellings contracted to produce byte-identical output to an existing
+# entry share that entry's oracle verbatim: a Bloom prefilter has no
+# false negatives, and the streaming rollup materializes the same three
+# tiers the batch operator computes.
+ORACLES["dedup_incremental_bloom"] = ORACLES["dedup_incremental"]
+ORACLES["streaming_multi_rollup"] = ORACLES["events_multi_rollup"]
