@@ -440,3 +440,95 @@ def scd2_history(
         .withColumn("effective_to", nxt)
         .withColumn("is_current", nxt.isNull())
     )
+
+
+# -- funnel & cohort analytics ----------------------------------------------
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, stage, users): how many users completed each prefix of the
+    ordered funnel ``steps`` — a user counts for step i only if they hit
+    every earlier stage first, each at a STRICTLY later timestamp than
+    the previous conversion (the standard product-analytics funnel).
+
+    ONE keyed shuffle does all stages: per user, the first stage
+    contributes a conditional ``min(ts)`` and every later stage a sorted
+    timestamp array; conversion times then chain as
+    ``t_i = array_min(filter(ts_i, x -> x > t_{i-1}))`` — pure codegen,
+    no window, no self-join, no Python. Per-user state is the user's own
+    event timestamps for the funnel types (the same per-key bound
+    sessionize already assumes). A final one-row aggregation + explode
+    emits the per-stage user counts. At 100 TB: one hash shuffle on
+    ``user_col`` (AQE handles skew), then a driver-sized result.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel needs at least two stages")
+    aggs = [
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t_0")
+    ]
+    for i, s in enumerate(steps[1:], start=1):
+        aggs.append(
+            F.sort_array(
+                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
+            ).alias(f"ts_{i}")
+        )
+    g = (
+        events.where(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(*aggs)
+    )
+    for i in range(1, len(steps)):
+        prev = F.col(f"t_{i - 1}")
+        g = g.withColumn(
+            f"t_{i}",
+            F.array_min(F.filter(F.col(f"ts_{i}"), lambda x: x > prev)),
+        )
+    counts = g.agg(
+        *[F.count(F.col(f"t_{i}")).alias(f"c_{i}") for i in range(len(steps))]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("stage"),
+                F.col(f"c_{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("r")).select("r.*")
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_day, day_offset, users): the classic retention triangle —
+    users grouped by first-seen calendar day, counted on each later day
+    they were active. Three bounded shuffles: first-seen per user (one
+    keyed agg), distinct (user, day) activity (one agg — dedups the raw
+    events down to at most |U| x days rows BEFORE the join), then the
+    cohort/offset rollup. The activity->cohort join is keyed on
+    ``user_col`` and co-partitioned with the first-seen agg's output, so
+    at 100 TB the only big shuffle is the initial per-user one.
+    """
+    firsts = events.groupBy(user_col).agg(
+        F.to_date(F.min(ts_col)).alias("cohort_day")
+    )
+    active = events.select(
+        user_col, F.to_date(ts_col).alias("day")
+    ).distinct()
+    return (
+        active.join(firsts, user_col)
+        .groupBy(
+            "cohort_day", F.datediff("day", "cohort_day").alias("day_offset")
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

@@ -99,6 +99,8 @@ _LATE_FRESH = (
     "dedup_incremental_bloom",
     "text_heavy_hitters",
     "streaming_multi_rollup",
+    "events_funnel",
+    "events_retention",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

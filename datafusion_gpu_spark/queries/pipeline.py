@@ -934,11 +934,33 @@ def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_multi_rollup(spark, sf_dir)
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase, each stage
+    strictly after the previous conversion: one keyed shuffle builds
+    per-user conditional min + sorted stage-timestamp arrays, the
+    t_i = array_min(filter(ts_i, > t_{i-1})) chain stays in codegen.
+    The oracle replays the equivalent chained min-after-prior CTEs."""
+    load(spark, sf_dir)
+    return events.funnel_counts(
+        spark.table("events"), steps=["view", "click", "purchase"]
+    )
+
+
+def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day,
+    counted per later active day (events.cohort_retention). Bounded
+    keyed shuffles only; the oracle is the direct two-CTE SQL."""
+    load(spark, sf_dir)
+    return events.cohort_retention(spark.table("events"))
+
+
 QUERIES = {
     "events_scd2_history": _events_scd2_history,
     "dedup_incremental_bloom": _dedup_incremental_bloom,
     "text_heavy_hitters": _text_heavy_hitters,
     "streaming_multi_rollup": _streaming_multi_rollup,
+    "events_funnel": _events_funnel,
+    "events_retention": _events_retention,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -1060,7 +1082,7 @@ SELECT doc_id,
        CAST((7 * doc_id) % 256 AS INT) AS mean_b
 FROM documents WHERE doc_id < 300
 """,
-    "dedup_incremental": """
+    "dedup_incremental": r"""
 WITH hist AS (
   SELECT DISTINCT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS content_key
   FROM documents WHERE doc_id % 10 < 8
@@ -2248,7 +2270,7 @@ SELECT user_id, event_id, ROUND(value, 2) AS value,
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """,
-    "text_heavy_hitters": """
+    "text_heavy_hitters": r"""
 WITH toks AS (
   SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
   FROM documents
@@ -2256,6 +2278,39 @@ WITH toks AS (
   SELECT token, COUNT(*) AS n FROM toks WHERE token <> '' GROUP BY token
 )
 SELECT token, n FROM c WHERE n > (SELECT SUM(n) FROM c) / 40.0
+""",
+    "events_funnel": """
+WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t1 FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS stage, (SELECT COUNT(*) FROM s0) AS users
+UNION ALL
+SELECT 2, 'click', (SELECT COUNT(*) FROM s1)
+UNION ALL
+SELECT 3, 'purchase', (SELECT COUNT(*) FROM s2)
+""",
+    "events_retention": """
+WITH f AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER) AS day_offset,
+       COUNT(*) AS users
+FROM a JOIN f USING (user_id)
+GROUP BY f.cohort_day, day_offset
 """,
 }
 

@@ -1,0 +1,94 @@
+"""Funnel and cohort-retention analytics (operators/events.py).
+
+Planted scenarios pin the strict-ordering semantics (a stage counts only
+when it happens strictly AFTER the previous conversion) and the cohort
+triangle's invariants; the sf-data oracle equality lives in the gate
+(events_funnel / events_retention in queries/pipeline.py).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from datafusion_gpu_spark.operators.events import cohort_retention, funnel_counts
+
+
+def _ev(uid, t, typ):
+    return (uid, datetime(2024, 1, 1 + t // 24, t % 24), typ)
+
+
+def _funnel_df(spark, rows):
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+
+
+def test_funnel_strict_ordering(spark):
+    rows = [
+        # u1 converts fully in order
+        _ev(1, 0, "view"), _ev(1, 1, "click"), _ev(1, 2, "purchase"),
+        # u2 clicked BEFORE viewing -> counts for view only
+        _ev(2, 1, "click"), _ev(2, 2, "view"),
+        # u3 views and clicks, purchase precedes the click -> stops at click
+        _ev(3, 0, "view"), _ev(3, 1, "purchase"), _ev(3, 2, "click"),
+        # u4 never views -> counts nowhere
+        _ev(4, 0, "click"), _ev(4, 1, "purchase"),
+        # u5 re-clicks after an early click; the late click still converts
+        _ev(5, 2, "view"), _ev(5, 0, "click"), _ev(5, 3, "click"),
+        _ev(5, 4, "purchase"),
+    ]
+    out = funnel_counts(
+        _funnel_df(spark, rows), steps=["view", "click", "purchase"]
+    ).collect()
+    by_stage = {r["stage"]: (r["step"], r["users"]) for r in out}
+    assert by_stage == {"view": (1, 4), "click": (2, 3), "purchase": (3, 2)}
+
+
+def test_funnel_tie_timestamps_do_not_convert(spark):
+    # click at the SAME instant as the first view is not strictly after
+    rows = [_ev(1, 0, "view"), _ev(1, 0, "click")]
+    out = funnel_counts(_funnel_df(spark, rows), steps=["view", "click"]).collect()
+    assert {r["stage"]: r["users"] for r in out} == {"view": 1, "click": 0}
+
+
+def test_funnel_counts_monotone_nonincreasing(spark):
+    from datafusion_gpu_spark.context import register_tables
+    from tests.conftest import SF_DIR
+
+    register_tables(spark, SF_DIR)
+    out = funnel_counts(
+        spark.table("events"), steps=["view", "click", "purchase", "error"]
+    ).orderBy("step").collect()
+    users = [r["users"] for r in out]
+    assert users == sorted(users, reverse=True)
+    assert len(out) == 4 and out[0]["users"] > 0
+
+
+def test_retention_triangle_planted(spark):
+    rows = [
+        # u1 first seen Jan 1, returns Jan 2 and Jan 4 (two events Jan 2
+        # must count once)
+        _ev(1, 0, "view"), _ev(1, 25, "click"), _ev(1, 26, "view"),
+        _ev(1, 3 * 24, "view"),
+        # u2 first seen Jan 2 only
+        _ev(2, 25, "view"),
+    ]
+    out = cohort_retention(_funnel_df(spark, rows)).collect()
+    got = {(str(r["cohort_day"]), r["day_offset"]): r["users"] for r in out}
+    assert got == {
+        ("2024-01-01", 0): 1,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 3): 1,
+        ("2024-01-02", 0): 1,
+    }
+
+
+def test_retention_offset_zero_counts_every_user(spark):
+    from datafusion_gpu_spark.context import register_tables
+    from tests.conftest import SF_DIR
+
+    register_tables(spark, SF_DIR)
+    ev = spark.table("events")
+    out = cohort_retention(ev)
+    day0 = out.where("day_offset = 0").agg({"users": "sum"}).collect()[0][0]
+    n_users = ev.select("user_id").distinct().count()
+    assert day0 == n_users
+    assert out.where("day_offset < 0").count() == 0
