@@ -101,6 +101,7 @@ _LATE_FRESH = (
     "streaming_multi_rollup",
     "events_funnel",
     "events_retention",
+    "streaming_stream_stream_join",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

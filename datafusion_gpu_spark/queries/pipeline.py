@@ -934,6 +934,17 @@ def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_multi_rollup(spark, sf_dir)
 
 
+def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join (view -> purchase attribution
+    within 1 hour) through the idempotent append sink; inner rows emit
+    exactly once, so the read-back equals the batch interval self-join
+    the oracle runs."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_view_purchase_join(spark, sf_dir)
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase, each stage
     strictly after the previous conversion: one keyed shuffle builds
@@ -961,6 +972,7 @@ QUERIES = {
     "streaming_multi_rollup": _streaming_multi_rollup,
     "events_funnel": _events_funnel,
     "events_retention": _events_retention,
+    "streaming_stream_stream_join": _streaming_stream_stream_join,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2311,6 +2323,16 @@ SELECT f.cohort_day,
        COUNT(*) AS users
 FROM a JOIN f USING (user_id)
 GROUP BY f.cohort_day, day_offset
+""",
+    "streaming_stream_stream_join": """
+SELECT v.user_id, v.event_id AS view_id, v.ts AS view_ts,
+       p.event_id AS purchase_id, p.ts AS purchase_ts
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
 """,
 }
 

@@ -181,6 +181,65 @@ def stream_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_view_purchase_join(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join with an event-time range condition: each
+    view pairs with every purchase by the same user that lands within
+    ``horizon`` after it — attribution, the canonical two-stream shape.
+
+    Both sides carry watermarks and the join predicate bounds
+    ``purchase_ts`` to [view_ts, view_ts + horizon], so Spark can expire
+    buffered state: a view older than watermark+horizon can never match
+    a future purchase and is dropped from the state store. Inner-join
+    rows emit exactly once when matched — the append-mode output equals
+    the batch interval self-join row-for-row, which is what the gate's
+    DuckDB oracle replays.
+    """
+    views = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (views["user_id"] == purchases["p_user_id"])
+        & (purchases["purchase_ts"] >= views["view_ts"])
+        & (
+            purchases["purchase_ts"]
+            <= views["view_ts"] + F.expr(f"INTERVAL {horizon}")
+        ),
+        "inner",
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+
+
+def materialized_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream attribution join materialized through the
+    idempotent append sink; must equal the batch interval self-join
+    row-for-row (same full-row DuckDB oracle)."""
+    return materialize_stream(
+        stream_view_purchase_join(spark, sf_dir), output_mode="append"
+    ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
+
+
 def stream_to_parquet(
     df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
 ) -> "object":

@@ -334,3 +334,37 @@ def test_streaming_multi_rollup_equals_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     s = {tuple(r) for r in stream.collect()}
     assert b == s and len(b) > 0
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    # watermarked stream-stream inner join == batch interval self-join,
+    # and every (view, purchase) pair emits exactly once
+    from tests.conftest import SF_DIR
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.streaming import materialized_view_purchase_join
+
+    register_tables(spark, SF_DIR)
+    got = materialized_view_purchase_join(spark, SF_DIR)
+    pairs = [(r["view_id"], r["purchase_id"]) for r in got.collect()]
+    assert len(pairs) == len(set(pairs))  # exactly-once per matched pair
+
+    ev = spark.table("events")
+    v = ev.where("event_type = 'view'")
+    p = ev.where("event_type = 'purchase'")
+    batch = v.alias("v").join(
+        p.alias("p"),
+        (F.col("v.user_id") == F.col("p.user_id"))
+        & (F.col("p.ts") >= F.col("v.ts"))
+        & (F.col("p.ts") <= F.col("v.ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    expected = {
+        (r["view_id"], r["purchase_id"])
+        for r in batch.select(
+            F.col("v.event_id").alias("view_id"),
+            F.col("p.event_id").alias("purchase_id"),
+        ).collect()
+    }
+    assert set(pairs) == expected and len(expected) > 0
