@@ -532,3 +532,60 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def transition_counts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(src_type, dst_type, n): the first-order Markov transition matrix
+    of the event stream — for each user's (ts, tiebreak)-ordered
+    timeline, count consecutive event-type pairs. One window shuffle on
+    the user key plus one |types|^2-sized aggregation; the per-user
+    ordering is total (tiebreak column), so the matrix is deterministic
+    and an ANSI LEAD() oracle replays it exactly.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    nxt = F.lead(type_col).over(w)
+    return (
+        events.select(F.col(type_col).alias("src_type"), nxt.alias("dst_type"))
+        .where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def top_paths(
+    events: DataFrame,
+    length: int = 3,
+    k: int = 10,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """(path, n): the ``k`` most common ``length``-step event-type
+    sequences across all user timelines (sliding n-grams over each
+    user's total order) — path mining for product analytics and for
+    sequence-frequency pruning in training-data curation. Same shuffle
+    shape as :func:`transition_counts` (one keyed window, one
+    aggregation); the final top-k is a TakeOrderedAndProject, not a full
+    sort. Ties rank deterministically (count desc, then path asc).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, length)
+    ]
+    path = F.concat_ws(" -> ", *cols)
+    complete = F.lead(type_col, length - 1).over(w).isNotNull()
+    return (
+        events.select(path.alias("path"), complete.alias("ok"))
+        .where("ok")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("path"))
+        .limit(k)
+    )

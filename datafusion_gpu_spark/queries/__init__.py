@@ -102,6 +102,8 @@ _LATE_FRESH = (
     "events_funnel",
     "events_retention",
     "streaming_stream_stream_join",
+    "events_transitions",
+    "events_top_paths",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

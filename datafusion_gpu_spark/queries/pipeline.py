@@ -934,6 +934,23 @@ def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_multi_rollup(spark, sf_dir)
 
 
+def _events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    timeline (events.transition_counts); LEAD() oracle, total order via
+    the event_id tiebreak."""
+    load(spark, sf_dir)
+    return events.transition_counts(spark.table("events"))
+
+
+def _events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 3-step event-type paths across user timelines
+    (events.top_paths) — sliding n-grams over a keyed window, then a
+    TakeOrderedAndProject top-k with a deterministic (n desc, path)
+    tie-break the oracle replays."""
+    load(spark, sf_dir)
+    return events.top_paths(spark.table("events"), length=3, k=10)
+
+
 def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked STREAM-STREAM inner join (view -> purchase attribution
     within 1 hour) through the idempotent append sink; inner rows emit
@@ -973,6 +990,8 @@ QUERIES = {
     "events_funnel": _events_funnel,
     "events_retention": _events_retention,
     "streaming_stream_stream_join": _streaming_stream_stream_join,
+    "events_transitions": _events_transitions,
+    "events_top_paths": _events_top_paths,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2333,6 +2352,32 @@ JOIN events p
  AND p.ts >= v.ts
  AND p.ts <= v.ts + INTERVAL 1 HOUR
 WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+""",
+    "events_transitions": """
+WITH t AS (
+  SELECT event_type AS src_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS dst_type
+  FROM events
+)
+SELECT src_type, dst_type, COUNT(*) AS n
+FROM t WHERE dst_type IS NOT NULL
+GROUP BY src_type, dst_type
+""",
+    "events_top_paths": """
+WITH t AS (
+  SELECT event_type AS e0,
+         LEAD(event_type, 1) OVER w AS e1,
+         LEAD(event_type, 2) OVER w AS e2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT e0 || ' -> ' || e1 || ' -> ' || e2 AS path, COUNT(*) AS n
+FROM t WHERE e2 IS NOT NULL
+GROUP BY path
+ORDER BY n DESC, path
+LIMIT 10
 """,
 }
 

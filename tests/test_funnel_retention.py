@@ -92,3 +92,60 @@ def test_retention_offset_zero_counts_every_user(spark):
     n_users = ev.select("user_id").distinct().count()
     assert day0 == n_users
     assert out.where("day_offset < 0").count() == 0
+
+
+def _funnel_reference(rows, steps):
+    """Pure-Python fold: per user, greedily advance through the stages,
+    each conversion strictly after the previous one."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for uid, ts, typ in rows:
+        by_user[uid].append((ts, typ))
+    counts = [0] * len(steps)
+    for evs in by_user.values():
+        evs.sort()
+        t_prev = None
+        for i, stage in enumerate(steps):
+            nxt = min(
+                (ts for ts, typ in evs
+                 if typ == stage and (t_prev is None or ts > t_prev)),
+                default=None,
+            )
+            if nxt is None:
+                break
+            t_prev = nxt
+            counts[i] += 1
+    return {s: c for s, c in zip(steps, counts)}
+
+
+def test_funnel_matches_python_reference_fold(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    steps = ["a", "b", "c"]
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=4),       # user
+                st.integers(min_value=0, max_value=12),      # hour
+                st.sampled_from(["a", "b", "c", "x"]),       # type
+            ),
+            min_size=1, max_size=40,
+        )
+    )
+    def check(rows):
+        data = [_ev(u, t, typ) for u, t, typ in rows]
+        got = {
+            r["stage"]: r["users"]
+            for r in funnel_counts(_funnel_df(spark, data), steps=steps).collect()
+        }
+        assert got == _funnel_reference(
+            [(u, datetime(2024, 1, 1 + t // 24, t % 24), typ) for u, t, typ in rows],
+            steps,
+        )
+
+    check()
