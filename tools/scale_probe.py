@@ -273,10 +273,69 @@ def probe_bloom_dedup(spark, sizes: list[int]) -> None:
         )
 
 
+def probe_funnel(spark, sizes: list[int]) -> None:
+    """funnel_counts + transition_counts at growing |events| with a
+    planted per-user cycle (view, click, purchase, error, scroll, ...):
+    every user owns n/u consecutive sequence slots, so every user
+    completes the full funnel and the expected stage counts are exactly
+    u at EVERY size — wall time must scale ~linearly (one keyed shuffle
+    each), and the transition total is exactly n - u."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.events import (
+        funnel_counts,
+        transition_counts,
+    )
+
+    types = F.array(
+        F.lit("view"), F.lit("click"), F.lit("purchase"),
+        F.lit("error"), F.lit("scroll"),
+    )
+    for n in sizes:
+        u = max(n // 100, 1)
+        seq = F.col("id") / F.lit(u)
+        ev = (
+            spark.range(n)
+            .select(
+                (F.col("id") % u).alias("user_id"),
+                F.col("id").alias("event_id"),
+                F.timestamp_seconds((seq.cast("long") * 60)).alias("ts"),
+                F.element_at(
+                    types, (seq.cast("long") % 5 + 1).cast("int")
+                ).alias("event_type"),
+            )
+            .repartition(32)
+            .cache()
+        )
+        ev.count()
+        t0 = _t.perf_counter()
+        got = {
+            r["stage"]: r["users"]
+            for r in funnel_counts(
+                ev, steps=["view", "click", "purchase"]
+            ).collect()
+        }
+        dt_f = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        total = transition_counts(ev).agg(F.sum("n")).collect()[0][0]
+        dt_t = _t.perf_counter() - t0
+        print(
+            f"n={n} users={u} funnel={got} funnel_time={dt_f:.1f}s "
+            f"transitions={total} trans_time={dt_t:.1f}s "
+            f"rate={n / (dt_f + dt_t):.0f} events/s",
+            flush=True,
+        )
+        assert got == {"view": u, "click": u, "purchase": u}, got
+        assert total == n - u, (total, n - u)
+        ev.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -300,6 +359,9 @@ def main() -> int:
         return 0
     if op == "bloom":
         probe_bloom_dedup(spark, sizes if args else [1_000_000, 5_000_000])
+        return 0
+    if op == "funnel":
+        probe_funnel(spark, sizes if args else [1_000_000, 4_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
