@@ -104,6 +104,7 @@ _LATE_FRESH = (
     "streaming_stream_stream_join",
     "events_transitions",
     "events_top_paths",
+    "sim_pca_contract",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never
