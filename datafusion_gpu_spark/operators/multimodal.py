@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -292,3 +293,106 @@ def decode_features(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, DECODED_SCHEMA)
+
+
+# -- audio: pure-NumPy RIFF/WAV PCM16 codec ---------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", IntegerType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer for 16-bit PCM: ``samples`` is an
+    (n, channels) int16 array (or (n,) for mono). No audio library —
+    the container format is 44 bytes of little-endian struct fields."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    data = s.tobytes()  # interleaved frames, little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, ch, sample_rate, byte_rate, ch * 2, 16
+    )
+    body = fmt + struct.pack("<4sI", b"data", len(data)) + data
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Parse a RIFF/WAVE container and return (sample_rate, samples)
+    with samples shaped (n, channels) int16. Walks the chunk list (so
+    extra chunks like LIST/INFO before ``data`` are fine) and rejects
+    anything but uncompressed 16-bit PCM — a clear error beats a wrong
+    decode."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise NotImplementedError("WAVE missing fmt or data chunk")
+    audio_format, ch, rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise NotImplementedError(
+            f"only PCM16 supported (format={audio_format}, bits={bits})"
+        )
+    s = np.frombuffer(data, dtype="<i2")
+    return rate, s.reshape(-1, ch)
+
+
+def audio_features(binary_df: DataFrame) -> DataFrame:
+    """REAL audio decode over the standard multimodal plumbing: each
+    payload parses executor-side via decode_wav_pcm16 and emits
+    (sample_rate, channels, n_samples, duration_ms, rms, peak) — rms in
+    float64 over all channels, rounded to 4, duration in integer ms.
+    Same scale shape as decode_features: payloads never touch the
+    driver, no shuffle."""
+    import numpy as np
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "sample_rate", "channels", "n_samples",
+                "duration_ms", "rms", "peak",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                rate, s = decode_wav_pcm16(bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["channels"].append(s.shape[1])
+                out["n_samples"].append(s.shape[0])
+                out["duration_ms"].append(s.shape[0] * 1000 // rate)
+                out["rms"].append(
+                    round(float(np.sqrt(np.mean(s.astype(np.float64) ** 2))), 4)
+                )
+                out["peak"].append(int(np.abs(s.astype(np.int64)).max()))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)

@@ -105,6 +105,7 @@ _LATE_FRESH = (
     "events_transitions",
     "events_top_paths",
     "sim_pca_contract",
+    "multimodal_audio",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

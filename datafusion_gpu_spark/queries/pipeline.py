@@ -934,6 +934,46 @@ def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_multi_rollup(spark, sf_dir)
 
 
+def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in the gate: deterministic two-segment square
+    waves (amplitudes A/B and length derived from doc_id) are written as
+    RIFF/WAV PCM16 bytes and decoded executor-side by the built-in
+    pure-NumPy codec (multimodal.decode_wav_pcm16 — no audio library).
+    RMS of the planted signal is exactly sqrt((A^2+B^2)/2), so the
+    DuckDB oracle recomputes every feature arithmetically; a codec bug
+    (header layout, endianness, chunk walk, interleave) breaks the
+    hash."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators import multimodal
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                a = (doc_id * 37) % 20000 + 1000
+                b = (doc_id * 91) % 20000 + 500
+                n = (doc_id % 50) * 8 + 16  # multiple of 8 -> exact ms
+                half = n // 2
+                sig = np.empty(n, dtype=np.int16)
+                sign = np.where(np.arange(half) % 2 == 0, 1, -1)
+                sig[:half] = a * sign
+                sig[half:] = b * sign
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(
+                    multimodal.encode_wav_pcm16(sig, sample_rate=8000)
+                )
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return multimodal.audio_features(binary_df)
+
+
 def _sim_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table (one Gram-partial scan
     + driver eigh + broadcast-GEMM projection), graded by its contract
@@ -1008,6 +1048,7 @@ QUERIES = {
     "events_transitions": _events_transitions,
     "events_top_paths": _events_top_paths,
     "sim_pca_contract": _sim_pca_contract,
+    "multimodal_audio": _multimodal_audio,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2408,6 +2449,23 @@ SELECT CAST(8 AS INTEGER) AS k,
        TRUE AS explained_ratio_ok,
        ROUND(SUM(vp), 6) AS total_var
 FROM pv
+""",
+    "multimodal_audio": """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id * 37) % 20000 + 1000 AS a,
+         (doc_id * 91) % 20000 + 500 AS b,
+         (doc_id % 50) * 8 + 16 AS n
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(1 AS INTEGER) AS channels,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(n / 8 AS INTEGER) AS duration_ms,
+       ROUND(sqrt((CAST(a AS DOUBLE) * a + CAST(b AS DOUBLE) * b) / 2), 4) AS rms,
+       CAST(GREATEST(a, b) AS INTEGER) AS peak
+FROM p
 """,
 }
 

@@ -102,3 +102,80 @@ def test_ppm_truncated_raster_raises(rgb_2x3):
     good = _ppm_bytes(rgb_2x3)
     with pytest.raises(ValueError, match="length mismatch"):
         decode_image_array(good[:-4])
+
+
+def test_wav_pcm16_roundtrip_exact():
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(3)
+    s = rng.integers(-32768, 32767, size=(1000, 2), dtype=np.int16)
+    rate, out = decode_wav_pcm16(encode_wav_pcm16(s, 44100))
+    assert rate == 44100 and out.shape == (1000, 2)
+    assert (out == s).all()  # bit-exact through the container
+
+
+def test_wav_decode_skips_extra_chunks():
+    import struct
+
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    s = np.arange(-5, 6, dtype=np.int16)
+    payload = encode_wav_pcm16(s, 8000)
+    # splice an odd-sized LIST chunk between fmt and data (word-aligned
+    # walk must skip the pad byte)
+    fmt_end = 12 + 8 + 16
+    extra = struct.pack("<4sI", b"LIST", 5) + b"INFOx" + b"\x00"
+    spliced = payload[:fmt_end] + extra + payload[fmt_end:]
+    rate, out = decode_wav_pcm16(spliced)
+    assert rate == 8000 and (out[:, 0] == s).all()
+
+
+def test_wav_decode_rejects_non_pcm():
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from datafusion_gpu_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    payload = bytearray(encode_wav_pcm16(np.zeros(4, dtype=np.int16), 8000))
+    payload[20:22] = struct.pack("<H", 3)  # audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(bytes(payload))
+    with pytest.raises(NotImplementedError):
+        decode_wav_pcm16(b"OggS garbage")
+
+
+def test_audio_features_stereo(spark):
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators.multimodal import (
+        audio_features,
+        encode_wav_pcm16,
+    )
+
+    # stereo: left all +100, right all -200 -> rms over both channels
+    s = np.stack(
+        [np.full(800, 100, np.int16), np.full(800, -200, np.int16)], axis=1
+    )
+    pdf = pd.DataFrame({"doc_id": [1], "payload": [encode_wav_pcm16(s, 16000)]})
+    df = spark.createDataFrame(pdf)
+    [r] = audio_features(df).collect()
+    assert (r["channels"], r["n_samples"], r["duration_ms"]) == (2, 800, 50)
+    assert r["peak"] == 200
+    expected_rms = round(float(np.sqrt((100**2 + 200**2) / 2)), 4)
+    assert r["rms"] == expected_rms
