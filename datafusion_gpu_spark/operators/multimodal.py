@@ -4,11 +4,14 @@ Design (SURVEY §7 Phase 3 / task brief): image/audio/video travel as
 ``binary`` columns with a metadata struct; decode / feature-extraction run
 as Arrow-batched pandas functions over ``mapInPandas`` so each Python
 worker sees a columnar batch (the exact boundary the reference's GPU UDAFs
-use for host->device transfer). The actual codec call is STUBBED — the
-container has no image/audio libraries — behind ``decode_image``; the
-Spark-side plumbing (schema, batch shape, partitioning) is real and
-tested, and ``extract_features`` demonstrates it with a deterministic
-byte-level feature set.
+use for host->device transfer). All three modalities have REAL built-in
+pure-NumPy codecs — P6 PPM / 24-bit BMP images (``decode_image_array``),
+RIFF/WAV PCM16 audio (``decode_wav_pcm16``), YUV4MPEG2 video
+(``decode_y4m``) — so the gate exercises true byte-level decoding with no
+native dependency; Pillow is picked up automatically for arbitrary image
+formats when a deployment ships it (``decode_image``), and
+``extract_features`` keeps the original deterministic byte-level fake as
+the SQL-mirrorable plumbing demo.
 
 Scale notes: payloads never pass through the driver; mapInPandas streams
 Arrow batches executor-side, and the metadata struct lets filters prune
@@ -396,3 +399,111 @@ def audio_features(binary_df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, AUDIO_SCHEMA)
+
+
+# -- video: pure-NumPy YUV4MPEG2 (Y4M) codec + frame sampling ---------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_y", DoubleType()),
+    ]
+)
+
+
+def encode_y4m(frames, fps: int = 25) -> bytes:
+    """Minimal YUV4MPEG2 writer: ``frames`` is a (n, h, w) uint8 array
+    of luma planes; chroma is written flat 128 (C420, quarter-size U/V
+    planes). The container is plain text headers + raw planes — no
+    video library involved."""
+    import numpy as np
+
+    f = np.asarray(frames, dtype=np.uint8)
+    n, h, w = f.shape
+    if w % 2 or h % 2:
+        raise ValueError("C420 needs even dimensions")
+    uv = bytes([128]) * ((w // 2) * (h // 2))
+    out = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C420\n".encode()]
+    for i in range(n):
+        out.append(b"FRAME\n")
+        out.append(f[i].tobytes())
+        out.append(uv)
+        out.append(uv)
+    return b"".join(out)
+
+
+def decode_y4m(payload: bytes):
+    """Parse a YUV4MPEG2 stream: returns (width, height, fps_num,
+    frames) with frames shaped (n, h, w) uint8 — luma planes only
+    (chroma is parsed past, not returned). Only C420 layouts are
+    accepted; frame headers may carry parameters (read to newline)."""
+    import numpy as np
+
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("not a YUV4MPEG2 payload")
+    w = h = fps = None
+    colorspace = "C420"
+    for tok in payload[:nl].split()[1:]:
+        t = tok.decode("ascii", "replace")
+        if t[0] == "W":
+            w = int(t[1:])
+        elif t[0] == "H":
+            h = int(t[1:])
+        elif t[0] == "F":
+            fps = int(t[1:].split(":")[0])
+        elif t[0] == "C":
+            colorspace = t
+    if w is None or h is None:
+        raise NotImplementedError("Y4M header missing W/H")
+    if not colorspace.startswith("C420"):
+        raise NotImplementedError(f"only C420 supported, got {colorspace}")
+    y_size, uv_size = w * h, (w // 2) * (h // 2)
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise NotImplementedError("malformed FRAME header")
+        start = fnl + 1
+        end = start + y_size + 2 * uv_size
+        if end > len(payload):
+            raise NotImplementedError("truncated frame payload")
+        frames.append(
+            np.frombuffer(payload[start : start + y_size], np.uint8).reshape(h, w)
+        )
+        pos = end
+    return w, h, fps, np.stack(frames) if frames else np.empty((0, h, w), np.uint8)
+
+
+def frame_sample(binary_df: DataFrame, every: int = 2) -> DataFrame:
+    """REAL video decode + frame sampling over the standard multimodal
+    plumbing: each Y4M payload parses executor-side (decode_y4m) and
+    every ``every``-th frame emits (frame_idx, width, height, mean
+    luma). The training-data shape: videos stay as opaque binary until
+    the one mapInPandas pass that samples them — payloads never touch
+    the driver, metadata filters prune first, no shuffle."""
+    import numpy as np
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "frame_idx", "width", "height", "mean_y")}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, frames = decode_y4m(bytes(payload))
+                for i in range(0, frames.shape[0], every):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_y"].append(
+                        round(float(frames[i].astype(np.float64).mean()), 4)
+                    )
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

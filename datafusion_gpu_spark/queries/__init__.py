@@ -106,6 +106,7 @@ _LATE_FRESH = (
     "events_top_paths",
     "sim_pca_contract",
     "multimodal_audio",
+    "multimodal_frame_sample",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -974,6 +974,44 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(binary_df)
 
 
+def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode in the gate: deterministic solid-luma Y4M
+    streams (frame count, dimensions, luma derived from doc_id) are
+    encoded and parsed executor-side by the built-in pure-NumPy
+    YUV4MPEG2 codec (multimodal.decode_y4m), sampling every 2nd frame.
+    Solid frames make each sampled frame's mean luma a closed-form
+    integer the DuckDB oracle recomputes; a parser bug (header tokens,
+    plane sizes, frame walk) breaks the hash."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators import multimodal
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 200).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nf = doc_id % 12 + 2
+                w = (doc_id % 3 + 1) * 4
+                h = (doc_id % 2 + 1) * 4
+                frames = np.stack(
+                    [
+                        np.full((h, w), (doc_id * 13 + f * 29) % 256, np.uint8)
+                        for f in range(nf)
+                    ]
+                )
+                rows["doc_id"].append(doc_id)
+                rows["payload"].append(multimodal.encode_y4m(frames))
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return multimodal.frame_sample(binary_df, every=2)
+
+
 def _sim_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table (one Gram-partial scan
     + driver eigh + broadcast-GEMM projection), graded by its contract
@@ -1049,6 +1087,7 @@ QUERIES = {
     "events_top_paths": _events_top_paths,
     "sim_pca_contract": _sim_pca_contract,
     "multimodal_audio": _multimodal_audio,
+    "multimodal_frame_sample": _multimodal_frame_sample,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2466,6 +2505,22 @@ SELECT doc_id,
        ROUND(sqrt((CAST(a AS DOUBLE) * a + CAST(b AS DOUBLE) * b) / 2), 4) AS rms,
        CAST(GREATEST(a, b) AS INTEGER) AS peak
 FROM p
+""",
+    "multimodal_frame_sample": """
+WITH p AS (
+  SELECT doc_id, doc_id % 12 + 2 AS nf,
+         CAST((doc_id % 3 + 1) * 4 AS INTEGER) AS w,
+         CAST((doc_id % 2 + 1) * 4 AS INTEGER) AS h
+  FROM documents WHERE doc_id < 200
+), f AS (
+  SELECT doc_id, w, h,
+         unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+  FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       w AS width, h AS height,
+       ROUND(CAST((doc_id * 13 + frame_idx * 29) % 256 AS DOUBLE), 4) AS mean_y
+FROM f
 """,
 }
 

@@ -179,3 +179,44 @@ def test_audio_features_stereo(spark):
     assert r["peak"] == 200
     expected_rms = round(float(np.sqrt((100**2 + 200**2) / 2)), 4)
     assert r["rms"] == expected_rms
+
+
+def test_y4m_roundtrip_exact():
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(5, 6, 8), dtype=np.uint8)
+    w, h, fps, out = decode_y4m(encode_y4m(frames, fps=30))
+    assert (w, h, fps) == (8, 6, 30)
+    assert (out == frames).all()  # luma survives bit-exact
+
+
+def test_y4m_rejects_non_c420_and_garbage():
+    import numpy as np
+    import pytest
+
+    from datafusion_gpu_spark.operators.multimodal import decode_y4m, encode_y4m
+
+    payload = encode_y4m(np.zeros((1, 4, 4), np.uint8))
+    with pytest.raises(NotImplementedError):
+        decode_y4m(payload.replace(b"C420", b"C444"))
+    with pytest.raises(NotImplementedError):
+        decode_y4m(b"RIFF not a video")
+    with pytest.raises(NotImplementedError):
+        decode_y4m(payload[:-3])  # truncated final frame
+
+
+def test_frame_sample_stride_and_means(spark):
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators.multimodal import encode_y4m, frame_sample
+
+    # 7 frames, mean luma f*10 -> sampled 0,3,6 with exact means
+    frames = np.stack([np.full((4, 4), f * 10, np.uint8) for f in range(7)])
+    pdf = pd.DataFrame({"doc_id": [9], "payload": [encode_y4m(frames)]})
+    out = frame_sample(spark.createDataFrame(pdf), every=3).orderBy("frame_idx")
+    got = [(r["frame_idx"], r["mean_y"]) for r in out.collect()]
+    assert got == [(0, 0.0), (3, 30.0), (6, 60.0)]
