@@ -107,6 +107,7 @@ _LATE_FRESH = (
     "sim_pca_contract",
     "multimodal_audio",
     "multimodal_frame_sample",
+    "source_python_stream",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -934,6 +934,18 @@ def _streaming_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_multi_rollup(spark, sf_dir)
 
 
+def _source_python_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming spelling of the Python Data Source API entry: the
+    custom source's DataSourceStreamReader emits offset-ranged
+    micro-batches with executor-parallel partitions; exactly-once
+    through the append sink means the aggregated read-back equals the
+    generator's SQL replay."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_python_stream_source(spark, sf_dir)
+
+
 def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio decode in the gate: deterministic two-segment square
     waves (amplitudes A/B and length derived from doc_id) are written as
@@ -1088,6 +1100,7 @@ QUERIES = {
     "sim_pca_contract": _sim_pca_contract,
     "multimodal_audio": _multimodal_audio,
     "multimodal_frame_sample": _multimodal_frame_sample,
+    "source_python_stream": _source_python_stream,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2521,6 +2534,19 @@ SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
        w AS width, h AS height,
        ROUND(CAST((doc_id * 13 + frame_idx * 29) % 256 AS DOUBLE), 4) AS mean_y
 FROM f
+""",
+    "source_python_stream": """
+WITH ids AS (SELECT unnest(generate_series(0, 19999)) AS id),
+b AS (
+  SELECT id,
+         CAST('0x' || substring(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT)
+           % 100 AS bucket
+  FROM ids
+)
+SELECT bucket::INT AS bucket, COUNT(*) AS n,
+       ROUND(SUM(bucket / 100.0), 2) AS sum_val,
+       MIN(id) AS min_id
+FROM b GROUP BY 1
 """,
 }
 

@@ -15,7 +15,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class _Range(InputPartition):
@@ -62,7 +67,49 @@ class SynthDataSource(DataSource):
     def reader(self, schema) -> SynthReader:
         return SynthReader(self.options)
 
+    def streamReader(self, schema) -> "SynthStreamReader":
+        return SynthStreamReader(self.options)
+
 
 def register_python_sources(spark) -> None:
     """Idempotent registration of the package's Python data sources."""
     spark.dataSource.register(SynthDataSource)
+
+
+class SynthStreamReader(DataSourceStreamReader):
+    """Streaming half of the same source (Spark 4
+    ``DataSourceStreamReader``): offsets are row positions, each trigger
+    advances by ``batch_rows``, and every micro-batch's offset range
+    splits into InputPartitions — so even the STREAM scan is
+    executor-parallel, not a driver loop. Rows are the same
+    deterministic (id, bucket, val) triples as the batch reader, so one
+    SQL oracle grades both spellings."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.parts = int(options.get("parts", 8))
+        self.batch_rows = int(options.get("batch_rows", 250))
+        self._latest = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._latest = min(self.n, self._latest + self.batch_rows)
+        return {"pos": self._latest}
+
+    def partitions(self, start, end):
+        lo, hi = start["pos"], end["pos"]
+        step = max(1, -(-(hi - lo) // self.parts))
+        return [_Range(a, min(hi, a + step)) for a in range(lo, hi, step)]
+
+    def read(self, partition: _Range):
+        for i in range(partition.start, partition.end):
+            b = _bucket(i)
+            yield (i, b, b / 100.0)
+
+    def commit(self, end):
+        pass
+
+    def stop(self):
+        pass

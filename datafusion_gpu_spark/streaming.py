@@ -240,8 +240,40 @@ def materialized_view_purchase_join(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("user_id", "view_id", "view_ts", "purchase_id", "purchase_ts")
 
 
+def materialized_python_stream_source(
+    spark: SparkSession, sf_dir: str, n: int = 20_000
+) -> DataFrame:
+    """Spark 4 Python Data Source STREAM reader through the gate: the
+    custom dgs_synth source's DataSourceStreamReader feeds micro-batches
+    (offset-ranged, executor-parallel InputPartitions) into the
+    idempotent append sink; every generated row lands exactly once, so
+    the batch aggregation of the read-back equals the SQL replay of the
+    deterministic generator. ``sf_dir`` is unused (the source is
+    synthetic) but kept for the uniform gate signature."""
+    from datafusion_gpu_spark.sources import register_python_sources
+
+    register_python_sources(spark)
+    raw = (
+        spark.readStream.format("dgs_synth")
+        .option("n", n)
+        .option("parts", 8)
+        .option("batch_rows", 6_000)
+        .load()
+    )
+    rows = materialize_stream(raw, output_mode="append", available_now=False)
+    return rows.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 2).alias("sum_val"),
+        F.min("id").alias("min_id"),
+    )
+
+
 def stream_to_parquet(
-    df: DataFrame, out_dir: str, checkpoint_dir: str, output_mode: str = "append"
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    available_now: bool = True,
 ) -> "object":
     """foreachBatch parquet sink: each micro-batch lands as a partition
     directory keyed by batch id, so a replayed batch (restart after a
@@ -264,16 +296,22 @@ def stream_to_parquet(
             .parquet(out_dir)
         )
 
-    return (
+    writer = (
         df.writeStream.foreachBatch(write_batch)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    # Python Data Source streams don't support Trigger.AvailableNow
+    # (Spark falls back to ONE batch); callers on such sources pass
+    # available_now=False and drain via processAllAvailable instead.
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
-def materialize_stream(df: DataFrame, output_mode: str = "append") -> DataFrame:
+def materialize_stream(
+    df: DataFrame, output_mode: str = "append", available_now: bool = True
+) -> DataFrame:
     """Run a (bounded) stream through the idempotent foreachBatch parquet
     sink to completion and return the batch read-back.
 
@@ -286,7 +324,9 @@ def materialize_stream(df: DataFrame, output_mode: str = "append") -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="dgs_stream_out_")
     ckpt = tempfile.mkdtemp(prefix="dgs_stream_ckpt_")
-    query = stream_to_parquet(df, out, ckpt, output_mode=output_mode)
+    query = stream_to_parquet(
+        df, out, ckpt, output_mode=output_mode, available_now=available_now
+    )
     try:
         query.processAllAvailable()
     finally:

@@ -368,3 +368,21 @@ def test_stream_stream_join_equals_batch_interval_join(spark):
         ).collect()
     }
     assert set(pairs) == expected and len(expected) > 0
+
+
+def test_python_stream_source_multibatch_exactly_once(spark):
+    # the custom DataSourceStreamReader advances offsets batch_rows at a
+    # time; every generated row must land exactly once across batches
+    from datafusion_gpu_spark.sources import register_python_sources
+    from datafusion_gpu_spark.streaming import materialize_stream
+
+    register_python_sources(spark)
+    raw = (
+        spark.readStream.format("dgs_synth")
+        .option("n", 1000).option("parts", 4).option("batch_rows", 300)
+        .load()
+    )
+    rows = materialize_stream(raw, output_mode="append", available_now=False)
+    ids = [r["id"] for r in rows.select("id").collect()]
+    assert len(ids) == 1000 and len(set(ids)) == 1000
+    assert min(ids) == 0 and max(ids) == 999
