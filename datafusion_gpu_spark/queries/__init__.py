@@ -41,12 +41,13 @@ def sql_query(statement: str) -> QueryFn:
 
 # Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set — 53 entries as of round 4: 48 never-driver-checked (39 carried
-# from r3 + 9 round-4 additions), the sim_quantize_int8 re-check (its r3
-# row was red, so it stays OUT), and the 4 _LATE_FRESH additions below —
-# are surfaced first until every query has a green driver row. The late
-# tier sorts after the pre-committed 49, so round 4 checks those 49 plus
-# events_scd2_history; the other 3 late entries wait for round 5.
+# this set: 48 never-driver-checked (39 carried from r3 + 9 round-4
+# additions), the sim_quantize_int8 re-check (its r3 row was red, so it
+# stays OUT), and every _LATE_FRESH addition below — surfaced first until
+# each query has a green driver row. The late tier sorts after the
+# pre-committed 49, so round 4 checks those 49 plus the first late entry
+# (events_scd2_history); the remaining late entries surface first in
+# round 5 (late-tier order = the order they claim slots).
 _DRIVER_CHECKED = frozenset({
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",
