@@ -109,6 +109,9 @@ _LATE_FRESH = (
     "multimodal_audio",
     "multimodal_frame_sample",
     "source_python_stream",
+    "agg_bitmap_distinct",
+    "agg_theta_setops",
+    "agg_kll_quantiles",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -181,6 +181,101 @@ SELECT lang, TRUE AS hll_ok FROM documents GROUP BY lang
 UNION ALL SELECT 'ALL' AS lang, TRUE AS hll_ok
 """
 
+
+# -- DataSketches family (Spark 4.1 built-ins), beyond the HLL entry -------
+# Exact distinct via mergeable BITMAPS: the two-level (bucket, or-agg)
+# rollup is the scale spelling — partial bitmaps combine map-side, and
+# the final count is a SUM of per-bucket popcounts instead of a distinct
+# shuffle of raw values. Exact by construction, so the oracle is plain
+# COUNT(DISTINCT).
+_BITMAP_DISTINCT = """
+WITH buckets AS (
+  SELECT event_type, bitmap_bucket_number(user_id) AS b,
+         bitmap_count(bitmap_construct_agg(bitmap_bit_position(user_id))) AS cnt
+  FROM events GROUP BY event_type, bitmap_bucket_number(user_id)
+)
+SELECT event_type, SUM(cnt) AS n_users FROM buckets GROUP BY event_type
+"""
+
+_BITMAP_DISTINCT_DUCK = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+# THETA sketches: approximate distinct sets with SET OPERATIONS — the
+# sketch family HLL cannot provide (no intersection). Graded like the
+# HLL entry: exact anchors replayed by the oracle + error-bound booleans
+# (5% bound vs theta's sub-1% at these cardinalities; below sketch
+# saturation theta is exact, so the bound is loose on purpose).
+_THETA_SETOPS = """
+WITH sk AS (
+  SELECT theta_sketch_agg(user_id) FILTER (WHERE event_type = 'view') AS sv,
+         theta_sketch_agg(user_id) FILTER (WHERE event_type = 'purchase') AS sp
+  FROM events
+),
+ex_u AS (
+  SELECT COUNT(DISTINCT user_id) AS ex_union FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+ex_i AS (
+  SELECT COUNT(*) AS ex_inter FROM (
+    SELECT user_id FROM events WHERE event_type = 'view' GROUP BY user_id
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id
+  )
+)
+SELECT ex_union, ex_inter,
+       (ABS(theta_sketch_estimate(theta_union(sv, sp)) - ex_union)
+          / ex_union <= 0.05) AS union_ok,
+       (ABS(theta_sketch_estimate(theta_intersection(sv, sp)) - ex_inter)
+          / GREATEST(ex_inter, 1) <= 0.05) AS inter_ok
+FROM sk CROSS JOIN ex_u CROSS JOIN ex_i
+"""
+
+_THETA_SETOPS_DUCK = """
+WITH ex_u AS (
+  SELECT COUNT(DISTINCT user_id) AS ex_union FROM events
+  WHERE event_type IN ('view', 'purchase')
+),
+ex_i AS (
+  SELECT COUNT(*) AS ex_inter FROM (
+    SELECT user_id FROM events WHERE event_type = 'view' GROUP BY user_id
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase' GROUP BY user_id
+  )
+)
+SELECT ex_union, ex_inter, TRUE AS union_ok, TRUE AS inter_ok
+FROM ex_u CROSS JOIN ex_i
+"""
+
+# KLL quantile sketch: mergeable streaming quantiles. The sketch's
+# q-quantile must land within +-5% RANK of q against the raw data
+# (KLL's k=200 default guarantees ~1.65% — 3x headroom); the oracle
+# replays the row count and the by-construction booleans.
+_KLL_QUANTILES = """
+WITH sk AS (
+  SELECT kll_sketch_agg_double(value) AS s, COUNT(value) AS n FROM events
+),
+q AS (
+  SELECT n, kll_sketch_get_quantile_double(s, 0.5) AS q50,
+         kll_sketch_get_quantile_double(s, 0.9) AS q90
+  FROM sk
+)
+SELECT q.n,
+       (SUM(CASE WHEN e.value <= q.q50 THEN 1 ELSE 0 END) / CAST(q.n AS DOUBLE)
+          BETWEEN 0.45 AND 0.55) AS q50_rank_ok,
+       (SUM(CASE WHEN e.value <= q.q90 THEN 1 ELSE 0 END) / CAST(q.n AS DOUBLE)
+          BETWEEN 0.85 AND 0.95) AS q90_rank_ok
+FROM events e CROSS JOIN q
+GROUP BY q.n
+"""
+
+_KLL_QUANTILES_DUCK = """
+SELECT COUNT(value) AS n, TRUE AS q50_rank_ok, TRUE AS q90_rank_ok
+FROM events
+"""
+
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
@@ -195,6 +290,9 @@ QUERIES = {
     "agg_min_max_by": sql_query(_MINMAX_BY),
     "agg_approximate": sql_query(_APPROX),
     "agg_approx_error_bounded": sql_query(_APPROX_BOUNDED),
+    "agg_bitmap_distinct": sql_query(_BITMAP_DISTINCT),
+    "agg_theta_setops": sql_query(_THETA_SETOPS),
+    "agg_kll_quantiles": sql_query(_KLL_QUANTILES),
 }
 
 ORACLES = {
@@ -212,4 +310,7 @@ ORACLES = {
     # its error BOUND is checked by agg_approx_error_bounded below
     "agg_approx_error_bounded": _APPROX_BOUNDED_DUCK,
     "agg_hll_sketch_union": _HLL_SKETCH_DUCK,
+    "agg_bitmap_distinct": _BITMAP_DISTINCT_DUCK,
+    "agg_theta_setops": _THETA_SETOPS_DUCK,
+    "agg_kll_quantiles": _KLL_QUANTILES_DUCK,
 }
