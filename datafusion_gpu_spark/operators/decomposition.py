@@ -61,6 +61,11 @@ def pca_fit(df: DataFrame, k: int, vec_col: str = "embedding") -> PcaModel:
     """
     import pandas as pd
 
+    if k < 1:
+        # d is only known after the scan, but k < 1 never is valid —
+        # fail before paying the full corpus pass
+        raise ValueError(f"pca_fit: k={k} must be >= 1")
+
     def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n, s, g = 0, None, None
         for pdf in batches:
@@ -119,7 +124,7 @@ def pca_project(
     w = model.components
     if whiten:
         w = w / np.sqrt(model.eigvals + eps)
-    mean, w = model.mean, w  # closure-captured, auto-broadcast per task
+    mean = model.mean  # closure-captured with w, auto-broadcast per task
 
     out_fields = [f for f in df.schema.fields if f.name != out_col]
     schema = StructType(

@@ -580,7 +580,12 @@ def top_paths(
         F.lead(type_col, i).over(w) for i in range(1, length)
     ]
     path = F.concat_ws(" -> ", *cols)
-    complete = F.lead(type_col, length - 1).over(w).isNotNull()
+    # every element must be non-null: concat_ws SKIPS nulls (a NULL type
+    # mid-window would silently collapse to a shorter path), so the
+    # completeness predicate covers all positions, not just the last
+    complete = cols[0].isNotNull()
+    for c in cols[1:]:
+        complete = complete & c.isNotNull()
     return (
         events.select(path.alias("path"), complete.alias("ok"))
         .where("ok")

@@ -351,6 +351,8 @@ def decode_wav_pcm16(payload: bytes):
         cid, size = struct.unpack("<4sI", payload[pos : pos + 8])
         body = payload[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise NotImplementedError("truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
             data = body

@@ -2483,7 +2483,7 @@ WITH t AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT e0 || ' -> ' || e1 || ' -> ' || e2 AS path, COUNT(*) AS n
-FROM t WHERE e2 IS NOT NULL
+FROM t WHERE e0 IS NOT NULL AND e1 IS NOT NULL AND e2 IS NOT NULL
 GROUP BY path
 ORDER BY n DESC, path
 LIMIT 10

@@ -100,6 +100,10 @@ class SynthStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         lo, hi = start["pos"], end["pos"]
+        # restart resilience: a fresh reader instance starts its counter
+        # at 0, but a checkpointed query may hand us ranges beyond it —
+        # fast-forward so latestOffset never re-plans committed rows
+        self._latest = max(self._latest, hi)
         step = max(1, -(-(hi - lo) // self.parts))
         return [_Range(a, min(hi, a + step)) for a in range(lo, hi, step)]
 
@@ -109,7 +113,7 @@ class SynthStreamReader(DataSourceStreamReader):
             yield (i, b, b / 100.0)
 
     def commit(self, end):
-        pass
+        self._latest = max(self._latest, end["pos"])
 
     def stop(self):
         pass
