@@ -332,10 +332,60 @@ def probe_funnel(spark, sizes: list[int]) -> None:
         ev.unpersist()
 
 
+def probe_pca(spark, sizes: list[int]) -> None:
+    """pca_fit at growing corpus size with a PLANTED covariance: axis j
+    of the synthetic d=64 cloud has variance ~ (d - j)^2 factor, so the
+    fitted eigenvalue ORDER is known at every size and the top
+    component must align with axis 0. Wall time must scale ~linearly
+    (the fit is one mapInPandas scan + a driver-side d x d eigh)."""
+    import time as _t
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.decomposition import pca_fit
+
+    d, k = 64, 8
+    for n in sizes:
+        # deterministic pseudo-gaussian via sum of 4 hashed uniforms,
+        # scaled per-axis so axis j has stddev (d - j) / d
+        base = spark.range(n).select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(d - 1)),
+                lambda j: sum(
+                    (
+                        F.pmod(
+                            F.xxhash64(F.col("id") * d * 4 + j * 4 + r),
+                            F.lit(100000),
+                        ).cast("double")
+                        / 100000.0
+                        - 0.5
+                    )
+                    for r in range(4)
+                )
+                * ((F.lit(d).cast("double") - j) / d),
+            ).alias("embedding")
+        ).repartition(32).cache()
+        base.count()
+        t0 = _t.perf_counter()
+        model = pca_fit(base, k)
+        dt = _t.perf_counter() - t0
+        top_axis = int(np.abs(model.components[:, 0]).argmax())
+        print(
+            f"n={n} d={d} fit_time={dt:.1f}s rate={n / dt:.0f} vecs/s "
+            f"top_axis={top_axis} eigvals_desc="
+            f"{bool((np.diff(model.eigvals) <= 1e-12).all())}",
+            flush=True,
+        )
+        assert top_axis == 0, top_axis
+        assert (np.diff(model.eigvals) <= 1e-12).all()
+        base.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -362,6 +412,9 @@ def main() -> int:
         return 0
     if op == "funnel":
         probe_funnel(spark, sizes if args else [1_000_000, 4_000_000])
+        return 0
+    if op == "pca":
+        probe_pca(spark, sizes if args else [250_000, 1_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
