@@ -112,6 +112,7 @@ _LATE_FRESH = (
     "agg_bitmap_distinct",
     "agg_theta_setops",
     "agg_kll_quantiles",
+    "pipeline_multimodal",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -1024,6 +1024,27 @@ def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(binary_df, every=2)
 
 
+def _pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition across all three modalities: the planted-PPM image
+    decode and planted-WAV audio decode (both REAL pure-NumPy codec
+    passes) join back to the text table on doc_id and roll up per
+    bucket. Two mapInPandas boundaries, one broadcast-able key join,
+    one aggregation — the shape of a production multimodal curation
+    pass; every number is arithmetic from doc_id, so one SQL oracle
+    replays the whole composition."""
+    img = _multimodal_decode(spark, sf_dir).select("doc_id", "mean_r")
+    aud = _multimodal_audio(spark, sf_dir).select("doc_id", "peak", "duration_ms")
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    j = img.join(aud, "doc_id").join(docs, "doc_id")
+    return j.groupBy((F.col("doc_id") % 10).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("mean_r").alias("sum_mean_r"),
+        F.sum("peak").alias("sum_peak"),
+        F.sum("duration_ms").alias("sum_ms"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
 def _sim_pca_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table (one Gram-partial scan
     + driver eigh + broadcast-GEMM projection), graded by its contract
@@ -1101,6 +1122,7 @@ QUERIES = {
     "multimodal_audio": _multimodal_audio,
     "multimodal_frame_sample": _multimodal_frame_sample,
     "source_python_stream": _source_python_stream,
+    "pipeline_multimodal": _pipeline_multimodal,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2547,6 +2569,23 @@ SELECT bucket::INT AS bucket, COUNT(*) AS n,
        ROUND(SUM(bucket / 100.0), 2) AS sum_val,
        MIN(id) AS min_id
 FROM b GROUP BY 1
+""",
+    "pipeline_multimodal": """
+WITH p AS (
+  SELECT doc_id,
+         doc_id % 256 AS mean_r,
+         GREATEST((doc_id * 37) % 20000 + 1000,
+                  (doc_id * 91) % 20000 + 500) AS peak,
+         (doc_id % 50) + 2 AS ms,
+         n_chars
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id % 10 AS bucket, COUNT(*) AS n,
+       CAST(SUM(mean_r) AS BIGINT) AS sum_mean_r,
+       CAST(SUM(peak) AS BIGINT) AS sum_peak,
+       CAST(SUM(ms) AS BIGINT) AS sum_ms,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM p GROUP BY doc_id % 10
 """,
 }
 
