@@ -113,6 +113,7 @@ _LATE_FRESH = (
     "agg_theta_setops",
     "agg_kll_quantiles",
     "pipeline_multimodal",
+    "events_scd2_asof",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

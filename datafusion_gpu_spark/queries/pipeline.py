@@ -1024,6 +1024,46 @@ def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(binary_df, every=2)
 
 
+def _events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against SCD2 history — the standard warehouse
+    snapshot join: each view event picks the purchase-stream version
+    valid at its timestamp (effective_from <= t < effective_to). The
+    join keys on user_id equality with the validity range as a post-
+    filter, so it is a hash join, not a nested loop; validity windows
+    partition time, so each view matches at most one version."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    hist = events.scd2_history(
+        ev.where("event_type = 'purchase'").select(
+            "user_id", "event_id", "ts", F.round("value", 2).alias("value")
+        ),
+        key_cols=["user_id"],
+        ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        F.col("user_id").alias("h_user_id"),
+        F.col("event_id").alias("version_id"),
+        F.col("value").alias("version_value"),
+        "effective_from",
+        "effective_to",
+    )
+    views = ev.where("event_type = 'view'").select("user_id", "event_id", "ts")
+    return (
+        views.join(
+            hist,
+            (views["user_id"] == hist["h_user_id"])
+            & (hist["effective_from"] <= views["ts"])
+            & (hist["effective_to"].isNull() | (views["ts"] < hist["effective_to"])),
+        )
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            "version_id",
+            "version_value",
+        )
+    )
+
+
 def _pipeline_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition across all three modalities: the planted-PPM image
     decode and planted-WAV audio decode (both REAL pure-NumPy codec
@@ -1123,6 +1163,7 @@ QUERIES = {
     "multimodal_frame_sample": _multimodal_frame_sample,
     "source_python_stream": _source_python_stream,
     "pipeline_multimodal": _pipeline_multimodal,
+    "events_scd2_asof": _events_scd2_asof,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2586,6 +2627,20 @@ SELECT doc_id % 10 AS bucket, COUNT(*) AS n,
        CAST(SUM(ms) AS BIGINT) AS sum_ms,
        CAST(SUM(n_chars) AS BIGINT) AS sum_chars
 FROM p GROUP BY doc_id % 10
+""",
+    "events_scd2_asof": """
+WITH hist AS (
+  SELECT user_id, event_id AS version_id, ROUND(value, 2) AS version_value,
+         ts AS ef,
+         LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS et
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT v.event_id AS view_id, v.user_id, h.version_id, h.version_value
+FROM events v
+JOIN hist h
+  ON v.user_id = h.user_id
+ AND h.ef <= v.ts AND (h.et IS NULL OR v.ts < h.et)
+WHERE v.event_type = 'view'
 """,
 }
 
