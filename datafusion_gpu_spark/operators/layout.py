@@ -150,3 +150,49 @@ def merge_upsert(
     return b.join(c, F.col(f"b.{key}") == F.col(f"c.{key}"), "full_outer").select(
         *picked
     )
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Change-data emission from two immutable table snapshots — the
+    inverse of :func:`merge_upsert`: one row per changed key with
+    ``op`` in (insert, delete, update), carrying the NEW values for
+    insert/update and the OLD values for delete (so a downstream MERGE
+    of this feed onto ``old`` reproduces ``new`` exactly).
+
+    One full-outer join on the key (same co-location/AQE story as
+    merge_upsert); change detection is a null-safe struct comparison of
+    every non-key column, so a legitimate NULL in either snapshot is a
+    difference, not a match. Unchanged rows drop out. Keys are assumed
+    non-null (a NULL-keyed row never joins, so it surfaces as a
+    delete + insert pair — SQL equality semantics, documented rather
+    than hidden).
+    """
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot_diff: schema mismatch old={old.columns} "
+            f"new={new.columns}"
+        )
+    vals = [c for c in old.columns if c != key]
+    o, n = old.alias("o"), new.alias("n")
+    j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
+    o_s = F.struct(*[F.col(f"o.{c}") for c in vals])
+    n_s = F.struct(*[F.col(f"n.{c}") for c in vals])
+    op = (
+        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
+        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        .when(~o_s.eqNullSafe(n_s), F.lit("update"))
+    )
+    picked = [
+        F.when(F.col(f"n.{key}").isNotNull(), F.col(f"n.{c}"))
+        .otherwise(F.col(f"o.{c}"))
+        .alias(c)
+        for c in vals
+    ]
+    return (
+        j.select(
+            op.alias("op"),
+            F.coalesce(F.col(f"n.{key}"), F.col(f"o.{key}")).alias(key),
+            *picked,
+        )
+        .where(F.col("op").isNotNull())
+    )

@@ -114,6 +114,8 @@ _LATE_FRESH = (
     "agg_kll_quantiles",
     "pipeline_multimodal",
     "events_scd2_asof",
+    "streaming_funnel",
+    "io_snapshot_diff",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

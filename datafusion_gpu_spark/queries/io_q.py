@@ -373,8 +373,53 @@ FROM base b FULL OUTER JOIN changes c ON b.o_orderkey = c.o_orderkey
 """
 
 
+
+def _snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC emission between two deterministic snapshots of the documents
+    table (layout.snapshot_diff): doc_id % 5 == 1 rows exist only in the
+    new snapshot (inserts), doc_id % 7 == 2 rows only in the old
+    (deletes), doc_id % 3 == 0 rows change value (updates); unchanged
+    rows must NOT appear. One full-outer key join, null-safe struct
+    change detection."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import snapshot_diff
+
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    old = docs.where("doc_id % 5 <> 1").select("doc_id", F.col("n_chars").alias("v"))
+    new = docs.where("doc_id % 7 <> 2").select(
+        "doc_id",
+        (
+            F.col("n_chars")
+            + F.when(F.col("doc_id") % 3 == 0, F.lit(10)).otherwise(F.lit(0))
+        ).alias("v"),
+    )
+    return snapshot_diff(old, new, key="doc_id")
+
+
+_SNAPSHOT_DIFF_DUCK = """
+WITH o AS (
+  SELECT doc_id, n_chars AS v FROM documents WHERE doc_id % 5 <> 1
+),
+n AS (
+  SELECT doc_id,
+         n_chars + CASE WHEN doc_id % 3 = 0 THEN 10 ELSE 0 END AS v
+  FROM documents WHERE doc_id % 7 <> 2
+)
+SELECT CASE WHEN o.doc_id IS NULL THEN 'insert'
+            WHEN n.doc_id IS NULL THEN 'delete'
+            ELSE 'update' END AS op,
+       COALESCE(n.doc_id, o.doc_id) AS doc_id,
+       CASE WHEN n.doc_id IS NOT NULL THEN n.v ELSE o.v END AS v
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.v <> n.v
+"""
+
+
 QUERIES = {
     "io_merge_upsert": _merge_upsert,
+    "io_snapshot_diff": _snapshot_diff,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
     "io_compact_small_files": _compact_small_files,
@@ -389,6 +434,7 @@ QUERIES = {
 
 ORACLES = {
     "io_merge_upsert": _MERGE_UPSERT_DUCK,
+    "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "source_python_datasource": _PYTHON_DATASOURCE_DUCK,

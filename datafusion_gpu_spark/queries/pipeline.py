@@ -1128,6 +1128,18 @@ def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return streaming.materialized_view_purchase_join(spark, sf_dir)
 
 
+def _streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator in the gate: the per-user
+    funnel automaton (applyInPandasWithState, two scalars of state per
+    user) materialized and collapsed to funnel counts — graded by the
+    SAME chained-CTE oracle as the batch events_funnel, so stream ==
+    batch is checked by the driver itself."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_streaming_funnel(spark, sf_dir)
+
+
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase, each stage
     strictly after the previous conversion: one keyed shuffle builds
@@ -1164,6 +1176,7 @@ QUERIES = {
     "source_python_stream": _source_python_stream,
     "pipeline_multimodal": _pipeline_multimodal,
     "events_scd2_asof": _events_scd2_asof,
+    "streaming_funnel": _streaming_funnel,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2646,7 +2659,9 @@ WHERE v.event_type = 'view'
 
 # Spellings contracted to produce byte-identical output to an existing
 # entry share that entry's oracle verbatim: a Bloom prefilter has no
-# false negatives, and the streaming rollup materializes the same three
-# tiers the batch operator computes.
+# false negatives, the streaming rollup materializes the same three
+# tiers the batch operator computes, and the streaming funnel automaton
+# replays the batch funnel's greedy earliest-first semantics exactly.
 ORACLES["dedup_incremental_bloom"] = ORACLES["dedup_incremental"]
 ORACLES["streaming_multi_rollup"] = ORACLES["events_multi_rollup"]
+ORACLES["streaming_funnel"] = ORACLES["events_funnel"]

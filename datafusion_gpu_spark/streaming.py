@@ -524,3 +524,86 @@ def materialized_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_minute_counts(spark, sf_dir), output_mode="complete"
     ).select("bucket", "event_type", "n_events", "sum_value")
     return rollup_tiers_from_minute(minute)
+
+
+def stream_funnel_progress(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: list[str] | None = None,
+) -> DataFrame:
+    """Streaming funnel automaton via applyInPandasWithState: per-user
+    state is (stage reached, time of last conversion); each micro-batch
+    advances the greedy earliest-first machine over its (ts, event_id)-
+    sorted rows. The greedy scan is EXACTLY the batch funnel semantics
+    (take the first qualifying event per stage, strictly after the
+    previous conversion), so on an in-order replay the final states
+    reproduce events.funnel_counts; on a live stream, ordering holds
+    within each micro-batch — the same documented approximation as the
+    EMA operator. State is two scalars per user, bounded forever.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps = list(steps or ["view", "click", "purchase"])
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type").isin(steps))
+        .select("user_id", "ts", "event_id", "event_type")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        stage, t_prev = state.get if state.exists else (0, -1)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for ts, et in zip(rows["ts"], rows["event_type"]):
+                if stage < len(steps) and et == steps[stage]:
+                    t = int(pd.Timestamp(ts).value)
+                    if stage == 0 or t > t_prev:
+                        stage += 1
+                        t_prev = t
+        state.update((stage, t_prev))
+        yield pd.DataFrame({"user_id": [key[0]], "stages_completed": [stage]})
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, stages_completed int",
+        stateStructType="stage int, t_prev long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def materialized_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming funnel with a batch contract: the per-user automaton
+    states materialize through the update-mode sink (stage is monotone,
+    so the max per user is the final state even across batches), then
+    collapse to the same (step, stage, users) relation as
+    events.funnel_counts — graded by the identical chained-CTE oracle."""
+    steps = ["view", "click", "purchase"]
+    prog = materialize_stream(
+        stream_funnel_progress(spark, sf_dir, steps), output_mode="update"
+    )
+    final = prog.groupBy("user_id").agg(
+        F.max("stages_completed").alias("stage")
+    )
+    counts = final.agg(
+        *[
+            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"c_{i}")
+            for i in range(len(steps))
+        ]
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("stage"),
+                F.col(f"c_{i}").alias("users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(stages).alias("r")).select("r.*")

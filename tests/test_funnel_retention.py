@@ -149,3 +149,25 @@ def test_funnel_matches_python_reference_fold(spark):
         )
 
     check()
+
+
+def test_streaming_funnel_equals_batch(spark):
+    # the per-user automaton's final states must collapse to exactly the
+    # batch funnel relation on the replayed events table
+    from tests.conftest import SF_DIR
+
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.streaming import materialized_streaming_funnel
+
+    register_tables(spark, SF_DIR)
+    got = {
+        (r["step"], r["stage"]): r["users"]
+        for r in materialized_streaming_funnel(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["step"], r["stage"]): r["users"]
+        for r in funnel_counts(
+            spark.table("events"), steps=["view", "click", "purchase"]
+        ).collect()
+    }
+    assert got == want and len(got) == 3

@@ -171,3 +171,46 @@ def test_zorder_layout_skips_more_row_groups_than_natural(spark, tmp_path):
         .collect()
     )
     assert q(nat) == q(zo)
+
+
+def test_snapshot_diff_classifies_and_reconstructs(spark):
+    # planted snapshots incl. NULL values: null-safe change detection,
+    # and applying the feed onto old reproduces new exactly
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c"), (4, None), (5, "e")], "k long, v string"
+    )
+    diff = snapshot_diff(old, new, key="k")
+    got = {(r["op"], r["k"], r["v"]) for r in diff.collect()}
+    assert got == {
+        ("delete", 1, "a"),
+        ("update", 3, "c"),   # NULL -> 'c' is a change
+        ("update", 4, None),  # 'd' -> NULL is a change, new value kept
+        ("insert", 5, "e"),
+    }
+    # reconstruct: old - deletes - updated keys + (inserts|updates)
+    changed = diff.where("op <> 'delete'").select("k", "v")
+    survivors = old.join(
+        diff.select("k"), "k", "left_anti"
+    )
+    rebuilt = survivors.unionByName(changed)
+    assert {tuple(r) for r in rebuilt.collect()} == {
+        tuple(r) for r in new.collect()
+    }
+
+
+def test_snapshot_diff_rejects_schema_mismatch(spark):
+    import pytest
+
+    from datafusion_gpu_spark.operators.layout import snapshot_diff
+
+    a = spark.createDataFrame([(1, "x")], "k long, v string")
+    b = spark.createDataFrame([(1, "x", 2)], "k long, v string, w long")
+    with pytest.raises(ValueError):
+        snapshot_diff(a, b, key="k")
