@@ -116,6 +116,8 @@ _LATE_FRESH = (
     "events_scd2_asof",
     "streaming_funnel",
     "io_snapshot_diff",
+    "events_rfm",
+    "events_ab_test",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -1128,6 +1128,78 @@ def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return streaming.materialized_view_purchase_join(spark, sf_dir)
 
 
+def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-user recency/frequency/monetary from the
+    purchase stream, quartile-scored with NTILE over deterministic
+    (metric, user_id) orderings — one keyed aggregation plus three
+    global windows over the |U|-sized relation (the windows sort users,
+    not events, so at 100 TB the heavy scan is the single purchase
+    aggregation)."""
+    load(spark, sf_dir)
+    p = spark.table("events").where("event_type = 'purchase'")
+    per_user = p.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("monetary"),
+    )
+    r_w = Window.orderBy(F.col("last_ts").desc(), F.col("user_id"))
+    f_w = Window.orderBy(F.col("n_purchases").desc(), F.col("user_id"))
+    m_w = Window.orderBy(F.col("monetary").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        "n_purchases",
+        "monetary",
+        F.ntile(4).over(r_w).alias("r_score"),
+        F.ntile(4).over(f_w).alias("f_score"),
+        F.ntile(4).over(m_w).alias("m_score"),
+    )
+
+
+def _events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B analysis: users split into two variants by the
+    portable salted md5 bucket (the same hash family as hash_split, so
+    DuckDB replays the assignment bit-for-bit), conversion = made a
+    purchase; emits per-variant counts, rates, and the closed-form
+    two-proportion z statistic. One keyed aggregation + a one-row
+    pivot."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit("ab"), F.col("user_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
+    ).select((h % 2).alias("variant"), "converted")
+    agg = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("converted").alias("conv"),
+    )
+    wide = agg.groupBy().pivot("variant", [0, 1]).agg(
+        F.first("n").alias("n"), F.first("conv").alias("conv")
+    )
+    n_a, c_a = F.col("0_n").cast("long"), F.col("0_conv").cast("long")
+    n_b, c_b = F.col("1_n").cast("long"), F.col("1_conv").cast("long")
+    p_a, p_b = c_a / n_a, c_b / n_b
+    pool = (c_a + c_b) / (n_a + n_b)
+    se = F.sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
+    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    return wide.select(
+        n_a.alias("n_a"),
+        c_a.alias("conv_a"),
+        n_b.alias("n_b"),
+        c_b.alias("conv_b"),
+        F.round(p_a, 6).alias("rate_a"),
+        F.round(p_b, 6).alias("rate_b"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
 def _streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator in the gate: the per-user
     funnel automaton (applyInPandasWithState, two scalars of state per
@@ -1177,6 +1249,8 @@ QUERIES = {
     "pipeline_multimodal": _pipeline_multimodal,
     "events_scd2_asof": _events_scd2_asof,
     "streaming_funnel": _streaming_funnel,
+    "events_rfm": _events_rfm,
+    "events_ab_test": _events_ab_test,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2654,6 +2728,48 @@ JOIN hist h
   ON v.user_id = h.user_id
  AND h.ef <= v.ts AND (h.et IS NULL OR v.ts < h.et)
 WHERE v.event_type = 'view'
+""",
+    "events_rfm": """
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS n_purchases,
+         ROUND(SUM(value), 2) AS monetary
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, n_purchases, monetary,
+       NTILE(4) OVER (ORDER BY last_ts DESC, user_id) AS r_score,
+       NTILE(4) OVER (ORDER BY n_purchases DESC, user_id) AS f_score,
+       NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+FROM per_user
+""",
+    "events_ab_test": """
+WITH per_user AS (
+  SELECT CAST('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 2 AS variant,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT variant, COUNT(*) AS n, SUM(converted) AS conv
+  FROM per_user GROUP BY variant
+),
+wide AS (
+  SELECT
+    MAX(CASE WHEN variant = 0 THEN n END) AS n_a,
+    MAX(CASE WHEN variant = 0 THEN conv END) AS conv_a,
+    MAX(CASE WHEN variant = 1 THEN n END) AS n_b,
+    MAX(CASE WHEN variant = 1 THEN conv END) AS conv_b
+  FROM agg
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+       ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+       ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+       ROUND(CASE WHEN (conv_a + conv_b) * 1.0 / (n_a + n_b) IN (0, 1) THEN 0
+             ELSE (conv_a * 1.0 / n_a - conv_b * 1.0 / n_b)
+                  / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                         * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_stat
+FROM wide
 """,
 }
 
