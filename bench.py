@@ -88,6 +88,11 @@ SF_BENCHES = [
     "retrieval_bm25",
     "events_sessionize",
     "events_multi_rollup",
+    # round-4-late family representatives, both sub-second at sf0.1 —
+    # cheap enough to fit the remaining deadline headroom without
+    # risking the planner evicting dedup_components:
+    "events_funnel",
+    "events_scd2_history",
     # graph_pagerank is gate-checked and scale-probed (SCALE.md: 2M
     # edges, 5 rounds, linear) but not benched: ~5 s/run x 10 samples
     # would evict dedup_components — the iterative representative with
