@@ -118,6 +118,7 @@ _LATE_FRESH = (
     "io_snapshot_diff",
     "events_rfm",
     "events_ab_test",
+    "fn_collation",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

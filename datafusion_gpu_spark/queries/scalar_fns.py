@@ -405,8 +405,41 @@ SELECT doc_id,
 FROM urls
 """
 
+
+# Spark 4 COLLATIONS: case-/accent-insensitive comparison semantics as a
+# COLUMN TYPE property, not an expression rewrite — filters, GROUP BY and
+# DISTINCT all honor it. The oracle replays with explicit lower(): exact
+# equality of the grouped result proves UTF8_LCASE groups the same keys.
+_COLLATION = """
+WITH m AS (
+  SELECT CAST(n_name AS STRING COLLATE UTF8_LCASE) AS name_ci, n_nationkey
+  FROM nation
+  UNION ALL
+  SELECT CAST(lower(n_name) AS STRING COLLATE UTF8_LCASE), n_nationkey + 100
+  FROM nation
+),
+g AS (
+  SELECT name_ci, COUNT(*) AS n, MIN(n_nationkey) AS min_key
+  FROM m GROUP BY name_ci
+)
+SELECT lower(CAST(name_ci AS STRING)) AS name_lower_key, n, min_key FROM g
+"""
+
+_COLLATION_DUCK = """
+WITH m AS (
+  SELECT n_name AS nm, n_nationkey FROM nation
+  UNION ALL
+  SELECT lower(n_name), n_nationkey + 100 FROM nation
+)
+SELECT lower(nm) AS name_lower_key, COUNT(*) AS n,
+       MIN(n_nationkey) AS min_key
+FROM m GROUP BY lower(nm)
+"""
+
+
 QUERIES = {
     "fn_string_pack": sql_query(_STRING_SPARK),
+    "fn_collation": sql_query(_COLLATION),
     "fn_alias_shims": _fn_alias_shims,
     "fn_null_semantics": sql_query(_NULL_SEMANTICS),
     "fn_udtf_split": _fn_udtf_split,
@@ -429,6 +462,7 @@ ORACLES = {
     "fn_string_pack": _STRING_DUCK,
     "fn_alias_shims": _ALIAS_SHIMS_DUCK,
     "fn_null_semantics": _NULL_SEMANTICS,
+    "fn_collation": _COLLATION_DUCK,
     "fn_udtf_split": _UDTF_SPLIT_DUCK,
     "fn_math_pack": _MATH,
     "fn_datetime_pack": _DT_DUCK,
