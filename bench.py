@@ -88,11 +88,12 @@ SF_BENCHES = [
     "retrieval_bm25",
     "events_sessionize",
     "events_multi_rollup",
-    # round-4-late family representatives, both sub-second at sf0.1 —
-    # cheap enough to fit the remaining deadline headroom without
-    # risking the planner evicting dedup_components:
-    "events_funnel",
-    "events_scd2_history",
+    # events_funnel / events_scd2_history were trialed in the set
+    # (measured 0.94 s / 0.86 s medians over 10 exclusive samples) but
+    # their ~18 s of timed samples pushed the deadline planner to evict
+    # dedup_components (est 5.13 s x 10) — the iterative representative
+    # with r2/r3 driver history. Family wall-clock evidence for the
+    # funnel lives in SCALE.md (exact-count probe at 1M/4M events).
     # graph_pagerank is gate-checked and scale-probed (SCALE.md: 2M
     # edges, 5 rounds, linear) but not benched: ~5 s/run x 10 samples
     # would evict dedup_components — the iterative representative with
