@@ -214,3 +214,51 @@ def test_snapshot_diff_rejects_schema_mismatch(spark):
     b = spark.createDataFrame([(1, "x", 2)], "k long, v string, w long")
     with pytest.raises(ValueError):
         snapshot_diff(a, b, key="k")
+
+
+def test_snapshot_diff_apply_roundtrip_property(spark):
+    # for ANY pair of keyed tables: applying the diff feed onto old
+    # reproduces new exactly (the CDC contract), and ops partition the
+    # changed keys
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from datafusion_gpu_spark.operators.layout import snapshot_diff
+
+    vals = st.one_of(st.none(), st.integers(min_value=0, max_value=3))
+    table = st.dictionaries(
+        st.integers(min_value=0, max_value=9), vals, max_size=8
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(old_t=table, new_t=table)
+    def check(old_t, new_t):
+        old = spark.createDataFrame(
+            [(k, v) for k, v in old_t.items()] or [(None, None)], "k long, v long"
+        ).where("k IS NOT NULL")
+        new = spark.createDataFrame(
+            [(k, v) for k, v in new_t.items()] or [(None, None)], "k long, v long"
+        ).where("k IS NOT NULL")
+        diff = snapshot_diff(old, new, key="k").collect()
+        ops = {r["k"]: r["op"] for r in diff}
+        # classification matches set algebra on the dicts
+        for k in set(old_t) | set(new_t):
+            if k in old_t and k not in new_t:
+                assert ops.get(k) == "delete"
+            elif k in new_t and k not in old_t:
+                assert ops.get(k) == "insert"
+            elif old_t[k] != new_t[k]:
+                assert ops.get(k) == "update"
+            else:
+                assert k not in ops
+        # applying the feed reproduces new
+        rebuilt = dict(old_t)
+        for r in diff:
+            if r["op"] == "delete":
+                rebuilt.pop(r["k"])
+            else:
+                rebuilt[r["k"]] = r["v"]
+        assert rebuilt == new_t
+
+    check()
