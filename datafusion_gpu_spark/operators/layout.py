@@ -163,9 +163,10 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
     merge_upsert); change detection is a null-safe struct comparison of
     every non-key column, so a legitimate NULL in either snapshot is a
     difference, not a match. Unchanged rows drop out. Keys are assumed
-    non-null (a NULL-keyed row never joins, so it surfaces as a
-    delete + insert pair — SQL equality semantics, documented rather
-    than hidden).
+    non-null where possible; a NULL-keyed row never joins (SQL equality
+    semantics), so an old-side NULL-keyed row surfaces as a delete and
+    a new-side one as an insert — side-presence markers, not key
+    nullness, drive the classification, so this degradation is exact.
     """
     if old.columns != new.columns:
         raise ValueError(
@@ -173,17 +174,21 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
             f"new={new.columns}"
         )
     vals = [c for c in old.columns if c != key]
-    o, n = old.alias("o"), new.alias("n")
+    # side-presence markers, NOT key nullness: a legitimately NULL-keyed
+    # row would otherwise look like "no match on my own side" and
+    # misclassify (a NULL-keyed old row must be a delete, not an insert)
+    o = old.withColumn("__o__", F.lit(True)).alias("o")
+    n = new.withColumn("__n__", F.lit(True)).alias("n")
     j = o.join(n, F.col(f"o.{key}") == F.col(f"n.{key}"), "full_outer")
     o_s = F.struct(*[F.col(f"o.{c}") for c in vals])
     n_s = F.struct(*[F.col(f"n.{c}") for c in vals])
     op = (
-        F.when(F.col(f"o.{key}").isNull(), F.lit("insert"))
-        .when(F.col(f"n.{key}").isNull(), F.lit("delete"))
+        F.when(F.col("__o__").isNull(), F.lit("insert"))
+        .when(F.col("__n__").isNull(), F.lit("delete"))
         .when(~o_s.eqNullSafe(n_s), F.lit("update"))
     )
     picked = [
-        F.when(F.col(f"n.{key}").isNotNull(), F.col(f"n.{c}"))
+        F.when(F.col("__n__").isNotNull(), F.col(f"n.{c}"))
         .otherwise(F.col(f"o.{c}"))
         .alias(c)
         for c in vals

@@ -868,6 +868,21 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
 
 
+def _purchase_scd2_history(spark: SparkSession) -> DataFrame:
+    """Shared version definition for the SCD2 entries: the purchase
+    stream per user, value rounded to 2, event_id tiebreak. Both the
+    compaction gate query and its point-in-time join consume THIS, so
+    the version semantics cannot drift between them."""
+    changes = (
+        spark.table("events")
+        .where("event_type = 'purchase'")
+        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
+    )
+    return events.scd2_history(
+        changes, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
+    )
+
+
 def _events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 compaction of the purchase stream: one row per
     (user, version) with effective_from/effective_to validity bounds and
@@ -876,14 +891,7 @@ def _events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical LEAD() over (user ORDER BY ts,
     event_id)."""
     load(spark, sf_dir)
-    changes = (
-        spark.table("events")
-        .where("event_type = 'purchase'")
-        .select("user_id", "event_id", "ts", F.round("value", 2).alias("value"))
-    )
-    hist = events.scd2_history(
-        changes, key_cols=["user_id"], ts_col="ts", tiebreak_col="event_id"
-    )
+    hist = _purchase_scd2_history(spark)
     return hist.select(
         "user_id", "event_id", "value",
         "effective_from", "effective_to", "is_current",
@@ -1033,14 +1041,7 @@ def _events_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition time, so each view matches at most one version."""
     load(spark, sf_dir)
     ev = spark.table("events")
-    hist = events.scd2_history(
-        ev.where("event_type = 'purchase'").select(
-            "user_id", "event_id", "ts", F.round("value", 2).alias("value")
-        ),
-        key_cols=["user_id"],
-        ts_col="ts",
-        tiebreak_col="event_id",
-    ).select(
+    hist = _purchase_scd2_history(spark).select(
         F.col("user_id").alias("h_user_id"),
         F.col("event_id").alias("version_id"),
         F.col("value").alias("version_value"),
@@ -1162,17 +1163,13 @@ def _events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase; emits per-variant counts, rates, and the closed-form
     two-proportion z statistic. One keyed aggregation + a one-row
     pivot."""
+    from datafusion_gpu_spark.operators.curation import _hash_bucket
+
     load(spark, sf_dir)
     ev = spark.table("events")
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit("ab"), F.col("user_id").cast("string"))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # _hash_bucket is h % 1e6; 1e6 is even, so % 2 preserves the raw
+    # 60-bit hash's parity — bit-identical to the oracle's md5 replay
+    h = _hash_bucket(F.col("user_id"), "ab")
     per_user = ev.groupBy("user_id").agg(
         F.max((F.col("event_type") == "purchase").cast("int")).alias("converted")
     ).select((h % 2).alias("variant"), "converted")

@@ -592,7 +592,11 @@ def materialized_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     counts = final.agg(
         *[
-            F.sum((F.col("stage") >= i + 1).cast("long")).alias(f"c_{i}")
+            # coalesce: SUM over an empty relation is NULL, but the
+            # batch twin's COUNT (and the shared oracle) yield 0
+            F.coalesce(
+                F.sum((F.col("stage") >= i + 1).cast("long")), F.lit(0)
+            ).alias(f"c_{i}")
             for i in range(len(steps))
         ]
     )

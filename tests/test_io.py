@@ -262,3 +262,14 @@ def test_snapshot_diff_apply_roundtrip_property(spark):
         assert rebuilt == new_t
 
     check()
+
+
+def test_snapshot_diff_null_keys_classify_by_side(spark):
+    # a NULL-keyed row never joins, but its SIDE decides the op: old ->
+    # delete, new -> insert (side-presence markers, not key nullness)
+    from datafusion_gpu_spark.operators.layout import snapshot_diff
+
+    old = spark.createDataFrame([(None, "x"), (1, "a")], "k long, v string")
+    new = spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string")
+    got = {(r["op"], r["k"], r["v"]) for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {("delete", None, "x"), ("insert", None, "y")}
