@@ -662,3 +662,119 @@ def c4_rules(
             & (F.col("n_kept_lines") >= 1)
         ).alias("keep"),
     )
+
+
+# -- BPE tokenizer training --------------------------------------------------
+
+
+def bpe_train(
+    docs: DataFrame,
+    num_merges: int = 6,
+    text_col: str = "text",
+    return_state: bool = False,
+):
+    """Train byte-pair-encoding merges on the corpus: the classic
+    Sennrich et al. loop, distributed the way it scales — the state is
+    the WORD-FREQUENCY table (|vocab| rows, not |corpus| rows; one
+    corpus scan builds it), each round counts adjacent symbol pairs
+    weighted by word frequency (one hash aggregation), picks the most
+    frequent pair with a deterministic (count desc, left, right)
+    tiebreak (a one-ROW collect per round, the same scalar-only driver
+    traffic as connected components), and applies the merge
+    left-to-right per word in an Arrow-batched pass over the word
+    table. Pair counting uses overlapping adjacent positions (the
+    standard formulation); merge application is left-to-right
+    non-overlapping.
+
+    Returns the learned merges as [(left, right, weighted_count)],
+    rank-ordered — or (merges, final_state) when ``return_state`` is
+    set (the caller owns unpersisting the state). At 100 TB the
+    per-round cost is one aggregation over the vocabulary relation —
+    the corpus is touched exactly once.
+    """
+    import pandas as pd
+
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.split(F.col("w"), "").alias("syms"),
+            "freq",
+        )
+    )
+    state = words.persist()
+    state.count()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(num_merges):
+            pairs = (
+                state.select(
+                    F.posexplode(
+                        F.expr(
+                            "transform(slice(syms, 1, size(syms) - 1),"
+                            " (s, i) -> struct(s as l, syms[i + 1] as r))"
+                        )
+                    ).alias("pos", "p"),
+                    "freq",
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not pairs:
+                break
+            left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
+            merges.append((left, right, n))
+
+            def apply_merge(batches, left=left, right=right):
+                for pdf in batches:
+                    out = []
+                    for syms in pdf["syms"]:
+                        syms = list(syms)
+                        merged, i = [], 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                merged.append(left + right)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        out.append(merged)
+                    pdf = pdf.copy()
+                    pdf["syms"] = out
+                    yield pdf
+
+            nxt = state.mapInPandas(
+                apply_merge, "syms array<string>, freq long"
+            ).persist()
+            nxt.count()
+            state.unpersist()
+            state = nxt
+        if return_state:
+            return merges, state
+        return merges
+    finally:
+        if not return_state:
+            state.unpersist()
+
+
+def bpe_char_mass(state_or_docs: DataFrame, text_col: str = "text"):
+    """Total character mass of the corpus' words — the BPE invariant
+    (merges concatenate symbols, characters are conserved)."""
+    return (
+        state_or_docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .agg(F.sum(F.length("w")).alias("mass"))
+    )

@@ -119,6 +119,7 @@ _LATE_FRESH = (
     "events_rfm",
     "events_ab_test",
     "fn_collation",
+    "text_bpe_contract",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -1129,6 +1129,43 @@ def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return streaming.materialized_view_purchase_join(spark, sf_dir)
 
 
+def _text_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (text.bpe_train) through the
+    gate: the first learned merge is SQL-replayable exactly (most
+    frequent adjacent char pair weighted by word frequency, tiebreak
+    count desc / left / right), and the deeper merges are contract-
+    checked — k merges learned, all weighted counts positive, and the
+    character mass of the FINAL merged state equals the raw corpus'
+    (merges concatenate symbols; characters are conserved, so a merge-
+    application bug breaks the equality)."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    merges, state = text.bpe_train(docs, num_merges=6, return_state=True)
+    try:
+        [mass] = state.agg(
+            F.sum(
+                F.col("freq") * F.length(F.concat_ws("", "syms"))
+            ).alias("m")
+        ).collect()[0][:1]
+    finally:
+        state.unpersist()
+    l1, r1, n1 = merges[0]
+    return spark.createDataFrame(
+        [
+            (
+                l1,
+                r1,
+                int(n1),
+                len(merges),
+                bool(all(n > 0 for _, _, n in merges)),
+                int(mass),
+            )
+        ],
+        "left_1 string, right_1 string, n_1 long, k int, "
+        "merges_positive boolean, char_mass long",
+    )
+
+
 def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary from the
     purchase stream, quartile-scored with NTILE over deterministic
@@ -1248,6 +1285,7 @@ QUERIES = {
     "streaming_funnel": _streaming_funnel,
     "events_rfm": _events_rfm,
     "events_ab_test": _events_ab_test,
+    "text_bpe_contract": _text_bpe_contract,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2767,6 +2805,26 @@ SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
                          * (1 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
                          * (1.0 / n_a + 1.0 / n_b)) END, 4) AS z_stat
 FROM wide
+""",
+    "text_bpe_contract": r"""
+WITH words AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w FROM documents
+), w2 AS (
+  SELECT w, COUNT(*) AS freq FROM words WHERE w <> '' GROUP BY w
+), pos AS (
+  SELECT w, freq, unnest(generate_series(1, length(w) - 1)) AS i FROM w2
+), pairs AS (
+  SELECT substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r,
+         CAST(SUM(freq) AS BIGINT) AS n
+  FROM pos GROUP BY 1, 2
+), top AS (
+  SELECT l, r, n FROM pairs ORDER BY n DESC, l, r LIMIT 1
+)
+SELECT top.l AS left_1, top.r AS right_1, top.n AS n_1,
+       CAST(6 AS INTEGER) AS k, TRUE AS merges_positive,
+       (SELECT CAST(SUM(LENGTH(w)) AS BIGINT) FROM words WHERE w <> '')
+         AS char_mass
+FROM top
 """,
 }
 

@@ -1,0 +1,81 @@
+"""Distributed BPE training (operators/text.py::bpe_train) vs a pure
+Python reference implementation of the classic Sennrich loop."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from datafusion_gpu_spark.operators.text import bpe_train
+
+
+def _ref_bpe(word_freqs: dict[str, int], k: int):
+    state: dict[tuple, int] = Counter()
+    for w, f in word_freqs.items():
+        state[tuple(w)] += f
+    merges = []
+    for _ in range(k):
+        counts: Counter = Counter()
+        for syms, f in state.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] += f
+        if not counts:
+            break
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((left, right, n))
+        nxt: Counter = Counter()
+        for syms, f in state.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            nxt[tuple(merged)] += f
+        state = nxt
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                                 "doc_id long, text string")
+
+
+def test_bpe_matches_reference_on_planted_corpus(spark):
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest",
+        "newest newest newest widest widest",
+        "low lowest widest",
+    ]
+    freqs = Counter(w for t in texts for w in t.split())
+    want = _ref_bpe(freqs, 6)
+    got = bpe_train(_docs(spark, texts), num_merges=6)
+    assert got == want
+    # sanity: the classic corpus learns multi-char subwords, not noise
+    learned = [l + r for l, r, _ in got]
+    assert any(len(tok) >= 3 for tok in learned)
+
+
+def test_bpe_run_collapse_is_left_to_right(spark):
+    # 'aaaa' x 1: pair (a,a) counts 3 overlapping positions but merges
+    # into TWO 'aa' symbols left-to-right; round 2 then merges (aa,aa)
+    got = bpe_train(_docs(spark, ["aaaa aaaa"]), num_merges=2)
+    ref = _ref_bpe({"aaaa": 2}, 2)
+    assert got == ref
+    assert got[0][:2] == ("a", "a") and got[1][:2] == ("aa", "aa")
+
+
+def test_bpe_reference_equality_on_sf_documents(spark):
+    from tests.conftest import SF_DIR
+
+    from datafusion_gpu_spark.context import register_tables
+
+    register_tables(spark, SF_DIR)
+    docs = spark.table("documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    freqs = Counter(w for t in texts for w in t.lower().split())
+    assert bpe_train(docs, num_merges=4) == _ref_bpe(freqs, 4)
