@@ -778,3 +778,60 @@ def bpe_char_mass(state_or_docs: DataFrame, text_col: str = "text"):
         .where(F.col("w") != "")
         .agg(F.sum(F.length("w")).alias("mass"))
     )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]] | list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "tokens",
+) -> DataFrame:
+    """Tokenize with trained BPE merges: each word splits to characters
+    and the merges apply IN RANK ORDER, left-to-right within the word —
+    the standard encode algorithm, exactly inverse-consistent with
+    :func:`bpe_train`'s application step. One Arrow-batched pass over
+    the corpus (the merge list broadcasts in the task closure); no
+    shuffle — tokens land partition-aligned with the documents.
+
+    Returns the input plus ``out_col`` (array<string>) and
+    ``n_tokens``.
+    """
+    import pandas as pd
+
+    pairs = [(m[0], m[1]) for m in merges]
+
+    out_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    schema = f"{out_schema}, {out_col} array<string>, n_tokens int"
+
+    def encode(batches):
+        for pdf in batches:
+            toks_col, counts = [], []
+            for t in pdf[text_col]:
+                toks: list[str] = []
+                for w in str(t).lower().split():
+                    syms = list(w)
+                    for left, right in pairs:
+                        merged, i = [], 0
+                        while i < len(syms):
+                            if (
+                                i + 1 < len(syms)
+                                and syms[i] == left
+                                and syms[i + 1] == right
+                            ):
+                                merged.append(left + right)
+                                i += 2
+                            else:
+                                merged.append(syms[i])
+                                i += 1
+                        syms = merged
+                    toks.extend(syms)
+                toks_col.append(toks)
+                counts.append(len(toks))
+            pdf = pdf.copy()
+            pdf[out_col] = toks_col
+            pdf["n_tokens"] = counts
+            yield pdf
+
+    return docs.mapInPandas(encode, schema)

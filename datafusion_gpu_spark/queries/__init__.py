@@ -120,6 +120,7 @@ _LATE_FRESH = (
     "events_ab_test",
     "fn_collation",
     "text_bpe_contract",
+    "text_bpe_encode",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

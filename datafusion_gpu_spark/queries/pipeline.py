@@ -1166,6 +1166,35 @@ def _text_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-encode through the gate: the corpus tokenizes with
+    its own learned merges in one Arrow pass. SQL replays the raw
+    character mass; the contract booleans pin the two encode
+    invariants — concatenated tokens reconstruct every document's
+    characters exactly, and the learned merges actually compress
+    (fewer tokens than characters)."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = text.bpe_train(docs, num_merges=6)
+    enc = text.bpe_encode(docs.select("doc_id", "text"), merges)
+    norm_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), r"\s+", "")
+    )
+    stats = enc.select(
+        "n_tokens",
+        norm_chars.alias("n_chars"),
+        (F.concat_ws("", "tokens") == F.regexp_replace(
+            F.lower(F.col("text")), r"\s+", ""
+        )).alias("ok"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("ok").alias("chars_conserved"),
+        (F.sum("n_tokens") < F.sum("n_chars")).alias("compressed"),
+    )
+    return stats
+
+
 def _events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation: per-user recency/frequency/monetary from the
     purchase stream, quartile-scored with NTILE over deterministic
@@ -1286,6 +1315,7 @@ QUERIES = {
     "events_rfm": _events_rfm,
     "events_ab_test": _events_ab_test,
     "text_bpe_contract": _text_bpe_contract,
+    "text_bpe_encode": _text_bpe_encode,
     "dedup_exact": _dedup_exact,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
@@ -2825,6 +2855,14 @@ SELECT top.l AS left_1, top.r AS right_1, top.n AS n_1,
        (SELECT CAST(SUM(LENGTH(w)) AS BIGINT) FROM words WHERE w <> '')
          AS char_mass
 FROM top
+""",
+    "text_bpe_encode": r"""
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(length(regexp_replace(lower(text), '\s+', '', 'g'))) AS BIGINT)
+         AS total_chars,
+       TRUE AS chars_conserved,
+       TRUE AS compressed
+FROM documents
 """,
 }
 

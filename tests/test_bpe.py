@@ -79,3 +79,43 @@ def test_bpe_reference_equality_on_sf_documents(spark):
     texts = [r["text"] for r in docs.select("text").collect()]
     freqs = Counter(w for t in texts for w in t.lower().split())
     assert bpe_train(docs, num_merges=4) == _ref_bpe(freqs, 4)
+
+
+def _ref_encode(text, pairs):
+    toks = []
+    for w in text.lower().split():
+        syms = list(w)
+        for left, right in pairs:
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    merged.append(left + right)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_encode_round_trip_and_char_conservation(spark):
+    from datafusion_gpu_spark.operators.text import bpe_encode
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest widest widest lowest",
+    ]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, num_merges=5)
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        pairs = [(l, r) for l, r, _ in merges]
+        want = _ref_encode(t, pairs)
+        assert list(out[i]["tokens"]) == want
+        assert out[i]["n_tokens"] == len(want)
+        # characters conserved: concatenating tokens rebuilds the words
+        assert "".join(out[i]["tokens"]) == t.lower().replace(" ", "")
+    # training compresses: fewer tokens than characters
+    n_chars = sum(len(w) for t in texts for w in t.split())
+    assert sum(r["n_tokens"] for r in out.values()) < n_chars
