@@ -104,6 +104,13 @@ SF_BENCHES = [
     # the engine.
 ]
 
+#: Queries the deadline planner may evict only when nothing unprotected
+#: remains: each is the sole bench representative of a plan family whose
+#: wall-clock otherwise has no driver evidence (dedup_components = the
+#: iterative/loop family, absent from BENCH_r04 exactly because the
+#: planner treated it like any other expensive query).
+PROTECTED = frozenset({"dedup_components"})
+
 
 def timed_median(fn, samples: int, warmed: bool = False) -> float:
     if not warmed:
@@ -200,7 +207,12 @@ def main() -> int:
     while kept:
         budget = SOFT_DEADLINE_S - (time.perf_counter() - t0)
         while kept and sum(est[n] for n in kept) * SAMPLES > budget:
-            victim = max(kept, key=lambda n: est[n])
+            # Evict the most expensive UNPROTECTED query first; a PROTECTED
+            # query (the sole representative of a plan family — r4's driver
+            # run evicted dedup_components, leaving the iterative family
+            # with no bench row at all) goes only when nothing else is left.
+            pool = [n for n in kept if n not in PROTECTED] or kept
+            victim = max(pool, key=lambda n: est[n])
             kept.remove(victim)
             log(f"{victim}: DROPPED by deadline planner (est "
                 f"{est[victim]:.2f} s x {SAMPLES} samples over budget)")

@@ -457,39 +457,42 @@ def funnel_counts(
     every earlier stage first, each at a STRICTLY later timestamp than
     the previous conversion (the standard product-analytics funnel).
 
-    ONE keyed shuffle does all stages: per user, the first stage
-    contributes a conditional ``min(ts)`` and every later stage a sorted
-    timestamp array; conversion times then chain as
-    ``t_i = array_min(filter(ts_i, x -> x > t_{i-1}))`` — pure codegen,
-    no window, no self-join, no Python. Per-user state is the user's own
-    event timestamps for the funnel types (the same per-key bound
-    sessionize already assumes). A final one-row aggregation + explode
-    emits the per-stage user counts. At 100 TB: one hash shuffle on
-    ``user_col`` (AQE handles skew), then a driver-sized result.
+    ONE keyed shuffle does all stages: the conversion-time chain
+    ``t_i = min(ts of stage i strictly after t_{i-1})`` is a cascade of
+    whole-partition window minima over ``partitionBy(user_col)`` — every
+    Window node after the first reuses the same hash exchange (one
+    shuffle total, plan-asserted in tests), and per-key aggregation
+    state is ONE scalar per stage. Unlike a ``collect_list`` spelling,
+    a bot user with millions of funnel events never builds an unbounded
+    in-memory array: WindowExec's row buffer spills to disk, the min
+    state does not grow. The per-user chain then collapses via a
+    partial-agg ``first`` (no new exchange — already partitioned by
+    user) and a driver-sized count + explode emits the per-stage user
+    counts. At 100 TB: one hash shuffle on ``user_col`` (AQE handles
+    skew), then a driver-sized result.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two stages")
-    aggs = [
-        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).alias("t_0")
-    ]
-    for i, s in enumerate(steps[1:], start=1):
-        aggs.append(
-            F.sort_array(
-                F.collect_list(F.when(F.col(type_col) == s, F.col(ts_col)))
-            ).alias(f"ts_{i}")
-        )
-    g = (
-        events.where(F.col(type_col).isin(list(steps)))
-        .groupBy(user_col)
-        .agg(*aggs)
+    w = Window.partitionBy(user_col)
+    g = events.where(F.col(type_col).isin(list(steps))).withColumn(
+        "t_0",
+        F.min(F.when(F.col(type_col) == steps[0], F.col(ts_col))).over(w),
     )
-    for i in range(1, len(steps)):
+    for i, s in enumerate(steps[1:], start=1):
         prev = F.col(f"t_{i - 1}")
         g = g.withColumn(
             f"t_{i}",
-            F.array_min(F.filter(F.col(f"ts_{i}"), lambda x: x > prev)),
+            F.min(
+                F.when(
+                    (F.col(type_col) == s) & (F.col(ts_col) > prev),
+                    F.col(ts_col),
+                )
+            ).over(w),
         )
-    counts = g.agg(
+    per_user = g.groupBy(user_col).agg(
+        *[F.first(f"t_{i}").alias(f"t_{i}") for i in range(len(steps))]
+    )
+    counts = per_user.agg(
         *[F.count(F.col(f"t_{i}")).alias(f"c_{i}") for i in range(len(steps))]
     )
     stages = F.array(

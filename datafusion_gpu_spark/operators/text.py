@@ -672,19 +672,36 @@ def bpe_train(
     num_merges: int = 6,
     text_col: str = "text",
     return_state: bool = False,
+    merge_batch: int = 1,
 ):
     """Train byte-pair-encoding merges on the corpus: the classic
     Sennrich et al. loop, distributed the way it scales — the state is
     the WORD-FREQUENCY table (|vocab| rows, not |corpus| rows; one
     corpus scan builds it), each round counts adjacent symbol pairs
     weighted by word frequency (one hash aggregation), picks the most
-    frequent pair with a deterministic (count desc, left, right)
-    tiebreak (a one-ROW collect per round, the same scalar-only driver
-    traffic as connected components), and applies the merge
-    left-to-right per word in an Arrow-batched pass over the word
-    table. Pair counting uses overlapping adjacent positions (the
-    standard formulation); merge application is left-to-right
-    non-overlapping.
+    frequent pair(s) with a deterministic (count desc, left, right)
+    tiebreak, and applies them left-to-right per word in an
+    Arrow-batched pass over the word table. Pair counting uses
+    overlapping adjacent positions (the standard formulation); merge
+    application is left-to-right non-overlapping.
+
+    ``merge_batch=1`` (the default, and what every oracle/contract
+    uses) is EXACT classic BPE: one merge per distributed round.
+    ``merge_batch=B`` is the scale path for realistic vocab sizes
+    (~30k merges would otherwise mean ~60k Spark jobs): each round
+    collects the top candidate pairs and greedily admits up to B that
+    are mutually SYMBOL-DISJOINT (no symbol of one admitted pair — nor
+    its concatenation — appears in another), then applies the whole
+    batch in rank order in ONE pass over the word table. Disjointness
+    means each admitted pair's count is unaffected by the others, so
+    in-pass rank-order application equals sequentially applying those
+    picks; the one documented divergence from pure sequential training
+    (shared with other parallel BPE trainers) is that a merge can mint
+    a brand-new pair mid-batch that one-at-a-time training would have
+    ranked before a later batch member. Lineage is
+    localCheckpoint-truncated every 8 rounds so the logical plan stays
+    O(1) in the round count instead of accreting one mapInPandas layer
+    per round.
 
     Returns the learned merges as [(left, right, weighted_count)],
     rank-ordered — or (merges, final_state) when ``return_state`` is
@@ -692,8 +709,8 @@ def bpe_train(
     per-round cost is one aggregation over the vocabulary relation —
     the corpus is touched exactly once.
     """
-    import pandas as pd
-
+    if merge_batch < 1:
+        raise ValueError("merge_batch must be >= 1")
     words = (
         docs.select(
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
@@ -709,8 +726,11 @@ def bpe_train(
     state = words.persist()
     state.count()
     merges: list[tuple[str, str, int]] = []
+    rounds = 0
     try:
-        for _ in range(num_merges):
+        while len(merges) < num_merges:
+            want = min(merge_batch, num_merges - len(merges))
+            # over-fetch: symbol-disjointness filtering discards some
             pairs = (
                 state.select(
                     F.posexplode(
@@ -724,40 +744,61 @@ def bpe_train(
                 .groupBy("p.l", "p.r")
                 .agg(F.sum("freq").alias("n"))
                 .orderBy(F.col("n").desc(), "l", "r")
-                .limit(1)
+                .limit(4 * want)
                 .collect()
             )
             if not pairs:
                 break
-            left, right, n = pairs[0]["l"], pairs[0]["r"], int(pairs[0]["n"])
-            merges.append((left, right, n))
+            batch: list[tuple[str, str, int]] = []
+            touched: set[str] = set()
+            for row in pairs:
+                left, right = row["l"], row["r"]
+                if batch and (
+                    left in touched
+                    or right in touched
+                    or (left + right) in touched
+                ):
+                    continue
+                batch.append((left, right, int(row["n"])))
+                touched.update((left, right, left + right))
+                if len(batch) >= want:
+                    break
+            merges.extend(batch)
+            batch_pairs = [(l, r) for l, r, _ in batch]
 
-            def apply_merge(batches, left=left, right=right):
+            def apply_batch(batches, batch_pairs=batch_pairs):
                 for pdf in batches:
                     out = []
                     for syms in pdf["syms"]:
                         syms = list(syms)
-                        merged, i = [], 0
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == left
-                                and syms[i + 1] == right
-                            ):
-                                merged.append(left + right)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        out.append(merged)
+                        for left, right in batch_pairs:  # rank order
+                            merged, i = [], 0
+                            while i < len(syms):
+                                if (
+                                    i + 1 < len(syms)
+                                    and syms[i] == left
+                                    and syms[i + 1] == right
+                                ):
+                                    merged.append(left + right)
+                                    i += 2
+                                else:
+                                    merged.append(syms[i])
+                                    i += 1
+                            syms = merged
+                        out.append(syms)
                     pdf = pdf.copy()
                     pdf["syms"] = out
                     yield pdf
 
             nxt = state.mapInPandas(
-                apply_merge, "syms array<string>, freq long"
-            ).persist()
-            nxt.count()
+                apply_batch, "syms array<string>, freq long"
+            )
+            rounds += 1
+            if rounds % 8 == 0:
+                nxt = nxt.localCheckpoint(eager=True)
+            else:
+                nxt = nxt.persist()
+                nxt.count()
             state.unpersist()
             state = nxt
         if return_state:
@@ -780,25 +821,61 @@ def bpe_char_mass(state_or_docs: DataFrame, text_col: str = "text"):
     )
 
 
+def _bpe_merge_word(
+    syms: list[str], ranks: dict[tuple[str, str], int]
+) -> list[str]:
+    """Greedy lowest-rank-pair BPE merge of one word (the standard
+    encode loop, e.g. GPT-2's encoder): repeatedly find the adjacent
+    pair with the smallest merge rank and collapse all its occurrences
+    left-to-right. Cost is O(len^2) per word, INDEPENDENT of the merge
+    count — vs O(num_merges * len) for replaying every merge — which
+    is the difference between usable and quadratic at ~30k merges.
+
+    For any merge list produced by :func:`bpe_train` (where a merged
+    symbol's constituents always carry strictly lower ranks than any
+    merge consuming it) this is exactly equivalent to applying the
+    merges sequentially in rank order.
+    """
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for pair in zip(syms, syms[1:]):
+            r = ranks.get(pair)
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best = r, pair
+        if best is None:
+            break
+        left, right = best
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                merged.append(left + right)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
 def bpe_encode(
     docs: DataFrame,
     merges: list[tuple[str, str, int]] | list[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "tokens",
 ) -> DataFrame:
-    """Tokenize with trained BPE merges: each word splits to characters
-    and the merges apply IN RANK ORDER, left-to-right within the word —
-    the standard encode algorithm, exactly inverse-consistent with
-    :func:`bpe_train`'s application step. One Arrow-batched pass over
-    the corpus (the merge list broadcasts in the task closure); no
-    shuffle — tokens land partition-aligned with the documents.
+    """Tokenize with trained BPE merges via a merge-RANK dict and the
+    greedy lowest-rank-pair loop (:func:`_bpe_merge_word`) — per-word
+    cost no longer scales with the merge count, and a per-partition
+    memo caches each unique word's tokenization (Zipf makes the hit
+    rate ~= 1 on natural text). One Arrow-batched pass over the corpus
+    (the rank dict broadcasts in the task closure); no shuffle —
+    tokens land partition-aligned with the documents.
 
     Returns the input plus ``out_col`` (array<string>) and
     ``n_tokens``.
     """
-    import pandas as pd
-
-    pairs = [(m[0], m[1]) for m in merges]
+    ranks = {(m[0], m[1]): i for i, m in enumerate(merges)}
 
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
@@ -806,27 +883,18 @@ def bpe_encode(
     schema = f"{out_schema}, {out_col} array<string>, n_tokens int"
 
     def encode(batches):
+        memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks_col, counts = [], []
             for t in pdf[text_col]:
                 toks: list[str] = []
                 for w in str(t).lower().split():
-                    syms = list(w)
-                    for left, right in pairs:
-                        merged, i = [], 0
-                        while i < len(syms):
-                            if (
-                                i + 1 < len(syms)
-                                and syms[i] == left
-                                and syms[i + 1] == right
-                            ):
-                                merged.append(left + right)
-                                i += 2
-                            else:
-                                merged.append(syms[i])
-                                i += 1
-                        syms = merged
-                    toks.extend(syms)
+                    got = memo.get(w)
+                    if got is None:
+                        got = _bpe_merge_word(list(w), ranks)
+                        if len(memo) < 1_000_000:  # bound executor memory
+                            memo[w] = got
+                    toks.extend(got)
                 toks_col.append(toks)
                 counts.append(len(toks))
             pdf = pdf.copy()

@@ -39,16 +39,29 @@ def sql_query(statement: str) -> QueryFn:
     return run
 
 
-# Queries already green in a driver CORRECTNESS file (rounds 1-3). The driver
+# Queries already green in a driver CORRECTNESS file (rounds 1-4). The driver
 # gate checks at most 50 queries per round in registry order, so entries NOT in
-# this set: 48 never-driver-checked (39 carried from r3 + 9 round-4
-# additions), the sim_quantize_int8 re-check (its r3 row was red, so it
-# stays OUT), and every _LATE_FRESH addition below — surfaced first until
-# each query has a green driver row. The late tier sorts after the
-# pre-committed 49, so round 4 checks those 49 plus the first late entry
-# (events_scd2_history); the remaining late entries surface first in
-# round 5 (late-tier order = the order they claim slots).
+# this set — the 23 remaining _LATE_FRESH names (round-4 additions that missed
+# r4's pre-committed 50-slot budget) plus anything added in round 5 — are
+# surfaced first until each query has a green driver row. 23 < 50, so round 5
+# closes driver coverage over the whole catalog; the ~27 spare slots fall to
+# round-5 additions appended to the END of _LATE_FRESH (never displacing a
+# longer-waiting query), then to re-checks of already-green entries.
 _DRIVER_CHECKED = frozenset({
+    # -- green in CORRECTNESS_r04 (all 50 rows full green) --
+    "events_multi_rollup", "multimodal_decode", "io_merge_upsert", "dedup_incremental",
+    "curation_quantile_filter", "graph_pagerank", "sim_topk_ivf_kmeans_recall", "sim_mmr_rerank",
+    "sim_quantize_int8", "text_lang_id", "text_tokens", "text_fingerprints",
+    "text_pii_redact", "text_collocations", "text_winnowing", "text_repetition",
+    "text_gopher_rules", "text_c4_rules", "text_contamination", "text_perplexity",
+    "retrieval_bm25", "retrieval_tfidf", "text_chunks", "curation_mix_domains",
+    "curation_shuffle", "curation_hash_split", "curation_dsir_resample", "curation_zorder_key",
+    "curation_temperature_mix", "curation_weighted_sample", "curation_stratified_sample", "curation_pack_sequences",
+    "agg_hll_sketch_union", "agg_cube", "agg_approx_error_bounded", "window_groups_frame_emulated",
+    "window_exclude_current_emulated", "window_qualify_rewrite", "fn_alias_shims", "fn_null_semantics",
+    "fn_udtf_split", "fn_url_pack", "fn_variant_json", "fn_edit_distance",
+    "custom_sum_f32_sql_rewritten", "custom_sum_f32_unfused", "custom_sum_f32_global", "custom_sum_f32_scalable",
+    "custom_sum_f32_dataframe_api", "events_scd2_history",
     # -- green in CORRECTNESS_r03 --
     "csv_scan_agg", "dedup_components", "dedup_embedding_cosine", "dedup_embedding_lsh",
     "dedup_exact", "dedup_lines", "dedup_minhash_lsh", "dedup_ngram_jaccard",
@@ -90,13 +103,12 @@ _DRIVER_CHECKED = frozenset({
 #: Rows-only entries (no oracle — weaker driver check) can wait a round.
 _ROWS_ONLY = frozenset({"explain_plan", "agg_approximate"})
 
-#: Gate entries added AFTER round 4's 50-slot budget was committed to the
-#: 48 never-checked + 1 re-check set above: these sort LAST among fresh
-#: entries so they consume only spare slots (one this round, the rest in
-#: round 5) and can never displace a longer-waiting query. Listed in the
-#: order they should claim spare slots.
+#: Gate entries with no driver CORRECTNESS row yet, in the order they wait:
+#: round-4 additions that missed r4's 50-slot budget first, then round-5
+#: additions appended at the END (so a new query can never displace a
+#: longer-waiting one). Names promoted into _DRIVER_CHECKED are skipped by
+#: the fresh filter, so a green row costs no edit here.
 _LATE_FRESH = (
-    "events_scd2_history",
     "dedup_incremental_bloom",
     "text_heavy_hitters",
     "streaming_multi_rollup",

@@ -1251,7 +1251,14 @@ def _events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_a, p_b = c_a / n_a, c_b / n_b
     pool = (c_a + c_b) / (n_a + n_b)
     se = F.sqrt(pool * (1 - pool) * (1.0 / n_a + 1.0 / n_b))
-    z = F.when(se > 0, (p_a - p_b) / se).otherwise(F.lit(0.0))
+    # NULL se (a variant with zero users makes n/conv NULL) must propagate
+    # as NULL z, matching the oracle's CASE semantics — otherwise(0.0)
+    # would turn the degenerate single-variant case into z_stat=0.0.
+    z = (
+        F.when(se.isNull(), F.lit(None).cast("double"))
+        .when(se > 0, (p_a - p_b) / se)
+        .otherwise(F.lit(0.0))
+    )
     return wide.select(
         n_a.alias("n_a"),
         c_a.alias("conv_a"),
@@ -1277,10 +1284,11 @@ def _streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel view -> click -> purchase, each stage
-    strictly after the previous conversion: one keyed shuffle builds
-    per-user conditional min + sorted stage-timestamp arrays, the
-    t_i = array_min(filter(ts_i, > t_{i-1})) chain stays in codegen.
-    The oracle replays the equivalent chained min-after-prior CTEs."""
+    strictly after the previous conversion: one keyed shuffle, then the
+    t_i = min(ts_i where ts > t_{i-1}) chain as scalar-state window
+    minima that all reuse the same exchange (bounded per-key memory —
+    no collected arrays). The oracle replays the equivalent chained
+    min-after-prior CTEs."""
     load(spark, sf_dir)
     return events.funnel_counts(
         spark.table("events"), steps=["view", "click", "purchase"]

@@ -195,9 +195,16 @@ def stream_view_purchase_join(
     ``purchase_ts`` to [view_ts, view_ts + horizon], so Spark can expire
     buffered state: a view older than watermark+horizon can never match
     a future purchase and is dropped from the state store. Inner-join
-    rows emit exactly once when matched — the append-mode output equals
-    the batch interval self-join row-for-row, which is what the gate's
-    DuckDB oracle replays.
+    rows emit exactly once when matched.
+
+    Bounded-disorder caveat (same approximation contract as the EMA
+    operator): equality with the batch interval self-join holds only
+    for sources whose event-time disorder stays within ``watermark`` —
+    a view arriving more than ``watermark`` late is already evicted
+    from state and its pairs are silently lost. The gate's DuckDB
+    oracle replays the batch join and matches because the parquet file
+    replay is near-ordered; size ``watermark`` to the source's maximum
+    disorder when that guarantee matters.
     """
     views = (
         stream_events(spark, sf_dir)

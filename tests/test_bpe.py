@@ -119,3 +119,54 @@ def test_bpe_encode_round_trip_and_char_conservation(spark):
     # training compresses: fewer tokens than characters
     n_chars = sum(len(w) for t in texts for w in t.split())
     assert sum(r["n_tokens"] for r in out.values()) < n_chars
+
+
+def test_bpe_many_merges_exercises_checkpoint_truncation(spark):
+    # 10 merges crosses the every-8-rounds localCheckpoint boundary;
+    # the truncated-lineage path must stay bit-identical to the
+    # pure-Python reference loop.
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest widest widest lowest",
+        "highest highest higher high low",
+    ]
+    freqs = Counter(w for t in texts for w in t.split())
+    assert bpe_train(_docs(spark, texts), num_merges=10) == _ref_bpe(freqs, 10)
+
+
+def test_bpe_batched_equals_exact_on_disjoint_top_pairs(spark):
+    # Top pairs (a,a) and (b,b) are symbol-disjoint, so one batched
+    # round of 2 must pick exactly what two sequential rounds pick.
+    texts = ["aa bb aa bb aa bb cc"]
+    freqs = Counter(w for t in texts for w in t.split())
+    exact = _ref_bpe(freqs, 2)
+    batched = bpe_train(_docs(spark, texts), num_merges=2, merge_batch=2)
+    assert batched == exact
+
+
+def test_bpe_batched_defers_interfering_pair(spark):
+    # (a,b) and (b,c) share symbol b: the batch admits (a,b) and must
+    # DEFER (b,c) to the next round, where its count is recomputed on
+    # the merged state — never applied against a stale count.
+    texts = ["ab ab ab abc abc bc"]
+    got = bpe_train(_docs(spark, texts), num_merges=2, merge_batch=2)
+    # round 1: (a,b) n=6 admitted; (b,c) skipped (shares b).
+    assert got[0][:2] == ("a", "b")
+    # (b,c) occurrences were consumed by the (a,b) merge, so the next
+    # round learns (ab,c) from the rewritten state — exact-sequential
+    # behavior, which a stale batched application would have missed.
+    assert got[1][:2] == ("ab", "c")
+
+
+def test_bpe_encode_with_batched_merges_conserves_chars(spark):
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest widest widest lowest",
+    ]
+    docs = _docs(spark, texts)
+    merges = bpe_train(docs, num_merges=6, merge_batch=3)
+    from datafusion_gpu_spark.operators.text import bpe_encode
+
+    out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
+    for i, t in enumerate(texts):
+        assert "".join(out[i]["tokens"]) == t.lower().replace(" ", "")

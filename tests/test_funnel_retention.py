@@ -42,6 +42,20 @@ def test_funnel_strict_ordering(spark):
     assert by_stage == {"view": (1, 4), "click": (2, 3), "purchase": (3, 2)}
 
 
+def test_funnel_plan_single_shuffle_no_arrays(spark):
+    # The stage chain must reuse ONE hash exchange on user_id (every
+    # Window node shares the partitioning) and keep scalar aggregation
+    # state — no collect_list buffers that grow with a hot user's
+    # event count.
+    df = funnel_counts(
+        _funnel_df(spark, [_ev(1, 0, "view"), _ev(1, 1, "click")]),
+        steps=["view", "click", "purchase"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "collect_list" not in plan
+
+
 def test_funnel_tie_timestamps_do_not_convert(spark):
     # click at the SAME instant as the first view is not strictly after
     rows = [_ev(1, 0, "view"), _ev(1, 0, "click")]
