@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import glob
 import os
+import shutil
 import uuid
 from collections.abc import Iterator
 
@@ -193,6 +194,15 @@ def write_bucketed(
     side fits an executor's memory (e.g. 100 TB / 2048 buckets ≈ 50 GB
     per bucket pre-compression).
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a table dir can survive from a PREVIOUS session whose catalog is
+    # gone (managed-table location with no catalog entry); overwrite
+    # then fails with LOCATION_ALREADY_EXISTS — remove the orphan
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(warehouse.removeprefix("file:"), table.lower())
+    if "." not in table and os.path.isdir(loc):
+        shutil.rmtree(loc)
     w = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_by)
     if sort_by:
         w = w.sortBy(*sort_by)

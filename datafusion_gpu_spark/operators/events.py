@@ -597,3 +597,75 @@ def top_paths(
         .orderBy(F.col("n").desc(), F.col("path"))
         .limit(k)
     )
+
+
+def value_histogram(
+    events: DataFrame,
+    width: float = 5.0,
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, bucket, n, sum_value) fixed-width histogram of the
+    value distribution — floor(value / width) buckets, the numeric
+    sibling of the tumbling time bucket. One hash aggregation with
+    map-side partials; at 100 TB the result is |types| x |buckets|
+    rows regardless of input size. floor() keeps bucket assignment
+    portable across engines (width_bucket edge semantics differ)."""
+    return (
+        events.groupBy(
+            F.col(type_col),
+            F.floor(F.col(value_col) / width).cast("long").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(value_col), 2).alias("sum_value"),
+        )
+    )
+
+
+def mad_anomalies(
+    events: DataFrame,
+    k: float = 3.0,
+    value_col: str = "value",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Robust per-type outlier flags via Median Absolute Deviation:
+    |value - median| > k * 1.4826 * MAD — the heavy-tail-safe sibling
+    of the rolling z-score (one extreme bot value shifts a mean/stddev
+    baseline but not a median/MAD one).
+
+    Two keyed aggregations (median per type, then MAD per type) and a
+    broadcast join of the |types|-row stats back onto the stream; the
+    deviation is ROUNDED to 6 before the threshold so the SQL oracle
+    replays every flag decision bit-for-bit. Exact medians here; at
+    100 TB swap in approx_percentile(0.5) (mergeable sketch) — the
+    same plan shape with bounded state.
+    """
+    med = events.groupBy(type_col).agg(
+        F.median(value_col).alias("med")
+    )
+    mad = (
+        events.join(F.broadcast(med), type_col)
+        .groupBy(type_col)
+        .agg(
+            F.first("med").alias("med"),
+            F.median(F.abs(F.col(value_col) - F.col("med"))).alias("mad"),
+        )
+    )
+    dev = F.round(
+        F.abs(F.col(value_col) - F.col("med")) / (F.lit(1.4826) * F.col("mad")),
+        6,
+    )
+    return (
+        events.join(F.broadcast(mad), type_col)
+        .select(
+            "event_id",
+            F.col(type_col),
+            F.round(value_col, 2).alias("value"),
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+            F.when(F.col("mad") > 0, dev > k).otherwise(F.lit(False)).alias(
+                "is_outlier"
+            ),
+        )
+    )

@@ -21,11 +21,13 @@ Spark-first shape, same contract as the components operator:
 - no driver-side data: the only collect in the operator is none at all —
   the node count feeds the teleport term as a broadcast one-row join.
 
-Dangling nodes (no out-edges) are handled the simple documented way:
-their mass is NOT redistributed (rank leaks each round). This is the
-variant an ANSI-SQL oracle can replay exactly; the normalized variant is
-a one-line post-division and does not change the ranking order within
-this leak model.
+Dangling nodes (no out-edges) support both standard treatments:
+``dangling="leak"`` (the default the gate's chained-CTE oracle replays
+exactly — mass leaks each round) and ``dangling="redistribute"`` (the
+textbook correction: each round the dangling mass is spread uniformly,
+computed as one extra one-row broadcast aggregate per round, never a
+driver collect; total mass then stays exactly 1.0 every round —
+pinned against a numpy reference in tests).
 """
 
 from __future__ import annotations
@@ -41,6 +43,7 @@ def pagerank(
     src: str = "src",
     dst: str = "dst",
     broadcast_ranks: bool = True,
+    dangling: str = "leak",
 ) -> DataFrame:
     """(node, rank) after ``iterations`` rounds of power iteration over
     the directed edge list.
@@ -85,6 +88,8 @@ def pagerank(
     ranks = nodes.crossJoin(n_row).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    if dangling not in ("leak", "redistribute"):
+        raise ValueError("dangling must be 'leak' or 'redistribute'")
     maybe_bcast = F.broadcast if broadcast_ranks else (lambda df: df)
     for _ in range(iterations):
         # rank(u)/outdeg(u) on the |V|-row side; dst-only nodes (outdeg
@@ -100,17 +105,110 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("rw").alias("contrib"))
         )
-        ranks = ckpt(
-            nodes.join(
-                maybe_bcast(contribs), nodes["node"] == contribs["dst"], "left"
+        nxt = nodes.join(
+            maybe_bcast(contribs), nodes["node"] == contribs["dst"], "left"
+        ).crossJoin(n_row)
+        if dangling == "redistribute":
+            # dangling mass this round: sum of rank over outdeg==0 nodes
+            # — a one-row broadcast (same scalar-only pattern as n_row),
+            # spread uniformly with the damping factor applied
+            m_row = F.broadcast(
+                ranks.join(nodes_deg, "node")
+                .where(F.col("outdeg") == 0)
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
             )
-            .crossJoin(n_row)
-            .select(
+            nxt = nxt.crossJoin(m_row)
+            extra = damping * F.col("m") / F.col("n")
+        else:
+            extra = F.lit(0.0)
+        ranks = ckpt(
+            nxt.select(
                 "node",
                 (
                     (1.0 - damping) / F.col("n")
                     + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + extra
                 ).alias("rank"),
             )
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Global triangle count of the UNDIRECTED graph given as a pair
+    stream (either orientation, self-loops and duplicates tolerated).
+
+    The classic two-join MapReduce algorithm with DEGREE-ORDERED
+    orientation (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11): orient every undirected edge
+    from its lower-(degree, id) endpoint to the higher one, so each
+    node's out-neighborhood is O(sqrt(m)) even for a celebrity hub —
+    the wedge join (oriented ⋈ oriented on the middle node) then
+    generates at most sum(outdeg^2) = O(m^1.5) candidate wedges instead
+    of the hub-quadratic blowup an id-only orientation suffers on skewed
+    graphs. One equality self-join + one semi-join against the oriented
+    edge set; every shuffle is keyed, no cartesian anywhere.
+
+    Returns a single row ``(n_triangles)``; each triangle is counted
+    exactly once (its orientation is acyclic, so the wedge at the
+    lowest-ordered corner finds it uniquely).
+    """
+    # canonical undirected edge set (lo, hi), self-loops dropped
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    # undirected degree: every endpoint appears once per distinct edge
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dl = deg.select(
+        F.col("node").alias("lo"), F.col("deg").alias("deg_lo")
+    )
+    dh = deg.select(
+        F.col("node").alias("hi"), F.col("deg").alias("deg_hi")
+    )
+    # orient from the (deg, id)-smaller endpoint to the larger
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    # wedges u->v, u->w (v before w in the orientation order) closed by
+    # an oriented edge v->w
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = e1.join(e2, e1["u"] == e2["u2"]).where(F.col("v") != F.col("w")).select("v", "w")
+    closing = oriented.select(
+        F.col("u").alias("v"), F.col("v").alias("w")
+    )
+    closed = wedges.join(closing, ["v", "w"], "inner")
+    # each triangle {x<y<z} closes exactly once: its corner-x wedge
+    # emits (y,z) AND (z,y), but the orientation is a DAG so only y->z
+    # exists as a closing edge — no double counting to correct
+    return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+
+
+def degree_histogram(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """(degree, n_nodes) distribution of the undirected graph — the
+    first diagnostic anyone runs on a link graph (power-law check,
+    skew estimate for join planning). Two keyed aggregations; the
+    histogram is at most |V| rows and usually tiny."""
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

@@ -509,3 +509,61 @@ def frame_sample(binary_df: DataFrame, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_w", IntegerType()),
+        StructField("src_h", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def resize_nearest(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor image resize over the standard multimodal
+    plumbing (the thumbnail / vision-encoder-input-prep step): decode
+    executor-side, index-map with
+
+        src_x = floor(x_out * src_w / out_w)
+        src_y = floor(y_out * src_h / out_h)
+
+    (pure integer arithmetic — no interpolation, so every output pixel
+    is exactly reproducible by a SQL oracle), and emit the resized
+    image's exact per-channel SUMS. Arrow-batched mapInPandas, payloads
+    never touch the driver, no shuffle — the same scale contract as
+    decode_features."""
+    import numpy as np
+
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    binary_df = ensure_parallelism(binary_df)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "src_w", "src_h", "out_w", "out_h",
+                "sum_r", "sum_g", "sum_b",
+            )}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_image_array(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                rz = px[np.ix_(ys, xs)]
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["out_w"].append(out_w)
+                out["out_h"].append(out_h)
+                out["sum_r"].append(int(rz[..., 0].astype(np.int64).sum()))
+                out["sum_g"].append(int(rz[..., 1].astype(np.int64).sum()))
+                out["sum_b"].append(int(rz[..., 2].astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)

@@ -1035,3 +1035,40 @@ def mmr_rerank(
         )
 
     return with_emb.groupBy("query_id").applyInPandas(greedy, out_schema)
+
+
+def random_projection(
+    embeddings: DataFrame,
+    dim: int,
+    k: int = 8,
+    seed: int = 7,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction by signed random
+    projection: proj_j = (emb . s_j) / sqrt(k) with s_j the seeded +-1
+    hyperplanes every LSH operator here already uses (Achlioptas 2003:
+    +-1 entries satisfy the JL lemma with the same distortion bound as
+    Gaussians, and multiply-free). The cheap front half of an ANN /
+    clustering pipeline: 64-dim float vectors become k-dim sketches in
+    one embarrassingly parallel projection pass — no shuffle, and the
+    k x dim sign matrix ships in the task closure (the closed form a
+    SQL oracle replays term-for-term).
+
+    Emits one SCALAR column per output dim (proj_0..proj_{k-1}, rounded
+    to 6) — distance-preserving enough for band-bucketing, and canon-
+    friendly for the gate's hash compare."""
+    planes = _hyperplanes(dim, k, seed)
+    scale = float(np.sqrt(k))
+    cols = [
+        F.round(
+            dot(
+                F.col(emb_col),
+                F.array(*[F.lit(v) for v in p]).cast("array<float>"),
+            )
+            / scale,
+            6,
+        ).alias(f"proj_{j}")
+        for j, p in enumerate(planes)
+    ]
+    return embeddings.select(F.col(id_col), *cols)

@@ -903,3 +903,34 @@ def bpe_encode(
             yield pdf
 
     return docs.mapInPandas(encode, schema)
+
+
+def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-style readability features per doc, with the portable
+    syllable proxy every fast quality pipeline uses (true syllable
+    counting needs a dictionary): syllables ~= vowel GROUPS
+    ('[aeiouy]+' runs, so 'table' counts 2, 'scan' counts 1).
+
+    score = 206.835 - 1.015 * words/sentences - 84.6 * syllables/words
+
+    Sentences = '[.!?]+' runs, floored at 1 (a fragment is one
+    sentence). Pure column expressions — whole-stage codegen, no
+    shuffle, embarrassingly parallel at any scale; every division is
+    rounded to 4 so a SQL oracle replays the exact score."""
+    c = F.lower(F.col(text_col))
+    words = F.size(F.split(F.trim(c), r"\s+"))
+    syllables = F.regexp_count(c, F.lit("[aeiouy]+"))
+    sentences = F.greatest(F.regexp_count(c, F.lit("[.!?]+")), F.lit(1))
+    wps = F.round(words.cast("double") / sentences, 4)
+    spw = F.round(syllables.cast("double") / words, 4)
+    return docs.select(
+        "doc_id",
+        words.alias("n_words"),
+        syllables.alias("n_syllables"),
+        sentences.alias("n_sentences"),
+        wps.alias("words_per_sentence"),
+        spw.alias("syllables_per_word"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
+        ).alias("flesch_score"),
+    )

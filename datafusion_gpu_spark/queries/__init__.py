@@ -133,6 +133,18 @@ _LATE_FRESH = (
     "fn_collation",
     "text_bpe_contract",
     "text_bpe_encode",
+    # -- round-5 additions (append only) --
+    "graph_triangle_count",
+    "graph_degree_hist",
+    "join_band_bucketed",
+    "io_bucketed_join",
+    "agg_mode_deterministic",
+    "agg_regression",
+    "multimodal_resize",
+    "events_histogram",
+    "events_anomaly_mad",
+    "text_readability",
+    "sim_random_projection",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

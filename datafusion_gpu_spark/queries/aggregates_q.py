@@ -276,6 +276,35 @@ FROM events
 """
 
 
+# mode() with a deterministic tiebreak (count desc, value asc) — both
+# engines ship a native mode() but neither defines tie order, so the
+# portable spelling is the count + row_number rewrite, identical SQL.
+_MODE = """
+SELECT segment, priority AS mode_priority, n
+FROM (
+  SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+  FROM customer JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_orderpriority
+) t
+WHERE rn = 1
+"""
+
+# linear-regression aggregate family (regr_slope/intercept/r2) — the
+# closed-form least-squares both engines implement natively; two-phase
+# mergeable moments, so map-side partials work at any scale.
+_REGRESSION = """
+SELECT l_returnflag AS flag,
+       ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+       ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept,
+       ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
@@ -293,6 +322,8 @@ QUERIES = {
     "agg_bitmap_distinct": sql_query(_BITMAP_DISTINCT),
     "agg_theta_setops": sql_query(_THETA_SETOPS),
     "agg_kll_quantiles": sql_query(_KLL_QUANTILES),
+    "agg_mode_deterministic": sql_query(_MODE),
+    "agg_regression": sql_query(_REGRESSION),
 }
 
 ORACLES = {
@@ -313,4 +344,6 @@ ORACLES = {
     "agg_bitmap_distinct": _BITMAP_DISTINCT_DUCK,
     "agg_theta_setops": _THETA_SETOPS_DUCK,
     "agg_kll_quantiles": _KLL_QUANTILES_DUCK,
+    "agg_mode_deterministic": _MODE,
+    "agg_regression": _REGRESSION,
 }

@@ -176,6 +176,55 @@ FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderpriority
 """
 
 
+def _bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written bucketBy the
+    join key into the warehouse, then sort-merge-joined with ZERO
+    exchange on either side — the 100 TB idiom for a fact table joined
+    repeatedly on the same key (pay the shuffle once at write time,
+    never again). tests/test_plans.py pins the plan: the only exchange
+    left is the final segment rollup's. The oracle is the plain join
+    on the unbucketed source — bucketing must be invisible to results.
+    """
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir)
+    io.write_bucketed(
+        spark.table("orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        "io_bkt_orders",
+        ["o_custkey"],
+        num_buckets=8,
+        sort_by=["o_custkey"],
+    )
+    io.write_bucketed(
+        spark.table("customer").select("c_custkey", "c_mktsegment"),
+        "io_bkt_customer",
+        ["c_custkey"],
+        num_buckets=8,
+        sort_by=["c_custkey"],
+    )
+    o = spark.table("io_bkt_orders")
+    c = spark.table("io_bkt_customer")
+    # MERGE hint: without it the tiny test-scale sides would broadcast
+    # and never exercise the bucket co-location this entry exists for
+    return (
+        o.hint("merge")
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+_BUCKETED_JOIN_DUCK = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
 def _copy_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-level sink — the engine analogue of DataFusion's
     ``COPY (SELECT ...) TO 'path'``: INSERT OVERWRITE DIRECTORY writes
@@ -430,12 +479,14 @@ QUERIES = {
     "io_roundtrip_orc": _roundtrip_orc,
     "io_roundtrip_arrow": _roundtrip_arrow,
     "io_partitioned_parquet": _partitioned_parquet,
+    "io_bucketed_join": _bucketed_join,
 }
 
 ORACLES = {
     "io_merge_upsert": _MERGE_UPSERT_DUCK,
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
+    "io_bucketed_join": _BUCKETED_JOIN_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "source_python_datasource": _PYTHON_DATASOURCE_DUCK,
     "io_compact_small_files": _COMPACT_DUCK,

@@ -840,6 +840,85 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_df)
 
 
+def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL nearest-neighbor image resize in the gate: deterministic
+    GRADIENT PPM payloads (pixel (x,y) channel values are modular
+    arithmetic in doc_id/x/y, so a resize bug shifts the sums) are
+    encoded, decoded and index-mapped executor-side
+    (multimodal.resize_nearest); the oracle recomputes the resized
+    per-channel sums purely arithmetically via the same
+    floor(x_out * w / out_w) index map."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators.multimodal import resize_nearest
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = d % 13 + 2
+                h = d % 7 + 2
+                y, x = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (d + 3 * x + 5 * y) % 256,
+                        (2 * d + 7 * x + y) % 256,
+                        (5 * d + x + 11 * y) % 256,
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                payload = (f"P6\n{w} {h}\n255\n".encode()) + px.tobytes()
+                rows["doc_id"].append(d)
+                rows["payload"].append(payload)
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return resize_nearest(binary_df, out_w=4, out_h=3)
+
+
+def _events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width numeric histogram of the value distribution per
+    event type (events.value_histogram) — one hash aggregation with
+    map-side partials; output stays |types| x |buckets| at any input
+    scale."""
+    load(spark, sf_dir)
+    return events.value_histogram(spark.table("events"), width=5.0)
+
+
+def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier flags per event type
+    (events.mad_anomalies) — the robust-statistics sibling of the
+    rolling z-score entry. Two keyed aggregations + a broadcast of the
+    |types|-row stats; the deviation rounds to 6 before the threshold
+    so the oracle replays every flag decision."""
+    load(spark, sf_dir)
+    return events.mad_anomalies(spark.table("events"), k=3.0)
+
+
+def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability scoring (text.readability) with the
+    vowel-group syllable proxy — pure codegen expressions, no shuffle,
+    every division rounded so the oracle replays the exact score."""
+    load(spark, sf_dir)
+    return text.readability(spark.table("documents"))
+
+
+def _sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss signed random projection 64 -> 8 dims
+    (similarity.random_projection) using the same seeded +-1
+    hyperplane generator as the LSH entries; the oracle replays the
+    sign matrix term-for-term. Shuffle-free projection pass."""
+    load(spark, sf_dir)
+    return similarity.random_projection(
+        spark.table("embeddings"), dim=64, k=8, seed=7
+    )
+
+
 def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 power iterations, d=0.85) over the bidirectional
     customer<->supplier trade graph from orders |x| lineitem — the
@@ -866,6 +945,45 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         node % 2 == 0, F.concat(F.lit("c"), F.shiftright(node, 1))
     ).otherwise(F.concat(F.lit("s"), F.shiftright(node, 1)))
     return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
+
+
+def _copurchase_edges(spark: SparkSession) -> DataFrame:
+    """Shared edge list for the triangle/degree entries: the co-purchase
+    part graph — parts linked when they ship in the same order (the
+    items-bought-together graph every recommender starts from). One
+    equality self-join on the order key; a < b halves the pair stream
+    at the source."""
+    li = spark.table("lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("l")
+    b = li.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("r_partkey")
+    ).alias("r")
+    return (
+        a.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("r_partkey"))
+        .select(F.col("l_partkey").alias("a"), F.col("r_partkey").alias("b"))
+    )
+
+
+def _graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count (graph.triangle_count) of the
+    co-purchase graph with degree-ordered orientation — the WWW'11
+    "curse of the last reducer" algorithm whose wedge fan-out stays
+    O(sqrt(m)) per node even on celebrity hubs. The oracle counts the
+    SAME triangles by a structurally different plan (canonical lo<hi
+    edges three-way joined x<y<z), so agreement cross-checks the
+    orientation algebra, not just the arithmetic."""
+    load(spark, sf_dir)
+    return graph.triangle_count(_copurchase_edges(spark))
+
+
+def _graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph
+    (graph.degree_histogram) — the power-law/skew diagnostic run before
+    choosing a join strategy on any link graph. Two keyed
+    aggregations."""
+    load(spark, sf_dir)
+    return graph.degree_histogram(_copurchase_edges(spark))
 
 
 def _purchase_scd2_history(spark: SparkSession) -> DataFrame:
@@ -1329,6 +1447,13 @@ QUERIES = {
     "curation_quantile_filter": _curation_quantile_filter,
     "events_multi_rollup": _events_multi_rollup,
     "graph_pagerank": _graph_pagerank,
+    "graph_triangle_count": _graph_triangle_count,
+    "graph_degree_hist": _graph_degree_hist,
+    "multimodal_resize": _multimodal_resize,
+    "events_histogram": _events_histogram,
+    "events_anomaly_mad": _events_anomaly_mad,
+    "text_readability": _text_readability,
+    "sim_random_projection": _sim_random_projection,
     "multimodal_decode": _multimodal_decode,
     "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
@@ -1488,6 +1613,94 @@ UNION ALL
 SELECT 'hour', bucket, event_type, n_events, ROUND(sv, 2) FROM hour
 UNION ALL
 SELECT 'day', bucket, event_type, n_events, ROUND(sv, 2) FROM day
+""",
+    "multimodal_resize": """
+WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+px AS (
+  SELECT d.doc_id, (d.doc_id % 13 + 2) AS w, (d.doc_id % 7 + 2) AS h,
+         gx.x, gy.y
+  FROM ids d, generate_series(0, 3) gx(x), generate_series(0, 2) gy(y)
+),
+m AS (
+  SELECT doc_id, w, h, ((x * w) // 4) AS sx, ((y * h) // 3) AS sy
+  FROM px
+)
+SELECT doc_id, w::INT AS src_w, h::INT AS src_h,
+       4::INT AS out_w, 3::INT AS out_h,
+       SUM((doc_id + 3 * sx + 5 * sy) % 256)::BIGINT AS sum_r,
+       SUM((2 * doc_id + 7 * sx + sy) % 256)::BIGINT AS sum_g,
+       SUM((5 * doc_id + sx + 11 * sy) % 256)::BIGINT AS sum_b
+FROM m GROUP BY doc_id, w, h
+""",
+    "events_histogram": """
+SELECT event_type, CAST(FLOOR(value / 5.0) AS BIGINT) AS bucket,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type, CAST(FLOOR(value / 5.0) AS BIGINT)
+""",
+    "events_anomaly_mad": """
+WITH med AS (
+  SELECT event_type, MEDIAN(value) AS med FROM events GROUP BY event_type
+),
+stats AS (
+  SELECT e.event_type, MIN(m.med) AS med,
+         MEDIAN(ABS(e.value - m.med)) AS mad
+  FROM events e JOIN med m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+       ROUND(s.med, 6) AS med, ROUND(s.mad, 6) AS mad,
+       CASE WHEN s.mad > 0
+            THEN ROUND(ABS(e.value - s.med) / (1.4826 * s.mad), 6) > 3.0
+            ELSE FALSE END AS is_outlier
+FROM events e JOIN stats s USING (event_type)
+""",
+    "text_readability": r"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_words,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables,
+         greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+           AS n_sentences
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_words, n_syllables, n_sentences,
+         ROUND(n_words::DOUBLE / n_sentences, 4) AS words_per_sentence,
+         ROUND(n_syllables::DOUBLE / n_words, 4) AS syllables_per_word
+  FROM f
+)
+SELECT doc_id, n_words::INT AS n_words, n_syllables::INT AS n_syllables,
+       n_sentences::INT AS n_sentences, words_per_sentence,
+       syllables_per_word,
+       ROUND(206.835 - 1.015 * words_per_sentence
+             - 84.6 * syllables_per_word, 4) AS flesch_score
+FROM r
+""",
+    "graph_triangle_count": """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.lo = e1.hi
+JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "graph_degree_hist": """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a
+  JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS degree FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+  ) GROUP BY node
+)
+SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
 """,
     "graph_pagerank": """
 WITH edges AS (
@@ -2882,3 +3095,22 @@ FROM documents
 ORACLES["dedup_incremental_bloom"] = ORACLES["dedup_incremental"]
 ORACLES["streaming_multi_rollup"] = ORACLES["events_multi_rollup"]
 ORACLES["streaming_funnel"] = ORACLES["events_funnel"]
+
+
+def _random_projection_oracle(dim: int = 64, k: int = 8, seed: int = 7) -> str:
+    """Replays similarity.random_projection term-for-term: the same
+    seeded +-1 hyperplanes inlined as +/- embedding[i] sums, the same
+    left-to-right fold order, the same /sqrt(k) scale and 6-decimal
+    round."""
+    planes = similarity._hyperplanes(dim, k, seed)
+    cols = []
+    for j, p in enumerate(planes):
+        terms = " ".join(
+            ("+" if s > 0 else "-") + f" embedding[{i + 1}]::DOUBLE"
+            for i, s in enumerate(p)
+        )
+        cols.append(f"ROUND((0.0 {terms}) / sqrt({k}), 6) AS proj_{j}")
+    return "SELECT vec_id, " + ",\n       ".join(cols) + "\nFROM embeddings"
+
+
+ORACLES["sim_random_projection"] = _random_projection_oracle()

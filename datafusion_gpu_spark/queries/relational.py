@@ -267,6 +267,47 @@ GROUP BY c.c_mktsegment
 """
 
 
+def _join_band_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The band join |c_acctbal - s_acctbal| <= 10 rewritten as an
+    EQUALITY join: customers land in one width-10 bucket, suppliers
+    probe their up-to-3 overlapping buckets (explode(sequence)), the
+    bucket key hash-joins, and the exact band predicate filters the
+    residue. Each qualifying pair matches in exactly one bucket (the
+    customer's), so no dedup step is needed.
+
+    This is the 100 TB spelling of a range join: the plain non-equi
+    version (join_non_equi_band) can only plan as a broadcast
+    nested-loop — O(|S| x |C|) compare work and a full broadcast — while
+    this one is a keyed hash join whose compare work is bounded by the
+    band selectivity. Same oracle as join_non_equi_band: the rewrite
+    must be result-identical.
+    """
+    load(spark, sf_dir)
+    w = 10
+    c = spark.table("customer").select(
+        "c_acctbal", F.floor(F.col("c_acctbal") / w).cast("long").alias("bkt")
+    )
+    s = spark.table("supplier").select(
+        "s_suppkey",
+        "s_acctbal",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - w) / w).cast("long"),
+                F.floor((F.col("s_acctbal") + w) / w).cast("long"),
+            )
+        ).alias("bkt"),
+    )
+    return (
+        s.join(c, "bkt")
+        .where(
+            (F.col("c_acctbal") >= F.col("s_acctbal") - w)
+            & (F.col("c_acctbal") <= F.col("s_acctbal") + w)
+        )
+        .groupBy(F.col("s_suppkey").alias("suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+
+
 def _ddl_create_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL surface (SURVEY §2.1 row 10): CREATE OR REPLACE TEMPORARY VIEW
     through SQL, then query it — the reference reaches DDL through the
@@ -332,6 +373,7 @@ QUERIES = {
     "join_anti_not_exists": sql_query(_ANTI),
     "join_cross": sql_query(_CROSS),
     "join_non_equi_band": sql_query(_NON_EQUI),
+    "join_band_bucketed": _join_band_bucketed,
     "set_union": sql_query(_SET_UNION),
     "set_intersect": sql_query(_SET_INTERSECT),
     "set_except": sql_query(_SET_EXCEPT),
@@ -363,6 +405,7 @@ ORACLES = {
     "join_anti_not_exists": _ANTI,
     "join_cross": _CROSS,
     "join_non_equi_band": _NON_EQUI,
+    "join_band_bucketed": _NON_EQUI,
     "set_union": _SET_UNION,
     "set_intersect": _SET_INTERSECT,
     "set_except": _SET_EXCEPT,

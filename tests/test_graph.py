@@ -58,6 +58,39 @@ def test_pagerank_dangling_leak_documented_semantics(spark):
     assert sum(r.values()) < 1.0
 
 
+def test_pagerank_redistribute_conserves_mass_and_matches_numpy(spark):
+    # dangling-heavy graph: a->b, a->c, b->c (c dangling). redistribute
+    # mode must keep total mass exactly 1.0 and match the textbook
+    # dense power iteration with uniform dangling redistribution.
+    import numpy as np
+
+    edges = [("a", "b"), ("a", "c"), ("b", "c")]
+    nodes = ["a", "b", "c"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    d, n = 0.85, len(nodes)
+    rank = np.full(n, 1.0 / n)
+    out = np.zeros(n)
+    for s, _ in edges:
+        out[idx[s]] += 1
+    iters = 6
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for s, t in edges:
+            contrib[idx[t]] += rank[idx[s]] / out[idx[s]]
+        m = rank[out == 0].sum()
+        rank = (1 - d) / n + d * contrib + d * m / n
+    got = _ranks(
+        pagerank(
+            spark.createDataFrame(edges, "src string, dst string"),
+            iterations=iters,
+            dangling="redistribute",
+        )
+    )
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    for node in nodes:
+        assert got[node] == pytest.approx(rank[idx[node]], abs=1e-12)
+
+
 def test_merge_upsert_update_insert_passthrough_and_null_update(spark):
     from datafusion_gpu_spark.operators.layout import merge_upsert
 

@@ -122,6 +122,26 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_band_bucketed_join_is_keyed_not_nested_loop(spark):
+    # the bucketized band-join rewrite must plan as an equality join
+    # (hash or sort-merge on the bucket key) — the whole point vs the
+    # BroadcastNestedLoopJoin the plain non-equi spelling gets
+    plan = plan_of(spark, "join_band_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # ...and the plain spelling really is the nested loop it replaces
+    assert "BroadcastNestedLoopJoin" in plan_of(spark, "join_non_equi_band")
+
+
+def test_io_bucketed_join_gate_query_joins_without_exchange(spark):
+    # the gate entry's SMJ must consume bucket layout directly: the only
+    # exchange in the whole plan is the final segment rollup's
+    plan = plan_of(spark, "io_bucketed_join")
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_part  # nothing below the join shuffles
+
+
 def test_repetition_features_is_single_shuffle(spark):
     # doc_id hash partitioning from the lead() window must satisfy BOTH
     # downstream group-bys (subset-key clustering) — one Exchange total
