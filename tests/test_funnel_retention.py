@@ -185,3 +185,59 @@ def test_streaming_funnel_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_mad_anomalies_planted_outlier(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import mad_anomalies
+
+    rows = [
+        (i, datetime(2024, 1, 1, i % 24), 1, "click",
+         1000.0 if i == 9 else float(10 + (i % 5)))
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = {r["event_id"]: r for r in mad_anomalies(df, k=3.0).collect()}
+    # values 10..14 + one 1000 bot value: only the bot row flags
+    assert out[9]["is_outlier"] is True
+    assert all(out[i]["is_outlier"] is False for i in range(9))
+    # med/mad are robust: the outlier barely moves them
+    assert 10 <= out[0]["med"] <= 14
+    assert out[0]["mad"] <= 2
+
+
+def test_mad_anomalies_zero_mad_never_flags(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import mad_anomalies
+
+    rows = [(i, datetime(2024, 1, 1), 1, "view", 5.0) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = mad_anomalies(df).collect()
+    assert all(r["is_outlier"] is False for r in out)
+
+
+def test_value_histogram_buckets_and_negatives(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import value_histogram
+
+    rows = [
+        (1, datetime(2024, 1, 1), 1, "click", -0.5),   # floor(-0.1) = -1
+        (2, datetime(2024, 1, 1), 1, "click", 0.0),    # bucket 0
+        (3, datetime(2024, 1, 1), 1, "click", 4.99),   # bucket 0
+        (4, datetime(2024, 1, 1), 1, "click", 5.0),    # bucket 1
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double"
+    )
+    out = {r["bucket"]: r["n"] for r in value_histogram(df, width=5.0).collect()}
+    assert out == {-1: 1, 0: 2, 1: 1}

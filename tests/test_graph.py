@@ -241,3 +241,59 @@ def test_merge_upsert_null_key_rows_insert_and_duplicates_raise(spark):
         [(None, "x", 1.0), (None, "y", 2.0)], "k int, s string, v double"
     )
     assert merge_upsert(base, nn, "k").count() == 4
+
+
+def test_triangle_count_matches_brute_force_on_random_graphs(spark):
+    import random
+    from itertools import combinations
+
+    from datafusion_gpu_spark.operators.graph import triangle_count
+
+    random.seed(7)
+    for _ in range(3):
+        n = 12
+        edges = [
+            (i, j)
+            for i in range(n)
+            for j in range(i + 1, n)
+            if random.random() < 0.35
+        ]
+        adj = set(edges)
+        brute = sum(
+            1
+            for x, y, z in combinations(range(n), 3)
+            if (x, y) in adj and (y, z) in adj and (x, z) in adj
+        )
+        # duplicates, reversed orientations and a self-loop must not
+        # change the count
+        noisy = edges + [(b, a) for a, b in edges[:5]] + [(3, 3)]
+        got = triangle_count(
+            spark.createDataFrame(noisy, "a long, b long")
+        ).collect()[0]["n_triangles"]
+        assert got == brute
+
+
+def test_triangle_count_k4_and_triangle_free(spark):
+    from datafusion_gpu_spark.operators.graph import triangle_count
+
+    # K4 has exactly 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = triangle_count(spark.createDataFrame(k4, "a long, b long")).collect()
+    assert got[0]["n_triangles"] == 4
+    # a star is triangle-free
+    star = [(0, i) for i in range(1, 6)]
+    got = triangle_count(spark.createDataFrame(star, "a long, b long")).collect()
+    assert got[0]["n_triangles"] == 0
+
+
+def test_degree_histogram_star_graph(spark):
+    from datafusion_gpu_spark.operators.graph import degree_histogram
+
+    star = [(0, i) for i in range(1, 6)]
+    rows = {
+        r["degree"]: r["n_nodes"]
+        for r in degree_histogram(
+            spark.createDataFrame(star, "a long, b long")
+        ).collect()
+    }
+    assert rows == {5: 1, 1: 5}

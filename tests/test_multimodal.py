@@ -220,3 +220,41 @@ def test_frame_sample_stride_and_means(spark):
     out = frame_sample(spark.createDataFrame(pdf), every=3).orderBy("frame_idx")
     got = [(r["frame_idx"], r["mean_y"]) for r in out.collect()]
     assert got == [(0, 0.0), (3, 30.0), (6, 60.0)]
+
+
+def test_resize_nearest_matches_numpy_reference(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import resize_nearest
+
+    # 6x4 gradient image, resize to 3x2; reference = direct numpy index map
+    w, h = 6, 4
+    y, x = np.mgrid[0:h, 0:w]
+    px = np.stack([(3 * x + 5 * y) % 256, (7 * x + y) % 256,
+                   (x + 11 * y) % 256], axis=-1).astype(np.uint8)
+    payload = f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    out = resize_nearest(df, out_w=3, out_h=2).collect()[0]
+    ys = (np.arange(2) * h) // 2
+    xs = (np.arange(3) * w) // 3
+    ref = px[np.ix_(ys, xs)]
+    assert (out["src_w"], out["src_h"]) == (w, h)
+    assert out["sum_r"] == int(ref[..., 0].astype(np.int64).sum())
+    assert out["sum_g"] == int(ref[..., 1].astype(np.int64).sum())
+    assert out["sum_b"] == int(ref[..., 2].astype(np.int64).sum())
+
+
+def test_resize_upscale_repeats_pixels(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import resize_nearest
+
+    # 1x1 red pixel upscaled to 4x4 = 16 red pixels
+    payload = b"P6\n1 1\n255\n" + bytes([200, 10, 30])
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    out = resize_nearest(df, out_w=4, out_h=4).collect()[0]
+    assert out["sum_r"] == 200 * 16
+    assert out["sum_g"] == 10 * 16
+    assert out["sum_b"] == 30 * 16

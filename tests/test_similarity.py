@@ -412,3 +412,32 @@ def test_mmr_rerank_lambda_one_is_vanilla_topk(spark):
     van = {(r.query_id, r.rank): r.vec_id
            for r in cosine_topk_vectorized(df, q, k=5).collect()}
     assert mmr == van  # lambda=1 disables the diversity term exactly
+
+
+def test_random_projection_matches_numpy_and_preserves_norms(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.similarity import (
+        _hyperplanes,
+        random_projection,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    k = 8
+    out = random_projection(df, dim=16, k=k, seed=7).collect()
+    S = np.array(_hyperplanes(16, k, 7))  # (k, d) of +-1
+    proj_ref = (vecs.astype(np.float64) @ S.T) / np.sqrt(k)
+    ratios = []
+    for r in out:
+        got = np.array([r[f"proj_{j}"] for j in range(k)])
+        assert np.allclose(got, np.round(proj_ref[r["vec_id"]], 6), atol=1e-6)
+        n_in = np.linalg.norm(vecs[r["vec_id"]].astype(np.float64))
+        ratios.append(np.linalg.norm(got) / n_in)
+    # JL with +-1 signs: norms preserved in expectation — the MEAN
+    # squared ratio concentrates near 1 even at k=8
+    assert 0.7 < float(np.mean(np.square(ratios))) < 1.3

@@ -332,3 +332,26 @@ def test_c4_rules_min_line_words_threshold(spark):
     ).collect()[0]
     assert out.n_kept_lines == 1  # 4-word line fails the 5-word floor
     assert out.keep
+
+
+def test_readability_closed_form(spark):
+    from datafusion_gpu_spark.operators.text import readability
+
+    docs = spark.createDataFrame(
+        [(1, "the table scans fast. the sort spills!"), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability(docs).collect()}
+    # doc 1: 7 words, 2 sentences; syllables: the(1) ta-ble(2 -> 'a','e')
+    # scans(1) fast(1) the(1) sort(1) spills(1) = 8 vowel groups
+    r1 = out[1]
+    assert r1["n_words"] == 7
+    assert r1["n_sentences"] == 2
+    assert r1["n_syllables"] == 8
+    assert r1["words_per_sentence"] == 3.5
+    # doc 2: no sentence punctuation floors at 1 sentence; 'b','c' have
+    # no vowels, 'a' has one
+    r2 = out[2]
+    assert r2["n_sentences"] == 1
+    assert r2["n_syllables"] == 1
+    assert r2["n_words"] == 3
