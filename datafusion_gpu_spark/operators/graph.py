@@ -152,11 +152,24 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Returns a single row ``(n_triangles)``; each triangle is counted
     exactly once (its orientation is acyclic, so the wedge at the
     lowest-ordered corner finds it uniquely).
+
+    The oriented edge relation is consumed THREE times (both wedge legs
+    + the closing probe), so it is materialized once via the shared
+    iterative-operator checkpoint policy — without that cut Catalyst
+    re-derives the whole dedup + degree-join chain per consumer (audited:
+    32 shuffles instead of ~7 on the co-purchase gate graph).
     """
-    # canonical undirected edge set (lo, hi), self-loops dropped
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    # canonical undirected edge set (lo, hi), self-loops dropped —
+    # materialized once: both the degree aggregation and the orientation
+    # join read it
     lo = F.least(F.col(a), F.col(b)).alias("lo")
     hi = F.greatest(F.col(a), F.col(b)).alias("hi")
-    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    und = ckpt(
+        edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    )
     # undirected degree: every endpoint appears once per distinct edge
     deg = (
         und.select(F.col("lo").alias("node"))
@@ -174,7 +187,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
         (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
     )
-    oriented = (
+    oriented = ckpt(
         und.join(dl, "lo")
         .join(dh, "hi")
         .select(

@@ -934,3 +934,71 @@ def readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4
         ).alias("flesch_score"),
     )
+
+
+def bigram_lm_score(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    threshold: float = 3.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Context-sensitive LM quality scoring: average negative
+    log-likelihood under a BIGRAM model with add-alpha smoothing
+    trained on the corpus itself — the next step up from the unigram
+    :func:`perplexity_filter` (word-salad documents whose unigram
+    distribution looks corpus-typical still score high here, because
+    their transitions don't).
+
+    p(w | prev) = (c(prev, w) + alpha) / (c(prev) + alpha * V)
+
+    Bigram extraction is a shuffle-free array transform per document;
+    the bigram/context count relations are corpus aggregates that
+    broadcast into a map-side join (same dimension-sized contract as
+    the unigram filter's vocabulary), and the per-doc average is the
+    one corpus-keyed shuffle. Documents with fewer than two words have
+    no transitions and drop out (deliberate: no score is honest there).
+    avg_nll rounds to 6dp so the oracle's fold order can't flip the
+    threshold comparison.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.dedup import normalize_text
+
+    docs = ensure_parallelism(docs)
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("s")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1),"
+                " (w, i) -> struct(w AS prev, s[i + 1] AS word))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.word")
+    counts = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n_bg"))
+    ctx = counts.groupBy("prev").agg(F.sum("n_bg").alias("n_ctx"))
+    vocab = d.select(F.explode("s").alias("word")).agg(
+        F.count_distinct("word").alias("vocab")
+    )
+    logp = F.log(
+        (F.col("n_bg") + F.lit(alpha))
+        / (F.col("n_ctx") + F.lit(alpha) * F.col("vocab"))
+    )
+    avg_nll = F.round(F.avg(-logp), 6)
+    return (
+        bg.join(F.broadcast(counts), ["prev", "word"])
+        .join(F.broadcast(ctx), "prev")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            avg_nll.alias("avg_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "avg_nll",
+            (F.col("avg_nll") > threshold).alias("low_quality"),
+        )
+    )

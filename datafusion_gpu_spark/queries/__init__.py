@@ -145,6 +145,9 @@ _LATE_FRESH = (
     "events_anomaly_mad",
     "text_readability",
     "sim_random_projection",
+    "text_bigram_lm",
+    "streaming_histogram",
+    "io_csv_quoted_multiline",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -225,6 +225,66 @@ GROUP BY c.c_mktsegment
 """
 
 
+def _csv_quoted_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect hard cases round-tripped: values containing the
+    delimiter, double quotes, and EMBEDDED NEWLINES (written quoted,
+    read back with multiLine + escaped-quote handling), plus NULLs.
+    The aggregate over the re-read values must match the oracle's
+    direct computation on the same derived expressions — proving the
+    writer's quoting and the reader's multiLine parser are inverses.
+    multiLine=true is the documented scale tradeoff: quoted-newline
+    files are not line-splittable, so Spark reads each FILE whole (fine
+    for many medium files; don't ship one 10 TB quoted CSV)."""
+    from pyspark.sql import functions as F
+
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "nation_csv_dialect")
+    tricky = spark.table("nation").select(
+        "n_nationkey",
+        F.concat(
+            F.col("n_name"), F.lit(', "q" \n tail')
+        ).alias("tricky"),
+        F.when(F.col("n_nationkey") % 3 == 0, F.col("n_name")).alias(
+            "maybe_null"
+        ),
+    )
+    tricky.write.mode("overwrite").option("header", True).option(
+        "escape", '"'
+    ).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .csv(out)
+    )
+    back.createOrReplaceTempView("nation_csv_dialect_rt")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n,
+               SUM(CAST(n_nationkey AS BIGINT)) AS sum_key,
+               SUM(LENGTH(tricky)) AS sum_len,
+               COUNT(maybe_null) AS n_not_null,
+               MIN(tricky) AS min_tricky
+        FROM nation_csv_dialect_rt
+        """
+    )
+
+
+_CSV_DIALECT_DUCK = r"""
+WITH t AS (
+  SELECT n_nationkey,
+         n_name || ', "q" ' || chr(10) || ' tail' AS tricky,
+         CASE WHEN n_nationkey % 3 = 0 THEN n_name END AS maybe_null
+  FROM nation
+)
+SELECT COUNT(*) AS n, SUM(n_nationkey)::BIGINT AS sum_key,
+       SUM(LENGTH(tricky))::BIGINT AS sum_len,
+       COUNT(maybe_null) AS n_not_null,
+       MIN(tricky) AS min_tricky
+FROM t
+"""
+
+
 def _copy_to_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-level sink — the engine analogue of DataFusion's
     ``COPY (SELECT ...) TO 'path'``: INSERT OVERWRITE DIRECTORY writes
@@ -480,6 +540,7 @@ QUERIES = {
     "io_roundtrip_arrow": _roundtrip_arrow,
     "io_partitioned_parquet": _partitioned_parquet,
     "io_bucketed_join": _bucketed_join,
+    "io_csv_quoted_multiline": _csv_quoted_multiline,
 }
 
 ORACLES = {
@@ -487,6 +548,7 @@ ORACLES = {
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_bucketed_join": _BUCKETED_JOIN_DUCK,
+    "io_csv_quoted_multiline": _CSV_DIALECT_DUCK,
     "io_schema_evolution": _SCHEMA_EVOLUTION_DUCK,
     "source_python_datasource": _PYTHON_DATASOURCE_DUCK,
     "io_compact_small_files": _COMPACT_DUCK,

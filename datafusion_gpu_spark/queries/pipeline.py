@@ -908,6 +908,25 @@ def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.readability(spark.table("documents"))
 
 
+def _text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring (text.bigram_lm_score) — the
+    transition-aware sibling of text_perplexity; bigram/context counts
+    broadcast, one corpus-keyed shuffle for the per-doc average."""
+    load(spark, sf_dir)
+    return text.bigram_lm_score(spark.table("documents"))
+
+
+def _streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_histogram: incremental complete-mode
+    histogram state (|types| x |buckets| rows bounded regardless of
+    stream length) through the idempotent sink; graded by the SAME
+    oracle as the batch operator, so stream == batch is driver-checked."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_value_histogram(spark, sf_dir)
+
+
 def _sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss signed random projection 64 -> 8 dims
     (similarity.random_projection) using the same seeded +-1
@@ -1454,6 +1473,8 @@ QUERIES = {
     "events_anomaly_mad": _events_anomaly_mad,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
+    "text_bigram_lm": _text_bigram_lm,
+    "streaming_histogram": _streaming_histogram,
     "multimodal_decode": _multimodal_decode,
     "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
@@ -1653,6 +1674,25 @@ SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
             THEN ROUND(ABS(e.value - s.med) / (1.4826 * s.mad), 6) > 3.0
             ELSE FALSE END AS is_outlier
 FROM events e JOIN stats s USING (event_type)
+""",
+    "text_bigram_lm": rf"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS s FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(s) - 1),
+                                   i -> {{'prev': s[i], 'word': s[i + 1]}})) AS bg
+      FROM d),
+bg AS (SELECT (bg).prev AS prev, (bg).word AS word, doc_id FROM b),
+c AS (SELECT prev, word, COUNT(*)::BIGINT AS n_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(n_bg)::BIGINT AS n_ctx FROM c GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT word)::BIGINT AS vocab
+      FROM (SELECT unnest(s) AS word FROM d))
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(-ln((n_bg + 0.5::DOUBLE) / (n_ctx + 0.5::DOUBLE * vocab))), 6)
+         AS avg_nll,
+       ROUND(AVG(-ln((n_bg + 0.5::DOUBLE) / (n_ctx + 0.5::DOUBLE * vocab))), 6)
+         > 3.5::DOUBLE AS low_quality
+FROM bg JOIN c USING (prev, word) JOIN ctx USING (prev), v
+GROUP BY doc_id
 """,
     "text_readability": r"""
 WITH f AS (
@@ -3114,3 +3154,4 @@ def _random_projection_oracle(dim: int = 64, k: int = 8, seed: int = 7) -> str:
 
 
 ORACLES["sim_random_projection"] = _random_projection_oracle()
+ORACLES["streaming_histogram"] = ORACLES["events_histogram"]

@@ -618,3 +618,18 @@ def materialized_streaming_funnel(spark: SparkSession, sf_dir: str) -> DataFrame
         ]
     )
     return counts.select(F.explode(stages).alias("r")).select("r.*")
+
+
+def materialized_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events.value_histogram: the same floor-bucket
+    histogram maintained incrementally over the replayed event stream
+    (complete-mode aggregation — histogram state is |types| x |buckets|
+    rows, bounded regardless of stream length), materialized through the
+    idempotent sink. Identical output shape to the batch operator, so
+    the SAME DuckDB oracle grades stream == batch."""
+    from datafusion_gpu_spark.operators.events import value_histogram
+
+    return materialize_stream(
+        value_histogram(stream_events(spark, sf_dir), width=5.0),
+        output_mode="complete",
+    ).select("event_type", "bucket", "n", "sum_value")
