@@ -144,15 +144,17 @@ def main() -> int:
     log(f"session + 1M types + {sf_dir} registered in "
         f"{time.perf_counter() - t0:.1f}s")
 
-    from datafusion_gpu_spark.queries import all_queries
-
-    registry = all_queries()
     results: dict[str, float] = {}
 
     # The 1M entries are ~100 ms floor-dominated: time them BEFORE the
     # 100M/500M caches exist — a multi-GB resident cache adds ~2x of
     # pure GC noise to them (measured 221 ms vs 91 ms for ref_sum_float)
-    # while leaving the compute-bound probes untouched.
+    # while leaving the compute-bound probes untouched. For the same
+    # reason the query REGISTRY (12 module imports, pandas/numpy/operator
+    # closures) is built only after every types probe: the ref_sum_*
+    # medians drifted +15-74% r3->r4 as the registry grew, and a
+    # floor-dominated 60-130 ms collect() measures the Python process's
+    # allocator/GC state as much as the JVM.
     for name, samples, sql in TYPES_BENCHES:
         if "_100m" in name or "_500m" in name:
             continue
@@ -179,6 +181,10 @@ def main() -> int:
             results[name] = round(med, 4)
             log(f"{name}: median {med * 1000:.1f} ms over {samples} samples")
         big.unpersist()
+
+    from datafusion_gpu_spark.queries import all_queries
+
+    registry = all_queries()
 
     # Planning pass: warm every query once (plan + shuffle files + code
     # cache) and record its warm time, then project the timed phase at
