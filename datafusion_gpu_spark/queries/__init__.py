@@ -148,6 +148,10 @@ _LATE_FRESH = (
     "text_bigram_lm",
     "streaming_histogram",
     "io_csv_quoted_multiline",
+    "window_ignore_nulls",
+    "sort_limit_with_ties",
+    "agg_string_agg",
+    "fn_bitwise_pack",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

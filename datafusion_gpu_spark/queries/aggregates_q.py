@@ -305,6 +305,31 @@ FROM lineitem
 GROUP BY l_returnflag
 """
 
+# LISTAGG (SURVEY §2.4b collection aggs — the SQL:2016 spelling): Spark 4
+# added native listagg(...) WITHIN GROUP (ORDER BY ...); DuckDB spells it
+# string_agg(expr, sep ORDER BY ...). agg_collect_ordered covers the
+# array-flavored emulation (sort_array(collect_list)); this entry checks
+# the native ordered-string aggregate directly, per-nation over customer
+# names so each group concatenates ~60 elements at sf0.01. The plan is a
+# plain two-phase hash aggregate — order-sensitive finalization happens
+# in the merge, no window or global sort.
+_LISTAGG_SPARK = """
+SELECT c_nationkey AS nationkey,
+       listagg(c_name, ';') WITHIN GROUP (ORDER BY c_name) AS names,
+       listagg(DISTINCT c_mktsegment, '|')
+         WITHIN GROUP (ORDER BY c_mktsegment) AS segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
+_LISTAGG_DUCK = """
+SELECT c_nationkey AS nationkey,
+       string_agg(c_name, ';' ORDER BY c_name) AS names,
+       string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments
+FROM customer
+GROUP BY c_nationkey
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
@@ -324,6 +349,7 @@ QUERIES = {
     "agg_kll_quantiles": sql_query(_KLL_QUANTILES),
     "agg_mode_deterministic": sql_query(_MODE),
     "agg_regression": sql_query(_REGRESSION),
+    "agg_string_agg": sql_query(_LISTAGG_SPARK),
 }
 
 ORACLES = {
@@ -346,4 +372,5 @@ ORACLES = {
     "agg_kll_quantiles": _KLL_QUANTILES_DUCK,
     "agg_mode_deterministic": _MODE,
     "agg_regression": _REGRESSION,
+    "agg_string_agg": _LISTAGG_DUCK,
 }

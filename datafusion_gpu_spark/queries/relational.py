@@ -246,6 +246,24 @@ ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 20 OFFSET 10
 """
 
+# FETCH FIRST n ROWS WITH TIES (SURVEY §2.6 gap): neither Spark nor the
+# bundled DuckDB 1.0 parses WITH TIES, so both sides run the standard
+# rewrite — the n-th row's sort key becomes a scalar threshold and the
+# result is every row at-or-under it. The threshold subquery is a global
+# sort-LIMIT (TakeOrderedAndProject: per-partition top-n, single small
+# merge), NOT an all-rows window rank — a rank() over an unpartitioned
+# ORDER BY would serialize the whole table through one task at scale,
+# while this shape broadcasts one scalar and keeps the outer pass a
+# pushed-down filter scan.
+_WITH_TIES = """
+SELECT o_orderkey AS orderkey, o_orderdate AS orderdate
+FROM orders
+WHERE o_orderdate <= (SELECT o_orderdate
+                      FROM orders
+                      ORDER BY o_orderdate
+                      LIMIT 1 OFFSET 24)
+"""
+
 # RIGHT OUTER join exercised on its own (not as the left-outer mirror):
 # unmatched right rows must survive with NULL left columns.
 _RIGHT_OUTER_SPARK = """
@@ -395,6 +413,7 @@ QUERIES = {
     "explain_plan": sql_query(_EXPLAIN),
     "pivot_orders": _pivot,
     "sort_limit_offset": sql_query(_LIMIT_OFFSET),
+    "sort_limit_with_ties": sql_query(_WITH_TIES),
 }
 
 ORACLES = {
@@ -427,4 +446,5 @@ ORACLES = {
     # explain_plan: deliberately no oracle (plan text is engine-specific)
     "pivot_orders": _PIVOT_DUCK,
     "sort_limit_offset": _LIMIT_OFFSET,
+    "sort_limit_with_ties": _WITH_TIES,
 }

@@ -152,6 +152,40 @@ FROM orders
 WHERE o_orderkey < 2000
 """
 
+# Bitwise pack (SURVEY §2.7 — the operators behind every hash/bucket/
+# bitmask idiom in the engine: simhash bit_count, z-order interleave,
+# LSH band packing all reduce to these). Spark spells shifts as
+# shiftleft/shiftright functions and xor as ^; DuckDB spells shifts as
+# << / >> and xor as xor() (its ^ is exponentiation). Everything is
+# pinned to BIGINT on both sides so the schema hash agrees.
+_BITWISE_SPARK = """
+SELECT l_orderkey AS ok, l_linenumber AS ln,
+       CAST(l_partkey & l_suppkey AS BIGINT)            AS b_and,
+       CAST(l_partkey | l_suppkey AS BIGINT)            AS b_or,
+       CAST(l_partkey ^ l_suppkey AS BIGINT)            AS b_xor,
+       CAST(~l_partkey AS BIGINT)                       AS b_not,
+       CAST(shiftleft(l_partkey, 3) AS BIGINT)          AS b_shl,
+       CAST(shiftright(l_partkey, 2) AS BIGINT)         AS b_shr,
+       CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INT) AS b_pop,
+       CAST(getbit(CAST(l_partkey AS BIGINT), 0) AS INT) AS b_lsb
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
+_BITWISE_DUCK = """
+SELECT l_orderkey AS ok, l_linenumber AS ln,
+       CAST(l_partkey & l_suppkey AS BIGINT)            AS b_and,
+       CAST(l_partkey | l_suppkey AS BIGINT)            AS b_or,
+       CAST(xor(l_partkey, l_suppkey) AS BIGINT)        AS b_xor,
+       CAST(~l_partkey AS BIGINT)                       AS b_not,
+       CAST(l_partkey << 3 AS BIGINT)                   AS b_shl,
+       CAST(l_partkey >> 2 AS BIGINT)                   AS b_shr,
+       CAST(bit_count(CAST(l_partkey AS BIGINT)) AS INT) AS b_pop,
+       CAST(l_partkey & 1 AS INT)                       AS b_lsb
+FROM lineitem
+WHERE l_orderkey < 2000
+"""
+
 _CRYPTO_SPARK = """
 SELECT c_custkey AS ck,
        md5(c_name)                              AS h_md5,
@@ -456,6 +490,7 @@ QUERIES = {
     "fn_unnest_wordcount": sql_query(_UNNEST_SPARK),
     "fn_struct_map": sql_query(_STRUCT_SPARK),
     "fn_regex_pack": sql_query(_REGEX_SPARK),
+    "fn_bitwise_pack": sql_query(_BITWISE_SPARK),
 }
 
 ORACLES = {
@@ -477,4 +512,5 @@ ORACLES = {
     "fn_unnest_wordcount": _UNNEST_DUCK,
     "fn_struct_map": _STRUCT_DUCK,
     "fn_regex_pack": _REGEX_DUCK,
+    "fn_bitwise_pack": _BITWISE_DUCK,
 }

@@ -147,6 +147,35 @@ WINDOW w AS (PARTITION BY o_custkey
              EXCLUDE CURRENT ROW)
 """
 
+# IGNORE NULLS (SURVEY §2.5 — the null-treatment clause of the window
+# value functions): a sparse observation (here: only every 7th order
+# carries a price sample) is carried forward per customer, the canonical
+# last-observation-carried-forward shape every gap-filling pipeline uses
+# (events.gap_fill is the DataFrame-API spelling of the same idiom).
+# Spark puts IGNORE NULLS after the call, DuckDB inside the parens —
+# same standard semantics, two concrete syntaxes, one hash compare.
+_IGNORE_NULLS_SPARK = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(LAST_VALUE(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END)
+             IGNORE NULLS OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey), 2) AS carried,
+       ROUND(LAG(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END)
+             IGNORE NULLS OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey), 2) AS prev_sample
+FROM orders
+"""
+
+_IGNORE_NULLS_DUCK = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+       ROUND(LAST_VALUE(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END
+             IGNORE NULLS) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey), 2) AS carried,
+       ROUND(LAG(CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END
+             IGNORE NULLS) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey), 2) AS prev_sample
+FROM orders
+"""
+
 # QUALIFY (SURVEY §2.2 dialect extension): Spark has no QUALIFY clause;
 # dialect.rewrite_qualify turns it into the windowed-subquery spelling.
 # The oracle hands DuckDB the ORIGINAL statement — its native QUALIFY
@@ -178,6 +207,7 @@ QUERIES = {
     "window_groups_frame_emulated": sql_query(_GROUPS_EMULATED_SPARK),
     "window_exclude_current_emulated": sql_query(_EXCLUDE_EMULATED_SPARK),
     "window_qualify_rewrite": _qualify_query,
+    "window_ignore_nulls": sql_query(_IGNORE_NULLS_SPARK),
 }
 
 ORACLES = {
@@ -190,4 +220,5 @@ ORACLES = {
     "window_groups_frame_emulated": _GROUPS_NATIVE_DUCK,
     "window_exclude_current_emulated": _EXCLUDE_NATIVE_DUCK,
     "window_qualify_rewrite": _QUALIFY_TOP3,
+    "window_ignore_nulls": _IGNORE_NULLS_DUCK,
 }
