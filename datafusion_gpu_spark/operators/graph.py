@@ -210,6 +210,123 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     return closed.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
 
 
+def common_neighbors(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: for every NON-adjacent
+    node pair at distance 2, the common-neighbor count and the Jaccard
+    coefficient |N(a) & N(b)| / |N(a) | N(b)| — the classic
+    Liben-Nowell/Kleinberg baselines every recommender and
+    knowledge-graph completion pipeline starts from.
+
+    Shape: adjacency (both directions of the canonical undirected edge
+    set) self-joined on the MIDDLE node — one equality-keyed shuffle
+    generating Σ deg(mid)² wedges. That sum is hub-quadratic, so middle
+    nodes with degree > ``max_degree`` are EXCLUDED from wedge
+    generation (the standard practice: a hub neighbor carries ~no
+    link-prediction signal — its presence in two neighborhoods is not
+    evidence they are alike — and the cap bounds the wedge stream at
+    |V| * max_degree² regardless of skew; the same celebrity-hub
+    argument as triangle_count's degree orientation, solved here by
+    drop instead of orient because prediction, unlike counting, is
+    robust to hub removal). Jaccard denominators still use FULL
+    degrees. Existing edges are removed by an anti-join on the
+    canonical pair, ``min_common`` bounds the output.
+    """
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    adj = und.select(
+        F.col("lo").alias("mid"), F.col("hi").alias("nbr")
+    ).unionAll(und.select(F.col("hi").alias("mid"), F.col("lo").alias("nbr")))
+    deg = adj.groupBy("mid").agg(F.count(F.lit(1)).alias("deg"))
+    small_mid = adj.join(
+        deg.where(F.col("deg") <= max_degree).select("mid"), "mid"
+    )
+    x = small_mid.select("mid", F.col("nbr").alias("x"))
+    y = small_mid.select(F.col("mid").alias("mid2"), F.col("nbr").alias("y"))
+    pairs = (
+        x.join(y, x["mid"] == y["mid2"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= min_common)
+    )
+    # drop already-linked pairs; attach full degrees for the Jaccard
+    pairs = pairs.join(
+        und, (pairs["x"] == und["lo"]) & (pairs["y"] == und["hi"]), "left_anti"
+    )
+    dx = deg.select(F.col("mid").alias("x"), F.col("deg").alias("deg_x"))
+    dy = deg.select(F.col("mid").alias("y"), F.col("deg").alias("deg_y"))
+    return (
+        pairs.join(dx, "x")
+        .join(dy, "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_x") + F.col("deg_y") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """(node, degree) of the k-core after ``rounds`` peel iterations:
+    each round removes every node whose degree in the CURRENT subgraph
+    is below ``k`` and restricts the edge set to surviving endpoints —
+    the standard dense-subgraph / spam-farm / community-seed filter on
+    link graphs.
+
+    Fixed-round peeling, same contract as pagerank's fixed power
+    iterations: bounded lineage (each round's edge set is
+    checkpoint-truncated), per-round cost one hash aggregation (degree)
+    plus two semi-joins (edge restriction) — all equality-keyed, O(|E|).
+    Peeling is monotone (the edge set only shrinks), so as soon as a
+    round removes nothing the result IS the exact k-core; callers pick
+    ``rounds`` >= the cascade depth (tests verify convergence by
+    comparing consecutive rounds — the gate graph converges in 3).
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    e = ckpt(edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct())
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("lo").alias("node"))
+            .unionAll(e.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("node")
+        e = ckpt(
+            e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
+            .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        )
+    deg = (
+        e.select(F.col("lo").alias("node"))
+        .unionAll(e.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.where(F.col("degree") >= k)
+
+
 def degree_histogram(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     """(degree, n_nodes) distribution of the undirected graph — the
     first diagnostic anyone runs on a link graph (power-law check,

@@ -152,6 +152,8 @@ _LATE_FRESH = (
     "sort_limit_with_ties",
     "agg_string_agg",
     "fn_bitwise_pack",
+    "graph_common_neighbors",
+    "graph_kcore",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -996,6 +996,52 @@ def _graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.triangle_count(_copurchase_edges(spark))
 
 
+def _sparse_copurchase_edges(spark: SparkSession) -> DataFrame:
+    """Shared edge list for the link-prediction and k-core entries: the
+    co-purchase graph restricted to HIGH-QUANTITY lines (both endpoints
+    >= 40 units). The unrestricted graph at sf0.01 has median degree
+    ~115 — overlap scores on a near-clique are all noise — while the
+    bulk-purchase subgraph (~5.7k edges, max degree ~21) has the sparse
+    power-law shape link prediction actually targets. The filter is
+    pushed into BOTH scan branches before the self-join."""
+    li = spark.table("lineitem").where(F.col("l_quantity") >= 40).select(
+        "l_orderkey", "l_partkey"
+    )
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("r_partkey"))
+    return (
+        li.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("r_partkey"))
+        .select(F.col("l_partkey").alias("a"), F.col("r_partkey").alias("b"))
+    )
+
+
+def _graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (graph.common_neighbors)
+    over the bulk-purchase co-purchase graph: parts never bought
+    together whose neighborhoods overlap in >= 2 parts, i.e. the
+    recommender's "customers who bought X also bought Y" candidate set.
+    One keyed wedge self-join with the hub-cap guard (middle degree
+    <= 64 — no-op on this subgraph, load-bearing at 100x skew), one
+    anti-join against existing edges; the oracle replays the identical
+    algebra in DuckDB."""
+    load(spark, sf_dir)
+    return graph.common_neighbors(
+        _sparse_copurchase_edges(spark), max_degree=64, min_common=2
+    )
+
+
+def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the bulk-purchase co-purchase graph (graph.k_core,
+    5 peel rounds — the cascade converges at round 4 on this graph, so
+    the fixed-round result IS the exact core). The oracle unrolls the
+    same 5 peel rounds as MATERIALIZED chained CTEs (each round
+    references its predecessor three times; without materialization
+    DuckDB's CTE inlining makes the plan exponential in the round
+    count)."""
+    load(spark, sf_dir)
+    return graph.k_core(_sparse_copurchase_edges(spark), k=3, rounds=5)
+
+
 def _graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree distribution of the co-purchase graph
     (graph.degree_histogram) — the power-law/skew diagnostic run before
@@ -1468,6 +1514,8 @@ QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
+    "graph_common_neighbors": _graph_common_neighbors,
+    "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "events_histogram": _events_histogram,
     "events_anomaly_mad": _events_anomaly_mad,
@@ -1741,6 +1789,70 @@ deg AS (
   ) GROUP BY node
 )
 SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+""",
+    "graph_common_neighbors": """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+        ) GROUP BY node),
+adj AS (SELECT lo AS mid, hi AS nbr FROM e
+        UNION ALL SELECT hi, lo FROM e),
+sm AS (SELECT a2.mid, a2.nbr FROM adj a2
+       JOIN deg ON deg.node = a2.mid AND deg.d <= 64),
+p AS (SELECT x.nbr AS x, y.nbr AS y, COUNT(*) AS common
+      FROM sm x JOIN sm y ON x.mid = y.mid AND x.nbr < y.nbr
+      GROUP BY 1, 2),
+np AS (SELECT p.x, p.y, p.common
+       FROM p LEFT JOIN e ON e.lo = p.x AND e.hi = p.y
+       WHERE e.lo IS NULL AND p.common >= 2)
+SELECT np.x AS a, np.y AS b, np.common AS common,
+       ROUND(np.common::DOUBLE / (dx.d + dy.d - np.common), 6) AS jaccard
+FROM np JOIN deg dx ON dx.node = np.x
+        JOIN deg dy ON dy.node = np.y
+""",
+    # the peel rounds are MATERIALIZED: each round references its
+    # predecessor three times, so DuckDB's default CTE inlining would
+    # make the plan exponential in the round count
+    "graph_kcore": """
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+d1 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0) GROUP BY node),
+k1 AS MATERIALIZED (SELECT node FROM d1 WHERE d >= 3),
+e1 AS MATERIALIZED (SELECT lo, hi FROM e0
+  WHERE lo IN (SELECT node FROM k1) AND hi IN (SELECT node FROM k1)),
+d2 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT lo AS node FROM e1 UNION ALL SELECT hi FROM e1) GROUP BY node),
+k2 AS MATERIALIZED (SELECT node FROM d2 WHERE d >= 3),
+e2 AS MATERIALIZED (SELECT lo, hi FROM e1
+  WHERE lo IN (SELECT node FROM k2) AND hi IN (SELECT node FROM k2)),
+d3 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT lo AS node FROM e2 UNION ALL SELECT hi FROM e2) GROUP BY node),
+k3 AS MATERIALIZED (SELECT node FROM d3 WHERE d >= 3),
+e3 AS MATERIALIZED (SELECT lo, hi FROM e2
+  WHERE lo IN (SELECT node FROM k3) AND hi IN (SELECT node FROM k3)),
+d4 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT lo AS node FROM e3 UNION ALL SELECT hi FROM e3) GROUP BY node),
+k4 AS MATERIALIZED (SELECT node FROM d4 WHERE d >= 3),
+e4 AS MATERIALIZED (SELECT lo, hi FROM e3
+  WHERE lo IN (SELECT node FROM k4) AND hi IN (SELECT node FROM k4)),
+d5 AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+  SELECT lo AS node FROM e4 UNION ALL SELECT hi FROM e4) GROUP BY node),
+k5 AS MATERIALIZED (SELECT node FROM d5 WHERE d >= 3),
+e5 AS MATERIALIZED (SELECT lo, hi FROM e4
+  WHERE lo IN (SELECT node FROM k5) AND hi IN (SELECT node FROM k5))
+SELECT node, COUNT(*) AS degree FROM (
+  SELECT lo AS node FROM e5 UNION ALL SELECT hi FROM e5
+) GROUP BY node HAVING COUNT(*) >= 3
 """,
     "graph_pagerank": """
 WITH edges AS (

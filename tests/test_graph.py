@@ -297,3 +297,104 @@ def test_degree_histogram_star_graph(spark):
         ).collect()
     }
     assert rows == {5: 1, 1: 5}
+
+
+def test_kcore_matches_reference_peel(spark):
+    import random
+
+    from datafusion_gpu_spark.operators.graph import k_core
+
+    def ref_kcore(edges, k):
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        changed = True
+        while changed:
+            changed = False
+            for n in [n for n, nb in adj.items() if len(nb) < k]:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+        return {n: len(nb) for n, nb in adj.items()}
+
+    random.seed(11)
+    n = 20
+    edges = [
+        (i, j)
+        for i in range(n)
+        for j in range(i + 1, n)
+        if random.random() < 0.2
+    ]
+    for k in (2, 3):
+        want = ref_kcore(edges, k)
+        got = {
+            r.node: r.degree
+            for r in k_core(
+                spark.createDataFrame(edges, "a long, b long"), k=k, rounds=n
+            ).collect()
+        }
+        assert got == want
+
+
+def test_kcore_monotone_rounds_converge(spark):
+    from datafusion_gpu_spark.operators.graph import k_core
+
+    # a triangle with a pendant chain: the chain peels away over
+    # CASCADING rounds (one hop per round), the triangle is the 2-core
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    # round 1 peels node 5 (degree 1); the output's own degree>=k filter
+    # then also hides node 4, whose degree fell to 1 when 4-5 vanished
+    r1 = {r.node for r in k_core(df, k=2, rounds=1).collect()}
+    assert r1 == {0, 1, 2, 3}
+    # converged: exactly the triangle, every degree 2
+    done = {r.node: r.degree for r in k_core(df, k=2, rounds=4).collect()}
+    assert done == {0: 2, 1: 2, 2: 2}
+    # extra rounds after convergence are no-ops
+    more = {r.node: r.degree for r in k_core(df, k=2, rounds=6).collect()}
+    assert more == done
+
+
+def test_common_neighbors_square_and_hub_cap(spark):
+    from datafusion_gpu_spark.operators.graph import common_neighbors
+
+    # square 0-1-2-3-0: the two diagonals each share exactly 2 common
+    # neighbors, jaccard = 2 / (2 + 2 - 2) = 1.0
+    square = [(0, 1), (1, 2), (2, 3), (3, 0)]
+    rows = {
+        (r.a, r.b): (r.common, r.jaccard)
+        for r in common_neighbors(
+            spark.createDataFrame(square, "a long, b long"),
+            max_degree=64,
+            min_common=2,
+        ).collect()
+    }
+    assert rows == {(0, 2): (2, 1.0), (1, 3): (2, 1.0)}
+    # hub cap: wedges through a high-degree middle node are dropped —
+    # with the hub (degree 4) over the cap, no pair remains
+    star_plus = [(9, 0), (9, 1), (9, 2), (9, 3)]
+    out = common_neighbors(
+        spark.createDataFrame(star_plus, "a long, b long"),
+        max_degree=3,
+        min_common=1,
+    )
+    assert out.count() == 0
+
+
+def test_common_neighbors_excludes_existing_edges(spark):
+    from datafusion_gpu_spark.operators.graph import common_neighbors
+
+    # triangle + one open wedge: 0-1, 0-2, 1-2 (closed), 2-3 -> the only
+    # candidate is the open pair; adjacent pairs must not appear
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    rows = {
+        (r.a, r.b)
+        for r in common_neighbors(
+            spark.createDataFrame(edges, "a long, b long"),
+            max_degree=64,
+            min_common=1,
+        ).collect()
+    }
+    assert (0, 1) not in rows and (0, 2) not in rows and (1, 2) not in rows
+    assert (0, 3) in rows and (1, 3) in rows
