@@ -72,6 +72,36 @@ def word_hash60(col: Column | str) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical form of an http(s) URL for URL-level dedup — the first
+    dedup pass of every crawl pipeline (the same page is fetched as
+    http/https, with/without :443, with tracking params, fragments,
+    casing and trailing-slash variants):
+
+    - host lowercased, default port dropped (parse_url HOST already
+      excludes the port);
+    - path with the trailing slash stripped;
+    - query reduced to its non-``utm_*`` params (order preserved);
+    - scheme and fragment dropped.
+
+    Pure JVM expression (parse_url + higher-order array functions), no
+    shuffle — canonicalization is a projection; the dedup itself is one
+    hash aggregation on the canonical key."""
+    c = F.col(col) if isinstance(col, str) else col
+    host = F.lower(F.parse_url(c, F.lit("HOST")))
+    path = F.regexp_replace(F.parse_url(c, F.lit("PATH")), "/$", "")
+    kept = F.array_join(
+        F.filter(
+            F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
+            lambda p: ~p.startswith("utm_"),
+        ),
+        "&",
+    )
+    return F.concat(
+        host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    )
+
+
 def exploded_shingles(
     docs: DataFrame, n: int = 3, carry_cols: tuple[str, ...] = ()
 ) -> DataFrame:

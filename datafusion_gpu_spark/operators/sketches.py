@@ -124,6 +124,67 @@ def heavy_hitters(
     ).select("item", "n")
 
 
+def _cms_bucket(key, row: int, width: int):
+    """Portable CMS hash: row-salted 60-bit md5 prefix mod width — the
+    same cross-engine hash family as hash_split/minhash (Spark conv()
+    here, '0x'||substring cast in the DuckDB replay), so the sketch is
+    bit-identical on both engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(row), key)), 1, 15), 16, 10
+    ).cast("long")
+    return (h % width).cast("int")
+
+
+def count_min_build(
+    df: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch of a key stream as a (r, c, cnt) relation —
+    depth*width counter cells, the streaming-frequency workhorse
+    (Cormode & Muthukrishnan '05) beside the exact Misra-Gries pass
+    above: mergeable by cell-wise sum, bounded memory, estimate =
+    min over rows, always >= the true count.
+
+    Spark-first build: ONE scan, posexplode of the ``depth`` bucket
+    columns, then a hash aggregation on (r, c) with map-side partial
+    sums — the shuffle carries at most depth*width rows per partition
+    regardless of input size, the mergeable-partials shape every
+    sketch in this module uses. NULL keys are skipped (nothing to
+    count)."""
+    key = F.col(col).cast("string")
+    return (
+        df.where(key.isNotNull())
+        .select(
+            F.posexplode(
+                F.array(*[_cms_bucket(key, r, width) for r in range(depth)])
+            ).alias("r", "c")
+        )
+        .groupBy("r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame, keys: DataFrame, col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """(key, est) point queries against a count_min_build sketch built
+    with the SAME depth/width: each key probes its ``depth`` cells
+    (left join — an absent cell is a 0 count) and takes the row-wise
+    minimum. The sketch side is at most depth*width rows, so the probe
+    join broadcasts it; estimates are exact-or-over, never under."""
+    key = F.col(col).cast("string").alias("key")
+    probes = keys.select(key).distinct().select(
+        "key",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("key"), r, width) for r in range(depth)])
+        ).alias("r", "c"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "c"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+    )
+
+
 def bloom_build(df: DataFrame, col: str, n_bits: int = 1 << 23, k: int = 7):
     """Bloom filter over a column, built distributively: each partition
     sets bits in a local packed uint8 array (vectorized double hashing

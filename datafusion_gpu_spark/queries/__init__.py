@@ -154,6 +154,8 @@ _LATE_FRESH = (
     "fn_bitwise_pack",
     "graph_common_neighbors",
     "graph_kcore",
+    "agg_count_min_estimate",
+    "dedup_url",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

@@ -217,6 +217,47 @@ def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(_docs(spark, sf_dir))
 
 
+# the deterministic messy-URL generator for dedup_url: every casing /
+# default-port / trailing-slash / tracking-param / fragment variant a
+# crawler actually sees, derived from doc fields so both engines build
+# the identical raw string (Spark spelling below, DuckDB spelling in the
+# oracle). doc_id % 7 x % 3 gives 21 canonical pages per source against
+# ~25 docs per source at sf0.01 — collisions guaranteed by pigeonhole.
+_RAW_URL_SPARK = """
+  concat('https://',
+         CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+         '.Example.COM',
+         CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+         '/docs/', CAST(doc_id % 7 AS STRING),
+         CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+         '?utm_source=feed&page=', CAST(doc_id % 3 AS STRING),
+         CASE WHEN doc_id % 6 = 0 THEN '&utm_medium=mail' ELSE '' END,
+         CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END)
+"""
+
+
+def _dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (dedup.canonicalize_url): canonicalize crawl
+    URLs — lowercase host, drop default port / fragment / utm_*
+    tracking params, strip the trailing slash — then keep the lowest
+    doc_id per canonical page. Canonicalization is a pure projection
+    (parse_url + array higher-order functions, zero Python); the dedup
+    is ONE hash aggregation on the canonical key. The oracle rebuilds
+    the same canonical form with RE2 regexes + list_filter, so the
+    parse_url algebra is graded against an independent parser."""
+    load(spark, sf_dir)
+    docs = spark.table("documents").selectExpr(
+        "doc_id", f"{_RAW_URL_SPARK} AS url"
+    )
+    canon = docs.select(
+        "doc_id", dedup.canonicalize_url("url").alias("canon_url")
+    )
+    return canon.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
 def _dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     # width-10 pseudo-lines (the corpus is a single-line word stream);
     # a line shared by >1 docs is boilerplate and dropped from all
@@ -1095,6 +1136,41 @@ def _dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.incremental_dedup_bloom(history, batch, n_bits=1 << 20, k=5)
 
 
+def _agg_count_min_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation (sketches.count_min_build /
+    count_min_estimate, depth 4 x width 256) over the part-key stream,
+    probed for the 20 lowest part keys next to their exact counts —
+    (partkey, est, exact, overcount). At ~2000 distinct keys on 256
+    columns every cell is shared, so the entry exercises real collision
+    overestimates while est >= exact stays an invariant (pinned in
+    pytest; the gate compares exact cell-for-cell equality since the
+    row-salted md5 bucket hash is engine-portable). Build shuffle:
+    <= depth*width partial rows per partition, never the key stream."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators import sketches
+
+    li = spark.table("lineitem")
+    sketch = sketches.count_min_build(li, "l_partkey", depth=4, width=256)
+    qk = spark.table("part").where(F.col("p_partkey") <= 20)
+    est = sketches.count_min_estimate(sketch, qk, "p_partkey", depth=4, width=256)
+    exact = (
+        li.where(F.col("l_partkey") <= 20)
+        .groupBy(F.col("l_partkey").cast("string").alias("key"))
+        .agg(F.count(F.lit(1)).alias("exact"))
+    )
+    return (
+        est.join(exact, "key", "left")
+        .select(
+            F.col("key").cast("long").alias("partkey"),
+            "est",
+            F.coalesce(F.col("exact"), F.lit(0).cast("long")).alias("exact"),
+            (F.col("est") - F.coalesce(F.col("exact"), F.lit(0).cast("long"))).alias(
+                "overcount"
+            ),
+        )
+    )
+
+
 def _text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary heavy hitters over whitespace tokens: distributed
     Misra-Gries partials (one scan, k counters/partition) + the
@@ -1490,6 +1566,7 @@ QUERIES = {
     "events_scd2_history": _events_scd2_history,
     "dedup_incremental_bloom": _dedup_incremental_bloom,
     "text_heavy_hitters": _text_heavy_hitters,
+    "agg_count_min_estimate": _agg_count_min_estimate,
     "streaming_multi_rollup": _streaming_multi_rollup,
     "events_funnel": _events_funnel,
     "events_retention": _events_retention,
@@ -1508,6 +1585,7 @@ QUERIES = {
     "text_bpe_contract": _text_bpe_contract,
     "text_bpe_encode": _text_bpe_encode,
     "dedup_exact": _dedup_exact,
+    "dedup_url": _dedup_url,
     "dedup_incremental": _dedup_incremental,
     "curation_quantile_filter": _curation_quantile_filter,
     "events_multi_rollup": _events_multi_rollup,
@@ -1919,6 +1997,40 @@ r5 AS (
   ON c.dst = n.node
 )
 SELECT node, ROUND(pr, 8) AS pr FROM r5
+""",
+    "dedup_url": r"""
+WITH raw AS (
+  SELECT doc_id,
+         concat('https://',
+                CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                '.Example.COM',
+                CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+                '/docs/', CAST(doc_id % 7 AS VARCHAR),
+                CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+                '?utm_source=feed&page=', CAST(doc_id % 3 AS VARCHAR),
+                CASE WHEN doc_id % 6 = 0 THEN '&utm_medium=mail' ELSE '' END,
+                CASE WHEN doc_id % 5 = 0 THEN '#sec2' ELSE '' END) AS url
+  FROM documents
+),
+parts AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS host,
+         regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
+                        '/$', '') AS path,
+         array_to_string(
+           list_filter(string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                       x -> NOT starts_with(x, 'utm_')),
+           '&') AS kept
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+         host || path ||
+         CASE WHEN kept != '' THEN '?' || kept ELSE '' END AS canon_url
+  FROM parts
+)
+SELECT canon_url, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM canon GROUP BY canon_url
 """,
     "dedup_exact": f"""
 SELECT md5({_NORM}) AS content_key, MIN(doc_id) AS keep_id,
@@ -2997,6 +3109,41 @@ SELECT user_id, event_id, ROUND(value, 2) AS value,
        (LEAD(ts) OVER w IS NULL) AS is_current
 FROM events WHERE event_type = 'purchase'
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "agg_count_min_estimate": """
+WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k
+             FROM lineitem WHERE l_partkey IS NOT NULL),
+cells AS (
+  SELECT r, c, COUNT(*) AS cnt FROM (
+    SELECT 0 AS r, CAST('0x' || substring(md5('0:' || k), 1, 15) AS BIGINT) % 256 AS c FROM src
+    UNION ALL
+    SELECT 1, CAST('0x' || substring(md5('1:' || k), 1, 15) AS BIGINT) % 256 FROM src
+    UNION ALL
+    SELECT 2, CAST('0x' || substring(md5('2:' || k), 1, 15) AS BIGINT) % 256 FROM src
+    UNION ALL
+    SELECT 3, CAST('0x' || substring(md5('3:' || k), 1, 15) AS BIGINT) % 256 FROM src
+  ) GROUP BY r, c
+),
+qk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS key
+       FROM part WHERE p_partkey <= 20),
+probes AS (
+  SELECT key, 0 AS r, CAST('0x' || substring(md5('0:' || key), 1, 15) AS BIGINT) % 256 AS c FROM qk
+  UNION ALL
+  SELECT key, 1, CAST('0x' || substring(md5('1:' || key), 1, 15) AS BIGINT) % 256 FROM qk
+  UNION ALL
+  SELECT key, 2, CAST('0x' || substring(md5('2:' || key), 1, 15) AS BIGINT) % 256 FROM qk
+  UNION ALL
+  SELECT key, 3, CAST('0x' || substring(md5('3:' || key), 1, 15) AS BIGINT) % 256 FROM qk
+),
+est AS (SELECT key, MIN(COALESCE(cells.cnt, 0)) AS est
+        FROM probes LEFT JOIN cells ON cells.r = probes.r AND cells.c = probes.c
+        GROUP BY key),
+exact AS (SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS exact
+          FROM lineitem WHERE l_partkey <= 20 GROUP BY 1)
+SELECT CAST(e.key AS BIGINT) AS partkey, e.est,
+       COALESCE(x.exact, 0) AS exact,
+       e.est - COALESCE(x.exact, 0) AS overcount
+FROM est e LEFT JOIN exact x ON x.key = e.key
 """,
     "text_heavy_hitters": r"""
 WITH toks AS (

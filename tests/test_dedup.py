@@ -269,3 +269,24 @@ def test_connected_components_uses_cluster_checkpoint_dir(spark, tmp_path):
         # tests exercise the localCheckpoint path again
         spark.sparkContext._jsc.sc().setCheckpointDir(None)
         assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_canonicalize_url_collapses_crawl_variants(spark):
+    from datafusion_gpu_spark.operators.dedup import canonicalize_url
+
+    urls = [
+        (1, "https://WWW.Site.COM:443/a/b/?utm_source=x&page=2#frag"),
+        (2, "https://www.site.com/a/b?page=2&utm_medium=y"),
+        (3, "https://www.site.com/a/b?page=3"),       # different param value
+        (4, "https://www.site.com/a/c?page=2"),       # different path
+        (5, "https://www.site.com/a/b?utm_only=1"),   # all params tracked
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: r.c
+        for r in df.select("doc_id", canonicalize_url("url").alias("c")).collect()
+    }
+    assert got[1] == got[2] == "www.site.com/a/b?page=2"
+    assert got[3] == "www.site.com/a/b?page=3"
+    assert got[4] == "www.site.com/a/c?page=2"
+    assert got[5] == "www.site.com/a/b"

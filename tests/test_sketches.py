@@ -124,3 +124,42 @@ def test_bloom_non_string_columns_probe_consistently(spark):
     got = {r.s: r.might_contain
            for r in bloom_might_contain(withnull, "s", bits, k=5).collect()}
     assert got["x"] is True and got[None] is False
+
+
+def test_count_min_never_underestimates_and_is_exact_when_wide(spark):
+    from datafusion_gpu_spark.operators.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    data = [(k,) for k in ["a"] * 50 + ["b"] * 20 + ["c"] * 5 + ["d"] * 1]
+    df = spark.createDataFrame(data, "k string")
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zzz",)], "k string")
+    exact = {"a": 50, "b": 20, "c": 5, "d": 1, "zzz": 0}
+    # narrow sketch: collisions allowed, but never an underestimate
+    narrow = count_min_build(df, "k", depth=4, width=2)
+    est = {
+        r.key: r.est
+        for r in count_min_estimate(narrow, keys, "k", depth=4, width=2).collect()
+    }
+    for k, n in exact.items():
+        assert est[k] >= n
+    # wide sketch: 4 keys on 4096 columns -> estimates are exact
+    wide = count_min_build(df, "k", depth=4, width=4096)
+    est = {
+        r.key: r.est
+        for r in count_min_estimate(wide, keys, "k", depth=4, width=4096).collect()
+    }
+    assert est == exact
+
+
+def test_count_min_nulls_skipped_and_cells_bounded(spark):
+    from datafusion_gpu_spark.operators.sketches import count_min_build
+
+    df = spark.createDataFrame([("a",), (None,), ("b",)], "k string")
+    sk = count_min_build(df, "k", depth=3, width=8)
+    rows = sk.collect()
+    # 2 keys x 3 rows = at most 6 cells, total mass = 2 non-null rows x 3
+    assert len(rows) <= 6
+    assert sum(r.cnt for r in rows) == 6
+    assert all(0 <= r.r < 3 and 0 <= r.c < 8 for r in rows)
