@@ -156,6 +156,7 @@ _LATE_FRESH = (
     "graph_kcore",
     "agg_count_min_estimate",
     "dedup_url",
+    "io_time_travel",
 )
 
 #: Core reference-surface families (SURVEY §2.1/§2.9) the driver has never

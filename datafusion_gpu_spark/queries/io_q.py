@@ -526,9 +526,73 @@ WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR o.v <> n.v
 """
 
 
+def _time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERSION AS OF read (operators/layout.time_travel): a two-version
+    change log over the documents table — v1 inserts the missing keys
+    and bumps every %3 value by 10, v2 deletes %7==2 keys and bumps by
+    20 — replayed to version 1. The v2 rows sit IN the log and must be
+    ignored by the replay cutoff; the whole history compacts in one
+    max_by aggregation plus one full-outer join (never a per-version
+    MERGE loop). The oracle is the closed-form v1 state; replay-vs-
+    iterated-MERGE equivalence is property-tested in pytest."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import time_travel
+
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    base = docs.where("doc_id % 5 <> 1").select(
+        "doc_id", F.col("n_chars").alias("v")
+    )
+
+    def change(version: int, op: str, rows: DataFrame, v):
+        return rows.select(
+            F.lit(version).alias("version"),
+            F.lit(op).alias("op"),
+            "doc_id",
+            v.alias("v"),
+        )
+
+    log = (
+        change(1, "insert", docs.where("doc_id % 5 = 1"), F.col("n_chars"))
+        .unionByName(
+            change(
+                1,
+                "update",
+                docs.where("doc_id % 3 = 0 AND doc_id % 5 <> 1"),
+                F.col("n_chars") + 10,
+            )
+        )
+        .unionByName(
+            change(
+                2, "delete", docs.where("doc_id % 7 = 2"),
+                F.lit(None).cast("long"),
+            )
+        )
+        .unionByName(
+            change(
+                2,
+                "update",
+                docs.where("doc_id % 3 = 0 AND doc_id % 7 <> 2"),
+                F.col("n_chars") + 20,
+            )
+        )
+    )
+    return time_travel(base, log, key="doc_id", version=1)
+
+
+_TIME_TRAVEL_DUCK = """
+SELECT doc_id,
+       n_chars + CASE WHEN doc_id % 3 = 0 AND doc_id % 5 <> 1
+                      THEN 10 ELSE 0 END AS v
+FROM documents
+"""
+
+
 QUERIES = {
     "io_merge_upsert": _merge_upsert,
     "io_snapshot_diff": _snapshot_diff,
+    "io_time_travel": _time_travel,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
     "io_compact_small_files": _compact_small_files,
@@ -546,6 +610,7 @@ QUERIES = {
 ORACLES = {
     "io_merge_upsert": _MERGE_UPSERT_DUCK,
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
+    "io_time_travel": _TIME_TRAVEL_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_bucketed_join": _BUCKETED_JOIN_DUCK,
     "io_csv_quoted_multiline": _CSV_DIALECT_DUCK,

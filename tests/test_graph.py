@@ -398,3 +398,63 @@ def test_common_neighbors_excludes_existing_edges(spark):
     }
     assert (0, 1) not in rows and (0, 2) not in rows and (1, 2) not in rows
     assert (0, 3) in rows and (1, 3) in rows
+
+
+def test_time_travel_replay_equals_iterated_merge(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import merge_upsert, time_travel
+
+    random.seed(3)
+    base_rows = [(k, float(k * 10)) for k in range(12)]
+    base = spark.createDataFrame(base_rows, "k long, v double")
+    # three versions of random inserts/updates/deletes, one op per key
+    # per version
+    log_rows, states = [], []
+    state = dict(base_rows)
+    for ver in (1, 2, 3):
+        keys = random.sample(range(20), 6)
+        for k in keys:
+            if k in state and random.random() < 0.3:
+                log_rows.append((ver, "delete", k, None))
+                del state[k]
+            elif k in state:
+                nv = float(random.randint(0, 99))
+                log_rows.append((ver, "update", k, nv))
+                state[k] = nv
+            else:
+                nv = float(random.randint(100, 199))
+                log_rows.append((ver, "insert", k, nv))
+                state[k] = nv
+        states.append(dict(state))
+    log = spark.createDataFrame(
+        log_rows, "version long, op string, k long, v double"
+    )
+    # version 0 is the base itself
+    got0 = {r.k: r.v for r in time_travel(base, log, "k", 0).collect()}
+    assert got0 == dict(base_rows)
+    for ver in (1, 2, 3):
+        got = {r.k: r.v for r in time_travel(base, log, "k", ver).collect()}
+        assert got == states[ver - 1], f"version {ver}"
+    # cross-check version 3 against iterated merge/delete application
+    cur = base
+    for ver in (1, 2, 3):
+        batch = log.where(F.col("version") == ver)
+        dels = {r.k for r in batch.where("op = 'delete'").collect()}
+        cur = merge_upsert(
+            cur, batch.where("op <> 'delete'").select("k", "v"), "k"
+        ).where(~F.col("k").isin(dels) if dels else F.lit(True))
+    assert {r.k: r.v for r in cur.collect()} == states[2]
+
+
+def test_time_travel_rejects_missing_log_columns(spark):
+    import pytest as _pytest
+
+    from datafusion_gpu_spark.operators.layout import time_travel
+
+    base = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    bad = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    with _pytest.raises(ValueError, match="log lacks columns"):
+        time_travel(base, bad, "k", 1)
