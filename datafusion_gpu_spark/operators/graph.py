@@ -236,16 +236,29 @@ def common_neighbors(
     robust to hub removal). Jaccard denominators still use FULL
     degrees. Existing edges are removed by an anti-join on the
     canonical pair, ``min_common`` bounds the output.
+
+    The canonical edge relation feeds FOUR consumers (two wedge legs,
+    the degree aggregation, the anti-join), so it is materialized once
+    via the shared iterative-operator checkpoint policy — the same cut
+    triangle_count needs (without it Catalyst re-derives the edge
+    dedup per consumer: audited 22 shuffles + 6 SMJs on the gate graph
+    vs 6 shuffles + 1 SMJ with the cut). The degree relation is |V|
+    rows and broadcast into the cap filter and the Jaccard projection.
     """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
     lo = F.least(F.col(a), F.col(b)).alias("lo")
     hi = F.greatest(F.col(a), F.col(b)).alias("hi")
-    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    und = ckpt(
+        edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    )
     adj = und.select(
         F.col("lo").alias("mid"), F.col("hi").alias("nbr")
     ).unionAll(und.select(F.col("hi").alias("mid"), F.col("lo").alias("nbr")))
-    deg = adj.groupBy("mid").agg(F.count(F.lit(1)).alias("deg"))
+    deg = ckpt(adj.groupBy("mid").agg(F.count(F.lit(1)).alias("deg")))
     small_mid = adj.join(
-        deg.where(F.col("deg") <= max_degree).select("mid"), "mid"
+        F.broadcast(deg.where(F.col("deg") <= max_degree).select("mid")), "mid"
     )
     x = small_mid.select("mid", F.col("nbr").alias("x"))
     y = small_mid.select(F.col("mid").alias("mid2"), F.col("nbr").alias("y"))
@@ -263,8 +276,8 @@ def common_neighbors(
     dx = deg.select(F.col("mid").alias("x"), F.col("deg").alias("deg_x"))
     dy = deg.select(F.col("mid").alias("y"), F.col("deg").alias("deg_y"))
     return (
-        pairs.join(dx, "x")
-        .join(dy, "y")
+        pairs.join(F.broadcast(dx), "x")
+        .join(F.broadcast(dy), "y")
         .select(
             F.col("x").alias("a"),
             F.col("y").alias("b"),
