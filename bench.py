@@ -74,7 +74,6 @@ SF_BENCHES = [
     "dedup_exact",
     "dedup_lines",
     "dedup_minhash_lsh",
-    "dedup_components",
     "text_quality",
     "text_pii_redact",
     "text_perplexity",
@@ -88,12 +87,18 @@ SF_BENCHES = [
     "retrieval_bm25",
     "events_sessionize",
     "events_multi_rollup",
-    # events_funnel / events_scd2_history were trialed in the set
-    # (measured 0.94 s / 0.86 s medians over 10 exclusive samples) but
-    # their ~18 s of timed samples pushed the deadline planner to evict
-    # dedup_components (est 5.13 s x 10) — the iterative representative
-    # with r2/r3 driver history. Family wall-clock evidence for the
-    # funnel lives in SCALE.md (exact-count probe at 1M/4M events).
+    # The round-4/5 operator-family representative (VERDICT r5 ask #4):
+    # funnel's chained-conditional-window plan, ~0.94 s exclusive median.
+    "events_funnel",
+    # dedup_components runs LAST: BENCH_r05 showed seven unchanged queries
+    # drifting +12-44% vs r04, and the prime suspect is this entry's
+    # insertion at position 10 — ~39 s of iterative, localCheckpoint-heavy
+    # timed work whose resident state + GC shadow lands on every query
+    # after it (r4's BENCH_NOTES measured ~2x GC noise on ~1 s queries
+    # next to multi-GB resident state). At the end of the list its shadow
+    # falls on nothing. Its own median is unaffected by position: each
+    # round re-checkpoints from scratch.
+    "dedup_components",
     # graph_pagerank is gate-checked and scale-probed (SCALE.md: 2M
     # edges, 5 rounds, linear) but not benched: ~5 s/run x 10 samples
     # would evict dedup_components — the iterative representative with

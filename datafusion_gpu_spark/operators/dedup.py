@@ -78,18 +78,41 @@ def canonicalize_url(col: Column | str) -> Column:
     http/https, with/without :443, with tracking params, fragments,
     casing and trailing-slash variants):
 
-    - host lowercased, default port dropped (parse_url HOST already
-      excludes the port);
+    - host lowercased; a scheme-DEFAULT port (http:80 / https:443) is
+      dropped, any OTHER explicit port is kept (``host:8080/x`` and
+      ``host/x`` are different origins and must not dedup together —
+      parse_url HOST strips every port, so the non-default one is
+      re-appended from AUTHORITY);
     - path with the trailing slash stripped;
     - query reduced to its non-``utm_*`` params (order preserved);
     - scheme and fragment dropped.
+
+    A URL parse_url can't parse (NULL host) falls back to the raw
+    string as its own canonical key: malformed URLs dedup only against
+    byte-identical copies, never against each other through a shared
+    NULL key (F.concat is null-propagating, so without the fallback
+    every malformed URL would collapse into one NULL group).
 
     Pure JVM expression (parse_url + higher-order array functions), no
     shuffle — canonicalization is a projection; the dedup itself is one
     hash aggregation on the canonical key."""
     c = F.col(col) if isinstance(col, str) else col
     host = F.lower(F.parse_url(c, F.lit("HOST")))
-    path = F.regexp_replace(F.parse_url(c, F.lit("PATH")), "/$", "")
+    proto = F.lower(F.parse_url(c, F.lit("PROTOCOL")))
+    port = F.regexp_extract(
+        F.coalesce(F.parse_url(c, F.lit("AUTHORITY")), F.lit("")), ":(\\d+)$", 1
+    )
+    default_port = (
+        F.when(proto == "http", F.lit("80"))
+        .when(proto == "https", F.lit("443"))
+        .otherwise(F.lit(""))
+    )
+    host_port = F.when(
+        (port != "") & (port != default_port), F.concat(host, F.lit(":"), port)
+    ).otherwise(host)
+    path = F.regexp_replace(
+        F.coalesce(F.parse_url(c, F.lit("PATH")), F.lit("")), "/$", ""
+    )
     kept = F.array_join(
         F.filter(
             F.split(F.coalesce(F.parse_url(c, F.lit("QUERY")), F.lit("")), "&"),
@@ -97,9 +120,12 @@ def canonicalize_url(col: Column | str) -> Column:
         ),
         "&",
     )
-    return F.concat(
-        host, path, F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit(""))
+    canon = F.concat(
+        host_port,
+        path,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )
+    return F.when(host.isNotNull(), canon).otherwise(c)
 
 
 def exploded_shingles(

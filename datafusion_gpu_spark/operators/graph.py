@@ -304,14 +304,17 @@ def k_core(
     the standard dense-subgraph / spam-farm / community-seed filter on
     link graphs.
 
-    Fixed-round peeling, same contract as pagerank's fixed power
-    iterations: bounded lineage (each round's edge set is
-    checkpoint-truncated), per-round cost one hash aggregation (degree)
-    plus two semi-joins (edge restriction) — all equality-keyed, O(|E|).
-    Peeling is monotone (the edge set only shrinks), so as soon as a
-    round removes nothing the result IS the exact k-core; callers pick
-    ``rounds`` >= the cascade depth (tests verify convergence by
-    comparing consecutive rounds — the gate graph converges in 3).
+    Peeling with EARLY STOP, bounded by ``rounds``: bounded lineage
+    (each round's edge set is checkpoint-truncated), per-round cost one
+    hash aggregation (degree) plus two semi-joins (edge restriction) —
+    all equality-keyed, O(|E|). Peeling is monotone (the edge set only
+    shrinks), so as soon as a round removes no edge the result IS the
+    exact k-core and the remaining rounds are skipped — the per-round
+    count() is one cheap job over the just-checkpointed (already
+    materialized) edge set, far cheaper than a wasted agg+semi-join
+    round. ``rounds`` stays the hard upper bound for a cascade deeper
+    than expected (tests verify the loop exits at cascade depth, not
+    at ``rounds`` — the gate graph converges in 3).
     """
     from datafusion_gpu_spark.operators.util import lineage_truncator
 
@@ -319,6 +322,7 @@ def k_core(
     lo = F.least(F.col(a), F.col(b)).alias("lo")
     hi = F.greatest(F.col(a), F.col(b)).alias("hi")
     e = ckpt(edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct())
+    n_edges = e.count()
     for _ in range(rounds):
         deg = (
             e.select(F.col("lo").alias("node"))
@@ -331,6 +335,10 @@ def k_core(
             e.join(keep.withColumnRenamed("node", "lo"), "lo", "left_semi")
             .join(keep.withColumnRenamed("node", "hi"), "hi", "left_semi")
         )
+        remaining = e.count()
+        if remaining == n_edges:
+            break  # monotone: nothing removed => exact k-core reached
+        n_edges = remaining
     deg = (
         e.select(F.col("lo").alias("node"))
         .unionAll(e.select(F.col("hi").alias("node")))

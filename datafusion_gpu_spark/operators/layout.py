@@ -175,7 +175,12 @@ def time_travel(
     the change payload, untouched base rows pass through. Log keys are
     assumed non-null (snapshot_diff only emits NULL-keyed rows for
     NULL-keyed snapshots, which have no stable replay identity —
-    documented contract, enforced nowhere).
+    documented contract, enforced nowhere). Two log rows for the same
+    key with the SAME version stamp tie-break deterministically: the
+    non-delete op wins (a delete+insert landing in one version reads
+    as an upsert), via a (version, op!='delete') composite max_by key —
+    snapshot_diff itself emits at most one op per (key, version), so
+    the tie-break only matters for hand-built logs.
 
     ``log`` must carry the full base schema plus (version_col, op_col);
     delete rows may leave the non-key payload NULL.
@@ -190,7 +195,12 @@ def time_travel(
         .agg(
             F.max_by(
                 F.struct(F.col(op_col).alias("op"), *[F.col(c) for c in vals]),
-                F.col(version_col),
+                # struct ordering is lexicographic: version first, then
+                # the delete/non-delete priority breaks same-version ties
+                F.struct(
+                    F.col(version_col).alias("v"),
+                    (F.col(op_col) != "delete").cast("int").alias("pri"),
+                ),
             ).alias("__ch__")
         )
         .alias("c")

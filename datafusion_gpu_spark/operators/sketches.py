@@ -170,9 +170,12 @@ def count_min_estimate(
     with the SAME depth/width: each key probes its ``depth`` cells
     (left join — an absent cell is a 0 count) and takes the row-wise
     minimum. The sketch side is at most depth*width rows, so the probe
-    join broadcasts it; estimates are exact-or-over, never under."""
+    join broadcasts it; estimates are exact-or-over, never under.
+    NULL probe keys are skipped, mirroring count_min_build's NULL-skip
+    (without the filter, concat_ws would hash NULL as the bare salt
+    and return an arbitrary collision estimate for key=NULL)."""
     key = F.col(col).cast("string").alias("key")
-    probes = keys.select(key).distinct().select(
+    probes = keys.where(F.col(col).isNotNull()).select(key).distinct().select(
         "key",
         F.posexplode(
             F.array(*[_cms_bucket(F.col("key"), r, width) for r in range(depth)])

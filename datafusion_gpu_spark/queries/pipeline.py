@@ -227,7 +227,8 @@ _RAW_URL_SPARK = """
   concat('https://',
          CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
          '.Example.COM',
-         CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+         CASE WHEN doc_id % 11 = 0 THEN ':8080'
+              WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
          '/docs/', CAST(doc_id % 7 AS STRING),
          CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
          '?utm_source=feed&page=', CAST(doc_id % 3 AS STRING),
@@ -2004,7 +2005,8 @@ WITH raw AS (
          concat('https://',
                 CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
                 '.Example.COM',
-                CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
+                CASE WHEN doc_id % 11 = 0 THEN ':8080'
+                     WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END,
                 '/docs/', CAST(doc_id % 7 AS VARCHAR),
                 CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
                 '?utm_source=feed&page=', CAST(doc_id % 3 AS VARCHAR),
@@ -2015,6 +2017,7 @@ WITH raw AS (
 parts AS (
   SELECT doc_id,
          lower(regexp_extract(url, '^https://([^/:?#]+)', 1)) AS host,
+         regexp_extract(url, '^https://[^/:?#]+:([0-9]+)', 1) AS port,
          regexp_replace(regexp_extract(url, '^https://[^/?#]+([^?#]*)', 1),
                         '/$', '') AS path,
          array_to_string(
@@ -2025,7 +2028,10 @@ parts AS (
 ),
 canon AS (
   SELECT doc_id,
-         host || path ||
+         host ||
+         CASE WHEN port != '' AND port != '443'
+              THEN ':' || port ELSE '' END ||
+         path ||
          CASE WHEN kept != '' THEN '?' || kept ELSE '' END AS canon_url
   FROM parts
 )

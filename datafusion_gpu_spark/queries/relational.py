@@ -254,14 +254,18 @@ LIMIT 20 OFFSET 10
 # merge), NOT an all-rows window rank — a rank() over an unpartitioned
 # ORDER BY would serialize the whole table through one task at scale,
 # while this shape broadcasts one scalar and keeps the outer pass a
-# pushed-down filter scan.
+# pushed-down filter scan. When the table has <= n rows the OFFSET
+# subquery is empty (NULL threshold) — true WITH TIES returns ALL rows
+# there, so the COALESCE falls back to MAX(o_orderdate) to match that
+# semantic instead of WHERE NULL's empty result.
 _WITH_TIES = """
 SELECT o_orderkey AS orderkey, o_orderdate AS orderdate
 FROM orders
-WHERE o_orderdate <= (SELECT o_orderdate
-                      FROM orders
-                      ORDER BY o_orderdate
-                      LIMIT 1 OFFSET 24)
+WHERE o_orderdate <= COALESCE((SELECT o_orderdate
+                               FROM orders
+                               ORDER BY o_orderdate
+                               LIMIT 1 OFFSET 24),
+                              (SELECT MAX(o_orderdate) FROM orders))
 """
 
 # RIGHT OUTER join exercised on its own (not as the left-outer mirror):

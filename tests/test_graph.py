@@ -356,6 +356,36 @@ def test_kcore_monotone_rounds_converge(spark):
     assert more == done
 
 
+def test_kcore_early_stop_exits_at_cascade_depth(spark, monkeypatch):
+    """The peel loop must exit when a round removes nothing — paying
+    cascade-depth rounds, not the ``rounds`` upper bound. Counted via
+    the lineage_truncator seam: 1 initial cut + 1 per executed round."""
+    from datafusion_gpu_spark.operators import util
+    from datafusion_gpu_spark.operators.graph import k_core
+
+    calls = {"n": 0}
+    real = util.lineage_truncator
+
+    def counting(sc):
+        ckpt = real(sc)
+
+        def wrapped(df):
+            calls["n"] += 1
+            return ckpt(df)
+
+        return wrapped
+
+    monkeypatch.setattr(util, "lineage_truncator", counting)
+    # chain 0-1-2-3 peels from BOTH ends at once (round 1 drops nodes
+    # 0 and 3, round 2 drops 1 and 2), the triangle is the 2-core;
+    # round 3 removes nothing and breaks.
+    edges = [(0, 1), (1, 2), (2, 3), (10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.degree for r in k_core(df, k=2, rounds=50).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+    assert calls["n"] == 1 + 3  # initial cut + 3 executed rounds, not 50
+
+
 def test_common_neighbors_square_and_hub_cap(spark):
     from datafusion_gpu_spark.operators.graph import common_neighbors
 
