@@ -363,3 +363,57 @@ def degree_histogram(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+    a: str = "a",
+    b: str = "b",
+) -> DataFrame:
+    """(node, dist) minimum-hop distance from the seed set over the
+    undirected graph, truncated at ``rounds`` hops — frontier BFS, the
+    reachability/radius primitive under influence propagation, crawl
+    frontier scheduling and contamination-spread analysis on link
+    graphs. ``seeds`` is a one-column (node) relation.
+
+    Frontier-parallel shape (the Pregel spelling without Pregel): the
+    adjacency relation is materialized ONCE (both directions, deduped,
+    checkpoint-truncated) and reused every round; each round expands
+    the CURRENT frontier with one equality join on the node key, then
+    anti-joins the visited set — per-round work is
+    O(frontier x avg_degree), never O(|E| x rounds) re-derivation,
+    because both the visited set and the next frontier are
+    checkpoint-truncated. Early stop: the frontier's checkpoint
+    materializes it anyway, so an empty frontier costs one cheap count
+    and ends the loop at the graph's true eccentricity instead of
+    paying the full ``rounds`` bound (same contract as k_core).
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    fwd = edges.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    rev = edges.select(F.col(b).alias("s"), F.col(a).alias("d"))
+    adj = ckpt(fwd.unionAll(rev).where(F.col("s") != F.col("d")).distinct())
+
+    node = seeds.columns[0]
+    visited = ckpt(
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = visited.select("node")
+    for depth in range(1, rounds + 1):
+        nxt = ckpt(
+            adj.join(frontier.withColumnRenamed("node", "s"), "s")
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        if nxt.isEmpty():
+            break
+        visited = ckpt(visited.unionAll(nxt))
+        frontier = nxt.select("node")
+    return visited

@@ -589,10 +589,62 @@ FROM documents
 """
 
 
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance
+    (layout.incremental_agg, the Z-set/DBSP shape): the per-customer
+    (order count, revenue) view stands at end-of-1996; one maintenance
+    batch applies 1997's orders as +1 facts and retention-deletes every
+    pre-1997 URGENT order as -1 facts. The new view is ONE delta-sized
+    aggregation + ONE full-outer join — cost scales with the batch, not
+    the base history. The oracle recomputes the view from scratch over
+    the post-change fact set, so the delta algebra (including keys
+    whose count reaches 0 and must vanish) is graded against the
+    definition. Money is exact integer cents on both sides."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    load(spark, sf_dir)
+    orders = spark.table("orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut, end = F.lit("1997-01-01").cast("date"), F.lit("1998-01-01").cast("date")
+    view = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("total"))
+    )
+    inserts = orders.where(
+        (F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < end)
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("val"),
+        F.lit(1).alias("sign"),
+    )
+    deletes = orders.where(
+        (F.col("o_orderdate") < cut) & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("val"),
+        F.lit(-1).alias("sign"),
+    )
+    return incremental_agg(view, inserts.unionAll(deletes), "custkey", "val")
+
+
+_INCREMENTAL_AGG_DUCK = """
+SELECT o_custkey AS custkey, COUNT(*) AS cnt,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total
+FROM orders
+WHERE o_orderdate < DATE '1998-01-01'
+  AND NOT (o_orderdate < DATE '1997-01-01' AND o_orderpriority = '1-URGENT')
+GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "io_merge_upsert": _merge_upsert,
     "io_snapshot_diff": _snapshot_diff,
     "io_time_travel": _time_travel,
+    "io_incremental_agg": _incremental_agg,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
     "io_compact_small_files": _compact_small_files,
@@ -611,6 +663,7 @@ ORACLES = {
     "io_merge_upsert": _MERGE_UPSERT_DUCK,
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_time_travel": _TIME_TRAVEL_DUCK,
+    "io_incremental_agg": _INCREMENTAL_AGG_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_bucketed_join": _BUCKETED_JOIN_DUCK,
     "io_csv_quoted_multiline": _CSV_DIALECT_DUCK,

@@ -1093,6 +1093,25 @@ def _graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.degree_histogram(_copurchase_edges(spark))
 
 
+def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-hop distances (graph.bfs_distances) from the bulk-buyer
+    seed parts (partkey % 97 == 0) over the sparse co-purchase graph,
+    truncated at 6 hops — the reachability primitive under influence
+    propagation and contamination-spread analysis. Frontier-parallel
+    BFS with per-round checkpoints and empty-frontier early stop; the
+    oracle is a DuckDB RECURSIVE CTE bounded at the same depth, so the
+    frontier algebra is graded against a path-enumeration spelling."""
+    load(spark, sf_dir)
+    e = _sparse_copurchase_edges(spark)
+    seeds = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    return graph.bfs_distances(e, seeds, rounds=6)
+
+
 def _purchase_scd2_history(spark: SparkSession) -> DataFrame:
     """Shared version definition for the SCD2 entries: the purchase
     stream per user, value rounded to 2, event_id tiebreak. Both the
@@ -1593,6 +1612,7 @@ QUERIES = {
     "graph_pagerank": _graph_pagerank,
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
+    "graph_bfs": _graph_bfs,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
@@ -1854,6 +1874,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "graph_bfs": """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION SELECT b AS s, a AS d FROM e0
+),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM adj WHERE s % 97 = 0
+),
+walk(node, dist) AS (
+  SELECT node, 0 AS dist FROM seeds
+  UNION
+  SELECT adj.d AS node, walk.dist + 1 AS dist
+  FROM walk JOIN adj ON adj.s = walk.node
+  WHERE walk.dist < 6
+)
+SELECT node, MIN(dist) AS dist FROM walk GROUP BY node
 """,
     "graph_degree_hist": """
 WITH e AS (

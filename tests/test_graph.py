@@ -488,3 +488,54 @@ def test_time_travel_rejects_missing_log_columns(spark):
     bad = spark.createDataFrame([(1, 1.0)], "k long, v double")
     with _pytest.raises(ValueError, match="log lacks columns"):
         time_travel(base, bad, "k", 1)
+
+
+def test_bfs_distances_chain_and_early_stop(spark, monkeypatch):
+    from datafusion_gpu_spark.operators import util
+    from datafusion_gpu_spark.operators.graph import bfs_distances
+
+    calls = {"n": 0}
+    real = util.lineage_truncator
+
+    def counting(sc):
+        ckpt = real(sc)
+
+        def wrapped(df):
+            calls["n"] += 1
+            return ckpt(df)
+
+        return wrapped
+
+    monkeypatch.setattr(util, "lineage_truncator", counting)
+    # chain 0-1-2-3-4 plus an unreachable pair (10, 11); seed = {0}
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds, rounds=50).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+    # ckpt: adj + seed visited + per-round (nxt [+ visited union]) —
+    # rounds 1..4 produce a frontier (2 cuts each), round 5 is empty
+    # (1 cut, no union) and breaks; 50 never runs.
+    assert calls["n"] == 2 + 4 * 2 + 1
+
+
+def test_bfs_distances_min_hop_not_first_path(spark):
+    from datafusion_gpu_spark.operators.graph import bfs_distances
+
+    # two paths from seed to node 3: length 3 (0-1-2-3) and length 1
+    # (0-3); BFS must report the minimum, and dist is per closest seed
+    edges = [(0, 1), (1, 2), (2, 3), (0, 3), (5, 3)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds, rounds=6).collect()}
+    assert got == {0: 0, 5: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_distances_truncates_at_rounds(spark):
+    from datafusion_gpu_spark.operators.graph import bfs_distances
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in bfs_distances(df, seeds, rounds=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 and 4 beyond the horizon

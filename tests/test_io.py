@@ -273,3 +273,45 @@ def test_snapshot_diff_null_keys_classify_by_side(spark):
     new = spark.createDataFrame([(None, "y"), (1, "a")], "k long, v string")
     got = {(r["op"], r["k"], r["v"]) for r in snapshot_diff(old, new, "k").collect()}
     assert got == {("delete", None, "x"), ("insert", None, "y")}
+
+
+def test_incremental_agg_matches_recompute_and_drops_zero_keys(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    base = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5), ("c", 7)], "k string, v int"
+    )
+    view = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total")
+    )
+    # delete BOTH of a's facts (key must vanish), delete one of b's and
+    # insert a new one (net update), insert a brand-new key d
+    deltas = spark.createDataFrame(
+        [("a", 10, -1), ("a", 20, -1), ("b", 5, -1), ("b", 9, 1), ("d", 4, 1)],
+        "k string, v int, sign int",
+    )
+    got = {
+        r.k: (r.cnt, r.total)
+        for r in incremental_agg(view, deltas, "k", "v").collect()
+    }
+    # recompute over base with the delta applied
+    assert got == {"b": (1, 9), "c": (1, 7), "d": (1, 4)}
+
+
+def test_incremental_agg_empty_delta_is_identity(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    base = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    view = base.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total")
+    )
+    empty = spark.createDataFrame([], "k string, v int, sign int")
+    got = {
+        r.k: (r.cnt, r.total)
+        for r in incremental_agg(view, empty, "k", "v").collect()
+    }
+    assert got == {"a": (1, 1), "b": (1, 2)}
