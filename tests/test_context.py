@@ -67,17 +67,28 @@ def test_readme_parity_queries_run_verbatim(spark):
         assert abs(base - got) / abs(base) < 1e-4
 
 
-def test_gate_orders_never_driver_checked_queries_first():
-    # the driver checks the FIRST 50 registry entries each round; every
-    # query without a green CORRECTNESS row must precede every query
-    # that already has one, or gate coverage silently stalls
-    from datafusion_gpu_spark.queries import _DRIVER_CHECKED, all_oracles, all_queries
+def test_gate_staleness_rotation_orders_oldest_first():
+    # the driver checks the FIRST 50 registry entries each round; with
+    # coverage closed (r5), ordering is a staleness rotation — the rank
+    # of each query's last driver check must be non-decreasing along
+    # the registry, with never-checked entries slotted between the r2
+    # and r3 tranches (first-check latency <= one round behind the
+    # stalest re-checks, never ahead of them)
+    from datafusion_gpu_spark.queries import (
+        _LAST_DRIVER_ROUND,
+        _NEVER_CHECKED_RANK,
+        all_oracles,
+        all_queries,
+    )
 
     names = list(all_queries())
-    fresh = [n for n in names if n not in _DRIVER_CHECKED]
-    assert names[: len(fresh)] == fresh
+    ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in names]
+    assert ranks == sorted(ranks)
+    # round 6's 50 slots must land on the oldest tranche: all of r1
+    # plus the front of r2 — nothing newer sneaks in
+    head = names[:50]
+    assert all(_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) <= 2 for n in head)
     # every query has an oracle unless deliberately rows-only (driver
     # looks oracles up by key, so only membership matters, not order)
-    from datafusion_gpu_spark.queries import _ROWS_ONLY
-
-    assert set(names) - set(all_oracles()) == set(_ROWS_ONLY)
+    rows_only = {"explain_plan", "agg_approximate"}
+    assert set(names) - set(all_oracles()) == rows_only

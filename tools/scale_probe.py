@@ -382,10 +382,123 @@ def probe_pca(spark, sizes: list[int]) -> None:
         base.unpersist()
 
 
+def probe_bfs(spark, sizes: list[int]) -> None:
+    """Frontier BFS on random graphs: per-size wall clock, nodes
+    reached, and the hop radius actually paid (max dist == executed
+    rounds, the early-stop guarantee). Degree ~8 keeps the giant
+    component >99% of nodes, so the frontier sweep touches the whole
+    graph — the worst case for the visited anti-join."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import bfs_distances
+
+    for n_edges in sizes:
+        n_nodes = max(n_edges // 4, 10)
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("a"),
+                (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .repartition(32)
+            .cache()
+        )
+        edges.count()
+        seeds = spark.range(3).select((F.col("id") * 7919 % n_nodes).alias("node"))
+        t0 = _t.perf_counter()
+        out = bfs_distances(edges, seeds, rounds=30)
+        stats = out.agg(
+            F.count(F.lit(1)).alias("visited"), F.max("dist").alias("radius")
+        ).collect()[0]
+        dt = _t.perf_counter() - t0
+        print(
+            f"edges={n_edges} nodes~{n_nodes} visited={stats['visited']} "
+            f"radius={stats['radius']} (of 30 allowed) time={dt:.1f}s",
+            flush=True,
+        )
+        edges.unpersist()
+
+
+def probe_ivm(spark, sizes: list[int]) -> None:
+    """Incremental view maintenance vs full recompute as the base fact
+    history grows with a FIXED 200k-row delta. The claim under test:
+    maintenance cost is O(|delta| + |view keys|) — it never rescans the
+    fact history — while recompute is O(|facts|). The view is cached
+    (the stored-MV analogue) before timing."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    import os as _os
+    import shutil as _shutil
+
+    d_rows = 200_000
+    for n in sizes:
+        # FIXED view size: the claim is about history growth with the
+        # view and delta held constant — scaling keys with n would
+        # conflate the two
+        n_keys = 50_000
+        # the fact HISTORY lives on storage (parquet), as it would in a
+        # lake — recompute must pay the scan; maintenance must not
+        fact_dir = _os.path.join(".scratch", f"ivm_facts_{n}")
+        spark.range(n).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") % 1000).cast("long").alias("v"),
+        ).write.mode("overwrite").parquet(fact_dir)
+        facts = spark.read.parquet(fact_dir)
+        view = (
+            facts.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+            .cache()
+        )
+        view.count()  # materialize the stored view
+        # half inserts of brand-new facts, half deletes of existing ones
+        delta = spark.range(d_rows).select(
+            (F.col("id") % n_keys).alias("k"),
+            (F.col("id") % 1000).cast("long").alias("v"),
+            F.when(F.col("id") % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+        ).repartition(32).cache()
+        delta.count()
+        # checksum-collect, NOT .count(): counting an aggregate lets
+        # Catalyst prune the aggregate payload columns entirely (the
+        # recompute collapses to a distinct over one RLE column and
+        # reads as free) — summing the outputs forces both plans to
+        # actually compute the view
+        t0 = _t.perf_counter()
+        r = (
+            incremental_agg(view, delta, "k", "v")
+            .agg(F.count(F.lit(1)).alias("nk"), F.sum("total").alias("chk"))
+            .collect()[0]
+        )
+        n_keys_out = r["nk"]
+        t_ivm = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        (
+            facts.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+            .agg(F.count(F.lit(1)), F.sum("total"))
+            .collect()
+        )
+        t_full = _t.perf_counter() - t0
+        print(
+            f"facts={n} keys={n_keys} delta={d_rows}: ivm={t_ivm:.2f}s "
+            f"({n_keys_out} keys) recompute={t_full:.2f}s "
+            f"ratio={t_full / t_ivm:.1f}x",
+            flush=True,
+        )
+        view.unpersist(); delta.unpersist()
+        _shutil.rmtree(fact_dir, ignore_errors=True)
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -415,6 +528,12 @@ def main() -> int:
         return 0
     if op == "pca":
         probe_pca(spark, sizes if args else [250_000, 1_000_000])
+        return 0
+    if op == "bfs":
+        probe_bfs(spark, sizes if args else [500_000, 2_000_000])
+        return 0
+    if op == "ivm":
+        probe_ivm(spark, sizes if args else [100_000_000, 1_000_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
