@@ -408,6 +408,41 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    docs: DataFrame,
+    weight: Column,
+    n: int,
+    group: str,
+    key: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Per-stratum weighted sampling without replacement: the ``n``
+    rows with the largest Efraimidis-Spirakis keys WITHIN each
+    ``group`` — the "k examples per domain/language/source" draw every
+    mixture-building pipeline runs, deterministic and oracle-replayable
+    like :func:`weighted_sample` (same salted hash uniform, same
+    ln(u)/w ordering key).
+
+    ONE hash shuffle on the group key; the rank-filter window is the
+    shape Spark's WindowGroupLimit optimization turns into a
+    per-partition top-n pushdown (rank <= literal), so a hot group
+    costs a bounded heap per task, not a full sort of the group.
+    Output is at most n x |groups| rows.
+    """
+    from pyspark.sql import Window
+
+    u = (_hash_bucket(F.col(key), salt) + 0.5) / _BUCKETS
+    es_key = F.round(F.log(u) / weight, 6).alias("es_key")
+    w = Window.partitionBy(group).orderBy(F.desc("es_key"), key)
+    return (
+        docs.select(group, key, weight.alias("weight"), es_key)
+        .where(F.col("weight") > 0)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n)
+        .drop("rk")
+    )
+
+
 def temperature_mix(
     docs: DataFrame,
     alpha: float = 0.3,

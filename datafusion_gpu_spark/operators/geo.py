@@ -1,0 +1,128 @@
+"""Geospatial joins without a cross product: grid-cell bucketing.
+
+The spatial analogue of the LSH-bucket pattern every dedup operator in
+this repo uses: derive an equality key (the grid cell) whose collisions
+are guaranteed to contain every true match, join on THAT, then verify
+the exact predicate (haversine distance) on the bucket-sized candidate
+set. A radius join spelled as a theta-join (`ON haversine(...) <= r`)
+plans as a BroadcastNestedLoopJoin/cartesian and dies at scale; the
+grid spelling is a keyed hash join whose per-task work is bounded by
+cell density — the same argument as the banded-MinHash join, and the
+standard distributed-spatial-join design (grid/quad partitioning in
+SpatialSpark / Sedona / GeoMesa, all public literature).
+
+Pure JVM column arithmetic throughout (radians/sin/cos/asin/sqrt are
+all codegen'd built-ins) — no UDF, no Python boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: mean Earth radius, km (IUGG) — shared by operator and oracles.
+EARTH_RADIUS_KM = 6371.0088
+
+
+def haversine_km(
+    lat1: Column, lon1: Column, lat2: Column, lon2: Column
+) -> Column:
+    """Great-circle distance in km between two (degree) coordinate
+    pairs — the textbook haversine formula, numerically stable for
+    small distances (the asin(sqrt(...)) form, not acos)."""
+    dlat = F.radians(lat2 - lat1) / 2
+    dlon = F.radians(lon2 - lon1) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+def grid_cell(lat: Column, lon: Column, cell_deg: float) -> tuple[Column, Column]:
+    """(cell_x, cell_y) integer grid coordinates at ``cell_deg``
+    resolution. Any two points within ``cell_deg`` degrees of each
+    other are in the same or adjacent cells — the 3x3 neighborhood
+    expansion below relies on exactly that."""
+    return (
+        F.floor(lat / F.lit(cell_deg)).cast("long"),
+        F.floor(lon / F.lit(cell_deg)).cast("long"),
+    )
+
+
+def radius_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius_km: float,
+    lat: str = "lat",
+    lon: str = "lon",
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) row pairs within ``radius_km`` great-circle
+    distance. Scale shape: the LEFT side is exploded to its 3x3 grid
+    neighborhood (9 rows — constant fan-out), the RIGHT side keeps its
+    one home cell, and the candidate join is an EQUALITY join on the
+    (cell_x, cell_y) key — Catalyst plans a hash join (broadcast if a
+    side is small), never a nested loop. The haversine predicate then
+    verifies candidates exactly.
+
+    ``cell_deg`` is sized so one cell spans at least ``radius_km`` on
+    BOTH axes anywhere the operator accepts data: latitude degrees are
+    a fixed ~111.2 km, longitude degrees shrink by cos(lat), so cells
+    are sized at the worst accepted latitude (60°, where cos = 0.5).
+    Completeness follows: two points within radius_km are within
+    cell_deg degrees on both axes, hence in the same or adjacent
+    cells, and the 3x3 expansion catches all of those. Rows beyond
+    |lat| 60° are filtered out rather than silently mis-joined —
+    polar-cap and dateline handling are documented out of scope (the
+    production extension is a widened band count near the cap, not a
+    different algorithm).
+
+    Right-side columns are suffixed with ``suffix``. One shuffle per
+    side (or zero for the broadcast side); fan-out bounded at 9x the
+    left side.
+    """
+    import math
+
+    lat_bound = 60.0
+    cell_deg = radius_km / 111.2 / math.cos(math.radians(lat_bound))
+
+    lcell_x, lcell_y = grid_cell(F.col(lat), F.col(lon), cell_deg)
+    rcell_x, rcell_y = grid_cell(F.col(lat), F.col(lon), cell_deg)
+    neighbors = F.expr(
+        "explode(transform(sequence(0, 8), i -> struct(i div 3 - 1 as dx, i % 3 - 1 as dy)))"
+    )
+    lkeyed = (
+        left.where(F.abs(F.col(lat)) <= lat_bound)
+        .withColumn("__c__", neighbors)
+        .select(
+            "*",
+            (lcell_x + F.col("__c__.dx")).alias("__cx__"),
+            (lcell_y + F.col("__c__.dy")).alias("__cy__"),
+        )
+        .drop("__c__")
+    )
+    rkeyed = right.where(F.abs(F.col(lat)) <= lat_bound).select(
+        *[F.col(c).alias(f"{c}{suffix}") for c in right.columns],
+        rcell_x.alias("__cx__"),
+        rcell_y.alias("__cy__"),
+    )
+    # candidate equality join on the cell key, exact haversine verify;
+    # DISTINCT is unnecessary: each right row has ONE home cell, so a
+    # (left, right) pair meets at exactly one (cx, cy)
+    return (
+        lkeyed.join(rkeyed, ["__cx__", "__cy__"])
+        .where(
+            haversine_km(
+                F.col(lat),
+                F.col(lon),
+                F.col(f"{lat}{suffix}"),
+                F.col(f"{lon}{suffix}"),
+            )
+            <= radius_km
+        )
+        .drop("__cx__", "__cy__")
+    )

@@ -29,6 +29,7 @@ from datafusion_gpu_spark.operators import (
     curation,
     dedup,
     events,
+    geo,
     graph,
     multimodal,
     retrieval,
@@ -605,6 +606,20 @@ def _curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted reservoir (curation.weighted_sample_per_group):
+    the 20 longest-weighted docs PER SOURCE under the deterministic
+    Efraimidis-Spirakis draw — the k-per-domain mixture draw. One group
+    shuffle, rank-filter window (WindowGroupLimit per-partition top-n),
+    output bounded at 20 x |sources|."""
+    return curation.weighted_sample_per_group(
+        _docs(spark, sf_dir),
+        F.col("n_chars").cast("double"),
+        n=20,
+        group="source",
+    )
+
+
 def _curation_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.temperature_mix(_docs(spark, sf_dir), alpha=0.3)
 
@@ -1112,6 +1127,34 @@ def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_distances(e, seeds, rounds=6)
 
 
+def _join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join (geo.radius_join): every (customer, supplier)
+    pair within 25 km great-circle distance, on deterministic synthetic
+    coordinates derived from the keys (a 0.1-degree lattice over a
+    20x20-degree region — both engines rebuild bit-identical doubles
+    from the same integer arithmetic). The scale story is the plan: the
+    theta spelling (ON haversine <= r) would be a nested-loop/cartesian
+    join; this is an EQUALITY join on the 3x3-neighborhood grid-cell
+    key with an exact haversine verify — the LSH-band pattern applied
+    to space. The oracle IS the theta spelling (DuckDB's O(n*m) pair
+    scan is fine at sf0.01), so the bucketization's completeness —
+    no pair missed at any cell boundary — is what the gate checks."""
+    load(spark, sf_dir)
+    c = spark.table("customer").select(
+        F.col("c_custkey").alias("custkey"),
+        (((F.col("c_custkey") * 37) % 200) / 10.0 - 10.0).alias("lat"),
+        (((F.col("c_custkey") * 61) % 200) / 10.0 + 20.0).alias("lon"),
+    )
+    s = spark.table("supplier").select(
+        F.col("s_suppkey").alias("suppkey"),
+        (((F.col("s_suppkey") * 53) % 200) / 10.0 - 10.0).alias("lat"),
+        (((F.col("s_suppkey") * 29) % 200) / 10.0 + 20.0).alias("lon"),
+    )
+    return geo.radius_join(c, s, radius_km=25.0).select(
+        "custkey", F.col("suppkey_r").alias("suppkey")
+    )
+
+
 def _purchase_scd2_history(spark: SparkSession) -> DataFrame:
     """Shared version definition for the SCD2 entries: the purchase
     stream per user, value rounded to 2, event_id tiebreak. Both the
@@ -1613,6 +1656,7 @@ QUERIES = {
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
+    "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
@@ -1667,6 +1711,7 @@ QUERIES = {
     "curation_temperature_mix": _curation_temperature_mix,
     "events_winsorize": _events_winsorize,
     "curation_weighted_sample": _curation_weighted_sample,
+    "curation_reservoir_per_source": _curation_reservoir_per_source,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
     "pipeline_end_to_end": _pipeline_end_to_end,
@@ -1874,6 +1919,27 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "join_geo_radius": """
+WITH c AS (
+  SELECT c_custkey AS custkey,
+         ((c_custkey * 37) % 200) / 10.0 - 10.0 AS lat,
+         ((c_custkey * 61) % 200) / 10.0 + 20.0 AS lon
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS suppkey,
+         ((s_suppkey * 53) % 200) / 10.0 - 10.0 AS lat,
+         ((s_suppkey * 29) % 200) / 10.0 + 20.0 AS lon
+  FROM supplier
+)
+SELECT c.custkey, s.suppkey
+FROM c, s
+WHERE 2 * 6371.0088 * asin(sqrt(
+        pow(sin(radians(s.lat - c.lat) / 2), 2)
+        + cos(radians(c.lat)) * cos(radians(s.lat))
+          * pow(sin(radians(s.lon - c.lon) / 2), 2)
+      )) <= 25.0
 """,
     "graph_bfs": """
 WITH RECURSIVE e0 AS MATERIALIZED (
@@ -2799,6 +2865,20 @@ SELECT doc_id,
             WHEN b < 950000 THEN 'val'
             ELSE 'test' END AS split
 FROM (SELECT doc_id, {_bucket_sql('split-v1')} AS b FROM documents)
+""",
+    # same ES key as curation_weighted_sample, ranked within source
+    "curation_reservoir_per_source": f"""
+SELECT source, doc_id, weight, es_key FROM (
+  SELECT source, doc_id, weight, es_key,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY es_key DESC, doc_id) AS rk
+  FROM (
+    SELECT source, doc_id, n_chars::DOUBLE AS weight,
+           ROUND(ln(({_bucket_sql('wsample-v1')} + 0.5) / 1000000)
+                 / n_chars::DOUBLE, 6) AS es_key
+    FROM documents WHERE n_chars > 0
+  )
+) WHERE rk <= 20
 """,
     "curation_stratified_sample": _stratified_oracle(),
     # same shard hash, same doc_id order, same running-sum-before window;

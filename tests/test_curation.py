@@ -266,3 +266,43 @@ def test_temperature_mix_upweights_tail_sources(spark):
     # alpha=1 reproduces natural proportions (rates equal across sources)
     nat = temperature_mix(docs, alpha=1.0, budget_frac=0.5).toPandas()
     assert nat["keep_rate"].nunique() == 1
+
+
+def test_weighted_sample_per_group_exact_k_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import weighted_sample_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "g%d" % (i % 3), float(10 + i % 50)) for i in range(300)],
+        "doc_id long, source string, w double",
+    )
+    out = weighted_sample_per_group(docs, F.col("w"), n=5, group="source")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.source, []).append(r.doc_id)
+    assert set(per) == {"g0", "g1", "g2"}
+    assert all(len(v) == 5 for v in per.values())
+    # deterministic: a second run draws the identical sample
+    again = {(r.source, r.doc_id) for r in
+             weighted_sample_per_group(docs, F.col("w"), n=5, group="source").collect()}
+    assert again == {(r.source, r.doc_id) for r in rows}
+
+
+def test_weighted_sample_per_group_plan_uses_group_limit(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.curation import weighted_sample_per_group
+
+    docs = spark.createDataFrame(
+        [(i, "g", float(i + 1)) for i in range(100)],
+        "doc_id long, source string, w double",
+    )
+    plan = (
+        weighted_sample_per_group(docs, F.col("w"), n=5, group="source")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank<=k filter must push into a per-partition group limit so a
+    # hot group never fully sorts through one task's window buffer
+    assert "WindowGroupLimit" in plan
