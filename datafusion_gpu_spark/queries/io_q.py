@@ -640,11 +640,24 @@ GROUP BY o_custkey
 """
 
 
+def _streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of io_incremental_agg — the changelog applied in 4
+    micro-batches through foreachBatch read-modify-write with versioned
+    view directories (streaming.materialized_incremental_agg). Z-set
+    deltas are associative, so the final stored view equals the one-shot
+    batch maintenance; the SHARED oracle grades stream == batch."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_incremental_agg(spark, sf_dir)
+
+
 QUERIES = {
     "io_merge_upsert": _merge_upsert,
     "io_snapshot_diff": _snapshot_diff,
     "io_time_travel": _time_travel,
     "io_incremental_agg": _incremental_agg,
+    "streaming_incremental_agg": _streaming_incremental_agg,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
     "io_compact_small_files": _compact_small_files,
@@ -664,6 +677,7 @@ ORACLES = {
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_time_travel": _TIME_TRAVEL_DUCK,
     "io_incremental_agg": _INCREMENTAL_AGG_DUCK,
+    "streaming_incremental_agg": _INCREMENTAL_AGG_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_bucketed_join": _BUCKETED_JOIN_DUCK,
     "io_csv_quoted_multiline": _CSV_DIALECT_DUCK,

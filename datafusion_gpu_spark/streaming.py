@@ -633,3 +633,82 @@ def materialized_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_histogram(stream_events(spark, sf_dir), width=5.0),
         output_mode="complete",
     ).select("event_type", "bucket", "n", "sum_value")
+
+
+def materialized_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of io_incremental_agg: the order changelog arrives
+    in MICRO-BATCHES (the orders table re-laid as 8 files, streamed with
+    maxFilesPerTrigger=2 → 4 batches) and each batch maintains the
+    STORED view via one delta-sized aggregation + one full-outer join
+    (layout.incremental_agg) inside foreachBatch — the production
+    read-modify-write pattern with per-batch-VERSIONED view directories,
+    so a replayed batch after a crash rewrites its own version instead
+    of double-applying its delta (idempotent restart, same argument as
+    stream_to_parquet's partition overwrite).
+
+    Z-set deltas are associative and commute per key, so ANY micro-batch
+    partitioning of the changelog converges to the one-shot batch
+    maintenance result — the SAME DuckDB oracle grades stream == batch.
+    At 100 TB this is exactly how a lakehouse view keeps up with a CDC
+    feed: per-batch cost is O(|delta| + |view|), never a fact-history
+    rescan.
+    """
+    import tempfile
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    base = tempfile.mkdtemp(prefix="spark_graft_ivm_")
+    orders = read_parquet(spark, os.path.join(sf_dir, "orders.parquet"))
+    feed_dir = os.path.join(base, "feed")
+    orders.repartition(8).write.mode("overwrite").parquet(feed_dir)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut = F.lit("1997-01-01").cast("date")
+    end = F.lit("1998-01-01").cast("date")
+    view_init = os.path.join(base, "view_init")
+    (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("total"))
+        .write.mode("overwrite")
+        .parquet(view_init)
+    )
+    state = {"path": view_init}
+
+    def apply_batch(bdf: DataFrame, batch_id: int) -> None:
+        s = bdf.sparkSession
+        cur = s.read.parquet(state["path"])
+        ins = bdf.where(
+            (F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < end)
+        ).select(
+            F.col("o_custkey").alias("custkey"),
+            cents.alias("val"),
+            F.lit(1).alias("sign"),
+        )
+        dels = bdf.where(
+            (F.col("o_orderdate") < cut)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        ).select(
+            F.col("o_custkey").alias("custkey"),
+            cents.alias("val"),
+            F.lit(-1).alias("sign"),
+        )
+        out = os.path.join(base, f"view_{batch_id}")
+        incremental_agg(cur, ins.unionAll(dels), "custkey", "val").write.mode(
+            "overwrite"
+        ).parquet(out)
+        state["path"] = out
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(feed_dir).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(feed_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(state["path"])

@@ -386,3 +386,24 @@ def test_python_stream_source_multibatch_exactly_once(spark):
     ids = [r["id"] for r in rows.select("id").collect()]
     assert len(ids) == 1000 and len(set(ids)) == 1000
     assert min(ids) == 0 and max(ids) == 999
+
+
+def test_streaming_incremental_agg_matches_batch_maintenance(spark):
+    # Z-set associativity end-to-end: applying the changelog in 4
+    # micro-batches (foreachBatch read-modify-write over versioned view
+    # dirs) must land on exactly the one-shot batch maintenance result
+    from datafusion_gpu_spark.queries.io_q import (
+        _incremental_agg,
+        _streaming_incremental_agg,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.custkey: (r.cnt, r.total) for r in _incremental_agg(spark, sf).collect()
+    }
+    stream = {
+        r.custkey: (r.cnt, r.total)
+        for r in _streaming_incremental_agg(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
