@@ -495,10 +495,54 @@ def probe_ivm(spark, sizes: list[int]) -> None:
         _shutil.rmtree(fact_dir, ignore_errors=True)
 
 
+def probe_geo(spark, sizes: list[int]) -> None:
+    """Grid-bucketed radius join vs the theta spelling. The grid join
+    runs at every size; the theta join (ON haversine <= r, which Spark
+    plans as a nested loop) runs only at the SMALLEST size as the
+    blowup exhibit — n x m pair enumeration is exactly what the grid
+    key exists to avoid."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.geo import haversine_km, radius_join
+
+    def points(n, mult_a, mult_b, idc):
+        return spark.range(n).select(
+            F.col("id").alias(idc),
+            (((F.col("id") * mult_a) % 12000) / 100.0 - 60.0).alias("lat"),
+            (((F.col("id") * mult_b) % 12000) / 100.0 - 60.0).alias("lon"),
+        ).repartition(32).cache()
+
+    for i, n in enumerate(sizes):
+        left = points(n, 37, 61, "id")
+        right = points(max(n // 10, 1000), 53, 29, "rid")
+        left.count(); right.count()
+        t0 = _t.perf_counter()
+        pairs = radius_join(left, right, radius_km=25.0).count()
+        dt = _t.perf_counter() - t0
+        print(f"grid n={n} m={right.count()}: {pairs} pairs in {dt:.1f}s",
+              flush=True)
+        if i == 0:
+            t0 = _t.perf_counter()
+            theta = (
+                left.crossJoin(right.withColumnRenamed("lat", "lat_r")
+                               .withColumnRenamed("lon", "lon_r"))
+                .where(haversine_km(F.col("lat"), F.col("lon"),
+                                    F.col("lat_r"), F.col("lon_r")) <= 25.0)
+                .count()
+            )
+            dt2 = _t.perf_counter() - t0
+            print(f"theta n={n} m={right.count()}: {theta} pairs in "
+                  f"{dt2:.1f}s ({dt2 / dt:.0f}x the grid join; agree="
+                  f"{theta == pairs})", flush=True)
+        left.unpersist(); right.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -534,6 +578,9 @@ def main() -> int:
         return 0
     if op == "ivm":
         probe_ivm(spark, sizes if args else [100_000_000, 1_000_000_000])
+        return 0
+    if op == "geo":
+        probe_geo(spark, sizes if args else [100_000, 2_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
