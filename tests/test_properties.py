@@ -223,3 +223,90 @@ def test_rewrite_reference_sums_fixpoint_on_real_calls(arg, tail):
     out = rewrite_reference_sums(sql)
     if out is not None:
         assert rewrite_reference_sums(out) is None
+
+
+@settings(**_SETTINGS)
+@given(
+    base=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=-50, max_value=50)),
+        min_size=0, max_size=60,
+    ),
+    delta=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=9),
+                  st.integers(min_value=-50, max_value=50),
+                  st.sampled_from([1, -1])),
+        min_size=0, max_size=60,
+    ),
+)
+def test_incremental_agg_equals_recompute_for_any_zset(spark, base, delta):
+    # Z-set contract for ARBITRARY fact/changelog combos: old view (+)
+    # delta-agg == group-agg of (base facts as +1) ⊎ delta, with
+    # count-0 keys absent from both sides
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    view_src = spark.createDataFrame(base, "k int, v int") if base else (
+        spark.createDataFrame([], "k int, v int"))
+    view = view_src.groupBy("k").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("total"))
+    ddf = spark.createDataFrame(delta, "k int, v int, sign int") if delta else (
+        spark.createDataFrame([], "k int, v int, sign int"))
+    got = {r.k: (r.cnt, r.total)
+           for r in incremental_agg(view, ddf, "k", "v").collect()}
+    want = defaultdict(lambda: [0, 0])
+    for k, v in base:
+        want[k][0] += 1
+        want[k][1] += v
+    for k, v, s in delta:
+        want[k][0] += s
+        want[k][1] += v * s
+    want = {k: (c, t) for k, (c, t) in want.items() if c != 0}
+    # sum over an all-delta key with cnt!=0 can still be None vs 0:
+    # normalize missing totals to 0 on both sides
+    got = {k: (c, t if t is not None else 0) for k, (c, t) in got.items()}
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.floats(min_value=-45, max_value=45, allow_nan=False),
+            st.floats(min_value=-45, max_value=45, allow_nan=False),
+        ),
+        min_size=1, max_size=25,
+    ),
+    radius=st.floats(min_value=1.0, max_value=500.0, allow_nan=False),
+)
+def test_radius_join_complete_for_any_points(spark, pts, radius):
+    # grid bucketization must find EVERY within-radius pair brute force
+    # finds, for arbitrary point clouds and radii (completeness is the
+    # property; the candidate filter can never lose a true pair)
+    import math
+
+    from datafusion_gpu_spark.operators.geo import EARTH_RADIUS_KM, radius_join
+
+    def hav(a, b):
+        p = math.radians
+        (la1, lo1), (la2, lo2) = a, b
+        x = (math.sin(p(la2 - la1) / 2) ** 2
+             + math.cos(p(la1)) * math.cos(p(la2))
+             * math.sin(p(lo2 - lo1) / 2) ** 2)
+        return 2 * EARTH_RADIUS_KM * math.asin(math.sqrt(x))
+
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(pts)],
+        "id long, lat double, lon double",
+    )
+    got = {(r.id, r.rid_r)
+           for r in radius_join(left, left.withColumnRenamed("id", "rid"),
+                                radius_km=radius).collect()}
+    want = {(i, j)
+            for i, a in enumerate(pts)
+            for j, b in enumerate(pts)
+            if hav(a, b) <= radius}
+    assert got == want
