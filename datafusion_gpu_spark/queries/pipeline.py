@@ -1127,6 +1127,52 @@ def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_distances(e, seeds, rounds=6)
 
 
+def _graph_harmonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact harmonic centrality truncated at 4 hops
+    (graph.harmonic_exact over graph.all_pairs_distances) on the sparse
+    co-purchase graph — the crawl-frontier / corpus-quality centrality,
+    computed by source-tagged multi-source BFS (state = sum of ball
+    sizes, affordable at gate scale; the 100 TB spelling is
+    graph_harmonic_hyperball). Oracle enumerates the same truncated
+    min-hop pairs with a DuckDB RECURSIVE CTE and sums 1/dist; both
+    sides round to 6 places so double accumulation order is not what
+    is graded."""
+    load(spark, sf_dir)
+    return graph.harmonic_exact(_sparse_copurchase_edges(spark), max_dist=4)
+
+
+def _graph_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperBall approximate harmonic centrality (Boldi-Vigna 2013:
+    per-node HLL ball sketches, graph.harmonic_hyperball) CONTRACT
+    query — the sketch path cannot be replayed by another engine, so
+    the gate grades its published accuracy promise instead: the Spark
+    side computes BOTH HyperBall (lg_k=12, ~1.6% register error) and
+    the exact truncated harmonic, and emits the node count plus
+    whether >= 95% of nodes land within 25% relative error. The
+    oracle recomputes the node count and asserts the contract
+    literally TRUE — a red row means the sketch algebra broke, the
+    same pattern as agg_approx_error_bounded."""
+    load(spark, sf_dir)
+    edges = _sparse_copurchase_edges(spark)
+    hb = graph.harmonic_hyperball(edges, max_dist=4).select(
+        "node", F.col("harmonic").alias("hb")
+    )
+    ex = graph.harmonic_exact(edges, max_dist=4)
+    j = hb.join(ex, "node")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (
+            F.sum(
+                (
+                    F.abs(F.col("hb") - F.col("harmonic"))
+                    <= 0.25 * F.col("harmonic")
+                ).cast("int")
+            )
+            >= F.round(0.95 * F.count(F.lit(1)))
+        ).alias("ok"),
+    )
+
+
 def _join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius join (geo.radius_join): every (customer, supplier)
     pair within 25 km great-circle distance, on deterministic synthetic
@@ -1656,6 +1702,8 @@ QUERIES = {
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
+    "graph_harmonic_exact": _graph_harmonic_exact,
+    "graph_harmonic_hyperball": _graph_harmonic_hyperball,
     "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
@@ -1919,6 +1967,37 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "graph_harmonic_exact": """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d FROM e0 UNION SELECT b AS s, a AS d FROM e0
+),
+walk(src, node, dist) AS (
+  SELECT s AS src, s AS node, 0 AS dist FROM (SELECT DISTINCT s FROM adj)
+  UNION
+  SELECT walk.src, adj.d AS node, walk.dist + 1 AS dist
+  FROM walk JOIN adj ON adj.s = walk.node
+  WHERE walk.dist < 4
+),
+md AS (SELECT src, node, MIN(dist) AS dist FROM walk GROUP BY src, node)
+SELECT src AS node, ROUND(SUM(1.0 / dist), 6) AS harmonic
+FROM md WHERE dist > 0 GROUP BY src
+""",
+    "graph_harmonic_hyperball": """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+adj AS (SELECT a AS s, b AS d FROM e0 UNION SELECT b AS s, a AS d FROM e0)
+SELECT COUNT(DISTINCT s) AS n_nodes, TRUE AS ok FROM adj
 """,
     "join_geo_radius": """
 WITH c AS (

@@ -539,3 +539,40 @@ def test_bfs_distances_truncates_at_rounds(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.dist for r in bfs_distances(df, seeds, rounds=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2}  # 3 and 4 beyond the horizon
+
+
+def test_harmonic_exact_path_graph_closed_form(spark):
+    from datafusion_gpu_spark.operators.graph import harmonic_exact
+
+    # path 0-1-2-3: end nodes see dists 1,2,3; middles see 1,1,2
+    e = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], "a long, b long")
+    got = {r.node: r.harmonic for r in harmonic_exact(e, max_dist=6).collect()}
+    end = round(1 + 1 / 2 + 1 / 3, 6)
+    mid = round(1 + 1 + 1 / 2, 6)
+    assert got == {0: end, 3: end, 1: mid, 2: mid}
+    # truncation: at max_dist=1 only direct neighbors count
+    got1 = {r.node: r.harmonic for r in harmonic_exact(e, max_dist=1).collect()}
+    assert got1 == {0: 1.0, 3: 1.0, 1: 2.0, 2: 2.0}
+
+
+def test_harmonic_hyperball_tracks_exact_on_random_graph(spark):
+    import random
+
+    from datafusion_gpu_spark.operators.graph import (
+        harmonic_exact,
+        harmonic_hyperball,
+    )
+
+    random.seed(7)
+    edges = [(random.randrange(300), random.randrange(300)) for _ in range(1500)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    ex = {r.node: r.harmonic for r in harmonic_exact(df, max_dist=4).collect()}
+    hb = {r.node: r.harmonic for r in harmonic_hyperball(df, max_dist=4).collect()}
+    assert set(hb) == set(ex)
+    errs = [abs(hb[n] - ex[n]) / ex[n] for n in ex if ex[n] > 0]
+    within = sum(e2 <= 0.25 for e2 in errs) / len(errs)
+    assert within >= 0.95  # the published lg_k=12 accuracy, generously
+    # ball estimates are monotone and end near |component|
+    balls = {r.node: r.ball for r in
+             harmonic_hyperball(df, max_dist=4).select("node", "ball").collect()}
+    assert all(b >= 1.0 for b in balls.values())
