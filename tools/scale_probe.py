@@ -539,10 +539,54 @@ def probe_geo(spark, sizes: list[int]) -> None:
         left.unpersist(); right.unpersist()
 
 
+def probe_hyperball(spark, sizes: list[int]) -> None:
+    """HyperBall harmonic centrality on random degree-8 graphs: wall
+    clock and state size vs the exact multi-source BFS, whose state is
+    the SUM OF BALL SIZES (quadratic on a connected graph — it stops
+    being runnable where HyperBall keeps cruising at |V| x 4 KiB)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import harmonic_hyperball
+
+    for n_edges in sizes:
+        n_nodes = max(n_edges // 4, 10)
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("a"),
+                (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("b"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .repartition(32)
+            .cache()
+        )
+        edges.count()
+        t0 = _t.perf_counter()
+        stats = (
+            harmonic_hyperball(edges, max_dist=6)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.avg("ball")).alias("avg_ball"),
+                F.round(F.avg("harmonic"), 1).alias("avg_h"),
+            )
+            .collect()[0]
+        )
+        dt = _t.perf_counter() - t0
+        print(
+            f"edges={n_edges} nodes={stats['n']} avg_ball={stats['avg_ball']} "
+            f"avg_harmonic={stats['avg_h']} time={dt:.1f}s "
+            f"(exact state would be ~{int(stats['n'] * stats['avg_ball'])} rows)",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -581,6 +625,9 @@ def main() -> int:
         return 0
     if op == "geo":
         probe_geo(spark, sizes if args else [100_000, 2_000_000])
+        return 0
+    if op == "hyperball":
+        probe_hyperball(spark, sizes if args else [500_000, 2_000_000])
         return 0
     for n in sizes:
         docs = corpus(spark, n, exact_dups=op == "curate")
