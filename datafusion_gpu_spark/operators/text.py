@@ -1002,3 +1002,48 @@ def bigram_lm_score(
             (F.col("avg_nll") > threshold).alias("low_quality"),
         )
     )
+
+
+#: zero-width/format chars (U+200B..U+200D, U+FEFF) + C0 controls except
+#: \t \n \r — the strip set unicode_clean removes AFTER NFC
+#: normalization; mirrored char-for-char by the gate oracle's
+#: chr()-built class.
+_STRIP_CLASS = "[\u200b-\u200d\ufeff\x01-\x08\x0b\x0c\x0e-\x1f]"
+
+
+def unicode_clean(
+    docs: DataFrame, text_col: str = "text", out_col: str = "clean"
+) -> DataFrame:
+    """NFC-normalize a text column and strip zero-width/control
+    characters — the first cleaning pass of every crawl pipeline
+    (decomposed accents from different sources must dedup and tokenize
+    identically; zero-width joiners and stray C0 controls poison
+    shingles and token counts).
+
+    NFC needs the Unicode character database, which no Spark SQL
+    built-in exposes — this is one of the repo's legitimate Python
+    boundaries: ONE Arrow-batched mapInPandas pass (pandas
+    ``.str.normalize`` wraps unicodedata), zero shuffle, output
+    partition-aligned with the input. The zero-width/control strip
+    runs JVM-side (regexp_replace) after it. NULL text passes through
+    as NULL.
+    """
+    import pandas as pd
+
+    out_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in docs.schema.fields
+    )
+    schema = f"{out_fields}, {out_col} string"
+
+    def norm(batches):
+        for pdf in batches:
+            mask = pdf[text_col].notna()
+            out = pd.Series([None] * len(pdf), dtype=object)
+            out[mask] = pdf.loc[mask, text_col].astype(str).str.normalize("NFC")
+            pdf = pdf.copy()
+            pdf[out_col] = out
+            yield pdf
+
+    return docs.mapInPandas(norm, schema).withColumn(
+        out_col, F.regexp_replace(F.col(out_col), _STRIP_CLASS, "")
+    )

@@ -1127,6 +1127,34 @@ def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_distances(e, seeds, rounds=6)
 
 
+def _text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode cleaning pass (text.unicode_clean): NFC normalization
+    (decomposed e+combining-acute fuses to one codepoint) plus
+    zero-width/C0-control stripping, over a deterministic messy-text
+    generator (both engines splice the same combining/zero-width/
+    control characters onto the same substring by doc_id arithmetic).
+    NFC is the repo's one new legitimate Python boundary this round —
+    no Spark built-in exposes the Unicode database — as a single
+    Arrow-batched mapInPandas pass; the strip stays JVM regexp. The
+    oracle replays NFC with DuckDB's native nfc_normalize, so the gate
+    cross-checks two independent Unicode implementations."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    raw = F.concat(
+        F.substring(F.col("text"), 1, 40),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("e\u0301")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("\u200b")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("\x01")).otherwise(F.lit("")),
+    )
+    out = text.unicode_clean(docs.select("doc_id", raw.alias("text")))
+    return out.select(
+        "doc_id",
+        F.length("text").alias("n_raw"),
+        F.length("clean").alias("n_clean"),
+        F.md5("clean").alias("clean_md5"),
+    )
+
+
 def _graph_harmonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact harmonic centrality truncated at 4 hops
     (graph.harmonic_exact over graph.all_pairs_distances) on the sparse
@@ -1703,6 +1731,7 @@ QUERIES = {
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
     "graph_harmonic_exact": _graph_harmonic_exact,
+    "text_unicode_clean": _text_unicode_clean,
     "graph_harmonic_hyperball": _graph_harmonic_hyperball,
     "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
@@ -1967,6 +1996,28 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "text_unicode_clean": """
+WITH raw AS (
+  SELECT doc_id,
+         substring(text, 1, 40)
+         || CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN chr(8203) ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN chr(1) ELSE '' END AS raw
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, raw,
+         regexp_replace(nfc_normalize(raw),
+           '[' || chr(8203) || '-' || chr(8205) || chr(65279)
+               || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+               || chr(14) || '-' || chr(31) || ']',
+           '', 'g') AS clean
+  FROM raw
+)
+SELECT doc_id, length(raw) AS n_raw, length(clean) AS n_clean,
+       md5(clean) AS clean_md5
+FROM cleaned
 """,
     "graph_harmonic_exact": """
 WITH RECURSIVE e0 AS MATERIALIZED (

@@ -355,3 +355,24 @@ def test_readability_closed_form(spark):
     assert r2["n_sentences"] == 1
     assert r2["n_syllables"] == 1
     assert r2["n_words"] == 3
+
+
+def test_unicode_clean_nfc_strip_and_null(spark):
+    from datafusion_gpu_spark.operators.text import unicode_clean
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cafe\u0301"),  # 5 codepoints, decomposed            # decomposed -> NFC fuses to é
+            (2, "a\u200bb\u200cc"),       # zero-widths stripped
+            (3, "x\x01y\tz\nw"),          # C0 stripped, \t \n kept
+            (4, None),                     # NULL passes through
+            (5, "plain"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.clean for r in unicode_clean(docs).collect()}
+    assert got[1] == "café" and len(got[1]) == 4
+    assert got[2] == "abc"
+    assert got[3] == "xy\tz\nw"
+    assert got[4] is None
+    assert got[5] == "plain"
