@@ -266,3 +266,51 @@ def bloom_might_contain(df: DataFrame, col: str, bits, k: int = 7) -> DataFrame:
             yield out
 
     return with_str.mapInPandas(probe, out_schema)
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_hours: int = 24,
+    lg_k: int = 12,
+) -> DataFrame:
+    """(bucket, est) trailing-``window_hours`` distinct ``key_col`` per
+    hourly bucket — the daily-active-users-by-hour metric — via
+    MERGEABLE HLL partials: the event stream is scanned ONCE into
+    |hours| hour-sketches, and each trailing window is then a union of
+    at most ``window_hours`` SKETCH rows (4 KiB each at lg_k=12). The
+    exact spelling rescans ``window_hours`` x the events (every event
+    belongs to that many windows); the sketch spelling's cover join
+    explodes only the tiny sketch relation — the sliding-window twin
+    of every other mergeable sketch in this module, and the reason
+    warehouses precompute HLL partials per partition.
+
+    Buckets with no events of their own are not emitted (semi-join
+    with the real hour set), matching the exact twin's semantics.
+    """
+    hours = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("h"),
+        F.col(key_col).alias("k"),
+    ).where(F.col("k").isNotNull())
+    per_hour = hours.groupBy("h").agg(
+        F.hll_sketch_agg(F.col("k"), F.lit(lg_k)).alias("sk")
+    )
+    covered = per_hour.select(
+        "h",
+        "sk",
+        F.explode(F.sequence(F.lit(0), F.lit(window_hours - 1))).alias("i"),
+    ).select(
+        (F.col("h") + F.expr("make_interval(0, 0, 0, 0, i)")).alias("bucket"),
+        "sk",
+    )
+    real = per_hour.select(F.col("h").alias("bucket"))
+    return (
+        covered.join(real, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg(F.col("sk")))
+            .cast("double")
+            .alias("est")
+        )
+    )

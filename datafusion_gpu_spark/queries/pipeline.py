@@ -1127,6 +1127,49 @@ def _graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bfs_distances(e, seeds, rounds=6)
 
 
+def _events_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h distinct users per hour via mergeable HLL partials
+    (sketches.hll_sliding_distinct) — the DAU-by-hour metric. The
+    events are scanned ONCE into hour-sketches; each window unions at
+    most 24 SKETCH rows, where the exact spelling rescans every event
+    24 times (once per window it belongs to). CONTRACT query: the
+    Spark side computes both paths and emits whether every one of the
+    720 windows lands within 5% of exact (at these cardinalities
+    HLL++'s sparse mode is exact, so the margin is generous); the
+    oracle recomputes the bucket count and asserts the contract."""
+    from datafusion_gpu_spark.operators import sketches
+
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    est = sketches.hll_sliding_distinct(ev, "ts", "user_id", window_hours=24)
+    hours = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.col("user_id").alias("k"),
+    ).where(F.col("k").isNotNull())
+    covered = hours.select(
+        "h", "k", F.explode(F.sequence(F.lit(0), F.lit(23))).alias("i")
+    ).select(
+        (F.col("h") + F.expr("make_interval(0, 0, 0, 0, i)")).alias("bucket"),
+        "k",
+    )
+    real = hours.select(F.col("h").alias("bucket")).distinct()
+    exact = (
+        covered.join(real, "bucket", "left_semi")
+        .groupBy("bucket")
+        .agg(F.countDistinct("k").alias("ex"))
+    )
+    j = est.join(exact, "bucket")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        (
+            F.sum(
+                (F.abs(F.col("est") - F.col("ex")) <= 0.05 * F.col("ex")).cast("int")
+            )
+            == F.count(F.lit(1))
+        ).alias("ok"),
+    )
+
+
 def _text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode cleaning pass (text.unicode_clean): NFC normalization
     (decomposed e+combining-acute fuses to one codepoint) plus
@@ -1732,6 +1775,7 @@ QUERIES = {
     "graph_bfs": _graph_bfs,
     "graph_harmonic_exact": _graph_harmonic_exact,
     "text_unicode_clean": _text_unicode_clean,
+    "events_sliding_distinct": _events_sliding_distinct,
     "graph_harmonic_hyperball": _graph_harmonic_hyperball,
     "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
@@ -1996,6 +2040,10 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
 FROM e e1
 JOIN e e2 ON e2.lo = e1.hi
 JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+""",
+    "events_sliding_distinct": """
+SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n_buckets, TRUE AS ok
+FROM events WHERE user_id IS NOT NULL
 """,
     "text_unicode_clean": """
 WITH raw AS (

@@ -437,3 +437,46 @@ def test_incremental_dedup_is_anti_join_on_hash(spark):
     plan = plan_of(spark, "dedup_incremental")
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_bucketed_view_skips_view_exchange(spark):
+    # the IVM docstring claims the view-side shuffle vanishes when the
+    # stored view is bucketed on the key — prove it: the full-outer
+    # join's plan must contain exactly ONE Exchange (the delta side)
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.io import write_bucketed
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    tables = register_tables(spark, SF_DIR)
+    view = tables["orders"].groupBy(
+        F.col("o_custkey").alias("custkey")
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total"),
+    )
+    write_bucketed(view, "b_view", ["custkey"], num_buckets=8)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # align the delta agg's shuffle with the bucket count, or Spark
+        # adds a second DELTA-side exchange (32 agg partitions -> 8
+        # buckets); the view side never shuffles either way
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        delta = tables["orders"].select(
+            F.col("o_custkey").alias("custkey"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("val"),
+            F.lit(1).alias("sign"),
+        )
+        out = incremental_agg(spark.table("b_view"), delta, "custkey", "val")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        import re
+
+        n_exchanges = len(re.findall(r"Exchange hashpartitioning", plan))
+        # delta aggregation shuffles once; the bucketed view side must NOT
+        assert n_exchanges == 1, plan
+        assert out.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.sql("DROP TABLE IF EXISTS b_view")

@@ -163,3 +163,29 @@ def test_count_min_nulls_skipped_and_cells_bounded(spark):
     assert len(rows) <= 6
     assert sum(r.cnt for r in rows) == 6
     assert all(0 <= r.r < 3 and 0 <= r.c < 8 for r in rows)
+
+
+def test_hll_sliding_distinct_small_exact_and_window_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.sketches import hll_sliding_distinct
+
+    # hours 0,1,2 with overlapping user sets; window=2: bucket h counts
+    # distinct users of hours (h-1, h). Sparse-mode HLL is exact here.
+    rows = [
+        ("2024-01-01 00:10:00", 1), ("2024-01-01 00:20:00", 2),
+        ("2024-01-01 01:10:00", 2), ("2024-01-01 01:30:00", 3),
+        ("2024-01-01 02:05:00", 9), ("2024-01-01 02:06:00", None),
+    ]
+    ev = spark.createDataFrame(rows, "ts_s string, user_id long").select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "user_id"
+    )
+    got = {
+        str(r.bucket): int(r.est)
+        for r in hll_sliding_distinct(ev, "ts", "user_id", window_hours=2).collect()
+    }
+    assert got == {
+        "2024-01-01 00:00:00": 2,        # {1,2}
+        "2024-01-01 01:00:00": 3,        # {1,2} ∪ {2,3}
+        "2024-01-01 02:00:00": 3,        # {2,3} ∪ {9}, NULL skipped
+    }
