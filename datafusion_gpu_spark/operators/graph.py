@@ -553,3 +553,82 @@ def harmonic_hyperball(
             )
         )
     return state.select("node", "harmonic", "ball")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank) topic-sensitive / personalized PageRank (Haveliwala,
+    WWW 2002): identical power iteration to :func:`pagerank`, except
+    the teleport distribution is uniform over the SEED set instead of
+    all nodes —
+
+        rank_0(v)   = p(v)
+        rank_i+1(v) = (1 - d) * p(v) + d * SUM over u->v of rank_i(u)/outdeg(u)
+        p(v)        = 1/|S| for v in S, else 0
+
+    — so mass keeps flowing back toward the seeds and the stationary
+    ranks measure proximity/trust relative to THEM (the "pages like
+    these", TrustRank-style seed-propagation, and related-entity
+    primitives). Leak-mode dangling handling, matching the chained-CTE
+    oracle. Same scale shape as pagerank: the |V|-row personalization
+    and rank relations broadcast into the edge join, the O(|E|) edge
+    table is never re-shuffled after setup, rounds are
+    checkpoint-truncated.
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    e = ckpt(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes_deg = ckpt(
+        e.select(F.col("src").alias("node"), F.lit(1).alias("out"))
+        .unionAll(e.select(F.col("dst").alias("node"), F.lit(0).alias("out")))
+        .groupBy("node")
+        .agg(F.sum("out").cast("double").alias("outdeg"))
+    )
+    seed_nodes = seeds.select(
+        F.col(seeds.columns[0]).alias("node")
+    ).distinct()
+    ns_row = F.broadcast(
+        seed_nodes.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    )
+    p_rel = ckpt(
+        nodes_deg.select("node")
+        .join(seed_nodes.withColumn("__s__", F.lit(1.0)), "node", "left")
+        .crossJoin(ns_row)
+        .select(
+            "node",
+            (F.coalesce(F.col("__s__"), F.lit(0.0)) / F.col("ns")).alias("p"),
+        )
+    )
+    ranks = p_rel.select("node", F.col("p").alias("rank"))
+    for _ in range(iterations):
+        rank_w = (
+            ranks.join(nodes_deg, "node")
+            .where(F.col("outdeg") > 0)
+            .select("node", (F.col("rank") / F.col("outdeg")).alias("rw"))
+        )
+        contribs = (
+            e.join(F.broadcast(rank_w), e["src"] == rank_w["node"])
+            .groupBy("dst")
+            .agg(F.sum("rw").alias("contrib"))
+        )
+        ranks = ckpt(
+            p_rel.join(
+                F.broadcast(contribs), p_rel["node"] == contribs["dst"], "left"
+            ).select(
+                "node",
+                (
+                    (1.0 - damping) * F.col("p")
+                    + damping * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+    return ranks

@@ -1023,6 +1023,34 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
 
 
+def _graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graph.personalized_pagerank, 3 rounds,
+    d=0.85) over the same customer<->supplier trade graph as
+    graph_pagerank, teleporting only to the round-number customers
+    (custkey % 100 == 0) — proximity/trust relative to a seed set
+    (Haveliwala's topic-sensitive PR / TrustRank shape). The oracle
+    unrolls the identical 3 rounds as chained CTEs with the
+    seed-restricted teleport; both sides round to 8 decimals."""
+    load(spark, sf_dir)
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    cs = o.join(li, o["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = cs.unionAll(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # seed customers: custkey % 100 == 0 <=> node id % 200 == 0
+    seeds = cs.select("src").where(F.col("src") % 200 == 0).distinct()
+    ranks = graph.personalized_pagerank(edges, seeds, iterations=3)
+    node = F.col("node")
+    label = F.when(
+        node % 2 == 0, F.concat(F.lit("c"), F.shiftright(node, 1))
+    ).otherwise(F.concat(F.lit("s"), F.shiftright(node, 1)))
+    return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
+
+
 def _copurchase_edges(spark: SparkSession) -> DataFrame:
     """Shared edge list for the triangle/degree entries: the co-purchase
     part graph — parts linked when they ship in the same order (the
@@ -1770,6 +1798,7 @@ QUERIES = {
     "curation_quantile_filter": _curation_quantile_filter,
     "events_multi_rollup": _events_multi_rollup,
     "graph_pagerank": _graph_pagerank,
+    "graph_pagerank_personalized": _graph_pagerank_personalized,
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
@@ -3720,3 +3749,48 @@ def _random_projection_oracle(dim: int = 64, k: int = 8, seed: int = 7) -> str:
 
 ORACLES["sim_random_projection"] = _random_projection_oracle()
 ORACLES["streaming_histogram"] = ORACLES["events_histogram"]
+
+
+def _ppr_oracle(rounds: int = 3) -> str:
+    """Chained-CTE personalized-PageRank oracle: the graph_pagerank
+    unroll with the teleport restricted to the seed distribution
+    (0.15 * p(v) instead of 0.15 / n). Generated so the round count
+    stays in lockstep with the Spark entry's ``iterations``."""
+    cs = ("SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst "
+          "FROM orders JOIN lineitem ON l_orderkey = o_orderkey")
+    chain = []
+    for i in range(1, rounds + 1):
+        prev = f"r{i - 1}"
+        chain.append(f"""r{i} AS (
+  SELECT n.node, 0.15 * n.p + 0.85 * COALESCE(c.contrib, 0) AS pr
+  FROM np n
+  LEFT JOIN (SELECT e.dst, SUM(r.pr * e.w) AS contrib
+             FROM {prev} r JOIN wedges e ON e.src = r.node
+             GROUP BY e.dst) c
+  ON c.dst = n.node
+)""")
+    return f"""
+WITH edges AS (
+  SELECT src, dst FROM ({cs})
+  UNION
+  SELECT dst AS src, src AS dst FROM ({cs})
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+seeds AS (SELECT DISTINCT 'c' || o_custkey AS node
+          FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE o_custkey % 100 = 0),
+ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+np AS (SELECT n.node,
+              CASE WHEN s.node IS NOT NULL THEN 1.0 / ns.ns ELSE 0.0 END AS p
+       FROM nodes n CROSS JOIN ns LEFT JOIN seeds s ON s.node = n.node),
+outdeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS odeg FROM edges GROUP BY src),
+wedges AS (SELECT e.src, e.dst, 1.0 / o.odeg AS w
+           FROM edges e JOIN outdeg o ON o.src = e.src),
+r0 AS (SELECT node, p AS pr FROM np),
+{",".join(chain)}
+SELECT node, ROUND(pr, 8) AS pr FROM r{rounds}
+"""
+
+
+ORACLES["graph_pagerank_personalized"] = _ppr_oracle(3)

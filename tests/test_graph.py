@@ -576,3 +576,46 @@ def test_harmonic_hyperball_tracks_exact_on_random_graph(spark):
     balls = {r.node: r.ball for r in
              harmonic_hyperball(df, max_dist=4).select("node", "ball").collect()}
     assert all(b >= 1.0 for b in balls.values())
+
+
+def test_personalized_pagerank_mass_flows_to_seed_neighborhood(spark):
+    from datafusion_gpu_spark.operators.graph import personalized_pagerank
+
+    # two disconnected triangles; seeding one of them must leave the
+    # other with EXACTLY zero rank (no global teleport)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"),
+             ("x", "y"), ("y", "z"), ("z", "x")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r = {row.node: row.rank
+         for row in personalized_pagerank(df, seeds, iterations=4).collect()}
+    assert r["x"] == 0.0 and r["y"] == 0.0 and r["z"] == 0.0
+    assert r["a"] > r["c"] > 0  # seed keeps teleport mass; b/c get flow only
+    assert r["b"] > 0
+
+
+def test_personalized_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.graph import personalized_pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "d")]
+    nodes = ["a", "b", "c", "d"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    d, iters = 0.85, 4
+    p = np.zeros(len(nodes)); p[idx["a"]] = 1.0  # single seed
+    out = np.zeros(len(nodes))
+    for s, _ in edges:
+        out[idx[s]] += 1
+    rank = p.copy()
+    for _ in range(iters):
+        contrib = np.zeros(len(nodes))
+        for s, t in edges:
+            contrib[idx[t]] += rank[idx[s]] / out[idx[s]]
+        rank = (1 - d) * p + d * contrib  # leak mode: dangling d loses mass
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {row.node: row.rank for row in personalized_pagerank(
+        spark.createDataFrame(edges, "src string, dst string"),
+        seeds, iterations=iters).collect()}
+    for n in nodes:
+        assert abs(got[n] - rank[idx[n]]) < 1e-12, (n, got[n], rank[idx[n]])
