@@ -1023,6 +1023,43 @@ def _graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(label.alias("node"), F.round("rank", 8).alias("pr"))
 
 
+def _events_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite (the Flink/Trino row-pattern clause Spark
+    lacks): encode each user's time-ordered event types as a symbol
+    string and count non-overlapping regex matches of the pattern
+    ``v+p`` (one-or-more views immediately followed by a purchase) —
+    the sequence-motif spelling of funnel detection. One user-keyed
+    shuffle; ordering is deterministic via an array_sort over
+    (ts, event_id) structs (no sortWithinPartitions reliance). Honest
+    scale bound: the per-user symbol string must fit in memory — at
+    a 500k-event bot user this spelling buffers 500k chars where
+    events_funnel's scalar-window rewrite stays O(1)/key, so funnel
+    remains the scale path and THIS is the expressiveness demo (both
+    Java regex and DuckDB RE2 scan left-to-right greedily, so the
+    non-overlapping match counts agree engine-to-engine)."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("sym")))
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.array_join(F.transform(arr, lambda x: x["sym"]), "").alias("seq")
+    )
+    return per_user.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit("v+p")).cast("int").alias("n_matches"),
+        F.length("seq").alias("n_events"),
+    )
+
+
 def _graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (graph.personalized_pagerank, 3 rounds,
     d=0.85) over the same customer<->supplier trade graph as
@@ -1799,6 +1836,7 @@ QUERIES = {
     "events_multi_rollup": _events_multi_rollup,
     "graph_pagerank": _graph_pagerank,
     "graph_pagerank_personalized": _graph_pagerank_personalized,
+    "events_match_recognize": _events_match_recognize,
     "graph_triangle_count": _graph_triangle_count,
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
@@ -2073,6 +2111,23 @@ JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
     "events_sliding_distinct": """
 SELECT COUNT(DISTINCT date_trunc('hour', ts)) AS n_buckets, TRUE AS ok
 FROM events WHERE user_id IS NOT NULL
+""",
+    "events_match_recognize": """
+WITH sym AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+              WHEN 'click' THEN 'c' WHEN 'signup' THEN 's'
+              ELSE 'e' END AS sym
+  FROM events
+),
+seqs AS (
+  SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+  FROM sym GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'v+p')) AS INT) AS n_matches,
+       length(seq) AS n_events
+FROM seqs
 """,
     "text_unicode_clean": """
 WITH raw AS (

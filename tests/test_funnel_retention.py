@@ -241,3 +241,52 @@ def test_value_histogram_buckets_and_negatives(spark):
     )
     out = {r["bucket"]: r["n"] for r in value_histogram(df, width=5.0).collect()}
     assert out == {-1: 1, 0: 2, 1: 1}
+
+
+def test_match_recognize_nonoverlapping_counts(spark):
+    # the gate query's symbol-encode -> array_sort -> regexp_count
+    # pipeline, on planted sequences (the gate fn re-registers the real
+    # events table via load(), so the shape is exercised inline here):
+    # user 1: v v p v p  -> 'v+p' matches twice (greedy, non-overlapping)
+    # user 2: p v c v    -> zero (no view immediately before a purchase)
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:01", 1, "view"),
+        (2, "2024-01-01 00:00:02", 1, "view"),
+        (3, "2024-01-01 00:00:03", 1, "purchase"),
+        (4, "2024-01-01 00:00:04", 1, "view"),
+        (5, "2024-01-01 00:00:05", 1, "purchase"),
+        (6, "2024-01-01 00:00:01", 2, "purchase"),
+        (7, "2024-01-01 00:00:02", 2, "view"),
+        (8, "2024-01-01 00:00:03", 2, "click"),
+        (9, "2024-01-01 00:00:04", 2, "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string"
+    ).select(
+        "event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seq = ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("sym")))
+    )
+    per_user = seq.groupBy("user_id").agg(
+        F.array_join(F.transform(arr, lambda x: x["sym"]), "").alias("seq")
+    )
+    out = per_user.select(
+        "user_id",
+        F.regexp_count(F.col("seq"), F.lit("v+p")).cast("int").alias("n_matches"),
+        F.length("seq").alias("n_events"),
+    )
+    got = {r.user_id: (r.n_matches, r.n_events) for r in out.collect()}
+    assert got[1] == (2, 5)
+    assert got[2] == (0, 4)
