@@ -1047,3 +1047,76 @@ def unicode_clean(
     return docs.mapInPandas(norm, schema).withColumn(
         out_col, F.regexp_replace(F.col(out_col), _STRIP_CLASS, "")
     )
+
+
+def kneser_ney_score(
+    docs: DataFrame,
+    discount: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; the
+    Chen-Goodman formulation) — the standard LM smoothing, one step up
+    from :func:`bigram_lm_score`'s add-alpha:
+
+        p(w | prev) = max(c(prev, w) - D, 0) / c(prev)
+                      + (D * n1plus(prev, ·) / c(prev)) * p_cont(w)
+        p_cont(w)   = n1plus(·, w) / |distinct bigram types|
+
+    where n1plus(prev, ·) is the number of distinct continuations of
+    ``prev`` and n1plus(·, w) the number of distinct left-contexts of
+    ``w`` — the "how promiscuous is this word" continuation probability
+    that makes KN robust where raw frequency misleads (the classic
+    'San Francisco' example: 'francisco' is frequent but occurs after
+    almost nothing, so its continuation weight is tiny).
+
+    Same scale shape as the add-alpha sibling: shuffle-free bigram
+    extraction, corpus-aggregate count relations that BROADCAST into
+    map-side joins (bigram counts, context totals + continuation
+    fan-outs in ONE relation, word left-context counts), one
+    corpus-keyed shuffle for the per-document average. Seen bigrams
+    only (every trained bigram has c >= 1, and document scoring walks
+    the same corpus the model was trained on); sub-two-word documents
+    drop out. avg_nll rounds to 6dp for oracle fold-order safety.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.dedup import normalize_text
+
+    docs = ensure_parallelism(docs)
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("s")
+    )
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(s, 1, size(s) - 1),"
+                " (w, i) -> struct(w AS prev, s[i + 1] AS word))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.prev", "bg.word")
+    counts = bg.groupBy("prev", "word").agg(F.count(F.lit(1)).alias("n_bg"))
+    # context totals + distinct-continuation fan-out in one aggregation
+    ctx = counts.groupBy("prev").agg(
+        F.sum("n_bg").alias("n_ctx"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    # continuation counts: distinct left-contexts per word
+    cont = counts.groupBy("word").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    n_types = counts.agg(F.count(F.lit(1)).alias("n_types"))
+    d_lit = F.lit(discount)
+    p = (
+        F.greatest(F.col("n_bg") - d_lit, F.lit(0.0)) / F.col("n_ctx")
+        + (d_lit * F.col("n1p_fwd") / F.col("n_ctx"))
+        * (F.col("n1p_bwd") / F.col("n_types"))
+    )
+    return (
+        bg.join(F.broadcast(counts), ["prev", "word"])
+        .join(F.broadcast(ctx), "prev")
+        .join(F.broadcast(cont), "word")
+        .crossJoin(F.broadcast(n_types))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+        )
+    )

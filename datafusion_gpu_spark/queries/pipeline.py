@@ -973,6 +973,16 @@ def _text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(spark.table("documents"))
 
 
+def _text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (text.kneser_ney_score,
+    D=0.75) — the standard LM smoothing whose continuation probability
+    (distinct left-contexts, not raw frequency) is what add-alpha lacks.
+    Same broadcast-count / one-corpus-shuffle shape as text_bigram_lm;
+    the oracle replays the full Chen-Goodman formula as CTEs."""
+    load(spark, sf_dir)
+    return text.kneser_ney_score(spark.table("documents"))
+
+
 def _streaming_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_histogram: incremental complete-mode
     histogram state (|types| x |buckets| rows bounded regardless of
@@ -1853,6 +1863,7 @@ QUERIES = {
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
     "text_bigram_lm": _text_bigram_lm,
+    "text_kneser_ney": _text_kneser_ney,
     "streaming_histogram": _streaming_histogram,
     "multimodal_decode": _multimodal_decode,
     "dedup_lines": _dedup_lines,
@@ -2072,6 +2083,29 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
        ROUND(AVG(-ln((n_bg + 0.5::DOUBLE) / (n_ctx + 0.5::DOUBLE * vocab))), 6)
          > 3.5::DOUBLE AS low_quality
 FROM bg JOIN c USING (prev, word) JOIN ctx USING (prev), v
+GROUP BY doc_id
+""",
+    # same bigram extraction as text_bigram_lm; KN discount D=0.75:
+    # p = max(n_bg - D, 0)/n_ctx + D*n1p_fwd/n_ctx * n1p_bwd/n_types
+    "text_kneser_ney": rf"""
+WITH d AS (SELECT doc_id, string_split({_NORM}, ' ') AS s FROM documents),
+b AS (SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(s) - 1),
+                                   i -> {{'prev': s[i], 'word': s[i + 1]}})) AS bg
+      FROM d),
+bg AS (SELECT (bg).prev AS prev, (bg).word AS word, doc_id FROM b),
+c AS (SELECT prev, word, COUNT(*)::BIGINT AS n_bg FROM bg GROUP BY 1, 2),
+ctx AS (SELECT prev, SUM(n_bg)::BIGINT AS n_ctx,
+               COUNT(*)::BIGINT AS n1p_fwd FROM c GROUP BY 1),
+cont AS (SELECT word, COUNT(*)::BIGINT AS n1p_bwd FROM c GROUP BY 1),
+t AS (SELECT COUNT(*)::BIGINT AS n_types FROM c)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND(AVG(-ln(
+         greatest(n_bg - 0.75::DOUBLE, 0) / n_ctx
+         + (0.75::DOUBLE * n1p_fwd / n_ctx) * (n1p_bwd::DOUBLE / n_types)
+       )), 6) AS avg_nll
+FROM bg JOIN c USING (prev, word) JOIN ctx USING (prev)
+        JOIN cont USING (word), t
 GROUP BY doc_id
 """,
     "text_readability": r"""

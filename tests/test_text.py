@@ -376,3 +376,29 @@ def test_unicode_clean_nfc_strip_and_null(spark):
     assert got[3] == "xy\tz\nw"
     assert got[4] is None
     assert got[5] == "plain"
+
+
+def test_kneser_ney_probabilities_sum_and_closed_form(spark):
+    import math
+
+    from datafusion_gpu_spark.operators.text import kneser_ney_score
+
+    # corpus: "a b", "a b", "a c" — closed form with D=0.75:
+    # bigram types: (a,b) n=2, (a,c) n=1; n_ctx(a)=3, n1p_fwd(a)=2
+    # n1p_bwd(b)=1, n1p_bwd(c)=1, n_types=2
+    # p(b|a) = (2-.75)/3 + (.75*2/3)*(1/2) = 0.41667 + 0.25 = 0.6667
+    # p(c|a) = (1-.75)/3 + (.75*2/3)*(1/2) = 0.08333 + 0.25 = 0.3333
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_bigrams, r.avg_nll)
+           for r in kneser_ney_score(docs).collect()}
+    p_b = (2 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 2)
+    p_c = (1 - 0.75) / 3 + (0.75 * 2 / 3) * (1 / 2)
+    assert abs(p_b + p_c - 1.0) < 1e-12  # KN normalizes over seen mass
+    assert got[1] == (1, round(-math.log(p_b), 6))
+    assert got[2] == (1, round(-math.log(p_b), 6))
+    assert got[3] == (1, round(-math.log(p_c), 6))
+    # the rare-but-promiscuous word scores better than raw freq implies:
+    # c's probability includes the full continuation weight
+    assert got[3][1] > got[1][1]
