@@ -422,6 +422,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All ORDERED document pairs (doc_a, doc_b) whose shingle
+    containment C(a in b) = |S(a) ∩ S(b)| / |S(a)| meets ``threshold``
+    — the ASYMMETRIC near-dup measure Jaccard misses: a short quote or
+    excerpt fully contained in a long document has tiny Jaccard (the
+    union is dominated by the long side) but containment ~1.0, which
+    is exactly the decontamination / quote-detection / subset-dup case
+    (Broder's original resemblance-vs-containment distinction, 1997).
+
+    Same scale mechanics as :func:`ngram_jaccard_pairs`: pairs exist
+    only through the shingle equality join (per-task work bounded by
+    shingle bucket size), hot shingles droppable via ``max_doc_freq``
+    BEFORE the self-join with the same over-the-surviving-space
+    semantics the oracle replays. Both orders of each pair are emitted
+    (containment is directional); self-pairs excluded.
+    """
+    sh = exploded_shingles(docs, n)
+    if max_doc_freq is not None:
+        keep = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = shingle_set_sizes(sh)
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    return (
+        common.join(sa, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )
+
+
 # -- MinHash + LSH -----------------------------------------------------------
 
 

@@ -632,3 +632,62 @@ def personalized_pagerank(
             )
         )
     return ranks
+
+
+def bellman_ford(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+) -> DataFrame:
+    """(node, cost) minimum total edge WEIGHT over undirected paths of
+    at most ``rounds`` edges from the seed set — k-hop Bellman-Ford
+    relaxation, the weighted sibling of :func:`bfs_distances` (travel
+    cost, latency, trust decay; :func:`bfs_distances` is the w=1
+    special case). Distributed Bellman-Ford relaxes EVERY labeled node
+    each round (no priority queue to serialize through), which is the
+    textbook distributed answer where Dijkstra's global ordering
+    doesn't parallelize; delta-stepping's bucketing is the refinement
+    when edge-weight spread makes full relaxation wasteful.
+
+    Per round: one equality join (current labels x adjacency) + one
+    min aggregation, both keyed — O(|labeled| x avg_degree) work,
+    checkpoint-truncated. Early stop: labels only ever ADD nodes or
+    DECREASE costs, so an unchanged (count, sum-of-costs) pair —
+    computed on the just-materialized checkpoint, exact on integer
+    weights — certifies a fixpoint and skips the remaining rounds.
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    fwd = edges.select(F.col(a).alias("s"), F.col(b).alias("d"), F.col(w).alias("w"))
+    rev = edges.select(F.col(b).alias("s"), F.col(a).alias("d"), F.col(w).alias("w"))
+    adj = ckpt(fwd.unionAll(rev).where(F.col("s") != F.col("d")).distinct())
+    node = seeds.columns[0]
+    dist = ckpt(
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+    stats = dist.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("cost"), F.lit(0)).alias("s")
+    ).collect()[0]
+    prev = (stats["n"], stats["s"])
+    for _ in range(rounds):
+        cand = adj.join(dist.withColumnRenamed("node", "s"), "s").select(
+            F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
+        )
+        dist = ckpt(
+            dist.unionAll(cand).groupBy("node").agg(F.min("cost").alias("cost"))
+        )
+        stats = dist.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("cost"), F.lit(0)).alias("s"),
+        ).collect()[0]
+        cur = (stats["n"], stats["s"])
+        if cur == prev:
+            break  # monotone labels: unchanged (count, sum) == fixpoint
+        prev = cur
+    return dist

@@ -104,6 +104,41 @@ SELECT * FROM (
 """
 
 
+def _containment_pairs_sql(threshold: float, max_doc_freq: int | None = None) -> str:
+    """Directional containment twin of _jaccard_pairs_sql: ordered
+    pairs (a != b, both orders), C = n_common / |S(a)|."""
+    if max_doc_freq is None:
+        filtered = """
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),"""
+    else:
+        filtered = f"""
+ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+keep AS (SELECT shingle FROM ex0 GROUP BY shingle
+         HAVING COUNT(*) <= {max_doc_freq}),
+ex AS (SELECT ex0.doc_id, ex0.shingle FROM ex0 JOIN keep USING (shingle)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ex GROUP BY doc_id),"""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE []::VARCHAR[] END) AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+),{filtered}
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT doc_a, doc_b, ROUND(n_common / sa.n_sh, 6) AS containment
+  FROM common JOIN sizes sa ON sa.doc_id = doc_a
+) WHERE containment >= {threshold}
+"""
+
+
 def _simhash_oracle(max_hamming: int = 3, bits: int = 60) -> str:
     """Full signature replay (word_hash60 is engine-portable), then an
     all-pairs hamming check — tiny at oracle scale, and the Spark side's
@@ -273,6 +308,18 @@ def _dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle replays the identical stopword-removal semantics
     return dedup.ngram_jaccard_pairs(
         _docs(spark, sf_dir), threshold=0.3, max_doc_freq=100
+    )
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (dedup.containment_pairs):
+    |S(a) ∩ S(b)| / |S(a)| — the quote/excerpt/subset-duplicate
+    measure Jaccard misses (Broder's resemblance-vs-containment
+    distinction). Ordered pairs, same bounded shingle-bucket join and
+    hot-shingle cap as the Jaccard entry; the oracle replays the
+    directional formula over the identical surviving shingle space."""
+    return dedup.containment_pairs(
+        _docs(spark, sf_dir), threshold=0.6, max_doc_freq=100
     )
 
 
@@ -1273,6 +1320,26 @@ def _text_unicode_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop cheapest paths (graph.bellman_ford, 4 relaxation rounds)
+    from the bulk-buyer seed parts over the sparse co-purchase graph
+    with deterministic integer edge weights ((a+b) % 5 + 1) — the
+    weighted sibling of graph_bfs. The oracle enumerates every path of
+    <= 4 edges with a RECURSIVE CTE and takes the per-node minimum
+    cost; integer weights keep both sides exact."""
+    load(spark, sf_dir)
+    e = _sparse_copurchase_edges(spark).select(
+        "a", "b", ((F.col("a") + F.col("b")) % 5 + 1).cast("long").alias("w")
+    )
+    seeds = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    return graph.bellman_ford(e, seeds, rounds=4)
+
+
 def _graph_harmonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact harmonic centrality truncated at 4 hops
     (graph.harmonic_exact over graph.all_pairs_distances) on the sparse
@@ -1851,6 +1918,7 @@ QUERIES = {
     "graph_degree_hist": _graph_degree_hist,
     "graph_bfs": _graph_bfs,
     "graph_harmonic_exact": _graph_harmonic_exact,
+    "graph_bellman_ford": _graph_bellman_ford,
     "text_unicode_clean": _text_unicode_clean,
     "events_sliding_distinct": _events_sliding_distinct,
     "graph_harmonic_hyperball": _graph_harmonic_hyperball,
@@ -1868,6 +1936,7 @@ QUERIES = {
     "multimodal_decode": _multimodal_decode,
     "dedup_lines": _dedup_lines,
     "dedup_ngram_jaccard": _dedup_ngram,
+    "dedup_containment": _dedup_containment,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_components": _dedup_components,
     "dedup_simhash": _dedup_simhash,
@@ -2185,6 +2254,30 @@ SELECT doc_id, length(raw) AS n_raw, length(clean) AS n_clean,
        md5(clean) AS clean_md5
 FROM cleaned
 """,
+    "graph_bellman_ford": """
+WITH RECURSIVE e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d, (a + b) % 5 + 1 AS w FROM e0
+  UNION
+  SELECT b AS s, a AS d, (a + b) % 5 + 1 AS w FROM e0
+),
+seeds AS MATERIALIZED (
+  SELECT DISTINCT s AS node FROM adj WHERE s % 97 = 0
+),
+walk(node, cost, hops) AS (
+  SELECT node, CAST(0 AS BIGINT) AS cost, 0 AS hops FROM seeds
+  UNION
+  SELECT adj.d AS node, walk.cost + adj.w AS cost, walk.hops + 1 AS hops
+  FROM walk JOIN adj ON adj.s = walk.node
+  WHERE walk.hops < 4
+)
+SELECT node, MIN(cost) AS cost FROM walk GROUP BY node
+""",
     "graph_harmonic_exact": """
 WITH RECURSIVE e0 AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
@@ -2499,6 +2592,7 @@ FROM h LEFT JOIN k ON h.doc_id = k.doc_id AND h.pos = k.pos
 GROUP BY h.doc_id
 """,
     "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
+    "dedup_containment": _containment_pairs_sql(0.6, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
     # transitive closure over the SAME pair set (recursive CTE), min-id
     # labeling — must equal the Spark side's hash-min fixpoint exactly

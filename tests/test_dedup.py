@@ -290,3 +290,26 @@ def test_canonicalize_url_collapses_crawl_variants(spark):
     assert got[3] == "www.site.com/a/b?page=3"
     assert got[4] == "www.site.com/a/c?page=2"
     assert got[5] == "www.site.com/a/b"
+
+
+def test_containment_detects_quote_asymmetrically(spark):
+    from datafusion_gpu_spark.operators.dedup import containment_pairs
+
+    # doc 2 is a verbatim excerpt of doc 1: containment(2 in 1) = 1.0,
+    # while 1-in-2 is far below; doc 3 is unrelated and pairs with no one
+    long = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    quote = "epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, long), (2, quote), (3, other)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b): r.containment
+           for r in containment_pairs(docs, threshold=0.0).collect()}
+    assert got[(2, 1)] == 1.0           # the excerpt is fully contained
+    assert got[(1, 2)] < 0.25           # the long doc is not in the quote
+    assert not any(3 in k for k in got)  # unrelated doc pairs with nobody
+    # threshold keeps only the subset direction
+    kept = {(r.doc_a, r.doc_b)
+            for r in containment_pairs(docs, threshold=0.8).collect()}
+    assert kept == {(2, 1)}

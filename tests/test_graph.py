@@ -619,3 +619,45 @@ def test_personalized_pagerank_matches_numpy_power_iteration(spark):
         seeds, iterations=iters).collect()}
     for n in nodes:
         assert abs(got[n] - rank[idx[n]]) < 1e-12, (n, got[n], rank[idx[n]])
+
+
+def test_bellman_ford_prefers_cheap_long_path_and_truncates(spark):
+    from datafusion_gpu_spark.operators.graph import bellman_ford
+
+    # 0 -> 3 direct costs 10; the 3-edge detour 0-1-2-3 costs 3.
+    # With rounds >= 3 the detour wins; with rounds=1 only the direct
+    # edge is reachable.
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1)]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    full = {r.node: r.cost for r in bellman_ford(df, seeds, rounds=5).collect()}
+    assert full == {0: 0, 1: 1, 2: 2, 3: 3}
+    one = {r.node: r.cost for r in bellman_ford(df, seeds, rounds=1).collect()}
+    assert one == {0: 0, 1: 1, 3: 10}  # detour not yet relaxed
+
+
+def test_bellman_ford_early_stop_at_fixpoint(spark, monkeypatch):
+    from datafusion_gpu_spark.operators import util
+    from datafusion_gpu_spark.operators.graph import bellman_ford
+
+    calls = {"n": 0}
+    real = util.lineage_truncator
+
+    def counting(sc):
+        ckpt = real(sc)
+
+        def wrapped(df):
+            calls["n"] += 1
+            return ckpt(df)
+
+        return wrapped
+
+    monkeypatch.setattr(util, "lineage_truncator", counting)
+    # path 0-1-2: labels stabilize after round 2; round 3 confirms and
+    # breaks — rounds=50 never runs. ckpt: adj + seed + 3 rounds.
+    edges = [(0, 1, 2), (1, 2, 2)]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.cost for r in bellman_ford(df, seeds, rounds=50).collect()}
+    assert got == {0: 0, 1: 2, 2: 4}
+    assert calls["n"] == 2 + 3
