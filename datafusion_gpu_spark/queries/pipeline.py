@@ -653,6 +653,42 @@ def _curation_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _curation_pack_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-fit-decreasing sequence packing
+    (curation.pack_sequences_bestfit, budget 512, 8 shards) — BFD packs
+    tighter than the contiguous greedy, and at pretraining scale fewer
+    bins is directly less padding compute. CONTRACT query (BFD's bin
+    ids are algorithmic state no other engine replays): the Spark side
+    re-derives the packing's invariants from its own output — every
+    doc placed exactly once, no bin over budget — and emits them with
+    the packable doc/token totals; the oracle recomputes the totals
+    and asserts the invariants literally TRUE."""
+    docs = _docs(spark, sf_dir)
+    from datafusion_gpu_spark.operators.dedup import normalize_text
+
+    with_tokens = docs.select(
+        "doc_id",
+        F.size(F.split(normalize_text(F.col("text")), " ")).alias("n_tokens"),
+    )
+    packed = curation.pack_sequences_bestfit(
+        with_tokens, budget=512, shards=8
+    )
+    bins = packed.groupBy("shard", "bin_id").agg(
+        F.sum("n_tokens").alias("fill")
+    )
+    totals = packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.count_distinct("doc_id") == F.count(F.lit(1))).alias("each_once"),
+    )
+    max_fill = bins.agg(F.max("fill").alias("max_fill"))
+    return totals.crossJoin(F.broadcast(max_fill)).select(
+        "n_docs",
+        "total_tokens",
+        (F.col("each_once") & (F.col("max_fill") <= 512)).alias("ok"),
+    )
+
+
 def _curation_reservoir_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source weighted reservoir (curation.weighted_sample_per_group):
     the 20 longest-weighted docs PER SOURCE under the deterministic
@@ -1980,6 +2016,7 @@ QUERIES = {
     "events_winsorize": _events_winsorize,
     "curation_weighted_sample": _curation_weighted_sample,
     "curation_reservoir_per_source": _curation_reservoir_per_source,
+    "curation_pack_bestfit": _curation_pack_bestfit,
     "curation_stratified_sample": _curation_stratified,
     "curation_pack_sequences": _curation_pack,
     "pipeline_end_to_end": _pipeline_end_to_end,
@@ -3257,6 +3294,14 @@ SELECT doc_id,
 FROM (SELECT doc_id, {_bucket_sql('split-v1')} AS b FROM documents)
 """,
     # same ES key as curation_weighted_sample, ranked within source
+    "curation_pack_bestfit": f"""
+WITH t AS (SELECT doc_id, len(string_split({_NORM}, ' ')) AS n_tokens
+           FROM documents)
+SELECT COUNT(*)::BIGINT AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       TRUE AS ok
+FROM t WHERE n_tokens <= 512
+""",
     "curation_reservoir_per_source": f"""
 SELECT source, doc_id, weight, es_key FROM (
   SELECT source, doc_id, weight, es_key,
