@@ -126,10 +126,26 @@ _CHECKED_R5 = (
     "window_ignore_nulls",
 )
 
+_CHECKED_R6 = (
+    "agg_approximate", "agg_bool_bit", "agg_collect_ordered", "agg_count_distinct",
+    "agg_filter_clause", "agg_grouping_sets", "agg_median", "agg_min_max_by",
+    "agg_rollup", "agg_statistical", "custom_sum_f32_grouped", "fn_array_pack",
+    "fn_conditional", "fn_crypto_pack", "fn_date_bin", "fn_datetime_pack",
+    "fn_json_extract", "fn_math_pack", "fn_regex_pack", "fn_string_pack",
+    "fn_struct_map", "fn_unnest_wordcount", "join_full_outer", "join_left_outer",
+    "join_semi_exists", "tpch_q10_returned_items", "tpch_q11_important_stock", "tpch_q12_priority_pivot",
+    "tpch_q13_order_distribution", "tpch_q14_promo_share", "tpch_q15_top_supplier_view", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_volume", "tpch_q19_disjunctive_pred", "tpch_q20_excess_stock",
+    "tpch_q21_waiting_supplier", "tpch_q22_inactive_customers", "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q9_profit_rollup",
+    "window_first_last_nth", "window_lag_lead", "window_percent_rank", "window_range_frame",
+    "window_ranking", "window_rows_frame",
+)
+
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5), start=1
+    (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

@@ -84,10 +84,15 @@ def test_gate_staleness_rotation_orders_oldest_first():
     names = list(all_queries())
     ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in names]
     assert ranks == sorted(ranks)
-    # round 6's 50 slots must land on the oldest tranche: all of r1
-    # plus the front of r2 — nothing newer sneaks in
+    # round 7's 50 slots must land on the oldest surface: the 25 r2
+    # rows not re-checked in r6, the 15 never-driver-checked round-6
+    # additions (rank 2.5), and the 10 oldest r3 rows — nothing newer
     head = names[:50]
-    assert all(_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) <= 2 for n in head)
+    head_ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in head]
+    assert all(r <= 3 for r in head_ranks)
+    assert head_ranks.count(2) == 25
+    assert head_ranks.count(_NEVER_CHECKED_RANK) == 15
+    assert head_ranks.count(3) == 10
     # every query has an oracle unless deliberately rows-only (driver
     # looks oracles up by key, so only membership matters, not order)
     rows_only = {"explain_plan", "agg_approximate"}
