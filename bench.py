@@ -109,6 +109,21 @@ SF_BENCHES = [
     # the engine.
 ]
 
+#: Machine-state canary (VERDICT r6 ask #2): the same fixed trivial query
+#: timed FIRST (right after the 1M cache materializes, before the registry
+#: or the 100M/500M caches exist) and LAST (after every sf bench, under
+#: whatever resident state the run accumulated). Both medians go in the
+#: output JSON so cross-round per-query deltas can be normalized by
+#: canary drift instead of inferred from the ref_sum_* microbenches —
+#: r5->r6 driver medians shifted +7..19% on untouched code and it took a
+#: full bisection to attribute that to machine state. canary_first is the
+#: clean cross-round machine-state proxy; canary_last - canary_first is
+#: the within-run drift (GC/cache shadow), reported separately on purpose.
+#: Protocol analogue: criterion's warm-context isolation
+#: (/root/reference/benches/cuda_sum.rs:16-29).
+CANARY_SQL = "SELECT sum(float) AS s FROM types"
+CANARY_SAMPLES = 15
+
 #: Queries the deadline planner may evict only when nothing unprotected
 #: remains: each is the sole bench representative of a plan family whose
 #: wall-clock otherwise has no driver evidence (dedup_components = the
@@ -150,6 +165,11 @@ def main() -> int:
         f"{time.perf_counter() - t0:.1f}s")
 
     results: dict[str, float] = {}
+
+    canary_first = timed_median(
+        lambda: spark.sql(CANARY_SQL).collect(), CANARY_SAMPLES)
+    log(f"canary_first: median {canary_first * 1000:.1f} ms "
+        f"over {CANARY_SAMPLES} samples")
 
     # The 1M entries are ~100 ms floor-dominated: time them BEFORE the
     # 100M/500M caches exist — a multi-GB resident cache adds ~2x of
@@ -238,6 +258,12 @@ def main() -> int:
             cal = statistics.median(ratios)
             est = {n: 0.7 * warm_s[n] * cal for n in est}
 
+    canary_last = timed_median(
+        lambda: spark.sql(CANARY_SQL).collect(), CANARY_SAMPLES)
+    log(f"canary_last: median {canary_last * 1000:.1f} ms "
+        f"over {CANARY_SAMPLES} samples "
+        f"(drift x{canary_last / canary_first:.2f} within-run)")
+
     total = round(sum(results.values()), 4)
     print(json.dumps({
         "metric": "headline_median_total",
@@ -245,6 +271,8 @@ def main() -> int:
         "unit": "sec",
         "queries": results,
         "sf": sf,
+        "canary_first": round(canary_first, 4),
+        "canary_last": round(canary_last, 4),
     }))
     return 0
 
