@@ -546,36 +546,49 @@ def pack_sequences_bestfit(
     BFD is inherently sequential, so it runs per shard inside ONE
     Arrow-batched applyInPandas pass — the same shard-bounded-state
     contract as pack_sequences' window (state = open-bin capacities,
-    at most shard_tokens/1 bins; ``shards`` is the scale knob). The
-    per-shard placement scan is over open bins kept in a capacity
-    dict; deterministic given the (tokens desc, key) order.
+    at most shard_tokens/1 bins; ``shards`` is the scale knob). Open
+    bins are kept fill-sorted so each placement is a bisect
+    (O(log bins) search + an O(bins) C-level memmove, not a Python
+    scan of every open bin per doc); deterministic given the
+    (tokens desc, key) order, ties on equal fill going to the
+    rightmost bin in fill order. The output key column keeps the
+    input's name and type (string ids pack as well as longs).
     """
+    from bisect import bisect_right
+
     import pandas as pd
 
+    key_type = docs.schema[key].dataType.simpleString()
     shard = (_hash_bucket(F.col(key), salt) % shards).alias("shard")
     base = docs.select(
-        F.col(key).alias("doc_id"), F.col(token_col).alias("n_tokens"), shard
+        F.col(key), F.col(token_col).cast("long").alias("n_tokens"), shard
     ).where(F.col("n_tokens") <= budget)
 
-    schema = "doc_id long, shard int, bin_id int, n_tokens long"
+    schema = f"{key} {key_type}, shard int, bin_id int, n_tokens long"
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(
-            ["n_tokens", "doc_id"], ascending=[False, True]
+            ["n_tokens", key], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list[int] = []  # current fill per bin
+        fills: list[int] = []  # open-bin fills, ascending
+        bins: list[int] = []   # bin ids, parallel to fills
+        next_bin = 0
         bin_ids = []
         for t in pdf["n_tokens"]:
-            best, best_fill = -1, -1
-            for i, f in enumerate(fills):
-                if f + t <= budget and f > best_fill:
-                    best, best_fill = i, f
-            if best < 0:
-                best = len(fills)
-                fills.append(0)
-            fills[best] += int(t)
-            bin_ids.append(best)
+            t = int(t)
+            # fullest bin that still fits = rightmost fill <= budget - t
+            i = bisect_right(fills, budget - t) - 1
+            if i >= 0:
+                b = bins.pop(i)
+                f = fills.pop(i) + t
+            else:
+                b, f = next_bin, t
+                next_bin += 1
+            pos = bisect_right(fills, f)
+            fills.insert(pos, f)
+            bins.insert(pos, b)
+            bin_ids.append(b)
         pdf["bin_id"] = bin_ids
-        return pdf[["doc_id", "shard", "bin_id", "n_tokens"]]
+        return pdf[[key, "shard", "bin_id", "n_tokens"]]
 
     return base.groupBy("shard").applyInPandas(pack, schema)

@@ -88,7 +88,14 @@ def radius_join(
     import math
 
     lat_bound = 60.0
-    cell_deg = radius_km / 111.2 / math.cos(math.radians(lat_bound))
+    # Pad the cell: 111.0 km/deg understates the true meridian degree
+    # (~111.195), and the extra 0.1% absorbs asin convexity — without the
+    # pad, two points at |lat|=60 separated ~radius_km in longitude can
+    # land 2 cells apart and be missed by the 3x3 expansion (a ~1e-4
+    # relative hole found by numeric search at the boundary). Oversizing
+    # the cell only widens the candidate set; completeness is what the
+    # guarantee needs.
+    cell_deg = radius_km / 111.0 / math.cos(math.radians(lat_bound)) * 1.001
 
     lcell_x, lcell_y = grid_cell(F.col(lat), F.col(lon), cell_deg)
     rcell_x, rcell_y = grid_cell(F.col(lat), F.col(lon), cell_deg)

@@ -593,9 +593,15 @@ def personalized_pagerank(
         .groupBy("node")
         .agg(F.sum("out").cast("double").alias("outdeg"))
     )
-    seed_nodes = seeds.select(
-        F.col(seeds.columns[0]).alias("node")
-    ).distinct()
+    # Restrict seeds to graph nodes BEFORE counting |S|: a seed absent
+    # from the edge list can receive no teleport mass (p_rel is built on
+    # nodes_deg), so normalizing by the unrestricted count would silently
+    # leak 1/|S| per missing seed and ranks would under-sum.
+    seed_nodes = (
+        seeds.select(F.col(seeds.columns[0]).alias("node"))
+        .distinct()
+        .join(nodes_deg.select("node"), "node", "semi")
+    )
     ns_row = F.broadcast(
         seed_nodes.agg(F.count(F.lit(1)).cast("double").alias("ns"))
     )

@@ -1004,11 +1004,11 @@ def bigram_lm_score(
     )
 
 
-#: zero-width/format chars (U+200B..U+200D, U+FEFF) + C0 controls except
-#: \t \n \r — the strip set unicode_clean removes AFTER NFC
+#: zero-width/format chars (U+200B..U+200D, U+FEFF) + C0 controls
+#: (including NUL) except \t \n \r — the strip set unicode_clean removes AFTER NFC
 #: normalization; mirrored char-for-char by the gate oracle's
 #: chr()-built class.
-_STRIP_CLASS = "[\u200b-\u200d\ufeff\x01-\x08\x0b\x0c\x0e-\x1f]"
+_STRIP_CLASS = "[\u200b-\u200d\ufeff\x00-\x08\x0b\x0c\x0e-\x1f]"
 
 
 def unicode_clean(

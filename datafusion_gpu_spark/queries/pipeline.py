@@ -2282,7 +2282,7 @@ cleaned AS (
   SELECT doc_id, raw,
          regexp_replace(nfc_normalize(raw),
            '[' || chr(8203) || '-' || chr(8205) || chr(65279)
-               || chr(1) || '-' || chr(8) || chr(11) || chr(12)
+               || chr(0) || '-' || chr(8) || chr(11) || chr(12)
                || chr(14) || '-' || chr(31) || ']',
            '', 'g') AS clean
   FROM raw

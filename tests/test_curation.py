@@ -347,3 +347,21 @@ def test_pack_bestfit_excludes_oversized_docs(spark):
     )
     out = pack_sequences_bestfit(docs, budget=100, shards=1).collect()
     assert {r.doc_id for r in out} == {1, 3}
+
+
+def test_pack_bestfit_string_keys(spark):
+    # the output key column keeps the input's name and type — string
+    # document ids must pack without an applyInPandas cast failure
+    from datafusion_gpu_spark.operators.curation import pack_sequences_bestfit
+
+    docs = spark.createDataFrame(
+        [("a", 60), ("b", 60), ("c", 40), ("d", 40)],
+        "url string, n_tokens long",
+    )
+    out = pack_sequences_bestfit(docs, budget=100, shards=1, key="url").collect()
+    assert {r.url for r in out} == {"a", "b", "c", "d"}
+    fills = {}
+    for r in out:
+        fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
+    assert all(f <= 100 for f in fills.values())
+    assert len(fills) == 2  # 60+40 twice

@@ -44,6 +44,24 @@ def test_radius_join_matches_bruteforce_with_boundary_pairs(spark):
     assert (1, 101) in got and (2, 101) in got  # boundary-straddling pairs
 
 
+def test_radius_join_complete_at_lat60_boundary(spark):
+    # regression for the unpadded cell size: at the accepted |lat|=60
+    # boundary, this pair is 24.9993 km apart (within the 25 km radius)
+    # yet with cell_deg = 25/111.2/cos(60) its lons land 2 grid cells
+    # apart (0.449639 vs 0.899289 deg; cell 0 vs cell 2) — outside the
+    # 3x3 expansion. The padded cell (111.0 constant + 0.1% margin)
+    # makes them adjacent again.
+    lo_a = 0.44964028776978415 * 0.99999
+    lo_b = 0.44964028776978415 * 2.00001
+    assert _hav_km(60.0, lo_a, 60.0, lo_b) <= 25.0
+    left = spark.createDataFrame(
+        [(1, 60.0, lo_a)], "id long, lat double, lon double")
+    right = spark.createDataFrame(
+        [(11, 60.0, lo_b)], "rid long, lat double, lon double")
+    got = {(r.id, r.rid_r) for r in radius_join(left, right, 25.0).collect()}
+    assert got == {(1, 11)}
+
+
 def test_radius_join_plan_is_keyed_hash_join(spark):
     left = spark.range(100).select(
         F.col("id"),

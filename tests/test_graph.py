@@ -621,6 +621,27 @@ def test_personalized_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[n] - rank[idx[n]]) < 1e-12, (n, got[n], rank[idx[n]])
 
 
+def test_personalized_pagerank_ignores_out_of_graph_seeds(spark):
+    # a seed absent from the edge list can receive no teleport mass, so
+    # it must not count toward the 1/|S| normalization either — seeding
+    # {a, zzz} must give EXACTLY the ranks of seeding {a} alone, not an
+    # under-summing copy that leaked zzz's 1/2 share
+    from datafusion_gpu_spark.operators.graph import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a")], "src string, dst string"
+    )
+    alone = {r.node: r.rank for r in personalized_pagerank(
+        edges, spark.createDataFrame([("a",)], "node string"),
+        iterations=3).collect()}
+    with_ghost = {r.node: r.rank for r in personalized_pagerank(
+        edges, spark.createDataFrame([("a",), ("zzz",)], "node string"),
+        iterations=3).collect()}
+    assert with_ghost == alone
+    # no dangling nodes here, so the ranks are a proper distribution
+    assert abs(sum(with_ghost.values()) - 1.0) < 1e-12
+
+
 def test_bellman_ford_prefers_cheap_long_path_and_truncates(spark):
     from datafusion_gpu_spark.operators.graph import bellman_ford
 

@@ -275,8 +275,10 @@ def test_incremental_agg_equals_recompute_for_any_zset(spark, base, delta):
 @given(
     pts=st.lists(
         st.tuples(
-            st.floats(min_value=-45, max_value=45, allow_nan=False),
-            st.floats(min_value=-45, max_value=45, allow_nan=False),
+            # full accepted latitude domain INCLUDING the +/-60 boundary,
+            # where the unpadded cell size had a completeness hole
+            st.floats(min_value=-60, max_value=60, allow_nan=False),
+            st.floats(min_value=-60, max_value=60, allow_nan=False),
         ),
         min_size=1, max_size=25,
     ),

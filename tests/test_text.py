@@ -365,6 +365,7 @@ def test_unicode_clean_nfc_strip_and_null(spark):
             (1, "cafe\u0301"),  # 5 codepoints, decomposed            # decomposed -> NFC fuses to é
             (2, "a\u200bb\u200cc"),       # zero-widths stripped
             (3, "x\x01y\tz\nw"),          # C0 stripped, \t \n kept
+            (6, "n\x00ul"),               # NUL is a C0 control too
             (4, None),                     # NULL passes through
             (5, "plain"),
         ],
@@ -376,6 +377,7 @@ def test_unicode_clean_nfc_strip_and_null(spark):
     assert got[3] == "xy\tz\nw"
     assert got[4] is None
     assert got[5] == "plain"
+    assert got[6] == "nul"
 
 
 def test_kneser_ney_probabilities_sum_and_closed_form(spark):
