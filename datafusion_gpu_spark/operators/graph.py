@@ -697,3 +697,205 @@ def bellman_ford(
             break  # monotone labels: unchanged (count, sum) == fixpoint
         prev = cur
     return dist
+
+
+def modularity(
+    sym: DataFrame, deg: DataFrame, assign: DataFrame, two_m: float
+) -> float:
+    """Newman-Girvan modularity Q of a community ``assign``ment (node,
+    comm) over a symmetrized adjacency ``sym`` (i, j, w — each
+    undirected edge present in BOTH directions, self-loops once at 2w)
+    with degrees ``deg`` (node, k) and total weight ``two_m`` = sum of
+    sym.w:
+
+        Q = intra/two_m - SUM over C of (tot(C)/two_m)^2
+
+    Two broadcast joins + two aggregations; the result is ONE scalar
+    (the bounded fixpoint-check collect pattern, like bellman_ford's
+    (count, sum) certificate)."""
+    ai = F.broadcast(assign.select(F.col("node").alias("i"), F.col("comm").alias("ci")))
+    aj = F.broadcast(assign.select(F.col("node").alias("j"), F.col("comm").alias("cj")))
+    intra = (
+        sym.join(ai, "i").join(aj, "j")
+        .where(F.col("ci") == F.col("cj"))
+        .agg(F.sum("w"))
+        .first()[0]
+        or 0.0
+    )
+    sq = (
+        assign.join(deg, "node")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+        .agg(F.sum(F.col("tot") * F.col("tot")))
+        .first()[0]
+        or 0.0
+    )
+    return intra / two_m - sq / (two_m * two_m)
+
+
+def louvain(
+    edges: DataFrame,
+    passes: int = 2,
+    move_rounds: int = 4,
+    a: str = "a",
+    b: str = "b",
+    weight: str | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """(assignment, modularity-per-pass) Louvain-style community
+    detection (Blondel et al. 2008), distributed the way the published
+    parallel/distributed Louvain variants do it: the inherently
+    sequential one-node-at-a-time local-move phase becomes SYNCHRONOUS
+    half-moves — each round, the deterministic half of the nodes
+    (hash parity, alternating) evaluates the standard modularity gain
+
+        dQ(i: A->D) * m = [k_i->D - k_i->A'] - k_i * (S_D - S_A') / two_m
+
+    against every neighboring community and moves to the best strictly
+    positive one; the other half holds still, damping the two-node
+    swap oscillation synchronous updates are prone to. After
+    ``move_rounds`` rounds the graph is CONTRACTED (communities become
+    supernodes, parallel edges sum, intra-edges become self-loops) and
+    the next pass runs on the supergraph — the classic two-phase
+    Louvain, each pass O(passes smaller).
+
+    Modularity is recomputed exactly after every pass on the current
+    (super)graph — contraction preserves Q, so it is the true Q of the
+    composed node assignment. A pass that fails to improve Q (possible
+    under synchronous moves) is DISCARDED and iteration stops, so the
+    returned per-pass Q trajectory is monotone non-decreasing BY
+    CONSTRUCTION — the contract the gate query asserts.
+
+    Scale shape (same family as pagerank/kcore): per round one keyed
+    equality join of the symmetrized edges with the broadcast |V|-row
+    assignment, one (i, comm) hash aggregation, and one argmax window;
+    every round and pass checkpoint-truncated; driver traffic is one
+    scalar two_m plus one Q scalar per pass — never data. Labels are
+    algorithmic state no other engine replays, so the gate grades the
+    monotone-Q + planted-floor contract instead (the
+    agg_approx_error_bounded pattern).
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
+    und = edges.select(
+        F.least(F.col(a), F.col(b)).alias("i"),
+        F.greatest(F.col(a), F.col(b)).alias("j"),
+        wcol.alias("w"),
+    ).where(F.col("i").isNotNull() & F.col("j").isNotNull())
+    pair = und.groupBy("i", "j").agg(F.sum("w").alias("w"))
+    proper = pair.where(F.col("i") != F.col("j"))
+    sym = ckpt(
+        proper.unionAll(
+            proper.select(F.col("j").alias("i"), F.col("i").alias("j"), "w")
+        ).unionAll(
+            pair.where(F.col("i") == F.col("j")).select(
+                "i", "j", (F.col("w") * 2).alias("w")
+            )
+        )
+    )
+    deg = ckpt(sym.groupBy(F.col("i").alias("node")).agg(F.sum("w").alias("k")))
+    two_m = float(deg.agg(F.sum("k")).first()[0] or 0.0)
+    if two_m == 0.0:
+        empty = deg.select("node", F.col("node").alias("comm"))
+        return empty, [0.0]
+
+    g_sym, g_deg = sym, deg
+    membership: DataFrame | None = None
+    qs = [
+        modularity(
+            g_sym, g_deg, g_deg.select("node", F.col("node").alias("comm")),
+            two_m,
+        )
+    ]
+    for _ in range(passes):
+        assign = ckpt(g_deg.select("node", F.col("node").alias("comm")))
+        for rnd in range(move_rounds):
+            aj = F.broadcast(
+                assign.select(F.col("node").alias("j"), F.col("comm").alias("D"))
+            )
+            nbr = (
+                g_sym.where(F.col("i") != F.col("j"))
+                .join(aj, "j")
+                .groupBy("i", "D")
+                .agg(F.sum("w").alias("kiD"))
+            )
+            own = assign.select(
+                F.col("node").alias("i"), F.col("comm").alias("D"),
+                F.lit(0.0).alias("kiD"),
+            )
+            cand = nbr.unionAll(own).groupBy("i", "D").agg(
+                F.sum("kiD").alias("kiD")
+            )
+            comm_tot = (
+                assign.join(g_deg, "node")
+                .groupBy(F.col("comm").alias("D"))
+                .agg(F.sum("k").alias("tot"))
+            )
+            cur = assign.select(F.col("node").alias("i"), F.col("comm").alias("A"))
+            s_excl = F.col("tot") - F.when(
+                F.col("D") == F.col("A"), F.col("k")
+            ).otherwise(F.lit(0.0))
+            scored = (
+                cand.join(F.broadcast(comm_tot), "D")
+                .join(F.broadcast(g_deg.select(F.col("node").alias("i"), "k")), "i")
+                .join(F.broadcast(cur), "i")
+                .select(
+                    "i", "D", "A",
+                    (F.col("kiD") - F.col("k") * s_excl / two_m).alias("score"),
+                )
+            )
+            pick = scored.groupBy("i").agg(
+                F.max(F.struct(F.col("score"), F.col("D"))).alias("b"),
+                F.max(
+                    F.when(F.col("D") == F.col("A"), F.col("score"))
+                ).alias("sA"),
+                F.first("A").alias("A"),
+            )
+            eligible = (F.abs(F.xxhash64(F.col("i"))) + F.lit(rnd)) % 2 == 0
+            assign = ckpt(
+                pick.select(
+                    F.col("i").alias("node"),
+                    F.when(
+                        eligible & (F.col("b.score") > F.col("sA") + 1e-15),
+                        F.col("b.D"),
+                    )
+                    .otherwise(F.col("A"))
+                    .alias("comm"),
+                )
+            )
+        q = modularity(g_sym, g_deg, assign, two_m)
+        if q < qs[-1] - 1e-12:
+            break  # synchronous-move pass regressed: discard, keep monotone
+        qs.append(q)
+        if membership is None:
+            membership = assign
+        else:
+            membership = ckpt(
+                membership.join(
+                    assign.select(
+                        F.col("node").alias("comm"), F.col("comm").alias("__c2__")
+                    ),
+                    "comm",
+                ).select("node", F.col("__c2__").alias("comm"))
+            )
+        # contraction: communities -> supernodes; parallel edges sum,
+        # intra-community mass becomes the supernode's self-loop row
+        am_i = F.broadcast(
+            assign.select(F.col("node").alias("i"), F.col("comm").alias("ci"))
+        )
+        am_j = F.broadcast(
+            assign.select(F.col("node").alias("j"), F.col("comm").alias("cj"))
+        )
+        g_sym = ckpt(
+            g_sym.join(am_i, "i")
+            .join(am_j, "j")
+            .groupBy(F.col("ci").alias("i"), F.col("cj").alias("j"))
+            .agg(F.sum("w").alias("w"))
+        )
+        g_deg = ckpt(
+            g_sym.groupBy(F.col("i").alias("node")).agg(F.sum("w").alias("k"))
+        )
+    if membership is None:
+        membership = deg.select("node", F.col("node").alias("comm"))
+    return membership, qs

@@ -1422,6 +1422,48 @@ def _graph_harmonic_hyperball(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Louvain-style community detection (graph.louvain: synchronous
+    half-move local phase + contraction, Blondel et al. 2008) CONTRACT
+    query — community labels are algorithmic state no other engine
+    replays, so the gate grades the algorithm's promises instead
+    (the agg_approx_error_bounded pattern): on a deterministic
+    planted-partition graph over the customer keys (40 residue-class
+    communities chained at strides 40 and 80, sparse k%89 bridges
+    between neighbors), the Spark side emits the node count plus
+    whether the per-pass modularity trajectory was monotone
+    non-decreasing and the final Q beats a 0.5 planted floor (the
+    planted partition itself scores ~0.97, so 0.5 tolerates
+    resolution-limit splits/merges while failing any broken gain
+    formula). The oracle recomputes the node count from the same
+    relational edge spelling and asserts both contract booleans
+    literally TRUE."""
+    load(spark, sf_dir)
+    c = spark.table("customer").select(F.col("c_custkey").alias("k"))
+
+    def stride(s: int) -> DataFrame:
+        return (
+            c.alias("x")
+            .join(c.alias("y"), F.col("x.k") + s == F.col("y.k"))
+            .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+        )
+
+    bridges = (
+        c.alias("x")
+        .join(c.alias("y"), F.col("x.k") + 1 == F.col("y.k"))
+        .where(F.col("x.k") % 89 == 0)
+        .select(F.col("x.k").alias("a"), F.col("y.k").alias("b"))
+    )
+    edges = stride(40).unionAll(stride(80)).unionAll(bridges)
+    assign, qs = graph.louvain(edges, passes=2, move_rounds=4)
+    monotone = all(qs[t + 1] >= qs[t] - 1e-9 for t in range(len(qs) - 1))
+    return assign.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+        "n_nodes",
+        F.lit(bool(monotone)).alias("monotone"),
+        F.lit(bool(qs[-1] >= 0.5)).alias("beats_floor"),
+    )
+
+
 def _join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial radius join (geo.radius_join): every (customer, supplier)
     pair within 25 km great-circle distance, on deterministic synthetic
@@ -1958,6 +2000,7 @@ QUERIES = {
     "text_unicode_clean": _text_unicode_clean,
     "events_sliding_distinct": _events_sliding_distinct,
     "graph_harmonic_hyperball": _graph_harmonic_hyperball,
+    "graph_louvain": _graph_louvain,
     "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
@@ -4022,3 +4065,24 @@ SELECT node, ROUND(pr, 8) AS pr FROM r{rounds}
 
 
 ORACLES["graph_pagerank_personalized"] = _ppr_oracle(3)
+
+# Louvain's contract oracle: node count re-derived from the same
+# relational edge spelling; the monotone-Q and planted-floor booleans
+# are the Spark side's own exact recomputation (modularity is evaluated
+# from the assignment, not trusted from the move logic), asserted
+# literally TRUE here.
+ORACLES["graph_louvain"] = """
+WITH k AS (SELECT c_custkey AS k FROM customer),
+e AS (
+  SELECT x.k AS a, y.k AS b FROM k x JOIN k y ON x.k + 40 = y.k
+  UNION ALL
+  SELECT x.k AS a, y.k AS b FROM k x JOIN k y ON x.k + 80 = y.k
+  UNION ALL
+  SELECT x.k AS a, y.k AS b FROM k x JOIN k y ON x.k + 1 = y.k
+  WHERE x.k % 89 = 0
+)
+SELECT count(DISTINCT n) AS n_nodes,
+       TRUE AS monotone,
+       TRUE AS beats_floor
+FROM (SELECT a AS n FROM e UNION SELECT b AS n FROM e)
+"""

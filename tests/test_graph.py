@@ -682,3 +682,70 @@ def test_bellman_ford_early_stop_at_fixpoint(spark, monkeypatch):
     got = {r.node: r.cost for r in bellman_ford(df, seeds, rounds=50).collect()}
     assert got == {0: 0, 1: 2, 2: 4}
     assert calls["n"] == 2 + 3
+
+
+def test_louvain_recovers_planted_cliques(spark):
+    from datafusion_gpu_spark.operators.graph import louvain
+
+    # two 6-cliques joined by one bridge: the planted partition is the
+    # unique modularity optimum (~0.468); Louvain must find exactly it
+    edges = []
+    for base in (0, 100):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.append((base + i, base + j))
+    edges.append((0, 100))
+    df = spark.createDataFrame(edges, "a long, b long")
+    assign, qs = louvain(df, passes=2, move_rounds=4)
+    rows = assign.collect()
+    assert len(rows) == 12 and len({r.node for r in rows}) == 12
+    comms: dict = {}
+    for r in rows:
+        comms.setdefault(r.comm, set()).add(r.node)
+    assert sorted(map(len, comms.values())) == [6, 6]
+    assert {frozenset(v) for v in comms.values()} == {
+        frozenset(range(6)), frozenset(range(100, 106))
+    }
+    # per-pass modularity monotone by construction, ends near optimum
+    assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
+    assert qs[-1] > 0.45
+
+
+def test_louvain_modularity_contract_on_clique_ring(spark):
+    from datafusion_gpu_spark.operators.graph import louvain, modularity
+
+    # 8 5-cliques in a ring — far from the resolution limit, so Louvain
+    # should score close to the planted partition's Q (~0.74)
+    edges = []
+    for c in range(8):
+        base = c * 10
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append((base + i, base + j))
+        edges.append((base, ((c + 1) % 8) * 10))  # ring bridge
+    df = spark.createDataFrame(edges, "a long, b long")
+    assign, qs = louvain(df, passes=2, move_rounds=4)
+    assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
+    assert qs[-1] >= 0.55
+    assert assign.count() == 40
+
+
+def test_louvain_weighted_merges_across_heavy_bridge(spark):
+    from datafusion_gpu_spark.operators.graph import louvain
+
+    # two triangles tied by a weight-100 bridge: the planted two-triangle
+    # split scores Q ~ -0.44, while pairing the bridge endpoints (and the
+    # triangle remnants) scores Q ~ +0.0355 — the weighted gain must pull
+    # the heavy bridge's endpoints into ONE community, which the
+    # unweighted reading of the same graph would never do
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (0, 2, 1.0),
+             (10, 11, 1.0), (11, 12, 1.0), (10, 12, 1.0),
+             (0, 10, 100.0)]
+    df = spark.createDataFrame(edges, "a long, b long, w double")
+    assign, qs = louvain(df, passes=3, move_rounds=4, weight="w")
+    bridge_comms = {
+        r.comm for r in assign.where(F.col("node").isin(0, 10)).collect()
+    }
+    assert len(bridge_comms) == 1  # the heavy bridge's endpoints unite
+    assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
+    assert qs[-1] > 0.0  # beats both the split (-0.44) and the full merge (0)
