@@ -647,6 +647,7 @@ def bellman_ford(
     a: str = "a",
     b: str = "b",
     w: str = "w",
+    work: dict | None = None,
 ) -> DataFrame:
     """(node, cost) minimum total edge WEIGHT over undirected paths of
     at most ``rounds`` edges from the seed set — k-hop Bellman-Ford
@@ -664,6 +665,12 @@ def bellman_ford(
     DECREASE costs, so an unchanged (count, sum-of-costs) pair —
     computed on the just-materialized checkpoint, exact on integer
     weights — certifies a fixpoint and skips the remaining rounds.
+
+    ``work`` (optional dict) accumulates the relaxation work actually
+    paid — ``relaxed_rows`` (label rows driven through relax joins)
+    and ``rounds`` — from the SAME per-round scalars the fixpoint
+    check already collects (no extra jobs); the delta-stepping A/B
+    probe reads it.
     """
     from datafusion_gpu_spark.operators.util import lineage_truncator
 
@@ -682,6 +689,9 @@ def bellman_ford(
     ).collect()[0]
     prev = (stats["n"], stats["s"])
     for _ in range(rounds):
+        if work is not None:
+            work["relaxed_rows"] = work.get("relaxed_rows", 0) + prev[0]
+            work["rounds"] = work.get("rounds", 0) + 1
         cand = adj.join(dist.withColumnRenamed("node", "s"), "s").select(
             F.col("d").alias("node"), (F.col("cost") + F.col("w")).alias("cost")
         )
@@ -899,3 +909,114 @@ def louvain(
     if membership is None:
         membership = deg.select("node", F.col("node").alias("comm"))
     return membership, qs
+
+
+def delta_stepping(
+    edges: DataFrame,
+    seeds: DataFrame,
+    delta: int = 3,
+    max_buckets: int = 64,
+    light_rounds: int = 16,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    work: dict | None = None,
+) -> DataFrame:
+    """(node, cost) EXACT single-source (seed-set) shortest paths over
+    the undirected weighted graph — delta-stepping (Meyer & Sanders
+    2003), the bucketed refinement of :func:`bellman_ford` its
+    docstring names: tentative distances are processed in buckets of
+    width ``delta``; inside the current bucket only LIGHT edges
+    (w <= delta) relax, repeatedly, over the just-improved frontier
+    (a light relaxation cannot escape the bucket's settled prefix),
+    then HEAVY edges (w > delta) relax ONCE from the whole bucket.
+    Plain Bellman-Ford re-relaxes EVERY labeled node every round, so
+    on wide-weight graphs its total relaxation work is
+    rounds x |labeled|; delta-stepping touches each node only while
+    it sits in the active bucket — the published distributed SSSP
+    work-bound fix when the weight spread makes full relaxation
+    wasteful. delta = max weight degenerates to Bellman-Ford;
+    delta = 1 on unit weights degenerates to Dijkstra/BFS.
+
+    Per step: one keyed equality join (frontier x light/heavy
+    adjacency) + one min aggregation + one improvement anti-check
+    against the current labels, all checkpoint-truncated. Driver
+    traffic per step is a 3-scalar (frontier count, label count+sum)
+    fixpoint certificate — the bellman_ford pattern, never data.
+    Buckets advance until the bucket floor passes the current maximum
+    tentative cost, which certifies every label settled (costs only
+    decrease; a settled bucket can never be re-opened because any
+    path through a later bucket is already >= its floor).
+
+    ``work`` (optional dict) accumulates ``relaxed_rows`` (frontier/
+    bucket rows driven through relax joins) and ``rounds`` so the A/B
+    probe can compare the work bound against :func:`bellman_ford`'s;
+    collecting it turns the emptiness probe into a count, so leave it
+    None in production.
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    fwd = edges.select(F.col(a).alias("s"), F.col(b).alias("d"), F.col(w).alias("w"))
+    rev = edges.select(F.col(b).alias("s"), F.col(a).alias("d"), F.col(w).alias("w"))
+    adj = ckpt(fwd.unionAll(rev).where(F.col("s") != F.col("d")).distinct())
+    light = ckpt(adj.where(F.col("w") <= delta))
+    heavy = ckpt(adj.where(F.col("w") > delta))
+    node = seeds.columns[0]
+    dist = ckpt(
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+    )
+
+    def relax(frontier: DataFrame, rel: DataFrame, cur: DataFrame):
+        """Candidates one hop from ``frontier`` through ``rel`` that
+        strictly improve ``cur`` labels: (node, cost) improvements."""
+        cand = (
+            rel.join(frontier.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min(F.col("cost") + F.col("w")).alias("cost"))
+        )
+        old = cur.select("node", F.col("cost").alias("__old__"))
+        return (
+            cand.join(old, "node", "left")
+            .where(F.col("__old__").isNull() | (F.col("cost") < F.col("__old__")))
+            .select("node", "cost")
+        )
+
+    for bucket in range(max_buckets):
+        lo = bucket * delta
+        hi = lo + delta
+        in_bucket = (F.col("cost") >= lo) & (F.col("cost") < hi)
+        frontier = dist.where(in_bucket)
+        for _ in range(light_rounds):
+            if work is not None:
+                nf = frontier.count()
+                if nf == 0:
+                    break
+                work["relaxed_rows"] = work.get("relaxed_rows", 0) + nf
+                work["rounds"] = work.get("rounds", 0) + 1
+            elif not frontier.take(1):
+                break
+            improved = relax(frontier, light, dist)
+            dist = ckpt(
+                dist.unionAll(improved)
+                .groupBy("node")
+                .agg(F.min("cost").alias("cost"))
+            )
+            # only improvements that landed INSIDE the bucket re-relax;
+            # the rest wait for their own bucket
+            frontier = improved.where(in_bucket)
+        bucket_nodes = dist.where(in_bucket)
+        if work is not None:
+            nb = bucket_nodes.count()
+            work["relaxed_rows"] = work.get("relaxed_rows", 0) + nb
+            work["rounds"] = work.get("rounds", 0) + 1
+        improved = relax(bucket_nodes, heavy, dist)
+        dist = ckpt(
+            dist.unionAll(improved).groupBy("node").agg(F.min("cost").alias("cost"))
+        )
+        top = dist.agg(F.max("cost").alias("mx")).first()["mx"]
+        if top is not None and top < hi:
+            break  # every label below the next bucket floor: all settled
+    return dist

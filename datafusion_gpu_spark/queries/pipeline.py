@@ -1376,6 +1376,29 @@ def _graph_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.bellman_ford(e, seeds, rounds=4)
 
 
+def _graph_delta_stepping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-stepping EXACT seed-set shortest paths
+    (graph.delta_stepping, delta=3) over the sparse co-purchase graph
+    with deterministic integer weights spread 1..9 ((a*7+b) % 9 + 1 —
+    wide enough that the light/heavy split is exercised: w <= 3 relaxes
+    iteratively inside the bucket, w > 3 once per bucket). Unlike
+    graph_bellman_ford's k-hop bound, this runs to the settled
+    fixpoint, so the oracle is the UNROLLED Bellman-Ford relaxation
+    (generated chained CTEs, min-merge per round) taken far past the
+    graph's hop radius — both sides exact on integer weights."""
+    load(spark, sf_dir)
+    e = _sparse_copurchase_edges(spark).select(
+        "a", "b", ((F.col("a") * 7 + F.col("b")) % 9 + 1).cast("long").alias("w")
+    )
+    seeds = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .where(F.col("node") % 97 == 0)
+        .distinct()
+    )
+    return graph.delta_stepping(e, seeds, delta=3)
+
+
 def _graph_harmonic_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact harmonic centrality truncated at 4 hops
     (graph.harmonic_exact over graph.all_pairs_distances) on the sparse
@@ -2001,6 +2024,7 @@ QUERIES = {
     "events_sliding_distinct": _events_sliding_distinct,
     "graph_harmonic_hyperball": _graph_harmonic_hyperball,
     "graph_louvain": _graph_louvain,
+    "graph_delta_stepping": _graph_delta_stepping,
     "join_geo_radius": _join_geo_radius,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
@@ -4086,3 +4110,45 @@ SELECT count(DISTINCT n) AS n_nodes,
        TRUE AS beats_floor
 FROM (SELECT a AS n FROM e UNION SELECT b AS n FROM e)
 """
+
+
+def _delta_stepping_oracle(rounds: int = 24) -> str:
+    """Unrolled Bellman-Ford fixpoint replaying graph_delta_stepping:
+    each generated CTE is one full relaxation (labels min-merged with
+    one-hop extensions), chained ``rounds`` deep — far past the gate
+    graph's shortest-path hop radius, so the final relation IS the
+    exact seed-set shortest paths delta-stepping computes (integer
+    weights keep both engines exact; a RECURSIVE CTE would have to
+    enumerate paths, which explodes on a weighted graph with no hop
+    bound)."""
+    parts = ["""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+adj AS MATERIALIZED (
+  SELECT a AS s, b AS d, (a * 7 + b) % 9 + 1 AS w FROM e0
+  UNION
+  SELECT b AS s, a AS d, (a * 7 + b) % 9 + 1 AS w FROM e0
+),
+d0 AS MATERIALIZED (
+  SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS cost
+  FROM adj WHERE s % 97 = 0
+)"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+d{r} AS MATERIALIZED (
+  SELECT node, MIN(cost) AS cost FROM (
+    SELECT node, cost FROM d{r - 1}
+    UNION ALL
+    SELECT adj.d AS node, d{r - 1}.cost + adj.w AS cost
+    FROM d{r - 1} JOIN adj ON adj.s = d{r - 1}.node
+  ) GROUP BY node
+)""")
+    parts.append(f"\nSELECT node, cost FROM d{rounds}")
+    return "".join(parts)
+
+
+ORACLES["graph_delta_stepping"] = _delta_stepping_oracle(24)

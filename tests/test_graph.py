@@ -749,3 +749,38 @@ def test_louvain_weighted_merges_across_heavy_bridge(spark):
     assert len(bridge_comms) == 1  # the heavy bridge's endpoints unite
     assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
     assert qs[-1] > 0.0  # beats both the split (-0.44) and the full merge (0)
+
+
+def test_delta_stepping_exact_on_wide_weight_random_graph(spark):
+    # parity with the Bellman-Ford fixpoint on a seeded random graph
+    # whose weight spread (1..12) exercises the light/heavy split
+    import random
+
+    from datafusion_gpu_spark.operators.graph import bellman_ford, delta_stepping
+
+    random.seed(11)
+    n = 40
+    edges = [
+        (random.randrange(n), random.randrange(n),
+         random.choice([1, 2, 3, 4, 5, 9, 12]))
+        for _ in range(100)
+    ]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    seeds = spark.createDataFrame([(0,), (7,)], "node long")
+    bf = {r.node: r.cost for r in bellman_ford(df, seeds, rounds=30).collect()}
+    ds = {r.node: r.cost for r in delta_stepping(df, seeds, delta=4).collect()}
+    assert ds == bf
+
+
+def test_delta_stepping_cheap_detour_beyond_hop_bounds(spark):
+    # 0 -> 3 direct costs 10 (heavy); the light 3-edge detour costs 3.
+    # delta-stepping has no hop bound, so the detour must win — and the
+    # heavy direct edge must still relax nodes the light graph misses
+    from datafusion_gpu_spark.operators.graph import delta_stepping
+
+    edges = [(0, 3, 10), (0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 9, 20)]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.cost for r in delta_stepping(df, seeds, delta=2).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 23}

@@ -422,6 +422,58 @@ def probe_bfs(spark, sizes: list[int]) -> None:
         edges.unpersist()
 
 
+def probe_deltastep(spark, sizes: list[int]) -> None:
+    """Delta-stepping vs plain Bellman-Ford A/B on WIDE-weight random
+    graphs (w in 1..100, delta=20): both compute the exact seed-set
+    shortest paths; the A/B compares wall clock and, more importantly
+    at scale, the relaxation WORK — Bellman-Ford re-relaxes every
+    labeled node every round, delta-stepping only the active bucket's
+    frontier, which is the published work bound that matters when the
+    weight spread stretches the fixpoint over many rounds."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import bellman_ford, delta_stepping
+
+    for n_edges in sizes:
+        n_nodes = max(n_edges // 4, 10)
+        edges = (
+            spark.range(n_edges)
+            .select(
+                (F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("a"),
+                (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF)) % n_nodes).alias("b"),
+                (F.xxhash64("id", F.lit(2)).bitwiseAND(F.lit(0x7FFFFFFF)) % 100 + 1).alias("w"),
+            )
+            .where(F.col("a") != F.col("b"))
+            .repartition(32)
+            .cache()
+        )
+        edges.count()
+        seeds = spark.range(3).select((F.col("id") * 7919 % n_nodes).alias("node"))
+        w_bf: dict = {}
+        w_ds: dict = {}
+        t0 = _t.perf_counter()
+        bf = bellman_ford(edges, seeds, rounds=40, work=w_bf)
+        n_bf, sum_bf = bf.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
+        t_bf = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        ds = delta_stepping(edges, seeds, delta=20, max_buckets=64, work=w_ds)
+        n_ds, sum_ds = ds.agg(F.count(F.lit(1)), F.sum("cost")).collect()[0]
+        t_ds = _t.perf_counter() - t0
+        assert (n_bf, sum_bf) == (n_ds, sum_ds), ((n_bf, sum_bf), (n_ds, sum_ds))
+        print(
+            f"edges={n_edges} nodes~{n_nodes} labeled={n_ds} | "
+            f"bellman_ford {t_bf:.1f}s rounds={w_bf.get('rounds')} "
+            f"relaxed_rows={w_bf.get('relaxed_rows'):,} | "
+            f"delta_stepping {t_ds:.1f}s rounds={w_ds.get('rounds')} "
+            f"relaxed_rows={w_ds.get('relaxed_rows'):,} "
+            f"(identical costs, sum={sum_ds})",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def probe_ivm(spark, sizes: list[int]) -> None:
     """Incremental view maintenance vs full recompute as the base fact
     history grows with a FIXED 200k-row delta. The claim under test:
@@ -586,7 +638,7 @@ def probe_hyperball(spark, sizes: list[int]) -> None:
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -619,6 +671,9 @@ def main() -> int:
         return 0
     if op == "bfs":
         probe_bfs(spark, sizes if args else [500_000, 2_000_000])
+        return 0
+    if op == "deltastep":
+        probe_deltastep(spark, sizes if args else [200_000, 1_000_000])
         return 0
     if op == "ivm":
         probe_ivm(spark, sizes if args else [100_000_000, 1_000_000_000])
