@@ -1120,3 +1120,53 @@ def kneser_ney_score(
             F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
         )
     )
+
+
+#: syllable inventory for the synthetic wide-vocab corpus: 70 CV pairs,
+#: the base of the rank -> word positional encoding below.
+_SYLLABLES = [c + v for c in "bdfgklmnprstvz" for v in "aeiou"]
+
+
+def synthetic_zipf_corpus(
+    spark,
+    vocab_size: int = 50_000,
+    n_tokens: int = 2_000_000,
+) -> DataFrame:
+    """(doc_id, text) seeded synthetic corpus with a WIDE vocabulary and
+    a Zipf(s=1) frequency profile — the fidelity harness the driver's
+    sf documents corpus provably cannot be (31 distinct words, BPE
+    saturates at 90 merges; tools/bpe_divergence_probe.py): with tens
+    of thousands of distinct words sharing syllable structure, BPE
+    training stays meaningful for thousands of merges.
+
+    Construction is pure JVM arithmetic, deterministic, no data files:
+    token ``id``'s word RANK is sampled log-uniformly (P(rank) ~ 1/rank,
+    i.e. Zipf s=1) via rank = floor(V^u) with u a 40-bit xxhash64
+    fraction of the id; the word STRING is the rank's base-70 positional
+    encoding over the syllable inventory (no leading zeros), so distinct
+    ranks give distinct words, frequent words come out shorter (as in
+    natural language), and all words share subword structure for merges
+    to exploit.
+    """
+    b = len(_SYLLABLES)
+    if vocab_size > b * b * b:
+        raise ValueError(f"vocab_size must be <= {b ** 3}")
+    syl = F.array(*[F.lit(s) for s in _SYLLABLES])
+    u = F.xxhash64("id").bitwiseAND(F.lit((1 << 40) - 1)) / F.lit(
+        float(1 << 40)
+    )
+    rank = F.least(
+        F.lit(vocab_size),
+        F.pow(F.lit(float(vocab_size)), u).cast("long") + 1,
+    )
+    d0 = rank % b
+    d1 = F.floor(rank / b) % b
+    d2 = F.floor(rank / (b * b))
+    word = F.concat(
+        F.when(d2 > 0, F.element_at(syl, (d2 + 1).cast("int"))).otherwise(F.lit("")),
+        F.when((d2 > 0) | (d1 > 0), F.element_at(syl, (d1 + 1).cast("int"))).otherwise(F.lit("")),
+        F.element_at(syl, (d0 + 1).cast("int")),
+    )
+    return spark.range(n_tokens).select(
+        F.col("id").alias("doc_id"), word.alias("text")
+    )

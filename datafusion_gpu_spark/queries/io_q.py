@@ -640,6 +640,54 @@ GROUP BY o_custkey
 """
 
 
+def _incremental_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-view spelling of io_incremental_agg: the stored
+    view is persisted bucketBy(custkey) (io.write_bucketed — the same
+    machinery io_bucketed_join plan-asserts) and maintained from the
+    TABLE, so the full-outer maintenance join reads the view side
+    pre-partitioned and shuffles ONLY the delta (plan pinned by
+    tests/test_plans.py::test_incremental_agg_bucketed_view_skips_view_exchange;
+    wall measured in SCALE.md Round-7 probes: −40% at a 20M-key view).
+    Semantics are identical to the plain spelling, so it shares the
+    recompute-from-scratch oracle — this row is the driver's evidence
+    that the layout optimization does not change the algebra."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.io import write_bucketed
+    from datafusion_gpu_spark.operators.layout import incremental_agg
+
+    load(spark, sf_dir)
+    orders = spark.table("orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    cut, end = F.lit("1997-01-01").cast("date"), F.lit("1998-01-01").cast("date")
+    view = (
+        orders.where(F.col("o_orderdate") < cut)
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum(cents).alias("total"))
+    )
+    write_bucketed(view, "gate_ivm_view_bucketed", ["custkey"], num_buckets=8)
+    inserts = orders.where(
+        (F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < end)
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("val"),
+        F.lit(1).alias("sign"),
+    )
+    deletes = orders.where(
+        (F.col("o_orderdate") < cut) & (F.col("o_orderpriority") == "1-URGENT")
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        cents.alias("val"),
+        F.lit(-1).alias("sign"),
+    )
+    return incremental_agg(
+        spark.table("gate_ivm_view_bucketed"),
+        inserts.unionAll(deletes),
+        "custkey",
+        "val",
+    )
+
+
 def _streaming_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of io_incremental_agg — the changelog applied in 4
     micro-batches through foreachBatch read-modify-write with versioned
@@ -657,6 +705,7 @@ QUERIES = {
     "io_snapshot_diff": _snapshot_diff,
     "io_time_travel": _time_travel,
     "io_incremental_agg": _incremental_agg,
+    "io_incremental_agg_bucketed": _incremental_agg_bucketed,
     "streaming_incremental_agg": _streaming_incremental_agg,
     "io_copy_to_sql": _copy_to_sql,
     "io_schema_evolution": _schema_evolution,
@@ -677,6 +726,7 @@ ORACLES = {
     "io_snapshot_diff": _SNAPSHOT_DIFF_DUCK,
     "io_time_travel": _TIME_TRAVEL_DUCK,
     "io_incremental_agg": _INCREMENTAL_AGG_DUCK,
+    "io_incremental_agg_bucketed": _INCREMENTAL_AGG_DUCK,
     "streaming_incremental_agg": _INCREMENTAL_AGG_DUCK,
     "io_partitioned_parquet": _PARTITIONED_DUCK,
     "io_bucketed_join": _BUCKETED_JOIN_DUCK,

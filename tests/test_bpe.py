@@ -170,3 +170,56 @@ def test_bpe_encode_with_batched_merges_conserves_chars(spark):
     out = {r["doc_id"]: r for r in bpe_encode(docs, merges).collect()}
     for i, t in enumerate(texts):
         assert "".join(out[i]["tokens"]) == t.lower().replace(" ", "")
+
+
+def test_synthetic_zipf_corpus_is_wide_deterministic_and_injective(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.text import synthetic_zipf_corpus
+
+    docs = synthetic_zipf_corpus(spark, vocab_size=2_000, n_tokens=50_000)
+    a = docs.agg(
+        F.countDistinct("text").alias("v"), F.count(F.lit(1)).alias("n")
+    ).first()
+    assert a["n"] == 50_000
+    # wide vocabulary: the driver corpus has 31 distinct words; this one
+    # must realize (nearly) its whole 2k-word target under Zipf sampling
+    assert a["v"] > 1_500
+    # deterministic: same seedless arithmetic -> same corpus
+    b = synthetic_zipf_corpus(spark, vocab_size=2_000, n_tokens=50_000)
+    assert docs.exceptAll(b).count() == 0 and b.exceptAll(docs).count() == 0
+    # frequency profile is Zipf-ish: the top word dominates the median
+    freqs = (
+        docs.groupBy("text").count().orderBy(F.col("count").desc())
+        .select("count").limit(1000).collect()
+    )
+    assert freqs[0]["count"] > 20 * freqs[500]["count"]
+
+
+def test_bpe_widevocab_batched_fidelity(spark):
+    # the in-test wide-vocab fidelity check the 31-word driver corpus
+    # cannot host (it saturates at 90 merges): on a 2k-word Zipf corpus,
+    # batched training to 128 merges must stay within a few percent of
+    # exact training on the consumer-facing number — the encoded token
+    # count — while using ~16x fewer distributed rounds
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.text import (
+        bpe_encode,
+        bpe_train,
+        synthetic_zipf_corpus,
+    )
+
+    docs = synthetic_zipf_corpus(spark, vocab_size=2_000, n_tokens=50_000).cache()
+    try:
+        exact = bpe_train(docs, num_merges=128, merge_batch=1)
+        batched = bpe_train(docs, num_merges=128, merge_batch=16)
+        assert len(exact) == len(batched) == 128
+        n_exact = bpe_encode(docs, exact).agg(F.sum("n_tokens")).first()[0]
+        n_batch = bpe_encode(docs, batched).agg(F.sum("n_tokens")).first()[0]
+        assert n_batch <= n_exact * 1.10, (n_exact, n_batch)
+        # both compress: far fewer tokens than the raw symbol count
+        n_chars = docs.agg(F.sum(F.length("text"))).first()[0]
+        assert n_exact < 0.75 * n_chars
+    finally:
+        docs.unpersist()
