@@ -669,3 +669,74 @@ def mad_anomalies(
             ),
         )
     )
+
+
+def cusum_alarms(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key one-sided CUSUM drift detection (Page 1954) over the
+    time-ordered value stream — the standard change-point monitor a
+    training-data pipeline runs over ingest telemetry (a source whose
+    quality score / doc length / dedup rate drifts upward past h
+    sigmas should alarm long before a fixed threshold fires):
+
+        y_i = x_i - mean(key) - k          (k = k_sigmas * stddev)
+        S_i = max(0, S_{i-1} + y_i)        (alarm when S_i > h)
+
+    The recursion LOOKS sequential, but has the exact closed form
+    S_i = cumsum(y)_i - min(0, running_min(cumsum(y))) — so it is two
+    window functions over (key ORDER BY ts, id), fully parallel across
+    keys. One shuffle on the key; the per-key (mean, stddev) baseline
+    is a broadcast join of a |keys|-row aggregate.
+
+    Arithmetic is INTEGER-EXACT by construction: values scale to
+    ``scale`` units (cents by default) and the baseline mean and the
+    k/h offsets quantize to the same units ONCE, so the cumulative
+    sums, the running minima and every alarm decision are bigint
+    operations that any SQL engine replays bit-for-bit — no
+    accumulation-order noise can reach a threshold (a float spelling
+    measurably diverged from DuckDB's segment-tree window sums in the
+    6th decimal).
+
+    Returns one row per key: events seen, alarm count, the peak CUSUM
+    statistic in scaled units, and the first alarm's event id.
+    """
+    from pyspark.sql import Window
+
+    xq = F.round(F.col(val_col) * scale).cast("long")
+    stats = events.groupBy(key_col).agg(
+        F.round(F.avg(xq)).cast("long").alias("__mu__"),
+        F.round(F.lit(k_sigmas) * F.stddev_pop(xq)).cast("long").alias("__k__"),
+        F.round(F.lit(h_sigmas) * F.stddev_pop(xq)).cast("long").alias("__h__"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    y = xq - F.col("__mu__") - F.col("__k__")
+    scored = (
+        events.join(F.broadcast(stats), key_col)
+        .withColumn("__c__", F.sum(y).over(w))
+        .withColumn(
+            "__s__",
+            F.col("__c__") - F.least(F.lit(0).cast("long"), F.min("__c__").over(w)),
+        )
+        .withColumn(
+            "__alarm__",
+            (F.col("__h__") > 0) & (F.col("__s__") > F.col("__h__")),
+        )
+    )
+    return scored.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("__alarm__").cast("int")).alias("n_alarms"),
+        F.max("__s__").alias("peak_cusum"),
+        F.min(F.when(F.col("__alarm__"), F.col(id_col))).alias("first_alarm_id"),
+    )

@@ -1040,6 +1040,24 @@ def _events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.mad_anomalies(spark.table("events"), k=3.0)
 
 
+def _events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM drift detection (events.cusum_alarms,
+    Page 1954) over the purchase value stream — the change-point
+    monitor an ingest pipeline runs over per-source telemetry. The
+    sequential-looking recursion S_i = max(0, S_{i-1} + y_i) is
+    spelled via its exact closed form (cumsum minus running-min of
+    cumsum), i.e. two window functions over (user ORDER BY ts,
+    event_id) — fully parallel across users and replayed bit-for-bit
+    by the oracle (the per-user mean/stddev baseline rounds to 6
+    before use, so no parallel-aggregation accumulation-order noise
+    reaches a threshold decision)."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.cusum_alarms(purchases)
+
+
 def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability scoring (text.readability) with the
     vowel-group syllable proxy — pure codegen expressions, no shuffle,
@@ -2031,6 +2049,7 @@ QUERIES = {
     "multimodal_resize": _multimodal_resize,
     "events_histogram": _events_histogram,
     "events_anomaly_mad": _events_anomaly_mad,
+    "events_changepoint_cusum": _events_changepoint_cusum,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
     "text_bigram_lm": _text_bigram_lm,
@@ -4152,3 +4171,45 @@ d{r} AS MATERIALIZED (
 
 
 ORACLES["graph_delta_stepping"] = _delta_stepping_oracle(24)
+
+# CUSUM's oracle replays the closed form S = cumsum - min(0, running
+# min of cumsum) over the identical deterministic (ts, event_id) order,
+# in INTEGER cents with the baseline quantized once — every cumulative
+# sum and alarm decision is exact bigint arithmetic on both engines.
+ORACLES["events_changepoint_cusum"] = """
+WITH base AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS xq
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+stats AS (
+  SELECT user_id,
+         CAST(ROUND(avg(xq)) AS BIGINT) AS mu,
+         CAST(ROUND(0.5 * stddev_pop(xq)) AS BIGINT) AS k,
+         CAST(ROUND(4.0 * stddev_pop(xq)) AS BIGINT) AS h
+  FROM base GROUP BY user_id
+),
+c AS (
+  SELECT b.user_id, b.event_id, b.ts, s.h,
+         SUM(b.xq - s.mu - s.k) OVER (
+           PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
+  FROM base b JOIN stats s USING (user_id)
+),
+s AS (
+  SELECT user_id, event_id, h,
+         cs - LEAST(CAST(0 AS BIGINT), MIN(cs) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
+  FROM c
+)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN h > 0 AND st > h THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       CAST(MAX(st) AS BIGINT) AS peak_cusum,
+       MIN(CASE WHEN h > 0 AND st > h THEN event_id END) AS first_alarm_id
+FROM s
+GROUP BY user_id
+"""

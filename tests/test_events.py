@@ -1,0 +1,45 @@
+"""Event-stream change-point detection (events.cusum_alarms)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+def test_cusum_alarms_planted_drift_and_closed_form(spark):
+    from datafusion_gpu_spark.operators.events import cusum_alarms
+
+    # user "drift": 30 stable values ~10.00 then 20 at 13.00 (a 3-unit
+    # upward shift); user "flat": stable throughout. CUSUM must alarm
+    # on drift (after the shift), never on flat.
+    rows = []
+    for i in range(30):
+        rows.append(("drift", i, f"2024-01-01 00:{i:02d}:00", 10.0 + (i % 3) * 0.01))
+    for i in range(30, 50):
+        rows.append(("drift", i, f"2024-01-01 00:{i:02d}:00", 13.0 + (i % 3) * 0.01))
+    for i in range(50):
+        rows.append(("flat", 100 + i, f"2024-01-01 00:{i % 60:02d}:{i // 60:02d}", 10.0 + (i % 3) * 0.01))
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts_s string, value double"
+    ).select("user_id", "event_id",
+             F.col("ts_s").cast("timestamp").alias("ts"), "value")
+    got = {r.user_id: r for r in cusum_alarms(df).collect()}
+    assert got["drift"].n_alarms > 0
+    assert got["flat"].n_alarms == 0
+    assert got["drift"].first_alarm_id >= 30  # alarms only after the shift
+
+    # closed form == the naive sequential recursion, replayed in python
+    import statistics as st
+
+    drift_vals = [int(round(v * 100)) for (_, _, _, v) in rows[:50]]
+    mu = round(sum(drift_vals) / len(drift_vals))
+    sd = st.pstdev(drift_vals)
+    k, h = round(0.5 * sd), round(4.0 * sd)
+    s_stat, peak, alarms, first = 0, 0, 0, None
+    for eid, x in enumerate(drift_vals):
+        s_stat = max(0, s_stat + x - mu - k)
+        peak = max(peak, s_stat)
+        if h > 0 and s_stat > h:
+            alarms += 1
+            first = eid if first is None else first
+    assert got["drift"].n_alarms == alarms
+    assert got["drift"].peak_cusum == peak
+    assert got["drift"].first_alarm_id == first
