@@ -1170,3 +1170,33 @@ def synthetic_zipf_corpus(
     return spark.range(n_tokens).select(
         F.col("id").alias("doc_id"), word.alias("text")
     )
+
+
+def hashing_vectorizer(
+    docs: DataFrame,
+    dim: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc, bucket, tf) sparse bag-of-words features via the hashing
+    trick (Weinberger et al. 2009) — the fixed-dimension, vocabulary-
+    free featurizer classifiers/dedup-prefilters use at corpus scale
+    (no vocabulary table to build, broadcast, or keep consistent across
+    corpus versions; collisions are the accepted trade).
+
+    Pure JVM: normalize -> split -> md5-derived 60-bit word hash
+    (dedup.word_hash60, the portable hash every oracle can replay
+    bit-for-bit) mod ``dim`` -> one (doc, bucket) hash aggregation.
+    ONE shuffle, map-side combined; output rows are bounded by
+    min(words-per-doc, dim) per document, so the featurized relation
+    is never wider than the corpus itself.
+    """
+    from datafusion_gpu_spark.operators.dedup import word_hash60
+
+    words = docs.select(
+        id_col,
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).where(F.col("w") != "")
+    return words.groupBy(
+        F.col(id_col), (word_hash60(F.col("w")) % dim).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("tf"))

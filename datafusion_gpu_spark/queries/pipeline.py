@@ -1058,6 +1058,17 @@ def _events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cusum_alarms(purchases)
 
 
+def _text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words featurization
+    (text.hashing_vectorizer, dim=64): vocabulary-free fixed-dimension
+    sparse term frequencies over the md5-derived portable word hash —
+    one map-side-combined (doc, bucket) aggregation, no Python, no
+    vocabulary broadcast. The oracle rebuilds every bucket id and
+    count from the same normalize/split/md5 spelling."""
+    load(spark, sf_dir)
+    return text.hashing_vectorizer(spark.table("documents"), dim=64)
+
+
 def _text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch-style readability scoring (text.readability) with the
     vowel-group syllable proxy — pure codegen expressions, no shuffle,
@@ -2050,6 +2061,7 @@ QUERIES = {
     "events_histogram": _events_histogram,
     "events_anomaly_mad": _events_anomaly_mad,
     "events_changepoint_cusum": _events_changepoint_cusum,
+    "text_hashing_vectorizer": _text_hashing_vectorizer,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
     "text_bigram_lm": _text_bigram_lm,
@@ -4212,4 +4224,17 @@ SELECT user_id,
        MIN(CASE WHEN h > 0 AND st > h THEN event_id END) AS first_alarm_id
 FROM s
 GROUP BY user_id
+"""
+
+# The hashing-trick oracle rebuilds the portable 60-bit md5 word hash
+# (dedup.word_hash60's documented DuckDB mirror) and the same
+# normalize/split tokenization, so every (doc, bucket, tf) row is exact.
+ORACLES["text_hashing_vectorizer"] = f"""
+SELECT doc_id,
+       CAST('0x' || substring(md5(word), 1, 15) AS BIGINT) % 64 AS bucket,
+       COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
+      FROM documents)
+WHERE word <> ''
+GROUP BY doc_id, bucket
 """

@@ -404,3 +404,27 @@ def test_kneser_ney_probabilities_sum_and_closed_form(spark):
     # the rare-but-promiscuous word scores better than raw freq implies:
     # c's probability includes the full continuation weight
     assert got[3][1] > got[1][1]
+
+
+def test_hashing_vectorizer_buckets_counts_and_bounds(spark):
+    import hashlib
+
+    from datafusion_gpu_spark.operators.text import hashing_vectorizer
+
+    docs = spark.createDataFrame(
+        [(1, "The  cat and the cat"), (2, "dog"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = hashing_vectorizer(docs, dim=16)
+    rows = {(r.doc_id, r.bucket): r.tf for r in out.collect()}
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 16
+
+    # "the cat and the cat": the=2, cat=2, and=1 (normalized lowercase)
+    assert rows[(1, bucket("the"))] == 2
+    assert rows[(1, bucket("cat"))] == 2
+    assert rows[(1, bucket("and"))] == 1
+    assert rows[(2, bucket("dog"))] == 1
+    assert all(0 <= b < 16 for (_, b) in rows)
+    assert not any(d == 3 for (d, _) in rows)  # NULL text -> no features
