@@ -786,7 +786,13 @@ def louvain(
     """
     from datafusion_gpu_spark.operators.util import lineage_truncator
 
-    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    # reset_stats: each round references the previous assignment in
+    # several join branches, so preserved checkpoint statistics compound
+    # geometrically and stall the planner in BigInt arithmetic after a
+    # dozen rounds (see util.stats_barrier); every join this operator
+    # wants broadcast carries an explicit hint, so losing auto-broadcast
+    # costs nothing
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext, reset_stats=True)
     wcol = F.col(weight).cast("double") if weight else F.lit(1.0)
     und = edges.select(
         F.least(F.col(a), F.col(b)).alias("i"),

@@ -784,3 +784,44 @@ def test_delta_stepping_cheap_detour_beyond_hop_bounds(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     got = {r.node: r.cost for r in delta_stepping(df, seeds, delta=2).collect()}
     assert got == {0: 0, 1: 1, 2: 2, 3: 3, 9: 23}
+
+
+def test_stats_barrier_preserves_data_and_resets_size_stats(spark):
+    # checkpoints PRESERVE origin sizeInBytes; operators whose rounds
+    # reference the previous checkpoint in multiple join branches need
+    # the barrier or the BigInt stat compounds geometrically (louvain
+    # pass 3 measured 87 s of pure BigInteger stats arithmetic)
+    from datafusion_gpu_spark.operators.util import stats_barrier
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS y").localCheckpoint()
+    through = stats_barrier(df)
+    assert through.schema == df.schema
+    assert sorted(r.id for r in through.collect()) == list(range(100))
+    ckpt_size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    reset_size = int(
+        through._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    assert ckpt_size < 1 << 20          # checkpoint kept the real (tiny) size
+    assert reset_size > 1 << 60         # barrier reset to the default
+
+
+def test_louvain_many_passes_terminate_quickly(spark):
+    # regression for the geometric stats compounding: 5 passes x 4 move
+    # rounds on a 2k-node planted graph must complete in seconds (the
+    # unbarriered spelling stalls the PLANNER for minutes from ~round 12)
+    import time
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import louvain
+
+    ids = spark.range(2000)
+    e1 = ids.where(F.col("id") + 20 < 2000).select(
+        F.col("id").alias("a"), (F.col("id") + 20).alias("b"))
+    e2 = ids.where((F.col("id") % 89 == 0) & (F.col("id") + 1 < 2000)).select(
+        F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+    t0 = time.perf_counter()
+    assign, qs = louvain(e1.unionAll(e2), passes=5, move_rounds=4)
+    assert assign.count() == 2000
+    assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
+    assert time.perf_counter() - t0 < 120

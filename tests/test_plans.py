@@ -480,3 +480,25 @@ def test_incremental_agg_bucketed_view_skips_view_exchange(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         spark.sql("DROP TABLE IF EXISTS b_view")
+
+
+def test_cusum_is_broadcast_stats_plus_one_key_window(spark):
+    # the per-key baseline joins back as a BROADCAST (a |keys|-row
+    # aggregate must never shuffle the event stream twice), the CUSUM
+    # windows stay JVM-side, and no Python boundary appears
+    plan = plan_of(spark, "events_changepoint_cusum")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for py in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py not in plan
+
+
+def test_hashing_vectorizer_is_single_aggregation_no_python(spark):
+    # one hash aggregation on (doc, bucket) with map-side partials —
+    # exactly one exchange, md5 evaluated in codegen, zero Python
+    import re
+
+    plan = plan_of(spark, "text_hashing_vectorizer")
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for py in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py not in plan

@@ -422,6 +422,46 @@ def probe_bfs(spark, sizes: list[int]) -> None:
         edges.unpersist()
 
 
+def probe_louvain(spark, sizes: list[int]) -> None:
+    """Louvain on planted-partition graphs beyond gate scale: per-size
+    wall, the Q trajectory (monotone by construction), realized
+    community count vs planted, and the contraction ratio — the
+    property that makes pass p+1 geometrically cheaper than pass p."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import louvain
+
+    for n_nodes in sizes:
+        n_comm = max(n_nodes // 250, 4)  # planted communities of ~250
+        # ring + two chords inside each residue-class community, sparse
+        # bridges between consecutive keys across community borders
+        ids = spark.range(n_nodes)
+        edges = None
+        for stride in (n_comm, 2 * n_comm):
+            e = ids.where(F.col("id") + stride < n_nodes).select(
+                F.col("id").alias("a"), (F.col("id") + stride).alias("b")
+            )
+            edges = e if edges is None else edges.unionAll(e)
+        bridges = ids.where(
+            (F.col("id") % 89 == 0) & (F.col("id") + 1 < n_nodes)
+        ).select(F.col("id").alias("a"), (F.col("id") + 1).alias("b"))
+        edges = edges.unionAll(bridges).repartition(32).cache()
+        n_edges = edges.count()
+        t0 = _t.perf_counter()
+        assign, qs = louvain(edges, passes=2, move_rounds=4)
+        n_found = assign.select("comm").distinct().count()
+        dt = _t.perf_counter() - t0
+        print(
+            f"nodes={n_nodes} edges={n_edges} planted={n_comm} "
+            f"found={n_found} q={'->'.join(f'{q:.3f}' for q in qs)} "
+            f"time={dt:.1f}s",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def probe_deltastep(spark, sizes: list[int]) -> None:
     """Delta-stepping vs plain Bellman-Ford A/B on WIDE-weight random
     graphs (w in 1..100, delta=20): both compute the exact seed-set
@@ -638,7 +678,7 @@ def probe_hyperball(spark, sizes: list[int]) -> None:
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep", "louvain"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -671,6 +711,9 @@ def main() -> int:
         return 0
     if op == "bfs":
         probe_bfs(spark, sizes if args else [500_000, 2_000_000])
+        return 0
+    if op == "louvain":
+        probe_louvain(spark, sizes if args else [100_000, 500_000])
         return 0
     if op == "deltastep":
         probe_deltastep(spark, sizes if args else [200_000, 1_000_000])
