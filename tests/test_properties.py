@@ -312,3 +312,49 @@ def test_radius_join_complete_for_any_points(spark, pts, radius):
             for j, b in enumerate(pts)
             if hav(a, b) <= radius}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False,
+                  allow_infinity=False),
+        min_size=1, max_size=120,
+    ),
+)
+def test_cusum_closed_form_equals_sequential_recursion(spark, vals):
+    # the window spelling S = cumsum - min(0, running-min(cumsum)) must
+    # equal the textbook sequential recursion S_i = max(0, S_{i-1}+y_i)
+    # for ANY value sequence — including all-equal (sd=0 -> no alarms)
+    import math
+    import statistics as stx
+
+    from datafusion_gpu_spark.operators.events import cusum_alarms
+
+    def half_up(x):
+        # Spark/DuckDB ROUND is half-away-from-zero; python round() is
+        # banker's — the reference must match the engines at .5 exactly
+        return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
+
+    rows = [("u", i, f"2024-01-01 {i // 3600:02d}:{i // 60 % 60:02d}:{i % 60:02d}", v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id string, event_id long, ts_s string, value double"
+    ).selectExpr("user_id", "event_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    got = cusum_alarms(df).collect()[0]
+
+    xq = [half_up(v * 100) for v in vals]
+    mu = half_up(sum(xq) / len(xq))
+    sd = stx.pstdev(xq)
+    k, h = half_up(0.5 * sd), half_up(4.0 * sd)
+    s_stat, peak, alarms, first = 0, 0, 0, None
+    for eid, x in enumerate(xq):
+        s_stat = max(0, s_stat + x - mu - k)
+        peak = max(peak, s_stat)
+        if h > 0 and s_stat > h:
+            alarms += 1
+            first = eid if first is None else first
+    assert got.n_events == len(vals)
+    assert got.n_alarms == alarms
+    assert got.peak_cusum == peak
+    assert got.first_alarm_id == first
