@@ -1544,6 +1544,29 @@ def _join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance entity resolution (dedup.blocked_edit_pairs):
+    document pairs whose normalized 40-char prefixes are within
+    Levenshtein distance 12, candidates generated ONLY through the
+    record-linkage blocking key (first token + lang) — the fuzzy-join
+    class (typo'd names, near-identical records) that token-set dedup
+    cannot see. The plan is an equality hash join on the block key with
+    Spark's early-exit thresholded Levenshtein as the verify; the
+    oracle replays identical blocking + plain levenshtein in DuckDB
+    (cross-engine Levenshtein parity already pinned by
+    fn_edit_distance). Threshold sits mid-plateau: the match set is
+    identical for any cutoff in [8, 14] on this corpus, so the gate
+    row is robust to off-by-one edit-cost disagreements."""
+    load(spark, sf_dir)
+    return dedup.blocked_edit_pairs(
+        spark.table("documents"),
+        prefix_len=40,
+        threshold=12,
+        block_cols=("lang",),
+        max_block=256,
+    )
+
+
 def _purchase_scd2_history(spark: SparkSession) -> DataFrame:
     """Shared version definition for the SCD2 entries: the purchase
     stream per user, value rounded to 2, event_id tiebreak. Both the
@@ -2055,6 +2078,7 @@ QUERIES = {
     "graph_louvain": _graph_louvain,
     "graph_delta_stepping": _graph_delta_stepping,
     "join_geo_radius": _join_geo_radius,
+    "join_fuzzy_blocked": _join_fuzzy_blocked,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
@@ -4237,4 +4261,31 @@ FROM (SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS word
       FROM documents)
 WHERE word <> ''
 GROUP BY doc_id, bucket
+"""
+
+# Blocked fuzzy join: identical blocking (first token + lang, block size
+# cap replayed over the same surviving space) and plain levenshtein as
+# the distance — Spark's thresholded variant returns the same exact
+# distance for every pair it keeps (-1 only past the cutoff, which the
+# WHERE replays).
+ORACLES["join_fuzzy_blocked"] = f"""
+WITH p AS (
+  SELECT doc_id, lang,
+         substring({_NORM}, 1, 40) AS pfx,
+         split_part({_NORM}, ' ', 1) AS w1
+  FROM documents
+),
+keep AS (
+  SELECT w1, lang FROM p GROUP BY w1, lang HAVING COUNT(*) <= 256
+),
+pk AS (SELECT p.* FROM p JOIN keep USING (w1, lang)),
+c AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         levenshtein(a.pfx, b.pfx) AS dist
+  FROM pk a JOIN pk b
+    ON a.w1 = b.w1 AND a.lang = b.lang AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, dist,
+       ROUND(1.0 - dist / 40.0, 6) AS sim
+FROM c WHERE dist <= 12
 """

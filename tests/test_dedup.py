@@ -313,3 +313,50 @@ def test_containment_detects_quote_asymmetrically(spark):
     kept = {(r.doc_a, r.doc_b)
             for r in containment_pairs(docs, threshold=0.8).collect()}
     assert kept == {(2, 1)}
+
+
+def test_blocked_edit_pairs_finds_typo_in_block(spark):
+    from datafusion_gpu_spark.operators.dedup import blocked_edit_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "en"),
+            (2, "alpha beta gamma delt", "en"),   # 1 deletion, same block
+            (3, "alpha completely different words", "en"),
+            (4, "zzzzz beta gamma delta", "en"),  # typo in the BLOCK token
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in blocked_edit_pairs(
+            docs, prefix_len=40, threshold=3, block_cols=("lang",)
+        ).collect()
+    }
+    assert got == {(1, 2): 1}  # exact distance; (1,4) unreachable: blocking
+    # recall tradeoff — the first-token typo moved doc 4 to another block
+
+
+def test_blocked_edit_pairs_max_block_drops_hot_block(spark):
+    from datafusion_gpu_spark.operators.dedup import blocked_edit_pairs
+
+    rows = [(i, "hub word word word", "en") for i in range(5)]
+    rows += [(10, "cold pair one", "en"), (11, "cold pair one x", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = blocked_edit_pairs(
+        docs, prefix_len=40, threshold=5, block_cols=("lang",), max_block=4
+    ).collect()
+    assert {(r.doc_a, r.doc_b) for r in got} == {(10, 11)}  # hub block (5 docs) dropped
+
+
+def test_blocked_edit_pairs_threshold_excludes_far_pairs(spark):
+    from datafusion_gpu_spark.operators.dedup import blocked_edit_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "same start then aaaa", "en"), (2, "same start then bbbb", "en")],
+        "doc_id long, text string, lang string",
+    )
+    hit = blocked_edit_pairs(docs, threshold=4, block_cols=("lang",)).collect()
+    miss = blocked_edit_pairs(docs, threshold=3, block_cols=("lang",)).collect()
+    assert [(r.doc_a, r.doc_b, r.dist) for r in hit] == [(1, 2, 4)]
+    assert miss == []
