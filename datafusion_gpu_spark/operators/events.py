@@ -740,3 +740,71 @@ def cusum_alarms(
         F.max("__s__").alias("peak_cusum"),
         F.min(F.when(F.col("__alarm__"), F.col(id_col))).alias("first_alarm_id"),
     )
+
+
+def ewma_halflife(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    span: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (halflife = one
+    observation, i.e. decay 1/2 per step) over the time-ordered value
+    stream, truncated to the ``span`` most recent observations — the
+    smoother a pipeline runs over per-source telemetry before a drift
+    monitor like :func:`cusum_alarms` decides on it.
+
+    The arithmetic lesson from the CUSUM float spelling applies here
+    with a twist: a general-alpha EWMA forces float powers, and float
+    window sums accumulate in engine-specific order. Choosing the
+    halflife form makes every weight a POWER OF TWO, so the weighted
+    numerator and the weight normalizer are exact bigints:
+
+        num_i = sum_{k=0..span-1} round(x_{i-k} * scale) * 2^(span-1-k)
+        den_i = sum_{k : row i-k exists} 2^(span-1-k)
+        ewma_i = round((num_i / den_i) / scale, 6)
+
+    spelled as ``span`` pairs of lag() terms over ONE window spec —
+    a single sort per key partition, all JVM codegen, one shuffle on
+    the key. The truncation at ``span`` is part of the operator's
+    definition (a span-20 halflife-1 window carries 2^-20 < 1e-6 of
+    residual weight, below the emitted rounding), and the adjusted
+    normalizer means the warm-up rows are exact weighted means of the
+    history that exists, matching pandas ewm(adjust=True) semantics on
+    the truncated window. The only float operations are the final two
+    divisions, identical single IEEE ops on both engines.
+
+    Rows with NULL values must be filtered upstream (a NULL inside the
+    window would silently drop its term from num but keep ordering).
+
+    Returns one row per event: key, id, exact num/den bigints, ewma.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    df = events.withColumn("__c__", F.round(F.col(val_col) * scale).cast("long"))
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(span):
+        wgt = 1 << (span - 1 - k)
+        lagged = F.lag("__c__", k).over(w)
+        num = num + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        den = den + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    exact = df.select(key_col, id_col, num.alias("num"), den.alias("den"))
+    return exact.select(
+        key_col,
+        id_col,
+        "num",
+        "den",
+        F.round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("ewma"),
+    )

@@ -1058,6 +1058,23 @@ def _events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cusum_alarms(purchases)
 
 
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user halflife-1 EWMA over the purchase value stream
+    (events.ewma_halflife, span=20) — the smoother upstream of the
+    events_changepoint_cusum drift monitor. Power-of-two weights make
+    the weighted numerator and the adjusted normalizer exact bigints
+    (the CUSUM arithmetic lesson applied to smoothing: no float window
+    sum ever forms), spelled as 20 lag() pairs over ONE window spec;
+    the oracle generates the identical 20-term expression. The only
+    floats are the final two divisions, identical IEEE ops on both
+    engines."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.ewma_halflife(purchases, span=20, scale=100)
+
+
 def _text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashing-trick bag-of-words featurization
     (text.hashing_vectorizer, dim=64): vocabulary-free fixed-dimension
@@ -2085,6 +2102,7 @@ QUERIES = {
     "events_histogram": _events_histogram,
     "events_anomaly_mad": _events_anomaly_mad,
     "events_changepoint_cusum": _events_changepoint_cusum,
+    "events_ewma": _events_ewma,
     "text_hashing_vectorizer": _text_hashing_vectorizer,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
@@ -4288,4 +4306,32 @@ c AS (
 SELECT doc_a, doc_b, dist,
        ROUND(1.0 - dist / 40.0, 6) AS sim
 FROM c WHERE dist <= 12
+"""
+
+# EWMA: the same 20 power-of-two lag terms the Spark window builds,
+# generated by the same loop — num/den are exact bigints, so the only
+# float work is the two final divisions, spelled identically.
+_EWMA_NUM = " + ".join(
+    f"COALESCE(lag(c, {k}) OVER w * {1 << (19 - k)}, 0)" for k in range(20)
+)
+_EWMA_DEN = " + ".join(
+    f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {1 << (19 - k)} ELSE 0 END)"
+    for k in range(20)
+)
+ORACLES["events_ewma"] = f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+l AS (
+  SELECT user_id, event_id,
+         {_EWMA_NUM} AS num,
+         CAST({_EWMA_DEN} AS BIGINT) AS den
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, num, den,
+       ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 6) AS ewma
+FROM l
 """

@@ -43,3 +43,41 @@ def test_cusum_alarms_planted_drift_and_closed_form(spark):
     assert got["drift"].n_alarms == alarms
     assert got["drift"].peak_cusum == peak
     assert got["drift"].first_alarm_id == first
+
+
+def test_ewma_halflife_matches_sequential_reference(spark):
+    """Engine result == a direct Python replay of the span-truncated
+    halflife-1 definition, including exact bigint num/den."""
+    from datafusion_gpu_spark.operators.events import ewma_halflife
+
+    vals = [10.0, 11.5, 9.25, 14.0, 8.75, 13.33]
+    rows = [(1, i, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.event_id: (r.num, r.den, r.ewma)
+        for r in ewma_halflife(df, span=4, scale=100).collect()
+    }
+    cents = [round(v * 100) for v in vals]
+    for i in range(len(vals)):
+        num = sum(
+            cents[i - k] * (1 << (3 - k)) for k in range(4) if i - k >= 0
+        )
+        den = sum((1 << (3 - k)) for k in range(4) if i - k >= 0)
+        assert got[i] == (num, den, round(num / den / 100.0, 6))
+
+
+def test_ewma_halflife_does_not_leak_across_keys(spark):
+    from datafusion_gpu_spark.operators.events import ewma_halflife
+
+    rows = [
+        (1, 0, "2024-01-01 00:00:00", 100.0),
+        (2, 1, "2024-01-01 00:01:00", 900.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.user_id: r.ewma for r in ewma_halflife(df, span=8).collect()}
+    # each key's single row is its own (exact) mean — no cross-key history
+    assert got == {1: 100.0, 2: 900.0}
