@@ -1026,3 +1026,76 @@ def delta_stepping(
         if top is not None and top < hi:
             break  # every label below the next bucket floor: all settled
     return dist
+
+
+def resource_allocation(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    max_degree: int = 64,
+    min_common: int = 2,
+) -> DataFrame:
+    """Resource-Allocation link prediction (Zhou, Lü & Zhang 2009): for
+    every non-adjacent pair at distance 2, RA(x,y) = Σ_{z∈CN(x,y)} 1/deg(z)
+    — the common-neighbor refinement that DISCOUNTS hub middles instead
+    of counting them equally (each middle "spreads one unit of resource
+    across its neighbors"), which beats raw counts and Adamic-Adar on
+    most benchmark graphs in the original study.
+
+    Same wedge mechanics and hub cap as :func:`common_neighbors` (the
+    equality-keyed mid join, Σ deg² bounded by ``max_degree``, anti-join
+    on existing edges) — the cap composes WITH the 1/deg discount: a
+    capped-out hub would have contributed ≤ 1/max_degree per pair, so
+    dropping it perturbs scores by at most that, and the oracle replays
+    the identical capped wedge space.
+
+    Arithmetic is cross-engine exact: each middle's contribution
+    quantizes ONCE to integer nano-units round(1e9/deg(z)) — a single
+    IEEE division + round on identical inputs gives identical bigints
+    on any engine — and the per-pair score is a bigint SUM (order-free)
+    divided once at the end. Adamic-Adar's 1/ln(deg) needs libm ln,
+    whose last-ulp rounding is NOT pinned across engines; RA is the
+    member of the family with an exact oracle, which is why it is the
+    gate spelling (AA is a one-line weight swap for library callers who
+    accept contract-style checking).
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = ckpt(
+        edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    )
+    adj = und.select(
+        F.col("lo").alias("mid"), F.col("hi").alias("nbr")
+    ).unionAll(und.select(F.col("hi").alias("mid"), F.col("lo").alias("nbr")))
+    deg = ckpt(adj.groupBy("mid").agg(F.count(F.lit(1)).alias("deg")))
+    # nano-unit weight of each SMALL middle; full degree in the discount
+    w_mid = deg.where(F.col("deg") <= max_degree).select(
+        "mid",
+        F.round(F.lit(1e9) / F.col("deg")).cast("long").alias("w"),
+    )
+    small_mid = adj.join(F.broadcast(w_mid), "mid")
+    x = small_mid.select("mid", "w", F.col("nbr").alias("x"))
+    y = small_mid.select(F.col("mid").alias("mid2"), F.col("nbr").alias("y"))
+    pairs = (
+        x.join(y, x["mid"] == y["mid2"])
+        .where(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("w").alias("ra_units"),
+        )
+        .where(F.col("common") >= min_common)
+    )
+    pairs = pairs.join(
+        und, (pairs["x"] == und["lo"]) & (pairs["y"] == und["hi"]), "left_anti"
+    )
+    return pairs.select(
+        F.col("x").alias("a"),
+        F.col("y").alias("b"),
+        "common",
+        "ra_units",
+        F.round(F.col("ra_units") / F.lit(1e9), 6).alias("ra"),
+    )

@@ -1291,6 +1291,22 @@ def _graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-Allocation link prediction (graph.resource_allocation,
+    Zhou-Lü-Zhang 2009) over the same bulk co-purchase graph as
+    graph_common_neighbors — the hub-discounting member of the
+    common-neighbor family, and the one with an EXACT cross-engine
+    oracle: each middle's 1/deg contribution quantizes once to bigint
+    nano-units (single IEEE division + round on identical inputs), the
+    per-pair sum is order-free integer arithmetic, one division at the
+    end. Adamic-Adar's 1/ln weight is a one-line swap but its libm ln
+    is not last-ulp-pinned across engines, so RA is the gate spelling."""
+    load(spark, sf_dir)
+    return graph.resource_allocation(
+        _sparse_copurchase_edges(spark), max_degree=64, min_common=2
+    )
+
+
 def _graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-core of the bulk-purchase co-purchase graph (graph.k_core,
     5 peel rounds — the cascade converges at round 4 on this graph, so
@@ -2097,6 +2113,7 @@ QUERIES = {
     "join_geo_radius": _join_geo_radius,
     "join_fuzzy_blocked": _join_fuzzy_blocked,
     "graph_common_neighbors": _graph_common_neighbors,
+    "graph_resource_allocation": _graph_resource_allocation,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "events_histogram": _events_histogram,
@@ -4334,4 +4351,33 @@ l AS (
 SELECT user_id, event_id, num, den,
        ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 6) AS ewma
 FROM l
+"""
+
+# Resource-Allocation link prediction: common_neighbors' wedge algebra
+# with the 1/deg middle discount quantized to bigint nano-units before
+# the (order-free) sum.
+ORACLES["graph_resource_allocation"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT lo AS node FROM e UNION ALL SELECT hi FROM e
+        ) GROUP BY node),
+adj AS (SELECT lo AS mid, hi AS nbr FROM e
+        UNION ALL SELECT hi, lo FROM e),
+sm AS (SELECT a2.mid, a2.nbr, CAST(ROUND(1e9 / deg.d) AS BIGINT) AS w
+       FROM adj a2
+       JOIN deg ON deg.node = a2.mid AND deg.d <= 64),
+p AS (SELECT x.nbr AS x, y.nbr AS y,
+             COUNT(*) AS common, CAST(SUM(x.w) AS BIGINT) AS ra_units
+      FROM sm x JOIN sm y ON x.mid = y.mid AND x.nbr < y.nbr
+      GROUP BY 1, 2),
+np AS (SELECT p.* FROM p LEFT JOIN e ON e.lo = p.x AND e.hi = p.y
+       WHERE e.lo IS NULL AND p.common >= 2)
+SELECT x AS a, y AS b, common, ra_units,
+       ROUND(ra_units / 1e9, 6) AS ra
+FROM np
 """

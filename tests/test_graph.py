@@ -825,3 +825,33 @@ def test_louvain_many_passes_terminate_quickly(spark):
     assert assign.count() == 2000
     assert all(qs[t + 1] >= qs[t] - 1e-12 for t in range(len(qs) - 1))
     assert time.perf_counter() - t0 < 120
+
+
+def test_resource_allocation_discounts_hub_middles(spark):
+    """Two candidate pairs with one common neighbor each: the pair whose
+    middle has low degree scores higher, and the score is the exact
+    nano-unit quantization of 1/deg."""
+    from datafusion_gpu_spark.operators.graph import resource_allocation
+
+    # middle 10 has degree 2 (wedge 1-10-2); middle 20 has degree 4
+    # (wedge 3-20-4 plus two pendant edges)
+    edges = [(1, 10), (2, 10), (3, 20), (4, 20), (5, 20), (6, 20)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {
+        (r.a, r.b): (r.common, r.ra_units, r.ra)
+        for r in resource_allocation(df, min_common=1).collect()
+    }
+    assert got[(1, 2)] == (1, round(1e9 / 2), 0.5)
+    assert got[(3, 4)] == (1, round(1e9 / 4), 0.25)
+    assert got[(1, 2)][2] > got[(3, 4)][2]
+
+
+def test_resource_allocation_excludes_existing_edges_and_hubs(spark):
+    from datafusion_gpu_spark.operators.graph import resource_allocation
+
+    # 1-10, 2-10, and the direct edge 1-2: pair (1,2) is adjacent -> dropped.
+    # hub 99 with degree 5 > max_degree=4 generates no wedges.
+    edges = [(1, 10), (2, 10), (1, 2)] + [(i, 99) for i in range(20, 25)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = resource_allocation(df, max_degree=4, min_common=1).collect()
+    assert got == []
