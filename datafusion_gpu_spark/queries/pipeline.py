@@ -1291,6 +1291,32 @@ def _graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components
+    (graph.strongly_connected_components, FW-BW-Trim + Orzan coloring)
+    of the DIRECTED purchase-succession graph: within each bulk order,
+    each line's part points at the next line's part, so a part cluster
+    that keeps re-ordering in rotation forms a cycle. First directed-
+    reachability gate row; the measured gate trajectory is ONE outer
+    round (7 trim + 14 forward + 16 backward keyed hops) peeling 477
+    SCCs including a 1480-node giant. The oracle computes mutual
+    reachability from DuckDB's recursive transitive closure — exact,
+    with no round budget to agree on — and labels each node with the
+    min mutually-reachable id, exactly the operator's canonical id."""
+    load(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    e = (
+        spark.table("lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    return graph.strongly_connected_components(e)
+
+
 def _graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resource-Allocation link prediction (graph.resource_allocation,
     Zhou-Lü-Zhang 2009) over the same bulk co-purchase graph as
@@ -2114,6 +2140,7 @@ QUERIES = {
     "join_fuzzy_blocked": _join_fuzzy_blocked,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_resource_allocation": _graph_resource_allocation,
+    "graph_scc": _graph_scc,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "events_histogram": _events_histogram,
@@ -4380,4 +4407,35 @@ np AS (SELECT p.* FROM p LEFT JOIN e ON e.lo = p.x AND e.hi = p.y
 SELECT x AS a, y AS b, common, ra_units,
        ROUND(ra_units / 1e9, 6) AS ra
 FROM np
+"""
+
+# SCC: the oracle has no iteration budget to coordinate with the
+# operator — DuckDB's recursive UNION computes the exact transitive
+# closure, mutual reachability is its self-join, and the canonical id
+# is the min mutually-reachable node (self included).
+ORACLES["graph_scc"] = """
+WITH s AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+  FROM lineitem WHERE l_quantity >= 40
+),
+e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM s
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.s, e.dst FROM r JOIN e ON r.d = e.src
+  ) SELECT * FROM r
+),
+mut AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+)
+SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+FROM n LEFT JOIN mut m ON m.u = n.node
+GROUP BY n.node
 """

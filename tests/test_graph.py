@@ -855,3 +855,39 @@ def test_resource_allocation_excludes_existing_edges_and_hubs(spark):
     df = spark.createDataFrame(edges, "a long, b long")
     got = resource_allocation(df, max_degree=4, min_common=1).collect()
     assert got == []
+
+
+def test_scc_cycles_bridge_and_tail(spark):
+    """Two 3-cycles joined by a ONE-WAY bridge plus an acyclic tail:
+    the bridge must not merge the cycles, the tail nodes are
+    singletons, ids are the min member."""
+    from datafusion_gpu_spark.operators.graph import strongly_connected_components
+
+    edges = [
+        (1, 2), (2, 3), (3, 1),          # cycle A -> scc 1
+        (10, 11), (11, 12), (12, 10),    # cycle B -> scc 10
+        (3, 10),                         # one-way bridge A -> B
+        (12, 20), (20, 21),              # acyclic tail
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in strongly_connected_components(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_scc_dag_is_all_singletons(spark):
+    from datafusion_gpu_spark.operators.graph import strongly_connected_components
+
+    edges = [(i, j) for i in range(6) for j in range(i + 1, 6)]  # complete DAG
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id for r in strongly_connected_components(df).collect()}
+    assert got == {i: i for i in range(6)}
+
+
+def test_scc_single_ring(spark):
+    from datafusion_gpu_spark.operators.graph import strongly_connected_components
+
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)], "src long, dst long"
+    )
+    got = {r.node: r.scc_id for r in strongly_connected_components(df).collect()}
+    assert got == {i: 0 for i in range(8)}
