@@ -567,3 +567,82 @@ def resize_nearest(binary_df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(out)
 
     return binary_df.select("doc_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+# -- perceptual hashing ------------------------------------------------------
+
+#: Integer-quantized DCT-II basis: PHASH_COEF[u][x] = round(1024 *
+#: cos(pi * (2x+1) * u / 16)). Computed ONCE in Python and shared with
+#: the oracle's generated SQL, so no libm cosine is evaluated at query
+#: time on either engine — the whole transform is exact int64.
+import math as _math
+
+PHASH_COEF = [
+    [round(1024 * _math.cos(_math.pi * (2 * x + 1) * u / 16)) for x in range(8)]
+    for u in range(8)
+]
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("phash", LongType()),
+        StructField("n_bits", IntegerType()),
+    ]
+)
+
+
+def phash64(binary_df: DataFrame) -> DataFrame:
+    """64-bit perceptual hash (pHash family: mean-pool -> 2-D DCT-II ->
+    median-threshold the AC coefficients) over REAL decoded image
+    payloads — the multimodal near-dup key: a re-encoded, slightly
+    recolored or noise-dusted copy of an image keeps the same low-
+    frequency structure, so its pHash lands within a few bits while
+    cryptographic hashes (dedup_exact's md5) see a different file.
+
+    Exactness discipline: every stage is INTEGER arithmetic — luma
+    (299R + 587G + 114B) // 1000, 2x2 mean-pool as sum // 4, the DCT
+    with the module-level integer-quantized basis (products bounded by
+    255 * 1024^2 * 64 < 2^63), and the 63-AC-coefficient median of an
+    odd count, which is the exact middle order statistic. A SQL engine
+    replays the transform bit-for-bit from the same constants; no
+    float forms anywhere.
+
+    Input: (doc_id, payload) with 16x16 decodable images (PPM/BMP via
+    :func:`decode_image_array`). Arrow-batched ``mapInPandas``, one
+    Python stage, no shuffle. Returns (doc_id, phash, n_bits); bit i-1
+    of ``phash`` is coefficient index i = 8u + v (DC excluded), set
+    when F(u,v) exceeds the AC median. Pair generation downstream is
+    the existing banded-equality machinery (dedup_simhash's pigeonhole:
+    any 16-bit band equality join guarantees completeness at hamming
+    <= 3 with 4 bands)."""
+    import numpy as np
+
+    coef = np.array(PHASH_COEF, dtype=np.int64)
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "phash": [], "n_bits": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                arr = decode_image_array(bytes(payload)).astype(np.int64)
+                if arr.shape[0] != 16 or arr.shape[1] != 16:
+                    raise ValueError(f"phash64 expects 16x16, got {arr.shape}")
+                luma = (
+                    299 * arr[:, :, 0] + 587 * arr[:, :, 1] + 114 * arr[:, :, 2]
+                ) // 1000
+                pooled = (
+                    luma[0::2, 0::2]
+                    + luma[0::2, 1::2]
+                    + luma[1::2, 0::2]
+                    + luma[1::2, 1::2]
+                ) // 4
+                dct = coef @ pooled @ coef.T
+                ac = np.delete(dct.reshape(64), 0)
+                med = int(np.median(ac))  # 63 values: exact middle statistic
+                bits = (ac > med).astype(np.int64)
+                phash = int(sum(int(b) << i for i, b in enumerate(bits)))
+                out["doc_id"].append(int(doc_id))
+                out["phash"].append(phash)
+                out["n_bits"].append(int(bits.sum()))
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(compute, PHASH_SCHEMA)

@@ -980,6 +980,46 @@ def _multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(binary_df)
 
 
+def _multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual image hash in the gate (multimodal.phash64):
+    deterministic 16x16 gradient PPMs are encoded and REALLY decoded
+    executor-side, then luma -> 2x2 mean-pool -> integer-quantized 8x8
+    DCT-II -> median-threshold, all int64-exact (the DCT basis is a
+    module-level integer constant table shared with the oracle, so no
+    libm cosine runs at query time on either engine). The oracle
+    rebuilds every pixel arithmetically and replays the transform
+    through a 64-row coefficient relation — a codec, pooling, DCT or
+    thresholding bug flips hash bits."""
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators.multimodal import phash64
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pix = bytearray()
+                for y in range(16):
+                    for x in range(16):
+                        pix += bytes(
+                            (
+                                (3 * d + 7 * x + 11 * y) % 256,
+                                (d + 5 * x + 3 * y) % 256,
+                                (2 * d + x + y) % 256,
+                            )
+                        )
+                rows["doc_id"].append(d)
+                rows["payload"].append(b"P6\n16 16\n255\n" + bytes(pix))
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return phash64(binary_df)
+
+
 def _multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL nearest-neighbor image resize in the gate: deterministic
     GRADIENT PPM payloads (pixel (x,y) channel values are modular
@@ -2143,6 +2183,7 @@ QUERIES = {
     "graph_scc": _graph_scc,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
+    "multimodal_phash": _multimodal_phash,
     "events_histogram": _events_histogram,
     "events_anomaly_mad": _events_anomaly_mad,
     "events_changepoint_cusum": _events_changepoint_cusum,
@@ -4438,4 +4479,54 @@ mut AS (
 SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
 FROM n LEFT JOIN mut m ON m.u = n.node
 GROUP BY n.node
+"""
+
+# pHash: every pixel is rebuilt arithmetically, the DCT runs through a
+# 64-row integer coefficient relation generated from the SAME Python
+# constants the operator uses, and the 63-AC median of an odd count is
+# the exact middle order statistic — int64 end-to-end.
+from datafusion_gpu_spark.operators.multimodal import PHASH_COEF as _PHASH_COEF
+
+_PHASH_COEF_ROWS = ", ".join(
+    f"({u}, {x}, {c})"
+    for u, row in enumerate(_PHASH_COEF)
+    for x, c in enumerate(row)
+)
+ORACLES["multimodal_phash"] = f"""
+WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
+g AS (SELECT unnest(range(0, 16)) AS i),
+px AS (
+  SELECT d.doc_id, gx.i AS x, gy.i AS y,
+         (299 * ((3 * d.doc_id + 7 * gx.i + 11 * gy.i) % 256)
+        + 587 * ((d.doc_id + 5 * gx.i + 3 * gy.i) % 256)
+        + 114 * ((2 * d.doc_id + gx.i + gy.i) % 256)) // 1000 AS L
+  FROM d, g gx, g gy
+),
+pool AS (
+  SELECT doc_id, y // 2 AS prow, x // 2 AS pcol,
+         CAST(SUM(L) // 4 AS BIGINT) AS L2
+  FROM px GROUP BY doc_id, y // 2, x // 2
+),
+coef(u, x, c) AS (VALUES {_PHASH_COEF_ROWS}),
+dct AS (
+  SELECT p.doc_id, cu.u AS u, cv.u AS v,
+         CAST(SUM(p.L2 * cu.c * cv.c) AS BIGINT) AS f
+  FROM pool p
+  JOIN coef cu ON cu.x = p.prow
+  JOIN coef cv ON cv.x = p.pcol
+  GROUP BY 1, 2, 3
+),
+med AS (
+  SELECT doc_id, CAST(MEDIAN(f) AS BIGINT) AS m
+  FROM dct WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id
+),
+bits AS (
+  SELECT dct.doc_id, 8 * u + v AS idx,
+         CASE WHEN f > m THEN 1 ELSE 0 END AS bit
+  FROM dct JOIN med USING (doc_id) WHERE NOT (u = 0 AND v = 0)
+)
+SELECT doc_id,
+       CAST(SUM(bit * (CAST(1 AS BIGINT) << (idx - 1))) AS BIGINT) AS phash,
+       CAST(SUM(bit) AS INTEGER) AS n_bits
+FROM bits GROUP BY doc_id
 """

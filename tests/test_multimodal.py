@@ -258,3 +258,56 @@ def test_resize_upscale_repeats_pixels(spark):
     assert out["sum_r"] == 200 * 16
     assert out["sum_g"] == 10 * 16
     assert out["sum_b"] == 30 * 16
+
+
+def _ppm16(arr) -> bytes:
+    out = bytearray(b"P6\n16 16\n255\n")
+    for y in range(16):
+        for x in range(16):
+            out += bytes(int(v) for v in arr[y][x])
+    return bytes(out)
+
+
+def test_phash64_near_dup_vs_distinct(spark):
+    """pHash's defining property, end-to-end through the REAL PPM
+    decode: brightness shift -> identical hash; one-pixel dust ->
+    within the 4x16-bit-band pigeonhole radius (<= 3); a different
+    image -> far."""
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import phash64
+
+    base = np.zeros((16, 16, 3), np.int64)
+    for y in range(16):
+        for x in range(16):
+            base[y, x] = ((7 * x + 11 * y) % 256, (5 * x + 3 * y) % 256,
+                          (x + y) % 256)
+    bright = np.clip(base + 6, 0, 255)
+    dust = base.copy()
+    dust[3, 5] = np.clip(dust[3, 5] + 15, 0, 255)
+    other = np.zeros((16, 16, 3), np.int64)
+    for y in range(16):
+        for x in range(16):
+            other[y, x] = ((13 * x * x + y) % 256, (x + 9 * y) % 256,
+                           (3 * x) % 256)
+    df = spark.createDataFrame(
+        [(0, _ppm16(base)), (1, _ppm16(bright)), (2, _ppm16(dust)),
+         (3, _ppm16(other))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.phash for r in phash64(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert got[0] == got[1]                 # brightness-invariant
+    assert 0 < ham(got[0], got[2]) <= 3     # near-dup radius
+    assert ham(got[0], got[3]) > 10         # distinct image is far
+
+
+def test_phash64_rejects_wrong_size(spark):
+    import pytest as _pytest
+
+    from datafusion_gpu_spark.operators.multimodal import phash64
+
+    bad = b"P6\n2 2\n255\n" + bytes(12)
+    df = spark.createDataFrame([(0, bad)], "doc_id long, payload binary")
+    with _pytest.raises(Exception, match="16x16"):
+        phash64(df).collect()
