@@ -1267,3 +1267,72 @@ def strongly_connected_components(
     for part in assigned[1:]:
         out = out.unionAll(part)
     return out.select("node", "scc_id")
+
+
+def topo_layers(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 200,
+) -> DataFrame:
+    """Topological layering of a DAG by iterative Kahn peeling: layer(v)
+    = the round at which v loses its last unpeeled predecessor, which
+    equals the LONGEST path length from any source to v — the
+    "scheduling wave" number every dependency executor (build systems,
+    task DAGs, the condensation of :func:`strongly_connected_components`)
+    assigns before running waves in parallel.
+
+    Per round: one distinct projection of remaining edge targets + one
+    anti-join peels EVERY current source simultaneously, so rounds ==
+    DAG depth (8 on the gate graph), not node count — the same
+    frontier-parallel argument as bfs_distances. Edges are re-filtered
+    to surviving sources each round, checkpoint-truncated.
+
+    Raises on cyclic input (a round where nothing peels while nodes
+    remain proves a cycle) instead of returning a partial layering —
+    combined with the raise-free path, this IS the distributed cycle
+    detector; run SCC first when the input may legitimately cycle.
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    e = ckpt(
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s") != F.col("d"))
+        .distinct()
+    )
+    remaining = ckpt(
+        e.select(F.col("s").alias("node"))
+        .unionAll(e.select(F.col("d").alias("node")))
+        .distinct()
+    )
+    n_remaining = remaining.count()
+    layers: list[DataFrame] = []
+    for rnd in range(max_rounds):
+        if n_remaining == 0:
+            break
+        targets = e.select(F.col("d").alias("node")).distinct()
+        peeled = ckpt(
+            remaining.join(targets, "node", "left_anti").withColumn(
+                "layer", F.lit(rnd)
+            )
+        )
+        n_peeled = peeled.count()
+        if n_peeled == 0:
+            raise ValueError(
+                f"topo_layers: cycle detected ({n_remaining} nodes never peel)"
+            )
+        layers.append(peeled)
+        remaining = ckpt(remaining.join(peeled, "node", "left_anti"))
+        e = ckpt(
+            e.join(remaining.withColumnRenamed("node", "s"), "s", "left_semi")
+        )
+        n_remaining -= n_peeled
+    if n_remaining != 0:
+        raise RuntimeError("topo_layers: round budget exhausted")
+    if not layers:
+        return remaining.withColumn("layer", F.lit(0))
+    out = layers[0]
+    for part in layers[1:]:
+        out = out.unionAll(part)
+    return out.select("node", "layer")

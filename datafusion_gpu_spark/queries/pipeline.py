@@ -1357,6 +1357,29 @@ def _graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.strongly_connected_components(e)
 
 
+def _graph_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering (graph.topo_layers, Kahn peeling) of the
+    purchase-succession graph ORIENTED by key order (src < dst — the
+    standard acyclicity-by-construction trick), i.e. the scheduling
+    waves of the dependency DAG: layer(v) = longest path from any
+    source, rounds == DAG depth (8 here), every current source peels
+    in the same round. The oracle replays longest-path-from-anywhere
+    as a recursive CTE (UNION-distinct (node, depth) pairs, MAX per
+    node — terminates because the DAG bounds depth)."""
+    load(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    e = (
+        spark.table("lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") > F.col("src")))
+    )
+    return graph.topo_layers(e)
+
+
 def _graph_resource_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resource-Allocation link prediction (graph.resource_allocation,
     Zhou-Lü-Zhang 2009) over the same bulk co-purchase graph as
@@ -2181,6 +2204,7 @@ QUERIES = {
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_resource_allocation": _graph_resource_allocation,
     "graph_scc": _graph_scc,
+    "graph_toposort": _graph_toposort,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "multimodal_phash": _multimodal_phash,
@@ -4529,4 +4553,27 @@ SELECT doc_id,
        CAST(SUM(bit * (CAST(1 AS BIGINT) << (idx - 1))) AS BIGINT) AS phash,
        CAST(SUM(bit) AS INTEGER) AS n_bits
 FROM bits GROUP BY doc_id
+"""
+
+# Kahn layer == longest path from any source: every path extends back
+# to a source, so MAX(depth) over all paths ending at v is the layer.
+ORACLES["graph_toposort"] = """
+WITH s AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+  FROM lineitem WHERE l_quantity >= 40
+),
+e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM s
+  WHERE nxt IS NOT NULL AND nxt > l_partkey
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+lp AS (
+  WITH RECURSIVE r(node, d) AS (
+    SELECT node, 0 FROM n
+    UNION
+    SELECT e.dst, r.d + 1 FROM r JOIN e ON r.node = e.src
+  ) SELECT * FROM r
+)
+SELECT node, CAST(MAX(d) AS INTEGER) AS layer FROM lp GROUP BY node
 """

@@ -891,3 +891,28 @@ def test_scc_single_ring(spark):
     )
     got = {r.node: r.scc_id for r in strongly_connected_components(df).collect()}
     assert got == {i: 0 for i in range(8)}
+
+
+def test_topo_layers_longest_path_semantics(spark):
+    """Diamond with a long side: layer = LONGEST path from a source
+    (1 -> 2 -> 3 -> 5 beats 1 -> 4 -> 5's length for node 5)."""
+    from datafusion_gpu_spark.operators.graph import topo_layers
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 5), (1, 4), (4, 5), (6, 5)],
+        "src long, dst long",
+    )
+    got = {r.node: r.layer for r in topo_layers(df).collect()}
+    assert got == {1: 0, 6: 0, 2: 1, 4: 1, 3: 2, 5: 3}
+
+
+def test_topo_layers_raises_on_cycle(spark):
+    import pytest as _pytest
+
+    from datafusion_gpu_spark.operators.graph import topo_layers
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    with _pytest.raises(ValueError, match="cycle"):
+        topo_layers(df).collect() if False else topo_layers(df)
