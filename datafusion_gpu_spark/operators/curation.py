@@ -592,3 +592,66 @@ def pack_sequences_bestfit(
         return pdf[[key, "shard", "bin_id", "n_tokens"]]
 
     return base.groupBy("shard").applyInPandas(pack, schema)
+
+
+def apportion_sample(
+    docs: DataFrame,
+    total: int,
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "apportion-v1",
+) -> DataFrame:
+    """EXACT-count proportional sampling by largest-remainder (Hamilton)
+    apportionment: allocate exactly ``total`` sample slots across
+    sources proportional to their sizes — floor of the exact rational
+    quota per source, then the leftover slots go to the largest
+    fractional remainders (tie by source name) — and pick each source's
+    allocation deterministically by salted-hash rank.
+
+    This is the missing integer counterpart of the rate-based samplers
+    (:func:`mix_domains` / :func:`temperature_mix` keep a FRACTION and
+    the realized count drifts binomially): when a curriculum spec says
+    "exactly 250k docs, proportional by domain", apportionment is the
+    standard answer (the same algebra as parliamentary seat allocation,
+    Balinski-Young's classic treatment).
+
+    Everything is integer arithmetic on (total * n_s) — quota floors,
+    remainder numerators, the leftover count — so any engine replays
+    the allocation exactly; no float ratio can flip a slot. Shape: one
+    dimension-sized count aggregate + a |sources|-row window for the
+    remainder ranking (driver-free, broadcast back), then one rank
+    window per source with the rank filter pushed into WindowGroupLimit
+    — the reservoir/stratified-sample plan shape.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n_docs"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        "n_s",
+        F.expr(f"CAST({int(total)} AS BIGINT) * n_s DIV n_docs").alias("fl"),
+        ((F.lit(total) * F.col("n_s")) % F.col("n_docs")).alias("rem"),
+    )
+    w_rem = Window.orderBy(F.desc("rem"), source_col)
+    w_all = Window.partitionBy()
+    alloc = q.select(
+        source_col,
+        "n_s",
+        (
+            F.col("fl")
+            + (
+                F.row_number().over(w_rem)
+                <= (F.lit(total) - F.sum("fl").over(w_all))
+            ).cast("long")
+        ).alias("alloc"),
+    )
+    w_pick = Window.partitionBy(source_col).orderBy(
+        _hash_bucket(F.col(key), salt), key
+    )
+    return (
+        docs.join(F.broadcast(alloc.select(source_col, "alloc")), source_col)
+        .withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") <= F.col("alloc"))
+        .select(key, source_col)
+    )

@@ -808,3 +808,52 @@ def ewma_halflife(
             6,
         ).alias("ewma"),
     )
+
+
+def merge_intervals(
+    intervals: DataFrame,
+    key_col: str = "user_id",
+    start_col: str = "s",
+    end_col: str = "e",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Coalesce overlapping/touching intervals per key into maximal
+    islands — the gaps-and-islands merge every warehouse needs for
+    validity windows, on-call shifts, session spans, IP lease ranges
+    (and the interval flavor of :func:`sessionize`, which merges POINTS
+    by gap; this merges RANGES by overlap).
+
+    Classic single-pass spelling: order intervals by (start, end, id);
+    an interval starts a NEW island iff its start exceeds the running
+    max of all previous ends (strictly — touching intervals merge);
+    the island id is the running count of such starts. Two window
+    functions over one (key ORDER BY start) sort, then one keyed
+    aggregation: exactly one shuffle on the key, all integer
+    comparisons, so any engine replays it bit-for-bit.
+
+    Input columns must be integer-comparable (epoch seconds); rows
+    with NULL bounds must be filtered upstream.
+
+    Returns (key, island, start, end, n_intervals) with island numbered
+    1..per key in time order.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(start_col, end_col, id_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = (
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end)
+    ).cast("int")
+    with_island = intervals.withColumn(
+        "island",
+        F.sum(new_island).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_island.groupBy(key_col, "island").agg(
+        F.min(start_col).alias("start"),
+        F.max(end_col).alias("end"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -330,6 +330,35 @@ FROM customer
 GROUP BY c_nationkey
 """
 
+# Weighted median: neither engine ships it as a builtin, but the exact
+# definition — smallest value whose cumulative weight reaches half the
+# total — is one ordered window cumsum over INTEGER cents/units, so one
+# portable spelling runs on both engines with no float until the final
+# presentation division. Lower weighted median; (orderkey, linenumber)
+# tiebreaks make the cumsum order total.
+_WEIGHTED_MEDIAN = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS price_c,
+         CAST(ROUND(l_quantity, 0) AS BIGINT) AS wgt,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+c AS (
+  SELECT flag, price_c, wgt,
+         SUM(wgt) OVER (PARTITION BY flag
+                        ORDER BY price_c, l_orderkey, l_linenumber
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         SUM(wgt) OVER (PARTITION BY flag) AS tw
+  FROM t
+)
+SELECT flag,
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) / 100.0, 2)
+         AS w_median_price,
+       CAST(MIN(tw) AS BIGINT) AS total_weight
+FROM c GROUP BY flag
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
@@ -341,6 +370,7 @@ QUERIES = {
     "agg_filter_clause": sql_query(_FILTER_CLAUSE),
     "agg_bool_bit": sql_query(_BOOL_BIT),
     "agg_median": sql_query(_MEDIAN),
+    "agg_weighted_median": sql_query(_WEIGHTED_MEDIAN),
     "agg_min_max_by": sql_query(_MINMAX_BY),
     "agg_approximate": sql_query(_APPROX),
     "agg_approx_error_bounded": sql_query(_APPROX_BOUNDED),
@@ -362,6 +392,7 @@ ORACLES = {
     "agg_filter_clause": _FILTER_CLAUSE,
     "agg_bool_bit": _BOOL_BIT,
     "agg_median": _MEDIAN,
+    "agg_weighted_median": _WEIGHTED_MEDIAN,
     "agg_min_max_by": _MINMAX_BY,
     # agg_approximate: deliberately no oracle (approximate by design);
     # its error BOUND is checked by agg_approx_error_bounded below

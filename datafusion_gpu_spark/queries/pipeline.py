@@ -1098,6 +1098,84 @@ def _events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cusum_alarms(purchases)
 
 
+def _curation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment sampling
+    (curation.apportion_sample): EXACTLY 250 docs allocated across
+    sources proportional to size — quota floors and remainder ranks in
+    pure integer arithmetic, per-source picks by salted-hash rank. The
+    integer counterpart of the rate-based mixers, whose realized counts
+    drift binomially; the oracle replays the allocation and the pick
+    ranking term-for-term."""
+    load(spark, sf_dir)
+    return curation.apportion_sample(
+        spark.table("documents"), total=250, source_col="source"
+    )
+
+
+# OHLC candlestick downsample: the time-series compaction (open/high/
+# low/close/volume per bucket) — one portable spelling on both engines;
+# open/close pick by row_number with (ts, event_id) tiebreaks instead of
+# min_by/max_by because composite ordering keys are not portable, and
+# cents-integer values keep every aggregate exact until presentation.
+_OHLC = """
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c, ts, event_id
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+)
+SELECT bucket, event_type,
+  CAST(ROUND(MIN(CASE WHEN rn_a = 1 THEN v_c END) / 100.0, 2) AS DOUBLE) AS open,
+  CAST(ROUND(MAX(v_c) / 100.0, 2) AS DOUBLE) AS high,
+  CAST(ROUND(MIN(v_c) / 100.0, 2) AS DOUBLE) AS low,
+  CAST(ROUND(MIN(CASE WHEN rn_d = 1 THEN v_c END) / 100.0, 2) AS DOUBLE) AS close,
+  CAST(SUM(v_c) AS BIGINT) AS volume_cents,
+  COUNT(*) AS n_trades
+FROM r GROUP BY bucket, event_type
+"""
+
+
+def _events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC (candlestick) downsample of the event value stream —
+    the canonical time-series compaction for dashboards and archives.
+    Single portable SQL (see _OHLC) run on Spark directly and replayed
+    verbatim by DuckDB."""
+    load(spark, sf_dir)
+    return spark.sql(_OHLC)
+
+
+def _events_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval coalescing (events.merge_intervals):
+    each purchase opens a validity range [ts, ts + round(value)
+    minutes] and overlapping/touching ranges per user merge into
+    maximal islands — the RANGE twin of gap sessionization (points
+    merge by gap there; ranges merge by overlap here), the op behind
+    validity-window compaction and coverage accounting. All bounds are
+    bigint epoch-micros, the island flag is an integer comparison, so
+    the oracle replays the two-window + one-aggregation plan
+    bit-for-bit."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    iv = (
+        spark.table("events")
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            ep.alias("s"),
+            (ep + F.round("value").cast("long") * 60_000_000).alias("e"),
+        )
+    )
+    return events.merge_intervals(iv)
+
+
 def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user halflife-1 EWMA over the purchase value stream
     (events.ewma_halflife, span=20) — the smoother upstream of the
@@ -2212,6 +2290,9 @@ QUERIES = {
     "events_anomaly_mad": _events_anomaly_mad,
     "events_changepoint_cusum": _events_changepoint_cusum,
     "events_ewma": _events_ewma,
+    "events_interval_merge": _events_interval_merge,
+    "events_ohlc": _events_ohlc,
+    "curation_apportion": _curation_apportion,
     "text_hashing_vectorizer": _text_hashing_vectorizer,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
@@ -4576,4 +4657,67 @@ lp AS (
   ) SELECT * FROM r
 )
 SELECT node, CAST(MAX(d) AS INTEGER) AS layer FROM lp GROUP BY node
+"""
+
+# Interval merge: running-max-of-previous-ends island flag, identical
+# ordering tiebreaks, all bigint epoch-micros.
+ORACLES["events_interval_merge"] = """
+WITH iv AS (
+  SELECT user_id, event_id,
+         epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(ROUND(value) AS BIGINT) * 60000000 AS e
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+m AS (
+  SELECT user_id, event_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+  FROM iv
+),
+isl AS (
+  SELECT user_id, s, e,
+         CAST(SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY s, e, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS island
+  FROM m
+)
+SELECT user_id, island, MIN(s) AS start, MAX(e) AS "end",
+       COUNT(*) AS n_intervals
+FROM isl GROUP BY user_id, island
+"""
+
+ORACLES["events_ohlc"] = _OHLC
+
+# Apportionment: integer quota floors and remainder ranks; pick ranking
+# reuses the portable salted md5 bucket (curation._hash_bucket mirror).
+ORACLES["curation_apportion"] = """
+WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+t AS (SELECT SUM(n_s) AS n_docs FROM c),
+q AS (
+  SELECT source, n_s,
+         (250 * n_s) // n_docs AS fl,
+         (250 * n_s) % n_docs AS rem
+  FROM c, t
+),
+a AS (
+  SELECT source,
+         fl + (CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+                         <= 250 - (SELECT SUM(fl) FROM q)
+               THEN 1 ELSE 0 END) AS alloc
+  FROM q
+),
+r AS (
+  SELECT doc_id, d.source,
+         ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY CAST('0x' || substring(
+                      md5('apportion-v1:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 1000000,
+                    doc_id) AS rn
+  FROM documents d
+)
+SELECT r.doc_id, r.source FROM r JOIN a ON a.source = r.source
+WHERE r.rn <= a.alloc
 """

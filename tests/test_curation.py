@@ -365,3 +365,28 @@ def test_pack_bestfit_string_keys(spark):
         fills[r.bin_id] = fills.get(r.bin_id, 0) + r.n_tokens
     assert all(f <= 100 for f in fills.values())
     assert len(fills) == 2  # 60+40 twice
+
+
+def test_apportion_exact_total_and_proportions(spark):
+    from datafusion_gpu_spark.operators.curation import apportion_sample
+
+    # 7/5/3 docs, total 10: quotas 4.67/3.33/2.0 -> floors 4/3/2, one
+    # leftover slot goes to the largest remainder (a: .67)
+    rows = (
+        [(i, "a") for i in range(7)]
+        + [(100 + i, "b") for i in range(5)]
+        + [(200 + i, "c") for i in range(3)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = apportion_sample(docs, total=10).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in got} == {"a": 5, "b": 3, "c": 2}
+
+
+def test_apportion_is_deterministic_and_total_exact(spark):
+    from datafusion_gpu_spark.operators.curation import apportion_sample
+
+    rows = [(i, f"s{i % 7}") for i in range(83)]  # awkward ratios
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    a = sorted(r.doc_id for r in apportion_sample(docs, total=31).collect())
+    b = sorted(r.doc_id for r in apportion_sample(docs, total=31).collect())
+    assert a == b and len(a) == 31

@@ -81,3 +81,34 @@ def test_ewma_halflife_does_not_leak_across_keys(spark):
     got = {r.user_id: r.ewma for r in ewma_halflife(df, span=8).collect()}
     # each key's single row is its own (exact) mean — no cross-key history
     assert got == {1: 100.0, 2: 900.0}
+
+
+def test_merge_intervals_overlap_touch_disjoint(spark):
+    from datafusion_gpu_spark.operators.events import merge_intervals
+
+    rows = [
+        # user 1: [0,10] overlaps [5,20]; [20,25] TOUCHES and merges;
+        # [30,35] is disjoint -> island 2
+        (1, 1, 0, 10), (1, 2, 5, 20), (1, 3, 20, 25), (1, 4, 30, 35),
+        # user 2: containment — [0,100] swallows [10,20] and [90,95]
+        (2, 5, 0, 100), (2, 6, 10, 20), (2, 7, 90, 95),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    got = {
+        (r.user_id, r.island): (r.start, r["end"], r.n_intervals)
+        for r in merge_intervals(df).collect()
+    }
+    assert got == {
+        (1, 1): (0, 25, 3),
+        (1, 2): (30, 35, 1),
+        (2, 1): (0, 100, 3),
+    }
+
+
+def test_merge_intervals_out_of_order_input(spark):
+    from datafusion_gpu_spark.operators.events import merge_intervals
+
+    rows = [(1, 1, 50, 60), (1, 2, 0, 10), (1, 3, 8, 52)]  # bridge arrives last
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    got = merge_intervals(df).collect()
+    assert len(got) == 1 and (got[0].start, got[0]["end"]) == (0, 60)
