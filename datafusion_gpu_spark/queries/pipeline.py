@@ -1435,6 +1435,52 @@ def _graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.strongly_connected_components(e)
 
 
+def _graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation DAG of the directed purchase-succession graph: SCCs
+    contract to super-nodes (graph.strongly_connected_components), the
+    inter-SCC edges form the provably-acyclic condensation, and Kahn
+    layering (graph.topo_layers) assigns each super-node its scheduling
+    wave — the textbook composition (Cormen et al. §22.5) that turns
+    ANY directed graph into an executable dependency order, and the
+    payoff for having both operators: cycle-safe dependency scheduling
+    end-to-end. Isolated SCCs (no inter-SCC edge) sit at layer 0. The
+    oracle recomputes both stages from the recursive closure."""
+    load(spark, sf_dir)
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    e = (
+        spark.table("lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select(
+            F.col("l_partkey").alias("src"),
+            F.lead("l_partkey").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+    )
+    scc_map = graph.strongly_connected_components(e)
+    to_scc_s = scc_map.select(
+        F.col("node").alias("src"), F.col("scc_id").alias("c_src")
+    )
+    to_scc_d = scc_map.select(
+        F.col("node").alias("dst"), F.col("scc_id").alias("c_dst")
+    )
+    ce = (
+        e.join(to_scc_s, "src")
+        .join(to_scc_d, "dst")
+        .where(F.col("c_src") != F.col("c_dst"))
+        .select(F.col("c_src").alias("src"), F.col("c_dst").alias("dst"))
+        .distinct()
+    )
+    layers = graph.topo_layers(ce)
+    sizes = scc_map.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return sizes.join(
+        layers.withColumnRenamed("node", "scc_id"), "scc_id", "left"
+    ).select(
+        "scc_id",
+        F.coalesce(F.col("layer"), F.lit(0)).alias("layer"),
+        "n_members",
+    )
+
+
 def _graph_toposort(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Topological layering (graph.topo_layers, Kahn peeling) of the
     purchase-succession graph ORIENTED by key order (src < dst — the
@@ -2283,6 +2329,7 @@ QUERIES = {
     "graph_resource_allocation": _graph_resource_allocation,
     "graph_scc": _graph_scc,
     "graph_toposort": _graph_toposort,
+    "graph_condensation": _graph_condensation,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "multimodal_phash": _multimodal_phash,
@@ -4720,4 +4767,54 @@ r AS (
 )
 SELECT r.doc_id, r.source FROM r JOIN a ON a.source = r.source
 WHERE r.rn <= a.alloc
+"""
+
+# Condensation: SCC labeling from the recursive closure (as graph_scc),
+# then longest path over the contracted inter-SCC edges; isolated SCCs
+# default to layer 0 via the same LEFT JOIN + COALESCE.
+ORACLES["graph_condensation"] = """
+WITH s AS (
+  SELECT l_partkey,
+         lead(l_partkey) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS nxt
+  FROM lineitem WHERE l_quantity >= 40
+),
+e AS (
+  SELECT DISTINCT l_partkey AS src, nxt AS dst FROM s
+  WHERE nxt IS NOT NULL AND nxt <> l_partkey
+),
+n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+reach AS (
+  WITH RECURSIVE r(s, d) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.s, e.dst FROM r JOIN e ON r.d = e.src
+  ) SELECT * FROM r
+),
+mut AS (
+  SELECT a.s AS u, a.d AS v
+  FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+),
+scc AS (
+  SELECT n.node, LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+  FROM n LEFT JOIN mut m ON m.u = n.node
+  GROUP BY n.node
+),
+ce AS (
+  SELECT DISTINCT cs.scc_id AS src, cd.scc_id AS dst
+  FROM e JOIN scc cs ON cs.node = e.src
+         JOIN scc cd ON cd.node = e.dst
+  WHERE cs.scc_id <> cd.scc_id
+),
+lp AS (
+  WITH RECURSIVE r2(node, d) AS (
+    SELECT src, 0 FROM ce UNION SELECT dst, 0 FROM ce
+    UNION
+    SELECT ce.dst, r2.d + 1 FROM r2 JOIN ce ON r2.node = ce.src
+  ) SELECT node, MAX(d) AS layer FROM r2 GROUP BY node
+)
+SELECT sz.scc_id,
+       CAST(COALESCE(lp.layer, 0) AS INTEGER) AS layer,
+       sz.n_members
+FROM (SELECT scc_id, COUNT(*) AS n_members FROM scc GROUP BY scc_id) sz
+LEFT JOIN lp ON lp.node = sz.scc_id
 """

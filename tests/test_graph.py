@@ -916,3 +916,29 @@ def test_topo_layers_raises_on_cycle(spark):
     )
     with _pytest.raises(ValueError, match="cycle"):
         topo_layers(df).collect() if False else topo_layers(df)
+
+
+def test_condensation_composition_layers_super_nodes(spark):
+    """cycle {1,2,3} -> cycle {10,11} -> 20; isolated cycle {30,31}:
+    condensation layers = 0, 1, 2 and isolated SCC at 0."""
+    from datafusion_gpu_spark.operators.graph import (
+        strongly_connected_components,
+        topo_layers,
+    )
+    from pyspark.sql import functions as SF
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 10), (10, 11), (11, 10),
+             (11, 20), (30, 31), (31, 30)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    scc = strongly_connected_components(e)
+    to_s = scc.select(SF.col("node").alias("src"), SF.col("scc_id").alias("cs"))
+    to_d = scc.select(SF.col("node").alias("dst"), SF.col("scc_id").alias("cd"))
+    ce = (
+        e.join(to_s, "src").join(to_d, "dst")
+        .where("cs <> cd")
+        .select(SF.col("cs").alias("src"), SF.col("cd").alias("dst"))
+        .distinct()
+    )
+    layers = {r.node: r.layer for r in topo_layers(ce).collect()}
+    assert layers == {1: 0, 10: 1, 20: 2}  # isolated SCC 30 absent here
+    assert {r.scc_id for r in scc.collect()} == {1, 10, 20, 30}
