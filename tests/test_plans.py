@@ -502,3 +502,44 @@ def test_hashing_vectorizer_is_single_aggregation_no_python(spark):
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     for py in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert py not in plan
+
+
+def test_fuzzy_blocked_join_is_hash_not_nested_loop(spark):
+    # the whole point of blocking: candidates come from an EQUALITY join
+    # on the block key, never a nested-loop over the corpus pair space
+    plan = plan_of(spark, "join_fuzzy_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan  # broadcast or shuffled — both are keyed
+
+
+def test_ewma_is_one_exchange_one_window(spark):
+    # 20 lag pairs share ONE window spec: a single key shuffle, a single
+    # Window node, no Python
+    plan = plan_of(spark, "events_ewma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") >= 1
+    assert "MapInPandas" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_interval_merge_single_shuffle(spark):
+    plan = plan_of(spark, "events_interval_merge")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_apportion_rank_filter_fused_to_window_group_limit(spark):
+    # per-source pick: the rn <= alloc filter must ride WindowGroupLimit
+    # ... when the bound is a literal; with a per-source alloc column the
+    # filter stays a Filter — what we pin is NO second corpus shuffle and
+    # the broadcasted allocation join
+    plan = plan_of(spark, "curation_apportion")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_phash_python_boundary_is_batched(spark):
+    # exactly the two intended Arrow boundaries (encode + hash), nothing
+    # row-at-a-time
+    plan = plan_of(spark, "multimodal_phash")
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
