@@ -675,10 +675,59 @@ def probe_hyperball(spark, sizes: list[int]) -> None:
         edges.unpersist()
 
 
+
+def probe_scc(spark, sizes: list[int]) -> None:
+    """SCC at synthetic scale with CHECKABLE ground truth: nodes are
+    partitioned into directed 8-rings (each ring = one SCC of size 8),
+    and ring 0 points at every other ring (star cross edges). The
+    coloring trajectory is then deterministic: round 1 colors the whole
+    graph with ring 0's min label but can only peel ring 0 backward
+    (cross edges do not reverse), round 2 peels every now-isolated
+    ring — 2 outer rounds regardless of n, ~8 forward + ~8 backward
+    hops each. Asserts n/8 SCCs, all of size exactly 8."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import strongly_connected_components
+
+    for n_nodes in sizes:
+        n_nodes -= n_nodes % 8
+        rings = n_nodes // 8
+        ring_edges = spark.range(n_nodes).select(
+            F.col("id").alias("src"),
+            ((F.col("id") - F.col("id") % 8) + (F.col("id") + 1) % 8).alias("dst"),
+        )
+        cross = (
+            spark.range(1, rings)
+            .select(F.lit(0).cast("long").alias("src"),
+                    (F.col("id") * 8).alias("dst"))
+        )
+        edges = ring_edges.unionAll(cross).repartition(32).cache()
+        edges.count()
+        t0 = _t.perf_counter()
+        out = strongly_connected_components(edges)
+        sizes_df = out.groupBy("scc_id").agg(F.count(F.lit(1)).alias("sz"))
+        stats = sizes_df.agg(
+            F.count(F.lit(1)).alias("n_sccs"),
+            F.min("sz").alias("min_sz"),
+            F.max("sz").alias("max_sz"),
+        ).collect()[0]
+        dt = _t.perf_counter() - t0
+        ok = stats["n_sccs"] == rings and stats["min_sz"] == 8 == stats["max_sz"]
+        print(
+            f"nodes={n_nodes} rings={rings} sccs={stats['n_sccs']} "
+            f"sizes=[{stats['min_sz']},{stats['max_sz']}] "
+            f"exact={'OK' if ok else 'MISMATCH'} time={dt:.1f}s",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep", "louvain"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep", "louvain", "scc"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -688,6 +737,9 @@ def main() -> int:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if op == "scc":
+        probe_scc(spark, sizes if args else [40_000, 160_000])
+        return 0
     if op == "components":
         probe_components(spark, sizes if args else [100_000, 400_000])
         return 0
