@@ -615,6 +615,14 @@ def apportion_sample(
     standard answer (the same algebra as parliamentary seat allocation,
     Balinski-Young's classic treatment).
 
+    PRECONDITION: ``total`` must not exceed the corpus size. The quota
+    rule then guarantees every source's allocation is floor(quota) or
+    ceil(quota) <= n_s, so each source can actually supply its slots
+    and the output is EXACTLY ``total`` rows (property-tested). An
+    oversubscribed budget (total > corpus) is unsatisfiable without
+    replacement — sources run out and the result silently falls short;
+    validate the budget upstream where the corpus size is known.
+
     Everything is integer arithmetic on (total * n_s) — quota floors,
     remainder numerators, the leftover count — so any engine replays
     the allocation exactly; no float ratio can flip a slot. Shape: one

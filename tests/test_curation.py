@@ -390,3 +390,12 @@ def test_apportion_is_deterministic_and_total_exact(spark):
     a = sorted(r.doc_id for r in apportion_sample(docs, total=31).collect())
     b = sorted(r.doc_id for r in apportion_sample(docs, total=31).collect())
     assert a == b and len(a) == 31
+
+
+def test_apportion_oversubscribed_budget_falls_short_as_documented(spark):
+    # total > corpus is unsatisfiable without replacement: sources run
+    # out and the result falls short — the documented precondition
+    from datafusion_gpu_spark.operators.curation import apportion_sample
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    assert apportion_sample(docs, total=2).count() == 1

@@ -358,3 +358,66 @@ def test_cusum_closed_form_equals_sequential_recursion(spark, vals):
     assert got.n_alarms == alarms
     assert got.peak_cusum == peak
     assert got.first_alarm_id == first
+
+
+@settings(**_SETTINGS)
+@given(
+    iv=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=100),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_merge_intervals_matches_sequential_reference(spark, iv):
+    # islands == the classic sequential sweep, for ANY interval set
+    from datafusion_gpu_spark.operators.events import merge_intervals
+
+    rows = [(1, i, s, s + d) for i, (s, d) in enumerate(iv)]
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
+    got = sorted(
+        (r.start, r["end"], r.n_intervals)
+        for r in merge_intervals(df).collect()
+    )
+    ref = []
+    for s, e in sorted((s, s + d) for s, d in iv):
+        if ref and s <= ref[-1][1]:
+            ref[-1] = (ref[-1][0], max(ref[-1][1], e), ref[-1][2] + 1)
+        else:
+            ref.append((s, e, 1))
+    assert got == sorted(ref)
+
+
+@settings(**_SETTINGS)
+@given(
+    sizes=st.lists(st.integers(min_value=1, max_value=30), min_size=1,
+                   max_size=8),
+    budget_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_apportion_quota_rule_any_distribution(spark, sizes, budget_frac):
+    # Hamilton's method satisfies the quota rule: every source gets
+    # floor(quota) or ceil(quota), and the total is EXACT — for any
+    # source-size distribution and any budget within the corpus size
+    # (the documented precondition; hypothesis found the oversubscribed
+    # case, now pinned separately)
+    import math
+
+    from datafusion_gpu_spark.operators.curation import apportion_sample
+
+    rows = [
+        (src * 1000 + i, f"s{src}")
+        for src, n in enumerate(sizes)
+        for i in range(n)
+    ]
+    n_docs = sum(sizes)
+    total = int(budget_frac * n_docs)
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    got = apportion_sample(docs, total=total).groupBy("source").count().collect()
+    alloc = {r.source: r["count"] for r in got}
+    assert sum(alloc.values()) == total  # exact total
+    for src, n in enumerate(sizes):
+        q = total * n / n_docs
+        a = alloc.get(f"s{src}", 0)
+        assert math.floor(q) <= a <= math.ceil(q)
