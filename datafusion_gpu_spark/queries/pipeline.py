@@ -1112,6 +1112,18 @@ def _curation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_ewma (streaming.stream_ewma):
+    per-user bounded state (last 20 cents) in applyInPandasWithState,
+    integer-only Python (cents quantized JVM-side with the batch
+    twin's exact expression), presentation division in Spark after the
+    sink. Graded by the BATCH oracle — the stream==batch contract."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_ewma(spark, sf_dir)
+
+
 # OHLC candlestick downsample: the time-series compaction (open/high/
 # low/close/volume per bucket) — one portable spelling on both engines;
 # open/close pick by row_number with (ts, event_id) tiebreaks instead of
@@ -2340,6 +2352,7 @@ QUERIES = {
     "events_interval_merge": _events_interval_merge,
     "events_ohlc": _events_ohlc,
     "curation_apportion": _curation_apportion,
+    "streaming_ewma": _streaming_ewma,
     "text_hashing_vectorizer": _text_hashing_vectorizer,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
@@ -4818,3 +4831,8 @@ SELECT sz.scc_id,
 FROM (SELECT scc_id, COUNT(*) AS n_members FROM scc GROUP BY scc_id) sz
 LEFT JOIN lp ON lp.node = sz.scc_id
 """
+
+# The streaming EWMA twin shares the batch oracle verbatim: on an
+# in-order replay the stateful automaton's output IS the batch
+# operator's, bit for bit (stream == batch contract).
+ORACLES["streaming_ewma"] = ORACLES["events_ewma"]

@@ -712,3 +712,85 @@ def materialized_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(state["path"])
+
+
+def stream_ewma(
+    spark: SparkSession, sf_dir: str, span: int = 20, scale: int = 100
+) -> DataFrame:
+    """Streaming twin of events.ewma_halflife via applyInPandasWithState:
+    per-user state is the last ``span`` cents (a bounded bigint array —
+    the whole point of span truncation: O(span) state per key, forever),
+    each micro-batch advances over its (ts, event_id)-sorted rows and
+    emits one exact (num, den) bigint pair per event.
+
+    Exactness discipline: the cents quantization runs JVM-SIDE before
+    the stateful operator (the same F.round(value*scale) expression as
+    the batch twin — Python's bankers' rounding would diverge from
+    Spark's HALF_UP on exact half-cents), so the Python automaton is
+    INTEGER-ONLY; the presentation division happens in Spark after
+    materialization with the identical round(num/den/scale, 6). On an
+    in-order replay the output is bit-for-bit the batch operator's,
+    so the BATCH ORACLE grades the stream (the stream==batch contract,
+    like streaming_incremental_agg); on a live stream, ordering holds
+    within each micro-batch — the same documented approximation as the
+    funnel automaton.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        out = {"user_id": [], "event_id": [], "num": [], "den": []}
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, c in zip(rows["event_id"], rows["cents"]):
+                hist.append(int(c))
+                if len(hist) > span:
+                    hist = hist[-span:]
+                num = sum(
+                    v << (span - 1 - k) for k, v in enumerate(reversed(hist))
+                )
+                den = sum(
+                    1 << (span - 1 - k) for k in range(len(hist))
+                )
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["num"].append(num)
+                out["den"].append(den)
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, num long, den long",
+        stateStructType="hist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    exact = materialize_stream(prog, output_mode="update")
+    return exact.select(
+        "user_id",
+        "event_id",
+        "num",
+        "den",
+        F.round(
+            F.col("num").cast("double")
+            / F.col("den").cast("double")
+            / F.lit(float(scale)),
+            6,
+        ).alias("ewma"),
+    )

@@ -407,3 +407,24 @@ def test_streaming_incremental_agg_matches_batch_maintenance(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_ewma_matches_batch_exactly(spark):
+    # the stateful automaton on an in-order replay must reproduce the
+    # batch window spelling bit-for-bit, exact bigints included
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_ewma,
+        _streaming_ewma,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.event_id: (r.num, r.den, r.ewma)
+        for r in _events_ewma(spark, sf).collect()
+    }
+    stream = {
+        r.event_id: (r.num, r.den, r.ewma)
+        for r in _streaming_ewma(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
