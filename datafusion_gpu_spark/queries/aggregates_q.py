@@ -359,6 +359,33 @@ SELECT flag,
 FROM c GROUP BY flag
 """
 
+# Two-sided 10% trimmed mean — the robust-mean sibling of the weighted
+# median: rank within group (total tiebreaks), drop floor(n/10) from
+# each tail, average the surviving integer cents. CAST(FLOOR(n / 10) AS BIGINT)
+# spells floor portably (both engines divide as double — exact for any
+# group size below 2^52 — then truncate).
+_TRIMMED_MEAN = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT flag,
+       COUNT(CASE WHEN rn > CAST(FLOOR(n / 10) AS BIGINT)
+                   AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT) THEN 1 END) AS n_kept,
+       CAST(ROUND(
+         SUM(CASE WHEN rn > CAST(FLOOR(n / 10) AS BIGINT)
+                   AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT) THEN c END)
+         / COUNT(CASE WHEN rn > CAST(FLOOR(n / 10) AS BIGINT)
+                       AND rn <= n - CAST(FLOOR(n / 10) AS BIGINT) THEN 1 END)
+         / 100.0, 4) AS DOUBLE) AS trimmed_mean
+FROM t GROUP BY flag
+"""
+
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
     "agg_hll_sketch_union": sql_query(_HLL_SKETCH),
@@ -371,6 +398,7 @@ QUERIES = {
     "agg_bool_bit": sql_query(_BOOL_BIT),
     "agg_median": sql_query(_MEDIAN),
     "agg_weighted_median": sql_query(_WEIGHTED_MEDIAN),
+    "agg_trimmed_mean": sql_query(_TRIMMED_MEAN),
     "agg_min_max_by": sql_query(_MINMAX_BY),
     "agg_approximate": sql_query(_APPROX),
     "agg_approx_error_bounded": sql_query(_APPROX_BOUNDED),
@@ -393,6 +421,7 @@ ORACLES = {
     "agg_bool_bit": _BOOL_BIT,
     "agg_median": _MEDIAN,
     "agg_weighted_median": _WEIGHTED_MEDIAN,
+    "agg_trimmed_mean": _TRIMMED_MEAN,
     "agg_min_max_by": _MINMAX_BY,
     # agg_approximate: deliberately no oracle (approximate by design);
     # its error BOUND is checked by agg_approx_error_bounded below

@@ -1112,6 +1112,33 @@ def _curation_apportion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check for the deterministic 50/50 A/B hash
+    assignment — the first gate every experimentation platform runs: if
+    the realized split is improbably far from 50/50, the assignment or
+    logging pipeline is broken and every downstream metric is invalid
+    (Kohavi et al.'s trustworthy-experiments SRM test). The chi-square
+    statistic for two equal-expectation cells reduces to
+    (n_a - n_b)^2 / n — integer arithmetic until one division — and the
+    decision compares against the CONSTANT 3.841 (chi2_0.95, df=1), so
+    no libm p-value is ever computed. Assignment reuses the portable
+    salted md5 bucket, replayed verbatim by the oracle."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators.curation import _hash_bucket
+
+    users = spark.table("events").select("user_id").distinct()
+    v = (_hash_bucket(F.col("user_id"), "srm-v1") % 2).alias("v")
+    agg = users.select(v).agg(
+        F.sum(F.when(F.col("v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    diff2 = (F.col("n_a") - F.col("n_b")) * (F.col("n_a") - F.col("n_b"))
+    chi2 = F.round(diff2 / (F.col("n_a") + F.col("n_b")), 6)
+    return agg.select(
+        "n_a", "n_b", chi2.alias("chi2"), (chi2 > 3.841).alias("srm")
+    )
+
+
 def _streaming_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of events_ewma (streaming.stream_ewma):
     per-user bounded state (last 20 cents) in applyInPandasWithState,
@@ -2353,6 +2380,7 @@ QUERIES = {
     "events_ohlc": _events_ohlc,
     "curation_apportion": _curation_apportion,
     "streaming_ewma": _streaming_ewma,
+    "events_ab_srm": _events_ab_srm,
     "text_hashing_vectorizer": _text_hashing_vectorizer,
     "text_readability": _text_readability,
     "sim_random_projection": _sim_random_projection,
@@ -4836,3 +4864,23 @@ LEFT JOIN lp ON lp.node = sz.scc_id
 # in-order replay the stateful automaton's output IS the batch
 # operator's, bit for bit (stream == batch contract).
 ORACLES["streaming_ewma"] = ORACLES["events_ewma"]
+
+# SRM: same salted md5 assignment, chi-square as exact integer algebra
+# over the two user counts, constant critical value (no libm p-value).
+ORACLES["events_ab_srm"] = """
+WITH u AS (
+  SELECT DISTINCT user_id,
+         (CAST('0x' || substring(md5('srm-v1:' || CAST(user_id AS VARCHAR)),
+                                 1, 15) AS BIGINT) % 1000000) % 2 AS v
+  FROM events
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+  FROM u
+)
+SELECT n_a, n_b,
+       ROUND((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
+       (ROUND((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6) > 3.841) AS srm
+FROM agg
+"""

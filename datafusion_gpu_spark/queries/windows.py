@@ -197,6 +197,27 @@ def _qualify_query(spark, sf_dir):
     return spark.sql(rewrite_qualify(_QUALIFY_TOP3)).drop("__qualify__")
 
 
+# Running count-distinct per key: the exact streaming-style "how many
+# distinct event types has this user produced so far" — not a native
+# window aggregate in either engine (COUNT(DISTINCT ...) OVER is
+# unsupported), but the first-occurrence-flag + cumulative-sum rewrite
+# is exact and portable: one rank window on (key, value), one cumsum
+# window on the key.
+_RUNNING_DISTINCT = """
+WITH t AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS occ
+  FROM events
+)
+SELECT user_id, event_id,
+       CAST(SUM(CASE WHEN occ = 1 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS distinct_types_so_far
+FROM t
+"""
+
 QUERIES = {
     "window_ranking": sql_query(_RANKING),
     "window_lag_lead": sql_query(_ANALYTIC),
@@ -208,6 +229,7 @@ QUERIES = {
     "window_exclude_current_emulated": sql_query(_EXCLUDE_EMULATED_SPARK),
     "window_qualify_rewrite": _qualify_query,
     "window_ignore_nulls": sql_query(_IGNORE_NULLS_SPARK),
+    "window_running_distinct": sql_query(_RUNNING_DISTINCT),
 }
 
 ORACLES = {
@@ -221,4 +243,5 @@ ORACLES = {
     "window_exclude_current_emulated": _EXCLUDE_NATIVE_DUCK,
     "window_qualify_rewrite": _QUALIFY_TOP3,
     "window_ignore_nulls": _IGNORE_NULLS_DUCK,
+    "window_running_distinct": _RUNNING_DISTINCT,
 }
