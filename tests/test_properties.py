@@ -421,3 +421,73 @@ def test_apportion_quota_rule_any_distribution(spark, sizes, budget_frac):
         q = total * n / n_docs
         a = alloc.get(f"s{src}", 0)
         assert math.floor(q) <= a <= math.ceil(q)
+
+
+@settings(**_SETTINGS)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab c", min_size=1, max_size=20),
+        min_size=2,
+        max_size=12,
+    ),
+    threshold=st.integers(min_value=0, max_value=6),
+)
+def test_blocked_edit_pairs_matches_python_reference(spark, texts, threshold):
+    # for ANY corpus: the found pairs are exactly the same-block pairs
+    # within threshold, with the exact Levenshtein distance
+    import re
+
+    def lev(a, b):
+        m = [[i + j if not i * j else 0 for j in range(len(b) + 1)]
+             for i in range(len(a) + 1)]
+        for i in range(1, len(a) + 1):
+            for j in range(1, len(b) + 1):
+                m[i][j] = min(m[i - 1][j] + 1, m[i][j - 1] + 1,
+                              m[i - 1][j - 1] + (a[i - 1] != b[j - 1]))
+        return m[len(a)][len(b)]
+
+    from datafusion_gpu_spark.operators.dedup import blocked_edit_pairs
+
+    rows = [(i, t, "x") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in blocked_edit_pairs(
+            df, prefix_len=40, threshold=threshold, block_cols=("lang",)
+        ).collect()
+    }
+    norm = [re.sub(r"\s+", " ", t.strip().lower()) for t in texts]
+    ref = {}
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            a, b = norm[i][:40], norm[j][:40]
+            if (a.split(" ")[0] if a else "") != (b.split(" ")[0] if b else ""):
+                continue  # different block
+            d = lev(a, b)
+            if d <= threshold:
+                ref[(i, j)] = d
+    assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(
+            lambda p: p[0] < p[1]  # orient by id: acyclic by construction
+        ),
+        min_size=1,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_topo_layers_matches_longest_path_reference(spark, edges):
+    from datafusion_gpu_spark.operators.graph import topo_layers
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.layer for r in topo_layers(df).collect()}
+    nodes = {u for u, v in edges} | {v for u, v in edges}
+    ref = {}
+    for n in sorted(nodes):  # ascending ids == topological order here
+        preds = [u for u, v in edges if v == n]
+        ref[n] = 1 + max((ref[u] for u in preds), default=-1)
+    assert got == ref
