@@ -1336,3 +1336,109 @@ def topo_layers(
     for part in layers[1:]:
         out = out.unionAll(part)
     return out.select("node", "layer")
+
+
+def boruvka_mst(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    w: str = "w",
+    max_rounds: int = 25,
+    component_max_iter: int = 40,
+) -> DataFrame:
+    """Minimum spanning forest by Borůvka's algorithm — the member of
+    the MST family that actually distributes (Kruskal serializes
+    through one sorted edge stream, Prim through one frontier; Borůvka
+    lets EVERY component pick its lightest incident edge per round and
+    merges, halving the component count, so rounds <= log2(n) — the
+    1926 algorithm that modern parallel MST work still builds on).
+
+    Per round: one labeled join of the canonical edge list against the
+    component map (both directions), one min-aggregation per component
+    — Spark's ``min(struct(w, lo, hi))`` gives the lexicographic
+    minimum, and that COMPOSITE total order is what makes tie-broken
+    Borůvka cycle-free (equal weights alone can cycle; a total order
+    cannot) — then the chosen edges' component pairs merge through
+    :func:`dedup.connected_components` (reused verbatim: the merge
+    forest is just another pair stream). Parallel edges collapse to
+    their min weight up front; the forest accumulates per round and an
+    empty live-edge round certifies completion. Budget exhaustion
+    raises rather than returning a partial forest.
+
+    The tie-broken result is always A minimum spanning forest of the
+    input (exchange argument on the composite order); it is THE unique
+    MSF when no two live weights tie at a cut, and the planted-tree
+    gate construction (every non-tree edge strictly heavier than every
+    tree edge) pins the exact edge set regardless of ties among heavy
+    edges — which is what makes an exact SQL oracle possible for an
+    iterative algorithm.
+
+    Returns canonical MST edges (lo, hi, w).
+    """
+    from datafusion_gpu_spark.operators.dedup import connected_components
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext, reset_stats=True)
+    und = ckpt(
+        edges.select(
+            F.least(F.col(a), F.col(b)).alias("lo"),
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+            F.col(w).alias("w"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(F.min("w").alias("w"))
+    )
+    comp = ckpt(
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    forest: list[DataFrame] = []
+    for _ in range(max_rounds):
+        cl = comp.select(F.col("node").alias("lo"), F.col("comp").alias("c_lo"))
+        ch = comp.select(F.col("node").alias("hi"), F.col("comp").alias("c_hi"))
+        live = ckpt(
+            und.join(cl, "lo").join(ch, "hi").where(F.col("c_lo") != F.col("c_hi"))
+        )
+        if live.count() == 0:
+            break
+        inc = live.select(F.col("c_lo").alias("c"), "w", "lo", "hi").unionAll(
+            live.select(F.col("c_hi").alias("c"), "w", "lo", "hi")
+        )
+        chosen = ckpt(
+            inc.groupBy("c")
+            .agg(F.min(F.struct("w", "lo", "hi")).alias("m"))
+            .select(
+                F.col("m.lo").alias("lo"),
+                F.col("m.hi").alias("hi"),
+                F.col("m.w").alias("w"),
+            )
+            .distinct()
+        )
+        forest.append(chosen)
+        ce = (
+            chosen.join(cl, "lo")
+            .join(ch, "hi")
+            .select("c_lo", "c_hi")
+        )
+        merged = connected_components(
+            ce, a="c_lo", b="c_hi", max_iter=component_max_iter
+        )
+        comp = ckpt(
+            comp.join(
+                merged.withColumnRenamed("node", "comp"), "comp", "left"
+            ).select(
+                "node",
+                F.coalesce(F.col("component"), F.col("comp")).alias("comp"),
+            )
+        )
+    else:
+        raise RuntimeError("boruvka_mst: round budget exhausted")
+    if not forest:
+        return und.where(F.lit(False))
+    out = forest[0]
+    for part in forest[1:]:
+        out = out.unionAll(part)
+    return out.distinct()

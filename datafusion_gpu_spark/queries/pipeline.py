@@ -1474,6 +1474,46 @@ def _graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.strongly_connected_components(e)
 
 
+def _graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borůvka minimum spanning tree (graph.boruvka_mst) over a graph
+    with an EXACT-oracle construction: a heap-shaped spanning tree on
+    the part keys (child idx -> parent (idx-1)//2, weight = child idx)
+    plus the co-purchase pairs as strictly heavier edges (>= 100000).
+    The cut property then pins MST == the planted tree exactly — every
+    non-tree edge is the heaviest in any cycle it closes — so a SQL
+    oracle can state an iterative algorithm's full output, ties among
+    heavy edges notwithstanding. Measured trajectory: round 1 chooses
+    the entire tree (each singleton's lightest incident edge IS its
+    parent edge), the merge collapses it through label propagation
+    (~23 rounds on the ~22-diameter heap), round 2 certifies no live
+    edges. The global row_number over part is dimension-sized
+    (|part| rows) — the same documented exemption as every dimension
+    window."""
+    load(spark, sf_dir)
+    wdw = Window.orderBy("p_partkey")
+    idx = spark.table("part").select(
+        F.col("p_partkey").alias("node"),
+        (F.row_number().over(wdw) - 1).cast("long").alias("idx"),
+    )
+    child = idx.where(F.col("idx") >= 1)
+    parent = idx.select(
+        F.col("node").alias("pnode"), F.col("idx").alias("pidx")
+    )
+    tree = child.join(
+        parent, parent["pidx"] == F.expr("(idx - 1) DIV 2")
+    ).select(
+        F.col("node").alias("a"),
+        F.col("pnode").alias("b"),
+        F.col("idx").alias("w"),
+    )
+    heavy = _sparse_copurchase_edges(spark).select(
+        F.col("a"),
+        F.col("b"),
+        (F.lit(100000) + (F.col("a") + F.col("b")) % 997).cast("long").alias("w"),
+    )
+    return graph.boruvka_mst(tree.unionAll(heavy))
+
+
 def _graph_condensation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Condensation DAG of the directed purchase-succession graph: SCCs
     contract to super-nodes (graph.strongly_connected_components), the
@@ -2369,6 +2409,7 @@ QUERIES = {
     "graph_scc": _graph_scc,
     "graph_toposort": _graph_toposort,
     "graph_condensation": _graph_condensation,
+    "graph_mst": _graph_mst,
     "graph_kcore": _graph_kcore,
     "multimodal_resize": _multimodal_resize,
     "multimodal_phash": _multimodal_phash,
@@ -4883,4 +4924,19 @@ SELECT n_a, n_b,
        ROUND((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6) AS chi2,
        (ROUND((n_a - n_b) * (n_a - n_b) / (n_a + n_b), 6) > 3.841) AS srm
 FROM agg
+"""
+
+# MST: the cut property turns the planted construction into an exact
+# oracle — the answer IS the rebuilt tree, stated directly in SQL.
+ORACLES["graph_mst"] = """
+WITH idx AS (
+  SELECT p_partkey AS node,
+         ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS idx
+  FROM part
+)
+SELECT LEAST(c.node, p.node) AS lo,
+       GREATEST(c.node, p.node) AS hi,
+       CAST(c.idx AS BIGINT) AS w
+FROM idx c JOIN idx p ON p.idx = (c.idx - 1) // 2
+WHERE c.idx >= 1
 """

@@ -942,3 +942,45 @@ def test_condensation_composition_layers_super_nodes(spark):
     layers = {r.node: r.layer for r in topo_layers(ce).collect()}
     assert layers == {1: 0, 10: 1, 20: 2}  # isolated SCC 30 absent here
     assert {r.scc_id for r in scc.collect()} == {1, 10, 20, 30}
+
+
+def test_boruvka_mst_known_graph(spark):
+    # classic square + cheap diagonal: MST = {(1,2,1),(1,3,2),(2,4,3)}
+    from datafusion_gpu_spark.operators.graph import boruvka_mst
+
+    edges = [(1, 2, 1), (1, 3, 2), (2, 4, 3), (3, 4, 10), (1, 4, 9)]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    got = {(r.lo, r.hi, r.w) for r in boruvka_mst(df).collect()}
+    assert got == {(1, 2, 1), (1, 3, 2), (2, 4, 3)}
+
+
+def test_boruvka_mst_spanning_forest_of_disconnected_graph(spark):
+    from datafusion_gpu_spark.operators.graph import boruvka_mst
+
+    edges = [(1, 2, 5), (2, 3, 1), (1, 3, 2),      # triangle -> 2 edges
+             (10, 11, 7)]                            # separate pair
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    got = {(r.lo, r.hi, r.w) for r in boruvka_mst(df).collect()}
+    assert got == {(2, 3, 1), (1, 3, 2), (10, 11, 7)}
+
+
+def test_boruvka_mst_all_equal_weights_is_still_spanning(spark):
+    # total-order tiebreak: equal weights must yield a cycle-free
+    # spanning tree (n-1 edges, all nodes connected)
+    from datafusion_gpu_spark.operators.graph import boruvka_mst
+
+    n = 8
+    edges = [(i, j, 1) for i in range(n) for j in range(i + 1, n)]
+    df = spark.createDataFrame(edges, "a long, b long, w long")
+    got = boruvka_mst(df).collect()
+    assert len(got) == n - 1
+    # union-find check: the edge set connects all n nodes
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for r in got:
+        parent[find(r.lo)] = find(r.hi)
+    assert len({find(i) for i in range(n)}) == 1
