@@ -1869,6 +1869,22 @@ def _join_geo_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join by prefix filtering
+    (dedup.prefix_filter_pairs, AllPairs/ppjoin): all document pairs
+    with 3-shingle Jaccard >= 0.5, candidates generated ONLY from
+    rarest-first PREFIX shingles plus the length filter — the exact
+    (no-false-negative) counterpart of minhash-LSH. The oracle is the
+    O(n^2) theta spelling over DuckDB list ops, so what the gate
+    grades is the prefix-filter completeness theorem itself (no
+    qualifying pair may be missed — the geo-grid pattern). The 25-pair
+    answer is threshold-robust (identical for t in [0.3, 0.7])."""
+    load(spark, sf_dir)
+    return dedup.prefix_filter_pairs(
+        spark.table("documents"), threshold=0.5, n=3
+    )
+
+
 def _join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance entity resolution (dedup.blocked_edit_pairs):
     document pairs whose normalized 40-char prefixes are within
@@ -2404,6 +2420,7 @@ QUERIES = {
     "graph_delta_stepping": _graph_delta_stepping,
     "join_geo_radius": _join_geo_radius,
     "join_fuzzy_blocked": _join_fuzzy_blocked,
+    "dedup_prefix_filter": _dedup_prefix_filter,
     "graph_common_neighbors": _graph_common_neighbors,
     "graph_resource_allocation": _graph_resource_allocation,
     "graph_scc": _graph_scc,
@@ -4939,4 +4956,25 @@ SELECT LEAST(c.node, p.node) AS lo,
        CAST(c.idx AS BIGINT) AS w
 FROM idx c JOIN idx p ON p.idx = (c.idx - 1) // 2
 WHERE c.idx >= 1
+"""
+
+# Prefix-filter join: the oracle is the exhaustive theta spelling over
+# the same normalized 3-shingle SETS — completeness is the graded claim.
+ORACLES["dedup_prefix_filter"] = f"""
+WITH w AS (
+  SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                        for i in range(1, len(ws) - 1)]) AS ss
+  FROM w WHERE len(ws) >= 3
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(len(list_intersect(a.ss, b.ss))
+             / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))),
+             6) AS jaccard
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ss, b.ss))
+      / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
 """

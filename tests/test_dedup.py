@@ -360,3 +360,59 @@ def test_blocked_edit_pairs_threshold_excludes_far_pairs(spark):
     miss = blocked_edit_pairs(docs, threshold=3, block_cols=("lang",)).collect()
     assert [(r.doc_a, r.doc_b, r.dist) for r in hit] == [(1, 2, 4)]
     assert miss == []
+
+
+def _shingle_set(text, n=3):
+    import re
+    ws = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+    return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+
+
+def test_prefix_filter_pairs_exact_jaccard_and_threshold(spark):
+    from datafusion_gpu_spark.operators.dedup import prefix_filter_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),      # high overlap with 1
+            (3, "p q r s t u v w"),      # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.doc_a, r.doc_b): r.jaccard
+           for r in prefix_filter_pairs(docs, threshold=0.5).collect()}
+    s1, s2 = _shingle_set("a b c d e f g h"), _shingle_set("a b c d e f g x")
+    jac = round(len(s1 & s2) / len(s1 | s2), 6)
+    assert jac >= 0.5 and got == {(1, 2): jac}
+
+
+def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
+    # deterministic pseudo-random corpus: output must equal the exact
+    # brute-force answer (the no-false-negative claim)
+    from datafusion_gpu_spark.operators.dedup import prefix_filter_pairs
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    base = [rng.choice(vocab) for _ in range(12)]
+    for i in range(20):
+        t = list(base)
+        for _ in range(rng.randrange(0, 8)):  # perturb 0-7 positions
+            t[rng.randrange(len(t))] = rng.choice(vocab)
+        texts.append(" ".join(t))
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r.doc_a, r.doc_b) for r in
+           prefix_filter_pairs(docs, threshold=0.4).collect()}
+    ref = set()
+    sets = [_shingle_set(t) for t in texts]
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            if sets[i] and sets[j]:
+                jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+                if round(jac, 6) >= 0.4:
+                    ref.add((i, j))
+    assert got == ref and len(ref) > 0
