@@ -385,6 +385,26 @@ SELECT flag,
          / 100.0, 4) AS DOUBLE) AS trimmed_mean
 FROM t GROUP BY flag
 """
+# Gini coefficient — the inequality measure a curation pipeline runs
+# over per-source/per-segment weight distributions (is one segment
+# hoarding the budget?). Closed form over ascending-sorted integer
+# cents: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — bigint numerators,
+# two float divisions spelled identically on both engines.
+_GINI = """
+WITH t AS (
+  SELECT c_mktsegment AS seg,
+         CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal, c_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT seg,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(ROUND(2.0 * SUM(i * c) / (MAX(n) * SUM(c))
+                  - (MAX(n) + 1.0) / MAX(n), 6) AS DOUBLE) AS gini
+FROM t GROUP BY seg
+"""
 
 QUERIES = {
     "agg_statistical": sql_query(_STATS),
@@ -399,6 +419,7 @@ QUERIES = {
     "agg_median": sql_query(_MEDIAN),
     "agg_weighted_median": sql_query(_WEIGHTED_MEDIAN),
     "agg_trimmed_mean": sql_query(_TRIMMED_MEAN),
+    "agg_gini": sql_query(_GINI),
     "agg_min_max_by": sql_query(_MINMAX_BY),
     "agg_approximate": sql_query(_APPROX),
     "agg_approx_error_bounded": sql_query(_APPROX_BOUNDED),
@@ -422,6 +443,7 @@ ORACLES = {
     "agg_median": _MEDIAN,
     "agg_weighted_median": _WEIGHTED_MEDIAN,
     "agg_trimmed_mean": _TRIMMED_MEAN,
+    "agg_gini": _GINI,
     "agg_min_max_by": _MINMAX_BY,
     # agg_approximate: deliberately no oracle (approximate by design);
     # its error BOUND is checked by agg_approx_error_bounded below
