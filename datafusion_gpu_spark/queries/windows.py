@@ -218,6 +218,49 @@ SELECT user_id, event_id,
 FROM t
 """
 
+# Rolling median — the robust sibling of the EWMA smoother. Spark
+# forbids frames on median(), so the Spark spelling materializes the
+# frame with collect_list + array_sort and picks/interpolates the
+# middle; the oracle uses DuckDB's NATIVE framed MEDIAN — two
+# independent implementations, which is the strongest oracle form.
+# Cents-integer inputs make every middle exact; c/100 has two decimals
+# so no 6-decimal rounding tie is reachable.
+_ROLLING_MEDIAN_SPARK = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+f AS (
+  SELECT user_id, event_id,
+         array_sort(collect_list(c) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+  FROM t
+)
+SELECT user_id, event_id,
+       CAST(ROUND(CASE WHEN size(arr) % 2 = 1
+              THEN CAST(element_at(arr, CAST((size(arr) + 1) DIV 2 AS INT)) AS DOUBLE)
+              ELSE (element_at(arr, CAST(size(arr) DIV 2 AS INT))
+                    + element_at(arr, CAST(size(arr) DIV 2 + 1 AS INT))) / 2.0
+            END / 100.0, 6) AS DOUBLE) AS rolling_med
+FROM f
+"""
+
+_ROLLING_MEDIAN_DUCK = """
+WITH t AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, event_id,
+       CAST(ROUND(MEDIAN(c) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 6)
+            AS DOUBLE) AS rolling_med
+FROM t
+"""
+
 QUERIES = {
     "window_ranking": sql_query(_RANKING),
     "window_lag_lead": sql_query(_ANALYTIC),
@@ -230,6 +273,7 @@ QUERIES = {
     "window_qualify_rewrite": _qualify_query,
     "window_ignore_nulls": sql_query(_IGNORE_NULLS_SPARK),
     "window_running_distinct": sql_query(_RUNNING_DISTINCT),
+    "window_rolling_median": sql_query(_ROLLING_MEDIAN_SPARK),
 }
 
 ORACLES = {
@@ -244,4 +288,5 @@ ORACLES = {
     "window_qualify_rewrite": _QUALIFY_TOP3,
     "window_ignore_nulls": _IGNORE_NULLS_DUCK,
     "window_running_distinct": _RUNNING_DISTINCT,
+    "window_rolling_median": _ROLLING_MEDIAN_DUCK,
 }
