@@ -491,3 +491,39 @@ def test_topo_layers_matches_longest_path_reference(spark, edges):
         preds = [u for u, v in edges if v == n]
         ref[n] = 1 + max((ref[u] for u in preds), default=-1)
     assert got == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_scc_matches_closure_reference(spark, edges):
+    # mutual-reachability closure is the definition; the distributed
+    # coloring algorithm must agree on ANY digraph
+    from datafusion_gpu_spark.operators.graph import strongly_connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.scc_id
+           for r in strongly_connected_components(df).collect()}
+    nodes = {u for u, v in edges} | {v for u, v in edges}
+    reach = {n: {n} for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for u, v in edges:
+            new = reach[v] - reach[u]
+            if new:
+                reach[u] |= new
+                changed = True
+    ref = {
+        n: min(m for m in nodes if n in reach[m] and m in reach[n])
+        for n in nodes
+    }
+    assert got == ref
