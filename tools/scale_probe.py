@@ -724,10 +724,81 @@ def probe_scc(spark, sizes: list[int]) -> None:
         edges.unpersist()
 
 
+
+def probe_prefixfilter(spark, sizes: list[int]) -> None:
+    """Exact prefix-filter set-similarity join vs MinHash-LSH on the
+    SAME planted corpus (odd doc = near-dup of its predecessor, so n/2
+    true pairs exist): wall clock and pairs found for both paths. The
+    exact path's selling point is NO false negatives; the probe shows
+    what that costs (and that candidates stay bounded — the AllPairs
+    prefix theorem — instead of exploding quadratically)."""
+    import time as _t
+
+    from datafusion_gpu_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        prefix_filter_pairs,
+    )
+
+    for n in sizes:
+        docs = corpus(spark, n).cache()
+        docs.count()
+        t0 = _t.perf_counter()
+        exact = prefix_filter_pairs(docs, threshold=0.5).count()
+        t_exact = _t.perf_counter() - t0
+        t0 = _t.perf_counter()
+        approx = minhash_lsh_pairs(docs, threshold=0.5).count()
+        t_lsh = _t.perf_counter() - t0
+        print(
+            f"docs={n} planted~{n // 2} prefix_exact={exact} ({t_exact:.1f}s) "
+            f"minhash_lsh={approx} ({t_lsh:.1f}s)",
+            flush=True,
+        )
+        docs.unpersist()
+
+
+def probe_mst(spark, sizes: list[int]) -> None:
+    """Borůvka at synthetic scale with checkable ground truth: a
+    heap-shaped planted tree (weight = child index) plus 2n random
+    strictly-heavier edges. MST must be exactly the tree: n-1 edges,
+    total weight n(n-1)/2."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.graph import boruvka_mst
+
+    for n in sizes:
+        tree = spark.range(1, n).select(
+            F.col("id").alias("a"),
+            ((F.col("id") - 1) / 2).cast("long").alias("b"),
+            F.col("id").alias("w"),
+        )
+        heavy = spark.range(2 * n).select(
+            (F.xxhash64("id").bitwiseAND(F.lit(0x7FFFFFFF)) % n).alias("a"),
+            (F.xxhash64("id", F.lit(1)).bitwiseAND(F.lit(0x7FFFFFFF)) % n).alias("b"),
+            (F.lit(10_000_000) + F.col("id")).alias("w"),
+        ).where(F.col("a") != F.col("b"))
+        edges = tree.unionAll(heavy).repartition(32).cache()
+        edges.count()
+        t0 = _t.perf_counter()
+        mst = boruvka_mst(edges)
+        stats = mst.agg(
+            F.count(F.lit(1)).alias("n_e"), F.sum("w").alias("tw")
+        ).collect()[0]
+        dt = _t.perf_counter() - t0
+        ok = stats["n_e"] == n - 1 and stats["tw"] == n * (n - 1) // 2
+        print(
+            f"nodes={n} mst_edges={stats['n_e']} total_w={stats['tw']} "
+            f"exact={'OK' if ok else 'MISMATCH'} time={dt:.1f}s",
+            flush=True,
+        )
+        edges.unpersist()
+
+
 def main() -> int:
     args = sys.argv[1:]
     op = "minhash"
-    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep", "louvain", "scc"):
+    if args and args[0] in ("minhash", "curate", "components", "shuffle", "pagerank", "merge", "bloom", "funnel", "pca", "bfs", "ivm", "geo", "hyperball", "deltastep", "louvain", "scc", "prefixfilter", "mst"):
         op, args = args[0], args[1:]
     sizes = [int(a) for a in args] or [5_000, 50_000, 200_000]
 
@@ -737,6 +808,12 @@ def main() -> int:
 
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    if op == "prefixfilter":
+        probe_prefixfilter(spark, sizes if args else [5_000, 20_000])
+        return 0
+    if op == "mst":
+        probe_mst(spark, sizes if args else [50_000, 200_000])
+        return 0
     if op == "scc":
         probe_scc(spark, sizes if args else [40_000, 160_000])
         return 0
