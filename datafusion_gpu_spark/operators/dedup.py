@@ -1062,46 +1062,63 @@ def prefix_filter_pairs(
     arrays (bounded by document length) joined to each candidate pair,
     intersection via array_intersect, one rounded division.
 
-    Scale shape: doc-frequency relation broadcast into the ranking
-    window (one doc-keyed shuffle), prefix join keyed by shingle,
-    verify keyed by pair — every join equality-keyed, candidates
-    bounded by the AllPairs argument; the oracle is the O(n^2) theta
-    spelling, so prefix completeness (no pair missed) is exactly what
-    the gate grades (the geo-grid pattern).
+    Scale shape: the doc-frequency join and the ranking/size windows
+    all key by shingle or doc_id (the frequency relation is
+    CORPUS-sized — one row per distinct shingle — so it shuffles, never
+    broadcasts; set sizes come from a count window over the same doc
+    partition the ranking already pays for), prefix join keyed by
+    shingle, verify keyed by pair — every join equality-keyed,
+    candidates bounded by the AllPairs argument; the oracle is the
+    O(n^2) theta spelling, so prefix completeness (no pair missed) is
+    exactly what the gate grades (the geo-grid pattern).
+
+    The threshold converts ONCE to a rational tn/td and every
+    prefix/length bound is integer arithmetic — float ceil(t*n) picks
+    up epsilons (0.07 * 100 -> 7.000000000000001) that silently break
+    the completeness contract at exact-boundary pairs.
     """
+    # The prefix/length bounds must be EXACT integers or the
+    # no-false-negative contract silently breaks: float ceil(t*n) lands
+    # one above the true bound whenever t*n picks up an epsilon (e.g.
+    # 0.07 * 100 = 7.000000000000001 -> ceil 8 wrongly rejects a pair
+    # at exactly J = 0.07). Thresholds therefore convert ONCE to a
+    # rational t = tn/td and every bound is integer arithmetic:
+    # ceil(t*n) = -((-tn*n) div td), floor(n/t) = n*td div tn.
+    from fractions import Fraction
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    tn, td = frac.numerator, frac.denominator
+
+    def _ceil_tn(n_col):
+        # ceil(tn*n/td) = (tn*n + td - 1) div td, spelled with an exact
+        # remainder subtraction so the one float division is of an
+        # exactly-divisible integer (< 2^53 for any real corpus)
+        x = F.lit(tn) * n_col + F.lit(td - 1)
+        return ((x - x % F.lit(td)) / F.lit(td)).cast("long")
+
     sh = exploded_shingles(docs, n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     from pyspark.sql.window import Window
 
+    w_doc = Window.partitionBy("doc_id")
     ranked = (
-        sh.join(F.broadcast(freq), "shingle")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy("df", "shingle")
-            ),
-        )
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w_doc.orderBy("df", "shingle")))
+        .withColumn("n_sh", F.count(F.lit(1)).over(w_doc))
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    pref = (
-        ranked.join(F.broadcast(sizes), "doc_id")
-        .where(
-            F.col("pos")
-            <= F.col("n_sh") - F.ceil(F.lit(threshold) * F.col("n_sh")) + 1
-        )
-        .select("doc_id", "shingle", "n_sh")
-    )
+    pref = ranked.where(
+        F.col("pos") <= F.col("n_sh") - _ceil_tn(F.col("n_sh")) + 1
+    ).select("doc_id", "shingle", "n_sh")
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.n_sh") >= F.ceil(F.lit(threshold) * F.col("a.n_sh")))
+            & (F.col("b.n_sh") >= _ceil_tn(F.col("a.n_sh")))
             & (
-                F.col("b.n_sh")
-                <= F.floor(F.col("a.n_sh") / F.lit(threshold))
-            ),
+                F.col("b.n_sh") * F.lit(tn) <= F.col("a.n_sh") * F.lit(td)
+            ),  # n_b <= n_a/t as the cross-multiplied integer inequality
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

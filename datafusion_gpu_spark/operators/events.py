@@ -738,7 +738,11 @@ def cusum_alarms(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("__alarm__").cast("int")).alias("n_alarms"),
         F.max("__s__").alias("peak_cusum"),
-        F.min(F.when(F.col("__alarm__"), F.col(id_col))).alias("first_alarm_id"),
+        # FIRST alarm = minimum (ts, id) among alarm rows — the min id
+        # alone would mis-attribute when ids are not time-ordered
+        F.min(F.when(F.col("__alarm__"), F.struct(ts_col, id_col)))[
+            id_col
+        ].alias("first_alarm_id"),
     )
 
 

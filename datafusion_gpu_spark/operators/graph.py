@@ -1013,6 +1013,17 @@ def delta_stepping(
             # only improvements that landed INSIDE the bucket re-relax;
             # the rest wait for their own bucket
             frontier = improved.where(in_bucket)
+        else:
+            # the loop ran out of rounds without the empty-frontier
+            # break: a non-empty frontier here means light edges inside
+            # this bucket still improve labels, and the bucket never
+            # reopens — returning would be silently NON-shortest paths
+            if frontier.take(1):
+                raise RuntimeError(
+                    "delta_stepping: light-relaxation budget exhausted inside "
+                    f"bucket {bucket} — raise light_rounds (chains of light "
+                    "edges within one bucket need one round per hop)"
+                )
         bucket_nodes = dist.where(in_bucket)
         if work is not None:
             nb = bucket_nodes.count()
@@ -1025,6 +1036,11 @@ def delta_stepping(
         top = dist.agg(F.max("cost").alias("mx")).first()["mx"]
         if top is not None and top < hi:
             break  # every label below the next bucket floor: all settled
+    else:
+        raise RuntimeError(
+            "delta_stepping: bucket budget exhausted before settlement — "
+            "raise max_buckets (buckets needed ~ max distance / delta)"
+        )
     return dist
 
 

@@ -1155,9 +1155,13 @@ def synthetic_zipf_corpus(
     u = F.xxhash64("id").bitwiseAND(F.lit((1 << 40) - 1)) / F.lit(
         float(1 << 40)
     )
+    # rank = floor(V^u) lands in [1, V-1] for u in [0,1) — matching the
+    # docstring (rank 1 IS reachable); the least() guards the float-pow
+    # edge where u ~ 1 could round V^u up to V, which would also push
+    # d2 one past the syllable inventory at vocab_size == 70^3
     rank = F.least(
-        F.lit(vocab_size),
-        F.pow(F.lit(float(vocab_size)), u).cast("long") + 1,
+        F.lit(vocab_size - 1),
+        F.pow(F.lit(float(vocab_size)), u).cast("long"),
     )
     d0 = rank % b
     d1 = F.floor(rank / b) % b

@@ -1506,10 +1506,14 @@ def _graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pnode").alias("b"),
         F.col("idx").alias("w"),
     )
+    # heavy band floor 10^12: tree weights are the child indexes
+    # (< |part|), so "strictly heavier" holds for any part table below
+    # a trillion rows — the cut-property argument cannot silently break
+    # at a bigger scale factor the way a 100k floor would
     heavy = _sparse_copurchase_edges(spark).select(
         F.col("a"),
         F.col("b"),
-        (F.lit(100000) + (F.col("a") + F.col("b")) % 997).cast("long").alias("w"),
+        (F.lit(10**12) + (F.col("a") + F.col("b")) % 997).cast("long").alias("w"),
     )
     return graph.boruvka_mst(tree.unionAll(heavy))
 
@@ -4588,7 +4592,7 @@ c AS (
   FROM base b JOIN stats s USING (user_id)
 ),
 s AS (
-  SELECT user_id, event_id, h,
+  SELECT user_id, event_id, ts, h,
          cs - LEAST(CAST(0 AS BIGINT), MIN(cs) OVER (
            PARTITION BY user_id ORDER BY ts, event_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
@@ -4599,7 +4603,8 @@ SELECT user_id,
        CAST(SUM(CASE WHEN h > 0 AND st > h THEN 1 ELSE 0 END) AS BIGINT)
          AS n_alarms,
        CAST(MAX(st) AS BIGINT) AS peak_cusum,
-       MIN(CASE WHEN h > 0 AND st > h THEN event_id END) AS first_alarm_id
+       (MIN(CASE WHEN h > 0 AND st > h
+                 THEN {'t': ts, 'i': event_id} END)).i AS first_alarm_id
 FROM s
 GROUP BY user_id
 """

@@ -416,3 +416,19 @@ def test_prefix_filter_pairs_complete_vs_bruteforce(spark):
                 if round(jac, 6) >= 0.4:
                     ref.add((i, j))
     assert got == ref and len(ref) > 0
+
+
+def test_prefix_filter_exact_boundary_threshold(spark):
+    # t=0.07 with |a|=100, |b|=7, all 7 shared: J = 7/100 = t exactly.
+    # float ceil(0.07*100) = 8 would wrongly reject; the rational
+    # bounds must keep the pair
+    from datafusion_gpu_spark.operators.dedup import prefix_filter_pairs
+
+    big_words = " ".join(f"w{i}" for i in range(102))     # 100 shingles
+    small_words = " ".join(f"w{i}" for i in range(9))     # 7 shingles, all shared
+    docs = spark.createDataFrame(
+        [(1, big_words), (2, small_words)], "doc_id long, text string"
+    )
+    got = [(r.doc_a, r.doc_b, r.jaccard)
+           for r in prefix_filter_pairs(docs, threshold=0.07).collect()]
+    assert got == [(1, 2, 0.07)]

@@ -112,3 +112,38 @@ def test_merge_intervals_out_of_order_input(spark):
     df = spark.createDataFrame(rows, "user_id long, event_id long, s long, e long")
     got = merge_intervals(df).collect()
     assert len(got) == 1 and (got[0].start, got[0]["end"]) == (0, 60)
+
+
+def test_cusum_first_alarm_is_temporal_not_min_id(spark):
+    """ids deliberately NOT time-ordered: the first alarm is the one at
+    the earliest (ts, id), not the smallest id."""
+    from datafusion_gpu_spark.operators.events import cusum_alarms
+
+    # flat baseline then a hard drift: alarms fire on the late rows,
+    # whose ids are assigned in REVERSE time order
+    rows = []
+    vals = [10.0] * 20 + [500.0] * 6
+    for i, v in enumerate(vals):
+        event_id = 1000 - i  # reverse order: later ts -> smaller id
+        rows.append((1, event_id, f"2024-01-01 00:{i:02d}:00", v))
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = cusum_alarms(df).collect()[0]
+    assert got.n_alarms > 0
+    # engine-exact sequential replay in TIME order gives the ground
+    # truth; with reversed ids the old min-id spelling would instead
+    # return the LAST alarm's id (the smallest)
+    import statistics as _st
+
+    cents = [round(v * 100) for v in vals]
+    mu = round(_st.fmean(cents))
+    sd = _st.pstdev(cents)
+    k, h = round(0.5 * sd), round(4 * sd)
+    s, alarm_ids_time_order = 0, []
+    for i, c in enumerate(cents):
+        s = max(0, s + c - mu - k)
+        if h > 0 and s > h:
+            alarm_ids_time_order.append(1000 - i)
+    assert got.first_alarm_id == alarm_ids_time_order[0]
+    assert alarm_ids_time_order[0] != min(alarm_ids_time_order)

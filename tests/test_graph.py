@@ -915,7 +915,8 @@ def test_topo_layers_raises_on_cycle(spark):
         [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
     )
     with _pytest.raises(ValueError, match="cycle"):
-        topo_layers(df).collect() if False else topo_layers(df)
+        topo_layers(df).collect()  # raise happens during construction;
+        # .collect() keeps the assertion valid if it ever becomes lazy
 
 
 def test_condensation_composition_layers_super_nodes(spark):
