@@ -2382,6 +2382,152 @@ def _events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.cohort_retention(spark.table("events"))
 
 
+
+
+# Shannon entropy of the per-language source mix — the corpus-balance
+# diagnostic every data-mixing pipeline reports. One portable SQL
+# (run verbatim on both engines): each p*ln(p) term is quantized to an
+# exact 1e-12 bigint BEFORE the sum (the survival/EWMA lesson: the only
+# cross-engine float op is one libm ln per cell, 4 decimal orders below
+# the quantum; the fold itself is exact integer arithmetic).
+_ENTROPY = """
+WITH c AS (
+  SELECT lang, source, COUNT(*) AS n_ls FROM documents GROUP BY lang, source
+),
+l AS (
+  SELECT lang, CAST(SUM(n_ls) AS BIGINT) AS n_l, COUNT(*) AS n_src
+  FROM c GROUP BY lang
+),
+t AS (
+  SELECT c.lang,
+         CAST(ROUND((CAST(n_ls AS DOUBLE) / n_l)
+                    * LN(CAST(n_ls AS DOUBLE) / n_l) * 1e12, 0) AS BIGINT)
+           AS term_q,
+         n_l, n_src
+  FROM c JOIN l ON c.lang = l.lang
+)
+SELECT lang, MIN(n_l) AS n_docs, MIN(n_src) AS n_sources,
+       ROUND(-CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS entropy_nats,
+       CASE WHEN MIN(n_src) > 1
+            THEN ROUND(-CAST(SUM(term_q) AS BIGINT) / 1e12
+                       / LN(CAST(MIN(n_src) AS DOUBLE)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS norm_entropy
+FROM t GROUP BY lang
+"""
+
+
+def _agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Shannon entropy (and [0,1]-normalized entropy) of
+    the source distribution — the mix-diversity stat behind every
+    data-curation dashboard. Two hash aggregations + one broadcast
+    join; see _ENTROPY for the exact-bigint term quantization that
+    makes the float fold portable."""
+    load(spark, sf_dir)
+    return spark.sql(_ENTROPY)
+
+
+# Chi-square test of independence for two categorical columns
+# (documents.lang x documents.source) with Cramer's V effect size.
+# The contingency table is the cross join of the two marginal
+# aggregates (tiny: langs x sources — Catalyst broadcasts it as a
+# nested-loop, never a cartesian shuffle) LEFT-joined to observed
+# counts so zero cells still contribute their expected mass. Each
+# cell's (o-e)^2/e term quantizes to a 1e-9 bigint before the sum.
+_CHI2 = """
+WITH obs AS (
+  SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+),
+rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r_tot FROM obs GROUP BY lang),
+ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c_tot FROM obs GROUP BY source),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n_tot FROM obs),
+cells AS (
+  SELECT COALESCE(o.o, 0) AS o,
+         CAST(r.r_tot * c.c_tot AS DOUBLE) / t.n_tot AS e
+  FROM rt r CROSS JOIN ct c CROSS JOIN tot t
+  LEFT JOIN obs o ON o.lang = r.lang AND o.source = c.source
+),
+s AS (
+  SELECT CAST(SUM(CAST(ROUND((o - e) * (o - e) / e * 1e9, 0) AS BIGINT))
+              AS BIGINT) AS sq
+  FROM cells
+),
+dims AS (
+  SELECT (SELECT COUNT(*) FROM rt) AS nr,
+         (SELECT COUNT(*) FROM ct) AS nc,
+         (SELECT n_tot FROM tot) AS n_tot
+)
+SELECT ROUND(sq / 1e9, 4) AS chi2,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       n_tot AS n_docs,
+       ROUND(SQRT(sq / 1e9 / (n_tot * CAST(LEAST(nr - 1, nc - 1) AS DOUBLE))), 6)
+         AS cramers_v
+FROM s CROSS JOIN dims
+"""
+
+
+def _agg_chi_squared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic + Cramer's V between the lang
+    and source columns — the drift/association test run before trusting
+    a stratified sample. One portable SQL (see _CHI2) on both engines;
+    zero-observed cells enter via the marginal cross join, every float
+    term is bigint-quantized before summation."""
+    load(spark, sf_dir)
+    return spark.sql(_CHI2)
+
+
+def _events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase curve
+    (events.survival_km): per user, duration = whole hours from first
+    event to first purchase (observed) or to last event (right-
+    censored); the estimator emits survival + Nelson-Aalen cumulative
+    hazard at every event time. Durations are exact integer-division
+    hours of epoch-micros on both engines; the product folds as
+    1e-12-quantized bigint log terms, so the oracle replays the window
+    algebra exactly (see the operator docstring for the numeric
+    contract)."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_km(subjects, "duration", "observed")
+
+
+def _events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 autocorrelation of the hourly value series per event
+    type (events.autocorr) — the persistence/seasonality diagnostic
+    before forecasting. The hourly series is exact cents-bigints, so
+    every Pearson moment is an exact integer sum and r is one fixed
+    float expression over exactly-converted operands — no quantization
+    needed anywhere (contrast survival_km, where a per-term libm ln
+    forces one)."""
+    load(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_c")
+        )
+    )
+    return events.autocorr(hourly, "event_type", "bucket", "v_c", max_lag=3)
+
+
 QUERIES = {
     "events_scd2_history": _events_scd2_history,
     "dedup_incremental_bloom": _dedup_incremental_bloom,
@@ -2515,6 +2661,10 @@ QUERIES = {
     "events_session_native": _events_session_native,
     "events_sessionize": _events_sessionize,
     "events_asof": _events_asof,
+    "agg_entropy": _agg_entropy,
+    "agg_chi_squared": _agg_chi_squared,
+    "events_survival_km": _events_survival_km,
+    "events_autocorr": _events_autocorr,
 }
 
 _GAP_FILL_ORACLE = """
@@ -4982,4 +5132,105 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM sh a JOIN sh b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.ss, b.ss))
       / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))) >= 0.5
+"""
+
+
+ORACLES["agg_entropy"] = _ENTROPY
+ORACLES["agg_chi_squared"] = _CHI2
+
+# Same life-table derivation (epoch-micros integer division), same
+# suffix-sum risk set, same 1e-12 bigint quantization of the per-time
+# ln and hazard terms as operators.events.survival_km.
+ORACLES["events_survival_km"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d, c,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS lnq,
+         CAST(ROUND(CAST(d AS DOUBLE) / n_risk * 1e12, 0) AS BIGINT) AS hq
+  FROM risk WHERE d > 0
+),
+run AS (
+  SELECT t, n_risk, d, c,
+         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
+         CAST(SUM(hq) OVER w AS BIGINT) AS shq,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead
+  FROM ev
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(EXP(slnq / 1e12), 6) END AS survival,
+       ROUND(shq / 1e12, 6) AS cum_hazard
+FROM run
+"""
+
+# Identical hourly cents series, identical lag pairing, identical
+# six-moment Pearson expression over exactly-converted bigints.
+ORACLES["events_autocorr"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v_c AS y,
+         LAG(v_c, 1) OVER w AS x1,
+         LAG(v_c, 2) OVER w AS x2,
+         LAG(v_c, 3) OVER w AS x3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag_k, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag_k, x2 AS x, y FROM lagged WHERE x2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag_k, x3 AS x, y FROM lagged WHERE x3 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag_k, COUNT(*) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT event_type, lag_k, n_pairs,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r
+FROM m
 """

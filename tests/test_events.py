@@ -147,3 +147,92 @@ def test_cusum_first_alarm_is_temporal_not_min_id(spark):
             alarm_ids_time_order.append(1000 - i)
     assert got.first_alarm_id == alarm_ids_time_order[0]
     assert alarm_ids_time_order[0] != min(alarm_ids_time_order)
+
+
+def test_survival_km_textbook_6mp(spark):
+    """Freireich 6-MP trial — the canonical KM worked example: the
+    estimator must reproduce the product-limit curve computed by the
+    naive sequential recursion in Python."""
+    from datafusion_gpu_spark.operators.events import survival_km
+
+    events_t = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    censored_t = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    rows = [(t, 1) for t in events_t] + [(t, 0) for t in censored_t]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    got = {r.t: r for r in survival_km(df).collect()}
+
+    # replay the recursion exactly (including the 1e-12 quantization)
+    import math
+
+    n = len(rows)
+    from collections import Counter
+
+    d_cnt, c_cnt = Counter(events_t), Counter(censored_t)
+    times = sorted(set(events_t))
+    at_risk, removed, s_q, h_q, expect = {}, 0, 0, 0, {}
+    for t in sorted(set(events_t + censored_t)):
+        at_risk[t] = n - removed
+        removed += d_cnt.get(t, 0) + c_cnt.get(t, 0)
+    for t in times:
+        d, nr = d_cnt[t], at_risk[t]
+        s_q += round(math.log(1 - d / nr) * 1e12)
+        h_q += round(d / nr * 1e12)
+        expect[t] = (nr, d, round(math.exp(s_q / 1e12), 6), round(h_q / 1e12, 6))
+    assert set(got) == set(times)
+    for t in times:
+        nr, d, s, h = expect[t]
+        assert got[t].n_risk == nr and got[t].n_events == d
+        assert got[t].survival == s
+        assert got[t].cum_hazard == h
+    # sanity vs the published curve
+    assert abs(got[6].survival - 0.857143) < 1e-6
+    assert abs(got[23].survival - 0.448276) < 1e-3
+
+
+def test_survival_km_risk_set_dies_out(spark):
+    """When the last event time consumes the whole risk set, survival
+    must be exactly 0.0 (no ln(0) anywhere), and stay 0 afterwards."""
+    from datafusion_gpu_spark.operators.events import survival_km
+
+    df = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 1)], "duration long, observed int"
+    )
+    got = {r.t: r for r in survival_km(df).collect()}
+    assert got[1].survival == round(2 / 3, 6)
+    assert got[2].survival == 0.0
+    assert got[2].n_risk == 2 and got[2].n_events == 2
+
+
+def test_autocorr_alternating_and_constant(spark):
+    """A +-1 alternating series has r = -1 at odd lags, +1 at even lags;
+    a constant series has zero variance and must emit NULL, not 0/0."""
+    from datafusion_gpu_spark.operators.events import autocorr
+
+    rows = [("alt", i, 1 if i % 2 == 0 else -1) for i in range(40)]
+    rows += [("flat", i, 7) for i in range(40)]
+    df = spark.createDataFrame(rows, "event_type string, bucket long, v_c long")
+    got = {(r.event_type, r.lag_k): r for r in autocorr(df, max_lag=3).collect()}
+    assert got[("alt", 1)].r == -1.0
+    assert got[("alt", 2)].r == 1.0
+    assert got[("alt", 3)].r == -1.0
+    assert got[("alt", 1)].n_pairs == 39
+    for k in (1, 2, 3):
+        assert got[("flat", k)].r is None
+
+
+def test_autocorr_matches_numpy(spark):
+    """Pearson r of lagged integer pairs must equal numpy's corrcoef."""
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.events import autocorr
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(-1000, 1000, size=60).tolist()
+    df = spark.createDataFrame(
+        [("s", i, int(v)) for i, v in enumerate(vals)],
+        "event_type string, bucket long, v_c long",
+    )
+    got = {r.lag_k: r.r for r in autocorr(df, max_lag=3).collect()}
+    for k in (1, 2, 3):
+        expect = np.corrcoef(vals[:-k], vals[k:])[0, 1]
+        assert abs(got[k] - expect) < 1e-6
