@@ -663,3 +663,44 @@ def apportion_sample(
         .where(F.col("rn") <= F.col("alloc"))
         .select(key, source_col)
     )
+
+
+def token_budget_prefix(
+    docs: DataFrame,
+    budget_tokens: int,
+    key: str = "doc_id",
+    group: str = "source",
+    tokens_col: str = "n_tokens",
+    salt: str = "budget-v1",
+) -> DataFrame:
+    """Per-group token-budget selection: shuffle each group's docs into
+    the salted-hash order (the same portable md5 bucket every sampler
+    here uses, so the pick is seed-stable and engine-independent), then
+    keep the PREFIX whose running token count stays within the budget —
+    how a training mix hits "N tokens per domain" targets exactly
+    instead of rate-sampling toward them (rates drift binomially;
+    prefixes are exact).
+
+    Semantics: strict prefix — the first doc that would overflow the
+    budget stops the group, even if a later smaller doc would still
+    fit (bin-packing the tail is pack_sequences_bestfit's job). The
+    running sum is an exact bigint cumsum over one (group ORDER BY
+    bucket, key) window — one shuffle, and the window partitions by
+    group so a hot domain shards no worse than its own row count.
+
+    Returns the kept rows: (key, group, tokens_col, cum_tokens).
+    """
+    from pyspark.sql.window import Window as W
+
+    b = _hash_bucket(F.col(key), salt).alias("__b")
+    w = (
+        W.partitionBy(group)
+        .orderBy("__b", key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        docs.select(key, group, tokens_col, b)
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select(key, group, tokens_col, "cum_tokens")
+    )

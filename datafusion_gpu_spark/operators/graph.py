@@ -1458,3 +1458,77 @@ def boruvka_mst(
     for part in forest[1:]:
         out = out.unionAll(part)
     return out.distinct()
+
+
+def local_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Per-node local clustering coefficient of the undirected graph
+    (Watts & Strogatz 1998): lcc(v) = 2 * tri(v) / (deg(v) * (deg(v)-1))
+    — the per-node companion of :func:`triangle_count`, and the standard
+    "is this neighborhood a community or a star" feature for spam/bot
+    detection and graph-aware curation.
+
+    Same degree-ordered orientation as triangle_count (Suri &
+    Vassilvitskii WWW'11), so wedge fan-out stays O(sqrt(m)) per node on
+    skewed graphs; the difference is the emit: each closed triangle
+    (u, v, w) contributes one count to ALL THREE corners (a 3-way
+    explode of the closed-wedge stream), then one keyed aggregation.
+    Nodes in no triangle emit lcc 0.0 via the left join; degree-1 nodes
+    emit 0.0 by convention (the 0/0 case).
+
+    The division is the only float op — two exact bigints in, ROUND 6
+    out — so any engine reproduces it bit-for-bit.
+
+    Returns (node, deg, n_tri, lcc).
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = ckpt(edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct())
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dl = deg.select(F.col("node").alias("lo"), F.col("deg").alias("deg_lo"))
+    dh = deg.select(F.col("node").alias("hi"), F.col("deg").alias("deg_hi"))
+    lo_first = (F.col("deg_lo") < F.col("deg_hi")) | (
+        (F.col("deg_lo") == F.col("deg_hi")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = ckpt(
+        und.join(dl, "lo")
+        .join(dh, "hi")
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("u"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("v"),
+        )
+    )
+    e1 = oriented.select(F.col("u"), F.col("v"))
+    e2 = oriented.select(F.col("u").alias("u2"), F.col("v").alias("w"))
+    wedges = (
+        e1.join(e2, e1["u"] == e2["u2"])
+        .where(F.col("v") != F.col("w"))
+        .select("u", "v", "w")
+    )
+    closing = oriented.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    closed = wedges.join(closing, ["v", "w"], "inner")
+    corners = closed.select(
+        F.explode(F.array(F.col("u"), F.col("v"), F.col("w"))).alias("node")
+    )
+    tri = corners.groupBy("node").agg(F.count(F.lit(1)).alias("n_tri"))
+    lcc = F.when(
+        F.col("deg") >= 2,
+        F.round(
+            (F.lit(2) * F.coalesce(F.col("n_tri"), F.lit(0))).cast("double")
+            / (F.col("deg") * (F.col("deg") - F.lit(1))),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        lcc.alias("lcc"),
+    )

@@ -2528,6 +2528,171 @@ def _events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.autocorr(hourly, "event_type", "bucket", "v_c", max_lag=3)
 
 
+
+
+def _window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h rolling Pearson correlation between hourly value
+    (cents) and hourly event count per event type — the co-movement
+    monitor behind metric dashboards. Six exact-bigint moment sums over
+    ONE ROWS frame (window SUM of integers is order-free), then the
+    same fixed Pearson expression as events_autocorr; only full 24-row
+    frames emit. No corr() kernel is invoked on either engine — the
+    estimator is reconstructed from exact sums, which is what makes it
+    portable."""
+    load(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .where(F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"), "event_type")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("x"),
+            F.count(F.lit(1)).alias("y"),
+        )
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    n = F.count(F.lit(1)).over(wf)
+    sx, sy = F.sum("x").over(wf), F.sum("y").over(wf)
+    sxx = F.sum(F.col("x") * F.col("x")).over(wf)
+    syy = F.sum(F.col("y") * F.col("y")).over(wf)
+    sxy = F.sum(F.col("x") * F.col("y")).over(wf)
+    nd = n.cast("double")
+    cov = nd * sxy.cast("double") - sx.cast("double") * sy.cast("double")
+    vx = nd * sxx.cast("double") - sx.cast("double") * sx.cast("double")
+    vy = nd * syy.cast("double") - sy.cast("double") * sy.cast("double")
+    r = F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+    return (
+        hourly.select("event_type", "bucket", n.alias("n_win"), r.alias("r"))
+        .where(F.col("n_win") == 24)
+        .select("event_type", "bucket", "r")
+    )
+
+
+def _join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted large-large join (skew.salted_join): customers explode 16
+    ways, each order routes to one replica by an order-key hash, so a
+    hot customer's probe rows spread over 16 reducers instead of one
+    straggler task. The oracle is the PLAIN join + aggregate — salting
+    is pure execution strategy, invisible in the result (each fact row
+    meets exactly one replica of its dim row)."""
+    load(spark, sf_dir)
+    fact = spark.table("orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    joined = skew.salted_join(fact, dim, "o_custkey", "o_orderkey", buckets=16)
+    return joined.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+
+
+def _text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope /
+    intercept / R^2 of ln(freq) on ln(rank) for the top-200 words —
+    the one-number corpus-health check (natural text sits near slope
+    -1; template spam and gibberish do not). Top-K via distributed
+    TakeOrdered (never a vocab-sized single-partition sort); the two
+    libm lns per rank are 1e-6-quantized to exact bigints, so the five
+    regression moments and the closed-form estimators are portable."""
+    load(spark, sf_dir)
+    words = spark.table("documents").select(
+        F.explode(F.split(dedup.normalize_text(F.col("text")), " ")).alias("word")
+    )
+    top = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(200)
+    )
+    ranked = top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(F.desc("n"), "word"))
+    )
+    q = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0).cast("long").alias("xq"),
+        F.round(F.log(F.col("n").cast("double")) * 1e6, 0).cast("long").alias("yq"),
+    )
+    m = q.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("xq").alias("sx"),
+        F.sum("yq").alias("sy"),
+        F.sum(F.col("xq") * F.col("xq")).alias("sxx"),
+        F.sum(F.col("xq") * F.col("yq")).alias("sxy"),
+        F.sum(F.col("yq") * F.col("yq")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = kd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    vx = kd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = kd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    slope = F.when(vx > 0, F.round(cov / vx, 6))
+    intercept = F.when(
+        vx > 0,
+        F.round(
+            (F.col("sy").cast("double") - cov / vx * F.col("sx").cast("double"))
+            / kd
+            / F.lit(1e6),
+            6,
+        ),
+    )
+    r2 = F.when((vx > 0) & (vy > 0), F.round(cov * cov / (vx * vy), 6))
+    return m.select(
+        F.col("k").alias("n_ranks"),
+        slope.alias("zipf_slope"),
+        intercept.alias("intercept_ln"),
+        r2.alias("r2"),
+    )
+
+
+def _graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient (graph.local_clustering)
+    over the bulk-purchase co-purchase graph — the Watts-Strogatz
+    neighborhood-density feature (community member vs hub-of-strangers)
+    for graph-aware curation. Same degree-ordered wedge join as
+    graph_triangle_count, but each closed triangle explodes to its
+    three corners; the oracle enumerates x<y<z triangles by a
+    structurally different three-way join, cross-checking the
+    orientation algebra per node."""
+    load(spark, sf_dir)
+    return graph.local_clustering(_sparse_copurchase_edges(spark))
+
+
+def _curation_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-domain token budgeting (curation.token_budget_prefix):
+    each source's docs shuffle into the salted-hash order and the
+    running-bigint-cumsum prefix within 600 tokens survives — how a
+    training mix hits token targets exactly rather than drifting toward
+    them with sampling rates. One keyed window shuffle; the oracle
+    replays the same md5 bucket, order, and cumsum."""
+    load(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(dedup.normalize_text(F.col("text")), " "))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return curation.token_budget_prefix(docs, budget_tokens=600)
+
+
+def _streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candlesticks (streaming.materialized_ohlc):
+    open/close fold incrementally as min/max over (ts, event_id, cents)
+    structs — O(1) state per open window where the batch spelling sorts
+    the whole window — and the batch _OHLC oracle grades the stream
+    (13th stream == batch contract row)."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_ohlc(spark, sf_dir)
+
+
 QUERIES = {
     "events_scd2_history": _events_scd2_history,
     "dedup_incremental_bloom": _dedup_incremental_bloom,
@@ -2665,6 +2830,12 @@ QUERIES = {
     "agg_chi_squared": _agg_chi_squared,
     "events_survival_km": _events_survival_km,
     "events_autocorr": _events_autocorr,
+    "window_rolling_corr": _window_rolling_corr,
+    "join_skew_salted": _join_skew_salted,
+    "text_zipf_fit": _text_zipf_fit,
+    "graph_clustering_coeff": _graph_clustering_coeff,
+    "curation_token_budget": _curation_token_budget,
+    "streaming_ohlc": _streaming_ohlc,
 }
 
 _GAP_FILL_ORACLE = """
@@ -5234,3 +5405,158 @@ SELECT event_type, lag_k, n_pairs,
        END AS r
 FROM m
 """
+
+
+# Identical hourly series, identical frame, identical six-moment
+# Pearson expression; only full 24-row frames emit.
+ORACLES["window_rolling_corr"] = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x,
+         COUNT(*) AS y
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+m AS (
+  SELECT event_type, bucket,
+         COUNT(*) OVER wf AS n,
+         CAST(SUM(x) OVER wf AS BIGINT) AS sx,
+         CAST(SUM(y) OVER wf AS BIGINT) AS sy,
+         CAST(SUM(x * x) OVER wf AS BIGINT) AS sxx,
+         CAST(SUM(y * y) OVER wf AS BIGINT) AS syy,
+         CAST(SUM(x * y) OVER wf AS BIGINT) AS sxy
+  FROM hourly
+  WINDOW wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket,
+  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r
+FROM m WHERE n = 24
+"""
+
+# The salted join is invisible in the result: the oracle is the PLAIN
+# inner join + aggregate.
+ORACLES["join_skew_salted"] = """
+SELECT c.c_nationkey AS nation, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+# Same normalize/split tokenization, same (n DESC, word) top-200, same
+# 1e-6 ln quantization, same closed-form least-squares expressions.
+ORACLES["text_zipf_fit"] = f"""
+WITH w AS (SELECT unnest(string_split({_NORM}, ' ')) AS word FROM documents),
+c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+top AS (SELECT word, n FROM c ORDER BY n DESC, word LIMIT 200),
+rk AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rnk FROM top),
+q AS (SELECT CAST(ROUND(LN(CAST(rnk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xq,
+             CAST(ROUND(LN(CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yq
+      FROM rk),
+m AS (SELECT COUNT(*) AS k,
+             CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+             CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+             CAST(SUM(yq * yq) AS BIGINT) AS syy
+      FROM q)
+SELECT k AS n_ranks,
+  CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+       THEN ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+       END AS zipf_slope,
+  CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+       THEN ROUND((CAST(sy AS DOUBLE)
+                   - (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * CAST(sx AS DOUBLE))
+                  / CAST(k AS DOUBLE) / 1e6, 6)
+       END AS intercept_ln,
+  CASE WHEN (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN ROUND((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / ((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r2
+FROM m
+"""
+
+# x<y<z three-way-join triangle enumeration (structurally different
+# from the Spark side's degree-ordered wedge algebra), corners exploded
+# by a 3-way UNION ALL, identical single-division lcc.
+ORACLES["graph_clustering_coeff"] = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT lo AS node FROM e UNION ALL SELECT hi AS node FROM e
+  ) GROUP BY node
+),
+tri AS (
+  SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+  FROM e e1
+  JOIN e e2 ON e1.hi = e2.lo
+  JOIN e e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+),
+corners AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y AS node FROM tri
+  UNION ALL SELECT z AS node FROM tri
+),
+t AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node)
+SELECT d.node, d.deg, COALESCE(t.n_tri, 0) AS n_tri,
+       CASE WHEN d.deg >= 2
+            THEN ROUND(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+                       / (d.deg * (d.deg - 1)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg d LEFT JOIN t USING (node)
+"""
+
+# Same md5 bucket (curation._hash_bucket mirror), same (bucket, doc_id)
+# order, same exact cumsum, same strict-prefix cutoff.
+ORACLES["curation_token_budget"] = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(string_split({_NORM}, ' ')) AS BIGINT) AS n_tokens,
+         {_bucket_sql('budget-v1')} AS b
+  FROM documents
+),
+c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY b, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 600
+"""
+
+ORACLES["streaming_ohlc"] = _OHLC

@@ -794,3 +794,57 @@ def stream_ewma(
             6,
         ).alias("ewma"),
     )
+
+
+def stream_ohlc(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the events_ohlc candlestick downsample: per
+    (tumbling hour, event_type), open/close picked by an incremental
+    min/max over (ts, event_id, cents) structs — the composite total
+    order makes first/last-by-time a pure monoid the state store folds
+    one row at a time, with O(1) state per open window (contrast the
+    batch row_number spelling, which needs the whole window sorted).
+    Values quantize to cents BEFORE aggregation, so high/low/volume
+    state is exact integers and the stream == batch contract holds
+    bit-for-bit on in-order replay."""
+    ev = stream_events(spark, sf_dir).where(F.col("value").isNotNull())
+    base = ev.select(
+        "ts",
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("v_c"),
+    )
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.min(F.struct("ts", "event_id", "v_c")).alias("o_s"),
+            F.max(F.struct("ts", "event_id", "v_c")).alias("c_s"),
+            F.max("v_c").alias("h_c"),
+            F.min("v_c").alias("l_c"),
+            F.sum("v_c").alias("volume_cents"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+    )
+
+
+def materialized_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_ohlc through the idempotent foreachBatch sink, presented
+    with the IDENTICAL decimal-division spellings as the batch _OHLC
+    SQL so the same DuckDB oracle grades the stream (13th streaming
+    twin under the stream == batch contract)."""
+    out = materialize_stream(stream_ohlc(spark, sf_dir), output_mode="complete")
+    return out.select(
+        F.col("w").getField("start").alias("bucket"),
+        "event_type",
+        F.expr("CAST(ROUND(o_s.v_c / 100.0, 2) AS DOUBLE)").alias("open"),
+        F.expr("CAST(ROUND(h_c / 100.0, 2) AS DOUBLE)").alias("high"),
+        F.expr("CAST(ROUND(l_c / 100.0, 2) AS DOUBLE)").alias("low"),
+        F.expr("CAST(ROUND(c_s.v_c / 100.0, 2) AS DOUBLE)").alias("close"),
+        F.col("volume_cents").cast("long").alias("volume_cents"),
+        "n_trades",
+    )

@@ -399,3 +399,61 @@ def test_apportion_oversubscribed_budget_falls_short_as_documented(spark):
 
     docs = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     assert apportion_sample(docs, total=2).count() == 1
+
+
+def test_token_budget_prefix_strict_prefix_semantics(spark):
+    """The first doc that would overflow stops its group even when a
+    later smaller doc would still fit; selection order is the salted
+    md5 bucket order, replayed here in Python."""
+    import hashlib
+
+    from datafusion_gpu_spark.operators.curation import token_budget_prefix
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"budget-v1:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    rows = [(i, "s", 40) for i in range(10)]  # 10 docs x 40 tokens
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    got = token_budget_prefix(df, budget_tokens=100)
+    picked = sorted((r.doc_id, r.cum_tokens) for r in got.collect())
+    order = sorted(range(10), key=lambda i: (bucket(i), i))
+    expect = [(order[0], 40), (order[1], 80)]  # third 40 would hit 120 > 100
+    assert picked == sorted(expect)
+
+    # a big doc at the cut blocks everything after it, even small docs
+    rows2 = [(1, "s", 10), (2, "s", 1000), (3, "s", 10)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, source string, n_tokens long")
+    by_order = sorted([1, 2, 3], key=lambda i: (bucket(i), i))
+    kept = sorted(r.doc_id for r in token_budget_prefix(df2, 25).collect())
+    # walk the hash order in python with the same strict-prefix rule
+    cum, expect2 = 0, []
+    for i in by_order:
+        cum += {1: 10, 2: 1000, 3: 10}[i]
+        if cum > 25:
+            break
+        expect2.append(i)
+    assert kept == sorted(expect2)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Hot-key fact side: the salted join must equal the plain inner
+    join exactly, including duplicate dim keys (each fact row meets
+    every matching dim row exactly once)."""
+    from datafusion_gpu_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(1, i, i * 10) for i in range(50)] + [(2, 100, 7), (3, 101, 8)],
+        "k long, rid long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k long, tag string"
+    )
+    got = sorted(
+        (r.k, r.rid, r.v, r.tag)
+        for r in salted_join(fact, dim, "k", "rid", buckets=8).collect()
+    )
+    expect = sorted(
+        (r.k, r.rid, r.v, r.tag) for r in fact.join(dim, "k").collect()
+    )
+    assert got == expect and len(got) == 101  # 50*2 + 1, key 3 unmatched

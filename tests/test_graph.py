@@ -985,3 +985,33 @@ def test_boruvka_mst_all_equal_weights_is_still_spanning(spark):
     for r in got:
         parent[find(r.lo)] = find(r.hi)
     assert len({find(i) for i in range(n)}) == 1
+
+
+def test_local_clustering_triangle_with_pendant(spark):
+    """Triangle 1-2-3 plus pendant 3-4: the triangle corners score 1.0
+    (nodes 1, 2) and 1/3 (node 3, which has the pendant), the pendant
+    scores 0 by the deg-1 convention."""
+    from datafusion_gpu_spark.operators.graph import local_clustering
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "a long, b long"
+    )
+    got = {r.node: r for r in local_clustering(edges).collect()}
+    assert got[1].lcc == 1.0 and got[1].n_tri == 1 and got[1].deg == 2
+    assert got[2].lcc == 1.0
+    assert got[3].n_tri == 1 and got[3].deg == 3
+    assert got[3].lcc == round(2 * 1 / (3 * 2), 6)
+    assert got[4].lcc == 0.0 and got[4].n_tri == 0 and got[4].deg == 1
+
+
+def test_local_clustering_k4_all_one(spark):
+    """K4: every node sits in C(3,2) = 3 triangles, lcc exactly 1.0;
+    duplicate and reversed input edges must not change anything."""
+    from datafusion_gpu_spark.operators.graph import local_clustering
+
+    pairs = [(a, b) for a in range(4) for b in range(4) if a != b]
+    edges = spark.createDataFrame(pairs + pairs[:5], "a long, b long")
+    rows = local_clustering(edges).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r.deg == 3 and r.n_tri == 3 and r.lcc == 1.0

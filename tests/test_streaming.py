@@ -428,3 +428,25 @@ def test_streaming_ewma_matches_batch_exactly(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_ohlc_matches_batch_exactly(spark):
+    # incremental min/max-struct open/close on an in-order replay must
+    # reproduce the batch row_number spelling bit-for-bit
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_ohlc,
+        _streaming_ohlc,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cols = ("open", "high", "low", "close", "volume_cents", "n_trades")
+    batch = {
+        (r.bucket, r.event_type): tuple(r[c] for c in cols)
+        for r in _events_ohlc(spark, sf).collect()
+    }
+    stream = {
+        (r.bucket, r.event_type): tuple(r[c] for c in cols)
+        for r in _streaming_ohlc(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
