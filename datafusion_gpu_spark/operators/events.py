@@ -1019,3 +1019,89 @@ def autocorr(
     return moms.select(
         F.col("key").alias(key_col), "lag_k", "n_pairs", r.alias("r")
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    tolerance_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Nearest-neighbor as-of join: for each left row, the right row
+    with equal key whose timestamp is CLOSEST (either direction) within
+    ``tolerance_us``, ties preferring the prior side — the
+    sensor-fusion / quote-matching variant of :func:`asof_join_prior`
+    (pandas merge_asof direction='nearest').
+
+    Spark-first spelling, still a single shuffle on the join key: union
+    both sides tagged and make TWO ordered window passes over the same
+    key partitioning —
+
+    - prior = last right at (t, rid) <= the left row (rights sort
+      before lefts at equal t, so an equal-timestamp right counts);
+    - next = first right at (t, rid) >= the left row (rights sort
+      after lefts in this pass's ordering).
+
+    The latest prior and earliest next are by construction the nearest
+    candidates on each side, so one integer comparison of deltas picks
+    the winner (tie -> prior). Deterministic tie-breaks all the way
+    down: among equal-t rights, prior picks the max right id, next the
+    min. Both window specs share the partitioning, so Catalyst plans
+    ONE exchange and two sorts.
+
+    Returns (on, left_id, matched_right_id, delta_us) with NULLs where
+    nothing lands in tolerance; delta_us is signed (right - left).
+    """
+    l_tag = left.select(
+        F.col(on).alias("k"),
+        _epoch_us(ts).alias("t"),
+        F.col(left_id).alias("lid"),
+        F.lit(None).cast("long").alias("rid"),
+        F.lit(1).alias("is_left"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("k"),
+        _epoch_us(ts).alias("t"),
+        F.lit(None).cast("long").alias("lid"),
+        F.col(right_id).alias("rid"),
+        F.lit(0).alias("is_left"),
+    )
+    merged = l_tag.unionByName(r_tag)
+    # pass 1: rights before lefts at equal t -> prior includes ties
+    w_prior = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_left", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # pass 2: lefts before rights at equal t -> next excludes nothing
+    # (equal-t rights already won as prior with delta 0)
+    w_next = (
+        Window.partitionBy("k")
+        .orderBy("t", F.desc("is_left"), "rid")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    r_struct = F.when(
+        F.col("is_left") == 0, F.struct(F.col("t").alias("rt"), F.col("rid").alias("rrid"))
+    )
+    cand = merged.withColumn(
+        "prior", F.last(r_struct, ignorenulls=True).over(w_prior)
+    ).withColumn("nxt", F.first(r_struct, ignorenulls=True).over(w_next))
+    lefts = cand.where(F.col("is_left") == 1)
+    d_prior = F.col("t") - F.col("prior.rt")  # >= 0
+    d_next = F.col("nxt.rt") - F.col("t")  # >= 0
+    prior_ok = F.col("prior").isNotNull() & (d_prior <= tolerance_us)
+    next_ok = F.col("nxt").isNotNull() & (d_next <= tolerance_us)
+    take_prior = prior_ok & (~next_ok | (d_prior <= d_next))
+    matched = F.when(take_prior, F.col("prior.rrid")).otherwise(
+        F.when(next_ok, F.col("nxt.rrid"))
+    )
+    delta = F.when(take_prior, -d_prior).otherwise(F.when(next_ok, d_next))
+    return lefts.select(
+        F.col("k").alias(on),
+        F.col("lid").alias(left_id),
+        matched.alias("matched_right_id"),
+        delta.alias("delta_us"),
+    )

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def pagerank(
@@ -1532,3 +1533,63 @@ def local_clustering(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
         lcc.alias("lcc"),
     )
+
+
+def label_propagation(
+    edges: DataFrame, rounds: int = 3, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Synchronous label propagation community detection (Raghavan et
+    al. 2007) over the undirected graph, made fully deterministic: every
+    round each node adopts the MOST FREQUENT label among its neighbors,
+    ties broken by the smallest label — so a fixed round count yields a
+    reproducible labeling on any engine (the classic async LPA is
+    order-dependent; the sync+tiebreak variant is the one a distributed
+    engine can honestly contract).
+
+    Per round: one join (neighbor relation ⋈ labels, keyed by the
+    neighbor endpoint), one (node, label) count aggregation, one rank
+    window — all O(|E|) keyed shuffles; labels checkpoint per round so
+    lineage stays flat (the components/pagerank policy). Nodes keep
+    their own id as the initial label; a node with no neighbors never
+    appears in the edge-derived node set by construction.
+
+    Unlike Louvain (graph.louvain — modularity ascent with contraction)
+    this needs no quality function and no graph rebuild, which is why
+    LPA is the cheap first-pass community sweep at web scale.
+
+    Returns (node, label) after ``rounds`` synchronous rounds.
+    """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    nbr = ckpt(
+        und.select(F.col("lo").alias("node"), F.col("hi").alias("nb")).unionAll(
+            und.select(F.col("hi").alias("node"), F.col("lo").alias("nb"))
+        )
+    )
+    labels = ckpt(
+        nbr.select("node").distinct().withColumn("label", F.col("node"))
+    )
+    for _ in range(rounds):
+        msgs = nbr.join(
+            labels.select(F.col("node").alias("nb"), "label"), "nb"
+        ).select("node", "label")
+        counts = msgs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("c"), "label")
+        new = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = ckpt(
+            labels.join(new, "node", "left").select(
+                "node",
+                F.coalesce(F.col("new_label"), F.col("label")).alias("label"),
+            )
+        )
+    return labels

@@ -1204,3 +1204,105 @@ def hashing_vectorizer(
     return words.groupBy(
         F.col(id_col), (word_hash60(F.col("w")) % dim).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+#: RAKE delimiter set — deterministic tiny stopword list (the corpus is
+#: synthetic; the contract is the fixed formula, mirrored in the oracle).
+RAKE_STOPWORDS: tuple[str, ...] = (
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on",
+    "for", "with", "as", "by", "at", "it",
+)
+
+
+def rake_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free word runs; word score = deg/freq where freq
+    counts occurrences and deg sums the lengths of the phrases each
+    occurrence sits in; a phrase scores the sum of its members' scores.
+    The document-frequency-free cousin of tf-idf keywording — no corpus
+    statistics beyond the phrases themselves, which is why RAKE runs as
+    a pure per-batch pass in extraction pipelines.
+
+    Relational spelling: posexplode -> stopword flag -> gaps-and-islands
+    (running stopword count = island id) -> per-island phrase rebuild
+    ordered by position (array_sort of (pos, word) structs — never a
+    bare collect_list, whose order is undefined). Word scores are ONE
+    double division of exact bigint (deg, freq), quantized to 1e-9
+    bigints before the per-phrase sum, so the fold is exact integer
+    arithmetic and the ranking is engine-independent.
+
+    Returns the top ``top_k`` distinct phrases by (score DESC, phrase):
+    (phrase, n_words, n_occurrences, score).
+    """
+    from pyspark.sql.window import Window as W
+
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "pos", "word"
+        ),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    flagged = words.withColumn(
+        "is_stop", F.array_contains(stop_arr, F.col("word")).cast("int")
+    )
+    w_doc = (
+        W.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    content = flagged.withColumn(
+        "island", F.sum("is_stop").over(w_doc)
+    ).where(F.col("is_stop") == 0)
+    phrases = content.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    stats = (
+        content.join(phrases.select("doc_id", "island", "n_words"),
+                     ["doc_id", "island"])
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("n_words").alias("deg"),
+        )
+        .select(
+            "word",
+            F.round(F.col("deg").cast("double") / F.col("freq") * 1e9, 0)
+            .cast("long")
+            .alias("sq"),
+        )
+    )
+    phrase_scores = (
+        content.join(F.broadcast(stats), "word")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("sq").alias("score_q"))
+        .join(phrases, ["doc_id", "island"])
+        .groupBy("phrase")
+        .agg(
+            F.min("n_words").alias("n_words"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("score_q").alias("score_q"),
+        )
+    )
+    return (
+        phrase_scores.select(
+            "phrase",
+            "n_words",
+            "n_occurrences",
+            F.round(F.col("score_q") / 1e9, 4).alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(top_k)
+    )

@@ -2693,6 +2693,140 @@ def _streaming_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming.materialized_ohlc(spark, sf_dir)
 
 
+
+
+# Multi-touch attribution: every purchase credits the user's non-purchase
+# touches in the 7 preceding days — first-touch and last-touch are rank
+# picks, linear credit splits 1/n per touch with the 1/n term quantized
+# to an exact 1e-12 bigint before the channel sum (the fold is integer
+# arithmetic; the only float op is one division per conversion-touch
+# pair, identical on both engines). One portable SQL, run verbatim.
+_ATTRIBUTION = """
+WITH conv AS (
+  SELECT user_id, event_id AS conv_id, ts AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+  SELECT user_id, event_id AS touch_id, ts AS touch_ts,
+         event_type AS channel
+  FROM events WHERE event_type <> 'purchase'
+),
+pairs AS (
+  SELECT c.conv_id, t.channel, t.touch_ts, t.touch_id
+  FROM conv c JOIN touch t
+    ON c.user_id = t.user_id
+   AND t.touch_ts < c.conv_ts
+   AND t.touch_ts >= c.conv_ts - INTERVAL 7 DAY
+),
+ranked AS (
+  SELECT conv_id, channel,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts, touch_id) AS rn_first,
+         ROW_NUMBER() OVER (PARTITION BY conv_id
+                            ORDER BY touch_ts DESC, touch_id DESC) AS rn_last,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n_touch
+  FROM pairs
+)
+SELECT channel,
+       CAST(SUM(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS first_touch,
+       CAST(SUM(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS last_touch,
+       ROUND(CAST(SUM(CAST(ROUND(1e12 / n_touch, 0) AS BIGINT)) AS BIGINT)
+             / 1e12, 4) AS linear_credit
+FROM ranked GROUP BY channel
+"""
+
+
+def _events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last/linear multi-touch attribution of purchases to the
+    user's preceding-7-day touch channels — the marketing-analytics
+    staple. The conversion-touch pairing is an equality join on user_id
+    with a residual time band (hash join, never a nested loop; per-user
+    fan-out is bounded by the user's own activity), then two rank
+    windows + one channel aggregation. See _ATTRIBUTION for the exact
+    1/n quantization."""
+    load(spark, sf_dir)
+    return spark.sql(_ATTRIBUTION)
+
+
+# Two-step Markov transition matrix: P2 = P x P as a relational matrix
+# multiply (join on the middle state + group-sum). Each product term
+# a.p * b.p is one float multiply of identical doubles (both factors
+# are single divisions of exact bigints), quantized to 1e-12 bigints
+# before the middle-state sum so the fold order cannot matter.
+_MARKOV2 = """
+WITH seq AS (
+  SELECT event_type AS s,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS s_next
+  FROM events
+),
+c AS (
+  SELECT s, s_next, COUNT(*) AS n FROM seq
+  WHERE s_next IS NOT NULL GROUP BY s, s_next
+),
+tot AS (SELECT s, CAST(SUM(n) AS BIGINT) AS n_s FROM c GROUP BY s),
+p AS (
+  SELECT c.s, c.s_next, CAST(c.n AS DOUBLE) / t.n_s AS p
+  FROM c JOIN tot t ON c.s = t.s
+),
+p2 AS (
+  SELECT a.s AS s_from, b.s_next AS s_to,
+         CAST(SUM(CAST(ROUND(a.p * b.p * 1e12, 0) AS BIGINT)) AS BIGINT)
+           AS pq
+  FROM p a JOIN p b ON a.s_next = b.s
+  GROUP BY a.s, b.s_next
+)
+SELECT s_from, s_to, ROUND(pq / 1e12, 6) AS p2 FROM p2
+"""
+
+
+def _events_markov_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Markov reachability P^2 over the per-user event-type
+    chain — the transition matrix (events_transitions) squared as a
+    relational matrix multiply: join on the middle state, group-sum
+    the quantized products. The same join-aggregate shape scales to
+    sparse P at any state count (each output cell shuffles by its own
+    key); see _MARKOV2 for the numeric contract."""
+    load(spark, sf_dir)
+    return spark.sql(_MARKOV2)
+
+
+
+
+def _join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join (events.asof_join_nearest): each
+    purchase matches the user's CLOSEST view within +-30 min, either
+    direction, ties preferring the prior — pandas merge_asof
+    direction='nearest' semantics as one shuffle + two window passes.
+    The oracle is a structurally different plan (theta pair join +
+    rank-1 filter), so agreement checks the two-window candidate
+    algebra, not just arithmetic."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    return events.asof_join_nearest(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "view"),
+        on="user_id",
+        tolerance_us=1_800_000_000,
+    )
+
+
+
+
+def _graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, 3 rounds, most-frequent-neighbor-label
+    with min-label ties) over the bulk-purchase co-purchase graph —
+    the cheap first-pass community sweep (contrast graph_louvain's
+    modularity ascent). The oracle replays all three rounds as chained
+    CTEs with the identical count/tiebreak algebra, so the iterative
+    operator is graded exactly, round for round."""
+    load(spark, sf_dir)
+    return graph.label_propagation(_sparse_copurchase_edges(spark), rounds=3)
+
+
 QUERIES = {
     "events_scd2_history": _events_scd2_history,
     "dedup_incremental_bloom": _dedup_incremental_bloom,
@@ -2836,6 +2970,10 @@ QUERIES = {
     "graph_clustering_coeff": _graph_clustering_coeff,
     "curation_token_budget": _curation_token_budget,
     "streaming_ohlc": _streaming_ohlc,
+    "events_attribution": _events_attribution,
+    "events_markov_2step": _events_markov_2step,
+    "join_asof_nearest": _join_asof_nearest,
+    "graph_label_propagation": _graph_label_propagation,
 }
 
 _GAP_FILL_ORACLE = """
@@ -5560,3 +5698,83 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 600
 """
 
 ORACLES["streaming_ohlc"] = _OHLC
+
+ORACLES["events_attribution"] = _ATTRIBUTION
+ORACLES["events_markov_2step"] = _MARKOV2
+
+
+# Structurally different oracle: exhaustive theta pairing within
+# tolerance + one rank pick with the operator's exact tie order
+# (|delta| ASC, prior before next, max rid among priors / min among
+# nexts), LEFT-joined back so unmatched purchases keep their NULLs.
+ORACLES["join_asof_nearest"] = """
+WITH l AS (
+  SELECT user_id, event_id AS lid, epoch_us(ts) AS lt
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT user_id, event_id AS rid, epoch_us(ts) AS rt
+  FROM events WHERE event_type = 'view'
+),
+pairs AS (
+  SELECT l.user_id, l.lid, r.rid,
+         r.rt - l.lt AS delta,
+         ABS(r.rt - l.lt) AS adelta,
+         CASE WHEN r.rt <= l.lt THEN 0 ELSE 1 END AS is_next
+  FROM l JOIN r ON l.user_id = r.user_id
+  WHERE ABS(r.rt - l.lt) <= 1800000000
+),
+best AS (
+  SELECT lid, rid, delta,
+         ROW_NUMBER() OVER (
+           PARTITION BY lid
+           ORDER BY adelta, is_next,
+                    CASE WHEN is_next = 0 THEN -rid ELSE rid END) AS rn
+  FROM pairs
+)
+SELECT l.user_id, l.lid AS event_id, b.rid AS matched_right_id,
+       b.delta AS delta_us
+FROM l LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON l.lid = b.lid
+"""
+
+
+# Three synchronous LPA rounds as chained CTEs: per round, neighbor
+# label counts -> (count DESC, label ASC) rank-1 pick. Every node in
+# the edge-derived set has >= 1 neighbor, so no keep-own fallback rows.
+ORACLES["graph_label_propagation"] = """
+WITH li AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+),
+e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+nbr AS (
+  SELECT lo AS node, hi AS nb FROM e
+  UNION ALL SELECT hi AS node, lo AS nb FROM e
+),
+r0 AS (SELECT DISTINCT node, node AS label FROM nbr),
+c1 AS (SELECT n.node, l.label, COUNT(*) AS c
+       FROM nbr n JOIN r0 l ON n.nb = l.node GROUP BY n.node, l.label),
+r1 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+         FROM c1) WHERE rn = 1),
+c2 AS (SELECT n.node, l.label, COUNT(*) AS c
+       FROM nbr n JOIN r1 l ON n.nb = l.node GROUP BY n.node, l.label),
+r2 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+         FROM c2) WHERE rn = 1),
+c3 AS (SELECT n.node, l.label, COUNT(*) AS c
+       FROM nbr n JOIN r2 l ON n.nb = l.node GROUP BY n.node, l.label),
+r3 AS (SELECT node, label FROM (
+         SELECT node, label,
+                ROW_NUMBER() OVER (PARTITION BY node
+                                   ORDER BY c DESC, label) AS rn
+         FROM c3) WHERE rn = 1)
+SELECT node, label FROM r3
+"""

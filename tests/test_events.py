@@ -236,3 +236,41 @@ def test_autocorr_matches_numpy(spark):
     for k in (1, 2, 3):
         expect = np.corrcoef(vals[:-k], vals[k:])[0, 1]
         assert abs(got[k] - expect) < 1e-6
+
+
+def test_asof_nearest_directions_ties_and_tolerance(spark):
+    """Nearest match either direction; ties prefer prior; equal-ts
+    rights count as prior with delta 0; out-of-tolerance rows get
+    NULL; among equal-t rights prior picks max id, next picks min."""
+    from datafusion_gpu_spark.operators.events import asof_join_nearest
+
+    def df(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, event_id long, ts string"
+        ).select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"))
+
+    T = "2024-01-01 12:{:02d}:{:02d}"
+    left = df([
+        (1, 100, T.format(30, 0)),   # prior at -120s, next at +300s -> prior
+        (1, 101, T.format(40, 0)),   # next at +60s, prior at -480s -> next
+        (2, 200, T.format(0, 0)),    # exact tie +-60s -> prior
+        (3, 300, T.format(0, 0)),    # equal ts rights (2 of them) -> max rid, delta 0
+        (4, 400, T.format(0, 0)),    # only right is 31min away -> NULL
+    ])
+    right = df([
+        (1, 10, T.format(28, 0)), (1, 11, T.format(35, 0)), (1, 12, T.format(41, 0)),
+        (2, 20, T.format(1, 0)),  # wait: prior needs <= left ts
+        (2, 21, "2024-01-01 11:59:00"),
+        (3, 30, T.format(0, 0)), (3, 31, T.format(0, 0)),
+        (4, 40, "2024-01-01 12:31:00"),
+    ])
+    got = {
+        r.event_id: (r.matched_right_id, r.delta_us)
+        for r in asof_join_nearest(left, right, "user_id",
+                                   tolerance_us=30 * 60 * 1_000_000).collect()
+    }
+    assert got[100] == (10, -120_000_000)
+    assert got[101] == (12, 60_000_000)
+    assert got[200] == (21, -60_000_000)   # tie: prior wins over +60s next
+    assert got[300] == (31, 0)             # equal-ts: max rid as prior
+    assert got[400] == (None, None)        # 31 min > 30 min tolerance

@@ -1015,3 +1015,34 @@ def test_local_clustering_k4_all_one(spark):
     assert len(rows) == 4
     for r in rows:
         assert r.deg == 3 and r.n_tri == 3 and r.lcc == 1.0
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    """Two 4-cliques joined by one bridge edge: after 3 sync rounds
+    every member carries its clique's minimum id; replay the sync
+    recursion in Python to pin the exact per-round algebra."""
+    from collections import Counter
+
+    from datafusion_gpu_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    edges = c1 + c2 + [(3, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r.node: r.label for r in label_propagation(df, rounds=3).collect()}
+
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(3):
+        new = {}
+        for n in nbrs:
+            cnt = Counter(labels[m] for m in nbrs[n])
+            top = max(cnt.values())
+            new[n] = min(l for l, c in cnt.items() if c == top)
+        labels = new
+    assert got == labels
+    assert len({got[n] for n in range(4)}) == 1  # clique 1 converged
+    assert len({got[n] for n in range(10, 14)}) == 1  # clique 2 converged
