@@ -1139,6 +1139,13 @@ def prefix_filter_pairs(
             "doc_a",
             "doc_b",
             F.round(inter / union, 6).alias("jaccard"),
+            # threshold test on the EXACT ratio via integer
+            # cross-multiplication (inter/union >= tn/td), mirroring the
+            # oracle's WHERE-on-unrounded structure — filtering on the
+            # 6dp-rounded emitted column would admit pairs with true J in
+            # [t-5e-7, t) that the oracle rejects (ADVICE r7)
+            (inter * F.lit(td) >= F.lit(tn) * union).alias("_keep"),
         )
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("_keep"))
+        .drop("_keep")
     )

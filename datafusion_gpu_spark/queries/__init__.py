@@ -142,10 +142,27 @@ _CHECKED_R6 = (
     "window_ranking", "window_rows_frame",
 )
 
+_CHECKED_R7 = (
+    "agg_gini", "agg_group_by_all", "agg_trimmed_mean", "agg_weighted_median",
+    "cte_recursive", "cte_values_join", "ddl_create_view", "dedup_prefix_filter",
+    "distinct_on_latest_order", "events_changepoint_cusum", "events_match_recognize", "events_sliding_distinct",
+    "explain_plan", "graph_bellman_ford", "graph_bfs", "graph_condensation",
+    "graph_delta_stepping", "graph_harmonic_exact", "graph_harmonic_hyperball", "graph_louvain",
+    "graph_mst", "graph_pagerank_personalized", "graph_resource_allocation", "graph_scc",
+    "graph_toposort", "join_anti_not_exists", "join_cross", "join_fuzzy_blocked",
+    "join_geo_radius", "join_lateral_topk", "join_non_equi_band", "join_right_outer",
+    "join_semi_api", "join_sort_merge_hint", "multimodal_phash", "pivot_orders",
+    "set_except", "set_except_all", "set_intersect", "set_intersect_all",
+    "set_union", "sort_limit_offset", "subquery_correlated", "subquery_in",
+    "subquery_scalar", "table_function_range", "text_unicode_clean", "unpivot_customer_metrics",
+    "window_rolling_median", "window_running_distinct",
+)
+
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
-    (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6), start=1
+    (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
+     _CHECKED_R7), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

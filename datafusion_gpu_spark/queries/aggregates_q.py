@@ -389,7 +389,10 @@ FROM t GROUP BY flag
 # over per-source/per-segment weight distributions (is one segment
 # hoarding the budget?). Closed form over ascending-sorted integer
 # cents: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — bigint numerators,
-# two float divisions spelled identically on both engines.
+# two float divisions spelled identically on both engines. The n*sum(x)
+# denominator is computed in DOUBLE (not BIGINT*BIGINT): DuckDB promotes
+# SUM to HUGEINT while Spark stays int64, so an integer product would
+# silently diverge/overflow cross-engine around sf1000 (ADVICE r7).
 _GINI = """
 WITH t AS (
   SELECT c_mktsegment AS seg,
@@ -401,7 +404,7 @@ WITH t AS (
 )
 SELECT seg,
        CAST(MAX(n) AS BIGINT) AS n_customers,
-       CAST(ROUND(2.0 * SUM(i * c) / (MAX(n) * SUM(c))
+       CAST(ROUND(2.0 * SUM(i * c) / (CAST(MAX(n) AS DOUBLE) * SUM(c))
                   - (MAX(n) + 1.0) / MAX(n), 6) AS DOUBLE) AS gini
 FROM t GROUP BY seg
 """

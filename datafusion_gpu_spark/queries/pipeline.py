@@ -1088,9 +1088,12 @@ def _events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelled via its exact closed form (cumsum minus running-min of
     cumsum), i.e. two window functions over (user ORDER BY ts,
     event_id) — fully parallel across users and replayed bit-for-bit
-    by the oracle (the per-user mean/stddev baseline rounds to 6
-    before use, so no parallel-aggregation accumulation-order noise
-    reaches a threshold decision)."""
+    by the oracle: values scale to integer cents and the per-user
+    mean/k/h baseline quantizes ONCE to those integer units, so every
+    cumulative sum, running min and alarm decision is bigint. The one
+    accepted residual is the float stddev_pop feeding that single
+    quantization — a last-ulp engine difference could in principle
+    flip an integer rounding at an exact .5 boundary."""
     load(spark, sf_dir)
     purchases = spark.table("events").where(
         (F.col("event_type") == "purchase") & F.col("value").isNotNull()
@@ -1478,7 +1481,7 @@ def _graph_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borůvka minimum spanning tree (graph.boruvka_mst) over a graph
     with an EXACT-oracle construction: a heap-shaped spanning tree on
     the part keys (child idx -> parent (idx-1)//2, weight = child idx)
-    plus the co-purchase pairs as strictly heavier edges (>= 100000).
+    plus the co-purchase pairs as strictly heavier edges (>= 10^12).
     The cut property then pins MST == the planted tree exactly — every
     non-tree edge is the heaviest in any cycle it closes — so a SQL
     oracle can state an iterative algorithm's full output, ties among

@@ -84,25 +84,30 @@ def test_gate_staleness_rotation_orders_oldest_first():
     names = list(all_queries())
     ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in names]
     assert ranks == sorted(ranks)
-    # round 7's 50 slots must land on the oldest surface: the 25 r2
-    # rows not re-checked in r6, then never-driver-checked entries
-    # (rank 2.5) filling the remainder in registry order. The round-7
-    # continuation grew the never-checked band past one round's slots
-    # (25 + 32 > 50) — the overflow entries queue IMMEDIATELY after the
-    # head, ahead of every r3+ re-check, so their first-check latency
-    # is exactly one extra round, which is the design's bound.
-    head = names[:50]
-    head_ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in head]
-    n_never = sum(1 for n in names if n not in _LAST_DRIVER_ROUND)
-    assert n_never >= 15
-    assert head_ranks.count(2) == 25
-    n_never_in_head = min(n_never, 50 - 25)
-    assert head_ranks.count(_NEVER_CHECKED_RANK) == n_never_in_head
-    assert head_ranks.count(3) == max(0, 50 - 25 - n_never)
-    # overflow never-checked entries sit right after the head, before
-    # any r3-checked row
-    overflow = names[50 : 50 + (n_never - n_never_in_head)]
-    assert all(n not in _LAST_DRIVER_ROUND for n in overflow)
+    # The head's 50 slots must be exactly the 50 smallest staleness
+    # ranks — derived from the rank table itself so the assertion stays
+    # true as _CHECKED_R{N} tuples accrue. Sortedness above already
+    # guarantees the cut; here we pin the head *composition*: for every
+    # rank r fully inside the head, ALL entries of that rank are in the
+    # head; the boundary rank fills the remainder in registry order.
+    head_ranks = ranks[:50]
+    from collections import Counter
+
+    total_by_rank = Counter(ranks)
+    head_by_rank = Counter(head_ranks)
+    boundary = head_ranks[-1]
+    for r, c in head_by_rank.items():
+        if r < boundary:
+            assert c == total_by_rank[r], f"rank {r} split across the head cut"
+    # never-checked entries (new ops awaiting their first driver row)
+    # sort between the r2 and r3 tranches — any overflow past the head
+    # queues immediately after it, ahead of every staler-than-2.5
+    # re-check, bounding first-check latency at one extra round
+    n_never = total_by_rank.get(_NEVER_CHECKED_RANK, 0)
+    n_never_in_head = head_by_rank.get(_NEVER_CHECKED_RANK, 0)
+    if n_never_in_head < n_never:
+        overflow = names[50 : 50 + (n_never - n_never_in_head)]
+        assert all(n not in _LAST_DRIVER_ROUND for n in overflow)
     # every query has an oracle unless deliberately rows-only (driver
     # looks oracles up by key, so only membership matters, not order)
     rows_only = {"explain_plan", "agg_approximate"}
