@@ -5781,3 +5781,278 @@ r3 AS (SELECT node, label FROM (
          FROM c3) WHERE rn = 1)
 SELECT node, label FROM r3
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8 — exact-arithmetic statistical testing family. Each entry is ONE
+# portable SQL run verbatim on both engines: ranks/ECDFs/moments reduce to
+# bigint sums over value-level aggregates, so the only float ops are a fixed
+# handful of identically-spelled IEEE divisions/sqrts at the very end
+# (SQRT is correctly rounded by IEEE 754, unlike libm ln — the survival_km
+# lesson), and every windowed cumulative runs over the DISTINCT-VALUE
+# relation, never the row relation.
+# ---------------------------------------------------------------------------
+
+# Mann-Whitney U (Wilcoxon rank-sum) with tie correction: do 'click' and
+# 'purchase' event values come from the same distribution? Rank algebra is
+# done on the value-level aggregate: for a distinct value with tc total
+# rows and cumb rows strictly below, every row there has
+# 2*avg_rank = 2*cumb + tc + 1 (an integer — the classic *2 trick), so
+# R_a, U_a and the tie term sum(t^3 - t) are exact bigints; z is one fixed
+# float expression (one SQRT, three divisions) over exactly-converted
+# operands, rounded to 4.
+_MANN_WHITNEY = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+cw AS (
+  SELECT da, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a,
+         CAST(SUM(tc - da) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cumb + tc + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+  FROM cw
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       tie3,
+       ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * n_b) / 2)
+             / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * (CAST(n_a + n_b + 1 AS DOUBLE)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+             4) AS z_stat
+FROM s
+"""
+
+
+def _agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U over click-vs-purchase event values
+    — the nonparametric A/B location test (complements events_ab_test's
+    t-style contrast and events_ab_srm's ratio gate). Scale shape: one
+    hash aggregation to the value-level relation, then ONE ordered
+    window over DISTINCT cent values (bounded by the value domain, not
+    the row count) — the row relation is never globally sorted. See
+    _MANN_WHITNEY for the integer rank algebra."""
+    load(spark, sf_dir)
+    return spark.sql(_MANN_WHITNEY)
+
+
+# Two-sample Kolmogorov-Smirnov: D = max |ECDF_a - ECDF_b| over the merged
+# support, kept exact as the integer numerator max|cum_a*n_b - cum_b*n_a|
+# (D = that / (n_a*n_b)). The alpha=0.05 decision compares D to
+# c(.05)*sqrt((n_a+n_b)/(n_a*n_b)) squared through (n_a*n_b)^2 — i.e.
+# m^2 > c^2 * (n_a+n_b) * n_a * n_b with c^2 = 1.844164 — one float
+# comparison of identically-spelled products of exact operands (m <= n_a*n_b
+# stays double-exact through m^2 up to n_a*n_b ~ 9e7; the gate is 4e6).
+_KS_TEST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM pv
+),
+mx AS (
+  SELECT CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS m
+  FROM cum CROSS JOIN nn
+)
+SELECT n_a, n_b, m AS d_num,
+       ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat,
+       (CAST(m AS DOUBLE) * m
+          > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b) AS reject_05
+FROM mx CROSS JOIN nn
+"""
+
+
+def _events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase value distributions — the whole-shape drift test a
+    pipeline runs when a mean test (events_ab_test) can't see a
+    variance/tail change. The merged-ECDF window runs over distinct
+    cent values only; the two one-row CTEs join as the documented
+    exempt broadcast-scalar class. See _KS_TEST for the exact integer
+    numerator and the cross-multiplied decision rule."""
+    load(spark, sf_dir)
+    return spark.sql(_KS_TEST)
+
+
+# Spearman rank correlation per brand: Pearson over 2x-average-ranks
+# (integers via 2*rank_min + tie_count - 1), so all five moments are exact
+# bigint sums; rho is the one fixed float expression shared with
+# events_autocorr / window_rolling_corr. Degenerate brands (any zero
+# variance) are filtered by an integer predicate, not a float epsilon.
+_SPEARMAN = """
+WITH t AS (
+  SELECT p_brand AS brand,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+),
+r AS (
+  SELECT brand,
+         2 * RANK() OVER (PARTITION BY brand ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY brand, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY brand ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY brand, y) - 1 AS ry
+  FROM t
+),
+m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY brand
+)
+SELECT brand, n AS n_parts,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS rho
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def _agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Spearman rank correlation between part price and size
+    — the monotone-association measure that survives outliers and
+    nonlinearity where Pearson (agg_regression) does not. Rank windows
+    partition by brand (bounded groups — no global sort anywhere);
+    moments are exact bigints. See _SPEARMAN."""
+    load(spark, sf_dir)
+    return spark.sql(_SPEARMAN)
+
+
+# Benford first-digit conformance of order totals — the classic synthetic-
+# data / fraud smell test. The leading digit comes from the decimal string
+# of the exact cent value (never FLOOR(LOG10(x)) — libm log10 is not
+# ulp-pinned and floor flips at exact powers of ten); the nine expected
+# probabilities are CONSTANTS (log10(1+1/d) pre-rounded to 6dp here, not
+# computed in-engine), so the only engine float ops are one division and
+# one subtraction per digit row.
+_BENFORD = """
+WITH t AS (
+  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                             AS STRING), 1, 1) AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+expd AS (
+  SELECT 1 AS d, 0.301030 AS p
+  UNION ALL SELECT 2, 0.176091 UNION ALL SELECT 3, 0.124939
+  UNION ALL SELECT 4, 0.096910 UNION ALL SELECT 5, 0.079181
+  UNION ALL SELECT 6, 0.066947 UNION ALL SELECT 7, 0.057992
+  UNION ALL SELECT 8, 0.051153 UNION ALL SELECT 9, 0.045757
+)
+SELECT CAST(e.d AS BIGINT) AS digit,
+       COALESCE(o.n, 0) AS n_obs,
+       CAST(e.p AS DOUBLE) AS p_benford,
+       ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt, 6) AS p_obs,
+       ROUND(ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt
+                 - CAST(e.p AS DOUBLE)), 6) AS abs_dev
+FROM expd e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot
+"""
+
+
+def _agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the data-quality screen that catches synthetic or
+    truncated monetary columns before they poison a training mix. One
+    row-level aggregation; the nine-row expected relation joins as a
+    broadcast; the one-row total is the exempt scalar class. See
+    _BENFORD for why the digit is extracted from the exact cent string
+    rather than via log10."""
+    load(spark, sf_dir)
+    return spark.sql(_BENFORD)
+
+
+# Bollinger-band breakouts over the hourly purchase-cents series: a point
+# breaks the 24h +/-2-sigma band iff (n*x - S1)^2 > 4*(n*S2 - S1^2) with
+# n = 24 — the squared inequality clears both the division by n and the
+# square root, so every band decision is EXACT BIGINT arithmetic (cents
+# keep all four products under 2^63 through ~sf0.1; rescale the quantum to
+# dollars for the same headroom at 100x — the knob, not a redesign).
+_BOLLINGER = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY DATE_TRUNC('hour', ts)
+),
+w AS (
+  SELECT h, cents,
+         CAST(COUNT(*) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+  FROM hourly
+)
+SELECT h, cents,
+       CAST(FLOOR(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+       (n = 24 AND 24 * cents > s1
+          AND (24 * cents - s1) * (24 * cents - s1)
+                > 4 * (24 * s2 - s1 * s1)) AS break_upper,
+       (n = 24 AND 24 * cents < s1
+          AND (24 * cents - s1) * (24 * cents - s1)
+                > 4 * (24 * s2 - s1 * s1)) AS break_lower
+FROM w
+"""
+
+
+def _window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h Bollinger band (mean +/- 2 sigma) breakout flags on
+    the hourly purchase series — the volatility-aware twin of the
+    fixed-k anomaly monitors (events_anomalies, events_anomaly_mad).
+    Same single-series window caveat as window_rolling_corr: the hourly
+    relation is time-bounded, and a per-key deployment partitions the
+    frame by key. Every breakout decision is exact bigint arithmetic —
+    see _BOLLINGER for the squared-inequality spelling."""
+    load(spark, sf_dir)
+    return spark.sql(_BOLLINGER)
+
+
+QUERIES["agg_mann_whitney"] = _agg_mann_whitney
+QUERIES["events_ks_test"] = _events_ks_test
+QUERIES["agg_spearman"] = _agg_spearman
+QUERIES["agg_benford"] = _agg_benford
+QUERIES["window_bollinger"] = _window_bollinger
+ORACLES["agg_mann_whitney"] = _MANN_WHITNEY
+ORACLES["events_ks_test"] = _KS_TEST
+ORACLES["agg_spearman"] = _SPEARMAN
+ORACLES["agg_benford"] = _BENFORD
+ORACLES["window_bollinger"] = _BOLLINGER
