@@ -30,10 +30,20 @@ from pyspark.sql.types import StructType
 # -- native formats ----------------------------------------------------------
 
 
-def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    compression: str | None = None,
+) -> None:
+    """Parquet sink; pass compression='zstd'/'gzip'/'snappy'/'lz4' to
+    override the session codec per sink (zstd is the 100 TB archival
+    default: ~30% smaller than snappy at comparable scan speed)."""
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(path)
 
 

@@ -1593,3 +1593,57 @@ def label_propagation(
             )
         )
     return labels
+
+
+def degree_assortativity(
+    edges: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """One-row (n_edges, r) degree assortativity of the undirected
+    graph — Newman (2002)'s mixing coefficient: the Pearson correlation
+    of endpoint degrees over all edges, each edge counted in both
+    orientations (so the marginal moments are symmetric by
+    construction). r > 0 means hubs attach to hubs (social-graph
+    shape), r < 0 hubs attach to leaves (the internet/dependency
+    shape) — the diagnostic that decides whether hub-capping
+    (common_neighbors' max_degree guard) will bite.
+
+    Scale shape: one distinct on the edge list, one node-keyed degree
+    aggregation, two degree lookups joined BY ENDPOINT KEY (hash joins
+    — the degree relation is |V|-sized, never broadcast), then a single
+    five-moment aggregation. All moments are exact bigint sums over
+    integer degrees, so the fold is order-free; r is one fixed float
+    expression (products in double, one IEEE sqrt), rounded to 6 — the
+    same terminal-floats-only contract as the autocorr/Spearman family.
+    """
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    both = und.select(
+        F.col("lo").alias("u"), F.col("hi").alias("v")
+    ).unionAll(und.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+    deg = both.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u").alias("__u__"), F.col("d").alias("dx"))
+    dv = deg.select(F.col("u").alias("__v__"), F.col("d").alias("dy"))
+    pairs = (
+        both.join(du, both.u == du.__u__)
+        .join(dv, both.v == dv.__v__)
+        .select("dx", "dy")
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("m2"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+    )
+    md, sxd = F.col("m2").cast("double"), F.col("sx").cast("double")
+    num = md * F.col("sxy") - sxd * F.col("sx")
+    vx = md * F.col("sxx") - sxd * F.col("sx")
+    vy = md * F.col("syy") - sxd * F.col("sx")
+    # regular graphs have zero degree variance: emit NULL, never 0/0
+    # (ANSI mode raises on the division otherwise — the autocorr guard)
+    r = F.when((vx > 0) & (vy > 0), F.round(num / F.sqrt(vx * vy), 6))
+    return m.select(
+        (F.col("m2") / 2).cast("long").alias("n_edges"),
+        r.alias("r"),
+    )

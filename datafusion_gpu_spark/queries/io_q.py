@@ -741,3 +741,45 @@ ORACLES = {
     "io_roundtrip_orc": _ORC_DUCK,
     "io_roundtrip_arrow": _ARROW_DUCK,
 }
+
+
+def _roundtrip_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink+scan round-trip with an explicit zstd codec — the
+    archival-tier parquet configuration (snappy is the hot-tier
+    default; zstd trades ~0 scan cost for ~30% smaller files, which at
+    100 TB is 30 TB of object-store spend). The aggregate must match
+    the oracle on the uncompressed source, and tests/test_io.py pins
+    the footer codec via pyarrow metadata so the option provably
+    reached the files."""
+    load(spark, sf_dir)
+    out = os.path.join(SCRATCH, "orders_parquet_zstd")
+    io.write_parquet(
+        spark.table("orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+        ),
+        out,
+        compression="zstd",
+    )
+    back = spark.read.parquet(out)
+    back.createOrReplaceTempView("orders_zstd_rt")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS sum_cents
+        FROM orders_zstd_rt GROUP BY o_orderpriority
+        """
+    )
+
+
+_PARQUET_ZSTD_DUCK = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM orders GROUP BY o_orderpriority
+"""
+
+QUERIES["io_roundtrip_parquet_zstd"] = _roundtrip_parquet_zstd
+ORACLES["io_roundtrip_parquet_zstd"] = _PARQUET_ZSTD_DUCK

@@ -6056,3 +6056,64 @@ ORACLES["events_ks_test"] = _KS_TEST
 ORACLES["agg_spearman"] = _SPEARMAN
 ORACLES["agg_benford"] = _BENFORD
 ORACLES["window_bollinger"] = _BOLLINGER
+
+
+def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman 2002)
+    of the bulk-purchase co-purchase graph — does this graph mix hubs
+    with hubs? The number that decides whether the hub-cap guards
+    (common_neighbors/local_clustering max_degree) are load-bearing.
+    Exact bigint moments over both edge orientations, one terminal
+    float expression; the oracle replays the identical moment algebra
+    in SQL."""
+    load(spark, sf_dir)
+    return graph.degree_assortativity(_sparse_copurchase_edges(spark))
+
+
+QUERIES["graph_assortativity"] = _graph_assortativity
+ORACLES["graph_assortativity"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+bo AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi AS u, lo AS v FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY u),
+p AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM bo JOIN deg du ON bo.u = du.u JOIN deg dv ON bo.v = dv.u
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM p
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sx * sx > 0
+            THEN ROUND((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / SQRT((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m2 AS DOUBLE) * syy - CAST(sx AS DOUBLE) * sx)),
+                 6)
+            END AS r
+FROM m
+"""
+
+
+def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_changepoint_cusum
+    (streaming.stream_cusum): batch-trained integer baseline +
+    stateful two-bigint CUSUM automaton in applyInPandasWithState,
+    integer-only Python. Graded by the BATCH oracle — the
+    stream==batch contract, 14th streaming twin."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_cusum(spark, sf_dir)
+
+
+QUERIES["streaming_cusum"] = _streaming_cusum
+ORACLES["streaming_cusum"] = ORACLES["events_changepoint_cusum"]

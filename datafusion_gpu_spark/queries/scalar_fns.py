@@ -514,3 +514,75 @@ ORACLES = {
     "fn_regex_pack": _REGEX_DUCK,
     "fn_bitwise_pack": _BITWISE_DUCK,
 }
+
+
+# -- higher-order (lambda) functions over arrays ----------------------------
+# Spark's transform/filter/exists/aggregate/zip_with vs DuckDB's
+# list_transform/list_filter/list_reduce/list_zip — same lambda semantics,
+# different names (reference parity: DataFusion exposes the identical
+# family as array_transform / array_filter / array_agg lambdas). The
+# per-customer array is BOUNDED (one customer's orders), built once and
+# folded entirely inside the row — no explode/re-aggregate round trip, so
+# the lambda pack costs one groupBy, not three. All arithmetic is bigint
+# cents; zip_with(arr, reverse(arr), +) summing to exactly 2*total is the
+# self-check that both engines fold the same pairing.
+_HIGHER_ORDER_SPARK = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS seg,
+         sort_array(collect_list(CAST(ROUND(o.o_totalprice * 100, 0)
+                                      AS BIGINT))) AS arr
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+lam AS (
+  SELECT seg,
+         size(arr) AS n,
+         aggregate(arr, CAST(0 AS BIGINT), (a, x) -> a + x) AS tot,
+         size(filter(arr, x -> x >= 15000000)) AS n_big,
+         CASE WHEN exists(arr, x -> x % 2 = 0) THEN 1 ELSE 0 END AS has_even,
+         aggregate(zip_with(arr, reverse(arr), (x, y) -> x + y),
+                   CAST(0 AS BIGINT), (a, v) -> a + v) AS zsum
+  FROM per_cust
+)
+SELECT seg,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(tot) AS BIGINT) AS sum_cents,
+       CAST(SUM(n_big) AS BIGINT) AS n_big_orders,
+       CAST(SUM(has_even) AS BIGINT) AS n_cust_with_even,
+       CAST(SUM(zsum) AS BIGINT) AS zip_sum_cents
+FROM lam GROUP BY seg
+"""
+
+_HIGHER_ORDER_DUCK = """
+WITH per_cust AS (
+  SELECT c.c_mktsegment AS seg,
+         list_sort(list(CAST(ROUND(o.o_totalprice * 100, 0)
+                             AS BIGINT))) AS arr
+  FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, c.c_custkey
+),
+lam AS (
+  SELECT seg,
+         len(arr) AS n,
+         list_reduce(list_prepend(CAST(0 AS BIGINT), arr),
+                     (a, x) -> a + x) AS tot,
+         len(list_filter(arr, x -> x >= 15000000)) AS n_big,
+         CASE WHEN len(list_filter(arr, x -> x % 2 = 0)) > 0
+              THEN 1 ELSE 0 END AS has_even,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(list_zip(arr, list_reverse(arr)),
+                                      p -> p[1] + p[2])),
+                     (a, v) -> a + v) AS zsum
+  FROM per_cust
+)
+SELECT seg,
+       CAST(SUM(n) AS BIGINT) AS n_orders,
+       CAST(SUM(tot) AS BIGINT) AS sum_cents,
+       CAST(SUM(n_big) AS BIGINT) AS n_big_orders,
+       CAST(SUM(has_even) AS BIGINT) AS n_cust_with_even,
+       CAST(SUM(zsum) AS BIGINT) AS zip_sum_cents
+FROM lam GROUP BY seg
+"""
+
+QUERIES["fn_higher_order"] = sql_query(_HIGHER_ORDER_SPARK)
+ORACLES["fn_higher_order"] = _HIGHER_ORDER_DUCK

@@ -848,3 +848,134 @@ def materialized_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("volume_cents").cast("long").alias("volume_cents"),
         "n_trades",
     )
+
+
+def stream_cusum(
+    spark: SparkSession,
+    sf_dir: str,
+    k_sigmas: float = 0.5,
+    h_sigmas: float = 4.0,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of events.cusum_alarms (14th stream == batch
+    contract): one-sided CUSUM drift detection as a stateful automaton
+    over the purchase stream — the deployment shape change-point
+    monitoring actually runs in (the batch spelling re-scores all
+    history per run; this one carries TWO bigints of state per key,
+    forever).
+
+    Two phases, mirroring production: the per-key (mu, k, h) baseline
+    is trained by a BATCH pass over history with the exact integer
+    quantization of the batch twin (values to cents, baseline rounded
+    once to cent units), then the stream joins that static relation
+    (broadcast stream-static join) and the automaton advances the
+    recursion directly — cum += y; minc = min(minc, cum);
+    s = cum - min(0, minc) — which is the same closed form the batch
+    window computes, one row at a time. All Python arithmetic is
+    INTEGER-ONLY (quantization happens JVM-side, the stream_ewma
+    discipline), so on in-order replay the emitted per-key summary is
+    bit-for-bit the batch operator's and the BATCH ORACLE grades the
+    stream. Each micro-batch emits the key's updated running summary
+    (update mode); the final state per key is the row with the largest
+    n_events.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev_b = (
+        read_parquet(spark, os.path.join(sf_dir, "events.parquet"))
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .withColumn("__xq__", F.round(F.col("value") * scale).cast("long"))
+    )
+    stats = ev_b.groupBy("user_id").agg(
+        F.round(F.avg("__xq__")).cast("long").alias("mu"),
+        F.round(F.lit(k_sigmas) * F.stddev_pop("__xq__")).cast("long").alias("k"),
+        F.round(F.lit(h_sigmas) * F.stddev_pop("__xq__")).cast("long").alias("h"),
+    )
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+        .join(F.broadcast(stats), "user_id")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cum, minc, n, n_alarms, peak, first_id, started = state.get
+        else:
+            cum, minc, n, n_alarms, peak, first_id, started = 0, 0, 0, 0, 0, -1, 0
+        out = {
+            "user_id": [],
+            "n_events": [],
+            "n_alarms": [],
+            "peak_cusum": [],
+            "first_alarm_id": [],
+        }
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, c, mu, k, h in zip(
+                rows["event_id"], rows["cents"], rows["mu"], rows["k"], rows["h"]
+            ):
+                y = int(c) - int(mu) - int(k)
+                cum += y
+                minc = cum if not started else min(minc, cum)
+                started = 1
+                s = cum - min(0, minc)
+                n += 1
+                peak = max(peak, s)
+                if int(h) > 0 and s > int(h):
+                    n_alarms += 1
+                    if first_id < 0:
+                        first_id = int(eid)
+            out["user_id"].append(key[0])
+            out["n_events"].append(n)
+            out["n_alarms"].append(n_alarms)
+            out["peak_cusum"].append(peak)
+            out["first_alarm_id"].append(first_id)
+        state.update((cum, minc, n, n_alarms, peak, first_id, started))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, n_alarms long, "
+            "peak_cusum long, first_alarm_id long"
+        ),
+        stateStructType=(
+            "cum long, minc long, n long, n_alarms long, peak long, "
+            "first_id long, started long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    from pyspark.sql import Window as W
+
+    raw = materialize_stream(prog, output_mode="update")
+    last = (
+        raw.withColumn(
+            "__rn__",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.col("n_events").desc())
+            ),
+        )
+        .where(F.col("__rn__") == 1)
+        .drop("__rn__")
+    )
+    return last.select(
+        "user_id",
+        "n_events",
+        "n_alarms",
+        "peak_cusum",
+        F.when(F.col("first_alarm_id") >= 0, F.col("first_alarm_id")).alias(
+            "first_alarm_id"
+        ),
+    )

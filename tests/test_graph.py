@@ -1046,3 +1046,52 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     assert got == labels
     assert len({got[n] for n in range(4)}) == 1  # clique 1 converged
     assert len({got[n] for n in range(10, 14)}) == 1  # clique 2 converged
+
+
+def test_assortativity_star_is_minus_one(spark):
+    """Every edge of a star is hub-leaf, so endpoint degrees are
+    perfectly anti-correlated: r = -1 exactly."""
+    from datafusion_gpu_spark.operators.graph import degree_assortativity
+
+    edges = [(0, i) for i in range(1, 7)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    row = degree_assortativity(df).collect()[0]
+    assert row.n_edges == 6
+    assert row.r == -1.0
+
+
+def test_assortativity_regular_graph_degenerate(spark):
+    """A cycle is 2-regular: zero degree variance -> r is NULL (0/0),
+    never a fake 0."""
+    from datafusion_gpu_spark.operators.graph import degree_assortativity
+
+    n = 8
+    df = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "a long, b long"
+    )
+    row = degree_assortativity(df).collect()[0]
+    assert row.n_edges == n
+    assert row.r is None
+
+
+def test_assortativity_matches_numpy(spark):
+    """r equals numpy's corrcoef over the both-orientation degree pairs
+    on an irregular seeded graph (dedup + self-loop drop included)."""
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.graph import degree_assortativity
+
+    rng = np.random.default_rng(11)
+    raw = {(int(x), int(y)) for x, y in rng.integers(0, 30, size=(120, 2))}
+    und = {(min(x, y), max(x, y)) for x, y in raw if x != y}
+    df = spark.createDataFrame(sorted(und), "a long, b long")
+    row = degree_assortativity(df).collect()[0]
+    deg = {}
+    for x, y in und:
+        deg[x] = deg.get(x, 0) + 1
+        deg[y] = deg.get(y, 0) + 1
+    dx = [deg[x] for x, y in und] + [deg[y] for x, y in und]
+    dy = [deg[y] for x, y in und] + [deg[x] for x, y in und]
+    expect = np.corrcoef(dx, dy)[0, 1]
+    assert row.n_edges == len(und)
+    assert abs(row.r - expect) < 1e-6

@@ -315,3 +315,31 @@ def test_incremental_agg_empty_delta_is_identity(spark):
         for r in incremental_agg(view, empty, "k", "v").collect()
     }
     assert got == {"a": (1, 1), "b": (1, 2)}
+
+
+def test_parquet_zstd_codec_reaches_files(spark):
+    """write_parquet(compression='zstd') must actually produce
+    zstd-compressed column chunks (pyarrow footer check), and the
+    round-trip must be lossless."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from datafusion_gpu_spark import io
+    from datafusion_gpu_spark.queries.io_q import SCRATCH
+
+    out = f"{SCRATCH}/zstd_codec_check"
+    df = spark.range(1000).selectExpr("id", "id * 2 AS dbl")
+    io.write_parquet(df, out, compression="zstd")
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    meta = pq.ParquetFile(files[0]).metadata
+    codecs = {
+        meta.row_group(g).column(c).compression
+        for g in range(meta.num_row_groups)
+        for c in range(meta.row_group(g).num_columns)
+    }
+    assert codecs == {"ZSTD"}
+    back = spark.read.parquet(out)
+    assert back.count() == 1000
+    assert back.agg({"dbl": "sum"}).collect()[0][0] == 999 * 1000
