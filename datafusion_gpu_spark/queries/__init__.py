@@ -158,11 +158,28 @@ _CHECKED_R7 = (
     "window_rolling_median", "window_running_distinct",
 )
 
+_CHECKED_R8 = (
+    "agg_benford", "agg_chi_squared", "agg_entropy", "agg_mann_whitney",
+    "agg_spearman", "curation_apportion", "curation_pack_bestfit",
+    "curation_reservoir_per_source", "curation_token_budget", "dedup_components",
+    "dedup_containment", "dedup_embedding_cosine", "dedup_embedding_lsh", "dedup_exact",
+    "dedup_lines", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+    "dedup_simhash", "dedup_substring_spans", "events_ab_srm", "events_attribution",
+    "events_autocorr", "events_ewma", "events_interval_merge", "events_ks_test",
+    "events_markov_2step", "events_ohlc", "events_survival_km", "fn_higher_order",
+    "graph_assortativity", "graph_clustering_coeff", "graph_label_propagation",
+    "io_incremental_agg", "io_incremental_agg_bucketed", "io_roundtrip_parquet_zstd",
+    "join_asof_nearest", "join_skew_salted", "sim_bitext_margin", "sim_knn_graph",
+    "sim_topk_bruteforce", "streaming_cusum", "streaming_ewma",
+    "streaming_incremental_agg", "streaming_ohlc", "text_hashing_vectorizer",
+    "text_kneser_ney", "text_zipf_fit", "window_bollinger", "window_rolling_corr",
+)
+
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
-     _CHECKED_R7), start=1
+     _CHECKED_R7, _CHECKED_R8), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

@@ -388,11 +388,15 @@ FROM t GROUP BY flag
 # Gini coefficient — the inequality measure a curation pipeline runs
 # over per-source/per-segment weight distributions (is one segment
 # hoarding the budget?). Closed form over ascending-sorted integer
-# cents: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n — bigint numerators,
-# two float divisions spelled identically on both engines. The n*sum(x)
-# denominator is computed in DOUBLE (not BIGINT*BIGINT): DuckDB promotes
-# SUM to HUGEINT while Spark stays int64, so an integer product would
-# silently diverge/overflow cross-engine around sf1000 (ADVICE r7).
+# cents: G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n. BOTH the sum(i*x_i)
+# numerator and the n*sum(x) denominator are computed in DOUBLE (not
+# BIGINT): DuckDB promotes integer SUM/products to HUGEINT while Spark
+# stays int64, so either term spelled as an integer sum would silently
+# diverge/overflow cross-engine around sf1000 (~2e20 per segment;
+# ADVICE r7 denominator, ADVICE r8 numerator). The DOUBLE spelling is
+# exact while partial sums stay under 2^53 (every i*c product is an
+# integer-valued double) and beyond that carries documented ~1e-16
+# relative accumulation noise, absorbed by the 6-decimal ROUND.
 _GINI = """
 WITH t AS (
   SELECT c_mktsegment AS seg,
@@ -404,7 +408,7 @@ WITH t AS (
 )
 SELECT seg,
        CAST(MAX(n) AS BIGINT) AS n_customers,
-       CAST(ROUND(2.0 * SUM(i * c) / (CAST(MAX(n) AS DOUBLE) * SUM(c))
+       CAST(ROUND(2.0 * SUM(CAST(i AS DOUBLE) * c) / (CAST(MAX(n) AS DOUBLE) * SUM(c))
                   - (MAX(n) + 1.0) / MAX(n), 6) AS DOUBLE) AS gini
 FROM t GROUP BY seg
 """

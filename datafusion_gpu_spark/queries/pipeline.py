@@ -5800,7 +5800,10 @@ SELECT node, label FROM r3
 # 2*avg_rank = 2*cumb + tc + 1 (an integer — the classic *2 trick), so
 # R_a, U_a and the tie term sum(t^3 - t) are exact bigints; z is one fixed
 # float expression (one SQRT, three divisions) over exactly-converted
-# operands, rounded to 4.
+# operands, rounded to 4. Degenerate inputs (either group empty, or all
+# pooled values tied — tie variance term collapses to zero exactly when
+# N^3 - N = tie3 with N = n_a + n_b) yield z_stat NULL via an integer
+# predicate, never a 0-divide (ADVICE r8; same pattern as _SPEARMAN).
 _MANN_WHITNEY = """
 WITH t AS (
   SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -5830,13 +5833,16 @@ s AS (
 SELECT n_a, n_b,
        r2_a - n_a * (n_a + 1) AS u2_a,
        tie3,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND (n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b) > tie3
+       THEN
        ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
                - CAST(n_a AS DOUBLE) * n_b) / 2)
              / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
                     * (CAST(n_a + n_b + 1 AS DOUBLE)
                        - CAST(tie3 AS DOUBLE)
                          / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
-             4) AS z_stat
+             4) END AS z_stat
 FROM s
 """
 
@@ -5887,9 +5893,13 @@ mx AS (
   FROM cum CROSS JOIN nn
 )
 SELECT n_a, n_b, m AS d_num,
-       ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6) AS d_stat,
-       (CAST(m AS DOUBLE) * m
-          > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b) AS reject_05
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+       END AS d_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (CAST(m AS DOUBLE) * m
+            > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b)
+       END AS reject_05
 FROM mx CROSS JOIN nn
 """
 
@@ -5960,12 +5970,19 @@ def _agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ulp-pinned and floor flips at exact powers of ten); the nine expected
 # probabilities are CONSTANTS (log10(1+1/d) pre-rounded to 6dp here, not
 # computed in-engine), so the only engine float ops are one division and
-# one subtraction per digit row.
+# one subtraction per digit row. Rows are filtered on the QUANTIZED cent
+# value (cents >= 1), not the raw price: a price in (0, 0.005) rounds to
+# 0 cents, whose leading digit 0 matches no expd row — filtering on the
+# raw price would count it in nt and p_obs would no longer sum to 1
+# (ADVICE r8).
 _BENFORD = """
-WITH t AS (
-  SELECT CAST(SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                             AS STRING), 1, 1) AS BIGINT) AS d
-  FROM orders WHERE o_totalprice > 0
+WITH q AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+t AS (
+  SELECT CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT) AS d
+  FROM q WHERE cents >= 1
 ),
 obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d),
 tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),

@@ -82,11 +82,27 @@ def test_spearman_matches_pandas(spark, duck):
 
 
 def test_spearman_closed_form(spark):
-    """Perfect monotone -> rho=1; reversed -> rho=-1 (built via a temp
-    view shadowing nothing: computed directly from the rank algebra on
-    a tiny frame through pandas, because the SQL is table-bound)."""
-    s = pd.Series([1, 5, 9, 40])
-    assert s.rank().corr(s.rank()) == 1.0  # sanity of the test's own oracle
+    """Runs the actual _SPEARMAN SQL on a tiny shadowed `part` view:
+    perfect monotone -> rho=1.0 exactly; reversed -> rho=-1.0 exactly;
+    a zero-variance group is filtered by the integer predicate."""
+    from datafusion_gpu_spark.queries.pipeline import _SPEARMAN
+
+    rows = []
+    for i, price in enumerate([1.0, 5.0, 9.0, 40.0]):
+        rows.append(("up", price, i + 1))  # increasing size with price
+        rows.append(("down", price, 100 - i))  # decreasing
+        rows.append(("flat", price, 7))  # zero y-variance -> filtered
+    tiny = spark.createDataFrame(
+        rows, "p_brand string, p_retailprice double, p_size int"
+    )
+    tiny.createOrReplaceTempView("part")
+    try:
+        got = {r.brand: r for r in spark.sql(_SPEARMAN).collect()}
+    finally:
+        spark.catalog.dropTempView("part")
+    assert got["up"].rho == 1.0 and got["up"].n_parts == 4
+    assert got["down"].rho == -1.0
+    assert "flat" not in got
 
 
 def test_benford_digits(spark, duck):
