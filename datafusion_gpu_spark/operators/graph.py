@@ -1608,9 +1608,12 @@ def degree_assortativity(
     (common_neighbors' max_degree guard) will bite.
 
     Scale shape: one distinct on the edge list, one node-keyed degree
-    aggregation, two degree lookups joined BY ENDPOINT KEY (hash joins
-    — the degree relation is |V|-sized, never broadcast), then a single
-    five-moment aggregation. All moments are exact bigint sums over
+    aggregation, two degree lookups joined BY ENDPOINT KEY (keyed
+    equi-joins; the degree relation is |V|-sized, never broadcast, so
+    the planner picks sort-merge at scale — the documented exempt
+    large-large class, same as graph_common_neighbors; SCALE.md SMJ
+    table), then a single five-moment aggregation. All moments are
+    exact bigint sums over
     integer degrees, so the fold is order-free; r is one fixed float
     expression (products in double, one IEEE sqrt), rounded to 6 — the
     same terminal-floats-only contract as the autocorr/Spearman family.

@@ -809,18 +809,6 @@ def bpe_train(
             state.unpersist()
 
 
-def bpe_char_mass(state_or_docs: DataFrame, text_col: str = "text"):
-    """Total character mass of the corpus' words — the BPE invariant
-    (merges concatenate symbols, characters are conserved)."""
-    return (
-        state_or_docs.select(
-            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("w")
-        )
-        .where(F.col("w") != "")
-        .agg(F.sum(F.length("w")).alias("mass"))
-    )
-
-
 def _bpe_merge_word(
     syms: list[str], ranks: dict[tuple[str, str], int]
 ) -> list[str]:

@@ -6134,3 +6134,78 @@ def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_cusum"] = _streaming_cusum
 ORACLES["streaming_cusum"] = ORACLES["events_changepoint_cusum"]
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions.
+# ---------------------------------------------------------------------------
+
+
+def _text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text.rake_keywords, Rose et al. 2010)
+    over the corpus: top-20 stopword-delimited phrases by summed
+    deg/freq word score — the corpus-statistics-free keyworder that
+    complements text_collocations (PMI) and retrieval_tfidf. Word
+    scores are 1e-9-quantized bigints before the per-phrase sum, so the
+    ranking is engine-independent; the oracle replays the identical
+    gaps-and-islands + deg/freq algebra in SQL."""
+    load(spark, sf_dir)
+    return text.rake_keywords(spark.table("documents"), top_k=20)
+
+
+QUERIES["text_rake_keywords"] = _text_rake_keywords
+# Same normalize/split tokenization, same stopword set, same running-
+# stopword-count island ids, same 1e-9 deg/freq quantization, same
+# (score DESC, phrase) top-20.
+ORACLES["text_rake_keywords"] = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, u.i AS pos, arr[u.i] AS word
+  FROM (SELECT doc_id, string_split(t, ' ') AS arr FROM norm),
+       UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN ('the','a','an','of','and','or','to','in','is',
+                            'on','for','with','as','by','at','it')
+              THEN 1 ELSE 0 END AS is_stop
+  FROM words
+),
+content AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, word, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM flagged
+  ) WHERE is_stop = 0
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM content GROUP BY doc_id, island
+),
+sq AS (
+  SELECT word,
+         CAST(ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*) * 1e9, 0)
+              AS BIGINT) AS sq
+  FROM content JOIN phrases USING (doc_id, island)
+  GROUP BY word
+),
+pscore AS (
+  SELECT doc_id, island, CAST(SUM(sq) AS BIGINT) AS score_q
+  FROM content JOIN sq USING (word) GROUP BY doc_id, island
+),
+agg AS (
+  SELECT phrase,
+         CAST(MIN(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MIN(score_q) AS BIGINT) AS score_q
+  FROM pscore JOIN phrases USING (doc_id, island) GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences,
+       ROUND(score_q / 1e9, 4) AS score
+FROM agg ORDER BY score DESC, phrase LIMIT 20
+"""

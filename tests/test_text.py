@@ -428,3 +428,32 @@ def test_hashing_vectorizer_buckets_counts_and_bounds(spark):
     assert rows[(2, bucket("dog"))] == 1
     assert all(0 <= b < 16 for (_, b) in rows)
     assert not any(d == 3 for (d, _) in rows)  # NULL text -> no features
+
+
+def test_rake_keywords_planted_phrases(spark):
+    """Closed-form RAKE on a known doc: 'quick brown fox' appears twice
+    as a 3-word stopword-free run, so each member word has freq=2,
+    deg=6, score 3.0, and the phrase scores 9.0; the singleton 'speed'
+    scores 1.0. A second doc shares 'brown fox' only, pushing brown/fox
+    to freq=3 with one 2-word occurrence (deg 6+2=8)."""
+    from datafusion_gpu_spark.operators.text import rake_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox and the quick brown fox of speed"),
+            (1, "a brown fox"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.phrase: r for r in rake_keywords(docs, top_k=10).collect()}
+    # doc1 changes brown/fox stats: freq=3, deg=3+3+2=8 -> 8/3 each;
+    # quick stays 6/2=3; so "quick brown fox" = 3 + 8/3 + 8/3 = 25/3
+    assert got["quick brown fox"].n_words == 3
+    assert got["quick brown fox"].n_occurrences == 2
+    assert abs(got["quick brown fox"].score - 25 / 3) < 1e-4
+    assert got["brown fox"].n_occurrences == 1
+    assert abs(got["brown fox"].score - 16 / 3) < 1e-4
+    assert got["speed"].score == 1.0 and got["speed"].n_words == 1
+    # ranking: phrase scores descend, tie broken by phrase text
+    ordered = sorted(got.values(), key=lambda r: (-r.score, r.phrase))
+    assert [r.phrase for r in ordered][:2] == ["quick brown fox", "brown fox"]
