@@ -1,0 +1,224 @@
+"""Distributed statistical-test kernels: the two-level bucketed-cumsum
+spelling of the distinct-value cumulative window.
+
+The round-8 statistical family (``agg_mann_whitney``, ``events_ks_test``
+in queries/pipeline.py) runs its rank/ECDF cumulatives as ONE ordered
+window over the DISTINCT-VALUE relation — bounded by the value domain,
+not the row count, so a single-partition window is fine up to a few
+million distinct values. This module is the documented fallback for when
+the domain outgrows that (SCALE.md "two-level spelling"): split the
+ordered cumulative sum into
+
+  level 1: per-bucket partial cumsums — ``Window.partitionBy(bucket)
+           .orderBy(value)`` runs every bucket in parallel;
+  level 2: per-bucket totals (a tiny ``n_buckets``-row relation), an
+           exclusive cumsum over THAT, broadcast back as bucket offsets.
+
+Buckets are fixed-width ranges of the (integer) value domain computed
+from one min/max aggregate, so bucket order == value order and the
+recombination ``cum = partial + offset`` is exactly the global cumsum.
+All summed columns are exact bigints, addition is associative, so the
+two spellings are bit-identical — asserted by tests/test_stats.py parity
+tests and the A/B probe in tools/stats_window_probe.py.
+
+Reference parity: the reference engine (datafusion-gpu) exposes no
+statistical tests; this family is part of the training-data-pipeline
+surface (drift gates between corpus snapshots). Formulas are the
+textbook ones (Mann & Whitney 1947; Kolmogorov 1933/Smirnov 1939).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bucketed_cumsum(
+    distinct_values: DataFrame,
+    value_col: str,
+    sum_cols: tuple[str, ...],
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Inclusive cumulative sums of ``sum_cols`` ordered by ``value_col``
+    over a DISTINCT-VALUE relation, without a single global window.
+
+    ``value_col`` must be integer-typed and unique per row (the
+    value-level aggregate guarantees both). Output adds ``cum_<c>`` per
+    summed column; input columns pass through.
+
+    Scale shape: one broadcast-scalar min/max, one window per bucket
+    (parallel across ``n_buckets`` range buckets), one ``n_buckets``-row
+    window, one broadcast join. No stage touches more than
+    ``|distinct values| / n_buckets`` rows in a single ordered task.
+    """
+    rng = distinct_values.agg(
+        F.min(value_col).cast("long").alias("__lo"),
+        F.max(value_col).cast("long").alias("__hi"),
+    )
+    # fixed-width range buckets: (hi-lo) div n + 1 wide (>= 1). Exact
+    # integer arithmetic throughout — `div` keeps bucket assignment
+    # order-preserving at any bigint magnitude (a double division would
+    # lose exactness past 2^53).
+    bucketed = (
+        distinct_values.join(F.broadcast(rng))
+        .withColumn(
+            "__bucket",
+            F.expr(
+                f"(CAST(`{value_col}` AS BIGINT) - __lo)"
+                f" div ((__hi - __lo) div {n_buckets} + 1)"
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    partial = bucketed.select(
+        "*", *[F.sum(c).over(w_in).alias(f"__part_{c}") for c in sum_cols]
+    )
+    totals = bucketed.groupBy("__bucket").agg(
+        *[F.sum(c).alias(f"__tot_{c}") for c in sum_cols]
+    )
+    # exclusive cumsum over the tiny bucket relation: offset for bucket k
+    # is the sum of totals of buckets < k
+    w_off = (
+        Window.orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "__bucket",
+        *[
+            F.coalesce(F.sum(f"__tot_{c}").over(w_off), F.lit(0)).alias(f"__off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = partial.join(F.broadcast(offsets), "__bucket")
+    for c in sum_cols:
+        out = out.withColumn(f"cum_{c}", F.col(f"__part_{c}") + F.col(f"__off_{c}"))
+    return out.drop(
+        "__bucket", *[f"__part_{c}" for c in sum_cols], *[f"__off_{c}" for c in sum_cols]
+    )
+
+
+def _two_group_values(
+    df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
+) -> DataFrame:
+    """Value-level aggregate (da = group-a rows, db = group-b rows,
+    tc = total rows per distinct integer value) — the shared substrate
+    of both tests."""
+    t = df.where(
+        F.col(group_col).isin(group_a, group_b) & F.col(value_col).isNotNull()
+    ).select(
+        F.col(value_col).alias("c"),
+        F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0)).alias("ia"),
+    )
+    return t.groupBy("c").agg(
+        F.sum("ia").cast("long").alias("da"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("long").alias("db"),
+        F.count(F.lit(1)).cast("long").alias("tc"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Tie-corrected Mann-Whitney U via the two-level bucketed cumsum —
+    result-identical to queries/pipeline.py's ``_MANN_WHITNEY`` SQL
+    (same doubled-rank integer algebra, same terminal float expression
+    via ``F.expr`` so the IEEE spelling matches token-for-token), but
+    the cumulative-below count comes from :func:`bucketed_cumsum`
+    instead of one global window. ``value_col`` must be pre-quantized
+    to integers by the caller."""
+    pv = _two_group_values(df, group_col, value_col, group_a, group_b)
+    cum = bucketed_cumsum(pv, "c", ("tc",), n_buckets=n_buckets)
+    cw = cum.select(
+        "da", "tc", (F.col("cum_tc") - F.col("tc")).alias("cumb")
+    )
+    s = cw.agg(
+        F.sum("da").cast("long").alias("n_a"),
+        F.sum(F.col("tc") - F.col("da")).cast("long").alias("n_b"),
+        F.sum(F.col("da") * (2 * F.col("cumb") + F.col("tc") + 1))
+        .cast("long")
+        .alias("r2_a"),
+        F.sum(F.col("tc") * F.col("tc") * F.col("tc") - F.col("tc"))
+        .cast("long")
+        .alias("tie3"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    # terminal float expression — identical text to _MANN_WHITNEY
+    return s.select(
+        "n_a",
+        "n_b",
+        F.expr("r2_a - n_a * (n_a + 1)").alias("u2_a"),
+        "tie3",
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0 AND nv > 1
+            THEN
+            ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+                    - CAST(n_a AS DOUBLE) * n_b) / 2)
+                  / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                         * (CAST(n_a + n_b + 1 AS DOUBLE)
+                            - CAST(tie3 AS DOUBLE)
+                              / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+                  4) END
+            """
+        ).alias("z_stat"),
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Two-sample KS distance via the two-level bucketed cumsum —
+    result-identical to ``_KS_TEST`` (exact integer numerator
+    ``m = max|ca*n_b - cb*n_a|``, cross-multiplied alpha=.05 decision),
+    with both ECDF cumulatives from :func:`bucketed_cumsum`."""
+    pv = _two_group_values(df, group_col, value_col, group_a, group_b)
+    cum = bucketed_cumsum(pv, "c", ("da", "db"), n_buckets=n_buckets)
+    nn = pv.agg(
+        F.sum("da").cast("long").alias("n_a"), F.sum("db").cast("long").alias("n_b")
+    )
+    mx = (
+        cum.join(F.broadcast(nn))
+        .agg(
+            F.max(
+                F.abs(F.col("cum_da") * F.col("n_b") - F.col("cum_db") * F.col("n_a"))
+            )
+            .cast("long")
+            .alias("m")
+        )
+        .join(F.broadcast(nn))
+    )
+    return mx.select(
+        "n_a",
+        "n_b",
+        F.col("m").alias("d_num"),
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+            END
+            """
+        ).alias("d_stat"),
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0 THEN
+              (CAST(m AS DOUBLE) * m
+                 > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b)
+            END
+            """
+        ).alias("reject_05"),
+    )

@@ -5801,9 +5801,12 @@ SELECT node, label FROM r3
 # R_a, U_a and the tie term sum(t^3 - t) are exact bigints; z is one fixed
 # float expression (one SQRT, three divisions) over exactly-converted
 # operands, rounded to 4. Degenerate inputs (either group empty, or all
-# pooled values tied — tie variance term collapses to zero exactly when
-# N^3 - N = tie3 with N = n_a + n_b) yield z_stat NULL via an integer
-# predicate, never a 0-divide (ADVICE r8; same pattern as _SPEARMAN).
+# pooled values tied) yield z_stat NULL via an integer predicate, never
+# a 0-divide (ADVICE r8; same pattern as _SPEARMAN). The tie variance
+# term collapses to zero exactly when there is ONE distinct pooled
+# value, so the guard is nv > 1 on the distinct-value count — the
+# algebraically equivalent N^3 - N > tie3 spelling overflows bigint at
+# N ~ 2.1e6 rows (caught by the 10M-distinct-value window probe).
 _MANN_WHITNEY = """
 WITH t AS (
   SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -5827,14 +5830,14 @@ s AS (
   SELECT CAST(SUM(da) AS BIGINT) AS n_a,
          CAST(SUM(tc - da) AS BIGINT) AS n_b,
          CAST(SUM(da * (2 * cumb + tc + 1)) AS BIGINT) AS r2_a,
-         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
+         CAST(COUNT(*) AS BIGINT) AS nv
   FROM cw
 )
 SELECT n_a, n_b,
        r2_a - n_a * (n_a + 1) AS u2_a,
        tie3,
-       CASE WHEN n_a > 0 AND n_b > 0
-             AND (n_a + n_b) * (n_a + n_b) * (n_a + n_b) - (n_a + n_b) > tie3
+       CASE WHEN n_a > 0 AND n_b > 0 AND nv > 1
        THEN
        ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
                - CAST(n_a AS DOUBLE) * n_b) / 2)
@@ -6209,3 +6212,47 @@ SELECT phrase, n_words, n_occurrences,
        ROUND(score_q / 1e9, 4) AS score
 FROM agg ORDER BY score DESC, phrase LIMIT 20
 """
+
+
+def _agg_mann_whitney_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level bucketed-cumsum spelling of agg_mann_whitney
+    (stats.mann_whitney_u): identical doubled-rank integer algebra and
+    terminal float expression, but the distinct-value cumulative runs
+    as per-bucket parallel windows + an n_buckets-row offset window +
+    a broadcast recombination — the documented fallback for value
+    domains past a few million distinct values (SCALE.md two-level
+    spelling). Graded by the SAME oracle as the single-window SQL, so
+    a green row here IS the parity proof at gate scale."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators import stats
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.mann_whitney_u(
+        ev, "event_type", "cents", "click", "purchase", n_buckets=64
+    )
+
+
+def _events_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level bucketed-cumsum spelling of events_ks_test
+    (stats.ks_two_sample) — same exact integer ECDF numerator and
+    cross-multiplied decision, cumulatives via stats.bucketed_cumsum.
+    Graded by the single-window SQL's oracle."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators import stats
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.ks_two_sample(
+        ev, "event_type", "cents", "click", "purchase", n_buckets=64
+    )
+
+
+QUERIES["agg_mann_whitney_bucketed"] = _agg_mann_whitney_bucketed
+QUERIES["events_ks_test_bucketed"] = _events_ks_test_bucketed
+ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
+ORACLES["events_ks_test_bucketed"] = _KS_TEST

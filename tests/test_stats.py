@@ -177,3 +177,78 @@ def test_bollinger_exact_boundary():
         rhs = 4 * (n * s2 - s1**2)
         mu, sd = w.mean(), w.std()
         assert (lhs > rhs) == ((x - mu) ** 2 > 4 * sd * sd)
+
+
+def test_bucketed_cumsum_matches_global_window(spark):
+    """bucketed_cumsum == one global window, bit-identical, at several
+    bucket counts including degenerate n_buckets=1 (one bucket == the
+    single-window spelling) and n_buckets >> distinct values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
+
+    # adversarial domain: negative values, gaps, clusters
+    vals = [(v, v % 7 + 1, (v * v) % 11) for v in
+            [-1000, -999, -500, -3, -2, -1, 0, 1, 2, 5, 99, 100, 101,
+             10_000, 10_001, 999_983]]
+    df = spark.createDataFrame(vals, "c long, x long, y long")
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.c: (r.cx, r.cy)
+        for r in df.select(
+            "c", F.sum("x").over(w).alias("cx"), F.sum("y").over(w).alias("cy")
+        ).collect()
+    }
+    for n_buckets in (1, 4, 64, 10_000):
+        got = {
+            r.c: (r.cum_x, r.cum_y)
+            for r in bucketed_cumsum(df, "c", ("x", "y"), n_buckets).collect()
+        }
+        assert got == want, n_buckets
+
+
+def test_mann_whitney_bucketed_parity_with_sql(spark):
+    """stats.mann_whitney_u (two-level) returns the identical row —
+    exact integers AND the terminal floats — as the _MANN_WHITNEY
+    single-window SQL on the same events data."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.stats import mann_whitney_u
+    from datafusion_gpu_spark.queries import load
+    from datafusion_gpu_spark.queries.pipeline import _MANN_WHITNEY
+
+    load(spark, SF_DIR)
+    [want] = spark.sql(_MANN_WHITNEY).collect()
+    ev = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    for n_buckets in (1, 16, 1024):
+        [got] = mann_whitney_u(
+            ev, "event_type", "c", "click", "purchase", n_buckets=n_buckets
+        ).collect()
+        assert (got.n_a, got.n_b, got.u2_a, got.tie3) == (
+            want.n_a, want.n_b, want.u2_a, want.tie3,
+        ), n_buckets
+        assert got.z_stat == want.z_stat, n_buckets
+
+
+def test_ks_bucketed_parity_with_sql(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.stats import ks_two_sample
+    from datafusion_gpu_spark.queries import load
+    from datafusion_gpu_spark.queries.pipeline import _KS_TEST
+
+    load(spark, SF_DIR)
+    [want] = spark.sql(_KS_TEST).collect()
+    ev = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    for n_buckets in (1, 16, 1024):
+        [got] = ks_two_sample(
+            ev, "event_type", "c", "click", "purchase", n_buckets=n_buckets
+        ).collect()
+        assert (got.n_a, got.n_b, got.d_num) == (want.n_a, want.n_b, want.d_num)
+        assert got.d_stat == want.d_stat
+        assert got.reject_05 == want.reject_05
