@@ -6256,3 +6256,127 @@ QUERIES["agg_mann_whitney_bucketed"] = _agg_mann_whitney_bucketed
 QUERIES["events_ks_test_bucketed"] = _events_ks_test_bucketed
 ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
 ORACLES["events_ks_test_bucketed"] = _KS_TEST
+
+
+# Welch's unequal-variance t-test: click vs purchase event values. Moments
+# (n, sum, sum-of-squares per group) are exact bigint folds over cent
+# values; means/variances/t/df are terminal double expressions (products
+# of exact operands computed in DOUBLE — a bigint n*s2 product would
+# overflow around sf700; the s2 fold itself holds to ~5e18 at cent
+# quantization, the quantum is the knob). Degenerate guards are integer
+# predicates: n>=2 per group, and pooled squared-error > 0 via distinct-
+# value counts (variance is zero iff a group has ONE distinct value — the
+# overflow-free nv spelling, same lesson as agg_mann_whitney's guard).
+_WELCH_T = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN grp = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+    CAST(SUM(CASE WHEN grp = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+    CAST(COUNT(DISTINCT CASE WHEN grp = 'click' THEN c END) AS BIGINT) AS nv_a,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS s2_b,
+    CAST(COUNT(DISTINCT CASE WHEN grp = 'purchase' THEN c END) AS BIGINT) AS nv_b
+  FROM t
+),
+v AS (
+  SELECT n_a, n_b, nv_a, nv_b, s1_a, s1_b,
+         (CAST(n_a AS DOUBLE) * s2_a - CAST(s1_a AS DOUBLE) * s1_a)
+           / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) AS vn_a,
+         (CAST(n_b AS DOUBLE) * s2_b - CAST(s1_b AS DOUBLE) * s1_b)
+           / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)) AS vn_b
+  FROM m WHERE n_a >= 2 AND n_b >= 2
+)
+SELECT n_a, n_b,
+       ROUND(CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b, 6)
+         AS mean_diff_cents,
+       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+         ROUND((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+               / SQRT(vn_a + vn_b), 4)
+       END AS t_stat,
+       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+         ROUND((vn_a + vn_b) * (vn_a + vn_b)
+               / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 2)
+       END AS df
+FROM v
+"""
+
+
+def _agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on click-vs-purchase event values
+    — the parametric mean test a curation gate runs when the two
+    samples' variances differ (the pooled-variance events_ab_test
+    assumes them equal; Mann-Whitney drops the location model
+    entirely). vn_a/vn_b in the SQL are var_i/n_i (the per-group
+    squared standard errors), so t and the Welch-Satterthwaite df are
+    the textbook forms. One hash aggregation, zero joins, zero windows
+    — the cheapest plan in the family. See _WELCH_T."""
+    load(spark, sf_dir)
+    return spark.sql(_WELCH_T)
+
+
+# Chi-squared two-way independence (priority x status contingency over
+# orders) via the exact identity chi2 = N * (sum obs^2/(rowtot*coltot) - 1)
+# — algebraically equal to sum (obs-exp)^2/exp INCLUDING empty cells
+# (which contribute exp to the classic form and 0 to the identity's sum;
+# the -N term absorbs exactly that). Each cell ratio <= 1 is quantized to
+# 1e-12 bigints so the across-cell fold is exact integer arithmetic (the
+# RAKE/zipf trick); quantization bias <= N * cells * 5e-13 stays below the
+# 4dp round through ~sf10, and the knob is the quantum. The existing
+# agg_chi_squared is goodness-of-fit against fixed probabilities; this is
+# the two-margin independence test.
+_CHI2_INDEP = """
+WITH obs AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
+ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+q AS (
+  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
+                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
+           AS term_q
+  FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c
+),
+s AS (
+  SELECT CAST(SUM(term_q) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM q
+),
+d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc
+)
+SELECT n_cells,
+       (kr - 1) * (kc - 1) AS df,
+       CASE WHEN kr > 1 AND kc > 1 THEN
+         ROUND(CAST(nt AS DOUBLE) * (CAST(sq AS DOUBLE) / 1e12 - 1), 4)
+       END AS chi2
+FROM s CROSS JOIN tot CROSS JOIN d
+"""
+
+
+def _agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between order priority and
+    order status — the two-way-margin counterpart of agg_chi_squared's
+    fixed-probability goodness-of-fit; the categorical drift gate
+    between corpus snapshots. Plan: one contingency aggregation, two
+    margin re-aggregations joined back by key (both margin relations
+    are category-sized — broadcast), one exact quantized fold. See
+    _CHI2_INDEP for the empty-cell-exact identity."""
+    load(spark, sf_dir)
+    return spark.sql(_CHI2_INDEP)
+
+
+QUERIES["agg_welch_ttest"] = _agg_welch_ttest
+QUERIES["agg_chi2_independence"] = _agg_chi2_independence
+ORACLES["agg_welch_ttest"] = _WELCH_T
+ORACLES["agg_chi2_independence"] = _CHI2_INDEP

@@ -252,3 +252,77 @@ def test_ks_bucketed_parity_with_sql(spark):
         assert (got.n_a, got.n_b, got.d_num) == (want.n_a, want.n_b, want.d_num)
         assert got.d_stat == want.d_stat
         assert got.reject_05 == want.reject_05
+
+
+def test_welch_ttest_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_welch_ttest
+
+    [row] = _agg_welch_ttest(spark, SF_DIR).collect()
+    a, b = _events_values(duck)
+    n_a, n_b = len(a), len(b)
+    va, vb = a.var(ddof=1), b.var(ddof=1)
+    se2 = va / n_a + vb / n_b
+    t = (a.mean() - b.mean()) / np.sqrt(se2)
+    df = se2**2 / ((va / n_a) ** 2 / (n_a - 1) + (vb / n_b) ** 2 / (n_b - 1))
+    assert row.n_a == n_a and row.n_b == n_b
+    assert abs(row.mean_diff_cents - (a.mean() - b.mean())) < 1e-4
+    assert abs(row.t_stat - t) < 1e-3
+    assert abs(row.df - df) < 0.05
+
+
+def test_welch_ttest_degenerate_guard(spark):
+    """Both groups constant (one distinct value each) -> t/df NULL via
+    the nv integer predicate, never a 0-divide under ANSI."""
+    from datafusion_gpu_spark.queries.pipeline import _WELCH_T
+
+    ev = spark.createDataFrame(
+        [("click", 3.0)] * 3 + [("purchase", 5.0)] * 3,
+        "event_type string, value double",
+    )
+    ev.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_WELCH_T).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_a == 3 and row.n_b == 3
+    assert row.mean_diff_cents == -200.0
+    assert row.t_stat is None and row.df is None
+
+
+def test_chi2_independence_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_chi2_independence
+
+    [row] = _agg_chi2_independence(spark, SF_DIR).collect()
+    ct = duck.execute(
+        "SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS n "
+        "FROM orders GROUP BY 1, 2"
+    ).df()
+    pivot = ct.pivot_table(index="r", columns="c", values="n", fill_value=0)
+    obs = pivot.to_numpy(dtype=np.float64)
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()  # classic form, ALL cells
+    assert row.df == (obs.shape[0] - 1) * (obs.shape[1] - 1)
+    assert abs(row.chi2 - chi2) < 1e-3
+    assert row.n_cells == int((pivot.to_numpy() > 0).sum())
+
+
+def test_chi2_independence_planted_independent(spark):
+    """A perfectly independent 2x2 table -> chi2 == 0.0 exactly (the
+    identity's quantized fold hits 1e12 * n_cells ratios that sum to
+    exactly the margin product)."""
+    from datafusion_gpu_spark.queries.pipeline import _CHI2_INDEP
+
+    rows = []
+    # obs[r][c] = rowweight*colweight -> exp == obs everywhere
+    for r, rw in (("1-URGENT", 2), ("2-HIGH", 3)):
+        for c, cw in (("F", 4), ("O", 1)):
+            rows += [(r, c)] * (rw * cw)
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.createOrReplaceTempView("orders")
+    try:
+        [row] = spark.sql(_CHI2_INDEP).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+    assert row.df == 1 and row.n_cells == 4
+    assert row.chi2 == 0.0
