@@ -90,6 +90,19 @@ SF_BENCHES = [
     # The round-4/5 operator-family representative (VERDICT r5 ask #4):
     # funnel's chained-conditional-window plan, ~0.94 s exclusive median.
     "events_funnel",
+    # The round-8 statistical-testing family representative (VERDICT r8
+    # ask #8): the heaviest stats plan (merged-ECDF window over distinct
+    # values, 6 shuffles), ~1.7 s at sf0.1.
+    "events_ks_test",
+    # The graph-iterative family representative (VERDICT r8 ask #8):
+    # ~8.5 s/run of checkpointed Louvain rounds at sf0.1, benched at 5
+    # samples (SAMPLES_OVERRIDE — 10 would cost ~85 s and start evicting
+    # 1-2 s queries with bench history; an 8 s median wobbles far less
+    # in relative terms than the 1-4 s queries the 10-sample floor was
+    # set for). Placed next-to-last so its checkpoint/GC shadow lands
+    # only on dedup_components, whose median is position-insensitive
+    # (re-checkpoints from scratch each round).
+    "graph_louvain",
     # dedup_components runs LAST: BENCH_r05 showed seven unchanged queries
     # drifting +12-44% vs r04, and the prime suspect is this entry's
     # insertion at position 10 — ~39 s of iterative, localCheckpoint-heavy
@@ -129,7 +142,18 @@ CANARY_SAMPLES = 15
 #: wall-clock otherwise has no driver evidence (dedup_components = the
 #: iterative/loop family, absent from BENCH_r04 exactly because the
 #: planner treated it like any other expensive query).
-PROTECTED = frozenset({"dedup_components"})
+PROTECTED = frozenset({"dedup_components", "events_ks_test", "graph_louvain"})
+
+#: Per-query sample-count overrides (expensive iterative rows whose
+#: 10-sample cost would evict cheaper queries with bench history — the
+#: r9 trial run at 10 samples apiece evicted dedup_minhash_lsh; a 3-8 s
+#: iterative median wobbles far less in relative terms than the 1-4 s
+#: queries the 10-sample floor was calibrated on).
+SAMPLES_OVERRIDE = {"graph_louvain": 5, "dedup_components": 5}
+
+
+def _samples(name: str) -> int:
+    return SAMPLES_OVERRIDE.get(name, SAMPLES)
 
 
 def timed_median(fn, samples: int, warmed: bool = False) -> float:
@@ -237,22 +261,22 @@ def main() -> int:
     kept = list(runners)
     while kept:
         budget = SOFT_DEADLINE_S - (time.perf_counter() - t0)
-        while kept and sum(est[n] for n in kept) * SAMPLES > budget:
+        while kept and sum(est[n] * _samples(n) for n in kept) > budget:
             # Evict the most expensive UNPROTECTED query first; a PROTECTED
             # query (the sole representative of a plan family — r4's driver
             # run evicted dedup_components, leaving the iterative family
             # with no bench row at all) goes only when nothing else is left.
             pool = [n for n in kept if n not in PROTECTED] or kept
-            victim = max(pool, key=lambda n: est[n])
+            victim = max(pool, key=lambda n: est[n] * _samples(n))
             kept.remove(victim)
             log(f"{victim}: DROPPED by deadline planner (est "
-                f"{est[victim]:.2f} s x {SAMPLES} samples over budget)")
+                f"{est[victim]:.2f} s x {_samples(victim)} samples over budget)")
         if not kept:
             break
         name = kept.pop(0)
-        med = timed_median(runners[name], SAMPLES, warmed=True)
+        med = timed_median(runners[name], _samples(name), warmed=True)
         results[name] = round(med, 4)
-        log(f"{name}: median {med:.2f} s over {SAMPLES} samples")
+        log(f"{name}: median {med:.2f} s over {_samples(name)} samples")
         if est[name] > 0:
             ratios.append(med / est[name])
             cal = statistics.median(ratios)

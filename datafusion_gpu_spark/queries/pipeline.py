@@ -6380,3 +6380,197 @@ QUERIES["agg_welch_ttest"] = _agg_welch_ttest
 QUERIES["agg_chi2_independence"] = _agg_chi2_independence
 ORACLES["agg_welch_ttest"] = _WELCH_T
 ORACLES["agg_chi2_independence"] = _CHI2_INDEP
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — k-group inference family. Extends the two-sample r8 tests to
+# the k-sample questions a curation pipeline asks across ALL segments at
+# once (are the five event types drawn from one value distribution?).
+# Same portable-SQL contract: value-level aggregates, exact bigint folds,
+# per-group float terms quantized to bigints BEFORE the cross-group sum
+# (a plain double SUM over groups would be accumulation-order-dependent
+# cross-engine), terminal IEEE ops only.
+# ---------------------------------------------------------------------------
+
+# Kruskal-Wallis H (tie-corrected) across all five event types. Rank
+# algebra on the distinct-value relation exactly as agg_mann_whitney
+# (doubled average ranks are integers); per-group doubled rank sums R2_g
+# are exact bigints; the cross-group sum uses the deviation form
+# H = 3/(N(N+1)) * sum_g e_g^2/n_g with e_g = R2_g - n_g*(N+1) (exact
+# bigint), each group's e^2/n term rounded to a bigint (error <= 0.5/group
+# against an H scale of N^2 — vanishing), so the fold is exact. Tie
+# correction divides by 1 - tie3/(N^3-N) computed in double (the bigint
+# N^3 spelling overflows at N~2.1e6 — the r9 probe lesson).
+_KRUSKAL_WALLIS = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+vg AS (
+  SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY grp, c
+),
+pv AS (
+  SELECT c, CAST(SUM(cnt) AS BIGINT) AS tc FROM vg GROUP BY c
+),
+cw AS (
+  SELECT c, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+g AS (
+  SELECT vg.grp,
+         CAST(SUM(vg.cnt) AS BIGINT) AS n_g,
+         CAST(SUM(vg.cnt * (2 * cw.cumb + cw.tc + 1)) AS BIGINT) AS r2_g
+  FROM vg JOIN cw ON vg.c = cw.c
+  GROUP BY vg.grp
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM pv
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(ROUND(
+           CAST(r2_g - n_g * (n + 1) AS DOUBLE)
+             * (r2_g - n_g * (n + 1)) / n_g, 0) AS BIGINT)) AS BIGINT) AS sq
+  FROM g CROSS JOIN tot
+)
+SELECT n AS n_total, k AS k_groups, (k - 1) AS df, tie3,
+       CASE WHEN nv > 1 AND k > 1 THEN
+         ROUND(3.0 * sq / (CAST(n AS DOUBLE) * (n + 1))
+               / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)), 4)
+       END AS h_stat
+FROM q CROSS JOIN tot
+"""
+
+
+def _agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across all five event types — the
+    k-sample extension of agg_mann_whitney (same doubled-rank algebra
+    on the distinct-value relation, deviation-form cross-group fold).
+    Scale shape: value-group + value aggregations, ONE window over
+    distinct cents, a k-row final fold. See _KRUSKAL_WALLIS."""
+    load(spark, sf_dir)
+    return spark.sql(_KRUSKAL_WALLIS)
+
+
+# One-way ANOVA F across event types: SSB/SSW from exact per-group
+# (n, s1, s2) cent moments. Each group's s1^2/n term is rounded to a
+# bigint before the cross-group sum (same quantized-fold trick as RAKE /
+# chi2 / Kruskal-Wallis); SSW-positivity is the INTEGER predicate
+# "count distinct (grp, cent) > k" (SSW = 0 iff every group is
+# constant), never a float epsilon.
+_ANOVA_F = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s1_g,
+         CAST(SUM(c * c) AS BIGINT) AS s2_g,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS nv_g
+  FROM t GROUP BY grp
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s1_g) AS BIGINT) AS s1,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(SUM(nv_g) AS BIGINT) AS nvg,
+         CAST(SUM(CAST(ROUND(
+           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM g
+)
+SELECT n AS n_total, k AS k_groups,
+       (k - 1) AS df_between, (n - k) AS df_within,
+       CASE WHEN k > 1 AND n > k AND nvg > k THEN
+         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
+               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
+       END AS f_stat
+FROM q
+"""
+
+
+def _agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all five event types — the parametric
+    k-group mean test (Welch's t generalizes pairwise; this is the
+    omnibus gate). One hash aggregation to k rows, zero joins/windows
+    — the cheapest plan in the family. See _ANOVA_F."""
+    load(spark, sf_dir)
+    return spark.sql(_ANOVA_F)
+
+
+# Brown-Forsythe (Levene-on-medians) homogeneity-of-variance test: ANOVA
+# F applied to z = |2c - 2*median_g| — DOUBLED absolute deviations from
+# the group median, because 2*median of integers is always itself an
+# integer (single middle -> 2a; even-count interpolation -> a+b), so z
+# is an exact bigint and the whole downstream fold is the exact ANOVA
+# algebra (F is scale-invariant: the 2x cancels). The one engine float
+# is percentile/median itself, whose interpolated value is exactly
+# representable, CAST back to bigint identically on both engines.
+_BROWN_FORSYTHE = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT grp, CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2
+  FROM t GROUP BY grp
+),
+d AS (
+  SELECT t.grp, ABS(2 * t.c - med.m2) AS z
+  FROM t JOIN med ON t.grp = med.grp
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s1_g,
+         CAST(SUM(z * z) AS BIGINT) AS s2_g,
+         CAST(COUNT(DISTINCT z) AS BIGINT) AS nv_g
+  FROM d GROUP BY grp
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s1_g) AS BIGINT) AS s1,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(SUM(nv_g) AS BIGINT) AS nvg,
+         CAST(SUM(CAST(ROUND(
+           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM g
+)
+SELECT n AS n_total, k AS k_groups,
+       (k - 1) AS df_between, (n - k) AS df_within,
+       CASE WHEN k > 1 AND n > k AND nvg > k THEN
+         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
+               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
+       END AS f_stat
+FROM q
+"""
+
+
+def _agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across event types —
+    the gate that decides whether pooled-variance tests (events_ab_test,
+    agg_anova_f) are trustworthy or the Welch corrections are needed.
+    Plan: one exact per-group median, one broadcast-size join back
+    (k-row med relation), then the exact ANOVA fold on integer doubled
+    deviations. See _BROWN_FORSYTHE."""
+    load(spark, sf_dir)
+    return spark.sql(_BROWN_FORSYTHE)
+
+
+QUERIES["agg_kruskal_wallis"] = _agg_kruskal_wallis
+QUERIES["agg_anova_f"] = _agg_anova_f
+QUERIES["agg_brown_forsythe"] = _agg_brown_forsythe
+ORACLES["agg_kruskal_wallis"] = _KRUSKAL_WALLIS
+ORACLES["agg_anova_f"] = _ANOVA_F
+ORACLES["agg_brown_forsythe"] = _BROWN_FORSYTHE

@@ -326,3 +326,88 @@ def test_chi2_independence_planted_independent(spark):
         spark.catalog.dropTempView("orders")
     assert row.df == 1 and row.n_cells == 4
     assert row.chi2 == 0.0
+
+
+def _all_group_values(duck):
+    df = duck.execute(
+        "SELECT event_type, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE value IS NOT NULL"
+    ).df()
+    return {g: sub.c.to_numpy() for g, sub in df.groupby("event_type")}
+
+
+def test_kruskal_wallis_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_kruskal_wallis
+
+    [row] = _agg_kruskal_wallis(spark, SF_DIR).collect()
+    groups = _all_group_values(duck)
+    pooled = np.concatenate(list(groups.values()))
+    n = len(pooled)
+    ranks = pd.Series(pooled).rank(method="average").to_numpy()
+    h = 0.0
+    i = 0
+    for g, vals in groups.items():
+        r = ranks[i : i + len(vals)]
+        i += len(vals)
+        h += r.sum() ** 2 / len(vals)
+    h = 12 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t_counts = np.unique(pooled, return_counts=True)
+    tie3 = (t_counts**3 - t_counts).sum()
+    h /= 1 - tie3 / (n**3 - n)
+    assert row.n_total == n and row.k_groups == len(groups)
+    assert row.df == len(groups) - 1
+    assert row.tie3 == int(tie3)
+    assert abs(row.h_stat - h) < 1e-3
+
+
+def test_anova_f_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_anova_f
+
+    [row] = _agg_anova_f(spark, SF_DIR).collect()
+    groups = list(_all_group_values(duck).values())
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_total == n and row.k_groups == k
+    assert (row.df_between, row.df_within) == (k - 1, n - k)
+    assert abs(row.f_stat - f) < 1e-3
+
+
+def test_brown_forsythe_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_brown_forsythe
+
+    [row] = _agg_brown_forsythe(spark, SF_DIR).collect()
+    # the SQL tests on z = |2c - 2*median| (exact ints); F is scale-
+    # invariant so the numpy oracle uses plain |c - median|
+    groups = [
+        np.abs(g - np.median(g)) for g in _all_group_values(duck).values()
+    ]
+    k = len(groups)
+    n = sum(len(g) for g in groups)
+    grand = np.concatenate(groups).mean()
+    ssb = sum(len(g) * (g.mean() - grand) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert row.n_total == n and row.k_groups == k
+    assert abs(row.f_stat - f) < 1e-3
+
+
+def test_anova_f_degenerate_all_constant(spark):
+    """Every group constant -> SSW == 0; the integer nvg > k predicate
+    emits NULL instead of a 0-divide."""
+    from datafusion_gpu_spark.queries.pipeline import _ANOVA_F
+
+    ev = spark.createDataFrame(
+        [("click", 3.0)] * 3 + [("purchase", 5.0)] * 4,
+        "event_type string, value double",
+    )
+    ev.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_ANOVA_F).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_total == 7 and row.k_groups == 2
+    assert row.f_stat is None
