@@ -1105,3 +1105,90 @@ def asof_join_nearest(
         matched.alias("matched_right_id"),
         delta.alias("delta_us"),
     )
+
+
+def cross_correlation(
+    series: DataFrame,
+    order_col: str = "bucket",
+    x_col: str = "x",
+    y_col: str = "y",
+    max_lag: int = 3,
+) -> DataFrame:
+    """Lagged cross-correlation between two integer-valued series that
+    share a time bucket — the lead/lag diagnostic (does series x lead
+    series y?) run before any causal read of paired telemetry, and the
+    two-series sibling of :func:`autocorr` (same exact-moment contract:
+    every fold is a bigint sum, Pearson r is one fixed float expression
+    over exactly-converted integers, zero-variance pairs emit NULL).
+
+    ``lag_k`` ranges -max_lag..+max_lag: positive k correlates x
+    shifted k buckets back against current y (x LEADS y by k), negative
+    k the mirror, 0 the plain contemporaneous correlation. Lags are
+    POSITIONAL over the observed joined buckets in ``order_col`` order
+    (the autocorr convention — gap_fill upstream if the calendar
+    matters).
+
+    Scale shape: ONE single-series window sort produces every shifted
+    column via lag() (the relation is a downsampled time grid — bounded
+    by the bucket calendar, not the event count; a per-key deployment
+    adds partitionBy), one explode to (lag, x, y) pairs, one (lag)
+    aggregation. Identical plan family to autocorr — 3 shuffles.
+    """
+    w = Window.orderBy(order_col)
+    cols = [F.col(x_col).alias("x0"), F.col(y_col).alias("y0")]
+    for k in range(1, max_lag + 1):
+        cols.append(F.lag(x_col, k).over(w).alias(f"xl{k}"))
+        cols.append(F.lag(y_col, k).over(w).alias(f"yl{k}"))
+    lagged = series.select(*cols)
+    branches = [
+        F.struct(
+            F.lit(0).alias("lag_k"), F.col("x0").alias("x"), F.col("y0").alias("y")
+        )
+    ]
+    for k in range(1, max_lag + 1):
+        branches.append(
+            F.struct(
+                F.lit(k).alias("lag_k"),
+                F.col(f"xl{k}").alias("x"),
+                F.col("y0").alias("y"),
+            )
+        )
+        branches.append(
+            F.struct(
+                F.lit(-k).alias("lag_k"),
+                F.col("x0").alias("x"),
+                F.col(f"yl{k}").alias("y"),
+            )
+        )
+    pairs = (
+        lagged.select(F.explode(F.array(*branches)).alias("p"))
+        .select(
+            F.col("p.lag_k").alias("lag_k"),
+            F.col("p.x").alias("x"),
+            F.col("p.y").alias("y"),
+        )
+        .where(F.col("x").isNotNull() & F.col("y").isNotNull())
+    )
+    moms = pairs.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    cov = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    return moms.select(
+        "lag_k",
+        "n_pairs",
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6)).alias("r"),
+    )

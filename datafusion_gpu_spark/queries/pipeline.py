@@ -6574,3 +6574,99 @@ QUERIES["agg_brown_forsythe"] = _agg_brown_forsythe
 ORACLES["agg_kruskal_wallis"] = _KRUSKAL_WALLIS
 ORACLES["agg_anova_f"] = _ANOVA_F
 ORACLES["agg_brown_forsythe"] = _BROWN_FORSYTHE
+
+
+def _streaming_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_welch_ttest (streaming.stream_welch_ttest):
+    incremental exact moments + streaming-dedup distinct counts, batch
+    terminal expression — graded by the BATCH oracle (the stream==batch
+    contract, 15th twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_welch_ttest(spark, sf_dir)
+
+
+QUERIES["streaming_welch_ttest"] = _streaming_welch_ttest
+ORACLES["streaming_welch_ttest"] = _WELCH_T
+
+
+def _events_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag -3..+3 cross-correlation between the hourly click-count and
+    purchase-cents series (events.cross_correlation) — the lead/lag
+    diagnostic (do clicks lead purchases?) that precedes any causal
+    read of paired telemetry; the two-series sibling of events_autocorr
+    with the same exact-bigint-moment contract. Buckets where either
+    series is absent are dropped by the inner join (positional lags
+    over observed shared buckets — the autocorr convention)."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    x = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    y = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+    )
+    joined = x.join(y, "bucket")
+    return events.cross_correlation(joined, "bucket", "x", "y", max_lag=3)
+
+
+QUERIES["events_cross_corr"] = _events_cross_corr
+# Same hourly series, same inner join, same positional LAG over shared
+# buckets, same exact moments and terminal Pearson expression.
+ORACLES["events_cross_corr"] = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+y AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+),
+j AS (SELECT x.bucket, x.x, y.y FROM x JOIN y ON x.bucket = y.bucket),
+l AS (
+  SELECT x AS x0, y AS y0,
+         LAG(x, 1) OVER w AS xl1, LAG(y, 1) OVER w AS yl1,
+         LAG(x, 2) OVER w AS xl2, LAG(y, 2) OVER w AS yl2,
+         LAG(x, 3) OVER w AS xl3, LAG(y, 3) OVER w AS yl3
+  FROM j
+  WINDOW w AS (ORDER BY bucket)
+),
+p AS (
+  SELECT 0 AS lag_k, x0 AS x, y0 AS y FROM l
+  UNION ALL SELECT 1, xl1, y0 FROM l
+  UNION ALL SELECT -1, x0, yl1 FROM l
+  UNION ALL SELECT 2, xl2, y0 FROM l
+  UNION ALL SELECT -2, x0, yl2 FROM l
+  UNION ALL SELECT 3, xl3, y0 FROM l
+  UNION ALL SELECT -3, x0, yl3 FROM l
+),
+m AS (
+  SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY lag_k
+)
+SELECT lag_k, n_pairs,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r
+FROM m
+"""

@@ -979,3 +979,84 @@ def stream_cusum(
             "first_alarm_id"
         ),
     )
+
+
+def stream_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch Welch t-test (_WELCH_T in
+    queries/pipeline.py) — the 15th stream==batch entry: the drift gate
+    run continuously over an ingest stream instead of per-snapshot.
+
+    Two streaming aggregations feed one batch finish:
+
+    1. per-group exact bigint moments (n, sum, sum-of-squares over the
+       SAME JVM-side cents quantization as the batch SQL) — incremental
+       state is three bigints per group, forever;
+    2. per-group DISTINCT-value counts via streaming dropDuplicates on
+       (group, cent) + count — this keeps the degenerate-variance guard
+       the same INTEGER predicate (nv > 1) as the batch twin, instead
+       of a float variance-positivity check that could flip on rounding
+       noise (state is one row per distinct (group, cent) — bounded by
+       the value domain, the same argument as the batch family's
+       distinct-value windows).
+
+    Both material states are tiny (k rows / domain rows); the terminal
+    t / Welch-Satterthwaite df expression is the IDENTICAL text as the
+    batch SQL, applied after materialization — so on a bounded replay
+    the output is bit-for-bit the batch query's and the SAME DuckDB
+    oracle grades the stream.
+    """
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.col("event_type").alias("grp"),
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+        )
+    )
+    moments = ev.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    distinct = (
+        ev.dropDuplicates(["grp", "c"])
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+    m = materialize_stream(moments, output_mode="complete")
+    d = materialize_stream(distinct, output_mode="complete")
+    g = m.join(d, "grp")
+    one = g.agg(
+        F.max(F.when(F.col("grp") == "click", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("grp") == "click", F.col("s1"))).alias("s1_a"),
+        F.max(F.when(F.col("grp") == "click", F.col("s2"))).alias("s2_a"),
+        F.max(F.when(F.col("grp") == "click", F.col("nv"))).alias("nv_a"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("s1"))).alias("s1_b"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("s2"))).alias("s2_b"),
+        F.max(F.when(F.col("grp") == "purchase", F.col("nv"))).alias("nv_b"),
+    )
+    v = one.where("n_a >= 2 AND n_b >= 2").selectExpr(
+        "n_a", "n_b", "nv_a", "nv_b", "s1_a", "s1_b",
+        "(CAST(n_a AS DOUBLE) * s2_a - CAST(s1_a AS DOUBLE) * s1_a)"
+        " / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) AS vn_a",
+        "(CAST(n_b AS DOUBLE) * s2_b - CAST(s1_b AS DOUBLE) * s1_b)"
+        " / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)) AS vn_b",
+    )
+    return v.selectExpr(
+        "n_a",
+        "n_b",
+        "ROUND(CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b, 6)"
+        " AS mean_diff_cents",
+        """CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+             ROUND((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                   / SQRT(vn_a + vn_b), 4)
+           END AS t_stat""",
+        """CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+             ROUND((vn_a + vn_b) * (vn_a + vn_b)
+                   / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 2)
+           END AS df""",
+    )

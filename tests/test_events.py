@@ -274,3 +274,29 @@ def test_asof_nearest_directions_ties_and_tolerance(spark):
     assert got[200] == (21, -60_000_000)   # tie: prior wins over +60s next
     assert got[300] == (31, 0)             # equal-ts: max rid as prior
     assert got[400] == (None, None)        # 31 min > 30 min tolerance
+
+
+def test_cross_correlation_planted_shift(spark):
+    """y is x shifted forward by 2 buckets (plus a constant): the lag=+2
+    branch pairs x_{t-2} with y_t == x_{t-2}+5, so r(+2) == 1.0 exactly;
+    other lags correlate a linear-ish ramp imperfectly (|r| < 1)."""
+    from datafusion_gpu_spark.operators.events import cross_correlation
+
+    xs = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    rows = [
+        (t, xs[t], xs[t - 2] + 5) for t in range(2, len(xs))
+    ]
+    df = spark.createDataFrame(rows, "bucket long, x long, y long")
+    got = {r.lag_k: r for r in cross_correlation(df, "bucket", "x", "y", 3).collect()}
+    assert set(got) == {-3, -2, -1, 0, 1, 2, 3}
+    assert got[2].r == 1.0
+    assert got[2].n_pairs == len(rows) - 2
+    for k in got:
+        if k != 2 and got[k].r is not None:
+            assert abs(got[k].r) < 1.0
+    # zero-variance guard: constant y -> NULL r, never 0/0
+    const = spark.createDataFrame(
+        [(t, xs[t], 7) for t in range(len(xs))], "bucket long, x long, y long"
+    )
+    res = {r.lag_k: r.r for r in cross_correlation(const, "bucket", "x", "y", 1).collect()}
+    assert res[0] is None

@@ -450,3 +450,20 @@ def test_streaming_ohlc_matches_batch_exactly(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_stream_welch_ttest_equals_batch(spark):
+    """The 15th stream==batch twin: the streaming Welch t (incremental
+    moments + streaming-dedup distinct counts) returns bit-for-bit the
+    batch SQL's row on a bounded replay."""
+    from datafusion_gpu_spark.queries.pipeline import _WELCH_T, load
+    from datafusion_gpu_spark.streaming import stream_welch_ttest
+    from tests.conftest import SF_DIR
+
+    load(spark, SF_DIR)
+    [want] = spark.sql(_WELCH_T).collect()
+    [got] = stream_welch_ttest(spark, SF_DIR).collect()
+    assert got.n_a == want.n_a and got.n_b == want.n_b
+    assert got.mean_diff_cents == want.mean_diff_cents
+    assert got.t_stat == want.t_stat
+    assert got.df == want.df
