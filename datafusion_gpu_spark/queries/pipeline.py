@@ -6670,3 +6670,54 @@ SELECT lag_k, n_pairs,
        END AS r
 FROM m
 """
+
+
+# Exact equi-depth (k=8) bin edges of order totals — the distributed
+# exact-quantile operator a feature pipeline uses for calibration/binning
+# where approx_percentile's error bound is not acceptable. Definition:
+# edge_j = MIN{v : cum_count(v) >= ceil(j*N/8)} over the DISTINCT-VALUE
+# cumulative relation (the same domain-bounded window as the rank family;
+# the two-level operators/stats.py spelling is the documented fallback).
+# ceil(j*N/8) is computed with pure integer arithmetic spelled portably
+# (x - x%8 is divisible by 8, and dividing an int64 by 2^3 is exact in
+# double — no FLOOR/CEIL on floats anywhere); the 8-row target relation
+# joins the cumulative by a range predicate (the documented exempt
+# broadcast-tiny non-equi class, same as agg_benford's 9-row expd).
+_EQUIDEPTH = """
+WITH t AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+),
+pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
+cum AS (
+  SELECT c, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cm FROM pv
+),
+n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nt FROM pv),
+j AS (
+  SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+),
+tgt AS (
+  SELECT j, CAST((j * nt + 7 - (j * nt + 7) % 8) / 8 AS BIGINT) AS target,
+         nt
+  FROM j CROSS JOIN n
+)
+SELECT tgt.j AS bin, tgt.target AS target_rank,
+       CAST(MIN(cum.c) AS BIGINT) AS edge_cents,
+       CAST(MIN_BY(cum.cm, cum.c) AS BIGINT) AS count_le_edge
+FROM tgt JOIN cum ON cum.cm >= tgt.target
+GROUP BY tgt.j, tgt.target
+"""
+
+
+def _agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth bin edges (8 bins) of order totals — the
+    exact-quantile counterpart of agg_kll_quantiles/agg_approximate:
+    reproducible bin boundaries for feature calibration, computed on
+    the distinct-value cumulative relation with zero row-level sort.
+    See _EQUIDEPTH for the integer target-rank arithmetic."""
+    load(spark, sf_dir)
+    return spark.sql(_EQUIDEPTH)
+
+
+QUERIES["agg_equidepth_bins"] = _agg_equidepth_bins
+ORACLES["agg_equidepth_bins"] = _EQUIDEPTH

@@ -543,3 +543,46 @@ def test_phash_python_boundary_is_batched(spark):
     plan = plan_of(spark, "multimodal_phash")
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_welch_is_single_aggregation_no_joins(spark):
+    # one hash aggregation over events, zero joins/windows — the
+    # cheapest plan in the stats family (moments fold map-side)
+    plan = plan_of(spark, "agg_welch_ttest")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bucketed_cumsum_has_no_global_window(spark):
+    # the two-level spelling's windows are (a) partitioned by bucket and
+    # (b) over the tiny bucket relation — no unpartitioned window over
+    # the distinct-value relation survives in the plan
+    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
+    from pyspark.sql import functions as F
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("c"), (F.col("id") % 7).alias("x")
+    )
+    out = bucketed_cumsum(df, "c", ("x",), n_buckets=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 2  # per-bucket partial + bucket offsets
+    # the per-bucket window partitions by __bucket; offsets window is over
+    # the 64-row totals relation, whose single partition is the POINT
+    assert "partitionBy=[__bucket" in plan.replace(" ", "") or "__bucket" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_chi2_independence_margins_broadcast(spark):
+    # margin relations are category-sized: both lookups broadcast, the
+    # quantized fold is one aggregation, no SMJ anywhere
+    plan = plan_of(spark, "agg_chi2_independence")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_equidepth_target_join_is_tiny_broadcast(spark):
+    # the range join's build side is the 8-row target relation
+    plan = plan_of(spark, "agg_equidepth_bins")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan

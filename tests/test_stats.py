@@ -411,3 +411,24 @@ def test_anova_f_degenerate_all_constant(spark):
         spark.catalog.dropTempView("events")
     assert row.n_total == 7 and row.k_groups == 2
     assert row.f_stat is None
+
+
+def test_equidepth_bins_match_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_equidepth_bins
+
+    rows = {r.bin: r for r in _agg_equidepth_bins(spark, SF_DIR).collect()}
+    cents = np.sort(
+        duck.execute(
+            "SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders"
+        ).df()["c"].to_numpy()
+    )
+    n = len(cents)
+    assert set(rows) == set(range(1, 9))
+    for j in range(1, 9):
+        target = -(-j * n // 8)  # ceil
+        assert rows[j].target_rank == target
+        # edge is the target-th smallest value (1-indexed)
+        assert rows[j].edge_cents == cents[target - 1]
+        # count_le_edge is the full count of values <= edge
+        assert rows[j].count_le_edge == int((cents <= cents[target - 1]).sum())
+    assert rows[8].edge_cents == cents[-1]
