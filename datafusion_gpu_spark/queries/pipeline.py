@@ -6721,3 +6721,153 @@ def _agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_equidepth_bins"] = _agg_equidepth_bins
 ORACLES["agg_equidepth_bins"] = _EQUIDEPTH
+
+
+# Seasonality-aware anomaly flags: each hour's purchase cents compared to
+# the SAME-HOUR-OF-DAY profile (daily-rhythm baseline) instead of a
+# trailing window — the monitor that doesn't page at 9am because 9am is
+# always busy. Same exact-integer decision as window_bollinger: |x-mean|
+# > 2*sigma_pop spelled as the cross-multiplied squared inequality
+# (n*x - S1)^2 > 4*(n*S2 - S1^2) over exact bigint profile moments —
+# zero float anywhere (headroom: (n*x)^2 under 2^63 through ~sf500 at
+# cent quantization; the quantum is the knob).
+_SEASONAL_ANOM = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS b,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+hod AS (SELECT b, x, CAST(EXTRACT(HOUR FROM b) AS BIGINT) AS h FROM hourly),
+prof AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM hod GROUP BY h
+)
+SELECT hod.b AS bucket, hod.h AS hour_of_day, hod.x AS cents,
+       prof.n AS n_same_hour,
+       (prof.n >= 2 AND prof.n * hod.x - s1 > 0
+        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
+            > 4 * (prof.n * s2 - s1 * s1)) AS break_upper,
+       (prof.n >= 2 AND prof.n * hod.x - s1 < 0
+        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
+            > 4 * (prof.n * s2 - s1 * s1)) AS break_lower
+FROM hod JOIN prof ON hod.h = prof.h
+"""
+
+
+def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly flags on the hourly purchase series
+    — the daily-rhythm-aware member of the monitoring family
+    (events_anomalies = trailing window, events_anomaly_mad = robust
+    location, window_bollinger = volatility band; this one scores each
+    hour against ITS OWN hour-of-day cohort). Plan: one hourly
+    aggregation, one 24-row profile aggregation broadcast back, exact
+    integer decisions. See _SEASONAL_ANOM."""
+    load(spark, sf_dir)
+    return spark.sql(_SEASONAL_ANOM)
+
+
+QUERIES["events_seasonal_anomaly"] = _events_seasonal_anomaly
+ORACLES["events_seasonal_anomaly"] = _SEASONAL_ANOM
+
+
+# Jensen-Shannon divergence between the word distributions of two corpus
+# halves (doc_id parity split — the deterministic stand-in for "yesterday
+# vs today") — the TEXT drift gate, complementing the numeric KS/MW
+# tests: symmetric, bounded by ln 2, defined even where one side has
+# zero-probability words. Per-word contribution 0.5*(p*ln(p/m) +
+# q*ln(q/m)) is quantized to an exact 1e-12 bigint BEFORE the vocabulary
+# sum (the agg_entropy pattern — the only cross-engine float op is libm
+# ln, 4 decimal orders below the quantum; the fold is exact integers).
+_JSD_SPARK = r"""
+WITH w AS (
+  SELECT doc_id % 2 AS half,
+         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
+           AS word
+  FROM documents
+),
+c AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM w GROUP BY word
+),
+n AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM c
+),
+t AS (
+  SELECT CAST(ROUND((
+           CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+             * LN((CAST(ca AS DOUBLE) / na)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+             * LN((CAST(cb AS DOUBLE) / nb)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS term_q
+  FROM c CROSS JOIN n
+)
+SELECT na AS n_words_a, nb AS n_words_b, vocab,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS jsd_nats,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12 / 0.693147, 6) AS jsd_norm
+FROM t CROSS JOIN n
+GROUP BY na, nb, vocab
+"""
+
+# DuckDB spelling: identical algebra, DuckDB tokenizer (regexp_replace
+# 'g' flag + unnest(string_split)).
+_JSD_DUCK = r"""
+WITH w AS (
+  SELECT doc_id % 2 AS half,
+         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                             ' ')) AS word
+  FROM documents
+),
+c AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM w GROUP BY word
+),
+n AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM c
+),
+t AS (
+  SELECT CAST(ROUND((
+           CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+             * LN((CAST(ca AS DOUBLE) / na)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+             * LN((CAST(cb AS DOUBLE) / nb)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS term_q
+  FROM c CROSS JOIN n
+)
+SELECT na AS n_words_a, nb AS n_words_b, vocab,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS jsd_nats,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12 / 0.693147, 6) AS jsd_norm
+FROM t CROSS JOIN n
+GROUP BY na, nb, vocab
+"""
+
+
+def _text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the word distributions of the
+    two doc_id-parity corpus halves — the symmetric, ln2-bounded text
+    drift measure run between corpus snapshots (the numeric siblings
+    are events_ks_test/agg_mann_whitney). One vocabulary aggregation,
+    one one-row totals broadcast, one exact quantized fold. Scale: the
+    summed relation is vocabulary-sized, not corpus-sized."""
+    load(spark, sf_dir)
+    return spark.sql(_JSD_SPARK)
+
+
+QUERIES["text_jsd_drift"] = _text_jsd_drift
+ORACLES["text_jsd_drift"] = _JSD_DUCK

@@ -432,3 +432,78 @@ def test_equidepth_bins_match_numpy(spark, duck):
         # count_le_edge is the full count of values <= edge
         assert rows[j].count_le_edge == int((cents <= cents[target - 1]).sum())
     assert rows[8].edge_cents == cents[-1]
+
+
+def test_seasonal_anomaly_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_seasonal_anomaly
+
+    got = {
+        r.bucket: r for r in _events_seasonal_anomaly(spark, SF_DIR).collect()
+    }
+    hourly = duck.execute(
+        "SELECT date_trunc('hour', ts) AS b, "
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x "
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL "
+        "GROUP BY 1"
+    ).df()
+    hourly["h"] = hourly.b.dt.hour
+    n_up = n_dn = 0
+    for h, grp in hourly.groupby("h"):
+        x = grp.x.to_numpy(dtype=np.int64)
+        mu, sd = x.mean(), x.std()  # population
+        for b, v in zip(grp.b, x):
+            row = got[b]
+            assert row.hour_of_day == h and row.cents == v
+            up = len(x) >= 2 and v > mu and (v - mu) ** 2 > 4 * sd * sd
+            dn = len(x) >= 2 and v < mu and (v - mu) ** 2 > 4 * sd * sd
+            assert bool(row.break_upper) == bool(up), b
+            assert bool(row.break_lower) == bool(dn), b
+            n_up += up
+            n_dn += dn
+    assert len(got) == len(hourly)
+
+
+def test_jsd_drift_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _text_jsd_drift
+
+    [row] = _text_jsd_drift(spark, SF_DIR).collect()
+    df = duck.execute(
+        r"""SELECT doc_id % 2 AS half,
+                 unnest(string_split(regexp_replace(trim(lower(text)),
+                        '\s+', ' ', 'g'), ' ')) AS word
+          FROM documents"""
+    ).df()
+    ca = df[df.half == 0].word.value_counts()
+    cb = df[df.half == 1].word.value_counts()
+    vocab = sorted(set(ca.index) | set(cb.index))
+    p = np.array([ca.get(w, 0) for w in vocab], dtype=float)
+    q = np.array([cb.get(w, 0) for w in vocab], dtype=float)
+    na, nb = p.sum(), q.sum()
+    p, q = p / na, q / nb
+    m = (p + q) / 2
+    jsd = 0.5 * np.sum(np.where(p > 0, p * np.log(np.where(p > 0, p, 1) / m), 0)) \
+        + 0.5 * np.sum(np.where(q > 0, q * np.log(np.where(q > 0, q, 1) / m), 0))
+    assert row.n_words_a == int(na) and row.n_words_b == int(nb)
+    assert row.vocab == len(vocab)
+    assert abs(row.jsd_nats - jsd) < 1e-4
+    assert 0.0 <= row.jsd_nats <= np.log(2) + 1e-9
+    assert abs(row.jsd_norm - jsd / 0.693147) < 1e-4
+
+
+def test_jsd_identical_halves_is_zero(spark):
+    """Same text in both halves -> p == q == m -> every ln term is
+    ln(1) == 0 and JSD == 0.0 exactly (the quantized fold sums zeros)."""
+    from datafusion_gpu_spark.queries.pipeline import _JSD_SPARK
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "alpha beta gamma"),
+         (2, "beta gamma delta"), (3, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    docs.createOrReplaceTempView("documents")
+    try:
+        [row] = spark.sql(_JSD_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert row.jsd_nats == 0.0 and row.jsd_norm == 0.0
+    assert row.n_words_a == row.n_words_b == 6
