@@ -6871,3 +6871,60 @@ def _text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_jsd_drift"] = _text_jsd_drift
 ORACLES["text_jsd_drift"] = _JSD_DUCK
+
+
+# Mood's median test across the five event types: the k-group MEDIAN
+# counterpart of Kruskal-Wallis (rank) and ANOVA (mean) — robust to any
+# monotone transform of the values. Counts above/at-or-below the GRAND
+# median form a k x 2 contingency whose chi2 uses the same empty-cell-
+# exact identity and 1e-12-quantized fold as agg_chi2_independence. The
+# grand median enters as 2*MEDIAN (always an integer for integer cents —
+# the Brown-Forsythe trick), so "above" is the exact predicate 2c > m2.
+_MOOD_MEDIAN = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2 FROM t),
+obs AS (
+  SELECT grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS above,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM t CROSS JOIN med GROUP BY grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END
+),
+rt AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY grp),
+ct AS (SELECT above, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY above),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+q AS (
+  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
+                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
+           AS term_q
+  FROM obs o JOIN rt ON o.grp = rt.grp JOIN ct ON o.above = ct.above
+),
+d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc,
+         (SELECT CAST(SUM(CASE WHEN above = 1 THEN nc ELSE 0 END) AS BIGINT)
+            FROM ct) AS n_above
+)
+SELECT nt AS n_total, kr AS k_groups, n_above, (kr - 1) * (kc - 1) AS df,
+       CASE WHEN kr > 1 AND kc > 1 THEN
+         ROUND(CAST(nt AS DOUBLE)
+               * (CAST(SUM(term_q) AS BIGINT) / 1e12 - 1), 4)
+       END AS chi2
+FROM q CROSS JOIN tot CROSS JOIN d
+GROUP BY nt, kr, kc, n_above
+"""
+
+
+def _agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types — the k-group location
+    test that only uses above/below-the-grand-median counts (robust
+    where Kruskal-Wallis' rank sums and ANOVA's means are not). One
+    exact grand median, one contingency fold, the chi2 identity. See
+    _MOOD_MEDIAN."""
+    load(spark, sf_dir)
+    return spark.sql(_MOOD_MEDIAN)
+
+
+QUERIES["agg_mood_median"] = _agg_mood_median
+ORACLES["agg_mood_median"] = _MOOD_MEDIAN

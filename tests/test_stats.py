@@ -507,3 +507,24 @@ def test_jsd_identical_halves_is_zero(spark):
         spark.catalog.dropTempView("documents")
     assert row.jsd_nats == 0.0 and row.jsd_norm == 0.0
     assert row.n_words_a == row.n_words_b == 6
+
+
+def test_mood_median_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_mood_median
+
+    [row] = _agg_mood_median(spark, SF_DIR).collect()
+    groups = _all_group_values(duck)
+    pooled = np.concatenate(list(groups.values()))
+    med = np.median(pooled)
+    obs = np.array(
+        [[(g > med).sum(), (g <= med).sum()] for g in groups.values()],
+        dtype=np.float64,
+    )
+    n = obs.sum()
+    exp = obs.sum(axis=1, keepdims=True) * obs.sum(axis=0, keepdims=True) / n
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    assert row.n_total == int(n)
+    assert row.k_groups == len(groups)
+    assert row.n_above == int(obs[:, 0].sum())
+    assert row.df == len(groups) - 1
+    assert abs(row.chi2 - chi2) < 1e-3
