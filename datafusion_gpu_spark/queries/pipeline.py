@@ -6928,3 +6928,149 @@ def _agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_mood_median"] = _agg_mood_median
 ORACLES["agg_mood_median"] = _MOOD_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — data-governance trio: the gates a corpus owner runs before
+# release (privacy, provenance overlap, ingest profiling).
+# ---------------------------------------------------------------------------
+
+# k-anonymity audit over the (nation, segment) quasi-identifier pair:
+# how many equivalence classes are smaller than k=10, and how many rows
+# sit in them (re-identification risk mass). Pure integer aggregation —
+# two hash folds, nothing else.
+_K_ANON = """
+WITH g AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_risky_rows,
+       CAST(MIN(sz) AS BIGINT) AS min_class_size,
+       CAST(SUM(sz) AS BIGINT) AS n_rows
+FROM g
+"""
+
+
+def _curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=10) over the (nation, market-segment)
+    quasi-identifiers — the privacy gate a dataset release runs before
+    the PII scrubbing (text_pii_redact) is trusted: small equivalence
+    classes re-identify even with direct identifiers removed (Sweeney
+    2002). Two exact integer folds. See _K_ANON."""
+    load(spark, sf_dir)
+    return spark.sql(_K_ANON)
+
+
+def _curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-content overlap: Jaccard between each source
+    pair's distinct 3-word-shingle sets — the provenance diagnostic
+    that finds mirror/scrape relationships between ingest feeds before
+    per-document dedup even runs. Plan: one distinct (source, shingle)
+    relation, one self-equi-join ON SHINGLE (pair space bounded by
+    sources², never documents²), exact integer intersection/union, one
+    terminal division. Uses the same normalize+shingle kernel as the
+    MinHash family (dedup.word_shingles)."""
+    load(spark, sf_dir)
+    docs = spark.table("documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(dedup.word_shingles(F.col("text"), n=3)).alias("sh"),
+        )
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    inter = (
+        a.join(b, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "n_a", "n_b",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# DuckDB replay: identical normalize/3-shingle construction via the
+# positional-array spelling (the RAKE oracle pattern), identical joins.
+_SOURCE_OVERLAP_DUCK = r"""
+WITH norm AS (
+  SELECT source, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                              ' ') AS arr
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         arr[u.i] || ' ' || arr[u.i + 1] || ' ' || arr[u.i + 2] AS sh
+  FROM norm, UNNEST(range(1, len(arr) - 1)) AS u(i)
+  WHERE len(arr) >= 3
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common, na.n AS n_a, nb.n AS n_b,
+       ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter
+JOIN sizes na ON inter.src_a = na.source
+JOIN sizes nb ON inter.src_b = nb.source
+"""
+
+# Ingest profile: per-column null count, exact distinct, min/max — the
+# schema-health gate every loader runs on arrival. Fixed column list
+# (orders), exact integers; min/max of the decimal column quantized to
+# cents for the portable compare.
+_PROFILE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS null_status,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority,
+       CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS min_price_cents,
+       CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+         AS max_price_cents,
+       CAST(CAST(MIN(o_orderdate) AS DATE) AS STRING) AS min_date,
+       CAST(CAST(MAX(o_orderdate) AS DATE) AS STRING) AS max_date
+FROM orders
+"""
+
+
+def _io_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest profile of the orders table (null counts,
+    exact distincts, min/max ranges) — the arrival gate that catches
+    schema drift and silent-null regressions before anything downstream
+    runs. One aggregation, map-side combined. See _PROFILE."""
+    load(spark, sf_dir)
+    return spark.sql(_PROFILE)
+
+
+QUERIES["curation_k_anonymity"] = _curation_k_anonymity
+QUERIES["curation_source_overlap"] = _curation_source_overlap
+QUERIES["io_profile_stats"] = _io_profile_stats
+ORACLES["curation_k_anonymity"] = _K_ANON
+ORACLES["curation_source_overlap"] = _SOURCE_OVERLAP_DUCK
+ORACLES["io_profile_stats"] = _PROFILE

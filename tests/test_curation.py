@@ -457,3 +457,62 @@ def test_salted_join_equals_plain_join(spark):
         (r.k, r.rid, r.v, r.tag) for r in fact.join(dim, "k").collect()
     )
     assert got == expect and len(got) == 101  # 50*2 + 1, key 3 unmatched
+
+
+def test_k_anonymity_planted(spark):
+    """Closed-form: 3 classes of sizes 12, 9, 1 under k=10 -> 2
+    violating classes carrying 10 risky rows."""
+    from datafusion_gpu_spark.queries.pipeline import _K_ANON
+
+    rows = (
+        [(1, "A")] * 12 + [(1, "B")] * 9 + [(2, "A")] * 1
+    )
+    df = spark.createDataFrame(rows, "c_nationkey int, c_mktsegment string")
+    df.createOrReplaceTempView("customer")
+    try:
+        [r] = spark.sql(_K_ANON).collect()
+    finally:
+        spark.catalog.dropTempView("customer")
+    assert r.n_classes == 3
+    assert r.n_violating_classes == 2
+    assert r.n_risky_rows == 10
+    assert r.min_class_size == 1
+    assert r.n_rows == 22
+
+
+def test_source_overlap_planted(spark):
+    """Two sources sharing exactly one 3-shingle out of known set
+    sizes -> exact Jaccard; disjoint pair absent from the output."""
+    from datafusion_gpu_spark.operators import dedup
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "s1"),  # shingles: ab g, b g d
+            (1, "alpha beta gamma", "s2"),        # shingle:  a b g
+            (2, "zeta eta theta iota", "s3"),     # disjoint
+        ],
+        "doc_id long, text string, source string",
+    )
+    sh = (
+        docs.select(
+            "source", F.explode(dedup.word_shingles(F.col("text"), n=3)).alias("sh")
+        )
+        .where(F.col("sh") != "")
+        .distinct()
+    )
+    sizes = {r.source: r.n for r in sh.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"s1": 2, "s2": 1, "s3": 2}
+    a = sh.select(F.col("source").alias("src_a"), "sh")
+    b = sh.select(F.col("source").alias("src_b"), "sh")
+    pairs = (
+        a.join(b, "sh")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .collect()
+    )
+    assert len(pairs) == 1
+    [p] = pairs
+    assert (p.src_a, p.src_b, p.n_common) == ("s1", "s2", 1)
+    # jaccard = 1 / (2 + 1 - 1) = 0.5
