@@ -7074,3 +7074,98 @@ QUERIES["io_profile_stats"] = _io_profile_stats
 ORACLES["curation_k_anonymity"] = _K_ANON
 ORACLES["curation_source_overlap"] = _SOURCE_OVERLAP_DUCK
 ORACLES["io_profile_stats"] = _PROFILE
+
+
+# l-diversity audit: per quasi-identifier class (nation), how many
+# DISTINCT sensitive values (market segment) — a k-anonymous class whose
+# members all share one sensitive value still leaks it (Machanavajjhala
+# 2007). Exact integer folds only.
+_L_DIVERSITY = """
+WITH g AS (
+  SELECT c_nationkey AS nation,
+         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
+         CAST(COUNT(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violating_classes,
+       CAST(SUM(CASE WHEN l_div < 3 THEN sz ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(MIN(l_div) AS BIGINT) AS min_diversity
+FROM g
+"""
+
+
+def _curation_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3; quasi-identifier = nation, sensitive =
+    market segment) — the privacy gate k-anonymity alone misses: a
+    large class is still unsafe if every member shares the sensitive
+    value. Two exact folds. See _L_DIVERSITY; partner of
+    curation_k_anonymity."""
+    load(spark, sf_dir)
+    return spark.sql(_L_DIVERSITY)
+
+
+# Partition checksum manifest: per order-priority partition, the row
+# count and TWO order-free content checksums over the portable 60-bit
+# md5 row hash (dedup.word_hash60's spelling — DuckDB replays it
+# bit-for-bit): a BIT_XOR fold (associative+commutative, overflow-free
+# at any scale; blind to duplicate PAIRS, the standard XOR caveat) and
+# a modular SUM of hash % 1e9 (catches the pair case; bounded by
+# 1e9 * n_rows, under int64 through ~9e9 rows per partition). A plain
+# SUM of 60-bit hashes overflows int64 at ~8 rows under ANSI — caught
+# on first check.
+_CHECKSUM_MANIFEST = """
+SELECT o_orderpriority AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(CAST(CONV(SUBSTRING(MD5(
+             CAST(o_orderkey AS STRING) || '|' ||
+             CAST(o_custkey AS STRING) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING)
+           ), 1, 15), 16, 10) AS BIGINT)) AS BIGINT) AS xor_checksum,
+       CAST(SUM(CAST(CONV(SUBSTRING(MD5(
+             CAST(o_orderkey AS STRING) || '|' ||
+             CAST(o_custkey AS STRING) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING)
+           ), 1, 15), 16, 10) AS BIGINT) % 1000000000) AS BIGINT)
+         AS sum_checksum
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+_CHECKSUM_MANIFEST_DUCK = """
+SELECT o_orderpriority AS part_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(CAST('0x' || SUBSTRING(MD5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT)) AS BIGINT) AS xor_checksum,
+       CAST(SUM(CAST('0x' || SUBSTRING(MD5(
+             CAST(o_orderkey AS VARCHAR) || '|' ||
+             CAST(o_custkey AS VARCHAR) || '|' ||
+             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
+           ), 1, 15) AS BIGINT) % 1000000000) AS BIGINT) AS sum_checksum
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+def _io_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition (order-priority) integrity manifest: row count +
+    two order-free portable content checksums (BIT_XOR fold +
+    1e9-modular sum of the md5-derived row hash) — what a 100 TB
+    handoff compares instead of re-reading both copies. One
+    map-side-combined aggregation; both folds are invariant to row
+    order and partitioning and overflow-free at any scale (the same
+    portable-hash discipline as dedup.word_hash60 /
+    curation_hash_split). See _CHECKSUM_MANIFEST."""
+    load(spark, sf_dir)
+    return spark.sql(_CHECKSUM_MANIFEST)
+
+
+QUERIES["curation_l_diversity"] = _curation_l_diversity
+QUERIES["io_checksum_manifest"] = _io_checksum_manifest
+ORACLES["curation_l_diversity"] = _L_DIVERSITY
+ORACLES["io_checksum_manifest"] = _CHECKSUM_MANIFEST_DUCK

@@ -516,3 +516,49 @@ def test_source_overlap_planted(spark):
     [p] = pairs
     assert (p.src_a, p.src_b, p.n_common) == ("s1", "s2", 1)
     # jaccard = 1 / (2 + 1 - 1) = 0.5
+
+
+def test_l_diversity_planted(spark):
+    """nation 1 has 3 distinct segments (passes l=3), nation 2 has one
+    segment across 5 rows (violates, exposes 5 rows)."""
+    from datafusion_gpu_spark.queries.pipeline import _L_DIVERSITY
+
+    rows = [(1, "A"), (1, "B"), (1, "C"), (1, "A")] + [(2, "A")] * 5
+    df = spark.createDataFrame(rows, "c_nationkey int, c_mktsegment string")
+    df.createOrReplaceTempView("customer")
+    try:
+        [r] = spark.sql(_L_DIVERSITY).collect()
+    finally:
+        spark.catalog.dropTempView("customer")
+    assert r.n_classes == 2
+    assert r.n_violating_classes == 1
+    assert r.n_exposed_rows == 5
+    assert r.min_diversity == 1
+
+
+def test_checksum_manifest_order_and_partition_invariant(spark):
+    """The manifest is identical for a reshuffled, repartitioned copy of
+    the same rows, and the sum_checksum moves when one row changes (the
+    xor fold alone is blind to duplicate-pair edits)."""
+    from datafusion_gpu_spark.queries.pipeline import _CHECKSUM_MANIFEST
+
+    rows = [(i, i % 7, 100.0 + i, "P%d" % (i % 2)) for i in range(50)]
+    schema = "o_orderkey long, o_custkey long, o_totalprice double, o_orderpriority string"
+
+    def manifest(data, parts):
+        df = spark.createDataFrame(data, schema).repartition(parts)
+        df.createOrReplaceTempView("orders")
+        try:
+            return {
+                r.part_key: (r.n_rows, r.xor_checksum, r.sum_checksum)
+                for r in spark.sql(_CHECKSUM_MANIFEST).collect()
+            }
+        finally:
+            spark.catalog.dropTempView("orders")
+
+    base = manifest(rows, 4)
+    shuffled = manifest(list(reversed(rows)), 13)
+    assert base == shuffled
+    mutated = manifest(rows[:-1] + [(49, 0, 999.0, "P1")], 4)
+    assert mutated["P1"] != base["P1"]
+    assert mutated["P0"] == base["P0"]
