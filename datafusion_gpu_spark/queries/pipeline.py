@@ -7169,3 +7169,59 @@ QUERIES["curation_l_diversity"] = _curation_l_diversity
 QUERIES["io_checksum_manifest"] = _io_checksum_manifest
 ORACLES["curation_l_diversity"] = _L_DIVERSITY
 ORACLES["io_checksum_manifest"] = _CHECKSUM_MANIFEST_DUCK
+
+
+# Error-safe expression pack: Spark's TRY_* family under ANSI mode —
+# the NULL-on-error arithmetic a pipeline uses so one poisoned row
+# doesn't abort a 100 TB job (the expression-level counterpart of the
+# PERMISSIVE reader modes). The oracle spells each TRY as its explicit
+# CASE guard, so the check also PINS the semantics (divide-by-zero,
+# non-numeric cast, int64 overflow -> NULL, never an exception).
+_TRY_SPARK = """
+SELECT o_orderkey AS orderkey,
+       TRY_DIVIDE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                  o_custkey % 3) AS safe_div,
+       TRY_CAST(o_orderstatus AS INT) AS status_as_int,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                      THEN CAST(o_orderkey AS STRING)
+                      ELSE o_orderstatus END AS INT) AS mixed_cast,
+       TRY_ADD(o_orderkey, 9223372036854775807) AS overflow_add,
+       TRY_MULTIPLY(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
+                    4611686018427387904) AS overflow_mul
+FROM orders WHERE o_orderkey < 2000
+"""
+
+_TRY_DUCK = """
+SELECT o_orderkey AS orderkey,
+       CASE WHEN o_custkey % 3 = 0 THEN NULL
+            ELSE CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE)
+                 / (o_custkey % 3) END AS safe_div,
+       TRY_CAST(o_orderstatus AS INT) AS status_as_int,
+       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
+                      THEN CAST(o_orderkey AS VARCHAR)
+                      ELSE o_orderstatus END AS INT) AS mixed_cast,
+       CASE WHEN o_orderkey <= 0 THEN o_orderkey + 9223372036854775807
+            ELSE CAST(NULL AS BIGINT) END AS overflow_add,
+       CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 <= 2 THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                           * 4611686018427387904
+            ELSE CAST(NULL AS BIGINT) END AS overflow_mul
+FROM orders WHERE o_orderkey < 2000
+"""
+
+
+def _fn_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRY_* error-safe expression pack under ANSI mode: divide-by-
+    zero, failing casts (the mixed column parses even keys and NULLs
+    the status letters), and int64 overflow all yield NULL instead of
+    aborting the job — pinned against an oracle that spells each one
+    as its explicit CASE guard (o_orderkey + int64_max overflows for
+    every positive key and not for key 0 — the data has one;
+    cents * 2^62 overflows for any cents > 2). Pure codegen
+    expressions, one pushed scan."""
+    load(spark, sf_dir)
+    return spark.sql(_TRY_SPARK)
+
+
+QUERIES["fn_error_safe"] = _fn_error_safe
+ORACLES["fn_error_safe"] = _TRY_DUCK
