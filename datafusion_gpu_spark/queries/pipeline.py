@@ -7225,3 +7225,72 @@ def _fn_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["fn_error_safe"] = _fn_error_safe
 ORACLES["fn_error_safe"] = _TRY_DUCK
+
+
+# t-closeness audit (Li, Li & Venkatasubramanian 2007): per nation
+# class, the total-variation distance (the categorical Earth-Mover's
+# with unit ground distance = 0.5 * L1) between the class's segment
+# distribution and the GLOBAL one — the privacy gate l-diversity misses
+# when a class's sensitive values are diverse but SKEWED far from the
+# population. Per-(class, segment) |p - q| terms quantize to 1e-12
+# bigints before the per-class sum (the k-group fold rule); classes with
+# tv > 0.25 are flagged. Missing (class, segment) cells contribute q
+# exactly via the global-side LEFT join.
+_T_CLOSENESS = """
+WITH cell AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+cls AS (SELECT nation, CAST(SUM(cnt) AS BIGINT) AS sz FROM cell GROUP BY nation),
+gl AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY seg),
+tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cell),
+pairs AS (
+  SELECT cls.nation, cls.sz, gl.seg, gl.gcnt, COALESCE(cell.cnt, 0) AS cnt
+  FROM cls CROSS JOIN gl
+  LEFT JOIN cell ON cell.nation = cls.nation AND cell.seg = gl.seg
+),
+t AS (
+  SELECT nation, MIN(sz) AS sz,
+         CAST(SUM(CAST(ROUND(ABS(CAST(cnt AS DOUBLE) / sz
+                                 - CAST(gcnt AS DOUBLE) / n) * 1e12, 0)
+                       AS BIGINT)) AS BIGINT) AS l1_q
+  FROM pairs CROSS JOIN tot GROUP BY nation
+)
+SELECT CAST(nation AS BIGINT) AS nation, CAST(sz AS BIGINT) AS class_size,
+       ROUND(l1_q / 2e12, 6) AS tv_distance,
+       (l1_q > 500000000000) AS violates_t025
+FROM t
+"""
+
+
+def _curation_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (t=0.25; quasi-identifier = nation, sensitive
+    = market segment): total-variation distance between each class's
+    sensitive distribution and the global one — the third member of
+    the privacy gate trio (curation_k_anonymity class sizes,
+    curation_l_diversity distinct counts, this one distributional
+    skew). Category-sized relations throughout after the first fold;
+    the flag compares the exact quantized integer, not a float. See
+    _T_CLOSENESS."""
+    load(spark, sf_dir)
+    return spark.sql(_T_CLOSENESS)
+
+
+QUERIES["curation_t_closeness"] = _curation_t_closeness
+ORACLES["curation_t_closeness"] = _T_CLOSENESS
+
+
+def _streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_seasonal_anomaly
+    (streaming.stream_seasonal_anomaly): incremental hourly state +
+    batch profile/flags on the materialized final state — graded by
+    the BATCH oracle (16th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_seasonal_anomaly(spark, sf_dir)
+
+
+QUERIES["streaming_seasonal_anomaly"] = _streaming_seasonal_anomaly
+ORACLES["streaming_seasonal_anomaly"] = _SEASONAL_ANOM

@@ -1060,3 +1060,46 @@ def stream_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 2)
            END AS df""",
     )
+
+
+def stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_seasonal_anomaly (16th stream==batch
+    entry): the hourly purchase series accumulates as ONE streaming
+    aggregation (incremental per-hour cents — state bounded by the
+    bucket calendar), the hour-of-day profile and the exact
+    squared-inequality flags are derived from the materialized final
+    state in batch. Decision arithmetic is identical integer algebra to
+    the batch SQL — (n*x - S1)^2 > 4*(n*S2 - S1^2) over exact bigint
+    moments — so the bounded replay is bit-for-bit the batch query and
+    the SAME oracle grades the stream."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .select(
+            F.date_trunc("hour", F.col("ts")).alias("b"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    hourly = ev.groupBy("b").agg(F.sum("cents").cast("long").alias("x"))
+    mat = materialize_stream(hourly, output_mode="complete")
+    hod = mat.select(
+        "b", "x", F.hour(F.col("b")).cast("long").alias("h")
+    )
+    prof = hod.groupBy("h").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    j = hod.join(F.broadcast(prof), "h")
+    d = F.col("n") * F.col("x") - F.col("s1")
+    var4 = 4 * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1"))
+    return j.select(
+        F.col("b").alias("bucket"),
+        F.col("h").alias("hour_of_day"),
+        F.col("x").alias("cents"),
+        F.col("n").alias("n_same_hour"),
+        ((F.col("n") >= 2) & (d > 0) & (d * d > var4)).alias("break_upper"),
+        ((F.col("n") >= 2) & (d < 0) & (d * d > var4)).alias("break_lower"),
+    )

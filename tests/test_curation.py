@@ -562,3 +562,23 @@ def test_checksum_manifest_order_and_partition_invariant(spark):
     mutated = manifest(rows[:-1] + [(49, 0, 999.0, "P1")], 4)
     assert mutated["P1"] != base["P1"]
     assert mutated["P0"] == base["P0"]
+
+
+def test_t_closeness_planted(spark):
+    """Closed form: global split 50/50 over two segments; nation 1
+    mirrors it (tv = 0), nation 2 is all-A (tv = 0.5 > 0.25 flag)."""
+    from datafusion_gpu_spark.queries.pipeline import _T_CLOSENESS
+
+    rows = [(1, "A")] * 5 + [(1, "B")] * 5 + [(2, "A")] * 10 + [(3, "B")] * 10
+    # global: A=15/30, B=15/30. n1: A .5 B .5 -> tv 0. n2: A 1,B 0 ->
+    # tv = .5*(|1-.5|+|0-.5|) = .5. n3 mirror -> .5
+    df = spark.createDataFrame(rows, "c_nationkey int, c_mktsegment string")
+    df.createOrReplaceTempView("customer")
+    try:
+        got = {r.nation: r for r in spark.sql(_T_CLOSENESS).collect()}
+    finally:
+        spark.catalog.dropTempView("customer")
+    assert got[1].tv_distance == 0.0 and not got[1].violates_t025
+    assert got[2].tv_distance == 0.5 and got[2].violates_t025
+    assert got[3].tv_distance == 0.5 and got[3].violates_t025
+    assert got[2].class_size == 10

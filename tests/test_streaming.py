@@ -467,3 +467,24 @@ def test_stream_welch_ttest_equals_batch(spark):
     assert got.mean_diff_cents == want.mean_diff_cents
     assert got.t_stat == want.t_stat
     assert got.df == want.df
+
+
+def test_stream_seasonal_anomaly_equals_batch(spark):
+    """16th stream==batch twin: identical rows (flags included) on a
+    bounded replay."""
+    from datafusion_gpu_spark.queries.pipeline import _SEASONAL_ANOM, load
+    from datafusion_gpu_spark.streaming import stream_seasonal_anomaly
+    from tests.conftest import SF_DIR
+
+    load(spark, SF_DIR)
+    want = {
+        r.bucket: (r.hour_of_day, r.cents, r.n_same_hour,
+                   r.break_upper, r.break_lower)
+        for r in spark.sql(_SEASONAL_ANOM).collect()
+    }
+    got = {
+        r.bucket: (r.hour_of_day, r.cents, r.n_same_hour,
+                   r.break_upper, r.break_lower)
+        for r in stream_seasonal_anomaly(spark, SF_DIR).collect()
+    }
+    assert got == want
