@@ -7294,3 +7294,63 @@ def _streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_seasonal_anomaly"] = _streaming_seasonal_anomaly
 ORACLES["streaming_seasonal_anomaly"] = _SEASONAL_ANOM
+
+
+# Exact ROC AUC via the rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2)
+# / (n_pos * n_neg) with average ranks for ties — the Mann-Whitney U
+# machinery re-read as the model-evaluation gate (AUC IS U/(n_pos*n_neg)).
+# Scoring column = event value (does value separate purchases from
+# clicks?); doubled-rank algebra on the distinct-value relation keeps
+# every fold an exact bigint; AUC is ONE terminal division, so the
+# statistic is exact to the last ulp — no sampling, no approximation,
+# unlike the trapezoid-over-binned-scores spelling every ML library
+# defaults to at scale.
+_AUC = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(pos) AS BIGINT) AS dp,
+         CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+cw AS (
+  SELECT dp, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(dp) AS BIGINT) AS n_pos,
+         CAST(SUM(tc - dp) AS BIGINT) AS n_neg,
+         CAST(SUM(dp * (2 * cumb + tc + 1)) AS BIGINT) AS r2_pos
+  FROM cw
+)
+SELECT n_pos, n_neg,
+       r2_pos - n_pos * (n_pos + 1) AS u2,
+       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+         ROUND(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg), 6)
+       END AS auc
+FROM s
+"""
+
+
+def _agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC of 'value' as a purchase-vs-click classifier score
+    — the model-evaluation gate, computed by the rank-sum identity
+    (AUC = U/(n_pos·n_neg), tie-averaged) on the distinct-value
+    relation: exact bigints until ONE terminal division. Shares the
+    doubled-rank algebra (and the two-level window fallback) with
+    agg_mann_whitney. See _AUC."""
+    load(spark, sf_dir)
+    return spark.sql(_AUC)
+
+
+QUERIES["agg_auc_exact"] = _agg_auc_exact
+ORACLES["agg_auc_exact"] = _AUC

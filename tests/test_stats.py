@@ -528,3 +528,45 @@ def test_mood_median_matches_numpy(spark, duck):
     assert row.n_above == int(obs[:, 0].sum())
     assert row.df == len(groups) - 1
     assert abs(row.chi2 - chi2) < 1e-3
+
+
+def test_auc_matches_sklearn_free_numpy(spark, duck):
+    """AUC from the SQL rank identity == the pairwise-comparison
+    definition P(score_pos > score_neg) + 0.5*P(tie), computed directly
+    in numpy."""
+    from datafusion_gpu_spark.queries.pipeline import _agg_auc_exact
+
+    [row] = _agg_auc_exact(spark, SF_DIR).collect()
+    a, b = _events_values(duck)  # a=click(neg), b=purchase(pos)
+    pos, neg = b, a
+    # O(n log n) pairwise probability via searchsorted
+    sneg = np.sort(neg)
+    less = np.searchsorted(sneg, pos, side="left").sum()
+    ties = (np.searchsorted(sneg, pos, side="right")
+            - np.searchsorted(sneg, pos, side="left")).sum()
+    auc = (less + 0.5 * ties) / (len(pos) * len(neg))
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    assert abs(row.auc - auc) < 1e-6
+
+
+def test_auc_closed_form(spark):
+    """Perfectly separating scores -> AUC 1.0; anti-separating -> 0.0;
+    all-tied -> 0.5 exactly."""
+    from datafusion_gpu_spark.queries.pipeline import _AUC
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "event_type string, value double")
+        df.createOrReplaceTempView("events")
+        try:
+            [r] = spark.sql(_AUC).collect()
+        finally:
+            spark.catalog.dropTempView("events")
+        return r
+
+    perfect = run([("purchase", 10.0), ("purchase", 9.0),
+                   ("click", 1.0), ("click", 2.0)])
+    assert perfect.auc == 1.0
+    inverted = run([("purchase", 1.0), ("click", 10.0), ("click", 9.0)])
+    assert inverted.auc == 0.0
+    tied = run([("purchase", 5.0), ("click", 5.0)])
+    assert tied.auc == 0.5
