@@ -7354,3 +7354,95 @@ def _agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_auc_exact"] = _agg_auc_exact
 ORACLES["agg_auc_exact"] = _AUC
+
+
+# Precision/recall/F1 at a fixed decision threshold (value >= $50 as
+# "predict purchase") — the confusion-matrix gate next to agg_auc_exact's
+# threshold-free ranking view. Counts are exact bigints; the three
+# ratios are terminal divisions behind integer-positivity guards; F1 is
+# spelled from the raw counts (2tp/(2tp+fp+fn)) so it needs ONE division
+# instead of composing two already-rounded ratios.
+_PR_AT_T = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN tp + fp > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_,
+       CASE WHEN tp + fn > 0
+            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+            END AS f1
+FROM m
+"""
+
+
+def _agg_pr_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + precision/recall/F1 at the $50 threshold for
+    value-as-purchase-classifier — the operating-point eval gate
+    (agg_auc_exact is the threshold-free twin). One fold, terminal
+    divisions, integer guards. See _PR_AT_T."""
+    load(spark, sf_dir)
+    return spark.sql(_PR_AT_T)
+
+
+# Calibration / reliability-diagram data: ten equal-WIDTH score bins.
+# Bucket arithmetic divides only EXACTLY-DIVISIBLE integers (x - x%d is
+# divisible by d, and IEEE division returns exactly-representable
+# quotients exactly), so the spelling is portable whether an engine's
+# `/` on integers is float or integer division — Spark truncates a
+# float, older DuckDB floors an integer, both land on the same bin
+# (caught on first check: the float-width spelling split 9 vs 10 bins).
+# per bin the row count, positive count, observed positive rate and mean
+# score — what a monitoring pipeline plots to see whether "higher value"
+# still means "more likely purchase" after a data shift.
+_CALIBRATION = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+rng AS (
+  SELECT lo, hi,
+         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
+  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        FROM t)
+),
+b AS (
+  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
+  FROM t CROSS JOIN rng
+)
+SELECT bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(pos) AS BIGINT) AS n_pos,
+       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
+       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100, 4) AS mean_score
+FROM b GROUP BY bin
+"""
+
+
+def _agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram data: equal-width score bins with observed
+    purchase rates — the calibration drift gate that pairs with
+    agg_auc_exact (ranking) and agg_pr_at_threshold (operating point).
+    Two folds + a one-row range broadcast. See _CALIBRATION."""
+    load(spark, sf_dir)
+    return spark.sql(_CALIBRATION)
+
+
+QUERIES["agg_pr_at_threshold"] = _agg_pr_at_threshold
+QUERIES["agg_calibration_bins"] = _agg_calibration_bins
+ORACLES["agg_pr_at_threshold"] = _PR_AT_T
+ORACLES["agg_calibration_bins"] = _CALIBRATION

@@ -570,3 +570,35 @@ def test_auc_closed_form(spark):
     assert inverted.auc == 0.0
     tied = run([("purchase", 5.0), ("click", 5.0)])
     assert tied.auc == 0.5
+
+
+def test_pr_at_threshold_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_pr_at_threshold
+
+    [row] = _agg_pr_at_threshold(spark, SF_DIR).collect()
+    a, b = _events_values(duck)  # a=click(neg), b=purchase(pos)
+    tp = int((b >= 5000).sum())
+    fp = int((a >= 5000).sum())
+    fn = int((b < 5000).sum())
+    tn = int((a < 5000).sum())
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    if tp + fp:
+        assert abs(row.precision_ - tp / (tp + fp)) < 1e-6
+    if tp + fn:
+        assert abs(row.recall_ - tp / (tp + fn)) < 1e-6
+    assert abs(row.f1 - 2 * tp / (2 * tp + fp + fn)) < 1e-6
+    assert isinstance(row.f1, float)  # decimal-literal regression guard
+
+
+def test_calibration_bins_partition_everything(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_calibration_bins
+
+    rows = _agg_calibration_bins(spark, SF_DIR).collect()
+    a, b = _events_values(duck)
+    total = len(a) + len(b)
+    assert sum(r.n for r in rows) == total  # every row in exactly one bin
+    assert sum(r.n_pos for r in rows) == len(b)
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.obs_rate <= 1.0
+        assert abs(r.obs_rate - r.n_pos / r.n) < 1e-6
