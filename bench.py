@@ -94,24 +94,27 @@ SF_BENCHES = [
     # ask #8): the heaviest stats plan (merged-ECDF window over distinct
     # values, 6 shuffles), ~1.7 s at sf0.1.
     "events_ks_test",
+    # dedup_components runs after every non-iterative row: BENCH_r05
+    # showed seven unchanged queries drifting +12-44% vs r04, and the
+    # prime suspect is this entry's insertion at position 10 — ~39 s of
+    # iterative, localCheckpoint-heavy timed work whose resident state +
+    # GC shadow lands on every query after it (r4's BENCH_NOTES measured
+    # ~2x GC noise on ~1 s queries next to multi-GB resident state). Its
+    # own median is unaffected by position: each round re-checkpoints
+    # from scratch.
+    "dedup_components",
     # The graph-iterative family representative (VERDICT r8 ask #8):
     # ~8.5 s/run of checkpointed Louvain rounds at sf0.1, benched at 5
     # samples (SAMPLES_OVERRIDE — 10 would cost ~85 s and start evicting
     # 1-2 s queries with bench history; an 8 s median wobbles far less
     # in relative terms than the 1-4 s queries the 10-sample floor was
-    # set for). Placed next-to-last so its checkpoint/GC shadow lands
-    # only on dedup_components, whose median is position-insensitive
-    # (re-checkpoints from scratch each round).
+    # set for). LAST on purpose: as a NEW row with no cross-round
+    # history it absorbs the end-of-run shadow, keeping
+    # dedup_components' position (and so its r8-vs-r9 comparability)
+    # unchanged — the r9 trial run with louvain BEFORE dedup_components
+    # showed the latter +32% purely from the preceding checkpoint/GC
+    # shadow.
     "graph_louvain",
-    # dedup_components runs LAST: BENCH_r05 showed seven unchanged queries
-    # drifting +12-44% vs r04, and the prime suspect is this entry's
-    # insertion at position 10 — ~39 s of iterative, localCheckpoint-heavy
-    # timed work whose resident state + GC shadow lands on every query
-    # after it (r4's BENCH_NOTES measured ~2x GC noise on ~1 s queries
-    # next to multi-GB resident state). At the end of the list its shadow
-    # falls on nothing. Its own median is unaffected by position: each
-    # round re-checkpoints from scratch.
-    "dedup_components",
     # graph_pagerank is gate-checked and scale-probed (SCALE.md: 2M
     # edges, 5 rounds, linear) but not benched: ~5 s/run x 10 samples
     # would evict dedup_components — the iterative representative with
