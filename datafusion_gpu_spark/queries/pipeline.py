@@ -7446,3 +7446,84 @@ QUERIES["agg_pr_at_threshold"] = _agg_pr_at_threshold
 QUERIES["agg_calibration_bins"] = _agg_calibration_bins
 ORACLES["agg_pr_at_threshold"] = _PR_AT_T
 ORACLES["agg_calibration_bins"] = _CALIBRATION
+
+
+# Embedding-space drift: cosine between the CENTROIDS of two embedding
+# snapshots (vec_id parity split) — the third member of the drift triad
+# (numeric events_ks_test, text text_jsd_drift, embedding this).
+# Exactness: components quantize to 1e-3 bigints at the row level, so
+# per-dimension per-half component SUMS are exact bigints (cosine is
+# scale-invariant — the centroid division by n cancels, so sums stand in
+# for means with ZERO division error); the dot/norm folds over the 64
+# dims are bigint products (~1.8e10 each, 1.2e12 summed — exact), and
+# the only float ops are the terminal sqrt + divide. Headroom: sa*sb
+# stays under 2^63 through ~1e8 vectors per half at this quantum.
+_EMB_DRIFT = """
+WITH q AS (
+  SELECT vec_id % 2 AS half, d.pos AS dim,
+         CAST(ROUND(d.col * 1000, 0) AS BIGINT) AS qv
+  FROM embeddings LATERAL VIEW posexplode(embedding) d AS pos, col
+),
+s AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb
+  FROM q GROUP BY dim
+),
+m AS (
+  SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         CAST(SUM(sa * sa) AS BIGINT) AS na,
+         CAST(SUM(sb * sb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_dims
+  FROM s
+)
+SELECT n_dims, dot, na, nb,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         ROUND(CAST(dot AS DOUBLE)
+               / SQRT(CAST(na AS DOUBLE) * nb), 6)
+       END AS centroid_cosine
+FROM m
+"""
+
+_EMB_DRIFT_DUCK = """
+WITH q AS (
+  SELECT vec_id % 2 AS half, u.i AS dim,
+         CAST(ROUND(embedding[u.i] * 1000, 0) AS BIGINT) AS qv
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+),
+s AS (
+  SELECT dim,
+         CAST(SUM(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
+         CAST(SUM(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb
+  FROM q GROUP BY dim
+),
+m AS (
+  SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
+         CAST(SUM(sa * sa) AS BIGINT) AS na,
+         CAST(SUM(sb * sb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS n_dims
+  FROM s
+)
+SELECT n_dims, dot, na, nb,
+       CASE WHEN na > 0 AND nb > 0 THEN
+         ROUND(CAST(dot AS DOUBLE)
+               / SQRT(CAST(na AS DOUBLE) * nb), 6)
+       END AS centroid_cosine
+FROM m
+"""
+
+
+def _sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-cosine drift between two embedding snapshots (vec_id
+    parity halves) — the embedding member of the drift triad. A
+    centroid shift below ~0.999 on a stable corpus means the encoder
+    or the upstream distribution moved. One posexplode + one (dim)
+    aggregation (64-row relation), exact bigint folds, terminal
+    sqrt/divide. Positions differ 0- vs 1-based across engines but are
+    join keys only — never values. See _EMB_DRIFT."""
+    load(spark, sf_dir)
+    return spark.sql(_EMB_DRIFT)
+
+
+QUERIES["sim_embedding_drift"] = _sim_embedding_drift
+ORACLES["sim_embedding_drift"] = _EMB_DRIFT_DUCK

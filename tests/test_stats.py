@@ -602,3 +602,21 @@ def test_calibration_bins_partition_everything(spark, duck):
         assert 0 <= r.bin <= 9
         assert 0.0 <= r.obs_rate <= 1.0
         assert abs(r.obs_rate - r.n_pos / r.n) < 1e-6
+
+
+def test_embedding_drift_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _sim_embedding_drift
+
+    [row] = _sim_embedding_drift(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT vec_id, embedding FROM embeddings"
+    ).df()
+    q = np.round(np.stack(df.embedding.to_numpy()).astype(np.float64) * 1000)
+    half = (df.vec_id.to_numpy() % 2).astype(bool)
+    sa = q[~half].sum(axis=0)
+    sb = q[half].sum(axis=0)
+    cos = sa @ sb / np.sqrt((sa @ sa) * (sb @ sb))
+    assert row.n_dims == q.shape[1]
+    assert row.dot == int(sa @ sb)
+    assert row.na == int(sa @ sa) and row.nb == int(sb @ sb)
+    assert abs(row.centroid_cosine - cos) < 1e-6
