@@ -7527,3 +7527,153 @@ def _sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_embedding_drift"] = _sim_embedding_drift
 ORACLES["sim_embedding_drift"] = _EMB_DRIFT_DUCK
+
+
+def _streaming_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_auc_exact (streaming.stream_auc_exact):
+    incremental distinct-value counts, batch rank-sum identity on the
+    materialized state — graded by the BATCH oracle (17th stream==batch
+    twin; the continuously-maintained eval gate)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_auc_exact(spark, sf_dir)
+
+
+QUERIES["streaming_auc_exact"] = _streaming_auc_exact
+ORACLES["streaming_auc_exact"] = _AUC
+
+
+# Two-sample binomial proportion z-test on conversion: did the hash-
+# split A/B arms convert (event_type = 'purchase' among purchase+click
+# rows) at the same rate? The pooled-proportion z spelled with exact
+# integer counts and ONE terminal float block; the arm assignment is the
+# same salted portable hash as events_ab_test/curation_hash_split
+# (md5-derived, replayed bit-for-bit by the oracle). Completes the A/B
+# toolbox: events_ab_test (means), events_ab_srm (assignment ratio),
+# this (conversion proportions).
+_PROP_ZTEST = """
+WITH t AS (
+  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
+                            16, 10) AS BIGINT) % 2 = 0
+              THEN 'a' ELSE 'b' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM t
+)
+SELECT n_a, x_a, n_b, x_b,
+       CASE WHEN n_a > 0 THEN ROUND(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
+       CASE WHEN n_b > 0 THEN ROUND(CAST(x_b AS DOUBLE) / n_b, 6) END AS p_b,
+       CASE WHEN n_a > 0 AND n_b > 0
+             AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
+         ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+               / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+                      * (1.0 / n_a + 1.0 / n_b)), 4)
+       END AS z_stat
+FROM m
+"""
+
+
+def _events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion pooled z-test on conversion rate across the
+    salted-hash A/B arms — the binary-outcome member of the A/B family
+    (events_ab_test tests means, events_ab_srm the assignment itself).
+    Integer guards exclude the all-convert/none-convert degenerate
+    pooled variance. One fold, zero joins. See _PROP_ZTEST."""
+    load(spark, sf_dir)
+    return spark.sql(_PROP_ZTEST)
+
+
+QUERIES["events_proportion_ztest"] = _events_proportion_ztest
+ORACLES["events_proportion_ztest"] = _PROP_ZTEST.replace(
+    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
+    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
+).replace("AS STRING", "AS VARCHAR")
+
+
+# Simpson diversity / Herfindahl concentration of the per-source doc
+# mix: sum of squared counts over the squared total — EXACT bigint
+# numerator (sum n_i^2; under 2^63 through ~3e9 docs in one source),
+# one terminal division. 1 - D is the probability two random docs come
+# from different sources; pairs with agg_entropy's Shannon view and
+# needs no logarithm at all.
+_SIMPSON = """
+WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+           GROUP BY source),
+m AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(n * n) AS BIGINT) AS s2,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM c)
+SELECT nt AS n_docs, k AS n_sources,
+       CASE WHEN nt > 0 THEN
+         ROUND(CAST(s2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6)
+       END AS herfindahl,
+       CASE WHEN nt > 1 THEN
+         ROUND(1.0 - CAST(s2 - nt AS DOUBLE)
+                     / (CAST(nt AS DOUBLE) * (nt - 1)), 6)
+       END AS gini_simpson_unbiased
+FROM m
+"""
+
+
+def _agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson/Herfindahl concentration of the source mix — the
+    logarithm-free twin of agg_entropy (exact integer numerators, one
+    terminal division; the unbiased Gini-Simpson uses the
+    sampling-without-replacement correction). One fold over a
+    source-sized relation. See _SIMPSON."""
+    load(spark, sf_dir)
+    return spark.sql(_SIMPSON)
+
+
+QUERIES["agg_simpson_diversity"] = _agg_simpson_diversity
+ORACLES["agg_simpson_diversity"] = _SIMPSON
+
+
+# Reciprocity of the directed purchase-succession graph (same edge set
+# as graph_scc): what fraction of directed edges have their reverse?
+# High reciprocity changes which SCC/propagation algorithms pay off.
+# Exact: distinct directed edges self-joined on the swapped key.
+_RECIPROCITY = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+       AND a.l_partkey <> b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recip
+  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+)
+SELECT n_edges, n_recip,
+       CASE WHEN n_edges > 0 THEN
+         ROUND(CAST(n_recip AS DOUBLE) / n_edges, 6)
+       END AS reciprocity
+FROM m
+"""
+
+
+def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the directed purchase-succession graph —
+    the directed-structure diagnostic next to graph_assortativity
+    (degree mixing) and graph_clustering_coeff (closure): high
+    reciprocity means the SCC machinery (graph_scc) will find large
+    components, low means the graph is DAG-like and toposort applies.
+    One distinct edge build + one swapped-key self-join, both
+    equality-keyed. See _RECIPROCITY."""
+    load(spark, sf_dir)
+    return spark.sql(_RECIPROCITY)
+
+
+QUERIES["graph_reciprocity"] = _graph_reciprocity
+ORACLES["graph_reciprocity"] = _RECIPROCITY

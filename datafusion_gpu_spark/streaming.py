@@ -1103,3 +1103,57 @@ def stream_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n") >= 2) & (d > 0) & (d * d > var4)).alias("break_upper"),
         ((F.col("n") >= 2) & (d < 0) & (d * d > var4)).alias("break_lower"),
     )
+
+
+def stream_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_auc_exact (17th stream==batch entry): the
+    continuously-maintained eval gate. The value-level relation
+    (distinct cent -> positive count, total count) accumulates as ONE
+    streaming aggregation — state bounded by the value domain, the same
+    argument as the batch family's distinct-value windows — and the
+    rank-sum identity runs in batch on the materialized final state
+    with the IDENTICAL integer algebra, so a bounded replay is
+    bit-for-bit the batch query and the SAME oracle grades it."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+            F.when(F.col("event_type") == "purchase", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("pos"),
+        )
+    )
+    pv = ev.groupBy("c").agg(
+        F.sum("pos").cast("long").alias("dp"),
+        F.count(F.lit(1)).cast("long").alias("tc"),
+    )
+    mat = materialize_stream(pv, output_mode="complete")
+    mat.createOrReplaceTempView("__stream_auc_pv")
+    return spark.sql(
+        """
+        WITH cw AS (
+          SELECT dp, tc,
+                 CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                      AS BIGINT) AS cumb
+          FROM __stream_auc_pv
+        ),
+        s AS (
+          SELECT CAST(SUM(dp) AS BIGINT) AS n_pos,
+                 CAST(SUM(tc - dp) AS BIGINT) AS n_neg,
+                 CAST(SUM(dp * (2 * cumb + tc + 1)) AS BIGINT) AS r2_pos
+          FROM cw
+        )
+        SELECT n_pos, n_neg,
+               r2_pos - n_pos * (n_pos + 1) AS u2,
+               CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+                 ROUND(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+                       / (2.0 * n_pos * n_neg), 6)
+               END AS auc
+        FROM s
+        """
+    )

@@ -1095,3 +1095,29 @@ def test_assortativity_matches_numpy(spark):
     expect = np.corrcoef(dx, dy)[0, 1]
     assert row.n_edges == len(und)
     assert abs(row.r - expect) < 1e-6
+
+
+def test_reciprocity_closed_form(spark):
+    """Directed triangle a->b, b->a, b->c: exactly the a/b pair is
+    reciprocated -> 2 of 3 edges."""
+    from datafusion_gpu_spark.queries.pipeline import _RECIPROCITY
+
+    # build a lineitem shape whose succession edges are exactly
+    # (1->2), (2->1), (2->3): orders (10: parts 1,2), (11: parts 2,1),
+    # (12: parts 2,3) with quantities >= 40
+    rows = [
+        (10, 1, 1, 40.0), (10, 2, 2, 40.0),
+        (11, 1, 2, 40.0), (11, 2, 1, 40.0),
+        (12, 1, 2, 40.0), (12, 2, 3, 40.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "l_orderkey long, l_linenumber int, l_partkey long, l_quantity double"
+    )
+    df.createOrReplaceTempView("lineitem")
+    try:
+        [r] = spark.sql(_RECIPROCITY).collect()
+    finally:
+        spark.catalog.dropTempView("lineitem")
+    assert r.n_edges == 3
+    assert r.n_recip == 2
+    assert abs(r.reciprocity - 2 / 3) < 1e-6

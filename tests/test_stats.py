@@ -620,3 +620,52 @@ def test_embedding_drift_matches_numpy(spark, duck):
     assert row.dot == int(sa @ sb)
     assert row.na == int(sa @ sa) and row.nb == int(sb @ sb)
     assert abs(row.centroid_cosine - cos) < 1e-6
+
+
+def test_proportion_ztest_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_proportion_ztest
+
+    [row] = _events_proportion_ztest(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CASE WHEN CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv "
+        "FROM events WHERE event_type IN ('click', 'purchase')"
+    ).df()
+    a = df[df.arm == "a"].conv.to_numpy()
+    b = df[df.arm == "b"].conv.to_numpy()
+    p = (a.sum() + b.sum()) / (len(a) + len(b))
+    z = (a.mean() - b.mean()) / np.sqrt(p * (1 - p) * (1 / len(a) + 1 / len(b)))
+    assert (row.n_a, row.x_a, row.n_b, row.x_b) == (
+        len(a), int(a.sum()), len(b), int(b.sum()))
+    assert abs(row.z_stat - z) < 1e-3
+
+
+def test_simpson_diversity_closed_form(spark):
+    """Counts (3, 1): H = (9+1)/16 = 0.625; unbiased Gini-Simpson =
+    1 - (10-4)/(4*3) = 0.5."""
+    from datafusion_gpu_spark.queries.pipeline import _SIMPSON
+
+    docs = spark.createDataFrame(
+        [(i, "x", "s1") for i in range(3)] + [(9, "x", "s2")],
+        "doc_id long, text string, source string",
+    )
+    docs.createOrReplaceTempView("documents")
+    try:
+        [r] = spark.sql(_SIMPSON).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert r.n_docs == 4 and r.n_sources == 2
+    assert r.herfindahl == 0.625
+    assert r.gini_simpson_unbiased == 0.5
+
+
+def test_streaming_auc_equals_batch(spark):
+    from datafusion_gpu_spark.queries.pipeline import _AUC, load
+    from datafusion_gpu_spark.streaming import stream_auc_exact
+
+    load(spark, SF_DIR)
+    [want] = spark.sql(_AUC).collect()
+    [got] = stream_auc_exact(spark, SF_DIR).collect()
+    assert (got.n_pos, got.n_neg, got.u2, got.auc) == (
+        want.n_pos, want.n_neg, want.u2, want.auc)
