@@ -7677,3 +7677,71 @@ def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["graph_reciprocity"] = _graph_reciprocity
 ORACLES["graph_reciprocity"] = _RECIPROCITY
+
+
+# Lorenz curve of user spend: for each user decile (users ranked by
+# total purchase cents ascending), the EXACT cumulative spend share —
+# agg_gini's single number expanded into the curve a capacity planner
+# actually reads. No user-level global sort: the cumulative runs over
+# the DISTINCT SPEND VALUE relation (equidepth machinery), the 10
+# decile targets use the exactly-divisible-integer ceil spelling, and
+# the within-block interpolation cs + (t - cu)*s is pure bigint — the
+# only floats are the ten terminal share divisions.
+_LORENZ = """
+WITH spend AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+),
+v AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY s),
+cum AS (
+  SELECT s, c,
+         CAST(COALESCE(SUM(c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cu,
+         CAST(COALESCE(SUM(s * c) OVER (ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cs
+  FROM v
+),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
+      FROM v),
+d AS (
+  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+tgt AS (
+  SELECT dec,
+         CAST((dec * nu + 9 - (dec * nu + 9) % 10) / 10 AS BIGINT) AS t,
+         ts
+  FROM d CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.dec, tgt.t, tgt.ts,
+         CAST(MIN_BY(cum.cu, cum.s) AS BIGINT) AS cu,
+         CAST(MIN_BY(cum.cs, cum.s) AS BIGINT) AS cs,
+         CAST(MIN(cum.s) AS BIGINT) AS s_at
+  FROM tgt JOIN cum ON cum.cu + cum.c >= tgt.t
+  GROUP BY tgt.dec, tgt.t, tgt.ts
+)
+SELECT CAST(dec AS BIGINT) AS decile, t AS n_users_cum,
+       cs + (t - cu) * s_at AS cum_cents,
+       ROUND(CAST(cs + (t - cu) * s_at AS DOUBLE) / ts, 6) AS spend_share
+FROM pick
+"""
+
+
+def _events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Lorenz curve of per-user purchase spend (decile -> exact
+    cumulative spend share) — the distributional view whose area gap is
+    agg_gini. Value-level cumulative + a 10-row broadcast target join
+    (the equidepth shape); bigint interpolation inside tied-spend
+    blocks. See _LORENZ."""
+    load(spark, sf_dir)
+    return spark.sql(_LORENZ)
+
+
+QUERIES["events_lorenz_curve"] = _events_lorenz_curve
+ORACLES["events_lorenz_curve"] = _LORENZ

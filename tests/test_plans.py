@@ -586,3 +586,34 @@ def test_equidepth_target_join_is_tiny_broadcast(spark):
     plan = plan_of(spark, "agg_equidepth_bins")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_governance_gates_are_pure_folds(spark):
+    # privacy/profile/checksum gates: hash aggregations only — no join
+    # wider than a category-sized broadcast, no Python, no SMJ
+    for name in ("curation_k_anonymity", "curation_l_diversity",
+                 "io_profile_stats", "io_checksum_manifest"):
+        plan = plan_of(spark, name)
+        assert "SortMergeJoin" not in plan, name
+        assert "MapInPandas" not in plan and "BatchEvalPython" not in plan, name
+
+
+def test_error_safe_pack_is_pure_codegen(spark):
+    plan = plan_of(spark, "fn_error_safe")
+    assert "Exchange" not in plan  # zero shuffles: scan + project only
+    assert "*(1)" in plan  # one whole-stage-codegen span covers it all
+
+
+def test_auc_shares_mann_whitney_shape(spark):
+    # value-level agg + one window over distinct values; no joins
+    plan = plan_of(spark, "agg_auc_exact")
+    assert plan.count("Window") == 1
+    assert "Join" not in plan
+
+
+def test_reciprocity_self_join_is_keyed(spark):
+    # the swapped-key self-join may be SMJ (named in SCALE.md) but must
+    # never degenerate to a nested loop or cartesian
+    plan = plan_of(spark, "graph_reciprocity")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

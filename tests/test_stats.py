@@ -669,3 +669,29 @@ def test_streaming_auc_equals_batch(spark):
     [got] = stream_auc_exact(spark, SF_DIR).collect()
     assert (got.n_pos, got.n_neg, got.u2, got.auc) == (
         want.n_pos, want.n_neg, want.u2, want.auc)
+
+
+def test_lorenz_curve_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_lorenz_curve
+
+    rows = {r.decile: r for r in _events_lorenz_curve(spark, SF_DIR).collect()}
+    spend = np.sort(
+        duck.execute(
+            "SELECT CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)"
+            " AS s FROM events WHERE event_type = 'purchase'"
+            " AND value IS NOT NULL GROUP BY user_id"
+        ).df()["s"].to_numpy()
+    )
+    n, total = len(spend), int(spend.sum())
+    csum = np.cumsum(spend)
+    assert set(rows) == set(range(1, 11))
+    for d in range(1, 11):
+        t = -(-d * n // 10)  # ceil
+        assert rows[d].n_users_cum == t
+        assert rows[d].cum_cents == int(csum[t - 1])
+        assert abs(rows[d].spend_share - csum[t - 1] / total) < 1e-6
+    assert rows[10].spend_share == 1.0
+    # Lorenz curve is convex-ish / monotone and below the diagonal
+    shares = [rows[d].spend_share for d in range(1, 11)]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    assert shares[4] <= 0.5 + 1e-9  # bottom half holds <= half the spend
