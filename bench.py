@@ -240,9 +240,11 @@ def main() -> int:
 
     # Planning pass: warm every query once (plan + shuffle files + code
     # cache) and record its warm time, then project the timed phase at
-    # SAMPLES iterations per query. If the projection overruns the
-    # deadline, drop whole queries from the expensive end (logged) —
-    # every median that IS reported carries the full SAMPLES samples.
+    # each query's sample count (SAMPLES, or its SAMPLES_OVERRIDE). If
+    # the projection overruns the deadline, drop whole queries from the
+    # expensive end (logged) — every median that IS reported carries its
+    # full per-query sample count, recorded in the output JSON's
+    # "samples" map so cross-round comparisons can see a count change.
     runners = {}
     warm_s: dict[str, float] = {}
     for name in SF_BENCHES:
@@ -297,6 +299,7 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": results,
+        "samples": {n: _samples(n) for n in results if n in SAMPLES_OVERRIDE},
         "sf": sf,
         "canary_first": round(canary_first, 4),
         "canary_last": round(canary_last, 4),

@@ -6463,9 +6463,14 @@ def _agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # One-way ANOVA F across event types: SSB/SSW from exact per-group
 # (n, s1, s2) cent moments. Each group's s1^2/n term is rounded to a
 # bigint before the cross-group sum (same quantized-fold trick as RAKE /
-# chi2 / Kruskal-Wallis); SSW-positivity is the INTEGER predicate
-# "count distinct (grp, cent) > k" (SSW = 0 iff every group is
-# constant), never a float epsilon.
+# chi2 / Kruskal-Wallis); the degenerate guard is the INTEGER predicate
+# s2 > tq on the QUANTIZED divisor itself — guarding on the unquantized
+# variance (count distinct (grp, cent) > k) is not enough, because tq
+# can round UP to exactly s2 while the true SSW is a positive fraction,
+# leaving a 0-divide behind a passing guard (caught by round-9 review:
+# cents {1,2} give s1^2/n = 4.5 -> tq 5 == s2). When quantization eats
+# a sub-cent SSW the query emits NULL — conservative and identical on
+# both engines.
 _ANOVA_F = """
 WITH t AS (
   SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -6491,7 +6496,7 @@ q AS (
 )
 SELECT n AS n_total, k AS k_groups,
        (k - 1) AS df_between, (n - k) AS df_within,
-       CASE WHEN k > 1 AND n > k AND nvg > k THEN
+       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
          ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
                / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
        END AS f_stat
@@ -6549,7 +6554,7 @@ q AS (
 )
 SELECT n AS n_total, k AS k_groups,
        (k - 1) AS df_between, (n - k) AS df_within,
-       CASE WHEN k > 1 AND n > k AND nvg > k THEN
+       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
          ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
                / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
        END AS f_stat
@@ -6820,42 +6825,15 @@ GROUP BY na, nb, vocab
 
 # DuckDB spelling: identical algebra, DuckDB tokenizer (regexp_replace
 # 'g' flag + unnest(string_split)).
-_JSD_DUCK = r"""
-WITH w AS (
-  SELECT doc_id % 2 AS half,
-         unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
-                             ' ')) AS word
-  FROM documents
-),
-c AS (
-  SELECT word,
-         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-  FROM w GROUP BY word
-),
-n AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
-         CAST(COUNT(*) AS BIGINT) AS vocab
-  FROM c
-),
-t AS (
-  SELECT CAST(ROUND((
-           CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
-             * LN((CAST(ca AS DOUBLE) / na)
-                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
-             ELSE 0.0 END
-           + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
-             * LN((CAST(cb AS DOUBLE) / nb)
-                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
-             ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS term_q
-  FROM c CROSS JOIN n
+# DuckDB spelling derived from the Spark string (single-source algebra,
+# the _PROP_ZTEST pattern): only the tokenizer line differs.
+_JSD_DUCK = _JSD_SPARK.replace(
+    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
+    "           AS word",
+    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
+    "                             ' ')) AS word",
 )
-SELECT na AS n_words_a, nb AS n_words_b, vocab,
-       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS jsd_nats,
-       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12 / 0.693147, 6) AS jsd_norm
-FROM t CROSS JOIN n
-GROUP BY na, nb, vocab
-"""
+
 
 
 def _text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7203,8 +7181,9 @@ SELECT o_orderkey AS orderkey,
        CASE WHEN o_orderkey <= 0 THEN o_orderkey + 9223372036854775807
             ELSE CAST(NULL AS BIGINT) END AS overflow_add,
        CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                 <= 2 THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                           * 4611686018427387904
+                 BETWEEN -2 AND 1
+            THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                 * 4611686018427387904
             ELSE CAST(NULL AS BIGINT) END AS overflow_mul
 FROM orders WHERE o_orderkey < 2000
 """
@@ -7217,7 +7196,9 @@ def _fn_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     aborting the job — pinned against an oracle that spells each one
     as its explicit CASE guard (o_orderkey + int64_max overflows for
     every positive key and not for key 0 — the data has one;
-    cents * 2^62 overflows for any cents > 2). Pure codegen
+    cents * 2^62 is representable only for cents in [-2, 1]: +2*2^62
+    is exactly 2^63, one past int64 max — the review-caught off-by-one).
+    Pure codegen
     expressions, one pushed scan."""
     load(spark, sf_dir)
     return spark.sql(_TRY_SPARK)
@@ -7485,32 +7466,17 @@ SELECT n_dims, dot, na, nb,
 FROM m
 """
 
-_EMB_DRIFT_DUCK = """
-WITH q AS (
-  SELECT vec_id % 2 AS half, u.i AS dim,
-         CAST(ROUND(embedding[u.i] * 1000, 0) AS BIGINT) AS qv
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
-),
-s AS (
-  SELECT dim,
-         CAST(SUM(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
-         CAST(SUM(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb
-  FROM q GROUP BY dim
-),
-m AS (
-  SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
-         CAST(SUM(sa * sa) AS BIGINT) AS na,
-         CAST(SUM(sb * sb) AS BIGINT) AS nb,
-         CAST(COUNT(*) AS BIGINT) AS n_dims
-  FROM s
+# DuckDB twin derived from the Spark string: only the array-explode line
+# differs (LATERAL VIEW posexplode vs UNNEST(range)).
+_EMB_DRIFT_DUCK = _EMB_DRIFT.replace(
+    "  SELECT vec_id % 2 AS half, d.pos AS dim,\n"
+    "         CAST(ROUND(d.col * 1000, 0) AS BIGINT) AS qv\n"
+    "  FROM embeddings LATERAL VIEW posexplode(embedding) d AS pos, col",
+    "  SELECT vec_id % 2 AS half, u.i AS dim,\n"
+    "         CAST(ROUND(embedding[u.i] * 1000, 0) AS BIGINT) AS qv\n"
+    "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)",
 )
-SELECT n_dims, dot, na, nb,
-       CASE WHEN na > 0 AND nb > 0 THEN
-         ROUND(CAST(dot AS DOUBLE)
-               / SQRT(CAST(na AS DOUBLE) * nb), 6)
-       END AS centroid_cosine
-FROM m
-"""
+
 
 
 def _sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

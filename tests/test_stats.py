@@ -695,3 +695,23 @@ def test_lorenz_curve_matches_numpy(spark, duck):
     shares = [rows[d].spend_share for d in range(1, 11)]
     assert all(a <= b for a, b in zip(shares, shares[1:]))
     assert shares[4] <= 0.5 + 1e-9  # bottom half holds <= half the spend
+
+
+def test_anova_f_quantization_eats_subcent_ssw(spark):
+    """Review-caught case: click cents {1,2} (true SSW = 0.5 rounds
+    away: s1^2/n = 4.5 -> tq 5 == s2) + constant purchase group. The
+    nvg-style guard would pass and 0-divide; the s2 > tq guard on the
+    QUANTIZED divisor emits NULL on both engines."""
+    from datafusion_gpu_spark.queries.pipeline import _ANOVA_F
+
+    ev = spark.createDataFrame(
+        [("click", 0.01), ("click", 0.02)] + [("purchase", 0.07)] * 3,
+        "event_type string, value double",
+    )
+    ev.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_ANOVA_F).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_total == 5 and row.k_groups == 2
+    assert row.f_stat is None  # conservative NULL, never Inf/0-divide
