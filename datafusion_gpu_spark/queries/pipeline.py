@@ -7711,3 +7711,81 @@ def _events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_lorenz_curve"] = _events_lorenz_curve
 ORACLES["events_lorenz_curve"] = _LORENZ
+
+
+# Difference-in-differences on purchase value: salted-hash arms x
+# pre/post periods split at the observed midpoint timestamp (a
+# deterministic scalar derived from the data — epoch-micros midpoint of
+# [min ts, max ts], integer arithmetic). The DiD estimate
+# (mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre) is the
+# experimentation readout that survives arm-level baseline differences
+# an events_ab_test contrast cannot. Four exact (n, sum) cent moments,
+# four terminal mean divisions, one terminal contrast.
+_DID = """
+WITH b AS (
+  SELECT CAST((CAST(UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)
+               + CAST(UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT))
+              / 2 AS BIGINT) AS mid_us
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+t AS (
+  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
+                            16, 10) AS BIGINT) % 2 = 0
+              THEN 'a' ELSE 'b' END AS arm,
+         CASE WHEN CAST(UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS BIGINT)
+                   < mid_us THEN 0 ELSE 1 END AS post,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events CROSS JOIN b
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+m AS (
+  SELECT arm, post,
+         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
+  FROM t GROUP BY arm, post
+),
+p AS (
+  SELECT
+    MAX(CASE WHEN arm = 'a' AND post = 0 THEN n END) AS n_a0,
+    MAX(CASE WHEN arm = 'a' AND post = 0 THEN s END) AS s_a0,
+    MAX(CASE WHEN arm = 'a' AND post = 1 THEN n END) AS n_a1,
+    MAX(CASE WHEN arm = 'a' AND post = 1 THEN s END) AS s_a1,
+    MAX(CASE WHEN arm = 'b' AND post = 0 THEN n END) AS n_b0,
+    MAX(CASE WHEN arm = 'b' AND post = 0 THEN s END) AS s_b0,
+    MAX(CASE WHEN arm = 'b' AND post = 1 THEN n END) AS n_b1,
+    MAX(CASE WHEN arm = 'b' AND post = 1 THEN s END) AS s_b1
+  FROM m
+)
+SELECT n_a0, n_a1, n_b0, n_b1,
+       CASE WHEN n_a0 > 0 AND n_a1 > 0 AND n_b0 > 0 AND n_b1 > 0 THEN
+         ROUND((CAST(s_b1 AS DOUBLE) / n_b1 - CAST(s_b0 AS DOUBLE) / n_b0)
+               - (CAST(s_a1 AS DOUBLE) / n_a1 - CAST(s_a0 AS DOUBLE) / n_a0),
+               4)
+       END AS did_cents
+FROM p
+"""
+
+
+def _events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on purchase value across the
+    salted-hash arms and a deterministic pre/post midpoint split — the
+    baseline-robust experimentation readout (events_ab_test contrasts
+    levels; this contrasts CHANGES). One scalar midpoint broadcast,
+    one 4-cell fold, terminal arithmetic. See _DID."""
+    load(spark, sf_dir)
+    return spark.sql(_DID)
+
+
+QUERIES["events_did"] = _events_did
+ORACLES["events_did"] = _DID.replace(
+    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
+    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
+).replace(
+    "CAST(UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)",
+    "CAST(EPOCH_US(MIN(ts)) AS BIGINT)",
+).replace(
+    "CAST(UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT)",
+    "CAST(EPOCH_US(MAX(ts)) AS BIGINT)",
+).replace(
+    "CAST(UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS BIGINT)",
+    "CAST(EPOCH_US(ts) AS BIGINT)",
+)

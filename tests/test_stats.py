@@ -715,3 +715,24 @@ def test_anova_f_quantization_eats_subcent_ssw(spark):
         spark.catalog.dropTempView("events")
     assert row.n_total == 5 and row.k_groups == 2
     assert row.f_stat is None  # conservative NULL, never Inf/0-divide
+
+
+def test_did_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_did
+
+    [row] = _events_did(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CASE WHEN CAST('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)),"
+        " 1, 15) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm, "
+        "CAST(EPOCH_US(ts) AS BIGINT) AS us, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()
+    mid = (df.us.min() + df.us.max()) // 2
+    df["post"] = (df.us >= mid).astype(int)
+    means = df.groupby(["arm", "post"]).c.mean()
+    did = (means[("b", 1)] - means[("b", 0)]) - (means[("a", 1)] - means[("a", 0)])
+    cells = df.groupby(["arm", "post"]).size()
+    assert (row.n_a0, row.n_a1, row.n_b0, row.n_b1) == (
+        cells[("a", 0)], cells[("a", 1)], cells[("b", 0)], cells[("b", 1)])
+    assert abs(row.did_cents - did) < 1e-3
