@@ -7789,3 +7789,94 @@ ORACLES["events_did"] = _DID.replace(
     "CAST(UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS BIGINT)",
     "CAST(EPOCH_US(ts) AS BIGINT)",
 )
+
+
+# Heaps' law fit: vocabulary size V(n) ~ K * T(n)^beta over the
+# doc-ordered corpus prefix — the growth-curve companion of
+# text_zipf_fit's frequency fit (natural text sits near beta ~ 0.5;
+# template spam saturates early, gibberish grows linearly). Per doc:
+# cumulative token count T and cumulative NEW-word count V (a word is
+# new in the doc holding its MIN doc_id); the regression runs over the
+# doc-level relation (bounded by document count, not tokens) with the
+# zipf contract — both lns quantized to exact 1e-6 bigints, exact
+# bigint moments, closed-form slope/intercept/R^2.
+_HEAPS_SPARK = r"""
+WITH w AS (
+  SELECT doc_id,
+         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
+           AS word
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM w GROUP BY doc_id
+),
+firsts AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM (SELECT word, MIN(doc_id) AS doc_id FROM w GROUP BY word)
+  GROUP BY doc_id
+),
+curve AS (
+  SELECT p.doc_id,
+         CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) AS t,
+         CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
+           AS v
+  FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id
+),
+q AS (
+  SELECT CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xq,
+         CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yq
+  FROM curve WHERE t > 0 AND v > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
+         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
+         CAST(SUM(yq * yq) AS BIGINT) AS syy
+  FROM q
+)
+SELECT k AS n_points,
+  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+    ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
+  END AS heaps_beta,
+  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
+    ROUND((CAST(sy AS DOUBLE)
+           - (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * CAST(sx AS DOUBLE))
+          / CAST(k AS DOUBLE) / 1e6, 6)
+  END AS ln_k,
+  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+        AND CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
+    ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          * (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+          / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+             * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
+  END AS r2
+FROM m
+"""
+
+# DuckDB twin derived from the Spark string: tokenizer line only.
+_HEAPS_DUCK = _HEAPS_SPARK.replace(
+    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
+    "           AS word",
+    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
+    "                             ' ')) AS word",
+)
+
+
+def _text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit over the doc-ordered corpus —
+    the growth-curve twin of text_zipf_fit (natural text: beta ~ 0.5).
+    The cumulative windows run over the DOCUMENT-level relation
+    (bounded by doc count; the two-level stats.bucketed_cumsum spelling
+    is the documented fallback); first-occurrence attribution is one
+    word-level MIN aggregation. See _HEAPS_SPARK."""
+    load(spark, sf_dir)
+    return spark.sql(_HEAPS_SPARK)
+
+
+QUERIES["text_heaps_fit"] = _text_heaps_fit
+ORACLES["text_heaps_fit"] = _HEAPS_DUCK

@@ -457,3 +457,37 @@ def test_rake_keywords_planted_phrases(spark):
     # ranking: phrase scores descend, tie broken by phrase text
     ordered = sorted(got.values(), key=lambda r: (-r.score, r.phrase))
     assert [r.phrase for r in ordered][:2] == ["quick brown fox", "brown fox"]
+
+
+def test_heaps_fit_matches_numpy(spark):
+    """The SQL's (T, V) growth curve and regression equal a direct
+    pandas/numpy replay on the sf0.001 corpus."""
+    import numpy as np
+
+    from datafusion_gpu_spark.queries.pipeline import _text_heaps_fit
+    from tests.conftest import SF_DIR
+
+    [row] = _text_heaps_fit(spark, SF_DIR).collect()
+    import duckdb
+
+    con = duckdb.connect()
+    df = con.execute(
+        r"""SELECT doc_id,
+                 unnest(string_split(regexp_replace(trim(lower(text)),
+                        '\s+', ' ', 'g'), ' ')) AS word
+          FROM '%s/documents.parquet'""" % SF_DIR
+    ).df()
+    per_doc = df.groupby("doc_id").size().sort_index()
+    first_doc = df.groupby("word").doc_id.min()
+    new_per_doc = first_doc.value_counts().reindex(per_doc.index, fill_value=0)
+    t = per_doc.cumsum().to_numpy(dtype=float)
+    v = new_per_doc.sort_index().cumsum().to_numpy(dtype=float)
+    xq = np.round(np.log(t) * 1e6)
+    yq = np.round(np.log(v) * 1e6)
+    k = len(xq)
+    beta = (k * (xq * yq).sum() - xq.sum() * yq.sum()) / (
+        k * (xq * xq).sum() - xq.sum() ** 2)
+    assert row.n_points == k
+    assert abs(row.heaps_beta - beta) < 1e-5
+    assert 0.0 < row.heaps_beta < 1.0  # sublinear vocabulary growth
+    assert row.r2 > 0.8  # the log-log curve is near-linear
