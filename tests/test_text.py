@@ -489,5 +489,33 @@ def test_heaps_fit_matches_numpy(spark):
         k * (xq * xq).sum() - xq.sum() ** 2)
     assert row.n_points == k
     assert abs(row.heaps_beta - beta) < 1e-5
-    assert 0.0 < row.heaps_beta < 1.0  # sublinear vocabulary growth
-    assert row.r2 > 0.8  # the log-log curve is near-linear
+    # The synthetic corpus draws from a tiny fixed vocabulary, so V(n)
+    # saturates almost immediately: beta ~ 0 and the log-log curve is
+    # FLAT (r2 near 0) — exactly the Heaps-health failure this
+    # diagnostic exists to flag on template/spam text. Natural text
+    # sits near beta ~ 0.5 with r2 > 0.9.
+    assert 0.0 <= row.heaps_beta < 0.2
+    assert 0.0 <= row.r2 <= 1.0
+
+
+def test_heaps_fit_planted_growth(spark):
+    """A corpus whose vocabulary genuinely grows (each doc introduces
+    fresh words plus reuses old ones) yields beta in (0,1) with a
+    near-linear log-log curve — the healthy-corpus signature."""
+    from datafusion_gpu_spark.queries.pipeline import _HEAPS_SPARK
+
+    docs = []
+    for d in range(40):
+        # ~half old words, half brand-new per doc
+        old = " ".join(f"w{(d * 7 + i) % max(1, d * 5)}" for i in range(10))
+        new = " ".join(f"n{d}_{i}" for i in range(10))
+        docs.append((d, old + " " + new))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        [row] = spark.sql(_HEAPS_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert row.n_points == 40
+    assert 0.3 < row.heaps_beta <= 1.2
+    assert row.r2 > 0.9
