@@ -175,11 +175,27 @@ _CHECKED_R8 = (
     "text_kneser_ney", "text_zipf_fit", "window_bollinger", "window_rolling_corr",
 )
 
+_CHECKED_R9 = (
+    "agg_anova_f", "agg_auc_exact", "agg_brown_forsythe", "agg_calibration_bins",
+    "agg_chi2_independence", "agg_equidepth_bins", "agg_kruskal_wallis", "agg_mann_whitney_bucketed",
+    "agg_mood_median", "agg_pr_at_threshold", "agg_simpson_diversity", "agg_welch_ttest",
+    "curation_k_anonymity", "curation_l_diversity", "curation_source_overlap", "curation_t_closeness",
+    "events_anomalies", "events_cross_corr", "events_did", "events_gap_fill",
+    "events_interval_join", "events_ks_test_bucketed", "events_lorenz_curve", "events_proportion_ztest",
+    "events_salted_sum", "events_seasonal_anomaly", "events_tumbling", "events_winsorize",
+    "fn_error_safe", "graph_reciprocity", "io_checksum_manifest", "io_profile_stats",
+    "multimodal_chunks", "multimodal_features", "pipeline_end_to_end", "retrieval_hard_negatives",
+    "sim_contrastive_triplets", "sim_embedding_drift", "sim_topk_ivf", "sim_topk_lsh",
+    "sim_topk_pq", "sim_topk_vectorized", "streaming_auc_exact", "streaming_seasonal_anomaly",
+    "streaming_tumbling_counts", "streaming_welch_ttest", "text_heaps_fit", "text_jsd_drift",
+    "text_quality", "text_rake_keywords",
+)
+
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
-     _CHECKED_R7, _CHECKED_R8), start=1
+     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
