@@ -43,8 +43,10 @@ def bucketed_cumsum(
     over a DISTINCT-VALUE relation, without a single global window.
 
     ``value_col`` must be integer-typed and unique per row (the
-    value-level aggregate guarantees both). Output adds ``cum_<c>`` per
-    summed column; input columns pass through.
+    value-level aggregate guarantees both); any bigint domain is safe,
+    including raw xxhash64 values spanning the full signed range.
+    Output adds ``cum_<c>`` per summed column; input columns pass
+    through.
 
     Scale shape: one broadcast-scalar min/max, one window per bucket
     (parallel across ``n_buckets`` range buckets), one ``n_buckets``-row
@@ -55,17 +57,22 @@ def bucketed_cumsum(
         F.min(value_col).cast("long").alias("__lo"),
         F.max(value_col).cast("long").alias("__hi"),
     )
-    # fixed-width range buckets: (hi-lo) div n + 1 wide (>= 1). Exact
-    # integer arithmetic throughout — `div` keeps bucket assignment
-    # order-preserving at any bigint magnitude (a double division would
-    # lose exactness past 2^53).
+    # Fixed-width range buckets over the QUARTERED domain: every operand
+    # is first `div 4`-ed so no intermediate ever leaves int64 even when
+    # hi - lo itself would wrap (full-span domains like raw xxhash64):
+    # the shifted offset (v/4 - lo/4) tops out at 2^62 - 1 and the width
+    # (span/4) div n + 1 at 2^62 even for n_buckets=1. `div` truncates
+    # toward zero, which is still monotone nondecreasing in v, so
+    # quartering preserves value order; bucket assignment only needs
+    # order-preservation, never exact widths. Exact integer arithmetic
+    # throughout (a double division would lose exactness past 2^53).
     bucketed = (
         distinct_values.join(F.broadcast(rng))
         .withColumn(
             "__bucket",
             F.expr(
-                f"(CAST(`{value_col}` AS BIGINT) - __lo)"
-                f" div ((__hi - __lo) div {n_buckets} + 1)"
+                f"((CAST(`{value_col}` AS BIGINT) div 4) - (__lo div 4))"
+                f" div (((__hi div 4) - (__lo div 4)) div {n_buckets} + 1)"
             ),
         )
         .drop("__lo", "__hi")

@@ -208,6 +208,35 @@ def test_bucketed_cumsum_matches_global_window(spark):
         assert got == want, n_buckets
 
 
+def test_bucketed_cumsum_full_span_int64_domain(spark):
+    """Value domains spanning the entire signed-64 range (raw xxhash64
+    keys: min/max int64 both present) must not wrap the bucket-width
+    arithmetic — the quartered-domain spelling keeps every intermediate
+    inside int64 (offset <= 2^62 - 1; width <= 2^62 even at n_buckets=1)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
+
+    lo, hi = -(2**63), 2**63 - 1
+    vals = [(v, 1, v % 5 + 1) for v in
+            [lo, lo + 1, lo // 3, -7, 0, 11, hi // 2, hi - 1, hi]]
+    df = spark.createDataFrame(vals, "c long, x long, y long")
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.c: (r.cx, r.cy)
+        for r in df.select(
+            "c", F.sum("x").over(w).alias("cx"), F.sum("y").over(w).alias("cy")
+        ).collect()
+    }
+    for n_buckets in (1, 4, 1024):
+        got = {
+            r.c: (r.cum_x, r.cum_y)
+            for r in bucketed_cumsum(df, "c", ("x", "y"), n_buckets).collect()
+        }
+        assert got == want, n_buckets
+
+
 def test_mann_whitney_bucketed_parity_with_sql(spark):
     """stats.mann_whitney_u (two-level) returns the identical row —
     exact integers AND the terminal floats — as the _MANN_WHITNEY
