@@ -460,11 +460,14 @@ def test_rake_keywords_planted_phrases(spark):
 
 
 def test_heaps_fit_matches_numpy(spark):
-    """The SQL's (T, V) growth curve and regression equal a direct
-    pandas/numpy replay on the sf0.001 corpus."""
+    """The (T, V) growth curve, log-spaced downsample, and regression
+    equal a direct pandas/numpy replay on the sf0.001 corpus."""
     import numpy as np
 
-    from datafusion_gpu_spark.queries.pipeline import _text_heaps_fit
+    from datafusion_gpu_spark.queries.pipeline import (
+        _HEAPS_QUANTUM,
+        _text_heaps_fit,
+    )
     from tests.conftest import SF_DIR
 
     [row] = _text_heaps_fit(spark, SF_DIR).collect()
@@ -482,8 +485,13 @@ def test_heaps_fit_matches_numpy(spark):
     new_per_doc = first_doc.value_counts().reindex(per_doc.index, fill_value=0)
     t = per_doc.cumsum().to_numpy(dtype=float)
     v = new_per_doc.sort_index().cumsum().to_numpy(dtype=float)
-    xq = np.round(np.log(t) * 1e6)
-    yq = np.round(np.log(v) * 1e6)
+    xq_all = np.round(np.log(t) * 1e6)
+    yq_all = np.round(np.log(v) * 1e6)
+    # log-spaced downsample: last (= max, both cumulatives are
+    # monotone) point per FLOOR(xq / quantum) bucket
+    buckets = np.floor(xq_all / _HEAPS_QUANTUM)
+    xq = np.array([xq_all[buckets == b].max() for b in np.unique(buckets)])
+    yq = np.array([yq_all[buckets == b].max() for b in np.unique(buckets)])
     k = len(xq)
     beta = (k * (xq * yq).sum() - xq.sum() * yq.sum()) / (
         k * (xq * xq).sum() - xq.sum() ** 2)
@@ -502,7 +510,7 @@ def test_heaps_fit_planted_growth(spark):
     """A corpus whose vocabulary genuinely grows (each doc introduces
     fresh words plus reuses old ones) yields beta in (0,1) with a
     near-linear log-log curve — the healthy-corpus signature."""
-    from datafusion_gpu_spark.queries.pipeline import _HEAPS_SPARK
+    from datafusion_gpu_spark.queries.pipeline import _HEAPS_SINGLE_WINDOW
 
     docs = []
     for d in range(40):
@@ -513,9 +521,28 @@ def test_heaps_fit_planted_growth(spark):
     df = spark.createDataFrame(docs, "doc_id long, text string")
     df.createOrReplaceTempView("documents")
     try:
-        [row] = spark.sql(_HEAPS_SPARK).collect()
+        [row] = spark.sql(_HEAPS_SINGLE_WINDOW).collect()
     finally:
         spark.catalog.dropTempView("documents")
-    assert row.n_points == 40
+    # 40 curve points, log-spaced downsample keeps one per ln-bucket
+    assert 10 < row.n_points <= 40
     assert 0.3 < row.heaps_beta <= 1.2
     assert row.r2 > 0.9
+
+
+def test_heaps_bucketed_parity_with_single_window(spark):
+    """The shipped two-level bucketed-cumsum spelling returns the
+    bit-identical row — exact point count AND terminal floats — as the
+    single-window SQL contract on the same corpus (the MW/KS parity
+    pattern applied to text_heaps_fit)."""
+    from datafusion_gpu_spark.queries import load
+    from datafusion_gpu_spark.queries.pipeline import (
+        _HEAPS_SINGLE_WINDOW,
+        _text_heaps_fit,
+    )
+    from tests.conftest import SF_DIR
+
+    load(spark, SF_DIR)
+    [want] = spark.sql(_HEAPS_SINGLE_WINDOW).collect()
+    [got] = _text_heaps_fit(spark, SF_DIR).collect()
+    assert got == want
