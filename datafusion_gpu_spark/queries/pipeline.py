@@ -7699,14 +7699,74 @@ FROM pick
 """
 
 
+# Distinct-spend value relation feeding the cumulative: (s, c, sc) with
+# sc = s*c precomputed so both exclusive cumulatives (user count cu,
+# spend cs) come from one bucketed_cumsum call.
+_LORENZ_VALUES = """
+SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
+       CAST(s * COUNT(*) AS BIGINT) AS sc
+FROM (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+) GROUP BY s
+"""
+
+# Decile targets + tied-block interpolation over any relation exposing
+# (s, c, cu, cs) — the exclusive cumulatives per distinct spend value.
+_LORENZ_TAIL = """
+WITH n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
+      FROM {cum}),
+d AS (
+  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+tgt AS (
+  SELECT dec,
+         CAST((dec * nu + 9 - (dec * nu + 9) % 10) / 10 AS BIGINT) AS t,
+         ts
+  FROM d CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.dec, tgt.t, tgt.ts,
+         CAST(MIN_BY(cum.cu, cum.s) AS BIGINT) AS cu,
+         CAST(MIN_BY(cum.cs, cum.s) AS BIGINT) AS cs,
+         CAST(MIN(cum.s) AS BIGINT) AS s_at
+  FROM tgt JOIN {cum} cum ON cum.cu + cum.c >= tgt.t
+  GROUP BY tgt.dec, tgt.t, tgt.ts
+)
+SELECT CAST(dec AS BIGINT) AS decile, t AS n_users_cum,
+       cs + (t - cu) * s_at AS cum_cents,
+       ROUND(CAST(cs + (t - cu) * s_at AS DOUBLE) / ts, 6) AS spend_share
+FROM pick
+"""
+
+
 def _events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Lorenz curve of per-user purchase spend (decile -> exact
     cumulative spend share) — the distributional view whose area gap is
-    agg_gini. Value-level cumulative + a 10-row broadcast target join
-    (the equidepth shape); bigint interpolation inside tied-spend
-    blocks. See _LORENZ."""
+    agg_gini. The distinct-spend cumulative runs through the two-level
+    stats.bucketed_cumsum spelling (per-bucket parallel windows over
+    spend ranges), so no stage orders the full distinct-spend relation
+    — which approaches |users| — on one partition; exclusive cu/cs are
+    inclusive-minus-own (exact bigints, bit-identical to the
+    single-window _LORENZ contract, which stays as the oracle). Then a
+    10-row broadcast target join + bigint interpolation inside
+    tied-spend blocks."""
     load(spark, sf_dir)
-    return spark.sql(_LORENZ)
+    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
+
+    vals = spark.sql(_LORENZ_VALUES)
+    cum = bucketed_cumsum(vals, "s", ("c", "sc"), n_buckets=256).select(
+        "s",
+        "c",
+        (F.col("cum_c") - F.col("c")).alias("cu"),
+        (F.col("cum_sc") - F.col("sc")).alias("cs"),
+    )
+    cum.createOrReplaceTempView("__lorenz_cum")
+    return spark.sql(_LORENZ_TAIL.format(cum="__lorenz_cum"))
 
 
 QUERIES["events_lorenz_curve"] = _events_lorenz_curve

@@ -726,6 +726,23 @@ def test_lorenz_curve_matches_numpy(spark, duck):
     assert shares[4] <= 0.5 + 1e-9  # bottom half holds <= half the spend
 
 
+def test_lorenz_bucketed_parity_with_single_window(spark):
+    """The shipped two-level bucketed-cumsum spelling of
+    events_lorenz_curve returns the bit-identical deciles — exact
+    bigint interpolation AND terminal shares — as the single-window
+    _LORENZ contract (which stays as the driver oracle)."""
+    from datafusion_gpu_spark.queries import load
+    from datafusion_gpu_spark.queries.pipeline import (
+        _LORENZ,
+        _events_lorenz_curve,
+    )
+
+    load(spark, SF_DIR)
+    want = sorted(spark.sql(_LORENZ).collect())
+    got = sorted(_events_lorenz_curve(spark, SF_DIR).collect())
+    assert got == want
+
+
 def test_anova_f_quantization_eats_subcent_ssw(spark):
     """Review-caught case: click cents {1,2} (true SSW = 0.5 rounds
     away: s1^2/n = 4.5 -> tq 5 == s2) + constant purchase group. The
