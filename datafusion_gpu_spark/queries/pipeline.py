@@ -6327,10 +6327,12 @@ def _agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (which contribute exp to the classic form and 0 to the identity's sum;
 # the -N term absorbs exactly that). Each cell ratio <= 1 is quantized to
 # 1e-12 bigints so the across-cell fold is exact integer arithmetic (the
-# RAKE/zipf trick); quantization bias <= N * cells * 5e-13 stays below the
-# 4dp round through ~sf10, and the knob is the quantum. The existing
-# agg_chi_squared is goodness-of-fit against fixed probabilities; this is
-# the two-margin independence test.
+# RAKE/zipf trick); quantization bias <= N * cells * 5e-13, and the CASE
+# guard makes the headroom limit VISIBLE: past N * cells >= 1e8 (~sf10
+# for this shape) chi2 is NULL instead of drifting at the 4dp round
+# (round-10 ADVICE; the knob is the 1e12 quantum — see _MOOD_MEDIAN's
+# note). The existing agg_chi_squared is goodness-of-fit against fixed
+# probabilities; this is the two-margin independence test.
 _CHI2_INDEP = """
 WITH obs AS (
   SELECT o_orderpriority AS r, o_orderstatus AS c,
@@ -6357,7 +6359,8 @@ d AS (
 )
 SELECT n_cells,
        (kr - 1) * (kc - 1) AS df,
-       CASE WHEN kr > 1 AND kc > 1 THEN
+       CASE WHEN kr > 1 AND kc > 1
+             AND CAST(nt AS DOUBLE) * n_cells * 5e-13 < 5e-5 THEN
          ROUND(CAST(nt AS DOUBLE) * (CAST(sq AS DOUBLE) / 1e12 - 1), 4)
        END AS chi2
 FROM s CROSS JOIN tot CROSS JOIN d
@@ -6397,10 +6400,17 @@ ORACLES["agg_chi2_independence"] = _CHI2_INDEP
 # (doubled average ranks are integers); per-group doubled rank sums R2_g
 # are exact bigints; the cross-group sum uses the deviation form
 # H = 3/(N(N+1)) * sum_g e_g^2/n_g with e_g = R2_g - n_g*(N+1) (exact
-# bigint), each group's e^2/n term rounded to a bigint (error <= 0.5/group
-# against an H scale of N^2 — vanishing), so the fold is exact. Tie
-# correction divides by 1 - tie3/(N^3-N) computed in double (the bigint
-# N^3 spelling overflows at N~2.1e6 — the r9 probe lesson).
+# bigint), each group's e^2/n term ROUNDED but summed in DOUBLE: under
+# strong group separation e_g ~ n_g*N so a term reaches ~n_g*N^2 (N^3
+# worst case), which would wrap a bigint fold near N ~ 3e6 (round-10
+# ADVICE). Each rounded term is integer-valued, so the double sum is
+# EXACT (hence order-independent cross-engine) below 2^53 — full
+# separation at N ~ 2e5 — and beyond that degrades to ~1e-16 relative
+# error against an H scale of O(N): invisible at the 4dp round until
+# N ~ 1e11, where the bigint spelling wrapped silently. Tie correction
+# divides by 1 - tie3/(N^3-N) computed in double (the bigint N^3
+# spelling overflows at N~2.1e6 — the r9 probe lesson); e_g itself is
+# exact bigint up to n_g*N ~ 9.2e18, i.e. N ~ 3e9 rows.
 _KRUSKAL_WALLIS = """
 WITH t AS (
   SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -6435,9 +6445,9 @@ tot AS (
 ),
 q AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(CAST(ROUND(
+         SUM(ROUND(
            CAST(r2_g - n_g * (n + 1) AS DOUBLE)
-             * (r2_g - n_g * (n + 1)) / n_g, 0) AS BIGINT)) AS BIGINT) AS sq
+             * (r2_g - n_g * (n + 1)) / n_g, 0)) AS sq
   FROM g CROSS JOIN tot
 )
 SELECT n AS n_total, k AS k_groups, (k - 1) AS df, tie3,
@@ -6858,6 +6868,12 @@ ORACLES["text_jsd_drift"] = _JSD_DUCK
 # exact identity and 1e-12-quantized fold as agg_chi2_independence. The
 # grand median enters as 2*MEDIAN (always an integer for integer cents —
 # the Brown-Forsythe trick), so "above" is the exact predicate 2c > m2.
+# Both this and _CHI2_INDEP guard the identity's linear-in-N bias
+# amplification VISIBLY: the worst-case quantization bias on chi2 is
+# N * cells * 5e-13, and once that could touch the 4dp round (half-ulp
+# 5e-5, i.e. N * cells >= 1e8 — around sf10 for these shapes) the
+# statistic is NULL rather than silently drifting. The knob is the
+# 1e12 quantum: each 10x raise buys 10x N at ~one fewer safe digit.
 _MOOD_MEDIAN = """
 WITH t AS (
   SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
@@ -6885,7 +6901,8 @@ d AS (
             FROM ct) AS n_above
 )
 SELECT nt AS n_total, kr AS k_groups, n_above, (kr - 1) * (kc - 1) AS df,
-       CASE WHEN kr > 1 AND kc > 1 THEN
+       CASE WHEN kr > 1 AND kc > 1
+             AND CAST(nt AS DOUBLE) * kr * kc * 5e-13 < 5e-5 THEN
          ROUND(CAST(nt AS DOUBLE)
                * (CAST(SUM(term_q) AS BIGINT) / 1e12 - 1), 4)
        END AS chi2
