@@ -32,6 +32,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Runtime routing threshold for :func:`cumsum_auto`. Measured
+#: (tools/stats_window_probe.py, local[32], wide-domain worst case —
+#: every distinct value survives to the window): the two-level spelling
+#: won at EVERY probed size (100k: 1.6s vs 5.4s; 500k: 1.3 vs 2.2;
+#: 1M: 1.5 vs 2.5; 3M: 1.7 vs 4.0; 10M: 2.6 vs 9.3), so the "crossover"
+#: is below the smallest probe and this constant just bounds where the
+#: single window is KNOWN harmless: below ~64k distinct values the gap
+#: is well under a second and the single window skips one min/max
+#: aggregate + one extra shuffle of a tiny relation.
+CUMSUM_ROUTE_THRESHOLD = 65_536
+
 
 def bucketed_cumsum(
     distinct_values: DataFrame,
@@ -109,6 +120,34 @@ def bucketed_cumsum(
     )
 
 
+def cumsum_auto(
+    distinct_values: DataFrame,
+    value_col: str,
+    sum_cols: tuple[str, ...],
+    n_buckets: int = 1024,
+    threshold: int | None = None,
+) -> DataFrame:
+    """Runtime-routed distinct-value cumulative sum: count the relation
+    once (cheap — it is already value-level aggregated, and Spark
+    reuses the shuffle output for the second pass) and pick the
+    spelling. At or below ``threshold`` (default
+    :data:`CUMSUM_ROUTE_THRESHOLD`) distinct values, one global ordered
+    window — fine for a bounded domain like cent values, and skips the
+    min/max + offset machinery. Above it, :func:`bucketed_cumsum` —
+    no single task ever orders more than ``n / n_buckets`` rows. The
+    two spellings are bit-identical on exact-integer inputs, so
+    routing is purely a physical-plan decision."""
+    limit = CUMSUM_ROUTE_THRESHOLD if threshold is None else threshold
+    if distinct_values.count() <= limit:
+        w = Window.orderBy(value_col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return distinct_values.select(
+            "*", *[F.sum(c).over(w).alias(f"cum_{c}") for c in sum_cols]
+        )
+    return bucketed_cumsum(distinct_values, value_col, sum_cols, n_buckets)
+
+
 def _two_group_values(
     df: DataFrame, group_col: str, value_col: str, group_a: str, group_b: str
 ) -> DataFrame:
@@ -134,17 +173,25 @@ def mann_whitney_u(
     value_col: str,
     group_a: str,
     group_b: str,
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Tie-corrected Mann-Whitney U via the two-level bucketed cumsum —
     result-identical to queries/pipeline.py's ``_MANN_WHITNEY`` SQL
     (same doubled-rank integer algebra, same terminal float expression
     via ``F.expr`` so the IEEE spelling matches token-for-token), but
-    the cumulative-below count comes from :func:`bucketed_cumsum`
-    instead of one global window. ``value_col`` must be pre-quantized
-    to integers by the caller."""
+    the cumulative-below count comes from the distinct-value cumsum
+    machinery instead of one global window. With the default
+    ``n_buckets=None`` the spelling is RUNTIME-ROUTED by
+    :func:`cumsum_auto` (single window at or below
+    :data:`CUMSUM_ROUTE_THRESHOLD` distinct values, two-level above);
+    an explicit integer forces the two-level plan with that many
+    buckets. ``value_col`` must be pre-quantized to integers by the
+    caller."""
     pv = _two_group_values(df, group_col, value_col, group_a, group_b)
-    cum = bucketed_cumsum(pv, "c", ("tc",), n_buckets=n_buckets)
+    if n_buckets is None:
+        cum = cumsum_auto(pv, "c", ("tc",))
+    else:
+        cum = bucketed_cumsum(pv, "c", ("tc",), n_buckets=n_buckets)
     cw = cum.select(
         "da", "tc", (F.col("cum_tc") - F.col("tc")).alias("cumb")
     )
@@ -187,14 +234,19 @@ def ks_two_sample(
     value_col: str,
     group_a: str,
     group_b: str,
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Two-sample KS distance via the two-level bucketed cumsum —
     result-identical to ``_KS_TEST`` (exact integer numerator
     ``m = max|ca*n_b - cb*n_a|``, cross-multiplied alpha=.05 decision),
-    with both ECDF cumulatives from :func:`bucketed_cumsum`."""
+    with both ECDF cumulatives runtime-routed exactly as
+    :func:`mann_whitney_u` (``n_buckets=None`` -> :func:`cumsum_auto`;
+    explicit integer -> forced two-level)."""
     pv = _two_group_values(df, group_col, value_col, group_a, group_b)
-    cum = bucketed_cumsum(pv, "c", ("da", "db"), n_buckets=n_buckets)
+    if n_buckets is None:
+        cum = cumsum_auto(pv, "c", ("da", "db"))
+    else:
+        cum = bucketed_cumsum(pv, "c", ("da", "db"), n_buckets=n_buckets)
     nn = pv.agg(
         F.sum("da").cast("long").alias("n_a"), F.sum("db").cast("long").alias("n_b")
     )

@@ -237,6 +237,52 @@ def test_bucketed_cumsum_full_span_int64_domain(spark):
         assert got == want, n_buckets
 
 
+def test_cumsum_auto_routes_by_n_distinct(spark):
+    """cumsum_auto is the stats family's documented runtime default:
+    at or below the threshold the physical plan is ONE global ordered
+    window (no __bucket partition spec anywhere); above it the
+    two-level plan appears (windows partitioned by __bucket). Results
+    are bit-identical on both routes."""
+    from datafusion_gpu_spark.operators.stats import cumsum_auto
+
+    df = spark.createDataFrame(
+        [(v, v % 3 + 1) for v in range(200)], "c long, x long"
+    )
+    small = cumsum_auto(df, "c", ("x",), threshold=10_000)
+    plan_small = small._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" not in plan_small
+    big = cumsum_auto(df, "c", ("x",), threshold=10)
+    plan_big = big._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan_big
+    rows_small = {r.c: r.cum_x for r in small.collect()}
+    rows_big = {r.c: r.cum_x for r in big.collect()}
+    assert rows_small == rows_big
+
+
+def test_mann_whitney_default_auto_routes(spark):
+    """The default n_buckets=None on the MW/KS operators engages
+    cumsum_auto: on gate-sized data (distinct cents << threshold) the
+    plan takes the single-window route and the statistics equal the
+    forced two-level spelling."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.stats import mann_whitney_u
+    from datafusion_gpu_spark.queries import load
+
+    load(spark, SF_DIR)
+    ev = spark.table("events").select(
+        "event_type", F.round(F.col("value") * 100, 0).cast("long").alias("c")
+    )
+    auto = mann_whitney_u(ev, "event_type", "c", "click", "purchase")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" not in plan  # sf0.001 cents << 65_536 threshold
+    [got] = auto.collect()
+    [want] = mann_whitney_u(
+        ev, "event_type", "c", "click", "purchase", n_buckets=64
+    ).collect()
+    assert got == want
+
+
 def test_mann_whitney_bucketed_parity_with_sql(spark):
     """stats.mann_whitney_u (two-level) returns the identical row —
     exact integers AND the terminal floats — as the _MANN_WHITNEY
