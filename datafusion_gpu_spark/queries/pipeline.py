@@ -8016,3 +8016,182 @@ FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id"""
 
 QUERIES["text_heaps_fit"] = _text_heaps_fit
 ORACLES["text_heaps_fit"] = _HEAPS_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Round 10 — ranking-curve eval gates (cumulative gain / lift at deciles,
+# precision at top-k) + Holt double-exponential smoothing. The ranking
+# curves are what a filter-model owner reads NEXT TO agg_auc_exact before
+# shipping: AUC says "the score ranks positives above negatives overall";
+# gain/lift says "the top decile captures X% of positives, Y× random";
+# precision@k says "of the k docs the filter would actually keep, how
+# many are true positives". All three reuse the Mann-Whitney/AUC rank
+# machinery: a distinct-score relation, ONE cumulative (runtime-routed
+# through stats.cumsum_auto — the bucketed spelling from day one), exact
+# bigint interpolation inside tied-score blocks (the Lorenz pattern, but
+# ordered by score DESCENDING via the negated-key trick), terminal
+# divisions only.
+# ---------------------------------------------------------------------------
+
+# Distinct-score relation, ordered for descending-score cumulatives:
+# d = -cents so ascending d == descending score; dp = positives at the
+# score, tc = rows at the score.
+_RANKCURVE_VALUES = """
+SELECT CAST(-c AS BIGINT) AS d,
+       CAST(SUM(pos) AS BIGINT) AS dp,
+       CAST(COUNT(*) AS BIGINT) AS tc
+FROM (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+) GROUP BY c
+"""
+
+# The single-window cumulative spelling (oracle + contract): exclusive
+# cumulative rows (cu) and positives (cp) above each score block.
+_RANKCURVE_CUM_SQL = """
+SELECT d, dp, tc,
+       CAST(COALESCE(SUM(tc) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cu,
+       CAST(COALESCE(SUM(dp) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cp
+FROM v
+"""
+
+# Gain/lift at each population decile. Interpolation inside a tied-score
+# block distributes the block's dp positives uniformly over its tc rows
+# (the standard convention): pos(t) = cp + (t - cu) * dp / tc, kept
+# exact as the bigint numerator cp*tc + (t-cu)*dp over denominator
+# tc * np (ONE terminal division per output column). Headroom: the
+# numerator is bounded by np*tc + tc*dp <= 2*N*tc — past 2^63 only if a
+# single tied-score block times the corpus both approach ~2e9, i.e. an
+# all-tied 2e9-row corpus; real score columns keep tc << N.
+_GAIN_LIFT_TAIL = """
+WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
+      FROM {cum}),
+k AS (
+  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+tgt AS (
+  SELECT dec,
+         CAST((dec * nr + 9 - (dec * nr + 9) % 10) / 10 AS BIGINT) AS t,
+         np
+  FROM k CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.dec, tgt.t, tgt.np,
+         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
+         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
+         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
+         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
+  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
+  GROUP BY tgt.dec, tgt.t, tgt.np
+)
+SELECT CAST(dec AS BIGINT) AS decile, t AS n_rows_cum,
+       cp * tc + (t - cu) * dp AS pos_num,
+       CASE WHEN np > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * np), 6)
+       END AS gain,
+       CASE WHEN np > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * np) * 10.0 / dec, 6)
+       END AS lift
+FROM pick
+"""
+
+# Precision among the top-k scored rows, k in {10, 100, 1000, 10000}
+# capped at the population: prec(k) = pos(t)/t with the same exact
+# interpolation numerator over denominator tc * t.
+_PREC_AT_K_TAIL = """
+WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
+      FROM {cum}),
+ks AS (
+  SELECT 10 AS k UNION ALL SELECT 100 UNION ALL SELECT 1000
+  UNION ALL SELECT 10000
+),
+tgt AS (
+  SELECT k, LEAST(CAST(k AS BIGINT), nr) AS t, np FROM ks CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.k, tgt.t, tgt.np,
+         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
+         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
+         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
+         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
+  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
+  GROUP BY tgt.k, tgt.t, tgt.np
+)
+SELECT CAST(k AS BIGINT) AS top_k, t AS n_eff,
+       cp * tc + (t - cu) * dp AS pos_num,
+       CASE WHEN t > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * t), 6)
+       END AS p_at_k
+FROM pick
+"""
+
+# The tails are themselves WITH chains; splice them after the shared
+# values + single-window-cumulative CTEs for the oracle spellings.
+_GAIN_LIFT_SINGLE = (
+    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
+    + "),\n" + _GAIN_LIFT_TAIL.replace("WITH ", "", 1).format(cum="cum")
+)
+_PREC_AT_K_SINGLE = (
+    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
+    + "),\n" + _PREC_AT_K_TAIL.replace("WITH ", "", 1).format(cum="cum")
+)
+
+
+def _rankcurve_cum(spark: SparkSession) -> None:
+    """Materialize the descending-score cumulative relation as the
+    __rankcurve_cum temp view via stats.cumsum_auto (runtime-routed:
+    single window under the threshold, two-level bucketed above)."""
+    from datafusion_gpu_spark.operators.stats import cumsum_auto
+
+    vals = spark.sql(_RANKCURVE_VALUES)
+    cum = cumsum_auto(vals, "d", ("tc", "dp")).select(
+        "d",
+        "dp",
+        "tc",
+        (F.col("cum_tc") - F.col("tc")).alias("cu"),
+        (F.col("cum_dp") - F.col("dp")).alias("cp"),
+    )
+    cum.createOrReplaceTempView("__rankcurve_cum")
+
+
+def _agg_gain_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain + lift at each population decile for the
+    value-scores-purchases classifier (agg_auc_exact's setup read as a
+    targeting curve): gain = share of all positives captured by the
+    top 10k% of rows by score, lift = gain over the random baseline
+    k/10. Distinct-score relation + ONE runtime-routed cumulative
+    (stats.cumsum_auto — bucketed past the threshold) + a 10-row
+    broadcast decile join with exact bigint tied-block interpolation
+    (the Lorenz machinery ordered by negated score). Graded by the
+    single-window SQL oracle, so a green row is the parity proof."""
+    load(spark, sf_dir)
+    _rankcurve_cum(spark)
+    return spark.sql(_GAIN_LIFT_TAIL.format(cum="__rankcurve_cum"))
+
+
+def _agg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision among the top-k scored rows (k = 10/100/1000/10000,
+    capped at the population) — the acceptance gate for 'keep the k
+    best-scored documents': of what the filter keeps, how much is
+    actually positive. Same machinery as agg_gain_lift_curve with
+    absolute-k targets. Graded by the single-window SQL oracle."""
+    load(spark, sf_dir)
+    _rankcurve_cum(spark)
+    return spark.sql(_PREC_AT_K_TAIL.format(cum="__rankcurve_cum"))
+
+
+QUERIES["agg_gain_lift_curve"] = _agg_gain_lift_curve
+QUERIES["agg_precision_at_k"] = _agg_precision_at_k
+ORACLES["agg_gain_lift_curve"] = _GAIN_LIFT_SINGLE
+ORACLES["agg_precision_at_k"] = _PREC_AT_K_SINGLE

@@ -828,3 +828,88 @@ def test_did_matches_numpy(spark, duck):
     assert (row.n_a0, row.n_a1, row.n_b0, row.n_b1) == (
         cells[("a", 0)], cells[("a", 1)], cells[("b", 0)], cells[("b", 1)])
     assert abs(row.did_cents - did) < 1e-3
+
+
+def _rank_blocks(duck):
+    """Distinct-score blocks ordered by score DESCENDING with exclusive
+    cumulative rows/positives — the ground-truth substrate for the
+    round-10 ranking curves."""
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click','purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    g = (
+        df.groupby("c")
+        .agg(dp=("pos", "sum"), tc=("pos", "size"))
+        .sort_index(ascending=False)
+        .reset_index()
+    )
+    g["cu"] = g.tc.cumsum().shift(fill_value=0)
+    g["cp"] = g.dp.cumsum().shift(fill_value=0)
+    return g, int(g.tc.sum()), int(g.dp.sum())
+
+
+def _interp_pos(g, t):
+    """Interpolated positives among the top-t rows (uniform within the
+    tied-score block holding rank t)."""
+    blk = g[g.cu + g.tc >= t].iloc[0]
+    return float(blk.cp) + (t - float(blk.cu)) * float(blk.dp) / float(blk.tc)
+
+
+def test_gain_lift_curve_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_gain_lift_curve
+
+    rows = {r.decile: r for r in _agg_gain_lift_curve(spark, SF_DIR).collect()}
+    g, n, p = _rank_blocks(duck)
+    assert set(rows) == set(range(1, 11))
+    for d in range(1, 11):
+        t = -(-d * n // 10)  # ceil
+        assert rows[d].n_rows_cum == t
+        pos = _interp_pos(g, t)
+        assert abs(rows[d].gain - pos / p) < 1e-6
+        assert abs(rows[d].lift - pos / p * 10 / d) < 1e-5
+    # gain is monotone and ends at exactly 1; lift at decile 10 is 1
+    gains = [rows[d].gain for d in range(1, 11)]
+    assert all(a <= b + 1e-12 for a, b in zip(gains, gains[1:]))
+    assert rows[10].gain == 1.0
+    assert rows[10].lift == 1.0
+
+
+def test_precision_at_k_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_precision_at_k
+
+    rows = {r.top_k: r for r in _agg_precision_at_k(spark, SF_DIR).collect()}
+    g, n, p = _rank_blocks(duck)
+    assert set(rows) == {10, 100, 1000, 10000}
+    for k in (10, 100, 1000, 10000):
+        t = min(k, n)
+        assert rows[k].n_eff == t
+        pos = _interp_pos(g, t)
+        assert abs(rows[k].p_at_k - pos / t) < 1e-6
+    # k past the population degrades to the base rate exactly
+    if n < 10000:
+        assert abs(rows[10000].p_at_k - p / n) < 1e-6
+
+
+def test_gain_lift_planted_perfect_separator(spark):
+    """A score that perfectly separates positives (all positives score
+    above all negatives, 10% positive rate) must show gain(1) == 1.0
+    and lift(1) == 10 — the textbook ceiling."""
+    from datafusion_gpu_spark.queries.pipeline import _GAIN_LIFT_TAIL
+
+    rows = [(float(1000 - i), "purchase" if i < 10 else "click")
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "value double, event_type string")
+    df.createOrReplaceTempView("events")
+    try:
+        from datafusion_gpu_spark.queries.pipeline import _rankcurve_cum
+
+        _rankcurve_cum(spark)
+        got = {r.decile: r for r in spark.sql(
+            _GAIN_LIFT_TAIL.format(cum="__rankcurve_cum")).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    assert got[1].gain == 1.0 and got[1].lift == 10.0
+    assert got[5].gain == 1.0 and got[5].lift == 2.0
