@@ -814,6 +814,114 @@ def ewma_halflife(
     )
 
 
+def holt_weights(span: int) -> tuple[list[int], list[int]]:
+    """Integer weight vectors for :func:`holt_linear`: the ``span``
+    power-of-two EWMA weights w_k = 2^(span-1-k), and their
+    self-convolution conv_j = (span - |j - (span-1)|) * 2^(2(span-1)-j)
+    for j in 0..2(span-1) — the fixed kernel that double smoothing
+    collapses to over a truncated window."""
+    w1 = [1 << (span - 1 - k) for k in range(span)]
+    w2 = [
+        (span - abs(j - (span - 1))) * (1 << (2 * (span - 1) - j))
+        for j in range(2 * span - 1)
+    ]
+    return w1, w2
+
+
+def holt_terminal_exprs(scale: int = 100) -> dict[str, str]:
+    """The terminal IEEE expressions shared token-for-token between the
+    Spark operator and the DuckDB oracle (level/trend/forecast from the
+    exact num/den bigints). Brown's one-parameter equivalence at
+    halflife-1 smoothing (alpha = 1/2, so alpha/(1-alpha) = 1):
+    level = 2S' - S'', trend = S' - S'', forecast = level + trend."""
+    s = float(scale)
+    sp = "CAST(num1 AS DOUBLE) / den1"
+    spp = "CAST(num2 AS DOUBLE) / den2"
+    return {
+        "level": f"ROUND((2.0 * ({sp}) - {spp}) / {s}, 6)",
+        "trend": f"ROUND(({sp} - {spp}) / {s}, 6)",
+        "forecast_next": f"ROUND((3.0 * ({sp}) - 2.0 * ({spp})) / {s}, 6)",
+    }
+
+
+def holt_linear(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    span: int = 20,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key double-exponential (Brown) smoothing with linear trend —
+    the forecasting step next to :func:`ewma_halflife`'s level-only
+    smoother: a drift monitor that compares each value against
+    ``forecast_next`` from the PREVIOUS row sees trend-adjusted
+    residuals, where plain EWMA lags every ramp.
+
+    Exact-arithmetic spelling: S' (single smooth) is the truncated
+    power-of-two EWMA — num1/den1 exactly as :func:`ewma_halflife`.
+    S'' (smooth of the smooth) over a truncated window collapses to ONE
+    fixed integer convolution, because EWMA(EWMA) weights are the
+    self-convolution of the weight vector (:func:`holt_weights`):
+
+        num2_i = sum_j conv_j * c_{i-j}   over rows that exist
+        den2_i = sum_{j : row exists} conv_j
+
+    so both smoothers are exact bigint folds over ONE window spec
+    (2*span-1 lag pairs, all JVM codegen, one shuffle on the key), and
+    the adjusted denominators give pandas ewm(adjust=True) warm-up
+    semantics like the EWMA operator. Headroom: den2 = (2^span - 1)^2
+    (~1.1e12 at span=20), so num2 <= den2 * max_cents holds inside
+    int64 for cents to ~8.4e6 ($84k values at scale=100); the knob is
+    span (span=16 buys 256x). Level/trend/forecast are terminal IEEE
+    expressions (:func:`holt_terminal_exprs`) spelled identically in
+    the oracle. Rows with NULL values must be filtered upstream.
+
+    Returns one row per event: key, id, num1/den1/num2/den2 exact
+    bigints, level, trend, forecast_next.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    df = events.withColumn("__c__", F.round(F.col(val_col) * scale).cast("long"))
+    w1, w2 = holt_weights(span)
+    num1 = F.lit(0).cast("long")
+    den1 = F.lit(0).cast("long")
+    for k, wgt in enumerate(w1):
+        lagged = F.lag("__c__", k).over(w)
+        num1 = num1 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        den1 = den1 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    num2 = F.lit(0).cast("long")
+    den2 = F.lit(0).cast("long")
+    for j, wgt in enumerate(w2):
+        lagged = F.lag("__c__", j).over(w)
+        num2 = num2 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        den2 = den2 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    exact = df.select(
+        key_col,
+        id_col,
+        num1.alias("num1"),
+        den1.alias("den1"),
+        num2.alias("num2"),
+        den2.alias("den2"),
+    )
+    terms = holt_terminal_exprs(scale)
+    return exact.select(
+        key_col,
+        id_col,
+        "num1",
+        "den1",
+        "num2",
+        "den2",
+        *[F.expr(sql).alias(name) for name, sql in terms.items()],
+    )
+
+
 def merge_intervals(
     intervals: DataFrame,
     key_col: str = "user_id",

@@ -8195,3 +8195,87 @@ QUERIES["agg_gain_lift_curve"] = _agg_gain_lift_curve
 QUERIES["agg_precision_at_k"] = _agg_precision_at_k
 ORACLES["agg_gain_lift_curve"] = _GAIN_LIFT_SINGLE
 ORACLES["agg_precision_at_k"] = _PREC_AT_K_SINGLE
+
+
+# Holt double-exponential smoothing (events.holt_linear): level + trend
+# + one-step forecast per purchase event, exact bigint num/den for BOTH
+# smoothers (S' = the 20-lag power-of-two EWMA; S'' = its self-convolved
+# 39-lag kernel — see operators/events.py), terminal IEEE expressions
+# shared token-for-token with this generated oracle.
+def _holt_oracle(span: int = 20, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        holt_terminal_exprs,
+        holt_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    terms = holt_terminal_exprs(scale)
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+l AS (
+  SELECT user_id, event_id,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, num1, den1, num2, den2,
+       {terms["level"]} AS level,
+       {terms["trend"]} AS trend,
+       {terms["forecast_next"]} AS forecast_next
+FROM l
+"""
+
+
+def _events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt (Brown double-exponential) smoothing of the
+    purchase value stream — level, trend, and one-step forecast per
+    event (events.holt_linear): the forecasting member of the
+    monitoring family (EWMA smooths level only and lags every ramp;
+    the seasonal profile needs whole periods; this extrapolates).
+    Both smoothers are exact bigint folds over ONE window spec — a
+    single per-user sort, all JVM codegen; the 39-term S'' kernel is
+    the self-convolution that double smoothing collapses to on a
+    truncated window. See _holt_oracle for the shared spelling."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.holt_linear(purchases, span=20, scale=100)
+
+
+def _streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_holt_smoothing (streaming.stream_holt):
+    per-user bounded state (last 2*span-1 cents), integer-only Python
+    automaton, presentation expressions in Spark after the sink —
+    graded by the BATCH oracle (18th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_holt(spark, sf_dir)
+
+
+QUERIES["events_holt_smoothing"] = _events_holt_smoothing
+QUERIES["streaming_holt"] = _streaming_holt
+ORACLES["events_holt_smoothing"] = _holt_oracle()
+ORACLES["streaming_holt"] = _holt_oracle()

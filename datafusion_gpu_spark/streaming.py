@@ -796,6 +796,94 @@ def stream_ewma(
     )
 
 
+def stream_holt(
+    spark: SparkSession, sf_dir: str, span: int = 20, scale: int = 100
+) -> DataFrame:
+    """Streaming twin of events.holt_linear via applyInPandasWithState:
+    per-user state is the last ``2*span - 1`` cents (bounded — the S''
+    self-convolution kernel reaches back exactly that far), each
+    micro-batch advances over its (ts, event_id)-sorted rows and emits
+    one exact (num1, den1, num2, den2) bigint quadruple per event.
+
+    Same exactness discipline as stream_ewma: cents quantize JVM-SIDE
+    with the batch twin's expression, the Python automaton is
+    INTEGER-ONLY, and the level/trend/forecast presentation expressions
+    run in Spark after materialization using the SAME
+    holt_terminal_exprs strings as the batch operator and the oracle —
+    so on an in-order replay the output is bit-for-bit the batch
+    operator's and the BATCH ORACLE grades the stream (18th
+    stream==batch twin)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from datafusion_gpu_spark.operators.events import (
+        holt_terminal_exprs,
+        holt_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    cap = 2 * span - 1
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        out = {
+            "user_id": [], "event_id": [],
+            "num1": [], "den1": [], "num2": [], "den2": [],
+        }
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, c in zip(rows["event_id"], rows["cents"]):
+                hist.append(int(c))
+                if len(hist) > cap:
+                    hist = hist[-cap:]
+                rev = hist[::-1]  # rev[j] == c_{i-j}
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["num1"].append(
+                    sum(v * w1[k] for k, v in enumerate(rev[:span]))
+                )
+                out["den1"].append(sum(w1[: min(span, len(rev))]))
+                out["num2"].append(sum(v * w2[j] for j, v in enumerate(rev)))
+                out["den2"].append(sum(w2[: len(rev)]))
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, "
+            "num1 long, den1 long, num2 long, den2 long"
+        ),
+        stateStructType="hist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    exact = materialize_stream(prog, output_mode="update")
+    terms = holt_terminal_exprs(scale)
+    return exact.select(
+        "user_id",
+        "event_id",
+        "num1",
+        "den1",
+        "num2",
+        "den2",
+        *[F.expr(sql).alias(name) for name, sql in terms.items()],
+    )
+
+
 def stream_ohlc(
     spark: SparkSession,
     sf_dir: str,

@@ -83,6 +83,73 @@ def test_ewma_halflife_does_not_leak_across_keys(spark):
     assert got == {1: 100.0, 2: 900.0}
 
 
+def test_holt_linear_closed_forms(spark):
+    """Constant series: level == the constant, trend == 0, forecast ==
+    the constant (any smoothing of a constant is the constant). Linear
+    ramp in steady state: level == the CURRENT true value exactly
+    (2S' - S'' cancels the smoothing lag — the property that
+    distinguishes Holt from plain EWMA, which lags every ramp), and
+    trend == b * (sum k*w_k)/W — the truncated kernel's exact lag
+    constant, which approaches the slope b as span grows (11/15 of b
+    at span=4; 1 - ~1e-5 of b at the default span=20)."""
+    from datafusion_gpu_spark.operators.events import holt_linear, holt_weights
+
+    span = 4
+    # constant series
+    rows = [(1, i, f"2024-01-01 00:{i:02d}:00", 25.0) for i in range(10)]
+    # ramp series on another key: value = 10 + 2*i dollars
+    rows += [(2, 100 + i, f"2024-01-01 00:{i:02d}:00", 10.0 + 2.0 * i)
+             for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r for r in holt_linear(df, span=span).collect()}
+    for i in range(10):
+        r = got[i]
+        assert r.level == 25.0 and r.trend == 0.0
+        assert r.forecast_next == 25.0
+    w1, _ = holt_weights(span)
+    lag_const = sum(k * w for k, w in enumerate(w1)) / sum(w1)  # 11/15
+    # steady state starts once both kernels are full: i >= 2*(span-1)
+    for i in range(6, 12):
+        r = got[100 + i]
+        assert abs(r.level - (10.0 + 2.0 * i)) < 1e-6, i
+        assert abs(r.trend - 2.0 * lag_const) < 1e-6, i
+        assert abs(r.forecast_next - (10.0 + 2.0 * i + 2.0 * lag_const)) < 1e-6, i
+
+
+def test_holt_linear_matches_double_smoothing_replay(spark):
+    """num2/den2 equal a direct double application of the truncated
+    adjusted EWMA replayed in exact Python integers via the convolved
+    kernel, and S'' == EWMA(EWMA) exactly once the window is full."""
+    from fractions import Fraction
+
+    from datafusion_gpu_spark.operators.events import holt_linear, holt_weights
+
+    span = 3
+    vals = [10.0, 11.5, 9.25, 14.0, 8.75, 13.33, 12.0, 9.9]
+    rows = [(1, i, f"2024-01-01 00:{i:02d}:00", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r for r in holt_linear(df, span=span).collect()}
+    cents = [round(v * 100) for v in vals]
+    w1, w2 = holt_weights(span)
+    for i in range(len(vals)):
+        n1 = sum(cents[i - k] * w1[k] for k in range(span) if i - k >= 0)
+        d1 = sum(w1[k] for k in range(span) if i - k >= 0)
+        n2 = sum(cents[i - j] * w2[j] for j in range(2 * span - 1) if i - j >= 0)
+        d2 = sum(w2[j] for j in range(2 * span - 1) if i - j >= 0)
+        assert (got[i].num1, got[i].den1, got[i].num2, got[i].den2) == (
+            n1, d1, n2, d2), i
+    # steady state: S'' from the kernel == EWMA applied twice
+    sp = [Fraction(sum(cents[i - k] * w1[k] for k in range(span)),
+                   sum(w1)) for i in range(span - 1, len(vals))]
+    i = len(vals) - 1  # last row has full double history
+    spp = sum(Fraction(w1[k]) * sp[(i - (span - 1)) - k] for k in range(span)) / sum(w1)
+    assert Fraction(got[i].num2, got[i].den2) == spp
+
+
 def test_merge_intervals_overlap_touch_disjoint(spark):
     from datafusion_gpu_spark.operators.events import merge_intervals
 

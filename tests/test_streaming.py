@@ -430,6 +430,27 @@ def test_streaming_ewma_matches_batch_exactly(spark):
     assert len(batch) > 0
 
 
+def test_streaming_holt_matches_batch_exactly(spark):
+    # 18th stream==batch twin: the bounded-state double-smoothing
+    # automaton on an in-order replay reproduces the 39-lag batch
+    # window spelling bit-for-bit, exact bigint quadruples included
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_holt_smoothing,
+        _streaming_holt,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.event_id: tuple(r)
+        for r in _events_holt_smoothing(spark, sf).collect()
+    }
+    stream = {
+        r.event_id: tuple(r) for r in _streaming_holt(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_streaming_ohlc_matches_batch_exactly(spark):
     # incremental min/max-struct open/close on an in-order replay must
     # reproduce the batch row_number spelling bit-for-bit
