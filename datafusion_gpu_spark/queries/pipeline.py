@@ -8279,3 +8279,297 @@ QUERIES["events_holt_smoothing"] = _events_holt_smoothing
 QUERIES["streaming_holt"] = _streaming_holt
 ORACLES["events_holt_smoothing"] = _holt_oracle()
 ORACLES["streaming_holt"] = _holt_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 10 (continued) — agreement / effect-size / retrieval-rank gates
+# and the Theil inequality index. Same contracts as the rest of the
+# eval family: exact bigint folds, quantized-log tricks where a
+# transcendental enters mid-fold, terminal IEEE expressions only.
+# ---------------------------------------------------------------------------
+
+# Matthews correlation coefficient at the $50 operating point — the
+# single-number confusion summary that stays honest under class
+# imbalance (F1 ignores tn entirely; accuracy saturates). Counts are
+# the _PR_AT_T fold; MCC's four marginal products run in DOUBLE from
+# exact integer operands (n^4 territory — far past bigint, harmless in
+# double: each marginal is exact below 2^53 and the terminal relative
+# error is ~1e-16).
+_MCC = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
+             AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
+         ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+               / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                      * (tn + fp) * (tn + fn)), 6)
+       END AS mcc
+FROM m
+"""
+
+# Cohen's kappa on the same 2x2 (threshold rater vs. ground truth):
+# chance-corrected agreement — the gate for "is the cheap heuristic
+# labeler actually agreeing with the expensive labels beyond chance".
+# po/pe are terminal doubles from exact counts; kappa spelled as ONE
+# division of integer-exact numerators: kappa = (po - pe) / (1 - pe)
+# = 2*(tp*tn - fp*fn) / ((tp+fp)*(fp+tn) + (tp+fn)*(fn+tn)) — the
+# closed 2x2 form, exact bigint numerator/denominator up to ~2e9 rows.
+_COHEN_KAPPA = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+m AS (
+  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+  FROM t
+)
+SELECT tp, fp, fn, tn,
+       CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) > 0 THEN
+         ROUND(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
+               / (CAST(tp + fp AS DOUBLE) * (fp + tn)
+                  + CAST(tp + fn AS DOUBLE) * (fn + tn)), 6)
+       END AS kappa
+FROM m
+"""
+
+
+# Cramér's V effect size for the priority x status contingency — the
+# "is it LARGE" companion to agg_chi2_independence's "is it THERE"
+# (chi2 grows linearly in N at fixed association; V is N-free in
+# [0, 1]). Same CTE fold and the same visible quantization-headroom
+# guard as _CHI2_INDEP; GREATEST clamps the identity's tiny negative
+# quantization residual before the SQRT.
+_CRAMERS_V = """
+WITH obs AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
+ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+q AS (
+  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
+                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
+           AS term_q
+  FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c
+),
+s AS (
+  SELECT CAST(SUM(term_q) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM q
+),
+d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc
+)
+SELECT n_cells, LEAST(kr - 1, kc - 1) AS k_min,
+       CASE WHEN kr > 1 AND kc > 1
+             AND CAST(nt AS DOUBLE) * n_cells * 5e-13 < 5e-5 THEN
+         ROUND(SQRT(GREATEST(CAST(nt AS DOUBLE)
+                             * (CAST(sq AS DOUBLE) / 1e12 - 1), 0.0)
+                    / (CAST(nt AS DOUBLE) * LEAST(kr - 1, kc - 1))), 6)
+       END AS cramers_v
+FROM s CROSS JOIN tot CROSS JOIN d
+"""
+
+# NDCG at k=100 for value-ranks-purchases (binary relevance): the
+# position-discounted retrieval gate next to precision@k's undiscounted
+# one. Top-k by (score DESC, event_id) is a TakeOrdered — no global
+# sort; ranks come from ONE window over the k-row relation. Each
+# 1/log2(i+1) discount is quantized to a 1e-12 bigint so both DCG sums
+# are exact integer folds (k * 1e12 << 2^63 for any feasible k); IDCG
+# sums the same discounts over the first min(k, n_pos) ranks.
+_NDCG = """
+WITH t AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+p AS (SELECT CAST(SUM(rel) AS BIGINT) AS np FROM t),
+topk AS (
+  SELECT rel, c, event_id FROM t ORDER BY c DESC, event_id LIMIT 100
+),
+ranked AS (
+  SELECT rel,
+         ROW_NUMBER() OVER (ORDER BY c DESC, event_id) AS rnk,
+         CAST(ROUND(1e12 / LOG2(ROW_NUMBER() OVER (ORDER BY c DESC, event_id)
+                                + 1), 0) AS BIGINT) AS disc_q
+  FROM topk
+),
+s AS (
+  SELECT CAST(SUM(rel * disc_q) AS BIGINT) AS dcg_q,
+         CAST(COUNT(*) AS BIGINT) AS k_eff
+  FROM ranked
+),
+i AS (
+  SELECT CAST(SUM(disc_q) AS BIGINT) AS idcg_q
+  FROM ranked CROSS JOIN p WHERE rnk <= np
+)
+SELECT k_eff, np AS n_pos,
+       CASE WHEN idcg_q > 0 THEN
+         ROUND(CAST(dcg_q AS DOUBLE) / idcg_q, 6)
+       END AS ndcg_at_k
+FROM s CROSS JOIN i CROSS JOIN p
+"""
+
+# Mean reciprocal rank: per user, rank their events by (score DESC,
+# event_id) and take 1/rank of the first purchase — the "how fast does
+# the ranker surface something relevant per query" gate, with users
+# standing in for queries. Per-user windows partition cleanly (bounded
+# by events-per-user); reciprocal ranks quantize to 1e-12 bigints so
+# the cross-user fold is exact (headroom: 1e12 per user — 9.2e6 users
+# before int64; the quantum is the knob); users with no positive
+# contribute 0 (the standard convention) but are counted.
+_MRR = """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+r AS (
+  SELECT user_id, rel,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY c DESC, event_id) AS rnk
+  FROM t
+),
+fr AS (
+  SELECT user_id,
+         CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_pos
+  FROM r GROUP BY user_id
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(COUNT(first_pos) AS BIGINT) AS n_hit,
+         CAST(SUM(CASE WHEN first_pos IS NOT NULL
+                  THEN CAST(ROUND(1e12 / first_pos, 0) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS rr_q
+  FROM fr
+)
+SELECT n_users, n_hit,
+       CASE WHEN n_users > 0 THEN
+         ROUND(rr_q / 1e12 / n_users, 6)
+       END AS mrr
+FROM q
+"""
+
+# Theil T inequality index of per-user purchase spend — the
+# log-additive member of the inequality family (agg_gini gives the
+# area gap; events_lorenz_curve the full curve; Theil is the one that
+# DECOMPOSES between+within groups and is what a mixture-balance
+# monitor tracks). T = (1/N) sum_i (s_i/mu) ln(s_i/mu) over the
+# distinct-spend relation: each value's term quantizes to a 1e9 bigint
+# before the c-weighted fold (sum bounded by 1e9 * N * ln N — int64-safe
+# to N ~ 1e9 users; the quantum is the knob), normalized view
+# theil_norm = T / ln N in [0, 1] as terminal doubles.
+_THEIL = """
+WITH spend AS (
+  SELECT user_id,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY user_id
+),
+v AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM spend WHERE s > 0
+      GROUP BY s),
+n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
+      FROM v),
+q AS (
+  SELECT CAST(SUM(c * CAST(ROUND(CAST(s AS DOUBLE) * nu / ts
+                                 * LN(CAST(s AS DOUBLE) * nu / ts)
+                                 * 1e9, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM v CROSS JOIN n
+)
+SELECT nu AS n_users,
+       CASE WHEN nu > 0 THEN ROUND(tq / 1e9 / nu, 6) END AS theil_t,
+       CASE WHEN nu > 1 THEN
+         ROUND(tq / 1e9 / nu / LN(CAST(nu AS DOUBLE)), 6)
+       END AS theil_norm
+FROM q CROSS JOIN n
+"""
+
+
+def _agg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation at the $50 operating point — the
+    imbalance-honest single-number confusion summary next to
+    agg_pr_at_threshold (F1 never reads tn). One fold, one terminal
+    SQRT expression over exact counts. See _MCC."""
+    load(spark, sf_dir)
+    return spark.sql(_MCC)
+
+
+def _agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the $50-threshold rater and ground truth —
+    chance-corrected agreement, the gate for heuristic-labeler quality.
+    Closed 2x2 form 2(tp*tn - fp*fn)/((tp+fp)(fp+tn) + (tp+fn)(fn+tn)):
+    ONE terminal division of exact products. See _COHEN_KAPPA."""
+    load(spark, sf_dir)
+    return spark.sql(_COHEN_KAPPA)
+
+
+def _agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size over the priority x status contingency —
+    the N-free association strength companion to
+    agg_chi2_independence (same fold, same visible headroom guard).
+    See _CRAMERS_V."""
+    load(spark, sf_dir)
+    return spark.sql(_CRAMERS_V)
+
+
+def _agg_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@100 for the value-ranks-purchases retrieval view — the
+    position-discounted twin of agg_precision_at_k. Top-k via
+    TakeOrdered (no global sort), quantized-discount exact folds over
+    the k-row relation. See _NDCG."""
+    load(spark, sf_dir)
+    return spark.sql(_NDCG)
+
+
+def _agg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first purchase per user under the
+    value ranking — the per-query retrieval gate (users as queries).
+    Per-user windows, quantized reciprocal ranks, one exact fold. See
+    _MRR."""
+    load(spark, sf_dir)
+    return spark.sql(_MRR)
+
+
+def _events_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index (+ ln-N-normalized form) of per-user
+    purchase spend — the decomposable inequality gate next to agg_gini
+    and events_lorenz_curve, over the distinct-spend relation with a
+    quantized-log exact fold. See _THEIL."""
+    load(spark, sf_dir)
+    return spark.sql(_THEIL)
+
+
+QUERIES["agg_mcc"] = _agg_mcc
+QUERIES["agg_cohen_kappa"] = _agg_cohen_kappa
+QUERIES["agg_cramers_v"] = _agg_cramers_v
+QUERIES["agg_ndcg_at_k"] = _agg_ndcg_at_k
+QUERIES["agg_mrr"] = _agg_mrr
+QUERIES["events_theil_index"] = _events_theil_index
+ORACLES["agg_mcc"] = _MCC
+ORACLES["agg_cohen_kappa"] = _COHEN_KAPPA
+ORACLES["agg_cramers_v"] = _CRAMERS_V
+ORACLES["agg_ndcg_at_k"] = _NDCG
+ORACLES["agg_mrr"] = _MRR
+ORACLES["events_theil_index"] = _THEIL

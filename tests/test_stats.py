@@ -913,3 +913,150 @@ def test_gain_lift_planted_perfect_separator(spark):
         spark.catalog.dropTempView("events")
     assert got[1].gain == 1.0 and got[1].lift == 10.0
     assert got[5].gain == 1.0 and got[5].lift == 2.0
+
+
+def _confusion(duck, thr=5000):
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click','purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    pred = (df.c >= thr).to_numpy()
+    pos = (df.pos == 1).to_numpy()
+    tp = int((pred & pos).sum())
+    fp = int((pred & ~pos).sum())
+    fn = int((~pred & pos).sum())
+    tn = int((~pred & ~pos).sum())
+    return tp, fp, fn, tn
+
+
+def test_mcc_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_mcc
+
+    [row] = _agg_mcc(spark, SF_DIR).collect()
+    tp, fp, fn, tn = _confusion(duck)
+    assert (row.tp, row.fp, row.fn, row.tn) == (tp, fp, fn, tn)
+    mcc = (tp * tn - fp * fn) / np.sqrt(
+        float(tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    assert abs(row.mcc - mcc) < 1e-6
+
+
+def test_cohen_kappa_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_cohen_kappa
+
+    [row] = _agg_cohen_kappa(spark, SF_DIR).collect()
+    tp, fp, fn, tn = _confusion(duck)
+    n = tp + fp + fn + tn
+    po = (tp + tn) / n
+    pe = ((tp + fp) * (tp + fn) + (fn + tn) * (fp + tn)) / n / n
+    kappa = (po - pe) / (1 - pe)
+    assert abs(row.kappa - kappa) < 1e-6
+
+
+def test_cramers_v_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_cramers_v
+
+    [row] = _agg_cramers_v(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT o_orderpriority AS r, o_orderstatus AS c FROM orders"
+    ).df()
+    obs = pd.crosstab(df.r, df.c).to_numpy(dtype=float)
+    n = obs.sum()
+    exp = np.outer(obs.sum(1), obs.sum(0)) / n
+    chi2 = ((obs - exp) ** 2 / exp)[exp > 0].sum()
+    k_min = min(obs.shape[0] - 1, obs.shape[1] - 1)
+    assert row.k_min == k_min
+    assert abs(row.cramers_v - np.sqrt(chi2 / (n * k_min))) < 1e-5
+
+
+def test_ndcg_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_ndcg_at_k
+
+    [row] = _agg_ndcg_at_k(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel "
+        "FROM events WHERE event_type IN ('click','purchase') "
+        "AND value IS NOT NULL"
+    ).df().sort_values(["c", "event_id"], ascending=[False, True])
+    k = min(100, len(df))
+    rel = df.rel.to_numpy()[:k]
+    disc = 1.0 / np.log2(np.arange(1, k + 1) + 1)
+    dcg = float((rel * disc).sum())
+    npos = int(df.rel.sum())
+    idcg = float(disc[: min(k, npos)].sum())
+    assert row.k_eff == k and row.n_pos == npos
+    assert abs(row.ndcg_at_k - dcg / idcg) < 1e-5
+
+
+def test_ndcg_perfect_ranking_is_one(spark):
+    """All positives scored above all negatives -> NDCG@k == 1.0."""
+    from datafusion_gpu_spark.queries.pipeline import _NDCG
+
+    rows = [(i, float(1000 - i), "purchase" if i < 30 else "click")
+            for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "event_id long, value double, event_type string")
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_NDCG).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.ndcg_at_k == 1.0 and row.n_pos == 30
+
+
+def test_mrr_matches_pandas(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_mrr
+
+    [row] = _agg_mrr(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel "
+        "FROM events WHERE event_type IN ('click','purchase') "
+        "AND value IS NOT NULL"
+    ).df().sort_values(["user_id", "c", "event_id"],
+                       ascending=[True, False, True])
+    df["rnk"] = df.groupby("user_id").cumcount() + 1
+    firsts = df[df.rel == 1].groupby("user_id").rnk.min()
+    n_users = df.user_id.nunique()
+    mrr = float((1.0 / firsts).sum()) / n_users
+    assert row.n_users == n_users and row.n_hit == len(firsts)
+    assert abs(row.mrr - mrr) < 1e-6
+
+
+def test_theil_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_theil_index
+
+    [row] = _events_theil_index(spark, SF_DIR).collect()
+    s = duck.execute(
+        "SELECT CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s "
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL "
+        "GROUP BY user_id"
+    ).df()["s"].to_numpy(dtype=float)
+    s = s[s > 0]
+    r = s / s.mean()
+    theil = float((r * np.log(r)).mean())
+    assert row.n_users == len(s)
+    assert abs(row.theil_t - theil) < 1e-6
+    assert abs(row.theil_norm - theil / np.log(len(s))) < 1e-6
+    # bounds: 0 <= T <= ln N
+    assert -1e-9 <= row.theil_t <= np.log(len(s)) + 1e-9
+
+
+def test_theil_constant_spend_is_zero(spark):
+    """Equal spend for everyone -> Theil T == 0 exactly (every ratio is
+    1, ln 1 = 0, the quantized fold sums zeros)."""
+    from datafusion_gpu_spark.queries.pipeline import _THEIL
+
+    rows = [(u, "purchase", 25.0, u, "2024-01-01 00:00:00")
+            for u in range(50)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, value double, "
+              "event_id long, ts string")
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_THEIL).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.theil_t == 0.0 and row.theil_norm == 0.0
