@@ -8573,3 +8573,225 @@ ORACLES["agg_cramers_v"] = _CRAMERS_V
 ORACLES["agg_ndcg_at_k"] = _NDCG
 ORACLES["agg_mrr"] = _MRR
 ORACLES["events_theil_index"] = _THEIL
+
+
+# Brier score of the min-max-normalized value score against the
+# purchase label, plus the base-rate reference and the skill score
+# BSS = 1 - BS/BS_ref — the PROPER-scoring companion to
+# agg_calibration_bins (calibration shows WHERE the probabilities are
+# off; Brier charges for it). p = (c - lo)/(hi - lo) is exact-operand
+# IEEE per distinct score value; each value's (p - y)^2 terms quantize
+# to 1e9 bigints BEFORE the count-weighted fold (bias <= 0.5e-9 per
+# row against a [0,1] statistic — invisible at 6dp; int64-safe to
+# ~9e9 rows, the quantum is the knob).
+_BRIER = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+v AS (
+  SELECT c, CAST(SUM(pos) AS BIGINT) AS dp, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+rng AS (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        FROM v),
+q AS (
+  SELECT CAST(SUM(dp) AS BIGINT) AS np,
+         CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(
+           dp * CAST(ROUND(POWER(CAST(c - lo AS DOUBLE) / (hi - lo) - 1.0, 2)
+                           * 1e9, 0) AS BIGINT)
+           + (tc - dp) * CAST(ROUND(POWER(CAST(c - lo AS DOUBLE) / (hi - lo), 2)
+                                    * 1e9, 0) AS BIGINT)
+         ) AS BIGINT) AS bs_q
+  FROM v CROSS JOIN rng WHERE hi > lo
+)
+SELECT n, np,
+       ROUND(bs_q / 1e9 / n, 6) AS brier,
+       ROUND(CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n), 6)
+         AS brier_ref,
+       CASE WHEN np > 0 AND np < n THEN
+         ROUND(1.0 - (bs_q / 1e9 / n)
+               / (CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n)), 6)
+       END AS brier_skill
+FROM q
+"""
+
+# Two-proportion power analysis: given the OBSERVED conversion rates of
+# the two salted-hash arms (events_ab_srm's split), the per-arm sample
+# size needed to detect that difference at alpha=.05 two-sided with 80%
+# power — the "how long must this experiment run" readout next to
+# events_proportion_ztest's "is it significant yet". Closed textbook
+# form (Fleiss); z constants embedded to 6dp; counts exact, n_needed is
+# a terminal CEIL.
+_POWER_ANALYSIS = """
+WITH t AS (
+  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
+                            16, 10) AS BIGINT) % 2 = 0
+              THEN 'a' ELSE 'b' END AS arm,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+  FROM t
+),
+p AS (
+  SELECT n_a, n_b, x_a, x_b,
+         CAST(x_a AS DOUBLE) / n_a AS p_a,
+         CAST(x_b AS DOUBLE) / n_b AS p_b,
+         CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p_bar
+  FROM m WHERE n_a > 0 AND n_b > 0
+)
+SELECT n_a, n_b,
+       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
+       CASE WHEN p_a <> p_b THEN
+         CAST(CEIL(
+           POWER(1.959964 * SQRT(2.0 * p_bar * (1.0 - p_bar))
+                 + 0.841621 * SQRT(p_a * (1.0 - p_a) + p_b * (1.0 - p_b)), 2)
+           / ((p_a - p_b) * (p_a - p_b))) AS BIGINT)
+       END AS n_per_arm_80pct
+FROM p
+"""
+
+# Geometric + harmonic means of purchase values — the multiplicative
+# and rate-style aggregate members next to the arithmetic family
+# (gmean for ratios/growth factors, hmean for rates; the classic
+# AM >= GM >= HM inequality is the built-in sanity check). Per
+# distinct cent value, ln(c) and 1e12/c quantize to bigints before the
+# count-weighted folds (exact, order-free; ln headroom: 1e9 quantum *
+# ln(1e8) * N — int64-safe past 1e8 rows).
+_GMEAN_HMEAN = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+    AND value > 0
+),
+v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
+q AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+         CAST(SUM(c * cnt) AS BIGINT) AS s1,
+         CAST(SUM(cnt * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e9, 0)
+                             AS BIGINT)) AS BIGINT) AS lnq,
+         CAST(SUM(cnt * CAST(ROUND(1e12 / c, 0) AS BIGINT)) AS BIGINT)
+           AS invq
+  FROM v
+)
+SELECT n,
+       ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS amean,
+       ROUND(EXP(lnq / 1e9 / n) / 100, 6) AS gmean,
+       CASE WHEN invq > 0 THEN
+         ROUND(CAST(n AS DOUBLE) / (invq / 1e12) / 100, 6)
+       END AS hmean
+FROM q
+"""
+
+
+def _agg_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score (+ base-rate reference and skill score) of the
+    min-max-normalized value score against the purchase label — the
+    proper-scoring eval gate next to agg_calibration_bins. Distinct-
+    value relation, quantized squared-error fold, terminal divisions.
+    See _BRIER."""
+    load(spark, sf_dir)
+    return spark.sql(_BRIER)
+
+
+def _events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion sample-size (power) analysis on the salted-hash
+    arms: per-arm n needed to detect the observed rate difference at
+    alpha=.05 / 80% power (Fleiss closed form) — the experiment-
+    duration planner next to events_proportion_ztest. One fold,
+    terminal arithmetic. See _POWER_ANALYSIS."""
+    load(spark, sf_dir)
+    return spark.sql(_POWER_ANALYSIS)
+
+
+def _agg_gmean_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means of purchase values (with the
+    arithmetic mean for the AM >= GM >= HM sanity chain) — quantized
+    ln / reciprocal folds over the distinct-value relation. See
+    _GMEAN_HMEAN."""
+    load(spark, sf_dir)
+    return spark.sql(_GMEAN_HMEAN)
+
+
+QUERIES["agg_brier_score"] = _agg_brier_score
+QUERIES["events_power_analysis"] = _events_power_analysis
+QUERIES["agg_gmean_hmean"] = _agg_gmean_hmean
+ORACLES["agg_brier_score"] = _BRIER
+ORACLES["events_power_analysis"] = _POWER_ANALYSIS.replace(
+    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
+    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
+)
+ORACLES["agg_gmean_hmean"] = _GMEAN_HMEAN
+
+
+# Word burstiness: the variance-to-mean ratio (index of dispersion) of
+# each word's per-document term frequency over the WHOLE corpus
+# (zero-count docs included — that is what distinguishes a bursty
+# topical word from a uniformly sprinkled function word; Church & Gale
+# 1995). Sparse algebra keeps it one aggregation: with ND docs and a
+# word's (s1, s2) = (sum tf, sum tf^2) over docs containing it,
+# VMR = (ND*s2 - s1^2) / (ND*s1) exactly (zeros add nothing to s1/s2).
+# Exact bigint numerator (headroom: ND*s2 <= 2^63 needs corpus token
+# mass^2/doc ~ 9e18 — ~3e9 occurrences of one word); terminal
+# division; top-20 by VMR with word tiebreak, support floor s1 >= 5.
+_BURSTINESS_SPARK = r"""
+WITH w AS (
+  SELECT doc_id,
+         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
+           AS word
+  FROM documents
+),
+nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+       FROM documents),
+tf AS (
+  SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+  FROM w WHERE word <> '' GROUP BY word, doc_id
+),
+m AS (
+  SELECT word,
+         CAST(SUM(f) AS BIGINT) AS s1,
+         CAST(SUM(f * f) AS BIGINT) AS s2,
+         CAST(COUNT(*) AS BIGINT) AS n_docs_with
+  FROM tf GROUP BY word
+)
+SELECT word, s1 AS n_occurrences, n_docs_with,
+       ROUND((CAST(n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+             / (CAST(n_docs AS DOUBLE) * s1), 6) AS vmr
+FROM m CROSS JOIN nd
+WHERE s1 >= 5
+ORDER BY vmr DESC, word
+LIMIT 20
+"""
+
+_BURSTINESS_DUCK = _BURSTINESS_SPARK.replace(
+    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
+    "           AS word",
+    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
+    "                             ' ')) AS word",
+)
+
+
+def _text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest words by variance-to-mean ratio of per-doc term
+    frequency over the whole corpus (zeros included via sparse
+    algebra) — the topicality diagnostic next to text_zipf_fit
+    (frequency) and text_heaps_fit (growth): function words sit near
+    VMR ~ 1 (Poisson), topical words far above. One word-doc
+    aggregation + one word fold, exact bigint moments, terminal
+    division, TakeOrdered top-20. See _BURSTINESS_SPARK."""
+    load(spark, sf_dir)
+    return spark.sql(_BURSTINESS_SPARK)
+
+
+QUERIES["text_burstiness"] = _text_burstiness
+ORACLES["text_burstiness"] = _BURSTINESS_DUCK

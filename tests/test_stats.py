@@ -1060,3 +1060,111 @@ def test_theil_constant_spend_is_zero(spark):
     finally:
         spark.catalog.dropTempView("events")
     assert row.theil_t == 0.0 and row.theil_norm == 0.0
+
+
+def test_brier_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_brier_score
+
+    [row] = _agg_brier_score(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click','purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    lo, hi = df.c.min(), df.c.max()
+    p = (df.c - lo) / (hi - lo)
+    bs = float(((p - df.pos) ** 2).mean())
+    base = df.pos.mean() * (1 - df.pos.mean())
+    assert row.n == len(df) and row.np == int(df.pos.sum())
+    assert abs(row.brier - bs) < 1e-6
+    assert abs(row.brier_ref - base) < 1e-6
+    assert abs(row.brier_skill - (1 - bs / base)) < 1e-5
+
+
+def test_power_analysis_matches_closed_form(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_power_analysis
+
+    [row] = _events_power_analysis(spark, SF_DIR).collect()
+    p_a, p_b = row.rate_a, row.rate_b
+    n_tot = row.n_a + row.n_b
+    # replay Fleiss from the emitted (already-validated-exact) counts
+    duckdf = duck.execute(
+        "SELECT CASE WHEN CAST(('0x' || SUBSTRING(MD5(CAST(user_id AS "
+        "VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0 THEN 'a' ELSE 'b' END AS arm,"
+        " CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv "
+        "FROM events WHERE event_type IN ('click','purchase')"
+    ).df()
+    g = duckdf.groupby("arm").conv.agg(["sum", "size"])
+    pa = g.loc["a", "sum"] / g.loc["a", "size"]
+    pb = g.loc["b", "sum"] / g.loc["b", "size"]
+    pbar = duckdf.conv.sum() / len(duckdf)
+    assert row.n_a == g.loc["a", "size"] and row.n_b == g.loc["b", "size"]
+    assert abs(p_a - pa) < 1e-6 and abs(p_b - pb) < 1e-6
+    want = np.ceil(
+        (1.959964 * np.sqrt(2 * pbar * (1 - pbar))
+         + 0.841621 * np.sqrt(pa * (1 - pa) + pb * (1 - pb))) ** 2
+        / (pa - pb) ** 2)
+    assert row.n_per_arm_80pct == int(want)
+    # a tiny observed difference needs MANY samples: sanity direction
+    assert row.n_per_arm_80pct > n_tot or abs(pa - pb) > 0.01
+
+
+def test_gmean_hmean_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_gmean_hmean
+
+    [row] = _agg_gmean_hmean(spark, SF_DIR).collect()
+    c = duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL AND value > 0"
+    ).df()["c"].to_numpy(dtype=float)
+    assert row.n == len(c)
+    assert abs(row.amean - c.mean() / 100) < 1e-6
+    assert abs(row.gmean - np.exp(np.log(c).mean()) / 100) < 1e-5
+    assert abs(row.hmean - len(c) / (1.0 / c).sum() / 100) < 1e-5
+    # AM >= GM >= HM, strictly unless all values equal
+    assert row.amean >= row.gmean >= row.hmean
+
+
+def test_burstiness_matches_pandas(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _text_burstiness
+
+    got = {r.word: r for r in _text_burstiness(spark, SF_DIR).collect()}
+    assert len(got) == 20
+    df = duck.execute(
+        r"""SELECT doc_id,
+                 unnest(string_split(regexp_replace(trim(lower(text)),
+                        '\s+', ' ', 'g'), ' ')) AS word
+          FROM '%s/documents.parquet'""" % SF_DIR
+    ).df()
+    df = df[df.word != ""]
+    nd = df.doc_id.nunique()
+    tf = df.groupby(["word", "doc_id"]).size().rename("f").reset_index()
+    m = tf.groupby("word").f.agg(s1="sum", s2=lambda x: int((x**2).sum()),
+                                 nw="size")
+    m = m[m.s1 >= 5]
+    m["vmr"] = (nd * m.s2 - m.s1**2) / (nd * m.s1)
+    top = m.sort_values(["vmr", "word"], ascending=[False, True]).head(20)
+    for word, r in top.iterrows():
+        assert word in got, word
+        assert got[word].n_occurrences == r.s1
+        assert got[word].n_docs_with == r.nw
+        assert abs(got[word].vmr - r.vmr) < 1e-5
+
+
+def test_burstiness_planted_cases(spark):
+    """A word occurring exactly once in every doc has VMR == 0 (zero
+    dispersion); a word with all its mass in one doc out of nd has
+    VMR == (nd*f^2 - f^2)/(nd*f) = f*(nd-1)/nd — maximal burstiness."""
+    from datafusion_gpu_spark.queries.pipeline import _BURSTINESS_SPARK
+
+    docs = [(d, "uniform " + ("bursty " * 10 if d == 0 else "") + "pad")
+            for d in range(10)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {r.word: r for r in spark.sql(_BURSTINESS_SPARK).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got["uniform"].vmr == 0.0 and got["pad"].vmr == 0.0
+    assert got["bursty"].vmr == round(10 * 9 / 10, 6)  # f=10, nd=10
