@@ -8795,3 +8795,140 @@ def _text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["text_burstiness"] = _text_burstiness
 ORACLES["text_burstiness"] = _BURSTINESS_DUCK
+
+
+# Per-source exact-duplicate diagnostics: for each source, how many
+# docs, how many distinct normalized texts, the duplication rate and
+# the rows a dedup pass would remove — the per-provenance readout a
+# corpus owner reads BEFORE running dedup_exact (which source is
+# polluting the mix?). One (source, hash) aggregation + one source
+# fold; md5 of the normalized text is the portable identity (the
+# dedup_exact contract).
+_DUP_RATE_BY_SOURCE = """
+WITH t AS (
+  SELECT source,
+         MD5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS h
+  FROM documents
+),
+g AS (
+  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY source, h
+)
+SELECT source,
+       CAST(SUM(cnt) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_removable,
+       ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_rate
+FROM g GROUP BY source
+"""
+
+# Tukey-fence outlier audit on purchase cents: exact quartiles from the
+# distinct-value cumulative (the equidepth machinery with 4 targets),
+# fences doubled so 1.5*IQR stays integer (2*fence_lo = 5*q1 - 3*q3;
+# 2*fence_hi = 5*q3 - 3*q1), outliers counted by exact predicates on
+# 2c. The classic box-plot audit next to events_anomaly_mad (median
+# robust) and events_winsorize (quantile clamp).
+_TUKEY = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
+cum AS (
+  SELECT c, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cu
+  FROM v
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
+tgt AS (
+  SELECT j, CAST((j * nr + 3 - (j * nr + 3) % 4) / 4 AS BIGINT) AS t
+  FROM (SELECT 1 AS j UNION ALL SELECT 3) CROSS JOIN n
+),
+qs AS (
+  SELECT MAX(CASE WHEN j = 1 THEN q END) AS q1,
+         MAX(CASE WHEN j = 3 THEN q END) AS q3
+  FROM (
+    SELECT tgt.j, CAST(MIN(cum.c) AS BIGINT) AS q
+    FROM tgt JOIN cum ON cum.cu + cum.cnt >= tgt.t
+    GROUP BY tgt.j
+  )
+)
+SELECT nr AS n, q1, q3, (q3 - q1) AS iqr,
+       CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3 THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_below,
+       CAST(SUM(CASE WHEN 2 * c > 5 * q3 - 3 * q1 THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_above,
+       ROUND(CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3
+                            OR 2 * c > 5 * q3 - 3 * q1
+                           THEN cnt ELSE 0 END) AS DOUBLE) / nr, 6)
+         AS outlier_rate
+FROM v CROSS JOIN qs CROSS JOIN n
+GROUP BY nr, q1, q3
+"""
+
+# Maximum drawdown of each user's purchase-value path: the largest
+# peak-to-trough drop max_t (max_{s<=t} v_s - v_t) — the worst-case
+# regression a monitor quotes for a per-source quality score over
+# time. Two per-user windows (running max, then max of the gap), all
+# exact cents, partitions bounded by events-per-user.
+_MAX_DRAWDOWN = """
+WITH t AS (
+  SELECT user_id, ts, event_id,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+r AS (
+  SELECT user_id, c,
+         CAST(MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS peak
+  FROM t
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MAX(peak) AS BIGINT) AS peak_cents,
+       CAST(MAX(peak - c) AS BIGINT) AS max_drawdown_cents,
+       CASE WHEN MAX(peak) > 0 THEN
+         ROUND(CAST(MAX(peak - c) AS DOUBLE) / MAX(peak), 6)
+       END AS max_drawdown_frac
+FROM r GROUP BY user_id
+"""
+
+
+def _curation_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplicate rate over normalized-text md5 — the
+    provenance diagnostic upstream of dedup_exact (which source
+    pollutes the mix). One (source, hash) aggregation + one source
+    fold. See _DUP_RATE_BY_SOURCE."""
+    load(spark, sf_dir)
+    return spark.sql(_DUP_RATE_BY_SOURCE)
+
+
+def _agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey 1.5-IQR box-plot outlier audit on purchase cents: exact
+    quartiles from the distinct-value cumulative, doubled-fence
+    integer predicates, outlier counts + rate. See _TUKEY."""
+    load(spark, sf_dir)
+    return spark.sql(_TUKEY)
+
+
+def _events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user maximum drawdown (largest running-peak-to-current drop)
+    of the purchase-value path — the worst-case-regression readout for
+    per-key quality series. Two bounded per-user windows, exact cents.
+    See _MAX_DRAWDOWN."""
+    load(spark, sf_dir)
+    return spark.sql(_MAX_DRAWDOWN)
+
+
+QUERIES["curation_dup_rate_by_source"] = _curation_dup_rate_by_source
+QUERIES["agg_tukey_fences"] = _agg_tukey_fences
+QUERIES["events_max_drawdown"] = _events_max_drawdown
+ORACLES["curation_dup_rate_by_source"] = _DUP_RATE_BY_SOURCE.replace(
+    "regexp_replace(trim(lower(text)), '\\\\s+', ' ')",
+    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')",
+)
+ORACLES["agg_tukey_fences"] = _TUKEY
+ORACLES["events_max_drawdown"] = _MAX_DRAWDOWN

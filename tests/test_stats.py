@@ -1168,3 +1168,91 @@ def test_burstiness_planted_cases(spark):
         spark.catalog.dropTempView("documents")
     assert got["uniform"].vmr == 0.0 and got["pad"].vmr == 0.0
     assert got["bursty"].vmr == round(10 * 9 / 10, 6)  # f=10, nd=10
+
+
+def test_dup_rate_by_source_planted(spark):
+    """Duplicates — including WHITESPACE-VARIANT duplicates, which pin
+    the normalize-then-hash contract — raise the per-source rate;
+    clean sources stay at 0."""
+    from datafusion_gpu_spark.queries.pipeline import _DUP_RATE_BY_SOURCE
+
+    docs = [
+        (1, "alpha beta", "en", "dirty", 10),
+        (2, "alpha   beta ", "en", "dirty", 13),  # same after normalize
+        (3, "ALPHA BETA", "en", "dirty", 10),     # same after lower
+        (4, "gamma", "en", "dirty", 5),
+        (5, "one", "en", "clean", 3),
+        (6, "two", "en", "clean", 3),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {r.source: r for r in spark.sql(_DUP_RATE_BY_SOURCE).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got["dirty"].n_docs == 4 and got["dirty"].n_distinct == 2
+    assert got["dirty"].n_removable == 2 and got["dirty"].dup_rate == 0.5
+    assert got["clean"].dup_rate == 0.0
+
+
+def test_tukey_fences_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_tukey_fences
+
+    [row] = _agg_tukey_fences(spark, SF_DIR).collect()
+    c = np.sort(duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()["c"].to_numpy())
+    n = len(c)
+    q1 = int(c[-(-1 * n // 4) - 1])  # min value whose cum count >= ceil(n/4)
+    q3 = int(c[-(-3 * n // 4) - 1])
+    assert (row.n, row.q1, row.q3) == (n, q1, q3)
+    iqr = q3 - q1
+    below = int((2 * c < 5 * q1 - 3 * q3).sum())
+    above = int((2 * c > 5 * q3 - 3 * q1).sum())
+    assert (row.n_below, row.n_above) == (below, above)
+    assert abs(row.outlier_rate - (below + above) / n) < 1e-6
+    assert iqr == row.iqr >= 0
+
+
+def test_max_drawdown_matches_pandas(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_max_drawdown
+
+    got = {r.user_id: r for r in
+           _events_max_drawdown(spark, SF_DIR).collect()}
+    df = duck.execute(
+        "SELECT user_id, ts, event_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df().sort_values(["user_id", "ts", "event_id"])
+    for uid, g in df.groupby("user_id"):
+        peak = g.c.cummax()
+        dd = int((peak - g.c).max())
+        assert got[uid].n_events == len(g)
+        assert got[uid].max_drawdown_cents == dd, uid
+        assert abs(got[uid].max_drawdown_frac - dd / int(peak.max())) < 1e-6
+
+
+def test_max_drawdown_planted_path(spark):
+    """Path 10 -> 30 -> 12 -> 25 -> 5: peak 30, worst trough after it
+    is 5 -> max drawdown 25 (NOT 30-12=18 or 25-5=20)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.queries.pipeline import _MAX_DRAWDOWN
+
+    vals = [10.0, 30.0, 12.0, 25.0, 5.0]
+    rows = [(7, f"2024-01-01 00:0{i}:00", i, "purchase", v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string, "
+              "value double").withColumn("ts", F.to_timestamp("ts"))
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_MAX_DRAWDOWN).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.max_drawdown_cents == 2500
+    assert row.peak_cents == 3000
+    assert row.max_drawdown_frac == round(2500 / 3000, 6)
