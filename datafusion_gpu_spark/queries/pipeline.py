@@ -8932,3 +8932,19 @@ ORACLES["curation_dup_rate_by_source"] = _DUP_RATE_BY_SOURCE.replace(
 )
 ORACLES["agg_tukey_fences"] = _TUKEY
 ORACLES["events_max_drawdown"] = _MAX_DRAWDOWN
+
+
+def _streaming_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_max_drawdown
+    (streaming.stream_max_drawdown): three-bigint per-user fold state
+    (running peak / worst drawdown / count), batch finish picks each
+    user's latest update — graded by the BATCH oracle (19th
+    stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_max_drawdown(spark, sf_dir)
+
+
+QUERIES["streaming_max_drawdown"] = _streaming_max_drawdown
+ORACLES["streaming_max_drawdown"] = _MAX_DRAWDOWN

@@ -884,6 +884,78 @@ def stream_holt(
     )
 
 
+def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch per-user max-drawdown query
+    (_MAX_DRAWDOWN in queries/pipeline.py): drawdown is a pure
+    left-fold over the ordered value path — state is THREE bigints per
+    user (running peak, worst drawdown, event count), advanced by the
+    integer recurrence peak = max(peak, c); mdd = max(mdd, peak - c).
+    Each micro-batch emits the updated per-user triple; the batch
+    finish keeps the row with the highest event count per user (counts
+    are strictly increasing across updates) and applies the IDENTICAL
+    terminal fraction expression as the batch SQL — so on an in-order
+    replay the result is bit-for-bit the batch query's and the BATCH
+    ORACLE grades the stream (19th stream==batch twin)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            peak, mdd, n = state.get
+        else:
+            peak, mdd, n = None, 0, 0
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for c in rows["cents"]:
+                c = int(c)
+                n += 1
+                peak = c if peak is None else max(peak, c)
+                mdd = max(mdd, peak - c)
+        state.update((peak, mdd, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "peak": [peak], "mdd": [mdd]}
+        )
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n long, peak long, mdd long",
+        stateStructType="peak long, mdd long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    updates = materialize_stream(prog, output_mode="update")
+    final = updates.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.max_by("peak", "n").alias("peak_cents"),
+        F.max_by("mdd", "n").alias("max_drawdown_cents"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        "peak_cents",
+        "max_drawdown_cents",
+        F.expr(
+            """CASE WHEN peak_cents > 0 THEN
+                 ROUND(CAST(max_drawdown_cents AS DOUBLE) / peak_cents, 6)
+               END"""
+        ).alias("max_drawdown_frac"),
+    )
+
+
 def stream_ohlc(
     spark: SparkSession,
     sf_dir: str,

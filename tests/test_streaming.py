@@ -451,6 +451,23 @@ def test_streaming_holt_matches_batch_exactly(spark):
     assert len(batch) > 0
 
 
+def test_streaming_max_drawdown_matches_batch_exactly(spark):
+    # 19th twin: the three-bigint fold state on an in-order replay
+    # reproduces the two-window batch spelling bit-for-bit
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_max_drawdown,
+        _streaming_max_drawdown,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.user_id: tuple(r) for r in
+             _events_max_drawdown(spark, sf).collect()}
+    stream = {r.user_id: tuple(r) for r in
+              _streaming_max_drawdown(spark, sf).collect()}
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_streaming_ohlc_matches_batch_exactly(spark):
     # incremental min/max-struct open/close on an in-order replay must
     # reproduce the batch row_number spelling bit-for-bit
