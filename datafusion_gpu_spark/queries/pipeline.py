@@ -8948,3 +8948,160 @@ def _streaming_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_max_drawdown"] = _streaming_max_drawdown
 ORACLES["streaming_max_drawdown"] = _MAX_DRAWDOWN
+
+
+# Poisson(1) bootstrap CI for the mean purchase value: B=32 replicates
+# computed in ONE scan with ZERO row expansion — replicate b weights
+# each row by a deterministic Poisson(1) draw w_b derived from
+# md5(event_id, b) (the distributed bootstrap standard: Poisson weights
+# make replicates independent of partitioning and need no resample
+# shuffle; Chamandy et al. / Kleiner et al.'s observation), so the
+# aggregation is 64 exact bigint sums folded map-side. The draw is the
+# exact integer comparison chain u >= T_j on u = hash % 1e6 against the
+# 1e6-scaled Poisson(1) CDF thresholds — identical on any engine, no
+# float RNG. Each replicate mean quantizes to a 1e6 bigint (one IEEE
+# division + round) before the tiny 32-row moment fold, so the
+# bootstrap SE is exact integer algebra; the interval is the
+# bootstrap-normal mean ± 1.959964*SE (terminal doubles only).
+_BOOTSTRAP_B = 32
+#: 1e6-scaled cumulative Poisson(1) probabilities P(X <= k), k = 0..5;
+#: weights cap at 6 (residual mass 6e-7, below the emitted rounding).
+_POIS_T = (367879, 735759, 919699, 981012, 996340, 999406)
+
+
+def _bootstrap_sql(hash_expr: str) -> str:
+    wcols = []
+    for b in range(_BOOTSTRAP_B):
+        u = hash_expr.format(b=b)
+        w = " + ".join(f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)"
+                       for t in _POIS_T)
+        wcols.append(f"CAST({w} AS BIGINT) AS w{b}")
+    sums = ", ".join(
+        f"CAST(SUM(w{b} * c) AS BIGINT) AS n{b}, "
+        f"CAST(SUM(w{b}) AS BIGINT) AS d{b}"
+        for b in range(_BOOTSTRAP_B)
+    )
+    # replicate means enter the moment fold CENTERED on the sample mean
+    # and quantized to 1e-3 cents: variance is translation-invariant, so
+    # centering changes nothing statistically but keeps mq small (SE
+    # scale, not mean scale) — the uncentered 1e6-quantized spelling
+    # overflowed int64 in SUM(mq*mq) at ordinary cent magnitudes.
+    reps = " UNION ALL ".join(
+        f"SELECT CAST(ROUND((CAST(n{b} AS DOUBLE) / d{b}"
+        f" - CAST(sc AS DOUBLE) / n) * 1e3, 0) AS BIGINT)"
+        f" AS mq FROM s WHERE d{b} > 0"
+        for b in range(_BOOTSTRAP_B)
+    )
+    return f"""
+WITH t AS (
+  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+w AS (
+  SELECT c, {", ".join(wcols)}
+  FROM t
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
+         {sums}
+  FROM w
+),
+r AS ({reps}),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS bk,
+         CAST(SUM(mq) AS BIGINT) AS s1,
+         CAST(SUM(mq * mq) AS BIGINT) AS s2
+  FROM r
+)
+SELECT n, bk AS n_replicates,
+       ROUND(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_value,
+       CASE WHEN bk > 1 THEN
+         ROUND(SQRT((CAST(bk AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                    / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3 / 100, 6)
+       END AS boot_se,
+       CASE WHEN bk > 1 THEN
+         ROUND((CAST(sc AS DOUBLE) / n
+                - 1.959964 * SQRT((CAST(bk AS DOUBLE) * s2
+                                   - CAST(s1 AS DOUBLE) * s1)
+                                  / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3)
+               / 100, 6)
+       END AS ci_lo,
+       CASE WHEN bk > 1 THEN
+         ROUND((CAST(sc AS DOUBLE) / n
+                + 1.959964 * SQRT((CAST(bk AS DOUBLE) * s2
+                                   - CAST(s1 AS DOUBLE) * s1)
+                                  / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3)
+               / 100, 6)
+       END AS ci_hi
+FROM s CROSS JOIN m
+"""
+
+
+_BOOT_HASH_SPARK = ("(CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(event_id AS STRING),"
+                    " '_', '{b}')), 1, 15), 16, 10) AS BIGINT) % 1000000)")
+_BOOT_HASH_DUCK = ("(CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR) ||"
+                   " '_' || '{b}'), 1, 15)) AS BIGINT) % 1000000)")
+
+
+def _events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson(1) bootstrap 95% CI for the mean purchase value — the
+    distribution-free uncertainty gate next to events_ab_test's
+    parametric one. One scan, zero row expansion (B=32 deterministic
+    md5-derived integer weights per row folded map-side), replicate
+    means quantized before a 32-row exact moment fold, bootstrap-normal
+    terminal interval. See _bootstrap_sql."""
+    load(spark, sf_dir)
+    return spark.sql(_bootstrap_sql(_BOOT_HASH_SPARK))
+
+
+QUERIES["events_bootstrap_ci"] = _events_bootstrap_ci
+ORACLES["events_bootstrap_ci"] = _bootstrap_sql(_BOOT_HASH_DUCK)
+
+
+# Class-balanced downsample over the documents corpus: every language
+# keeps exactly min-class-count docs, selected by deterministic md5
+# rank (seeded shuffle order, the curation_hash_split contract) — the
+# EQUALIZING companion to curation_stratified_sample (proportional) and
+# curation_apportion (largest-remainder quotas). Per-class rank windows
+# partition cleanly; the min count broadcasts; BIT_XOR of kept doc_ids
+# proves both engines keep the IDENTICAL rows, not just equal counts.
+_CLASS_BALANCE = """
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) AS rk
+  FROM documents
+),
+mn AS (
+  SELECT CAST(MIN(cnt) AS BIGINT) AS m
+  FROM (SELECT lang, COUNT(*) AS cnt FROM r GROUP BY lang)
+),
+kept AS (
+  SELECT lang, doc_id FROM r CROSS JOIN mn WHERE rk <= m
+)
+SELECT r.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+       ROUND(CAST(COUNT(k.doc_id) AS DOUBLE) / COUNT(*), 6) AS kept_share,
+       CAST(BIT_XOR(COALESCE(k.doc_id, 0)) AS BIGINT) AS kept_xor
+FROM r LEFT JOIN kept k ON r.lang = k.lang AND r.doc_id = k.doc_id
+GROUP BY r.lang
+"""
+
+
+def _curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsample of documents by language: every class
+    keeps exactly the min class count, chosen by deterministic
+    md5-rank shuffle order — the mix equalizer next to
+    curation_stratified_sample. Per-class windows + one broadcast
+    scalar; the kept-id BIT_XOR pins row-level identity cross-engine.
+    See _CLASS_BALANCE."""
+    load(spark, sf_dir)
+    return spark.sql(_CLASS_BALANCE)
+
+
+QUERIES["curation_class_balance"] = _curation_class_balance
+ORACLES["curation_class_balance"] = _CLASS_BALANCE.replace(
+    "MD5(CAST(doc_id AS STRING))", "MD5(CAST(doc_id AS VARCHAR))"
+)

@@ -1256,3 +1256,73 @@ def test_max_drawdown_planted_path(spark):
     assert row.max_drawdown_cents == 2500
     assert row.peak_cents == 3000
     assert row.max_drawdown_frac == round(2500 / 3000, 6)
+
+
+def test_bootstrap_ci_matches_hashlib_replay(spark, duck):
+    """Full exact replay: rebuild every md5-derived Poisson weight in
+    Python, fold the 32 replicate means, and compare the quantized
+    moments path bit-for-bit (same centering + 1e-3 quantization)."""
+    import hashlib
+
+    from datafusion_gpu_spark.queries.pipeline import (
+        _BOOTSTRAP_B,
+        _POIS_T,
+        _events_bootstrap_ci,
+    )
+
+    [row] = _events_bootstrap_ci(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()
+    ids = df.event_id.to_numpy()
+    c = df.c.to_numpy(dtype=np.int64)
+    n, sc = len(c), int(c.sum())
+    assert row.n == n
+    assert abs(row.mean_value - sc / n / 100) < 1e-6
+    mqs = []
+    for b in range(_BOOTSTRAP_B):
+        u = np.array([
+            int(hashlib.md5(f"{i}_{b}".encode()).hexdigest()[:15], 16) % 10**6
+            for i in ids
+        ])
+        w = sum((u >= t).astype(np.int64) for t in _POIS_T)
+        if int(w.sum()) > 0:
+            mqs.append(round(
+                (float((w * c).sum()) / float(w.sum()) - sc / n) * 1e3))
+    assert row.n_replicates == len(mqs) == _BOOTSTRAP_B
+    mq = np.array(mqs, dtype=np.int64)
+    k = len(mq)
+    se = np.sqrt((k * (mq * mq).sum() - mq.sum() ** 2) / (k * (k - 1))) / 1e3
+    assert abs(row.boot_se - se / 100) < 1e-5
+    assert abs(row.ci_lo - (sc / n - 1.959964 * se) / 100) < 1e-4
+    assert abs(row.ci_hi - (sc / n + 1.959964 * se) / 100) < 1e-4
+    # statistical sanity: bootstrap SE tracks sd/sqrt(n) within 2x
+    theory = c.std(ddof=1) / np.sqrt(n) / 100
+    assert theory / 2 < row.boot_se < theory * 2
+
+
+def test_class_balance_planted(spark):
+    """Two classes of 5 and 3 docs: both keep exactly 3; kept ids are
+    the top-3 by md5(doc_id) rank, replayed with hashlib."""
+    import hashlib
+    from functools import reduce
+
+    from datafusion_gpu_spark.queries.pipeline import _CLASS_BALANCE
+
+    docs = [(i, f"text {i}", "en", "s", 6) for i in range(5)]
+    docs += [(10 + i, f"text {10+i}", "fr", "s", 7) for i in range(3)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {r.lang: r for r in spark.sql(_CLASS_BALANCE).collect()}
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got["en"].n_total == 5 and got["en"].n_kept == 3
+    assert got["fr"].n_total == 3 and got["fr"].n_kept == 3
+    en_ids = sorted(range(5), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
+    assert got["en"].kept_xor == reduce(lambda a, b: a ^ b, en_ids)
+    assert got["fr"].kept_xor == 10 ^ 11 ^ 12
