@@ -9105,3 +9105,99 @@ QUERIES["curation_class_balance"] = _curation_class_balance
 ORACLES["curation_class_balance"] = _CLASS_BALANCE.replace(
     "MD5(CAST(doc_id AS STRING))", "MD5(CAST(doc_id AS VARCHAR))"
 )
+
+
+# Partial autocorrelation (lags 1..3) of the hourly value series per
+# event type — the AR-order diagnostic next to events_autocorr (ACF
+# says "correlated at lag k"; PACF says "correlated at lag k AFTER
+# removing shorter lags", which is what picks the AR order). Built by
+# Durbin-Levinson closed forms over the SAME exact six-moment lag
+# machinery as the ACF: phi11 = r1, phi22 = (r2 - r1^2)/(1 - r1^2),
+# phi33 = (r3 - phi21 r2 - phi22 r1)/(1 - phi21 r1 - phi22 r2) with
+# phi21 = r1 (1 - phi22). All r_k come from exact bigint folds, so the
+# terminal float pipeline is the identical IEEE sequence on both
+# engines; degenerate denominators emit NULL.
+_PACF = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v_c AS y,
+         LAG(v_c, 1) OVER w AS x1,
+         LAG(v_c, 2) OVER w AS x2,
+         LAG(v_c, 3) OVER w AS x3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+pairs AS (
+  SELECT event_type, 1 AS lag_k, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag_k, x2 AS x, y FROM lagged WHERE x2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag_k, x3 AS x, y FROM lagged WHERE x3 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag_k, COUNT(*) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, lag_k,
+    CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END AS rk
+  FROM m
+),
+p AS (
+  SELECT event_type,
+         MAX(CASE WHEN lag_k = 1 THEN rk END) AS r1,
+         MAX(CASE WHEN lag_k = 2 THEN rk END) AS r2,
+         MAX(CASE WHEN lag_k = 3 THEN rk END) AS r3
+  FROM r GROUP BY event_type
+),
+d AS (
+  SELECT event_type, r1, r2, r3,
+         CASE WHEN 1.0 - r1 * r1 <> 0
+              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
+  FROM p
+),
+e AS (
+  SELECT event_type, r1, r2, r3, phi22,
+         r1 * (1.0 - phi22) AS phi21
+  FROM d
+)
+SELECT event_type,
+       ROUND(r1, 6) AS pacf1,
+       ROUND(phi22, 6) AS pacf2,
+       CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 <> 0 THEN
+         ROUND((r3 - phi21 * r2 - phi22 * r1)
+               / (1.0 - phi21 * r1 - phi22 * r2), 6)
+       END AS pacf3
+FROM e
+"""
+
+
+def _events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..3 partial autocorrelation of the hourly value series per
+    event type — the AR-order picker next to events_autocorr, via
+    Durbin-Levinson closed forms over the same exact lag moments. See
+    _PACF."""
+    load(spark, sf_dir)
+    return spark.sql(_PACF)
+
+
+QUERIES["events_pacf"] = _events_pacf
+ORACLES["events_pacf"] = _PACF

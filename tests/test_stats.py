@@ -1326,3 +1326,54 @@ def test_class_balance_planted(spark):
         hashlib.md5(str(i).encode()).hexdigest(), i))[:3]
     assert got["en"].kept_xor == reduce(lambda a, b: a ^ b, en_ids)
     assert got["fr"].kept_xor == 10 ^ 11 ^ 12
+
+
+def test_pacf_matches_numpy(spark, duck):
+    """Durbin-Levinson replay from the same hourly series and the same
+    per-lag Pearson r definition (each lag's own pair set)."""
+    from datafusion_gpu_spark.queries.pipeline import _events_pacf
+
+    got = {r.event_type: r for r in _events_pacf(spark, SF_DIR).collect()}
+    hourly = duck.execute(
+        "SELECT event_type, date_trunc('hour', ts) AS b, "
+        "CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS v "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    for et, g in hourly.groupby("event_type"):
+        v = g.sort_values("b").v.to_numpy(dtype=float)
+        def pear(k):
+            x, y = v[:-k], v[k:]
+            if x.std() == 0 or y.std() == 0:
+                return None
+            return float(np.corrcoef(x, y)[0, 1])
+        r1, r2, r3 = pear(1), pear(2), pear(3)
+        assert abs(got[et].pacf1 - r1) < 1e-5, et
+        phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+        assert abs(got[et].pacf2 - phi22) < 1e-5, et
+        phi21 = r1 * (1 - phi22)
+        pacf3 = (r3 - phi21 * r2 - phi22 * r1) / (1 - phi21 * r1 - phi22 * r2)
+        assert abs(got[et].pacf3 - pacf3) < 1e-5, et
+
+
+def test_pacf_degenerate_guard(spark):
+    """A perfectly alternating series has r1 == -1, so 1 - r1^2 == 0:
+    pacf2/pacf3 must emit NULL (guard), pacf1 == -1 exactly."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.queries.pipeline import _PACF
+
+    rows = []
+    for h in range(24):
+        rows.append((1000 + h, "flip", f"2024-01-01 {h:02d}:30:00",
+                     10.0 if h % 2 == 0 else 30.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn(
+        "user_id", F.lit(1))
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_PACF).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.pacf1 == -1.0
+    assert row.pacf2 is None and row.pacf3 is None
