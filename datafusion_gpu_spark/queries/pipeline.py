@@ -9201,3 +9201,172 @@ def _events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_pacf"] = _events_pacf
 ORACLES["events_pacf"] = _PACF
+
+
+# Distribution-free 95% CI for the MEDIAN purchase value via order
+# statistics (the binomial/normal rank bounds: ranks (n ± z*sqrt(n))/2,
+# z = 1.959964) — the uncertainty companion to agg_median the way
+# events_bootstrap_ci is to the mean, and exact at any scale: rank
+# targets are two CEIL'd doubles computed identically on both engines,
+# the three picks run on the distinct-value cumulative (the equidepth
+# machinery), never a global sort.
+_MEDIAN_CI = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
+cum AS (
+  SELECT c, cnt,
+         CAST(COALESCE(SUM(cnt) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cu
+  FROM v
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
+tgt AS (
+  SELECT 'lo' AS which,
+         GREATEST(CAST(CEIL((nr - 1.959964 * SQRT(CAST(nr AS DOUBLE))) / 2)
+                       AS BIGINT), 1) AS t, nr FROM n
+  UNION ALL
+  SELECT 'mid', CAST(CEIL(CAST(nr AS DOUBLE) / 2) AS BIGINT), nr FROM n
+  UNION ALL
+  SELECT 'hi',
+         LEAST(CAST(CEIL((nr + 1.959964 * SQRT(CAST(nr AS DOUBLE))) / 2)
+                    AS BIGINT), nr) AS t, nr FROM n
+),
+pick AS (
+  SELECT tgt.which, tgt.nr, CAST(MIN(cum.c) AS BIGINT) AS val
+  FROM tgt JOIN cum ON cum.cu + cum.cnt >= tgt.t
+  GROUP BY tgt.which, tgt.nr
+)
+SELECT nr AS n,
+       ROUND(CAST(MAX(CASE WHEN which = 'mid' THEN val END) AS DOUBLE) / 100,
+             2) AS median_value,
+       ROUND(CAST(MAX(CASE WHEN which = 'lo' THEN val END) AS DOUBLE) / 100,
+             2) AS ci_lo,
+       ROUND(CAST(MAX(CASE WHEN which = 'hi' THEN val END) AS DOUBLE) / 100,
+             2) AS ci_hi
+FROM pick GROUP BY nr
+"""
+
+# Wald-Wolfowitz runs test for randomness of the hourly value series
+# around its median, per event type: too FEW runs = persistence /
+# regime drift, too MANY = oscillation — the model-free randomness
+# gate next to events_autocorr's linear one. Above/below via the exact
+# doubled-median integer predicate (ties dropped, the textbook rule);
+# the run count is a lag-comparison fold; mu/sigma/z are the closed
+# forms in terminal doubles.
+_RUNS_TEST = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, CAST(ROUND(2 * MEDIAN(v), 0) AS BIGINT) AS m2
+  FROM hourly GROUP BY event_type
+),
+s AS (
+  SELECT h.event_type, h.bucket,
+         CASE WHEN 2 * h.v > m.m2 THEN 1 ELSE 0 END AS up
+  FROM hourly h JOIN med m ON h.event_type = m.event_type
+  WHERE 2 * h.v <> m.m2
+),
+l AS (
+  SELECT event_type, up,
+         LAG(up) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+  FROM s
+),
+q AS (
+  SELECT event_type,
+         CAST(SUM(up) AS BIGINT) AS n1,
+         CAST(SUM(1 - up) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1 ELSE 0 END)
+              AS BIGINT) AS runs
+  FROM l GROUP BY event_type
+)
+SELECT event_type, n1, n2, runs,
+       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+         ROUND((CAST(runs AS DOUBLE)
+                - (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2)))
+               / SQRT(2.0 * n1 * n2
+                      * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
+                      / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
+                         * (CAST(n1 AS DOUBLE) + n2 - 1))), 4)
+       END AS z_stat
+FROM q
+"""
+
+# Seasonality strength of the purchase value stream: eta^2 = SSB/SST of
+# the hour-of-day grouping — "what share of value variance does the
+# 24-hour profile explain" — the effect-size readout a monitor wants
+# NEXT TO events_seasonal_anomaly's per-cell flags (flags say which
+# hours deviate; this says whether the profile matters at all). The
+# exact ANOVA fold on hour groups: per-group s1^2/n quantized to
+# bigints before the cross-group sum, SST guard on the quantized
+# integers (the _ANOVA_F contract).
+_SEASONALITY_STRENGTH = """
+WITH t AS (
+  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS grp,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s1_g,
+         CAST(SUM(c * c) AS BIGINT) AS s2_g
+  FROM t GROUP BY grp
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s1_g) AS BIGINT) AS s1,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(SUM(CAST(ROUND(
+           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM g
+)
+SELECT n AS n_events, k AS n_hours,
+       CASE WHEN k > 1 AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0
+       THEN
+         ROUND((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+               / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n), 6)
+       END AS eta_squared
+FROM q
+"""
+
+
+def _agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-statistic 95% CI for the median purchase value — the
+    distribution-free rank-bound interval (CEIL'd (n ± z sqrt n)/2
+    targets picked off the distinct-value cumulative; no global sort).
+    See _MEDIAN_CI."""
+    load(spark, sf_dir)
+    return spark.sql(_MEDIAN_CI)
+
+
+def _events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test around the hourly-series median per
+    event type — the model-free randomness/regime gate (exact doubled-
+    median predicate, lag-fold run count, closed-form z). See
+    _RUNS_TEST."""
+    load(spark, sf_dir)
+    return spark.sql(_RUNS_TEST)
+
+
+def _events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day eta-squared of purchase value — variance share the
+    24-hour profile explains, by the exact ANOVA fold on hour groups.
+    See _SEASONALITY_STRENGTH."""
+    load(spark, sf_dir)
+    return spark.sql(_SEASONALITY_STRENGTH)
+
+
+QUERIES["agg_median_ci"] = _agg_median_ci
+QUERIES["events_runs_test"] = _events_runs_test
+QUERIES["events_seasonality_strength"] = _events_seasonality_strength
+ORACLES["agg_median_ci"] = _MEDIAN_CI
+ORACLES["events_runs_test"] = _RUNS_TEST
+ORACLES["events_seasonality_strength"] = _SEASONALITY_STRENGTH

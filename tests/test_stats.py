@@ -1377,3 +1377,90 @@ def test_pacf_degenerate_guard(spark):
         spark.catalog.dropTempView("events")
     assert row.pacf1 == -1.0
     assert row.pacf2 is None and row.pacf3 is None
+
+
+def test_median_ci_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_median_ci
+
+    [row] = _agg_median_ci(spark, SF_DIR).collect()
+    c = np.sort(duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()["c"].to_numpy())
+    n = len(c)
+    lo = max(int(np.ceil((n - 1.959964 * np.sqrt(n)) / 2)), 1)
+    hi = min(int(np.ceil((n + 1.959964 * np.sqrt(n)) / 2)), n)
+    mid = int(np.ceil(n / 2))
+    assert row.n == n
+    assert row.median_value == round(c[mid - 1] / 100, 2)
+    assert row.ci_lo == round(c[lo - 1] / 100, 2)
+    assert row.ci_hi == round(c[hi - 1] / 100, 2)
+    assert row.ci_lo <= row.median_value <= row.ci_hi
+
+
+def test_runs_test_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_runs_test
+
+    got = {r.event_type: r for r in _events_runs_test(spark, SF_DIR).collect()}
+    hourly = duck.execute(
+        "SELECT event_type, date_trunc('hour', ts) AS b, "
+        "CAST(SUM(CAST(ROUND(value*100,0) AS BIGINT)) AS BIGINT) AS v "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1,2 ORDER BY 1,2"
+    ).df()
+    for et, g in hourly.groupby("event_type"):
+        v = g.sort_values("b").v.to_numpy()
+        m2 = int(round(2 * np.median(v)))
+        keep = 2 * v != m2
+        up = (2 * v[keep] > m2).astype(int)
+        n1, n2 = int(up.sum()), int((1 - up).sum())
+        runs = 1 + int((up[1:] != up[:-1]).sum())
+        assert (got[et].n1, got[et].n2, got[et].runs) == (n1, n2, runs), et
+        mu = 1 + 2 * n1 * n2 / (n1 + n2)
+        sig = np.sqrt(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)
+                      / ((n1 + n2) ** 2 * (n1 + n2 - 1)))
+        assert abs(got[et].z_stat - (runs - mu) / sig) < 1e-3, et
+
+
+def test_runs_test_planted_extremes(spark):
+    """Alternating series -> maximal runs (z >> 0); sorted-halves
+    series -> exactly 2 runs (z << 0)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.queries.pipeline import _RUNS_TEST
+
+    rows = []
+    for h in range(20):  # alternating around the median
+        rows.append((h, "alt", f"2024-01-01 {h:02d}:00:00",
+                     10.0 if h % 2 == 0 else 30.0))
+    for h in range(20):  # two regimes: 10 low hours then 10 high hours
+        rows.append((100 + h, "regime", f"2024-01-02 {h:02d}:00:00",
+                     10.0 if h < 10 else 30.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).withColumn("user_id", F.lit(1))
+    df.createOrReplaceTempView("events")
+    try:
+        got = {r.event_type: r for r in spark.sql(_RUNS_TEST).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    assert got["alt"].runs == 20 and got["alt"].z_stat > 3
+    assert got["regime"].runs == 2 and got["regime"].z_stat < -3
+
+
+def test_seasonality_strength_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_seasonality_strength,
+    )
+
+    [row] = _events_seasonality_strength(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS h, "
+        "CAST(ROUND(value*100,0) AS BIGINT) AS c FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()
+    sst = ((df.c - df.c.mean()) ** 2).sum()
+    ssb = sum(len(g) * (g.c.mean() - df.c.mean()) ** 2
+              for _, g in df.groupby("h"))
+    assert row.n_events == len(df)
+    assert abs(row.eta_squared - ssb / sst) < 1e-5
+    assert 0 <= row.eta_squared <= 1
