@@ -8981,16 +8981,27 @@ def _bootstrap_sql(hash_expr: str) -> str:
         f"CAST(SUM(w{b}) AS BIGINT) AS d{b}"
         for b in range(_BOOTSTRAP_B)
     )
-    # replicate means enter the moment fold CENTERED on the sample mean
+    # Replicate means enter the moment fold CENTERED on the sample mean
     # and quantized to 1e-3 cents: variance is translation-invariant, so
     # centering changes nothing statistically but keeps mq small (SE
     # scale, not mean scale) — the uncentered 1e6-quantized spelling
-    # overflowed int64 in SUM(mq*mq) at ordinary cent magnitudes.
-    reps = " UNION ALL ".join(
-        f"SELECT CAST(ROUND((CAST(n{b} AS DOUBLE) / d{b}"
-        f" - CAST(sc AS DOUBLE) / n) * 1e3, 0) AS BIGINT)"
-        f" AS mq FROM s WHERE d{b} > 0"
+    # overflowed int64 in SUM(mq*mq) at ordinary cent magnitudes. The
+    # 32-replicate moments are then SCALAR expressions over the single
+    # fold row — never an UNPIVOT/UNION back-reference to the fold CTE,
+    # which Spark inlines (the first spelling audited 33 shuffles: each
+    # UNION ALL branch re-derived the whole aggregation).
+    mqs = ", ".join(
+        f"CASE WHEN d{b} > 0 THEN CAST(ROUND((CAST(n{b} AS DOUBLE) / d{b}"
+        f" - CAST(sc AS DOUBLE) / n) * 1e3, 0) AS BIGINT) END AS mq{b}"
         for b in range(_BOOTSTRAP_B)
+    )
+    bk = " + ".join(
+        f"(CASE WHEN mq{b} IS NOT NULL THEN 1 ELSE 0 END)"
+        for b in range(_BOOTSTRAP_B)
+    )
+    s1 = " + ".join(f"COALESCE(mq{b}, 0)" for b in range(_BOOTSTRAP_B))
+    s2 = " + ".join(
+        f"COALESCE(mq{b} * mq{b}, 0)" for b in range(_BOOTSTRAP_B)
     )
     return f"""
 WITH t AS (
@@ -9006,12 +9017,15 @@ s AS (
          {sums}
   FROM w
 ),
-r AS ({reps}),
+q AS (
+  SELECT n, sc, {mqs} FROM s
+),
 m AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS bk,
-         CAST(SUM(mq) AS BIGINT) AS s1,
-         CAST(SUM(mq * mq) AS BIGINT) AS s2
-  FROM r
+  SELECT n, sc,
+         CAST({bk} AS BIGINT) AS bk,
+         CAST({s1} AS BIGINT) AS s1,
+         CAST({s2} AS BIGINT) AS s2
+  FROM q
 )
 SELECT n, bk AS n_replicates,
        ROUND(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_value,
@@ -9033,7 +9047,7 @@ SELECT n, bk AS n_replicates,
                                   / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3)
                / 100, 6)
        END AS ci_hi
-FROM s CROSS JOIN m
+FROM m
 """
 
 
