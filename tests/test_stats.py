@@ -1464,3 +1464,19 @@ def test_seasonality_strength_matches_numpy(spark, duck):
     assert row.n_events == len(df)
     assert abs(row.eta_squared - ssb / sst) < 1e-5
     assert 0 <= row.eta_squared <= 1
+
+
+def test_bootstrap_plan_single_scan(spark):
+    """Regression pin for the CTE-inlining plan bug: the bootstrap must
+    fold all 32 replicates in ONE aggregation over ONE events scan —
+    exactly one shuffle Exchange, never the 33 the UNION-ALL-unpivot
+    spelling audited (Spark inlines multiply-referenced CTEs)."""
+    import re
+
+    from datafusion_gpu_spark.queries.pipeline import _events_bootstrap_ci
+
+    plan = (
+        _events_bootstrap_ci(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1
