@@ -9384,3 +9384,70 @@ QUERIES["events_seasonality_strength"] = _events_seasonality_strength
 ORACLES["agg_median_ci"] = _MEDIAN_CI
 ORACLES["events_runs_test"] = _RUNS_TEST
 ORACLES["events_seasonality_strength"] = _SEASONALITY_STRENGTH
+
+
+# Average True Range (Wilder) over the hourly OHLC bars, per event
+# type: true range = GREATEST(high - low, |high - prev_close|,
+# |low - prev_close|) — the gap-aware volatility band the candlestick
+# family (events_ohlc) feeds; pairs with window_bollinger (close-only
+# stdev band) the way MAD pairs with stdev. All bar fields are exact
+# cents (the OHLC row_number spelling), true range is exact bigint
+# arithmetic, and the 14-bar rolling mean is one SUM/COUNT window with
+# a terminal division — the same hour-domain-bounded per-type window
+# partitioning as window_bollinger.
+_ATR = """
+WITH t AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c, ts, event_id
+  FROM events WHERE value IS NOT NULL
+),
+r AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts, event_id) AS rn_a,
+    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM t
+),
+bars AS (
+  SELECT bucket, event_type,
+         CAST(MAX(v_c) AS BIGINT) AS h,
+         CAST(MIN(v_c) AS BIGINT) AS l,
+         CAST(MIN(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT) AS c
+  FROM r GROUP BY bucket, event_type
+),
+tr AS (
+  SELECT bucket, event_type, h, l, c,
+         CAST(CASE WHEN LAG(c) OVER w IS NULL THEN h - l
+              ELSE GREATEST(h - l,
+                            ABS(h - LAG(c) OVER w),
+                            ABS(l - LAG(c) OVER w)) END AS BIGINT)
+           AS tr_c
+  FROM bars
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+a AS (
+  SELECT bucket, event_type, tr_c,
+         CAST(SUM(tr_c) OVER v AS BIGINT) AS s,
+         CAST(COUNT(*) OVER v AS BIGINT) AS k
+  FROM tr
+  WINDOW v AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT bucket, event_type, tr_c AS true_range_cents, k AS n_bars,
+       ROUND(CAST(s AS DOUBLE) / k / 100, 4) AS atr
+FROM a
+"""
+
+
+def _window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-bar Average True Range over the hourly OHLC bars per event
+    type — the gap-aware volatility companion to window_bollinger.
+    Exact-cent bars, exact bigint true ranges, one rolling SUM/COUNT
+    window with a terminal division. See _ATR."""
+    load(spark, sf_dir)
+    return spark.sql(_ATR)
+
+
+QUERIES["window_atr"] = _window_atr
+ORACLES["window_atr"] = _ATR

@@ -1480,3 +1480,37 @@ def test_bootstrap_plan_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"Exchange (?:hash|range|Single)", plan)) == 1
+
+
+def test_atr_matches_pandas(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _window_atr
+
+    got = {(r.event_type, r.bucket): r
+           for r in _window_atr(spark, SF_DIR).collect()}
+    raw = duck.execute(
+        "SELECT event_type, date_trunc('hour', ts) AS b, ts, event_id, "
+        "CAST(ROUND(value*100,0) AS BIGINT) AS v FROM events "
+        "WHERE value IS NOT NULL ORDER BY event_type, b, ts, event_id"
+    ).df()
+    bars = (
+        raw.groupby(["event_type", "b"])
+        .agg(h=("v", "max"), l=("v", "min"), c=("v", "last"))
+        .reset_index()
+    )
+    checked = 0
+    for et, g in bars.groupby("event_type"):
+        g = g.sort_values("b").reset_index(drop=True)
+        prev_c = g.c.shift(1)
+        tr = np.where(prev_c.isna(), g.h - g.l,
+                      np.maximum(g.h - g.l,
+                                 np.maximum((g.h - prev_c).abs(),
+                                            (g.l - prev_c).abs())))
+        for i in range(len(g)):
+            key = (et, g.b[i].to_pydatetime())
+            r = got[key]
+            assert r.true_range_cents == int(tr[i]), key
+            lo = max(0, i - 13)
+            assert r.n_bars == i - lo + 1
+            assert abs(r.atr - tr[lo:i + 1].mean() / 100) < 5e-4, key
+            checked += 1
+    assert checked > 100
