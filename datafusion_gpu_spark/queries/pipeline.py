@@ -9451,3 +9451,47 @@ def _window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["window_atr"] = _window_atr
 ORACLES["window_atr"] = _ATR
+
+
+# KL divergence of the observed SOURCE MIX from the uniform target mix
+# (nats, plus the normalized share table) — the mixture-drift gate a
+# curation pipeline runs against its sampling plan: text_jsd_drift
+# compares word distributions between snapshots; this compares the
+# provenance mix against the plan (here uniform over the sources
+# present — the curation_mix_domains setup). Each source's p*ln(p/q)
+# term quantizes to a 1e12 bigint before the source-level fold (tens
+# of sources — no headroom concern); the terminal is one division.
+_MIX_KL = """
+WITH s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k
+      FROM s),
+q AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) / nt
+                              * LN(CAST(n AS DOUBLE) / nt
+                                   * CAST(k AS DOUBLE)) * 1e12, 0)
+                       AS BIGINT)) AS BIGINT) AS klq
+  FROM s CROSS JOIN t
+)
+SELECT k AS n_sources, nt AS n_docs,
+       ROUND(klq / 1e12, 6) AS kl_nats,
+       CASE WHEN k > 1 THEN
+         ROUND(klq / 1e12 / LN(CAST(k AS DOUBLE)), 6)
+       END AS kl_norm
+FROM q CROSS JOIN t
+"""
+
+
+def _curation_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence (nats + ln-k-normalized) of the observed source
+    mix from the uniform target — the provenance-mix drift gate next
+    to curation_mix_domains' resampler. One source fold, quantized
+    p*ln(p/q) terms, terminal division. See _MIX_KL."""
+    load(spark, sf_dir)
+    return spark.sql(_MIX_KL)
+
+
+QUERIES["curation_mix_kl"] = _curation_mix_kl
+ORACLES["curation_mix_kl"] = _MIX_KL

@@ -1514,3 +1514,25 @@ def test_atr_matches_pandas(spark, duck):
             assert abs(r.atr - tr[lo:i + 1].mean() / 100) < 5e-4, key
             checked += 1
     assert checked > 100
+
+
+def test_mix_kl_planted(spark):
+    """Skewed 3-source mix (6/2/2 of 10 docs): KL vs uniform =
+    0.6 ln 1.8 + 0.4 ln 0.6 exactly; a perfectly uniform mix gives 0."""
+    from datafusion_gpu_spark.queries.pipeline import _MIX_KL
+
+    docs = [(i, f"d{i}", "en", "a" if i < 6 else ("b" if i < 8 else "c"), 2)
+            for i in range(10)]
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+    df.createOrReplaceTempView("documents")
+    try:
+        [row] = spark.sql(_MIX_KL).collect()
+    finally:
+        spark.catalog.dropTempView("documents")
+    want = 0.6 * np.log(0.6 * 3) + 0.2 * np.log(0.2 * 3) * 2
+    assert row.n_sources == 3 and row.n_docs == 10
+    assert abs(row.kl_nats - want) < 1e-6
+    assert abs(row.kl_norm - want / np.log(3)) < 1e-6
+    assert 0 < row.kl_norm < 1
