@@ -191,11 +191,48 @@ _CHECKED_R9 = (
     "text_quality", "text_rake_keywords",
 )
 
+_CHECKED_R10 = (
+    "agg_gain_lift_curve", "agg_precision_at_k", "events_holt_smoothing", "streaming_holt",
+    "agg_mcc", "agg_cohen_kappa", "agg_cramers_v", "agg_ndcg_at_k",
+    "agg_mrr", "events_theil_index", "agg_brier_score", "events_power_analysis",
+    "agg_gmean_hmean", "text_burstiness", "curation_dup_rate_by_source", "agg_tukey_fences",
+    "events_max_drawdown", "streaming_max_drawdown", "events_bootstrap_ci", "curation_class_balance",
+    "events_pacf", "agg_median_ci", "events_runs_test", "events_seasonality_strength",
+    "window_atr", "curation_mix_kl", "streaming_session_counts", "streaming_enriched_purchases",
+    "streaming_dedup_keys", "events_hopping", "events_session_native", "events_sessionize",
+    "events_asof", "types_sum_parity", "csv_scan_agg", "io_copy_to_sql",
+    "io_schema_evolution", "io_compact_small_files", "source_python_datasource", "io_roundtrip_json",
+    "io_roundtrip_json_gzip", "io_roundtrip_csv", "io_roundtrip_orc", "io_roundtrip_arrow",
+    "io_partitioned_parquet", "agg_hll_sketch_union", "agg_cube", "agg_approx_error_bounded",
+    "window_groups_frame_emulated", "window_exclude_current_emulated",
+)
+
+#: Rows whose IMPLEMENTATION changed after their most recent driver check
+#: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
+#: age only, so a query rewired in round N but last driver-checked in round
+#: N-1 would wait ~4 rounds for post-rewire driver evidence). These jump
+#: the queue: rank 0, ahead of every stale tranche. Maintenance contract:
+#: when an existing query's spelling (or shared machinery under it) changes,
+#: add its name here; when its post-change driver row lands, the _CHECKED_R{N}
+#: fold supersedes the pin — remove the name from this tuple at the same time.
+#:
+#: Round-11 pins: the five r10 rewires whose latest driver row (r9) predates
+#: the rewire (heaps/lorenz rewired through bucketed_cumsum; Kruskal's DOUBLE
+#: fold; MW/KS routed through cumsum_auto), plus the rows over machinery
+#: changed THIS round: cumsum_auto now persists its input before the routing
+#: count (ADVICE r10 #2 — affects every cumsum_auto caller) and agg_mrr
+#: gained the visible int64-headroom guard (ADVICE r10 #4).
+_CHANGED_SINCE_CHECK = (
+    "text_heaps_fit", "events_lorenz_curve", "agg_kruskal_wallis",
+    "agg_mann_whitney_bucketed", "events_ks_test_bucketed",
+    "agg_gain_lift_curve", "agg_precision_at_k", "agg_mrr",
+)
+
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
-     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9), start=1
+     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
@@ -211,12 +248,19 @@ _NEVER_CHECKED_RANK = 2.5
 
 def _staleness_rotation(registry: dict) -> dict:
     """Order so the driver's 50-query/round gate always lands on the rows
-    with the least-recent driver evidence. Python's sort is stable, so
-    registry (module) order breaks ties within a tranche — the '50 oldest'
-    cut is deterministic round to round."""
+    with the least-recent driver evidence — except changed-code rows
+    (:data:`_CHANGED_SINCE_CHECK`), which outrank every stale tranche:
+    a row whose spelling changed after its last driver check has WEAKER
+    evidence than any merely-old green row, whatever its age. Python's
+    sort is stable, so registry (module) order breaks ties within a
+    tranche — the '50 oldest' cut is deterministic round to round."""
     ordered = sorted(
         registry,
-        key=lambda k: _LAST_DRIVER_ROUND.get(k, _NEVER_CHECKED_RANK),
+        key=lambda k: (
+            0.0
+            if k in _CHANGED_SINCE_CHECK
+            else _LAST_DRIVER_ROUND.get(k, _NEVER_CHECKED_RANK)
+        ),
     )
     return {k: registry[k] for k in ordered}
 

@@ -75,6 +75,7 @@ def test_gate_staleness_rotation_orders_oldest_first():
     # and r3 tranches (first-check latency <= one round behind the
     # stalest re-checks, never ahead of them)
     from datafusion_gpu_spark.queries import (
+        _CHANGED_SINCE_CHECK,
         _LAST_DRIVER_ROUND,
         _NEVER_CHECKED_RANK,
         all_oracles,
@@ -82,8 +83,19 @@ def test_gate_staleness_rotation_orders_oldest_first():
     )
 
     names = list(all_queries())
-    ranks = [_LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK) for n in names]
+
+    def rank(n):
+        if n in _CHANGED_SINCE_CHECK:
+            return 0.0
+        return _LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK)
+
+    ranks = [rank(n) for n in names]
     assert ranks == sorted(ranks)
+    # changed-code rows (spelling or shared machinery changed after their
+    # last driver check — VERDICT r10 #1) jump the staleness queue: ALL of
+    # them sit inside the gate head, ahead of every merely-stale tranche
+    assert set(names[: len(_CHANGED_SINCE_CHECK)]) == set(_CHANGED_SINCE_CHECK)
+    assert len(_CHANGED_SINCE_CHECK) <= 50
     # The head's 50 slots must be exactly the 50 smallest staleness
     # ranks — derived from the rank table itself so the assertion stays
     # true as _CHECKED_R{N} tuples accrue. Sortedness above already
