@@ -165,22 +165,58 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 #: Per-session cache of constructed parquet-scan DataFrames, keyed by
-#: id(session) -> (strong session ref, {path: DataFrame}). A DataFrame
+#: id(session) -> (session ref, {path: DataFrame}). A DataFrame
 #: is an immutable lazy plan, so reusing one across register_tables
 #: calls is semantically identical to rebuilding it — but rebuilding
 #: costs ~65 ms per table (spark.read.parquet re-lists files and
 #: re-reads footers every call), which at 10 tables made every load()
 #: pay ~0.65 s of pure re-registration overhead per QUERY invocation
 #: (measured round 10: it dominated several ~1 s bench medians). The
-#: strong session ref keeps id() stable; the testdata files are static
-#: for a session's lifetime, which is the cache's (documented)
-#: assumption. View registration itself is NOT cached — every load()
-#: still re-issues createOrReplaceTempView, so tests that shadow a
-#: table see it restored exactly as before.
+#: session ref keeps id() stable while the entry lives; STOPPED
+#: sessions are swept on every cache touch, so a long-lived process
+#: cycling many sessions cannot accrete dead JVM-backed plans (a weak
+#: dict would not help — the cached DataFrames strongly reference
+#: their session, so liveness has to be probed, not inferred from
+#: refcounts). The cached plan captures the file listing at
+#: construction, so the testdata files must be static for the
+#: session's lifetime; callers that rewrite parquet at a cached path
+#: mid-session must call :func:`clear_scan_cache` first. View
+#: registration itself is NOT cached — every load() still re-issues
+#: createOrReplaceTempView, so tests that shadow a table see it
+#: restored exactly as before.
 _SCAN_CACHE: dict[int, tuple[SparkSession, dict[str, DataFrame]]] = {}
 
 
+def clear_scan_cache(spark: SparkSession | None = None, path: str | None = None) -> None:
+    """Drop cached scan plans: everything (no args), one session, or one
+    (session, path). Required before re-reading a parquet path whose
+    files were REWRITTEN mid-session — the cached plan holds the old
+    file listing."""
+    if spark is None:
+        _SCAN_CACHE.clear()
+        return
+    entry = _SCAN_CACHE.get(id(spark))
+    if entry is None or entry[0] is not spark:
+        return
+    if path is None:
+        del _SCAN_CACHE[id(spark)]
+    else:
+        entry[1].pop(path, None)
+
+
+def _session_stopped(session: SparkSession) -> bool:
+    # SparkContext.stop() nulls _jsc; any probe error means unusable too
+    try:
+        return session._sc._jsc is None  # type: ignore[attr-defined]
+    except Exception:
+        return True
+
+
 def _cached_scan(spark: SparkSession, path: str) -> DataFrame:
+    for key in [
+        k for k, (s, _) in _SCAN_CACHE.items() if s is not spark and _session_stopped(s)
+    ]:
+        del _SCAN_CACHE[key]
     entry = _SCAN_CACHE.get(id(spark))
     if entry is None or entry[0] is not spark:
         entry = (spark, {})

@@ -869,9 +869,16 @@ def holt_linear(
         den2_i = sum_{j : row exists} conv_j
 
     so both smoothers are exact bigint folds over ONE window spec
-    (2*span-1 lag pairs, all JVM codegen, one shuffle on the key), and
-    the adjusted denominators give pandas ewm(adjust=True) warm-up
-    semantics like the EWMA operator. Headroom: den2 = (2^span - 1)^2
+    (2*span-1 lag pairs, all JVM codegen, one shuffle on the key). S'
+    has pandas ewm(adjust=True) warm-up semantics exactly (its den1
+    renormalizes over the rows present); S'' uses the CONVOLVED-KERNEL
+    adjusted mean — den2 renormalizes the fixed self-convolution over
+    the rows present, which during warm-up differs from a true
+    EWMA-of-EWMA with adjust=True (that would re-derive the kernel per
+    prefix). The two agree exactly once the 2*span-1 window is full
+    (the steady state the replay test asserts); operator, oracle, and
+    streaming twin all share this one spelling, so they are mutually
+    bit-identical everywhere. Headroom: den2 = (2^span - 1)^2
     (~1.1e12 at span=20), so num2 <= den2 * max_cents holds inside
     int64 for cents to ~8.4e6 ($84k values at scale=100); the knob is
     span (span=16 buys 256x). Level/trend/forecast are terminal IEEE

@@ -120,6 +120,31 @@ def bucketed_cumsum(
     )
 
 
+#: Bounded FIFO of relations persisted by :func:`cumsum_auto` for its
+#: routing count. Keeping the handle until a few more invocations have
+#: come through guarantees the downstream read hits the persisted
+#: blocks (the count's materialization) instead of re-running the
+#: upstream aggregation; the bound keeps a long-lived session from
+#: accreting cached blocks. Evicting early is CORRECT, just slower —
+#: Spark recomputes an unpersisted plan from lineage.
+_COUNTED_KEEP = 8
+_counted_fifo: list[DataFrame] = []
+
+
+def _persist_for_count(df: DataFrame) -> DataFrame:
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _counted_fifo.append(df)
+    while len(_counted_fifo) > _COUNTED_KEEP:
+        old = _counted_fifo.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:
+            pass  # session gone — nothing to release
+    return df
+
+
 def cumsum_auto(
     distinct_values: DataFrame,
     value_col: str,
@@ -127,10 +152,18 @@ def cumsum_auto(
     n_buckets: int = 1024,
     threshold: int | None = None,
 ) -> DataFrame:
-    """Runtime-routed distinct-value cumulative sum: count the relation
-    once (cheap — it is already value-level aggregated, and Spark
-    reuses the shuffle output for the second pass) and pick the
-    spelling. At or below ``threshold`` (default
+    """Runtime-routed distinct-value cumulative sum. NOTE: plan
+    construction is EAGER here — the relation is counted at call time
+    to pick the spelling, so building a caller's plan executes the
+    upstream value-level aggregation once. To make that single
+    execution also serve the downstream read (rather than assuming
+    Spark shuffle reuse), the input is persisted (MEMORY_AND_DISK)
+    before the count and released on a bounded FIFO
+    (:data:`_COUNTED_KEEP` outstanding handles): the count
+    materializes the blocks, the cumsum consumes them, and upstream
+    work runs ONCE per invocation by construction.
+
+    Routing: at or below ``threshold`` (default
     :data:`CUMSUM_ROUTE_THRESHOLD`) distinct values, one global ordered
     window — fine for a bounded domain like cent values, and skips the
     min/max + offset machinery. Above it, :func:`bucketed_cumsum` —
@@ -138,6 +171,7 @@ def cumsum_auto(
     two spellings are bit-identical on exact-integer inputs, so
     routing is purely a physical-plan decision."""
     limit = CUMSUM_ROUTE_THRESHOLD if threshold is None else threshold
+    distinct_values = _persist_for_count(distinct_values)
     if distinct_values.count() <= limit:
         w = Window.orderBy(value_col).rowsBetween(
             Window.unboundedPreceding, Window.currentRow

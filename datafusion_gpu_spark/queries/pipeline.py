@@ -8438,7 +8438,11 @@ FROM s CROSS JOIN i CROSS JOIN p
 # by events-per-user); reciprocal ranks quantize to 1e-12 bigints so
 # the cross-user fold is exact (headroom: 1e12 per user — 9.2e6 users
 # before int64; the quantum is the knob); users with no positive
-# contribute 0 (the standard convention) but are counted.
+# contribute 0 (the standard convention) but are counted. Like the
+# chi2/Mood/Cramér's-V guards, the headroom limit is VISIBLE: past
+# 9e6 users the query emits NULL mrr (with n_users/n_hit intact)
+# instead of silently wrapping — shrink the quantum to trade precision
+# for population.
 _MRR = """
 WITH t AS (
   SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
@@ -8466,7 +8470,7 @@ q AS (
   FROM fr
 )
 SELECT n_users, n_hit,
-       CASE WHEN n_users > 0 THEN
+       CASE WHEN n_users > 0 AND n_users < 9000000 THEN
          ROUND(rr_q / 1e12 / n_users, 6)
        END AS mrr
 FROM q

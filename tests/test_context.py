@@ -67,6 +67,42 @@ def test_readme_parity_queries_run_verbatim(spark):
         assert abs(base - got) / abs(base) < 1e-4
 
 
+def test_scan_cache_sweeps_stopped_sessions_and_clear_hook():
+    """ADVICE r10 #1: the scan cache must not accrete dead sessions (swept
+    on touch via the _jsc liveness probe) and must expose a clear hook for
+    callers that rewrite parquet at a cached path mid-session."""
+    from datafusion_gpu_spark import context as ctx
+
+    class _FakeSC:
+        def __init__(self, stopped):
+            self._jsc = None if stopped else object()
+
+    class _FakeSession:
+        def __init__(self, stopped=False):
+            self._sc = _FakeSC(stopped)
+
+    dead, live = _FakeSession(stopped=True), _FakeSession()
+    try:
+        ctx._SCAN_CACHE[id(dead)] = (dead, {"p.parquet": "dead-df"})
+        ctx._SCAN_CACHE[id(live)] = (live, {"p.parquet": "live-df"})
+        # touch through the cache with the live session: cached path short-
+        # circuits before any real read, and the dead entry is swept
+        assert ctx._cached_scan(live, "p.parquet") == "live-df"
+        assert id(dead) not in ctx._SCAN_CACHE
+        assert id(live) in ctx._SCAN_CACHE
+        # per-path clear drops just that plan; per-session clear drops all
+        ctx.clear_scan_cache(live, "p.parquet")
+        assert ctx._SCAN_CACHE[id(live)][1] == {}
+        ctx.clear_scan_cache(live)
+        assert id(live) not in ctx._SCAN_CACHE
+        ctx._SCAN_CACHE[id(live)] = (live, {"p.parquet": "live-df"})
+        ctx.clear_scan_cache()
+        assert ctx._SCAN_CACHE == {}
+    finally:
+        ctx._SCAN_CACHE.pop(id(dead), None)
+        ctx._SCAN_CACHE.pop(id(live), None)
+
+
 def test_gate_staleness_rotation_orders_oldest_first():
     # the driver checks the FIRST 50 registry entries each round; with
     # coverage closed (r5), ordering is a staleness rotation — the rank
