@@ -929,6 +929,144 @@ def holt_linear(
     )
 
 
+def holt_winters_weights(season_span: int = 8) -> list[int]:
+    """Integer weights for the CAUSAL seasonal-subseries EWMA of
+    :func:`holt_winters_additive`: power-of-two weights over same-slot
+    lags 1..season_span (lag 0 excluded — the index must be a PRIOR
+    estimate, so subtracting it can never trivially zero the series)."""
+    return [1 << (season_span - k) for k in range(1, season_span + 1)]
+
+
+def holt_winters_terminal_exprs(scale: int = 100) -> dict[str, str]:
+    """Terminal IEEE expressions shared token-for-token between the
+    Spark operator, the streaming twin's presentation step, and the
+    DuckDB oracle. Inputs: exact bigints num1/den1/num2/den2 (Brown
+    smoothing of the DESEASONALIZED cents) and sq (the quantized
+    seasonal index, cents). level/trend read on the deseasonalized
+    series; forecast adds the seasonal index back."""
+    s = float(scale)
+    sp = "CAST(num1 AS DOUBLE) / den1"
+    spp = "CAST(num2 AS DOUBLE) / den2"
+    return {
+        "seasonal": f"ROUND(CAST(sq AS DOUBLE) / {s}, 6)",
+        "level": f"ROUND((2.0 * ({sp}) - {spp}) / {s}, 6)",
+        "trend": f"ROUND(({sp} - {spp}) / {s}, 6)",
+        "forecast_next": (
+            f"ROUND((3.0 * ({sp}) - 2.0 * ({spp}) + CAST(sq AS DOUBLE))"
+            f" / {s}, 6)"
+        ),
+    }
+
+
+#: SQL spelling of the quantized seasonal index — shared token-for-token
+#: by the operator, the oracle generator, and the streaming twin's
+#: grading contract (the stream computes the same value in integer
+#: Python). First occurrence of a slot has no history: index 0.
+HW_SQ_SQL = (
+    "CASE WHEN s_den > 0 THEN "
+    "CAST(ROUND(CAST(s_num AS DOUBLE) / s_den) AS BIGINT) ELSE 0 END"
+)
+
+
+def holt_winters_additive(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    span: int = 20,
+    season_span: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-key additive Holt-Winters via seasonal-subseries smoothing —
+    the triple-smoothing member of the forecasting family
+    (:func:`ewma_halflife` = level; :func:`holt_linear` = level+trend;
+    this adds the period-24 seasonal component, the thing that
+    separates forecast-residual drift from the hour-of-day cohort
+    baseline the seasonal-anomaly query reads).
+
+    Decomposition spelling (Holt-Winters 1960 additive semantics via
+    causal seasonal adjustment, the same linear-filter discipline as
+    :func:`holt_linear` rather than the coupled recursions — those
+    aren't a fixed-kernel window):
+
+    1. seasonal index: per (key, slot=hour-of-day) CAUSAL power-of-two
+       EWMA over same-slot lags 1..season_span
+       (:func:`holt_winters_weights`) — exact bigint s_num/s_den, then
+       ONE deterministic quantization to integer cents
+       (``sq = ROUND(s_num/s_den)``, 0 before any history). Both
+       engines compute the identical IEEE division and half-away
+       round, so sq is cross-engine exact.
+    2. deseasonalize: ``d = cents - sq`` — exact bigint.
+    3. Brown double smoothing of d: num1/den1/num2/den2 exactly as
+       :func:`holt_linear` (same :func:`holt_weights` kernels), over
+       one (key ORDER BY ts, id) window.
+    4. terminals (:func:`holt_winters_terminal_exprs`): level/trend on
+       the deseasonalized series; ``forecast_next = 3S' - 2S'' + sq``
+       adds the seasonal baseline back.
+
+    Scale shape: two window specs — (key, slot) and (key) — i.e. two
+    keyed sort/shuffles of the event relation and nothing else; every
+    fold is JVM codegen over exact bigints. Headroom matches
+    holt_linear: ``|d| <= 2 * max_cents`` so num2 stays inside int64
+    for cents to ~4e6 at span=20.
+
+    Returns one row per event: key, id, slot, sq, the four exact
+    bigints, and seasonal/level/trend/forecast_next.
+    """
+    from pyspark.sql import Window
+
+    w_s = Window.partitionBy(key_col, "slot").orderBy(ts_col, id_col)
+    df = events.withColumn(
+        "__c__", F.round(F.col(val_col) * scale).cast("long")
+    ).withColumn("slot", F.hour(ts_col).cast("int"))
+    s_num = F.lit(0).cast("long")
+    s_den = F.lit(0).cast("long")
+    for k, wgt in enumerate(holt_winters_weights(season_span), start=1):
+        lagged = F.lag("__c__", k).over(w_s)
+        s_num = s_num + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        s_den = s_den + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    deseas = (
+        df.select(
+            key_col, id_col, ts_col, "slot", "__c__",
+            s_num.alias("s_num"), s_den.alias("s_den"),
+        )
+        .withColumn("sq", F.expr(HW_SQ_SQL))
+        .withColumn("d", F.col("__c__") - F.col("sq"))
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    w1, w2 = holt_weights(span)
+    num1 = F.lit(0).cast("long")
+    den1 = F.lit(0).cast("long")
+    for k, wgt in enumerate(w1):
+        lagged = F.lag("d", k).over(w)
+        num1 = num1 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        den1 = den1 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    num2 = F.lit(0).cast("long")
+    den2 = F.lit(0).cast("long")
+    for j, wgt in enumerate(w2):
+        lagged = F.lag("d", j).over(w)
+        num2 = num2 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
+        den2 = den2 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    exact = deseas.select(
+        key_col, id_col, "slot", "sq",
+        num1.alias("num1"), den1.alias("den1"),
+        num2.alias("num2"), den2.alias("den2"),
+    )
+    terms = holt_winters_terminal_exprs(scale)
+    return exact.select(
+        key_col, id_col, "slot", "sq",
+        "num1", "den1", "num2", "den2",
+        *[F.expr(sql).alias(name) for name, sql in terms.items()],
+    )
+
+
 def merge_intervals(
     intervals: DataFrame,
     key_col: str = "user_id",

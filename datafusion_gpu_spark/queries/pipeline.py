@@ -8281,6 +8281,118 @@ ORACLES["events_holt_smoothing"] = _holt_oracle()
 ORACLES["streaming_holt"] = _holt_oracle()
 
 
+# Holt-Winters additive (events.holt_winters_additive): the seasonal
+# (triple) member of the forecasting family. Causal per-(user, hour-of-day)
+# power-of-two EWMA -> ONE deterministic quantization to integer cents
+# (sq) -> exact bigint deseasonalized series d = c - sq -> Brown double
+# smoothing of d with the SAME holt_weights kernels -> terminal IEEE
+# expressions shared token-for-token (forecast adds sq back). Two window
+# specs = two keyed shuffles of the purchase relation, everything else
+# codegen over exact bigints.
+def _hw_oracle(span: int = 20, season_span: int = 8, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        HW_SQ_SQL,
+        holt_weights,
+        holt_winters_terminal_exprs,
+        holt_winters_weights,
+    )
+
+    sw = holt_winters_weights(season_span)
+    s_num = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER ws * {wgt}, 0)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    s_den = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER ws IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(d, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(d, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(d, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(d, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    terms = holt_winters_terminal_exprs(scale)
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(hour(ts) AS INTEGER) AS slot,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {s_num} AS s_num,
+         CAST({s_den} AS BIGINT) AS s_den
+  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
+),
+q AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {HW_SQ_SQL} AS sq
+  FROM s
+),
+dd AS (SELECT *, c - sq AS d FROM q),
+l AS (
+  SELECT user_id, event_id, slot, sq,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM dd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, slot, sq, num1, den1, num2, den2,
+       {terms["seasonal"]} AS seasonal,
+       {terms["level"]} AS level,
+       {terms["trend"]} AS trend,
+       {terms["forecast_next"]} AS forecast_next
+FROM l
+"""
+
+
+def _events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt-Winters over the purchase value stream
+    (events.holt_winters_additive): seasonal index (hour-of-day,
+    causal subseries EWMA quantized to cents), level, trend, and
+    seasonal-adjusted one-step forecast per event — the triple-
+    smoothing completion of the forecasting family (EWMA = level;
+    Holt = level+trend; this separates forecast-residual drift from
+    the hour-of-day cohort baseline). Exact bigint folds end-to-end
+    with ONE deterministic mid-plan quantization; see _hw_oracle."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.holt_winters_additive(purchases, span=20, season_span=8, scale=100)
+
+
+def _streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_holt_winters (streaming.stream_holt_winters):
+    per-user bounded state (per-slot seasonal history, capped at
+    season_span entries per slot, plus the last 2*span-1 deseasonalized
+    cents), integer-only Python automaton with the SAME deterministic
+    sq quantization, presentation expressions in Spark after the sink —
+    graded by the BATCH oracle (20th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_holt_winters(spark, sf_dir)
+
+
+QUERIES["events_holt_winters"] = _events_holt_winters
+QUERIES["streaming_holt_winters"] = _streaming_holt_winters
+ORACLES["events_holt_winters"] = _hw_oracle()
+ORACLES["streaming_holt_winters"] = _hw_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

@@ -30,9 +30,117 @@ COUNTERS = {
     "python": r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas|BatchEvalPython",
 }
 
+# ---------------------------------------------------------------------------
+# BNLJ exemption split (VERDICT r10, "What's wrong" #3). The registry's only
+# sanctioned nested-loop joins are the fold-style broadcast-scalar class:
+# the build side is a literal/k-row relation (a VALUES union of
+# OneRowRelation projections, a LocalTableScan) or a global aggregate
+# (keys=[] — exactly one row), possibly composed (k-row x one-row crosses).
+# A data x data nested loop must NEVER appear; splitting the counter turns
+# that prose exemption into a machine invariant: bnlj_other == 0.
+# ---------------------------------------------------------------------------
+
+_ONE_ROW_AGG = re.compile(
+    r"\b(?:HashAggregate|SortAggregate|ObjectHashAggregate)\((?:keys|key)=\[\]"
+)
+_KROW_LEAF = re.compile(r"Scan OneRowRelation|LocalTableScan")
+#: TPC-H's region (5 rows) and nation (25 rows) are CONSTANT catalogs —
+#: their size is independent of scale factor, so a nested loop over them
+#: is a k-row broadcast at 100 TB exactly as at sf0.001.
+_CONST_CATALOG = re.compile(r"FileScan .*(?:/region\.parquet|/nation\.parquet)[\],]")
+_PLAN_ID = re.compile(r"\[plan_id=(\d+)\]")
+
+
+def _text_col(line: str) -> int:
+    """Column where the operator text starts (past the tree rail ': +-')."""
+    for i, ch in enumerate(line):
+        if ch not in " :+-":
+            return i
+    return len(line)
+
+
+def _subtree_end(lines: list[str], i: int) -> int:
+    c = _text_col(lines[i])
+    j = i + 1
+    while j < len(lines) and lines[j].strip() and _text_col(lines[j]) > c:
+        j += 1
+    return j
+
+
+def _children_idx(lines: list[str], i: int) -> list[int]:
+    """Direct children of node i: marker lines exactly one rail level in
+    (text col == parent text col + 3 — the ':- ' / '+- ' marker width)."""
+    c = _text_col(lines[i])
+    return [
+        j
+        for j in range(i + 1, _subtree_end(lines, i))
+        if _text_col(lines[j]) == c + 3
+    ]
+
+
+def _is_krow(lines: list[str], i: int, depth: int = 0) -> bool:
+    """Provably bounded-row subtree: every leaf is a literal relation, or
+    collapses through a global (keys=[]) aggregate. Conservative — any
+    unrecognized leaf (FileScan, Range, ReusedExchange of a scan, ...)
+    or row-exploding operator (Generate) returns False."""
+    if depth > 128:
+        return False
+    text = lines[i][_text_col(lines[i]):]
+    if _ONE_ROW_AGG.search(text) or _KROW_LEAF.search(text):
+        return True
+    if _CONST_CATALOG.search(text):
+        return True
+    if "ArrowAggregatePython" in text:
+        # a Python UDAF aggregate is GLOBAL (one row) iff it sits on a
+        # single-partition exchange; grouped variants shuffle by key
+        kids = _children_idx(lines, i)
+        return len(kids) == 1 and lines[kids[0]][
+            _text_col(lines[kids[0]]):
+        ].startswith("Exchange SinglePartition")
+    if text.startswith("Generate"):
+        return False  # explode can blow a one-row build up arbitrarily
+    if text.startswith("ReusedExchange"):
+        m = _PLAN_ID.search(text)
+        if not m:
+            return False
+        target = f"[plan_id={m.group(1)}]"
+        for j, l in enumerate(lines):
+            if j != i and target in l and not l[_text_col(l):].startswith(
+                "ReusedExchange"
+            ):
+                return _is_krow(lines, j, depth + 1)
+        return False
+    kids = _children_idx(lines, i)
+    if not kids:
+        return False  # unknown leaf
+    return all(_is_krow(lines, k, depth + 1) for k in kids)
+
+
+def split_bnlj(plan: str) -> tuple[int, int]:
+    """(bnlj_exempt, bnlj_other) for every BroadcastNestedLoopJoin in the
+    plan text: exempt iff the BUILD side is a provably bounded (literal /
+    one-row-aggregate) relation."""
+    lines = plan.splitlines()
+    exempt = other = 0
+    for i, l in enumerate(lines):
+        text = l[_text_col(l):]
+        if not text.startswith("BroadcastNestedLoopJoin"):
+            continue
+        kids = _children_idx(lines, i)
+        if len(kids) != 2:
+            other += 1  # malformed parse — never silently exempt
+            continue
+        build = kids[0] if "BuildLeft" in text else kids[1]
+        if _is_krow(lines, build):
+            exempt += 1
+        else:
+            other += 1
+    return exempt, other
+
 
 def audit(plan: str) -> dict[str, int]:
     counts = {k: len(re.findall(pat, plan)) for k, pat in COUNTERS.items()}
+    counts["bnlj_exempt"], counts["bnlj_other"] = split_bnlj(plan)
     counts["pushed"] = 1 if re.search(r"PushedFilters: \[[^\]]", plan) else 0
     return counts
 
@@ -47,7 +155,7 @@ def main() -> int:
     spark = get_spark("plan-audit")
     spark.sparkContext.setLogLevel("ERROR")
 
-    cols = ["query", *COUNTERS.keys(), "pushed"]
+    cols = ["query", *COUNTERS.keys(), "bnlj_exempt", "bnlj_other", "pushed"]
     print("\t".join(cols))
     totals = {k: 0 for k in cols[1:]}
     n = 0
