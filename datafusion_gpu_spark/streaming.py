@@ -884,6 +884,140 @@ def stream_holt(
     )
 
 
+def stream_holt_winters(
+    spark: SparkSession,
+    sf_dir: str,
+    span: int = 20,
+    season_span: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Streaming twin of events.holt_winters_additive via
+    applyInPandasWithState — the 20th stream==batch twin. Per-user state
+    is bounded: the per-slot seasonal history (at most ``season_span``
+    cents per hour-of-day slot — <= 24 * season_span entries, stored as
+    parallel (slot, cent) arrays) plus the last ``2*span - 1``
+    DESEASONALIZED cents (the reach of the S'' kernel).
+
+    Exactness contract: slot and cents quantize JVM-SIDE with the batch
+    twin's expressions; the automaton is integer-only EXCEPT the single
+    deterministic seasonal quantization, which reproduces SQL
+    ``ROUND(CAST(s_num AS DOUBLE) / s_den)`` bit-for-bit — IEEE double
+    division then decimal HALF_UP on the double's exact value (what both
+    Spark's BigDecimal round and DuckDB's round compute for positive
+    inputs). Presentation expressions run in Spark after the sink using
+    the SAME holt_winters_terminal_exprs strings, so on an in-order
+    replay the output is the batch operator's bit-for-bit and the BATCH
+    ORACLE grades the stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from datafusion_gpu_spark.operators.events import (
+        holt_weights,
+        holt_winters_terminal_exprs,
+        holt_winters_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    sw = holt_winters_weights(season_span)
+    cap = 2 * span - 1
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.hour("ts").cast("int").alias("slot"),
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+    )
+
+    def _sq(s_num: int, s_den: int) -> int:
+        # SQL ROUND(CAST(s_num AS DOUBLE) / s_den): IEEE division, then
+        # HALF_UP on the double's EXACT value (Decimal(float) is exact
+        # binary->decimal, same as java.math.BigDecimal(double))
+        from decimal import ROUND_HALF_UP, Decimal
+
+        if s_den <= 0:
+            return 0
+        return int(
+            Decimal(s_num / s_den).quantize(Decimal(1), rounding=ROUND_HALF_UP)
+        )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            slots, scents, dhist = (
+                list(state.get[0]), list(state.get[1]), list(state.get[2])
+            )
+        else:
+            slots, scents, dhist = [], [], []
+        out = {
+            "user_id": [], "event_id": [], "slot": [], "sq": [],
+            "num1": [], "den1": [], "num2": [], "den2": [],
+        }
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, h, c in zip(rows["event_id"], rows["slot"], rows["cents"]):
+                h, c = int(h), int(c)
+                prior = [v for s, v in zip(slots, scents) if s == h]
+                rev = prior[::-1]  # rev[k-1] == same-slot lag k
+                s_num = sum(v * sw[k] for k, v in enumerate(rev[:season_span]))
+                s_den = sum(sw[: min(season_span, len(rev))])
+                sq = _sq(s_num, s_den)
+                d = c - sq
+                dhist.append(d)
+                if len(dhist) > cap:
+                    dhist = dhist[-cap:]
+                drev = dhist[::-1]  # drev[j] == d_{i-j}
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["slot"].append(h)
+                out["sq"].append(sq)
+                out["num1"].append(
+                    sum(v * w1[k] for k, v in enumerate(drev[:span]))
+                )
+                out["den1"].append(sum(w1[: min(span, len(drev))]))
+                out["num2"].append(sum(v * w2[j] for j, v in enumerate(drev)))
+                out["den2"].append(sum(w2[: len(drev)]))
+                slots.append(h)
+                scents.append(c)
+                if len(prior) + 1 > season_span:
+                    # trim this slot's OLDEST entry; others untouched
+                    idx = next(
+                        k for k, s in enumerate(slots) if s == h
+                    )
+                    del slots[idx], scents[idx]
+        state.update((slots, scents, dhist))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, slot int, sq long, "
+            "num1 long, den1 long, num2 long, den2 long"
+        ),
+        stateStructType="slots array<long>, scents array<long>, dhist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    exact = materialize_stream(prog, output_mode="update")
+    terms = holt_winters_terminal_exprs(scale)
+    return exact.select(
+        "user_id",
+        "event_id",
+        "slot",
+        "sq",
+        "num1",
+        "den1",
+        "num2",
+        "den2",
+        *[F.expr(sql).alias(name) for name, sql in terms.items()],
+    )
+
+
 def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch per-user max-drawdown query
     (_MAX_DRAWDOWN in queries/pipeline.py): drawdown is a pure

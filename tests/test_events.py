@@ -150,6 +150,113 @@ def test_holt_linear_matches_double_smoothing_replay(spark):
     assert Fraction(got[i].num2, got[i].den2) == spp
 
 
+def test_holt_winters_closed_forms(spark):
+    """Planted level+ramp+sine series (the verdict's closed-form case):
+    cents_i = 1000 + 255*i + round(500*sin(2*pi*h/24)) with one event per
+    hour. Every hour-of-day subseries is a ramp of slope 24*255 cents
+    plus its own constant sine offset, so the causal seasonal EWMA
+    (lags 1..8, weights 2^(8-k)) lags it by EXACTLY
+    24*255 * (sum k*w_k / sum w_k) = 24*255*502/255 = 12048 cents — an
+    integer by construction, so the sq quantization is exact, the
+    deseasonalized series is the CONSTANT 12048 from each slot's 9th
+    occurrence, and once the Holt window holds only constants:
+    level == 120.48, trend == 0, forecast_next == the current value
+    exactly (the decomposition absorbs a per-period ramp into the slot
+    baselines — the seasonal column carries ramp lag + sine)."""
+    import math
+
+    from datafusion_gpu_spark.operators.events import holt_winters_additive
+
+    n = 288  # 12 full days, hourly
+    rows = []
+    for i in range(n):
+        h = i % 24
+        cents = 1000 + 255 * i + round(500.0 * math.sin(2.0 * math.pi * h / 24.0))
+        day, hour = divmod(i, 24)
+        rows.append(
+            (1, i, f"2024-01-{day + 1:02d} {hour:02d}:00:00", cents / 100.0)
+        )
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.event_id: r
+        for r in holt_winters_additive(df, span=4, season_span=8).collect()
+    }
+    assert len(got) == n
+    # slot h's 9th occurrence is event h + 24*8; the Holt window (2*4-1
+    # lags) is all-constant 6 events later — steady state from i >= 198
+    for i in range(198, n):
+        r = got[i]
+        cents = 1000 + 255 * i + round(
+            500.0 * math.sin(2.0 * math.pi * (i % 24) / 24.0)
+        )
+        assert r.slot == i % 24
+        assert r.sq == cents - 12048, i
+        assert r.level == 120.48, i
+        assert r.trend == 0.0, i
+        assert r.seasonal == round((cents - 12048) / 100.0, 6), i
+        assert r.forecast_next == round(cents / 100.0, 6), i
+
+
+def test_holt_winters_replay_exact_integers(spark):
+    """Every exact column (sq, num1, den1, num2, den2) matches a pure-
+    Python integer replica — including the seasonal warm-up (partial
+    same-slot history) and the single deterministic ROUND in sq."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import (
+        holt_weights,
+        holt_winters_additive,
+        holt_winters_weights,
+    )
+
+    span, season_span = 3, 2
+    vals = [10.0, 11.5, 9.25, 14.0, 8.75, 13.33, 12.0, 9.9, 10.05, 11.11]
+    rows = [
+        # two slots (hours 3 and 7) interleaved so each slot's subseries
+        # is every other event
+        (1, i, f"2024-01-{1 + i // 2:02d} {3 if i % 2 == 0 else 7:02d}:00:00", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.event_id: r
+        for r in holt_winters_additive(
+            df, span=span, season_span=season_span
+        ).collect()
+    }
+    sw = holt_winters_weights(season_span)
+    w1, w2 = holt_weights(span)
+    hist: dict[int, list[int]] = {3: [], 7: []}
+    dhist: list[int] = []
+    for i, v in enumerate(vals):
+        h = 3 if i % 2 == 0 else 7
+        c = round(v * 100)
+        rev = hist[h][::-1]
+        s_num = sum(x * sw[k] for k, x in enumerate(rev[:season_span]))
+        s_den = sum(sw[: min(season_span, len(rev))])
+        sq = (
+            int(Decimal(s_num / s_den).quantize(Decimal(1), ROUND_HALF_UP))
+            if s_den > 0
+            else 0
+        )
+        d = c - sq
+        dhist.append(d)
+        hist[h].append(c)
+        drev = dhist[::-1]
+        r = got[i]
+        assert r.sq == sq, i
+        assert r.num1 == sum(x * w1[k] for k, x in enumerate(drev[:span])), i
+        assert r.den1 == sum(w1[: min(span, len(drev))]), i
+        assert r.num2 == sum(
+            x * w2[j] for j, x in enumerate(drev[: 2 * span - 1])
+        ), i
+        assert r.den2 == sum(w2[: min(2 * span - 1, len(drev))]), i
+
+
 def test_merge_intervals_overlap_touch_disjoint(spark):
     from datafusion_gpu_spark.operators.events import merge_intervals
 

@@ -451,6 +451,29 @@ def test_streaming_holt_matches_batch_exactly(spark):
     assert len(batch) > 0
 
 
+def test_streaming_holt_winters_matches_batch_exactly(spark):
+    # 20th twin: the bounded per-slot seasonal history + deseasonalized
+    # double-smoothing automaton reproduces the two-window batch
+    # spelling bit-for-bit on an in-order replay — exact bigints AND
+    # the single deterministic sq quantization included
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_holt_winters,
+        _streaming_holt_winters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.event_id: tuple(r)
+        for r in _events_holt_winters(spark, sf).collect()
+    }
+    stream = {
+        r.event_id: tuple(r)
+        for r in _streaming_holt_winters(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_streaming_max_drawdown_matches_batch_exactly(spark):
     # 19th twin: the three-bigint fold state on an in-order replay
     # reproduces the two-window batch spelling bit-for-bit
