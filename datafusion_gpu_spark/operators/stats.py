@@ -315,3 +315,113 @@ def ks_two_sample(
             """
         ).alias("reject_05"),
     )
+
+
+def pav_isotonic(
+    bins: DataFrame,
+    bin_col: str = "bin",
+    n_col: str = "n",
+    s_col: str = "s",
+) -> DataFrame:
+    """Isotonic regression of the rate ``s/n`` over ``bin_col`` order —
+    the pool-adjacent-violators fit, spelled distributively through the
+    minimax characterization (Robertson/Wright/Dykstra 1988; Ayer et
+    al. 1955 for PAV itself):
+
+        yhat_i = max_{j <= i} min_{k >= i} (S_k - S_{j-1}) / (N_k - N_{j-1})
+
+    over exact-bigint cumulative sums S (label sums) and N (counts):
+
+    1. inclusive cumsum over the bin relation (ONE ordered window over
+       B rows — the bin domain is bounded by construction, so a global
+       window is the documented-safe spelling; see CUMSUM_ROUTE_THRESHOLD);
+    2. block averages for every (prefix boundary j-1, end k) pair via a
+       broadcast range self-join — B(B+1)/2 rows, tiny for bounded B;
+    3. running min over k DESC per boundary (min_{k >= i});
+    4. max per end bin (max_{j <= i}).
+
+    The only floats are the block-average ratios of exact bigints —
+    both engines derive identical IEEE doubles from identical integers,
+    so the minimax result is cross-engine deterministic. ``bin_col``
+    must be integer and >= 0 (the empty-prefix sentinel is -1); bins
+    absent from the input are simply not fitted (PAV over present bins).
+    Adds ``yhat`` (unrounded double); input columns pass through.
+    """
+    w = Window.orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        F.col(bin_col).cast("long").alias("k"),
+        F.col(n_col).cast("long").alias("n"),
+        F.col(s_col).cast("long").alias("s"),
+    ).select(
+        "k", "n", "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    pre = cum.select(
+        F.col("k").alias("j"), F.col("cn").alias("cnj"), F.col("cs").alias("csj")
+    ).unionAll(
+        cum.sparkSession.sql(
+            "SELECT CAST(-1 AS BIGINT) j, CAST(0 AS BIGINT) cnj, CAST(0 AS BIGINT) csj"
+        )
+    )
+    pairs = cum.join(F.broadcast(pre), F.col("j") < F.col("k")).select(
+        "j", "k",
+        ((F.col("cs") - F.col("csj")).cast("double")
+         / (F.col("cn") - F.col("cnj"))).alias("avgjk"),
+    )
+    w_min = (
+        Window.partitionBy("j")
+        .orderBy(F.col("k").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rmin = pairs.select("j", "k", F.min("avgjk").over(w_min).alias("m"))
+    fit = rmin.groupBy("k").agg(F.max("m").alias("yhat"))
+    return bins.join(
+        F.broadcast(fit),
+        F.col(bin_col).cast("long") == F.col("k"),
+    ).drop("k")
+
+
+def conformal_quantile(
+    residuals: DataFrame,
+    res_col: str = "res",
+    alpha: float = 0.1,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Split-conformal score quantile (Vovk et al. 2005; Lei et al.
+    2018): the ceil((n+1)(1-alpha))-th smallest calibration residual —
+    the distribution-free radius that covers a fresh exchangeable point
+    with probability >= 1-alpha. The order statistic is picked off the
+    DISTINCT-VALUE cumulative (:func:`cumsum_auto` — runtime-routed to
+    the two-level bucketed spelling past the threshold), i.e. the
+    agg_median_ci rank-bound machinery generalized to any alpha: no
+    global sort of the residual relation, ever.
+
+    ``res_col`` must be integer (pre-quantized residuals). Returns one
+    row: n_cal, k_rank, q_res (exact bigints) — spelled as a GLOBAL
+    aggregate (n_cal/k_rank are constants from the one-row rank fold,
+    so max() over the qualifying rows returns them unchanged and the
+    executed plan's build side is provably one row — the audited-exempt
+    BNLJ class). On an EMPTY calibration relation (or k_rank > n_cal —
+    fewer than 1/alpha - 1 residuals, where the conformal set is the
+    whole line) the row carries NULLs; callers gate upstream.
+    """
+    v = residuals.groupBy(res_col).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = cumsum_auto(v, res_col, ("cnt",), n_buckets=n_buckets)
+    k = v.agg(F.sum("cnt").cast("long").alias("n_cal")).select(
+        "n_cal",
+        F.expr(f"CAST(CEIL((n_cal + 1) * {1.0 - alpha!r}) AS BIGINT)").alias(
+            "k_rank"
+        ),
+    )
+    return cum.join(
+        F.broadcast(k), F.col("cum_cnt") >= F.col("k_rank")
+    ).agg(
+        F.max("n_cal").alias("n_cal"),
+        F.max("k_rank").alias("k_rank"),
+        F.min(res_col).cast("long").alias("q_res"),
+    )

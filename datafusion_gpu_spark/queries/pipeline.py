@@ -7446,6 +7446,96 @@ ORACLES["agg_pr_at_threshold"] = _PR_AT_T
 ORACLES["agg_calibration_bins"] = _CALIBRATION
 
 
+# Isotonic (PAV) calibration — the FIX next to agg_calibration_bins'
+# diagnosis: the monotone remapping score-bin -> calibrated rate that a
+# serving stack applies when the reliability diagram bends. Same binned
+# relation as the diagnosis query; the fit is operators/stats.pav_isotonic
+# (minimax spelling: yhat_i = max_{j<=i} min_{k>=i} block-average over
+# exact bigint cumsums; block ratios are the only floats — identical
+# IEEE doubles in both engines, so the min/max lattice is cross-engine
+# deterministic). Scale: the bin domain is FIXED (10 equal-width bins by
+# construction), so the pair relation is <= B(B+1)/2 = 55 rows and every
+# window/join past the first groupBy runs on a broadcast-tiny relation —
+# the data-sized work is exactly one fold, identical to the diagnosis.
+_CALIB_BINNED = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+rng AS (
+  SELECT lo, hi,
+         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
+  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        FROM t)
+),
+b AS (
+  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
+  FROM t CROSS JOIN rng
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s
+FROM b GROUP BY bin
+"""
+
+_ISOTONIC = f"""
+WITH g AS ({_CALIB_BINNED}),
+cum AS (
+  SELECT bin AS k, n, s,
+         CAST(SUM(n) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
+         CAST(SUM(s) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
+  FROM g
+),
+pre AS (
+  SELECT k AS j, cn AS cnj, cs AS csj FROM cum
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+),
+pairs AS (
+  SELECT p.j, c.k,
+         CAST(c.cs - p.csj AS DOUBLE) / (c.cn - p.cnj) AS avgjk
+  FROM cum c JOIN pre p ON p.j < c.k
+),
+rmin AS (
+  SELECT j, k,
+         MIN(avgjk) OVER (PARTITION BY j ORDER BY k DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+  FROM pairs
+),
+fit AS (SELECT k, MAX(m) AS yhat FROM rmin GROUP BY k)
+SELECT g.bin, g.n, g.s AS n_pos,
+       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS obs_rate,
+       ROUND(fit.yhat, 6) AS iso_rate
+FROM g JOIN fit ON g.bin = fit.k
+"""
+
+
+def _agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration curve over the reliability bins —
+    observed rate next to the monotone fitted rate per score bin
+    (operators/stats.pav_isotonic). The Spark side runs the DataFrame
+    spelling of the minimax fit over the SAME binned relation as
+    agg_calibration_bins; see _ISOTONIC."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    g = spark.sql(_CALIB_BINNED)
+    fit = stats.pav_isotonic(g, "bin", "n", "s")
+    return fit.select(
+        "bin",
+        "n",
+        F.col("s").alias("n_pos"),
+        F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("obs_rate"),
+        F.expr("ROUND(yhat, 6)").alias("iso_rate"),
+    )
+
+
+QUERIES["agg_isotonic_calibration"] = _agg_isotonic_calibration
+ORACLES["agg_isotonic_calibration"] = _ISOTONIC
+
+
 # Embedding-space drift: cosine between the CENTROIDS of two embedding
 # snapshots (vec_id parity split) — the third member of the drift triad
 # (numeric events_ks_test, text text_jsd_drift, embedding this).
@@ -9500,6 +9590,107 @@ QUERIES["events_seasonality_strength"] = _events_seasonality_strength
 ORACLES["agg_median_ci"] = _MEDIAN_CI
 ORACLES["events_runs_test"] = _RUNS_TEST
 ORACLES["events_seasonality_strength"] = _SEASONALITY_STRENGTH
+
+
+# Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
+# 2018): the distribution-free uncertainty readout next to the bootstrap
+# and order-statistic CIs. Three deterministic event_id folds: fold 0
+# fits the predictor (per-user mean purchase cents, ONE quantization;
+# global-mean fallback for unseen users), fold 1 calibrates (absolute
+# residuals -> the ceil((n+1)(1-alpha))-th smallest via the
+# distinct-value cumulative — agg_median_ci's rank-bound machinery at
+# alpha=0.1, runtime-routed through cumsum_auto on the Spark side), and
+# fold 2 reports held-out coverage, which exchangeability guarantees
+# >= 1 - alpha in expectation. Exact bigint residuals end-to-end;
+# terminal IEEE ratios only.
+_CONF_RESID = """
+WITH t AS (
+  SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         event_id % 3 AS fold
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+mu AS (
+  SELECT user_id,
+         CAST(ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_u
+  FROM t WHERE fold = 0 GROUP BY user_id
+),
+gmu AS (
+  SELECT CAST(ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_g
+  FROM t WHERE fold = 0
+)
+SELECT ABS(t.c - COALESCE(mu.mu_u, gmu.mu_g)) AS res
+FROM t CROSS JOIN gmu LEFT JOIN mu ON t.user_id = mu.user_id
+WHERE t.fold = {fold}
+"""
+
+_CONFORMAL = f"""
+WITH r AS ({_CONF_RESID.format(fold=1)}),
+v AS (SELECT res, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY res),
+cum AS (
+  SELECT res, cnt,
+         CAST(SUM(cnt) OVER (ORDER BY res
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM v
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM v),
+k AS (SELECT n_cal, CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT) AS k_rank FROM n),
+q AS (
+  SELECT k.n_cal, k.k_rank, CAST(MIN(cum.res) AS BIGINT) AS q_res
+  FROM k JOIN cum ON cum.cc >= k.k_rank
+  GROUP BY k.n_cal, k.k_rank
+),
+tst AS ({_CONF_RESID.format(fold=2)}),
+cov AS (
+  SELECT q.n_cal, q.k_rank, q.q_res,
+         CAST(COUNT(*) AS BIGINT) AS n_test,
+         CAST(SUM(CASE WHEN tst.res <= q.q_res THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_cov
+  FROM tst CROSS JOIN q
+  GROUP BY q.n_cal, q.k_rank, q.q_res
+)
+SELECT n_cal, k_rank,
+       ROUND(CAST(q_res AS DOUBLE) / 100, 2) AS q_value,
+       n_test, n_cov,
+       ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage
+FROM cov
+"""
+
+
+def _events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% interval radius for purchase values under the
+    per-user-mean predictor, with held-out coverage: the Spark side
+    builds the fold residuals with the shared SQL and picks the rank off
+    operators/stats.conformal_quantile (cumsum_auto — two-level bucketed
+    past the threshold, so no global residual sort at any scale); the
+    oracle is the single-window spelling. See _CONFORMAL."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    cal = spark.sql(_CONF_RESID.format(fold=1))
+    tst = spark.sql(_CONF_RESID.format(fold=2))
+    q = stats.conformal_quantile(cal, "res", alpha=0.1)
+    return (
+        tst.crossJoin(F.broadcast(q))
+        .groupBy("n_cal", "k_rank", "q_res")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.sum(
+                F.when(F.col("res") <= F.col("q_res"), 1).otherwise(0)
+            ).cast("long").alias("n_cov"),
+        )
+        .select(
+            "n_cal",
+            "k_rank",
+            F.expr("ROUND(CAST(q_res AS DOUBLE) / 100, 2)").alias("q_value"),
+            "n_test",
+            "n_cov",
+            F.expr("ROUND(CAST(n_cov AS DOUBLE) / n_test, 6)").alias("coverage"),
+        )
+    )
+
+
+QUERIES["events_conformal_interval"] = _events_conformal_interval
+ORACLES["events_conformal_interval"] = _CONFORMAL
 
 
 # Average True Range (Wilder) over the hourly OHLC bars, per event

@@ -730,6 +730,8 @@ _BNLJ_BEARING_R11 = (
     "retrieval_tfidf", "text_bigram_lm", "text_burstiness", "text_heaps_fit",
     "text_heavy_hitters", "text_jsd_drift", "text_kneser_ney",
     "text_perplexity", "types_sum_parity",
+    # round-11 additions
+    "agg_isotonic_calibration", "events_conformal_interval",
 )
 
 #: The ONLY rows allowed a non-exempt BNLJ, each with a bounded-build
@@ -744,9 +746,12 @@ _BNLJ_BEARING_R11 = (
 #:   opaque to the plan text.
 #: - join_non_equi_band: the SURVEY §2.3 non-equi join gate, a naive BNLJ
 #:   BY DESIGN; join_band_bucketed is the documented scale spelling.
+#: - agg_isotonic_calibration: the PAV pair join's build is the (B+1)-row
+#:   prefix relation over the reliability bins — B is FIXED at 10 by the
+#:   binning expression, bounded by construction, invisible to plan text.
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
-     "join_non_equi_band"}
+     "join_non_equi_band", "agg_isotonic_calibration"}
 )
 
 

@@ -1536,3 +1536,102 @@ def test_mix_kl_planted(spark):
     assert abs(row.kl_nats - want) < 1e-6
     assert abs(row.kl_norm - want / np.log(3)) < 1e-6
     assert 0 < row.kl_norm < 1
+
+
+def test_pav_isotonic_pools_adjacent_violators(spark):
+    """Hand-checkable case: rates [0.1, 0.4, 0.3, 0.2, 0.5] with equal
+    bin sizes — PAV pools the middle three violators to their mean 0.3
+    and leaves the monotone ends alone."""
+    from datafusion_gpu_spark.operators.stats import pav_isotonic
+
+    bins = spark.createDataFrame(
+        [(0, 10, 1), (1, 10, 4), (2, 10, 3), (3, 10, 2), (4, 10, 5)],
+        "bin long, n long, s long",
+    )
+    got = {r.bin: r.yhat for r in pav_isotonic(bins).collect()}
+    assert got == {0: 0.1, 1: 0.3, 2: 0.3, 3: 0.3, 4: 0.5}
+
+
+def test_pav_isotonic_matches_stack_replica_weighted(spark):
+    """The minimax spelling equals the classic PAV stack algorithm
+    (exact-Fraction replica, no numpy/sklearn) on unequal bin sizes,
+    including a violation chain that must cascade backwards; the fit is
+    monotone and preserves the weighted mean (PAV invariants)."""
+    from fractions import Fraction
+
+    from datafusion_gpu_spark.operators.stats import pav_isotonic
+
+    rows = [  # (bin, n, s) — rates 0.9, 0.2, 0.5, 0.45, 0.8, 0.1, 0.7
+        (0, 10, 9), (1, 5, 1), (2, 20, 10), (3, 20, 9),
+        (5, 5, 4), (7, 10, 1), (9, 10, 7),
+    ]
+
+    def pav_stack(blocks):
+        stack = []  # (sum_s, sum_n) pooled blocks
+        for _, n, s in blocks:
+            cur = (Fraction(s), Fraction(n))
+            while stack and stack[-1][0] * cur[1] >= cur[0] * stack[-1][1]:
+                ps, pn = stack.pop()
+                cur = (cur[0] + ps, cur[1] + pn)
+            stack.append(cur)
+        # expand the pooled blocks back over the input blocks
+        fits, i = [], 0
+        for s_sum, n_sum in stack:
+            # consume input blocks until their n adds up to n_sum
+            acc = Fraction(0)
+            while acc < n_sum:
+                acc += rows[i][1]
+                fits.append(s_sum / n_sum)
+                i += 1
+        return fits
+
+    expected = pav_stack(rows)
+    bins = spark.createDataFrame(rows, "bin long, n long, s long")
+    got = [r.yhat for r in pav_isotonic(bins).collect()]
+    got = [y for _, y in sorted(zip([r.bin for r in bins.collect()], got))]
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert abs(g - float(e)) < 1e-12, (g, e)
+    # invariants: monotone nondecreasing; weighted mean preserved
+    assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+    total_s = sum(s for _, _, s in rows)
+    total_n = sum(n for _, n, _ in rows)
+    assert abs(sum(y * n for y, (_, n, _) in zip(got, rows)) - total_s) < 1e-9
+    assert total_n == 80
+
+
+def test_conformal_quantile_order_statistic_and_coverage(spark):
+    """conformal_quantile returns EXACTLY the ceil((n+1)(1-alpha))-th
+    smallest calibration residual, and on an exchangeable planted
+    residual mix (two deterministic pseudo-random components) the
+    held-out empirical coverage meets the distribution-free guarantee."""
+    import random
+
+    from datafusion_gpu_spark.operators.stats import conformal_quantile
+
+    rng = random.Random(20260815)
+    # residual mix: 80% "inlier" geometric-ish small residuals, 20%
+    # heavy tail — same law for calibration and test (exchangeable)
+    def draw():
+        if rng.random() < 0.8:
+            return rng.randrange(0, 50)
+        return rng.randrange(50, 2000)
+
+    cal = [draw() for _ in range(2000)]
+    tst = [draw() for _ in range(2000)]
+    alpha = 0.1
+    got = conformal_quantile(
+        spark.createDataFrame([(r,) for r in cal], "res long"),
+        "res",
+        alpha=alpha,
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    k = -(-(len(cal) + 1) * 9 // 10)  # ceil((n+1)*0.9) in exact ints
+    assert row.n_cal == len(cal)
+    assert row.k_rank == k
+    assert row.q_res == sorted(cal)[k - 1]  # the exact order statistic
+    coverage = sum(1 for r in tst if r <= row.q_res) / len(tst)
+    # the marginal guarantee is P(cover) >= 1 - alpha; one planted draw
+    # of n=2000 concentrates within a few sigma (~0.007) of its mean
+    assert coverage >= 1 - alpha - 0.02, coverage
