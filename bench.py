@@ -94,6 +94,15 @@ SF_BENCHES = [
     # ask #8): the heaviest stats plan (merged-ECDF window over distinct
     # values, 6 shuffles), ~1.7 s at sf0.1.
     "events_ks_test",
+    # The round-9/10 eval-curve machinery representative (VERDICT r10
+    # ask #6): decile gain/lift routed through cumsum_auto from day one
+    # — the runtime-routed distinct-value cumulative's wall-clock
+    # history starts here.
+    "agg_gain_lift_curve",
+    # The round-10 forecasting-family representative (VERDICT r10 ask
+    # #6): 59 lag terms in ONE window spec, single keyed shuffle, pure
+    # codegen — the widest single-window fold in the registry.
+    "events_holt_smoothing",
     # dedup_components runs after every non-iterative row: BENCH_r05
     # showed seven unchanged queries drifting +12-44% vs r04, and the
     # prime suspect is this entry's insertion at position 10 — ~39 s of
@@ -155,6 +164,10 @@ PROTECTED = frozenset({
     # sim_topk_ivf and one dropped sim_knn_graph).
     "sim_knn_graph", "text_pii_redact", "sim_topk_ivf",
     "text_quality", "text_perplexity",
+    # Round-11 family representatives (VERDICT r10 ask #6): their first
+    # full-round medians must land in BENCH_r11, so the planner may not
+    # evict them on a slow pass.
+    "agg_gain_lift_curve", "events_holt_smoothing",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose

@@ -425,3 +425,81 @@ def conformal_quantile(
         F.max("k_rank").alias("k_rank"),
         F.min(res_col).cast("long").alias("q_res"),
     )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Two-sample Cramér-von Mises statistic (Anderson 1962) — the
+    whole-curve companion to :func:`ks_two_sample` on the SAME
+    distinct-value cumulative machinery: where KS takes the max ECDF
+    gap, CvM integrates the SQUARED gap over the pooled sample,
+
+        T = (n_a * n_b / N^2) * sum_x tc_x * (F_a(x) - F_b(x))^2 ,
+
+    so it sees broad mid-distribution drift KS underweights. The gap
+    numerator D = ca*n_b - cb*n_a is an exact bigint; each squared
+    relative gap quantizes ONCE to a 1e12 bigint (identical IEEE
+    division/multiply/round in both engines), and the tc-weighted fold
+    sums bigints exactly. VISIBLE headroom guard: sum(tc * term_q) <=
+    N * 1e12, so past N >= 9e6 pooled rows the statistic reports NULL
+    (shrink the quantum to trade precision for population — the
+    round-10 guard discipline). reject_05 uses the asymptotic 5%
+    critical value 0.461 of the limiting omega^2 distribution
+    (Anderson & Darling 1952). Routing as :func:`mann_whitney_u`:
+    ``n_buckets=None`` -> :func:`cumsum_auto`, explicit -> forced
+    two-level."""
+    pv = _two_group_values(df, group_col, value_col, group_a, group_b)
+    if n_buckets is None:
+        cum = cumsum_auto(pv, "c", ("da", "db"))
+    else:
+        cum = bucketed_cumsum(pv, "c", ("da", "db"), n_buckets=n_buckets)
+    nn = pv.agg(
+        F.sum("da").cast("long").alias("n_a"), F.sum("db").cast("long").alias("n_b")
+    )
+    s = (
+        cum.join(F.broadcast(nn))
+        .agg(
+            F.sum(
+                F.col("tc")
+                * F.expr(
+                    "CAST(ROUND(1e12 * "
+                    "(CAST(cum_da * n_b - cum_db * n_a AS DOUBLE)"
+                    " / (CAST(n_a AS DOUBLE) * n_b))"
+                    " * (CAST(cum_da * n_b - cum_db * n_a AS DOUBLE)"
+                    " / (CAST(n_a AS DOUBLE) * n_b)), 0) AS BIGINT)"
+                )
+            )
+            .cast("long")
+            .alias("s_q")
+        )
+        .join(F.broadcast(nn))
+    )
+    return s.select(
+        "n_a",
+        "n_b",
+        "s_q",
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+              ROUND(CAST(n_a AS DOUBLE) * n_b
+                    / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+                    * (CAST(s_q AS DOUBLE) / 1e12), 6)
+            END
+            """
+        ).alias("t_stat"),
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+              (CAST(n_a AS DOUBLE) * n_b
+                 / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+                 * (CAST(s_q AS DOUBLE) / 1e12) > 0.461)
+            END
+            """
+        ).alias("reject_05"),
+    )

@@ -6254,6 +6254,81 @@ def _events_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_mann_whitney_bucketed"] = _agg_mann_whitney_bucketed
 QUERIES["events_ks_test_bucketed"] = _events_ks_test_bucketed
+
+
+# Two-sample Cramér-von Mises (Anderson 1962): the whole-curve companion
+# to events_ks_test on the SAME distinct-value cumulative machinery — KS
+# takes the max ECDF gap, CvM the tc-weighted integral of the SQUARED
+# gap, so broad mid-distribution drift that never produces one large gap
+# still registers. Exact bigint gap numerators; ONE 1e12 quantization of
+# each squared relative gap (identical IEEE ops both engines); bigint
+# fold with the VISIBLE N >= 9e6 headroom guard; asymptotic 0.461
+# critical value (Anderson & Darling 1952). Spark side runs
+# operators/stats.cvm_two_sample (cumsum_auto-routed).
+_CVM_TEST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb,
+         da + db AS tc
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(tc * CAST(ROUND(1e12
+           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_b))
+           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_b)), 0) AS BIGINT))
+         AS BIGINT) AS s_q
+  FROM cum CROSS JOIN nn
+)
+SELECT n_a, n_b, s_q,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+         ROUND(CAST(n_a AS DOUBLE) * n_b
+               / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+               * (CAST(s_q AS DOUBLE) / 1e12), 6)
+       END AS t_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+         (CAST(n_a AS DOUBLE) * n_b
+            / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+            * (CAST(s_q AS DOUBLE) / 1e12) > 0.461)
+       END AS reject_05
+FROM s CROSS JOIN nn
+"""
+
+
+def _events_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises between the click and purchase value
+    distributions (operators/stats.cvm_two_sample): the integrated-
+    squared-gap drift test next to events_ks_test's max-gap, on the
+    same runtime-routed distinct-value cumulative. See _CVM_TEST."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.cvm_two_sample(ev, "event_type", "cents", "click", "purchase")
+
+
+QUERIES["events_cvm_test"] = _events_cvm_test
+ORACLES["events_cvm_test"] = _CVM_TEST
 ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
 ORACLES["events_ks_test_bucketed"] = _KS_TEST
 
@@ -7534,6 +7609,109 @@ def _agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_isotonic_calibration"] = _agg_isotonic_calibration
 ORACLES["agg_isotonic_calibration"] = _ISOTONIC
+
+
+# Expected calibration error — the SCALAR that completes the calibration
+# trio (agg_calibration_bins diagnoses the curve, agg_isotonic_calibration
+# fits the fix, ECE is the one number a regression gate thresholds).
+# ECE = sum_b (n_b/N) * |obs_b - conf_b| collapses to an EXACT bigint
+# fold: n_b * |s_b/n_b - sc_b/(100*n_b)| = |100*s_b - sc_b| / 100, so
+# ECE = sum_b |100*s_b - sc_b| / (100*N) with ONE terminal division —
+# zero per-bin float error, same 10-bin relation as the siblings.
+_ECE = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+rng AS (
+  SELECT lo, hi,
+         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
+  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        FROM t)
+),
+b AS (
+  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
+  FROM t CROSS JOIN rng
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(pos) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS sc
+  FROM b GROUP BY bin
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(ABS(100 * s - sc)) AS BIGINT) AS ece_num,
+       ROUND(CAST(SUM(ABS(100 * s - sc)) AS DOUBLE) / (100.0 * SUM(n)), 6)
+         AS ece
+FROM g
+"""
+
+
+def _agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error over the shared 10-bin reliability
+    relation — exact bigint numerator (the n_b weights cancel into
+    |100*s_b - sc_b|), one terminal division. See _ECE."""
+    load(spark, sf_dir)
+    return spark.sql(_ECE)
+
+
+# Pinball (quantile) loss of the exact tau=0.9 empirical quantile as a
+# constant predictor — the scoring rule that grades quantile forecasts
+# and conformal radii (minimized, in expectation, exactly by the true
+# tau-quantile; Koenker & Bassett 1978). The quantile is the
+# ceil(N*tau)-th order statistic picked off the distinct-value
+# cumulative (the median-CI/conformal rank machinery); the loss fold is
+# exact: tau*(y-q)+ + (1-tau)*(q-y)+ at tau=0.9 scales by 10 into the
+# integer weights 9/1, so pinball_num is an exact bigint and dollars =
+# num / (1000*N). The quantile CTE is a GLOBAL aggregate, so both its
+# pick join and the loss join are the audited-exempt one-row-build class.
+_PINBALL = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
+cum AS (
+  SELECT c, CAST(SUM(cnt) OVER (ORDER BY c
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
+  FROM v
+),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
+k AS (SELECT nr, CAST(CEIL(nr * 0.9) AS BIGINT) AS rk FROM n),
+q AS (
+  SELECT CAST(MAX(k.nr) AS BIGINT) AS nr, CAST(MAX(k.rk) AS BIGINT) AS rk,
+         CAST(MIN(cum.c) AS BIGINT) AS qv
+  FROM k JOIN cum ON cum.cc >= k.rk
+),
+l AS (
+  SELECT q.nr, q.rk, q.qv,
+         CAST(SUM(CASE WHEN t.c > q.qv THEN 9 * (t.c - q.qv)
+                       ELSE q.qv - t.c END) AS BIGINT) AS num
+  FROM t CROSS JOIN q GROUP BY q.nr, q.rk, q.qv
+)
+SELECT nr AS n, rk AS k_rank,
+       ROUND(CAST(qv AS DOUBLE) / 100, 2) AS q_value,
+       num AS pinball_num,
+       ROUND(CAST(num AS DOUBLE) / (1000.0 * nr), 6) AS pinball
+FROM l
+"""
+
+
+def _agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball loss of the exact empirical 0.9-quantile of purchase
+    values — the quantile-forecast scoring rule next to the conformal
+    interval gate. Exact integer loss fold (weights 9/1 at tau=0.9);
+    quantile via the distinct-value rank bound. See _PINBALL."""
+    load(spark, sf_dir)
+    return spark.sql(_PINBALL)
+
+
+QUERIES["agg_ece"] = _agg_ece
+QUERIES["agg_pinball_loss"] = _agg_pinball_loss
+ORACLES["agg_ece"] = _ECE
+ORACLES["agg_pinball_loss"] = _PINBALL
 
 
 # Embedding-space drift: cosine between the CENTROIDS of two embedding

@@ -1635,3 +1635,81 @@ def test_conformal_quantile_order_statistic_and_coverage(spark):
     # the marginal guarantee is P(cover) >= 1 - alpha; one planted draw
     # of n=2000 concentrates within a few sigma (~0.007) of its mean
     assert coverage >= 1 - alpha - 0.02, coverage
+
+
+def test_cvm_identical_zero_and_disjoint_rejects(spark):
+    """Identical group distributions -> every ECDF gap is exactly zero
+    (T = 0, no rejection); disjoint supports -> T matches the exact
+    Python replica of the quantized fold and rejects at 5%."""
+    from datafusion_gpu_spark.operators.stats import cvm_two_sample
+
+    same = [("click", c) for c in range(1, 21)] + [
+        ("purchase", c) for c in range(1, 21)
+    ]
+    df = spark.createDataFrame(same, "event_type string, cents long")
+    [row] = cvm_two_sample(df, "event_type", "cents", "click", "purchase").collect()
+    assert (row.n_a, row.n_b, row.s_q) == (20, 20, 0)
+    assert row.t_stat == 0.0 and row.reject_05 is False
+
+    lo = [("click", c) for c in range(1, 31)]
+    hi = [("purchase", c) for c in range(1000, 1030)]
+    df = spark.createDataFrame(lo + hi, "event_type string, cents long")
+    [row] = cvm_two_sample(df, "event_type", "cents", "click", "purchase").collect()
+    # replica: inclusive ECDF over the 60 distinct values, one quantized
+    # squared-gap term per value, tc == 1 everywhere
+    n_a = n_b = 30
+    s_q = 0
+    ca = cb = 0
+    for c in sorted([c for _, c in lo] + [c for _, c in hi]):
+        if c < 1000:
+            ca += 1
+        else:
+            cb += 1
+        r = float(ca * n_b - cb * n_a) / (float(n_a) * n_b)
+        s_q += int(round(1e12 * r * r))
+    t = n_a * n_b / float((n_a + n_b) ** 2) * (s_q / 1e12)
+    assert row.s_q == s_q
+    assert row.t_stat == round(t, 6)
+    assert row.reject_05 is True  # fully separated samples
+
+
+def test_ece_exact_integer_identity(spark):
+    """The n_b weights cancel exactly: ECE == sum|100*s_b - sc_b|/(100N).
+    Planted 10 one-cent bins (wd == 1 by construction): half the bins
+    50% observed vs k% predicted, half 100% vs k% -> ece = 0.705."""
+    from datafusion_gpu_spark.queries.pipeline import _ECE
+
+    rows = []
+    for k in range(10):
+        if k < 5:
+            rows += [("purchase", k / 100.0), ("click", k / 100.0)]
+        else:
+            rows += [("purchase", k / 100.0), ("purchase", k / 100.0)]
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_ECE).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert (row.n, row.n_bins, row.ece_num) == (20, 10, 1410)
+    assert row.ece == 0.705
+
+
+def test_pinball_loss_exact_quantile_and_fold(spark):
+    """N=10 equally spaced purchase values: the 0.9-quantile is the 9th
+    order statistic ($9.00) and the 9/1-weighted integer fold gives
+    pinball = 0.45 dollars exactly."""
+    from datafusion_gpu_spark.queries.pipeline import _PINBALL
+
+    rows = [("purchase", c / 100.0) for c in range(100, 1001, 100)]
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_PINBALL).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert (row.n, row.k_rank, row.q_value) == (10, 9, 9.0)
+    assert row.pinball_num == 4500
+    assert row.pinball == 0.45
