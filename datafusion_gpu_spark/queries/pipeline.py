@@ -6329,6 +6329,89 @@ def _events_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_cvm_test"] = _events_cvm_test
 ORACLES["events_cvm_test"] = _CVM_TEST
+
+
+# Page-Hinkley mean-shift detector (Page 1954; Hinkley 1971) over the
+# hourly value series per event type — the sequential drift monitor next
+# to CUSUM (events_changepoint_cusum tests against a FIXED baseline;
+# Page-Hinkley tracks deviation from the RUNNING mean, so it needs no
+# training pass and adapts to slow level moves). Spelling: hourly sums
+# are exact cents; each deviation term x_t - mean_t quantizes ONCE to a
+# 1e-6-cent bigint (identical IEEE division/round both engines); the PH
+# statistic is the quantized cumsum minus its running minimum (floored
+# at 0, the CUSUM convention), all exact bigint window folds partitioned
+# by type. VISIBLE headroom guard: |M_t| <= t * max|g|, so ph/alarm go
+# NULL when running max|g| * t approaches int64 (the quantum is the
+# knob). Alarm at lambda = $100 (1e10 in quantized units).
+_PAGE_HINKLEY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, x,
+         CAST(ROW_NUMBER() OVER wo AS BIGINT) AS t,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx
+  FROM hourly
+  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket),
+         w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT event_type, bucket, x, t,
+         CAST(ROUND(1e6 * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / t), 0)
+              AS BIGINT) AS gq
+  FROM c
+),
+m AS (
+  SELECT event_type, bucket, x, t, gq,
+         CAST(SUM(gq) OVER w AS BIGINT) AS mt,
+         CAST(MAX(ABS(gq)) OVER w AS BIGINT) AS mg
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT event_type, bucket, x, t, gq, mt, mg,
+         CAST(LEAST(CAST(0 AS BIGINT), MIN(mt) OVER w) AS BIGINT) AS minm
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, x, t, gq, mt,
+       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN mt - minm END AS ph,
+       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN
+         (mt - minm > 10000000000) END AS alarm
+FROM p
+"""
+
+
+def _events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley running-mean drift detector over the hourly value
+    series per event type — quantized deviation terms, exact bigint
+    cumsum minus running minimum, visible int64 headroom guard. See
+    _PAGE_HINKLEY."""
+    load(spark, sf_dir)
+    return spark.sql(_PAGE_HINKLEY)
+
+
+def _streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_page_hinkley
+    (streaming.stream_page_hinkley): per-type state is SIX bigints plus
+    the open hour's accumulator; each event re-emits the open bucket's
+    provisional row, which equals the batch row once the hour is fully
+    absorbed — graded by the BATCH oracle (21st stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_page_hinkley(spark, sf_dir)
+
+
+QUERIES["events_page_hinkley"] = _events_page_hinkley
+QUERIES["streaming_page_hinkley"] = _streaming_page_hinkley
+ORACLES["events_page_hinkley"] = _PAGE_HINKLEY
+ORACLES["streaming_page_hinkley"] = _PAGE_HINKLEY
 ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
 ORACLES["events_ks_test_bucketed"] = _KS_TEST
 

@@ -1018,6 +1018,143 @@ def stream_holt_winters(
     )
 
 
+def stream_page_hinkley(
+    spark: SparkSession, sf_dir: str, scale: int = 100
+) -> DataFrame:
+    """Streaming twin of the batch Page-Hinkley query (_PAGE_HINKLEY in
+    queries/pipeline.py) — the 21st stream==batch twin. Per-type state
+    is SIX bigints (closed-bucket count t, closed sum sx, quantized
+    cumsum mt, its running min minm, running max|g| mg, the open hour's
+    epoch) plus the open hour's cents accumulator: the detector is a
+    pure left-fold over CLOSED hourly buckets, and the open bucket's
+    row is re-emitted provisionally after each micro-batch — by
+    construction the provisional row computed from (closed state +
+    open accumulator) EQUALS the batch row once the hour is fully
+    absorbed, so the batch finish just keeps the highest-coverage row
+    per (type, bucket) and the BATCH ORACLE grades the stream.
+
+    Exactness: cents and hour buckets quantize JVM-SIDE; the automaton
+    is integer-only except the single deviation quantization, which
+    reproduces SQL ``ROUND(1e6 * (CAST(x AS DOUBLE) - CAST(sx AS
+    DOUBLE) / t), 0)`` bit-for-bit (IEEE ops in source order, then
+    decimal HALF_UP on the double's exact value). The int64 headroom
+    guard (NULL ph/alarm once max|g| * t nears 2^63) and the $100
+    alarm threshold are the batch expressions verbatim."""
+    import pandas as pd
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = stream_events(spark, sf_dir).where(F.col("value").isNotNull()).select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("bkt"),
+        F.round(F.col("value") * scale).cast("long").alias("cents"),
+    )
+
+    def _gq(x: int, sx: int, t: int) -> int:
+        v = 1e6 * (float(x) - float(sx) / t)
+        return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            t, sx, mt, minm, mg, open_b, open_x, open_n = state.get
+        else:
+            t, sx, mt, minm, mg, open_b, open_x, open_n = 0, 0, 0, 0, 0, -1, 0, 0
+        out = {
+            "event_type": [], "bkt": [], "x": [], "t": [], "gq": [],
+            "mt": [], "ph": [], "alarm": [], "n_seen": [],
+        }
+
+        def emit(bkt, x, tp, gq, mtp, minp, mgp, n_seen):
+            safe = float(mgp) * tp < 9e18
+            out["event_type"].append(key[0])
+            out["bkt"].append(bkt)
+            out["x"].append(x)
+            out["t"].append(tp)
+            out["gq"].append(gq)
+            out["mt"].append(mtp)
+            out["ph"].append(mtp - minp if safe else None)
+            out["alarm"].append((mtp - minp > 10000000000) if safe else None)
+            out["n_seen"].append(n_seen)
+
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            touched = False
+            for b, c in zip(rows["bkt"], rows["cents"]):
+                b, c = int(b), int(c)
+                if open_b == -1:
+                    open_b, open_x, open_n = b, 0, 0
+                elif b > open_b:
+                    # real close: advance the fold with the final sums and
+                    # emit the bucket's FINAL row (a bucket that opens and
+                    # closes inside one micro-batch would otherwise never
+                    # be emitted)
+                    t += 1
+                    sx += open_x
+                    gq = _gq(open_x, sx, t)
+                    mt += gq
+                    minm = min(minm, mt)
+                    mg = max(mg, abs(gq))
+                    emit(open_b, open_x, t, gq, mt, minm, mg, open_n)
+                    open_b, open_x, open_n = b, 0, 0
+                open_x += c
+                open_n += 1
+                touched = True
+            if touched:
+                # provisional close of the still-open bucket: identical
+                # arithmetic to a real close, so the last emit for a
+                # bucket IS its final row once fully absorbed
+                tp = t + 1
+                sxp = sx + open_x
+                gq = _gq(open_x, sxp, tp)
+                mtp = mt + gq
+                emit(
+                    open_b, open_x, tp, gq, mtp,
+                    min(minm, mtp), max(mg, abs(gq)), open_n,
+                )
+        state.update((t, sx, mt, minm, mg, open_b, open_x, open_n))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, bkt long, x long, t long, gq long, "
+            "mt long, ph long, alarm boolean, n_seen long"
+        ),
+        stateStructType=(
+            "t long, sx long, mt long, minm long, mg long, "
+            "open_b long, open_x long, open_n long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    raw = materialize_stream(prog, output_mode="update")
+    # batch finish: the last (highest-coverage) emit per (type, bucket)
+    # is the converged row; earlier provisional emits are superseded
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type", "bkt").orderBy(F.col("n_seen").desc())
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.timestamp_seconds(F.col("bkt")).alias("bucket"),
+            "x",
+            "t",
+            "gq",
+            "mt",
+            "ph",
+            "alarm",
+        )
+    )
+
+
 def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch per-user max-drawdown query
     (_MAX_DRAWDOWN in queries/pipeline.py): drawdown is a pure

@@ -1713,3 +1713,50 @@ def test_pinball_loss_exact_quantile_and_fold(spark):
     assert (row.n, row.k_rank, row.q_value) == (10, 9, 9.0)
     assert row.pinball_num == 4500
     assert row.pinball == 0.45
+
+
+def test_page_hinkley_planted_shift_alarms_exactly(spark):
+    """Planted hourly series: 48 flat hours at $100, then a +$90 jump.
+    Every (gq, mt, ph, alarm) matches a Decimal HALF_UP replica of the
+    quantized fold; the flat phase never alarms and the shift trips the
+    $100 lambda within two post-shift hours."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.queries.pipeline import _PAGE_HINKLEY
+
+    vals = [100.0] * 48 + [190.0] * 10
+    rows = [
+        ("a", f"2024-01-{1 + i // 24:02d} {i % 24:02d}:30:00", v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.createOrReplaceTempView("events")
+    try:
+        got = {
+            r.t: r for r in spark.sql(_PAGE_HINKLEY).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("events")
+    assert len(got) == len(vals)
+    sx = mt = 0
+    minm = 0
+    for t, v in enumerate(vals, start=1):
+        x = round(v * 100)
+        sx += x
+        gq = int(
+            Decimal(1e6 * (float(x) - float(sx) / t)).quantize(
+                Decimal(1), rounding=ROUND_HALF_UP
+            )
+        )
+        mt += gq
+        minm = min(minm, mt)
+        r = got[t]
+        assert (r.x, r.gq, r.mt) == (x, gq, mt), t
+        assert r.ph == mt - minm, t
+        assert r.alarm == (mt - minm > 10_000_000_000), t
+    assert all(got[t].alarm is False for t in range(1, 49))
+    assert got[50].alarm is True  # second post-shift hour trips $100

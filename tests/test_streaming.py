@@ -474,6 +474,28 @@ def test_streaming_holt_winters_matches_batch_exactly(spark):
     assert len(batch) > 0
 
 
+def test_streaming_page_hinkley_matches_batch_exactly(spark):
+    # 21st twin: the six-bigint per-type fold with provisional open-hour
+    # emits reproduces the batch hourly detector bit-for-bit, quantized
+    # deviation terms and headroom guard included
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_page_hinkley,
+        _streaming_page_hinkley,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.event_type, r.bucket): tuple(r)
+        for r in _events_page_hinkley(spark, sf).collect()
+    }
+    stream = {
+        (r.event_type, r.bucket): tuple(r)
+        for r in _streaming_page_hinkley(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
+
+
 def test_streaming_max_drawdown_matches_batch_exactly(spark):
     # 19th twin: the three-bigint fold state on an in-order replay
     # reproduces the two-window batch spelling bit-for-bit
