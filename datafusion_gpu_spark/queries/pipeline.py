@@ -7797,6 +7797,75 @@ ORACLES["agg_ece"] = _ECE
 ORACLES["agg_pinball_loss"] = _PINBALL
 
 
+# Hosmer-Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980): the
+# SIGNIFICANCE member of the calibration family — bins the predicted
+# probability (the min-max normalized score, the agg_brier_score
+# convention) into the shared 10 equal-width bins and tests observed vs
+# expected positives with HL = sum (s_b - E_b)^2 / (E_b (1 - E_b/n_b)),
+# chi-square with B-2 df under the null of calibration. Expected counts
+# E_b have EXACT bigint numerators (sc_b - n_b*lo over the span); each
+# bin's term quantizes once to a 1e9 bigint so the fold is exact;
+# degenerate bins (E <= 0 or E >= n, where the variance vanishes)
+# contribute 0 by the visible CASE. reject_05 uses chi2(8) = 15.507 and
+# is NULL when fewer than 10 bins materialize (different df).
+_HOSMER_LEMESHOW = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+rng AS (
+  SELECT lo, hi,
+         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
+  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
+        FROM t)
+),
+b AS (
+  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin,
+         c, pos, lo, hi
+  FROM t CROSS JOIN rng
+),
+g AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s,
+         CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(MIN(lo) AS BIGINT) AS lo, CAST(MIN(hi) AS BIGINT) AS hi
+  FROM b GROUP BY bin
+),
+ge AS (
+  SELECT bin, n, s,
+         CAST(sc - n * lo AS DOUBLE) / (hi - lo) AS e
+  FROM g WHERE hi > lo
+),
+h AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN e > 0 AND e < n THEN
+           CAST(ROUND(1e9 * ((CAST(s AS DOUBLE) - e) * (CAST(s AS DOUBLE) - e)
+                             / (e * (1.0 - e / n))), 0) AS BIGINT)
+           ELSE 0 END) AS BIGINT) AS hl_q
+  FROM ge
+)
+SELECT n, n_bins, hl_q,
+       ROUND(CAST(hl_q AS DOUBLE) / 1e9, 6) AS hl_stat,
+       CASE WHEN n_bins = 10 THEN
+         (CAST(hl_q AS DOUBLE) / 1e9 > 15.507) END AS reject_05
+FROM h
+"""
+
+
+def _agg_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hosmer-Lemeshow calibration test over the shared 10-bin relation
+    with min-max normalized scores — exact bigint expected-count
+    numerators, per-bin 1e9-quantized chi-square terms, visible
+    degenerate-bin CASE. See _HOSMER_LEMESHOW."""
+    load(spark, sf_dir)
+    return spark.sql(_HOSMER_LEMESHOW)
+
+
+QUERIES["agg_hosmer_lemeshow"] = _agg_hosmer_lemeshow
+ORACLES["agg_hosmer_lemeshow"] = _HOSMER_LEMESHOW
+
+
 # Embedding-space drift: cosine between the CENTROIDS of two embedding
 # snapshots (vec_id parity split) — the third member of the drift triad
 # (numeric events_ks_test, text text_jsd_drift, embedding this).
@@ -8742,6 +8811,90 @@ QUERIES["events_holt_winters"] = _events_holt_winters
 QUERIES["streaming_holt_winters"] = _streaming_holt_winters
 ORACLES["events_holt_winters"] = _hw_oracle()
 ORACLES["streaming_holt_winters"] = _hw_oracle()
+
+
+# Theil's U2 forecast-accuracy ratio (Theil 1966): RMSE of the Holt
+# one-step forecast over RMSE of the naive (last-value) forecast, per
+# the pooled purchase stream — the accuracy gate that closes the
+# forecasting family loop (U2 < 1 means the smoother beats naive; a U2
+# drifting toward 1 says the series turned random-walk and the forecast
+# monitor is adding nothing). The Holt kernel sums are the shared
+# _holt_oracle spelling; the forecast quantizes ONCE to cents (both
+# engines derive identical doubles from the exact bigints), residuals
+# against the PREVIOUS row's forecast and value are exact bigints, and
+# sqrt/divide are terminal. One SQL string runs on both engines.
+def _theil_u2_sql(span: int = 20, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        holt_terminal_exprs,
+        holt_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    fcast = holt_terminal_exprs(scale)["forecast_next"]
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+l AS (
+  SELECT user_id, event_id, ts, c,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT user_id, event_id, ts, c,
+         CAST(ROUND(({fcast}) * {scale}, 0) AS BIGINT) AS fq
+  FROM l
+),
+d AS (
+  SELECT c,
+         LAG(fq) OVER w AS pf,
+         LAG(c) OVER w AS pc
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((c - pf) * (c - pf)) AS BIGINT) AS ssf,
+         CAST(SUM((c - pc) * (c - pc)) AS BIGINT) AS ssn
+  FROM d WHERE pf IS NOT NULL AND pc IS NOT NULL
+)
+SELECT n, ssf, ssn,
+       CASE WHEN ssn > 0 THEN
+         ROUND(SQRT(CAST(ssf AS DOUBLE) / ssn), 6)
+       END AS theil_u2
+FROM s
+"""
+
+
+def _events_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2: Holt one-step forecast RMSE over naive last-value
+    RMSE for per-user purchase series — exact bigint residual folds off
+    the shared Holt kernel, terminal sqrt ratio. See _theil_u2_sql."""
+    load(spark, sf_dir)
+    return spark.sql(_theil_u2_sql())
+
+
+QUERIES["events_theil_u2"] = _events_theil_u2
+ORACLES["events_theil_u2"] = _theil_u2_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1760,3 +1760,74 @@ def test_page_hinkley_planted_shift_alarms_exactly(spark):
         assert r.alarm == (mt - minm > 10_000_000_000), t
     assert all(got[t].alarm is False for t in range(1, 49))
     assert got[50].alarm is True  # second post-shift hour trips $100
+
+
+def test_hosmer_lemeshow_perfectly_calibrated_is_zero(spark):
+    """Planted perfect calibration on the unit-width bins (c = 0..9 ->
+    wd == 1, e_b = k exactly): every non-degenerate bin's term is 0, the
+    two degenerate bins (e == 0, e == n) are skipped by the visible
+    CASE, and HL == 0 with no rejection."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datafusion_gpu_spark.queries.pipeline import _HOSMER_LEMESHOW
+
+    rows = []
+    for k in range(10):
+        rows += [("purchase", k / 100.0)] * k + [("click", k / 100.0)] * (9 - k)
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_HOSMER_LEMESHOW).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert (row.n, row.n_bins, row.hl_q) == (90, 10, 0)
+    assert row.hl_stat == 0.0 and row.reject_05 is False
+
+
+def test_theil_u2_matches_exact_replica(spark):
+    """ssf/ssn are exact bigints matching a Python replica that follows
+    the SQL arithmetic step for step (integer Holt kernels, the two
+    deterministic HALF_UP roundings of the forecast, integer residual
+    squares); a trending series beats naive (U2 < 1) in steady state."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datafusion_gpu_spark.operators.events import holt_weights
+    from datafusion_gpu_spark.queries.pipeline import _theil_u2_sql
+
+    span, scale = 4, 100
+    vals = [10.0 + 2.0 * i + (0.25 if i % 3 == 0 else -0.5) for i in range(30)]
+    rows = [
+        ("purchase", 1, i, f"2024-01-01 {i // 60:02d}:{i % 60:02d}:00", v)
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows, "event_type string, user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_theil_u2_sql(span=span, scale=scale)).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    def r6(x):  # SQL ROUND(x, 6) on a double
+        return float(Decimal(x).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    w1, w2 = holt_weights(span)
+    cents = [round(v * scale) for v in vals]
+    fq = []
+    for i in range(len(cents)):
+        n1 = sum(cents[i - k] * w1[k] for k in range(span) if i - k >= 0)
+        d1 = sum(w1[k] for k in range(span) if i - k >= 0)
+        n2 = sum(cents[i - j] * w2[j] for j in range(2 * span - 1) if i - j >= 0)
+        d2 = sum(w2[j] for j in range(2 * span - 1) if i - j >= 0)
+        f = r6((3.0 * (n1 / d1) - 2.0 * (n2 / d2)) / float(scale))
+        fq.append(
+            int(Decimal(f * 100).quantize(Decimal(1), ROUND_HALF_UP))
+        )
+    ssf = sum((cents[i] - fq[i - 1]) ** 2 for i in range(1, len(cents)))
+    ssn = sum((cents[i] - cents[i - 1]) ** 2 for i in range(1, len(cents)))
+    assert (row.n, row.ssf, row.ssn) == (len(cents) - 1, ssf, ssn)
+    assert row.theil_u2 == round((ssf / ssn) ** 0.5, 6)
+    assert row.theil_u2 < 1.0  # the smoother beats naive on a trend
