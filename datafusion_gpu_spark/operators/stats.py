@@ -503,3 +503,64 @@ def cvm_two_sample(
             """
         ).alias("reject_05"),
     )
+
+
+def cliff_delta(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Cliff's delta ordinal effect size (Cliff 1993):
+    delta = (#{a > b} - #{a < b}) / (n_a * n_b) — the magnitude readout
+    that pairs with the Mann-Whitney SIGNIFICANCE test, computed off
+    the SAME distinct-value cumulative (no pair enumeration ever):
+    #{a > b} = sum_v da_v * (#b strictly below v), and the strict-below
+    counts are the inclusive cumsums minus the own-value counts. All
+    counts exact bigints; VISIBLE guard NULLs delta when n_a * n_b
+    nears int64. Magnitude labels per Romano et al. 2006 thresholds
+    (0.147 / 0.33 / 0.474). Routing as :func:`mann_whitney_u`."""
+    pv = _two_group_values(df, group_col, value_col, group_a, group_b)
+    if n_buckets is None:
+        cum = cumsum_auto(pv, "c", ("da", "db"))
+    else:
+        cum = bucketed_cumsum(pv, "c", ("da", "db"), n_buckets=n_buckets)
+    nn = pv.agg(
+        F.sum("da").cast("long").alias("n_a"), F.sum("db").cast("long").alias("n_b")
+    )
+    s = cum.agg(
+        F.sum(F.col("da") * (F.col("cum_db") - F.col("db")))
+        .cast("long")
+        .alias("gt"),
+        F.sum(F.col("db") * (F.col("cum_da") - F.col("da")))
+        .cast("long")
+        .alias("lt"),
+    ).join(F.broadcast(nn))
+    d = s.select(
+        "n_a",
+        "n_b",
+        "gt",
+        "lt",
+        F.expr(
+            """
+            CASE WHEN n_a > 0 AND n_b > 0
+                      AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN
+              ROUND(CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+            END
+            """
+        ).alias("cliff_delta"),
+    )
+    return d.select(
+        "*",
+        F.expr(
+            """
+            CASE WHEN cliff_delta IS NULL THEN NULL
+                 WHEN ABS(cliff_delta) < 0.147 THEN 'negligible'
+                 WHEN ABS(cliff_delta) < 0.33 THEN 'small'
+                 WHEN ABS(cliff_delta) < 0.474 THEN 'medium'
+                 ELSE 'large' END
+            """
+        ).alias("magnitude"),
+    )

@@ -7866,6 +7866,195 @@ QUERIES["agg_hosmer_lemeshow"] = _agg_hosmer_lemeshow
 ORACLES["agg_hosmer_lemeshow"] = _HOSMER_LEMESHOW
 
 
+# Cliff's delta (Cliff 1993): the ordinal EFFECT-SIZE readout that pairs
+# with agg_mann_whitney's significance — a drift gate needs both ("is it
+# real" and "does it matter"). Dominance counts come off the same
+# distinct-value cumulative as MW/KS/CvM: #{a>b} = sum_v da_v * (b's
+# strict-below cumulative) — never a pair enumeration. Exact bigints;
+# visible n_a*n_b int64 guard; Romano et al. 2006 magnitude labels.
+_CLIFF_DELTA = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT da, db,
+         CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(da * (cb - db)) AS BIGINT) AS gt,
+         CAST(SUM(db * (ca - da)) AS BIGINT) AS lt
+  FROM cum
+),
+d AS (
+  SELECT n_a, n_b, gt, lt,
+         CASE WHEN n_a > 0 AND n_b > 0
+                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN
+           ROUND(CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+         END AS cliff_delta
+  FROM s CROSS JOIN nn
+)
+SELECT *,
+       CASE WHEN cliff_delta IS NULL THEN NULL
+            WHEN ABS(cliff_delta) < 0.147 THEN 'negligible'
+            WHEN ABS(cliff_delta) < 0.33 THEN 'small'
+            WHEN ABS(cliff_delta) < 0.474 THEN 'medium'
+            ELSE 'large' END AS magnitude
+FROM d
+"""
+
+
+def _agg_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta between click and purchase value distributions
+    (operators/stats.cliff_delta, cumsum_auto-routed): dominance counts
+    off the shared distinct-value cumulative. See _CLIFF_DELTA."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.cliff_delta(ev, "event_type", "cents", "click", "purchase")
+
+
+# Cohen's d / Hedges' g standardized mean difference — the parametric
+# effect size next to Cliff's ordinal one (and the input agg_power_
+# analysis consumes). Exact bigint moment folds (n, sum, sum of squares
+# per group); variances/pooled sd/d/g are terminal IEEE expressions in
+# the established CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n shape.
+_COHENS_D = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM t GROUP BY grp
+),
+w AS (
+  SELECT CAST(MAX(CASE WHEN grp = 'click' THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s1 END) AS BIGINT) AS s1a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s2 END) AS BIGINT) AS s2a,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s1 END) AS BIGINT) AS s1b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s2 END) AS BIGINT) AS s2b
+  FROM g
+),
+v AS (
+  SELECT n_a, n_b,
+         (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) AS mdiff,
+         ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+          + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b))
+           / (n_a + n_b - 2) AS sp2
+  FROM w WHERE n_a > 1 AND n_b > 1
+)
+SELECT n_a, n_b,
+       ROUND(mdiff / 100, 4) AS mean_diff,
+       CASE WHEN sp2 > 0 THEN ROUND(mdiff / SQRT(sp2), 6) END AS cohens_d,
+       CASE WHEN sp2 > 0 THEN
+         ROUND(mdiff / SQRT(sp2)
+               * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6)
+       END AS hedges_g
+FROM v
+"""
+
+
+def _agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g between click and purchase values — exact
+    moment folds, terminal pooled-sd expressions. See _COHENS_D."""
+    load(spark, sf_dir)
+    return spark.sql(_COHENS_D)
+
+
+# Good-Turing missing mass (Good 1953): the probability a FRESH token is
+# previously unseen, P0 = N1/N (hapax share of the token stream) — the
+# vocabulary-coverage diagnostic a corpus-curation gate reads before
+# freezing a tokenizer or sampling mix (rising missing mass = the corpus
+# is still discovering vocabulary; near zero = saturated). Exact integer
+# token/type/hapax counts off the normalized whitespace tokenization the
+# text family shares; the Good-Turing adjusted count for hapaxes
+# (r* = 2*N2/N1) rides along. One groupBy + one fold.
+_MISSING_MASS = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE token <> '' GROUP BY token
+)
+SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / SUM(cnt), 6) AS missing_mass,
+       CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) > 0 THEN
+         ROUND(2.0 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+               / SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 6)
+       END AS gt_adjusted_r1
+FROM c
+"""
+
+
+def _text_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good-Turing missing mass over the documents token stream — the
+    Spark side tokenizes with the same trim/collapse normalization as
+    the oracle (split on the single space AFTER whitespace collapse, so
+    both engines see the identical token multiset). See _MISSING_MASS."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "n1",
+        "n2",
+        F.expr("ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6)").alias("missing_mass"),
+        F.expr(
+            "CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) END"
+        ).alias("gt_adjusted_r1"),
+    )
+
+
+QUERIES["agg_cliff_delta"] = _agg_cliff_delta
+QUERIES["agg_cohens_d"] = _agg_cohens_d
+QUERIES["text_missing_mass"] = _text_missing_mass
+ORACLES["agg_cliff_delta"] = _CLIFF_DELTA
+ORACLES["agg_cohens_d"] = _COHENS_D
+ORACLES["text_missing_mass"] = _MISSING_MASS
+
+
 # Embedding-space drift: cosine between the CENTROIDS of two embedding
 # snapshots (vec_id parity split) — the third member of the drift triad
 # (numeric events_ks_test, text text_jsd_drift, embedding this).

@@ -1831,3 +1831,89 @@ def test_theil_u2_matches_exact_replica(spark):
     assert (row.n, row.ssf, row.ssn) == (len(cents) - 1, ssf, ssn)
     assert row.theil_u2 == round((ssf / ssn) ** 0.5, 6)
     assert row.theil_u2 < 1.0  # the smoother beats naive on a trend
+
+
+def test_cliff_delta_closed_forms(spark):
+    """Fully separated groups -> delta = +/-1 ('large'); identical
+    groups -> 0 ('negligible'); a hand case with ties matches the
+    pair-enumeration definition exactly."""
+    from datafusion_gpu_spark.operators.stats import cliff_delta
+
+    sep = [("click", 100 + i) for i in range(5)] + [
+        ("purchase", i) for i in range(5)
+    ]
+    df = spark.createDataFrame(sep, "event_type string, cents long")
+    [r] = cliff_delta(df, "event_type", "cents", "click", "purchase").collect()
+    assert (r.gt, r.lt, r.cliff_delta, r.magnitude) == (25, 0, 1.0, "large")
+
+    same = [("click", i % 3) for i in range(6)] + [
+        ("purchase", i % 3) for i in range(6)
+    ]
+    df = spark.createDataFrame(same, "event_type string, cents long")
+    [r] = cliff_delta(df, "event_type", "cents", "click", "purchase").collect()
+    assert (r.cliff_delta, r.magnitude) == (0.0, "negligible")
+
+    a, b = [1, 2, 2, 5], [2, 3, 3]
+    rows = [("click", v) for v in a] + [("purchase", v) for v in b]
+    df = spark.createDataFrame(rows, "event_type string, cents long")
+    [r] = cliff_delta(df, "event_type", "cents", "click", "purchase").collect()
+    gt = sum(1 for x in a for y in b if x > y)
+    lt = sum(1 for x in a for y in b if x < y)
+    assert (r.gt, r.lt) == (gt, lt)
+    assert r.cliff_delta == round((gt - lt) / (len(a) * len(b)), 6)
+
+
+def test_cohens_d_matches_closed_form(spark):
+    """Two planted groups: d and Hedges' g match the textbook pooled-sd
+    closed forms computed in Python."""
+    import math
+
+    from datafusion_gpu_spark.queries.pipeline import _COHENS_D
+
+    a = [1.00, 2.00, 3.00, 4.00, 5.00]        # cents 100..500
+    b = [2.00, 4.00, 6.00]                     # cents 200..600
+    rows = [("click", v) for v in a] + [("purchase", v) for v in b]
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [r] = spark.sql(_COHENS_D).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    ca, cb = [v * 100 for v in a], [v * 100 for v in b]
+    ma, mb = sum(ca) / len(ca), sum(cb) / len(cb)
+    ssa = sum(x * x for x in ca) - sum(ca) ** 2 / len(ca)
+    ssb = sum(x * x for x in cb) - sum(cb) ** 2 / len(cb)
+    sp = math.sqrt((ssa + ssb) / (len(ca) + len(cb) - 2))
+    d = (ma - mb) / sp
+    assert (r.n_a, r.n_b) == (5, 3)
+    assert r.mean_diff == round((ma - mb) / 100, 4)
+    assert abs(r.cohens_d - d) < 1e-6  # SQL rounds to 6 dp
+    assert abs(r.hedges_g - d * (1 - 3 / (4 * 8 - 9))) < 1e-6
+
+
+def test_missing_mass_exact_counts(spark):
+    """Planted corpus: 'a a b c' + 'b  d' -> N=6, V=4, hapaxes {c, d},
+    doubletons {a, b} -> missing mass 2/6, GT-adjusted hapax count 2."""
+    from datafusion_gpu_spark.queries.pipeline import _text_missing_mass
+    from tests.conftest import SF_DIR
+
+    docs = spark.createDataFrame(
+        [(1, "A a b C"), (2, "b  \t d a c")],
+        "doc_id long, text string",
+    )
+    # _text_missing_mass reads via _docs(spark, sf_dir); shadow the view
+    # it registers by monkey-loading: call the tokenization directly off
+    # the registered documents view instead
+    from datafusion_gpu_spark.queries import pipeline as P
+
+    orig = P._docs
+    try:
+        P._docs = lambda s, d: docs
+        [r] = _text_missing_mass(spark, SF_DIR).collect()
+    finally:
+        P._docs = orig
+    # tokens: a a b c | b d a c -> counts a:3 b:2 c:2 d:1
+    assert (r.n_tokens, r.vocab, r.n1, r.n2) == (8, 4, 1, 2)
+    assert r.missing_mass == round(1 / 8, 6)
+    assert r.gt_adjusted_r1 == 4.0
