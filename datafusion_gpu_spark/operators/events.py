@@ -1067,6 +1067,79 @@ def holt_winters_additive(
     )
 
 
+def croston(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    span: int = 8,
+    scale: int = 100,
+) -> DataFrame:
+    """Croston's method for intermittent demand (Croston 1972): smooth
+    the nonzero demand SIZES and the inter-arrival GAPS separately, and
+    forecast the demand RATE as size / gap — the right spelling when
+    most periods are empty, where plain EWMA over the calendar series
+    just decays to zero between arrivals. Per-key purchase events ARE
+    the nonzero occurrences: sizes are exact cents, gaps exact bigint
+    epoch-micros from one lag.
+
+    Both smoothers are the truncated power-of-two EWMA over the SAME
+    (key ORDER BY ts, id) window spec — exact bigint num/den pairs like
+    :func:`ewma_halflife` (the gap series starts one row later; the
+    NULL first gap simply contributes no weight, the adjusted-mean
+    rule). Terminal IEEE expressions only: smoothed size (dollars),
+    smoothed gap (hours), and rate = size/gap per hour; NULL until a
+    gap exists. One keyed shuffle, all JVM codegen."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    df = events.withColumn(
+        "__z__", F.round(F.col(val_col) * scale).cast("long")
+    ).withColumn(
+        # gaps in exact bigint epoch-MICROS (the repo's timestamp
+        # arithmetic convention — DuckDB epoch_us twin)
+        "__g__",
+        (_epoch_us(ts_col) - F.lag(_epoch_us(ts_col)).over(w)).cast("long"),
+    )
+    num_z = F.lit(0).cast("long")
+    den_z = F.lit(0).cast("long")
+    num_g = F.lit(0).cast("long")
+    den_g = F.lit(0).cast("long")
+    for k in range(span):
+        wgt = 1 << (span - 1 - k)
+        lz = F.lag("__z__", k).over(w)
+        num_z = num_z + F.coalesce(lz * F.lit(wgt), F.lit(0).cast("long"))
+        den_z = den_z + F.when(lz.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+        lg = F.lag("__g__", k).over(w)
+        num_g = num_g + F.coalesce(lg * F.lit(wgt), F.lit(0).cast("long"))
+        den_g = den_g + F.when(lg.isNotNull(), F.lit(wgt)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    exact = df.select(
+        key_col, id_col,
+        num_z.alias("num_z"), den_z.alias("den_z"),
+        num_g.alias("num_g"), den_g.alias("den_g"),
+    )
+    return exact.select(
+        key_col, id_col, "num_z", "den_z", "num_g", "den_g",
+        F.expr(
+            f"ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}, 6)"
+        ).alias("size_hat"),
+        F.expr(
+            "CASE WHEN den_g > 0 THEN"
+            " ROUND(CAST(num_g AS DOUBLE) / den_g / 3.6e9, 6) END"
+        ).alias("gap_hours"),
+        F.expr(
+            f"CASE WHEN den_g > 0 AND num_g > 0 THEN"
+            f" ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}"
+            f" / (CAST(num_g AS DOUBLE) / den_g / 3.6e9), 6) END"
+        ).alias("rate_per_hour"),
+    )
+
+
 def merge_intervals(
     intervals: DataFrame,
     key_col: str = "user_id",

@@ -9086,6 +9086,75 @@ QUERIES["events_theil_u2"] = _events_theil_u2
 ORACLES["events_theil_u2"] = _theil_u2_sql()
 
 
+# Croston's intermittent-demand forecast (Croston 1972): the sparse-
+# series member of the forecasting family — EWMA over the calendar
+# series decays to zero between arrivals, so demand SIZES and
+# inter-arrival GAPS smooth separately and the rate forecast is their
+# ratio. Exact bigint num/den folds for both smoothers over ONE window
+# spec (sizes = cents, gaps = epoch-micros); terminal IEEE ratios only.
+def _croston_oracle(span: int = 8, scale: int = 100) -> str:
+    folds_z_num = " + ".join(
+        f"COALESCE(lag(z, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
+        for k in range(span)
+    )
+    folds_z_den = " + ".join(
+        f"(CASE WHEN lag(z, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
+        for k in range(span)
+    )
+    folds_g_num = " + ".join(
+        f"COALESCE(lag(g, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
+        for k in range(span)
+    )
+    folds_g_den = " + ".join(
+        f"(CASE WHEN lag(g, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
+        for k in range(span)
+    )
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS z,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS g
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT user_id, event_id,
+         {folds_z_num} AS num_z,
+         CAST({folds_z_den} AS BIGINT) AS den_z,
+         {folds_g_num} AS num_g,
+         CAST({folds_g_den} AS BIGINT) AS den_g
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, num_z, den_z, num_g, den_g,
+       ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}, 6) AS size_hat,
+       CASE WHEN den_g > 0 THEN
+         ROUND(CAST(num_g AS DOUBLE) / den_g / 3.6e9, 6) END AS gap_hours,
+       CASE WHEN den_g > 0 AND num_g > 0 THEN
+         ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}
+               / (CAST(num_g AS DOUBLE) / den_g / 3.6e9), 6) END
+         AS rate_per_hour
+FROM l
+"""
+
+
+def _events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user (events.croston):
+    separately smoothed purchase sizes and inter-arrival gaps, rate =
+    size/gap per hour. One keyed shuffle. See _croston_oracle."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.croston(purchases, span=8, scale=100)
+
+
+QUERIES["events_croston"] = _events_croston
+ORACLES["events_croston"] = _croston_oracle()
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

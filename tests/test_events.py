@@ -474,3 +474,26 @@ def test_cross_correlation_planted_shift(spark):
     )
     res = {r.lag_k: r.r for r in cross_correlation(const, "bucket", "x", "y", 1).collect()}
     assert res[0] is None
+
+
+def test_croston_constant_demand_closed_form(spark):
+    """$5 purchases exactly every 2 hours: any adjusted EWMA of a
+    constant is the constant, so from the second event on size_hat ==
+    5.0, gap_hours == 2.0, and rate_per_hour == 2.5 exactly; the first
+    event (no gap yet) reports NULL gap/rate."""
+    from datafusion_gpu_spark.operators.events import croston
+
+    rows = [
+        (1, i, f"2024-01-01 {2 * i:02d}:00:00", 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r.event_id: r for r in croston(df, span=4).collect()}
+    assert got[0].gap_hours is None and got[0].rate_per_hour is None
+    assert got[0].size_hat == 5.0
+    for i in range(1, 10):
+        r = got[i]
+        assert r.size_hat == 5.0, i
+        assert r.gap_hours == 2.0, i
+        assert r.rate_per_hour == 2.5, i
