@@ -564,3 +564,69 @@ def cliff_delta(
             """
         ).alias("magnitude"),
     )
+
+
+def ks_uniform(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """One-sample Kolmogorov-Smirnov distance against the UNIFORM law on
+    the observed [lo, hi] span — the PIT-style uniformity check for
+    min-max normalized scores (a calibrated probabilistic score should
+    be uniform; clumping shows up here before the binned reliability
+    curve resolves it). Exact integer numerator off the distinct-value
+    cumulative: D = max_v |cum_v * span - n * (v - lo)| / (n * span),
+    with cum/n/span all exact bigints and the max taken over exact
+    integers; d_stat and the cross-multiplied 5% decision
+    (c(.05) = 1.358 -> m^2 > 1.844164 * n * span^2, squared in DOUBLE)
+    are terminal. Cumulative via :func:`cumsum_auto` (two-level past
+    the threshold); ``value_col`` must be integer."""
+    pv = df.where(F.col(value_col).isNotNull()).groupBy(
+        F.col(value_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("tc"))
+    if n_buckets is None:
+        cum = cumsum_auto(pv, "c", ("tc",))
+    else:
+        cum = bucketed_cumsum(pv, "c", ("tc",), n_buckets=n_buckets)
+    nn = pv.agg(
+        F.sum("tc").cast("long").alias("n"),
+        F.min("c").cast("long").alias("lo"),
+        F.max("c").cast("long").alias("hi"),
+    )
+    m = (
+        cum.join(F.broadcast(nn))
+        .where(F.col("hi") > F.col("lo"))
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum_tc") * (F.col("hi") - F.col("lo"))
+                    - F.col("n") * (F.col("c") - F.col("lo"))
+                )
+            )
+            .cast("long")
+            .alias("m")
+        )
+        .join(F.broadcast(nn))
+    )
+    return m.select(
+        "n",
+        "lo",
+        "hi",
+        F.col("m").alias("d_num"),
+        F.expr(
+            """
+            CASE WHEN n > 0 AND hi > lo THEN
+              ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
+            END
+            """
+        ).alias("d_stat"),
+        F.expr(
+            """
+            CASE WHEN n > 0 AND hi > lo THEN
+              (CAST(m AS DOUBLE) * m
+                 > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
+            END
+            """
+        ).alias("reject_05"),
+    )

@@ -9155,6 +9155,117 @@ QUERIES["events_croston"] = _events_croston
 ORACLES["events_croston"] = _croston_oracle()
 
 
+def _streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_croston (streaming.stream_croston):
+    per-user state is the last span sizes + the last span gaps (None
+    placeholder for the first row's missing gap, exactly the batch
+    column's NULL) + the previous event's epoch-micros — integer-only
+    automaton, presentation expressions after the sink; graded by the
+    BATCH oracle (22nd stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_croston(spark, sf_dir)
+
+
+QUERIES["streaming_croston"] = _streaming_croston
+ORACLES["streaming_croston"] = _croston_oracle()
+
+
+# One-sample KS against uniform on the observed score span — the PIT
+# uniformity gate (a calibrated probabilistic score is uniform after
+# min-max normalization; clumping registers here at full resolution,
+# before the 10-bin reliability curve can see it). Exact integer
+# numerator off the distinct-value cumulative; see stats.ks_uniform.
+_KS_UNIFORM = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
+cum AS (
+  SELECT c, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cc
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n, CAST(MIN(c) AS BIGINT) AS lo,
+         CAST(MAX(c) AS BIGINT) AS hi
+  FROM pv
+),
+mx AS (
+  SELECT CAST(MAX(ABS(cc * (hi - lo) - n * (c - lo))) AS BIGINT) AS m
+  FROM cum CROSS JOIN nn WHERE hi > lo
+)
+SELECT n, lo, hi, m AS d_num,
+       CASE WHEN n > 0 AND hi > lo THEN
+         ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
+       END AS d_stat,
+       CASE WHEN n > 0 AND hi > lo THEN
+         (CAST(m AS DOUBLE) * m
+            > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
+       END AS reject_05
+FROM mx CROSS JOIN nn
+"""
+
+
+def _agg_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS uniformity of the pooled min-max-normalized score
+    (operators/stats.ks_uniform, cumsum_auto-routed). See _KS_UNIFORM."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    ev = spark.table("events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    return stats.ks_uniform(ev, "cents")
+
+
+QUERIES["agg_ks_uniform"] = _agg_ks_uniform
+ORACLES["agg_ks_uniform"] = _KS_UNIFORM
+
+
+# Donchian channel (Donchian, 1960s trend-following): rolling 20-event
+# high/low band per user with the close's position inside the band —
+# the range-based volatility channel next to window_bollinger (stdev
+# band) and window_atr (true-range band). All exact cents; the position
+# ratio is the single terminal division. Pure shared SQL, one keyed
+# window sort.
+_DONCHIAN = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+w AS (
+  SELECT user_id, event_id, c,
+         CAST(MAX(c) OVER win AS BIGINT) AS hi20,
+         CAST(MIN(c) OVER win AS BIGINT) AS lo20,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n_win
+  FROM p
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, c, hi20, lo20, n_win,
+       hi20 - lo20 AS width,
+       CASE WHEN hi20 > lo20 THEN
+         ROUND(CAST(c - lo20 AS DOUBLE) / (hi20 - lo20), 6)
+       END AS pos_in_channel
+FROM w
+"""
+
+
+def _window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event Donchian high/low channel per user — exact-cent
+    rolling extremes, one keyed window sort. See _DONCHIAN."""
+    load(spark, sf_dir)
+    return spark.sql(_DONCHIAN)
+
+
+QUERIES["window_donchian"] = _window_donchian
+ORACLES["window_donchian"] = _DONCHIAN
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

@@ -1155,6 +1155,107 @@ def stream_page_hinkley(
     )
 
 
+def stream_croston(
+    spark: SparkSession, sf_dir: str, span: int = 8, scale: int = 100
+) -> DataFrame:
+    """Streaming twin of events.croston — the 22nd stream==batch twin.
+    Per-user state: the last ``span`` demand sizes (cents), the last
+    ``span`` gap values in the batch column's exact semantics (the
+    first row's gap is NULL — kept as the sentinel -1 in state, since
+    Spark state arrays reject None — so its kernel slot contributes
+    zero weight just like the batch CASE), and the previous event's
+    epoch-micros. Integer-only automaton; cents/micros quantize
+    JVM-side; size/gap/rate presentation expressions run in Spark
+    after the sink with the operator's exact strings, so in-order
+    replay is bit-for-bit the batch operator and the BATCH ORACLE
+    grades the stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    weights = [1 << (span - 1 - k) for k in range(span)]
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            zs, gs, last_t = list(state.get[0]), list(state.get[1]), state.get[2]
+        else:
+            zs, gs, last_t = [], [], -1
+        out = {
+            "user_id": [], "event_id": [],
+            "num_z": [], "den_z": [], "num_g": [], "den_g": [],
+        }
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, t, c in zip(rows["event_id"], rows["tus"], rows["cents"]):
+                t, c = int(t), int(c)
+                g = (t - last_t) if last_t >= 0 else -1  # -1 == batch NULL
+                last_t = t
+                zs.append(c)
+                gs.append(g)
+                if len(zs) > span:
+                    zs, gs = zs[-span:], gs[-span:]
+                zrev, grev = zs[::-1], gs[::-1]
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["num_z"].append(
+                    sum(v * weights[k] for k, v in enumerate(zrev))
+                )
+                out["den_z"].append(sum(weights[: len(zrev)]))
+                out["num_g"].append(
+                    sum(v * weights[k] for k, v in enumerate(grev) if v >= 0)
+                )
+                out["den_g"].append(
+                    sum(weights[k] for k, v in enumerate(grev) if v >= 0)
+                )
+        state.update((zs, gs, last_t))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, "
+            "num_z long, den_z long, num_g long, den_g long"
+        ),
+        stateStructType="zs array<long>, gs array<long>, last_t long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    exact = materialize_stream(prog, output_mode="update")
+    return exact.select(
+        "user_id",
+        "event_id",
+        "num_z",
+        "den_z",
+        "num_g",
+        "den_g",
+        F.expr(
+            f"ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}, 6)"
+        ).alias("size_hat"),
+        F.expr(
+            "CASE WHEN den_g > 0 THEN"
+            " ROUND(CAST(num_g AS DOUBLE) / den_g / 3.6e9, 6) END"
+        ).alias("gap_hours"),
+        F.expr(
+            f"CASE WHEN den_g > 0 AND num_g > 0 THEN"
+            f" ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}"
+            f" / (CAST(num_g AS DOUBLE) / den_g / 3.6e9), 6) END"
+        ).alias("rate_per_hour"),
+    )
+
+
 def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch per-user max-drawdown query
     (_MAX_DRAWDOWN in queries/pipeline.py): drawdown is a pure

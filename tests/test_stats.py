@@ -1917,3 +1917,55 @@ def test_missing_mass_exact_counts(spark):
     assert (r.n_tokens, r.vocab, r.n1, r.n2) == (8, 4, 1, 2)
     assert r.missing_mass == round(1 / 8, 6)
     assert r.gt_adjusted_r1 == 4.0
+
+
+def test_ks_uniform_exact_uniform_and_clumped(spark):
+    """A perfectly uniform lattice (each value once over 0..n-1) has
+    the closed-form D = 1/n (the ECDF step overhang) and never rejects;
+    a hard clump at one value rejects at 5%."""
+    from datafusion_gpu_spark.operators.stats import ks_uniform
+
+    n = 200
+    df = spark.createDataFrame([(i,) for i in range(n)], "cents long")
+    [r] = ks_uniform(df, "cents").collect()
+    assert (r.n, r.lo, r.hi) == (n, 0, n - 1)
+    assert r.d_num == n - 1  # max at the first step
+    assert r.d_stat == round(1 / n, 6)
+    assert r.reject_05 is False
+
+    clump = [(0,), (n - 1,)] + [((n - 1) // 2,)] * (n - 2)
+    df = spark.createDataFrame(clump, "cents long")
+    [r] = ks_uniform(df, "cents").collect()
+    assert r.reject_05 is True
+
+
+def test_window_donchian_closed_form(spark):
+    """Monotone ramp: the 20-event channel low is exactly 19 steps back
+    (once full), the close rides the channel top (pos == 1.0), and the
+    warm-up rows use however many rows exist."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datafusion_gpu_spark.queries.pipeline import _DONCHIAN
+
+    rows = [
+        ("purchase", 1, i, f"2024-01-01 00:{i:02d}:00", float(i + 1))
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_type string, user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.to_timestamp("ts")).createOrReplaceTempView("events")
+    try:
+        got = {r.event_id: r for r in spark.sql(_DONCHIAN).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    for i in range(30):
+        r = got[i]
+        c = (i + 1) * 100
+        lo = (max(0, i - 19) + 1) * 100
+        assert (r.c, r.hi20, r.lo20) == (c, c, lo), i
+        assert r.n_win == min(i + 1, 20), i
+        if i >= 1:
+            assert r.pos_in_channel == 1.0, i
+        else:
+            assert r.pos_in_channel is None  # one-row channel has no width

@@ -571,3 +571,23 @@ def test_stream_seasonal_anomaly_equals_batch(spark):
         for r in stream_seasonal_anomaly(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_croston_matches_batch_exactly(spark):
+    # 22nd twin: bounded (sizes, gaps, last-ts) state reproduces the
+    # batch two-kernel fold bit-for-bit, incl. the first row's NULL gap
+    # semantics (state sentinel -1 contributes zero kernel weight)
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_croston,
+        _streaming_croston,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.event_id: tuple(r) for r in _events_croston(spark, sf).collect()
+    }
+    stream = {
+        r.event_id: tuple(r) for r in _streaming_croston(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
