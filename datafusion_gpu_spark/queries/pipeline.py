@@ -9266,6 +9266,146 @@ QUERIES["window_donchian"] = _window_donchian
 ORACLES["window_donchian"] = _DONCHIAN
 
 
+def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall contract, graded by OUTPUT CONTRACT like the k-means
+    IVF twin (random hyperplanes aren't SQL-replayable): a planted
+    8-cluster corpus (seeded NumPy, 0.15-noise separation), signed-
+    random-projection LSH (5 planes x 8 tables — measured 5/5 exact
+    top-k recovered on every query; 6x4 measured 3-5 of 5, so the bar
+    sits two misses below the operating point), and per query:
+    exactly-k results, cosine monotonically descending, recall
+    vs the exact top-k >= 0.8. Completes the per-ANN-path recall
+    evidence: brute force IS the oracle, IVF has the k-means recall
+    contract (pass-r4), LSH now carries one too. The oracle is the
+    planted expectation as literal VALUES."""
+    import numpy as np
+
+    dim = 16
+    rng = np.random.default_rng(31)
+    centers = rng.normal(size=(8, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = [centers[c] + 0.15 * rng.normal(size=(40, dim)) for c in range(8)]
+    all_vecs = np.concatenate(vecs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qids = [0, 85, 290]
+    q = df.where(F.col("vec_id").isin(qids))
+    approx = similarity.lsh_ann_topk(
+        df, q, k=5, planes=5, num_tables=8, dim=dim
+    )
+    exact = similarity.cosine_topk_vectorized(df, q, k=5)
+    hits = (
+        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = approx.withColumn("prev_cos", F.lag("cosine").over(w))
+    per_q = flagged.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min(
+            (F.col("prev_cos").isNull() | (F.col("cosine") <= F.col("prev_cos")))
+            .cast("int")
+        ).cast("boolean").alias("cosine_desc"),
+    )
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_results",
+        "cosine_desc",
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
+    )
+
+
+_LSH_RECALL_ORACLE = """
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_results AS BIGINT) AS n_results,
+       cosine_desc, recall_ok
+FROM (VALUES (0, 5, true, true),
+             (85, 5, true, true),
+             (290, 5, true, true))
+  AS t(query_id, n_results, cosine_desc, recall_ok)
+"""
+
+QUERIES["sim_topk_lsh_recall"] = _sim_topk_lsh_recall
+ORACLES["sim_topk_lsh_recall"] = _LSH_RECALL_ORACLE
+
+
+# Interrupted time series / segmented regression (the causal-inference
+# workhorse next to events_did: DiD needs a control group, ITS needs
+# only the pre-period trend): split the hourly purchase series at its
+# midpoint and fit OLS per segment from EXACT integer moment folds
+# (n, sum t, sum t^2, sum y, sum t*y — t is the ROW_NUMBER hour index,
+# bounded by calendar time like the runs-test/Page-Hinkley windows);
+# slopes/intercepts/level-at-cutpoint contrasts are terminal doubles in
+# the established (n*sty - st*sy) / (n*stt - st*st) shape. One shared
+# SQL string runs on both engines.
+_ITS_SEGMENTED = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+ix AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS t, y
+  FROM hourly
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ix),
+seg AS (
+  SELECT t, y, CASE WHEN 2 * t < nr THEN 0 ELSE 1 END AS s
+  FROM ix CROSS JOIN nn
+),
+m AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(t) AS BIGINT) AS tmin,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM seg GROUP BY s
+),
+f AS (
+  SELECT s, n, tmin, st, sy,
+         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS slope
+  FROM m
+  WHERE n > 1 AND CAST(n AS DOUBLE) * stt > CAST(st AS DOUBLE) * st
+),
+g AS (
+  SELECT s, n, tmin, slope,
+         (CAST(sy AS DOUBLE) - slope * st) / n AS icept
+  FROM f
+),
+w AS (
+  SELECT MAX(CASE WHEN s = 0 THEN n END) AS n_pre,
+         MAX(CASE WHEN s = 1 THEN n END) AS n_post,
+         MAX(CASE WHEN s = 1 THEN tmin END) AS t0,
+         MAX(CASE WHEN s = 0 THEN slope END) AS b_pre,
+         MAX(CASE WHEN s = 1 THEN slope END) AS b_post,
+         MAX(CASE WHEN s = 0 THEN icept END) AS a_pre,
+         MAX(CASE WHEN s = 1 THEN icept END) AS a_post
+  FROM g
+)
+SELECT n_pre, n_post, t0,
+       ROUND(b_pre / 100, 6) AS slope_pre,
+       ROUND(b_post / 100, 6) AS slope_post,
+       ROUND((b_post - b_pre) / 100, 6) AS slope_change,
+       ROUND(((a_post + b_post * t0) - (a_pre + b_pre * t0)) / 100, 6)
+         AS level_change_at_t0
+FROM w
+"""
+
+
+def _events_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-time-series segmented regression of the hourly
+    purchase series around its midpoint — per-segment exact moment
+    folds, terminal OLS closed forms, slope and level-at-cutpoint
+    contrasts. See _ITS_SEGMENTED."""
+    load(spark, sf_dir)
+    return spark.sql(_ITS_SEGMENTED)
+
+
+QUERIES["events_its_segmented"] = _events_its_segmented
+ORACLES["events_its_segmented"] = _ITS_SEGMENTED
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

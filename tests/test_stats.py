@@ -1969,3 +1969,34 @@ def test_window_donchian_closed_form(spark):
             assert r.pos_in_channel == 1.0, i
         else:
             assert r.pos_in_channel is None  # one-row channel has no width
+
+
+def test_its_segmented_planted_break_exact(spark):
+    """Two planted linear regimes (one event per hour): OLS on each
+    side recovers the exact slopes and the level jump at the cutpoint —
+    the moment folds are exact integers, so equality is to the 6-dp
+    terminal round, not a tolerance."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from datafusion_gpu_spark.queries.pipeline import _ITS_SEGMENTED
+
+    rows = []
+    for t in range(48):
+        cents = 1000 + 50 * t if t < 24 else 5000 + 120 * t
+        day, hour = divmod(t, 24)
+        rows.append(
+            ("purchase", f"2024-01-{day + 1:02d} {hour:02d}:15:00", cents / 100.0)
+        )
+    spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts")).createOrReplaceTempView("events")
+    try:
+        [r] = spark.sql(_ITS_SEGMENTED).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert (r.n_pre, r.n_post, r.t0) == (24, 24, 24)
+    assert r.slope_pre == 0.5
+    assert r.slope_post == 1.2
+    assert r.slope_change == 0.7
+    # level at t0=24: (5000 + 120*24) - (1000 + 50*24) = 5680 cents
+    assert r.level_change_at_t0 == 56.8
