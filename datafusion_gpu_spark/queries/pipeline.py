@@ -9406,6 +9406,149 @@ QUERIES["events_its_segmented"] = _events_its_segmented
 ORACLES["events_its_segmented"] = _ITS_SEGMENTED
 
 
+def _streaming_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_donchian (streaming.stream_donchian):
+    per-user state is the last 20 cents — rolling extremes are a pure
+    sliding fold — with the position expression applied after the sink;
+    graded by the BATCH oracle (23rd stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_donchian(spark, sf_dir)
+
+
+QUERIES["streaming_donchian"] = _streaming_donchian
+ORACLES["streaming_donchian"] = _DONCHIAN
+
+
+# Token-frequency Herfindahl concentration: HHI = sum cnt^2 / N^2 and
+# its reciprocal, the EFFECTIVE vocabulary (how many equally-likely
+# types the stream behaves like) — the head-heaviness readout that
+# pairs with text_missing_mass (tail coverage) and text_zipf_fit
+# (slope): one exact bigint fold over the shared tokenization, two
+# terminal divisions. A corpus whose effective vocab collapses between
+# snapshots is template-flooded even when raw vocab still grows.
+_TOKEN_HHI = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE token <> '' GROUP BY token
+),
+s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM c
+)
+SELECT n_tokens, vocab, s2 AS hhi_num,
+       ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)
+         AS hhi,
+       ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)
+         AS effective_vocab
+FROM s
+"""
+
+
+def _text_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl token concentration + effective vocabulary over the
+    documents token stream — Spark side tokenizes with the shared
+    trim/collapse normalization. See _TOKEN_HHI."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        F.col("s2").alias("hhi_num"),
+        F.expr(
+            "ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)"
+        ).alias("hhi"),
+        F.expr(
+            "ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)"
+        ).alias("effective_vocab"),
+    )
+
+
+QUERIES["text_token_hhi"] = _text_token_hhi
+ORACLES["text_token_hhi"] = _TOKEN_HHI
+
+
+# TOST equivalence (Schuirmann 1987): the gate that PROVES two
+# distributions' means are the same to within a margin — the inverse of
+# events_ab_test, and what a refactor/no-change deploy check actually
+# needs (failing to reject H0 of difference is not evidence of
+# equivalence). Two one-sided large-sample z tests at delta = $0.50 on
+# the Welch standard error; exact bigint moment folds, terminal IEEE
+# only, NULL when a group is degenerate.
+_TOST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM t GROUP BY grp
+),
+w AS (
+  SELECT CAST(MAX(CASE WHEN grp = 'click' THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s1 END) AS BIGINT) AS s1a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s2 END) AS BIGINT) AS s2a,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s1 END) AS BIGINT) AS s1b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s2 END) AS BIGINT) AS s2b
+  FROM g
+),
+v AS (
+  SELECT n_a, n_b,
+         (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) AS mdiff,
+         SQRT((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+                / (n_a - 1) / n_a
+              + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+                / (n_b - 1) / n_b) AS se
+  FROM w WHERE n_a > 1 AND n_b > 1
+)
+SELECT n_a, n_b,
+       ROUND(mdiff / 100, 4) AS mean_diff,
+       ROUND(se / 100, 6) AS se,
+       0.5 AS delta,
+       CASE WHEN se > 0 THEN ROUND((mdiff + 50.0) / se, 6) END AS t_lower,
+       CASE WHEN se > 0 THEN ROUND((50.0 - mdiff) / se, 6) END AS t_upper,
+       CASE WHEN se > 0 THEN
+         ((mdiff + 50.0) / se > 1.644854 AND (50.0 - mdiff) / se > 1.644854)
+       END AS equivalent_05
+FROM v
+"""
+
+
+def _agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST mean-equivalence of click vs purchase values at a $0.50
+    margin — two one-sided z tests on the Welch standard error from
+    exact moment folds. See _TOST."""
+    load(spark, sf_dir)
+    return spark.sql(_TOST)
+
+
+QUERIES["agg_tost_equivalence"] = _agg_tost_equivalence
+ORACLES["agg_tost_equivalence"] = _TOST
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

@@ -1256,6 +1256,81 @@ def stream_croston(
     )
 
 
+def stream_donchian(
+    spark: SparkSession, sf_dir: str, window: int = 20, scale: int = 100
+) -> DataFrame:
+    """Streaming twin of the batch Donchian channel (_DONCHIAN in
+    queries/pipeline.py) — the 23rd stream==batch twin. Per-user state
+    is just the last ``window`` cents: rolling extremes over a ROWS
+    frame are a pure sliding-window fold, so the automaton appends,
+    trims, and emits (c, max, min, len) per event — all integers; the
+    position-in-channel presentation expression runs in Spark after
+    the sink with the batch query's exact string, and the BATCH ORACLE
+    grades the stream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = (
+        stream_events(spark, sf_dir)
+        .where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.round(F.col("value") * scale).cast("long").alias("cents"),
+        )
+    )
+
+    def update(key, pdfs, state: GroupState):
+        hist = list(state.get[0]) if state.exists else []
+        out = {
+            "user_id": [], "event_id": [], "c": [],
+            "hi20": [], "lo20": [], "n_win": [],
+        }
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            for eid, c in zip(rows["event_id"], rows["cents"]):
+                hist.append(int(c))
+                if len(hist) > window:
+                    hist = hist[-window:]
+                out["user_id"].append(key[0])
+                out["event_id"].append(int(eid))
+                out["c"].append(int(c))
+                out["hi20"].append(max(hist))
+                out["lo20"].append(min(hist))
+                out["n_win"].append(len(hist))
+        state.update((hist,))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, event_id long, c long, "
+            "hi20 long, lo20 long, n_win long"
+        ),
+        stateStructType="hist array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    exact = materialize_stream(prog, output_mode="update")
+    return exact.select(
+        "user_id",
+        "event_id",
+        "c",
+        "hi20",
+        "lo20",
+        "n_win",
+        (F.col("hi20") - F.col("lo20")).alias("width"),
+        F.expr(
+            "CASE WHEN hi20 > lo20 THEN"
+            " ROUND(CAST(c - lo20 AS DOUBLE) / (hi20 - lo20), 6) END"
+        ).alias("pos_in_channel"),
+    )
+
+
 def stream_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of the batch per-user max-drawdown query
     (_MAX_DRAWDOWN in queries/pipeline.py): drawdown is a pure

@@ -2000,3 +2000,56 @@ def test_its_segmented_planted_break_exact(spark):
     assert r.slope_change == 0.7
     # level at t0=24: (5000 + 120*24) - (1000 + 50*24) = 5680 cents
     assert r.level_change_at_t0 == 56.8
+
+
+def test_token_hhi_planted_exact(spark):
+    """Counts a:3 b:2 c:2 d:1 -> N=8, V=4, sum cnt^2 = 18; HHI and the
+    effective vocabulary follow exactly."""
+    from datafusion_gpu_spark.queries.pipeline import _text_token_hhi
+    from datafusion_gpu_spark.queries import pipeline as P
+    from tests.conftest import SF_DIR
+
+    docs = spark.createDataFrame(
+        [(1, "A a b C"), (2, "b  \t d a c")], "doc_id long, text string"
+    )
+    orig = P._docs
+    try:
+        P._docs = lambda s, d: docs
+        [r] = _text_token_hhi(spark, SF_DIR).collect()
+    finally:
+        P._docs = orig
+    assert (r.n_tokens, r.vocab, r.hhi_num) == (8, 4, 18)
+    assert r.hhi == round(18 / 64, 9)
+    assert r.effective_vocab == round(64 / 18, 4)
+
+
+def test_tost_equivalence_planted_both_ways(spark):
+    """Two groups with means 2 cents apart and tiny spread: TOST
+    declares equivalence at the $0.50 margin; shift one group by $2 and
+    it must refuse."""
+    from datafusion_gpu_spark.queries.pipeline import _TOST
+
+    base = [1000 + (i % 5) for i in range(200)]  # mean ~1002, sd ~1.4
+    close = [(("click", v / 100.0)) for v in base] + [
+        ("purchase", (v + 2) / 100.0) for v in base
+    ]
+    spark.createDataFrame(
+        close, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [r] = spark.sql(_TOST).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert r.equivalent_05 is True and abs(r.mean_diff) == 0.02
+
+    far = [("click", v / 100.0) for v in base] + [
+        ("purchase", (v + 200) / 100.0) for v in base
+    ]
+    spark.createDataFrame(
+        far, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [r] = spark.sql(_TOST).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert r.equivalent_05 is False

@@ -591,3 +591,22 @@ def test_streaming_croston_matches_batch_exactly(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_donchian_matches_batch_exactly(spark):
+    # 23rd twin: a 20-cent sliding window is the whole state; rolling
+    # extremes replay bit-for-bit
+    from datafusion_gpu_spark.queries.pipeline import (
+        _streaming_donchian,
+        _window_donchian,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        r.event_id: tuple(r) for r in _window_donchian(spark, sf).collect()
+    }
+    stream = {
+        r.event_id: tuple(r) for r in _streaming_donchian(spark, sf).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
