@@ -1271,6 +1271,83 @@ def survival_km(
     ).orderBy("t")
 
 
+def survival_km_greenwood(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Kaplan-Meier with Greenwood confidence bands (Greenwood 1926):
+    Var(S(t)) = S(t)^2 * sum_{t_i <= t} d_i / (n_i * (n_i - d_i)) —
+    the uncertainty readout :func:`survival_km` omits, so a churn
+    curve's divergence between corpus snapshots can be judged against
+    its own sampling noise. Same quantization discipline as the point
+    estimate: each Greenwood term quantizes ONCE to an exact 1e-12
+    bigint before the running window sum (n*(n-d) products stay inside
+    int64 to ~3e9 at-risk subjects; the d = n terminal time emits the
+    conventional zero-width band via the dead flag). 95% bands are the
+    plain (linear) Greenwood bands, clipped to [0, 1] with
+    GREATEST/LEAST — terminal IEEE only. Same plan shape: one
+    groupBy(duration) + the distinct-duration window."""
+    q = F.lit(1_000_000_000_000.0)
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+        F.sum(F.lit(1) - F.col(observed_col).cast("long")).alias("c"),
+    )
+    w_all = Window.orderBy("t")
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(
+            w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).where(F.col("d") > 0)
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    ln_q = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - frac) * q, 0).cast("long"),
+    ).otherwise(F.lit(0))
+    gw_q = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.col("d").cast("double")
+            / (F.col("n_risk") * (F.col("n_risk") - F.col("d")))
+            * q,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        at_risk.withColumn("__lnq", ln_q)
+        .withColumn("__gwq", gw_q)
+        .withColumn(
+            "__dead",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_run),
+        )
+        .withColumn("__slnq", F.sum("__lnq").over(w_run))
+        .withColumn("__sgwq", F.sum("__gwq").over(w_run))
+    )
+    surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__slnq") / q)
+    )
+    se = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__slnq") / q) * F.sqrt(F.col("__sgwq") / q)
+    )
+    return scored.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(surv, 6).alias("survival"),
+        F.round(se, 6).alias("se_greenwood"),
+        F.round(F.greatest(F.lit(0.0), surv - F.lit(1.959964) * se), 6).alias(
+            "ci_lo"
+        ),
+        F.round(F.least(F.lit(1.0), surv + F.lit(1.959964) * se), 6).alias(
+            "ci_hi"
+        ),
+    ).orderBy("t")
+
+
 def autocorr(
     series: DataFrame,
     key_col: str = "event_type",

@@ -9549,6 +9549,98 @@ QUERIES["agg_tost_equivalence"] = _agg_tost_equivalence
 ORACLES["agg_tost_equivalence"] = _TOST
 
 
+def _events_survival_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase with Greenwood 95% bands
+    (events.survival_km_greenwood): the uncertainty readout the point
+    curve omits — same subjects, same 1e-12 quantized log fold, one
+    more quantized running sum for the variance factor. See the
+    operator docstring for the numeric contract."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_km_greenwood(subjects, "duration", "observed")
+
+
+ORACLES["events_survival_greenwood"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS lnq,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(CAST(d AS DOUBLE)
+                              / (n_risk * (n_risk - d)) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS gwq
+  FROM risk WHERE d > 0
+),
+run AS (
+  SELECT t, n_risk, d,
+         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
+         CAST(SUM(gwq) OVER w AS BIGINT) AS sgwq,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead
+  FROM ev
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fin AS (
+  SELECT t, n_risk, d,
+         CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+              ELSE EXP(slnq / 1e12) END AS sv,
+         CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+              ELSE EXP(slnq / 1e12) * SQRT(sgwq / 1e12) END AS sev
+  FROM run
+)
+SELECT t, n_risk, d AS n_events,
+       ROUND(sv, 6) AS survival,
+       ROUND(sev, 6) AS se_greenwood,
+       ROUND(GREATEST(CAST(0 AS DOUBLE), sv - 1.959964 * sev), 6) AS ci_lo,
+       ROUND(LEAST(CAST(1 AS DOUBLE), sv + 1.959964 * sev), 6) AS ci_hi
+FROM fin
+"""
+QUERIES["events_survival_greenwood"] = _events_survival_greenwood
+
+
 # ---------------------------------------------------------------------------
 # Round 10 (continued) — agreement / effect-size / retrieval-rank gates
 # and the Theil inequality index. Same contracts as the rest of the

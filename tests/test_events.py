@@ -497,3 +497,28 @@ def test_croston_constant_demand_closed_form(spark):
         assert r.size_hat == 5.0, i
         assert r.gap_hours == 2.0, i
         assert r.rate_per_hour == 2.5, i
+
+
+def test_survival_greenwood_textbook_bands(spark):
+    """Hand-checked 4-subject curve: S and the Greenwood bands match
+    the textbook closed forms; the d == n terminal time emits the
+    conventional zero-width [0, 0] band via the dead flag."""
+    import math
+
+    from datafusion_gpu_spark.operators.events import survival_km_greenwood
+
+    subj = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 0), (4, 1)], "duration long, observed int"
+    )
+    got = {r.t: r for r in survival_km_greenwood(subj).collect()}
+    assert set(got) == {1, 2, 4}
+    r = got[1]  # n=4, d=1: S = 3/4, var factor = 1/12
+    assert (r.n_risk, r.n_events, r.survival) == (4, 1, 0.75)
+    assert r.se_greenwood == round(0.75 * math.sqrt(1 / 12), 6)
+    assert r.ci_lo == round(max(0.0, 0.75 - 1.959964 * 0.75 * math.sqrt(1 / 12)), 6)
+    r = got[2]  # n=3, d=1: S = 1/2, factor = 1/12 + 1/6 = 1/4 -> se = 1/4
+    assert (r.n_risk, r.survival) == (3, 0.5)
+    assert r.se_greenwood == 0.25
+    assert r.ci_hi == round(min(1.0, 0.5 + 1.959964 * 0.25), 6)
+    r = got[4]  # d == n: dead flag -> zero-width band at 0
+    assert (r.survival, r.se_greenwood, r.ci_lo, r.ci_hi) == (0.0, 0.0, 0.0, 0.0)
