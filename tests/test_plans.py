@@ -717,21 +717,22 @@ BroadcastNestedLoopJoin BuildRight, Cross
 #: registry invariant is re-established by that audit every round).
 _BNLJ_BEARING_R11 = (
     "agg_benford", "agg_brier_score", "agg_calibration_bins",
-    "agg_chi2_independence", "agg_chi_squared", "agg_cramers_v",
-    "agg_equidepth_bins", "agg_gain_lift_curve", "agg_kll_quantiles",
-    "agg_kruskal_wallis", "agg_mann_whitney_bucketed", "agg_median_ci",
-    "agg_mood_median", "agg_ndcg_at_k", "agg_precision_at_k",
-    "agg_theta_setops", "agg_tukey_fences", "curation_apportion",
-    "curation_class_balance", "curation_dsir_resample", "curation_mix_domains",
-    "curation_mix_kl", "curation_pack_bestfit", "curation_t_closeness",
-    "curation_temperature_mix", "events_did", "events_ks_test",
-    "events_ks_test_bucketed", "events_lorenz_curve", "events_theil_index",
-    "fn_edit_distance", "join_cross", "join_non_equi_band", "retrieval_bm25",
-    "retrieval_tfidf", "text_bigram_lm", "text_burstiness", "text_heaps_fit",
+    "agg_chi2_independence", "agg_chi_squared", "agg_cliff_delta",
+    "agg_cramers_v", "agg_ece", "agg_equidepth_bins", "agg_gain_lift_curve",
+    "agg_hosmer_lemeshow", "agg_isotonic_calibration", "agg_kll_quantiles",
+    "agg_kruskal_wallis", "agg_ks_uniform", "agg_mann_whitney_bucketed",
+    "agg_median_ci", "agg_mood_median", "agg_ndcg_at_k", "agg_pinball_loss",
+    "agg_precision_at_k", "agg_theta_setops", "agg_tukey_fences",
+    "curation_apportion", "curation_class_balance", "curation_dsir_resample",
+    "curation_mix_domains", "curation_mix_kl", "curation_pack_bestfit",
+    "curation_t_closeness", "curation_temperature_mix",
+    "events_conformal_interval", "events_cvm_test", "events_did",
+    "events_its_segmented", "events_ks_test", "events_ks_test_bucketed",
+    "events_lorenz_curve", "events_theil_index", "fn_edit_distance",
+    "join_cross", "join_non_equi_band", "retrieval_bm25", "retrieval_tfidf",
+    "text_bigram_lm", "text_burstiness", "text_heaps_fit",
     "text_heavy_hitters", "text_jsd_drift", "text_kneser_ney",
     "text_perplexity", "types_sum_parity",
-    # round-11 additions
-    "agg_isotonic_calibration", "events_conformal_interval",
 )
 
 #: The ONLY rows allowed a non-exempt BNLJ, each with a bounded-build
