@@ -218,6 +218,95 @@ def gap_fill(events: DataFrame, unit: str = "hour") -> DataFrame:
     return filled
 
 
+def gap_fill_linear(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Linear-interpolation gap fill — the other standard resampling
+    fill next to :func:`gap_fill`'s LOCF: interior missing buckets take
+    the straight line between the surrounding observations,
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``;
+    trailing gaps (no later observation) fall back to LOCF; the first
+    bucket is observed by construction. The time ratio is a division of
+    exact bigint epoch-micros (grid buckets are unit-aligned, so it is
+    i/gap in whole units — both engines derive the identical double),
+    and the value arithmetic is the same IEEE expression on both sides,
+    rounded once at the end.
+
+    Same plan shape as gap_fill plus ONE more per-user ordered window
+    (the forward-looking next-observation pass): everything partitions
+    by user_id on one exchange family.
+    """
+    bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
+    ranked = events.select("user_id", bucket, "ts", "event_id", "value").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "bucket").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+        ),
+    )
+    observed = ranked.groupBy("user_id", "bucket").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("obs_value"),
+    )
+    spans = observed.groupBy("user_id").agg(
+        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr(f"sequence(mn, mx, interval 1 {unit})")).alias("bucket"),
+    )
+    j = grid.join(observed, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
+        F.col("obs_value").isNotNull().alias("is_observed"),
+        "obs_value",
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_bucket = F.when(F.col("obs_value").isNotNull(), F.col("bucket"))
+    w = j.select(
+        "user_id",
+        "bucket",
+        "n_obs",
+        "is_observed",
+        "obs_value",
+        F.last("obs_value", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_bucket, ignorenulls=True).over(wp).alias("pt"),
+        F.first("obs_value", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_bucket, ignorenulls=True).over(wf).alias("nt"),
+    )
+    ratio = (_epoch_us("bucket") - _epoch_us("pt")).cast("double") / (
+        _epoch_us("nt") - _epoch_us("pt")
+    )
+    interp = (
+        F.when(F.col("is_observed"), F.col("obs_value"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(F.col("pv") + (F.col("nv") - F.col("pv")) * ratio)
+    )
+    # quantize through INTEGER micro-units rather than ROUND(x, 6):
+    # decimal-scaled rounding differs between engines by 1 ulp at the
+    # half boundary (Spark rounds the exact BigDecimal, DuckDB the
+    # double product), but integer rounding of the SAME double product
+    # is identical — so the emitted value is bigint/1e6 on both sides
+    return w.withColumn("__iv", interp).select(
+        "user_id",
+        "bucket",
+        "n_obs",
+        "is_observed",
+        F.expr(
+            "CAST(ROUND(__iv * 1e6, 0) AS BIGINT) / 1e6"
+        ).alias("value_interp"),
+    )
+
+
 def interval_join_bucketed(
     events: DataFrame,
     intervals: DataFrame,

@@ -9380,6 +9380,75 @@ QUERIES["sim_topk_pq_recall"] = _sim_topk_pq_recall
 ORACLES["sim_topk_pq_recall"] = _LSH_RECALL_ORACLE
 
 
+def _events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of the per-user hourly grid
+    (events.gap_fill_linear) — the resampling fill a numeric feature
+    store wants where LOCF (events_gap_fill) introduces staircase
+    bias; trailing gaps fall back to LOCF. Exact bigint time ratios,
+    one more per-user window than LOCF."""
+    load(spark, sf_dir)
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    return events.gap_fill_linear(ev, "hour")
+
+
+ORACLES["events_gap_fill_linear"] = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+observed AS (
+  SELECT user_id, bucket, COUNT(*) AS n_obs,
+         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
+  FROM ranked GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+          FROM observed GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.bucket,
+         COALESCE(o.n_obs, 0) AS n_obs,
+         (o.obs_value IS NOT NULL) AS is_observed,
+         o.obs_value
+  FROM grid g LEFT JOIN observed o
+    ON g.user_id = o.user_id AND g.bucket = o.bucket
+),
+w AS (
+  SELECT user_id, bucket, n_obs, is_observed, obs_value,
+         last_value(obs_value IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wp AS pt,
+         first_value(obs_value IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+iv AS (
+  SELECT user_id, bucket, n_obs, is_observed,
+         CASE
+           WHEN is_observed THEN obs_value
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv)
+                * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+                   / (epoch_us(nt) - epoch_us(pt)))
+         END AS v
+  FROM w
+)
+SELECT user_id, bucket, n_obs, is_observed,
+       CAST(ROUND(v * 1e6, 0) AS BIGINT) / 1e6 AS value_interp
+FROM iv
+"""
+QUERIES["events_gap_fill_linear"] = _events_gap_fill_linear
+
+
 # Interrupted time series / segmented regression (the causal-inference
 # workhorse next to events_did: DiD needs a control group, ITS needs
 # only the pre-period trend): split the hourly purchase series at its

@@ -522,3 +522,33 @@ def test_survival_greenwood_textbook_bands(spark):
     assert r.ci_hi == round(min(1.0, 0.5 + 1.959964 * 0.25), 6)
     r = got[4]  # d == n: dead flag -> zero-width band at 0
     assert (r.survival, r.se_greenwood, r.ci_lo, r.ci_hi) == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_gap_fill_linear_interpolates_interior_gaps(spark):
+    from datetime import datetime
+
+    from datafusion_gpu_spark.operators.events import gap_fill_linear
+
+    rows = [
+        (1, datetime(2026, 1, 1, 0, 10), 1, 10.0),
+        (2, datetime(2026, 1, 1, 4, 50), 1, 30.0),   # 4-hour gap
+        (3, datetime(2026, 1, 1, 6, 0), 1, 27.5),
+        (4, datetime(2026, 1, 1, 2, 0), 2, 7.0),     # single point
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    out = {
+        (r.user_id, r.bucket.hour): r
+        for r in gap_fill_linear(ev, "hour").collect()
+    }
+    assert len(out) == 8  # user 1 hours 0..6, user 2 hour 2
+    # interior hours 1-3 interpolate the 10 -> 30 line exactly
+    for h, v in ((0, 10.0), (1, 15.0), (2, 20.0), (3, 25.0), (4, 30.0)):
+        r = out[(1, h)]
+        assert r.value_interp == v, h
+        assert r.is_observed == (h in (0, 4))
+    # hour 5 interpolates the 30 -> 27.5 line (two-hour span, midpoint)
+    assert out[(1, 5)].value_interp == 28.75
+    assert out[(1, 6)].value_interp == 27.5
+    assert out[(2, 2)].value_interp == 7.0
