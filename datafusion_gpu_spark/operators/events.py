@@ -173,67 +173,28 @@ def gap_fill(events: DataFrame, unit: str = "hour") -> DataFrame:
     buckets skews its grid task; cap the span or shard the window by
     (user, month) when that matters.
     """
-    bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
-    ranked = (
-        events.select("user_id", bucket, "ts", "event_id", "value")
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("user_id", "bucket").orderBy(
-                    F.desc("ts"), F.desc("event_id")
-                )
-            ),
-        )
-    )
-    observed = (
-        ranked.groupBy("user_id", "bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_obs"),
-            F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("obs_value"),
-        )
-    )
-    spans = observed.groupBy("user_id").agg(
-        F.min("bucket").alias("mn"), F.max("bucket").alias("mx")
-    )
-    grid = spans.select(
+    filled = _observed_grid(events, unit).select(
         "user_id",
-        F.explode(F.expr(f"sequence(mn, mx, interval 1 {unit})")).alias("bucket"),
-    )
-    filled = (
-        grid.join(observed, ["user_id", "bucket"], "left")
-        .select(
-            "user_id",
-            "bucket",
-            F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
-            F.col("obs_value").isNotNull().alias("is_observed"),
-            F.last("obs_value", ignorenulls=True)
-            .over(
-                Window.partitionBy("user_id")
-                .orderBy("bucket")
-                .rowsBetween(Window.unboundedPreceding, 0)
-            )
-            .alias("value_filled"),
+        "bucket",
+        "n_obs",
+        "is_observed",
+        F.last("obs_value", ignorenulls=True)
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("bucket")
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
+        .alias("value_filled"),
     )
     return filled
 
 
-def gap_fill_linear(events: DataFrame, unit: str = "hour") -> DataFrame:
-    """Linear-interpolation gap fill — the other standard resampling
-    fill next to :func:`gap_fill`'s LOCF: interior missing buckets take
-    the straight line between the surrounding observations,
-    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``;
-    trailing gaps (no later observation) fall back to LOCF; the first
-    bucket is observed by construction. The time ratio is a division of
-    exact bigint epoch-micros (grid buckets are unit-aligned, so it is
-    i/gap in whole units — both engines derive the identical double),
-    and the value arithmetic is the same IEEE expression on both sides,
-    rounded once at the end.
-
-    Same plan shape as gap_fill plus ONE more per-user ordered window
-    (the forward-looking next-observation pass): everything partitions
-    by user_id on one exchange family.
-    """
+def _observed_grid(events: DataFrame, unit: str) -> DataFrame:
+    """Shared resampling substrate of :func:`gap_fill` (LOCF) and
+    :func:`gap_fill_linear`: per (user, unit-bucket) the observation
+    count and last-observed value (ties broken by event_id), densified
+    onto each user's own [min, max] bucket span. Columns: user_id,
+    bucket, n_obs, is_observed, obs_value (NULL on missing buckets)."""
     bucket = F.date_trunc(unit, F.col("ts")).alias("bucket")
     ranked = events.select("user_id", bucket, "ts", "event_id", "value").withColumn(
         "rn",
@@ -254,13 +215,32 @@ def gap_fill_linear(events: DataFrame, unit: str = "hour") -> DataFrame:
         "user_id",
         F.explode(F.expr(f"sequence(mn, mx, interval 1 {unit})")).alias("bucket"),
     )
-    j = grid.join(observed, ["user_id", "bucket"], "left").select(
+    return grid.join(observed, ["user_id", "bucket"], "left").select(
         "user_id",
         "bucket",
         F.coalesce("n_obs", F.lit(0)).alias("n_obs"),
         F.col("obs_value").isNotNull().alias("is_observed"),
         "obs_value",
     )
+
+
+def gap_fill_linear(events: DataFrame, unit: str = "hour") -> DataFrame:
+    """Linear-interpolation gap fill — the other standard resampling
+    fill next to :func:`gap_fill`'s LOCF: interior missing buckets take
+    the straight line between the surrounding observations,
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)``;
+    trailing gaps (no later observation) fall back to LOCF; the first
+    bucket is observed by construction. The time ratio is a division of
+    exact bigint epoch-micros (grid buckets are unit-aligned, so it is
+    i/gap in whole units — both engines derive the identical double),
+    and the value arithmetic is the same IEEE expression on both sides,
+    rounded once at the end.
+
+    Same plan shape as gap_fill plus ONE more per-user ordered window
+    (the forward-looking next-observation pass): everything partitions
+    by user_id on one exchange family.
+    """
+    j = _observed_grid(events, unit)
     wp = (
         Window.partitionBy("user_id")
         .orderBy("bucket")

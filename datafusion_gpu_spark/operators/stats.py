@@ -406,7 +406,8 @@ def conformal_quantile(
     executed plan's build side is provably one row — the audited-exempt
     BNLJ class). On an EMPTY calibration relation (or k_rank > n_cal —
     fewer than 1/alpha - 1 residuals, where the conformal set is the
-    whole line) the row carries NULLs; callers gate upstream.
+    whole line) the result is ZERO rows, matching the GROUP-BY spelling
+    of the same fold (the all-NULL global-agg row is filtered).
     """
     v = residuals.groupBy(res_col).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
@@ -418,12 +419,17 @@ def conformal_quantile(
             "k_rank"
         ),
     )
-    return cum.join(
-        F.broadcast(k), F.col("cum_cnt") >= F.col("k_rank")
-    ).agg(
-        F.max("n_cal").alias("n_cal"),
-        F.max("k_rank").alias("k_rank"),
-        F.min(res_col).cast("long").alias("q_res"),
+    return (
+        cum.join(F.broadcast(k), F.col("cum_cnt") >= F.col("k_rank"))
+        .agg(
+            F.max("n_cal").alias("n_cal"),
+            F.max("k_rank").alias("k_rank"),
+            F.min(res_col).cast("long").alias("q_res"),
+        )
+        # a global agg over ZERO qualifying rows yields one all-NULL row;
+        # drop it so the empty/degenerate case is zero rows — matching
+        # the GROUP-BY spelling any SQL twin of this fold produces
+        .where(F.col("n_cal").isNotNull())
     )
 
 
@@ -576,8 +582,17 @@ def ks_uniform(
     min-max normalized scores (a calibrated probabilistic score should
     be uniform; clumping shows up here before the binned reliability
     curve resolves it). Exact integer numerator off the distinct-value
-    cumulative: D = max_v |cum_v * span - n * (v - lo)| / (n * span),
-    with cum/n/span all exact bigints and the max taken over exact
+    cumulative — the DISCRETE one-sample KS takes the max over BOTH
+    sides of every ECDF step (the post-step gap F(v) - U(v) AND the
+    pre-step gap U(v) - F(v-), Conover 1999; a one-sided max misses
+    mass clumped at the TOP of the range, where the ECDF approaches
+    the uniform line from below):
+
+        D = max_v max(|cum_v * span - n * (v - lo)|,
+                      |(cum_v - tc_v) * span - n * (v - lo)|)
+            / (n * span)
+
+    with all counts exact bigints and the max taken over exact
     integers; d_stat and the cross-multiplied 5% decision
     (c(.05) = 1.358 -> m^2 > 1.844164 * n * span^2, squared in DOUBLE)
     are terminal. Cumulative via :func:`cumsum_auto` (two-level past
@@ -599,9 +614,16 @@ def ks_uniform(
         .where(F.col("hi") > F.col("lo"))
         .agg(
             F.max(
-                F.abs(
-                    F.col("cum_tc") * (F.col("hi") - F.col("lo"))
-                    - F.col("n") * (F.col("c") - F.col("lo"))
+                F.greatest(
+                    F.abs(
+                        F.col("cum_tc") * (F.col("hi") - F.col("lo"))
+                        - F.col("n") * (F.col("c") - F.col("lo"))
+                    ),
+                    F.abs(
+                        (F.col("cum_tc") - F.col("tc"))
+                        * (F.col("hi") - F.col("lo"))
+                        - F.col("n") * (F.col("c") - F.col("lo"))
+                    ),
                 )
             )
             .cast("long")

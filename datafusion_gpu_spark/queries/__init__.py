@@ -226,6 +226,10 @@ _CHANGED_SINCE_CHECK = (
     "text_heaps_fit", "events_lorenz_curve", "agg_kruskal_wallis",
     "agg_mann_whitney_bucketed", "events_ks_test_bucketed",
     "agg_gain_lift_curve", "agg_precision_at_k", "agg_mrr",
+    # r11 self-review refactor: gap_fill's grid substrate factored into
+    # the _observed_grid helper shared with gap_fill_linear (last
+    # driver-checked r9, pre-refactor)
+    "events_gap_fill",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row.

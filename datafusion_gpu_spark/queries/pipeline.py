@@ -7615,8 +7615,11 @@ ORACLES["agg_calibration_bins"] = _CALIBRATION
 # construction), so the pair relation is <= B(B+1)/2 = 55 rows and every
 # window/join past the first groupBy runs on a broadcast-tiny relation —
 # the data-sized work is exactly one fold, identical to the diagnosis.
-_CALIB_BINNED = """
-WITH t AS (
+#: The ONE binning spelling all four calibration-family queries share
+#: (diagnosis curve, ECE scalar, Hosmer-Lemeshow test, isotonic fix):
+#: 10 equal-width bins over the cent-quantized score with lo/hi carried
+#: through so expected counts can be derived without re-scanning.
+_CALIB_PREFIX = """t AS (
   SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
          CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
   FROM events
@@ -7629,9 +7632,13 @@ rng AS (
         FROM t)
 ),
 b AS (
-  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
+  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin,
+         c, pos, lo, hi
   FROM t CROSS JOIN rng
-)
+)"""
+
+_CALIB_BINNED = f"""
+WITH {_CALIB_PREFIX}
 SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s
 FROM b GROUP BY bin
 """
@@ -7701,23 +7708,8 @@ ORACLES["agg_isotonic_calibration"] = _ISOTONIC
 # fold: n_b * |s_b/n_b - sc_b/(100*n_b)| = |100*s_b - sc_b| / 100, so
 # ECE = sum_b |100*s_b - sc_b| / (100*N) with ONE terminal division —
 # zero per-bin float error, same 10-bin relation as the siblings.
-_ECE = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-rng AS (
-  SELECT lo, hi,
-         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
-  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
-        FROM t)
-),
-b AS (
-  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
-  FROM t CROSS JOIN rng
-),
+_ECE = f"""
+WITH {_CALIB_PREFIX},
 g AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(pos) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS sc
@@ -7808,24 +7800,8 @@ ORACLES["agg_pinball_loss"] = _PINBALL
 # degenerate bins (E <= 0 or E >= n, where the variance vanishes)
 # contribute 0 by the visible CASE. reject_05 uses chi2(8) = 15.507 and
 # is NULL when fewer than 10 bins materialize (different df).
-_HOSMER_LEMESHOW = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-rng AS (
-  SELECT lo, hi,
-         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
-  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
-        FROM t)
-),
-b AS (
-  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin,
-         c, pos, lo, hi
-  FROM t CROSS JOIN rng
-),
+_HOSMER_LEMESHOW = f"""
+WITH {_CALIB_PREFIX},
 g AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s,
          CAST(SUM(c) AS BIGINT) AS sc,
@@ -9185,7 +9161,7 @@ WITH t AS (
 ),
 pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
 cum AS (
-  SELECT c, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cc
+  SELECT c, tc, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cc
   FROM pv
 ),
 nn AS (
@@ -9194,7 +9170,10 @@ nn AS (
   FROM pv
 ),
 mx AS (
-  SELECT CAST(MAX(ABS(cc * (hi - lo) - n * (c - lo))) AS BIGINT) AS m
+  SELECT CAST(MAX(GREATEST(
+           ABS(cc * (hi - lo) - n * (c - lo)),
+           ABS((cc - tc) * (hi - lo) - n * (c - lo))
+         )) AS BIGINT) AS m
   FROM cum CROSS JOIN nn WHERE hi > lo
 )
 SELECT n, lo, hi, m AS d_num,
@@ -9266,33 +9245,26 @@ QUERIES["window_donchian"] = _window_donchian
 ORACLES["window_donchian"] = _DONCHIAN
 
 
-def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH recall contract, graded by OUTPUT CONTRACT like the k-means
-    IVF twin (random hyperplanes aren't SQL-replayable): a planted
-    8-cluster corpus (seeded NumPy, 0.15-noise separation), signed-
-    random-projection LSH (5 planes x 8 tables — measured 5/5 exact
-    top-k recovered on every query; 6x4 measured 3-5 of 5, so the bar
-    sits two misses below the operating point), and per query:
-    exactly-k results, cosine monotonically descending, recall
-    vs the exact top-k >= 0.8. Completes the per-ANN-path recall
-    evidence: brute force IS the oracle, IVF has the k-means recall
-    contract (pass-r4), LSH now carries one too. The oracle is the
-    planted expectation as literal VALUES."""
+def _ann_recall_contract(spark: SparkSession, seed: int, index_fn) -> DataFrame:
+    """Shared harness for the planted ANN recall contracts (the
+    k-means-IVF grading pattern): seeded 8-cluster corpus (0.15-noise
+    separation), ``index_fn(corpus, queries)`` builds the approximate
+    top-5, and per query the contract emits exactly-k results, cosine
+    monotonically descending, and recall vs the exact top-k >= 0.8
+    (bar at >= 4 of 5 hits). One helper so every path grades the SAME
+    invariant; the oracle is the planted expectation as VALUES."""
     import numpy as np
 
     dim = 16
-    rng = np.random.default_rng(31)
+    rng = np.random.default_rng(seed)
     centers = rng.normal(size=(8, dim))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     vecs = [centers[c] + 0.15 * rng.normal(size=(40, dim)) for c in range(8)]
     all_vecs = np.concatenate(vecs)
     rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    qids = [0, 85, 290]
-    q = df.where(F.col("vec_id").isin(qids))
-    approx = similarity.lsh_ann_topk(
-        df, q, k=5, planes=5, num_tables=8, dim=dim
-    )
+    q = df.where(F.col("vec_id").isin([0, 85, 290]))
+    approx = index_fn(df, q)
     exact = similarity.cosine_topk_vectorized(df, q, k=5)
     hits = (
         approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
@@ -9313,6 +9285,22 @@ def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_results",
         "cosine_desc",
         (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
+    )
+
+
+def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall contract (_ann_recall_contract, seed 31): signed-
+    random-projection LSH at 5 planes x 8 tables — measured 5/5 exact
+    top-k recovered on every query (6x4 measured 3-5 of 5, so the bar
+    sits two misses below the operating point). Completes the
+    per-ANN-path recall evidence: brute force IS the oracle, IVF has
+    the k-means recall contract (pass-r4), LSH carries this one."""
+    return _ann_recall_contract(
+        spark,
+        31,
+        lambda df, q: similarity.lsh_ann_topk(
+            df, q, k=5, planes=5, num_tables=8, dim=16
+        ),
     )
 
 
@@ -9331,48 +9319,17 @@ ORACLES["sim_topk_lsh_recall"] = _LSH_RECALL_ORACLE
 
 
 def _sim_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ recall contract (same output-contract grading as the LSH and
-    k-means-IVF twins — the sampled codebook isn't SQL-replayable):
-    planted 8-cluster corpus (seed 37, 0.15 noise), 8x16 product
+    """PQ recall contract (_ann_recall_contract, seed 37): 8x16 product
     quantization with 32x oversampled ADC pruning before the exact
     rerank — measured 5/5 exact-top-k recovery on every query
     (oversample 8 measured 3-5, so the bar sits one miss below the
-    operating point). Per query: exactly-k results, cosine descending,
-    recall >= 0.8. With this, EVERY ANN path carries recall evidence:
-    brute force is the oracle, IVF the k-means contract, LSH and PQ
-    these planted contracts."""
-    import numpy as np
-
-    dim = 16
-    rng = np.random.default_rng(37)
-    centers = rng.normal(size=(8, dim))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = [centers[c] + 0.15 * rng.normal(size=(40, dim)) for c in range(8)]
-    rows = [(i, [float(x) for x in v]) for i, v in enumerate(np.concatenate(vecs))]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    qids = [0, 85, 290]
-    q = df.where(F.col("vec_id").isin(qids))
-    approx = similarity.pq_topk(df, q, k=5, m=8, ksub=16, oversample=32)
-    exact = similarity.cosine_topk_vectorized(df, q, k=5)
-    hits = (
-        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("query_id").orderBy("rank")
-    flagged = approx.withColumn("prev_cos", F.lag("cosine").over(w))
-    per_q = flagged.groupBy("query_id").agg(
-        F.count("*").alias("n_results"),
-        F.min(
-            (F.col("prev_cos").isNull() | (F.col("cosine") <= F.col("prev_cos")))
-            .cast("int")
-        ).cast("boolean").alias("cosine_desc"),
-    )
-    return per_q.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_results",
-        "cosine_desc",
-        (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
+    operating point). With this, EVERY ANN path carries recall
+    evidence: brute force is the oracle, IVF the k-means contract, LSH
+    and PQ these planted contracts."""
+    return _ann_recall_contract(
+        spark,
+        37,
+        lambda df, q: similarity.pq_topk(df, q, k=5, m=8, ksub=16, oversample=32),
     )
 
 
@@ -9547,6 +9504,9 @@ ORACLES["streaming_donchian"] = _DONCHIAN
 # (slope): one exact bigint fold over the shared tokenization, two
 # terminal divisions. A corpus whose effective vocab collapses between
 # snapshots is template-flooded even when raw vocab still grows.
+# VISIBLE headroom guard (the chi2/CvM/MRR discipline): sum(cnt^2) <=
+# n_tokens * max(cnt), so once that double-computed bound nears 2^63
+# the concentration columns go NULL instead of reading a wrapped fold.
 _TOKEN_HHI = f"""
 WITH toks AS (
   SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
@@ -9558,14 +9518,19 @@ c AS (
 s AS (
   SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
          CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
          CAST(SUM(cnt * cnt) AS BIGINT) AS s2
   FROM c
 )
-SELECT n_tokens, vocab, s2 AS hhi_num,
-       ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)
-         AS hhi,
-       ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)
-         AS effective_vocab
+SELECT n_tokens, vocab, max_cnt,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END
+         AS hhi_num,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
+         ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)
+       END AS hhi,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
+         ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)
+       END AS effective_vocab
 FROM s
 """
 
@@ -9589,16 +9554,23 @@ def _text_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.agg(
         F.sum("cnt").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.max("cnt").cast("long").alias("max_cnt"),
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
     ).select(
         "n_tokens",
         "vocab",
-        F.col("s2").alias("hhi_num"),
+        "max_cnt",
         F.expr(
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END"
+        ).alias("hhi_num"),
+        F.expr(
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
             "ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)"
+            " END"
         ).alias("hhi"),
         F.expr(
-            "ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)"
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
+            "ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4) END"
         ).alias("effective_vocab"),
     )
 

@@ -710,6 +710,27 @@ BroadcastNestedLoopJoin BuildRight, Cross
          +- FileScan parquet [x#5] Batched: true"""
     assert split_bnlj(generate_build) == (0, 1)
 
+    # whole-stage codegen prefixes ('*(n) ') must not hide operators:
+    # a codegen'd data x data BNLJ still counts, and a codegen'd
+    # Generate still rejects the build
+    codegen_bnlj = """\
+*(3) BroadcastNestedLoopJoin BuildRight, Inner, (a#1 >= b#2)
+:- *(1) Filter isnotnull(a#1)
+:  +- FileScan parquet [a#1] Batched: true, Location: InMemoryFileIndex(1 paths)[file:/d/events.parquet]
++- BroadcastExchange IdentityBroadcastMode, [plan_id=2]
+   +- *(2) Filter isnotnull(b#2)
+      +- FileScan parquet [b#2] Batched: true, Location: InMemoryFileIndex(1 paths)[file:/d/orders.parquet]"""
+    assert split_bnlj(codegen_bnlj) == (0, 1)
+
+    codegen_generate = """\
+*(4) BroadcastNestedLoopJoin BuildRight, Cross
+:- FileScan parquet [a#1] Batched: true
++- BroadcastExchange IdentityBroadcastMode, [plan_id=2]
+   +- *(2) Generate explode(seq#3), false, [v#4L]
+      +- HashAggregate(keys=[], functions=[collect_list(x#5)], output=[seq#3])
+         +- FileScan parquet [x#5] Batched: true"""
+    assert split_bnlj(codegen_generate) == (0, 1)
+
 
 #: Every registry query whose executed plan contains >= 1 BNLJ (generated
 #: by tools/audit_plans.py at 345 queries, round 11 — regenerate the list

@@ -1921,21 +1921,34 @@ def test_missing_mass_exact_counts(spark):
 
 def test_ks_uniform_exact_uniform_and_clumped(spark):
     """A perfectly uniform lattice (each value once over 0..n-1) has
-    the closed-form D = 1/n (the ECDF step overhang) and never rejects;
-    a hard clump at one value rejects at 5%."""
+    the closed-form D = 1/n (the ECDF step overhang, realized on BOTH
+    sides: post-step at v=0, pre-step at v=n-1) and never rejects; a
+    hard clump rejects at 5% wherever it sits — including at the TOP
+    of the range, which only the pre-step (D-) side of the discrete KS
+    can see (the regression this test pins: a one-sided max scored the
+    top clump d_stat ~ 1/n and never rejected)."""
     from datafusion_gpu_spark.operators.stats import ks_uniform
 
     n = 200
     df = spark.createDataFrame([(i,) for i in range(n)], "cents long")
     [r] = ks_uniform(df, "cents").collect()
     assert (r.n, r.lo, r.hi) == (n, 0, n - 1)
-    assert r.d_num == n - 1  # max at the first step
+    assert r.d_num == n - 1  # the step overhang, both ends
     assert r.d_stat == round(1 / n, 6)
     assert r.reject_05 is False
 
-    clump = [(0,), (n - 1,)] + [((n - 1) // 2,)] * (n - 2)
-    df = spark.createDataFrame(clump, "cents long")
+    mid = [(0,), (n - 1,)] + [((n - 1) // 2,)] * (n - 2)
+    df = spark.createDataFrame(mid, "cents long")
     [r] = ks_uniform(df, "cents").collect()
+    assert r.reject_05 is True
+
+    # mass clumped at the TOP: ECDF hugs zero until hi, so the gap is
+    # entirely on the pre-step side — D- = (n-1)/n just below hi
+    top = [(0,)] + [(n - 1,)] * (n - 1)
+    df = spark.createDataFrame(top, "cents long")
+    [r] = ks_uniform(df, "cents").collect()
+    assert r.d_num == (n - 1) * (n - 1)  # |(cc-tc)*span - n*(hi-lo)|
+    assert r.d_stat == round((n - 1) / n, 6)
     assert r.reject_05 is True
 
 
@@ -2018,7 +2031,7 @@ def test_token_hhi_planted_exact(spark):
         [r] = _text_token_hhi(spark, SF_DIR).collect()
     finally:
         P._docs = orig
-    assert (r.n_tokens, r.vocab, r.hhi_num) == (8, 4, 18)
+    assert (r.n_tokens, r.vocab, r.max_cnt, r.hhi_num) == (8, 4, 3, 18)
     assert r.hhi == round(18 / 64, 9)
     assert r.effective_vocab == round(64 / 18, 4)
 

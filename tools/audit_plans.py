@@ -40,6 +40,12 @@ COUNTERS = {
 # that prose exemption into a machine invariant: bnlj_other == 0.
 # ---------------------------------------------------------------------------
 
+#: whole-stage codegen prefixes operator text with '*(n) ' — strip it
+#: before any startswith classification (a codegen'd
+#: '*(2) BroadcastNestedLoopJoin' or '*(1) Generate' must classify
+#: exactly like its non-codegen spelling)
+_CODEGEN_PREFIX = re.compile(r"^\*\(\d+\) ")
+
 _ONE_ROW_AGG = re.compile(
     r"\b(?:HashAggregate|SortAggregate|ObjectHashAggregate)\((?:keys|key)=\[\]"
 )
@@ -85,7 +91,7 @@ def _is_krow(lines: list[str], i: int, depth: int = 0) -> bool:
     or row-exploding operator (Generate) returns False."""
     if depth > 128:
         return False
-    text = lines[i][_text_col(lines[i]):]
+    text = _CODEGEN_PREFIX.sub("", lines[i][_text_col(lines[i]):])
     if _ONE_ROW_AGG.search(text) or _KROW_LEAF.search(text):
         return True
     if _CONST_CATALOG.search(text):
@@ -94,9 +100,9 @@ def _is_krow(lines: list[str], i: int, depth: int = 0) -> bool:
         # a Python UDAF aggregate is GLOBAL (one row) iff it sits on a
         # single-partition exchange; grouped variants shuffle by key
         kids = _children_idx(lines, i)
-        return len(kids) == 1 and lines[kids[0]][
-            _text_col(lines[kids[0]]):
-        ].startswith("Exchange SinglePartition")
+        return len(kids) == 1 and _CODEGEN_PREFIX.sub(
+            "", lines[kids[0]][_text_col(lines[kids[0]]):]
+        ).startswith("Exchange SinglePartition")
     if text.startswith("Generate"):
         return False  # explode can blow a one-row build up arbitrarily
     if text.startswith("ReusedExchange"):
@@ -123,7 +129,7 @@ def split_bnlj(plan: str) -> tuple[int, int]:
     lines = plan.splitlines()
     exempt = other = 0
     for i, l in enumerate(lines):
-        text = l[_text_col(l):]
+        text = _CODEGEN_PREFIX.sub("", l[_text_col(l):])
         if not text.startswith("BroadcastNestedLoopJoin"):
             continue
         kids = _children_idx(lines, i)
