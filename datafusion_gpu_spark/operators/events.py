@@ -1351,12 +1351,17 @@ def survival_km_greenwood(
     curve's divergence between corpus snapshots can be judged against
     its own sampling noise. Same quantization discipline as the point
     estimate: each Greenwood term quantizes ONCE to an exact 1e-12
-    bigint before the running window sum (n*(n-d) products stay inside
-    int64 to ~3e9 at-risk subjects; the d = n terminal time emits the
-    conventional zero-width band via the dead flag). 95% bands are the
-    plain (linear) Greenwood bands, clipped to [0, 1] with
-    GREATEST/LEAST — terminal IEEE only. Same plan shape: one
-    groupBy(duration) + the distinct-duration window."""
+    bigint before the running window sum (the d = n terminal time emits
+    the conventional zero-width band via the dead flag). The n*(n-d)
+    denominator is a raw long multiply that stays inside int64 only to
+    ~3e9 at-risk subjects — past that the product can wrap on Spark
+    (and error in DuckDB), so the band columns carry a VISIBLE headroom
+    guard (ADVICE r11 #3): se/ci_lo/ci_hi go NULL when the running max
+    at-risk count squared reaches 9e18 (the point estimate's log fold
+    is unaffected and stays). 95% bands are the plain (linear)
+    Greenwood bands, clipped to [0, 1] with GREATEST/LEAST — terminal
+    IEEE only. Same plan shape: one groupBy(duration) + the
+    distinct-duration window."""
     q = F.lit(1_000_000_000_000.0)
     per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
         F.sum(F.col(observed_col).cast("long")).alias("d"),
@@ -1395,25 +1400,35 @@ def survival_km_greenwood(
         )
         .withColumn("__slnq", F.sum("__lnq").over(w_run))
         .withColumn("__sgwq", F.sum("__gwq").over(w_run))
+        # running max at-risk (n_risk is non-increasing in t, so this is
+        # the largest n*(n-d) factor contaminating the running variance
+        # fold at or before this row) — drives the visible guard below
+        .withColumn("__nmax", F.max("n_risk").over(w_run))
     )
     surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
         F.exp(F.col("__slnq") / q)
     )
-    se = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
-        F.exp(F.col("__slnq") / q) * F.sqrt(F.col("__sgwq") / q)
-    )
+    headroom = F.col("__nmax").cast("double") * F.col("__nmax") < F.lit(9e18)
+    se = F.when(~headroom, F.lit(None).cast("double")).when(
+        F.col("__dead") == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.col("__slnq") / q) * F.sqrt(F.col("__sgwq") / q))
+    # CI columns guard on `headroom` EXPLICITLY rather than letting the
+    # NULL se propagate: Spark's GREATEST/LEAST skip NULL operands while
+    # other engines return NULL, so propagation is non-portable
     return scored.select(
         "t",
         "n_risk",
         F.col("d").alias("n_events"),
         F.round(surv, 6).alias("survival"),
         F.round(se, 6).alias("se_greenwood"),
-        F.round(F.greatest(F.lit(0.0), surv - F.lit(1.959964) * se), 6).alias(
-            "ci_lo"
-        ),
-        F.round(F.least(F.lit(1.0), surv + F.lit(1.959964) * se), 6).alias(
-            "ci_hi"
-        ),
+        F.when(
+            headroom,
+            F.round(F.greatest(F.lit(0.0), surv - F.lit(1.959964) * se), 6),
+        ).alias("ci_lo"),
+        F.when(
+            headroom,
+            F.round(F.least(F.lit(1.0), surv + F.lit(1.959964) * se), 6),
+        ).alias("ci_hi"),
     ).orderBy("t")
 
 

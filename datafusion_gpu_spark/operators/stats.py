@@ -399,6 +399,13 @@ def conformal_quantile(
     agg_median_ci rank-bound machinery generalized to any alpha: no
     global sort of the residual relation, ever.
 
+    The rank is computed in EXACT integer arithmetic (ADVICE r11 #4):
+    1 - alpha is lifted to a rational num/den via Fraction, and
+    ceil((n+1) * num / den) is spelled ((n+1)*num + den-1) DIV den on
+    bigints — positive operands, so Spark's truncating DIV and
+    floor-division engines agree, and a 1-ulp-high DOUBLE product can
+    never push CEIL off by one at an exact-integer boundary.
+
     ``res_col`` must be integer (pre-quantized residuals). Returns one
     row: n_cal, k_rank, q_res (exact bigints) — spelled as a GLOBAL
     aggregate (n_cal/k_rank are constants from the one-row rank fold,
@@ -409,15 +416,19 @@ def conformal_quantile(
     whole line) the result is ZERO rows, matching the GROUP-BY spelling
     of the same fold (the all-NULL global-agg row is filtered).
     """
+    from fractions import Fraction
+
+    frac = Fraction(1.0 - alpha).limit_denominator(1_000_000)
+    num, den = frac.numerator, frac.denominator
     v = residuals.groupBy(res_col).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
     cum = cumsum_auto(v, res_col, ("cnt",), n_buckets=n_buckets)
     k = v.agg(F.sum("cnt").cast("long").alias("n_cal")).select(
         "n_cal",
-        F.expr(f"CAST(CEIL((n_cal + 1) * {1.0 - alpha!r}) AS BIGINT)").alias(
-            "k_rank"
-        ),
+        F.expr(
+            f"CAST(((n_cal + 1) * {num} + {den - 1}) DIV {den} AS BIGINT)"
+        ).alias("k_rank"),
     )
     return (
         cum.join(F.broadcast(k), F.col("cum_cnt") >= F.col("k_rank"))
@@ -489,7 +500,14 @@ def cvm_two_sample(
     return s.select(
         "n_a",
         "n_b",
-        "s_q",
+        # the raw fold is sum(tc * term_q) <= N * 1e12 — past the guard
+        # bound it can wrap on Spark (and error in DuckDB), so the exposed
+        # fold column goes NULL under the SAME guard as the terminal stat
+        # (ADVICE r11 #2), never showing a possibly-wrapped bigint
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000"
+            " THEN s_q END"
+        ).alias("s_q"),
         F.expr(
             """
             CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
@@ -547,8 +565,18 @@ def cliff_delta(
     d = s.select(
         "n_a",
         "n_b",
-        "gt",
-        "lt",
+        # gt/lt are bounded by n_a * n_b — past the guard bound the folds
+        # can wrap on Spark (and error in DuckDB), so the exposed columns
+        # go NULL under the SAME guard as the terminal delta (ADVICE r11
+        # #2), never showing a possibly-wrapped bigint
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0"
+            " AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN gt END"
+        ).alias("gt"),
+        F.expr(
+            "CASE WHEN n_a > 0 AND n_b > 0"
+            " AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN lt END"
+        ).alias("lt"),
         F.expr(
             """
             CASE WHEN n_a > 0 AND n_b > 0
@@ -631,21 +659,32 @@ def ks_uniform(
         )
         .join(F.broadcast(nn))
     )
+    # VISIBLE headroom guard (ADVICE r11 #1): the exact fold's terms are
+    # bounded by n * span, so past CAST(n AS DOUBLE) * (hi - lo) >= 9e18
+    # the bigint products can wrap on Spark (and error in DuckDB) —
+    # every output derived from the fold goes NULL there (shrink the
+    # value quantum to trade precision for population, as the siblings).
     return m.select(
         "n",
         "lo",
         "hi",
-        F.col("m").alias("d_num"),
         F.expr(
             """
-            CASE WHEN n > 0 AND hi > lo THEN
+            CASE WHEN CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN m END
+            """
+        ).alias("d_num"),
+        F.expr(
+            """
+            CASE WHEN n > 0 AND hi > lo
+                      AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
               ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
             END
             """
         ).alias("d_stat"),
         F.expr(
             """
-            CASE WHEN n > 0 AND hi > lo THEN
+            CASE WHEN n > 0 AND hi > lo
+                      AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
               (CAST(m AS DOUBLE) * m
                  > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
             END

@@ -207,6 +207,22 @@ _CHECKED_R10 = (
     "window_groups_frame_emulated", "window_exclude_current_emulated",
 )
 
+_CHECKED_R11 = (
+    "agg_cliff_delta", "agg_cohens_d", "agg_ece", "agg_gain_lift_curve",
+    "agg_hosmer_lemeshow", "agg_isotonic_calibration", "agg_kruskal_wallis", "agg_ks_uniform",
+    "agg_mann_whitney_bucketed", "agg_mrr", "agg_pinball_loss", "agg_precision_at_k",
+    "agg_tost_equivalence", "curation_quantile_filter", "custom_sum_f32_dataframe_api", "custom_sum_f32_global",
+    "custom_sum_f32_scalable", "custom_sum_f32_sql_rewritten", "custom_sum_f32_unfused", "dedup_incremental",
+    "events_conformal_interval", "events_croston", "events_cvm_test", "events_gap_fill",
+    "events_gap_fill_linear", "events_holt_winters", "events_its_segmented", "events_ks_test_bucketed",
+    "events_lorenz_curve", "events_page_hinkley", "events_scd2_history", "events_survival_greenwood",
+    "events_theil_u2", "fn_alias_shims", "fn_edit_distance", "fn_null_semantics",
+    "fn_udtf_split", "fn_url_pack", "fn_variant_json", "sim_topk_lsh_recall",
+    "sim_topk_pq_recall", "streaming_croston", "streaming_donchian", "streaming_holt_winters",
+    "streaming_page_hinkley", "text_heaps_fit", "text_missing_mass", "text_token_hhi",
+    "window_donchian", "window_qualify_rewrite",
+)
+
 #: Rows whose IMPLEMENTATION changed after their most recent driver check
 #: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
 #: age only, so a query rewired in round N but last driver-checked in round
@@ -216,27 +232,27 @@ _CHECKED_R10 = (
 #: add its name here; when its post-change driver row lands, the _CHECKED_R{N}
 #: fold supersedes the pin — remove the name from this tuple at the same time.
 #:
-#: Round-11 pins: the five r10 rewires whose latest driver row (r9) predates
-#: the rewire (heaps/lorenz rewired through bucketed_cumsum; Kruskal's DOUBLE
-#: fold; MW/KS routed through cumsum_auto), plus the rows over machinery
-#: changed THIS round: cumsum_auto now persists its input before the routing
-#: count (ADVICE r10 #2 — affects every cumsum_auto caller) and agg_mrr
-#: gained the visible int64-headroom guard (ADVICE r10 #4).
+#: Round-12 pins (all nine r11 pins pruned — each got a post-change green
+#: driver row in CORRECTNESS_r11; the fold above supersedes them): rows whose
+#: spelling or shared machinery the r12 diff touches, re-added as the changes
+#: land (ADVICE r11 guard fixes and this round's refactors).
 _CHANGED_SINCE_CHECK = (
-    "text_heaps_fit", "events_lorenz_curve", "agg_kruskal_wallis",
-    "agg_mann_whitney_bucketed", "events_ks_test_bucketed",
-    "agg_gain_lift_curve", "agg_precision_at_k", "agg_mrr",
-    # r11 self-review refactor: gap_fill's grid substrate factored into
-    # the _observed_grid helper shared with gap_fill_linear (last
-    # driver-checked r9, pre-refactor)
-    "events_gap_fill",
+    # ADVICE r11 #1/#2: int64-headroom guards added to ks_uniform's exact
+    # fold and to cvm/cliff's exposed bigint fold columns (operator+oracle)
+    "agg_ks_uniform", "events_cvm_test", "agg_cliff_delta",
+    # ADVICE r11 #3: Greenwood denominator guard (operator+oracle)
+    "events_survival_greenwood",
+    # ADVICE r11 #4: conformal rank in exact integer arithmetic
+    "events_conformal_interval",
+    # ADVICE r11 #5: ECE confidence normalized like its _CALIB_PREFIX siblings
+    "agg_ece",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
-     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10), start=1
+     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

@@ -6297,7 +6297,9 @@ s AS (
          AS BIGINT) AS s_q
   FROM cum CROSS JOIN nn
 )
-SELECT n_a, n_b, s_q,
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000
+            THEN s_q END AS s_q,
        CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
          ROUND(CAST(n_a AS DOUBLE) * n_b
                / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
@@ -7704,30 +7706,39 @@ ORACLES["agg_isotonic_calibration"] = _ISOTONIC
 # Expected calibration error — the SCALAR that completes the calibration
 # trio (agg_calibration_bins diagnoses the curve, agg_isotonic_calibration
 # fits the fix, ECE is the one number a regression gate thresholds).
-# ECE = sum_b (n_b/N) * |obs_b - conf_b| collapses to an EXACT bigint
-# fold: n_b * |s_b/n_b - sc_b/(100*n_b)| = |100*s_b - sc_b| / 100, so
-# ECE = sum_b |100*s_b - sc_b| / (100*N) with ONE terminal division —
-# zero per-bin float error, same 10-bin relation as the siblings.
+# Per-bin confidence is the MIN-MAX NORMALIZED mean score (sc_b - n_b*lo)
+# / (n_b * span) — the same [0,1] normalization the _CALIB_PREFIX
+# siblings (Brier, Hosmer-Lemeshow) use, so the calibration-gap
+# semantics hold whatever the raw value range (ADVICE r11 #5; the raw
+# cents/100 spelling left [0,1] past $1). The gap still collapses to an
+# EXACT bigint fold: n_b * |s_b/n_b - (sc_b - n_b*lo)/(n_b*span)| =
+# |s_b*span - sc_b + n_b*lo| / span, so ECE =
+# sum_b |s_b*span - sc_b + n_b*lo| / (span * N) with ONE terminal
+# division — zero per-bin float error, same 10-bin relation.
 _ECE = f"""
 WITH {_CALIB_PREFIX},
 g AS (
   SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(pos) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS sc
+         CAST(SUM(pos) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS sc,
+         CAST(MAX(hi) - MAX(lo) AS BIGINT) AS span,
+         CAST(MAX(lo) AS BIGINT) AS lo
   FROM b GROUP BY bin
 )
 SELECT CAST(SUM(n) AS BIGINT) AS n,
        CAST(COUNT(*) AS BIGINT) AS n_bins,
-       CAST(SUM(ABS(100 * s - sc)) AS BIGINT) AS ece_num,
-       ROUND(CAST(SUM(ABS(100 * s - sc)) AS DOUBLE) / (100.0 * SUM(n)), 6)
-         AS ece
+       CAST(SUM(ABS(s * span - sc + n * lo)) AS BIGINT) AS ece_num,
+       ROUND(CAST(SUM(ABS(s * span - sc + n * lo)) AS DOUBLE)
+             / (CAST(MAX(span) AS DOUBLE) * SUM(n)), 6) AS ece
 FROM g
+WHERE span > 0
 """
 
 
 def _agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Expected calibration error over the shared 10-bin reliability
-    relation — exact bigint numerator (the n_b weights cancel into
-    |100*s_b - sc_b|), one terminal division. See _ECE."""
+    relation, confidence min-max normalized like its _CALIB_PREFIX
+    siblings — exact bigint numerator (the n_b weights cancel into
+    |s_b*span - sc_b + n_b*lo|), one terminal division. See _ECE."""
     load(spark, sf_dir)
     return spark.sql(_ECE)
 
@@ -7877,7 +7888,11 @@ s AS (
   FROM cum
 ),
 d AS (
-  SELECT n_a, n_b, gt, lt,
+  SELECT n_a, n_b,
+         CASE WHEN n_a > 0 AND n_b > 0
+                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN gt END AS gt,
+         CASE WHEN n_a > 0 AND n_b > 0
+                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN lt END AS lt,
          CASE WHEN n_a > 0 AND n_b > 0
                    AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN
            ROUND(CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
@@ -9176,11 +9191,14 @@ mx AS (
          )) AS BIGINT) AS m
   FROM cum CROSS JOIN nn WHERE hi > lo
 )
-SELECT n, lo, hi, m AS d_num,
-       CASE WHEN n > 0 AND hi > lo THEN
+SELECT n, lo, hi,
+       CASE WHEN CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN m END AS d_num,
+       CASE WHEN n > 0 AND hi > lo
+                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
          ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
        END AS d_stat,
-       CASE WHEN n > 0 AND hi > lo THEN
+       CASE WHEN n > 0 AND hi > lo
+                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
          (CAST(m AS DOUBLE) * m
             > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
        END AS reject_05
@@ -9710,23 +9728,30 @@ run AS (
   SELECT t, n_risk, d,
          CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
          CAST(SUM(gwq) OVER w AS BIGINT) AS sgwq,
-         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead,
+         CAST(MAX(n_risk) OVER w AS BIGINT) AS nmax
   FROM ev
   WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ),
 fin AS (
   SELECT t, n_risk, d,
+         CAST(nmax AS DOUBLE) * nmax < 9e18 AS headroom,
          CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
               ELSE EXP(slnq / 1e12) END AS sv,
-         CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+         CASE WHEN CAST(nmax AS DOUBLE) * nmax >= 9e18 THEN NULL
+              WHEN dead = 1 THEN CAST(0 AS DOUBLE)
               ELSE EXP(slnq / 1e12) * SQRT(sgwq / 1e12) END AS sev
   FROM run
 )
 SELECT t, n_risk, d AS n_events,
        ROUND(sv, 6) AS survival,
        ROUND(sev, 6) AS se_greenwood,
-       ROUND(GREATEST(CAST(0 AS DOUBLE), sv - 1.959964 * sev), 6) AS ci_lo,
-       ROUND(LEAST(CAST(1 AS DOUBLE), sv + 1.959964 * sev), 6) AS ci_hi
+       CASE WHEN headroom THEN
+         ROUND(GREATEST(CAST(0 AS DOUBLE), sv - 1.959964 * sev), 6)
+       END AS ci_lo,
+       CASE WHEN headroom THEN
+         ROUND(LEAST(CAST(1 AS DOUBLE), sv + 1.959964 * sev), 6)
+       END AS ci_hi
 FROM fin
 """
 QUERIES["events_survival_greenwood"] = _events_survival_greenwood
@@ -10882,7 +10907,8 @@ cum AS (
   FROM v
 ),
 n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM v),
-k AS (SELECT n_cal, CAST(CEIL((n_cal + 1) * 0.9) AS BIGINT) AS k_rank FROM n),
+k AS (SELECT n_cal,
+             CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k_rank FROM n),
 q AS (
   SELECT k.n_cal, k.k_rank, CAST(MIN(cum.res) AS BIGINT) AS q_res
   FROM k JOIN cum ON cum.cc >= k.k_rank

@@ -1674,9 +1674,11 @@ def test_cvm_identical_zero_and_disjoint_rejects(spark):
 
 
 def test_ece_exact_integer_identity(spark):
-    """The n_b weights cancel exactly: ECE == sum|100*s_b - sc_b|/(100N).
-    Planted 10 one-cent bins (wd == 1 by construction): half the bins
-    50% observed vs k% predicted, half 100% vs k% -> ece = 0.705."""
+    """The n_b weights cancel exactly against the min-max normalized
+    confidence: ECE == sum|s_b*span - sc_b + n_b*lo|/(span*N). Planted
+    10 one-cent bins (lo=0, hi=9, wd == 1 by construction): conf_b =
+    b/9, half the bins 50% observed, half 100% -> ece_num = 45,
+    ece = 45/(9*20) = 0.25."""
     from datafusion_gpu_spark.queries.pipeline import _ECE
 
     rows = []
@@ -1692,8 +1694,29 @@ def test_ece_exact_integer_identity(spark):
         [row] = spark.sql(_ECE).collect()
     finally:
         spark.catalog.dropTempView("events")
-    assert (row.n, row.n_bins, row.ece_num) == (20, 10, 1410)
-    assert row.ece == 0.705
+    assert (row.n, row.n_bins, row.ece_num) == (20, 10, 45)
+    assert row.ece == 0.25
+
+
+def test_ece_normalized_confidence_above_one_dollar(spark):
+    """ADVICE r11 #5's failure scenario: values past $1 made the raw
+    cents/100 confidence leave [0,1]. With the min-max normalization a
+    perfectly calibrated-by-construction corner relation (all mass at
+    the span ends, observed rate == normalized confidence) has ECE 0
+    whatever the dollar scale."""
+    from datafusion_gpu_spark.queries.pipeline import _ECE
+
+    # lo = 0 cents (all clicks, conf 0, obs 0), hi = 900 cents (all
+    # purchases, conf 1, obs 1) — calibrated exactly, $9 values
+    rows = [("click", 0.0)] * 4 + [("purchase", 9.0)] * 4
+    spark.createDataFrame(
+        rows, "event_type string, value double"
+    ).createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_ECE).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert (row.n, row.ece_num, row.ece) == (8, 0, 0.0)
 
 
 def test_pinball_loss_exact_quantile_and_fold(spark):
