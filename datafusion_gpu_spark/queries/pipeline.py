@@ -38,13 +38,17 @@ from datafusion_gpu_spark.operators import (
     text,
 )
 from datafusion_gpu_spark.queries import load
+from datafusion_gpu_spark.queries.pipeline_common import (  # noqa: F401
+    _CUSUM_ORACLE,
+    _NORM,
+    _docs,
+    _sparse_copurchase_edges,
+)
 
 # ---------------------------------------------------------------------------
 # shared DuckDB SQL fragments
 # ---------------------------------------------------------------------------
 
-#: normalize_text mirror (DuckDB needs the explicit 'g' flag Spark implies)
-_NORM = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
 
 
 def _markers_sql(lang: str) -> str:
@@ -242,11 +246,6 @@ WHERE "rank" <= {k}
 # ---------------------------------------------------------------------------
 # Spark-side query callables
 # ---------------------------------------------------------------------------
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir)
-    return spark.table("documents")
 
 
 def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1415,25 +1414,6 @@ def _graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation algebra, not just the arithmetic."""
     load(spark, sf_dir)
     return graph.triangle_count(_copurchase_edges(spark))
-
-
-def _sparse_copurchase_edges(spark: SparkSession) -> DataFrame:
-    """Shared edge list for the link-prediction and k-core entries: the
-    co-purchase graph restricted to HIGH-QUANTITY lines (both endpoints
-    >= 40 units). The unrestricted graph at sf0.01 has median degree
-    ~115 — overlap scores on a near-clique are all noise — while the
-    bulk-purchase subgraph (~5.7k edges, max degree ~21) has the sparse
-    power-law shape link prediction actually targets. The filter is
-    pushed into BOTH scan branches before the self-join."""
-    li = spark.table("lineitem").where(F.col("l_quantity") >= 40).select(
-        "l_orderkey", "l_partkey"
-    )
-    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("r_partkey"))
-    return (
-        li.join(b, "l_orderkey")
-        .where(F.col("l_partkey") < F.col("r_partkey"))
-        .select(F.col("l_partkey").alias("a"), F.col("r_partkey").alias("b"))
-    )
 
 
 def _graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5028,48 +5008,7 @@ d{r} AS MATERIALIZED (
 
 ORACLES["graph_delta_stepping"] = _delta_stepping_oracle(24)
 
-# CUSUM's oracle replays the closed form S = cumsum - min(0, running
-# min of cumsum) over the identical deterministic (ts, event_id) order,
-# in INTEGER cents with the baseline quantized once — every cumulative
-# sum and alarm decision is exact bigint arithmetic on both engines.
-ORACLES["events_changepoint_cusum"] = """
-WITH base AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * 100) AS BIGINT) AS xq
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-stats AS (
-  SELECT user_id,
-         CAST(ROUND(avg(xq)) AS BIGINT) AS mu,
-         CAST(ROUND(0.5 * stddev_pop(xq)) AS BIGINT) AS k,
-         CAST(ROUND(4.0 * stddev_pop(xq)) AS BIGINT) AS h
-  FROM base GROUP BY user_id
-),
-c AS (
-  SELECT b.user_id, b.event_id, b.ts, s.h,
-         SUM(b.xq - s.mu - s.k) OVER (
-           PARTITION BY b.user_id ORDER BY b.ts, b.event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs
-  FROM base b JOIN stats s USING (user_id)
-),
-s AS (
-  SELECT user_id, event_id, ts, h,
-         cs - LEAST(CAST(0 AS BIGINT), MIN(cs) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS st
-  FROM c
-)
-SELECT user_id,
-       COUNT(*) AS n_events,
-       CAST(SUM(CASE WHEN h > 0 AND st > h THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_alarms,
-       CAST(MAX(st) AS BIGINT) AS peak_cusum,
-       (MIN(CASE WHEN h > 0 AND st > h
-                 THEN {'t': ts, 'i': event_id} END)).i AS first_alarm_id
-FROM s
-GROUP BY user_id
-"""
+ORACLES["events_changepoint_cusum"] = _CUSUM_ORACLE
 
 # The hashing-trick oracle rebuilds the portable 60-bit md5 word hash
 # (dedup.word_hash60's documented DuckDB mirror) and the same
@@ -5782,5298 +5721,27 @@ r3 AS (SELECT node, label FROM (
 SELECT node, label FROM r3
 """
 
-
 # ---------------------------------------------------------------------------
-# Round 8 — exact-arithmetic statistical testing family. Each entry is ONE
-# portable SQL run verbatim on both engines: ranks/ECDFs/moments reduce to
-# bigint sums over value-level aggregates, so the only float ops are a fixed
-# handful of identically-spelled IEEE divisions/sqrts at the very end
-# (SQRT is correctly rounded by IEEE 754, unlike libm ln — the survival_km
-# lesson), and every windowed cumulative runs over the DISTINCT-VALUE
-# relation, never the row relation.
+# Round-12 split (VERDICT r11 ask #6): the round-8+ additions live in the
+# family modules queries/pipeline_{stats,eval,forecast,metrics}.py (moved
+# verbatim — zero query renames, zero spelling changes). Merge their
+# registries here so the public surface (pipeline.QUERIES / pipeline.ORACLES
+# / `from ...queries.pipeline import _MANN_WHITNEY`) is byte-identical to
+# the pre-split module: private helpers are re-exported into this namespace
+# so existing import sites (tests, tools) resolve unchanged.
 # ---------------------------------------------------------------------------
-
-# Mann-Whitney U (Wilcoxon rank-sum) with tie correction: do 'click' and
-# 'purchase' event values come from the same distribution? Rank algebra is
-# done on the value-level aggregate: for a distinct value with tc total
-# rows and cumb rows strictly below, every row there has
-# 2*avg_rank = 2*cumb + tc + 1 (an integer — the classic *2 trick), so
-# R_a, U_a and the tie term sum(t^3 - t) are exact bigints; z is one fixed
-# float expression (one SQRT, three divisions) over exactly-converted
-# operands, rounded to 4. Degenerate inputs (either group empty, or all
-# pooled values tied) yield z_stat NULL via an integer predicate, never
-# a 0-divide (ADVICE r8; same pattern as _SPEARMAN). The tie variance
-# term collapses to zero exactly when there is ONE distinct pooled
-# value, so the guard is nv > 1 on the distinct-value count — the
-# algebraically equivalent N^3 - N > tie3 spelling overflows bigint at
-# N ~ 2.1e6 rows (caught by the 10M-distinct-value window probe).
-_MANN_WHITNEY = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (
-  SELECT c,
-         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
-         CAST(COUNT(*) AS BIGINT) AS tc
-  FROM t GROUP BY c
-),
-cw AS (
-  SELECT da, tc,
-         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cumb
-  FROM pv
-),
-s AS (
-  SELECT CAST(SUM(da) AS BIGINT) AS n_a,
-         CAST(SUM(tc - da) AS BIGINT) AS n_b,
-         CAST(SUM(da * (2 * cumb + tc + 1)) AS BIGINT) AS r2_a,
-         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
-         CAST(COUNT(*) AS BIGINT) AS nv
-  FROM cw
-)
-SELECT n_a, n_b,
-       r2_a - n_a * (n_a + 1) AS u2_a,
-       tie3,
-       CASE WHEN n_a > 0 AND n_b > 0 AND nv > 1
-       THEN
-       ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
-               - CAST(n_a AS DOUBLE) * n_b) / 2)
-             / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
-                    * (CAST(n_a + n_b + 1 AS DOUBLE)
-                       - CAST(tie3 AS DOUBLE)
-                         / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
-             4) END AS z_stat
-FROM s
-"""
-
-
-def _agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tie-corrected Mann-Whitney U over click-vs-purchase event values
-    — the nonparametric A/B location test (complements events_ab_test's
-    t-style contrast and events_ab_srm's ratio gate). Scale shape: one
-    hash aggregation to the value-level relation, then ONE ordered
-    window over DISTINCT cent values (bounded by the value domain, not
-    the row count) — the row relation is never globally sorted. See
-    _MANN_WHITNEY for the integer rank algebra."""
-    load(spark, sf_dir)
-    return spark.sql(_MANN_WHITNEY)
-
-
-# Two-sample Kolmogorov-Smirnov: D = max |ECDF_a - ECDF_b| over the merged
-# support, kept exact as the integer numerator max|cum_a*n_b - cum_b*n_a|
-# (D = that / (n_a*n_b)). The alpha=0.05 decision compares D to
-# c(.05)*sqrt((n_a+n_b)/(n_a*n_b)) squared through (n_a*n_b)^2 — i.e.
-# m^2 > c^2 * (n_a+n_b) * n_a * n_b with c^2 = 1.844164 — one float
-# comparison of identically-spelled products of exact operands (m <= n_a*n_b
-# stays double-exact through m^2 up to n_a*n_b ~ 9e7; the gate is 4e6).
-_KS_TEST = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (
-  SELECT c,
-         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
-         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS db
-  FROM t GROUP BY c
-),
-cum AS (
-  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
-         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb
-  FROM pv
-),
-nn AS (
-  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
-  FROM pv
-),
-mx AS (
-  SELECT CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS m
-  FROM cum CROSS JOIN nn
-)
-SELECT n_a, n_b, m AS d_num,
-       CASE WHEN n_a > 0 AND n_b > 0 THEN
-         ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
-       END AS d_stat,
-       CASE WHEN n_a > 0 AND n_b > 0 THEN
-         (CAST(m AS DOUBLE) * m
-            > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b)
-       END AS reject_05
-FROM mx CROSS JOIN nn
-"""
-
-
-def _events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Kolmogorov-Smirnov distance between the click and
-    purchase value distributions — the whole-shape drift test a
-    pipeline runs when a mean test (events_ab_test) can't see a
-    variance/tail change. The merged-ECDF window runs over distinct
-    cent values only; the two one-row CTEs join as the documented
-    exempt broadcast-scalar class. See _KS_TEST for the exact integer
-    numerator and the cross-multiplied decision rule."""
-    load(spark, sf_dir)
-    return spark.sql(_KS_TEST)
-
-
-# Spearman rank correlation per brand: Pearson over 2x-average-ranks
-# (integers via 2*rank_min + tie_count - 1), so all five moments are exact
-# bigint sums; rho is the one fixed float expression shared with
-# events_autocorr / window_rolling_corr. Degenerate brands (any zero
-# variance) are filtered by an integer predicate, not a float epsilon.
-_SPEARMAN = """
-WITH t AS (
-  SELECT p_brand AS brand,
-         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS x,
-         CAST(p_size AS BIGINT) AS y
-  FROM part
-),
-r AS (
-  SELECT brand,
-         2 * RANK() OVER (PARTITION BY brand ORDER BY x)
-           + COUNT(*) OVER (PARTITION BY brand, x) - 1 AS rx,
-         2 * RANK() OVER (PARTITION BY brand ORDER BY y)
-           + COUNT(*) OVER (PARTITION BY brand, y) - 1 AS ry
-  FROM t
-),
-m AS (
-  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
-         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
-         CAST(SUM(ry * ry) AS BIGINT) AS syy,
-         CAST(SUM(rx * ry) AS BIGINT) AS sxy
-  FROM r GROUP BY brand
-)
-SELECT brand, n AS n_parts,
-       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
-             6) AS rho
-FROM m
-WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-"""
-
-
-def _agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-brand Spearman rank correlation between part price and size
-    — the monotone-association measure that survives outliers and
-    nonlinearity where Pearson (agg_regression) does not. Rank windows
-    partition by brand (bounded groups — no global sort anywhere);
-    moments are exact bigints. See _SPEARMAN."""
-    load(spark, sf_dir)
-    return spark.sql(_SPEARMAN)
-
-
-# Benford first-digit conformance of order totals — the classic synthetic-
-# data / fraud smell test. The leading digit comes from the decimal string
-# of the exact cent value (never FLOOR(LOG10(x)) — libm log10 is not
-# ulp-pinned and floor flips at exact powers of ten); the nine expected
-# probabilities are CONSTANTS (log10(1+1/d) pre-rounded to 6dp here, not
-# computed in-engine), so the only engine float ops are one division and
-# one subtraction per digit row. Rows are filtered on the QUANTIZED cent
-# value (cents >= 1), not the raw price: a price in (0, 0.005) rounds to
-# 0 cents, whose leading digit 0 matches no expd row — filtering on the
-# raw price would count it in nt and p_obs would no longer sum to 1
-# (ADVICE r8).
-_BENFORD = """
-WITH q AS (
-  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
-  FROM orders
-),
-t AS (
-  SELECT CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT) AS d
-  FROM q WHERE cents >= 1
-),
-obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d),
-tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
-expd AS (
-  SELECT 1 AS d, 0.301030 AS p
-  UNION ALL SELECT 2, 0.176091 UNION ALL SELECT 3, 0.124939
-  UNION ALL SELECT 4, 0.096910 UNION ALL SELECT 5, 0.079181
-  UNION ALL SELECT 6, 0.066947 UNION ALL SELECT 7, 0.057992
-  UNION ALL SELECT 8, 0.051153 UNION ALL SELECT 9, 0.045757
-)
-SELECT CAST(e.d AS BIGINT) AS digit,
-       COALESCE(o.n, 0) AS n_obs,
-       CAST(e.p AS DOUBLE) AS p_benford,
-       ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt, 6) AS p_obs,
-       ROUND(ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt
-                 - CAST(e.p AS DOUBLE)), 6) AS abs_dev
-FROM expd e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot
-"""
-
-
-def _agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-significant-digit distribution of order totals vs
-    Benford's law — the data-quality screen that catches synthetic or
-    truncated monetary columns before they poison a training mix. One
-    row-level aggregation; the nine-row expected relation joins as a
-    broadcast; the one-row total is the exempt scalar class. See
-    _BENFORD for why the digit is extracted from the exact cent string
-    rather than via log10."""
-    load(spark, sf_dir)
-    return spark.sql(_BENFORD)
-
-
-# Bollinger-band breakouts over the hourly purchase-cents series: a point
-# breaks the 24h +/-2-sigma band iff (n*x - S1)^2 > 4*(n*S2 - S1^2) with
-# n = 24 — the squared inequality clears both the division by n and the
-# square root, so every band decision is EXACT BIGINT arithmetic (cents
-# keep all four products under 2^63 through ~sf0.1; rescale the quantum to
-# dollars for the same headroom at 100x — the knob, not a redesign).
-_BOLLINGER = """
-WITH hourly AS (
-  SELECT DATE_TRUNC('hour', ts) AS h,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY DATE_TRUNC('hour', ts)
-),
-w AS (
-  SELECT h, cents,
-         CAST(COUNT(*) OVER (ORDER BY h
-                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
-         CAST(SUM(cents) OVER (ORDER BY h
-                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
-         CAST(SUM(cents * cents) OVER (ORDER BY h
-                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
-  FROM hourly
-)
-SELECT h, cents,
-       CAST(FLOOR(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_cents,
-       (n = 24 AND 24 * cents > s1
-          AND (24 * cents - s1) * (24 * cents - s1)
-                > 4 * (24 * s2 - s1 * s1)) AS break_upper,
-       (n = 24 AND 24 * cents < s1
-          AND (24 * cents - s1) * (24 * cents - s1)
-                > 4 * (24 * s2 - s1 * s1)) AS break_lower
-FROM w
-"""
-
-
-def _window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-24h Bollinger band (mean +/- 2 sigma) breakout flags on
-    the hourly purchase series — the volatility-aware twin of the
-    fixed-k anomaly monitors (events_anomalies, events_anomaly_mad).
-    Same single-series window caveat as window_rolling_corr: the hourly
-    relation is time-bounded, and a per-key deployment partitions the
-    frame by key. Every breakout decision is exact bigint arithmetic —
-    see _BOLLINGER for the squared-inequality spelling."""
-    load(spark, sf_dir)
-    return spark.sql(_BOLLINGER)
-
-
-QUERIES["agg_mann_whitney"] = _agg_mann_whitney
-QUERIES["events_ks_test"] = _events_ks_test
-QUERIES["agg_spearman"] = _agg_spearman
-QUERIES["agg_benford"] = _agg_benford
-QUERIES["window_bollinger"] = _window_bollinger
-ORACLES["agg_mann_whitney"] = _MANN_WHITNEY
-ORACLES["events_ks_test"] = _KS_TEST
-ORACLES["agg_spearman"] = _SPEARMAN
-ORACLES["agg_benford"] = _BENFORD
-ORACLES["window_bollinger"] = _BOLLINGER
-
-
-def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree assortativity (graph.degree_assortativity, Newman 2002)
-    of the bulk-purchase co-purchase graph — does this graph mix hubs
-    with hubs? The number that decides whether the hub-cap guards
-    (common_neighbors/local_clustering max_degree) are load-bearing.
-    Exact bigint moments over both edge orientations, one terminal
-    float expression; the oracle replays the identical moment algebra
-    in SQL."""
-    load(spark, sf_dir)
-    return graph.degree_assortativity(_sparse_copurchase_edges(spark))
-
-
-QUERIES["graph_assortativity"] = _graph_assortativity
-ORACLES["graph_assortativity"] = """
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
-),
-bo AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi AS u, lo AS v FROM e),
-deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY u),
-p AS (
-  SELECT du.d AS dx, dv.d AS dy
-  FROM bo JOIN deg du ON bo.u = du.u JOIN deg dv ON bo.v = dv.u
-),
-m AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
-         CAST(SUM(dx) AS BIGINT) AS sx,
-         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
-         CAST(SUM(dy * dy) AS BIGINT) AS syy,
-         CAST(SUM(dx * dy) AS BIGINT) AS sxy
-  FROM p
-)
-SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
-       CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sx * sx > 0
-            THEN ROUND((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
-                 / SQRT((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(m2 AS DOUBLE) * syy - CAST(sx AS DOUBLE) * sx)),
-                 6)
-            END AS r
-FROM m
-"""
-
-
-def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_changepoint_cusum
-    (streaming.stream_cusum): batch-trained integer baseline +
-    stateful two-bigint CUSUM automaton in applyInPandasWithState,
-    integer-only Python. Graded by the BATCH oracle — the
-    stream==batch contract, 14th streaming twin."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_cusum(spark, sf_dir)
-
-
-QUERIES["streaming_cusum"] = _streaming_cusum
-ORACLES["streaming_cusum"] = ORACLES["events_changepoint_cusum"]
-
-
-# ---------------------------------------------------------------------------
-# Round 9 additions.
-# ---------------------------------------------------------------------------
-
-
-def _text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAKE keyword extraction (text.rake_keywords, Rose et al. 2010)
-    over the corpus: top-20 stopword-delimited phrases by summed
-    deg/freq word score — the corpus-statistics-free keyworder that
-    complements text_collocations (PMI) and retrieval_tfidf. Word
-    scores are 1e-9-quantized bigints before the per-phrase sum, so the
-    ranking is engine-independent; the oracle replays the identical
-    gaps-and-islands + deg/freq algebra in SQL."""
-    load(spark, sf_dir)
-    return text.rake_keywords(spark.table("documents"), top_k=20)
-
-
-QUERIES["text_rake_keywords"] = _text_rake_keywords
-# Same normalize/split tokenization, same stopword set, same running-
-# stopword-count island ids, same 1e-9 deg/freq quantization, same
-# (score DESC, phrase) top-20.
-ORACLES["text_rake_keywords"] = r"""
-WITH norm AS (
-  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
-  FROM documents
-),
-words AS (
-  SELECT doc_id, u.i AS pos, arr[u.i] AS word
-  FROM (SELECT doc_id, string_split(t, ' ') AS arr FROM norm),
-       UNNEST(range(1, len(arr) + 1)) AS u(i)
-),
-flagged AS (
-  SELECT doc_id, pos, word,
-         CASE WHEN word IN ('the','a','an','of','and','or','to','in','is',
-                            'on','for','with','as','by','at','it')
-              THEN 1 ELSE 0 END AS is_stop
-  FROM words
-),
-content AS (
-  SELECT * FROM (
-    SELECT doc_id, pos, word, is_stop,
-           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
-    FROM flagged
-  ) WHERE is_stop = 0
-),
-phrases AS (
-  SELECT doc_id, island,
-         string_agg(word, ' ' ORDER BY pos) AS phrase,
-         CAST(COUNT(*) AS BIGINT) AS n_words
-  FROM content GROUP BY doc_id, island
-),
-sq AS (
-  SELECT word,
-         CAST(ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*) * 1e9, 0)
-              AS BIGINT) AS sq
-  FROM content JOIN phrases USING (doc_id, island)
-  GROUP BY word
-),
-pscore AS (
-  SELECT doc_id, island, CAST(SUM(sq) AS BIGINT) AS score_q
-  FROM content JOIN sq USING (word) GROUP BY doc_id, island
-),
-agg AS (
-  SELECT phrase,
-         CAST(MIN(n_words) AS BIGINT) AS n_words,
-         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
-         CAST(MIN(score_q) AS BIGINT) AS score_q
-  FROM pscore JOIN phrases USING (doc_id, island) GROUP BY phrase
-)
-SELECT phrase, n_words, n_occurrences,
-       ROUND(score_q / 1e9, 4) AS score
-FROM agg ORDER BY score DESC, phrase LIMIT 20
-"""
-
-
-def _agg_mann_whitney_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The two-level bucketed-cumsum spelling of agg_mann_whitney
-    (stats.mann_whitney_u): identical doubled-rank integer algebra and
-    terminal float expression, but the distinct-value cumulative runs
-    as per-bucket parallel windows + an n_buckets-row offset window +
-    a broadcast recombination — the documented fallback for value
-    domains past a few million distinct values (SCALE.md two-level
-    spelling). Graded by the SAME oracle as the single-window SQL, so
-    a green row here IS the parity proof at gate scale."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark.operators import stats
-
-    ev = spark.table("events").select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    return stats.mann_whitney_u(
-        ev, "event_type", "cents", "click", "purchase", n_buckets=64
-    )
-
-
-def _events_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level bucketed-cumsum spelling of events_ks_test
-    (stats.ks_two_sample) — same exact integer ECDF numerator and
-    cross-multiplied decision, cumulatives via stats.bucketed_cumsum.
-    Graded by the single-window SQL's oracle."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark.operators import stats
-
-    ev = spark.table("events").select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    return stats.ks_two_sample(
-        ev, "event_type", "cents", "click", "purchase", n_buckets=64
-    )
-
-
-QUERIES["agg_mann_whitney_bucketed"] = _agg_mann_whitney_bucketed
-QUERIES["events_ks_test_bucketed"] = _events_ks_test_bucketed
-
-
-# Two-sample Cramér-von Mises (Anderson 1962): the whole-curve companion
-# to events_ks_test on the SAME distinct-value cumulative machinery — KS
-# takes the max ECDF gap, CvM the tc-weighted integral of the SQUARED
-# gap, so broad mid-distribution drift that never produces one large gap
-# still registers. Exact bigint gap numerators; ONE 1e12 quantization of
-# each squared relative gap (identical IEEE ops both engines); bigint
-# fold with the VISIBLE N >= 9e6 headroom guard; asymptotic 0.461
-# critical value (Anderson & Darling 1952). Spark side runs
-# operators/stats.cvm_two_sample (cumsum_auto-routed).
-_CVM_TEST = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (
-  SELECT c,
-         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
-         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS db
-  FROM t GROUP BY c
-),
-cum AS (
-  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
-         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb,
-         da + db AS tc
-  FROM pv
-),
-nn AS (
-  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
-  FROM pv
-),
-s AS (
-  SELECT CAST(SUM(tc * CAST(ROUND(1e12
-           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
-              / (CAST(n_a AS DOUBLE) * n_b))
-           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
-              / (CAST(n_a AS DOUBLE) * n_b)), 0) AS BIGINT))
-         AS BIGINT) AS s_q
-  FROM cum CROSS JOIN nn
-)
-SELECT n_a, n_b,
-       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000
-            THEN s_q END AS s_q,
-       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
-         ROUND(CAST(n_a AS DOUBLE) * n_b
-               / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
-               * (CAST(s_q AS DOUBLE) / 1e12), 6)
-       END AS t_stat,
-       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
-         (CAST(n_a AS DOUBLE) * n_b
-            / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
-            * (CAST(s_q AS DOUBLE) / 1e12) > 0.461)
-       END AS reject_05
-FROM s CROSS JOIN nn
-"""
-
-
-def _events_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-sample Cramér-von Mises between the click and purchase value
-    distributions (operators/stats.cvm_two_sample): the integrated-
-    squared-gap drift test next to events_ks_test's max-gap, on the
-    same runtime-routed distinct-value cumulative. See _CVM_TEST."""
-    from datafusion_gpu_spark.operators import stats
-
-    load(spark, sf_dir)
-    ev = spark.table("events").select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    return stats.cvm_two_sample(ev, "event_type", "cents", "click", "purchase")
-
-
-QUERIES["events_cvm_test"] = _events_cvm_test
-ORACLES["events_cvm_test"] = _CVM_TEST
-
-
-# Page-Hinkley mean-shift detector (Page 1954; Hinkley 1971) over the
-# hourly value series per event type — the sequential drift monitor next
-# to CUSUM (events_changepoint_cusum tests against a FIXED baseline;
-# Page-Hinkley tracks deviation from the RUNNING mean, so it needs no
-# training pass and adapts to slow level moves). Spelling: hourly sums
-# are exact cents; each deviation term x_t - mean_t quantizes ONCE to a
-# 1e-6-cent bigint (identical IEEE division/round both engines); the PH
-# statistic is the quantized cumsum minus its running minimum (floored
-# at 0, the CUSUM convention), all exact bigint window folds partitioned
-# by type. VISIBLE headroom guard: |M_t| <= t * max|g|, so ph/alarm go
-# NULL when running max|g| * t approaches int64 (the quantum is the
-# knob). Alarm at lambda = $100 (1e10 in quantized units).
-_PAGE_HINKLEY = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-),
-c AS (
-  SELECT event_type, bucket, x,
-         CAST(ROW_NUMBER() OVER wo AS BIGINT) AS t,
-         CAST(SUM(x) OVER w AS BIGINT) AS sx
-  FROM hourly
-  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket),
-         w AS (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-g AS (
-  SELECT event_type, bucket, x, t,
-         CAST(ROUND(1e6 * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / t), 0)
-              AS BIGINT) AS gq
-  FROM c
-),
-m AS (
-  SELECT event_type, bucket, x, t, gq,
-         CAST(SUM(gq) OVER w AS BIGINT) AS mt,
-         CAST(MAX(ABS(gq)) OVER w AS BIGINT) AS mg
-  FROM g
-  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-p AS (
-  SELECT event_type, bucket, x, t, gq, mt, mg,
-         CAST(LEAST(CAST(0 AS BIGINT), MIN(mt) OVER w) AS BIGINT) AS minm
-  FROM m
-  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-)
-SELECT event_type, bucket, x, t, gq, mt,
-       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN mt - minm END AS ph,
-       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN
-         (mt - minm > 10000000000) END AS alarm
-FROM p
-"""
-
-
-def _events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Page-Hinkley running-mean drift detector over the hourly value
-    series per event type — quantized deviation terms, exact bigint
-    cumsum minus running minimum, visible int64 headroom guard. See
-    _PAGE_HINKLEY."""
-    load(spark, sf_dir)
-    return spark.sql(_PAGE_HINKLEY)
-
-
-def _streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_page_hinkley
-    (streaming.stream_page_hinkley): per-type state is SIX bigints plus
-    the open hour's accumulator; each event re-emits the open bucket's
-    provisional row, which equals the batch row once the hour is fully
-    absorbed — graded by the BATCH oracle (21st stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_page_hinkley(spark, sf_dir)
-
-
-QUERIES["events_page_hinkley"] = _events_page_hinkley
-QUERIES["streaming_page_hinkley"] = _streaming_page_hinkley
-ORACLES["events_page_hinkley"] = _PAGE_HINKLEY
-ORACLES["streaming_page_hinkley"] = _PAGE_HINKLEY
-ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
-ORACLES["events_ks_test_bucketed"] = _KS_TEST
-
-
-# Welch's unequal-variance t-test: click vs purchase event values. Moments
-# (n, sum, sum-of-squares per group) are exact bigint folds over cent
-# values; means/variances/t/df are terminal double expressions (products
-# of exact operands computed in DOUBLE — a bigint n*s2 product would
-# overflow around sf700; the s2 fold itself holds to ~5e18 at cent
-# quantization, the quantum is the knob). Degenerate guards are integer
-# predicates: n>=2 per group, and pooled squared-error > 0 via distinct-
-# value counts (variance is zero iff a group has ONE distinct value — the
-# overflow-free nv spelling, same lesson as agg_mann_whitney's guard).
-_WELCH_T = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-m AS (
-  SELECT
-    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-    CAST(SUM(CASE WHEN grp = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1_a,
-    CAST(SUM(CASE WHEN grp = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
-    CAST(COUNT(DISTINCT CASE WHEN grp = 'click' THEN c END) AS BIGINT) AS nv_a,
-    CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-    CAST(SUM(CASE WHEN grp = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1_b,
-    CAST(SUM(CASE WHEN grp = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS s2_b,
-    CAST(COUNT(DISTINCT CASE WHEN grp = 'purchase' THEN c END) AS BIGINT) AS nv_b
-  FROM t
-),
-v AS (
-  SELECT n_a, n_b, nv_a, nv_b, s1_a, s1_b,
-         (CAST(n_a AS DOUBLE) * s2_a - CAST(s1_a AS DOUBLE) * s1_a)
-           / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) AS vn_a,
-         (CAST(n_b AS DOUBLE) * s2_b - CAST(s1_b AS DOUBLE) * s1_b)
-           / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)) AS vn_b
-  FROM m WHERE n_a >= 2 AND n_b >= 2
-)
-SELECT n_a, n_b,
-       ROUND(CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b, 6)
-         AS mean_diff_cents,
-       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
-         ROUND((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
-               / SQRT(vn_a + vn_b), 4)
-       END AS t_stat,
-       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
-         ROUND((vn_a + vn_b) * (vn_a + vn_b)
-               / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 2)
-       END AS df
-FROM v
-"""
-
-
-def _agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Welch's unequal-variance t-test on click-vs-purchase event values
-    — the parametric mean test a curation gate runs when the two
-    samples' variances differ (the pooled-variance events_ab_test
-    assumes them equal; Mann-Whitney drops the location model
-    entirely). vn_a/vn_b in the SQL are var_i/n_i (the per-group
-    squared standard errors), so t and the Welch-Satterthwaite df are
-    the textbook forms. One hash aggregation, zero joins, zero windows
-    — the cheapest plan in the family. See _WELCH_T."""
-    load(spark, sf_dir)
-    return spark.sql(_WELCH_T)
-
-
-# Chi-squared two-way independence (priority x status contingency over
-# orders) via the exact identity chi2 = N * (sum obs^2/(rowtot*coltot) - 1)
-# — algebraically equal to sum (obs-exp)^2/exp INCLUDING empty cells
-# (which contribute exp to the classic form and 0 to the identity's sum;
-# the -N term absorbs exactly that). Each cell ratio <= 1 is quantized to
-# 1e-12 bigints so the across-cell fold is exact integer arithmetic (the
-# RAKE/zipf trick); quantization bias <= N * cells * 5e-13, and the CASE
-# guard makes the headroom limit VISIBLE: past N * cells >= 1e8 (~sf10
-# for this shape) chi2 is NULL instead of drifting at the 4dp round
-# (round-10 ADVICE; the knob is the 1e12 quantum — see _MOOD_MEDIAN's
-# note). The existing agg_chi_squared is goodness-of-fit against fixed
-# probabilities; this is the two-margin independence test.
-_CHI2_INDEP = """
-WITH obs AS (
-  SELECT o_orderpriority AS r, o_orderstatus AS c,
-         CAST(COUNT(*) AS BIGINT) AS o
-  FROM orders GROUP BY o_orderpriority, o_orderstatus
-),
-rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
-ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
-tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
-q AS (
-  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
-                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
-           AS term_q
-  FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c
-),
-s AS (
-  SELECT CAST(SUM(term_q) AS BIGINT) AS sq,
-         CAST(COUNT(*) AS BIGINT) AS n_cells
-  FROM q
-),
-d AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc
-)
-SELECT n_cells,
-       (kr - 1) * (kc - 1) AS df,
-       CASE WHEN kr > 1 AND kc > 1
-             AND CAST(nt AS DOUBLE) * n_cells * 5e-13 < 5e-5 THEN
-         ROUND(CAST(nt AS DOUBLE) * (CAST(sq AS DOUBLE) / 1e12 - 1), 4)
-       END AS chi2
-FROM s CROSS JOIN tot CROSS JOIN d
-"""
-
-
-def _agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Chi-squared test of independence between order priority and
-    order status — the two-way-margin counterpart of agg_chi_squared's
-    fixed-probability goodness-of-fit; the categorical drift gate
-    between corpus snapshots. Plan: one contingency aggregation, two
-    margin re-aggregations joined back by key (both margin relations
-    are category-sized — broadcast), one exact quantized fold. See
-    _CHI2_INDEP for the empty-cell-exact identity."""
-    load(spark, sf_dir)
-    return spark.sql(_CHI2_INDEP)
-
-
-QUERIES["agg_welch_ttest"] = _agg_welch_ttest
-QUERIES["agg_chi2_independence"] = _agg_chi2_independence
-ORACLES["agg_welch_ttest"] = _WELCH_T
-ORACLES["agg_chi2_independence"] = _CHI2_INDEP
-
-
-# ---------------------------------------------------------------------------
-# Round 9 — k-group inference family. Extends the two-sample r8 tests to
-# the k-sample questions a curation pipeline asks across ALL segments at
-# once (are the five event types drawn from one value distribution?).
-# Same portable-SQL contract: value-level aggregates, exact bigint folds,
-# per-group float terms quantized to bigints BEFORE the cross-group sum
-# (a plain double SUM over groups would be accumulation-order-dependent
-# cross-engine), terminal IEEE ops only.
-# ---------------------------------------------------------------------------
-
-# Kruskal-Wallis H (tie-corrected) across all five event types. Rank
-# algebra on the distinct-value relation exactly as agg_mann_whitney
-# (doubled average ranks are integers); per-group doubled rank sums R2_g
-# are exact bigints; the cross-group sum uses the deviation form
-# H = 3/(N(N+1)) * sum_g e_g^2/n_g with e_g = R2_g - n_g*(N+1) (exact
-# bigint), each group's e^2/n term ROUNDED but summed in DOUBLE: under
-# strong group separation e_g ~ n_g*N so a term reaches ~n_g*N^2 (N^3
-# worst case), which would wrap a bigint fold near N ~ 3e6 (round-10
-# ADVICE). Each rounded term is integer-valued, so the double sum is
-# EXACT (hence order-independent cross-engine) below 2^53 — full
-# separation at N ~ 2e5 — and beyond that degrades to ~1e-16 relative
-# error against an H scale of O(N): invisible at the 4dp round until
-# N ~ 1e11, where the bigint spelling wrapped silently. Tie correction
-# divides by 1 - tie3/(N^3-N) computed in double (the bigint N^3
-# spelling overflows at N~2.1e6 — the r9 probe lesson); e_g itself is
-# exact bigint up to n_g*N ~ 9.2e18, i.e. N ~ 3e9 rows.
-_KRUSKAL_WALLIS = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL
-),
-vg AS (
-  SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM t GROUP BY grp, c
-),
-pv AS (
-  SELECT c, CAST(SUM(cnt) AS BIGINT) AS tc FROM vg GROUP BY c
-),
-cw AS (
-  SELECT c, tc,
-         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cumb
-  FROM pv
-),
-g AS (
-  SELECT vg.grp,
-         CAST(SUM(vg.cnt) AS BIGINT) AS n_g,
-         CAST(SUM(vg.cnt * (2 * cw.cumb + cw.tc + 1)) AS BIGINT) AS r2_g
-  FROM vg JOIN cw ON vg.c = cw.c
-  GROUP BY vg.grp
-),
-tot AS (
-  SELECT CAST(SUM(tc) AS BIGINT) AS n,
-         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
-         CAST(COUNT(*) AS BIGINT) AS nv
-  FROM pv
-),
-q AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         SUM(ROUND(
-           CAST(r2_g - n_g * (n + 1) AS DOUBLE)
-             * (r2_g - n_g * (n + 1)) / n_g, 0)) AS sq
-  FROM g CROSS JOIN tot
-)
-SELECT n AS n_total, k AS k_groups, (k - 1) AS df, tie3,
-       CASE WHEN nv > 1 AND k > 1 THEN
-         ROUND(3.0 * sq / (CAST(n AS DOUBLE) * (n + 1))
-               / (1.0 - CAST(tie3 AS DOUBLE)
-                        / (CAST(n AS DOUBLE) * n * n - n)), 4)
-       END AS h_stat
-FROM q CROSS JOIN tot
-"""
-
-
-def _agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tie-corrected Kruskal-Wallis H across all five event types — the
-    k-sample extension of agg_mann_whitney (same doubled-rank algebra
-    on the distinct-value relation, deviation-form cross-group fold).
-    Scale shape: value-group + value aggregations, ONE window over
-    distinct cents, a k-row final fold. See _KRUSKAL_WALLIS."""
-    load(spark, sf_dir)
-    return spark.sql(_KRUSKAL_WALLIS)
-
-
-# One-way ANOVA F across event types: SSB/SSW from exact per-group
-# (n, s1, s2) cent moments. Each group's s1^2/n term is rounded to a
-# bigint before the cross-group sum (same quantized-fold trick as RAKE /
-# chi2 / Kruskal-Wallis); the degenerate guard is the INTEGER predicate
-# s2 > tq on the QUANTIZED divisor itself — guarding on the unquantized
-# variance (count distinct (grp, cent) > k) is not enough, because tq
-# can round UP to exactly s2 while the true SSW is a positive fraction,
-# leaving a 0-divide behind a passing guard (caught by round-9 review:
-# cents {1,2} give s1^2/n = 4.5 -> tq 5 == s2). When quantization eats
-# a sub-cent SSW the query emits NULL — conservative and identical on
-# both engines.
-_ANOVA_F = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL
-),
-g AS (
-  SELECT grp,
-         CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(SUM(c) AS BIGINT) AS s1_g,
-         CAST(SUM(c * c) AS BIGINT) AS s2_g,
-         CAST(COUNT(DISTINCT c) AS BIGINT) AS nv_g
-  FROM t GROUP BY grp
-),
-q AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(n_g) AS BIGINT) AS n,
-         CAST(SUM(s1_g) AS BIGINT) AS s1,
-         CAST(SUM(s2_g) AS BIGINT) AS s2,
-         CAST(SUM(nv_g) AS BIGINT) AS nvg,
-         CAST(SUM(CAST(ROUND(
-           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
-  FROM g
-)
-SELECT n AS n_total, k AS k_groups,
-       (k - 1) AS df_between, (n - k) AS df_within,
-       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
-         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
-               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
-       END AS f_stat
-FROM q
-"""
-
-
-def _agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-way ANOVA F across all five event types — the parametric
-    k-group mean test (Welch's t generalizes pairwise; this is the
-    omnibus gate). One hash aggregation to k rows, zero joins/windows
-    — the cheapest plan in the family. See _ANOVA_F."""
-    load(spark, sf_dir)
-    return spark.sql(_ANOVA_F)
-
-
-# Brown-Forsythe (Levene-on-medians) homogeneity-of-variance test: ANOVA
-# F applied to z = |2c - 2*median_g| — DOUBLED absolute deviations from
-# the group median, because 2*median of integers is always itself an
-# integer (single middle -> 2a; even-count interpolation -> a+b), so z
-# is an exact bigint and the whole downstream fold is the exact ANOVA
-# algebra (F is scale-invariant: the 2x cancels). The one engine float
-# is percentile/median itself, whose interpolated value is exactly
-# representable, CAST back to bigint identically on both engines.
-_BROWN_FORSYTHE = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL
-),
-med AS (
-  SELECT grp, CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2
-  FROM t GROUP BY grp
-),
-d AS (
-  SELECT t.grp, ABS(2 * t.c - med.m2) AS z
-  FROM t JOIN med ON t.grp = med.grp
-),
-g AS (
-  SELECT grp,
-         CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(SUM(z) AS BIGINT) AS s1_g,
-         CAST(SUM(z * z) AS BIGINT) AS s2_g,
-         CAST(COUNT(DISTINCT z) AS BIGINT) AS nv_g
-  FROM d GROUP BY grp
-),
-q AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(n_g) AS BIGINT) AS n,
-         CAST(SUM(s1_g) AS BIGINT) AS s1,
-         CAST(SUM(s2_g) AS BIGINT) AS s2,
-         CAST(SUM(nv_g) AS BIGINT) AS nvg,
-         CAST(SUM(CAST(ROUND(
-           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
-  FROM g
-)
-SELECT n AS n_total, k AS k_groups,
-       (k - 1) AS df_between, (n - k) AS df_within,
-       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
-         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
-               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
-       END AS f_stat
-FROM q
-"""
-
-
-def _agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brown-Forsythe homogeneity-of-variance test across event types —
-    the gate that decides whether pooled-variance tests (events_ab_test,
-    agg_anova_f) are trustworthy or the Welch corrections are needed.
-    Plan: one exact per-group median, one broadcast-size join back
-    (k-row med relation), then the exact ANOVA fold on integer doubled
-    deviations. See _BROWN_FORSYTHE."""
-    load(spark, sf_dir)
-    return spark.sql(_BROWN_FORSYTHE)
-
-
-QUERIES["agg_kruskal_wallis"] = _agg_kruskal_wallis
-QUERIES["agg_anova_f"] = _agg_anova_f
-QUERIES["agg_brown_forsythe"] = _agg_brown_forsythe
-ORACLES["agg_kruskal_wallis"] = _KRUSKAL_WALLIS
-ORACLES["agg_anova_f"] = _ANOVA_F
-ORACLES["agg_brown_forsythe"] = _BROWN_FORSYTHE
-
-
-def _streaming_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of agg_welch_ttest (streaming.stream_welch_ttest):
-    incremental exact moments + streaming-dedup distinct counts, batch
-    terminal expression — graded by the BATCH oracle (the stream==batch
-    contract, 15th twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_welch_ttest(spark, sf_dir)
-
-
-QUERIES["streaming_welch_ttest"] = _streaming_welch_ttest
-ORACLES["streaming_welch_ttest"] = _WELCH_T
-
-
-def _events_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag -3..+3 cross-correlation between the hourly click-count and
-    purchase-cents series (events.cross_correlation) — the lead/lag
-    diagnostic (do clicks lead purchases?) that precedes any causal
-    read of paired telemetry; the two-series sibling of events_autocorr
-    with the same exact-bigint-moment contract. Buckets where either
-    series is absent are dropped by the inner join (positional lags
-    over observed shared buckets — the autocorr convention)."""
-    load(spark, sf_dir)
-    ev = spark.table("events")
-    x = (
-        ev.where(F.col("event_type") == "click")
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(F.count(F.lit(1)).cast("long").alias("x"))
-    )
-    y = (
-        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
-        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
-        .agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
-        )
-    )
-    joined = x.join(y, "bucket")
-    return events.cross_correlation(joined, "bucket", "x", "y", max_lag=3)
-
-
-QUERIES["events_cross_corr"] = _events_cross_corr
-# Same hourly series, same inner join, same positional LAG over shared
-# buckets, same exact moments and terminal Pearson expression.
-ORACLES["events_cross_corr"] = """
-WITH x AS (
-  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS x
-  FROM events WHERE event_type = 'click' GROUP BY 1
-),
-y AS (
-  SELECT date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
-),
-j AS (SELECT x.bucket, x.x, y.y FROM x JOIN y ON x.bucket = y.bucket),
-l AS (
-  SELECT x AS x0, y AS y0,
-         LAG(x, 1) OVER w AS xl1, LAG(y, 1) OVER w AS yl1,
-         LAG(x, 2) OVER w AS xl2, LAG(y, 2) OVER w AS yl2,
-         LAG(x, 3) OVER w AS xl3, LAG(y, 3) OVER w AS yl3
-  FROM j
-  WINDOW w AS (ORDER BY bucket)
-),
-p AS (
-  SELECT 0 AS lag_k, x0 AS x, y0 AS y FROM l
-  UNION ALL SELECT 1, xl1, y0 FROM l
-  UNION ALL SELECT -1, x0, yl1 FROM l
-  UNION ALL SELECT 2, xl2, y0 FROM l
-  UNION ALL SELECT -2, x0, yl2 FROM l
-  UNION ALL SELECT 3, xl3, y0 FROM l
-  UNION ALL SELECT -3, x0, yl3 FROM l
-),
-m AS (
-  SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY lag_k
-)
-SELECT lag_k, n_pairs,
-  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-       THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                  / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
-       END AS r
-FROM m
-"""
-
-
-# Exact equi-depth (k=8) bin edges of order totals — the distributed
-# exact-quantile operator a feature pipeline uses for calibration/binning
-# where approx_percentile's error bound is not acceptable. Definition:
-# edge_j = MIN{v : cum_count(v) >= ceil(j*N/8)} over the DISTINCT-VALUE
-# cumulative relation (the same domain-bounded window as the rank family;
-# the two-level operators/stats.py spelling is the documented fallback).
-# ceil(j*N/8) is computed with pure integer arithmetic spelled portably
-# (x - x%8 is divisible by 8, and dividing an int64 by 2^3 is exact in
-# double — no FLOOR/CEIL on floats anywhere); the 8-row target relation
-# joins the cumulative by a range predicate (the documented exempt
-# broadcast-tiny non-equi class, same as agg_benford's 9-row expd).
-_EQUIDEPTH = """
-WITH t AS (
-  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
-),
-pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
-cum AS (
-  SELECT c, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cm FROM pv
-),
-n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nt FROM pv),
-j AS (
-  SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
-  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
-),
-tgt AS (
-  SELECT j, CAST((j * nt + 7 - (j * nt + 7) % 8) / 8 AS BIGINT) AS target,
-         nt
-  FROM j CROSS JOIN n
-)
-SELECT tgt.j AS bin, tgt.target AS target_rank,
-       CAST(MIN(cum.c) AS BIGINT) AS edge_cents,
-       CAST(MIN_BY(cum.cm, cum.c) AS BIGINT) AS count_le_edge
-FROM tgt JOIN cum ON cum.cm >= tgt.target
-GROUP BY tgt.j, tgt.target
-"""
-
-
-def _agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact equi-depth bin edges (8 bins) of order totals — the
-    exact-quantile counterpart of agg_kll_quantiles/agg_approximate:
-    reproducible bin boundaries for feature calibration, computed on
-    the distinct-value cumulative relation with zero row-level sort.
-    See _EQUIDEPTH for the integer target-rank arithmetic."""
-    load(spark, sf_dir)
-    return spark.sql(_EQUIDEPTH)
-
-
-QUERIES["agg_equidepth_bins"] = _agg_equidepth_bins
-ORACLES["agg_equidepth_bins"] = _EQUIDEPTH
-
-
-# Seasonality-aware anomaly flags: each hour's purchase cents compared to
-# the SAME-HOUR-OF-DAY profile (daily-rhythm baseline) instead of a
-# trailing window — the monitor that doesn't page at 9am because 9am is
-# always busy. Same exact-integer decision as window_bollinger: |x-mean|
-# > 2*sigma_pop spelled as the cross-multiplied squared inequality
-# (n*x - S1)^2 > 4*(n*S2 - S1^2) over exact bigint profile moments —
-# zero float anywhere (headroom: (n*x)^2 under 2^63 through ~sf500 at
-# cent quantization; the quantum is the knob).
-_SEASONAL_ANOM = """
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS b,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY 1
-),
-hod AS (SELECT b, x, CAST(EXTRACT(HOUR FROM b) AS BIGINT) AS h FROM hourly),
-prof AS (
-  SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(x) AS BIGINT) AS s1,
-         CAST(SUM(x * x) AS BIGINT) AS s2
-  FROM hod GROUP BY h
-)
-SELECT hod.b AS bucket, hod.h AS hour_of_day, hod.x AS cents,
-       prof.n AS n_same_hour,
-       (prof.n >= 2 AND prof.n * hod.x - s1 > 0
-        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
-            > 4 * (prof.n * s2 - s1 * s1)) AS break_upper,
-       (prof.n >= 2 AND prof.n * hod.x - s1 < 0
-        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
-            > 4 * (prof.n * s2 - s1 * s1)) AS break_lower
-FROM hod JOIN prof ON hod.h = prof.h
-"""
-
-
-def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day seasonal anomaly flags on the hourly purchase series
-    — the daily-rhythm-aware member of the monitoring family
-    (events_anomalies = trailing window, events_anomaly_mad = robust
-    location, window_bollinger = volatility band; this one scores each
-    hour against ITS OWN hour-of-day cohort). Plan: one hourly
-    aggregation, one 24-row profile aggregation broadcast back, exact
-    integer decisions. See _SEASONAL_ANOM."""
-    load(spark, sf_dir)
-    return spark.sql(_SEASONAL_ANOM)
-
-
-QUERIES["events_seasonal_anomaly"] = _events_seasonal_anomaly
-ORACLES["events_seasonal_anomaly"] = _SEASONAL_ANOM
-
-
-# Jensen-Shannon divergence between the word distributions of two corpus
-# halves (doc_id parity split — the deterministic stand-in for "yesterday
-# vs today") — the TEXT drift gate, complementing the numeric KS/MW
-# tests: symmetric, bounded by ln 2, defined even where one side has
-# zero-probability words. Per-word contribution 0.5*(p*ln(p/m) +
-# q*ln(q/m)) is quantized to an exact 1e-12 bigint BEFORE the vocabulary
-# sum (the agg_entropy pattern — the only cross-engine float op is libm
-# ln, 4 decimal orders below the quantum; the fold is exact integers).
-_JSD_SPARK = r"""
-WITH w AS (
-  SELECT doc_id % 2 AS half,
-         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
-           AS word
-  FROM documents
-),
-c AS (
-  SELECT word,
-         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
-         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
-  FROM w GROUP BY word
-),
-n AS (
-  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
-         CAST(COUNT(*) AS BIGINT) AS vocab
-  FROM c
-),
-t AS (
-  SELECT CAST(ROUND((
-           CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
-             * LN((CAST(ca AS DOUBLE) / na)
-                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
-             ELSE 0.0 END
-           + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
-             * LN((CAST(cb AS DOUBLE) / nb)
-                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
-             ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS term_q
-  FROM c CROSS JOIN n
-)
-SELECT na AS n_words_a, nb AS n_words_b, vocab,
-       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS jsd_nats,
-       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12 / 0.693147, 6) AS jsd_norm
-FROM t CROSS JOIN n
-GROUP BY na, nb, vocab
-"""
-
-# DuckDB spelling: identical algebra, DuckDB tokenizer (regexp_replace
-# 'g' flag + unnest(string_split)).
-# DuckDB spelling derived from the Spark string (single-source algebra,
-# the _PROP_ZTEST pattern): only the tokenizer line differs.
-_JSD_DUCK = _JSD_SPARK.replace(
-    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
-    "           AS word",
-    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
-    "                             ' ')) AS word",
-)
-
-
-
-def _text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jensen-Shannon divergence between the word distributions of the
-    two doc_id-parity corpus halves — the symmetric, ln2-bounded text
-    drift measure run between corpus snapshots (the numeric siblings
-    are events_ks_test/agg_mann_whitney). One vocabulary aggregation,
-    one one-row totals broadcast, one exact quantized fold. Scale: the
-    summed relation is vocabulary-sized, not corpus-sized."""
-    load(spark, sf_dir)
-    return spark.sql(_JSD_SPARK)
-
-
-QUERIES["text_jsd_drift"] = _text_jsd_drift
-ORACLES["text_jsd_drift"] = _JSD_DUCK
-
-
-# Mood's median test across the five event types: the k-group MEDIAN
-# counterpart of Kruskal-Wallis (rank) and ANOVA (mean) — robust to any
-# monotone transform of the values. Counts above/at-or-below the GRAND
-# median form a k x 2 contingency whose chi2 uses the same empty-cell-
-# exact identity and 1e-12-quantized fold as agg_chi2_independence. The
-# grand median enters as 2*MEDIAN (always an integer for integer cents —
-# the Brown-Forsythe trick), so "above" is the exact predicate 2c > m2.
-# Both this and _CHI2_INDEP guard the identity's linear-in-N bias
-# amplification VISIBLY: the worst-case quantization bias on chi2 is
-# N * cells * 5e-13, and once that could touch the 4dp round (half-ulp
-# 5e-5, i.e. N * cells >= 1e8 — around sf10 for these shapes) the
-# statistic is NULL rather than silently drifting. The knob is the
-# 1e12 quantum: each 10x raise buys 10x N at ~one fewer safe digit.
-_MOOD_MEDIAN = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE value IS NOT NULL
-),
-med AS (SELECT CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2 FROM t),
-obs AS (
-  SELECT grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS above,
-         CAST(COUNT(*) AS BIGINT) AS o
-  FROM t CROSS JOIN med GROUP BY grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END
-),
-rt AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY grp),
-ct AS (SELECT above, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY above),
-tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
-q AS (
-  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
-                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
-           AS term_q
-  FROM obs o JOIN rt ON o.grp = rt.grp JOIN ct ON o.above = ct.above
-),
-d AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc,
-         (SELECT CAST(SUM(CASE WHEN above = 1 THEN nc ELSE 0 END) AS BIGINT)
-            FROM ct) AS n_above
-)
-SELECT nt AS n_total, kr AS k_groups, n_above, (kr - 1) * (kc - 1) AS df,
-       CASE WHEN kr > 1 AND kc > 1
-             AND CAST(nt AS DOUBLE) * kr * kc * 5e-13 < 5e-5 THEN
-         ROUND(CAST(nt AS DOUBLE)
-               * (CAST(SUM(term_q) AS BIGINT) / 1e12 - 1), 4)
-       END AS chi2
-FROM q CROSS JOIN tot CROSS JOIN d
-GROUP BY nt, kr, kc, n_above
-"""
-
-
-def _agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mood's median test across event types — the k-group location
-    test that only uses above/below-the-grand-median counts (robust
-    where Kruskal-Wallis' rank sums and ANOVA's means are not). One
-    exact grand median, one contingency fold, the chi2 identity. See
-    _MOOD_MEDIAN."""
-    load(spark, sf_dir)
-    return spark.sql(_MOOD_MEDIAN)
-
-
-QUERIES["agg_mood_median"] = _agg_mood_median
-ORACLES["agg_mood_median"] = _MOOD_MEDIAN
-
-
-# ---------------------------------------------------------------------------
-# Round 9 — data-governance trio: the gates a corpus owner runs before
-# release (privacy, provenance overlap, ingest profiling).
-# ---------------------------------------------------------------------------
-
-# k-anonymity audit over the (nation, segment) quasi-identifier pair:
-# how many equivalence classes are smaller than k=10, and how many rows
-# sit in them (re-identification risk mass). Pure integer aggregation —
-# two hash folds, nothing else.
-_K_ANON = """
-WITH g AS (
-  SELECT c_nationkey AS nation, c_mktsegment AS segment,
-         CAST(COUNT(*) AS BIGINT) AS sz
-  FROM customer GROUP BY c_nationkey, c_mktsegment
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
-       CAST(SUM(CASE WHEN sz < 10 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violating_classes,
-       CAST(SUM(CASE WHEN sz < 10 THEN sz ELSE 0 END) AS BIGINT)
-         AS n_risky_rows,
-       CAST(MIN(sz) AS BIGINT) AS min_class_size,
-       CAST(SUM(sz) AS BIGINT) AS n_rows
-FROM g
-"""
-
-
-def _curation_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-anonymity audit (k=10) over the (nation, market-segment)
-    quasi-identifiers — the privacy gate a dataset release runs before
-    the PII scrubbing (text_pii_redact) is trusted: small equivalence
-    classes re-identify even with direct identifiers removed (Sweeney
-    2002). Two exact integer folds. See _K_ANON."""
-    load(spark, sf_dir)
-    return spark.sql(_K_ANON)
-
-
-def _curation_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise source-content overlap: Jaccard between each source
-    pair's distinct 3-word-shingle sets — the provenance diagnostic
-    that finds mirror/scrape relationships between ingest feeds before
-    per-document dedup even runs. Plan: one distinct (source, shingle)
-    relation, one self-equi-join ON SHINGLE (pair space bounded by
-    sources², never documents²), exact integer intersection/union, one
-    terminal division. Uses the same normalize+shingle kernel as the
-    MinHash family (dedup.word_shingles)."""
-    load(spark, sf_dir)
-    docs = spark.table("documents")
-    sh = (
-        docs.select(
-            "source",
-            F.explode(dedup.word_shingles(F.col("text"), n=3)).alias("sh"),
-        )
-        .where(F.col("sh") != "")
-        .distinct()
-    )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
-    a = sh.select(F.col("source").alias("src_a"), "sh")
-    b = sh.select(F.col("source").alias("src_b"), "sh")
-    inter = (
-        a.join(b, "sh")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
-    )
-    na = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
-    return (
-        inter.join(F.broadcast(na), "src_a")
-        .join(F.broadcast(nb), "src_b")
-        .select(
-            "src_a", "src_b", "n_common", "n_a", "n_b",
-            F.round(
-                F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-# DuckDB replay: identical normalize/3-shingle construction via the
-# positional-array spelling (the RAKE oracle pattern), identical joins.
-_SOURCE_OVERLAP_DUCK = r"""
-WITH norm AS (
-  SELECT source, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
-                              ' ') AS arr
-  FROM documents
-),
-sh AS (
-  SELECT DISTINCT source,
-         arr[u.i] || ' ' || arr[u.i + 1] || ' ' || arr[u.i + 2] AS sh
-  FROM norm, UNNEST(range(1, len(arr) - 1)) AS u(i)
-  WHERE len(arr) >= 3
-),
-sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
-inter AS (
-  SELECT a.source AS src_a, b.source AS src_b,
-         CAST(COUNT(*) AS BIGINT) AS n_common
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
-  GROUP BY a.source, b.source
-)
-SELECT src_a, src_b, n_common, na.n AS n_a, nb.n AS n_b,
-       ROUND(CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common), 6) AS jaccard
-FROM inter
-JOIN sizes na ON inter.src_a = na.source
-JOIN sizes nb ON inter.src_b = nb.source
-"""
-
-# Ingest profile: per-column null count, exact distinct, min/max — the
-# schema-health gate every loader runs on arrival. Fixed column list
-# (orders), exact integers; min/max of the decimal column quantized to
-# cents for the portable compare.
-_PROFILE = """
-SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_custkey,
-       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
-       CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS null_status,
-       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
-       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_priority,
-       CAST(MIN(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS min_price_cents,
-       CAST(MAX(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
-         AS max_price_cents,
-       CAST(CAST(MIN(o_orderdate) AS DATE) AS STRING) AS min_date,
-       CAST(CAST(MAX(o_orderdate) AS DATE) AS STRING) AS max_date
-FROM orders
-"""
-
-
-def _io_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Single-pass ingest profile of the orders table (null counts,
-    exact distincts, min/max ranges) — the arrival gate that catches
-    schema drift and silent-null regressions before anything downstream
-    runs. One aggregation, map-side combined. See _PROFILE."""
-    load(spark, sf_dir)
-    return spark.sql(_PROFILE)
-
-
-QUERIES["curation_k_anonymity"] = _curation_k_anonymity
-QUERIES["curation_source_overlap"] = _curation_source_overlap
-QUERIES["io_profile_stats"] = _io_profile_stats
-ORACLES["curation_k_anonymity"] = _K_ANON
-ORACLES["curation_source_overlap"] = _SOURCE_OVERLAP_DUCK
-ORACLES["io_profile_stats"] = _PROFILE
-
-
-# l-diversity audit: per quasi-identifier class (nation), how many
-# DISTINCT sensitive values (market segment) — a k-anonymous class whose
-# members all share one sensitive value still leaks it (Machanavajjhala
-# 2007). Exact integer folds only.
-_L_DIVERSITY = """
-WITH g AS (
-  SELECT c_nationkey AS nation,
-         CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_div,
-         CAST(COUNT(*) AS BIGINT) AS sz
-  FROM customer GROUP BY c_nationkey
-)
-SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
-       CAST(SUM(CASE WHEN l_div < 3 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violating_classes,
-       CAST(SUM(CASE WHEN l_div < 3 THEN sz ELSE 0 END) AS BIGINT)
-         AS n_exposed_rows,
-       CAST(MIN(l_div) AS BIGINT) AS min_diversity
-FROM g
-"""
-
-
-def _curation_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """l-diversity audit (l=3; quasi-identifier = nation, sensitive =
-    market segment) — the privacy gate k-anonymity alone misses: a
-    large class is still unsafe if every member shares the sensitive
-    value. Two exact folds. See _L_DIVERSITY; partner of
-    curation_k_anonymity."""
-    load(spark, sf_dir)
-    return spark.sql(_L_DIVERSITY)
-
-
-# Partition checksum manifest: per order-priority partition, the row
-# count and TWO order-free content checksums over the portable 60-bit
-# md5 row hash (dedup.word_hash60's spelling — DuckDB replays it
-# bit-for-bit): a BIT_XOR fold (associative+commutative, overflow-free
-# at any scale; blind to duplicate PAIRS, the standard XOR caveat) and
-# a modular SUM of hash % 1e9 (catches the pair case; bounded by
-# 1e9 * n_rows, under int64 through ~9e9 rows per partition). A plain
-# SUM of 60-bit hashes overflows int64 at ~8 rows under ANSI — caught
-# on first check.
-_CHECKSUM_MANIFEST = """
-SELECT o_orderpriority AS part_key,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(BIT_XOR(CAST(CONV(SUBSTRING(MD5(
-             CAST(o_orderkey AS STRING) || '|' ||
-             CAST(o_custkey AS STRING) || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING)
-           ), 1, 15), 16, 10) AS BIGINT)) AS BIGINT) AS xor_checksum,
-       CAST(SUM(CAST(CONV(SUBSTRING(MD5(
-             CAST(o_orderkey AS STRING) || '|' ||
-             CAST(o_custkey AS STRING) || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS STRING)
-           ), 1, 15), 16, 10) AS BIGINT) % 1000000000) AS BIGINT)
-         AS sum_checksum
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-_CHECKSUM_MANIFEST_DUCK = """
-SELECT o_orderpriority AS part_key,
-       CAST(COUNT(*) AS BIGINT) AS n_rows,
-       CAST(BIT_XOR(CAST('0x' || SUBSTRING(MD5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(o_custkey AS VARCHAR) || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
-           ), 1, 15) AS BIGINT)) AS BIGINT) AS xor_checksum,
-       CAST(SUM(CAST('0x' || SUBSTRING(MD5(
-             CAST(o_orderkey AS VARCHAR) || '|' ||
-             CAST(o_custkey AS VARCHAR) || '|' ||
-             CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR)
-           ), 1, 15) AS BIGINT) % 1000000000) AS BIGINT) AS sum_checksum
-FROM orders
-GROUP BY o_orderpriority
-"""
-
-
-def _io_checksum_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-partition (order-priority) integrity manifest: row count +
-    two order-free portable content checksums (BIT_XOR fold +
-    1e9-modular sum of the md5-derived row hash) — what a 100 TB
-    handoff compares instead of re-reading both copies. One
-    map-side-combined aggregation; both folds are invariant to row
-    order and partitioning and overflow-free at any scale (the same
-    portable-hash discipline as dedup.word_hash60 /
-    curation_hash_split). See _CHECKSUM_MANIFEST."""
-    load(spark, sf_dir)
-    return spark.sql(_CHECKSUM_MANIFEST)
-
-
-QUERIES["curation_l_diversity"] = _curation_l_diversity
-QUERIES["io_checksum_manifest"] = _io_checksum_manifest
-ORACLES["curation_l_diversity"] = _L_DIVERSITY
-ORACLES["io_checksum_manifest"] = _CHECKSUM_MANIFEST_DUCK
-
-
-# Error-safe expression pack: Spark's TRY_* family under ANSI mode —
-# the NULL-on-error arithmetic a pipeline uses so one poisoned row
-# doesn't abort a 100 TB job (the expression-level counterpart of the
-# PERMISSIVE reader modes). The oracle spells each TRY as its explicit
-# CASE guard, so the check also PINS the semantics (divide-by-zero,
-# non-numeric cast, int64 overflow -> NULL, never an exception).
-_TRY_SPARK = """
-SELECT o_orderkey AS orderkey,
-       TRY_DIVIDE(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
-                  o_custkey % 3) AS safe_div,
-       TRY_CAST(o_orderstatus AS INT) AS status_as_int,
-       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
-                      THEN CAST(o_orderkey AS STRING)
-                      ELSE o_orderstatus END AS INT) AS mixed_cast,
-       TRY_ADD(o_orderkey, 9223372036854775807) AS overflow_add,
-       TRY_MULTIPLY(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT),
-                    4611686018427387904) AS overflow_mul
-FROM orders WHERE o_orderkey < 2000
-"""
-
-_TRY_DUCK = """
-SELECT o_orderkey AS orderkey,
-       CASE WHEN o_custkey % 3 = 0 THEN NULL
-            ELSE CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS DOUBLE)
-                 / (o_custkey % 3) END AS safe_div,
-       TRY_CAST(o_orderstatus AS INT) AS status_as_int,
-       TRY_CAST(CASE WHEN o_orderkey % 2 = 0
-                      THEN CAST(o_orderkey AS VARCHAR)
-                      ELSE o_orderstatus END AS INT) AS mixed_cast,
-       CASE WHEN o_orderkey <= 0 THEN o_orderkey + 9223372036854775807
-            ELSE CAST(NULL AS BIGINT) END AS overflow_add,
-       CASE WHEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                 BETWEEN -2 AND 1
-            THEN CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                 * 4611686018427387904
-            ELSE CAST(NULL AS BIGINT) END AS overflow_mul
-FROM orders WHERE o_orderkey < 2000
-"""
-
-
-def _fn_error_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRY_* error-safe expression pack under ANSI mode: divide-by-
-    zero, failing casts (the mixed column parses even keys and NULLs
-    the status letters), and int64 overflow all yield NULL instead of
-    aborting the job — pinned against an oracle that spells each one
-    as its explicit CASE guard (o_orderkey + int64_max overflows for
-    every positive key and not for key 0 — the data has one;
-    cents * 2^62 is representable only for cents in [-2, 1]: +2*2^62
-    is exactly 2^63, one past int64 max — the review-caught off-by-one).
-    Pure codegen
-    expressions, one pushed scan."""
-    load(spark, sf_dir)
-    return spark.sql(_TRY_SPARK)
-
-
-QUERIES["fn_error_safe"] = _fn_error_safe
-ORACLES["fn_error_safe"] = _TRY_DUCK
-
-
-# t-closeness audit (Li, Li & Venkatasubramanian 2007): per nation
-# class, the total-variation distance (the categorical Earth-Mover's
-# with unit ground distance = 0.5 * L1) between the class's segment
-# distribution and the GLOBAL one — the privacy gate l-diversity misses
-# when a class's sensitive values are diverse but SKEWED far from the
-# population. Per-(class, segment) |p - q| terms quantize to 1e-12
-# bigints before the per-class sum (the k-group fold rule); classes with
-# tv > 0.25 are flagged. Missing (class, segment) cells contribute q
-# exactly via the global-side LEFT join.
-_T_CLOSENESS = """
-WITH cell AS (
-  SELECT c_nationkey AS nation, c_mktsegment AS seg,
-         CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM customer GROUP BY c_nationkey, c_mktsegment
-),
-cls AS (SELECT nation, CAST(SUM(cnt) AS BIGINT) AS sz FROM cell GROUP BY nation),
-gl AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM cell GROUP BY seg),
-tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM cell),
-pairs AS (
-  SELECT cls.nation, cls.sz, gl.seg, gl.gcnt, COALESCE(cell.cnt, 0) AS cnt
-  FROM cls CROSS JOIN gl
-  LEFT JOIN cell ON cell.nation = cls.nation AND cell.seg = gl.seg
-),
-t AS (
-  SELECT nation, MIN(sz) AS sz,
-         CAST(SUM(CAST(ROUND(ABS(CAST(cnt AS DOUBLE) / sz
-                                 - CAST(gcnt AS DOUBLE) / n) * 1e12, 0)
-                       AS BIGINT)) AS BIGINT) AS l1_q
-  FROM pairs CROSS JOIN tot GROUP BY nation
-)
-SELECT CAST(nation AS BIGINT) AS nation, CAST(sz AS BIGINT) AS class_size,
-       ROUND(l1_q / 2e12, 6) AS tv_distance,
-       (l1_q > 500000000000) AS violates_t025
-FROM t
-"""
-
-
-def _curation_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t-closeness audit (t=0.25; quasi-identifier = nation, sensitive
-    = market segment): total-variation distance between each class's
-    sensitive distribution and the global one — the third member of
-    the privacy gate trio (curation_k_anonymity class sizes,
-    curation_l_diversity distinct counts, this one distributional
-    skew). Category-sized relations throughout after the first fold;
-    the flag compares the exact quantized integer, not a float. See
-    _T_CLOSENESS."""
-    load(spark, sf_dir)
-    return spark.sql(_T_CLOSENESS)
-
-
-QUERIES["curation_t_closeness"] = _curation_t_closeness
-ORACLES["curation_t_closeness"] = _T_CLOSENESS
-
-
-def _streaming_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_seasonal_anomaly
-    (streaming.stream_seasonal_anomaly): incremental hourly state +
-    batch profile/flags on the materialized final state — graded by
-    the BATCH oracle (16th stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_seasonal_anomaly(spark, sf_dir)
-
-
-QUERIES["streaming_seasonal_anomaly"] = _streaming_seasonal_anomaly
-ORACLES["streaming_seasonal_anomaly"] = _SEASONAL_ANOM
-
-
-# Exact ROC AUC via the rank-sum identity AUC = (R_pos - n_pos(n_pos+1)/2)
-# / (n_pos * n_neg) with average ranks for ties — the Mann-Whitney U
-# machinery re-read as the model-evaluation gate (AUC IS U/(n_pos*n_neg)).
-# Scoring column = event value (does value separate purchases from
-# clicks?); doubled-rank algebra on the distinct-value relation keeps
-# every fold an exact bigint; AUC is ONE terminal division, so the
-# statistic is exact to the last ulp — no sampling, no approximation,
-# unlike the trapezoid-over-binned-scores spelling every ML library
-# defaults to at scale.
-_AUC = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (
-  SELECT c,
-         CAST(SUM(pos) AS BIGINT) AS dp,
-         CAST(COUNT(*) AS BIGINT) AS tc
-  FROM t GROUP BY c
-),
-cw AS (
-  SELECT dp, tc,
-         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cumb
-  FROM pv
-),
-s AS (
-  SELECT CAST(SUM(dp) AS BIGINT) AS n_pos,
-         CAST(SUM(tc - dp) AS BIGINT) AS n_neg,
-         CAST(SUM(dp * (2 * cumb + tc + 1)) AS BIGINT) AS r2_pos
-  FROM cw
-)
-SELECT n_pos, n_neg,
-       r2_pos - n_pos * (n_pos + 1) AS u2,
-       CASE WHEN n_pos > 0 AND n_neg > 0 THEN
-         ROUND(CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
-               / (2.0 * n_pos * n_neg), 6)
-       END AS auc
-FROM s
-"""
-
-
-def _agg_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact ROC AUC of 'value' as a purchase-vs-click classifier score
-    — the model-evaluation gate, computed by the rank-sum identity
-    (AUC = U/(n_pos·n_neg), tie-averaged) on the distinct-value
-    relation: exact bigints until ONE terminal division. Shares the
-    doubled-rank algebra (and the two-level window fallback) with
-    agg_mann_whitney. See _AUC."""
-    load(spark, sf_dir)
-    return spark.sql(_AUC)
-
-
-QUERIES["agg_auc_exact"] = _agg_auc_exact
-ORACLES["agg_auc_exact"] = _AUC
-
-
-# Precision/recall/F1 at a fixed decision threshold (value >= $50 as
-# "predict purchase") — the confusion-matrix gate next to agg_auc_exact's
-# threshold-free ranking view. Counts are exact bigints; the three
-# ratios are terminal divisions behind integer-positivity guards; F1 is
-# spelled from the raw counts (2tp/(2tp+fp+fn)) so it needs ONE division
-# instead of composing two already-rounded ratios.
-_PR_AT_T = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-m AS (
-  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-  FROM t
-)
-SELECT tp, fp, fn, tn,
-       CASE WHEN tp + fp > 0
-            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision_,
-       CASE WHEN tp + fn > 0
-            THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall_,
-       CASE WHEN 2 * tp + fp + fn > 0
-            THEN ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
-            END AS f1
-FROM m
-"""
-
-
-def _agg_pr_at_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Confusion matrix + precision/recall/F1 at the $50 threshold for
-    value-as-purchase-classifier — the operating-point eval gate
-    (agg_auc_exact is the threshold-free twin). One fold, terminal
-    divisions, integer guards. See _PR_AT_T."""
-    load(spark, sf_dir)
-    return spark.sql(_PR_AT_T)
-
-
-# Calibration / reliability-diagram data: ten equal-WIDTH score bins.
-# Bucket arithmetic divides only EXACTLY-DIVISIBLE integers (x - x%d is
-# divisible by d, and IEEE division returns exactly-representable
-# quotients exactly), so the spelling is portable whether an engine's
-# `/` on integers is float or integer division — Spark truncates a
-# float, older DuckDB floors an integer, both land on the same bin
-# (caught on first check: the float-width spelling split 9 vs 10 bins).
-# per bin the row count, positive count, observed positive rate and mean
-# score — what a monitoring pipeline plots to see whether "higher value"
-# still means "more likely purchase" after a data shift.
-_CALIBRATION = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-rng AS (
-  SELECT lo, hi,
-         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
-  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
-        FROM t)
-),
-b AS (
-  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin, c, pos
-  FROM t CROSS JOIN rng
-)
-SELECT bin,
-       CAST(COUNT(*) AS BIGINT) AS n,
-       CAST(SUM(pos) AS BIGINT) AS n_pos,
-       ROUND(CAST(SUM(pos) AS DOUBLE) / COUNT(*), 6) AS obs_rate,
-       ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*) / 100, 4) AS mean_score
-FROM b GROUP BY bin
-"""
-
-
-def _agg_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reliability-diagram data: equal-width score bins with observed
-    purchase rates — the calibration drift gate that pairs with
-    agg_auc_exact (ranking) and agg_pr_at_threshold (operating point).
-    Two folds + a one-row range broadcast. See _CALIBRATION."""
-    load(spark, sf_dir)
-    return spark.sql(_CALIBRATION)
-
-
-QUERIES["agg_pr_at_threshold"] = _agg_pr_at_threshold
-QUERIES["agg_calibration_bins"] = _agg_calibration_bins
-ORACLES["agg_pr_at_threshold"] = _PR_AT_T
-ORACLES["agg_calibration_bins"] = _CALIBRATION
-
-
-# Isotonic (PAV) calibration — the FIX next to agg_calibration_bins'
-# diagnosis: the monotone remapping score-bin -> calibrated rate that a
-# serving stack applies when the reliability diagram bends. Same binned
-# relation as the diagnosis query; the fit is operators/stats.pav_isotonic
-# (minimax spelling: yhat_i = max_{j<=i} min_{k>=i} block-average over
-# exact bigint cumsums; block ratios are the only floats — identical
-# IEEE doubles in both engines, so the min/max lattice is cross-engine
-# deterministic). Scale: the bin domain is FIXED (10 equal-width bins by
-# construction), so the pair relation is <= B(B+1)/2 = 55 rows and every
-# window/join past the first groupBy runs on a broadcast-tiny relation —
-# the data-sized work is exactly one fold, identical to the diagnosis.
-#: The ONE binning spelling all four calibration-family queries share
-#: (diagnosis curve, ECE scalar, Hosmer-Lemeshow test, isotonic fix):
-#: 10 equal-width bins over the cent-quantized score with lo/hi carried
-#: through so expected counts can be derived without re-scanning.
-_CALIB_PREFIX = """t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-rng AS (
-  SELECT lo, hi,
-         CAST(((hi - lo) - (hi - lo) % 10) / 10 AS BIGINT) + 1 AS wd
-  FROM (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
-        FROM t)
-),
-b AS (
-  SELECT CAST(((c - lo) - (c - lo) % wd) / wd AS BIGINT) AS bin,
-         c, pos, lo, hi
-  FROM t CROSS JOIN rng
-)"""
-
-_CALIB_BINNED = f"""
-WITH {_CALIB_PREFIX}
-SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s
-FROM b GROUP BY bin
-"""
-
-_ISOTONIC = f"""
-WITH g AS ({_CALIB_BINNED}),
-cum AS (
-  SELECT bin AS k, n, s,
-         CAST(SUM(n) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn,
-         CAST(SUM(s) OVER (ORDER BY bin
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cs
-  FROM g
-),
-pre AS (
-  SELECT k AS j, cn AS cnj, cs AS csj FROM cum
-  UNION ALL
-  SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
-),
-pairs AS (
-  SELECT p.j, c.k,
-         CAST(c.cs - p.csj AS DOUBLE) / (c.cn - p.cnj) AS avgjk
-  FROM cum c JOIN pre p ON p.j < c.k
-),
-rmin AS (
-  SELECT j, k,
-         MIN(avgjk) OVER (PARTITION BY j ORDER BY k DESC
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
-  FROM pairs
-),
-fit AS (SELECT k, MAX(m) AS yhat FROM rmin GROUP BY k)
-SELECT g.bin, g.n, g.s AS n_pos,
-       ROUND(CAST(g.s AS DOUBLE) / g.n, 6) AS obs_rate,
-       ROUND(fit.yhat, 6) AS iso_rate
-FROM g JOIN fit ON g.bin = fit.k
-"""
-
-
-def _agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Isotonic (PAV) calibration curve over the reliability bins —
-    observed rate next to the monotone fitted rate per score bin
-    (operators/stats.pav_isotonic). The Spark side runs the DataFrame
-    spelling of the minimax fit over the SAME binned relation as
-    agg_calibration_bins; see _ISOTONIC."""
-    from datafusion_gpu_spark.operators import stats
-
-    load(spark, sf_dir)
-    g = spark.sql(_CALIB_BINNED)
-    fit = stats.pav_isotonic(g, "bin", "n", "s")
-    return fit.select(
-        "bin",
-        "n",
-        F.col("s").alias("n_pos"),
-        F.expr("ROUND(CAST(s AS DOUBLE) / n, 6)").alias("obs_rate"),
-        F.expr("ROUND(yhat, 6)").alias("iso_rate"),
-    )
-
-
-QUERIES["agg_isotonic_calibration"] = _agg_isotonic_calibration
-ORACLES["agg_isotonic_calibration"] = _ISOTONIC
-
-
-# Expected calibration error — the SCALAR that completes the calibration
-# trio (agg_calibration_bins diagnoses the curve, agg_isotonic_calibration
-# fits the fix, ECE is the one number a regression gate thresholds).
-# Per-bin confidence is the MIN-MAX NORMALIZED mean score (sc_b - n_b*lo)
-# / (n_b * span) — the same [0,1] normalization the _CALIB_PREFIX
-# siblings (Brier, Hosmer-Lemeshow) use, so the calibration-gap
-# semantics hold whatever the raw value range (ADVICE r11 #5; the raw
-# cents/100 spelling left [0,1] past $1). The gap still collapses to an
-# EXACT bigint fold: n_b * |s_b/n_b - (sc_b - n_b*lo)/(n_b*span)| =
-# |s_b*span - sc_b + n_b*lo| / span, so ECE =
-# sum_b |s_b*span - sc_b + n_b*lo| / (span * N) with ONE terminal
-# division — zero per-bin float error, same 10-bin relation.
-_ECE = f"""
-WITH {_CALIB_PREFIX},
-g AS (
-  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM(pos) AS BIGINT) AS s, CAST(SUM(c) AS BIGINT) AS sc,
-         CAST(MAX(hi) - MAX(lo) AS BIGINT) AS span,
-         CAST(MAX(lo) AS BIGINT) AS lo
-  FROM b GROUP BY bin
-)
-SELECT CAST(SUM(n) AS BIGINT) AS n,
-       CAST(COUNT(*) AS BIGINT) AS n_bins,
-       CAST(SUM(ABS(s * span - sc + n * lo)) AS BIGINT) AS ece_num,
-       ROUND(CAST(SUM(ABS(s * span - sc + n * lo)) AS DOUBLE)
-             / (CAST(MAX(span) AS DOUBLE) * SUM(n)), 6) AS ece
-FROM g
-WHERE span > 0
-"""
-
-
-def _agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Expected calibration error over the shared 10-bin reliability
-    relation, confidence min-max normalized like its _CALIB_PREFIX
-    siblings — exact bigint numerator (the n_b weights cancel into
-    |s_b*span - sc_b + n_b*lo|), one terminal division. See _ECE."""
-    load(spark, sf_dir)
-    return spark.sql(_ECE)
-
-
-# Pinball (quantile) loss of the exact tau=0.9 empirical quantile as a
-# constant predictor — the scoring rule that grades quantile forecasts
-# and conformal radii (minimized, in expectation, exactly by the true
-# tau-quantile; Koenker & Bassett 1978). The quantile is the
-# ceil(N*tau)-th order statistic picked off the distinct-value
-# cumulative (the median-CI/conformal rank machinery); the loss fold is
-# exact: tau*(y-q)+ + (1-tau)*(q-y)+ at tau=0.9 scales by 10 into the
-# integer weights 9/1, so pinball_num is an exact bigint and dollars =
-# num / (1000*N). The quantile CTE is a GLOBAL aggregate, so both its
-# pick join and the loss join are the audited-exempt one-row-build class.
-_PINBALL = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
-cum AS (
-  SELECT c, CAST(SUM(cnt) OVER (ORDER BY c
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
-  FROM v
-),
-n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
-k AS (SELECT nr, CAST(CEIL(nr * 0.9) AS BIGINT) AS rk FROM n),
-q AS (
-  SELECT CAST(MAX(k.nr) AS BIGINT) AS nr, CAST(MAX(k.rk) AS BIGINT) AS rk,
-         CAST(MIN(cum.c) AS BIGINT) AS qv
-  FROM k JOIN cum ON cum.cc >= k.rk
-),
-l AS (
-  SELECT q.nr, q.rk, q.qv,
-         CAST(SUM(CASE WHEN t.c > q.qv THEN 9 * (t.c - q.qv)
-                       ELSE q.qv - t.c END) AS BIGINT) AS num
-  FROM t CROSS JOIN q GROUP BY q.nr, q.rk, q.qv
-)
-SELECT nr AS n, rk AS k_rank,
-       ROUND(CAST(qv AS DOUBLE) / 100, 2) AS q_value,
-       num AS pinball_num,
-       ROUND(CAST(num AS DOUBLE) / (1000.0 * nr), 6) AS pinball
-FROM l
-"""
-
-
-def _agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pinball loss of the exact empirical 0.9-quantile of purchase
-    values — the quantile-forecast scoring rule next to the conformal
-    interval gate. Exact integer loss fold (weights 9/1 at tau=0.9);
-    quantile via the distinct-value rank bound. See _PINBALL."""
-    load(spark, sf_dir)
-    return spark.sql(_PINBALL)
-
-
-QUERIES["agg_ece"] = _agg_ece
-QUERIES["agg_pinball_loss"] = _agg_pinball_loss
-ORACLES["agg_ece"] = _ECE
-ORACLES["agg_pinball_loss"] = _PINBALL
-
-
-# Hosmer-Lemeshow goodness-of-fit (Hosmer & Lemeshow 1980): the
-# SIGNIFICANCE member of the calibration family — bins the predicted
-# probability (the min-max normalized score, the agg_brier_score
-# convention) into the shared 10 equal-width bins and tests observed vs
-# expected positives with HL = sum (s_b - E_b)^2 / (E_b (1 - E_b/n_b)),
-# chi-square with B-2 df under the null of calibration. Expected counts
-# E_b have EXACT bigint numerators (sc_b - n_b*lo over the span); each
-# bin's term quantizes once to a 1e9 bigint so the fold is exact;
-# degenerate bins (E <= 0 or E >= n, where the variance vanishes)
-# contribute 0 by the visible CASE. reject_05 uses chi2(8) = 15.507 and
-# is NULL when fewer than 10 bins materialize (different df).
-_HOSMER_LEMESHOW = f"""
-WITH {_CALIB_PREFIX},
-g AS (
-  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(pos) AS BIGINT) AS s,
-         CAST(SUM(c) AS BIGINT) AS sc,
-         CAST(MIN(lo) AS BIGINT) AS lo, CAST(MIN(hi) AS BIGINT) AS hi
-  FROM b GROUP BY bin
-),
-ge AS (
-  SELECT bin, n, s,
-         CAST(sc - n * lo AS DOUBLE) / (hi - lo) AS e
-  FROM g WHERE hi > lo
-),
-h AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_bins, CAST(SUM(n) AS BIGINT) AS n,
-         CAST(SUM(CASE WHEN e > 0 AND e < n THEN
-           CAST(ROUND(1e9 * ((CAST(s AS DOUBLE) - e) * (CAST(s AS DOUBLE) - e)
-                             / (e * (1.0 - e / n))), 0) AS BIGINT)
-           ELSE 0 END) AS BIGINT) AS hl_q
-  FROM ge
-)
-SELECT n, n_bins, hl_q,
-       ROUND(CAST(hl_q AS DOUBLE) / 1e9, 6) AS hl_stat,
-       CASE WHEN n_bins = 10 THEN
-         (CAST(hl_q AS DOUBLE) / 1e9 > 15.507) END AS reject_05
-FROM h
-"""
-
-
-def _agg_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hosmer-Lemeshow calibration test over the shared 10-bin relation
-    with min-max normalized scores — exact bigint expected-count
-    numerators, per-bin 1e9-quantized chi-square terms, visible
-    degenerate-bin CASE. See _HOSMER_LEMESHOW."""
-    load(spark, sf_dir)
-    return spark.sql(_HOSMER_LEMESHOW)
-
-
-QUERIES["agg_hosmer_lemeshow"] = _agg_hosmer_lemeshow
-ORACLES["agg_hosmer_lemeshow"] = _HOSMER_LEMESHOW
-
-
-# Cliff's delta (Cliff 1993): the ordinal EFFECT-SIZE readout that pairs
-# with agg_mann_whitney's significance — a drift gate needs both ("is it
-# real" and "does it matter"). Dominance counts come off the same
-# distinct-value cumulative as MW/KS/CvM: #{a>b} = sum_v da_v * (b's
-# strict-below cumulative) — never a pair enumeration. Exact bigints;
-# visible n_a*n_b int64 guard; Romano et al. 2006 magnitude labels.
-_CLIFF_DELTA = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (
-  SELECT c,
-         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
-         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
-           AS db
-  FROM t GROUP BY c
-),
-cum AS (
-  SELECT da, db,
-         CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
-         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb
-  FROM pv
-),
-nn AS (
-  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
-  FROM pv
-),
-s AS (
-  SELECT CAST(SUM(da * (cb - db)) AS BIGINT) AS gt,
-         CAST(SUM(db * (ca - da)) AS BIGINT) AS lt
-  FROM cum
-),
-d AS (
-  SELECT n_a, n_b,
-         CASE WHEN n_a > 0 AND n_b > 0
-                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN gt END AS gt,
-         CASE WHEN n_a > 0 AND n_b > 0
-                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN lt END AS lt,
-         CASE WHEN n_a > 0 AND n_b > 0
-                   AND CAST(n_a AS DOUBLE) * n_b < 9e18 THEN
-           ROUND(CAST(gt - lt AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
-         END AS cliff_delta
-  FROM s CROSS JOIN nn
-)
-SELECT *,
-       CASE WHEN cliff_delta IS NULL THEN NULL
-            WHEN ABS(cliff_delta) < 0.147 THEN 'negligible'
-            WHEN ABS(cliff_delta) < 0.33 THEN 'small'
-            WHEN ABS(cliff_delta) < 0.474 THEN 'medium'
-            ELSE 'large' END AS magnitude
-FROM d
-"""
-
-
-def _agg_cliff_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cliff's delta between click and purchase value distributions
-    (operators/stats.cliff_delta, cumsum_auto-routed): dominance counts
-    off the shared distinct-value cumulative. See _CLIFF_DELTA."""
-    from datafusion_gpu_spark.operators import stats
-
-    load(spark, sf_dir)
-    ev = spark.table("events").select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-    )
-    return stats.cliff_delta(ev, "event_type", "cents", "click", "purchase")
-
-
-# Cohen's d / Hedges' g standardized mean difference — the parametric
-# effect size next to Cliff's ordinal one (and the input agg_power_
-# analysis consumes). Exact bigint moment folds (n, sum, sum of squares
-# per group); variances/pooled sd/d/g are terminal IEEE expressions in
-# the established CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n shape.
-_COHENS_D = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-g AS (
-  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS s2
-  FROM t GROUP BY grp
-),
-w AS (
-  SELECT CAST(MAX(CASE WHEN grp = 'click' THEN n END) AS BIGINT) AS n_a,
-         CAST(MAX(CASE WHEN grp = 'click' THEN s1 END) AS BIGINT) AS s1a,
-         CAST(MAX(CASE WHEN grp = 'click' THEN s2 END) AS BIGINT) AS s2a,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN n END) AS BIGINT) AS n_b,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN s1 END) AS BIGINT) AS s1b,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN s2 END) AS BIGINT) AS s2b
-  FROM g
-),
-v AS (
-  SELECT n_a, n_b,
-         (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) AS mdiff,
-         ((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
-          + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b))
-           / (n_a + n_b - 2) AS sp2
-  FROM w WHERE n_a > 1 AND n_b > 1
-)
-SELECT n_a, n_b,
-       ROUND(mdiff / 100, 4) AS mean_diff,
-       CASE WHEN sp2 > 0 THEN ROUND(mdiff / SQRT(sp2), 6) END AS cohens_d,
-       CASE WHEN sp2 > 0 THEN
-         ROUND(mdiff / SQRT(sp2)
-               * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)), 6)
-       END AS hedges_g
-FROM v
-"""
-
-
-def _agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's d / Hedges' g between click and purchase values — exact
-    moment folds, terminal pooled-sd expressions. See _COHENS_D."""
-    load(spark, sf_dir)
-    return spark.sql(_COHENS_D)
-
-
-# Good-Turing missing mass (Good 1953): the probability a FRESH token is
-# previously unseen, P0 = N1/N (hapax share of the token stream) — the
-# vocabulary-coverage diagnostic a corpus-curation gate reads before
-# freezing a tokenizer or sampling mix (rising missing mass = the corpus
-# is still discovering vocabulary; near zero = saturated). Exact integer
-# token/type/hapax counts off the normalized whitespace tokenization the
-# text family shares; the Good-Turing adjusted count for hapaxes
-# (r* = 2*N2/N1) rides along. One groupBy + one fold.
-_MISSING_MASS = f"""
-WITH toks AS (
-  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
-),
-c AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM toks WHERE token <> '' GROUP BY token
-)
-SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-       CAST(COUNT(*) AS BIGINT) AS vocab,
-       CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-       ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-             / SUM(cnt), 6) AS missing_mass,
-       CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) > 0 THEN
-         ROUND(2.0 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
-               / SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 6)
-       END AS gt_adjusted_r1
-FROM c
-"""
-
-
-def _text_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Good-Turing missing mass over the documents token stream — the
-    Spark side tokenizes with the same trim/collapse normalization as
-    the oracle (split on the single space AFTER whitespace collapse, so
-    both engines see the identical token multiset). See _MISSING_MASS."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
-                " ",
-            )
-        ).alias("token")
-    ).where(F.col("token") != "")
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    return counts.agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0)).cast("long").alias("n1"),
-        F.sum(F.when(F.col("cnt") == 2, 1).otherwise(0)).cast("long").alias("n2"),
-    ).select(
-        "n_tokens",
-        "vocab",
-        "n1",
-        "n2",
-        F.expr("ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6)").alias("missing_mass"),
-        F.expr(
-            "CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) END"
-        ).alias("gt_adjusted_r1"),
-    )
-
-
-QUERIES["agg_cliff_delta"] = _agg_cliff_delta
-QUERIES["agg_cohens_d"] = _agg_cohens_d
-QUERIES["text_missing_mass"] = _text_missing_mass
-ORACLES["agg_cliff_delta"] = _CLIFF_DELTA
-ORACLES["agg_cohens_d"] = _COHENS_D
-ORACLES["text_missing_mass"] = _MISSING_MASS
-
-
-# Embedding-space drift: cosine between the CENTROIDS of two embedding
-# snapshots (vec_id parity split) — the third member of the drift triad
-# (numeric events_ks_test, text text_jsd_drift, embedding this).
-# Exactness: components quantize to 1e-3 bigints at the row level, so
-# per-dimension per-half component SUMS are exact bigints (cosine is
-# scale-invariant — the centroid division by n cancels, so sums stand in
-# for means with ZERO division error); the dot/norm folds over the 64
-# dims are bigint products (~1.8e10 each, 1.2e12 summed — exact), and
-# the only float ops are the terminal sqrt + divide. Headroom: sa*sb
-# stays under 2^63 through ~1e8 vectors per half at this quantum.
-_EMB_DRIFT = """
-WITH q AS (
-  SELECT vec_id % 2 AS half, d.pos AS dim,
-         CAST(ROUND(d.col * 1000, 0) AS BIGINT) AS qv
-  FROM embeddings LATERAL VIEW posexplode(embedding) d AS pos, col
-),
-s AS (
-  SELECT dim,
-         CAST(SUM(CASE WHEN half = 0 THEN qv ELSE 0 END) AS BIGINT) AS sa,
-         CAST(SUM(CASE WHEN half = 1 THEN qv ELSE 0 END) AS BIGINT) AS sb
-  FROM q GROUP BY dim
-),
-m AS (
-  SELECT CAST(SUM(sa * sb) AS BIGINT) AS dot,
-         CAST(SUM(sa * sa) AS BIGINT) AS na,
-         CAST(SUM(sb * sb) AS BIGINT) AS nb,
-         CAST(COUNT(*) AS BIGINT) AS n_dims
-  FROM s
-)
-SELECT n_dims, dot, na, nb,
-       CASE WHEN na > 0 AND nb > 0 THEN
-         ROUND(CAST(dot AS DOUBLE)
-               / SQRT(CAST(na AS DOUBLE) * nb), 6)
-       END AS centroid_cosine
-FROM m
-"""
-
-# DuckDB twin derived from the Spark string: only the array-explode line
-# differs (LATERAL VIEW posexplode vs UNNEST(range)).
-_EMB_DRIFT_DUCK = _EMB_DRIFT.replace(
-    "  SELECT vec_id % 2 AS half, d.pos AS dim,\n"
-    "         CAST(ROUND(d.col * 1000, 0) AS BIGINT) AS qv\n"
-    "  FROM embeddings LATERAL VIEW posexplode(embedding) d AS pos, col",
-    "  SELECT vec_id % 2 AS half, u.i AS dim,\n"
-    "         CAST(ROUND(embedding[u.i] * 1000, 0) AS BIGINT) AS qv\n"
-    "  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)",
-)
-
-
-
-def _sim_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Centroid-cosine drift between two embedding snapshots (vec_id
-    parity halves) — the embedding member of the drift triad. A
-    centroid shift below ~0.999 on a stable corpus means the encoder
-    or the upstream distribution moved. One posexplode + one (dim)
-    aggregation (64-row relation), exact bigint folds, terminal
-    sqrt/divide. Positions differ 0- vs 1-based across engines but are
-    join keys only — never values. See _EMB_DRIFT."""
-    load(spark, sf_dir)
-    return spark.sql(_EMB_DRIFT)
-
-
-QUERIES["sim_embedding_drift"] = _sim_embedding_drift
-ORACLES["sim_embedding_drift"] = _EMB_DRIFT_DUCK
-
-
-def _streaming_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of agg_auc_exact (streaming.stream_auc_exact):
-    incremental distinct-value counts, batch rank-sum identity on the
-    materialized state — graded by the BATCH oracle (17th stream==batch
-    twin; the continuously-maintained eval gate)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_auc_exact(spark, sf_dir)
-
-
-QUERIES["streaming_auc_exact"] = _streaming_auc_exact
-ORACLES["streaming_auc_exact"] = _AUC
-
-
-# Two-sample binomial proportion z-test on conversion: did the hash-
-# split A/B arms convert (event_type = 'purchase' among purchase+click
-# rows) at the same rate? The pooled-proportion z spelled with exact
-# integer counts and ONE terminal float block; the arm assignment is the
-# same salted portable hash as events_ab_test/curation_hash_split
-# (md5-derived, replayed bit-for-bit by the oracle). Completes the A/B
-# toolbox: events_ab_test (means), events_ab_srm (assignment ratio),
-# this (conversion proportions).
-_PROP_ZTEST = """
-WITH t AS (
-  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
-                            16, 10) AS BIGINT) % 2 = 0
-              THEN 'a' ELSE 'b' END AS arm,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-m AS (
-  SELECT CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-         CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
-         CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-         CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
-  FROM t
-)
-SELECT n_a, x_a, n_b, x_b,
-       CASE WHEN n_a > 0 THEN ROUND(CAST(x_a AS DOUBLE) / n_a, 6) END AS p_a,
-       CASE WHEN n_b > 0 THEN ROUND(CAST(x_b AS DOUBLE) / n_b, 6) END AS p_b,
-       CASE WHEN n_a > 0 AND n_b > 0
-             AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
-         ROUND((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
-               / SQRT((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-                      * (1.0 / n_a + 1.0 / n_b)), 4)
-       END AS z_stat
-FROM m
-"""
-
-
-def _events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion pooled z-test on conversion rate across the
-    salted-hash A/B arms — the binary-outcome member of the A/B family
-    (events_ab_test tests means, events_ab_srm the assignment itself).
-    Integer guards exclude the all-convert/none-convert degenerate
-    pooled variance. One fold, zero joins. See _PROP_ZTEST."""
-    load(spark, sf_dir)
-    return spark.sql(_PROP_ZTEST)
-
-
-QUERIES["events_proportion_ztest"] = _events_proportion_ztest
-ORACLES["events_proportion_ztest"] = _PROP_ZTEST.replace(
-    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
-    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
-).replace("AS STRING", "AS VARCHAR")
-
-
-# Simpson diversity / Herfindahl concentration of the per-source doc
-# mix: sum of squared counts over the squared total — EXACT bigint
-# numerator (sum n_i^2; under 2^63 through ~3e9 docs in one source),
-# one terminal division. 1 - D is the probability two random docs come
-# from different sources; pairs with agg_entropy's Shannon view and
-# needs no logarithm at all.
-_SIMPSON = """
-WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents
-           GROUP BY source),
-m AS (SELECT CAST(SUM(n) AS BIGINT) AS nt,
-             CAST(SUM(n * n) AS BIGINT) AS s2,
-             CAST(COUNT(*) AS BIGINT) AS k
-      FROM c)
-SELECT nt AS n_docs, k AS n_sources,
-       CASE WHEN nt > 0 THEN
-         ROUND(CAST(s2 AS DOUBLE) / (CAST(nt AS DOUBLE) * nt), 6)
-       END AS herfindahl,
-       CASE WHEN nt > 1 THEN
-         ROUND(1.0 - CAST(s2 - nt AS DOUBLE)
-                     / (CAST(nt AS DOUBLE) * (nt - 1)), 6)
-       END AS gini_simpson_unbiased
-FROM m
-"""
-
-
-def _agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Simpson/Herfindahl concentration of the source mix — the
-    logarithm-free twin of agg_entropy (exact integer numerators, one
-    terminal division; the unbiased Gini-Simpson uses the
-    sampling-without-replacement correction). One fold over a
-    source-sized relation. See _SIMPSON."""
-    load(spark, sf_dir)
-    return spark.sql(_SIMPSON)
-
-
-QUERIES["agg_simpson_diversity"] = _agg_simpson_diversity
-ORACLES["agg_simpson_diversity"] = _SIMPSON
-
-
-# Reciprocity of the directed purchase-succession graph (same edge set
-# as graph_scc): what fraction of directed edges have their reverse?
-# High reciprocity changes which SCC/propagation algorithms pay off.
-# Exact: distinct directed edges self-joined on the swapped key.
-_RECIPROCITY = """
-WITH e AS (
-  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
-       AND a.l_partkey <> b.l_partkey
-  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
-),
-m AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
-         CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
-           AS n_recip
-  FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
-)
-SELECT n_edges, n_recip,
-       CASE WHEN n_edges > 0 THEN
-         ROUND(CAST(n_recip AS DOUBLE) / n_edges, 6)
-       END AS reciprocity
-FROM m
-"""
-
-
-def _graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edge reciprocity of the directed purchase-succession graph —
-    the directed-structure diagnostic next to graph_assortativity
-    (degree mixing) and graph_clustering_coeff (closure): high
-    reciprocity means the SCC machinery (graph_scc) will find large
-    components, low means the graph is DAG-like and toposort applies.
-    One distinct edge build + one swapped-key self-join, both
-    equality-keyed. See _RECIPROCITY."""
-    load(spark, sf_dir)
-    return spark.sql(_RECIPROCITY)
-
-
-QUERIES["graph_reciprocity"] = _graph_reciprocity
-ORACLES["graph_reciprocity"] = _RECIPROCITY
-
-
-# Lorenz curve of user spend: for each user decile (users ranked by
-# total purchase cents ascending), the EXACT cumulative spend share —
-# agg_gini's single number expanded into the curve a capacity planner
-# actually reads. No user-level global sort: the cumulative runs over
-# the DISTINCT SPEND VALUE relation (equidepth machinery), the 10
-# decile targets use the exactly-divisible-integer ceil spelling, and
-# the within-block interpolation cs + (t - cu)*s is pure bigint — the
-# only floats are the ten terminal share divisions.
-_LORENZ = """
-WITH spend AS (
-  SELECT user_id,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY user_id
-),
-v AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM spend GROUP BY s),
-cum AS (
-  SELECT s, c,
-         CAST(COALESCE(SUM(c) OVER (ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cu,
-         CAST(COALESCE(SUM(s * c) OVER (ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cs
-  FROM v
-),
-n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
-      FROM v),
-d AS (
-  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
-  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
-  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
-),
-tgt AS (
-  SELECT dec,
-         CAST((dec * nu + 9 - (dec * nu + 9) % 10) / 10 AS BIGINT) AS t,
-         ts
-  FROM d CROSS JOIN n
-),
-pick AS (
-  SELECT tgt.dec, tgt.t, tgt.ts,
-         CAST(MIN_BY(cum.cu, cum.s) AS BIGINT) AS cu,
-         CAST(MIN_BY(cum.cs, cum.s) AS BIGINT) AS cs,
-         CAST(MIN(cum.s) AS BIGINT) AS s_at
-  FROM tgt JOIN cum ON cum.cu + cum.c >= tgt.t
-  GROUP BY tgt.dec, tgt.t, tgt.ts
-)
-SELECT CAST(dec AS BIGINT) AS decile, t AS n_users_cum,
-       cs + (t - cu) * s_at AS cum_cents,
-       ROUND(CAST(cs + (t - cu) * s_at AS DOUBLE) / ts, 6) AS spend_share
-FROM pick
-"""
-
-
-# Distinct-spend value relation feeding the cumulative: (s, c, sc) with
-# sc = s*c precomputed so both exclusive cumulatives (user count cu,
-# spend cs) come from one bucketed_cumsum call.
-_LORENZ_VALUES = """
-SELECT s, CAST(COUNT(*) AS BIGINT) AS c,
-       CAST(s * COUNT(*) AS BIGINT) AS sc
-FROM (
-  SELECT user_id,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY user_id
-) GROUP BY s
-"""
-
-# Decile targets + tied-block interpolation over any relation exposing
-# (s, c, cu, cs) — the exclusive cumulatives per distinct spend value.
-_LORENZ_TAIL = """
-WITH n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
-      FROM {cum}),
-d AS (
-  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
-  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
-  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
-),
-tgt AS (
-  SELECT dec,
-         CAST((dec * nu + 9 - (dec * nu + 9) % 10) / 10 AS BIGINT) AS t,
-         ts
-  FROM d CROSS JOIN n
-),
-pick AS (
-  SELECT tgt.dec, tgt.t, tgt.ts,
-         CAST(MIN_BY(cum.cu, cum.s) AS BIGINT) AS cu,
-         CAST(MIN_BY(cum.cs, cum.s) AS BIGINT) AS cs,
-         CAST(MIN(cum.s) AS BIGINT) AS s_at
-  FROM tgt JOIN {cum} cum ON cum.cu + cum.c >= tgt.t
-  GROUP BY tgt.dec, tgt.t, tgt.ts
-)
-SELECT CAST(dec AS BIGINT) AS decile, t AS n_users_cum,
-       cs + (t - cu) * s_at AS cum_cents,
-       ROUND(CAST(cs + (t - cu) * s_at AS DOUBLE) / ts, 6) AS spend_share
-FROM pick
-"""
-
-
-def _events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Lorenz curve of per-user purchase spend (decile -> exact
-    cumulative spend share) — the distributional view whose area gap is
-    agg_gini. The distinct-spend cumulative runs through the two-level
-    stats.bucketed_cumsum spelling (per-bucket parallel windows over
-    spend ranges), so no stage orders the full distinct-spend relation
-    — which approaches |users| — on one partition; exclusive cu/cs are
-    inclusive-minus-own (exact bigints, bit-identical to the
-    single-window _LORENZ contract, which stays as the oracle). Then a
-    10-row broadcast target join + bigint interpolation inside
-    tied-spend blocks."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
-
-    vals = spark.sql(_LORENZ_VALUES)
-    cum = bucketed_cumsum(vals, "s", ("c", "sc"), n_buckets=256).select(
-        "s",
-        "c",
-        (F.col("cum_c") - F.col("c")).alias("cu"),
-        (F.col("cum_sc") - F.col("sc")).alias("cs"),
-    )
-    cum.createOrReplaceTempView("__lorenz_cum")
-    return spark.sql(_LORENZ_TAIL.format(cum="__lorenz_cum"))
-
-
-QUERIES["events_lorenz_curve"] = _events_lorenz_curve
-ORACLES["events_lorenz_curve"] = _LORENZ
-
-
-# Difference-in-differences on purchase value: salted-hash arms x
-# pre/post periods split at the observed midpoint timestamp (a
-# deterministic scalar derived from the data — epoch-micros midpoint of
-# [min ts, max ts], integer arithmetic). The DiD estimate
-# (mean_b_post - mean_b_pre) - (mean_a_post - mean_a_pre) is the
-# experimentation readout that survives arm-level baseline differences
-# an events_ab_test contrast cannot. Four exact (n, sum) cent moments,
-# four terminal mean divisions, one terminal contrast.
-_DID = """
-WITH b AS (
-  SELECT CAST((CAST(UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)
-               + CAST(UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT))
-              / 2 AS BIGINT) AS mid_us
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-t AS (
-  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
-                            16, 10) AS BIGINT) % 2 = 0
-              THEN 'a' ELSE 'b' END AS arm,
-         CASE WHEN CAST(UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS BIGINT)
-                   < mid_us THEN 0 ELSE 1 END AS post,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events CROSS JOIN b
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-m AS (
-  SELECT arm, post,
-         CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s
-  FROM t GROUP BY arm, post
-),
-p AS (
-  SELECT
-    MAX(CASE WHEN arm = 'a' AND post = 0 THEN n END) AS n_a0,
-    MAX(CASE WHEN arm = 'a' AND post = 0 THEN s END) AS s_a0,
-    MAX(CASE WHEN arm = 'a' AND post = 1 THEN n END) AS n_a1,
-    MAX(CASE WHEN arm = 'a' AND post = 1 THEN s END) AS s_a1,
-    MAX(CASE WHEN arm = 'b' AND post = 0 THEN n END) AS n_b0,
-    MAX(CASE WHEN arm = 'b' AND post = 0 THEN s END) AS s_b0,
-    MAX(CASE WHEN arm = 'b' AND post = 1 THEN n END) AS n_b1,
-    MAX(CASE WHEN arm = 'b' AND post = 1 THEN s END) AS s_b1
-  FROM m
-)
-SELECT n_a0, n_a1, n_b0, n_b1,
-       CASE WHEN n_a0 > 0 AND n_a1 > 0 AND n_b0 > 0 AND n_b1 > 0 THEN
-         ROUND((CAST(s_b1 AS DOUBLE) / n_b1 - CAST(s_b0 AS DOUBLE) / n_b0)
-               - (CAST(s_a1 AS DOUBLE) / n_a1 - CAST(s_a0 AS DOUBLE) / n_a0),
-               4)
-       END AS did_cents
-FROM p
-"""
-
-
-def _events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Difference-in-differences on purchase value across the
-    salted-hash arms and a deterministic pre/post midpoint split — the
-    baseline-robust experimentation readout (events_ab_test contrasts
-    levels; this contrasts CHANGES). One scalar midpoint broadcast,
-    one 4-cell fold, terminal arithmetic. See _DID."""
-    load(spark, sf_dir)
-    return spark.sql(_DID)
-
-
-QUERIES["events_did"] = _events_did
-ORACLES["events_did"] = _DID.replace(
-    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
-    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
-).replace(
-    "CAST(UNIX_MICROS(CAST(MIN(ts) AS TIMESTAMP)) AS BIGINT)",
-    "CAST(EPOCH_US(MIN(ts)) AS BIGINT)",
-).replace(
-    "CAST(UNIX_MICROS(CAST(MAX(ts) AS TIMESTAMP)) AS BIGINT)",
-    "CAST(EPOCH_US(MAX(ts)) AS BIGINT)",
-).replace(
-    "CAST(UNIX_MICROS(CAST(ts AS TIMESTAMP)) AS BIGINT)",
-    "CAST(EPOCH_US(ts) AS BIGINT)",
-)
-
-
-# Heaps' law fit: vocabulary size V(n) ~ K * T(n)^beta over the
-# doc-ordered corpus prefix — the growth-curve companion of
-# text_zipf_fit's frequency fit (natural text sits near beta ~ 0.5;
-# template spam saturates early, gibberish grows linearly). Per doc:
-# cumulative token count T and cumulative NEW-word count V (a word is
-# new in the doc holding its MIN doc_id). The regression runs over a
-# LOG-SPACED downsample of the curve — one point per
-# ln(10)/20-of-ln(T) bucket (20 points per token-decade), taking the
-# bucket's last point (T and V are both monotone in doc_id, so
-# (MAX(xq), MAX(yq)) per bucket IS the last doc's pair). That is both
-# the statistically right weighting for a power-law fit (equal weight
-# per decade, not tail-dominated) and the int64 headroom guarantee the
-# unsampled spelling lacked: xq <= ln(1e18)*1e6 ~ 4.2e7, so SUM(xq*xq)
-# needs > ~5,200 points (~260 token-decades) to reach 2^63 — the
-# moment folds can never overflow at any physical corpus size, where
-# the one-point-per-document spelling wrapped silently near 1e4-5e4
-# docs (round-10 ADVICE). Quantize-then-fit contract shared with zipf:
-# both lns quantized to exact 1e-6 bigints, exact bigint moments,
-# closed-form slope/intercept/R^2.
-_HEAPS_POINTS_PER_DECADE = 20
-_HEAPS_QUANTUM = round(2.302585092994046e6 / _HEAPS_POINTS_PER_DECADE, 1)
-
-# Shared tokenize -> (doc_id, n_tokens, n_new) CTE chain (Spark
-# tokenizer; the DuckDB twin swaps the explode line only).
-_HEAPS_DOCREL_CTES = r"""w AS (
-  SELECT doc_id,
-         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
-           AS word
-  FROM documents
-),
-per_doc AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM w GROUP BY doc_id
-),
-firsts AS (
-  SELECT CAST(doc_id AS BIGINT) AS doc_id,
-         CAST(COUNT(*) AS BIGINT) AS n_new
-  FROM (SELECT word, MIN(doc_id) AS doc_id FROM w GROUP BY word)
-  GROUP BY doc_id
-)"""
-
-# Quantize + log-spaced downsample + moments + terminal fit, over any
-# relation exposing the cumulative (t, v) curve. FLOOR(xq / quantum) is
-# exact in double (xq <= ~4.2e7 << 2^53) and spells identically in
-# Spark and DuckDB.
-_HEAPS_TAIL = """q AS (
-  SELECT CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xq,
-         CAST(ROUND(LN(CAST(v AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yq
-  FROM {curve} WHERE t > 0 AND v > 0
-),
-pts AS (
-  SELECT CAST(MAX(xq) AS BIGINT) AS xq, CAST(MAX(yq) AS BIGINT) AS yq
-  FROM q GROUP BY CAST(FLOOR(xq / {quantum}) AS BIGINT)
-),
-m AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
-         CAST(SUM(xq * xq) AS BIGINT) AS sxx,
-         CAST(SUM(xq * yq) AS BIGINT) AS sxy,
-         CAST(SUM(yq * yq) AS BIGINT) AS syy
-  FROM pts
-)
-SELECT k AS n_points,
-  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
-    ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx), 6)
-  END AS heaps_beta,
-  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0 THEN
-    ROUND((CAST(sy AS DOUBLE)
-           - (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-             / (CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             * CAST(sx AS DOUBLE))
-          / CAST(k AS DOUBLE) / 1e6, 6)
-  END AS ln_k,
-  CASE WHEN CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-        AND CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0 THEN
-    ROUND((CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          * (CAST(k AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-          / ((CAST(k AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-             * (CAST(k AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 6)
-  END AS r2
-FROM m
-"""
-
-# Single-window spelling: the global ORDER BY doc_id cumulatives, used
-# as the oracle and by the parity test. The MAIN Spark row runs the
-# two-level stats.bucketed_cumsum spelling instead (below) — this
-# string is the semantics contract, not the shipped plan.
-_HEAPS_SINGLE_WINDOW = (
-    "WITH "
-    + _HEAPS_DOCREL_CTES
-    + """,
-curve AS (
-  SELECT p.doc_id,
-         CAST(SUM(p.n_tokens) OVER (ORDER BY p.doc_id) AS BIGINT) AS t,
-         CAST(SUM(COALESCE(f.n_new, 0)) OVER (ORDER BY p.doc_id) AS BIGINT)
-           AS v
-  FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id
-),
-"""
-    + _HEAPS_TAIL.format(curve="curve", quantum=_HEAPS_QUANTUM)
-)
-
-# DuckDB twin derived from the single-window string: tokenizer line only.
-_HEAPS_DUCK = _HEAPS_SINGLE_WINDOW.replace(
-    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
-    "           AS word",
-    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
-    "                             ' ')) AS word",
-)
-
-
-def _text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heaps'-law vocabulary-growth fit over the doc-ordered corpus —
-    the growth-curve twin of text_zipf_fit (natural text: beta ~ 0.5).
-    The doc-level cumulative (T, V) curve runs through the two-level
-    stats.bucketed_cumsum spelling — per-bucket parallel windows over
-    doc_id ranges + an n_buckets-row offset window — so no stage ever
-    orders more than |docs| / n_buckets rows on one partition (the
-    round-9 verdict's WEAK item on the single-window spelling). Exact
-    bigint sums make the two spellings bit-identical
-    (tests/test_text.py parity test); the fit itself is over the
-    log-spaced downsample, moments exact bigint. Graded by the
-    single-window DuckDB oracle, so a green row IS the parity proof."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
-
-    docrel = spark.sql(
-        "WITH "
-        + _HEAPS_DOCREL_CTES
-        + """
-SELECT CAST(p.doc_id AS BIGINT) AS doc_id, p.n_tokens,
-       CAST(COALESCE(f.n_new, 0) AS BIGINT) AS n_new
-FROM per_doc p LEFT JOIN firsts f ON p.doc_id = f.doc_id"""
-    )
-    curve = bucketed_cumsum(
-        docrel, "doc_id", ("n_tokens", "n_new"), n_buckets=256
-    ).select(
-        F.col("cum_n_tokens").alias("t"), F.col("cum_n_new").alias("v")
-    )
-    curve.createOrReplaceTempView("__heaps_curve")
-    return spark.sql(
-        "WITH "
-        + _HEAPS_TAIL.format(curve="__heaps_curve", quantum=_HEAPS_QUANTUM)
-    )
-
-
-QUERIES["text_heaps_fit"] = _text_heaps_fit
-ORACLES["text_heaps_fit"] = _HEAPS_DUCK
-
-
-# ---------------------------------------------------------------------------
-# Round 10 — ranking-curve eval gates (cumulative gain / lift at deciles,
-# precision at top-k) + Holt double-exponential smoothing. The ranking
-# curves are what a filter-model owner reads NEXT TO agg_auc_exact before
-# shipping: AUC says "the score ranks positives above negatives overall";
-# gain/lift says "the top decile captures X% of positives, Y× random";
-# precision@k says "of the k docs the filter would actually keep, how
-# many are true positives". All three reuse the Mann-Whitney/AUC rank
-# machinery: a distinct-score relation, ONE cumulative (runtime-routed
-# through stats.cumsum_auto — the bucketed spelling from day one), exact
-# bigint interpolation inside tied-score blocks (the Lorenz pattern, but
-# ordered by score DESCENDING via the negated-key trick), terminal
-# divisions only.
-# ---------------------------------------------------------------------------
-
-# Distinct-score relation, ordered for descending-score cumulatives:
-# d = -cents so ascending d == descending score; dp = positives at the
-# score, tc = rows at the score.
-_RANKCURVE_VALUES = """
-SELECT CAST(-c AS BIGINT) AS d,
-       CAST(SUM(pos) AS BIGINT) AS dp,
-       CAST(COUNT(*) AS BIGINT) AS tc
-FROM (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-) GROUP BY c
-"""
-
-# The single-window cumulative spelling (oracle + contract): exclusive
-# cumulative rows (cu) and positives (cp) above each score block.
-_RANKCURVE_CUM_SQL = """
-SELECT d, dp, tc,
-       CAST(COALESCE(SUM(tc) OVER (ORDER BY d
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT) AS cu,
-       CAST(COALESCE(SUM(dp) OVER (ORDER BY d
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-            AS BIGINT) AS cp
-FROM v
-"""
-
-# Gain/lift at each population decile. Interpolation inside a tied-score
-# block distributes the block's dp positives uniformly over its tc rows
-# (the standard convention): pos(t) = cp + (t - cu) * dp / tc, kept
-# exact as the bigint numerator cp*tc + (t-cu)*dp over denominator
-# tc * np (ONE terminal division per output column). Headroom: the
-# numerator is bounded by np*tc + tc*dp <= 2*N*tc — past 2^63 only if a
-# single tied-score block times the corpus both approach ~2e9, i.e. an
-# all-tied 2e9-row corpus; real score columns keep tc << N.
-_GAIN_LIFT_TAIL = """
-WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
-      FROM {cum}),
-k AS (
-  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
-  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
-  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
-),
-tgt AS (
-  SELECT dec,
-         CAST((dec * nr + 9 - (dec * nr + 9) % 10) / 10 AS BIGINT) AS t,
-         np
-  FROM k CROSS JOIN n
-),
-pick AS (
-  SELECT tgt.dec, tgt.t, tgt.np,
-         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
-         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
-         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
-         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
-  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
-  GROUP BY tgt.dec, tgt.t, tgt.np
-)
-SELECT CAST(dec AS BIGINT) AS decile, t AS n_rows_cum,
-       cp * tc + (t - cu) * dp AS pos_num,
-       CASE WHEN np > 0 THEN
-         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
-               / (CAST(tc AS DOUBLE) * np), 6)
-       END AS gain,
-       CASE WHEN np > 0 THEN
-         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
-               / (CAST(tc AS DOUBLE) * np) * 10.0 / dec, 6)
-       END AS lift
-FROM pick
-"""
-
-# Precision among the top-k scored rows, k in {10, 100, 1000, 10000}
-# capped at the population: prec(k) = pos(t)/t with the same exact
-# interpolation numerator over denominator tc * t.
-_PREC_AT_K_TAIL = """
-WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
-      FROM {cum}),
-ks AS (
-  SELECT 10 AS k UNION ALL SELECT 100 UNION ALL SELECT 1000
-  UNION ALL SELECT 10000
-),
-tgt AS (
-  SELECT k, LEAST(CAST(k AS BIGINT), nr) AS t, np FROM ks CROSS JOIN n
-),
-pick AS (
-  SELECT tgt.k, tgt.t, tgt.np,
-         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
-         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
-         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
-         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
-  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
-  GROUP BY tgt.k, tgt.t, tgt.np
-)
-SELECT CAST(k AS BIGINT) AS top_k, t AS n_eff,
-       cp * tc + (t - cu) * dp AS pos_num,
-       CASE WHEN t > 0 THEN
-         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
-               / (CAST(tc AS DOUBLE) * t), 6)
-       END AS p_at_k
-FROM pick
-"""
-
-# The tails are themselves WITH chains; splice them after the shared
-# values + single-window-cumulative CTEs for the oracle spellings.
-_GAIN_LIFT_SINGLE = (
-    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
-    + "),\n" + _GAIN_LIFT_TAIL.replace("WITH ", "", 1).format(cum="cum")
-)
-_PREC_AT_K_SINGLE = (
-    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
-    + "),\n" + _PREC_AT_K_TAIL.replace("WITH ", "", 1).format(cum="cum")
-)
-
-
-def _rankcurve_cum(spark: SparkSession) -> None:
-    """Materialize the descending-score cumulative relation as the
-    __rankcurve_cum temp view via stats.cumsum_auto (runtime-routed:
-    single window under the threshold, two-level bucketed above)."""
-    from datafusion_gpu_spark.operators.stats import cumsum_auto
-
-    vals = spark.sql(_RANKCURVE_VALUES)
-    cum = cumsum_auto(vals, "d", ("tc", "dp")).select(
-        "d",
-        "dp",
-        "tc",
-        (F.col("cum_tc") - F.col("tc")).alias("cu"),
-        (F.col("cum_dp") - F.col("dp")).alias("cp"),
-    )
-    cum.createOrReplaceTempView("__rankcurve_cum")
-
-
-def _agg_gain_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative gain + lift at each population decile for the
-    value-scores-purchases classifier (agg_auc_exact's setup read as a
-    targeting curve): gain = share of all positives captured by the
-    top 10k% of rows by score, lift = gain over the random baseline
-    k/10. Distinct-score relation + ONE runtime-routed cumulative
-    (stats.cumsum_auto — bucketed past the threshold) + a 10-row
-    broadcast decile join with exact bigint tied-block interpolation
-    (the Lorenz machinery ordered by negated score). Graded by the
-    single-window SQL oracle, so a green row is the parity proof."""
-    load(spark, sf_dir)
-    _rankcurve_cum(spark)
-    return spark.sql(_GAIN_LIFT_TAIL.format(cum="__rankcurve_cum"))
-
-
-def _agg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision among the top-k scored rows (k = 10/100/1000/10000,
-    capped at the population) — the acceptance gate for 'keep the k
-    best-scored documents': of what the filter keeps, how much is
-    actually positive. Same machinery as agg_gain_lift_curve with
-    absolute-k targets. Graded by the single-window SQL oracle."""
-    load(spark, sf_dir)
-    _rankcurve_cum(spark)
-    return spark.sql(_PREC_AT_K_TAIL.format(cum="__rankcurve_cum"))
-
-
-QUERIES["agg_gain_lift_curve"] = _agg_gain_lift_curve
-QUERIES["agg_precision_at_k"] = _agg_precision_at_k
-ORACLES["agg_gain_lift_curve"] = _GAIN_LIFT_SINGLE
-ORACLES["agg_precision_at_k"] = _PREC_AT_K_SINGLE
-
-
-# Holt double-exponential smoothing (events.holt_linear): level + trend
-# + one-step forecast per purchase event, exact bigint num/den for BOTH
-# smoothers (S' = the 20-lag power-of-two EWMA; S'' = its self-convolved
-# 39-lag kernel — see operators/events.py), terminal IEEE expressions
-# shared token-for-token with this generated oracle.
-def _holt_oracle(span: int = 20, scale: int = 100) -> str:
-    from datafusion_gpu_spark.operators.events import (
-        holt_terminal_exprs,
-        holt_weights,
-    )
-
-    w1, w2 = holt_weights(span)
-    num1 = " + ".join(
-        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
-    )
-    den1 = " + ".join(
-        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for k, wgt in enumerate(w1)
-    )
-    num2 = " + ".join(
-        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
-    )
-    den2 = " + ".join(
-        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for j, wgt in enumerate(w2)
-    )
-    terms = holt_terminal_exprs(scale)
-    return f"""
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * {scale}) AS BIGINT) AS c
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-l AS (
-  SELECT user_id, event_id,
-         {num1} AS num1,
-         CAST({den1} AS BIGINT) AS den1,
-         {num2} AS num2,
-         CAST({den2} AS BIGINT) AS den2
-  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT user_id, event_id, num1, den1, num2, den2,
-       {terms["level"]} AS level,
-       {terms["trend"]} AS trend,
-       {terms["forecast_next"]} AS forecast_next
-FROM l
-"""
-
-
-def _events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user Holt (Brown double-exponential) smoothing of the
-    purchase value stream — level, trend, and one-step forecast per
-    event (events.holt_linear): the forecasting member of the
-    monitoring family (EWMA smooths level only and lags every ramp;
-    the seasonal profile needs whole periods; this extrapolates).
-    Both smoothers are exact bigint folds over ONE window spec — a
-    single per-user sort, all JVM codegen; the 39-term S'' kernel is
-    the self-convolution that double smoothing collapses to on a
-    truncated window. See _holt_oracle for the shared spelling."""
-    load(spark, sf_dir)
-    purchases = spark.table("events").where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    )
-    return events.holt_linear(purchases, span=20, scale=100)
-
-
-def _streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_holt_smoothing (streaming.stream_holt):
-    per-user bounded state (last 2*span-1 cents), integer-only Python
-    automaton, presentation expressions in Spark after the sink —
-    graded by the BATCH oracle (18th stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_holt(spark, sf_dir)
-
-
-QUERIES["events_holt_smoothing"] = _events_holt_smoothing
-QUERIES["streaming_holt"] = _streaming_holt
-ORACLES["events_holt_smoothing"] = _holt_oracle()
-ORACLES["streaming_holt"] = _holt_oracle()
-
-
-# Holt-Winters additive (events.holt_winters_additive): the seasonal
-# (triple) member of the forecasting family. Causal per-(user, hour-of-day)
-# power-of-two EWMA -> ONE deterministic quantization to integer cents
-# (sq) -> exact bigint deseasonalized series d = c - sq -> Brown double
-# smoothing of d with the SAME holt_weights kernels -> terminal IEEE
-# expressions shared token-for-token (forecast adds sq back). Two window
-# specs = two keyed shuffles of the purchase relation, everything else
-# codegen over exact bigints.
-def _hw_oracle(span: int = 20, season_span: int = 8, scale: int = 100) -> str:
-    from datafusion_gpu_spark.operators.events import (
-        HW_SQ_SQL,
-        holt_weights,
-        holt_winters_terminal_exprs,
-        holt_winters_weights,
-    )
-
-    sw = holt_winters_weights(season_span)
-    s_num = " + ".join(
-        f"COALESCE(lag(c, {k}) OVER ws * {wgt}, 0)"
-        for k, wgt in enumerate(sw, start=1)
-    )
-    s_den = " + ".join(
-        f"(CASE WHEN lag(c, {k}) OVER ws IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for k, wgt in enumerate(sw, start=1)
-    )
-    w1, w2 = holt_weights(span)
-    num1 = " + ".join(
-        f"COALESCE(lag(d, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
-    )
-    den1 = " + ".join(
-        f"(CASE WHEN lag(d, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for k, wgt in enumerate(w1)
-    )
-    num2 = " + ".join(
-        f"COALESCE(lag(d, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
-    )
-    den2 = " + ".join(
-        f"(CASE WHEN lag(d, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for j, wgt in enumerate(w2)
-    )
-    terms = holt_winters_terminal_exprs(scale)
-    return f"""
-WITH p AS (
-  SELECT user_id, event_id, ts, CAST(hour(ts) AS INTEGER) AS slot,
-         CAST(ROUND(value * {scale}) AS BIGINT) AS c
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-s AS (
-  SELECT user_id, event_id, ts, slot, c,
-         {s_num} AS s_num,
-         CAST({s_den} AS BIGINT) AS s_den
-  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
-),
-q AS (
-  SELECT user_id, event_id, ts, slot, c,
-         {HW_SQ_SQL} AS sq
-  FROM s
-),
-dd AS (SELECT *, c - sq AS d FROM q),
-l AS (
-  SELECT user_id, event_id, slot, sq,
-         {num1} AS num1,
-         CAST({den1} AS BIGINT) AS den1,
-         {num2} AS num2,
-         CAST({den2} AS BIGINT) AS den2
-  FROM dd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT user_id, event_id, slot, sq, num1, den1, num2, den2,
-       {terms["seasonal"]} AS seasonal,
-       {terms["level"]} AS level,
-       {terms["trend"]} AS trend,
-       {terms["forecast_next"]} AS forecast_next
-FROM l
-"""
-
-
-def _events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user additive Holt-Winters over the purchase value stream
-    (events.holt_winters_additive): seasonal index (hour-of-day,
-    causal subseries EWMA quantized to cents), level, trend, and
-    seasonal-adjusted one-step forecast per event — the triple-
-    smoothing completion of the forecasting family (EWMA = level;
-    Holt = level+trend; this separates forecast-residual drift from
-    the hour-of-day cohort baseline). Exact bigint folds end-to-end
-    with ONE deterministic mid-plan quantization; see _hw_oracle."""
-    load(spark, sf_dir)
-    purchases = spark.table("events").where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    )
-    return events.holt_winters_additive(purchases, span=20, season_span=8, scale=100)
-
-
-def _streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_holt_winters (streaming.stream_holt_winters):
-    per-user bounded state (per-slot seasonal history, capped at
-    season_span entries per slot, plus the last 2*span-1 deseasonalized
-    cents), integer-only Python automaton with the SAME deterministic
-    sq quantization, presentation expressions in Spark after the sink —
-    graded by the BATCH oracle (20th stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_holt_winters(spark, sf_dir)
-
-
-QUERIES["events_holt_winters"] = _events_holt_winters
-QUERIES["streaming_holt_winters"] = _streaming_holt_winters
-ORACLES["events_holt_winters"] = _hw_oracle()
-ORACLES["streaming_holt_winters"] = _hw_oracle()
-
-
-# Theil's U2 forecast-accuracy ratio (Theil 1966): RMSE of the Holt
-# one-step forecast over RMSE of the naive (last-value) forecast, per
-# the pooled purchase stream — the accuracy gate that closes the
-# forecasting family loop (U2 < 1 means the smoother beats naive; a U2
-# drifting toward 1 says the series turned random-walk and the forecast
-# monitor is adding nothing). The Holt kernel sums are the shared
-# _holt_oracle spelling; the forecast quantizes ONCE to cents (both
-# engines derive identical doubles from the exact bigints), residuals
-# against the PREVIOUS row's forecast and value are exact bigints, and
-# sqrt/divide are terminal. One SQL string runs on both engines.
-def _theil_u2_sql(span: int = 20, scale: int = 100) -> str:
-    from datafusion_gpu_spark.operators.events import (
-        holt_terminal_exprs,
-        holt_weights,
-    )
-
-    w1, w2 = holt_weights(span)
-    num1 = " + ".join(
-        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
-    )
-    den1 = " + ".join(
-        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for k, wgt in enumerate(w1)
-    )
-    num2 = " + ".join(
-        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
-    )
-    den2 = " + ".join(
-        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
-        for j, wgt in enumerate(w2)
-    )
-    fcast = holt_terminal_exprs(scale)["forecast_next"]
-    return f"""
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * {scale}) AS BIGINT) AS c
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-l AS (
-  SELECT user_id, event_id, ts, c,
-         {num1} AS num1,
-         CAST({den1} AS BIGINT) AS den1,
-         {num2} AS num2,
-         CAST({den2} AS BIGINT) AS den2
-  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-f AS (
-  SELECT user_id, event_id, ts, c,
-         CAST(ROUND(({fcast}) * {scale}, 0) AS BIGINT) AS fq
-  FROM l
-),
-d AS (
-  SELECT c,
-         LAG(fq) OVER w AS pf,
-         LAG(c) OVER w AS pc
-  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         CAST(SUM((c - pf) * (c - pf)) AS BIGINT) AS ssf,
-         CAST(SUM((c - pc) * (c - pc)) AS BIGINT) AS ssn
-  FROM d WHERE pf IS NOT NULL AND pc IS NOT NULL
-)
-SELECT n, ssf, ssn,
-       CASE WHEN ssn > 0 THEN
-         ROUND(SQRT(CAST(ssf AS DOUBLE) / ssn), 6)
-       END AS theil_u2
-FROM s
-"""
-
-
-def _events_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil's U2: Holt one-step forecast RMSE over naive last-value
-    RMSE for per-user purchase series — exact bigint residual folds off
-    the shared Holt kernel, terminal sqrt ratio. See _theil_u2_sql."""
-    load(spark, sf_dir)
-    return spark.sql(_theil_u2_sql())
-
-
-QUERIES["events_theil_u2"] = _events_theil_u2
-ORACLES["events_theil_u2"] = _theil_u2_sql()
-
-
-# Croston's intermittent-demand forecast (Croston 1972): the sparse-
-# series member of the forecasting family — EWMA over the calendar
-# series decays to zero between arrivals, so demand SIZES and
-# inter-arrival GAPS smooth separately and the rate forecast is their
-# ratio. Exact bigint num/den folds for both smoothers over ONE window
-# spec (sizes = cents, gaps = epoch-micros); terminal IEEE ratios only.
-def _croston_oracle(span: int = 8, scale: int = 100) -> str:
-    folds_z_num = " + ".join(
-        f"COALESCE(lag(z, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
-        for k in range(span)
-    )
-    folds_z_den = " + ".join(
-        f"(CASE WHEN lag(z, {k}) OVER w IS NOT NULL"
-        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
-        for k in range(span)
-    )
-    folds_g_num = " + ".join(
-        f"COALESCE(lag(g, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
-        for k in range(span)
-    )
-    folds_g_den = " + ".join(
-        f"(CASE WHEN lag(g, {k}) OVER w IS NOT NULL"
-        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
-        for k in range(span)
-    )
-    return f"""
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * {scale}) AS BIGINT) AS z,
-         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS g
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-),
-l AS (
-  SELECT user_id, event_id,
-         {folds_z_num} AS num_z,
-         CAST({folds_z_den} AS BIGINT) AS den_z,
-         {folds_g_num} AS num_g,
-         CAST({folds_g_den} AS BIGINT) AS den_g
-  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT user_id, event_id, num_z, den_z, num_g, den_g,
-       ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}, 6) AS size_hat,
-       CASE WHEN den_g > 0 THEN
-         ROUND(CAST(num_g AS DOUBLE) / den_g / 3.6e9, 6) END AS gap_hours,
-       CASE WHEN den_g > 0 AND num_g > 0 THEN
-         ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}
-               / (CAST(num_g AS DOUBLE) / den_g / 3.6e9), 6) END
-         AS rate_per_hour
-FROM l
-"""
-
-
-def _events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Croston intermittent-demand forecast per user (events.croston):
-    separately smoothed purchase sizes and inter-arrival gaps, rate =
-    size/gap per hour. One keyed shuffle. See _croston_oracle."""
-    load(spark, sf_dir)
-    purchases = spark.table("events").where(
-        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
-    )
-    return events.croston(purchases, span=8, scale=100)
-
-
-QUERIES["events_croston"] = _events_croston
-ORACLES["events_croston"] = _croston_oracle()
-
-
-def _streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_croston (streaming.stream_croston):
-    per-user state is the last span sizes + the last span gaps (None
-    placeholder for the first row's missing gap, exactly the batch
-    column's NULL) + the previous event's epoch-micros — integer-only
-    automaton, presentation expressions after the sink; graded by the
-    BATCH oracle (22nd stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_croston(spark, sf_dir)
-
-
-QUERIES["streaming_croston"] = _streaming_croston
-ORACLES["streaming_croston"] = _croston_oracle()
-
-
-# One-sample KS against uniform on the observed score span — the PIT
-# uniformity gate (a calibrated probabilistic score is uniform after
-# min-max normalization; clumping registers here at full resolution,
-# before the 10-bin reliability curve can see it). Exact integer
-# numerator off the distinct-value cumulative; see stats.ks_uniform.
-_KS_UNIFORM = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
-cum AS (
-  SELECT c, tc, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cc
-  FROM pv
-),
-nn AS (
-  SELECT CAST(SUM(tc) AS BIGINT) AS n, CAST(MIN(c) AS BIGINT) AS lo,
-         CAST(MAX(c) AS BIGINT) AS hi
-  FROM pv
-),
-mx AS (
-  SELECT CAST(MAX(GREATEST(
-           ABS(cc * (hi - lo) - n * (c - lo)),
-           ABS((cc - tc) * (hi - lo) - n * (c - lo))
-         )) AS BIGINT) AS m
-  FROM cum CROSS JOIN nn WHERE hi > lo
-)
-SELECT n, lo, hi,
-       CASE WHEN CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN m END AS d_num,
-       CASE WHEN n > 0 AND hi > lo
-                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
-         ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
-       END AS d_stat,
-       CASE WHEN n > 0 AND hi > lo
-                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
-         (CAST(m AS DOUBLE) * m
-            > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
-       END AS reject_05
-FROM mx CROSS JOIN nn
-"""
-
-
-def _agg_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sample KS uniformity of the pooled min-max-normalized score
-    (operators/stats.ks_uniform, cumsum_auto-routed). See _KS_UNIFORM."""
-    from datafusion_gpu_spark.operators import stats
-
-    load(spark, sf_dir)
-    ev = spark.table("events").where(
-        F.col("event_type").isin("click", "purchase")
-    ).select(F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
-    return stats.ks_uniform(ev, "cents")
-
-
-QUERIES["agg_ks_uniform"] = _agg_ks_uniform
-ORACLES["agg_ks_uniform"] = _KS_UNIFORM
-
-
-# Donchian channel (Donchian, 1960s trend-following): rolling 20-event
-# high/low band per user with the close's position inside the band —
-# the range-based volatility channel next to window_bollinger (stdev
-# band) and window_atr (true-range band). All exact cents; the position
-# ratio is the single terminal division. Pure shared SQL, one keyed
-# window sort.
-_DONCHIAN = """
-WITH p AS (
-  SELECT user_id, event_id, ts,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-w AS (
-  SELECT user_id, event_id, c,
-         CAST(MAX(c) OVER win AS BIGINT) AS hi20,
-         CAST(MIN(c) OVER win AS BIGINT) AS lo20,
-         CAST(COUNT(*) OVER win AS BIGINT) AS n_win
-  FROM p
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
-)
-SELECT user_id, event_id, c, hi20, lo20, n_win,
-       hi20 - lo20 AS width,
-       CASE WHEN hi20 > lo20 THEN
-         ROUND(CAST(c - lo20 AS DOUBLE) / (hi20 - lo20), 6)
-       END AS pos_in_channel
-FROM w
-"""
-
-
-def _window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling 20-event Donchian high/low channel per user — exact-cent
-    rolling extremes, one keyed window sort. See _DONCHIAN."""
-    load(spark, sf_dir)
-    return spark.sql(_DONCHIAN)
-
-
-QUERIES["window_donchian"] = _window_donchian
-ORACLES["window_donchian"] = _DONCHIAN
-
-
-def _ann_recall_contract(spark: SparkSession, seed: int, index_fn) -> DataFrame:
-    """Shared harness for the planted ANN recall contracts (the
-    k-means-IVF grading pattern): seeded 8-cluster corpus (0.15-noise
-    separation), ``index_fn(corpus, queries)`` builds the approximate
-    top-5, and per query the contract emits exactly-k results, cosine
-    monotonically descending, and recall vs the exact top-k >= 0.8
-    (bar at >= 4 of 5 hits). One helper so every path grades the SAME
-    invariant; the oracle is the planted expectation as VALUES."""
-    import numpy as np
-
-    dim = 16
-    rng = np.random.default_rng(seed)
-    centers = rng.normal(size=(8, dim))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    vecs = [centers[c] + 0.15 * rng.normal(size=(40, dim)) for c in range(8)]
-    all_vecs = np.concatenate(vecs)
-    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
-    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    q = df.where(F.col("vec_id").isin([0, 85, 290]))
-    approx = index_fn(df, q)
-    exact = similarity.cosine_topk_vectorized(df, q, k=5)
-    hits = (
-        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
-        .groupBy("query_id")
-        .agg(F.count("*").alias("hits"))
-    )
-    w = Window.partitionBy("query_id").orderBy("rank")
-    flagged = approx.withColumn("prev_cos", F.lag("cosine").over(w))
-    per_q = flagged.groupBy("query_id").agg(
-        F.count("*").alias("n_results"),
-        F.min(
-            (F.col("prev_cos").isNull() | (F.col("cosine") <= F.col("prev_cos")))
-            .cast("int")
-        ).cast("boolean").alias("cosine_desc"),
-    )
-    return per_q.join(hits, "query_id", "left").select(
-        "query_id",
-        "n_results",
-        "cosine_desc",
-        (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
-    )
-
-
-def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH recall contract (_ann_recall_contract, seed 31): signed-
-    random-projection LSH at 5 planes x 8 tables — measured 5/5 exact
-    top-k recovered on every query (6x4 measured 3-5 of 5, so the bar
-    sits two misses below the operating point). Completes the
-    per-ANN-path recall evidence: brute force IS the oracle, IVF has
-    the k-means recall contract (pass-r4), LSH carries this one."""
-    return _ann_recall_contract(
-        spark,
-        31,
-        lambda df, q: similarity.lsh_ann_topk(
-            df, q, k=5, planes=5, num_tables=8, dim=16
-        ),
-    )
-
-
-_LSH_RECALL_ORACLE = """
-SELECT CAST(query_id AS BIGINT) AS query_id,
-       CAST(n_results AS BIGINT) AS n_results,
-       cosine_desc, recall_ok
-FROM (VALUES (0, 5, true, true),
-             (85, 5, true, true),
-             (290, 5, true, true))
-  AS t(query_id, n_results, cosine_desc, recall_ok)
-"""
-
-QUERIES["sim_topk_lsh_recall"] = _sim_topk_lsh_recall
-ORACLES["sim_topk_lsh_recall"] = _LSH_RECALL_ORACLE
-
-
-def _sim_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ recall contract (_ann_recall_contract, seed 37): 8x16 product
-    quantization with 32x oversampled ADC pruning before the exact
-    rerank — measured 5/5 exact-top-k recovery on every query
-    (oversample 8 measured 3-5, so the bar sits one miss below the
-    operating point). With this, EVERY ANN path carries recall
-    evidence: brute force is the oracle, IVF the k-means contract, LSH
-    and PQ these planted contracts."""
-    return _ann_recall_contract(
-        spark,
-        37,
-        lambda df, q: similarity.pq_topk(df, q, k=5, m=8, ksub=16, oversample=32),
-    )
-
-
-QUERIES["sim_topk_pq_recall"] = _sim_topk_pq_recall
-ORACLES["sim_topk_pq_recall"] = _LSH_RECALL_ORACLE
-
-
-def _events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Linear-interpolation gap fill of the per-user hourly grid
-    (events.gap_fill_linear) — the resampling fill a numeric feature
-    store wants where LOCF (events_gap_fill) introduces staircase
-    bias; trailing gaps fall back to LOCF. Exact bigint time ratios,
-    one more per-user window than LOCF."""
-    load(spark, sf_dir)
-    ev = spark.table("events").where(F.col("value").isNotNull())
-    return events.gap_fill_linear(ev, "hour")
-
-
-ORACLES["events_gap_fill_linear"] = """
-WITH ranked AS (
-  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events WHERE value IS NOT NULL
-),
-observed AS (
-  SELECT user_id, bucket, COUNT(*) AS n_obs,
-         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
-  FROM ranked GROUP BY 1, 2
-),
-spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
-          FROM observed GROUP BY 1),
-grid AS (
-  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
-  FROM spans
-),
-j AS (
-  SELECT g.user_id, g.bucket,
-         COALESCE(o.n_obs, 0) AS n_obs,
-         (o.obs_value IS NOT NULL) AS is_observed,
-         o.obs_value
-  FROM grid g LEFT JOIN observed o
-    ON g.user_id = o.user_id AND g.bucket = o.bucket
-),
-w AS (
-  SELECT user_id, bucket, n_obs, is_observed, obs_value,
-         last_value(obs_value IGNORE NULLS) OVER wp AS pv,
-         last_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
-                    IGNORE NULLS) OVER wp AS pt,
-         first_value(obs_value IGNORE NULLS) OVER wf AS nv,
-         first_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
-                     IGNORE NULLS) OVER wf AS nt
-  FROM j
-  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-         wf AS (PARTITION BY user_id ORDER BY bucket
-                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-),
-iv AS (
-  SELECT user_id, bucket, n_obs, is_observed,
-         CASE
-           WHEN is_observed THEN obs_value
-           WHEN nv IS NULL THEN pv
-           ELSE pv + (nv - pv)
-                * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
-                   / (epoch_us(nt) - epoch_us(pt)))
-         END AS v
-  FROM w
-)
-SELECT user_id, bucket, n_obs, is_observed,
-       CAST(ROUND(v * 1e6, 0) AS BIGINT) / 1e6 AS value_interp
-FROM iv
-"""
-QUERIES["events_gap_fill_linear"] = _events_gap_fill_linear
-
-
-# Interrupted time series / segmented regression (the causal-inference
-# workhorse next to events_did: DiD needs a control group, ITS needs
-# only the pre-period trend): split the hourly purchase series at its
-# midpoint and fit OLS per segment from EXACT integer moment folds
-# (n, sum t, sum t^2, sum y, sum t*y — t is the ROW_NUMBER hour index,
-# bounded by calendar time like the runs-test/Page-Hinkley windows);
-# slopes/intercepts/level-at-cutpoint contrasts are terminal doubles in
-# the established (n*sty - st*sy) / (n*stt - st*st) shape. One shared
-# SQL string runs on both engines.
-_ITS_SEGMENTED = """
-WITH hourly AS (
-  SELECT date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY 1
-),
-ix AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS t, y
-  FROM hourly
-),
-nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ix),
-seg AS (
-  SELECT t, y, CASE WHEN 2 * t < nr THEN 0 ELSE 1 END AS s
-  FROM ix CROSS JOIN nn
-),
-m AS (
-  SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(t) AS BIGINT) AS tmin,
-         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
-         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * y) AS BIGINT) AS sty
-  FROM seg GROUP BY s
-),
-f AS (
-  SELECT s, n, tmin, st, sy,
-         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
-           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS slope
-  FROM m
-  WHERE n > 1 AND CAST(n AS DOUBLE) * stt > CAST(st AS DOUBLE) * st
-),
-g AS (
-  SELECT s, n, tmin, slope,
-         (CAST(sy AS DOUBLE) - slope * st) / n AS icept
-  FROM f
-),
-w AS (
-  SELECT MAX(CASE WHEN s = 0 THEN n END) AS n_pre,
-         MAX(CASE WHEN s = 1 THEN n END) AS n_post,
-         MAX(CASE WHEN s = 1 THEN tmin END) AS t0,
-         MAX(CASE WHEN s = 0 THEN slope END) AS b_pre,
-         MAX(CASE WHEN s = 1 THEN slope END) AS b_post,
-         MAX(CASE WHEN s = 0 THEN icept END) AS a_pre,
-         MAX(CASE WHEN s = 1 THEN icept END) AS a_post
-  FROM g
-)
-SELECT n_pre, n_post, t0,
-       ROUND(b_pre / 100, 6) AS slope_pre,
-       ROUND(b_post / 100, 6) AS slope_post,
-       ROUND((b_post - b_pre) / 100, 6) AS slope_change,
-       ROUND(((a_post + b_post * t0) - (a_pre + b_pre * t0)) / 100, 6)
-         AS level_change_at_t0
-FROM w
-"""
-
-
-def _events_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Interrupted-time-series segmented regression of the hourly
-    purchase series around its midpoint — per-segment exact moment
-    folds, terminal OLS closed forms, slope and level-at-cutpoint
-    contrasts. See _ITS_SEGMENTED."""
-    load(spark, sf_dir)
-    return spark.sql(_ITS_SEGMENTED)
-
-
-QUERIES["events_its_segmented"] = _events_its_segmented
-ORACLES["events_its_segmented"] = _ITS_SEGMENTED
-
-
-def _streaming_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of window_donchian (streaming.stream_donchian):
-    per-user state is the last 20 cents — rolling extremes are a pure
-    sliding fold — with the position expression applied after the sink;
-    graded by the BATCH oracle (23rd stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_donchian(spark, sf_dir)
-
-
-QUERIES["streaming_donchian"] = _streaming_donchian
-ORACLES["streaming_donchian"] = _DONCHIAN
-
-
-# Token-frequency Herfindahl concentration: HHI = sum cnt^2 / N^2 and
-# its reciprocal, the EFFECTIVE vocabulary (how many equally-likely
-# types the stream behaves like) — the head-heaviness readout that
-# pairs with text_missing_mass (tail coverage) and text_zipf_fit
-# (slope): one exact bigint fold over the shared tokenization, two
-# terminal divisions. A corpus whose effective vocab collapses between
-# snapshots is template-flooded even when raw vocab still grows.
-# VISIBLE headroom guard (the chi2/CvM/MRR discipline): sum(cnt^2) <=
-# n_tokens * max(cnt), so once that double-computed bound nears 2^63
-# the concentration columns go NULL instead of reading a wrapped fold.
-_TOKEN_HHI = f"""
-WITH toks AS (
-  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
-),
-c AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM toks WHERE token <> '' GROUP BY token
-),
-s AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
-         CAST(COUNT(*) AS BIGINT) AS vocab,
-         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
-         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
-  FROM c
-)
-SELECT n_tokens, vocab, max_cnt,
-       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END
-         AS hhi_num,
-       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
-         ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)
-       END AS hhi,
-       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
-         ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)
-       END AS effective_vocab
-FROM s
-"""
-
-
-def _text_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Herfindahl token concentration + effective vocabulary over the
-    documents token stream — Spark side tokenizes with the shared
-    trim/collapse normalization. See _TOKEN_HHI."""
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(
-        F.explode(
-            F.split(
-                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
-                " ",
-            )
-        ).alias("token")
-    ).where(F.col("token") != "")
-    counts = toks.groupBy("token").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt")
-    )
-    return counts.agg(
-        F.sum("cnt").cast("long").alias("n_tokens"),
-        F.count(F.lit(1)).cast("long").alias("vocab"),
-        F.max("cnt").cast("long").alias("max_cnt"),
-        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
-    ).select(
-        "n_tokens",
-        "vocab",
-        "max_cnt",
-        F.expr(
-            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END"
-        ).alias("hhi_num"),
-        F.expr(
-            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
-            "ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)"
-            " END"
-        ).alias("hhi"),
-        F.expr(
-            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
-            "ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4) END"
-        ).alias("effective_vocab"),
-    )
-
-
-QUERIES["text_token_hhi"] = _text_token_hhi
-ORACLES["text_token_hhi"] = _TOKEN_HHI
-
-
-# TOST equivalence (Schuirmann 1987): the gate that PROVES two
-# distributions' means are the same to within a margin — the inverse of
-# events_ab_test, and what a refactor/no-change deploy check actually
-# needs (failing to reject H0 of difference is not evidence of
-# equivalence). Two one-sided large-sample z tests at delta = $0.50 on
-# the Welch standard error; exact bigint moment folds, terminal IEEE
-# only, NULL when a group is degenerate.
-_TOST = """
-WITH t AS (
-  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-g AS (
-  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
-         CAST(SUM(c * c) AS BIGINT) AS s2
-  FROM t GROUP BY grp
-),
-w AS (
-  SELECT CAST(MAX(CASE WHEN grp = 'click' THEN n END) AS BIGINT) AS n_a,
-         CAST(MAX(CASE WHEN grp = 'click' THEN s1 END) AS BIGINT) AS s1a,
-         CAST(MAX(CASE WHEN grp = 'click' THEN s2 END) AS BIGINT) AS s2a,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN n END) AS BIGINT) AS n_b,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN s1 END) AS BIGINT) AS s1b,
-         CAST(MAX(CASE WHEN grp = 'purchase' THEN s2 END) AS BIGINT) AS s2b
-  FROM g
-),
-v AS (
-  SELECT n_a, n_b,
-         (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) AS mdiff,
-         SQRT((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
-                / (n_a - 1) / n_a
-              + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
-                / (n_b - 1) / n_b) AS se
-  FROM w WHERE n_a > 1 AND n_b > 1
-)
-SELECT n_a, n_b,
-       ROUND(mdiff / 100, 4) AS mean_diff,
-       ROUND(se / 100, 6) AS se,
-       0.5 AS delta,
-       CASE WHEN se > 0 THEN ROUND((mdiff + 50.0) / se, 6) END AS t_lower,
-       CASE WHEN se > 0 THEN ROUND((50.0 - mdiff) / se, 6) END AS t_upper,
-       CASE WHEN se > 0 THEN
-         ((mdiff + 50.0) / se > 1.644854 AND (50.0 - mdiff) / se > 1.644854)
-       END AS equivalent_05
-FROM v
-"""
-
-
-def _agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TOST mean-equivalence of click vs purchase values at a $0.50
-    margin — two one-sided z tests on the Welch standard error from
-    exact moment folds. See _TOST."""
-    load(spark, sf_dir)
-    return spark.sql(_TOST)
-
-
-QUERIES["agg_tost_equivalence"] = _agg_tost_equivalence
-ORACLES["agg_tost_equivalence"] = _TOST
-
-
-def _events_survival_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kaplan-Meier time-to-first-purchase with Greenwood 95% bands
-    (events.survival_km_greenwood): the uncertainty readout the point
-    curve omits — same subjects, same 1e-12 quantized log fold, one
-    more quantized running sum for the variance factor. See the
-    operator docstring for the numeric contract."""
-    load(spark, sf_dir)
-    ep = F.unix_micros(F.col("ts").cast("timestamp"))
-    life = (
-        spark.table("events")
-        .select(
-            "user_id",
-            ep.alias("us"),
-            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
-        )
-        .groupBy("user_id")
-        .agg(
-            F.min("us").alias("start"),
-            F.min("pus").alias("fp"),
-            F.max("us").alias("last"),
-        )
-    )
-    subjects = life.select(
-        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
-        F.col("fp").isNotNull().cast("int").alias("observed"),
-    )
-    return events.survival_km_greenwood(subjects, "duration", "observed")
-
-
-ORACLES["events_survival_greenwood"] = """
-WITH life AS (
-  SELECT user_id,
-         MIN(epoch_us(ts)) AS start,
-         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
-         MAX(epoch_us(ts)) AS last
-  FROM events GROUP BY user_id
-),
-subj AS (
-  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
-         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
-  FROM life
-),
-per_t AS (
-  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
-         CAST(SUM(1 - obs) AS BIGINT) AS c
-  FROM subj GROUP BY t
-),
-risk AS (
-  SELECT t, d,
-         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
-                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
-  FROM per_t
-),
-ev AS (
-  SELECT t, n_risk, d,
-         CASE WHEN d < n_risk
-              THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
-                        AS BIGINT)
-              ELSE 0 END AS lnq,
-         CASE WHEN d < n_risk
-              THEN CAST(ROUND(CAST(d AS DOUBLE)
-                              / (n_risk * (n_risk - d)) * 1e12, 0)
-                        AS BIGINT)
-              ELSE 0 END AS gwq
-  FROM risk WHERE d > 0
-),
-run AS (
-  SELECT t, n_risk, d,
-         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
-         CAST(SUM(gwq) OVER w AS BIGINT) AS sgwq,
-         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead,
-         CAST(MAX(n_risk) OVER w AS BIGINT) AS nmax
-  FROM ev
-  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-),
-fin AS (
-  SELECT t, n_risk, d,
-         CAST(nmax AS DOUBLE) * nmax < 9e18 AS headroom,
-         CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
-              ELSE EXP(slnq / 1e12) END AS sv,
-         CASE WHEN CAST(nmax AS DOUBLE) * nmax >= 9e18 THEN NULL
-              WHEN dead = 1 THEN CAST(0 AS DOUBLE)
-              ELSE EXP(slnq / 1e12) * SQRT(sgwq / 1e12) END AS sev
-  FROM run
-)
-SELECT t, n_risk, d AS n_events,
-       ROUND(sv, 6) AS survival,
-       ROUND(sev, 6) AS se_greenwood,
-       CASE WHEN headroom THEN
-         ROUND(GREATEST(CAST(0 AS DOUBLE), sv - 1.959964 * sev), 6)
-       END AS ci_lo,
-       CASE WHEN headroom THEN
-         ROUND(LEAST(CAST(1 AS DOUBLE), sv + 1.959964 * sev), 6)
-       END AS ci_hi
-FROM fin
-"""
-QUERIES["events_survival_greenwood"] = _events_survival_greenwood
-
-
-# ---------------------------------------------------------------------------
-# Round 10 (continued) — agreement / effect-size / retrieval-rank gates
-# and the Theil inequality index. Same contracts as the rest of the
-# eval family: exact bigint folds, quantized-log tricks where a
-# transcendental enters mid-fold, terminal IEEE expressions only.
-# ---------------------------------------------------------------------------
-
-# Matthews correlation coefficient at the $50 operating point — the
-# single-number confusion summary that stays honest under class
-# imbalance (F1 ignores tn entirely; accuracy saturates). Counts are
-# the _PR_AT_T fold; MCC's four marginal products run in DOUBLE from
-# exact integer operands (n^4 territory — far past bigint, harmless in
-# double: each marginal is exact below 2^53 and the terminal relative
-# error is ~1e-16).
-_MCC = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-m AS (
-  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-  FROM t
-)
-SELECT tp, fp, fn, tn,
-       CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0
-             AND (tn + fp) > 0 AND (tn + fn) > 0 THEN
-         ROUND((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
-               / SQRT(CAST(tp + fp AS DOUBLE) * (tp + fn)
-                      * (tn + fp) * (tn + fn)), 6)
-       END AS mcc
-FROM m
-"""
-
-# Cohen's kappa on the same 2x2 (threshold rater vs. ground truth):
-# chance-corrected agreement — the gate for "is the cheap heuristic
-# labeler actually agreeing with the expensive labels beyond chance".
-# po/pe are terminal doubles from exact counts; kappa spelled as ONE
-# division of integer-exact numerators: kappa = (po - pe) / (1 - pe)
-# = 2*(tp*tn - fp*fn) / ((tp+fp)*(fp+tn) + (tp+fn)*(fn+tn)) — the
-# closed 2x2 form, exact bigint numerator/denominator up to ~2e9 rows.
-_COHEN_KAPPA = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-m AS (
-  SELECT CAST(SUM(CASE WHEN c >= 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-         CAST(SUM(CASE WHEN c >= 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-         CAST(SUM(CASE WHEN c < 5000 AND pos = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-  FROM t
-)
-SELECT tp, fp, fn, tn,
-       CASE WHEN (tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) > 0 THEN
-         ROUND(CAST(2 * (tp * tn - fp * fn) AS DOUBLE)
-               / (CAST(tp + fp AS DOUBLE) * (fp + tn)
-                  + CAST(tp + fn AS DOUBLE) * (fn + tn)), 6)
-       END AS kappa
-FROM m
-"""
-
-
-# Cramér's V effect size for the priority x status contingency — the
-# "is it LARGE" companion to agg_chi2_independence's "is it THERE"
-# (chi2 grows linearly in N at fixed association; V is N-free in
-# [0, 1]). Same CTE fold and the same visible quantization-headroom
-# guard as _CHI2_INDEP; GREATEST clamps the identity's tiny negative
-# quantization residual before the SQRT.
-_CRAMERS_V = """
-WITH obs AS (
-  SELECT o_orderpriority AS r, o_orderstatus AS c,
-         CAST(COUNT(*) AS BIGINT) AS o
-  FROM orders GROUP BY o_orderpriority, o_orderstatus
-),
-rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
-ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
-tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
-q AS (
-  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
-                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
-           AS term_q
-  FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c
-),
-s AS (
-  SELECT CAST(SUM(term_q) AS BIGINT) AS sq,
-         CAST(COUNT(*) AS BIGINT) AS n_cells
-  FROM q
-),
-d AS (
-  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
-         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc
-)
-SELECT n_cells, LEAST(kr - 1, kc - 1) AS k_min,
-       CASE WHEN kr > 1 AND kc > 1
-             AND CAST(nt AS DOUBLE) * n_cells * 5e-13 < 5e-5 THEN
-         ROUND(SQRT(GREATEST(CAST(nt AS DOUBLE)
-                             * (CAST(sq AS DOUBLE) / 1e12 - 1), 0.0)
-                    / (CAST(nt AS DOUBLE) * LEAST(kr - 1, kc - 1))), 6)
-       END AS cramers_v
-FROM s CROSS JOIN tot CROSS JOIN d
-"""
-
-# NDCG at k=100 for value-ranks-purchases (binary relevance): the
-# position-discounted retrieval gate next to precision@k's undiscounted
-# one. Top-k by (score DESC, event_id) is a TakeOrdered — no global
-# sort; ranks come from ONE window over the k-row relation. Each
-# 1/log2(i+1) discount is quantized to a 1e-12 bigint so both DCG sums
-# are exact integer folds (k * 1e12 << 2^63 for any feasible k); IDCG
-# sums the same discounts over the first min(k, n_pos) ranks.
-_NDCG = """
-WITH t AS (
-  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-p AS (SELECT CAST(SUM(rel) AS BIGINT) AS np FROM t),
-topk AS (
-  SELECT rel, c, event_id FROM t ORDER BY c DESC, event_id LIMIT 100
-),
-ranked AS (
-  SELECT rel,
-         ROW_NUMBER() OVER (ORDER BY c DESC, event_id) AS rnk,
-         CAST(ROUND(1e12 / LOG2(ROW_NUMBER() OVER (ORDER BY c DESC, event_id)
-                                + 1), 0) AS BIGINT) AS disc_q
-  FROM topk
-),
-s AS (
-  SELECT CAST(SUM(rel * disc_q) AS BIGINT) AS dcg_q,
-         CAST(COUNT(*) AS BIGINT) AS k_eff
-  FROM ranked
-),
-i AS (
-  SELECT CAST(SUM(disc_q) AS BIGINT) AS idcg_q
-  FROM ranked CROSS JOIN p WHERE rnk <= np
-)
-SELECT k_eff, np AS n_pos,
-       CASE WHEN idcg_q > 0 THEN
-         ROUND(CAST(dcg_q AS DOUBLE) / idcg_q, 6)
-       END AS ndcg_at_k
-FROM s CROSS JOIN i CROSS JOIN p
-"""
-
-# Mean reciprocal rank: per user, rank their events by (score DESC,
-# event_id) and take 1/rank of the first purchase — the "how fast does
-# the ranker surface something relevant per query" gate, with users
-# standing in for queries. Per-user windows partition cleanly (bounded
-# by events-per-user); reciprocal ranks quantize to 1e-12 bigints so
-# the cross-user fold is exact (headroom: 1e12 per user — 9.2e6 users
-# before int64; the quantum is the knob); users with no positive
-# contribute 0 (the standard convention) but are counted. Like the
-# chi2/Mood/Cramér's-V guards, the headroom limit is VISIBLE: past
-# 9e6 users the query emits NULL mrr (with n_users/n_hit intact)
-# instead of silently wrapping — shrink the quantum to trade precision
-# for population.
-_MRR = """
-WITH t AS (
-  SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS rel
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-r AS (
-  SELECT user_id, rel,
-         ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY c DESC, event_id) AS rnk
-  FROM t
-),
-fr AS (
-  SELECT user_id,
-         CAST(MIN(CASE WHEN rel = 1 THEN rnk END) AS BIGINT) AS first_pos
-  FROM r GROUP BY user_id
-),
-q AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
-         CAST(COUNT(first_pos) AS BIGINT) AS n_hit,
-         CAST(SUM(CASE WHEN first_pos IS NOT NULL
-                  THEN CAST(ROUND(1e12 / first_pos, 0) AS BIGINT)
-                  ELSE 0 END) AS BIGINT) AS rr_q
-  FROM fr
-)
-SELECT n_users, n_hit,
-       CASE WHEN n_users > 0 AND n_users < 9000000 THEN
-         ROUND(rr_q / 1e12 / n_users, 6)
-       END AS mrr
-FROM q
-"""
-
-# Theil T inequality index of per-user purchase spend — the
-# log-additive member of the inequality family (agg_gini gives the
-# area gap; events_lorenz_curve the full curve; Theil is the one that
-# DECOMPOSES between+within groups and is what a mixture-balance
-# monitor tracks). T = (1/N) sum_i (s_i/mu) ln(s_i/mu) over the
-# distinct-spend relation: each value's term quantizes to a 1e9 bigint
-# before the c-weighted fold (sum bounded by 1e9 * N * ln N — int64-safe
-# to N ~ 1e9 users; the quantum is the knob), normalized view
-# theil_norm = T / ln N in [0, 1] as terminal doubles.
-_THEIL = """
-WITH spend AS (
-  SELECT user_id,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS s
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-  GROUP BY user_id
-),
-v AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS c FROM spend WHERE s > 0
-      GROUP BY s),
-n AS (SELECT CAST(SUM(c) AS BIGINT) AS nu, CAST(SUM(s * c) AS BIGINT) AS ts
-      FROM v),
-q AS (
-  SELECT CAST(SUM(c * CAST(ROUND(CAST(s AS DOUBLE) * nu / ts
-                                 * LN(CAST(s AS DOUBLE) * nu / ts)
-                                 * 1e9, 0) AS BIGINT)) AS BIGINT) AS tq
-  FROM v CROSS JOIN n
-)
-SELECT nu AS n_users,
-       CASE WHEN nu > 0 THEN ROUND(tq / 1e9 / nu, 6) END AS theil_t,
-       CASE WHEN nu > 1 THEN
-         ROUND(tq / 1e9 / nu / LN(CAST(nu AS DOUBLE)), 6)
-       END AS theil_norm
-FROM q CROSS JOIN n
-"""
-
-
-def _agg_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matthews correlation at the $50 operating point — the
-    imbalance-honest single-number confusion summary next to
-    agg_pr_at_threshold (F1 never reads tn). One fold, one terminal
-    SQRT expression over exact counts. See _MCC."""
-    load(spark, sf_dir)
-    return spark.sql(_MCC)
-
-
-def _agg_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohen's kappa between the $50-threshold rater and ground truth —
-    chance-corrected agreement, the gate for heuristic-labeler quality.
-    Closed 2x2 form 2(tp*tn - fp*fn)/((tp+fp)(fp+tn) + (tp+fn)(fn+tn)):
-    ONE terminal division of exact products. See _COHEN_KAPPA."""
-    load(spark, sf_dir)
-    return spark.sql(_COHEN_KAPPA)
-
-
-def _agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V effect size over the priority x status contingency —
-    the N-free association strength companion to
-    agg_chi2_independence (same fold, same visible headroom guard).
-    See _CRAMERS_V."""
-    load(spark, sf_dir)
-    return spark.sql(_CRAMERS_V)
-
-
-def _agg_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NDCG@100 for the value-ranks-purchases retrieval view — the
-    position-discounted twin of agg_precision_at_k. Top-k via
-    TakeOrdered (no global sort), quantized-discount exact folds over
-    the k-row relation. See _NDCG."""
-    load(spark, sf_dir)
-    return spark.sql(_NDCG)
-
-
-def _agg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mean reciprocal rank of the first purchase per user under the
-    value ranking — the per-query retrieval gate (users as queries).
-    Per-user windows, quantized reciprocal ranks, one exact fold. See
-    _MRR."""
-    load(spark, sf_dir)
-    return spark.sql(_MRR)
-
-
-def _events_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Theil T inequality index (+ ln-N-normalized form) of per-user
-    purchase spend — the decomposable inequality gate next to agg_gini
-    and events_lorenz_curve, over the distinct-spend relation with a
-    quantized-log exact fold. See _THEIL."""
-    load(spark, sf_dir)
-    return spark.sql(_THEIL)
-
-
-QUERIES["agg_mcc"] = _agg_mcc
-QUERIES["agg_cohen_kappa"] = _agg_cohen_kappa
-QUERIES["agg_cramers_v"] = _agg_cramers_v
-QUERIES["agg_ndcg_at_k"] = _agg_ndcg_at_k
-QUERIES["agg_mrr"] = _agg_mrr
-QUERIES["events_theil_index"] = _events_theil_index
-ORACLES["agg_mcc"] = _MCC
-ORACLES["agg_cohen_kappa"] = _COHEN_KAPPA
-ORACLES["agg_cramers_v"] = _CRAMERS_V
-ORACLES["agg_ndcg_at_k"] = _NDCG
-ORACLES["agg_mrr"] = _MRR
-ORACLES["events_theil_index"] = _THEIL
-
-
-# Brier score of the min-max-normalized value score against the
-# purchase label, plus the base-rate reference and the skill score
-# BSS = 1 - BS/BS_ref — the PROPER-scoring companion to
-# agg_calibration_bins (calibration shows WHERE the probabilities are
-# off; Brier charges for it). p = (c - lo)/(hi - lo) is exact-operand
-# IEEE per distinct score value; each value's (p - y)^2 terms quantize
-# to 1e9 bigints BEFORE the count-weighted fold (bias <= 0.5e-9 per
-# row against a [0,1] statistic — invisible at 6dp; int64-safe to
-# ~9e9 rows, the quantum is the knob).
-_BRIER = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
-  FROM events
-  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
-),
-v AS (
-  SELECT c, CAST(SUM(pos) AS BIGINT) AS dp, CAST(COUNT(*) AS BIGINT) AS tc
-  FROM t GROUP BY c
-),
-rng AS (SELECT CAST(MIN(c) AS BIGINT) AS lo, CAST(MAX(c) AS BIGINT) AS hi
-        FROM v),
-q AS (
-  SELECT CAST(SUM(dp) AS BIGINT) AS np,
-         CAST(SUM(tc) AS BIGINT) AS n,
-         CAST(SUM(
-           dp * CAST(ROUND(POWER(CAST(c - lo AS DOUBLE) / (hi - lo) - 1.0, 2)
-                           * 1e9, 0) AS BIGINT)
-           + (tc - dp) * CAST(ROUND(POWER(CAST(c - lo AS DOUBLE) / (hi - lo), 2)
-                                    * 1e9, 0) AS BIGINT)
-         ) AS BIGINT) AS bs_q
-  FROM v CROSS JOIN rng WHERE hi > lo
-)
-SELECT n, np,
-       ROUND(bs_q / 1e9 / n, 6) AS brier,
-       ROUND(CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n), 6)
-         AS brier_ref,
-       CASE WHEN np > 0 AND np < n THEN
-         ROUND(1.0 - (bs_q / 1e9 / n)
-               / (CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n)), 6)
-       END AS brier_skill
-FROM q
-"""
-
-# Two-proportion power analysis: given the OBSERVED conversion rates of
-# the two salted-hash arms (events_ab_srm's split), the per-arm sample
-# size needed to detect that difference at alpha=.05 two-sided with 80%
-# power — the "how long must this experiment run" readout next to
-# events_proportion_ztest's "is it significant yet". Closed textbook
-# form (Fleiss); z constants embedded to 6dp; counts exact, n_needed is
-# a terminal CEIL.
-_POWER_ANALYSIS = """
-WITH t AS (
-  SELECT CASE WHEN CAST(CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),
-                            16, 10) AS BIGINT) % 2 = 0
-              THEN 'a' ELSE 'b' END AS arm,
-         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
-  FROM events WHERE event_type IN ('click', 'purchase')
-),
-m AS (
-  SELECT
-    CAST(SUM(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-    CAST(SUM(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
-    CAST(SUM(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-    CAST(SUM(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT) AS x_b
-  FROM t
-),
-p AS (
-  SELECT n_a, n_b, x_a, x_b,
-         CAST(x_a AS DOUBLE) / n_a AS p_a,
-         CAST(x_b AS DOUBLE) / n_b AS p_b,
-         CAST(x_a + x_b AS DOUBLE) / (n_a + n_b) AS p_bar
-  FROM m WHERE n_a > 0 AND n_b > 0
-)
-SELECT n_a, n_b,
-       ROUND(p_a, 6) AS rate_a, ROUND(p_b, 6) AS rate_b,
-       CASE WHEN p_a <> p_b THEN
-         CAST(CEIL(
-           POWER(1.959964 * SQRT(2.0 * p_bar * (1.0 - p_bar))
-                 + 0.841621 * SQRT(p_a * (1.0 - p_a) + p_b * (1.0 - p_b)), 2)
-           / ((p_a - p_b) * (p_a - p_b))) AS BIGINT)
-       END AS n_per_arm_80pct
-FROM p
-"""
-
-# Geometric + harmonic means of purchase values — the multiplicative
-# and rate-style aggregate members next to the arithmetic family
-# (gmean for ratios/growth factors, hmean for rates; the classic
-# AM >= GM >= HM inequality is the built-in sanity check). Per
-# distinct cent value, ln(c) and 1e12/c quantize to bigints before the
-# count-weighted folds (exact, order-free; ln headroom: 1e9 quantum *
-# ln(1e8) * N — int64-safe past 1e8 rows).
-_GMEAN_HMEAN = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events
-  WHERE event_type = 'purchase' AND value IS NOT NULL
-    AND value > 0
-),
-v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
-q AS (
-  SELECT CAST(SUM(cnt) AS BIGINT) AS n,
-         CAST(SUM(c * cnt) AS BIGINT) AS s1,
-         CAST(SUM(cnt * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e9, 0)
-                             AS BIGINT)) AS BIGINT) AS lnq,
-         CAST(SUM(cnt * CAST(ROUND(1e12 / c, 0) AS BIGINT)) AS BIGINT)
-           AS invq
-  FROM v
-)
-SELECT n,
-       ROUND(CAST(s1 AS DOUBLE) / n / 100, 6) AS amean,
-       ROUND(EXP(lnq / 1e9 / n) / 100, 6) AS gmean,
-       CASE WHEN invq > 0 THEN
-         ROUND(CAST(n AS DOUBLE) / (invq / 1e12) / 100, 6)
-       END AS hmean
-FROM q
-"""
-
-
-def _agg_brier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brier score (+ base-rate reference and skill score) of the
-    min-max-normalized value score against the purchase label — the
-    proper-scoring eval gate next to agg_calibration_bins. Distinct-
-    value relation, quantized squared-error fold, terminal divisions.
-    See _BRIER."""
-    load(spark, sf_dir)
-    return spark.sql(_BRIER)
-
-
-def _events_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-proportion sample-size (power) analysis on the salted-hash
-    arms: per-arm n needed to detect the observed rate difference at
-    alpha=.05 / 80% power (Fleiss closed form) — the experiment-
-    duration planner next to events_proportion_ztest. One fold,
-    terminal arithmetic. See _POWER_ANALYSIS."""
-    load(spark, sf_dir)
-    return spark.sql(_POWER_ANALYSIS)
-
-
-def _agg_gmean_hmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geometric and harmonic means of purchase values (with the
-    arithmetic mean for the AM >= GM >= HM sanity chain) — quantized
-    ln / reciprocal folds over the distinct-value relation. See
-    _GMEAN_HMEAN."""
-    load(spark, sf_dir)
-    return spark.sql(_GMEAN_HMEAN)
-
-
-QUERIES["agg_brier_score"] = _agg_brier_score
-QUERIES["events_power_analysis"] = _events_power_analysis
-QUERIES["agg_gmean_hmean"] = _agg_gmean_hmean
-ORACLES["agg_brier_score"] = _BRIER
-ORACLES["events_power_analysis"] = _POWER_ANALYSIS.replace(
-    "CONV(SUBSTRING(MD5(CAST(user_id AS STRING)), 1, 15),\n                            16, 10)",
-    "('0x' || SUBSTRING(MD5(CAST(user_id AS VARCHAR)), 1, 15))",
-)
-ORACLES["agg_gmean_hmean"] = _GMEAN_HMEAN
-
-
-# Word burstiness: the variance-to-mean ratio (index of dispersion) of
-# each word's per-document term frequency over the WHOLE corpus
-# (zero-count docs included — that is what distinguishes a bursty
-# topical word from a uniformly sprinkled function word; Church & Gale
-# 1995). Sparse algebra keeps it one aggregation: with ND docs and a
-# word's (s1, s2) = (sum tf, sum tf^2) over docs containing it,
-# VMR = (ND*s2 - s1^2) / (ND*s1) exactly (zeros add nothing to s1/s2).
-# Exact bigint numerator (headroom: ND*s2 <= 2^63 needs corpus token
-# mass^2/doc ~ 9e18 — ~3e9 occurrences of one word); terminal
-# division; top-20 by VMR with word tiebreak, support floor s1 >= 5.
-_BURSTINESS_SPARK = r"""
-WITH w AS (
-  SELECT doc_id,
-         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
-           AS word
-  FROM documents
-),
-nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
-       FROM documents),
-tf AS (
-  SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS f
-  FROM w WHERE word <> '' GROUP BY word, doc_id
-),
-m AS (
-  SELECT word,
-         CAST(SUM(f) AS BIGINT) AS s1,
-         CAST(SUM(f * f) AS BIGINT) AS s2,
-         CAST(COUNT(*) AS BIGINT) AS n_docs_with
-  FROM tf GROUP BY word
-)
-SELECT word, s1 AS n_occurrences, n_docs_with,
-       ROUND((CAST(n_docs AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-             / (CAST(n_docs AS DOUBLE) * s1), 6) AS vmr
-FROM m CROSS JOIN nd
-WHERE s1 >= 5
-ORDER BY vmr DESC, word
-LIMIT 20
-"""
-
-_BURSTINESS_DUCK = _BURSTINESS_SPARK.replace(
-    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
-    "           AS word",
-    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
-    "                             ' ')) AS word",
-)
-
-
-def _text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 burstiest words by variance-to-mean ratio of per-doc term
-    frequency over the whole corpus (zeros included via sparse
-    algebra) — the topicality diagnostic next to text_zipf_fit
-    (frequency) and text_heaps_fit (growth): function words sit near
-    VMR ~ 1 (Poisson), topical words far above. One word-doc
-    aggregation + one word fold, exact bigint moments, terminal
-    division, TakeOrdered top-20. See _BURSTINESS_SPARK."""
-    load(spark, sf_dir)
-    return spark.sql(_BURSTINESS_SPARK)
-
-
-QUERIES["text_burstiness"] = _text_burstiness
-ORACLES["text_burstiness"] = _BURSTINESS_DUCK
-
-
-# Per-source exact-duplicate diagnostics: for each source, how many
-# docs, how many distinct normalized texts, the duplication rate and
-# the rows a dedup pass would remove — the per-provenance readout a
-# corpus owner reads BEFORE running dedup_exact (which source is
-# polluting the mix?). One (source, hash) aggregation + one source
-# fold; md5 of the normalized text is the portable identity (the
-# dedup_exact contract).
-_DUP_RATE_BY_SOURCE = """
-WITH t AS (
-  SELECT source,
-         MD5(regexp_replace(trim(lower(text)), '\\\\s+', ' ')) AS h
-  FROM documents
-),
-g AS (
-  SELECT source, h, CAST(COUNT(*) AS BIGINT) AS cnt
-  FROM t GROUP BY source, h
-)
-SELECT source,
-       CAST(SUM(cnt) AS BIGINT) AS n_docs,
-       CAST(COUNT(*) AS BIGINT) AS n_distinct,
-       CAST(SUM(cnt) - COUNT(*) AS BIGINT) AS n_removable,
-       ROUND(CAST(SUM(cnt) - COUNT(*) AS DOUBLE) / SUM(cnt), 6) AS dup_rate
-FROM g GROUP BY source
-"""
-
-# Tukey-fence outlier audit on purchase cents: exact quartiles from the
-# distinct-value cumulative (the equidepth machinery with 4 targets),
-# fences doubled so 1.5*IQR stays integer (2*fence_lo = 5*q1 - 3*q3;
-# 2*fence_hi = 5*q3 - 3*q1), outliers counted by exact predicates on
-# 2c. The classic box-plot audit next to events_anomaly_mad (median
-# robust) and events_winsorize (quantile clamp).
-_TUKEY = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
-cum AS (
-  SELECT c, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cu
-  FROM v
-),
-n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
-tgt AS (
-  SELECT j, CAST((j * nr + 3 - (j * nr + 3) % 4) / 4 AS BIGINT) AS t
-  FROM (SELECT 1 AS j UNION ALL SELECT 3) CROSS JOIN n
-),
-qs AS (
-  SELECT MAX(CASE WHEN j = 1 THEN q END) AS q1,
-         MAX(CASE WHEN j = 3 THEN q END) AS q3
-  FROM (
-    SELECT tgt.j, CAST(MIN(cum.c) AS BIGINT) AS q
-    FROM tgt JOIN cum ON cum.cu + cum.cnt >= tgt.t
-    GROUP BY tgt.j
-  )
-)
-SELECT nr AS n, q1, q3, (q3 - q1) AS iqr,
-       CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3 THEN cnt ELSE 0 END)
-            AS BIGINT) AS n_below,
-       CAST(SUM(CASE WHEN 2 * c > 5 * q3 - 3 * q1 THEN cnt ELSE 0 END)
-            AS BIGINT) AS n_above,
-       ROUND(CAST(SUM(CASE WHEN 2 * c < 5 * q1 - 3 * q3
-                            OR 2 * c > 5 * q3 - 3 * q1
-                           THEN cnt ELSE 0 END) AS DOUBLE) / nr, 6)
-         AS outlier_rate
-FROM v CROSS JOIN qs CROSS JOIN n
-GROUP BY nr, q1, q3
-"""
-
-# Maximum drawdown of each user's purchase-value path: the largest
-# peak-to-trough drop max_t (max_{s<=t} v_s - v_t) — the worst-case
-# regression a monitor quotes for a per-source quality score over
-# time. Two per-user windows (running max, then max of the gap), all
-# exact cents, partitions bounded by events-per-user.
-_MAX_DRAWDOWN = """
-WITH t AS (
-  SELECT user_id, ts, event_id,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-r AS (
-  SELECT user_id, c,
-         CAST(MAX(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS BIGINT) AS peak
-  FROM t
-)
-SELECT user_id,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(MAX(peak) AS BIGINT) AS peak_cents,
-       CAST(MAX(peak - c) AS BIGINT) AS max_drawdown_cents,
-       CASE WHEN MAX(peak) > 0 THEN
-         ROUND(CAST(MAX(peak - c) AS DOUBLE) / MAX(peak), 6)
-       END AS max_drawdown_frac
-FROM r GROUP BY user_id
-"""
-
-
-def _curation_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source exact-duplicate rate over normalized-text md5 — the
-    provenance diagnostic upstream of dedup_exact (which source
-    pollutes the mix). One (source, hash) aggregation + one source
-    fold. See _DUP_RATE_BY_SOURCE."""
-    load(spark, sf_dir)
-    return spark.sql(_DUP_RATE_BY_SOURCE)
-
-
-def _agg_tukey_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tukey 1.5-IQR box-plot outlier audit on purchase cents: exact
-    quartiles from the distinct-value cumulative, doubled-fence
-    integer predicates, outlier counts + rate. See _TUKEY."""
-    load(spark, sf_dir)
-    return spark.sql(_TUKEY)
-
-
-def _events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user maximum drawdown (largest running-peak-to-current drop)
-    of the purchase-value path — the worst-case-regression readout for
-    per-key quality series. Two bounded per-user windows, exact cents.
-    See _MAX_DRAWDOWN."""
-    load(spark, sf_dir)
-    return spark.sql(_MAX_DRAWDOWN)
-
-
-QUERIES["curation_dup_rate_by_source"] = _curation_dup_rate_by_source
-QUERIES["agg_tukey_fences"] = _agg_tukey_fences
-QUERIES["events_max_drawdown"] = _events_max_drawdown
-ORACLES["curation_dup_rate_by_source"] = _DUP_RATE_BY_SOURCE.replace(
-    "regexp_replace(trim(lower(text)), '\\\\s+', ' ')",
-    "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')",
-)
-ORACLES["agg_tukey_fences"] = _TUKEY
-ORACLES["events_max_drawdown"] = _MAX_DRAWDOWN
-
-
-def _streaming_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of events_max_drawdown
-    (streaming.stream_max_drawdown): three-bigint per-user fold state
-    (running peak / worst drawdown / count), batch finish picks each
-    user's latest update — graded by the BATCH oracle (19th
-    stream==batch twin)."""
-    load(spark, sf_dir)
-    from datafusion_gpu_spark import streaming
-
-    return streaming.stream_max_drawdown(spark, sf_dir)
-
-
-QUERIES["streaming_max_drawdown"] = _streaming_max_drawdown
-ORACLES["streaming_max_drawdown"] = _MAX_DRAWDOWN
-
-
-# Poisson(1) bootstrap CI for the mean purchase value: B=32 replicates
-# computed in ONE scan with ZERO row expansion — replicate b weights
-# each row by a deterministic Poisson(1) draw w_b derived from
-# md5(event_id, b) (the distributed bootstrap standard: Poisson weights
-# make replicates independent of partitioning and need no resample
-# shuffle; Chamandy et al. / Kleiner et al.'s observation), so the
-# aggregation is 64 exact bigint sums folded map-side. The draw is the
-# exact integer comparison chain u >= T_j on u = hash % 1e6 against the
-# 1e6-scaled Poisson(1) CDF thresholds — identical on any engine, no
-# float RNG. Each replicate mean quantizes to a 1e6 bigint (one IEEE
-# division + round) before the tiny 32-row moment fold, so the
-# bootstrap SE is exact integer algebra; the interval is the
-# bootstrap-normal mean ± 1.959964*SE (terminal doubles only).
-_BOOTSTRAP_B = 32
-#: 1e6-scaled cumulative Poisson(1) probabilities P(X <= k), k = 0..5;
-#: weights cap at 6 (residual mass 6e-7, below the emitted rounding).
-_POIS_T = (367879, 735759, 919699, 981012, 996340, 999406)
-
-
-def _bootstrap_sql(hash_expr: str) -> str:
-    wcols = []
-    for b in range(_BOOTSTRAP_B):
-        u = hash_expr.format(b=b)
-        w = " + ".join(f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)"
-                       for t in _POIS_T)
-        wcols.append(f"CAST({w} AS BIGINT) AS w{b}")
-    sums = ", ".join(
-        f"CAST(SUM(w{b} * c) AS BIGINT) AS n{b}, "
-        f"CAST(SUM(w{b}) AS BIGINT) AS d{b}"
-        for b in range(_BOOTSTRAP_B)
-    )
-    # Replicate means enter the moment fold CENTERED on the sample mean
-    # and quantized to 1e-3 cents: variance is translation-invariant, so
-    # centering changes nothing statistically but keeps mq small (SE
-    # scale, not mean scale) — the uncentered 1e6-quantized spelling
-    # overflowed int64 in SUM(mq*mq) at ordinary cent magnitudes. The
-    # 32-replicate moments are then SCALAR expressions over the single
-    # fold row — never an UNPIVOT/UNION back-reference to the fold CTE,
-    # which Spark inlines (the first spelling audited 33 shuffles: each
-    # UNION ALL branch re-derived the whole aggregation).
-    mqs = ", ".join(
-        f"CASE WHEN d{b} > 0 THEN CAST(ROUND((CAST(n{b} AS DOUBLE) / d{b}"
-        f" - CAST(sc AS DOUBLE) / n) * 1e3, 0) AS BIGINT) END AS mq{b}"
-        for b in range(_BOOTSTRAP_B)
-    )
-    bk = " + ".join(
-        f"(CASE WHEN mq{b} IS NOT NULL THEN 1 ELSE 0 END)"
-        for b in range(_BOOTSTRAP_B)
-    )
-    s1 = " + ".join(f"COALESCE(mq{b}, 0)" for b in range(_BOOTSTRAP_B))
-    s2 = " + ".join(
-        f"COALESCE(mq{b} * mq{b}, 0)" for b in range(_BOOTSTRAP_B)
-    )
-    return f"""
-WITH t AS (
-  SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-w AS (
-  SELECT c, {", ".join(wcols)}
-  FROM t
-),
-s AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS sc,
-         {sums}
-  FROM w
-),
-q AS (
-  SELECT n, sc, {mqs} FROM s
-),
-m AS (
-  SELECT n, sc,
-         CAST({bk} AS BIGINT) AS bk,
-         CAST({s1} AS BIGINT) AS s1,
-         CAST({s2} AS BIGINT) AS s2
-  FROM q
-)
-SELECT n, bk AS n_replicates,
-       ROUND(CAST(sc AS DOUBLE) / n / 100, 6) AS mean_value,
-       CASE WHEN bk > 1 THEN
-         ROUND(SQRT((CAST(bk AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
-                    / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3 / 100, 6)
-       END AS boot_se,
-       CASE WHEN bk > 1 THEN
-         ROUND((CAST(sc AS DOUBLE) / n
-                - 1.959964 * SQRT((CAST(bk AS DOUBLE) * s2
-                                   - CAST(s1 AS DOUBLE) * s1)
-                                  / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3)
-               / 100, 6)
-       END AS ci_lo,
-       CASE WHEN bk > 1 THEN
-         ROUND((CAST(sc AS DOUBLE) / n
-                + 1.959964 * SQRT((CAST(bk AS DOUBLE) * s2
-                                   - CAST(s1 AS DOUBLE) * s1)
-                                  / (CAST(bk AS DOUBLE) * (bk - 1))) / 1e3)
-               / 100, 6)
-       END AS ci_hi
-FROM m
-"""
-
-
-_BOOT_HASH_SPARK = ("(CAST(CONV(SUBSTRING(MD5(CONCAT(CAST(event_id AS STRING),"
-                    " '_', '{b}')), 1, 15), 16, 10) AS BIGINT) % 1000000)")
-_BOOT_HASH_DUCK = ("(CAST(('0x' || SUBSTRING(MD5(CAST(event_id AS VARCHAR) ||"
-                   " '_' || '{b}'), 1, 15)) AS BIGINT) % 1000000)")
-
-
-def _events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Poisson(1) bootstrap 95% CI for the mean purchase value — the
-    distribution-free uncertainty gate next to events_ab_test's
-    parametric one. One scan, zero row expansion (B=32 deterministic
-    md5-derived integer weights per row folded map-side), replicate
-    means quantized before a 32-row exact moment fold, bootstrap-normal
-    terminal interval. See _bootstrap_sql."""
-    load(spark, sf_dir)
-    return spark.sql(_bootstrap_sql(_BOOT_HASH_SPARK))
-
-
-QUERIES["events_bootstrap_ci"] = _events_bootstrap_ci
-ORACLES["events_bootstrap_ci"] = _bootstrap_sql(_BOOT_HASH_DUCK)
-
-
-# Class-balanced downsample over the documents corpus: every language
-# keeps exactly min-class-count docs, selected by deterministic md5
-# rank (seeded shuffle order, the curation_hash_split contract) — the
-# EQUALIZING companion to curation_stratified_sample (proportional) and
-# curation_apportion (largest-remainder quotas). Per-class rank windows
-# partition cleanly; the min count broadcasts; BIT_XOR of kept doc_ids
-# proves both engines keep the IDENTICAL rows, not just equal counts.
-_CLASS_BALANCE = """
-WITH r AS (
-  SELECT lang, doc_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY lang
-           ORDER BY MD5(CAST(doc_id AS STRING)), doc_id) AS rk
-  FROM documents
-),
-mn AS (
-  SELECT CAST(MIN(cnt) AS BIGINT) AS m
-  FROM (SELECT lang, COUNT(*) AS cnt FROM r GROUP BY lang)
-),
-kept AS (
-  SELECT lang, doc_id FROM r CROSS JOIN mn WHERE rk <= m
-)
-SELECT r.lang,
-       CAST(COUNT(*) AS BIGINT) AS n_total,
-       CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
-       ROUND(CAST(COUNT(k.doc_id) AS DOUBLE) / COUNT(*), 6) AS kept_share,
-       CAST(BIT_XOR(COALESCE(k.doc_id, 0)) AS BIGINT) AS kept_xor
-FROM r LEFT JOIN kept k ON r.lang = k.lang AND r.doc_id = k.doc_id
-GROUP BY r.lang
-"""
-
-
-def _curation_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Class-balanced downsample of documents by language: every class
-    keeps exactly the min class count, chosen by deterministic
-    md5-rank shuffle order — the mix equalizer next to
-    curation_stratified_sample. Per-class windows + one broadcast
-    scalar; the kept-id BIT_XOR pins row-level identity cross-engine.
-    See _CLASS_BALANCE."""
-    load(spark, sf_dir)
-    return spark.sql(_CLASS_BALANCE)
-
-
-QUERIES["curation_class_balance"] = _curation_class_balance
-ORACLES["curation_class_balance"] = _CLASS_BALANCE.replace(
-    "MD5(CAST(doc_id AS STRING))", "MD5(CAST(doc_id AS VARCHAR))"
-)
-
-
-# Partial autocorrelation (lags 1..3) of the hourly value series per
-# event type — the AR-order diagnostic next to events_autocorr (ACF
-# says "correlated at lag k"; PACF says "correlated at lag k AFTER
-# removing shorter lags", which is what picks the AR order). Built by
-# Durbin-Levinson closed forms over the SAME exact six-moment lag
-# machinery as the ACF: phi11 = r1, phi22 = (r2 - r1^2)/(1 - r1^2),
-# phi33 = (r3 - phi21 r2 - phi22 r1)/(1 - phi21 r1 - phi22 r2) with
-# phi21 = r1 (1 - phi22). All r_k come from exact bigint folds, so the
-# terminal float pipeline is the identical IEEE sequence on both
-# engines; degenerate denominators emit NULL.
-_PACF = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-),
-lagged AS (
-  SELECT event_type, v_c AS y,
-         LAG(v_c, 1) OVER w AS x1,
-         LAG(v_c, 2) OVER w AS x2,
-         LAG(v_c, 3) OVER w AS x3
-  FROM hourly
-  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
-),
-pairs AS (
-  SELECT event_type, 1 AS lag_k, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
-  UNION ALL
-  SELECT event_type, 2 AS lag_k, x2 AS x, y FROM lagged WHERE x2 IS NOT NULL
-  UNION ALL
-  SELECT event_type, 3 AS lag_k, x3 AS x, y FROM lagged WHERE x3 IS NOT NULL
-),
-m AS (
-  SELECT event_type, lag_k, COUNT(*) AS n_pairs,
-         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-         CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(y * y) AS BIGINT) AS syy,
-         CAST(SUM(x * y) AS BIGINT) AS sxy
-  FROM pairs GROUP BY 1, 2
-),
-r AS (
-  SELECT event_type, lag_k,
-    CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
-          AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
-         THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
-               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-              / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
-                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
-                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-         END AS rk
-  FROM m
-),
-p AS (
-  SELECT event_type,
-         MAX(CASE WHEN lag_k = 1 THEN rk END) AS r1,
-         MAX(CASE WHEN lag_k = 2 THEN rk END) AS r2,
-         MAX(CASE WHEN lag_k = 3 THEN rk END) AS r3
-  FROM r GROUP BY event_type
-),
-d AS (
-  SELECT event_type, r1, r2, r3,
-         CASE WHEN 1.0 - r1 * r1 <> 0
-              THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS phi22
-  FROM p
-),
-e AS (
-  SELECT event_type, r1, r2, r3, phi22,
-         r1 * (1.0 - phi22) AS phi21
-  FROM d
-)
-SELECT event_type,
-       ROUND(r1, 6) AS pacf1,
-       ROUND(phi22, 6) AS pacf2,
-       CASE WHEN 1.0 - phi21 * r1 - phi22 * r2 <> 0 THEN
-         ROUND((r3 - phi21 * r2 - phi22 * r1)
-               / (1.0 - phi21 * r1 - phi22 * r2), 6)
-       END AS pacf3
-FROM e
-"""
-
-
-def _events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lag-1..3 partial autocorrelation of the hourly value series per
-    event type — the AR-order picker next to events_autocorr, via
-    Durbin-Levinson closed forms over the same exact lag moments. See
-    _PACF."""
-    load(spark, sf_dir)
-    return spark.sql(_PACF)
-
-
-QUERIES["events_pacf"] = _events_pacf
-ORACLES["events_pacf"] = _PACF
-
-
-# Distribution-free 95% CI for the MEDIAN purchase value via order
-# statistics (the binomial/normal rank bounds: ranks (n ± z*sqrt(n))/2,
-# z = 1.959964) — the uncertainty companion to agg_median the way
-# events_bootstrap_ci is to the mean, and exact at any scale: rank
-# targets are two CEIL'd doubles computed identically on both engines,
-# the three picks run on the distinct-value cumulative (the equidepth
-# machinery), never a global sort.
-_MEDIAN_CI = """
-WITH t AS (
-  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-v AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY c),
-cum AS (
-  SELECT c, cnt,
-         CAST(COALESCE(SUM(cnt) OVER (ORDER BY c
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              AS BIGINT) AS cu
-  FROM v
-),
-n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nr FROM v),
-tgt AS (
-  SELECT 'lo' AS which,
-         GREATEST(CAST(CEIL((nr - 1.959964 * SQRT(CAST(nr AS DOUBLE))) / 2)
-                       AS BIGINT), 1) AS t, nr FROM n
-  UNION ALL
-  SELECT 'mid', CAST(CEIL(CAST(nr AS DOUBLE) / 2) AS BIGINT), nr FROM n
-  UNION ALL
-  SELECT 'hi',
-         LEAST(CAST(CEIL((nr + 1.959964 * SQRT(CAST(nr AS DOUBLE))) / 2)
-                    AS BIGINT), nr) AS t, nr FROM n
-),
-pick AS (
-  SELECT tgt.which, tgt.nr, CAST(MIN(cum.c) AS BIGINT) AS val
-  FROM tgt JOIN cum ON cum.cu + cum.cnt >= tgt.t
-  GROUP BY tgt.which, tgt.nr
-)
-SELECT nr AS n,
-       ROUND(CAST(MAX(CASE WHEN which = 'mid' THEN val END) AS DOUBLE) / 100,
-             2) AS median_value,
-       ROUND(CAST(MAX(CASE WHEN which = 'lo' THEN val END) AS DOUBLE) / 100,
-             2) AS ci_lo,
-       ROUND(CAST(MAX(CASE WHEN which = 'hi' THEN val END) AS DOUBLE) / 100,
-             2) AS ci_hi
-FROM pick GROUP BY nr
-"""
-
-# Wald-Wolfowitz runs test for randomness of the hourly value series
-# around its median, per event type: too FEW runs = persistence /
-# regime drift, too MANY = oscillation — the model-free randomness
-# gate next to events_autocorr's linear one. Above/below via the exact
-# doubled-median integer predicate (ties dropped, the textbook rule);
-# the run count is a lag-comparison fold; mu/sigma/z are the closed
-# forms in terminal doubles.
-_RUNS_TEST = """
-WITH hourly AS (
-  SELECT event_type, date_trunc('hour', ts) AS bucket,
-         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
-  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
-),
-med AS (
-  SELECT event_type, CAST(ROUND(2 * MEDIAN(v), 0) AS BIGINT) AS m2
-  FROM hourly GROUP BY event_type
-),
-s AS (
-  SELECT h.event_type, h.bucket,
-         CASE WHEN 2 * h.v > m.m2 THEN 1 ELSE 0 END AS up
-  FROM hourly h JOIN med m ON h.event_type = m.event_type
-  WHERE 2 * h.v <> m.m2
-),
-l AS (
-  SELECT event_type, up,
-         LAG(up) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
-  FROM s
-),
-q AS (
-  SELECT event_type,
-         CAST(SUM(up) AS BIGINT) AS n1,
-         CAST(SUM(1 - up) AS BIGINT) AS n2,
-         CAST(SUM(CASE WHEN prev IS NULL OR up <> prev THEN 1 ELSE 0 END)
-              AS BIGINT) AS runs
-  FROM l GROUP BY event_type
-)
-SELECT event_type, n1, n2, runs,
-       CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
-         ROUND((CAST(runs AS DOUBLE)
-                - (1.0 + 2.0 * n1 * n2 / (CAST(n1 AS DOUBLE) + n2)))
-               / SQRT(2.0 * n1 * n2
-                      * (2.0 * CAST(n1 AS DOUBLE) * n2 - n1 - n2)
-                      / ((CAST(n1 AS DOUBLE) + n2) * (CAST(n1 AS DOUBLE) + n2)
-                         * (CAST(n1 AS DOUBLE) + n2 - 1))), 4)
-       END AS z_stat
-FROM q
-"""
-
-# Seasonality strength of the purchase value stream: eta^2 = SSB/SST of
-# the hour-of-day grouping — "what share of value variance does the
-# 24-hour profile explain" — the effect-size readout a monitor wants
-# NEXT TO events_seasonal_anomaly's per-cell flags (flags say which
-# hours deviate; this says whether the profile matters at all). The
-# exact ANOVA fold on hour groups: per-group s1^2/n quantized to
-# bigints before the cross-group sum, SST guard on the quantized
-# integers (the _ANOVA_F contract).
-_SEASONALITY_STRENGTH = """
-WITH t AS (
-  SELECT CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS grp,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-g AS (
-  SELECT grp,
-         CAST(COUNT(*) AS BIGINT) AS n_g,
-         CAST(SUM(c) AS BIGINT) AS s1_g,
-         CAST(SUM(c * c) AS BIGINT) AS s2_g
-  FROM t GROUP BY grp
-),
-q AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS k,
-         CAST(SUM(n_g) AS BIGINT) AS n,
-         CAST(SUM(s1_g) AS BIGINT) AS s1,
-         CAST(SUM(s2_g) AS BIGINT) AS s2,
-         CAST(SUM(CAST(ROUND(
-           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
-  FROM g
-)
-SELECT n AS n_events, k AS n_hours,
-       CASE WHEN k > 1 AND CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n > 0
-       THEN
-         ROUND((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
-               / (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n), 6)
-       END AS eta_squared
-FROM q
-"""
-
-
-def _agg_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-statistic 95% CI for the median purchase value — the
-    distribution-free rank-bound interval (CEIL'd (n ± z sqrt n)/2
-    targets picked off the distinct-value cumulative; no global sort).
-    See _MEDIAN_CI."""
-    load(spark, sf_dir)
-    return spark.sql(_MEDIAN_CI)
-
-
-def _events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Wald-Wolfowitz runs test around the hourly-series median per
-    event type — the model-free randomness/regime gate (exact doubled-
-    median predicate, lag-fold run count, closed-form z). See
-    _RUNS_TEST."""
-    load(spark, sf_dir)
-    return spark.sql(_RUNS_TEST)
-
-
-def _events_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hour-of-day eta-squared of purchase value — variance share the
-    24-hour profile explains, by the exact ANOVA fold on hour groups.
-    See _SEASONALITY_STRENGTH."""
-    load(spark, sf_dir)
-    return spark.sql(_SEASONALITY_STRENGTH)
-
-
-QUERIES["agg_median_ci"] = _agg_median_ci
-QUERIES["events_runs_test"] = _events_runs_test
-QUERIES["events_seasonality_strength"] = _events_seasonality_strength
-ORACLES["agg_median_ci"] = _MEDIAN_CI
-ORACLES["events_runs_test"] = _RUNS_TEST
-ORACLES["events_seasonality_strength"] = _SEASONALITY_STRENGTH
-
-
-# Split-conformal prediction interval (Vovk et al. 2005; Lei et al.
-# 2018): the distribution-free uncertainty readout next to the bootstrap
-# and order-statistic CIs. Three deterministic event_id folds: fold 0
-# fits the predictor (per-user mean purchase cents, ONE quantization;
-# global-mean fallback for unseen users), fold 1 calibrates (absolute
-# residuals -> the ceil((n+1)(1-alpha))-th smallest via the
-# distinct-value cumulative — agg_median_ci's rank-bound machinery at
-# alpha=0.1, runtime-routed through cumsum_auto on the Spark side), and
-# fold 2 reports held-out coverage, which exchangeability guarantees
-# >= 1 - alpha in expectation. Exact bigint residuals end-to-end;
-# terminal IEEE ratios only.
-_CONF_RESID = """
-WITH t AS (
-  SELECT user_id, event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
-         event_id % 3 AS fold
-  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
-),
-mu AS (
-  SELECT user_id,
-         CAST(ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_u
-  FROM t WHERE fold = 0 GROUP BY user_id
-),
-gmu AS (
-  SELECT CAST(ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mu_g
-  FROM t WHERE fold = 0
-)
-SELECT ABS(t.c - COALESCE(mu.mu_u, gmu.mu_g)) AS res
-FROM t CROSS JOIN gmu LEFT JOIN mu ON t.user_id = mu.user_id
-WHERE t.fold = {fold}
-"""
-
-_CONFORMAL = f"""
-WITH r AS ({_CONF_RESID.format(fold=1)}),
-v AS (SELECT res, CAST(COUNT(*) AS BIGINT) AS cnt FROM r GROUP BY res),
-cum AS (
-  SELECT res, cnt,
-         CAST(SUM(cnt) OVER (ORDER BY res
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cc
-  FROM v
-),
-n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_cal FROM v),
-k AS (SELECT n_cal,
-             CAST(((n_cal + 1) * 9 + 9) // 10 AS BIGINT) AS k_rank FROM n),
-q AS (
-  SELECT k.n_cal, k.k_rank, CAST(MIN(cum.res) AS BIGINT) AS q_res
-  FROM k JOIN cum ON cum.cc >= k.k_rank
-  GROUP BY k.n_cal, k.k_rank
-),
-tst AS ({_CONF_RESID.format(fold=2)}),
-cov AS (
-  SELECT q.n_cal, q.k_rank, q.q_res,
-         CAST(COUNT(*) AS BIGINT) AS n_test,
-         CAST(SUM(CASE WHEN tst.res <= q.q_res THEN 1 ELSE 0 END)
-              AS BIGINT) AS n_cov
-  FROM tst CROSS JOIN q
-  GROUP BY q.n_cal, q.k_rank, q.q_res
-)
-SELECT n_cal, k_rank,
-       ROUND(CAST(q_res AS DOUBLE) / 100, 2) AS q_value,
-       n_test, n_cov,
-       ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage
-FROM cov
-"""
-
-
-def _events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split-conformal 90% interval radius for purchase values under the
-    per-user-mean predictor, with held-out coverage: the Spark side
-    builds the fold residuals with the shared SQL and picks the rank off
-    operators/stats.conformal_quantile (cumsum_auto — two-level bucketed
-    past the threshold, so no global residual sort at any scale); the
-    oracle is the single-window spelling. See _CONFORMAL."""
-    from datafusion_gpu_spark.operators import stats
-
-    load(spark, sf_dir)
-    cal = spark.sql(_CONF_RESID.format(fold=1))
-    tst = spark.sql(_CONF_RESID.format(fold=2))
-    q = stats.conformal_quantile(cal, "res", alpha=0.1)
-    return (
-        tst.crossJoin(F.broadcast(q))
-        .groupBy("n_cal", "k_rank", "q_res")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_test"),
-            F.sum(
-                F.when(F.col("res") <= F.col("q_res"), 1).otherwise(0)
-            ).cast("long").alias("n_cov"),
-        )
-        .select(
-            "n_cal",
-            "k_rank",
-            F.expr("ROUND(CAST(q_res AS DOUBLE) / 100, 2)").alias("q_value"),
-            "n_test",
-            "n_cov",
-            F.expr("ROUND(CAST(n_cov AS DOUBLE) / n_test, 6)").alias("coverage"),
-        )
-    )
-
-
-QUERIES["events_conformal_interval"] = _events_conformal_interval
-ORACLES["events_conformal_interval"] = _CONFORMAL
-
-
-# Average True Range (Wilder) over the hourly OHLC bars, per event
-# type: true range = GREATEST(high - low, |high - prev_close|,
-# |low - prev_close|) — the gap-aware volatility band the candlestick
-# family (events_ohlc) feeds; pairs with window_bollinger (close-only
-# stdev band) the way MAD pairs with stdev. All bar fields are exact
-# cents (the OHLC row_number spelling), true range is exact bigint
-# arithmetic, and the 14-bar rolling mean is one SUM/COUNT window with
-# a terminal division — the same hour-domain-bounded per-type window
-# partitioning as window_bollinger.
-_ATR = """
-WITH t AS (
-  SELECT date_trunc('hour', ts) AS bucket, event_type,
-         CAST(ROUND(value * 100, 0) AS BIGINT) AS v_c, ts, event_id
-  FROM events WHERE value IS NOT NULL
-),
-r AS (
-  SELECT *,
-    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
-                       ORDER BY ts, event_id) AS rn_a,
-    ROW_NUMBER() OVER (PARTITION BY bucket, event_type
-                       ORDER BY ts DESC, event_id DESC) AS rn_d
-  FROM t
-),
-bars AS (
-  SELECT bucket, event_type,
-         CAST(MAX(v_c) AS BIGINT) AS h,
-         CAST(MIN(v_c) AS BIGINT) AS l,
-         CAST(MIN(CASE WHEN rn_d = 1 THEN v_c END) AS BIGINT) AS c
-  FROM r GROUP BY bucket, event_type
-),
-tr AS (
-  SELECT bucket, event_type, h, l, c,
-         CAST(CASE WHEN LAG(c) OVER w IS NULL THEN h - l
-              ELSE GREATEST(h - l,
-                            ABS(h - LAG(c) OVER w),
-                            ABS(l - LAG(c) OVER w)) END AS BIGINT)
-           AS tr_c
-  FROM bars
-  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
-),
-a AS (
-  SELECT bucket, event_type, tr_c,
-         CAST(SUM(tr_c) OVER v AS BIGINT) AS s,
-         CAST(COUNT(*) OVER v AS BIGINT) AS k
-  FROM tr
-  WINDOW v AS (PARTITION BY event_type ORDER BY bucket
-               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-)
-SELECT bucket, event_type, tr_c AS true_range_cents, k AS n_bars,
-       ROUND(CAST(s AS DOUBLE) / k / 100, 4) AS atr
-FROM a
-"""
-
-
-def _window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """14-bar Average True Range over the hourly OHLC bars per event
-    type — the gap-aware volatility companion to window_bollinger.
-    Exact-cent bars, exact bigint true ranges, one rolling SUM/COUNT
-    window with a terminal division. See _ATR."""
-    load(spark, sf_dir)
-    return spark.sql(_ATR)
-
-
-QUERIES["window_atr"] = _window_atr
-ORACLES["window_atr"] = _ATR
-
-
-# KL divergence of the observed SOURCE MIX from the uniform target mix
-# (nats, plus the normalized share table) — the mixture-drift gate a
-# curation pipeline runs against its sampling plan: text_jsd_drift
-# compares word distributions between snapshots; this compares the
-# provenance mix against the plan (here uniform over the sources
-# present — the curation_mix_domains setup). Each source's p*ln(p/q)
-# term quantizes to a 1e12 bigint before the source-level fold (tens
-# of sources — no headroom concern); the terminal is one division.
-_MIX_KL = """
-WITH s AS (
-  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
-  FROM documents GROUP BY source
-),
-t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(COUNT(*) AS BIGINT) AS k
-      FROM s),
-q AS (
-  SELECT CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) / nt
-                              * LN(CAST(n AS DOUBLE) / nt
-                                   * CAST(k AS DOUBLE)) * 1e12, 0)
-                       AS BIGINT)) AS BIGINT) AS klq
-  FROM s CROSS JOIN t
-)
-SELECT k AS n_sources, nt AS n_docs,
-       ROUND(klq / 1e12, 6) AS kl_nats,
-       CASE WHEN k > 1 THEN
-         ROUND(klq / 1e12 / LN(CAST(k AS DOUBLE)), 6)
-       END AS kl_norm
-FROM q CROSS JOIN t
-"""
-
-
-def _curation_mix_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KL divergence (nats + ln-k-normalized) of the observed source
-    mix from the uniform target — the provenance-mix drift gate next
-    to curation_mix_domains' resampler. One source fold, quantized
-    p*ln(p/q) terms, terminal division. See _MIX_KL."""
-    load(spark, sf_dir)
-    return spark.sql(_MIX_KL)
-
-
-QUERIES["curation_mix_kl"] = _curation_mix_kl
-ORACLES["curation_mix_kl"] = _MIX_KL
+from datafusion_gpu_spark.queries import pipeline_eval as _m_eval  # noqa: E402
+from datafusion_gpu_spark.queries import pipeline_forecast as _m_forecast  # noqa: E402
+from datafusion_gpu_spark.queries import pipeline_metrics as _m_metrics  # noqa: E402
+from datafusion_gpu_spark.queries import pipeline_stats as _m_stats  # noqa: E402
+
+for _m in (_m_stats, _m_eval, _m_forecast, _m_metrics):
+    QUERIES.update(_m.QUERIES)
+    ORACLES.update(_m.ORACLES)
+    for _k, _v in vars(_m).items():
+        # no-clobber: duplicate top-level names across the moved ranges were
+        # checked absent at split time; the guard keeps this module's own
+        # names (QUERIES, ORACLES, imports) authoritative.
+        if not _k.startswith("__") and _k not in globals():
+            globals()[_k] = _v
+del _m, _k, _v

@@ -1,0 +1,1162 @@
+"""Ranking curves + the forecasting / seasonal time-series family
+(rounds 10-11).
+
+Gain/lift and precision@k ranking gates, Holt double smoothing,
+Holt-Winters additive, Croston intermittent demand, Theil U2 skill,
+Donchian channels (+ streaming twins), KS-uniform PIT gate, ANN recall
+contracts (LSH/PQ), linear-interpolation gap fill, interrupted time
+series, token HHI, TOST equivalence, Greenwood survival bands.
+
+Mechanically moved from queries/pipeline.py (round-12 split, VERDICT
+r11 ask #6): zero query renames, zero spelling changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators import events, similarity
+from datafusion_gpu_spark.queries import load
+from datafusion_gpu_spark.queries.pipeline_common import _NORM, _docs
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# ---------------------------------------------------------------------------
+# Round 10 — ranking-curve eval gates (cumulative gain / lift at deciles,
+# precision at top-k) + Holt double-exponential smoothing. The ranking
+# curves are what a filter-model owner reads NEXT TO agg_auc_exact before
+# shipping: AUC says "the score ranks positives above negatives overall";
+# gain/lift says "the top decile captures X% of positives, Y× random";
+# precision@k says "of the k docs the filter would actually keep, how
+# many are true positives". All three reuse the Mann-Whitney/AUC rank
+# machinery: a distinct-score relation, ONE cumulative (runtime-routed
+# through stats.cumsum_auto — the bucketed spelling from day one), exact
+# bigint interpolation inside tied-score blocks (the Lorenz pattern, but
+# ordered by score DESCENDING via the negated-key trick), terminal
+# divisions only.
+# ---------------------------------------------------------------------------
+
+# Distinct-score relation, ordered for descending-score cumulatives:
+# d = -cents so ascending d == descending score; dp = positives at the
+# score, tc = rows at the score.
+_RANKCURVE_VALUES = """
+SELECT CAST(-c AS BIGINT) AS d,
+       CAST(SUM(pos) AS BIGINT) AS dp,
+       CAST(COUNT(*) AS BIGINT) AS tc
+FROM (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+) GROUP BY c
+"""
+
+# The single-window cumulative spelling (oracle + contract): exclusive
+# cumulative rows (cu) and positives (cp) above each score block.
+_RANKCURVE_CUM_SQL = """
+SELECT d, dp, tc,
+       CAST(COALESCE(SUM(tc) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cu,
+       CAST(COALESCE(SUM(dp) OVER (ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS cp
+FROM v
+"""
+
+# Gain/lift at each population decile. Interpolation inside a tied-score
+# block distributes the block's dp positives uniformly over its tc rows
+# (the standard convention): pos(t) = cp + (t - cu) * dp / tc, kept
+# exact as the bigint numerator cp*tc + (t-cu)*dp over denominator
+# tc * np (ONE terminal division per output column). Headroom: the
+# numerator is bounded by np*tc + tc*dp <= 2*N*tc — past 2^63 only if a
+# single tied-score block times the corpus both approach ~2e9, i.e. an
+# all-tied 2e9-row corpus; real score columns keep tc << N.
+_GAIN_LIFT_TAIL = """
+WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
+      FROM {cum}),
+k AS (
+  SELECT 1 AS dec UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7
+  UNION ALL SELECT 8 UNION ALL SELECT 9 UNION ALL SELECT 10
+),
+tgt AS (
+  SELECT dec,
+         CAST((dec * nr + 9 - (dec * nr + 9) % 10) / 10 AS BIGINT) AS t,
+         np
+  FROM k CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.dec, tgt.t, tgt.np,
+         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
+         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
+         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
+         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
+  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
+  GROUP BY tgt.dec, tgt.t, tgt.np
+)
+SELECT CAST(dec AS BIGINT) AS decile, t AS n_rows_cum,
+       cp * tc + (t - cu) * dp AS pos_num,
+       CASE WHEN np > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * np), 6)
+       END AS gain,
+       CASE WHEN np > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * np) * 10.0 / dec, 6)
+       END AS lift
+FROM pick
+"""
+
+# Precision among the top-k scored rows, k in {10, 100, 1000, 10000}
+# capped at the population: prec(k) = pos(t)/t with the same exact
+# interpolation numerator over denominator tc * t.
+_PREC_AT_K_TAIL = """
+WITH n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nr, CAST(SUM(dp) AS BIGINT) AS np
+      FROM {cum}),
+ks AS (
+  SELECT 10 AS k UNION ALL SELECT 100 UNION ALL SELECT 1000
+  UNION ALL SELECT 10000
+),
+tgt AS (
+  SELECT k, LEAST(CAST(k AS BIGINT), nr) AS t, np FROM ks CROSS JOIN n
+),
+pick AS (
+  SELECT tgt.k, tgt.t, tgt.np,
+         CAST(MIN_BY(c.cu, c.d) AS BIGINT) AS cu,
+         CAST(MIN_BY(c.cp, c.d) AS BIGINT) AS cp,
+         CAST(MIN_BY(c.dp, c.d) AS BIGINT) AS dp,
+         CAST(MIN_BY(c.tc, c.d) AS BIGINT) AS tc
+  FROM tgt JOIN {cum} c ON c.cu + c.tc >= tgt.t
+  GROUP BY tgt.k, tgt.t, tgt.np
+)
+SELECT CAST(k AS BIGINT) AS top_k, t AS n_eff,
+       cp * tc + (t - cu) * dp AS pos_num,
+       CASE WHEN t > 0 THEN
+         ROUND(CAST(cp * tc + (t - cu) * dp AS DOUBLE)
+               / (CAST(tc AS DOUBLE) * t), 6)
+       END AS p_at_k
+FROM pick
+"""
+
+# The tails are themselves WITH chains; splice them after the shared
+# values + single-window-cumulative CTEs for the oracle spellings.
+_GAIN_LIFT_SINGLE = (
+    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
+    + "),\n" + _GAIN_LIFT_TAIL.replace("WITH ", "", 1).format(cum="cum")
+)
+_PREC_AT_K_SINGLE = (
+    "WITH v AS (" + _RANKCURVE_VALUES + "),\ncum AS (" + _RANKCURVE_CUM_SQL
+    + "),\n" + _PREC_AT_K_TAIL.replace("WITH ", "", 1).format(cum="cum")
+)
+
+
+def _rankcurve_cum(spark: SparkSession) -> None:
+    """Materialize the descending-score cumulative relation as the
+    __rankcurve_cum temp view via stats.cumsum_auto (runtime-routed:
+    single window under the threshold, two-level bucketed above)."""
+    from datafusion_gpu_spark.operators.stats import cumsum_auto
+
+    vals = spark.sql(_RANKCURVE_VALUES)
+    cum = cumsum_auto(vals, "d", ("tc", "dp")).select(
+        "d",
+        "dp",
+        "tc",
+        (F.col("cum_tc") - F.col("tc")).alias("cu"),
+        (F.col("cum_dp") - F.col("dp")).alias("cp"),
+    )
+    cum.createOrReplaceTempView("__rankcurve_cum")
+
+
+def _agg_gain_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gain + lift at each population decile for the
+    value-scores-purchases classifier (agg_auc_exact's setup read as a
+    targeting curve): gain = share of all positives captured by the
+    top 10k% of rows by score, lift = gain over the random baseline
+    k/10. Distinct-score relation + ONE runtime-routed cumulative
+    (stats.cumsum_auto — bucketed past the threshold) + a 10-row
+    broadcast decile join with exact bigint tied-block interpolation
+    (the Lorenz machinery ordered by negated score). Graded by the
+    single-window SQL oracle, so a green row is the parity proof."""
+    load(spark, sf_dir)
+    _rankcurve_cum(spark)
+    return spark.sql(_GAIN_LIFT_TAIL.format(cum="__rankcurve_cum"))
+
+
+def _agg_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision among the top-k scored rows (k = 10/100/1000/10000,
+    capped at the population) — the acceptance gate for 'keep the k
+    best-scored documents': of what the filter keeps, how much is
+    actually positive. Same machinery as agg_gain_lift_curve with
+    absolute-k targets. Graded by the single-window SQL oracle."""
+    load(spark, sf_dir)
+    _rankcurve_cum(spark)
+    return spark.sql(_PREC_AT_K_TAIL.format(cum="__rankcurve_cum"))
+
+
+QUERIES["agg_gain_lift_curve"] = _agg_gain_lift_curve
+QUERIES["agg_precision_at_k"] = _agg_precision_at_k
+ORACLES["agg_gain_lift_curve"] = _GAIN_LIFT_SINGLE
+ORACLES["agg_precision_at_k"] = _PREC_AT_K_SINGLE
+
+
+# Holt double-exponential smoothing (events.holt_linear): level + trend
+# + one-step forecast per purchase event, exact bigint num/den for BOTH
+# smoothers (S' = the 20-lag power-of-two EWMA; S'' = its self-convolved
+# 39-lag kernel — see operators/events.py), terminal IEEE expressions
+# shared token-for-token with this generated oracle.
+def _holt_oracle(span: int = 20, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        holt_terminal_exprs,
+        holt_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    terms = holt_terminal_exprs(scale)
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+l AS (
+  SELECT user_id, event_id,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, num1, den1, num2, den2,
+       {terms["level"]} AS level,
+       {terms["trend"]} AS trend,
+       {terms["forecast_next"]} AS forecast_next
+FROM l
+"""
+
+
+def _events_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Holt (Brown double-exponential) smoothing of the
+    purchase value stream — level, trend, and one-step forecast per
+    event (events.holt_linear): the forecasting member of the
+    monitoring family (EWMA smooths level only and lags every ramp;
+    the seasonal profile needs whole periods; this extrapolates).
+    Both smoothers are exact bigint folds over ONE window spec — a
+    single per-user sort, all JVM codegen; the 39-term S'' kernel is
+    the self-convolution that double smoothing collapses to on a
+    truncated window. See _holt_oracle for the shared spelling."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.holt_linear(purchases, span=20, scale=100)
+
+
+def _streaming_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_holt_smoothing (streaming.stream_holt):
+    per-user bounded state (last 2*span-1 cents), integer-only Python
+    automaton, presentation expressions in Spark after the sink —
+    graded by the BATCH oracle (18th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_holt(spark, sf_dir)
+
+
+QUERIES["events_holt_smoothing"] = _events_holt_smoothing
+QUERIES["streaming_holt"] = _streaming_holt
+ORACLES["events_holt_smoothing"] = _holt_oracle()
+ORACLES["streaming_holt"] = _holt_oracle()
+
+
+# Holt-Winters additive (events.holt_winters_additive): the seasonal
+# (triple) member of the forecasting family. Causal per-(user, hour-of-day)
+# power-of-two EWMA -> ONE deterministic quantization to integer cents
+# (sq) -> exact bigint deseasonalized series d = c - sq -> Brown double
+# smoothing of d with the SAME holt_weights kernels -> terminal IEEE
+# expressions shared token-for-token (forecast adds sq back). Two window
+# specs = two keyed shuffles of the purchase relation, everything else
+# codegen over exact bigints.
+def _hw_oracle(span: int = 20, season_span: int = 8, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        HW_SQ_SQL,
+        holt_weights,
+        holt_winters_terminal_exprs,
+        holt_winters_weights,
+    )
+
+    sw = holt_winters_weights(season_span)
+    s_num = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER ws * {wgt}, 0)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    s_den = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER ws IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(d, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(d, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(d, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(d, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    terms = holt_winters_terminal_exprs(scale)
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(hour(ts) AS INTEGER) AS slot,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {s_num} AS s_num,
+         CAST({s_den} AS BIGINT) AS s_den
+  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
+),
+q AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {HW_SQ_SQL} AS sq
+  FROM s
+),
+dd AS (SELECT *, c - sq AS d FROM q),
+l AS (
+  SELECT user_id, event_id, slot, sq,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM dd WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, slot, sq, num1, den1, num2, den2,
+       {terms["seasonal"]} AS seasonal,
+       {terms["level"]} AS level,
+       {terms["trend"]} AS trend,
+       {terms["forecast_next"]} AS forecast_next
+FROM l
+"""
+
+
+def _events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user additive Holt-Winters over the purchase value stream
+    (events.holt_winters_additive): seasonal index (hour-of-day,
+    causal subseries EWMA quantized to cents), level, trend, and
+    seasonal-adjusted one-step forecast per event — the triple-
+    smoothing completion of the forecasting family (EWMA = level;
+    Holt = level+trend; this separates forecast-residual drift from
+    the hour-of-day cohort baseline). Exact bigint folds end-to-end
+    with ONE deterministic mid-plan quantization; see _hw_oracle."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.holt_winters_additive(purchases, span=20, season_span=8, scale=100)
+
+
+def _streaming_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_holt_winters (streaming.stream_holt_winters):
+    per-user bounded state (per-slot seasonal history, capped at
+    season_span entries per slot, plus the last 2*span-1 deseasonalized
+    cents), integer-only Python automaton with the SAME deterministic
+    sq quantization, presentation expressions in Spark after the sink —
+    graded by the BATCH oracle (20th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_holt_winters(spark, sf_dir)
+
+
+QUERIES["events_holt_winters"] = _events_holt_winters
+QUERIES["streaming_holt_winters"] = _streaming_holt_winters
+ORACLES["events_holt_winters"] = _hw_oracle()
+ORACLES["streaming_holt_winters"] = _hw_oracle()
+
+
+# Theil's U2 forecast-accuracy ratio (Theil 1966): RMSE of the Holt
+# one-step forecast over RMSE of the naive (last-value) forecast, per
+# the pooled purchase stream — the accuracy gate that closes the
+# forecasting family loop (U2 < 1 means the smoother beats naive; a U2
+# drifting toward 1 says the series turned random-walk and the forecast
+# monitor is adding nothing). The Holt kernel sums are the shared
+# _holt_oracle spelling; the forecast quantizes ONCE to cents (both
+# engines derive identical doubles from the exact bigints), residuals
+# against the PREVIOUS row's forecast and value are exact bigints, and
+# sqrt/divide are terminal. One SQL string runs on both engines.
+def _theil_u2_sql(span: int = 20, scale: int = 100) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        holt_terminal_exprs,
+        holt_weights,
+    )
+
+    w1, w2 = holt_weights(span)
+    num1 = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER w * {wgt}, 0)" for k, wgt in enumerate(w1)
+    )
+    den1 = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(w1)
+    )
+    num2 = " + ".join(
+        f"COALESCE(lag(c, {j}) OVER w * {wgt}, 0)" for j, wgt in enumerate(w2)
+    )
+    den2 = " + ".join(
+        f"(CASE WHEN lag(c, {j}) OVER w IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for j, wgt in enumerate(w2)
+    )
+    fcast = holt_terminal_exprs(scale)["forecast_next"]
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+l AS (
+  SELECT user_id, event_id, ts, c,
+         {num1} AS num1,
+         CAST({den1} AS BIGINT) AS den1,
+         {num2} AS num2,
+         CAST({den2} AS BIGINT) AS den2
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+f AS (
+  SELECT user_id, event_id, ts, c,
+         CAST(ROUND(({fcast}) * {scale}, 0) AS BIGINT) AS fq
+  FROM l
+),
+d AS (
+  SELECT c,
+         LAG(fq) OVER w AS pf,
+         LAG(c) OVER w AS pc
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((c - pf) * (c - pf)) AS BIGINT) AS ssf,
+         CAST(SUM((c - pc) * (c - pc)) AS BIGINT) AS ssn
+  FROM d WHERE pf IS NOT NULL AND pc IS NOT NULL
+)
+SELECT n, ssf, ssn,
+       CASE WHEN ssn > 0 THEN
+         ROUND(SQRT(CAST(ssf AS DOUBLE) / ssn), 6)
+       END AS theil_u2
+FROM s
+"""
+
+
+def _events_theil_u2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U2: Holt one-step forecast RMSE over naive last-value
+    RMSE for per-user purchase series — exact bigint residual folds off
+    the shared Holt kernel, terminal sqrt ratio. See _theil_u2_sql."""
+    load(spark, sf_dir)
+    return spark.sql(_theil_u2_sql())
+
+
+QUERIES["events_theil_u2"] = _events_theil_u2
+ORACLES["events_theil_u2"] = _theil_u2_sql()
+
+
+# Croston's intermittent-demand forecast (Croston 1972): the sparse-
+# series member of the forecasting family — EWMA over the calendar
+# series decays to zero between arrivals, so demand SIZES and
+# inter-arrival GAPS smooth separately and the rate forecast is their
+# ratio. Exact bigint num/den folds for both smoothers over ONE window
+# spec (sizes = cents, gaps = epoch-micros); terminal IEEE ratios only.
+def _croston_oracle(span: int = 8, scale: int = 100) -> str:
+    folds_z_num = " + ".join(
+        f"COALESCE(lag(z, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
+        for k in range(span)
+    )
+    folds_z_den = " + ".join(
+        f"(CASE WHEN lag(z, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
+        for k in range(span)
+    )
+    folds_g_num = " + ".join(
+        f"COALESCE(lag(g, {k}) OVER w * {1 << (span - 1 - k)}, 0)"
+        for k in range(span)
+    )
+    folds_g_den = " + ".join(
+        f"(CASE WHEN lag(g, {k}) OVER w IS NOT NULL"
+        f" THEN {1 << (span - 1 - k)} ELSE 0 END)"
+        for k in range(span)
+    )
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS z,
+         CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER w AS BIGINT) AS g
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+l AS (
+  SELECT user_id, event_id,
+         {folds_z_num} AS num_z,
+         CAST({folds_z_den} AS BIGINT) AS den_z,
+         {folds_g_num} AS num_g,
+         CAST({folds_g_den} AS BIGINT) AS den_g
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, num_z, den_z, num_g, den_g,
+       ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}, 6) AS size_hat,
+       CASE WHEN den_g > 0 THEN
+         ROUND(CAST(num_g AS DOUBLE) / den_g / 3.6e9, 6) END AS gap_hours,
+       CASE WHEN den_g > 0 AND num_g > 0 THEN
+         ROUND(CAST(num_z AS DOUBLE) / den_z / {float(scale)!r}
+               / (CAST(num_g AS DOUBLE) / den_g / 3.6e9), 6) END
+         AS rate_per_hour
+FROM l
+"""
+
+
+def _events_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Croston intermittent-demand forecast per user (events.croston):
+    separately smoothed purchase sizes and inter-arrival gaps, rate =
+    size/gap per hour. One keyed shuffle. See _croston_oracle."""
+    load(spark, sf_dir)
+    purchases = spark.table("events").where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    )
+    return events.croston(purchases, span=8, scale=100)
+
+
+QUERIES["events_croston"] = _events_croston
+ORACLES["events_croston"] = _croston_oracle()
+
+
+def _streaming_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_croston (streaming.stream_croston):
+    per-user state is the last span sizes + the last span gaps (None
+    placeholder for the first row's missing gap, exactly the batch
+    column's NULL) + the previous event's epoch-micros — integer-only
+    automaton, presentation expressions after the sink; graded by the
+    BATCH oracle (22nd stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_croston(spark, sf_dir)
+
+
+QUERIES["streaming_croston"] = _streaming_croston
+ORACLES["streaming_croston"] = _croston_oracle()
+
+
+# One-sample KS against uniform on the observed score span — the PIT
+# uniformity gate (a calibrated probabilistic score is uniform after
+# min-max normalization; clumping registers here at full resolution,
+# before the 10-bin reliability curve can see it). Exact integer
+# numerator off the distinct-value cumulative; see stats.ks_uniform.
+_KS_UNIFORM = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
+cum AS (
+  SELECT c, tc, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cc
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n, CAST(MIN(c) AS BIGINT) AS lo,
+         CAST(MAX(c) AS BIGINT) AS hi
+  FROM pv
+),
+mx AS (
+  SELECT CAST(MAX(GREATEST(
+           ABS(cc * (hi - lo) - n * (c - lo)),
+           ABS((cc - tc) * (hi - lo) - n * (c - lo))
+         )) AS BIGINT) AS m
+  FROM cum CROSS JOIN nn WHERE hi > lo
+)
+SELECT n, lo, hi,
+       CASE WHEN CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN m END AS d_num,
+       CASE WHEN n > 0 AND hi > lo
+                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
+         ROUND(CAST(m AS DOUBLE) / (CAST(n AS DOUBLE) * (hi - lo)), 6)
+       END AS d_stat,
+       CASE WHEN n > 0 AND hi > lo
+                 AND CAST(n AS DOUBLE) * (hi - lo) < 9e18 THEN
+         (CAST(m AS DOUBLE) * m
+            > 1.844164 * n * (CAST(hi - lo AS DOUBLE) * (hi - lo)))
+       END AS reject_05
+FROM mx CROSS JOIN nn
+"""
+
+
+def _agg_ks_uniform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sample KS uniformity of the pooled min-max-normalized score
+    (operators/stats.ks_uniform, cumsum_auto-routed). See _KS_UNIFORM."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    ev = spark.table("events").where(
+        F.col("event_type").isin("click", "purchase")
+    ).select(F.round(F.col("value") * 100, 0).cast("long").alias("cents"))
+    return stats.ks_uniform(ev, "cents")
+
+
+QUERIES["agg_ks_uniform"] = _agg_ks_uniform
+ORACLES["agg_ks_uniform"] = _KS_UNIFORM
+
+
+# Donchian channel (Donchian, 1960s trend-following): rolling 20-event
+# high/low band per user with the close's position inside the band —
+# the range-based volatility channel next to window_bollinger (stdev
+# band) and window_atr (true-range band). All exact cents; the position
+# ratio is the single terminal division. Pure shared SQL, one keyed
+# window sort.
+_DONCHIAN = """
+WITH p AS (
+  SELECT user_id, event_id, ts,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+w AS (
+  SELECT user_id, event_id, c,
+         CAST(MAX(c) OVER win AS BIGINT) AS hi20,
+         CAST(MIN(c) OVER win AS BIGINT) AS lo20,
+         CAST(COUNT(*) OVER win AS BIGINT) AS n_win
+  FROM p
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id, c, hi20, lo20, n_win,
+       hi20 - lo20 AS width,
+       CASE WHEN hi20 > lo20 THEN
+         ROUND(CAST(c - lo20 AS DOUBLE) / (hi20 - lo20), 6)
+       END AS pos_in_channel
+FROM w
+"""
+
+
+def _window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-event Donchian high/low channel per user — exact-cent
+    rolling extremes, one keyed window sort. See _DONCHIAN."""
+    load(spark, sf_dir)
+    return spark.sql(_DONCHIAN)
+
+
+QUERIES["window_donchian"] = _window_donchian
+ORACLES["window_donchian"] = _DONCHIAN
+
+
+def _ann_recall_contract(spark: SparkSession, seed: int, index_fn) -> DataFrame:
+    """Shared harness for the planted ANN recall contracts (the
+    k-means-IVF grading pattern): seeded 8-cluster corpus (0.15-noise
+    separation), ``index_fn(corpus, queries)`` builds the approximate
+    top-5, and per query the contract emits exactly-k results, cosine
+    monotonically descending, and recall vs the exact top-k >= 0.8
+    (bar at >= 4 of 5 hits). One helper so every path grades the SAME
+    invariant; the oracle is the planted expectation as VALUES."""
+    import numpy as np
+
+    dim = 16
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(8, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = [centers[c] + 0.15 * rng.normal(size=(40, dim)) for c in range(8)]
+    all_vecs = np.concatenate(vecs)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(all_vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id").isin([0, 85, 290]))
+    approx = index_fn(df, q)
+    exact = similarity.cosine_topk_vectorized(df, q, k=5)
+    hits = (
+        approx.join(exact.select("query_id", "vec_id"), ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("hits"))
+    )
+    w = Window.partitionBy("query_id").orderBy("rank")
+    flagged = approx.withColumn("prev_cos", F.lag("cosine").over(w))
+    per_q = flagged.groupBy("query_id").agg(
+        F.count("*").alias("n_results"),
+        F.min(
+            (F.col("prev_cos").isNull() | (F.col("cosine") <= F.col("prev_cos")))
+            .cast("int")
+        ).cast("boolean").alias("cosine_desc"),
+    )
+    return per_q.join(hits, "query_id", "left").select(
+        "query_id",
+        "n_results",
+        "cosine_desc",
+        (F.coalesce(F.col("hits"), F.lit(0)) >= 4).alias("recall_ok"),
+    )
+
+
+def _sim_topk_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall contract (_ann_recall_contract, seed 31): signed-
+    random-projection LSH at 5 planes x 8 tables — measured 5/5 exact
+    top-k recovered on every query (6x4 measured 3-5 of 5, so the bar
+    sits two misses below the operating point). Completes the
+    per-ANN-path recall evidence: brute force IS the oracle, IVF has
+    the k-means recall contract (pass-r4), LSH carries this one."""
+    return _ann_recall_contract(
+        spark,
+        31,
+        lambda df, q: similarity.lsh_ann_topk(
+            df, q, k=5, planes=5, num_tables=8, dim=16
+        ),
+    )
+
+
+_LSH_RECALL_ORACLE = """
+SELECT CAST(query_id AS BIGINT) AS query_id,
+       CAST(n_results AS BIGINT) AS n_results,
+       cosine_desc, recall_ok
+FROM (VALUES (0, 5, true, true),
+             (85, 5, true, true),
+             (290, 5, true, true))
+  AS t(query_id, n_results, cosine_desc, recall_ok)
+"""
+
+QUERIES["sim_topk_lsh_recall"] = _sim_topk_lsh_recall
+ORACLES["sim_topk_lsh_recall"] = _LSH_RECALL_ORACLE
+
+
+def _sim_topk_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall contract (_ann_recall_contract, seed 37): 8x16 product
+    quantization with 32x oversampled ADC pruning before the exact
+    rerank — measured 5/5 exact-top-k recovery on every query
+    (oversample 8 measured 3-5, so the bar sits one miss below the
+    operating point). With this, EVERY ANN path carries recall
+    evidence: brute force is the oracle, IVF the k-means contract, LSH
+    and PQ these planted contracts."""
+    return _ann_recall_contract(
+        spark,
+        37,
+        lambda df, q: similarity.pq_topk(df, q, k=5, m=8, ksub=16, oversample=32),
+    )
+
+
+QUERIES["sim_topk_pq_recall"] = _sim_topk_pq_recall
+ORACLES["sim_topk_pq_recall"] = _LSH_RECALL_ORACLE
+
+
+def _events_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill of the per-user hourly grid
+    (events.gap_fill_linear) — the resampling fill a numeric feature
+    store wants where LOCF (events_gap_fill) introduces staircase
+    bias; trailing gaps fall back to LOCF. Exact bigint time ratios,
+    one more per-user window than LOCF."""
+    load(spark, sf_dir)
+    ev = spark.table("events").where(F.col("value").isNotNull())
+    return events.gap_fill_linear(ev, "hour")
+
+
+ORACLES["events_gap_fill_linear"] = """
+WITH ranked AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE value IS NOT NULL
+),
+observed AS (
+  SELECT user_id, bucket, COUNT(*) AS n_obs,
+         MAX(CASE WHEN rn = 1 THEN value END) AS obs_value
+  FROM ranked GROUP BY 1, 2
+),
+spans AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+          FROM observed GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket
+  FROM spans
+),
+j AS (
+  SELECT g.user_id, g.bucket,
+         COALESCE(o.n_obs, 0) AS n_obs,
+         (o.obs_value IS NOT NULL) AS is_observed,
+         o.obs_value
+  FROM grid g LEFT JOIN observed o
+    ON g.user_id = o.user_id AND g.bucket = o.bucket
+),
+w AS (
+  SELECT user_id, bucket, n_obs, is_observed, obs_value,
+         last_value(obs_value IGNORE NULLS) OVER wp AS pv,
+         last_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                    IGNORE NULLS) OVER wp AS pt,
+         first_value(obs_value IGNORE NULLS) OVER wf AS nv,
+         first_value(CASE WHEN obs_value IS NOT NULL THEN bucket END
+                     IGNORE NULLS) OVER wf AS nt
+  FROM j
+  WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY bucket
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+iv AS (
+  SELECT user_id, bucket, n_obs, is_observed,
+         CASE
+           WHEN is_observed THEN obs_value
+           WHEN nv IS NULL THEN pv
+           ELSE pv + (nv - pv)
+                * (CAST(epoch_us(bucket) - epoch_us(pt) AS DOUBLE)
+                   / (epoch_us(nt) - epoch_us(pt)))
+         END AS v
+  FROM w
+)
+SELECT user_id, bucket, n_obs, is_observed,
+       CAST(ROUND(v * 1e6, 0) AS BIGINT) / 1e6 AS value_interp
+FROM iv
+"""
+QUERIES["events_gap_fill_linear"] = _events_gap_fill_linear
+
+
+# Interrupted time series / segmented regression (the causal-inference
+# workhorse next to events_did: DiD needs a control group, ITS needs
+# only the pre-period trend): split the hourly purchase series at its
+# midpoint and fit OLS per segment from EXACT integer moment folds
+# (n, sum t, sum t^2, sum y, sum t*y — t is the ROW_NUMBER hour index,
+# bounded by calendar time like the runs-test/Page-Hinkley windows);
+# slopes/intercepts/level-at-cutpoint contrasts are terminal doubles in
+# the established (n*sty - st*sy) / (n*stt - st*st) shape. One shared
+# SQL string runs on both engines.
+_ITS_SEGMENTED = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+ix AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bucket) - 1 AS BIGINT) AS t, y
+  FROM hourly
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM ix),
+seg AS (
+  SELECT t, y, CASE WHEN 2 * t < nr THEN 0 ELSE 1 END AS s
+  FROM ix CROSS JOIN nn
+),
+m AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS n, CAST(MIN(t) AS BIGINT) AS tmin,
+         CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(t * t) AS BIGINT) AS stt,
+         CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(t * y) AS BIGINT) AS sty
+  FROM seg GROUP BY s
+),
+f AS (
+  SELECT s, n, tmin, st, sy,
+         (CAST(n AS DOUBLE) * sty - CAST(st AS DOUBLE) * sy)
+           / (CAST(n AS DOUBLE) * stt - CAST(st AS DOUBLE) * st) AS slope
+  FROM m
+  WHERE n > 1 AND CAST(n AS DOUBLE) * stt > CAST(st AS DOUBLE) * st
+),
+g AS (
+  SELECT s, n, tmin, slope,
+         (CAST(sy AS DOUBLE) - slope * st) / n AS icept
+  FROM f
+),
+w AS (
+  SELECT MAX(CASE WHEN s = 0 THEN n END) AS n_pre,
+         MAX(CASE WHEN s = 1 THEN n END) AS n_post,
+         MAX(CASE WHEN s = 1 THEN tmin END) AS t0,
+         MAX(CASE WHEN s = 0 THEN slope END) AS b_pre,
+         MAX(CASE WHEN s = 1 THEN slope END) AS b_post,
+         MAX(CASE WHEN s = 0 THEN icept END) AS a_pre,
+         MAX(CASE WHEN s = 1 THEN icept END) AS a_post
+  FROM g
+)
+SELECT n_pre, n_post, t0,
+       ROUND(b_pre / 100, 6) AS slope_pre,
+       ROUND(b_post / 100, 6) AS slope_post,
+       ROUND((b_post - b_pre) / 100, 6) AS slope_change,
+       ROUND(((a_post + b_post * t0) - (a_pre + b_pre * t0)) / 100, 6)
+         AS level_change_at_t0
+FROM w
+"""
+
+
+def _events_its_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted-time-series segmented regression of the hourly
+    purchase series around its midpoint — per-segment exact moment
+    folds, terminal OLS closed forms, slope and level-at-cutpoint
+    contrasts. See _ITS_SEGMENTED."""
+    load(spark, sf_dir)
+    return spark.sql(_ITS_SEGMENTED)
+
+
+QUERIES["events_its_segmented"] = _events_its_segmented
+ORACLES["events_its_segmented"] = _ITS_SEGMENTED
+
+
+def _streaming_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of window_donchian (streaming.stream_donchian):
+    per-user state is the last 20 cents — rolling extremes are a pure
+    sliding fold — with the position expression applied after the sink;
+    graded by the BATCH oracle (23rd stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_donchian(spark, sf_dir)
+
+
+QUERIES["streaming_donchian"] = _streaming_donchian
+ORACLES["streaming_donchian"] = _DONCHIAN
+
+
+# Token-frequency Herfindahl concentration: HHI = sum cnt^2 / N^2 and
+# its reciprocal, the EFFECTIVE vocabulary (how many equally-likely
+# types the stream behaves like) — the head-heaviness readout that
+# pairs with text_missing_mass (tail coverage) and text_zipf_fit
+# (slope): one exact bigint fold over the shared tokenization, two
+# terminal divisions. A corpus whose effective vocab collapses between
+# snapshots is template-flooded even when raw vocab still grows.
+# VISIBLE headroom guard (the chi2/CvM/MRR discipline): sum(cnt^2) <=
+# n_tokens * max(cnt), so once that double-computed bound nears 2^63
+# the concentration columns go NULL instead of reading a wrapped fold.
+_TOKEN_HHI = f"""
+WITH toks AS (
+  SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents
+),
+c AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM toks WHERE token <> '' GROUP BY token
+),
+s AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS vocab,
+         CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS s2
+  FROM c
+)
+SELECT n_tokens, vocab, max_cnt,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END
+         AS hhi_num,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
+         ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)
+       END AS hhi,
+       CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN
+         ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4)
+       END AS effective_vocab
+FROM s
+"""
+
+
+def _text_token_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl token concentration + effective vocabulary over the
+    documents token stream — Spark side tokenizes with the shared
+    trim/collapse normalization. See _TOKEN_HHI."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(
+            F.split(
+                F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("token")
+    ).where(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    return counts.agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("s2"),
+    ).select(
+        "n_tokens",
+        "vocab",
+        "max_cnt",
+        F.expr(
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN s2 END"
+        ).alias("hhi_num"),
+        F.expr(
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
+            "ROUND(CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * n_tokens), 9)"
+            " END"
+        ).alias("hhi"),
+        F.expr(
+            "CASE WHEN CAST(n_tokens AS DOUBLE) * max_cnt < 9e18 THEN "
+            "ROUND(CAST(n_tokens AS DOUBLE) * n_tokens / s2, 4) END"
+        ).alias("effective_vocab"),
+    )
+
+
+QUERIES["text_token_hhi"] = _text_token_hhi
+ORACLES["text_token_hhi"] = _TOKEN_HHI
+
+
+# TOST equivalence (Schuirmann 1987): the gate that PROVES two
+# distributions' means are the same to within a margin — the inverse of
+# events_ab_test, and what a refactor/no-change deploy check actually
+# needs (failing to reject H0 of difference is not evidence of
+# equivalence). Two one-sided large-sample z tests at delta = $0.50 on
+# the Welch standard error; exact bigint moment folds, terminal IEEE
+# only, NULL when a group is degenerate.
+_TOST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM t GROUP BY grp
+),
+w AS (
+  SELECT CAST(MAX(CASE WHEN grp = 'click' THEN n END) AS BIGINT) AS n_a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s1 END) AS BIGINT) AS s1a,
+         CAST(MAX(CASE WHEN grp = 'click' THEN s2 END) AS BIGINT) AS s2a,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN n END) AS BIGINT) AS n_b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s1 END) AS BIGINT) AS s1b,
+         CAST(MAX(CASE WHEN grp = 'purchase' THEN s2 END) AS BIGINT) AS s2b
+  FROM g
+),
+v AS (
+  SELECT n_a, n_b,
+         (CAST(s1a AS DOUBLE) / n_a - CAST(s1b AS DOUBLE) / n_b) AS mdiff,
+         SQRT((CAST(s2a AS DOUBLE) - CAST(s1a AS DOUBLE) * s1a / n_a)
+                / (n_a - 1) / n_a
+              + (CAST(s2b AS DOUBLE) - CAST(s1b AS DOUBLE) * s1b / n_b)
+                / (n_b - 1) / n_b) AS se
+  FROM w WHERE n_a > 1 AND n_b > 1
+)
+SELECT n_a, n_b,
+       ROUND(mdiff / 100, 4) AS mean_diff,
+       ROUND(se / 100, 6) AS se,
+       0.5 AS delta,
+       CASE WHEN se > 0 THEN ROUND((mdiff + 50.0) / se, 6) END AS t_lower,
+       CASE WHEN se > 0 THEN ROUND((50.0 - mdiff) / se, 6) END AS t_upper,
+       CASE WHEN se > 0 THEN
+         ((mdiff + 50.0) / se > 1.644854 AND (50.0 - mdiff) / se > 1.644854)
+       END AS equivalent_05
+FROM v
+"""
+
+
+def _agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST mean-equivalence of click vs purchase values at a $0.50
+    margin — two one-sided z tests on the Welch standard error from
+    exact moment folds. See _TOST."""
+    load(spark, sf_dir)
+    return spark.sql(_TOST)
+
+
+QUERIES["agg_tost_equivalence"] = _agg_tost_equivalence
+ORACLES["agg_tost_equivalence"] = _TOST
+
+
+def _events_survival_greenwood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier time-to-first-purchase with Greenwood 95% bands
+    (events.survival_km_greenwood): the uncertainty readout the point
+    curve omits — same subjects, same 1e-12 quantized log fold, one
+    more quantized running sum for the variance factor. See the
+    operator docstring for the numeric contract."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_km_greenwood(subjects, "duration", "observed")
+
+
+ORACLES["events_survival_greenwood"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS lnq,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(CAST(d AS DOUBLE)
+                              / (n_risk * (n_risk - d)) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS gwq
+  FROM risk WHERE d > 0
+),
+run AS (
+  SELECT t, n_risk, d,
+         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
+         CAST(SUM(gwq) OVER w AS BIGINT) AS sgwq,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead,
+         CAST(MAX(n_risk) OVER w AS BIGINT) AS nmax
+  FROM ev
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+fin AS (
+  SELECT t, n_risk, d,
+         CAST(nmax AS DOUBLE) * nmax < 9e18 AS headroom,
+         CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+              ELSE EXP(slnq / 1e12) END AS sv,
+         CASE WHEN CAST(nmax AS DOUBLE) * nmax >= 9e18 THEN NULL
+              WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+              ELSE EXP(slnq / 1e12) * SQRT(sgwq / 1e12) END AS sev
+  FROM run
+)
+SELECT t, n_risk, d AS n_events,
+       ROUND(sv, 6) AS survival,
+       ROUND(sev, 6) AS se_greenwood,
+       CASE WHEN headroom THEN
+         ROUND(GREATEST(CAST(0 AS DOUBLE), sv - 1.959964 * sev), 6)
+       END AS ci_lo,
+       CASE WHEN headroom THEN
+         ROUND(LEAST(CAST(1 AS DOUBLE), sv + 1.959964 * sev), 6)
+       END AS ci_hi
+FROM fin
+"""
+QUERIES["events_survival_greenwood"] = _events_survival_greenwood

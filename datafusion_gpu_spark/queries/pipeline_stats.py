@@ -1,0 +1,1329 @@
+"""Exact-arithmetic statistical inference gates (rounds 8-9).
+
+Two-sample tests (Mann-Whitney U, KS, Cramer-von Mises, Welch t,
+Spearman, Benford), the k-group family (Kruskal-Wallis, ANOVA F,
+Brown-Forsythe, Mood, chi-square independence), sequential detectors
+(Page-Hinkley + streaming twin, streaming CUSUM twin), seasonal
+anomaly machinery, equidepth bins, JSD drift, RAKE, cross-correlation.
+
+Mechanically moved from queries/pipeline.py (round-12 split, VERDICT
+r11 ask #6): zero query renames, zero spelling changes. pipeline.py
+merges QUERIES/ORACLES from here and re-exports the private helpers,
+so existing import sites are unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_gpu_spark.operators import events, graph, text
+from datafusion_gpu_spark.queries import load
+from datafusion_gpu_spark.queries.pipeline_common import (
+    _CUSUM_ORACLE,
+    _sparse_copurchase_edges,
+)
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+# ---------------------------------------------------------------------------
+# Round 8 — exact-arithmetic statistical testing family. Each entry is ONE
+# portable SQL run verbatim on both engines: ranks/ECDFs/moments reduce to
+# bigint sums over value-level aggregates, so the only float ops are a fixed
+# handful of identically-spelled IEEE divisions/sqrts at the very end
+# (SQRT is correctly rounded by IEEE 754, unlike libm ln — the survival_km
+# lesson), and every windowed cumulative runs over the DISTINCT-VALUE
+# relation, never the row relation.
+# ---------------------------------------------------------------------------
+
+# Mann-Whitney U (Wilcoxon rank-sum) with tie correction: do 'click' and
+# 'purchase' event values come from the same distribution? Rank algebra is
+# done on the value-level aggregate: for a distinct value with tc total
+# rows and cumb rows strictly below, every row there has
+# 2*avg_rank = 2*cumb + tc + 1 (an integer — the classic *2 trick), so
+# R_a, U_a and the tie term sum(t^3 - t) are exact bigints; z is one fixed
+# float expression (one SQRT, three divisions) over exactly-converted
+# operands, rounded to 4. Degenerate inputs (either group empty, or all
+# pooled values tied) yield z_stat NULL via an integer predicate, never
+# a 0-divide (ADVICE r8; same pattern as _SPEARMAN). The tie variance
+# term collapses to zero exactly when there is ONE distinct pooled
+# value, so the guard is nv > 1 on the distinct-value count — the
+# algebraically equivalent N^3 - N > tie3 spelling overflows bigint at
+# N ~ 2.1e6 rows (caught by the 10M-distinct-value window probe).
+_MANN_WHITNEY = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+cw AS (
+  SELECT da, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a,
+         CAST(SUM(tc - da) AS BIGINT) AS n_b,
+         CAST(SUM(da * (2 * cumb + tc + 1)) AS BIGINT) AS r2_a,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM cw
+)
+SELECT n_a, n_b,
+       r2_a - n_a * (n_a + 1) AS u2_a,
+       tie3,
+       CASE WHEN n_a > 0 AND n_b > 0 AND nv > 1
+       THEN
+       ROUND(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+               - CAST(n_a AS DOUBLE) * n_b) / 2)
+             / SQRT(CAST(n_a AS DOUBLE) * n_b / 12.0
+                    * (CAST(n_a + n_b + 1 AS DOUBLE)
+                       - CAST(tie3 AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE) * (n_a + n_b - 1)))),
+             4) END AS z_stat
+FROM s
+"""
+
+
+def _agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann-Whitney U over click-vs-purchase event values
+    — the nonparametric A/B location test (complements events_ab_test's
+    t-style contrast and events_ab_srm's ratio gate). Scale shape: one
+    hash aggregation to the value-level relation, then ONE ordered
+    window over DISTINCT cent values (bounded by the value domain, not
+    the row count) — the row relation is never globally sorted. See
+    _MANN_WHITNEY for the integer rank algebra."""
+    load(spark, sf_dir)
+    return spark.sql(_MANN_WHITNEY)
+
+
+# Two-sample Kolmogorov-Smirnov: D = max |ECDF_a - ECDF_b| over the merged
+# support, kept exact as the integer numerator max|cum_a*n_b - cum_b*n_a|
+# (D = that / (n_a*n_b)). The alpha=0.05 decision compares D to
+# c(.05)*sqrt((n_a+n_b)/(n_a*n_b)) squared through (n_a*n_b)^2 — i.e.
+# m^2 > c^2 * (n_a+n_b) * n_a * n_b with c^2 = 1.844164 — one float
+# comparison of identically-spelled products of exact operands (m <= n_a*n_b
+# stays double-exact through m^2 up to n_a*n_b ~ 9e7; the gate is 4e6).
+_KS_TEST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM pv
+),
+mx AS (
+  SELECT CAST(MAX(ABS(ca * n_b - cb * n_a)) AS BIGINT) AS m
+  FROM cum CROSS JOIN nn
+)
+SELECT n_a, n_b, m AS d_num,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         ROUND(CAST(m AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_b), 6)
+       END AS d_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (CAST(m AS DOUBLE) * m
+            > 1.844164 * (n_a + n_b) * CAST(n_a AS DOUBLE) * n_b)
+       END AS reject_05
+FROM mx CROSS JOIN nn
+"""
+
+
+def _events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the click and
+    purchase value distributions — the whole-shape drift test a
+    pipeline runs when a mean test (events_ab_test) can't see a
+    variance/tail change. The merged-ECDF window runs over distinct
+    cent values only; the two one-row CTEs join as the documented
+    exempt broadcast-scalar class. See _KS_TEST for the exact integer
+    numerator and the cross-multiplied decision rule."""
+    load(spark, sf_dir)
+    return spark.sql(_KS_TEST)
+
+
+# Spearman rank correlation per brand: Pearson over 2x-average-ranks
+# (integers via 2*rank_min + tie_count - 1), so all five moments are exact
+# bigint sums; rho is the one fixed float expression shared with
+# events_autocorr / window_rolling_corr. Degenerate brands (any zero
+# variance) are filtered by an integer predicate, not a float epsilon.
+_SPEARMAN = """
+WITH t AS (
+  SELECT p_brand AS brand,
+         CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+),
+r AS (
+  SELECT brand,
+         2 * RANK() OVER (PARTITION BY brand ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY brand, x) - 1 AS rx,
+         2 * RANK() OVER (PARTITION BY brand ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY brand, y) - 1 AS ry
+  FROM t
+),
+m AS (
+  SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy
+  FROM r GROUP BY brand
+)
+SELECT brand, n AS n_parts,
+       ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+             / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),
+             6) AS rho
+FROM m
+WHERE n >= 2 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+"""
+
+
+def _agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Spearman rank correlation between part price and size
+    — the monotone-association measure that survives outliers and
+    nonlinearity where Pearson (agg_regression) does not. Rank windows
+    partition by brand (bounded groups — no global sort anywhere);
+    moments are exact bigints. See _SPEARMAN."""
+    load(spark, sf_dir)
+    return spark.sql(_SPEARMAN)
+
+
+# Benford first-digit conformance of order totals — the classic synthetic-
+# data / fraud smell test. The leading digit comes from the decimal string
+# of the exact cent value (never FLOOR(LOG10(x)) — libm log10 is not
+# ulp-pinned and floor flips at exact powers of ten); the nine expected
+# probabilities are CONSTANTS (log10(1+1/d) pre-rounded to 6dp here, not
+# computed in-engine), so the only engine float ops are one division and
+# one subtraction per digit row. Rows are filtered on the QUANTIZED cent
+# value (cents >= 1), not the raw price: a price in (0, 0.005) rounds to
+# 0 cents, whose leading digit 0 matches no expd row — filtering on the
+# raw price would count it in nt and p_obs would no longer sum to 1
+# (ADVICE r8).
+_BENFORD = """
+WITH q AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+  FROM orders
+),
+t AS (
+  SELECT CAST(SUBSTRING(CAST(cents AS STRING), 1, 1) AS BIGINT) AS d
+  FROM q WHERE cents >= 1
+),
+obs AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM t GROUP BY d),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+expd AS (
+  SELECT 1 AS d, 0.301030 AS p
+  UNION ALL SELECT 2, 0.176091 UNION ALL SELECT 3, 0.124939
+  UNION ALL SELECT 4, 0.096910 UNION ALL SELECT 5, 0.079181
+  UNION ALL SELECT 6, 0.066947 UNION ALL SELECT 7, 0.057992
+  UNION ALL SELECT 8, 0.051153 UNION ALL SELECT 9, 0.045757
+)
+SELECT CAST(e.d AS BIGINT) AS digit,
+       COALESCE(o.n, 0) AS n_obs,
+       CAST(e.p AS DOUBLE) AS p_benford,
+       ROUND(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt, 6) AS p_obs,
+       ROUND(ABS(CAST(COALESCE(o.n, 0) AS DOUBLE) / nt
+                 - CAST(e.p AS DOUBLE)), 6) AS abs_dev
+FROM expd e LEFT JOIN obs o ON o.d = e.d CROSS JOIN tot
+"""
+
+
+def _agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs
+    Benford's law — the data-quality screen that catches synthetic or
+    truncated monetary columns before they poison a training mix. One
+    row-level aggregation; the nine-row expected relation joins as a
+    broadcast; the one-row total is the exempt scalar class. See
+    _BENFORD for why the digit is extracted from the exact cent string
+    rather than via log10."""
+    load(spark, sf_dir)
+    return spark.sql(_BENFORD)
+
+
+# Bollinger-band breakouts over the hourly purchase-cents series: a point
+# breaks the 24h +/-2-sigma band iff (n*x - S1)^2 > 4*(n*S2 - S1^2) with
+# n = 24 — the squared inequality clears both the division by n and the
+# square root, so every band decision is EXACT BIGINT arithmetic (cents
+# keep all four products under 2^63 through ~sf0.1; rescale the quantum to
+# dollars for the same headroom at 100x — the knob, not a redesign).
+_BOLLINGER = """
+WITH hourly AS (
+  SELECT DATE_TRUNC('hour', ts) AS h,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY DATE_TRUNC('hour', ts)
+),
+w AS (
+  SELECT h, cents,
+         CAST(COUNT(*) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s1,
+         CAST(SUM(cents * cents) OVER (ORDER BY h
+                ROWS BETWEEN 23 PRECEDING AND CURRENT ROW) AS BIGINT) AS s2
+  FROM hourly
+)
+SELECT h, cents,
+       CAST(FLOOR(CAST(s1 AS DOUBLE) / n) AS BIGINT) AS mean_cents,
+       (n = 24 AND 24 * cents > s1
+          AND (24 * cents - s1) * (24 * cents - s1)
+                > 4 * (24 * s2 - s1 * s1)) AS break_upper,
+       (n = 24 AND 24 * cents < s1
+          AND (24 * cents - s1) * (24 * cents - s1)
+                > 4 * (24 * s2 - s1 * s1)) AS break_lower
+FROM w
+"""
+
+
+def _window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h Bollinger band (mean +/- 2 sigma) breakout flags on
+    the hourly purchase series — the volatility-aware twin of the
+    fixed-k anomaly monitors (events_anomalies, events_anomaly_mad).
+    Same single-series window caveat as window_rolling_corr: the hourly
+    relation is time-bounded, and a per-key deployment partitions the
+    frame by key. Every breakout decision is exact bigint arithmetic —
+    see _BOLLINGER for the squared-inequality spelling."""
+    load(spark, sf_dir)
+    return spark.sql(_BOLLINGER)
+
+
+QUERIES["agg_mann_whitney"] = _agg_mann_whitney
+QUERIES["events_ks_test"] = _events_ks_test
+QUERIES["agg_spearman"] = _agg_spearman
+QUERIES["agg_benford"] = _agg_benford
+QUERIES["window_bollinger"] = _window_bollinger
+ORACLES["agg_mann_whitney"] = _MANN_WHITNEY
+ORACLES["events_ks_test"] = _KS_TEST
+ORACLES["agg_spearman"] = _SPEARMAN
+ORACLES["agg_benford"] = _BENFORD
+ORACLES["window_bollinger"] = _BOLLINGER
+
+
+def _graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (graph.degree_assortativity, Newman 2002)
+    of the bulk-purchase co-purchase graph — does this graph mix hubs
+    with hubs? The number that decides whether the hub-cap guards
+    (common_neighbors/local_clustering max_degree) are load-bearing.
+    Exact bigint moments over both edge orientations, one terminal
+    float expression; the oracle replays the identical moment algebra
+    in SQL."""
+    load(spark, sf_dir)
+    return graph.degree_assortativity(_sparse_copurchase_edges(spark))
+
+
+QUERIES["graph_assortativity"] = _graph_assortativity
+ORACLES["graph_assortativity"] = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  WHERE a.l_quantity >= 40 AND b.l_quantity >= 40
+),
+bo AS (SELECT lo AS u, hi AS v FROM e UNION ALL SELECT hi AS u, lo AS v FROM e),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM bo GROUP BY u),
+p AS (
+  SELECT du.d AS dx, dv.d AS dy
+  FROM bo JOIN deg du ON bo.u = du.u JOIN deg dv ON bo.v = dv.u
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         CAST(SUM(dx) AS BIGINT) AS sx,
+         CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+         CAST(SUM(dy * dy) AS BIGINT) AS syy,
+         CAST(SUM(dx * dy) AS BIGINT) AS sxy
+  FROM p
+)
+SELECT CAST(m2 / 2 AS BIGINT) AS n_edges,
+       CASE WHEN m2 * sxx - sx * sx > 0 AND m2 * syy - sx * sx > 0
+            THEN ROUND((CAST(m2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                 / SQRT((CAST(m2 AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(m2 AS DOUBLE) * syy - CAST(sx AS DOUBLE) * sx)),
+                 6)
+            END AS r
+FROM m
+"""
+
+
+def _streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_changepoint_cusum
+    (streaming.stream_cusum): batch-trained integer baseline +
+    stateful two-bigint CUSUM automaton in applyInPandasWithState,
+    integer-only Python. Graded by the BATCH oracle — the
+    stream==batch contract, 14th streaming twin."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_cusum(spark, sf_dir)
+
+
+QUERIES["streaming_cusum"] = _streaming_cusum
+ORACLES["streaming_cusum"] = _CUSUM_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions.
+# ---------------------------------------------------------------------------
+
+
+def _text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (text.rake_keywords, Rose et al. 2010)
+    over the corpus: top-20 stopword-delimited phrases by summed
+    deg/freq word score — the corpus-statistics-free keyworder that
+    complements text_collocations (PMI) and retrieval_tfidf. Word
+    scores are 1e-9-quantized bigints before the per-phrase sum, so the
+    ranking is engine-independent; the oracle replays the identical
+    gaps-and-islands + deg/freq algebra in SQL."""
+    load(spark, sf_dir)
+    return text.rake_keywords(spark.table("documents"), top_k=20)
+
+
+QUERIES["text_rake_keywords"] = _text_rake_keywords
+# Same normalize/split tokenization, same stopword set, same running-
+# stopword-count island ids, same 1e-9 deg/freq quantization, same
+# (score DESC, phrase) top-20.
+ORACLES["text_rake_keywords"] = r"""
+WITH norm AS (
+  SELECT doc_id, regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS t
+  FROM documents
+),
+words AS (
+  SELECT doc_id, u.i AS pos, arr[u.i] AS word
+  FROM (SELECT doc_id, string_split(t, ' ') AS arr FROM norm),
+       UNNEST(range(1, len(arr) + 1)) AS u(i)
+),
+flagged AS (
+  SELECT doc_id, pos, word,
+         CASE WHEN word IN ('the','a','an','of','and','or','to','in','is',
+                            'on','for','with','as','by','at','it')
+              THEN 1 ELSE 0 END AS is_stop
+  FROM words
+),
+content AS (
+  SELECT * FROM (
+    SELECT doc_id, pos, word, is_stop,
+           SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+    FROM flagged
+  ) WHERE is_stop = 0
+),
+phrases AS (
+  SELECT doc_id, island,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM content GROUP BY doc_id, island
+),
+sq AS (
+  SELECT word,
+         CAST(ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*) * 1e9, 0)
+              AS BIGINT) AS sq
+  FROM content JOIN phrases USING (doc_id, island)
+  GROUP BY word
+),
+pscore AS (
+  SELECT doc_id, island, CAST(SUM(sq) AS BIGINT) AS score_q
+  FROM content JOIN sq USING (word) GROUP BY doc_id, island
+),
+agg AS (
+  SELECT phrase,
+         CAST(MIN(n_words) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         CAST(MIN(score_q) AS BIGINT) AS score_q
+  FROM pscore JOIN phrases USING (doc_id, island) GROUP BY phrase
+)
+SELECT phrase, n_words, n_occurrences,
+       ROUND(score_q / 1e9, 4) AS score
+FROM agg ORDER BY score DESC, phrase LIMIT 20
+"""
+
+
+def _agg_mann_whitney_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level bucketed-cumsum spelling of agg_mann_whitney
+    (stats.mann_whitney_u): identical doubled-rank integer algebra and
+    terminal float expression, but the distinct-value cumulative runs
+    as per-bucket parallel windows + an n_buckets-row offset window +
+    a broadcast recombination — the documented fallback for value
+    domains past a few million distinct values (SCALE.md two-level
+    spelling). Graded by the SAME oracle as the single-window SQL, so
+    a green row here IS the parity proof at gate scale."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators import stats
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.mann_whitney_u(
+        ev, "event_type", "cents", "click", "purchase", n_buckets=64
+    )
+
+
+def _events_ks_test_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level bucketed-cumsum spelling of events_ks_test
+    (stats.ks_two_sample) — same exact integer ECDF numerator and
+    cross-multiplied decision, cumulatives via stats.bucketed_cumsum.
+    Graded by the single-window SQL's oracle."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark.operators import stats
+
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.ks_two_sample(
+        ev, "event_type", "cents", "click", "purchase", n_buckets=64
+    )
+
+
+QUERIES["agg_mann_whitney_bucketed"] = _agg_mann_whitney_bucketed
+QUERIES["events_ks_test_bucketed"] = _events_ks_test_bucketed
+
+
+# Two-sample Cramér-von Mises (Anderson 1962): the whole-curve companion
+# to events_ks_test on the SAME distinct-value cumulative machinery — KS
+# takes the max ECDF gap, CvM the tc-weighted integral of the SQUARED
+# gap, so broad mid-distribution drift that never produces one large gap
+# still registers. Exact bigint gap numerators; ONE 1e12 quantization of
+# each squared relative gap (identical IEEE ops both engines); bigint
+# fold with the VISIBLE N >= 9e6 headroom guard; asymptotic 0.461
+# critical value (Anderson & Darling 1952). Spark side runs
+# operators/stats.cvm_two_sample (cumsum_auto-routed).
+_CVM_TEST = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c,
+         CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS da,
+         CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+           AS db
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT CAST(SUM(da) OVER (ORDER BY c) AS BIGINT) AS ca,
+         CAST(SUM(db) OVER (ORDER BY c) AS BIGINT) AS cb,
+         da + db AS tc
+  FROM pv
+),
+nn AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS n_a, CAST(SUM(db) AS BIGINT) AS n_b
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(tc * CAST(ROUND(1e12
+           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_b))
+           * (CAST(ca * n_b - cb * n_a AS DOUBLE)
+              / (CAST(n_a AS DOUBLE) * n_b)), 0) AS BIGINT))
+         AS BIGINT) AS s_q
+  FROM cum CROSS JOIN nn
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000
+            THEN s_q END AS s_q,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+         ROUND(CAST(n_a AS DOUBLE) * n_b
+               / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+               * (CAST(s_q AS DOUBLE) / 1e12), 6)
+       END AS t_stat,
+       CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b < 9000000 THEN
+         (CAST(n_a AS DOUBLE) * n_b
+            / ((CAST(n_a AS DOUBLE) + n_b) * (CAST(n_a AS DOUBLE) + n_b))
+            * (CAST(s_q AS DOUBLE) / 1e12) > 0.461)
+       END AS reject_05
+FROM s CROSS JOIN nn
+"""
+
+
+def _events_cvm_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises between the click and purchase value
+    distributions (operators/stats.cvm_two_sample): the integrated-
+    squared-gap drift test next to events_ks_test's max-gap, on the
+    same runtime-routed distinct-value cumulative. See _CVM_TEST."""
+    from datafusion_gpu_spark.operators import stats
+
+    load(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return stats.cvm_two_sample(ev, "event_type", "cents", "click", "purchase")
+
+
+QUERIES["events_cvm_test"] = _events_cvm_test
+ORACLES["events_cvm_test"] = _CVM_TEST
+
+
+# Page-Hinkley mean-shift detector (Page 1954; Hinkley 1971) over the
+# hourly value series per event type — the sequential drift monitor next
+# to CUSUM (events_changepoint_cusum tests against a FIXED baseline;
+# Page-Hinkley tracks deviation from the RUNNING mean, so it needs no
+# training pass and adapts to slow level moves). Spelling: hourly sums
+# are exact cents; each deviation term x_t - mean_t quantizes ONCE to a
+# 1e-6-cent bigint (identical IEEE division/round both engines); the PH
+# statistic is the quantized cumsum minus its running minimum (floored
+# at 0, the CUSUM convention), all exact bigint window folds partitioned
+# by type. VISIBLE headroom guard: |M_t| <= t * max|g|, so ph/alarm go
+# NULL when running max|g| * t approaches int64 (the quantum is the
+# knob). Alarm at lambda = $100 (1e10 in quantized units).
+_PAGE_HINKLEY = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+c AS (
+  SELECT event_type, bucket, x,
+         CAST(ROW_NUMBER() OVER wo AS BIGINT) AS t,
+         CAST(SUM(x) OVER w AS BIGINT) AS sx
+  FROM hourly
+  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket),
+         w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+g AS (
+  SELECT event_type, bucket, x, t,
+         CAST(ROUND(1e6 * (CAST(x AS DOUBLE) - CAST(sx AS DOUBLE) / t), 0)
+              AS BIGINT) AS gq
+  FROM c
+),
+m AS (
+  SELECT event_type, bucket, x, t, gq,
+         CAST(SUM(gq) OVER w AS BIGINT) AS mt,
+         CAST(MAX(ABS(gq)) OVER w AS BIGINT) AS mg
+  FROM g
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+p AS (
+  SELECT event_type, bucket, x, t, gq, mt, mg,
+         CAST(LEAST(CAST(0 AS BIGINT), MIN(mt) OVER w) AS BIGINT) AS minm
+  FROM m
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, bucket, x, t, gq, mt,
+       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN mt - minm END AS ph,
+       CASE WHEN CAST(mg AS DOUBLE) * t < 9e18 THEN
+         (mt - minm > 10000000000) END AS alarm
+FROM p
+"""
+
+
+def _events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley running-mean drift detector over the hourly value
+    series per event type — quantized deviation terms, exact bigint
+    cumsum minus running minimum, visible int64 headroom guard. See
+    _PAGE_HINKLEY."""
+    load(spark, sf_dir)
+    return spark.sql(_PAGE_HINKLEY)
+
+
+def _streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_page_hinkley
+    (streaming.stream_page_hinkley): per-type state is SIX bigints plus
+    the open hour's accumulator; each event re-emits the open bucket's
+    provisional row, which equals the batch row once the hour is fully
+    absorbed — graded by the BATCH oracle (21st stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_page_hinkley(spark, sf_dir)
+
+
+QUERIES["events_page_hinkley"] = _events_page_hinkley
+QUERIES["streaming_page_hinkley"] = _streaming_page_hinkley
+ORACLES["events_page_hinkley"] = _PAGE_HINKLEY
+ORACLES["streaming_page_hinkley"] = _PAGE_HINKLEY
+ORACLES["agg_mann_whitney_bucketed"] = _MANN_WHITNEY
+ORACLES["events_ks_test_bucketed"] = _KS_TEST
+
+
+# Welch's unequal-variance t-test: click vs purchase event values. Moments
+# (n, sum, sum-of-squares per group) are exact bigint folds over cent
+# values; means/variances/t/df are terminal double expressions (products
+# of exact operands computed in DOUBLE — a bigint n*s2 product would
+# overflow around sf700; the s2 fold itself holds to ~5e18 at cent
+# quantization, the quantum is the knob). Degenerate guards are integer
+# predicates: n>=2 per group, and pooled squared-error > 0 via distinct-
+# value counts (variance is zero iff a group has ONE distinct value — the
+# overflow-free nv spelling, same lesson as agg_mann_whitney's guard).
+_WELCH_T = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+m AS (
+  SELECT
+    CAST(SUM(CASE WHEN grp = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+    CAST(SUM(CASE WHEN grp = 'click' THEN c ELSE 0 END) AS BIGINT) AS s1_a,
+    CAST(SUM(CASE WHEN grp = 'click' THEN c * c ELSE 0 END) AS BIGINT) AS s2_a,
+    CAST(COUNT(DISTINCT CASE WHEN grp = 'click' THEN c END) AS BIGINT) AS nv_a,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN c ELSE 0 END) AS BIGINT) AS s1_b,
+    CAST(SUM(CASE WHEN grp = 'purchase' THEN c * c ELSE 0 END) AS BIGINT) AS s2_b,
+    CAST(COUNT(DISTINCT CASE WHEN grp = 'purchase' THEN c END) AS BIGINT) AS nv_b
+  FROM t
+),
+v AS (
+  SELECT n_a, n_b, nv_a, nv_b, s1_a, s1_b,
+         (CAST(n_a AS DOUBLE) * s2_a - CAST(s1_a AS DOUBLE) * s1_a)
+           / (CAST(n_a AS DOUBLE) * n_a * (n_a - 1)) AS vn_a,
+         (CAST(n_b AS DOUBLE) * s2_b - CAST(s1_b AS DOUBLE) * s1_b)
+           / (CAST(n_b AS DOUBLE) * n_b * (n_b - 1)) AS vn_b
+  FROM m WHERE n_a >= 2 AND n_b >= 2
+)
+SELECT n_a, n_b,
+       ROUND(CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b, 6)
+         AS mean_diff_cents,
+       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+         ROUND((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+               / SQRT(vn_a + vn_b), 4)
+       END AS t_stat,
+       CASE WHEN nv_a > 1 OR nv_b > 1 THEN
+         ROUND((vn_a + vn_b) * (vn_a + vn_b)
+               / (vn_a * vn_a / (n_a - 1) + vn_b * vn_b / (n_b - 1)), 2)
+       END AS df
+FROM v
+"""
+
+
+def _agg_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test on click-vs-purchase event values
+    — the parametric mean test a curation gate runs when the two
+    samples' variances differ (the pooled-variance events_ab_test
+    assumes them equal; Mann-Whitney drops the location model
+    entirely). vn_a/vn_b in the SQL are var_i/n_i (the per-group
+    squared standard errors), so t and the Welch-Satterthwaite df are
+    the textbook forms. One hash aggregation, zero joins, zero windows
+    — the cheapest plan in the family. See _WELCH_T."""
+    load(spark, sf_dir)
+    return spark.sql(_WELCH_T)
+
+
+# Chi-squared two-way independence (priority x status contingency over
+# orders) via the exact identity chi2 = N * (sum obs^2/(rowtot*coltot) - 1)
+# — algebraically equal to sum (obs-exp)^2/exp INCLUDING empty cells
+# (which contribute exp to the classic form and 0 to the identity's sum;
+# the -N term absorbs exactly that). Each cell ratio <= 1 is quantized to
+# 1e-12 bigints so the across-cell fold is exact integer arithmetic (the
+# RAKE/zipf trick); quantization bias <= N * cells * 5e-13, and the CASE
+# guard makes the headroom limit VISIBLE: past N * cells >= 1e8 (~sf10
+# for this shape) chi2 is NULL instead of drifting at the 4dp round
+# (round-10 ADVICE; the knob is the 1e12 quantum — see _MOOD_MEDIAN's
+# note). The existing agg_chi_squared is goodness-of-fit against fixed
+# probabilities; this is the two-margin independence test.
+_CHI2_INDEP = """
+WITH obs AS (
+  SELECT o_orderpriority AS r, o_orderstatus AS c,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY r),
+ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY c),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+q AS (
+  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
+                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
+           AS term_q
+  FROM obs o JOIN rt ON o.r = rt.r JOIN ct ON o.c = ct.c
+),
+s AS (
+  SELECT CAST(SUM(term_q) AS BIGINT) AS sq,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM q
+),
+d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc
+)
+SELECT n_cells,
+       (kr - 1) * (kc - 1) AS df,
+       CASE WHEN kr > 1 AND kc > 1
+             AND CAST(nt AS DOUBLE) * n_cells * 5e-13 < 5e-5 THEN
+         ROUND(CAST(nt AS DOUBLE) * (CAST(sq AS DOUBLE) / 1e12 - 1), 4)
+       END AS chi2
+FROM s CROSS JOIN tot CROSS JOIN d
+"""
+
+
+def _agg_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence between order priority and
+    order status — the two-way-margin counterpart of agg_chi_squared's
+    fixed-probability goodness-of-fit; the categorical drift gate
+    between corpus snapshots. Plan: one contingency aggregation, two
+    margin re-aggregations joined back by key (both margin relations
+    are category-sized — broadcast), one exact quantized fold. See
+    _CHI2_INDEP for the empty-cell-exact identity."""
+    load(spark, sf_dir)
+    return spark.sql(_CHI2_INDEP)
+
+
+QUERIES["agg_welch_ttest"] = _agg_welch_ttest
+QUERIES["agg_chi2_independence"] = _agg_chi2_independence
+ORACLES["agg_welch_ttest"] = _WELCH_T
+ORACLES["agg_chi2_independence"] = _CHI2_INDEP
+
+
+# ---------------------------------------------------------------------------
+# Round 9 — k-group inference family. Extends the two-sample r8 tests to
+# the k-sample questions a curation pipeline asks across ALL segments at
+# once (are the five event types drawn from one value distribution?).
+# Same portable-SQL contract: value-level aggregates, exact bigint folds,
+# per-group float terms quantized to bigints BEFORE the cross-group sum
+# (a plain double SUM over groups would be accumulation-order-dependent
+# cross-engine), terminal IEEE ops only.
+# ---------------------------------------------------------------------------
+
+# Kruskal-Wallis H (tie-corrected) across all five event types. Rank
+# algebra on the distinct-value relation exactly as agg_mann_whitney
+# (doubled average ranks are integers); per-group doubled rank sums R2_g
+# are exact bigints; the cross-group sum uses the deviation form
+# H = 3/(N(N+1)) * sum_g e_g^2/n_g with e_g = R2_g - n_g*(N+1) (exact
+# bigint), each group's e^2/n term ROUNDED but summed in DOUBLE: under
+# strong group separation e_g ~ n_g*N so a term reaches ~n_g*N^2 (N^3
+# worst case), which would wrap a bigint fold near N ~ 3e6 (round-10
+# ADVICE). Each rounded term is integer-valued, so the double sum is
+# EXACT (hence order-independent cross-engine) below 2^53 — full
+# separation at N ~ 2e5 — and beyond that degrades to ~1e-16 relative
+# error against an H scale of O(N): invisible at the 4dp round until
+# N ~ 1e11, where the bigint spelling wrapped silently. Tie correction
+# divides by 1 - tie3/(N^3-N) computed in double (the bigint N^3
+# spelling overflows at N~2.1e6 — the r9 probe lesson); e_g itself is
+# exact bigint up to n_g*N ~ 9.2e18, i.e. N ~ 3e9 rows.
+_KRUSKAL_WALLIS = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+vg AS (
+  SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY grp, c
+),
+pv AS (
+  SELECT c, CAST(SUM(cnt) AS BIGINT) AS tc FROM vg GROUP BY c
+),
+cw AS (
+  SELECT c, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+g AS (
+  SELECT vg.grp,
+         CAST(SUM(vg.cnt) AS BIGINT) AS n_g,
+         CAST(SUM(vg.cnt * (2 * cw.cumb + cw.tc + 1)) AS BIGINT) AS r2_g
+  FROM vg JOIN cw ON vg.c = cw.c
+  GROUP BY vg.grp
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3,
+         CAST(COUNT(*) AS BIGINT) AS nv
+  FROM pv
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(ROUND(
+           CAST(r2_g - n_g * (n + 1) AS DOUBLE)
+             * (r2_g - n_g * (n + 1)) / n_g, 0)) AS sq
+  FROM g CROSS JOIN tot
+)
+SELECT n AS n_total, k AS k_groups, (k - 1) AS df, tie3,
+       CASE WHEN nv > 1 AND k > 1 THEN
+         ROUND(3.0 * sq / (CAST(n AS DOUBLE) * (n + 1))
+               / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * n * n - n)), 4)
+       END AS h_stat
+FROM q CROSS JOIN tot
+"""
+
+
+def _agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kruskal-Wallis H across all five event types — the
+    k-sample extension of agg_mann_whitney (same doubled-rank algebra
+    on the distinct-value relation, deviation-form cross-group fold).
+    Scale shape: value-group + value aggregations, ONE window over
+    distinct cents, a k-row final fold. See _KRUSKAL_WALLIS."""
+    load(spark, sf_dir)
+    return spark.sql(_KRUSKAL_WALLIS)
+
+
+# One-way ANOVA F across event types: SSB/SSW from exact per-group
+# (n, s1, s2) cent moments. Each group's s1^2/n term is rounded to a
+# bigint before the cross-group sum (same quantized-fold trick as RAKE /
+# chi2 / Kruskal-Wallis); the degenerate guard is the INTEGER predicate
+# s2 > tq on the QUANTIZED divisor itself — guarding on the unquantized
+# variance (count distinct (grp, cent) > k) is not enough, because tq
+# can round UP to exactly s2 while the true SSW is a positive fraction,
+# leaving a 0-divide behind a passing guard (caught by round-9 review:
+# cents {1,2} give s1^2/n = 4.5 -> tq 5 == s2). When quantization eats
+# a sub-cent SSW the query emits NULL — conservative and identical on
+# both engines.
+_ANOVA_F = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(c) AS BIGINT) AS s1_g,
+         CAST(SUM(c * c) AS BIGINT) AS s2_g,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS nv_g
+  FROM t GROUP BY grp
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s1_g) AS BIGINT) AS s1,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(SUM(nv_g) AS BIGINT) AS nvg,
+         CAST(SUM(CAST(ROUND(
+           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM g
+)
+SELECT n AS n_total, k AS k_groups,
+       (k - 1) AS df_between, (n - k) AS df_within,
+       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
+         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
+               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
+       END AS f_stat
+FROM q
+"""
+
+
+def _agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F across all five event types — the parametric
+    k-group mean test (Welch's t generalizes pairwise; this is the
+    omnibus gate). One hash aggregation to k rows, zero joins/windows
+    — the cheapest plan in the family. See _ANOVA_F."""
+    load(spark, sf_dir)
+    return spark.sql(_ANOVA_F)
+
+
+# Brown-Forsythe (Levene-on-medians) homogeneity-of-variance test: ANOVA
+# F applied to z = |2c - 2*median_g| — DOUBLED absolute deviations from
+# the group median, because 2*median of integers is always itself an
+# integer (single middle -> 2a; even-count interpolation -> a+b), so z
+# is an exact bigint and the whole downstream fold is the exact ANOVA
+# algebra (F is scale-invariant: the 2x cancels). The one engine float
+# is percentile/median itself, whose interpolated value is exactly
+# representable, CAST back to bigint identically on both engines.
+_BROWN_FORSYTHE = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+med AS (
+  SELECT grp, CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2
+  FROM t GROUP BY grp
+),
+d AS (
+  SELECT t.grp, ABS(2 * t.c - med.m2) AS z
+  FROM t JOIN med ON t.grp = med.grp
+),
+g AS (
+  SELECT grp,
+         CAST(COUNT(*) AS BIGINT) AS n_g,
+         CAST(SUM(z) AS BIGINT) AS s1_g,
+         CAST(SUM(z * z) AS BIGINT) AS s2_g,
+         CAST(COUNT(DISTINCT z) AS BIGINT) AS nv_g
+  FROM d GROUP BY grp
+),
+q AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n_g) AS BIGINT) AS n,
+         CAST(SUM(s1_g) AS BIGINT) AS s1,
+         CAST(SUM(s2_g) AS BIGINT) AS s2,
+         CAST(SUM(nv_g) AS BIGINT) AS nvg,
+         CAST(SUM(CAST(ROUND(
+           CAST(s1_g AS DOUBLE) * s1_g / n_g, 0) AS BIGINT)) AS BIGINT) AS tq
+  FROM g
+)
+SELECT n AS n_total, k AS k_groups,
+       (k - 1) AS df_between, (n - k) AS df_within,
+       CASE WHEN k > 1 AND n > k AND s2 > tq THEN
+         ROUND(((CAST(tq AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n) / (k - 1))
+               / ((CAST(s2 AS DOUBLE) - tq) / (n - k)), 4)
+       END AS f_stat
+FROM q
+"""
+
+
+def _agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance test across event types —
+    the gate that decides whether pooled-variance tests (events_ab_test,
+    agg_anova_f) are trustworthy or the Welch corrections are needed.
+    Plan: one exact per-group median, one broadcast-size join back
+    (k-row med relation), then the exact ANOVA fold on integer doubled
+    deviations. See _BROWN_FORSYTHE."""
+    load(spark, sf_dir)
+    return spark.sql(_BROWN_FORSYTHE)
+
+
+QUERIES["agg_kruskal_wallis"] = _agg_kruskal_wallis
+QUERIES["agg_anova_f"] = _agg_anova_f
+QUERIES["agg_brown_forsythe"] = _agg_brown_forsythe
+ORACLES["agg_kruskal_wallis"] = _KRUSKAL_WALLIS
+ORACLES["agg_anova_f"] = _ANOVA_F
+ORACLES["agg_brown_forsythe"] = _BROWN_FORSYTHE
+
+
+def _streaming_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_welch_ttest (streaming.stream_welch_ttest):
+    incremental exact moments + streaming-dedup distinct counts, batch
+    terminal expression — graded by the BATCH oracle (the stream==batch
+    contract, 15th twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_welch_ttest(spark, sf_dir)
+
+
+QUERIES["streaming_welch_ttest"] = _streaming_welch_ttest
+ORACLES["streaming_welch_ttest"] = _WELCH_T
+
+
+def _events_cross_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag -3..+3 cross-correlation between the hourly click-count and
+    purchase-cents series (events.cross_correlation) — the lead/lag
+    diagnostic (do clicks lead purchases?) that precedes any causal
+    read of paired telemetry; the two-series sibling of events_autocorr
+    with the same exact-bigint-moment contract. Buckets where either
+    series is absent are dropped by the inner join (positional lags
+    over observed shared buckets — the autocorr convention)."""
+    load(spark, sf_dir)
+    ev = spark.table("events")
+    x = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    y = (
+        ev.where((F.col("event_type") == "purchase") & F.col("value").isNotNull())
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y")
+        )
+    )
+    joined = x.join(y, "bucket")
+    return events.cross_correlation(joined, "bucket", "x", "y", max_lag=3)
+
+
+QUERIES["events_cross_corr"] = _events_cross_corr
+# Same hourly series, same inner join, same positional LAG over shared
+# buckets, same exact moments and terminal Pearson expression.
+ORACLES["events_cross_corr"] = """
+WITH x AS (
+  SELECT date_trunc('hour', ts) AS bucket, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events WHERE event_type = 'click' GROUP BY 1
+),
+y AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1
+),
+j AS (SELECT x.bucket, x.x, y.y FROM x JOIN y ON x.bucket = y.bucket),
+l AS (
+  SELECT x AS x0, y AS y0,
+         LAG(x, 1) OVER w AS xl1, LAG(y, 1) OVER w AS yl1,
+         LAG(x, 2) OVER w AS xl2, LAG(y, 2) OVER w AS yl2,
+         LAG(x, 3) OVER w AS xl3, LAG(y, 3) OVER w AS yl3
+  FROM j
+  WINDOW w AS (ORDER BY bucket)
+),
+p AS (
+  SELECT 0 AS lag_k, x0 AS x, y0 AS y FROM l
+  UNION ALL SELECT 1, xl1, y0 FROM l
+  UNION ALL SELECT -1, x0, yl1 FROM l
+  UNION ALL SELECT 2, xl2, y0 FROM l
+  UNION ALL SELECT -2, x0, yl2 FROM l
+  UNION ALL SELECT 3, xl3, y0 FROM l
+  UNION ALL SELECT -3, x0, yl3 FROM l
+),
+m AS (
+  SELECT lag_k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM p WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY lag_k
+)
+SELECT lag_k, n_pairs,
+  CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+        AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+       THEN ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                  / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                         * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+       END AS r
+FROM m
+"""
+
+
+# Exact equi-depth (k=8) bin edges of order totals — the distributed
+# exact-quantile operator a feature pipeline uses for calibration/binning
+# where approx_percentile's error bound is not acceptable. Definition:
+# edge_j = MIN{v : cum_count(v) >= ceil(j*N/8)} over the DISTINCT-VALUE
+# cumulative relation (the same domain-bounded window as the rank family;
+# the two-level operators/stats.py spelling is the documented fallback).
+# ceil(j*N/8) is computed with pure integer arithmetic spelled portably
+# (x - x%8 is divisible by 8, and dividing an int64 by 2^3 is exact in
+# double — no FLOOR/CEIL on floats anywhere); the 8-row target relation
+# joins the cumulative by a range predicate (the documented exempt
+# broadcast-tiny non-equi class, same as agg_benford's 9-row expd).
+_EQUIDEPTH = """
+WITH t AS (
+  SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c FROM orders
+),
+pv AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS tc FROM t GROUP BY c),
+cum AS (
+  SELECT c, CAST(SUM(tc) OVER (ORDER BY c) AS BIGINT) AS cm FROM pv
+),
+n AS (SELECT CAST(SUM(tc) AS BIGINT) AS nt FROM pv),
+j AS (
+  SELECT 1 AS j UNION ALL SELECT 2 UNION ALL SELECT 3 UNION ALL SELECT 4
+  UNION ALL SELECT 5 UNION ALL SELECT 6 UNION ALL SELECT 7 UNION ALL SELECT 8
+),
+tgt AS (
+  SELECT j, CAST((j * nt + 7 - (j * nt + 7) % 8) / 8 AS BIGINT) AS target,
+         nt
+  FROM j CROSS JOIN n
+)
+SELECT tgt.j AS bin, tgt.target AS target_rank,
+       CAST(MIN(cum.c) AS BIGINT) AS edge_cents,
+       CAST(MIN_BY(cum.cm, cum.c) AS BIGINT) AS count_le_edge
+FROM tgt JOIN cum ON cum.cm >= tgt.target
+GROUP BY tgt.j, tgt.target
+"""
+
+
+def _agg_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth bin edges (8 bins) of order totals — the
+    exact-quantile counterpart of agg_kll_quantiles/agg_approximate:
+    reproducible bin boundaries for feature calibration, computed on
+    the distinct-value cumulative relation with zero row-level sort.
+    See _EQUIDEPTH for the integer target-rank arithmetic."""
+    load(spark, sf_dir)
+    return spark.sql(_EQUIDEPTH)
+
+
+QUERIES["agg_equidepth_bins"] = _agg_equidepth_bins
+ORACLES["agg_equidepth_bins"] = _EQUIDEPTH
+
+
+# Seasonality-aware anomaly flags: each hour's purchase cents compared to
+# the SAME-HOUR-OF-DAY profile (daily-rhythm baseline) instead of a
+# trailing window — the monitor that doesn't page at 9am because 9am is
+# always busy. Same exact-integer decision as window_bollinger: |x-mean|
+# > 2*sigma_pop spelled as the cross-multiplied squared inequality
+# (n*x - S1)^2 > 4*(n*S2 - S1^2) over exact bigint profile moments —
+# zero float anywhere (headroom: (n*x)^2 under 2^63 through ~sf500 at
+# cent quantization; the quantum is the knob).
+_SEASONAL_ANOM = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS b,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1
+),
+hod AS (SELECT b, x, CAST(EXTRACT(HOUR FROM b) AS BIGINT) AS h FROM hourly),
+prof AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS s1,
+         CAST(SUM(x * x) AS BIGINT) AS s2
+  FROM hod GROUP BY h
+)
+SELECT hod.b AS bucket, hod.h AS hour_of_day, hod.x AS cents,
+       prof.n AS n_same_hour,
+       (prof.n >= 2 AND prof.n * hod.x - s1 > 0
+        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
+            > 4 * (prof.n * s2 - s1 * s1)) AS break_upper,
+       (prof.n >= 2 AND prof.n * hod.x - s1 < 0
+        AND (prof.n * hod.x - s1) * (prof.n * hod.x - s1)
+            > 4 * (prof.n * s2 - s1 * s1)) AS break_lower
+FROM hod JOIN prof ON hod.h = prof.h
+"""
+
+
+def _events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonal anomaly flags on the hourly purchase series
+    — the daily-rhythm-aware member of the monitoring family
+    (events_anomalies = trailing window, events_anomaly_mad = robust
+    location, window_bollinger = volatility band; this one scores each
+    hour against ITS OWN hour-of-day cohort). Plan: one hourly
+    aggregation, one 24-row profile aggregation broadcast back, exact
+    integer decisions. See _SEASONAL_ANOM."""
+    load(spark, sf_dir)
+    return spark.sql(_SEASONAL_ANOM)
+
+
+QUERIES["events_seasonal_anomaly"] = _events_seasonal_anomaly
+ORACLES["events_seasonal_anomaly"] = _SEASONAL_ANOM
+
+
+# Jensen-Shannon divergence between the word distributions of two corpus
+# halves (doc_id parity split — the deterministic stand-in for "yesterday
+# vs today") — the TEXT drift gate, complementing the numeric KS/MW
+# tests: symmetric, bounded by ln 2, defined even where one side has
+# zero-probability words. Per-word contribution 0.5*(p*ln(p/m) +
+# q*ln(q/m)) is quantized to an exact 1e-12 bigint BEFORE the vocabulary
+# sum (the agg_entropy pattern — the only cross-engine float op is libm
+# ln, 4 decimal orders below the quantum; the fold is exact integers).
+_JSD_SPARK = r"""
+WITH w AS (
+  SELECT doc_id % 2 AS half,
+         explode(split(regexp_replace(trim(lower(text)), '\\s+', ' '), ' '))
+           AS word
+  FROM documents
+),
+c AS (
+  SELECT word,
+         CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+  FROM w GROUP BY word
+),
+n AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+         CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM c
+),
+t AS (
+  SELECT CAST(ROUND((
+           CASE WHEN ca > 0 THEN 0.5 * (CAST(ca AS DOUBLE) / na)
+             * LN((CAST(ca AS DOUBLE) / na)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END
+           + CASE WHEN cb > 0 THEN 0.5 * (CAST(cb AS DOUBLE) / nb)
+             * LN((CAST(cb AS DOUBLE) / nb)
+                  / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+             ELSE 0.0 END) * 1e12, 0) AS BIGINT) AS term_q
+  FROM c CROSS JOIN n
+)
+SELECT na AS n_words_a, nb AS n_words_b, vocab,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12, 6) AS jsd_nats,
+       ROUND(CAST(SUM(term_q) AS BIGINT) / 1e12 / 0.693147, 6) AS jsd_norm
+FROM t CROSS JOIN n
+GROUP BY na, nb, vocab
+"""
+
+# DuckDB spelling: identical algebra, DuckDB tokenizer (regexp_replace
+# 'g' flag + unnest(string_split)).
+# DuckDB spelling derived from the Spark string (single-source algebra,
+# the _PROP_ZTEST pattern): only the tokenizer line differs.
+_JSD_DUCK = _JSD_SPARK.replace(
+    "explode(split(regexp_replace(trim(lower(text)), '\\\\s+', ' '), ' '))\n"
+    "           AS word",
+    "unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),\n"
+    "                             ' ')) AS word",
+)
+
+
+
+def _text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the word distributions of the
+    two doc_id-parity corpus halves — the symmetric, ln2-bounded text
+    drift measure run between corpus snapshots (the numeric siblings
+    are events_ks_test/agg_mann_whitney). One vocabulary aggregation,
+    one one-row totals broadcast, one exact quantized fold. Scale: the
+    summed relation is vocabulary-sized, not corpus-sized."""
+    load(spark, sf_dir)
+    return spark.sql(_JSD_SPARK)
+
+
+QUERIES["text_jsd_drift"] = _text_jsd_drift
+ORACLES["text_jsd_drift"] = _JSD_DUCK
+
+
+# Mood's median test across the five event types: the k-group MEDIAN
+# counterpart of Kruskal-Wallis (rank) and ANOVA (mean) — robust to any
+# monotone transform of the values. Counts above/at-or-below the GRAND
+# median form a k x 2 contingency whose chi2 uses the same empty-cell-
+# exact identity and 1e-12-quantized fold as agg_chi2_independence. The
+# grand median enters as 2*MEDIAN (always an integer for integer cents —
+# the Brown-Forsythe trick), so "above" is the exact predicate 2c > m2.
+# Both this and _CHI2_INDEP guard the identity's linear-in-N bias
+# amplification VISIBLY: the worst-case quantization bias on chi2 is
+# N * cells * 5e-13, and once that could touch the 4dp round (half-ulp
+# 5e-5, i.e. N * cells >= 1e8 — around sf10 for these shapes) the
+# statistic is NULL rather than silently drifting. The knob is the
+# 1e12 quantum: each 10x raise buys 10x N at ~one fewer safe digit.
+_MOOD_MEDIAN = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+med AS (SELECT CAST(ROUND(2 * MEDIAN(c), 0) AS BIGINT) AS m2 FROM t),
+obs AS (
+  SELECT grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS above,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM t CROSS JOIN med GROUP BY grp, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END
+),
+rt AS (SELECT grp, CAST(SUM(o) AS BIGINT) AS nr FROM obs GROUP BY grp),
+ct AS (SELECT above, CAST(SUM(o) AS BIGINT) AS nc FROM obs GROUP BY above),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+q AS (
+  SELECT CAST(ROUND(CAST(o.o AS DOUBLE) * o.o
+                    / (CAST(rt.nr AS DOUBLE) * ct.nc) * 1e12, 0) AS BIGINT)
+           AS term_q
+  FROM obs o JOIN rt ON o.grp = rt.grp JOIN ct ON o.above = ct.above
+),
+d AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS kr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS kc,
+         (SELECT CAST(SUM(CASE WHEN above = 1 THEN nc ELSE 0 END) AS BIGINT)
+            FROM ct) AS n_above
+)
+SELECT nt AS n_total, kr AS k_groups, n_above, (kr - 1) * (kc - 1) AS df,
+       CASE WHEN kr > 1 AND kc > 1
+             AND CAST(nt AS DOUBLE) * kr * kc * 5e-13 < 5e-5 THEN
+         ROUND(CAST(nt AS DOUBLE)
+               * (CAST(SUM(term_q) AS BIGINT) / 1e12 - 1), 4)
+       END AS chi2
+FROM q CROSS JOIN tot CROSS JOIN d
+GROUP BY nt, kr, kc, n_above
+"""
+
+
+def _agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types — the k-group location
+    test that only uses above/below-the-grand-median counts (robust
+    where Kruskal-Wallis' rank sums and ANOVA's means are not). One
+    exact grand median, one contingency fold, the chi2 identity. See
+    _MOOD_MEDIAN."""
+    load(spark, sf_dir)
+    return spark.sql(_MOOD_MEDIAN)
+
+
+QUERIES["agg_mood_median"] = _agg_mood_median
+ORACLES["agg_mood_median"] = _MOOD_MEDIAN
