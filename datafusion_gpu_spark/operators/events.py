@@ -1432,6 +1432,112 @@ def survival_km_greenwood(
     ).orderBy("t")
 
 
+def survival_logrank(
+    subjects: DataFrame,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Two-cohort log-rank test (Mantel 1966; Peto & Peto 1972) — the
+    comparison member of the survival family: :func:`survival_km` and
+    :func:`survival_km_greenwood` diagnose ONE cohort; this answers the
+    question every A/B with censoring actually asks (did time-to-event
+    CHANGE between variants?). ``group_col`` must be 0/1.
+
+    At each pooled distinct duration t with >= 1 event: ``n1/n0`` =
+    at-risk per cohort (suffix sums over the distinct-duration
+    relation), ``d`` = pooled events, ``d1`` = cohort-1 events. Under
+    H0 (identical hazards) the cohort-1 events at t are hypergeometric:
+    E1_t = d * n1 / n, V_t = d * (n1/n) * (n0/n) * (n - d)/(n - 1).
+    chi2 = (sum d1 - sum E1)^2 / sum V_t on 1 df.
+
+    Numeric portability contract (the Greenwood discipline): ``O1`` is
+    an exact bigint; each per-time E1/V term is computed with the SAME
+    IEEE expression spelling in both engines and QUANTIZED once to an
+    exact 1e-9 bigint before the cross-time sum, so the fold is
+    order-independent integer arithmetic; chi-square and the 3.841459
+    (5%, 1 df) criterion are terminal. VISIBLE headroom guard: each
+    E1 term is <= d_t in magnitude, so |sum| <= (total events) * 1e9 —
+    e1/var/chi2/reject go NULL once CAST(total_events AS DOUBLE) * 1e9
+    reaches 9e18 (~9e9 events) instead of wrapping.
+
+    Scale: one groupBy(duration) shuffle, one single-partition window
+    over DISTINCT durations (thousands of rows for billions of
+    subjects), one global one-row aggregate. Returns one row
+    (n1_subjects, n0_subjects, o1, e1, var_lr, chi2_lr, reject_05).
+    """
+    q = F.lit(1_000_000_000.0)  # 1e-9 quantum
+    is1 = (F.col(group_col) == 1).cast("long")
+    obs = F.col(observed_col).cast("long")
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(is1 * obs).alias("d1"),
+        F.sum(is1 * (F.lit(1) - obs)).alias("c1"),
+        F.sum((F.lit(1) - is1) * obs).alias("d0"),
+        F.sum((F.lit(1) - is1) * (F.lit(1) - obs)).alias("c0"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = (
+        per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
+        .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
+        # cohort sizes ride the SAME single-partition window pass (the
+        # first row's suffix sums), so no second aggregation of subjects
+        .withColumn("n1_all", F.sum(F.col("d1") + F.col("c1")).over(w_all))
+        .withColumn("n0_all", F.sum(F.col("d0") + F.col("c0")).over(w_all))
+        .where(F.col("d1") + F.col("d0") > 0)
+    )
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    d = (F.col("d1") + F.col("d0")).cast("double")
+    e1_q = F.round(q * (d * F.col("n1") / n), 0).cast("long")
+    v_q = F.when(
+        F.col("n1") + F.col("n0") > 1,
+        F.round(
+            q
+            * (
+                d
+                * (F.col("n1") / n)
+                * (F.col("n0") / n)
+                * ((n - d) / (n - F.lit(1.0)))
+            ),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    folded = at_risk.select(
+        F.col("d1"),
+        (F.col("d1") + F.col("d0")).alias("d"),
+        e1_q.alias("e1q"),
+        v_q.alias("vq"),
+        F.col("n1_all"),
+        F.col("n0_all"),
+    ).groupBy().agg(
+        F.max("n1_all").alias("n1_subjects"),
+        F.max("n0_all").alias("n0_subjects"),
+        F.sum("d1").alias("o1"),
+        F.sum("d").alias("o_total"),
+        F.sum("e1q").alias("se1q"),
+        F.sum("vq").alias("svq"),
+    )
+    headroom = F.col("o_total").cast("double") * q < F.lit(9e18)
+    e1 = F.col("se1q") / q
+    v = F.col("svq") / q
+    chi2 = (F.col("o1") - e1) * (F.col("o1") - e1) / v
+    return folded.select(
+        "n1_subjects",
+        "n0_subjects",
+        "o1",
+        F.when(headroom, F.round(e1, 6)).alias("e1"),
+        F.when(headroom, F.round(v, 6)).alias("var_lr"),
+        F.when(headroom & (F.col("svq") > 0), F.round(chi2, 6)).alias("chi2_lr"),
+        F.when(
+            headroom & (F.col("svq") > 0), chi2 > F.lit(3.841459)
+        ).alias("reject_05"),
+    )
+
+
 def autocorr(
     series: DataFrame,
     key_col: str = "event_type",

@@ -1160,3 +1160,281 @@ SELECT t, n_risk, d AS n_events,
 FROM fin
 """
 QUERIES["events_survival_greenwood"] = _events_survival_greenwood
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — two-cohort log-rank test (VERDICT r11 ask #2): the survival
+# family's comparison member. KM curve (r9) + Greenwood bands (r11)
+# diagnose ONE cohort; the log-rank chi-square answers whether
+# time-to-first-purchase DIFFERS between cohorts (here: the user_id-parity
+# split — deterministic, balanced, and exactly the spelling an A/B bucket
+# hash would use). Same machinery as the KM gates: one groupBy(duration)
+# shuffle, suffix sums over the distinct-duration relation, per-time
+# hypergeometric O-E / variance terms quantized ONCE to exact 1e-9
+# bigints before the cross-time fold (operators/events.survival_logrank
+# has the numeric contract and the visible ~9e9-event headroom guard).
+# ---------------------------------------------------------------------------
+def _events_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test of time-to-first-purchase between the user_id
+    parity cohorts (events.survival_logrank): exact bigint O1, 1e-9
+    quantized E1/V folds, terminal chi-square vs 3.841459 (5%, 1 df)."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_logrank(subjects, "grp", "duration", "observed")
+
+
+ORACLES["events_logrank"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d0,
+         CAST(SUM(d1 + c1) OVER ws AS BIGINT) AS n1,
+         CAST(SUM(d0 + c0) OVER ws AS BIGINT) AS n0,
+         CAST(SUM(d1 + c1) OVER wa AS BIGINT) AS n1_all,
+         CAST(SUM(d0 + c0) OVER wa AS BIGINT) AS n0_all
+  FROM per_t
+  WINDOW ws AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+         wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+terms AS (
+  SELECT d1, d1 + d0 AS d, n1_all, n0_all,
+         CAST(ROUND(1e9 * (CAST(d1 + d0 AS DOUBLE) * n1
+                           / CAST(n1 + n0 AS DOUBLE)), 0) AS BIGINT) AS e1q,
+         CASE WHEN n1 + n0 > 1 THEN
+           CAST(ROUND(1e9 * (CAST(d1 + d0 AS DOUBLE)
+                * (n1 / CAST(n1 + n0 AS DOUBLE))
+                * (n0 / CAST(n1 + n0 AS DOUBLE))
+                * ((CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+                   / (CAST(n1 + n0 AS DOUBLE) - 1.0))), 0) AS BIGINT)
+         ELSE 0 END AS vq
+  FROM risk WHERE d1 + d0 > 0
+),
+folded AS (
+  SELECT CAST(MAX(n1_all) AS BIGINT) AS n1_subjects,
+         CAST(MAX(n0_all) AS BIGINT) AS n0_subjects,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d) AS BIGINT) AS o_total,
+         CAST(SUM(e1q) AS BIGINT) AS se1q,
+         CAST(SUM(vq) AS BIGINT) AS svq
+  FROM terms
+)
+SELECT n1_subjects, n0_subjects, o1,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(se1q / 1e9, 6) END AS e1,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(svq / 1e9, 6) END AS var_lr,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND((o1 - se1q / 1e9) * (o1 - se1q / 1e9)
+                       / (svq / 1e9), 6) END AS chi2_lr,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN (o1 - se1q / 1e9) * (o1 - se1q / 1e9) / (svq / 1e9)
+                 > 3.841459 END AS reject_05
+FROM folded
+"""
+QUERIES["events_logrank"] = _events_logrank
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — rolling-origin forecast backtest (VERDICT r11 ask #3): the
+# forecasting family is complete (naive/EWMA/Holt/HW/Croston) and has a
+# skill gate (Theil U2), but nothing said WHICH forecaster to trust per
+# key. This gate replays K expanding-origin folds per user — fold k
+# evaluates the one-step-ahead errors over the k-th block of the series,
+# every forecast causal (windows end strictly before the target row), so
+# each block IS an expanding-origin out-of-sample test — and scores
+# naive (last value), Holt (Brown double smoothing on cents) and
+# additive Holt-Winters (Brown on the deseasonalized cents + the
+# causal hour-of-day index of the TARGET row) with per-fold RMSE,
+# emitting the per-user winner. Spelling discipline: the fold id is one
+# more window expression (rank arithmetic — no per-fold Python loop, no
+# data re-reads), the Brown/seasonal kernels are the exact bigint folds
+# shared with the Holt/HW gates, forecasts quantize ONCE to integer
+# cents, per-fold RMSE quantizes ONCE to a 1e-6 bigint so the cross-fold
+# mean is exact integer arithmetic, and the winner CASE compares exact
+# bigint sums (ties prefer holt, then hw — fixed, documented). VISIBLE
+# headroom guard: per-fold squared-error sums wrap once
+# n * max_err^2 >= 9e18, so rq_*/rmse_*/winner go NULL there instead.
+def _backtest_sql(
+    span: int = 20, season_span: int = 8, scale: int = 100, k_folds: int = 4
+) -> str:
+    from datafusion_gpu_spark.operators.events import (
+        HW_SQ_SQL,
+        holt_weights,
+        holt_winters_weights,
+    )
+
+    sw = holt_winters_weights(season_span)
+    s_num = " + ".join(
+        f"COALESCE(lag(c, {k}) OVER ws * {wgt}, 0)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    s_den = " + ".join(
+        f"(CASE WHEN lag(c, {k}) OVER ws IS NOT NULL THEN {wgt} ELSE 0 END)"
+        for k, wgt in enumerate(sw, start=1)
+    )
+    w1, w2 = holt_weights(span)
+
+    def fold(col: str, wgts: list[int], start: int = 0) -> tuple[str, str]:
+        num = " + ".join(
+            f"COALESCE(lag({col}, {k}) OVER w * {wgt}, 0)"
+            for k, wgt in enumerate(wgts, start=start)
+        )
+        den = " + ".join(
+            f"(CASE WHEN lag({col}, {k}) OVER w IS NOT NULL"
+            f" THEN {wgt} ELSE 0 END)"
+            for k, wgt in enumerate(wgts, start=start)
+        )
+        return num, den
+
+    cnum1, cden1 = fold("c", w1)
+    cnum2, cden2 = fold("c", w2)
+    dnum1, dden1 = fold("d", w1)
+    dnum2, dden2 = fold("d", w2)
+    kp1 = k_folds + 1
+    return f"""
+WITH p AS (
+  SELECT user_id, event_id, ts, CAST(hour(ts) AS INTEGER) AS slot,
+         CAST(ROUND(value * {scale}) AS BIGINT) AS c
+  FROM events
+  WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+s AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {s_num} AS s_num,
+         CAST({s_den} AS BIGINT) AS s_den
+  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
+),
+q AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {HW_SQ_SQL} AS sq
+  FROM s
+),
+dd AS (SELECT *, c - sq AS d FROM q),
+l AS (
+  SELECT user_id, event_id, ts, c, sq,
+         {cnum1} AS cnum1, CAST({cden1} AS BIGINT) AS cden1,
+         {cnum2} AS cnum2, CAST({cden2} AS BIGINT) AS cden2,
+         {dnum1} AS dnum1, CAST({dden1} AS BIGINT) AS dden1,
+         {dnum2} AS dnum2, CAST({dden2} AS BIGINT) AS dden2,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER wu AS BIGINT) AS n_u
+  FROM dd
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+         wu AS (PARTITION BY user_id)
+),
+f AS (
+  SELECT user_id, event_id, ts, c, sq, rn, n_u,
+         CAST(ROUND(3.0 * (CAST(cnum1 AS DOUBLE) / cden1)
+                    - 2.0 * (CAST(cnum2 AS DOUBLE) / cden2), 0)
+              AS BIGINT) AS hfq,
+         CAST(ROUND(3.0 * (CAST(dnum1 AS DOUBLE) / dden1)
+                    - 2.0 * (CAST(dnum2 AS DOUBLE) / dden2), 0)
+              AS BIGINT) AS wdq
+  FROM l
+),
+e AS (
+  SELECT user_id, c, sq,
+         CAST(FLOOR(CAST((rn - 1) * {kp1} AS DOUBLE) / n_u) AS BIGINT)
+           AS fold,
+         LAG(c) OVER w AS pc,
+         LAG(hfq) OVER w AS pf,
+         LAG(wdq) OVER w AS pw
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sc AS (
+  SELECT user_id, fold,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM((c - pc) * (c - pc)) AS BIGINT) AS ssn,
+         CAST(SUM((c - pf) * (c - pf)) AS BIGINT) AS ssh,
+         CAST(SUM((c - (pw + sq)) * (c - (pw + sq))) AS BIGINT) AS ssw,
+         CAST(MAX(GREATEST(ABS(c - pc), ABS(c - pf),
+                           ABS(c - (pw + sq)))) AS BIGINT) AS mx
+  FROM e
+  WHERE pc IS NOT NULL AND pf IS NOT NULL AND pw IS NOT NULL AND fold >= 1
+  GROUP BY user_id, fold
+),
+r AS (
+  SELECT user_id, fold, n,
+         CASE WHEN CAST(n AS DOUBLE) * mx * mx < 9e18 THEN
+           CAST(ROUND(1e6 * SQRT(CAST(ssn AS DOUBLE) / n), 0) AS BIGINT)
+         END AS rq_n,
+         CASE WHEN CAST(n AS DOUBLE) * mx * mx < 9e18 THEN
+           CAST(ROUND(1e6 * SQRT(CAST(ssh AS DOUBLE) / n), 0) AS BIGINT)
+         END AS rq_h,
+         CASE WHEN CAST(n AS DOUBLE) * mx * mx < 9e18 THEN
+           CAST(ROUND(1e6 * SQRT(CAST(ssw AS DOUBLE) / n), 0) AS BIGINT)
+         END AS rq_w
+  FROM sc
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT) AS n_scored,
+       CAST(COUNT(*) AS BIGINT) AS n_folds,
+       ROUND(CAST(SUM(rq_n) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
+         AS rmse_naive,
+       ROUND(CAST(SUM(rq_h) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
+         AS rmse_holt,
+       ROUND(CAST(SUM(rq_w) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
+         AS rmse_hw,
+       CASE WHEN SUM(rq_n) IS NULL OR SUM(rq_h) IS NULL
+              OR SUM(rq_w) IS NULL THEN NULL
+            WHEN SUM(rq_h) <= SUM(rq_w) AND SUM(rq_h) <= SUM(rq_n)
+              THEN 'holt'
+            WHEN SUM(rq_w) <= SUM(rq_n) THEN 'hw'
+            ELSE 'naive' END AS winner
+FROM r
+GROUP BY user_id
+"""
+
+
+def _events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin (expanding-window) backtest of the forecasting
+    family per user: K = 4 evaluation blocks, causal one-step naive /
+    Holt / Holt-Winters forecasts, exact per-fold RMSE folds, per-user
+    winner. See _backtest_sql."""
+    load(spark, sf_dir)
+    return spark.sql(_backtest_sql())
+
+
+QUERIES["events_forecast_backtest"] = _events_forecast_backtest
+ORACLES["events_forecast_backtest"] = _backtest_sql()

@@ -1327,3 +1327,95 @@ def _agg_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_mood_median"] = _agg_mood_median
 ORACLES["agg_mood_median"] = _MOOD_MEDIAN
+
+
+
+
+# ---------------------------------------------------------------------------
+# Round 12 — Wald's SPRT (Wald 1945), group-sequential over hourly batches
+# (VERDICT r11 ask #5): Page-Hinkley detects drift with no baseline; the
+# SPRT is its decision-theoretic sibling for EXPERIMENTS — the earliest-
+# possible accept/reject boundary on a running log-likelihood ratio.
+# Here: is the purchase share of the event stream p0 = 0.15 (H0) or
+# p1 = 0.20 (H1), alpha = beta = 0.05? The two per-observation LLR
+# increments ln(p1/p0) and ln((1-p1)/(1-p0)) quantize ONCE (at authoring
+# time, constants below) to exact 1e-12 bigints, so the running LLR is
+# pure int64 arithmetic — cumulative successes times 287682072452 plus
+# cumulative failures times -60624621816 — and the Wald boundaries
+# ln((1-beta)/alpha) = -ln(beta/(1-alpha)) = ln(19) quantize to
+# +-2944438979166. Batching observations into hourly groups is the
+# standard group-sequential spelling: the LLR at each closed hour equals
+# the per-observation cumsum at the hour boundary. The decision LATCHES
+# at the first crossing (MIN-over-history of the crossing count, NULL-
+# skipping), exactly what "sequential" means; later data never un-
+# decides. VISIBLE headroom guard: |llr_q| <= cn * 287682072452, so
+# llr/decision go NULL once CAST(cn AS DOUBLE) * 287682072452 reaches
+# 9e18 (~3e7 observations per this quantum) instead of wrapping.
+_SPRT = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events
+  GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, d,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(d) OVER w AS BIGINT) AS cd
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+l AS (
+  SELECT bucket, n, d, cn, cd,
+         cd * 287682072452 + (cn - cd) * (-60624621816) AS llr_q
+  FROM c
+),
+x AS (
+  SELECT bucket, n, d, cn, cd, llr_q,
+         MIN(CASE WHEN llr_q >= 2944438979166 THEN cn END) OVER w AS cn_up,
+         MIN(CASE WHEN llr_q <= -2944438979166 THEN cn END) OVER w AS cn_dn
+  FROM l
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT bucket, n, d, cn, cd,
+       CASE WHEN CAST(cn AS DOUBLE) * 287682072452 < 9e18
+            THEN ROUND(llr_q / 1e12, 6) END AS llr,
+       CASE WHEN CAST(cn AS DOUBLE) * 287682072452 >= 9e18 THEN NULL
+            WHEN cn_up IS NOT NULL AND (cn_dn IS NULL OR cn_up <= cn_dn)
+              THEN 'accept_h1'
+            WHEN cn_dn IS NOT NULL THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM x
+"""
+
+
+def _events_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald SPRT (group-sequential, hourly batches) on the event
+    stream's purchase share — H0 p = 0.15 vs H1 p = 0.20 at
+    alpha = beta = 0.05; pure int64 LLR fold, latched first-crossing
+    decision, visible headroom guard. See _SPRT."""
+    load(spark, sf_dir)
+    return spark.sql(_SPRT)
+
+
+def _streaming_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_sprt (streaming.stream_sprt): single
+    global state group of SEVEN bigints, integer-only automaton (the
+    LLR constants are pre-quantized, so unlike the Page-Hinkley twin
+    there is no float anywhere mid-fold), crossing latches persist
+    only on real hour closes, presentation expressions in Spark after
+    the sink — graded by the BATCH oracle (24th stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.stream_sprt(spark, sf_dir)
+
+
+QUERIES["events_sprt"] = _events_sprt
+QUERIES["streaming_sprt"] = _streaming_sprt
+ORACLES["events_sprt"] = _SPRT
+ORACLES["streaming_sprt"] = _SPRT

@@ -1764,3 +1764,139 @@ def stream_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM s
         """
     )
+
+
+def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch SPRT query (_SPRT in
+    queries/pipeline_stats.py) — the 24th stream==batch automaton.
+    Wald's sequential probability ratio test over the GLOBAL hourly
+    event stream (group-sequential batching, one state group): the
+    fold is pure int64 — cumulative observation/success counts times
+    the two pre-quantized log-likelihood constants — so unlike the
+    Page-Hinkley twin there is NO float quantization anywhere in the
+    automaton. State is SEVEN bigints (closed cum count cn / successes
+    cd, the latched first-crossing counts cn_up / cn_dn with 0 as the
+    not-yet sentinel, the open hour's epoch + its n/d accumulators).
+    Each micro-batch re-emits the open bucket provisionally; crossing
+    latches persist only on REAL closes, so a mid-hour excursion that
+    the full hour retracts never sticks — by construction the last
+    emit per bucket equals the batch row. Presentation (terminal llr
+    division + the decision CASE) happens in Spark expressions after
+    the sink, spelled identically to the batch SQL, and the BATCH
+    ORACLE grades the stream."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    aq, bq, uq = 287682072452, -60624621816, 2944438979166
+
+    ev = stream_events(spark, sf_dir).select(
+        "ts",
+        "event_id",
+        F.lit(1).alias("g"),
+        F.unix_timestamp(F.date_trunc("hour", "ts")).cast("long").alias("bkt"),
+        (F.col("event_type") == "purchase").cast("long").alias("x"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            cn, cd, cn_up, cn_dn, open_b, open_n, open_d = state.get
+        else:
+            cn, cd, cn_up, cn_dn, open_b, open_n, open_d = 0, 0, 0, 0, -1, 0, 0
+        out = {
+            "bkt": [], "n": [], "d": [], "cn": [], "cd": [],
+            "up": [], "dn": [], "n_seen": [],
+        }
+
+        def emit(bkt, nn, dd, cnp, cdp, upp, dnp):
+            out["bkt"].append(bkt)
+            out["n"].append(nn)
+            out["d"].append(dd)
+            out["cn"].append(cnp)
+            out["cd"].append(cdp)
+            out["up"].append(upp)
+            out["dn"].append(dnp)
+            out["n_seen"].append(nn)
+
+        def crossings(cnp, cdp, upp, dnp):
+            # latch-or-provisional: the first crossing count, taking the
+            # already-latched value when set (MIN over history == first,
+            # since cn is strictly increasing)
+            llr = cdp * aq + (cnp - cdp) * bq
+            if upp == 0 and llr >= uq:
+                upp = cnp
+            if dnp == 0 and llr <= -uq:
+                dnp = cnp
+            return upp, dnp
+
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            rows = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts", "event_id"]
+            )
+            touched = False
+            for b, x in zip(rows["bkt"], rows["x"]):
+                b, x = int(b), int(x)
+                if open_b == -1:
+                    open_b, open_n, open_d = b, 0, 0
+                elif b > open_b:
+                    # real close: advance the fold, PERSIST the latches,
+                    # emit the bucket's final row
+                    cn += open_n
+                    cd += open_d
+                    cn_up, cn_dn = crossings(cn, cd, cn_up, cn_dn)
+                    emit(open_b, open_n, open_d, cn, cd, cn_up, cn_dn)
+                    open_b, open_n, open_d = b, 0, 0
+                open_n += 1
+                open_d += x
+                touched = True
+            if touched:
+                # provisional close of the open bucket: same arithmetic,
+                # latches NOT persisted (a mid-hour excursion the full
+                # hour retracts must not stick)
+                cnp, cdp = cn + open_n, cd + open_d
+                upp, dnp = crossings(cnp, cdp, cn_up, cn_dn)
+                emit(open_b, open_n, open_d, cnp, cdp, upp, dnp)
+        state.update((cn, cd, cn_up, cn_dn, open_b, open_n, open_d))
+        yield pd.DataFrame(out)
+
+    prog = ev.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "bkt long, n long, d long, cn long, cd long, "
+            "up long, dn long, n_seen long"
+        ),
+        stateStructType=(
+            "cn long, cd long, cn_up long, cn_dn long, "
+            "open_b long, open_n long, open_d long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    raw = materialize_stream(prog, output_mode="update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bkt").orderBy(F.col("n_seen").desc())
+    llr_q = F.col("cd") * F.lit(aq) + (F.col("cn") - F.col("cd")) * F.lit(bq)
+    headroom = F.col("cn").cast("double") * F.lit(float(aq)) < F.lit(9e18)
+    return (
+        raw.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            F.timestamp_seconds(F.col("bkt")).alias("bucket"),
+            "n",
+            "d",
+            "cn",
+            "cd",
+            F.when(headroom, F.round(llr_q / F.lit(1e12), 6)).alias("llr"),
+            F.when(~headroom, F.lit(None).cast("string"))
+            .when(
+                (F.col("up") > 0)
+                & ((F.col("dn") == 0) | (F.col("up") <= F.col("dn"))),
+                F.lit("accept_h1"),
+            )
+            .when(F.col("dn") > 0, F.lit("accept_h0"))
+            .otherwise(F.lit("continue"))
+            .alias("decision"),
+        )
+    )

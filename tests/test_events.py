@@ -377,6 +377,107 @@ def test_survival_km_risk_set_dies_out(spark):
     assert got[2].n_risk == 2 and got[2].n_events == 2
 
 
+def test_survival_logrank_freireich(spark):
+    """Freireich 6-MP trial, BOTH arms — the canonical log-rank worked
+    example (published chi2 = 16.79): the operator must reproduce the
+    exact quantized fold replayed sequentially in Python, and land on
+    the textbook value."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import survival_logrank
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    g1_events = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    g1_cens = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    g0_events = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12, 12, 15, 17, 22, 23]
+    rows = (
+        [(1, t, 1) for t in g1_events]
+        + [(1, t, 0) for t in g1_cens]
+        + [(0, t, 1) for t in g0_events]
+    )
+    df = spark.createDataFrame(rows, "grp int, duration long, observed int")
+    got = survival_logrank(df).collect()[0]
+
+    # replay the hypergeometric O-E fold exactly (1e-9 quantization,
+    # half-away rounding — the operator's numeric contract)
+    per_t = {}
+    for g, t, o in rows:
+        e = per_t.setdefault(t, [0, 0, 0, 0])
+        if g == 1:
+            e[0] += o
+            e[1] += 1 - o
+        else:
+            e[2] += o
+            e[3] += 1 - o
+    times = sorted(per_t)
+    n1 = n0 = 0
+    suf = {}
+    for t in reversed(times):
+        d1, c1, d0, c0 = per_t[t]
+        n1 += d1 + c1
+        n0 += d0 + c0
+        suf[t] = (n1, n0)
+    o1 = se1q = svq = 0
+    for t in times:
+        d1, c1, d0, c0 = per_t[t]
+        d = d1 + d0
+        if d == 0:
+            continue
+        m1, m0 = suf[t]
+        n = float(m1 + m0)
+        o1 += d1
+        se1q += rhu(1e9 * (float(d) * m1 / n))
+        if m1 + m0 > 1:
+            svq += rhu(
+                1e9 * (float(d) * (m1 / n) * (m0 / n) * ((n - d) / (n - 1.0)))
+            )
+    e1, v = se1q / 1e9, svq / 1e9
+    chi2 = (o1 - e1) * (o1 - e1) / v
+    assert got.n1_subjects == 21 and got.n0_subjects == 21
+    assert got.o1 == o1 == 9
+    assert got.e1 == round(e1, 6)
+    assert got.var_lr == round(v, 6)
+    assert got.chi2_lr == round(chi2, 6)
+    assert got.reject_05 is True
+    # sanity vs the published statistic
+    assert abs(got.chi2_lr - 16.79) < 0.01
+
+
+def test_survival_logrank_identical_cohorts(spark):
+    """Two cohorts with identical duration/censoring profiles have
+    O1 == E1 exactly at every event time (d1 = d/2, n1 = n/2 makes the
+    quantized E1 term the exact integer d/2 * 1e9), so chi2 must be
+    exactly 0 and the 5% test must not reject."""
+    from datafusion_gpu_spark.operators.events import survival_logrank
+
+    prof = [(2, 1), (3, 1), (5, 0), (7, 1), (11, 0)]
+    rows = [(g, t, o) for g in (0, 1) for t, o in prof]
+    got = survival_logrank(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert got.o1 == 3
+    assert got.e1 == 3.0
+    assert got.chi2_lr == 0.0
+    assert got.reject_05 is False
+
+
+def test_survival_logrank_single_subject_times(spark):
+    """A pooled risk set of one (n = 1 at the last event time) must
+    contribute zero variance without a 0/0 — the n > 1 guard."""
+    from datafusion_gpu_spark.operators.events import survival_logrank
+
+    rows = [(1, 1, 1), (0, 2, 1), (1, 3, 1)]  # last time: only one at risk
+    got = survival_logrank(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    # t=3: n=1 -> E1 term = 1*1/1 = 1, V term = 0 (guard); earlier times
+    # still carry variance, so chi2 is finite
+    assert got.o1 == 2
+    assert got.chi2_lr is not None
+
+
 def test_autocorr_alternating_and_constant(spark):
     """A +-1 alternating series has r = -1 at odd lags, +1 at even lags;
     a constant series has zero variance and must emit NULL, not 0/0."""

@@ -2089,3 +2089,99 @@ def test_tost_equivalence_planted_both_ways(spark):
     finally:
         spark.catalog.dropTempView("events")
     assert r.equivalent_05 is False
+
+
+def test_sprt_planted_crossings(spark):
+    """Wald SPRT closed forms: with the quantized constants
+    (Aq = 287682072452, Bq = -60624621816, Uq = 2944438979166) an
+    all-success stream needs ceil(Uq/Aq) = 11 successes to accept H1
+    and an all-failure stream needs ceil(Uq/|Bq|) = 49 failures to
+    accept H0 — at hourly granularity the decision lands on the first
+    CLOSED hour whose cumulative count covers the crossing."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _SPRT
+
+    t0 = datetime(2024, 1, 1)
+
+    def plant(counts_per_hour, etype):
+        rows, eid = [], 0
+        for h, cnt in enumerate(counts_per_hour):
+            for i in range(cnt):
+                rows.append(
+                    (eid, t0 + timedelta(hours=h, minutes=i), eid, etype, 1.0, "")
+                )
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    # all purchases, 5/hour: llr after hours = 5A, 10A, 15A; 10A < Uq <= 15A
+    plant([5, 5, 5], "purchase").createOrReplaceTempView("events")
+    got = {r.cn: r.decision for r in spark.sql(_SPRT).collect()}
+    assert got == {5: "continue", 10: "continue", 15: "accept_h1"}
+
+    # all views, 20/hour: |llr| after hours = 20|B|, 40|B|, 60|B|; 49 fails
+    plant([20, 20, 20], "view").createOrReplaceTempView("events")
+    got = {r.cn: r.decision for r in spark.sql(_SPRT).collect()}
+    assert got == {20: "continue", 40: "continue", 60: "accept_h0"}
+
+
+def test_sprt_decision_latches(spark):
+    """Sequential means SEQUENTIAL: once H1 is accepted at the first
+    upper crossing, a later lower crossing must not flip the decision."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _SPRT
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(15):  # hour 0: 15 purchases -> 15A >= Uq, accept_h1
+        rows.append((i, t0 + timedelta(minutes=i), i, "purchase", 1.0, ""))
+    for i in range(200):  # hour 1: 200 views -> llr <= -Uq by count 215
+        rows.append(
+            (100 + i, t0 + timedelta(hours=1, minutes=i % 60, seconds=i // 60),
+             i, "view", 1.0, "")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = {r.cn: r.decision for r in spark.sql(_SPRT).collect()}
+    assert got[15] == "accept_h1"
+    assert got[215] == "accept_h1"  # latched, despite llr <= -Uq at 215
+
+
+def test_forecast_backtest_planted_winners(spark):
+    """Rolling-origin backtest closed forms: a pure hour-of-day pattern
+    is forecast EXACTLY by additive Holt-Winters once the seasonal index
+    converges (per-user rmse_hw == 0.0, winner 'hw'), and a pure linear
+    ramp is forecast exactly by Holt's trend extrapolation (rmse_holt ==
+    0.0, winner 'holt', naive trails by exactly the slope)."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_forecast import _backtest_sql
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    pat = [50 + 15 * ((h % 24) % 8) for h in range(24)]
+    for i in range(240):  # user 1: strong seasonality, zero noise
+        ts = t0 + timedelta(hours=i)
+        rows.append((i, ts, 1, "purchase", float(pat[ts.hour]), ""))
+    for i in range(240):  # user 2: steep ramp, zero noise
+        ts = t0 + timedelta(hours=i)
+        rows.append((1000 + i, ts, 2, "purchase", 10.0 + 2.0 * i, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = {r.user_id: r for r in spark.sql(_backtest_sql()).collect()}
+    assert got[1].n_folds == 4 and got[2].n_folds == 4
+    assert got[1].rmse_hw == 0.0 and got[1].winner == "hw"
+    assert got[1].rmse_naive > 30  # the pattern's step size dominates
+    assert got[2].rmse_holt == 0.0 and got[2].winner == "holt"
+    assert got[2].rmse_naive == 2.0  # exactly the hourly slope

@@ -610,3 +610,20 @@ def test_streaming_donchian_matches_batch_exactly(spark):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_sprt_matches_batch_exactly(spark):
+    # 24th twin: the seven-bigint global fold (pure int64 — constants
+    # pre-quantized, no float mid-fold) with provisional open-hour
+    # emits reproduces the batch hourly SPRT bit-for-bit, latch
+    # semantics and headroom guard included
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_sprt,
+        _streaming_sprt,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.bucket: tuple(r) for r in _events_sprt(spark, sf).collect()}
+    stream = {r.bucket: tuple(r) for r in _streaming_sprt(spark, sf).collect()}
+    assert stream == batch
+    assert len(batch) > 0
