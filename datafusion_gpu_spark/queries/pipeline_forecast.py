@@ -1438,3 +1438,106 @@ def _events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_forecast_backtest"] = _events_forecast_backtest
 ORACLES["events_forecast_backtest"] = _backtest_sql()
+
+
+def _events_logrank_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified log-rank (events.survival_logrank_stratified):
+    time-to-first-purchase between the user_id-parity cohorts,
+    CONTROLLING for the user_id % 3 stratum (the bucket-hash spelling
+    of a segment confounder) — per-stratum hypergeometric O-E/variance
+    folds summed into one 1-df chi-square. The distinct-duration window
+    is partitioned by stratum, so unlike the pooled test it
+    parallelizes across strata."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 3).alias("stratum"),
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_logrank_stratified(
+        subjects, "stratum", "grp", "duration", "observed"
+    )
+
+
+ORACLES["events_logrank_stratified"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 3 AS s,
+         user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT s, t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY s, t
+),
+risk AS (
+  SELECT s, t, d1, d0,
+         CAST(SUM(d1 + c1) OVER ws AS BIGINT) AS n1,
+         CAST(SUM(d0 + c0) OVER ws AS BIGINT) AS n0
+  FROM per_t
+  WINDOW ws AS (PARTITION BY s ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING)
+),
+terms AS (
+  SELECT s, d1, d1 + d0 AS d,
+         CAST(ROUND(1e9 * (CAST(d1 + d0 AS DOUBLE) * n1
+                           / CAST(n1 + n0 AS DOUBLE)), 0) AS BIGINT) AS e1q,
+         CASE WHEN n1 + n0 > 1 THEN
+           CAST(ROUND(1e9 * (CAST(d1 + d0 AS DOUBLE)
+                * (n1 / CAST(n1 + n0 AS DOUBLE))
+                * (n0 / CAST(n1 + n0 AS DOUBLE))
+                * ((CAST(n1 + n0 AS DOUBLE) - CAST(d1 + d0 AS DOUBLE))
+                   / (CAST(n1 + n0 AS DOUBLE) - 1.0))), 0) AS BIGINT)
+         ELSE 0 END AS vq
+  FROM risk WHERE d1 + d0 > 0
+),
+folded AS (
+  SELECT CAST(COUNT(DISTINCT s) AS BIGINT) AS n_strata,
+         CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d) AS BIGINT) AS o_total,
+         CAST(SUM(e1q) AS BIGINT) AS se1q,
+         CAST(SUM(vq) AS BIGINT) AS svq
+  FROM terms
+)
+SELECT n_strata, o1,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(se1q / 1e9, 6) END AS e1,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(svq / 1e9, 6) END AS var_lr,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND((o1 - se1q / 1e9) * (o1 - se1q / 1e9)
+                       / (svq / 1e9), 6) END AS chi2_lr,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN (o1 - se1q / 1e9) * (o1 - se1q / 1e9) / (svq / 1e9)
+                 > 3.841459 END AS reject_05
+FROM folded
+"""
+QUERIES["events_logrank_stratified"] = _events_logrank_stratified

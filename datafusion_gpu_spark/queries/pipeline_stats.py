@@ -1419,3 +1419,127 @@ QUERIES["events_sprt"] = _events_sprt
 QUERIES["streaming_sprt"] = _streaming_sprt
 ORACLES["events_sprt"] = _SPRT
 ORACLES["streaming_sprt"] = _SPRT
+
+
+# ---------------------------------------------------------------------------
+# Round 12 (continued) — the two repeated-measures tests the k-group family
+# lacked. Kruskal-Wallis (r9) compares INDEPENDENT samples; when every
+# subject contributes one value per treatment, the blocked designs below
+# are the correct (and far more powerful) spellings.
+# ---------------------------------------------------------------------------
+
+# Friedman test (Friedman 1937), tie-corrected, over complete blocks:
+# does a user's spend level DIFFER by event type, judged within each
+# user (blocking removes the per-user level that inflates KW's variance)?
+# Blocks = users with all 5 event types, cell value = exact cents sum,
+# within-block average ranks kept exact in DOUBLED-rank space
+# (r2 = 2*RANK + ties - 1, an integer even for .5 average ranks), and the
+# tie-corrected statistic Q = (k-1) * sum_j (R2_j - n(k+1))^2 /
+# sum_ij (r2_ij - (k+1))^2 — the 4s from doubling cancel, so Q is a ratio
+# of exact bigint folds with ONE terminal division. chi2 on k-1 = 4 df,
+# 5% criterion 9.487729. VISIBLE guard: |R2_j - 6n| <= 4n so the
+# numerator is <= 80n^2 — q/reject go NULL once n*n*80 nears int64.
+# Scale: one groupBy(user, type), k-row windows per block, global fold.
+_FRIEDMAN = """
+WITH cell AS (
+  SELECT user_id, event_type,
+         CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id, event_type
+),
+blocks AS (
+  SELECT user_id FROM cell GROUP BY user_id HAVING COUNT(*) = 5
+),
+rk AS (
+  SELECT c.user_id, c.event_type,
+         CAST(2 * RANK() OVER (PARTITION BY c.user_id ORDER BY c.v)
+              + COUNT(*) OVER (PARTITION BY c.user_id, c.v) - 1
+              AS BIGINT) AS r2
+  FROM cell c JOIN blocks b ON c.user_id = b.user_id
+),
+tr AS (
+  SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2j
+  FROM rk GROUP BY event_type
+),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM blocks),
+num AS (
+  SELECT CAST(SUM((r2j - n * 6) * (r2j - n * 6)) AS BIGINT) AS sn
+  FROM tr, nb
+),
+den AS (
+  SELECT CAST(SUM((r2 - 6) * (r2 - 6)) AS BIGINT) AS sd FROM rk
+)
+SELECT n, sn, sd,
+       CASE WHEN CAST(n AS DOUBLE) * n * 80 < 9e18 AND sd > 0
+            THEN ROUND(4.0 * sn / sd, 6) END AS q_stat,
+       CASE WHEN CAST(n AS DOUBLE) * n * 80 < 9e18 AND sd > 0
+            THEN 4.0 * sn / sd > 9.487729 END AS reject_05
+FROM num, den, nb
+"""
+
+
+def _agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test across the five event types,
+    blocked by user — exact doubled-rank bigint folds, tie-corrected,
+    one terminal division. See _FRIEDMAN."""
+    load(spark, sf_dir)
+    return spark.sql(_FRIEDMAN)
+
+
+QUERIES["agg_friedman"] = _agg_friedman
+ORACLES["agg_friedman"] = _FRIEDMAN
+
+
+# McNemar's test (McNemar 1947) on paired conversion: did each user's
+# purchase behavior CHANGE between the day before and the day after a
+# deploy boundary (the fixed 2024-01-15 / 2024-01-16 day pair)? A
+# half-window split saturates on this data (every user purchases in both
+# halves -> zero discordant pairs), so the gate pairs single days — the
+# actual deploy-day question. Only the discordant pairs carry
+# information: chi2 = (b - c)^2 / (b + c) on 1 df (no continuity
+# correction — documented choice, both engines identical). Everything is
+# exact integer until the single terminal division; VISIBLE guard once
+# (b - c)^2 nears int64 (~3e9 discordant users).
+_MCNEMAR = """
+WITH half AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-15'
+                  THEN 1 ELSE 0 END) AS p1,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-16'
+                  THEN 1 ELSE 0 END) AS p2
+  FROM events GROUP BY user_id
+),
+ct AS (
+  SELECT CAST(SUM(CASE WHEN p1 = 1 AND p2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN p1 = 1 AND p2 = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS both_halves,
+         CAST(SUM(CASE WHEN p1 = 0 AND p2 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS neither
+  FROM half
+)
+SELECT b, c, both_halves, neither,
+       CASE WHEN b + c > 0 AND CAST(b - c AS DOUBLE) * (b - c) < 9e18
+            THEN ROUND(CAST((b - c) * (b - c) AS DOUBLE) / (b + c), 6)
+       END AS chi2_mcnemar,
+       CASE WHEN b + c > 0 AND CAST(b - c AS DOUBLE) * (b - c) < 9e18
+            THEN CAST((b - c) * (b - c) AS DOUBLE) / (b + c) > 3.841459
+       END AS reject_05
+FROM ct
+"""
+
+
+def _events_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired-conversion test across the fixed deploy-day pair
+    (2024-01-15 vs 2024-01-16) — discordant-pair chi-square, exact
+    integers to one terminal division. See _MCNEMAR."""
+    load(spark, sf_dir)
+    return spark.sql(_MCNEMAR)
+
+
+QUERIES["events_mcnemar"] = _events_mcnemar
+ORACLES["events_mcnemar"] = _MCNEMAR

@@ -653,3 +653,60 @@ def test_gap_fill_linear_interpolates_interior_gaps(spark):
     assert out[(1, 5)].value_interp == 28.75
     assert out[(1, 6)].value_interp == 27.5
     assert out[(2, 2)].value_interp == 7.0
+
+
+def test_survival_logrank_stratified_single_stratum_matches_pooled(spark):
+    """With one constant stratum the stratified test IS the pooled
+    log-rank — same O1/E1/variance/chi2 on the Freireich data."""
+    from datafusion_gpu_spark.operators.events import (
+        survival_logrank,
+        survival_logrank_stratified,
+    )
+
+    g1_events = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    g1_cens = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    g0_events = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12, 12, 15, 17, 22, 23]
+    rows = (
+        [(0, 1, t, 1) for t in g1_events]
+        + [(0, 1, t, 0) for t in g1_cens]
+        + [(0, 0, t, 1) for t in g0_events]
+    )
+    df = spark.createDataFrame(
+        rows, "stratum int, grp int, duration long, observed int"
+    )
+    strat = survival_logrank_stratified(df).collect()[0]
+    pooled = survival_logrank(df.drop("stratum")).collect()[0]
+    assert strat.n_strata == 1
+    assert strat.o1 == pooled.o1
+    assert strat.e1 == pooled.e1
+    assert strat.var_lr == pooled.var_lr
+    assert strat.chi2_lr == pooled.chi2_lr
+
+
+def test_survival_logrank_stratified_controls_confounder(spark):
+    """Within each stratum the two cohorts have IDENTICAL duration
+    profiles, but the strata differ wildly from each other and cohort 1
+    is over-represented in the fast stratum — the POOLED test sees a
+    spurious difference, the stratified test sees exactly none (every
+    per-time E1 term is the exact integer d1)."""
+    from datafusion_gpu_spark.operators.events import (
+        survival_logrank,
+        survival_logrank_stratified,
+    )
+
+    rows = []
+    # stratum 0 ("fast"): profile [1,2,3] all observed, 3 subjects of
+    # grp 1 per profile slot vs 1 of grp 0 (3:1 mix)
+    for t in (1, 2, 3):
+        rows += [(0, 1, t, 1)] * 3 + [(0, 0, t, 1)] * 1
+    # stratum 1 ("slow"): profile [50,60,70] all observed, 1:3 mix
+    for t in (50, 60, 70):
+        rows += [(1, 1, t, 1)] * 1 + [(1, 0, t, 1)] * 3
+    df = spark.createDataFrame(
+        rows, "stratum int, grp int, duration long, observed int"
+    )
+    strat = survival_logrank_stratified(df).collect()[0]
+    assert strat.n_strata == 2
+    assert strat.chi2_lr == 0.0 and strat.reject_05 is False
+    pooled = survival_logrank(df.drop("stratum")).collect()[0]
+    assert pooled.chi2_lr > 3.841459  # the confounded pooled test fires

@@ -788,3 +788,28 @@ def test_bnlj_other_is_zero_outside_documented_allowlist(spark):
         if other:
             offenders[name] = other
     assert offenders == {}, f"non-exempt nested-loop joins: {offenders}"
+
+
+def test_bucketed_cumulatives_isolated_shuffle_counts(spark):
+    """SCALE.md's sweep-counting footnote, ASSERTED (VERDICT r11 ask #8):
+    in a full audit sweep agg_mann_whitney_bucketed / events_ks_test_bucketed
+    print 14/20 exchanges, because the earlier unbucketed rows' cumsum_auto
+    persist lets Spark's cache manager substitute the shared value-level
+    subplan with an InMemoryRelation whose toString REPRINTS the cached
+    lineage's exchanges. Built in ISOLATION (cache cleared first) the true
+    plan shapes are 8 and 12 shuffles — pinned here so the footnote can't
+    silently absorb a real plan regression, and so the two defensible audit
+    totals (sweep vs isolation-equivalent) stay reconcilable by arithmetic."""
+    from tools.audit_plans import audit
+
+    expected = {
+        "agg_mann_whitney_bucketed": 8,
+        "events_ks_test_bucketed": 12,
+    }
+    try:
+        for name, want in expected.items():
+            spark.catalog.clearCache()
+            got = audit(plan_of(spark, name))["shuffles"]
+            assert got == want, f"{name}: isolated shuffles {got} != {want}"
+    finally:
+        spark.catalog.clearCache()

@@ -2185,3 +2185,83 @@ def test_forecast_backtest_planted_winners(spark):
     assert got[1].rmse_naive > 30  # the pattern's step size dominates
     assert got[2].rmse_holt == 0.0 and got[2].winner == "holt"
     assert got[2].rmse_naive == 2.0  # exactly the hourly slope
+
+
+def test_friedman_planted_and_degenerate(spark):
+    """Friedman closed form: with a consistent treatment order across n
+    complete blocks and no ties, R2_j = 2jn so Q = (k-1)*40n^2/(40n) =
+    4n (k = 5); n = 4 blocks gives Q = 16 > 9.487729. All-tied blocks
+    have zero rank variance and must emit NULL, not 0/0."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _FRIEDMAN
+
+    t0 = datetime(2024, 1, 1)
+    types = ["view", "click", "signup", "error", "purchase"]
+
+    def plant(value_fn):
+        rows = []
+        for u in range(4):
+            for j, et in enumerate(types):
+                rows.append(
+                    (u * 10 + j, t0 + timedelta(minutes=j), u, et,
+                     value_fn(u, j), "")
+                )
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    # consistent order: type j worth (j+1) dollars for every user
+    plant(lambda u, j: float(j + 1)).createOrReplaceTempView("events")
+    got = spark.sql(_FRIEDMAN).collect()[0]
+    assert got.n == 4
+    assert got.sn == 40 * 16 and got.sd == 40 * 4
+    assert got.q_stat == 16.0 and got.reject_05 is True
+
+    # all cells equal -> every r2 = 6, zero denominator -> NULL
+    plant(lambda u, j: 7.0).createOrReplaceTempView("events")
+    got = spark.sql(_FRIEDMAN).collect()[0]
+    assert got.sd == 0 and got.q_stat is None and got.reject_05 is None
+
+
+def test_mcnemar_planted(spark):
+    """McNemar closed forms: 10 yes->no vs 0 no->yes discordant users
+    give chi2 = 100/10 = 10 (reject); zero discordant pairs must emit
+    NULL, not 0/0."""
+    from datetime import datetime
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _MCNEMAR
+
+    d1, d2 = datetime(2024, 1, 15, 12), datetime(2024, 1, 16, 12)
+
+    def plant(n_b, n_c, n_both):
+        rows, eid = [], 0
+        uid = 0
+        for _ in range(n_b):  # purchased day 1 only
+            rows.append((eid, d1, uid, "purchase", 1.0, "")); eid += 1
+            rows.append((eid, d2, uid, "view", 1.0, "")); eid += 1
+            uid += 1
+        for _ in range(n_c):  # purchased day 2 only
+            rows.append((eid, d1, uid, "view", 1.0, "")); eid += 1
+            rows.append((eid, d2, uid, "purchase", 1.0, "")); eid += 1
+            uid += 1
+        for _ in range(n_both):
+            rows.append((eid, d1, uid, "purchase", 1.0, "")); eid += 1
+            rows.append((eid, d2, uid, "purchase", 1.0, "")); eid += 1
+            uid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    plant(10, 0, 5).createOrReplaceTempView("events")
+    got = spark.sql(_MCNEMAR).collect()[0]
+    assert (got.b, got.c, got.both_halves) == (10, 0, 5)
+    assert got.chi2_mcnemar == 10.0 and got.reject_05 is True
+
+    plant(0, 0, 8).createOrReplaceTempView("events")
+    got = spark.sql(_MCNEMAR).collect()[0]
+    assert got.chi2_mcnemar is None and got.reject_05 is None
