@@ -103,6 +103,11 @@ SF_BENCHES = [
     # #6): 59 lag terms in ONE window spec, single keyed shuffle, pure
     # codegen — the widest single-window fold in the registry.
     "events_holt_smoothing",
+    # The round-12 backtest representative (VERDICT r11 ask #3): three
+    # forecasters' causal one-step errors over K=4 expanding-origin
+    # folds — 2*59+8 lag terms across TWO window specs (the widest
+    # total fold), 2 keyed shuffles, exact integer scoring tail.
+    "events_forecast_backtest",
     # dedup_components runs after every non-iterative row: BENCH_r05
     # showed seven unchanged queries drifting +12-44% vs r04, and the
     # prime suspect is this entry's insertion at position 10 — ~39 s of
@@ -168,6 +173,9 @@ PROTECTED = frozenset({
     # full-round medians must land in BENCH_r11, so the planner may not
     # evict them on a slow pass.
     "agg_gain_lift_curve", "events_holt_smoothing",
+    # Round-12 family representative: first full-round median must land
+    # in BENCH_r12.
+    "events_forecast_backtest",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose
