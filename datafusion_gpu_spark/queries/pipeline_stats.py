@@ -1543,3 +1543,148 @@ def _events_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_mcnemar"] = _events_mcnemar
 ORACLES["events_mcnemar"] = _MCNEMAR
+
+
+# Cochran-Mantel-Haenszel test + Mantel-Haenszel common odds ratio over
+# user_id % 3 strata: the 2x2 companion of the stratified log-rank — does
+# cohort membership (user_id parity) associate with day-16 conversion,
+# CONTROLLING for the stratum? Per-stratum hypergeometric E/V terms and
+# the MH ratio terms a*d/n, b*c/n quantize ONCE to exact 1e-9 bigints
+# before the cross-stratum sums (identical IEEE spelling both engines);
+# chi2 = (sum a - sum E)^2 / sum V on 1 df (no continuity correction —
+# documented choice), OR_MH = R/S terminal. VISIBLE guard: each E term
+# is <= the stratum's exposed count, so sums are bounded by total users
+# * 1e9 — outputs go NULL past ~9e9 users instead of wrapping.
+_CMH = """
+WITH u AS (
+  SELECT user_id % 3 AS s,
+         user_id % 2 AS x,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-16'
+                  THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+tab AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u GROUP BY s
+),
+terms AS (
+  SELECT s, a, a + b + c + d AS n,
+         CAST(ROUND(1e9 * (CAST(a + b AS DOUBLE) * (a + c)
+                           / CAST(a + b + c + d AS DOUBLE)), 0)
+              AS BIGINT) AS eq,
+         CASE WHEN a + b + c + d > 1 THEN
+           CAST(ROUND(1e9 * (CAST(a + b AS DOUBLE) * (c + d) * (a + c)
+                             * (b + d)
+                             / (CAST(a + b + c + d AS DOUBLE)
+                                * (a + b + c + d)
+                                * (CAST(a + b + c + d AS DOUBLE) - 1.0))), 0)
+                AS BIGINT)
+         ELSE 0 END AS vq,
+         CAST(ROUND(1e9 * (CAST(a AS DOUBLE) * d
+                           / CAST(a + b + c + d AS DOUBLE)), 0)
+              AS BIGINT) AS rq,
+         CAST(ROUND(1e9 * (CAST(b AS DOUBLE) * c
+                           / CAST(a + b + c + d AS DOUBLE)), 0)
+              AS BIGINT) AS sq
+  FROM tab WHERE a + b + c + d > 0
+),
+folded AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+         CAST(SUM(n) AS BIGINT) AS n_users,
+         CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(eq) AS BIGINT) AS seq,
+         CAST(SUM(vq) AS BIGINT) AS svq,
+         CAST(SUM(rq) AS BIGINT) AS srq,
+         CAST(SUM(sq) AS BIGINT) AS ssq
+  FROM terms
+)
+SELECT n_strata, n_users, sa,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(seq / 1e9, 6) END AS e_sum,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(svq / 1e9, 6) END AS var_cmh,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND((sa - seq / 1e9) * (sa - seq / 1e9)
+                       / (svq / 1e9), 6) END AS chi2_cmh,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN (sa - seq / 1e9) * (sa - seq / 1e9) / (svq / 1e9)
+                 > 3.841459 END AS reject_05,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND ssq > 0
+            THEN ROUND(CAST(srq AS DOUBLE) / ssq, 6) END AS or_mh
+FROM folded
+"""
+
+
+def _events_cmh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel stratified association test + MH common
+    odds ratio (cohort parity vs day-16 conversion, user_id % 3
+    strata) — exact 1e-9 quantized per-stratum folds, terminal
+    chi-square and ratio. See _CMH."""
+    load(spark, sf_dir)
+    return spark.sql(_CMH)
+
+
+QUERIES["events_cmh"] = _events_cmh
+ORACLES["events_cmh"] = _CMH
+
+
+# Cochran's Q (Cochran 1950): the k-treatment generalization of McNemar
+# over complete binary blocks — did conversion propensity DIFFER across
+# the three probe days, judged within each user? Entirely EXACT integer
+# arithmetic: Q = (k-1) * (k * sum_j C_j^2 - N^2) / (k * N - sum_i R_i^2)
+# (column totals C_j, row totals R_i, grand total N) with ONE terminal
+# division; chi2 on k-1 = 2 df, 5% criterion 5.991465. Rows with R_i = 0
+# or k contribute nothing to the denominator (the standard form handles
+# them). VISIBLE guard: k*sum C^2 <= k*N^2 wraps once N nears ~1.7e9
+# conversions — q/reject go NULL there.
+_COCHRAN_Q = """
+WITH b AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-10'
+                  THEN 1 ELSE 0 END) AS y1,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-11'
+                  THEN 1 ELSE 0 END) AS y2,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-12'
+                  THEN 1 ELSE 0 END) AS y3
+  FROM events GROUP BY user_id
+),
+t AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(y1) AS BIGINT) AS c1,
+         CAST(SUM(y2) AS BIGINT) AS c2,
+         CAST(SUM(y3) AS BIGINT) AS c3,
+         CAST(SUM(y1 + y2 + y3) AS BIGINT) AS nt,
+         CAST(SUM((y1 + y2 + y3) * (y1 + y2 + y3)) AS BIGINT) AS sr2
+  FROM b
+)
+SELECT n_blocks, c1, c2, c3, nt,
+       CASE WHEN CAST(nt AS DOUBLE) * nt * 3 < 9e18
+             AND 3 * nt - sr2 > 0
+            THEN ROUND(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
+                       / (3 * nt - sr2), 6) END AS q_stat,
+       CASE WHEN CAST(nt AS DOUBLE) * nt * 3 < 9e18
+             AND 3 * nt - sr2 > 0
+            THEN 2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
+                 / (3 * nt - sr2) > 5.991465 END AS reject_05
+FROM t
+"""
+
+
+def _events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across the three probe days, blocked by user — pure
+    exact-integer statistic with one terminal division. See
+    _COCHRAN_Q."""
+    load(spark, sf_dir)
+    return spark.sql(_COCHRAN_Q)
+
+
+QUERIES["events_cochran_q"] = _events_cochran_q
+ORACLES["events_cochran_q"] = _COCHRAN_Q

@@ -2265,3 +2265,101 @@ def test_mcnemar_planted(spark):
     plant(0, 0, 8).createOrReplaceTempView("events")
     got = spark.sql(_MCNEMAR).collect()[0]
     assert got.chi2_mcnemar is None and got.reject_05 is None
+
+
+def test_cmh_planted(spark):
+    """CMH closed forms: strata with within-stratum OR = 1 but very
+    different margins give chi2 == 0 and OR_MH == 1 exactly (integer
+    cancellation through the 1e-9 quantization); two strata of the
+    9/1/1/9 table give the hand-computed chi-square and OR_MH = 81."""
+    from datetime import datetime
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _CMH
+
+    d_conv = datetime(2024, 1, 16, 12)
+
+    def plant(strata_tables):
+        # strata_tables: {stratum: (a, b, c, d)}; pick user ids so that
+        # uid % 3 == stratum and uid % 2 == exposure x, with a
+        # 'purchase' event on the conversion day iff outcome y = 1
+        rows = []
+        next_uid = {}
+        for s, (a, b, c, d) in strata_tables.items():
+            for x, y, cnt in ((1, 1, a), (1, 0, b), (0, 1, c), (0, 0, d)):
+                for _ in range(cnt):
+                    base = next_uid.get((s, x), 0)
+                    uid = None
+                    m = base
+                    while True:
+                        if m % 3 == s and m % 2 == x:
+                            uid = m
+                            break
+                        m += 1
+                    next_uid[(s, x)] = uid + 1
+                    et = "purchase" if y else "view"
+                    rows.append((len(rows), d_conv, uid, et, 1.0, ""))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    # OR = 1 in both strata, different margins -> no association
+    plant({0: (5, 5, 5, 5), 1: (2, 8, 2, 8)}).createOrReplaceTempView("events")
+    got = spark.sql(_CMH).collect()[0]
+    assert got.n_strata == 2 and got.sa == 7
+    assert got.chi2_cmh == 0.0 and got.reject_05 is False
+    assert got.or_mh == 1.0
+
+    # strong association, OR = 81 homogeneous across strata
+    plant({0: (9, 1, 1, 9), 1: (9, 1, 1, 9)}).createOrReplaceTempView("events")
+    got = spark.sql(_CMH).collect()[0]
+    # hand fold: per stratum E = 5, V = 10^4/(400*19); R = 81/20, S = 1/20
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    eq = rhu(1e9 * (10.0 * 10 / 20.0))
+    vq = rhu(1e9 * (10.0 * 10 * 10 * 10 / (20.0 * 20 * 19.0)))
+    rq, sq = rhu(1e9 * (9.0 * 9 / 20.0)), rhu(1e9 * (1.0 * 1 / 20.0))
+    e1, v = 2 * eq / 1e9, 2 * vq / 1e9
+    chi2 = (18 - e1) * (18 - e1) / v
+    assert got.sa == 18
+    assert got.e_sum == round(e1, 6)
+    assert got.chi2_cmh == round(chi2, 6)
+    assert got.reject_05 is True
+    assert got.or_mh == round((2 * rq) / (2 * sq), 6) == 81.0
+
+
+def test_cochran_q_planted_and_degenerate(spark):
+    """Cochran's Q closed form: 6 users converting on day 1 only give
+    Q = 2*(3*36 - 36)/(3*6 - 6) = 12 > 5.991465; users converting on
+    ALL probe days have zero within-block variance -> NULL."""
+    from datetime import datetime
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _COCHRAN_Q
+
+    days = [datetime(2024, 1, 10, 9), datetime(2024, 1, 11, 9),
+            datetime(2024, 1, 12, 9)]
+
+    def plant(pattern_by_user):
+        rows = []
+        for uid, pat in enumerate(pattern_by_user):
+            for j, y in enumerate(pat):
+                et = "purchase" if y else "view"
+                rows.append((len(rows), days[j], uid, et, 1.0, ""))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    plant([(1, 0, 0)] * 6).createOrReplaceTempView("events")
+    got = spark.sql(_COCHRAN_Q).collect()[0]
+    assert (got.c1, got.c2, got.c3, got.nt) == (6, 0, 0, 6)
+    assert got.q_stat == 12.0 and got.reject_05 is True
+
+    plant([(1, 1, 1)] * 5).createOrReplaceTempView("events")
+    got = spark.sql(_COCHRAN_Q).collect()[0]
+    assert got.q_stat is None and got.reject_05 is None
