@@ -1436,7 +1436,10 @@ ORACLES["streaming_sprt"] = _SPRT
 # (r2 = 2*RANK + ties - 1, an integer even for .5 average ranks), and the
 # tie-corrected statistic Q = (k-1) * sum_j (R2_j - n(k+1))^2 /
 # sum_ij (r2_ij - (k+1))^2 — the 4s from doubling cancel, so Q is a ratio
-# of exact bigint folds with ONE terminal division. chi2 on k-1 = 4 df,
+# of exact bigint folds with ONE terminal division (spelled 4e0 — the
+# decimal literal 4.0 would put Spark in DECIMAL arithmetic against the
+# bigint while DuckDB effectively runs double; scientific notation is a
+# DOUBLE literal in BOTH engines, the established 1e9/1e12 convention). chi2 on k-1 = 4 df,
 # 5% criterion 9.487729. VISIBLE guard: |R2_j - 6n| <= 4n so the
 # numerator is <= 80n^2 — q/reject go NULL once n*n*80 nears int64.
 # Scale: one groupBy(user, type), k-row windows per block, global fold.
@@ -1471,9 +1474,9 @@ den AS (
 )
 SELECT n, sn, sd,
        CASE WHEN CAST(n AS DOUBLE) * n * 80 < 9e18 AND sd > 0
-            THEN ROUND(4.0 * sn / sd, 6) END AS q_stat,
+            THEN ROUND(4e0 * sn / sd, 6) END AS q_stat,
        CASE WHEN CAST(n AS DOUBLE) * n * 80 < 9e18 AND sd > 0
-            THEN 4.0 * sn / sd > 9.487729 END AS reject_05
+            THEN 4e0 * sn / sd > 9.487729 END AS reject_05
 FROM num, den, nb
 """
 
@@ -1668,11 +1671,11 @@ t AS (
 SELECT n_blocks, c1, c2, c3, nt,
        CASE WHEN CAST(nt AS DOUBLE) * nt * 3 < 9e18
              AND 3 * nt - sr2 > 0
-            THEN ROUND(2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
+            THEN ROUND(2e0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
                        / (3 * nt - sr2), 6) END AS q_stat,
        CASE WHEN CAST(nt AS DOUBLE) * nt * 3 < 9e18
              AND 3 * nt - sr2 > 0
-            THEN 2.0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
+            THEN 2e0 * (3 * (c1 * c1 + c2 * c2 + c3 * c3) - nt * nt)
                  / (3 * nt - sr2) > 5.991465 END AS reject_05
 FROM t
 """
