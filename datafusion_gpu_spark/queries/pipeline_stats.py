@@ -1691,3 +1691,101 @@ def _events_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_cochran_q"] = _events_cochran_q
 ORACLES["events_cochran_q"] = _COCHRAN_Q
+
+
+# Kendall's tau-b (Kendall 1945) between hour-of-day and purchase value —
+# the concordance companion of agg_spearman (rho measures monotone
+# association through ranks; tau-b through pair orientation, robust to
+# the massive x-ties a 24-level hour naturally has). EXACT pair counting
+# without touching pairs: on the (hour x distinct-cents) grid — bounded
+# by the VALUE DOMAIN times 24, never by row count — two nested integer
+# cumulatives give, per cell, the events strictly below-left (conc_lo)
+# and above-left (disc_lo); nc = sum g*conc_lo and nd = sum g*disc_lo
+# count every strictly concordant/discordant pair exactly once (at its
+# higher-hour member). Hour/value tie-pair counts fold the same way, so
+# tau_b = (nc - nd) / sqrt((n0 - n1)(n0 - n2)) is exact bigints into one
+# terminal sqrt. Significance: the z statistic uses the NO-TIE variance
+# n(n-1)(2n+5)/18 (documented choice: with ties it OVERSTATES the
+# variance, so reject_05 is conservative — the tie-corrected variance
+# needs per-group cubic folds that wrap int64 at ~4e7 rows, the wrong
+# trade for a gate). VISIBLE guard: nc/nd are <= n^2/2, so outputs go
+# NULL once CAST(n AS DOUBLE)*n reaches 9e18 (~3e9 events).
+_KENDALL_TAU = """
+WITH p AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS h,
+         CAST(ROUND(value * 100) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+cell AS (SELECT h, v, CAST(COUNT(*) AS BIGINT) AS g FROM p GROUP BY h, v),
+hs AS (SELECT DISTINCT h FROM cell),
+vs AS (SELECT DISTINCT v FROM cell),
+grid AS (
+  SELECT hs.h AS h, vs.v AS v, COALESCE(c.g, 0) AS g
+  FROM hs CROSS JOIN vs
+  LEFT JOIN cell c ON c.h = hs.h AND c.v = vs.v
+),
+acc AS (
+  SELECT h, v, g,
+         COALESCE(CAST(SUM(g) OVER (PARTITION BY h ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS lt_v,
+         COALESCE(CAST(SUM(g) OVER (PARTITION BY h ORDER BY v DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS gt_v
+  FROM grid
+),
+oriented AS (
+  SELECT h, v, g,
+         COALESCE(CAST(SUM(lt_v) OVER (PARTITION BY v ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS conc_lo,
+         COALESCE(CAST(SUM(gt_v) OVER (PARTITION BY v ORDER BY h
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS disc_lo
+  FROM acc
+),
+folds AS (
+  SELECT CAST(SUM(g * conc_lo) AS BIGINT) AS nc,
+         CAST(SUM(g * disc_lo) AS BIGINT) AS nd
+  FROM oriented
+),
+nn AS (SELECT CAST(SUM(g) AS BIGINT) AS n FROM cell),
+tx AS (
+  SELECT CAST(SUM(th * (th - 1)) AS BIGINT) AS t2x
+  FROM (SELECT CAST(SUM(g) AS BIGINT) AS th FROM cell GROUP BY h)
+),
+ty AS (
+  SELECT CAST(SUM(tv * (tv - 1)) AS BIGINT) AS t2y
+  FROM (SELECT CAST(SUM(g) AS BIGINT) AS tv FROM cell GROUP BY v)
+)
+SELECT n, nc, nd, t2x / 2 AS ties_x, t2y / 2 AS ties_y,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18 AND n > 1
+             AND CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2x / 2e0 > 0
+             AND CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2y / 2e0 > 0
+            THEN ROUND(CAST(nc - nd AS DOUBLE)
+                 / SQRT((CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2x / 2e0)
+                      * (CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2y / 2e0)),
+                 6) END AS tau_b,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18 AND n > 1
+            THEN ROUND(3e0 * (nc - nd)
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 2e0),
+                 6) END AS z_notie,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18 AND n > 1
+            THEN ABS(3e0 * (nc - nd)
+                 / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) / 2e0))
+                 > 1.959964 END AS reject_05
+FROM folds, nn, tx, ty
+"""
+
+
+def _agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b between hour-of-day and purchase cents — exact
+    pair counting via nested cumulatives on the bounded (hour x
+    distinct-value) grid, tie-corrected denominator, conservative
+    no-tie z. See _KENDALL_TAU."""
+    load(spark, sf_dir)
+    return spark.sql(_KENDALL_TAU)
+
+
+QUERIES["agg_kendall_tau"] = _agg_kendall_tau
+ORACLES["agg_kendall_tau"] = _KENDALL_TAU

@@ -2363,3 +2363,57 @@ def test_cochran_q_planted_and_degenerate(spark):
     plant([(1, 1, 1)] * 5).createOrReplaceTempView("events")
     got = spark.sql(_COCHRAN_Q).collect()[0]
     assert got.q_stat is None and got.reject_05 is None
+
+
+def test_kendall_tau_closed_forms_and_brute_force(spark):
+    """Kendall tau-b closed forms: a strictly monotone hour/value plant
+    gives tau_b == 1.0 exactly and reversed gives -1.0; a tie-heavy
+    plant must match a brute-force itertools pair count replayed in
+    Python (nc, nd, tie counts and tau_b digit-for-digit)."""
+    import itertools
+    import math
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _KENDALL_TAU
+
+    t0 = datetime(2024, 1, 1)
+
+    def plant(hv_pairs):
+        rows = [
+            (i, t0 + timedelta(hours=int(h), minutes=i % 60), i,
+             "purchase", float(v) / 100.0, "")
+            for i, (h, v) in enumerate(hv_pairs)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    plant([(h, 1000 + h) for h in range(6)]).createOrReplaceTempView("events")
+    got = spark.sql(_KENDALL_TAU).collect()[0]
+    assert (got.nc, got.nd) == (15, 0) and got.tau_b == 1.0
+
+    plant([(h, 1000 - h) for h in range(6)]).createOrReplaceTempView("events")
+    got = spark.sql(_KENDALL_TAU).collect()[0]
+    assert (got.nc, got.nd) == (0, 15) and got.tau_b == -1.0
+
+    # tie-heavy: few hours, repeated values — brute-force replication
+    pairs = [(h % 3, 1000 + (i * 7) % 5 * 10) for i, h in enumerate(range(24))]
+    plant(pairs).createOrReplaceTempView("events")
+    got = spark.sql(_KENDALL_TAU).collect()[0]
+    nc = nd = 0
+    for (h1, v1), (h2, v2) in itertools.combinations(pairs, 2):
+        if (h1 < h2 and v1 < v2) or (h1 > h2 and v1 > v2):
+            nc += 1
+        elif (h1 < h2 and v1 > v2) or (h1 > h2 and v1 < v2):
+            nd += 1
+    tx = sum(t * (t - 1) // 2 for t in Counter(h for h, _ in pairs).values())
+    ty = sum(t * (t - 1) // 2 for t in Counter(v for _, v in pairs).values())
+    n = len(pairs)
+    n0 = n * (n - 1) // 2
+    tau = (nc - nd) / math.sqrt((n0 - tx) * (n0 - ty))
+    assert (got.n, got.nc, got.nd) == (n, nc, nd)
+    assert (got.ties_x, got.ties_y) == (tx, ty)
+    assert got.tau_b == round(tau, 6)
