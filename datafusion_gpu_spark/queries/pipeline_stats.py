@@ -1704,7 +1704,10 @@ ORACLES["events_cochran_q"] = _COCHRAN_Q
 # count every strictly concordant/discordant pair exactly once (at its
 # higher-hour member). Hour/value tie-pair counts fold the same way, so
 # tau_b = (nc - nd) / sqrt((n0 - n1)(n0 - n2)) is exact bigints into one
-# terminal sqrt. Significance: the z statistic uses the NO-TIE variance
+# terminal sqrt. The hour axis is a 24-row VALUES LITERAL (not a
+# DISTINCT aggregate), so the grid cross join's build is plan-visibly
+# bounded — it classifies into audit_plans' exempt literal class instead
+# of needing a prose allowlist entry. Significance: the z statistic uses the NO-TIE variance
 # n(n-1)(2n+5)/18 (documented choice: with ties it OVERSTATES the
 # variance, so reject_05 is conservative — the tie-corrected variance
 # needs per-group cubic folds that wrap int64 at ~4e7 rows, the wrong
@@ -1717,7 +1720,7 @@ WITH p AS (
   FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
 cell AS (SELECT h, v, CAST(COUNT(*) AS BIGINT) AS g FROM p GROUP BY h, v),
-hs AS (SELECT DISTINCT h FROM cell),
+hs AS (SELECT CAST(h AS BIGINT) AS h FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23)) AS t(h)),
 vs AS (SELECT DISTINCT v FROM cell),
 grid AS (
   SELECT hs.h AS h, vs.v AS v, COALESCE(c.g, 0) AS g

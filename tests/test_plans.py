@@ -737,9 +737,11 @@ BroadcastNestedLoopJoin BuildRight, Cross
 #: from a full audit run when new BNLJ-bearing queries land; the full-
 #: registry invariant is re-established by that audit every round).
 _BNLJ_BEARING_R11 = (
-    # r12 addition: agg_friedman's 3 BNLJs are the one-row-aggregate
-    # cross joins of nb/num/den (all classified exempt by split_bnlj)
-    "agg_friedman",
+    # r12 additions: agg_friedman's 3 BNLJs are the one-row-aggregate
+    # cross joins of nb/num/den; agg_kendall_tau's 4 are the 24-row
+    # VALUES-literal hour axis + the folds/nn/tx/ty scalar crosses
+    # (all classified exempt by split_bnlj)
+    "agg_friedman", "agg_kendall_tau",
     "agg_benford", "agg_brier_score", "agg_calibration_bins",
     "agg_chi2_independence", "agg_chi_squared", "agg_cliff_delta",
     "agg_cramers_v", "agg_ece", "agg_equidepth_bins", "agg_gain_lift_curve",
