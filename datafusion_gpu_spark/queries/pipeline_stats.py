@@ -1792,3 +1792,132 @@ def _agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_kendall_tau"] = _agg_kendall_tau
 ORACLES["agg_kendall_tau"] = _KENDALL_TAU
+
+
+# Breslow-Day homogeneity test (Breslow & Day 1980): the companion that
+# decides whether events_cmh's common odds ratio is TRUSTWORTHY — CMH
+# answers "is there an association, controlling for stratum?"; this
+# answers "is the association the SAME in every stratum?" (heterogeneous
+# ORs make OR_MH a meaningless average). Under psi = OR_MH, each
+# stratum's expected exposed-converted count A solves the quadratic
+# (1-psi)A^2 + ((r2-c1) + psi(r1+c1))A - psi*r1*c1 = 0 (closed form —
+# root picked by the validity range [max(0, c1-r2), min(r1, c1)], the
+# psi = 1 degenerate handled by its exact linear limit r1*c1/n); the
+# variance is the harmonic term 1/(1/A + 1/(r1-A) + 1/(c1-A) +
+# 1/(r2-c1+A)); chi2_bd = sum (a-A)^2/Var on (strata-1) df. Numeric
+# contract: psi is the UNROUNDED ratio of the same 1e-9-quantized MH
+# folds events_cmh uses, every per-stratum expression is spelled
+# identically in both engines, and the per-stratum chi-square terms
+# quantize ONCE to 1e-9 bigints before the cross-strata sum. Strata
+# with a zero margin are excluded (standard); a boundary-degenerate
+# root (Var <= 0) makes the output NULL — counted, not skipped.
+# VISIBLE guard: the same n_users * 1e9 bound as events_cmh. reject_05
+# reads the chi-square criterion off a df CASE (1..5); NULL beyond.
+_BRESLOW_DAY = """
+WITH u AS (
+  SELECT user_id % 3 AS s,
+         user_id % 2 AS x,
+         MAX(CASE WHEN event_type = 'purchase'
+                   AND CAST(ts AS DATE) = DATE '2024-01-16'
+                  THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+tab AS (
+  SELECT s,
+         CAST(SUM(CASE WHEN x = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+         CAST(SUM(CASE WHEN x = 1 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+         CAST(SUM(CASE WHEN x = 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         CAST(SUM(CASE WHEN x = 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d
+  FROM u GROUP BY s
+),
+mh AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(a AS DOUBLE) * d
+                      / CAST(a + b + c + d AS DOUBLE)), 0) AS BIGINT))
+              AS BIGINT) AS srq,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(b AS DOUBLE) * c
+                      / CAST(a + b + c + d AS DOUBLE)), 0) AS BIGINT))
+              AS BIGINT) AS ssq,
+         CAST(SUM(a + b + c + d) AS BIGINT) AS n_users
+  FROM tab WHERE a + b + c + d > 0
+),
+geom AS (
+  SELECT t.s, t.a, t.a + t.b AS r1, t.c + t.d AS r2, t.a + t.c AS c1,
+         t.b + t.d AS c2, t.a + t.b + t.c + t.d AS n,
+         CAST(m.srq AS DOUBLE) / m.ssq AS psi,
+         m.n_users
+  FROM tab t, mh m
+  WHERE m.ssq > 0 AND t.a + t.b > 0 AND t.c + t.d > 0
+    AND t.a + t.c > 0 AND t.b + t.d > 0
+),
+root AS (
+  SELECT s, a, r1, r2, c1, n, psi, n_users,
+         CASE WHEN ABS(1e0 - psi) < 1e-12
+              THEN CAST(r1 AS DOUBLE) * c1 / n
+              ELSE
+                CASE WHEN
+                  (-((r2 - c1) + psi * (r1 + c1))
+                   + SQRT(((r2 - c1) + psi * (r1 + c1))
+                          * ((r2 - c1) + psi * (r1 + c1))
+                          + 4e0 * (1e0 - psi) * psi * r1 * c1))
+                  / (2e0 * (1e0 - psi))
+                  BETWEEN GREATEST(CAST(0 AS DOUBLE), CAST(c1 - r2 AS DOUBLE))
+                      AND LEAST(CAST(r1 AS DOUBLE), CAST(c1 AS DOUBLE))
+                THEN
+                  (-((r2 - c1) + psi * (r1 + c1))
+                   + SQRT(((r2 - c1) + psi * (r1 + c1))
+                          * ((r2 - c1) + psi * (r1 + c1))
+                          + 4e0 * (1e0 - psi) * psi * r1 * c1))
+                  / (2e0 * (1e0 - psi))
+                ELSE
+                  (-((r2 - c1) + psi * (r1 + c1))
+                   - SQRT(((r2 - c1) + psi * (r1 + c1))
+                          * ((r2 - c1) + psi * (r1 + c1))
+                          + 4e0 * (1e0 - psi) * psi * r1 * c1))
+                  / (2e0 * (1e0 - psi))
+                END
+         END AS ea
+  FROM geom
+),
+terms AS (
+  SELECT s, n_users,
+         CASE WHEN ea > 0 AND ea < r1 AND ea < c1 AND r2 - c1 + ea > 0
+              THEN CAST(ROUND(1e9 * ((a - ea) * (a - ea)
+                   * (1e0 / ea + 1e0 / (r1 - ea) + 1e0 / (c1 - ea)
+                      + 1e0 / (r2 - c1 + ea))), 0) AS BIGINT)
+         END AS tq
+  FROM root
+),
+fold AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
+         CAST(SUM(CASE WHEN tq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+         CAST(SUM(tq) AS BIGINT) AS schi2q,
+         CAST(MAX(n_users) AS BIGINT) AS n_users
+  FROM terms
+)
+SELECT k_used, k_used - 1 AS df,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND n_bad = 0
+             AND k_used > 1
+            THEN ROUND(schi2q / 1e9, 6) END AS chi2_bd,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 >= 9e18 OR n_bad > 0
+             OR k_used <= 1 THEN NULL
+            WHEN k_used - 1 = 1 THEN schi2q / 1e9 > 3.841459
+            WHEN k_used - 1 = 2 THEN schi2q / 1e9 > 5.991465
+            WHEN k_used - 1 = 3 THEN schi2q / 1e9 > 7.814728
+            WHEN k_used - 1 = 4 THEN schi2q / 1e9 > 9.487729
+            WHEN k_used - 1 = 5 THEN schi2q / 1e9 > 11.070498
+            ELSE NULL END AS reject_05
+FROM fold
+"""
+
+
+def _events_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breslow-Day odds-ratio homogeneity across the user_id % 3
+    strata — the gate that decides whether events_cmh's OR_MH is a
+    meaningful summary. Closed-form quadratic root per stratum, 1e-9
+    quantized chi-square terms, df-CASE criterion. See _BRESLOW_DAY."""
+    load(spark, sf_dir)
+    return spark.sql(_BRESLOW_DAY)
+
+
+QUERIES["events_breslow_day"] = _events_breslow_day
+ORACLES["events_breslow_day"] = _BRESLOW_DAY

@@ -2417,3 +2417,45 @@ def test_kendall_tau_closed_forms_and_brute_force(spark):
     assert (got.n, got.nc, got.nd) == (n, nc, nd)
     assert (got.ties_x, got.ties_y) == (tx, ty)
     assert got.tau_b == round(tau, 6)
+
+
+def test_breslow_day_planted(spark):
+    """Breslow-Day closed forms: two strata with the SAME OR = 81 give
+    chi2 == 0.0 exactly (psi = 81 exactly from the quantized MH folds;
+    the quadratic's discriminant 81/16 has an exact binary sqrt, so
+    A = 9 = a); two strata with ORs 81 and 1/81 give psi = 1 (the
+    linear-limit branch) and chi2 = 2 * 16 * 0.8 = 25.6 exactly on
+    1 df — reject."""
+    from datetime import datetime
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _BRESLOW_DAY
+
+    d_conv = datetime(2024, 1, 16, 12)
+
+    def plant(strata_tables):
+        rows, next_uid = [], {}
+        for s, (a, b, c, d) in strata_tables.items():
+            for x, y, cnt in ((1, 1, a), (1, 0, b), (0, 1, c), (0, 0, d)):
+                for _ in range(cnt):
+                    m = next_uid.get((s, x), 0)
+                    while not (m % 3 == s and m % 2 == x):
+                        m += 1
+                    next_uid[(s, x)] = m + 1
+                    et = "purchase" if y else "view"
+                    rows.append((len(rows), d_conv, m, et, 1.0, ""))
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    plant({0: (9, 1, 1, 9), 1: (9, 1, 1, 9)}).createOrReplaceTempView("events")
+    got = spark.sql(_BRESLOW_DAY).collect()[0]
+    assert (got.k_used, got.df) == (2, 1)
+    assert got.chi2_bd == 0.0 and got.reject_05 is False
+
+    plant({0: (9, 1, 1, 9), 1: (1, 9, 9, 1)}).createOrReplaceTempView("events")
+    got = spark.sql(_BRESLOW_DAY).collect()[0]
+    # psi = (81/20 + 1/20) / (1/20 + 81/20) = 1 -> linear branch, A = 5;
+    # per stratum (9-5)^2 * (4/5) = 12.8 -> chi2 = 25.6 on 1 df
+    assert got.chi2_bd == 25.6 and got.reject_05 is True
