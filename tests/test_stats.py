@@ -1925,10 +1925,10 @@ def test_missing_mass_exact_counts(spark):
         [(1, "A a b C"), (2, "b  \t d a c")],
         "doc_id long, text string",
     )
-    # _text_missing_mass reads via _docs(spark, sf_dir); shadow the view
-    # it registers by monkey-loading: call the tokenization directly off
-    # the registered documents view instead
-    from datafusion_gpu_spark.queries import pipeline as P
+    # _text_missing_mass reads via _docs(spark, sf_dir); patch the name
+    # in its DEFINING module (pipeline_eval since the round-12 split —
+    # the pipeline re-export is a separate binding, patching it no-ops)
+    from datafusion_gpu_spark.queries import pipeline_eval as P
 
     orig = P._docs
     try:
@@ -2042,7 +2042,9 @@ def test_token_hhi_planted_exact(spark):
     """Counts a:3 b:2 c:2 d:1 -> N=8, V=4, sum cnt^2 = 18; HHI and the
     effective vocabulary follow exactly."""
     from datafusion_gpu_spark.queries.pipeline import _text_token_hhi
-    from datafusion_gpu_spark.queries import pipeline as P
+
+    # patch _docs in its defining module (pipeline_forecast post-split)
+    from datafusion_gpu_spark.queries import pipeline_forecast as P
     from tests.conftest import SF_DIR
 
     docs = spark.createDataFrame(
