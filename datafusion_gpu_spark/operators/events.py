@@ -1432,6 +1432,68 @@ def survival_km_greenwood(
     ).orderBy("t")
 
 
+def survival_na_bands(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Nelson-Aalen cumulative hazard with 95% confidence bands — the
+    hazard-side uncertainty readout beside :func:`survival_km_greenwood`'s
+    survival-side bands: Var(H(t)) = sum_{t_i <= t} d_i / n_i^2 (the
+    Poisson-type estimator, Klein & Moeschberger 2003 — documented
+    choice over the (n-d)d/n^3 variant). Same numeric contract as the
+    KM family: hazard and variance terms quantize ONCE to exact 1e-12
+    bigints before the running window sum; the n^2 denominator is a raw
+    long multiply that wraps past ~3e9 at-risk subjects, so the band
+    columns carry the Greenwood-style VISIBLE guard (NULL once the
+    running-max at-risk count squared reaches 9e18). Linear bands,
+    floored at 0 with GREATEST (hazard is unbounded above). Same plan
+    shape: one groupBy(duration) + the distinct-duration window.
+    Returns (t, n_risk, n_events, cum_hazard, se_na, ci_lo, ci_hi)."""
+    q = F.lit(1_000_000_000_000.0)
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(F.col(observed_col).cast("long")).alias("d"),
+        F.sum(F.lit(1) - F.col(observed_col).cast("long")).alias("c"),
+    )
+    w_all = Window.orderBy("t")
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d") + F.col("c")).over(
+            w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).where(F.col("d") > 0)
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    haz_q = F.round(frac * q, 0).cast("long")
+    var_q = F.round(
+        F.col("d").cast("double") / (F.col("n_risk") * F.col("n_risk")) * q, 0
+    ).cast("long")
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        at_risk.withColumn("__hq", haz_q)
+        .withColumn("__vq", var_q)
+        .withColumn("__shq", F.sum("__hq").over(w_run))
+        .withColumn("__svq", F.sum("__vq").over(w_run))
+        .withColumn("__nmax", F.max("n_risk").over(w_run))
+    )
+    headroom = F.col("__nmax").cast("double") * F.col("__nmax") < F.lit(9e18)
+    haz = F.col("__shq") / q
+    se = F.sqrt(F.col("__svq") / q)
+    return scored.select(
+        "t",
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.round(haz, 6).alias("cum_hazard"),
+        F.when(headroom, F.round(se, 6)).alias("se_na"),
+        F.when(
+            headroom,
+            F.round(F.greatest(F.lit(0.0), haz - F.lit(1.959964) * se), 6),
+        ).alias("ci_lo"),
+        F.when(headroom, F.round(haz + F.lit(1.959964) * se, 6)).alias("ci_hi"),
+    ).orderBy("t")
+
+
 def survival_logrank(
     subjects: DataFrame,
     group_col: str = "grp",

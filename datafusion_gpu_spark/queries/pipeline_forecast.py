@@ -1541,3 +1541,85 @@ SELECT n_strata, o1,
 FROM folded
 """
 QUERIES["events_logrank_stratified"] = _events_logrank_stratified
+
+
+def _events_survival_na_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard with 95% bands
+    (events.survival_na_bands) — the hazard-side uncertainty beside the
+    Greenwood survival bands, same subjects, same 1e-12 quantized
+    folds, same visible ~3e9-at-risk guard."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_na_bands(subjects, "duration", "observed")
+
+
+ORACLES["events_survival_na_bands"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d,
+         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d,
+         CAST(ROUND(CAST(d AS DOUBLE) / n_risk * 1e12, 0) AS BIGINT) AS hq,
+         CAST(ROUND(CAST(d AS DOUBLE) / (n_risk * n_risk) * 1e12, 0)
+              AS BIGINT) AS vq
+  FROM risk WHERE d > 0
+),
+run AS (
+  SELECT t, n_risk, d,
+         CAST(SUM(hq) OVER w AS BIGINT) AS shq,
+         CAST(SUM(vq) OVER w AS BIGINT) AS svq,
+         CAST(MAX(n_risk) OVER w AS BIGINT) AS nmax
+  FROM ev
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, d AS n_events,
+       ROUND(shq / 1e12, 6) AS cum_hazard,
+       CASE WHEN CAST(nmax AS DOUBLE) * nmax < 9e18
+            THEN ROUND(SQRT(svq / 1e12), 6) END AS se_na,
+       CASE WHEN CAST(nmax AS DOUBLE) * nmax < 9e18
+            THEN ROUND(GREATEST(CAST(0 AS DOUBLE),
+                 shq / 1e12 - 1.959964 * SQRT(svq / 1e12)), 6) END AS ci_lo,
+       CASE WHEN CAST(nmax AS DOUBLE) * nmax < 9e18
+            THEN ROUND(shq / 1e12 + 1.959964 * SQRT(svq / 1e12), 6)
+       END AS ci_hi
+FROM run
+"""
+QUERIES["events_survival_na_bands"] = _events_survival_na_bands

@@ -710,3 +710,39 @@ def test_survival_logrank_stratified_controls_confounder(spark):
     assert strat.chi2_lr == 0.0 and strat.reject_05 is False
     pooled = survival_logrank(df.drop("stratum")).collect()[0]
     assert pooled.chi2_lr > 3.841459  # the confounded pooled test fires
+
+
+def test_survival_na_bands_textbook_6mp(spark):
+    """Nelson-Aalen bands on the Freireich 6-MP arm: the operator must
+    reproduce the quantized-fold recursion exactly (hazard terms d/n,
+    variance terms d/n^2, both 1e-12-quantized before the running sum)
+    and the bands must bracket the hazard."""
+    from datafusion_gpu_spark.operators.events import survival_na_bands
+
+    events_t = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    censored_t = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    rows = [(t, 1) for t in events_t] + [(t, 0) for t in censored_t]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    got = {r.t: r for r in survival_na_bands(df).collect()}
+
+    from collections import Counter
+    import math
+
+    d_cnt, c_cnt = Counter(events_t), Counter(censored_t)
+    n = len(rows)
+    at_risk, removed = {}, 0
+    for t in sorted(set(events_t + censored_t)):
+        at_risk[t] = n - removed
+        removed += d_cnt.get(t, 0) + c_cnt.get(t, 0)
+    hq = vq = 0
+    for t in sorted(set(events_t)):
+        d, nr = d_cnt[t], at_risk[t]
+        hq += round(d / nr * 1e12)
+        vq += round(d / (nr * nr) * 1e12)
+        r = got[t]
+        assert r.n_risk == nr and r.n_events == d
+        assert r.cum_hazard == round(hq / 1e12, 6)
+        assert r.se_na == round(math.sqrt(vq / 1e12), 6)
+        assert r.ci_lo == round(max(0.0, hq / 1e12 - 1.959964 * math.sqrt(vq / 1e12)), 6)
+        assert r.ci_hi == round(hq / 1e12 + 1.959964 * math.sqrt(vq / 1e12), 6)
+        assert r.ci_lo <= r.cum_hazard <= r.ci_hi
