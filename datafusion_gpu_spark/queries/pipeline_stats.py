@@ -1921,3 +1921,19 @@ def _events_breslow_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_breslow_day"] = _events_breslow_day
 ORACLES["events_breslow_day"] = _BRESLOW_DAY
+
+
+def _streaming_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_mcnemar (streaming.stream_mcnemar_pairs
+    + materialized_mcnemar): per-user monotone two-bit flag state, the
+    contingency tail applied to the final materialized state with the
+    batch spelling — graded by the SAME oracle (25th stream==batch
+    twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.materialized_mcnemar(spark, sf_dir)
+
+
+QUERIES["streaming_mcnemar"] = _streaming_mcnemar
+ORACLES["streaming_mcnemar"] = _MCNEMAR

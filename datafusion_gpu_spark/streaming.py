@@ -1900,3 +1900,66 @@ def stream_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("decision"),
         )
     )
+
+
+def stream_mcnemar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user paired-conversion flags for the McNemar gate
+    (the 25th stream==batch automaton): an unwatermarked running MAX per
+    user of "purchased on the day before / after the deploy boundary" —
+    pure monotone bit state, so every micro-batch's update is the exact
+    batch MAX over the data seen so far and the final state equals the
+    batch contingency inputs. State is two bits per user (Spark keeps it
+    as two ints); at scale this is the same keyed-aggregate state any
+    streaming dedup carries."""
+    ev = stream_events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+    return ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (day == F.lit("2024-01-15").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("p1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (day == F.lit("2024-01-16").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("p2"),
+    )
+
+
+def materialized_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming McNemar, materialized: run the per-user flag automaton
+    to completion, then apply the batch query's contingency tail
+    (spelled token-for-token with _MCNEMAR's final SELECT) to the final
+    state — graded by the SAME DuckDB oracle as events_mcnemar."""
+    pairs = materialize_stream(
+        stream_mcnemar_pairs(spark, sf_dir), output_mode="complete"
+    )
+    ct = pairs.agg(
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 0)).cast("long")).alias("b"),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 1)).cast("long")).alias("c"),
+        F.sum(((F.col("p1") == 1) & (F.col("p2") == 1)).cast("long")).alias(
+            "both_halves"
+        ),
+        F.sum(((F.col("p1") == 0) & (F.col("p2") == 0)).cast("long")).alias(
+            "neither"
+        ),
+    )
+    bc = F.col("b") + F.col("c")
+    diff = (F.col("b") - F.col("c")).cast("double")
+    ok = (bc > 0) & (diff * (F.col("b") - F.col("c")) < F.lit(9e18))
+    chi2 = (F.col("b") - F.col("c")).cast("double") * (
+        F.col("b") - F.col("c")
+    ) / bc
+    return ct.select(
+        "b",
+        "c",
+        "both_halves",
+        "neither",
+        F.when(ok, F.round(chi2, 6)).alias("chi2_mcnemar"),
+        F.when(ok, chi2 > F.lit(3.841459)).alias("reject_05"),
+    )

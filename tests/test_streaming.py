@@ -627,3 +627,17 @@ def test_streaming_sprt_matches_batch_exactly(spark):
     stream = {r.bucket: tuple(r) for r in _streaming_sprt(spark, sf).collect()}
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_streaming_mcnemar_matches_batch_exactly(spark):
+    # 25th twin: the per-user monotone two-bit flag automaton plus the
+    # batch contingency tail reproduces the batch McNemar row exactly
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_mcnemar,
+        _streaming_mcnemar,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in _events_mcnemar(spark, sf).collect()]
+    stream = [tuple(r) for r in _streaming_mcnemar(spark, sf).collect()]
+    assert stream == batch and len(batch) == 1
