@@ -1813,6 +1813,12 @@ ORACLES["agg_kendall_tau"] = _KENDALL_TAU
 # root (Var <= 0) makes the output NULL — counted, not skipped.
 # VISIBLE guard: the same n_users * 1e9 bound as events_cmh. reject_05
 # reads the chi-square criterion off a df CASE (1..5); NULL beyond.
+# chi2_tarone (Tarone 1985) subtracts the correction
+# (sum_j (a_j - A_j))^2 / sum_j Var_j — exactly zero when psi is the
+# true conditional MLE, small otherwise; both numerator and the
+# variance sum fold as the same 1e-9-quantized bigints. reject_05
+# stays on the plain BD statistic (documented; Tarone emitted beside
+# it for the reader).
 _BRESLOW_DAY = """
 WITH u AS (
   SELECT user_id % 3 AS s,
@@ -1884,13 +1890,23 @@ terms AS (
               THEN CAST(ROUND(1e9 * ((a - ea) * (a - ea)
                    * (1e0 / ea + 1e0 / (r1 - ea) + 1e0 / (c1 - ea)
                       + 1e0 / (r2 - c1 + ea))), 0) AS BIGINT)
-         END AS tq
+         END AS tq,
+         CASE WHEN ea > 0 AND ea < r1 AND ea < c1 AND r2 - c1 + ea > 0
+              THEN CAST(ROUND(1e9 * (a - ea), 0) AS BIGINT)
+         END AS dq,
+         CASE WHEN ea > 0 AND ea < r1 AND ea < c1 AND r2 - c1 + ea > 0
+              THEN CAST(ROUND(1e9 * (1e0
+                   / (1e0 / ea + 1e0 / (r1 - ea) + 1e0 / (c1 - ea)
+                      + 1e0 / (r2 - c1 + ea))), 0) AS BIGINT)
+         END AS wq
   FROM root
 ),
 fold AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS k_used,
          CAST(SUM(CASE WHEN tq IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
          CAST(SUM(tq) AS BIGINT) AS schi2q,
+         CAST(SUM(dq) AS BIGINT) AS sdq,
+         CAST(SUM(wq) AS BIGINT) AS swq,
          CAST(MAX(n_users) AS BIGINT) AS n_users
   FROM terms
 )
@@ -1898,6 +1914,11 @@ SELECT k_used, k_used - 1 AS df,
        CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND n_bad = 0
              AND k_used > 1
             THEN ROUND(schi2q / 1e9, 6) END AS chi2_bd,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND n_bad = 0
+             AND k_used > 1 AND swq > 0
+            THEN ROUND(schi2q / 1e9
+                 - (sdq / 1e9) * (sdq / 1e9) / (swq / 1e9), 6)
+       END AS chi2_tarone,
        CASE WHEN CAST(n_users AS DOUBLE) * 1e9 >= 9e18 OR n_bad > 0
              OR k_used <= 1 THEN NULL
             WHEN k_used - 1 = 1 THEN schi2q / 1e9 > 3.841459

@@ -2455,9 +2455,12 @@ def test_breslow_day_planted(spark):
     got = spark.sql(_BRESLOW_DAY).collect()[0]
     assert (got.k_used, got.df) == (2, 1)
     assert got.chi2_bd == 0.0 and got.reject_05 is False
+    assert got.chi2_tarone == 0.0  # a == A exactly -> zero correction
 
     plant({0: (9, 1, 1, 9), 1: (1, 9, 9, 1)}).createOrReplaceTempView("events")
     got = spark.sql(_BRESLOW_DAY).collect()[0]
     # psi = (81/20 + 1/20) / (1/20 + 81/20) = 1 -> linear branch, A = 5;
     # per stratum (9-5)^2 * (4/5) = 12.8 -> chi2 = 25.6 on 1 df
     assert got.chi2_bd == 25.6 and got.reject_05 is True
+    # Tarone correction: sum(a - A) = (9-5) + (1-5) = 0 -> correction 0
+    assert got.chi2_tarone == 25.6
