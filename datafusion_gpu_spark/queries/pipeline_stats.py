@@ -1958,3 +1958,92 @@ def _streaming_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_mcnemar"] = _streaming_mcnemar
 ORACLES["streaming_mcnemar"] = _MCNEMAR
+
+
+# O'Brien-Fleming group-sequential test (O'Brien & Fleming 1979;
+# boundary constant per Pocock 1977's tabulation) — the FIXED-HORIZON
+# sibling of the SPRT: five interim looks at 20/40/60/80/100% of the
+# total information, two-sided z test of conversion share vs p0 = 0.18,
+# boundary z_k = 2.040407 * sqrt(K/k) (spends almost no alpha early,
+# preserving ~0.05 overall — the deploy-gate convention). Exactness: at
+# p0 = 18/100 the z numerator is the EXACT bigint 100*cd - 18*cn and
+# the radicand the exact bigint cn * 1476 (= cn * 100^2 * p0 * q0), so
+# z is ONE terminal division/sqrt of exact integers — no quantization
+# needed anywhere. Look k fires at the first closed hour whose
+# cumulative count reaches ceil(N*k/5) (integer comparison cn*5 >=
+# N*k); the decision LATCHES at the first boundary crossing, and an
+# uncrossed look 5 accepts H0 (the horizon is fixed — contrast the
+# SPRT, which can run forever). The look relation is a 5-row VALUES
+# literal joined against the bounded hour relation. VISIBLE guard:
+# 100*cd wraps once N nears 9e16 — z/decision go NULL there.
+_GROUP_SEQ = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events
+  GROUP BY 1
+),
+c AS (
+  SELECT bucket, n, d,
+         CAST(SUM(n) OVER w AS BIGINT) AS cn,
+         CAST(SUM(d) OVER w AS BIGINT) AS cd
+  FROM hourly
+  WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM hourly),
+looks AS (SELECT CAST(k AS BIGINT) AS k
+          FROM (VALUES (1),(2),(3),(4),(5)) AS t(k)),
+first_at AS (
+  SELECT l.k, CAST(MIN(c.cn) AS BIGINT) AS cn_k
+  FROM looks l, tot, c
+  WHERE c.cn * 5 >= tot.nt * l.k
+  GROUP BY l.k
+),
+at_look AS (
+  SELECT f.k, f.cn_k AS cn, CAST(MAX(c.cd) AS BIGINT) AS cd, tot.nt
+  FROM first_at f
+  JOIN c ON c.cn = f.cn_k
+  CROSS JOIN tot
+  GROUP BY f.k, f.cn_k, tot.nt
+),
+z AS (
+  SELECT k, cn, cd, nt,
+         CAST(100 * cd - 18 * cn AS DOUBLE)
+           / SQRT(CAST(cn AS DOUBLE) * 1476) AS zk,
+         2.040407 * SQRT(5e0 / k) AS bound
+  FROM at_look
+),
+lat AS (
+  SELECT k, cn, cd, nt, zk, bound,
+         CAST(MIN(CASE WHEN ABS(zk) >= bound THEN k END)
+              OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND CURRENT ROW) AS BIGINT) AS k_cross
+  FROM z
+)
+SELECT k AS look, cn AS n_at_look, cd AS d_at_look,
+       ROUND(CAST(cn AS DOUBLE) / nt, 6) AS info_frac,
+       CASE WHEN CAST(cd AS DOUBLE) * 100 < 9e18
+            THEN ROUND(zk, 6) END AS z,
+       ROUND(bound, 6) AS boundary,
+       CASE WHEN CAST(cd AS DOUBLE) * 100 >= 9e18 THEN NULL
+            WHEN k_cross IS NOT NULL THEN 'reject_h0'
+            WHEN k = 5 THEN 'accept_h0'
+            ELSE 'continue' END AS decision
+FROM lat
+"""
+
+
+def _events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O'Brien-Fleming five-look group-sequential test of the purchase
+    share vs p0 = 0.18 — exact-integer z numerator/radicand, latched
+    first-crossing decision, fixed horizon (look 5 accepts). See
+    _GROUP_SEQ."""
+    load(spark, sf_dir)
+    return spark.sql(_GROUP_SEQ)
+
+
+QUERIES["events_group_sequential"] = _events_group_sequential
+ORACLES["events_group_sequential"] = _GROUP_SEQ

@@ -2464,3 +2464,48 @@ def test_breslow_day_planted(spark):
     assert got.chi2_bd == 25.6 and got.reject_05 is True
     # Tarone correction: sum(a - A) = (9-5) + (1-5) = 0 -> correction 0
     assert got.chi2_tarone == 25.6
+
+
+def test_group_sequential_planted(spark):
+    """O'Brien-Fleming closed forms: a stream at EXACTLY p0 = 0.18
+    (9 purchases per 50 events each hour) gives z == 0.0 at every look
+    and accept_h0 at the fixed horizon; an all-purchase stream crosses
+    at look 1 (z = 82*sqrt(cn)/sqrt(1476) >> the 4.56 early boundary)
+    and the rejection latches; boundaries decrease to 2.040407."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _GROUP_SEQ
+
+    t0 = datetime(2024, 1, 1)
+
+    def plant(purchases_per_hour, views_per_hour, hours):
+        rows, eid = [], 0
+        for h in range(hours):
+            for i in range(purchases_per_hour):
+                rows.append((eid, t0 + timedelta(hours=h, minutes=i), eid,
+                             "purchase", 1.0, "")); eid += 1
+            for i in range(views_per_hour):
+                rows.append((eid, t0 + timedelta(hours=h, minutes=10 + i), eid,
+                             "view", 1.0, "")); eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    plant(9, 41, 5).createOrReplaceTempView("events")  # exactly 18%
+    got = {r.look: r for r in spark.sql(_GROUP_SEQ).collect()}
+    assert len(got) == 5
+    for k in range(1, 6):
+        assert got[k].z == 0.0
+    assert [got[k].decision for k in range(1, 6)] == [
+        "continue", "continue", "continue", "continue", "accept_h0"
+    ]
+    bounds = [got[k].boundary for k in range(1, 6)]
+    assert bounds == sorted(bounds, reverse=True)
+    assert bounds[4] == 2.040407
+
+    plant(20, 0, 5).createOrReplaceTempView("events")  # all purchases
+    got = {r.look: r for r in spark.sql(_GROUP_SEQ).collect()}
+    assert all(got[k].decision == "reject_h0" for k in range(1, 6))
+    assert got[1].n_at_look == 20  # look 1 at exactly 20% of 100
