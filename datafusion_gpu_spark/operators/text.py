@@ -1294,3 +1294,93 @@ def rake_keywords(
         .orderBy(F.desc("score"), "phrase")
         .limit(top_k)
     )
+
+
+def mattr(
+    docs: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    window: int = 50,
+) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall 2010) — the
+    window-size-invariant lexical-diversity signal plain TTR can't give
+    (TTR falls mechanically with document length, so it can't rank
+    documents of different sizes; MATTR averages the TTR of every
+    w-token sliding window, which is length-free).
+
+    Distributed EXACT spelling without materializing windows: token
+    occurrence p is the distinct representative ("last of its token")
+    of exactly the windows ending at i in [p, min(next_occ - 1,
+    p + w - 1)], so the per-window distinct count is an interval-
+    stabbing sum — +1 at i = p, -1 at i = min(next_occ, p + w) — one
+    prefix sum over the sparse delta positions, then run-length weights
+    close the gaps: the window average is an exact integer fold
+    sum(v_j * weight_j) / ((n - w + 1) * w) with one terminal division.
+    Four keyed shuffles on the token relation (positions, same-token
+    lead, delta groupBy, prefix), nothing data-sized in one partition.
+
+    Emits one row per document with >= window tokens:
+    (doc_id, n_tokens, vocab, ttr, mattr). Empty-string tokens from the
+    normalizer are dropped BEFORE positions are assigned, so positions
+    are contiguous.
+    """
+    from pyspark.sql import Window
+
+    big = F.lit(1 << 62)
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(F.split(normalize_text(F.col(text_col)), " ")).alias(
+            "rawpos", "token"
+        ),
+    ).where(F.col("token") != "")
+    wp = Window.partitionBy("doc_id").orderBy("rawpos")
+    wn = Window.partitionBy("doc_id")
+    wt = Window.partitionBy("doc_id", "token").orderBy("rawpos")
+    pos = (
+        toks.withColumn("p", F.row_number().over(wp) - 1)
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .withColumn("prev", F.lag("p").over(wt))
+        .withColumn("nxt", F.lead("p").over(wt))
+    ).where(F.col("n") >= window)
+    ups = pos.select(
+        "doc_id",
+        "n",
+        F.col("p").alias("i"),
+        F.lit(1).alias("delta"),
+        F.when(F.col("prev").isNull(), 1).otherwise(0).alias("is_first"),
+    )
+    downs = pos.select(
+        "doc_id",
+        "n",
+        F.least(F.coalesce(F.col("nxt"), big), F.col("p") + window).alias("i"),
+        F.lit(-1).alias("delta"),
+        F.lit(0).alias("is_first"),
+    ).where(F.col("i") <= F.col("n") - 1)
+    wi = Window.partitionBy("doc_id").orderBy("i")
+    run = (
+        ups.unionByName(downs)
+        .groupBy("doc_id", "n", "i")
+        .agg(F.sum("delta").alias("d"), F.sum("is_first").alias("nf"))
+        .withColumn(
+            "v",
+            F.sum("d").over(wi.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("next_i", F.lead("i").over(wi))
+    )
+    wlo = F.greatest(F.col("i"), F.lit(window - 1))
+    whi = F.least(F.coalesce(F.col("next_i"), F.col("n")) - 1, F.col("n") - 1)
+    weight = F.greatest(F.lit(0).cast("long"), whi - wlo + F.lit(1))
+    per_doc = run.groupBy("doc_id", "n").agg(
+        F.sum(F.col("v") * weight).alias("num"),
+        F.sum("nf").alias("vocab"),
+    )
+    n_win = (F.col("n") - window + 1).cast("double")
+    return per_doc.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "vocab",
+        F.round(F.col("vocab") / F.col("n").cast("double"), 6).alias("ttr"),
+        F.round(
+            F.col("num") / (n_win * window), 6
+        ).alias("mattr"),
+    )

@@ -1623,3 +1623,88 @@ SELECT t, n_risk, d AS n_events,
 FROM run
 """
 QUERIES["events_survival_na_bands"] = _events_survival_na_bands
+
+
+# MATTR lexical diversity (Covington & McFall 2010): the length-free
+# replacement for raw TTR in curation scoring — TTR falls mechanically
+# with document length, MATTR averages the TTR of every 50-token
+# sliding window. EXACT distributed spelling (operators/text.mattr):
+# per-window distinct counts via interval stabbing (+1 at each
+# occurrence, -1 where it stops being its token's last-in-window), one
+# prefix sum over sparse delta positions, run-length weights close the
+# gaps, one terminal division. The oracle replays the identical algebra
+# on DuckDB's zipped unnest/generate_subscripts.
+def _text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATTR (window 50) + TTR per document with >= 50 tokens, on the
+    shared normalized tokenization. See operators/text.mattr."""
+    from datafusion_gpu_spark.operators import text
+
+    return text.mattr(_docs(spark, sf_dir), window=50)
+
+
+ORACLES["text_mattr"] = f"""
+WITH toks0 AS (
+  SELECT doc_id,
+         unnest(string_split({_NORM}, ' ')) AS token,
+         generate_subscripts(string_split({_NORM}, ' '), 1) AS rawpos
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, token,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY rawpos) - 1
+              AS BIGINT) AS p,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+  FROM toks0 WHERE token <> ''
+),
+pos AS (
+  SELECT doc_id, token, p, n,
+         LAG(p) OVER wt AS prev,
+         LEAD(p) OVER wt AS nxt
+  FROM toks
+  WINDOW wt AS (PARTITION BY doc_id, token ORDER BY p)
+),
+pos50 AS (SELECT * FROM pos WHERE n >= 50),
+deltas AS (
+  SELECT doc_id, n, p AS i, 1 AS delta,
+         CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_first
+  FROM pos50
+  UNION ALL
+  SELECT doc_id, n,
+         LEAST(COALESCE(nxt, 4611686018427387904), p + 50) AS i,
+         -1 AS delta, 0 AS is_first
+  FROM pos50
+  WHERE LEAST(COALESCE(nxt, 4611686018427387904), p + 50) <= n - 1
+),
+run AS (
+  SELECT doc_id, n, i,
+         CAST(SUM(delta) AS BIGINT) AS d,
+         CAST(SUM(is_first) AS BIGINT) AS nf
+  FROM deltas GROUP BY doc_id, n, i
+),
+pref AS (
+  SELECT doc_id, n, i, nf,
+         CAST(SUM(d) OVER (PARTITION BY doc_id ORDER BY i
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS v,
+         LEAD(i) OVER (PARTITION BY doc_id ORDER BY i) AS next_i
+  FROM run
+),
+weighted AS (
+  SELECT doc_id, n, nf, v,
+         GREATEST(CAST(0 AS BIGINT),
+                  LEAST(COALESCE(next_i, n) - 1, n - 1)
+                  - GREATEST(i, 49) + 1) AS w
+  FROM pref
+),
+per_doc AS (
+  SELECT doc_id, n,
+         CAST(SUM(v * w) AS BIGINT) AS num,
+         CAST(SUM(nf) AS BIGINT) AS vocab
+  FROM weighted GROUP BY doc_id, n
+)
+SELECT doc_id, n AS n_tokens, vocab,
+       ROUND(vocab / CAST(n AS DOUBLE), 6) AS ttr,
+       ROUND(num / (CAST(n - 50 + 1 AS DOUBLE) * 50), 6) AS mattr
+FROM per_doc
+"""
+QUERIES["text_mattr"] = _text_mattr
