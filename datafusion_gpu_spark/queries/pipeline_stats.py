@@ -1555,7 +1555,13 @@ ORACLES["events_mcnemar"] = _MCNEMAR
 # the MH ratio terms a*d/n, b*c/n quantize ONCE to exact 1e-9 bigints
 # before the cross-stratum sums (identical IEEE spelling both engines);
 # chi2 = (sum a - sum E)^2 / sum V on 1 df (no continuity correction —
-# documented choice), OR_MH = R/S terminal. VISIBLE guard: each E term
+# documented choice), OR_MH = R/S terminal, with the Robins-Breslow-
+# Greenland (1986) 95% CI: Var(ln OR_MH) = sum(P*R)/(2R^2)
+# + sum(P*S + Q*R)/(2RS) + sum(Q*S)/(2S^2) with P = (a+d)/n,
+# Q = (b+c)/n per stratum — the three cross-stratum sums fold as the
+# same 1e-9-quantized bigints (the 1e9 scale factors cancel pairwise:
+# each sum is quantized x 1e9, each denominator carries one srq/ssq
+# taken raw and one divided by 1e9). VISIBLE guard: each E term
 # is <= the stratum's exposed count, so sums are bounded by total users
 # * 1e9 — outputs go NULL past ~9e9 users instead of wrapping.
 _CMH = """
@@ -1593,7 +1599,26 @@ terms AS (
               AS BIGINT) AS rq,
          CAST(ROUND(1e9 * (CAST(b AS DOUBLE) * c
                            / CAST(a + b + c + d AS DOUBLE)), 0)
-              AS BIGINT) AS sq
+              AS BIGINT) AS sq,
+         CAST(ROUND(1e9 * ((CAST(a + d AS DOUBLE)
+                            / CAST(a + b + c + d AS DOUBLE))
+                           * (CAST(a AS DOUBLE) * d
+                              / CAST(a + b + c + d AS DOUBLE))), 0)
+              AS BIGINT) AS prq,
+         CAST(ROUND(1e9 * ((CAST(a + d AS DOUBLE)
+                            / CAST(a + b + c + d AS DOUBLE))
+                           * (CAST(b AS DOUBLE) * c
+                              / CAST(a + b + c + d AS DOUBLE))
+                           + (CAST(b + c AS DOUBLE)
+                              / CAST(a + b + c + d AS DOUBLE))
+                           * (CAST(a AS DOUBLE) * d
+                              / CAST(a + b + c + d AS DOUBLE))), 0)
+              AS BIGINT) AS psqrq,
+         CAST(ROUND(1e9 * ((CAST(b + c AS DOUBLE)
+                            / CAST(a + b + c + d AS DOUBLE))
+                           * (CAST(b AS DOUBLE) * c
+                              / CAST(a + b + c + d AS DOUBLE))), 0)
+              AS BIGINT) AS qsq
   FROM tab WHERE a + b + c + d > 0
 ),
 folded AS (
@@ -1603,7 +1628,10 @@ folded AS (
          CAST(SUM(eq) AS BIGINT) AS seq,
          CAST(SUM(vq) AS BIGINT) AS svq,
          CAST(SUM(rq) AS BIGINT) AS srq,
-         CAST(SUM(sq) AS BIGINT) AS ssq
+         CAST(SUM(sq) AS BIGINT) AS ssq,
+         CAST(SUM(prq) AS BIGINT) AS sprq,
+         CAST(SUM(psqrq) AS BIGINT) AS spsqrq,
+         CAST(SUM(qsq) AS BIGINT) AS sqsq
   FROM terms
 )
 SELECT n_strata, n_users, sa,
@@ -1618,7 +1646,27 @@ SELECT n_strata, n_users, sa,
             THEN (sa - seq / 1e9) * (sa - seq / 1e9) / (svq / 1e9)
                  > 3.841459 END AS reject_05,
        CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND ssq > 0
-            THEN ROUND(CAST(srq AS DOUBLE) / ssq, 6) END AS or_mh
+            THEN ROUND(CAST(srq AS DOUBLE) / ssq, 6) END AS or_mh,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND ssq > 0
+             AND srq > 0
+            THEN ROUND(EXP(LN(CAST(srq AS DOUBLE) / ssq)
+                 - 1.959964 * SQRT(
+                     CAST(sprq AS DOUBLE) / (2e0 * srq * (srq / 1e9))
+                     + CAST(spsqrq AS DOUBLE)
+                       / (2e0 * srq * (ssq / 1e9))
+                     + CAST(sqsq AS DOUBLE)
+                       / (2e0 * ssq * (ssq / 1e9)))), 6)
+       END AS or_ci_lo,
+       CASE WHEN CAST(n_users AS DOUBLE) * 1e9 < 9e18 AND ssq > 0
+             AND srq > 0
+            THEN ROUND(EXP(LN(CAST(srq AS DOUBLE) / ssq)
+                 + 1.959964 * SQRT(
+                     CAST(sprq AS DOUBLE) / (2e0 * srq * (srq / 1e9))
+                     + CAST(spsqrq AS DOUBLE)
+                       / (2e0 * srq * (ssq / 1e9))
+                     + CAST(sqsq AS DOUBLE)
+                       / (2e0 * ssq * (ssq / 1e9)))), 6)
+       END AS or_ci_hi
 FROM folded
 """
 

@@ -2332,6 +2332,24 @@ def test_cmh_planted(spark):
     assert got.chi2_cmh == round(chi2, 6)
     assert got.reject_05 is True
     assert got.or_mh == round((2 * rq) / (2 * sq), 6) == 81.0
+    # RBG (1986) CI, replayed with the same quantized folds:
+    # per stratum P = (a+d)/n = 0.9, Q = 0.1, R = 4.05, S = 0.05
+    import math
+
+    prq = rhu(1e9 * (0.9 * (9.0 * 9 / 20.0)))
+    psqrq = rhu(1e9 * (0.9 * (1.0 * 1 / 20.0) + 0.1 * (9.0 * 9 / 20.0)))
+    qsq = rhu(1e9 * (0.1 * (1.0 * 1 / 20.0)))
+    srq, ssq = 2 * rq, 2 * sq
+    var = (
+        (2 * prq) / (2.0 * srq * (srq / 1e9))
+        + (2 * psqrq) / (2.0 * srq * (ssq / 1e9))
+        + (2 * qsq) / (2.0 * ssq * (ssq / 1e9))
+    )
+    lo = math.exp(math.log(srq / ssq) - 1.959964 * math.sqrt(var))
+    hi = math.exp(math.log(srq / ssq) + 1.959964 * math.sqrt(var))
+    assert got.or_ci_lo == round(lo, 6)
+    assert got.or_ci_hi == round(hi, 6)
+    assert got.or_ci_lo > 1.0  # the strong association excludes OR = 1
 
 
 def test_cochran_q_planted_and_degenerate(spark):
