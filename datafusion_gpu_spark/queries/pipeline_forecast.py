@@ -1708,3 +1708,31 @@ SELECT doc_id, n AS n_tokens, vocab,
 FROM per_doc
 """
 QUERIES["text_mattr"] = _text_mattr
+
+
+def _events_survival_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median survival time with the Brookmeyer-Crowley (1982) 95%
+    interval — THE scalar a survival curve is reported as: the first
+    event time where S(t) <= 0.5, bracketed by the t-range whose
+    Greenwood band still contains 0.5 (lower = first t with
+    ci_lo <= 0.5; upper = first t with ci_hi < 0.5, NULL while the
+    band never falls below half). One terminal aggregate over the
+    events_survival_greenwood relation — NULL-skipping MINs, no new
+    machinery."""
+    gw = _events_survival_greenwood(spark, sf_dir)
+    return gw.agg(
+        F.max("n_risk").alias("n_risk_max"),
+        F.min(F.when(F.col("survival") <= 0.5, F.col("t"))).alias("median_t"),
+        F.min(F.when(F.col("ci_lo") <= 0.5, F.col("t"))).alias("ci_lo_t"),
+        F.min(F.when(F.col("ci_hi") < 0.5, F.col("t"))).alias("ci_hi_t"),
+    )
+
+
+ORACLES["events_survival_median"] = (
+    "SELECT CAST(MAX(n_risk) AS BIGINT) AS n_risk_max,\n"
+    "       MIN(CASE WHEN survival <= 0.5 THEN t END) AS median_t,\n"
+    "       MIN(CASE WHEN ci_lo <= 0.5 THEN t END) AS ci_lo_t,\n"
+    "       MIN(CASE WHEN ci_hi < 0.5 THEN t END) AS ci_hi_t\n"
+    "FROM (" + ORACLES["events_survival_greenwood"] + ") AS gw"
+)
+QUERIES["events_survival_median"] = _events_survival_median

@@ -2095,3 +2095,19 @@ def _events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_group_sequential"] = _events_group_sequential
 ORACLES["events_group_sequential"] = _GROUP_SEQ
+
+
+def _streaming_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_cochran_q (streaming.stream_cochran_flags
+    + materialized_cochran_q): per-user monotone three-bit flag state,
+    the exact-integer statistic tail applied to the final materialized
+    state with the batch spelling — graded by the SAME oracle (26th
+    stream==batch twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.materialized_cochran_q(spark, sf_dir)
+
+
+QUERIES["streaming_cochran_q"] = _streaming_cochran_q
+ORACLES["streaming_cochran_q"] = _COCHRAN_Q

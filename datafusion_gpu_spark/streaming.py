@@ -1963,3 +1963,66 @@ def materialized_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(chi2, 6)).alias("chi2_mcnemar"),
         F.when(ok, chi2 > F.lit(3.841459)).alias("reject_05"),
     )
+
+
+def stream_cochran_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-user probe-day conversion flags for the Cochran-Q
+    gate (the 26th stream==batch automaton): three monotone bits per
+    user (running MAX of "purchased on probe day j"), the same
+    monotone-state argument as the McNemar twin — each micro-batch's
+    update IS the batch MAX over the data seen so far."""
+    ev = stream_events(spark, sf_dir)
+    day = F.col("ts").cast("date")
+
+    def flag(d: str):
+        return F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (day == F.lit(d).cast("date")),
+                1,
+            ).otherwise(0)
+        )
+
+    return ev.groupBy("user_id").agg(
+        flag("2024-01-10").alias("y1"),
+        flag("2024-01-11").alias("y2"),
+        flag("2024-01-12").alias("y3"),
+    )
+
+
+def materialized_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Cochran's Q, materialized: the per-user flag automaton
+    run to completion, then the batch query's EXACT-INTEGER statistic
+    tail applied to the final state (spelled with _COCHRAN_Q's final
+    SELECT token-for-token) — graded by the SAME DuckDB oracle."""
+    flags = materialize_stream(
+        stream_cochran_flags(spark, sf_dir), output_mode="complete"
+    )
+    r = F.col("y1") + F.col("y2") + F.col("y3")
+    t = flags.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("y1").cast("long").alias("c1"),
+        F.sum("y2").cast("long").alias("c2"),
+        F.sum("y3").cast("long").alias("c3"),
+        F.sum(r).cast("long").alias("nt"),
+        F.sum(r * r).cast("long").alias("sr2"),
+    )
+    num = 3 * (
+        F.col("c1") * F.col("c1")
+        + F.col("c2") * F.col("c2")
+        + F.col("c3") * F.col("c3")
+    ) - F.col("nt") * F.col("nt")
+    den = 3 * F.col("nt") - F.col("sr2")
+    ok = (F.col("nt").cast("double") * F.col("nt") * 3 < F.lit(9e18)) & (
+        den > 0
+    )
+    q = F.lit(2e0) * num / den
+    return t.select(
+        "n_blocks",
+        "c1",
+        "c2",
+        "c3",
+        "nt",
+        F.when(ok, F.round(q, 6)).alias("q_stat"),
+        F.when(ok, q > F.lit(5.991465)).alias("reject_05"),
+    )

@@ -746,3 +746,33 @@ def test_survival_na_bands_textbook_6mp(spark):
         assert r.ci_lo == round(max(0.0, hq / 1e12 - 1.959964 * math.sqrt(vq / 1e12)), 6)
         assert r.ci_hi == round(hq / 1e12 + 1.959964 * math.sqrt(vq / 1e12), 6)
         assert r.ci_lo <= r.cum_hazard <= r.ci_hi
+
+
+def test_survival_median_brookmeyer_crowley_6mp(spark):
+    """The 6-MP arm's published median remission time is 23 weeks
+    (S(22) = 0.538 > 0.5 >= S(23) = 0.448); the Brookmeyer-Crowley
+    bounds must be the first times the Greenwood band crosses half."""
+    from datafusion_gpu_spark.operators.events import survival_km_greenwood
+    from pyspark.sql import functions as F
+
+    events_t = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    censored_t = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    rows = [(t, 1) for t in events_t] + [(t, 0) for t in censored_t]
+    gw = survival_km_greenwood(
+        spark.createDataFrame(rows, "duration long, observed int")
+    )
+    got = gw.agg(
+        F.min(F.when(F.col("survival") <= 0.5, F.col("t"))).alias("median_t"),
+        F.min(F.when(F.col("ci_lo") <= 0.5, F.col("t"))).alias("ci_lo_t"),
+        F.min(F.when(F.col("ci_hi") < 0.5, F.col("t"))).alias("ci_hi_t"),
+    ).collect()[0]
+    assert got.median_t == 23
+    rows_by_t = {r.t: r for r in gw.collect()}
+    assert rows_by_t[22].survival > 0.5 >= rows_by_t[23].survival
+    # lower bound: the first event time whose band reaches down to 0.5
+    assert got.ci_lo_t == min(
+        t for t, r in rows_by_t.items() if r.ci_lo <= 0.5
+    )
+    # the 21-subject arm's band never falls fully below half -> open
+    # upper bound, exactly what BC prescribes for small samples
+    assert got.ci_hi_t is None or rows_by_t[got.ci_hi_t].ci_hi < 0.5

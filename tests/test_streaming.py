@@ -641,3 +641,17 @@ def test_streaming_mcnemar_matches_batch_exactly(spark):
     batch = [tuple(r) for r in _events_mcnemar(spark, sf).collect()]
     stream = [tuple(r) for r in _streaming_mcnemar(spark, sf).collect()]
     assert stream == batch and len(batch) == 1
+
+
+def test_streaming_cochran_q_matches_batch_exactly(spark):
+    # 26th twin: three monotone bits per user + the exact-integer
+    # statistic tail reproduce the batch Cochran-Q row exactly
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_cochran_q,
+        _streaming_cochran_q,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = [tuple(r) for r in _events_cochran_q(spark, sf).collect()]
+    stream = [tuple(r) for r in _streaming_cochran_q(spark, sf).collect()]
+    assert stream == batch and len(batch) == 1
