@@ -1494,6 +1494,104 @@ def survival_na_bands(
     ).orderBy("t")
 
 
+def competing_risks_cif(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    cause_col: str = "cause",
+) -> DataFrame:
+    """Aalen-Johansen cumulative incidence for two competing risks
+    (Aalen & Johansen 1978; Kalbfleisch & Prentice 2002 ch. 8) — the
+    correct answer to "what fraction will CONVERT vs CHURN by time t"
+    when each subject can experience only one of the events (naive
+    per-cause KM over-counts because it treats the competing event as
+    censoring): CIF_k(t) = sum_{t_i <= t} S(t_{i-1}) * d_k,i / n_i,
+    where S is the OVERALL (any-cause) Kaplan-Meier survival.
+    ``cause_col``: 0 = censored, 1 / 2 = the competing events.
+
+    Numeric contract: the overall KM folds exactly as
+    :func:`survival_km` (1e-12-quantized log terms); S(t_{i-1}) is the
+    lagged exponential of that exact fold (one identical IEEE exp both
+    engines), each CIF increment quantizes ONCE to a 1e-12 bigint
+    before its running sum, and by construction
+    CIF_1 + CIF_2 + S = 1 up to quantization. Same plan shape as the
+    KM family: one groupBy(duration) shuffle + the distinct-duration
+    window. Returns (t, n_risk, d1, d2, survival, cif_1, cif_2)
+    ordered by t, rows at event times of either cause.
+    """
+    q = F.lit(1_000_000_000_000.0)
+    is_c = F.col(cause_col)
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum((is_c == 1).cast("long")).alias("d1"),
+        F.sum((is_c == 2).cast("long")).alias("d2"),
+        F.sum((is_c == 0).cast("long")).alias("c"),
+    )
+    w_all = Window.orderBy("t")
+    at_risk = per_t.withColumn(
+        "n_risk",
+        F.sum(F.col("d1") + F.col("d2") + F.col("c")).over(
+            w_all.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ),
+    ).where(F.col("d1") + F.col("d2") > 0)
+    d = (F.col("d1") + F.col("d2")).cast("double")
+    frac = d / F.col("n_risk")
+    ln_q = F.when(
+        F.col("d1") + F.col("d2") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - frac) * q, 0).cast("long"),
+    ).otherwise(F.lit(0))
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    scored = (
+        at_risk.withColumn("__lnq", ln_q)
+        .withColumn(
+            "__dead",
+            F.max(
+                (F.col("d1") + F.col("d2") == F.col("n_risk")).cast("int")
+            ).over(w_prev),
+        )
+        .withColumn("__slnq_prev", F.sum("__lnq").over(w_prev))
+    )
+    # S at the PREVIOUS event time (1.0 before the first): dead-by-then
+    # forces exactly 0 (no ln(0) ever forms in the fold)
+    s_prev = F.when(F.coalesce(F.col("__dead"), F.lit(0)) == 1, F.lit(0.0)).otherwise(
+        F.exp(F.coalesce(F.col("__slnq_prev"), F.lit(0)) / q)
+    )
+    inc1_q = F.round(s_prev * F.col("d1").cast("double") / F.col("n_risk") * q, 0).cast(
+        "long"
+    )
+    inc2_q = F.round(s_prev * F.col("d2").cast("double") / F.col("n_risk") * q, 0).cast(
+        "long"
+    )
+    folded = (
+        scored.withColumn("__i1", inc1_q)
+        .withColumn("__i2", inc2_q)
+        .withColumn("__s1", F.sum("__i1").over(w_run))
+        .withColumn("__s2", F.sum("__i2").over(w_run))
+        .withColumn("__slnq", F.sum("__lnq").over(w_run))
+        .withColumn(
+            "__dead_now",
+            F.max(
+                (F.col("d1") + F.col("d2") == F.col("n_risk")).cast("int")
+            ).over(w_run),
+        )
+    )
+    surv = F.when(F.col("__dead_now") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__slnq") / q)
+    )
+    return folded.select(
+        "t",
+        "n_risk",
+        "d1",
+        "d2",
+        F.round(surv, 6).alias("survival"),
+        F.round(F.col("__s1") / q, 6).alias("cif_1"),
+        F.round(F.col("__s2") / q, 6).alias("cif_2"),
+    ).orderBy("t")
+
+
 def survival_logrank(
     subjects: DataFrame,
     group_col: str = "grp",

@@ -1736,3 +1736,124 @@ ORACLES["events_survival_median"] = (
     "FROM (" + ORACLES["events_survival_greenwood"] + ") AS gw"
 )
 QUERIES["events_survival_median"] = _events_survival_median
+
+
+def _events_competing_risks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aalen-Johansen cumulative incidence of first-purchase (cause 1)
+    vs first-error (cause 2) — per user, whichever comes first wins
+    (tie -> purchase, documented), neither -> censored at the last
+    event. The correct conversion-vs-failure decomposition (naive
+    per-cause KM over-counts); see events.competing_risks_cif for the
+    numeric contract. NULL-avoiding CASE picks the event time (LEAST
+    over nullables is non-portable — the Greenwood lesson)."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+            F.when(F.col("event_type") == "error", ep).alias("eus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.min("eus").alias("fe"),
+            F.max("us").alias("last"),
+        )
+    )
+    cause = (
+        F.when(
+            F.col("fp").isNotNull()
+            & (F.col("fe").isNull() | (F.col("fp") <= F.col("fe"))),
+            F.lit(1),
+        )
+        .when(F.col("fe").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+    )
+    subjects = life.select(
+        F.expr(
+            "(CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN fp "
+            "WHEN fe IS NOT NULL THEN fe ELSE last END - start) "
+            "DIV 3600000000"
+        ).alias("duration"),
+        cause.alias("cause"),
+    )
+    return events.competing_risks_cif(subjects, "duration", "cause")
+
+
+ORACLES["events_competing_risks"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) AS fe,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT ((CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN fp
+                WHEN fe IS NOT NULL THEN fe ELSE last END) - start)
+           // 3600000000 AS t,
+         CASE WHEN fp IS NOT NULL AND (fe IS NULL OR fp <= fe) THEN 1
+              WHEN fe IS NOT NULL THEN 2 ELSE 0 END AS cause
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN cause = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN cause = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN cause = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d2,
+         CAST(SUM(d1 + d2 + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d1, d2,
+         CASE WHEN d1 + d2 < n_risk
+              THEN CAST(ROUND(LN(1 - CAST(d1 + d2 AS DOUBLE) / n_risk)
+                              * 1e12, 0) AS BIGINT)
+              ELSE 0 END AS lnq
+  FROM risk WHERE d1 + d2 > 0
+),
+prevs AS (
+  SELECT t, n_risk, d1, d2, lnq,
+         COALESCE(CAST(SUM(lnq) OVER wp AS BIGINT), 0) AS slnq_prev,
+         COALESCE(MAX(CASE WHEN d1 + d2 = n_risk THEN 1 ELSE 0 END)
+                  OVER wp, 0) AS dead_prev
+  FROM ev
+  WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+),
+inc AS (
+  SELECT t, n_risk, d1, d2, lnq,
+         CASE WHEN dead_prev = 1 THEN CAST(0 AS DOUBLE)
+              ELSE EXP(slnq_prev / 1e12) END AS s_prev
+  FROM prevs
+),
+run AS (
+  SELECT t, n_risk, d1, d2,
+         CAST(SUM(CAST(ROUND(s_prev * d1 / n_risk * 1e12, 0) AS BIGINT))
+              OVER w AS BIGINT) AS s1q,
+         CAST(SUM(CAST(ROUND(s_prev * d2 / n_risk * 1e12, 0) AS BIGINT))
+              OVER w AS BIGINT) AS s2q,
+         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
+         MAX(CASE WHEN d1 + d2 = n_risk THEN 1 ELSE 0 END) OVER w AS dead
+  FROM inc
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, d1, d2,
+       CASE WHEN dead = 1 THEN 0.0
+            ELSE ROUND(EXP(slnq / 1e12), 6) END AS survival,
+       ROUND(s1q / 1e12, 6) AS cif_1,
+       ROUND(s2q / 1e12, 6) AS cif_2
+FROM run
+"""
+QUERIES["events_competing_risks"] = _events_competing_risks

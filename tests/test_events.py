@@ -776,3 +776,61 @@ def test_survival_median_brookmeyer_crowley_6mp(spark):
     # the 21-subject arm's band never falls fully below half -> open
     # upper bound, exactly what BC prescribes for small samples
     assert got.ci_hi_t is None or rows_by_t[got.ci_hi_t].ci_hi < 0.5
+
+
+def test_competing_risks_cif_closed_form(spark):
+    """Aalen-Johansen on a hand-computable series: 4 subjects, cause-1
+    events at t=1,3, a cause-2 event at t=2, censoring at t=4. The CIF
+    increments are S(t-)*d_k/n replayed exactly (with the 1e-12
+    quantization), and CIF_1 + CIF_2 + S == 1 at every event time."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import math
+
+    from datafusion_gpu_spark.operators.events import competing_risks_cif
+
+    rows = [(1, 1), (2, 2), (3, 1), (4, 0)]
+    got = {
+        r.t: r
+        for r in competing_risks_cif(
+            spark.createDataFrame(rows, "duration long, cause int")
+        ).collect()
+    }
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    # replay: t=1 n=4 d1=1 -> s_prev=1, inc1=1/4; S=3/4
+    #         t=2 n=3 d2=1 -> s_prev=3/4, inc2=1/4; S=1/2
+    #         t=3 n=2 d1=1 -> s_prev=1/2, inc1=1/4; S=1/4
+    slnq = 0
+    s1q = s2q = 0
+    seq = [(1, 4, 1, 0), (2, 3, 0, 1), (3, 2, 1, 0)]
+    for t, n, d1, d2 in seq:
+        s_prev = math.exp(slnq / 1e12)
+        s1q += rhu(s_prev * d1 / n * 1e12)
+        s2q += rhu(s_prev * d2 / n * 1e12)
+        slnq += rhu(math.log(1 - (d1 + d2) / n) * 1e12)
+        r = got[t]
+        assert (r.n_risk, r.d1, r.d2) == (n, d1, d2)
+        assert r.survival == round(math.exp(slnq / 1e12), 6)
+        assert r.cif_1 == round(s1q / 1e12, 6)
+        assert r.cif_2 == round(s2q / 1e12, 6)
+        assert abs(r.cif_1 + r.cif_2 + r.survival - 1.0) < 1e-6
+    assert got[1].cif_1 == 0.25 and got[2].cif_2 == 0.25
+    assert got[3].cif_1 == 0.5  # 1/4 + 1/4
+
+
+def test_competing_risks_risk_set_dies_out(spark):
+    """If the last event consumes the whole risk set, survival is
+    exactly 0 and the CIFs absorb it (sum to 1) with no ln(0)."""
+    from datafusion_gpu_spark.operators.events import competing_risks_cif
+
+    rows = [(1, 1), (2, 2), (2, 2)]
+    got = {
+        r.t: r
+        for r in competing_risks_cif(
+            spark.createDataFrame(rows, "duration long, cause int")
+        ).collect()
+    }
+    assert got[2].survival == 0.0
+    assert abs(got[2].cif_1 + got[2].cif_2 - 1.0) < 1e-6
