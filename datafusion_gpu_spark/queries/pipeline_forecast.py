@@ -1294,7 +1294,11 @@ QUERIES["events_logrank"] = _events_logrank
 # mean is exact integer arithmetic, and the winner CASE compares exact
 # bigint sums (ties prefer holt, then hw — fixed, documented). VISIBLE
 # headroom guard: per-fold squared-error sums wrap once
-# n * max_err^2 >= 9e18, so rq_*/rmse_*/winner go NULL there instead.
+# n * max_err^2 >= 9e18, so rq_*/rmse_*/winner go NULL there instead;
+# guard semantics are ALL-OR-NOTHING per user — one guarded fold NULLs
+# the user's rmse/winner outright, because a SUM-skips-NULL mean over
+# the surviving folds would silently divide by the full fold count and
+# report a biased number instead of an honest NULL.
 def _backtest_sql(
     span: int = 20, season_span: int = 8, scale: int = 100, k_folds: int = 4
 ) -> str:
@@ -1410,14 +1414,20 @@ r AS (
 SELECT user_id,
        CAST(SUM(n) AS BIGINT) AS n_scored,
        CAST(COUNT(*) AS BIGINT) AS n_folds,
-       ROUND(CAST(SUM(rq_n) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
-         AS rmse_naive,
-       ROUND(CAST(SUM(rq_h) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
-         AS rmse_holt,
-       ROUND(CAST(SUM(rq_w) AS DOUBLE) / COUNT(*) / 1e6 / {float(scale)!r}, 6)
-         AS rmse_hw,
-       CASE WHEN SUM(rq_n) IS NULL OR SUM(rq_h) IS NULL
-              OR SUM(rq_w) IS NULL THEN NULL
+       CASE WHEN SUM(CASE WHEN rq_n IS NULL THEN 1 ELSE 0 END) = 0 THEN
+         ROUND(CAST(SUM(rq_n) AS DOUBLE) / COUNT(*) / 1e6
+               / {float(scale)!r}, 6)
+       END AS rmse_naive,
+       CASE WHEN SUM(CASE WHEN rq_n IS NULL THEN 1 ELSE 0 END) = 0 THEN
+         ROUND(CAST(SUM(rq_h) AS DOUBLE) / COUNT(*) / 1e6
+               / {float(scale)!r}, 6)
+       END AS rmse_holt,
+       CASE WHEN SUM(CASE WHEN rq_n IS NULL THEN 1 ELSE 0 END) = 0 THEN
+         ROUND(CAST(SUM(rq_w) AS DOUBLE) / COUNT(*) / 1e6
+               / {float(scale)!r}, 6)
+       END AS rmse_hw,
+       CASE WHEN SUM(CASE WHEN rq_n IS NULL THEN 1 ELSE 0 END) > 0
+              THEN NULL
             WHEN SUM(rq_h) <= SUM(rq_w) AND SUM(rq_h) <= SUM(rq_n)
               THEN 'holt'
             WHEN SUM(rq_w) <= SUM(rq_n) THEN 'hw'

@@ -2527,3 +2527,33 @@ def test_group_sequential_planted(spark):
     got = {r.look: r for r in spark.sql(_GROUP_SEQ).collect()}
     assert all(got[k].decision == "reject_h0" for k in range(1, 6))
     assert got[1].n_at_look == 20  # look 1 at exactly 20% of 100
+
+
+def test_forecast_backtest_out_of_domain_value_fails_loudly(spark):
+    """The Holt kernel's documented input domain is ~$84k at span=20
+    (num2 <= den2 * max_cents inside int64 — operators/events.py); a
+    $40M value must FAIL LOUDLY (ANSI long-overflow) in the kernel
+    fold, never silently wrap into a wrong forecast. (The scoring
+    tail's own n*max_err^2 guard therefore trips only in the large-n
+    regime — and its all-or-nothing spelling NULLs a user whose ANY
+    fold is guarded, because a SUM-skips-NULL mean would divide the
+    surviving folds by the full fold count.)"""
+    from datetime import datetime, timedelta
+
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from datafusion_gpu_spark.queries.pipeline_forecast import _backtest_sql
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    for i in range(240):
+        v = 4.0e7 if i == 150 else 10.0 + 2.0 * i
+        rows.append((i, t0 + timedelta(hours=i), 2, "purchase", v, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    with pytest.raises((Py4JJavaError, Exception), match="(?i)overflow"):
+        spark.sql(_backtest_sql()).collect()
