@@ -1867,3 +1867,160 @@ SELECT t, n_risk, d1, d2,
 FROM run
 """
 QUERIES["events_competing_risks"] = _events_competing_risks
+
+
+def _events_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time at tau = 72 hours (Royston &
+    Parmar 2013 for the modern usage; the estimator is the area under
+    the KM step curve): RMST(tau) = integral_0^tau S(t) dt — the
+    average un-converted hours within the first three days, the
+    readout that stays defined when the curve never reaches 0.5 and
+    the recommended A/B effect measure under non-proportional hazards.
+    Step-exact: 1.0 * min(t_1, tau) before the first event, then
+    S(t_i) * (min(t_{i+1}, tau) - t_i) per KM row with t_i < tau
+    (LEAD with a tau default). Interval widths are exact integer
+    hours; S values are the already-portable rounded KM doubles; the
+    products sum over the distinct-duration relation (deterministic —
+    both engines fold the identical handful of doubles in t-order via
+    the same windowed cumulative)."""
+    return _rmst_from_km(_events_survival_km_relation(spark, sf_dir), tau=72)
+
+
+def _rmst_from_km(km: DataFrame, tau: int) -> DataFrame:
+    """Area under the KM step curve truncated at tau, from a
+    (t, survival, d1d) relation — the terminal aggregate shared by the
+    gate and its unit test."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("t")
+    stepped = km.withColumn("t_next", F.coalesce(F.lead("t").over(w), F.lit(tau)))
+    seg = F.when(
+        F.col("t") < tau,
+        F.col("survival")
+        * (F.least(F.col("t_next"), F.lit(tau)) - F.col("t")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    run = stepped.withColumn(
+        "__seg",
+        seg,
+    ).withColumn(
+        "__rsum",
+        F.sum("__seg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    first_t = F.min("t")
+    return run.groupBy().agg(
+        F.lit(tau).alias("tau"),
+        F.sum((F.col("d1d") > 0).cast("long")).alias("n_event_times"),
+        F.round(
+            F.least(first_t.cast("double"), F.lit(float(tau)))
+            + F.max("__rsum"),
+            6,
+        ).alias("rmst"),
+    )
+
+
+def _events_survival_km_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared time-to-first-purchase KM relation (t, survival, ...)
+    used by the median/RMST scalar gates — survival_km over the same
+    subjects as the greenwood gate, with d1d aliasing n_events for the
+    scalar aggregates."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_km(subjects, "duration", "observed").select(
+        "t", "survival", F.col("n_events").alias("d1d")
+    )
+
+
+ORACLES["events_survival_rmst"] = """
+WITH km AS (
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t, CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d, c,
+         CAST(SUM(d + c) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+  FROM per_t
+),
+ev AS (
+  SELECT t, n_risk, d, c,
+         CASE WHEN d < n_risk
+              THEN CAST(ROUND(LN(1 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                        AS BIGINT)
+              ELSE 0 END AS lnq,
+         CAST(ROUND(CAST(d AS DOUBLE) / n_risk * 1e12, 0) AS BIGINT) AS hq
+  FROM risk WHERE d > 0
+),
+run AS (
+  SELECT t, n_risk, d, c,
+         CAST(SUM(lnq) OVER w AS BIGINT) AS slnq,
+         CAST(SUM(hq) OVER w AS BIGINT) AS shq,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER w AS dead
+  FROM ev
+  WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT t, n_risk, d AS n_events, c AS n_censored,
+       CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(EXP(slnq / 1e12), 6) END AS survival,
+       ROUND(shq / 1e12, 6) AS cum_hazard
+FROM run
+),
+stepped AS (
+  SELECT t, survival, n_events,
+         COALESCE(LEAD(t) OVER (ORDER BY t), 72) AS t_next
+  FROM km
+),
+segs AS (
+  SELECT t, n_events,
+         CASE WHEN t < 72
+              THEN survival * CAST(LEAST(t_next, 72) - t AS DOUBLE)
+              ELSE 0.0 END AS seg
+  FROM stepped
+),
+run AS (
+  SELECT t, n_events, seg,
+         SUM(seg) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS rsum
+  FROM segs
+)
+SELECT CAST(72 AS INT) AS tau,
+       CAST(SUM(CASE WHEN n_events > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_event_times,
+       ROUND(LEAST(CAST(MIN(t) AS DOUBLE), 72.0) + MAX(rsum), 6) AS rmst
+FROM run
+"""
+# the km CTE chain above is the events_survival_km oracle verbatim
+# (nested WITH — DuckDB-side only; the greenwood/na oracles set the
+# duplication precedent, and test_rmst_oracle_chain_in_sync pins it)
+QUERIES["events_survival_rmst"] = _events_survival_rmst

@@ -834,3 +834,38 @@ def test_competing_risks_risk_set_dies_out(spark):
     }
     assert got[2].survival == 0.0
     assert abs(got[2].cif_1 + got[2].cif_2 - 1.0) < 1e-6
+
+
+def test_rmst_oracle_chain_in_sync():
+    """events_survival_rmst's oracle inlines the events_survival_km
+    chain verbatim (nested WITH, DuckDB-side); this pin fails if either
+    copy drifts."""
+    from datafusion_gpu_spark.queries.pipeline import ORACLES as p_oracles
+    from datafusion_gpu_spark.queries.pipeline_forecast import (
+        ORACLES as f_oracles,
+    )
+
+    km = p_oracles["events_survival_km"].strip()
+    assert km in f_oracles["events_survival_rmst"]
+
+
+def test_survival_rmst_closed_form(spark):
+    """Planted curve: S steps 1 -> 0.75 at t=10 -> 0.5 at t=30, two
+    censored users at t=100; RMST(72) = 1*10 + 0.75*20 + 0.5*42 = 46.0
+    exactly (interval widths are exact integers, the S values
+    round-trip the quantized log fold exactly at 6dp)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.operators.events import survival_km
+    from datafusion_gpu_spark.queries.pipeline_forecast import _rmst_from_km
+
+    # subjects: purchases at 10h and 30h, two censored at 100h
+    subjects = spark.createDataFrame(
+        [(10, 1), (30, 1), (100, 0), (100, 0)], "duration long, observed int"
+    )
+    km = survival_km(subjects).select(
+        "t", "survival", F.col("n_events").alias("d1d")
+    )
+    got = _rmst_from_km(km, tau=72).collect()[0]
+    assert got.tau == 72 and got.n_event_times == 2
+    assert got.rmst == 46.0
