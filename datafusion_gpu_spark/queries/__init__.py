@@ -223,6 +223,22 @@ _CHECKED_R11 = (
     "window_donchian", "window_qualify_rewrite",
 )
 
+_CHECKED_R12 = (
+    "agg_cliff_delta", "agg_ece", "agg_friedman", "agg_kendall_tau",
+    "agg_ks_uniform", "curation_dsir_resample", "curation_hash_split", "curation_mix_domains",
+    "curation_shuffle", "curation_zorder_key", "events_breslow_day", "events_cmh",
+    "events_cochran_q", "events_competing_risks", "events_conformal_interval", "events_cvm_test",
+    "events_forecast_backtest", "events_group_sequential", "events_logrank", "events_logrank_stratified",
+    "events_mcnemar", "events_multi_rollup", "events_sprt", "events_survival_greenwood",
+    "events_survival_median", "events_survival_na_bands", "events_survival_rmst", "graph_pagerank",
+    "multimodal_decode", "retrieval_bm25", "retrieval_tfidf", "sim_mmr_rerank",
+    "sim_quantize_int8", "sim_topk_ivf_kmeans_recall", "streaming_cochran_q", "streaming_mcnemar",
+    "streaming_sprt", "text_c4_rules", "text_chunks", "text_collocations",
+    "text_contamination", "text_fingerprints", "text_gopher_rules", "text_lang_id",
+    "text_mattr", "text_perplexity", "text_pii_redact", "text_repetition",
+    "text_tokens", "text_winnowing",
+)
+
 #: Rows whose IMPLEMENTATION changed after their most recent driver check
 #: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
 #: age only, so a query rewired in round N but last driver-checked in round
@@ -232,27 +248,21 @@ _CHECKED_R11 = (
 #: add its name here; when its post-change driver row lands, the _CHECKED_R{N}
 #: fold supersedes the pin — remove the name from this tuple at the same time.
 #:
-#: Round-12 pins (all nine r11 pins pruned — each got a post-change green
-#: driver row in CORRECTNESS_r11; the fold above supersedes them): rows whose
-#: spelling or shared machinery the r12 diff touches, re-added as the changes
-#: land (ADVICE r11 guard fixes and this round's refactors).
+#: Round-13 pins (all six r12 ADVICE pins pruned — each got a post-fix green
+#: driver row in CORRECTNESS_r12; the fold above supersedes them): rows whose
+#: spelling or shared machinery the r13 diff touches, added as the changes land.
 _CHANGED_SINCE_CHECK = (
-    # ADVICE r11 #1/#2: int64-headroom guards added to ks_uniform's exact
-    # fold and to cvm/cliff's exposed bigint fold columns (operator+oracle)
-    "agg_ks_uniform", "events_cvm_test", "agg_cliff_delta",
-    # ADVICE r11 #3: Greenwood denominator guard (operator+oracle)
-    "events_survival_greenwood",
-    # ADVICE r11 #4: conformal rank in exact integer arithmetic
-    "events_conformal_interval",
-    # ADVICE r11 #5: ECE confidence normalized like its _CALIB_PREFIX siblings
-    "agg_ece",
+    # ADVICE r12 #1: _GROUP_SEQ's int64-headroom guard re-keyed to cn so it
+    # bounds the 18*cn z-numerator term as well as 100*cd (operator+oracle)
+    "events_group_sequential",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
-     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11), start=1
+     _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11,
+     _CHECKED_R12), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

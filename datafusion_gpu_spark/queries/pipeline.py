@@ -5735,13 +5735,31 @@ from datafusion_gpu_spark.queries import pipeline_forecast as _m_forecast  # noq
 from datafusion_gpu_spark.queries import pipeline_metrics as _m_metrics  # noqa: E402
 from datafusion_gpu_spark.queries import pipeline_stats as _m_stats  # noqa: E402
 
-for _m in (_m_stats, _m_eval, _m_forecast, _m_metrics):
-    QUERIES.update(_m.QUERIES)
-    ORACLES.update(_m.ORACLES)
-    for _k, _v in vars(_m).items():
-        # no-clobber: duplicate top-level names across the moved ranges were
-        # checked absent at split time; the guard keeps this module's own
-        # names (QUERIES, ORACLES, imports) authoritative.
-        if not _k.startswith("__") and _k not in globals():
-            globals()[_k] = _v
-del _m, _k, _v
+def _merge_family_exports(target: dict, modules) -> None:
+    """Merge the family modules' QUERIES/ORACLES and re-export their
+    private helpers into ``target`` (this module's globals). A name
+    already in ``target`` before any merge (QUERIES, ORACLES, imports)
+    stays authoritative; a family-module name merges once. ADVICE r12
+    #2: a name defined with DIFFERENT bodies in two family modules
+    raises instead of silently keeping whichever merged first —
+    identical objects (shared imports: load, sql_query, SparkSession,
+    ...) are fine; a real divergence is an error, not a coin flip."""
+    merged_from: dict[str, str] = {}
+    for m in modules:
+        target["QUERIES"].update(m.QUERIES)
+        target["ORACLES"].update(m.ORACLES)
+        for k, v in vars(m).items():
+            if k.startswith("__"):
+                continue
+            if k in merged_from and target[k] is not v:
+                raise ImportError(
+                    f"queries.pipeline re-export collision: {k!r} defined "
+                    f"with different bodies in {merged_from[k]} and "
+                    f"{m.__name__}"
+                )
+            if k not in target:
+                target[k] = v
+                merged_from[k] = m.__name__
+
+
+_merge_family_exports(globals(), (_m_stats, _m_eval, _m_forecast, _m_metrics))

@@ -2022,8 +2022,11 @@ ORACLES["streaming_mcnemar"] = _MCNEMAR
 # N*k); the decision LATCHES at the first boundary crossing, and an
 # uncrossed look 5 accepts H0 (the horizon is fixed — contrast the
 # SPRT, which can run forever). The look relation is a 5-row VALUES
-# literal joined against the bounded hour relation. VISIBLE guard:
-# 100*cd wraps once N nears 9e16 — z/decision go NULL there.
+# literal joined against the bounded hour relation. VISIBLE guard keyed
+# to cn (ADVICE r12 #1): 100*cn < 9e18 bounds BOTH int64 products in the
+# z numerator — 100*cd (cd <= cn) and 18*cn — and it guards zk at its
+# DEFINITION, so the latch window's unguarded ABS(zk) can never force
+# the overflowing arithmetic; z/decision go NULL once N nears 9e16.
 _GROUP_SEQ = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket,
@@ -2059,8 +2062,9 @@ at_look AS (
 ),
 z AS (
   SELECT k, cn, cd, nt,
-         CAST(100 * cd - 18 * cn AS DOUBLE)
-           / SQRT(CAST(cn AS DOUBLE) * 1476) AS zk,
+         CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18 THEN
+           CAST(100 * cd - 18 * cn AS DOUBLE)
+             / SQRT(CAST(cn AS DOUBLE) * 1476) END AS zk,
          2.040407 * SQRT(5e0 / k) AS bound
   FROM at_look
 ),
@@ -2073,10 +2077,10 @@ lat AS (
 )
 SELECT k AS look, cn AS n_at_look, cd AS d_at_look,
        ROUND(CAST(cn AS DOUBLE) / nt, 6) AS info_frac,
-       CASE WHEN CAST(cd AS DOUBLE) * 100 < 9e18
+       CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18
             THEN ROUND(zk, 6) END AS z,
        ROUND(bound, 6) AS boundary,
-       CASE WHEN CAST(cd AS DOUBLE) * 100 >= 9e18 THEN NULL
+       CASE WHEN CAST(cn AS DOUBLE) * 100 >= 9e18 THEN NULL
             WHEN k_cross IS NOT NULL THEN 'reject_h0'
             WHEN k = 5 THEN 'accept_h0'
             ELSE 'continue' END AS decision

@@ -160,3 +160,54 @@ def test_gate_staleness_rotation_orders_oldest_first():
     # looks oracles up by key, so only membership matters, not order)
     rows_only = {"explain_plan", "agg_approximate"}
     assert set(names) - set(all_oracles()) == rows_only
+
+
+def test_family_reexport_collision_raises():
+    # ADVICE r12 #2: the pipeline family-module re-export merge must
+    # RAISE on a same-name/different-body helper across family modules
+    # (a silent skip would hand import sites whichever merged first),
+    # while tolerating identical shared objects and keeping the host
+    # module's own pre-existing names authoritative.
+    import types
+
+    import pytest
+
+    from datafusion_gpu_spark.queries.pipeline import _merge_family_exports
+
+    def mk(name, **names):
+        m = types.ModuleType(name)
+        m.QUERIES, m.ORACLES = {}, {}
+        for k, v in names.items():
+            setattr(m, k, v)
+        return m
+
+    shared = object()
+    # identical object in both modules: fine (shared import pattern)
+    tgt = {"QUERIES": {}, "ORACLES": {}, "host_name": "authoritative"}
+    _merge_family_exports(tgt, (mk("a", h=shared), mk("b", h=shared)))
+    assert tgt["h"] is shared
+    # host-module name is never clobbered and never treated as a collision
+    tgt2 = {"QUERIES": {}, "ORACLES": {}, "host_name": "authoritative"}
+    _merge_family_exports(tgt2, (mk("a", host_name="x"), mk("b", host_name="y")))
+    assert tgt2["host_name"] == "authoritative"
+    # different bodies under one name across two family modules: ImportError
+    with pytest.raises(ImportError, match="collision.*helper"):
+        _merge_family_exports(
+            {"QUERIES": {}, "ORACLES": {}},
+            (mk("mod_a", helper=object()), mk("mod_b", helper=object())),
+        )
+
+
+def test_group_sequential_guard_keyed_to_cn():
+    # ADVICE r12 #1: the _GROUP_SEQ int64-headroom guard must be keyed
+    # to cn (bounding BOTH z-numerator products: 100*cd since cd<=cn,
+    # and 18*cn) and must guard zk at its DEFINITION so the latch
+    # window's ABS(zk) cannot force the overflowing arithmetic.
+    from datafusion_gpu_spark.queries.pipeline_stats import _GROUP_SEQ
+
+    assert "CAST(cd AS DOUBLE)" not in _GROUP_SEQ
+    assert _GROUP_SEQ.count("CAST(cn AS DOUBLE) * 100 < 9e18") == 2
+    assert "CAST(cn AS DOUBLE) * 100 >= 9e18" in _GROUP_SEQ
+    # the zk definition itself is guarded (CASE WHEN precedes the fold)
+    z_cte = _GROUP_SEQ.split("z AS (")[1].split("),")[0]
+    assert "CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18" in z_cte
