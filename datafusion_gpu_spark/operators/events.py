@@ -1786,6 +1786,361 @@ def survival_logrank_stratified(
     )
 
 
+#: 5% chi-square critical values by degrees of freedom (k-group log-rank
+#: compares k arms on k-1 df; same rounding convention as the 1-df
+#: 3.841459 criterion used across the stats family).
+_CHI2_CRIT_05 = {1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729}
+
+
+def survival_logrank_k(
+    subjects: DataFrame,
+    k: int,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """k-group log-rank test (k-sample Mantel-Haenszel; Peto & Peto
+    1972; the statistic R's ``survdiff`` reports) — the completion of
+    the comparison family: :func:`survival_logrank` (r12) answers A/B;
+    real experiments run A/B/n, and this tests H0 "all k hazards equal"
+    on **k-1 df**. ``group_col`` must take values 0..k-1 (group 0 is
+    the reference dropped from the contrast vector).
+
+    At each pooled distinct duration t with >= 1 event, the per-group
+    event counts are multivariate hypergeometric under H0: for groups
+    j, l in 1..k-1, E_j = d * n_j / n and the covariance matrix has
+    V_jj = d * (n_j/n) * ((n - n_j)/n) * (n - d)/(n - 1) and
+    V_jl = -d * (n_j/n) * (n_l/n) * (n - d)/(n - 1). The statistic is
+    the quadratic form chi2 = z' V^{-1} z with z_j = O_j - E_j, summed
+    V — inverted CLOSED-FORM (adjugate/determinant) on the one-row
+    fold, so k <= 4 (m = k-1 <= 3); larger panels should pairwise-test
+    with FDR control rather than a single omnibus statistic.
+
+    Numeric portability contract (the log-rank discipline, applied
+    component-wise): each O_j is an exact bigint; every per-time E_j
+    and V_jl term uses the SAME IEEE expression spelling as the
+    two-group test (so k=2 reduces to :func:`survival_logrank`'s chi2
+    BIT-FOR-BIT — the diagonal spelling ``d * (n_j/n) * ((n-n_j)/n) *
+    ((n-d)/(n-1))`` has n-n_j computed in exact bigint arithmetic,
+    which for k=2 IS n_0) and is quantized once to an exact 1e-9
+    bigint before the cross-time sum. VISIBLE headroom guard: every
+    E/V term is <= d_t in magnitude, so all folds are bounded by
+    (total events) * 1e9 — outputs go NULL once CAST(total_events AS
+    DOUBLE) * 1e9 reaches 9e18 (~9e9 events) instead of wrapping.
+
+    Scale: one groupBy(duration) shuffle, one single-partition window
+    over DISTINCT durations (thousands of rows for billions of
+    subjects; the k(k+1)/2 covariance columns ride the same pass), one
+    global one-row fold; the adjugate arithmetic is constant-size
+    driver-planned column math. Returns one row (n_groups, n_subjects,
+    o_total, chi2_lr_k, df, reject_05).
+    """
+    if not 2 <= k <= 4:
+        raise ValueError(
+            f"survival_logrank_k supports 2 <= k <= 4 groups (got k={k}); "
+            "for wider panels run pairwise tests with FDR control"
+        )
+    m = k - 1
+    q = F.lit(1_000_000_000.0)
+    obs = F.col(observed_col).cast("long")
+    gc = F.col(group_col)
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        *[
+            F.sum((gc == j).cast("long") * obs).alias(f"d{j}")
+            for j in range(k)
+        ],
+        *[
+            F.sum((gc == j).cast("long") * (F.lit(1) - obs)).alias(f"c{j}")
+            for j in range(k)
+        ],
+    )
+    w_suf = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    at_risk = per_t
+    for j in range(k):
+        at_risk = at_risk.withColumn(
+            f"n{j}", F.sum(F.col(f"d{j}") + F.col(f"c{j}")).over(w_suf)
+        )
+    d_all = sum(F.col(f"d{j}") for j in range(k))
+    n_all = sum(F.col(f"n{j}") for j in range(k))
+    subj_all = sum(F.col(f"d{j}") + F.col(f"c{j}") for j in range(k))
+    at_risk = (
+        at_risk.withColumn("d", d_all.cast("long"))
+        .withColumn("nr", n_all.cast("long"))
+        # total cohort size rides the SAME single-partition window pass
+        # (sum over ALL per-time rows, computed BEFORE the d>0 filter) —
+        # no second aggregation of subjects, no one-row cross join
+        .withColumn("n_all", F.sum(subj_all).over(w_all).cast("long"))
+        .where(F.col("d") > 0)
+    )
+    n = F.col("nr").cast("double")
+    d = F.col("d").cast("double")
+    tail = (n - d) / (n - F.lit(1.0))
+    terms = [F.col("d").alias("d_t")]
+    for j in range(1, k):
+        terms.append(F.col(f"d{j}").alias(f"o{j}t"))
+        terms.append(
+            F.round(q * (d * F.col(f"n{j}") / n), 0)
+            .cast("long")
+            .alias(f"e{j}q")
+        )
+        for l in range(j, k):  # noqa: E741
+            if j == l:
+                # n - n_j in exact bigints: for k=2 this IS n0, making the
+                # spelling identical to survival_logrank's V term
+                v_expr = (
+                    d
+                    * (F.col(f"n{j}") / n)
+                    * ((F.col("nr") - F.col(f"n{j}")) / n)
+                    * tail
+                )
+            else:
+                v_expr = -(
+                    d * (F.col(f"n{j}") / n) * (F.col(f"n{l}") / n) * tail
+                )
+            terms.append(
+                F.when(
+                    F.col("nr") > 1,
+                    F.round(q * v_expr, 0).cast("long"),
+                )
+                .otherwise(F.lit(0))
+                .alias(f"v{j}{l}q")
+            )
+    terms.append(F.col("n_all"))
+    aggs = [
+        F.count(F.lit(1)).alias("n_times"),
+        F.sum("d_t").alias("o_total"),
+        F.max("n_all").alias("n_subjects"),
+    ]
+    for j in range(1, k):
+        aggs.append(F.sum(f"o{j}t").alias(f"o{j}"))
+        aggs.append(F.sum(f"e{j}q").alias(f"se{j}q"))
+        for l in range(j, k):  # noqa: E741
+            aggs.append(F.sum(f"v{j}{l}q").alias(f"sv{j}{l}q"))
+    folded = at_risk.select(*terms).groupBy().agg(*aggs)
+
+    def z(j):
+        return F.col(f"o{j}").cast("double") - F.col(f"se{j}q") / q
+
+    def v(j, l):  # noqa: E741
+        lo, hi = min(j, l), max(j, l)
+        return F.col(f"sv{lo}{hi}q") / q
+
+    if m == 1:
+        det = v(1, 1)
+        quad = z(1) * z(1)
+    elif m == 2:
+        det = v(1, 1) * v(2, 2) - v(1, 2) * v(1, 2)
+        quad = (
+            z(1) * z(1) * v(2, 2)
+            - F.lit(2.0) * z(1) * z(2) * v(1, 2)
+            + z(2) * z(2) * v(1, 1)
+        )
+    else:  # m == 3: symmetric 3x3 adjugate
+        c11 = v(2, 2) * v(3, 3) - v(2, 3) * v(2, 3)
+        c12 = v(1, 3) * v(2, 3) - v(1, 2) * v(3, 3)
+        c13 = v(1, 2) * v(2, 3) - v(1, 3) * v(2, 2)
+        c22 = v(1, 1) * v(3, 3) - v(1, 3) * v(1, 3)
+        c23 = v(1, 3) * v(1, 2) - v(1, 1) * v(2, 3)
+        c33 = v(1, 1) * v(2, 2) - v(1, 2) * v(1, 2)
+        det = v(1, 1) * c11 + v(1, 2) * c12 + v(1, 3) * c13
+        quad = (
+            z(1) * z(1) * c11
+            + z(2) * z(2) * c22
+            + z(3) * z(3) * c33
+            + F.lit(2.0) * z(1) * z(2) * c12
+            + F.lit(2.0) * z(1) * z(3) * c13
+            + F.lit(2.0) * z(2) * z(3) * c23
+        )
+    headroom = F.col("o_total").cast("double") * q < F.lit(9e18)
+    chi2 = quad / det
+    crit = F.lit(_CHI2_CRIT_05[m])
+    return folded.select(
+        F.lit(k).alias("n_groups"),
+        "n_subjects",
+        "o_total",
+        F.when(headroom & (det > 0), F.round(chi2, 6)).alias("chi2_lr_k"),
+        F.lit(m).alias("df"),
+        F.when(headroom & (det > 0), chi2 > crit).alias("reject_05"),
+    )
+
+
+def survival_logrank_weighted(
+    subjects: DataFrame,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    rho: float = 0.0,
+    gamma: float = 1.0,
+) -> DataFrame:
+    """Weighted log-rank family (Fleming & Harrington 1981 G(rho,gamma);
+    Gehan 1965; Tarone & Ware 1977) — four tests from ONE per-time
+    fold, each a row of the output: the unweighted log-rank weights
+    every event time equally, so it is blind to WHEN two hazard curves
+    differ; the weighted variants make early vs late differences
+    visible. Z_w = sum_t w_t (d1_t - E1_t), V_w = sum_t w_t^2 V_t,
+    chi2 = Z_w^2 / V_w on 1 df, with weights
+
+    - ``logrank``: w = 1 (reduces BIT-FOR-BIT to
+      :func:`survival_logrank`'s chi2 — the identity test);
+    - ``gehan``: w = n_t / n_total (Gehan-Breslow-Wilcoxon,
+      early-difference sensitive). The textbook w = n_t is NORMALIZED
+      by the constant n_total: chi2 = Z^2/V is invariant under w -> c*w,
+      and the normalized weight is <= 1, so the quantized folds keep
+      the same ~9e9-event int64 headroom as the unweighted test instead
+      of overflowing at n_t^2 scale — the 100-TB spelling of a
+      statistic usually written for n < 10^4;
+    - ``tarone_ware``: w = sqrt(n_t / n_total), between the two;
+    - ``fh_{rho}_{gamma}``: w = S(t-)^rho * (1 - S(t-))^gamma with
+      S(t-) the pooled left-limit Kaplan-Meier estimate (G(0,gamma)
+      stresses LATE differences, G(rho,0) early ones; G(0,0) is again
+      the plain log-rank — POWER(x, 0) = 1 exactly, so rho = gamma = 0
+      reduces bit-for-bit).
+
+    S(t-) uses the survival family's quantized-ln fold: per-time
+    ln(1 - d/n) rounded once to an exact 1e-12 bigint, cumulative-
+    summed over STRICTLY PRECEDING rows (order-independent integer
+    arithmetic), exponentiated at use; a prior time with d = n latches
+    S to exactly 0 (the KM dead-latch). Each weighted Z/V term is the
+    weight times the SAME IEEE spelling as the unweighted test's term,
+    quantized once to a 1e-9 bigint before the cross-time sum; all
+    weights are <= 1, so every fold keeps the visible
+    CAST(total_events AS DOUBLE) * 1e9 < 9e18 headroom guard (~9e9
+    events), outputs NULL beyond it.
+
+    Scale: one groupBy(duration) shuffle, one single-partition window
+    over DISTINCT durations (the S(t-) prefix fold and the n_j suffix
+    sums ride the same pass), one global one-row fold, then a 4-row
+    stack — identical shape to :func:`survival_logrank` with constant
+    extra width. Returns 4 rows (weight_fn, o1, z_w, var_w, chi2_w,
+    reject_05) ordered by weight_fn.
+    """
+    q = F.lit(1_000_000_000.0)
+    ql = F.lit(1_000_000_000_000.0)  # 1e-12 ln quantum (greenwood's)
+    is1 = (F.col(group_col) == 1).cast("long")
+    obs = F.col(observed_col).cast("long")
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(is1 * obs).alias("d1"),
+        F.sum(is1 * (F.lit(1) - obs)).alias("c1"),
+        F.sum((F.lit(1) - is1) * obs).alias("d0"),
+        F.sum((F.lit(1) - is1) * (F.lit(1) - obs)).alias("c0"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    at_risk = (
+        per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
+        .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
+        .where(F.col("d1") + F.col("d0") > 0)
+    )
+    n_big = F.col("n1") + F.col("n0")
+    n = n_big.cast("double")
+    d_big = F.col("d1") + F.col("d0")
+    d = d_big.cast("double")
+    # pooled-KM left limit: quantized ln(1 - d/n) prefix fold + dead latch
+    lnq = F.when(
+        d_big < n_big,
+        F.round(ql * F.log(F.lit(1.0) - d / n), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    dead_here = (d_big == n_big).cast("int")
+    scored = (
+        at_risk.withColumn("__lnq", lnq)
+        .withColumn("__dead", dead_here)
+        .withColumn("__slnq_prev", F.sum("__lnq").over(w_prev))
+        .withColumn("__dead_prev", F.max("__dead").over(w_prev))
+    )
+    s_prev = F.when(
+        F.coalesce(F.col("__dead_prev"), F.lit(0)) == 1, F.lit(0.0)
+    ).otherwise(F.exp(F.coalesce(F.col("__slnq_prev"), F.lit(0)) / ql))
+    # n_total rides the first row's suffix sums (no second subjects pass)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    n_tot = F.max(n_big).over(w_all).cast("double")
+    weights = {
+        "logrank": F.lit(1.0),
+        "gehan": n / n_tot,
+        "tarone_ware": F.sqrt(n / n_tot),
+        f"fh_{rho:g}_{gamma:g}": F.pow(s_prev, F.lit(float(rho)))
+        * F.pow(F.lit(1.0) - s_prev, F.lit(float(gamma))),
+    }
+    e1_term = d * F.col("n1") / n
+    v_term = (
+        d
+        * (F.col("n1") / n)
+        * (F.col("n0") / n)
+        * ((n - d) / (n - F.lit(1.0)))
+    )
+    cols = []
+    for i, w in enumerate(weights.values()):
+        cols.append(
+            F.round(q * (w * F.col("d1").cast("double")), 0)
+            .cast("long")
+            .alias(f"zo{i}q")
+        )
+        cols.append(
+            F.round(q * (w * e1_term), 0).cast("long").alias(f"ze{i}q")
+        )
+        cols.append(
+            F.when(n_big > 1, F.round(q * (w * w * v_term), 0).cast("long"))
+            .otherwise(F.lit(0))
+            .alias(f"v{i}q")
+        )
+    folded = scored.select(
+        F.col("d1"), d_big.alias("d"), *cols
+    ).groupBy().agg(
+        F.sum("d1").alias("o1"),
+        F.sum("d").alias("o_total"),
+        *[
+            s
+            for i in range(len(weights))
+            for s in (
+                F.sum(f"zo{i}q").alias(f"szo{i}q"),
+                F.sum(f"ze{i}q").alias(f"sze{i}q"),
+                F.sum(f"v{i}q").alias(f"sv{i}q"),
+            )
+        ],
+    )
+    headroom = F.col("o_total").cast("double") * q < F.lit(9e18)
+    rows = []
+    for i, name in enumerate(weights):
+        # each quantized sum divides by q BEFORE the subtraction: with
+        # w = 1, szo/q is exactly o1 (q*o1 round-trips through the
+        # correctly-rounded division while szo < 2^53), so z_w and chi2
+        # share survival_logrank's exact expression tree — the
+        # bit-for-bit reduction the identity test pins
+        zw = F.col(f"szo{i}q") / q - F.col(f"sze{i}q") / q
+        vw = F.col(f"sv{i}q") / q
+        chi2 = zw * zw / vw
+        rows.append(
+            F.struct(
+                F.lit(name).alias("weight_fn"),
+                F.col("o1").alias("o1"),
+                F.when(headroom, F.round(zw, 6)).alias("z_w"),
+                F.when(headroom, F.round(vw, 6)).alias("var_w"),
+                F.when(
+                    headroom & (F.col(f"sv{i}q") > 0), F.round(chi2, 6)
+                ).alias("chi2_w"),
+                F.when(
+                    headroom & (F.col(f"sv{i}q") > 0),
+                    chi2 > F.lit(3.841459),
+                ).alias("reject_05"),
+            )
+        )
+    return (
+        folded.select(F.explode(F.array(*rows)).alias("r"))
+        .select("r.*")
+        .orderBy("weight_fn")
+    )
+
+
 def autocorr(
     series: DataFrame,
     key_col: str = "event_type",

@@ -2024,3 +2024,337 @@ FROM run
 # (nested WITH — DuckDB-side only; the greenwood/na oracles set the
 # duplication precedent, and test_rmst_oracle_chain_in_sync pins it)
 QUERIES["events_survival_rmst"] = _events_survival_rmst
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — k-group log-rank (VERDICT r12 ask #3): the two-cohort test
+# (r12) answers A/B; real experiments run A/B/n. Three arms from the
+# user_id mod-3 split, chi-square on 2 df via the closed-form 2x2
+# inversion of the summed multivariate-hypergeometric covariance
+# (operators/events.survival_logrank_k has the numeric contract; the
+# k=2 path reduces BIT-FOR-BIT to events_logrank — pinned by pytest).
+# ---------------------------------------------------------------------------
+def _events_logrank_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-arm log-rank test of time-to-first-purchase between the
+    user_id mod-3 cohorts (events.survival_logrank_k): exact bigint
+    O_j, 1e-9 quantized E/V folds, closed-form quadratic-form chi2 on
+    2 df vs 5.991465."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 3).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_logrank_k(subjects, 3, "grp", "duration", "observed")
+
+
+ORACLES["events_logrank_k"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 3 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 2 THEN obs ELSE 0 END) AS BIGINT) AS d2,
+         CAST(SUM(CASE WHEN grp = 2 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c2
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d0, d1, d2,
+         CAST(SUM(d0 + c0) OVER ws AS BIGINT) AS n0,
+         CAST(SUM(d1 + c1) OVER ws AS BIGINT) AS n1,
+         CAST(SUM(d2 + c2) OVER ws AS BIGINT) AS n2,
+         CAST(SUM(d0 + c0 + d1 + c1 + d2 + c2) OVER wa AS BIGINT) AS n_all
+  FROM per_t
+  WINDOW ws AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+         wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+ev AS (
+  SELECT t, d1 AS o1t, d2 AS o2t,
+         CAST(d0 + d1 + d2 AS BIGINT) AS d,
+         CAST(n0 + n1 + n2 AS BIGINT) AS nr,
+         n1, n2, n_all
+  FROM risk WHERE d0 + d1 + d2 > 0
+),
+terms AS (
+  SELECT d AS d_t, o1t, o2t, n_all,
+         CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * n1
+                           / CAST(nr AS DOUBLE)), 0) AS BIGINT) AS e1q,
+         CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * n2
+                           / CAST(nr AS DOUBLE)), 0) AS BIGINT) AS e2q,
+         CASE WHEN nr > 1 THEN
+           CAST(ROUND(1e9 * (CAST(d AS DOUBLE)
+                * (n1 / CAST(nr AS DOUBLE))
+                * ((nr - n1) / CAST(nr AS DOUBLE))
+                * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                   / (CAST(nr AS DOUBLE) - 1.0))), 0) AS BIGINT)
+         ELSE 0 END AS v11q,
+         CASE WHEN nr > 1 THEN
+           CAST(ROUND(1e9 * (-(CAST(d AS DOUBLE)
+                * (n1 / CAST(nr AS DOUBLE))
+                * (n2 / CAST(nr AS DOUBLE))
+                * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                   / (CAST(nr AS DOUBLE) - 1.0)))), 0) AS BIGINT)
+         ELSE 0 END AS v12q,
+         CASE WHEN nr > 1 THEN
+           CAST(ROUND(1e9 * (CAST(d AS DOUBLE)
+                * (n2 / CAST(nr AS DOUBLE))
+                * ((nr - n2) / CAST(nr AS DOUBLE))
+                * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                   / (CAST(nr AS DOUBLE) - 1.0))), 0) AS BIGINT)
+         ELSE 0 END AS v22q
+  FROM ev
+),
+folded AS (
+  SELECT CAST(SUM(d_t) AS BIGINT) AS o_total,
+         CAST(MAX(n_all) AS BIGINT) AS n_subjects,
+         CAST(SUM(o1t) AS BIGINT) AS o1,
+         CAST(SUM(o2t) AS BIGINT) AS o2,
+         CAST(SUM(e1q) AS BIGINT) AS se1q,
+         CAST(SUM(e2q) AS BIGINT) AS se2q,
+         CAST(SUM(v11q) AS BIGINT) AS sv11q,
+         CAST(SUM(v12q) AS BIGINT) AS sv12q,
+         CAST(SUM(v22q) AS BIGINT) AS sv22q
+  FROM terms
+),
+quadform AS (
+  SELECT o_total, n_subjects,
+         (CAST(o1 AS DOUBLE) - se1q / 1e9) AS z1,
+         (CAST(o2 AS DOUBLE) - se2q / 1e9) AS z2,
+         sv11q / 1e9 AS v11, sv12q / 1e9 AS v12, sv22q / 1e9 AS v22
+  FROM folded
+)
+SELECT CAST(3 AS INT) AS n_groups, n_subjects, o_total,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+                 AND v11 * v22 - v12 * v12 > 0
+            THEN ROUND((z1 * z1 * v22 - 2.0 * z1 * z2 * v12
+                        + z2 * z2 * v11)
+                       / (v11 * v22 - v12 * v12), 6) END AS chi2_lr_k,
+       CAST(2 AS INT) AS df,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+                 AND v11 * v22 - v12 * v12 > 0
+            THEN (z1 * z1 * v22 - 2.0 * z1 * z2 * v12 + z2 * z2 * v11)
+                 / (v11 * v22 - v12 * v12) > 5.991465 END AS reject_05
+FROM quadform
+"""
+QUERIES["events_logrank_k"] = _events_logrank_k
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — weighted log-rank family (VERDICT r12 ask #5): four tests
+# from ONE distinct-duration fold — unweighted log-rank, Gehan-Breslow-
+# Wilcoxon (early-sensitive, weight normalized to n_t/n_total so the
+# quantized folds keep int64 headroom at any scale), Tarone-Ware, and
+# Fleming-Harrington G(0,1) (late-sensitive, pooled-KM left limit via
+# the 1e-12 quantized-ln prefix fold). G(0,0) reduces bit-for-bit to
+# events_logrank — pinned by pytest (operators/events.
+# survival_logrank_weighted has the numeric contract).
+# ---------------------------------------------------------------------------
+def _events_logrank_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted log-rank family over the user_id-parity cohorts
+    (events.survival_logrank_weighted, rho=0 gamma=1): 4 rows
+    (logrank / gehan / tarone_ware / fh_0_1), each Z_w^2/V_w on 1 df
+    vs 3.841459."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_logrank_weighted(
+        subjects, "grp", "duration", "observed", rho=0.0, gamma=1.0
+    )
+
+
+ORACLES["events_logrank_weighted"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+risk AS (
+  SELECT t, d1, d0,
+         CAST(SUM(d1 + c1) OVER ws AS BIGINT) AS n1,
+         CAST(SUM(d0 + c0) OVER ws AS BIGINT) AS n0
+  FROM per_t
+  WINDOW ws AS (ORDER BY t ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+),
+ev AS (
+  SELECT t, d1, CAST(d1 + d0 AS BIGINT) AS d,
+         n1, n0, CAST(n1 + n0 AS BIGINT) AS nr
+  FROM risk WHERE d1 + d0 > 0
+),
+km AS (
+  SELECT t, d1, d, n1, n0, nr,
+         CASE WHEN d < nr THEN
+           CAST(ROUND(1e12 * LN(1.0 - CAST(d AS DOUBLE)
+                                / CAST(nr AS DOUBLE)), 0) AS BIGINT)
+         ELSE 0 END AS lnq,
+         CASE WHEN d = nr THEN 1 ELSE 0 END AS dead
+  FROM ev
+),
+run AS (
+  SELECT t, d1, d, n1, n0, nr,
+         SUM(lnq) OVER wp AS slnq_prev,
+         MAX(dead) OVER wp AS dead_prev,
+         CAST(MAX(nr) OVER wa AS DOUBLE) AS n_tot
+  FROM km
+  WINDOW wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING),
+         wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                AND UNBOUNDED FOLLOWING)
+),
+wtd AS (
+  SELECT t, d1, d, n1, n0, nr,
+         1.0 AS w_lr,
+         CAST(nr AS DOUBLE) / n_tot AS w_ge,
+         SQRT(CAST(nr AS DOUBLE) / n_tot) AS w_tw,
+         POWER(CASE WHEN COALESCE(dead_prev, 0) = 1 THEN 0.0
+                    ELSE EXP(COALESCE(slnq_prev, 0) / 1e12) END, 0.0)
+         * POWER(1.0 - CASE WHEN COALESCE(dead_prev, 0) = 1 THEN 0.0
+                            ELSE EXP(COALESCE(slnq_prev, 0) / 1e12) END,
+                 1.0) AS w_fh
+  FROM run
+),
+terms AS (
+  SELECT d1, d,
+         CAST(ROUND(1e9 * (w_lr * CAST(d1 AS DOUBLE)), 0) AS BIGINT) AS zo0q,
+         CAST(ROUND(1e9 * (w_ge * CAST(d1 AS DOUBLE)), 0) AS BIGINT) AS zo1q,
+         CAST(ROUND(1e9 * (w_tw * CAST(d1 AS DOUBLE)), 0) AS BIGINT) AS zo2q,
+         CAST(ROUND(1e9 * (w_fh * CAST(d1 AS DOUBLE)), 0) AS BIGINT) AS zo3q,
+         CAST(ROUND(1e9 * (w_lr * (CAST(d AS DOUBLE) * n1
+              / CAST(nr AS DOUBLE))), 0) AS BIGINT) AS ze0q,
+         CAST(ROUND(1e9 * (w_ge * (CAST(d AS DOUBLE) * n1
+              / CAST(nr AS DOUBLE))), 0) AS BIGINT) AS ze1q,
+         CAST(ROUND(1e9 * (w_tw * (CAST(d AS DOUBLE) * n1
+              / CAST(nr AS DOUBLE))), 0) AS BIGINT) AS ze2q,
+         CAST(ROUND(1e9 * (w_fh * (CAST(d AS DOUBLE) * n1
+              / CAST(nr AS DOUBLE))), 0) AS BIGINT) AS ze3q,
+         CASE WHEN nr > 1 THEN CAST(ROUND(1e9 * (w_lr * w_lr
+              * (CAST(d AS DOUBLE) * (n1 / CAST(nr AS DOUBLE))
+                 * (n0 / CAST(nr AS DOUBLE))
+                 * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(nr AS DOUBLE) - 1.0)))), 0) AS BIGINT)
+         ELSE 0 END AS v0q,
+         CASE WHEN nr > 1 THEN CAST(ROUND(1e9 * (w_ge * w_ge
+              * (CAST(d AS DOUBLE) * (n1 / CAST(nr AS DOUBLE))
+                 * (n0 / CAST(nr AS DOUBLE))
+                 * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(nr AS DOUBLE) - 1.0)))), 0) AS BIGINT)
+         ELSE 0 END AS v1q,
+         CASE WHEN nr > 1 THEN CAST(ROUND(1e9 * (w_tw * w_tw
+              * (CAST(d AS DOUBLE) * (n1 / CAST(nr AS DOUBLE))
+                 * (n0 / CAST(nr AS DOUBLE))
+                 * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(nr AS DOUBLE) - 1.0)))), 0) AS BIGINT)
+         ELSE 0 END AS v2q,
+         CASE WHEN nr > 1 THEN CAST(ROUND(1e9 * (w_fh * w_fh
+              * (CAST(d AS DOUBLE) * (n1 / CAST(nr AS DOUBLE))
+                 * (n0 / CAST(nr AS DOUBLE))
+                 * ((CAST(nr AS DOUBLE) - CAST(d AS DOUBLE))
+                    / (CAST(nr AS DOUBLE) - 1.0)))), 0) AS BIGINT)
+         ELSE 0 END AS v3q
+  FROM wtd
+),
+folded AS (
+  SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+         CAST(SUM(d) AS BIGINT) AS o_total,
+         CAST(SUM(zo0q) AS BIGINT) AS szo0q,
+         CAST(SUM(zo1q) AS BIGINT) AS szo1q,
+         CAST(SUM(zo2q) AS BIGINT) AS szo2q,
+         CAST(SUM(zo3q) AS BIGINT) AS szo3q,
+         CAST(SUM(ze0q) AS BIGINT) AS sze0q,
+         CAST(SUM(ze1q) AS BIGINT) AS sze1q,
+         CAST(SUM(ze2q) AS BIGINT) AS sze2q,
+         CAST(SUM(ze3q) AS BIGINT) AS sze3q,
+         CAST(SUM(v0q) AS BIGINT) AS sv0q,
+         CAST(SUM(v1q) AS BIGINT) AS sv1q,
+         CAST(SUM(v2q) AS BIGINT) AS sv2q,
+         CAST(SUM(v3q) AS BIGINT) AS sv3q
+  FROM terms
+),
+rows AS (
+  SELECT 'logrank' AS weight_fn, o1, o_total,
+         szo0q AS szoq, sze0q AS szeq, sv0q AS svq FROM folded
+  UNION ALL
+  SELECT 'gehan', o1, o_total, szo1q, sze1q, sv1q FROM folded
+  UNION ALL
+  SELECT 'tarone_ware', o1, o_total, szo2q, sze2q, sv2q FROM folded
+  UNION ALL
+  SELECT 'fh_0_1', o1, o_total, szo3q, sze3q, sv3q FROM folded
+)
+SELECT weight_fn, o1,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(szoq / 1e9 - szeq / 1e9, 6) END AS z_w,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(svq / 1e9, 6) END AS var_w,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND((szoq / 1e9 - szeq / 1e9)
+                       * (szoq / 1e9 - szeq / 1e9) / (svq / 1e9), 6)
+       END AS chi2_w,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN (szoq / 1e9 - szeq / 1e9) * (szoq / 1e9 - szeq / 1e9)
+                 / (svq / 1e9) > 3.841459 END AS reject_05
+FROM rows ORDER BY weight_fn
+"""
+QUERIES["events_logrank_weighted"] = _events_logrank_weighted

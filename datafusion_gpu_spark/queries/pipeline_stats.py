@@ -2027,7 +2027,11 @@ ORACLES["streaming_mcnemar"] = _MCNEMAR
 # z numerator — 100*cd (cd <= cn) and 18*cn — and it guards zk at its
 # DEFINITION, so the latch window's unguarded ABS(zk) can never force
 # the overflowing arithmetic; z/decision go NULL once N nears 9e16.
-_GROUP_SEQ = """
+#: Shared five-look fold (hourly batches -> cumulative counts -> look
+#: firing points): the data-sized work of BOTH group-sequential gates.
+#: The OBF and Pocock tails below reuse it verbatim — "a second decision
+#: column on the existing folds" (VERDICT r12 ask #4).
+_GS_FOLD = """
 WITH hourly AS (
   SELECT date_trunc('hour', ts) AS bucket,
          CAST(COUNT(*) AS BIGINT) AS n,
@@ -2060,7 +2064,9 @@ at_look AS (
   CROSS JOIN tot
   GROUP BY f.k, f.cn_k, tot.nt
 ),
-z AS (
+"""
+
+_GROUP_SEQ = _GS_FOLD + """z AS (
   SELECT k, cn, cd, nt,
          CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18 THEN
            CAST(100 * cd - 18 * cn AS DOUBLE)
@@ -2099,6 +2105,68 @@ def _events_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_group_sequential"] = _events_group_sequential
 ORACLES["events_group_sequential"] = _GROUP_SEQ
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Pocock boundary beside O'Brien-Fleming (VERDICT r12 ask
+# #4): the SAME five-look fold (_GS_FOLD, shared verbatim with
+# events_group_sequential), two boundary/decision column pairs in one
+# relation. Pocock (1977) spends alpha EVENLY — constant critical value
+# 2.413 (K=5, two-sided 5%) at every look — so it rejects EARLIER on a
+# large immediate effect (|z1| >= 2.413 vs OBF's 4.5625) but pays a
+# stiffer final look (2.413 vs OBF's 2.0404): the early-vs-late
+# alpha-spending trade-off made visible side by side. Each boundary
+# latches its own first crossing; an uncrossed look 5 accepts. Same
+# cn-keyed int64 guard as the OBF gate. The pytest plant puts |z1|
+# between the two look-1 bounds: Pocock rejects at look 1 while OBF
+# holds to a later look.
+# ---------------------------------------------------------------------------
+_GROUP_SEQ_POCOCK = _GS_FOLD + """z AS (
+  SELECT k, cn, cd, nt,
+         CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18 THEN
+           CAST(100 * cd - 18 * cn AS DOUBLE)
+             / SQRT(CAST(cn AS DOUBLE) * 1476) END AS zk,
+         2.040407 * SQRT(5e0 / k) AS bound_obf,
+         2.413e0 AS bound_poc
+  FROM at_look
+),
+lat AS (
+  SELECT k, cn, cd, nt, zk, bound_obf, bound_poc,
+         CAST(MIN(CASE WHEN ABS(zk) >= bound_obf THEN k END)
+              OVER w AS BIGINT) AS k_obf,
+         CAST(MIN(CASE WHEN ABS(zk) >= bound_poc THEN k END)
+              OVER w AS BIGINT) AS k_poc
+  FROM z
+  WINDOW w AS (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT k AS look, cn AS n_at_look, cd AS d_at_look,
+       CASE WHEN CAST(cn AS DOUBLE) * 100 < 9e18
+            THEN ROUND(zk, 6) END AS z,
+       ROUND(bound_obf, 6) AS boundary_obf,
+       ROUND(bound_poc, 6) AS boundary_pocock,
+       CASE WHEN CAST(cn AS DOUBLE) * 100 >= 9e18 THEN NULL
+            WHEN k_obf IS NOT NULL THEN 'reject_h0'
+            WHEN k = 5 THEN 'accept_h0'
+            ELSE 'continue' END AS decision_obf,
+       CASE WHEN CAST(cn AS DOUBLE) * 100 >= 9e18 THEN NULL
+            WHEN k_poc IS NOT NULL THEN 'reject_h0'
+            WHEN k = 5 THEN 'accept_h0'
+            ELSE 'continue' END AS decision_pocock
+FROM lat
+"""
+
+
+def _events_group_sequential_pocock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pocock constant boundary (2.413, K=5 two-sided 5%) beside the
+    O'Brien-Fleming boundary on the SAME five-look fold — the
+    alpha-spending trade-off in one relation. See _GROUP_SEQ_POCOCK."""
+    load(spark, sf_dir)
+    return spark.sql(_GROUP_SEQ_POCOCK)
+
+
+QUERIES["events_group_sequential_pocock"] = _events_group_sequential_pocock
+ORACLES["events_group_sequential_pocock"] = _GROUP_SEQ_POCOCK
 
 
 def _streaming_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -869,3 +869,291 @@ def test_survival_rmst_closed_form(spark):
     got = _rmst_from_km(km, tau=72).collect()[0]
     assert got.tau == 72 and got.n_event_times == 2
     assert got.rmst == 46.0
+
+
+def _freireich_rows():
+    """Freireich 6-MP trial rows (grp, duration, observed) — the shared
+    anchor dataset for the log-rank family tests."""
+    g1_events = [6, 6, 6, 7, 10, 13, 16, 22, 23]
+    g1_cens = [6, 9, 10, 11, 17, 19, 20, 25, 32, 32, 34, 35]
+    g0_events = [1, 1, 2, 2, 3, 4, 4, 5, 5, 8, 8, 8, 8, 11, 11, 12, 12, 15,
+                 17, 22, 23]
+    return (
+        [(1, t, 1) for t in g1_events]
+        + [(1, t, 0) for t in g1_cens]
+        + [(0, t, 1) for t in g0_events]
+    )
+
+
+def test_survival_logrank_k_pair_reduction(spark):
+    """k=2 through the k-sample quadratic form must equal the dedicated
+    two-cohort test EXACTLY: with m = 1 the inversion degenerates to
+    z1^2/V11, and the component spellings (E term, diagonal V term with
+    n - n1 computed in exact bigints == n0) share survival_logrank's
+    IEEE expression tree — same rounded chi2, same decision."""
+    from datafusion_gpu_spark.operators.events import (
+        survival_logrank,
+        survival_logrank_k,
+    )
+
+    df = spark.createDataFrame(
+        _freireich_rows(), "grp int, duration long, observed int"
+    )
+    two = survival_logrank(df).collect()[0]
+    k2 = survival_logrank_k(df, 2).collect()[0]
+    assert k2.chi2_lr_k == two.chi2_lr == 16.792941
+    assert k2.reject_05 is True
+    assert k2.df == 1
+    assert k2.n_subjects == two.n1_subjects + two.n0_subjects
+    assert k2.o_total == 30
+
+
+def test_survival_logrank_k_single_death_hand_computed(spark):
+    """One death time, hand-computable 3-arm case: at t=1, n = (2,3,5)
+    per arm, the arm-0 subject dies (d=1). E = d*n_j/n -> E1 = 0.3,
+    E2 = 0.5; z = (O-E) = (-0.3, -0.5). With d=1 the (n-d)/(n-1) tail
+    is computed at n=10: V11 = 1*(3/10)*(7/10)*(9/9) = 0.21,
+    V22 = 1*(5/10)*(5/10)*1 = 0.25, V12 = -(3/10)*(5/10) = -0.15.
+    det = 0.21*0.25 - 0.0225 = 0.03; quad = 0.09*0.25
+    - 2*0.15*(-0.15)*(-0.5)*... spelled out: z1^2 V22 - 2 z1 z2 V12
+    + z2^2 V11 = 0.0225 - 2*(-0.3)(-0.5)(-0.15) + 0.0525 = 0.12;
+    chi2 = 0.12/0.03 = 4.0 exactly (all terms exact in 1e-9 quanta)."""
+    from datafusion_gpu_spark.operators.events import survival_logrank_k
+
+    rows = (
+        [(0, 1, 1), (0, 9, 0)]
+        + [(1, 9, 0)] * 3
+        + [(2, 9, 0)] * 5
+    )
+    got = survival_logrank_k(
+        spark.createDataFrame(rows, "grp int, duration long, observed int"), 3
+    ).collect()[0]
+    assert got.n_groups == 3 and got.df == 2
+    assert got.n_subjects == 10 and got.o_total == 1
+    assert got.chi2_lr_k == 4.0
+    assert got.reject_05 is False  # 4.0 < 5.991465 on 2 df
+
+
+def test_survival_logrank_k_three_arm_replay(spark):
+    """Three-arm statistic vs an independent float replay of the
+    multivariate hypergeometric fold (numpy-free, different code path:
+    sequential Python loops + explicit 2x2 inversion, SAME 1e-9
+    quantization contract)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import survival_logrank_k
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = []
+    # deterministic 3-arm plant: arm j's events shift later with j
+    for j in range(3):
+        for i in range(20):
+            t = 1 + (7 * i + 3 * j * i) % 23 + 4 * j
+            rows.append((j, t, 1 if (i + j) % 4 else 0))
+    df = spark.createDataFrame(rows, "grp int, duration long, observed int")
+    got = survival_logrank_k(df, 3).collect()[0]
+
+    per_t = {}
+    for g, t, o in rows:
+        e = per_t.setdefault(t, [[0, 0], [0, 0], [0, 0]])
+        e[g][0] += o
+        e[g][1] += 1 - o
+    times = sorted(per_t)
+    n = [0, 0, 0]
+    suf = {}
+    for t in reversed(times):
+        for j in range(3):
+            n[j] += per_t[t][j][0] + per_t[t][j][1]
+        suf[t] = tuple(n)
+    o1 = o2 = se1 = se2 = sv11 = sv12 = sv22 = ot = 0
+    for t in times:
+        d_j = [per_t[t][j][0] for j in range(3)]
+        d = sum(d_j)
+        if d == 0:
+            continue
+        nj = suf[t]
+        nr = sum(nj)
+        nf = float(nr)
+        ot += d
+        o1 += d_j[1]
+        o2 += d_j[2]
+        se1 += rhu(1e9 * (float(d) * nj[1] / nf))
+        se2 += rhu(1e9 * (float(d) * nj[2] / nf))
+        if nr > 1:
+            tail = (nf - d) / (nf - 1.0)
+            sv11 += rhu(1e9 * (float(d) * (nj[1] / nf)
+                               * ((nr - nj[1]) / nf) * tail))
+            sv12 += rhu(1e9 * (-(float(d) * (nj[1] / nf)
+                                 * (nj[2] / nf) * tail)))
+            sv22 += rhu(1e9 * (float(d) * (nj[2] / nf)
+                               * ((nr - nj[2]) / nf) * tail))
+    z1, z2 = o1 - se1 / 1e9, o2 - se2 / 1e9
+    v11, v12, v22 = sv11 / 1e9, sv12 / 1e9, sv22 / 1e9
+    det = v11 * v22 - v12 * v12
+    chi2 = (z1 * z1 * v22 - 2.0 * z1 * z2 * v12 + z2 * z2 * v11) / det
+    assert got.o_total == ot
+    assert got.chi2_lr_k == round(chi2, 6)
+    assert got.reject_05 == (chi2 > 5.991465)
+
+
+def test_survival_logrank_k_identical_arms_zero(spark):
+    """Three arms with identical duration/censoring profiles: every
+    per-time E_j equals d_j exactly (all quantized terms exact thirds
+    of integers would not be — so use a profile where d and n split
+    in exact multiples of 3), chi2 == 0, no rejection."""
+    from datafusion_gpu_spark.operators.events import survival_logrank_k
+
+    prof = [(2, 1), (3, 1), (5, 0), (7, 1), (11, 0)]
+    rows = [(g, t, o) for g in (0, 1, 2) for t, o in prof]
+    got = survival_logrank_k(
+        spark.createDataFrame(rows, "grp int, duration long, observed int"), 3
+    ).collect()[0]
+    assert got.chi2_lr_k == 0.0
+    assert got.reject_05 is False
+
+
+def test_survival_logrank_k_rejects_bad_k(spark):
+    import pytest
+
+    from datafusion_gpu_spark.operators.events import survival_logrank_k
+
+    df = spark.createDataFrame(
+        [(0, 1, 1)], "grp int, duration long, observed int"
+    )
+    with pytest.raises(ValueError, match="2 <= k <= 4"):
+        survival_logrank_k(df, 5)
+    with pytest.raises(ValueError, match="2 <= k <= 4"):
+        survival_logrank_k(df, 1)
+
+
+def test_survival_logrank_weighted_reduction(spark):
+    """The family's identity contracts: the 'logrank' row (w = 1) must
+    equal survival_logrank's chi2 bit-for-bit (the szo/q - sze/q
+    spelling shares its expression tree), and G(0,0) — POWER(x,0) = 1
+    exactly — must equal the logrank row on every column."""
+    from datafusion_gpu_spark.operators.events import (
+        survival_logrank,
+        survival_logrank_weighted,
+    )
+
+    df = spark.createDataFrame(
+        _freireich_rows(), "grp int, duration long, observed int"
+    )
+    two = survival_logrank(df).collect()[0]
+    fam = {
+        r.weight_fn: r
+        for r in survival_logrank_weighted(df, rho=0.0, gamma=0.0).collect()
+    }
+    assert set(fam) == {"logrank", "gehan", "tarone_ware", "fh_0_0"}
+    lr = fam["logrank"]
+    assert lr.chi2_w == two.chi2_lr == 16.792941
+    assert lr.var_w == two.var_lr
+    assert lr.o1 == two.o1
+    fh = fam["fh_0_0"]
+    assert (fh.z_w, fh.var_w, fh.chi2_w, fh.reject_05) == (
+        lr.z_w, lr.var_w, lr.chi2_w, lr.reject_05
+    )
+
+
+def test_survival_logrank_weighted_gehan_replay(spark):
+    """Gehan-Breslow-Wilcoxon on the Freireich data vs an independent
+    sequential replay with the normalized weight n_t/n_total (chi2 is
+    invariant under the normalization — Z scales by c, V by c^2); the
+    replay also pins the published ballpark (~13.46)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import survival_logrank_weighted
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = _freireich_rows()
+    fam = {
+        r.weight_fn: r
+        for r in survival_logrank_weighted(
+            spark.createDataFrame(rows, "grp int, duration long, observed int")
+        ).collect()
+    }
+    per_t = {}
+    for g, t, o in rows:
+        e = per_t.setdefault(t, [0, 0, 0, 0])
+        if g == 1:
+            e[0] += o
+            e[1] += 1 - o
+        else:
+            e[2] += o
+            e[3] += 1 - o
+    times = sorted(per_t)
+    n1 = n0 = 0
+    suf = {}
+    for t in reversed(times):
+        d1, c1, d0, c0 = per_t[t]
+        n1 += d1 + c1
+        n0 += d0 + c0
+        suf[t] = (n1, n0)
+    n_tot = float(n1 + n0)
+    szo = sze = sv = 0
+    for t in times:
+        d1, c1, d0, c0 = per_t[t]
+        d = d1 + d0
+        if d == 0:
+            continue
+        m1, m0 = suf[t]
+        n = float(m1 + m0)
+        w = n / n_tot
+        szo += rhu(1e9 * (w * float(d1)))
+        sze += rhu(1e9 * (w * (float(d) * m1 / n)))
+        if m1 + m0 > 1:
+            sv += rhu(
+                1e9
+                * (w * w * (float(d) * (m1 / n) * (m0 / n)
+                            * ((n - d) / (n - 1.0))))
+            )
+    zw = szo / 1e9 - sze / 1e9
+    chi2 = zw * zw / (sv / 1e9)
+    ge = fam["gehan"]
+    assert ge.z_w == round(zw, 6)
+    assert ge.chi2_w == round(chi2, 6)
+    assert abs(ge.chi2_w - 13.46) < 0.01
+    assert ge.reject_05 is True
+
+
+def test_survival_logrank_weighted_late_early_sensitivity(spark):
+    """Directional contract: a LATE-only hazard divergence must score
+    higher under G(0,1) (weight 1 - S(t-) grows late) than under Gehan
+    (weight n_t/n_tot shrinks late), and an EARLY-only divergence the
+    reverse — the reason the weighted family exists."""
+    from datafusion_gpu_spark.operators.events import survival_logrank_weighted
+
+    # identical early deaths; group 1 alone keeps dying late
+    late = (
+        [(g, t, 1) for g in (0, 1) for t in (1, 2, 3, 4, 5)]
+        + [(1, t, 1) for t in (20, 21, 22, 23, 24, 25, 26, 27)]
+        + [(0, 30, 0)] * 8
+        + [(1, 40, 0)] * 10
+        + [(0, 40, 0)] * 10
+    )
+    fam_late = {
+        r.weight_fn: r
+        for r in survival_logrank_weighted(
+            spark.createDataFrame(late, "grp int, duration long, observed int")
+        ).collect()
+    }
+    assert fam_late["fh_0_1"].chi2_w > fam_late["gehan"].chi2_w
+
+    # group 1 dies early; tails identical
+    early = (
+        [(1, t, 1) for t in (1, 1, 2, 2, 3, 3, 4, 4)]
+        + [(g, t, 1) for g in (0, 1) for t in (20, 22, 24, 26, 28)]
+        + [(0, 40, 0)] * 13
+        + [(1, 40, 0)] * 5
+    )
+    fam_early = {
+        r.weight_fn: r
+        for r in survival_logrank_weighted(
+            spark.createDataFrame(early, "grp int, duration long, observed int")
+        ).collect()
+    }
+    assert fam_early["gehan"].chi2_w > fam_early["fh_0_1"].chi2_w

@@ -745,7 +745,8 @@ _BNLJ_BEARING_R11 = (
     # events_breslow_day's single BNLJ is the one-row mh (psi) cross
     "events_breslow_day",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
-    "events_group_sequential",
+    # (the r13 pocock sibling shares _GS_FOLD, hence the same 3 exempt BNLJs)
+    "events_group_sequential", "events_group_sequential_pocock",
     "agg_benford", "agg_brier_score", "agg_calibration_bins",
     "agg_chi2_independence", "agg_chi_squared", "agg_cliff_delta",
     "agg_cramers_v", "agg_ece", "agg_equidepth_bins", "agg_gain_lift_curve",

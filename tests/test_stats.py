@@ -2557,3 +2557,62 @@ def test_forecast_backtest_out_of_domain_value_fails_loudly(spark):
     ).createOrReplaceTempView("events")
     with pytest.raises((Py4JJavaError, Exception), match="(?i)overflow"):
         spark.sql(_backtest_sql()).collect()
+
+
+def test_group_sequential_pocock_early_stop_tradeoff(spark):
+    """The alpha-spending contrast made visible (VERDICT r12 ask #4):
+    plant 5 hours of 1000 events with hour 1 at 216 purchases
+    (z1 = (21600-18000)/sqrt(1476000) = 2.963) and hours 2-5 at exactly
+    p0 = 0.18 (180/1000, so the cumulative z decays: 2.10, 1.71, 1.48,
+    1.33). Pocock's constant 2.413 boundary REJECTS at look 1 and
+    latches; O'Brien-Fleming's look-1 boundary 4.5625 HOLDS and the
+    fixed horizon accepts H0 — the early-vs-late spending trade-off in
+    one relation. Both gates share _GS_FOLD verbatim."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import (
+        _GROUP_SEQ,
+        _GROUP_SEQ_POCOCK,
+        _GS_FOLD,
+    )
+
+    assert _GROUP_SEQ.startswith(_GS_FOLD)
+    assert _GROUP_SEQ_POCOCK.startswith(_GS_FOLD)
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for h in range(5):
+        n_purch = 216 if h == 0 else 180
+        for i in range(1000):
+            et = "purchase" if i < n_purch else "view"
+            rows.append(
+                (eid, t0 + timedelta(hours=h, seconds=i), eid, et, 1.0, "")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+
+    got = {r.look: r for r in spark.sql(_GROUP_SEQ_POCOCK).collect()}
+    assert len(got) == 5
+    assert got[1].n_at_look == 1000 and got[1].d_at_look == 216
+    assert abs(got[1].z - 2.963188) < 1e-6
+    assert got[1].boundary_pocock == 2.413
+    assert abs(got[1].boundary_obf - 4.562489) < 1e-6
+    # Pocock crosses at look 1 and LATCHES; OBF never crosses
+    assert [got[k].decision_pocock for k in range(1, 6)] == ["reject_h0"] * 5
+    assert [got[k].decision_obf for k in range(1, 6)] == [
+        "continue", "continue", "continue", "continue", "accept_h0"
+    ]
+    # z decays toward p0 but stays above 0; OBF's final bound 2.0404
+    # exceeds z5 = 1.33 while Pocock's flat 2.413 already spent its alpha
+    zs = [got[k].z for k in range(1, 6)]
+    assert zs == sorted(zs, reverse=True)
+    assert zs[4] > 0
+    # the OBF gate on the same plant agrees with the shared-fold contract
+    obf = {r.look: r for r in spark.sql(_GROUP_SEQ).collect()}
+    for k in range(1, 6):
+        assert obf[k].z == got[k].z
+        assert obf[k].decision == got[k].decision_obf
