@@ -2141,6 +2141,135 @@ def survival_logrank_weighted(
     )
 
 
+def cox_ph_binary(
+    subjects: DataFrame,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    iters: int = 5,
+) -> DataFrame:
+    """Cox proportional-hazards fit for a single binary covariate
+    (Cox 1972; Breslow 1974 tie handling) — the EFFECT-SIZE member of
+    the survival comparison family: the log-rank test (r12/r13) says
+    whether two hazards differ; this says BY HOW MUCH, as a hazard
+    ratio e^beta with a Wald interval. For binary x the Breslow partial
+    likelihood needs only the per-time risk-set counts: score
+    U(b) = sum_t [d1_t - d_t * r_t(b)] and information
+    I(b) = sum_t d_t * r_t(b) * (1 - r_t(b)), with
+    r_t(b) = n1_t e^b / (n1_t e^b + n0_t) — so the whole fit runs on
+    the DISTINCT-DURATION relation, never re-touching subjects.
+
+    Newton-Raphson from b = 0, ``iters`` updates UNROLLED into the
+    plan (b <- b + U/I; quadratic convergence puts |delta| under 1e-9
+    within 5 iterations for |beta| < 3 — the pytest replay asserts the
+    converged residual), then one final fold at b_final for the
+    reported score/information. Numeric portability: per-time U/I
+    terms are quantized once to exact 1e-9 bigints before each
+    cross-time sum (order-independent), and every expression spelling
+    is engine-portable; each |U| and |I| term is <= d_t, so the folds
+    carry the family's visible CAST(total_events AS DOUBLE) * 1e9 <
+    9e18 headroom guard (~9e9 events). A degenerate risk set (one
+    cohort empty at every event time) drives I to 0 — beta and the
+    Wald outputs go NULL through the si > 0 guard rather than
+    dividing by zero; complete separation (monotone likelihood) is the
+    caller's diagnosis, visible as |beta| growing ~linearly in iters.
+
+    Scale: ONE data-sized groupBy(duration) shuffle; the iteration
+    folds are (iters + 1) one-row aggregates of the distinct-duration
+    relation, each joined to the previous scalar beta (exempt one-row
+    cross joins). AQE's runtime exchange reuse collapses the repeated
+    subtree: in the final adaptive plan the later fold references are
+    ReusedExchange nodes at the single-partition (or duration) level,
+    so the data-sized exchanges (subjects fold, groupBy(duration))
+    execute exactly once and only the distinct-duration-sized window
+    re-executes at most once more (verified on the gate plan; SCALE.md
+    round-13 block). Returns one row (n1_subjects, n0_subjects,
+    n_events, beta, hazard_ratio, se_beta, z_wald, reject_05).
+    """
+    q = F.lit(1_000_000_000.0)
+    is1 = (F.col(group_col) == 1).cast("long")
+    obs = F.col(observed_col).cast("long")
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(is1 * obs).alias("d1"),
+        F.sum(is1 * (F.lit(1) - obs)).alias("c1"),
+        F.sum((F.lit(1) - is1) * obs).alias("d0"),
+        F.sum((F.lit(1) - is1) * (F.lit(1) - obs)).alias("c0"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ev = (
+        per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
+        .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
+        .withColumn("n1_all", F.sum(F.col("d1") + F.col("c1")).over(w_all))
+        .withColumn("n0_all", F.sum(F.col("d0") + F.col("c0")).over(w_all))
+        .where(F.col("d1") + F.col("d0") > 0)
+        .select(
+            "d1",
+            (F.col("d1") + F.col("d0")).alias("d"),
+            "n1",
+            "n0",
+            "n1_all",
+            "n0_all",
+        )
+    )
+
+    def fold(beta_df):
+        """One-row (su, si, o_total, n1_all, n0_all[, b]) fold of the
+        per-time U/I terms at the scalar beta (b = 0 when beta_df is
+        None)."""
+        src = ev if beta_df is None else ev.crossJoin(beta_df)
+        b = F.lit(0.0) if beta_df is None else F.col("b")
+        eb = F.exp(b)
+        num = F.col("n1").cast("double") * eb
+        rr = num / (num + F.col("n0").cast("double"))
+        u_q = F.round(
+            q * (F.col("d1").cast("double") - F.col("d").cast("double") * rr),
+            0,
+        ).cast("long")
+        i_q = F.round(
+            q * (F.col("d").cast("double") * rr * (F.lit(1.0) - rr)), 0
+        ).cast("long")
+        aggs = [
+            F.sum(u_q).alias("su"),
+            F.sum(i_q).alias("si"),
+            F.sum("d").alias("o_total"),
+            F.max("n1_all").alias("n1_subjects"),
+            F.max("n0_all").alias("n0_subjects"),
+        ]
+        if beta_df is not None:
+            aggs.append(F.max("b").alias("b_in"))
+        return src.groupBy().agg(*aggs)
+
+    step = F.when(
+        F.col("si") > 0,
+        (F.col("su") / q) / (F.col("si") / q),
+    )
+    beta = fold(None).select((F.lit(0.0) + step).alias("b"))
+    for _ in range(iters - 1):
+        beta = fold(beta).select((F.col("b_in") + step).alias("b"))
+    final = fold(beta)
+    headroom = F.col("o_total").cast("double") * q < F.lit(9e18)
+    b_fin = F.col("b_in")
+    se = F.lit(1.0) / F.sqrt(F.col("si") / q)
+    z = b_fin * F.sqrt(F.col("si") / q)
+    return final.select(
+        "n1_subjects",
+        "n0_subjects",
+        F.col("o_total").alias("n_events"),
+        F.when(headroom, F.round(b_fin, 6)).alias("beta"),
+        F.when(headroom, F.round(F.exp(b_fin), 6)).alias("hazard_ratio"),
+        F.when(headroom & (F.col("si") > 0), F.round(se, 6)).alias("se_beta"),
+        F.when(headroom & (F.col("si") > 0), F.round(z, 6)).alias("z_wald"),
+        F.when(
+            headroom & (F.col("si") > 0), F.abs(z) > F.lit(1.959964)
+        ).alias("reject_05"),
+    )
+
+
 def autocorr(
     series: DataFrame,
     key_col: str = "event_type",

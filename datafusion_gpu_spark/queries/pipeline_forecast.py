@@ -2358,3 +2358,179 @@ SELECT weight_fn, o1,
 FROM rows ORDER BY weight_fn
 """
 QUERIES["events_logrank_weighted"] = _events_logrank_weighted
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Cox proportional hazards (binary covariate, Breslow ties):
+# the effect-size member of the survival family. The log-rank gates say
+# WHETHER time-to-first-purchase differs between the parity cohorts;
+# this reports the hazard ratio e^beta with a Wald interval. Five
+# Newton updates + one reporting fold, ALL on the distinct-duration
+# relation (operators/events.cox_ph_binary has the numeric contract);
+# the oracle unrolls the identical iteration as CTE stages.
+# ---------------------------------------------------------------------------
+def _events_cox_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cox PH fit of cohort (user_id parity) on time-to-first-purchase
+    (events.cox_ph_binary, 5 Newton iterations): beta, hazard ratio,
+    Wald z vs 1.959964."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.cox_ph_binary(subjects, "grp", "duration", "observed", iters=5)
+
+
+ORACLES["events_cox_ph"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+ev AS (
+  SELECT t, d1, CAST(d1 + d0 AS BIGINT) AS d, n1, n0, n1_all, n0_all
+  FROM (
+    SELECT t, d1, d0,
+           CAST(SUM(d1 + c1) OVER ws AS BIGINT) AS n1,
+           CAST(SUM(d0 + c0) OVER ws AS BIGINT) AS n0,
+           CAST(SUM(d1 + c1) OVER wa AS BIGINT) AS n1_all,
+           CAST(SUM(d0 + c0) OVER wa AS BIGINT) AS n0_all
+    FROM per_t
+    WINDOW ws AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                  AND UNBOUNDED FOLLOWING),
+           wa AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND UNBOUNDED FOLLOWING)
+  ) r WHERE d1 + d0 > 0
+),
+b0 AS (SELECT CAST(0.0 AS DOUBLE) AS b),
+it1 AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b0) s
+),
+b1 AS (SELECT b_in + (CASE WHEN si > 0
+                           THEN (su / 1e9) / (si / 1e9) END) AS b FROM it1),
+it2 AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b1) s
+),
+b2 AS (SELECT b_in + (CASE WHEN si > 0
+                           THEN (su / 1e9) / (si / 1e9) END) AS b FROM it2),
+it3 AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b2) s
+),
+b3 AS (SELECT b_in + (CASE WHEN si > 0
+                           THEN (su / 1e9) / (si / 1e9) END) AS b FROM it3),
+it4 AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b3) s
+),
+b4 AS (SELECT b_in + (CASE WHEN si > 0
+                           THEN (su / 1e9) / (si / 1e9) END) AS b FROM it4),
+it5 AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b4) s
+),
+b5 AS (SELECT b_in + (CASE WHEN si > 0
+                           THEN (su / 1e9) / (si / 1e9) END) AS b FROM it5),
+fin AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (CAST(d1 AS DOUBLE)
+              - CAST(d AS DOUBLE) * rr), 0) AS BIGINT)) AS BIGINT) AS su,
+         CAST(SUM(CAST(ROUND(1e9 * (CAST(d AS DOUBLE) * rr * (1.0 - rr)),
+              0) AS BIGINT)) AS BIGINT) AS si,
+         CAST(SUM(d) AS BIGINT) AS o_total,
+         CAST(MAX(n1_all) AS BIGINT) AS n1_subjects,
+         CAST(MAX(n0_all) AS BIGINT) AS n0_subjects,
+         MAX(b) AS b_in
+  FROM (SELECT d1, d, n1_all, n0_all, b,
+               (CAST(n1 AS DOUBLE) * EXP(b))
+                 / (CAST(n1 AS DOUBLE) * EXP(b)
+                    + CAST(n0 AS DOUBLE)) AS rr
+        FROM ev CROSS JOIN b5) s
+)
+SELECT n1_subjects, n0_subjects, o_total AS n_events,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(b_in, 6) END AS beta,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(EXP(b_in), 6) END AS hazard_ratio,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
+            THEN ROUND(1.0 / SQRT(si / 1e9), 6) END AS se_beta,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
+            THEN ROUND(b_in * SQRT(si / 1e9), 6) END AS z_wald,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
+            THEN ABS(b_in * SQRT(si / 1e9)) > 1.959964 END AS reject_05
+FROM fin
+"""
+QUERIES["events_cox_ph"] = _events_cox_ph

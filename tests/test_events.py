@@ -1157,3 +1157,113 @@ def test_survival_logrank_weighted_late_early_sensitivity(spark):
         ).collect()
     }
     assert fam_early["gehan"].chi2_w > fam_early["fh_0_1"].chi2_w
+
+
+def test_cox_ph_binary_freireich_published(spark):
+    """Cox PH with Breslow ties on the Freireich 6-MP trial: the
+    published fit (R coxph(..., ties='breslow'), treatment coded 1) is
+    beta = -1.509, HR = 0.221, se = 0.410 — the operator must land on
+    those to 3 decimals AND match the exact quantized Newton replay
+    digit-for-digit, with the converged score residual at 0."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import cox_ph_binary
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = _freireich_rows()
+    got = cox_ph_binary(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+
+    per = {}
+    for g, t, o in rows:
+        e = per.setdefault(t, [0, 0, 0, 0])
+        if g == 1:
+            e[0] += o
+            e[1] += 1 - o
+        else:
+            e[2] += o
+            e[3] += 1 - o
+    times = sorted(per)
+    n1 = n0 = 0
+    suf = {}
+    for t in reversed(times):
+        d1, c1, d0, c0 = per[t]
+        n1 += d1 + c1
+        n0 += d0 + c0
+        suf[t] = (n1, n0)
+    ev = [
+        (per[t][0], per[t][0] + per[t][2], *suf[t])
+        for t in times
+        if per[t][0] + per[t][2] > 0
+    ]
+
+    def fold(b):
+        su = si = 0
+        for d1, d, m1, m0 in ev:
+            eb = math.exp(b)
+            num = float(m1) * eb
+            rr = num / (num + float(m0))
+            su += rhu(1e9 * (float(d1) - float(d) * rr))
+            si += rhu(1e9 * (float(d) * rr * (1.0 - rr)))
+        return su, si
+
+    b = 0.0
+    for _ in range(5):
+        su, si = fold(b)
+        b = b + (su / 1e9) / (si / 1e9)
+    su, si = fold(b)
+    assert su == 0  # Newton converged: score residual exactly 0 quanta
+    assert got.beta == round(b, 6) == -1.509191
+    assert got.hazard_ratio == round(math.exp(b), 6) == 0.221089
+    assert got.se_beta == round(1.0 / math.sqrt(si / 1e9), 6) == 0.409564
+    assert got.z_wald == round(b * math.sqrt(si / 1e9), 6)
+    assert got.reject_05 is True
+    # published anchors (Breslow ties)
+    assert abs(got.beta - (-1.509)) < 5e-4
+    assert abs(got.hazard_ratio - 0.221) < 5e-4
+
+
+def test_cox_ph_binary_null_effect_and_logrank_sign(spark):
+    """Identical cohorts => beta == 0 exactly (U(0) = 0 so every Newton
+    step is 0) and no rejection; and on a shifted-hazard plant the
+    hazard-ratio direction must agree with the log-rank O1 - E1 sign."""
+    from datafusion_gpu_spark.operators.events import (
+        cox_ph_binary,
+        survival_logrank,
+    )
+
+    prof = [(2, 1), (3, 1), (5, 0), (7, 1), (11, 0)]
+    rows = [(g, t, o) for g in (0, 1) for t, o in prof]
+    same = cox_ph_binary(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert same.beta == 0.0 and same.hazard_ratio == 1.0
+    assert same.reject_05 is False
+
+    fr = spark.createDataFrame(
+        _freireich_rows(), "grp int, duration long, observed int"
+    )
+    cox = cox_ph_binary(fr).collect()[0]
+    lr = survival_logrank(fr).collect()[0]
+    # group 1 (6-MP) has FEWER events than expected -> protective: both
+    # O1 - E1 and beta negative
+    assert (lr.o1 - lr.e1) < 0 and cox.beta < 0
+
+
+def test_cox_ph_binary_degenerate_one_cohort(spark):
+    """All subjects in one cohort: r_t is 1 at every time, I == 0 —
+    the si > 0 guard must surface NULL Wald outputs, not divide by
+    zero (beta itself is NULL too: the first step is already 0/0)."""
+    from datafusion_gpu_spark.operators.events import cox_ph_binary
+
+    rows = [(1, t, 1) for t in (1, 2, 3, 4)]
+    got = cox_ph_binary(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert got.beta is None
+    assert got.se_beta is None and got.z_wald is None
+    assert got.reject_05 is None
