@@ -2270,6 +2270,185 @@ def cox_ph_binary(
     )
 
 
+def life_table(
+    subjects: DataFrame,
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    width: int = 12,
+) -> DataFrame:
+    """Actuarial life-table estimator (Berkson & Gage 1950; the
+    'interval census' member of the survival family): Kaplan-Meier
+    (r9) resolves EXACT event times; production telemetry is often
+    only interval-resolved (daily snapshots, batch exports), and the
+    actuarial convention treats the ``width``-sized interval as the
+    unit — subjects censored inside an interval count HALF an exposure
+    (the standard midpoint assumption): n'_i = n_i - c_i/2, conditional
+    mortality q_i = d_i / n'_i, survival S_i = prod_{j<=i} (1 - q_j).
+
+    Numeric contract (the KM/Greenwood discipline): d_i, c_i, n_i are
+    exact bigints; n'_i and q_i are single double expressions with
+    identical spelling in both engines; the survival product is the
+    1e-12 quantized ln(1 - q) prefix fold (order-independent integer
+    summation) with the dead latch — q_i = 1 (possible only when
+    c_i = 0 and d_i = n_i) pins survival to exactly 0 from that
+    interval on. Intervals no subject ends in carry q = 0 and leave S
+    unchanged, so they are simply absent from the output — at scale
+    that keeps the relation sized by OCCUPIED intervals, not the time
+    horizon.
+
+    Scale: one data-sized groupBy(interval) shuffle, one
+    single-partition window over DISTINCT intervals (duration/width
+    buckets — hundreds of rows for billions of subjects). Returns one
+    row per occupied interval (interval_start, n_enter, n_events,
+    n_censored, effective_n, q, survival) ordered by interval_start.
+    """
+    if width <= 0:
+        raise ValueError(f"interval width must be positive (got {width})")
+    obs = F.col(observed_col).cast("long")
+    iv = F.expr(
+        f"(CAST({duration_col} AS BIGINT) DIV {int(width)}) * {int(width)}"
+    )
+    per_i = subjects.groupBy(iv.alias("interval_start")).agg(
+        F.sum(obs).alias("d"),
+        F.sum(F.lit(1) - obs).alias("c"),
+    )
+    w_suf = Window.orderBy("interval_start").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    w_prev = Window.orderBy("interval_start").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ql = F.lit(1_000_000_000_000.0)
+    at_risk = per_i.withColumn("n", F.sum(F.col("d") + F.col("c")).over(w_suf))
+    n_eff = F.col("n").cast("double") - F.col("c").cast("double") / F.lit(2.0)
+    q = F.col("d").cast("double") / n_eff
+    lnq = F.when(
+        F.col("d").cast("double") < n_eff,
+        F.round(ql * F.log(F.lit(1.0) - q), 0).cast("long"),
+    ).otherwise(F.lit(0))
+    dead = (F.col("d").cast("double") == n_eff).cast("int")
+    run = (
+        at_risk.withColumn("__lnq", lnq)
+        .withColumn("__dead", dead)
+        .withColumn("__slnq", F.sum("__lnq").over(w_prev))
+        .withColumn("__dead_prev", F.max("__dead").over(w_prev))
+    )
+    # survival at the END of interval i includes interval i's own factor
+    s_end = F.when(
+        (F.coalesce(F.col("__dead_prev"), F.lit(0)) == 1)
+        | (F.col("__dead") == 1),
+        F.lit(0.0),
+    ).otherwise(
+        F.exp((F.coalesce(F.col("__slnq"), F.lit(0)) + F.col("__lnq")) / ql)
+    )
+    return run.select(
+        "interval_start",
+        F.col("n").alias("n_enter"),
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.round(n_eff, 6).alias("effective_n"),
+        F.round(q, 6).alias("q"),
+        F.round(s_end, 6).alias("survival"),
+    ).orderBy("interval_start")
+
+
+def theil_sen_trend(
+    series: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "v_c",
+) -> DataFrame:
+    """Theil-Sen robust trend estimator (Theil 1950; Sen 1968): the
+    median of all pairwise slopes (y_j - y_i)/(x_j - x_i), i < j, with
+    the classic intercept median(y_i - slope * x_i) — up to ~29%
+    contamination cannot move it, unlike the OLS line the anomaly
+    gates fit, so it is the robust companion to events_its_segmented /
+    agg_regression when telemetry carries outlier buckets.
+
+    The input must already be a BOUNDED ordered relation — here the
+    hourly rollup, whose row count grows with WALL-CLOCK TIME, not
+    data volume (the SPRT/backtest argument: a year is 8,760 rows,
+    ~38M pairs; the data-sized work is the one groupBy(hour) the
+    caller ran). The pair space is that bounded relation self-joined
+    on x_i < x_j — a nested-loop join whose BUILD is the bounded hour
+    relation (allow-listed with the wall-clock argument; the pair
+    space is never data x data).
+
+    Exactness: x (bucket index) and y (cents) are exact bigints, so
+    each pair slope is ONE double division of exact integers —
+    identical in both engines; the median picks the FLOOR((n+1)/2)
+    and FLOOR((n+2)/2) ranked slopes (ties broken by (x_i, x_j), so
+    the selection is deterministic) and averages them, which for odd n
+    selects the same row twice. The intercept repeats the selection
+    over per-point residuals y_i - slope * x_i (slope joined back as a
+    one-row scalar). No quantized folds needed: medians are selections,
+    not sums, so there is nothing order-dependent to stabilize.
+
+    Returns one row (n_points, n_pairs, slope, intercept).
+    """
+    x = F.col(order_col).cast("long")
+    y = F.col(value_col).cast("long")
+    pts = series.select(x.alias("x"), y.alias("y"))
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    w = Window.orderBy("slope", "x1", "x2")
+    w_all = Window.orderBy("slope", "x1", "x2").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(w)).withColumn(
+        "np", F.count(F.lit(1)).over(w_all)
+    )
+    k1 = F.expr("(np + 1) DIV 2")
+    k2 = F.expr("(np + 2) DIV 2")
+    med = ranked.groupBy().agg(
+        F.max("np").alias("n_pairs"),
+        (
+            (
+                F.max(F.when(F.col("rn") == k1, F.col("slope")))
+                + F.max(F.when(F.col("rn") == k2, F.col("slope")))
+            )
+            / F.lit(2.0)
+        ).alias("slope"),
+    )
+    resid = pts.crossJoin(med).select(
+        "n_pairs",
+        "slope",
+        "x",
+        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
+            "r"
+        ),
+    )
+    wr = Window.orderBy("r", "x")
+    wr_all = Window.orderBy("r", "x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rranked = resid.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "np2", F.count(F.lit(1)).over(wr_all)
+    )
+    j1 = F.expr("(np2 + 1) DIV 2")
+    j2 = F.expr("(np2 + 2) DIV 2")
+    return rranked.groupBy().agg(
+        F.max("np2").alias("n_points"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope"),
+        F.round(
+            (
+                F.max(F.when(F.col("rn") == j1, F.col("r")))
+                + F.max(F.when(F.col("rn") == j2, F.col("r")))
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("intercept"),
+    )
+
+
 def autocorr(
     series: DataFrame,
     key_col: str = "event_type",

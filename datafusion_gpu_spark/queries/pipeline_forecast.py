@@ -2534,3 +2534,172 @@ SELECT n1_subjects, n0_subjects, o_total AS n_events,
 FROM fin
 """
 QUERIES["events_cox_ph"] = _events_cox_ph
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Theil-Sen robust trend (Theil 1950; Sen 1968): median of
+# all pairwise slopes over the hourly purchase-revenue series — the
+# robust companion to the OLS-based anomaly/ITS gates (a contaminated
+# bucket cannot move it). Pair space = the wall-clock-bounded hourly
+# relation self-joined on x1 < x2 (the SPRT/backtest boundedness
+# argument; allow-listed BNLJ — never data x data). Slopes are single
+# double divisions of exact bigints; the median is a deterministic
+# ranked SELECTION (no order-dependent folds to quantize).
+# ---------------------------------------------------------------------------
+def _events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope/intercept of hourly purchase revenue (cents)
+    vs the hour index (events.theil_sen_trend)."""
+    load(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+                "bucket"
+            ),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("v_c"))
+    )
+    return events.theil_sen_trend(hourly, "bucket", "v_c")
+
+
+ORACLES["events_theil_sen"] = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT a.x AS x1, b.x AS x2,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM hourly a JOIN hourly b ON a.x < b.x
+),
+ranked AS (
+  SELECT slope, x1, x2,
+         ROW_NUMBER() OVER (ORDER BY slope, x1, x2) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS np
+  FROM pairs
+),
+med AS (
+  SELECT CAST(MAX(np) AS BIGINT) AS n_pairs,
+         (MAX(CASE WHEN rn = (np + 1) // 2 THEN slope END)
+          + MAX(CASE WHEN rn = (np + 2) // 2 THEN slope END)) / 2.0 AS slope
+  FROM ranked
+),
+resid AS (
+  SELECT n_pairs, slope, x,
+         CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r
+  FROM hourly CROSS JOIN med
+),
+rranked AS (
+  SELECT n_pairs, slope, r, x,
+         ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS np2
+  FROM resid
+)
+SELECT CAST(MAX(np2) AS BIGINT) AS n_points,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       ROUND(MAX(slope), 6) AS slope,
+       ROUND((MAX(CASE WHEN rn = (np2 + 1) // 2 THEN r END)
+              + MAX(CASE WHEN rn = (np2 + 2) // 2 THEN r END)) / 2.0, 6)
+         AS intercept
+FROM rranked
+"""
+QUERIES["events_theil_sen"] = _events_theil_sen
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — actuarial life table (Berkson & Gage 1950): the
+# interval-census member of the survival family. KM (r9) resolves
+# exact hours; this rolls time-to-first-purchase into 12-hour
+# actuarial intervals with the half-censoring exposure convention
+# n' = n - c/2 (operators/events.life_table has the numeric contract:
+# exact bigint counts, 1e-12 quantized-ln survival fold, dead latch).
+# ---------------------------------------------------------------------------
+def _events_life_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-hour actuarial life table of time-to-first-purchase
+    (events.life_table): per-interval n/d/c, effective exposure,
+    conditional mortality q, end-of-interval survival."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.life_table(subjects, "duration", "observed", width=12)
+
+
+ORACLES["events_life_table"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_i AS (
+  SELECT (CAST(t AS BIGINT) // 12) * 12 AS interval_start,
+         CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY 1
+),
+risk AS (
+  SELECT interval_start, d, c,
+         CAST(SUM(d + c) OVER ws AS BIGINT) AS n
+  FROM per_i
+  WINDOW ws AS (ORDER BY interval_start ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING)
+),
+km AS (
+  SELECT interval_start, d, c, n,
+         CAST(n AS DOUBLE) - CAST(c AS DOUBLE) / 2.0 AS n_eff,
+         CASE WHEN CAST(d AS DOUBLE)
+                   < CAST(n AS DOUBLE) - CAST(c AS DOUBLE) / 2.0
+              THEN CAST(ROUND(1e12 * LN(1.0 - CAST(d AS DOUBLE)
+                   / (CAST(n AS DOUBLE) - CAST(c AS DOUBLE) / 2.0)), 0)
+                   AS BIGINT)
+         ELSE 0 END AS lnq,
+         CASE WHEN CAST(d AS DOUBLE)
+                   = CAST(n AS DOUBLE) - CAST(c AS DOUBLE) / 2.0
+              THEN 1 ELSE 0 END AS dead
+  FROM risk
+),
+run AS (
+  SELECT interval_start, d, c, n, n_eff, lnq, dead,
+         SUM(lnq) OVER wp AS slnq,
+         MAX(dead) OVER wp AS dead_prev
+  FROM km
+  WINDOW wp AS (ORDER BY interval_start ROWS BETWEEN UNBOUNDED PRECEDING
+                AND 1 PRECEDING)
+)
+SELECT interval_start, n AS n_enter, d AS n_events, c AS n_censored,
+       ROUND(n_eff, 6) AS effective_n,
+       ROUND(CAST(d AS DOUBLE) / n_eff, 6) AS q,
+       ROUND(CASE WHEN COALESCE(dead_prev, 0) = 1 OR dead = 1
+                  THEN 0.0
+                  ELSE EXP((COALESCE(slnq, 0) + lnq) / 1e12) END, 6)
+         AS survival
+FROM run ORDER BY interval_start
+"""
+QUERIES["events_life_table"] = _events_life_table

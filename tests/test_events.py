@@ -1267,3 +1267,143 @@ def test_cox_ph_binary_degenerate_one_cohort(spark):
     assert got.beta is None
     assert got.se_beta is None and got.z_wald is None
     assert got.reject_05 is None
+
+
+def test_theil_sen_exact_line(spark):
+    """Points exactly on y = 7x + 300: every pairwise slope is exactly
+    7.0 (integer-valued double division), so slope == 7.0 and every
+    residual is exactly 300.0 -> intercept == 300.0."""
+    from datafusion_gpu_spark.operators.events import theil_sen_trend
+
+    pts = [(x, 7 * x + 300) for x in range(1, 21)]
+    got = theil_sen_trend(
+        spark.createDataFrame(pts, "bucket long, v_c long")
+    ).collect()[0]
+    assert got.n_points == 20 and got.n_pairs == 190
+    assert got.slope == 7.0 and got.intercept == 300.0
+
+
+def test_theil_sen_robust_to_outlier_vs_ols(spark):
+    """The reason this operator exists: one corrupted bucket (y spiked
+    1000x) must leave the Theil-Sen slope at the true 5.0 while the
+    OLS slope on the same points is dragged far away."""
+    from datafusion_gpu_spark.operators.events import theil_sen_trend
+
+    pts = [(x, 5 * x + 100) for x in range(1, 30)]
+    # contaminate an ENDPOINT bucket (a spike at the center x would sit
+    # on the OLS pivot and leave its slope untouched)
+    pts[28] = (29, (5 * 29 + 100) * 1000)
+    df = spark.createDataFrame(pts, "bucket long, v_c long")
+    got = theil_sen_trend(df).collect()[0]
+    assert got.slope == 5.0
+    # OLS on the same points, for contrast
+    from pyspark.sql import functions as F
+
+    ols = df.agg(
+        (
+            F.covar_pop(F.col("bucket").cast("double"), F.col("v_c").cast("double"))
+            / F.var_pop(F.col("bucket").cast("double"))
+        ).alias("b")
+    ).collect()[0]
+    assert abs(ols.b - 5.0) > 100  # wrecked by the single outlier
+    # intercept: median of residuals at the TRUE slope stays near 100
+    assert abs(got.intercept - 100.0) < 1e-6
+
+
+def test_theil_sen_median_replay(spark):
+    """Even/odd pair-count median selection vs a sequential replay
+    with the SAME deterministic (slope, x1, x2) tiebreak."""
+    from datafusion_gpu_spark.operators.events import theil_sen_trend
+
+    pts = [(1, 10), (2, 30), (4, 31), (7, 90), (11, 95)]
+    got = theil_sen_trend(
+        spark.createDataFrame(pts, "bucket long, v_c long")
+    ).collect()[0]
+    pairs = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            (x1, y1), (x2, y2) = pts[i], pts[j]
+            pairs.append((float(y2 - y1) / float(x2 - x1), x1, x2))
+    pairs.sort()
+    n = len(pairs)
+    k1, k2 = (n + 1) // 2 - 1, (n + 2) // 2 - 1
+    slope = (pairs[k1][0] + pairs[k2][0]) / 2.0
+    resid = sorted(
+        (float(y) - slope * float(x), x) for x, y in pts
+    )
+    m = len(resid)
+    icpt = (resid[(m + 1) // 2 - 1][0] + resid[(m + 2) // 2 - 1][0]) / 2.0
+    assert got.n_pairs == n == 10
+    assert got.slope == round(slope, 6)
+    assert got.intercept == round(icpt, 6)
+
+
+def test_life_table_hand_computed(spark):
+    """Berkson-Gage actuarial arithmetic on a hand-sized cohort:
+    interval [0,12): n=10 enter, 2 die, 2 censor -> n' = 10 - 1 = 9,
+    q = 2/9, S = 7/9; interval [12,24): n=6, 1 dies, 0 censor ->
+    q = 1/6, S = (7/9)(5/6); interval [24,36): n=5, 0 die, 5 censor
+    -> q = 0, S unchanged."""
+    from datafusion_gpu_spark.operators.events import life_table
+
+    rows = (
+        [(3, 1), (7, 1), (5, 0), (11, 0)]
+        + [(15, 1)]
+        + [(30, 0)] * 5
+    )
+    got = life_table(
+        spark.createDataFrame(rows, "duration long, observed int"), width=12
+    ).collect()
+    by_iv = {r.interval_start: r for r in got}
+    assert sorted(by_iv) == [0, 12, 24]
+    r0 = by_iv[0]
+    assert (r0.n_enter, r0.n_events, r0.n_censored) == (10, 2, 2)
+    assert r0.effective_n == 9.0
+    assert r0.q == round(2 / 9, 6)
+    assert r0.survival == round(7 / 9, 6)
+    r1 = by_iv[12]
+    assert (r1.n_enter, r1.n_events, r1.n_censored) == (6, 1, 0)
+    assert r1.effective_n == 6.0
+    assert r1.survival == round((7 / 9) * (5 / 6), 6)
+    r2 = by_iv[24]
+    assert (r2.n_enter, r2.n_events, r2.n_censored) == (5, 0, 5)
+    assert r2.q == 0.0
+    assert r2.survival == r1.survival  # censor-only interval leaves S
+
+
+def test_life_table_no_censoring_matches_km(spark):
+    """With zero censoring and width=1 the actuarial exposure n' equals
+    n, so the life-table survival at each occupied interval must equal
+    the KM product-limit estimate at that duration (both are the same
+    1e-12 quantized-ln fold)."""
+    from datafusion_gpu_spark.operators.events import life_table, survival_km
+
+    rows = [(t, 1) for t in (1, 1, 2, 4, 4, 4, 7, 9, 9, 12)]
+    df = spark.createDataFrame(rows, "duration long, observed int")
+    lt = {r.interval_start: r.survival for r in life_table(df, width=1).collect()}
+    km = {r.t: r.survival for r in survival_km(df).collect()}
+    assert set(lt) == set(km)
+    for t in km:
+        assert lt[t] == km[t]
+
+
+def test_life_table_dead_latch_and_bad_width(spark):
+    """A terminal interval where everyone at risk dies (c = 0, d = n)
+    must pin survival to exactly 0; width <= 0 raises."""
+    import pytest
+
+    from datafusion_gpu_spark.operators.events import life_table
+
+    rows = [(2, 1), (5, 0), (14, 1), (15, 1)]
+    got = {
+        r.interval_start: r
+        for r in life_table(
+            spark.createDataFrame(rows, "duration long, observed int"), width=12
+        ).collect()
+    }
+    assert got[12].n_events == 2 and got[12].n_censored == 0
+    assert got[12].q == 1.0 and got[12].survival == 0.0
+    with pytest.raises(ValueError, match="width"):
+        life_table(
+            spark.createDataFrame(rows, "duration long, observed int"), width=0
+        )

@@ -744,6 +744,11 @@ _BNLJ_BEARING_R11 = (
     "agg_friedman", "agg_kendall_tau",
     # events_breslow_day's single BNLJ is the one-row mh (psi) cross
     "events_breslow_day",
+    # events_theil_sen (r13): the allow-listed bounded pair join + the
+    # exempt one-row median-slope cross
+    "events_theil_sen",
+    # events_cox_ph (r13): five exempt one-row scalar-beta crosses
+    "events_cox_ph",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
     # (the r13 pocock sibling shares _GS_FOLD, hence the same 3 exempt BNLJs)
     "events_group_sequential", "events_group_sequential_pocock",
@@ -781,9 +786,13 @@ _BNLJ_BEARING_R11 = (
 #: - agg_isotonic_calibration: the PAV pair join's build is the (B+1)-row
 #:   prefix relation over the reliability bins — B is FIXED at 10 by the
 #:   binning expression, bounded by construction, invisible to plan text.
+#: - events_theil_sen (r13): the pairwise-slope join's build is the hourly
+#:   rollup — bounded by WALL-CLOCK time, not data volume (8,760 rows/year;
+#:   the SPRT/backtest boundedness argument), so the pair space is
+#:   bounded^2, never data x data.
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
-     "join_non_equi_band", "agg_isotonic_calibration"}
+     "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen"}
 )
 
 
