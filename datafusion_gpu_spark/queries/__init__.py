@@ -257,8 +257,10 @@ _CHANGED_SINCE_CHECK = (
     "events_group_sequential",
 )
 
-#: name -> round of its most recent green driver CORRECTNESS row.
+#: name -> round of its most recent green driver CORRECTNESS row, and
+#: name -> how many distinct rounds have checked it green.
 _LAST_DRIVER_ROUND: dict[str, int] = {}
+_CHECK_COUNT: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
      _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11,
@@ -266,6 +268,23 @@ for _rnd, _names in enumerate(
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
+        _CHECK_COUNT[_n] = _CHECK_COUNT.get(_n, 0) + 1
+
+#: Gate-slot economics (VERDICT r12 ask #6): at ~396 rows and 50 driver
+#: slots/round a flat rotation re-checks everything every ~8 rounds, and
+#: the cycle stretches as the registry grows. The driver's gate size is
+#: not ours to raise, so staleness is EVIDENCE-WEIGHTED instead: a row
+#: that has been driver-green in >= _TIER_CHECKS distinct rounds (the
+#: frozen core — tpch, scalar packs, joins, windows, all spelled once
+#: and re-checked green across at least one engine-refactor cycle) ages
+#: one round slower than a row with thinner evidence from the same
+#: tranche, so the scarce slots prefer rows with ONE green row over
+#: rows with two. The tier is computed from the _CHECKED_R* tables
+#: themselves (no manual list to rot), and a pin in
+#: _CHANGED_SINCE_CHECK still outranks EVERYTHING — changed code beats
+#: any amount of old green evidence.
+_TIER_CHECKS = 2
+_TIER_BONUS = 1.0
 
 #: Never-driver-checked entries sort as if last checked between r2 and r3:
 #: behind the two oldest tranches (75 names — more than one round's 50
@@ -276,6 +295,19 @@ for _rnd, _names in enumerate(
 _NEVER_CHECKED_RANK = 2.5
 
 
+def _staleness_rank(name: str) -> float:
+    """Effective staleness rank: smaller = checked sooner. Pins rank 0,
+    never-checked rows 2.5, checked rows their last green round plus the
+    evidence-tier bonus (rows green in >= _TIER_CHECKS distinct rounds
+    age _TIER_BONUS rounds slower — see the gate-slot economics note)."""
+    if name in _CHANGED_SINCE_CHECK:
+        return 0.0
+    if name not in _LAST_DRIVER_ROUND:
+        return _NEVER_CHECKED_RANK
+    bonus = _TIER_BONUS if _CHECK_COUNT[name] >= _TIER_CHECKS else 0.0
+    return _LAST_DRIVER_ROUND[name] + bonus
+
+
 def _staleness_rotation(registry: dict) -> dict:
     """Order so the driver's 50-query/round gate always lands on the rows
     with the least-recent driver evidence — except changed-code rows
@@ -284,14 +316,7 @@ def _staleness_rotation(registry: dict) -> dict:
     evidence than any merely-old green row, whatever its age. Python's
     sort is stable, so registry (module) order breaks ties within a
     tranche — the '50 oldest' cut is deterministic round to round."""
-    ordered = sorted(
-        registry,
-        key=lambda k: (
-            0.0
-            if k in _CHANGED_SINCE_CHECK
-            else _LAST_DRIVER_ROUND.get(k, _NEVER_CHECKED_RANK)
-        ),
-    )
+    ordered = sorted(registry, key=_staleness_rank)
     return {k: registry[k] for k in ordered}
 
 

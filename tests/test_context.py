@@ -112,21 +112,37 @@ def test_gate_staleness_rotation_orders_oldest_first():
     # stalest re-checks, never ahead of them)
     from datafusion_gpu_spark.queries import (
         _CHANGED_SINCE_CHECK,
+        _CHECK_COUNT,
         _LAST_DRIVER_ROUND,
         _NEVER_CHECKED_RANK,
+        _TIER_BONUS,
+        _TIER_CHECKS,
+        _staleness_rank,
         all_oracles,
         all_queries,
     )
 
     names = list(all_queries())
-
-    def rank(n):
-        if n in _CHANGED_SINCE_CHECK:
-            return 0.0
-        return _LAST_DRIVER_ROUND.get(n, _NEVER_CHECKED_RANK)
-
+    rank = _staleness_rank
     ranks = [rank(n) for n in names]
     assert ranks == sorted(ranks)
+    # evidence tier (gate-slot economics, VERDICT r12 #6): a row green in
+    # >= _TIER_CHECKS distinct rounds ages _TIER_BONUS slower than a
+    # same-round row with thinner evidence; pins still outrank everything
+    for n in names:
+        if n in _CHANGED_SINCE_CHECK:
+            assert rank(n) == 0.0
+        elif n in _LAST_DRIVER_ROUND:
+            want = _LAST_DRIVER_ROUND[n] + (
+                _TIER_BONUS if _CHECK_COUNT[n] >= _TIER_CHECKS else 0.0
+            )
+            assert rank(n) == want
+    # concrete instance: join_cross (green r2 AND r7) defers behind
+    # agg_gini (green r7 only) although both were last checked in r7
+    assert _CHECK_COUNT["join_cross"] >= _TIER_CHECKS
+    assert _CHECK_COUNT["agg_gini"] == 1
+    assert _LAST_DRIVER_ROUND["join_cross"] == _LAST_DRIVER_ROUND["agg_gini"]
+    assert rank("join_cross") > rank("agg_gini")
     # changed-code rows (spelling or shared machinery changed after their
     # last driver check — VERDICT r10 #1) jump the staleness queue: ALL of
     # them sit inside the gate head, ahead of every merely-stale tranche
