@@ -2183,3 +2183,107 @@ def _streaming_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_cochran_q"] = _streaming_cochran_q
 ORACLES["streaming_cochran_q"] = _COCHRAN_Q
+
+
+def _streaming_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_group_sequential
+    (streaming.materialized_group_sequential): watermarked hourly
+    tumbling (n, d) state run to completion, then the batch _GS_FOLD
+    decision tail verbatim over the materialized state — graded by the
+    SAME _GROUP_SEQ oracle (27th stream==batch twin, 25th registry
+    twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.materialized_group_sequential(spark, sf_dir)
+
+
+QUERIES["streaming_group_sequential"] = _streaming_group_sequential
+ORACLES["streaming_group_sequential"] = _GROUP_SEQ
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Benjamini-Hochberg FDR control (Benjamini & Hochberg
+# 1995): the MULTIPLE-TESTING member the inference suite lacked. Every
+# per-segment battery in this engine (proportion tests by type, chi2 by
+# source, drift by shard) hands the analyst m simultaneous p-values;
+# testing each at 5% inflates the family-wise false-positive rate,
+# while Bonferroni over-corrects. BH's step-up rule — reject the k
+# smallest p-values where k = max{i : p_(i) <= q*i/m} — controls the
+# expected false-discovery proportion at q.
+#
+# The battery here: for each event_type, a two-sided test of "daytime
+# share = 1/2" (events in hour-of-day 0-11 vs 12-23). The z numerator
+# and radicand are EXACT bigints (z = (2x - n)/sqrt(n)); the two-sided
+# p-value is the Zelen & Severo 26.2.17 rational approximation of the
+# normal tail (|error| < 7.5e-8, four orders below the ROUND(...,6)
+# output grid) spelled in Horner form IDENTICALLY in both engines —
+# EXP is the only libm call, the established greenwood-fold precedent.
+# The step-up itself is exact: ranks ordered by (p, event_type) (the
+# deterministic tiebreak), k* = MAX(rank where p <= q*rank/m) over the
+# m-row relation, reject = rank <= k* — BH's monotone-envelope
+# semantics, which can reject a p-value ABOVE its own threshold when a
+# later rank crosses (the planted pytest exercises exactly that).
+# Scale: one groupBy(event_type) fold (domain-bounded output), windows
+# over the m-row relation. VISIBLE guard: n*4 < 9e18 bounds 2x - n.
+# ---------------------------------------------------------------------------
+_BH_FDR = """
+WITH seg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events
+  GROUP BY event_type
+),
+z AS (
+  SELECT event_type, n, x,
+         CASE WHEN CAST(n AS DOUBLE) * 4 < 9e18 THEN
+           CAST(2 * x - n AS DOUBLE) / SQRT(CAST(n AS DOUBLE)) END AS zs
+  FROM seg
+),
+p AS (
+  SELECT event_type, n, x, zs,
+         LEAST(1.0, 2.0 * ((EXP(-(ABS(zs) * ABS(zs)) / 2.0)
+           / 2.5066282746310002)
+           * ((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+                 - 1.821255978) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+                + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+               - 0.356563782) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+              + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))))
+           AS pv
+  FROM z
+),
+ranked AS (
+  SELECT event_type, n, x, zs, pv,
+         ROW_NUMBER() OVER (ORDER BY pv, event_type) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m
+  FROM p
+),
+kstar AS (
+  SELECT event_type, n, x, zs, pv, rn, m,
+         MAX(CASE WHEN pv <= 0.05 * rn / m THEN rn END)
+           OVER () AS k_max
+  FROM ranked
+)
+SELECT event_type, n, x,
+       ROUND(zs, 6) AS z,
+       ROUND(pv, 6) AS p_value,
+       rn AS p_rank, m AS n_tests,
+       ROUND(0.05 * rn / m, 6) AS bh_threshold,
+       CASE WHEN zs IS NULL THEN NULL
+            WHEN k_max IS NOT NULL AND rn <= k_max THEN TRUE
+            ELSE FALSE END AS rejected
+FROM kstar ORDER BY p_rank
+"""
+
+
+def _agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg step-up at q = 0.05 over the per-event-type
+    daytime-share z battery. See _BH_FDR."""
+    load(spark, sf_dir)
+    return spark.sql(_BH_FDR)
+
+
+QUERIES["agg_bh_fdr"] = _agg_bh_fdr
+ORACLES["agg_bh_fdr"] = _BH_FDR

@@ -2026,3 +2026,47 @@ def materialized_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(q, 6)).alias("q_stat"),
         F.when(ok, q > F.lit(5.991465)).alias("reject_05"),
     )
+
+
+def materialized_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming O'Brien-Fleming group-sequential test, materialized
+    (the 25th stream==batch automaton): the hourly (n, d) counts are a
+    watermarked tumbling-window streaming aggregation — per-hour state,
+    bounded by WALL-CLOCK time like the SPRT twin's fold — run to
+    completion through the idempotent parquet sink; the five-look
+    decision tail is then the batch query's _GS_FOLD chain VERBATIM
+    (string-substituted to read the materialized state instead of the
+    raw events table), so the stream is graded by the SAME _GROUP_SEQ
+    oracle. Unlike the SPRT (open horizon, latches must persist only on
+    real hour closes), the group-sequential looks depend on the TOTAL
+    event count, so the decision tail can only run on the COMPLETE
+    materialized state — which is exactly the twin contract's
+    materialize-then-batch-tail shape."""
+    hourly = materialize_stream(
+        stream_events(spark, sf_dir)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("event_type") == "purchase").cast("long")).alias("d"),
+        )
+        .select(F.col("w.start").alias("bucket"), "n", "d"),
+        output_mode="complete",
+    )
+    hourly.createOrReplaceTempView("__gs_hourly_state")
+    from datafusion_gpu_spark.queries.pipeline_stats import _GROUP_SEQ
+
+    batch_hourly_cte = """WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS d
+  FROM events
+  GROUP BY 1
+),"""
+    stream_hourly_cte = """WITH hourly AS (
+  SELECT bucket, CAST(n AS BIGINT) AS n, CAST(d AS BIGINT) AS d
+  FROM __gs_hourly_state
+),"""
+    assert batch_hourly_cte in _GROUP_SEQ, "batch hourly CTE drifted"
+    return spark.sql(_GROUP_SEQ.replace(batch_hourly_cte, stream_hourly_cte))

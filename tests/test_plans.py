@@ -750,8 +750,10 @@ _BNLJ_BEARING_R11 = (
     # events_cox_ph (r13): five exempt one-row scalar-beta crosses
     "events_cox_ph",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
-    # (the r13 pocock sibling shares _GS_FOLD, hence the same 3 exempt BNLJs)
+    # (the r13 pocock sibling and the streaming twin share _GS_FOLD,
+    # hence the same 3 exempt BNLJs)
     "events_group_sequential", "events_group_sequential_pocock",
+    "streaming_group_sequential",
     "agg_benford", "agg_brier_score", "agg_calibration_bins",
     "agg_chi2_independence", "agg_chi_squared", "agg_cliff_delta",
     "agg_cramers_v", "agg_ece", "agg_equidepth_bins", "agg_gain_lift_curve",

@@ -2616,3 +2616,79 @@ def test_group_sequential_pocock_early_stop_tradeoff(spark):
     for k in range(1, 6):
         assert obf[k].z == got[k].z
         assert obf[k].decision == got[k].decision_obf
+
+
+def _phi_upper_2sided(z):
+    """Zelen & Severo 26.2.17 two-sided p, the _BH_FDR spelling."""
+    import math
+
+    a = abs(z)
+    t = 1.0 / (1.0 + 0.2316419 * a)
+    pdf = math.exp(-(a * a) / 2.0) / 2.5066282746310002
+    poly = ((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+             - 0.356563782) * t + 0.319381530) * t
+    return min(1.0, 2.0 * (pdf * poly))
+
+
+def test_bh_fdr_phi_approximation_anchors():
+    # the portable normal-tail approximation must hit the standard
+    # anchors within its documented 7.5e-8 error: p(1.959964) ~ 0.05,
+    # p(2.575829) ~ 0.01, p(0) == 1
+    assert abs(_phi_upper_2sided(1.959964) - 0.05) < 1e-6
+    assert abs(_phi_upper_2sided(2.575829) - 0.01) < 1e-6
+    # at z = 0 the rational polynomial is 7.5e-8-accurate, not exact
+    assert abs(_phi_upper_2sided(0.0) - 1.0) < 1e-7
+
+
+def test_bh_fdr_step_up_planted(spark):
+    """BH semantics on a planted battery, including the monotone
+    envelope: category 'c' sits ABOVE its own threshold but is rejected
+    because category 'd' at a later rank crosses ITS threshold — the
+    defining difference between BH step-up and naive per-rank cuts."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _BH_FDR
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # (type, n, x): x of n events in hours 0-11
+    plant = [
+        ("a", 400, 200),   # z = 0, p = 1                -> never rejected
+        ("b", 400, 210),   # z = 1, p ~ 0.317            -> not rejected
+        ("c", 400, 231),   # z = 3.1, p ~ 1.9e-3
+        ("d", 400, 236),   # z = 3.6, p ~ 3.2e-4
+        ("e", 400, 260),   # z = 6, p ~ 2e-9             -> smallest p
+    ]
+    for et, n, x in plant:
+        for i in range(n):
+            hr = 3 if i < x else 15
+            rows.append(
+                (eid, t0 + timedelta(days=i // 4, hours=hr, seconds=eid % 60),
+                 eid, et, 1.0, "")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = {r.event_type: r for r in spark.sql(_BH_FDR).collect()}
+    assert len(got) == 5 and got["e"].p_rank == 1
+    # replay: p-values via the same approximation, BH at q=0.05 over m=5
+    import math
+
+    ps = sorted(
+        (_phi_upper_2sided((2 * x - n) / math.sqrt(n)), et)
+        for et, n, x in plant
+    )
+    k_max = max(
+        (i + 1 for i, (p, _) in enumerate(ps) if p <= 0.05 * (i + 1) / 5),
+        default=None,
+    )
+    for i, (p, et) in enumerate(ps):
+        assert got[et].p_value == round(p, 6)
+        assert got[et].p_rank == i + 1
+        assert got[et].rejected is (k_max is not None and i + 1 <= k_max)
+    # the battery rejects exactly {c, d, e}
+    assert {et for et in got if got[et].rejected} == {"c", "d", "e"}
+    assert got["a"].rejected is False and got["b"].rejected is False

@@ -655,3 +655,20 @@ def test_streaming_cochran_q_matches_batch_exactly(spark):
     batch = [tuple(r) for r in _events_cochran_q(spark, sf).collect()]
     stream = [tuple(r) for r in _streaming_cochran_q(spark, sf).collect()]
     assert stream == batch and len(batch) == 1
+
+
+def test_streaming_group_sequential_matches_batch_exactly(spark):
+    # 27th twin: watermarked hourly tumbling (n, d) state + the batch
+    # _GS_FOLD decision tail verbatim reproduce the batch five-look
+    # relation exactly (look firing points, latched OBF decision, all)
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_group_sequential,
+        _streaming_group_sequential,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.look: tuple(r) for r in _events_group_sequential(spark, sf).collect()}
+    stream = {
+        r.look: tuple(r) for r in _streaming_group_sequential(spark, sf).collect()
+    }
+    assert stream == batch and len(batch) == 5
