@@ -2141,6 +2141,150 @@ def survival_logrank_weighted(
     )
 
 
+def survival_diff_at(
+    subjects: DataFrame,
+    tau: int,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+) -> DataFrame:
+    """Milestone survival comparison (Klein, Logan, Harhoff & Andersen
+    2007): the difference of the two cohorts' Kaplan-Meier survival at
+    a FIXED horizon tau, z-tested against the combined Greenwood
+    standard error — the clinical-trial "landmark" endpoint, and the
+    complement of the log-rank family: log-rank integrates the whole
+    curve (and loses power under crossing hazards); this asks the
+    business question directly ("who is still unconverted at 72h?")
+    at one pre-registered time.
+
+    Per cohort, the KM point estimate and Greenwood variance fold are
+    :func:`survival_km_greenwood`'s spellings with every window
+    PARTITIONED BY the cohort (parallel across groups): quantized
+    1e-12 ln and Greenwood terms, dead latch, and the visible
+    nmax^2 < 9e18 headroom guard (~3e9 at-risk per cohort). At tau the
+    LAST event time <= tau carries each cohort's (S_g, se_g); a cohort
+    with subjects but no event by tau contributes S = 1, se = 0
+    exactly. z = (S1 - S0) / sqrt(se1^2 + se0^2), rejected two-sided
+    at |z| > 1.959964; se_diff = 0 (both curves eventless or fully
+    dead by tau) surfaces NULL via the guard rather than dividing by
+    zero.
+
+    Scale: one data-sized groupBy(grp, duration) shuffle, windows over
+    distinct durations partitioned by cohort, one global one-row
+    gather. Returns one row (tau, n1_subjects, n0_subjects, s1, se1,
+    s0, se0, diff, se_diff, z_diff, reject_05).
+    """
+    q = F.lit(1_000_000_000_000.0)
+    obs = F.col(observed_col).cast("long")
+    per_t = subjects.groupBy(
+        F.col(group_col).alias("g"), F.col(duration_col).alias("t")
+    ).agg(
+        F.sum(obs).alias("d"),
+        F.sum(F.lit(1) - obs).alias("c"),
+    )
+    w_suf = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_run = (
+        Window.partitionBy("g")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(w_suf)
+    ).where(F.col("d") > 0)
+    frac = F.col("d").cast("double") / F.col("n_risk")
+    ln_q = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(F.log(F.lit(1.0) - frac) * q, 0).cast("long"),
+    ).otherwise(F.lit(0))
+    gw_q = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.col("d").cast("double")
+            / (F.col("n_risk") * (F.col("n_risk") - F.col("d")))
+            * q,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    scored = (
+        at_risk.withColumn("__lnq", ln_q)
+        .withColumn("__gwq", gw_q)
+        .withColumn(
+            "__dead",
+            F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_run),
+        )
+        .withColumn("__slnq", F.sum("__lnq").over(w_run))
+        .withColumn("__sgwq", F.sum("__gwq").over(w_run))
+        .withColumn("__nmax", F.max("n_risk").over(w_run))
+    )
+    surv = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__slnq") / q)
+    )
+    se = F.when(F.col("__dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("__slnq") / q) * F.sqrt(F.col("__sgwq") / q)
+    )
+    w_last = Window.partitionBy("g").orderBy(F.col("t").desc())
+    at_tau = (
+        scored.where(F.col("t") <= F.lit(int(tau)))
+        .withColumn("__rn", F.row_number().over(w_last))
+        .where(F.col("__rn") == 1)
+        .select(
+            "g",
+            surv.alias("s"),
+            se.alias("se"),
+            (
+                F.col("__nmax").cast("double") * F.col("__nmax")
+                < F.lit(9e18)
+            ).alias("ok"),
+        )
+    )
+    # cohort sizes come from the PRE-FILTER per-time relation (a cohort
+    # may have no event by tau yet still needs its n and its S = 1 row)
+    sizes_all = per_t.groupBy("g").agg(
+        F.sum(F.col("d") + F.col("c")).alias("n_subj")
+    )
+    gathered = sizes_all.join(at_tau, "g", "left").groupBy().agg(
+        F.max(F.when(F.col("g") == 1, F.col("n_subj"))).alias("n1_subjects"),
+        F.max(F.when(F.col("g") == 0, F.col("n_subj"))).alias("n0_subjects"),
+        F.max(F.when(F.col("g") == 1, F.coalesce(F.col("s"), F.lit(1.0)))).alias(
+            "s1r"
+        ),
+        F.max(F.when(F.col("g") == 1, F.coalesce(F.col("se"), F.lit(0.0)))).alias(
+            "se1r"
+        ),
+        F.max(F.when(F.col("g") == 0, F.coalesce(F.col("s"), F.lit(1.0)))).alias(
+            "s0r"
+        ),
+        F.max(F.when(F.col("g") == 0, F.coalesce(F.col("se"), F.lit(0.0)))).alias(
+            "se0r"
+        ),
+        F.min(F.coalesce(F.col("ok"), F.lit(True)).cast("int")).alias("okmin"),
+    )
+    se_diff = F.sqrt(
+        F.col("se1r") * F.col("se1r") + F.col("se0r") * F.col("se0r")
+    )
+    z = (F.col("s1r") - F.col("s0r")) / se_diff
+    ok = F.col("okmin") == 1
+    return gathered.select(
+        F.lit(int(tau)).alias("tau"),
+        "n1_subjects",
+        "n0_subjects",
+        F.when(ok, F.round(F.col("s1r"), 6)).alias("s1"),
+        F.when(ok, F.round(F.col("se1r"), 6)).alias("se1"),
+        F.when(ok, F.round(F.col("s0r"), 6)).alias("s0"),
+        F.when(ok, F.round(F.col("se0r"), 6)).alias("se0"),
+        F.when(ok, F.round(F.col("s1r") - F.col("s0r"), 6)).alias("diff"),
+        F.when(ok, F.round(se_diff, 6)).alias("se_diff"),
+        F.when(ok & (se_diff > 0), F.round(z, 6)).alias("z_diff"),
+        F.when(ok & (se_diff > 0), F.abs(z) > F.lit(1.959964)).alias(
+            "reject_05"
+        ),
+    )
+
+
 def cox_ph_binary(
     subjects: DataFrame,
     group_col: str = "grp",

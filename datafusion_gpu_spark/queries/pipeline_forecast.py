@@ -2703,3 +2703,130 @@ SELECT interval_start, n AS n_enter, d AS n_events, c AS n_censored,
 FROM run ORDER BY interval_start
 """
 QUERIES["events_life_table"] = _events_life_table
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — milestone survival comparison at tau = 72h (Klein, Logan,
+# Harhoff & Andersen 2007): the landmark complement to the log-rank
+# family — the difference of the parity cohorts' KM survival at the
+# pre-registered 72h horizon, z-tested against the combined Greenwood
+# SE (operators/events.survival_diff_at has the numeric contract; all
+# windows partition by cohort and parallelize).
+# ---------------------------------------------------------------------------
+def _events_survival_diff_72h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM survival difference between the user_id-parity cohorts at
+    tau = 72h with Greenwood-combined z (events.survival_diff_at)."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.survival_diff_at(subjects, 72, "grp", "duration", "observed")
+
+
+ORACLES["events_survival_diff_72h"] = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS g,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT g, t,
+         CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY g, t
+),
+risk AS (
+  SELECT g, t, d, c,
+         CAST(SUM(d + c) OVER ws AS BIGINT) AS n_risk
+  FROM per_t
+  WINDOW ws AS (PARTITION BY g ORDER BY t ROWS BETWEEN CURRENT ROW
+                AND UNBOUNDED FOLLOWING)
+),
+ev AS (SELECT g, t, d, n_risk FROM risk WHERE d > 0),
+km AS (
+  SELECT g, t, d, n_risk,
+         CASE WHEN d < n_risk THEN
+           CAST(ROUND(LN(1.0 - CAST(d AS DOUBLE) / n_risk) * 1e12, 0)
+                AS BIGINT)
+         ELSE 0 END AS lnq,
+         CASE WHEN d < n_risk THEN
+           CAST(ROUND(CAST(d AS DOUBLE) / (n_risk * (n_risk - d)) * 1e12,
+                0) AS BIGINT)
+         ELSE 0 END AS gwq
+  FROM ev
+),
+run AS (
+  SELECT g, t, d, n_risk, lnq, gwq,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END) OVER wr AS dead,
+         SUM(lnq) OVER wr AS slnq,
+         SUM(gwq) OVER wr AS sgwq,
+         CAST(MAX(n_risk) OVER wr AS BIGINT) AS nmax
+  FROM km
+  WINDOW wr AS (PARTITION BY g ORDER BY t ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW)
+),
+at_tau AS (
+  SELECT g,
+         CASE WHEN dead = 1 THEN 0.0 ELSE EXP(slnq / 1e12) END AS s,
+         CASE WHEN dead = 1 THEN 0.0
+              ELSE EXP(slnq / 1e12) * SQRT(sgwq / 1e12) END AS se,
+         CAST(nmax AS DOUBLE) * nmax < 9e18 AS ok,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY t DESC) AS rn
+  FROM run WHERE t <= 72
+),
+sizes AS (
+  SELECT g, CAST(SUM(d + c) AS BIGINT) AS n_subj FROM per_t GROUP BY g
+),
+gathered AS (
+  SELECT MAX(CASE WHEN s.g = 1 THEN n_subj END) AS n1_subjects,
+         MAX(CASE WHEN s.g = 0 THEN n_subj END) AS n0_subjects,
+         MAX(CASE WHEN s.g = 1 THEN COALESCE(a.s, 1.0) END) AS s1r,
+         MAX(CASE WHEN s.g = 1 THEN COALESCE(a.se, 0.0) END) AS se1r,
+         MAX(CASE WHEN s.g = 0 THEN COALESCE(a.s, 1.0) END) AS s0r,
+         MAX(CASE WHEN s.g = 0 THEN COALESCE(a.se, 0.0) END) AS se0r,
+         MIN(CASE WHEN COALESCE(a.ok, TRUE) THEN 1 ELSE 0 END) AS okmin
+  FROM sizes s LEFT JOIN (SELECT * FROM at_tau WHERE rn = 1) a
+    ON s.g = a.g
+)
+SELECT CAST(72 AS INT) AS tau, n1_subjects, n0_subjects,
+       CASE WHEN okmin = 1 THEN ROUND(s1r, 6) END AS s1,
+       CASE WHEN okmin = 1 THEN ROUND(se1r, 6) END AS se1,
+       CASE WHEN okmin = 1 THEN ROUND(s0r, 6) END AS s0,
+       CASE WHEN okmin = 1 THEN ROUND(se0r, 6) END AS se0,
+       CASE WHEN okmin = 1 THEN ROUND(s1r - s0r, 6) END AS diff,
+       CASE WHEN okmin = 1
+            THEN ROUND(SQRT(se1r * se1r + se0r * se0r), 6) END AS se_diff,
+       CASE WHEN okmin = 1 AND SQRT(se1r * se1r + se0r * se0r) > 0
+            THEN ROUND((s1r - s0r)
+                       / SQRT(se1r * se1r + se0r * se0r), 6) END AS z_diff,
+       CASE WHEN okmin = 1 AND SQRT(se1r * se1r + se0r * se0r) > 0
+            THEN ABS((s1r - s0r) / SQRT(se1r * se1r + se0r * se0r))
+                 > 1.959964 END AS reject_05
+FROM gathered
+"""
+QUERIES["events_survival_diff_72h"] = _events_survival_diff_72h

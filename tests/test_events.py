@@ -1407,3 +1407,83 @@ def test_life_table_dead_latch_and_bad_width(spark):
         life_table(
             spark.createDataFrame(rows, "duration long, observed int"), width=0
         )
+
+
+def test_survival_diff_at_freireich_milestone(spark):
+    """Milestone comparison at tau = 12 weeks on the Freireich trial:
+    the published KM curves put 6-MP at S(12) ~ 0.753 and placebo at
+    S(12) ~ 0.190; the z against the combined Greenwood SE rejects.
+    Exactness is pinned by a sequential replay of both per-cohort
+    quantized folds."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import survival_diff_at
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = _freireich_rows()
+    got = survival_diff_at(
+        spark.createDataFrame(rows, "grp int, duration long, observed int"),
+        12,
+    ).collect()[0]
+
+    def cohort(g):
+        per = {}
+        for gg, t, o in rows:
+            if gg != g:
+                continue
+            e = per.setdefault(t, [0, 0])
+            e[0] += o
+            e[1] += 1 - o
+        times = sorted(per)
+        n = 0
+        suf = {}
+        for t in reversed(times):
+            n += sum(per[t])
+            suf[t] = n
+        slnq = sgwq = 0
+        for t in times:
+            d = per[t][0]
+            if d == 0 or t > 12:
+                continue
+            m = suf[t]
+            if d < m:
+                slnq += rhu(math.log(1.0 - float(d) / m) * 1e12)
+                sgwq += rhu(float(d) / (m * (m - d)) * 1e12)
+        s = math.exp(slnq / 1e12)
+        return s, s * math.sqrt(sgwq / 1e12)
+
+    s1, se1 = cohort(1)
+    s0, se0 = cohort(0)
+    sd = math.sqrt(se1 * se1 + se0 * se0)
+    assert got.s1 == round(s1, 6) and got.s0 == round(s0, 6)
+    assert abs(got.s1 - 0.753) < 1e-3 and abs(got.s0 - 0.190) < 1e-3
+    assert got.se_diff == round(sd, 6)
+    assert got.z_diff == round((s1 - s0) / sd, 6)
+    assert got.reject_05 is True
+
+
+def test_survival_diff_at_edge_cohorts(spark):
+    """A cohort with subjects but NO event by tau contributes exactly
+    S = 1, se = 0; identical cohorts give diff = 0 and no rejection."""
+    from datafusion_gpu_spark.operators.events import survival_diff_at
+
+    rows = [(1, 100, 1)] * 5 + [(0, t, 1) for t in (1, 2, 3)] + [(0, 50, 0)] * 7
+    got = survival_diff_at(
+        spark.createDataFrame(rows, "grp int, duration long, observed int"), 10
+    ).collect()[0]
+    assert got.s1 == 1.0 and got.se1 == 0.0
+    assert got.n1_subjects == 5 and got.n0_subjects == 10
+
+    prof = [(2, 1), (3, 1), (5, 0), (7, 1), (11, 0)]
+    same = survival_diff_at(
+        spark.createDataFrame(
+            [(g, t, o) for g in (0, 1) for t, o in prof],
+            "grp int, duration long, observed int",
+        ),
+        20,
+    ).collect()[0]
+    assert same.diff == 0.0 and same.z_diff == 0.0
+    assert same.reject_05 is False
