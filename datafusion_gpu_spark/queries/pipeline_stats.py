@@ -2287,3 +2287,162 @@ def _agg_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_bh_fdr"] = _agg_bh_fdr
 ORACLES["agg_bh_fdr"] = _BH_FDR
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — two-sample Poisson rate-ratio test (conditional binomial;
+# Przyborowski & Wilenski 1940, normal-approximation form): the
+# EXPOSURE-WEIGHTED member of the A/B family. events_proportion_ztest
+# compares per-trial shares; event RATES need each cohort's observation
+# time in the denominator — a cohort observed twice as long produces
+# twice the purchases at the same underlying rate, and the proportion
+# test would false-alarm. Conditional on the pooled count k, the
+# cohort-1 count is Binomial(k, p0) with p0 = e1/(e1+e0) (the exposure
+# share), so z = (k1 - k*p0) / sqrt(k*p0*(1-p0)). Counts and
+# exposure-hours are EXACT bigints (one groupBy(user) then a
+# one-row conditional fold); p0/z are terminal single-expression
+# doubles. VISIBLE guard: the normal approximation needs k*p0 and
+# k*(1-p0) material (>= 10, the textbook rule) — below that the test
+# reports NULL rather than an untrustworthy z.
+# ---------------------------------------------------------------------------
+_RATE_RATIO = """
+WITH life AS (
+  SELECT user_id % 2 AS g,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS k,
+         CAST((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000
+              + 1 AS BIGINT) AS exp_h
+  FROM events GROUP BY user_id
+),
+coh AS (
+  SELECT g, CAST(SUM(k) AS BIGINT) AS k, CAST(SUM(exp_h) AS BIGINT) AS e
+  FROM life GROUP BY g
+),
+folded AS (
+  SELECT CAST(MAX(CASE WHEN g = 1 THEN k END) AS BIGINT) AS k1,
+         CAST(MAX(CASE WHEN g = 0 THEN k END) AS BIGINT) AS k0,
+         CAST(MAX(CASE WHEN g = 1 THEN e END) AS BIGINT) AS e1,
+         CAST(MAX(CASE WHEN g = 0 THEN e END) AS BIGINT) AS e0
+  FROM coh
+),
+stat AS (
+  SELECT k1, k0, e1, e0, k1 + k0 AS k,
+         CAST(e1 AS DOUBLE) / (CAST(e1 AS DOUBLE) + CAST(e0 AS DOUBLE))
+           AS p0
+  FROM folded
+)
+SELECT k1, k0, e1 AS exposure_h_1, e0 AS exposure_h_0,
+       ROUND((CAST(k1 AS DOUBLE) / e1) / (CAST(k0 AS DOUBLE) / e0), 6)
+         AS rate_ratio,
+       CASE WHEN CAST(k AS DOUBLE) * p0 >= 10
+                 AND CAST(k AS DOUBLE) * (1.0 - p0) >= 10
+            THEN ROUND((CAST(k1 AS DOUBLE) - CAST(k AS DOUBLE) * p0)
+                       / SQRT(CAST(k AS DOUBLE) * p0 * (1.0 - p0)), 6)
+       END AS z_rate,
+       CASE WHEN CAST(k AS DOUBLE) * p0 >= 10
+                 AND CAST(k AS DOUBLE) * (1.0 - p0) >= 10
+            THEN ABS((CAST(k1 AS DOUBLE) - CAST(k AS DOUBLE) * p0)
+                     / SQRT(CAST(k AS DOUBLE) * p0 * (1.0 - p0)))
+                 > 1.959964 END AS reject_05
+FROM stat
+"""
+
+#: Spark twin of _RATE_RATIO — identical except the epoch spelling
+#: (unix_micros(CAST .. AS TIMESTAMP) vs DuckDB's epoch_us) and DIV.
+_RATE_RATIO_SPARK = _RATE_RATIO.replace(
+    "(MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000",
+    "(MAX(unix_micros(CAST(ts AS TIMESTAMP)))"
+    " - MIN(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 3600000000",
+)
+
+
+def _events_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exposure-weighted purchase-rate comparison between the user_id
+    parity cohorts: conditional-binomial z on the pooled count with
+    exposure-share null. See _RATE_RATIO."""
+    load(spark, sf_dir)
+    return spark.sql(_RATE_RATIO_SPARK)
+
+
+QUERIES["events_rate_ratio"] = _events_rate_ratio
+ORACLES["events_rate_ratio"] = _RATE_RATIO
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — empirical-Bayes rate shrinkage (beta-binomial method of
+# moments; Robbins 1956; the "add intelligent pseudocounts" estimator):
+# the small-n scoring member the curation suite lacked. Ranking
+# users/sources by raw conversion rate x/n crowns whoever has n = 2,
+# x = 2; shrinking toward the population with a beta prior fitted by
+# moments — alpha = p*M, beta = (1-p)*M, M = p(1-p)/s^2 - 1 — makes a
+# 2/2 lose to a 180/400. Moment estimation runs on per-user rates
+# QUANTIZED to an exact 1e-4 grid (hyperparameter estimation needs no
+# more precision, and the rq^2 fold then stays inside int64 to ~9e10
+# users — the VISIBLE guard); the final shrunk rate (x + alpha) /
+# (n + alpha + beta) is computed from the exact per-user bigints.
+# Degenerate dispersion (s^2 = 0 or M <= 0: rates identical, or
+# overdispersed beyond the beta-binomial's reach at these n) surfaces
+# NULL shrunk rates rather than a junk prior. Scale: one
+# groupBy(user) fold, one one-row moment fold, broadcast back; top-20
+# by (shrunk, user_id) via TakeOrdered.
+# ---------------------------------------------------------------------------
+_EB_SHRINK = """
+WITH per_u AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x
+  FROM events GROUP BY user_id
+),
+rq AS (
+  SELECT user_id, n, x,
+         CAST(ROUND(1e4 * (CAST(x AS DOUBLE) / n), 0) AS BIGINT) AS r4
+  FROM per_u
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(r4) AS BIGINT) AS sr,
+         CAST(SUM(r4 * r4) AS BIGINT) AS sr2
+  FROM rq
+),
+prior AS (
+  SELECT m, sr, sr2,
+         CAST(sr AS DOUBLE) / (1e4 * m) AS pbar,
+         CASE WHEN m > 1 AND CAST(m AS DOUBLE) * 1e8 < 9e18 THEN
+           (CAST(sr2 AS DOUBLE) / 1e8
+            - (CAST(sr AS DOUBLE) / 1e4) * (CAST(sr AS DOUBLE) / 1e4) / m)
+           / (m - 1)
+         END AS s2
+  FROM mom
+),
+ab AS (
+  SELECT m, pbar, s2,
+         CASE WHEN s2 > 0 AND pbar * (1.0 - pbar) / s2 - 1.0 > 0
+              THEN pbar * (pbar * (1.0 - pbar) / s2 - 1.0) END AS alpha,
+         CASE WHEN s2 > 0 AND pbar * (1.0 - pbar) / s2 - 1.0 > 0
+              THEN (1.0 - pbar) * (pbar * (1.0 - pbar) / s2 - 1.0)
+         END AS beta
+  FROM prior
+)
+SELECT user_id, n, x,
+       ROUND(CAST(x AS DOUBLE) / n, 6) AS raw_rate,
+       ROUND((CAST(x AS DOUBLE) + alpha)
+             / (CAST(n AS DOUBLE) + alpha + beta), 6) AS shrunk_rate,
+       ROUND(alpha, 6) AS alpha, ROUND(beta, 6) AS beta
+FROM rq CROSS JOIN ab
+ORDER BY (CAST(x AS DOUBLE) + alpha)
+           / (CAST(n AS DOUBLE) + alpha + beta) DESC, user_id
+LIMIT 20
+"""
+
+
+def _curation_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by empirical-Bayes shrunk purchase rate
+    (beta-binomial moment prior fitted on the 1e-4 rate grid). See
+    _EB_SHRINK."""
+    load(spark, sf_dir)
+    return spark.sql(_EB_SHRINK)
+
+
+QUERIES["curation_eb_shrinkage"] = _curation_eb_shrinkage
+ORACLES["curation_eb_shrinkage"] = _EB_SHRINK

@@ -749,6 +749,9 @@ _BNLJ_BEARING_R11 = (
     "events_theil_sen",
     # events_cox_ph (r13): five exempt one-row scalar-beta crosses
     "events_cox_ph",
+    # curation_eb_shrinkage (r13): one exempt one-row prior (alpha/beta)
+    # cross
+    "curation_eb_shrinkage",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
     # (the r13 pocock sibling and the streaming twin share _GS_FOLD,
     # hence the same 3 exempt BNLJs)

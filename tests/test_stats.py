@@ -2692,3 +2692,134 @@ def test_bh_fdr_step_up_planted(spark):
     # the battery rejects exactly {c, d, e}
     assert {et for et in got if got[et].rejected} == {"c", "d", "e"}
     assert got["a"].rejected is False and got["b"].rejected is False
+
+
+def test_rate_ratio_exposure_matters(spark):
+    """The reason the rate test exists: cohort 1 has MORE purchases
+    only because it is observed twice as long — per-exposure rates are
+    equal, so the conditional-binomial z must be ~0 under the
+    exposure-share null (while a naive proportion-of-counts test
+    would reject). Hand-checked: k1=200, e1=2000h, k0=100, e0=1000h
+    -> p0 = 2/3, E[k1] = 300 * 2/3 = 200 -> z = 0 exactly."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _RATE_RATIO_SPARK
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # cohort 1 (odd users): 10 users, ~200h span each, 20 purchases each
+    # cohort 0 (even users): 10 users, ~100h span each, 10 purchases each
+    for u in range(20):
+        odd = u % 2 == 1
+        span_h, k = (200, 20) if odd else (100, 10)
+        for i in range(k):
+            rows.append(
+                (eid, t0 + timedelta(hours=(span_h - 1) * i / max(k - 1, 1)),
+                 u, "purchase", 1.0, "")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_RATE_RATIO_SPARK).collect()[0]
+    assert (got.k1, got.k0) == (200, 100)
+    assert (got.exposure_h_1, got.exposure_h_0) == (2000, 1000)
+    assert got.rate_ratio == 1.0
+    assert got.z_rate == 0.0 and got.reject_05 is False
+
+
+def test_rate_ratio_small_k_guard(spark):
+    """Below the k*p0 >= 10 normal-approximation floor the test must
+    report NULL, not an untrustworthy z."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _RATE_RATIO_SPARK
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 0, "purchase", 1.0, ""),
+        (1, t0 + timedelta(hours=99), 0, "purchase", 1.0, ""),
+        (2, t0, 1, "purchase", 1.0, ""),
+        (3, t0 + timedelta(hours=99), 1, "purchase", 1.0, ""),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_RATE_RATIO_SPARK).collect()[0]
+    assert got.z_rate is None and got.reject_05 is None
+    assert got.rate_ratio == 1.0  # the point estimate still reports
+
+
+def test_eb_shrinkage_small_n_loses_to_evidence(spark):
+    """The motivating example: a 2-of-2 user's raw rate (1.0) beats a
+    180-of-400 user (0.45), but after beta-binomial shrinkage the
+    heavy-evidence user must rank higher; moments replayed on the same
+    1e-4 grid."""
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _EB_SHRINK
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    # population: 30 users with 100 events each, purchase counts spread
+    # 5..34 (rates 0.05..0.34); user 100: 2/2; user 101: 180/400
+    plant = [(u, 100, 5 + u) for u in range(30)] + [(100, 2, 2), (101, 400, 180)]
+    for u, n, x in plant:
+        for i in range(n):
+            et = "purchase" if i < x else "view"
+            rows.append((eid, t0 + timedelta(minutes=i), u, et, 1.0, ""))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = {r.user_id: r for r in spark.sql(_EB_SHRINK).collect()}
+    assert 100 in got and 101 in got
+    assert got[100].raw_rate == 1.0 and got[101].raw_rate == 0.45
+    assert got[101].shrunk_rate > got[100].shrunk_rate
+    # replay the moment fit on the 1e-4 grid
+    r4 = [rhu(1e4 * (x / n)) for _, n, x in plant]
+    m, sr, sr2 = len(r4), sum(r4), sum(v * v for v in r4)
+    pbar = sr / (1e4 * m)
+    s2 = (sr2 / 1e8 - (sr / 1e4) * (sr / 1e4) / m) / (m - 1)
+    M = pbar * (1.0 - pbar) / s2 - 1.0
+    alpha, beta = pbar * M, (1.0 - pbar) * M
+    assert got[100].alpha == round(alpha, 6)
+    assert got[100].shrunk_rate == round((2 + alpha) / (2 + alpha + beta), 6)
+    assert got[101].shrunk_rate == round(
+        (180 + alpha) / (400 + alpha + beta), 6
+    )
+
+
+def test_eb_shrinkage_degenerate_dispersion(spark):
+    """All users at the identical rate: s^2 = 0 -> no finite prior;
+    shrunk rates and alpha/beta must surface NULL, never divide by
+    zero."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _EB_SHRINK
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(10):
+        for i in range(10):
+            et = "purchase" if i < 5 else "view"
+            rows.append((eid, t0 + timedelta(minutes=i), u, et, 1.0, ""))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    for r in spark.sql(_EB_SHRINK).collect():
+        assert r.raw_rate == 0.5
+        assert r.shrunk_rate is None and r.alpha is None
