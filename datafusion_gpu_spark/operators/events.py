@@ -2496,6 +2496,143 @@ def life_table(
     ).orderBy("interval_start")
 
 
+def theil_sen_trend_bucketed(
+    series: DataFrame,
+    order_col: str = "bucket",
+    value_col: str = "v_c",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """:func:`theil_sen_trend` with the pair-slope median computed by
+    TWO-LEVEL BUCKETED SELECTION instead of one global ROW_NUMBER — the
+    scale spelling past ~10^7 pairs (a year of hourly buckets is ~38M
+    pairs; ranking them in a single ordered partition is the plain
+    version's only non-parallel stage). Same contract, same output,
+    IDENTICAL values (pinned by pytest): the median is still the
+    deterministic (slope, x_i, x_j)-ranked selection.
+
+    Selection shape (the agg_mann_whitney_bucketed precedent applied
+    to pair slopes): quantize each slope to the integer key
+    FLOOR(slope * 1e6); fold per-key counts; run the shared
+    :func:`stats.bucketed_cumsum` over the distinct-key relation (no
+    global window); locate the one or two keys whose cumulative count
+    straddles the median ranks with a broadcast of the 2-row target
+    relation; then rank ONLY the pairs inside those keys (partitioned
+    by key) and pick global rank = bucket base + local rank. No stage
+    orders more than one quantization bucket's pairs — degenerate only
+    if nearly all slopes collide inside one 1e-6-wide bucket, the same
+    heavy-tie caveat every exact selection carries. The intercept
+    median runs over the POINTS relation (bounded input), where the
+    plain ranked selection is already the right plan.
+    """
+    from datafusion_gpu_spark.operators.stats import bucketed_cumsum
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    cut = lineage_truncator(series.sparkSession.sparkContext)
+    x = F.col(order_col).cast("long")
+    y = F.col(value_col).cast("long")
+    pts = series.select(x.alias("x"), y.alias("y"))
+    a = pts.alias("a")
+    b = pts.alias("b")
+    pairs = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            # nullif guards the ANSI divide: the downstream equi-join on
+            # qs pushes an isnotnull(qs) conjunct INTO this join's
+            # condition, where it can evaluate before x1 < x2; a real
+            # pair's denominator is never 0, so values are unchanged
+            / F.nullif(
+                (F.col("b.x") - F.col("a.x")).cast("double"), F.lit(0.0)
+            )
+        ).alias("slope"),
+    )
+    keyed = pairs.withColumn(
+        "qs", F.floor(F.col("slope") * F.lit(1e6)).cast("long")
+    )
+    # lineage cut on the DISTINCT-KEY relation (graph-iterative
+    # precedent): the cumsum/target/rank branches all reference it, and
+    # without the cut each branch re-prints (and can re-execute) the
+    # whole bounded pair join — the cut materializes only the small
+    # per-key counts and makes the pair fold run ONCE
+    per_qs = cut(
+        keyed.groupBy("qs").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = bucketed_cumsum(per_qs, "qs", ("cnt",), n_buckets=n_buckets)
+    tot = cum.agg(F.max("cum_cnt").alias("np"))
+    targets = (
+        tot.select(
+            F.col("np"),
+            F.explode(
+                F.array_distinct(
+                    F.array(
+                        F.expr("(np + 1) DIV 2"), F.expr("(np + 2) DIV 2")
+                    )
+                )
+            ).alias("k"),
+        )
+    )
+    hit = cum.join(
+        F.broadcast(targets),
+        (F.col("cum_cnt") >= F.col("k"))
+        & (F.col("cum_cnt") - F.col("cnt") < F.col("k")),
+    ).select("qs", "k", (F.col("cum_cnt") - F.col("cnt")).alias("base"), "np")
+    # partition by (qs, k): when both median ranks land in one bucket
+    # the broadcast join duplicates that bucket's pairs (one copy per
+    # target rank) — each copy ranks independently
+    w_in = Window.partitionBy("qs", "k").orderBy("slope", "x1", "x2")
+    sel = (
+        keyed.join(F.broadcast(hit), "qs")
+        .withColumn("__rn", F.row_number().over(w_in))
+        .where(F.col("base") + F.col("__rn") == F.col("k"))
+    )
+    med = cut(
+        sel.groupBy().agg(
+            F.max("np").alias("n_pairs"),
+            ((F.min("slope") + F.max("slope")) / F.lit(2.0)).alias("slope"),
+        )
+    )
+    return _ts_intercept(pts, med)
+
+
+def _ts_intercept(pts: DataFrame, med: DataFrame) -> DataFrame:
+    """Shared Theil-Sen tail: the intercept median over per-point
+    residuals y - slope*x at the one-row median slope, with the
+    deterministic (r, x) tiebreak — used by both the plain and the
+    bucketed selection front ends."""
+    resid = pts.crossJoin(med).select(
+        "n_pairs",
+        "slope",
+        "x",
+        (
+            F.col("y").cast("double")
+            - F.col("slope") * F.col("x").cast("double")
+        ).alias("r"),
+    )
+    wr = Window.orderBy("r", "x")
+    wr_all = Window.orderBy("r", "x").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    rranked = resid.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "np2", F.count(F.lit(1)).over(wr_all)
+    )
+    j1 = F.expr("(np2 + 1) DIV 2")
+    j2 = F.expr("(np2 + 2) DIV 2")
+    return rranked.groupBy().agg(
+        F.max("np2").alias("n_points"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("slope"), 6).alias("slope"),
+        F.round(
+            (
+                F.max(F.when(F.col("rn") == j1, F.col("r")))
+                + F.max(F.when(F.col("rn") == j2, F.col("r")))
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("intercept"),
+    )
+
+
 def theil_sen_trend(
     series: DataFrame,
     order_col: str = "bucket",
@@ -2561,36 +2698,7 @@ def theil_sen_trend(
             / F.lit(2.0)
         ).alias("slope"),
     )
-    resid = pts.crossJoin(med).select(
-        "n_pairs",
-        "slope",
-        "x",
-        (F.col("y").cast("double") - F.col("slope") * F.col("x").cast("double")).alias(
-            "r"
-        ),
-    )
-    wr = Window.orderBy("r", "x")
-    wr_all = Window.orderBy("r", "x").rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    rranked = resid.withColumn("rn", F.row_number().over(wr)).withColumn(
-        "np2", F.count(F.lit(1)).over(wr_all)
-    )
-    j1 = F.expr("(np2 + 1) DIV 2")
-    j2 = F.expr("(np2 + 2) DIV 2")
-    return rranked.groupBy().agg(
-        F.max("np2").alias("n_points"),
-        F.max("n_pairs").alias("n_pairs"),
-        F.round(F.max("slope"), 6).alias("slope"),
-        F.round(
-            (
-                F.max(F.when(F.col("rn") == j1, F.col("r")))
-                + F.max(F.when(F.col("rn") == j2, F.col("r")))
-            )
-            / F.lit(2.0),
-            6,
-        ).alias("intercept"),
-    )
+    return _ts_intercept(pts, med)
 
 
 def autocorr(

@@ -2830,3 +2830,39 @@ SELECT CAST(72 AS INT) AS tau, n1_subjects, n0_subjects,
 FROM gathered
 """
 QUERIES["events_survival_diff_72h"] = _events_survival_diff_72h
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Theil-Sen, bucketed selection (the scale spelling): the
+# plain gate's only non-parallel stage is the global ROW_NUMBER over
+# all pairs (~38M for a year of hours); this variant routes the median
+# through stats.bucketed_cumsum over the quantized-slope key relation
+# and ranks only the straddling bucket's pairs
+# (events.theil_sen_trend_bucketed — value-identical by construction,
+# pinned by pytest; the DuckDB oracle is therefore the SAME selection
+# spelled with the global rank, the agg_mann_whitney_bucketed
+# precedent).
+# ---------------------------------------------------------------------------
+def _events_theil_sen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope/intercept of hourly purchase revenue via
+    two-level bucketed median selection
+    (events.theil_sen_trend_bucketed)."""
+    load(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+                "bucket"
+            ),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("v_c"))
+    )
+    return events.theil_sen_trend_bucketed(hourly, "bucket", "v_c")
+
+
+# value-identical to the plain selection: same oracle text
+ORACLES["events_theil_sen_bucketed"] = ORACLES["events_theil_sen"]
+QUERIES["events_theil_sen_bucketed"] = _events_theil_sen_bucketed

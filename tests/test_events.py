@@ -1487,3 +1487,25 @@ def test_survival_diff_at_edge_cohorts(spark):
     ).collect()[0]
     assert same.diff == 0.0 and same.z_diff == 0.0
     assert same.reject_05 is False
+
+
+def test_theil_sen_bucketed_equals_plain(spark):
+    """The bucketed two-level selection must return the IDENTICAL row
+    to the plain global-rank spelling — even and odd pair counts, ties
+    inside a quantization bucket, negative slopes."""
+    from datafusion_gpu_spark.operators.events import (
+        theil_sen_trend,
+        theil_sen_trend_bucketed,
+    )
+
+    cases = [
+        [(x, 7 * x + 300) for x in range(1, 21)],          # all ties
+        [(1, 10), (2, 30), (4, 31), (7, 90), (11, 95)],    # 10 pairs (even)
+        [(1, 50), (3, 20), (5, 90), (9, 10)],              # negative slopes
+        [(x, (x * 37) % 101) for x in range(1, 14)],       # 78 pairs, scrambled
+    ]
+    for pts in cases:
+        df = spark.createDataFrame(pts, "bucket long, v_c long")
+        plain = theil_sen_trend(df).collect()[0]
+        buck = theil_sen_trend_bucketed(df, n_buckets=8).collect()[0]
+        assert tuple(buck) == tuple(plain), (pts, buck, plain)

@@ -745,8 +745,9 @@ _BNLJ_BEARING_R11 = (
     # events_breslow_day's single BNLJ is the one-row mh (psi) cross
     "events_breslow_day",
     # events_theil_sen (r13): the allow-listed bounded pair join + the
-    # exempt one-row median-slope cross
-    "events_theil_sen",
+    # exempt one-row median-slope cross; the bucketed sibling keeps one
+    # allow-listed pair join in its selection branch
+    "events_theil_sen", "events_theil_sen_bucketed",
     # events_cox_ph (r13): five exempt one-row scalar-beta crosses
     "events_cox_ph",
     # curation_eb_shrinkage (r13): one exempt one-row prior (alpha/beta)
@@ -795,9 +796,13 @@ _BNLJ_BEARING_R11 = (
 #:   rollup — bounded by WALL-CLOCK time, not data volume (8,760 rows/year;
 #:   the SPRT/backtest boundedness argument), so the pair space is
 #:   bounded^2, never data x data.
+#: - events_theil_sen_bucketed (r13): the SAME bounded pair join, appearing
+#:   once in the selection branch (the per-key fold's copy runs eagerly
+#:   behind the lineage cut and is a LogicalRDD leaf in the final plan).
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
-     "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen"}
+     "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen",
+     "events_theil_sen_bucketed"}
 )
 
 
