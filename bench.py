@@ -108,6 +108,11 @@ SF_BENCHES = [
     # folds — 2*59+8 lag terms across TWO window specs (the widest
     # total fold), 2 keyed shuffles, exact integer scoring tail.
     "events_forecast_backtest",
+    # The round-13 survival-family representative: Cox PH's six
+    # distinct-duration folds behind ONE data-sized groupBy — the
+    # wall-clock evidence that AQE exchange reuse actually collapses
+    # the repeated subtree (~2.2-3.2 s exclusive at sf0.1).
+    "events_cox_ph",
     # dedup_components runs after every non-iterative row: BENCH_r05
     # showed seven unchanged queries drifting +12-44% vs r04, and the
     # prime suspect is this entry's insertion at position 10 — ~39 s of
@@ -176,6 +181,9 @@ PROTECTED = frozenset({
     # Round-12 family representative: first full-round median must land
     # in BENCH_r12.
     "events_forecast_backtest",
+    # Round-13 family representative: first full-round median must land
+    # in BENCH_r13.
+    "events_cox_ph",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose
@@ -183,7 +191,18 @@ PROTECTED = frozenset({
 #: r9 trial run at 10 samples apiece evicted dedup_minhash_lsh; a 3-8 s
 #: iterative median wobbles far less in relative terms than the 1-4 s
 #: queries the 10-sample floor was calibrated on).
-SAMPLES_OVERRIDE = {"graph_louvain": 5, "dedup_components": 5}
+# Round-13: the set grew by the cox representative; rather than letting
+# the deadline planner EVICT the fuzzy-dedup family rows on a slow pass
+# (the r13 trial run dropped dedup_minhash_lsh and dedup_lines), the
+# three heaviest unprotected rows run at 5 samples — an honest recorded
+# count beats an honest omission for rows with four rounds of history;
+# their ~1-3.5 s medians wobble less in relative terms than the ~1 s
+# rows the 10-sample floor was calibrated on.
+SAMPLES_OVERRIDE = {
+    "graph_louvain": 5, "dedup_components": 5,
+    "dedup_minhash_lsh": 5, "dedup_lines": 5, "pipeline_end_to_end": 5,
+    "events_cox_ph": 5,
+}
 
 
 def _samples(name: str) -> int:
