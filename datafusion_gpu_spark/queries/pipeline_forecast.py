@@ -2528,6 +2528,12 @@ SELECT n1_subjects, n0_subjects, o_total AS n_events,
        CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
             THEN ROUND(1.0 / SQRT(si / 1e9), 6) END AS se_beta,
        CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
+            THEN ROUND(EXP(b_in - 1.959964 * (1.0 / SQRT(si / 1e9))), 6)
+       END AS hr_lo,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
+            THEN ROUND(EXP(b_in + 1.959964 * (1.0 / SQRT(si / 1e9))), 6)
+       END AS hr_hi,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
             THEN ROUND(b_in * SQRT(si / 1e9), 6) END AS z_wald,
        CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND si > 0
             THEN ABS(b_in * SQRT(si / 1e9)) > 1.959964 END AS reject_05
@@ -2866,3 +2872,87 @@ def _events_theil_sen_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # value-identical to the plain selection: same oracle text
 ORACLES["events_theil_sen_bucketed"] = ORACLES["events_theil_sen"]
 QUERIES["events_theil_sen_bucketed"] = _events_theil_sen_bucketed
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Siegel repeated-median trend (Siegel 1982): breakdown 50%
+# vs Theil-Sen's ~29% — per-anchor slope medians (PARTITIONED BY the
+# anchor: parallel, each anchor has exactly n-1 partners) then the
+# median of medians over the n-row relation
+# (operators/events.siegel_trend; the pytest plants the regime where
+# Theil-Sen is dragged and Siegel holds exactly).
+# ---------------------------------------------------------------------------
+def _events_siegel_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Siegel repeated-median slope/intercept of hourly purchase
+    revenue (events.siegel_trend)."""
+    load(spark, sf_dir)
+    hourly = (
+        spark.table("events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+                "bucket"
+            ),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("v_c"))
+    )
+    return events.siegel_trend(hourly, "bucket", "v_c")
+
+
+ORACLES["events_siegel_trend"] = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+dirs AS (
+  SELECT a.x AS xa, b.x AS xb,
+         CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM hourly a JOIN hourly b ON a.x <> b.x
+),
+ranked AS (
+  SELECT xa, xb, slope,
+         ROW_NUMBER() OVER (PARTITION BY xa ORDER BY slope, xb) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY xa) AS BIGINT) AS m
+  FROM dirs
+),
+per_anchor AS (
+  SELECT xa,
+         (MAX(CASE WHEN rn = (m + 1) // 2 THEN slope END)
+          + MAX(CASE WHEN rn = (m + 2) // 2 THEN slope END)) / 2.0 AS ms
+  FROM ranked GROUP BY xa
+),
+fin AS (
+  SELECT xa, ms,
+         ROW_NUMBER() OVER (ORDER BY ms, xa) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM per_anchor
+),
+med AS (
+  SELECT CAST(MAX(n) * (MAX(n) - 1) // 2 AS BIGINT) AS n_pairs,
+         (MAX(CASE WHEN rn = (n + 1) // 2 THEN ms END)
+          + MAX(CASE WHEN rn = (n + 2) // 2 THEN ms END)) / 2.0 AS slope
+  FROM fin
+),
+resid AS (
+  SELECT n_pairs, slope, x,
+         CAST(y AS DOUBLE) - slope * CAST(x AS DOUBLE) AS r
+  FROM hourly CROSS JOIN med
+),
+rranked AS (
+  SELECT n_pairs, slope, r, x,
+         ROW_NUMBER() OVER (ORDER BY r, x) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS np2
+  FROM resid
+)
+SELECT CAST(MAX(np2) AS BIGINT) AS n_points,
+       CAST(MAX(n_pairs) AS BIGINT) AS n_pairs,
+       ROUND(MAX(slope), 6) AS slope,
+       ROUND((MAX(CASE WHEN rn = (np2 + 1) // 2 THEN r END)
+              + MAX(CASE WHEN rn = (np2 + 2) // 2 THEN r END)) / 2.0, 6)
+         AS intercept
+FROM rranked
+"""
+QUERIES["events_siegel_trend"] = _events_siegel_trend

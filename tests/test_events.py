@@ -1220,6 +1220,10 @@ def test_cox_ph_binary_freireich_published(spark):
     assert got.beta == round(b, 6) == -1.509191
     assert got.hazard_ratio == round(math.exp(b), 6) == 0.221089
     assert got.se_beta == round(1.0 / math.sqrt(si / 1e9), 6) == 0.409564
+    se = 1.0 / math.sqrt(si / 1e9)
+    assert got.hr_lo == round(math.exp(b - 1.959964 * se), 6)
+    assert got.hr_hi == round(math.exp(b + 1.959964 * se), 6)
+    assert got.hr_lo < got.hazard_ratio < got.hr_hi < 1.0  # protective CI
     assert got.z_wald == round(b * math.sqrt(si / 1e9), 6)
     assert got.reject_05 is True
     # published anchors (Breslow ties)
@@ -1509,3 +1513,64 @@ def test_theil_sen_bucketed_equals_plain(spark):
         plain = theil_sen_trend(df).collect()[0]
         buck = theil_sen_trend_bucketed(df, n_buckets=8).collect()[0]
         assert tuple(buck) == tuple(plain), (pts, buck, plain)
+
+
+def test_siegel_trend_breakdown_beats_theil_sen(spark):
+    """Siegel's raison d'etre: with 8 of 21 buckets moved onto a tilted
+    line (38% contamination — above Theil-Sen's ~29% breakdown, below
+    Siegel's 50%), Theil-Sen's single all-pairs median is dragged to
+    ~26 while the repeated median holds the true slope 5.0 and
+    intercept 100.0 EXACTLY; on a clean exact line both agree."""
+    from datafusion_gpu_spark.operators.events import (
+        siegel_trend,
+        theil_sen_trend,
+    )
+
+    clean = [(x, 7 * x + 300) for x in range(1, 21)]
+    df = spark.createDataFrame(clean, "bucket long, v_c long")
+    got = siegel_trend(df).collect()[0]
+    assert (got.n_points, got.n_pairs, got.slope, got.intercept) == (
+        20, 190, 7.0, 300.0
+    )
+
+    pts = [(x, 5 * x + 100) for x in range(1, 22)]
+    for i in range(13, 21):  # the last 8 points follow y = 50x - 400
+        xx = pts[i][0]
+        pts[i] = (xx, 50 * xx - 400)
+    df2 = spark.createDataFrame(pts, "bucket long, v_c long")
+    sg = siegel_trend(df2).collect()[0]
+    ts = theil_sen_trend(df2).collect()[0]
+    assert sg.slope == 5.0 and sg.intercept == 100.0
+    assert ts.slope > 20  # dragged far off the clean majority's line
+
+
+def test_siegel_trend_per_anchor_replay(spark):
+    """Per-anchor medians then median-of-medians vs a sequential replay
+    with the same (slope, partner) / (ms, anchor) tiebreaks."""
+    from datafusion_gpu_spark.operators.events import siegel_trend
+
+    pts = [(1, 10), (2, 30), (4, 31), (7, 90), (11, 95), (13, 40)]
+    got = siegel_trend(
+        spark.createDataFrame(pts, "bucket long, v_c long")
+    ).collect()[0]
+    anchors = []
+    for i, (xa, ya) in enumerate(pts):
+        sl = sorted(
+            ((yb - ya) / (xb - xa), xb)
+            for j, (xb, yb) in enumerate(pts)
+            if j != i
+        )
+        m = len(sl)
+        anchors.append(
+            ((sl[(m + 1) // 2 - 1][0] + sl[(m + 2) // 2 - 1][0]) / 2.0, xa)
+        )
+    anchors.sort()
+    n = len(anchors)
+    slope = (
+        anchors[(n + 1) // 2 - 1][0] + anchors[(n + 2) // 2 - 1][0]
+    ) / 2.0
+    resid = sorted((y - slope * x, x) for x, y in pts)
+    icpt = (resid[(n + 1) // 2 - 1][0] + resid[(n + 2) // 2 - 1][0]) / 2.0
+    assert got.n_pairs == n * (n - 1) // 2 == 15
+    assert got.slope == round(slope, 6)
+    assert got.intercept == round(icpt, 6)

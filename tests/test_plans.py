@@ -747,7 +747,7 @@ _BNLJ_BEARING_R11 = (
     # events_theil_sen (r13): the allow-listed bounded pair join + the
     # exempt one-row median-slope cross; the bucketed sibling keeps one
     # allow-listed pair join in its selection branch
-    "events_theil_sen", "events_theil_sen_bucketed",
+    "events_theil_sen", "events_theil_sen_bucketed", "events_siegel_trend",
     # events_cox_ph (r13): five exempt one-row scalar-beta crosses
     "events_cox_ph",
     # curation_eb_shrinkage (r13): one exempt one-row prior (alpha/beta)
@@ -799,10 +799,12 @@ _BNLJ_BEARING_R11 = (
 #: - events_theil_sen_bucketed (r13): the SAME bounded pair join, appearing
 #:   once in the selection branch (the per-key fold's copy runs eagerly
 #:   behind the lineage cut and is a LogicalRDD leaf in the final plan).
+#: - events_siegel_trend (r13): the same wall-clock-bounded build, directed
+#:   (x_a <> x_b) — per-anchor medians need both orientations.
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
      "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen",
-     "events_theil_sen_bucketed"}
+     "events_theil_sen_bucketed", "events_siegel_trend"}
 )
 
 
