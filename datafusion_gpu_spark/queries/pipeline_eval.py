@@ -1557,3 +1557,128 @@ QUERIES["text_heaps_fit"] = _text_heaps_fit
 ORACLES["text_heaps_fit"] = _HEAPS_DUCK
 
 
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — corpus embedding dispersion (the centroid identity): the
+# MEAN PAIRWISE COSINE over all n*(n-1) document pairs computed with
+# ZERO pair enumeration — sum_{i<>j} cos(u_i, u_j) = ||SUM u||^2 - n
+# for unit vectors, so corpus diversity (the curation readout behind
+# "is this source collapsing to near-duplicates?" and SemDeDup-style
+# cluster pruning) costs one per-dimension fold however many documents
+# exist. Numeric contract: each embedding is L2-normalized per row
+# (row-local sequential fold — the _dot_sql precedent), QUANTIZED once
+# to an exact 1e-6 integer grid; the cross-document per-dimension sums
+# and the per-document squared-norm total are then EXACT bigint folds
+# (order-independent; visible n*1e6 < 9e18 headroom guard ~9e12 docs);
+# the only cross-engine float steps are 64 per-dimension squares folded
+# in EXPLICIT pos order (array_sort/list ORDER BY — deterministic
+# grouping in both engines). The quantization bias on avg cosine is
+# O(1e-6) per pair, the output grid itself.
+# ---------------------------------------------------------------------------
+_DISPERSION_SPARK = """
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         SQRT(aggregate(transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+              CAST(0 AS DOUBLE), (a, x) -> a + x)) AS nr
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         transform(embedding,
+           x -> CAST(ROUND(1e6 * (CAST(x AS DOUBLE) / nr), 0) AS BIGINT))
+           AS cq
+  FROM nrm WHERE nr > 0
+),
+perdoc AS (
+  SELECT vec_id, cq,
+         CAST(ROUND(CAST(aggregate(transform(cq, c -> c * c),
+                CAST(0 AS BIGINT), (a, x) -> a + x) AS DOUBLE) / 1e6, 0)
+              AS BIGINT) AS dq
+  FROM q
+),
+gl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dq) AS BIGINT) AS sdq
+  FROM perdoc
+),
+dims AS (
+  SELECT pos, CAST(SUM(c) AS BIGINT) AS sd
+  FROM perdoc LATERAL VIEW posexplode(cq) AS pos, c
+  GROUP BY pos
+),
+sds AS (
+  SELECT aggregate(array_sort(collect_list(struct(pos AS p, sd AS s))),
+           CAST(0 AS DOUBLE),
+           (a, e) -> a + (CAST(e.s AS DOUBLE) / 1e6)
+                         * (CAST(e.s AS DOUBLE) / 1e6)) AS ssq2,
+         CAST(COUNT(*) AS INT) AS dim
+  FROM dims
+)
+SELECT n AS n_docs, dim,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * 1e6 < 9e18
+            THEN ROUND((ssq2 - CAST(sdq AS DOUBLE) / 1e6)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS avg_pairwise_cosine,
+       CASE WHEN n > 0 AND CAST(n AS DOUBLE) * 1e6 < 9e18
+            THEN ROUND(SQRT(ssq2) / CAST(n AS DOUBLE), 6)
+       END AS centroid_norm
+FROM gl CROSS JOIN sds
+"""
+
+_DISPERSION_DUCK = """
+WITH nrm AS (
+  SELECT vec_id, embedding,
+         SQRT(list_reduce(list_transform(embedding,
+                x -> x::DOUBLE * x::DOUBLE), (a, x) -> a + x)) AS nr
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(1e6 * (x::DOUBLE / nr), 0) AS BIGINT)) AS cq
+  FROM nrm WHERE nr > 0
+),
+perdoc AS (
+  SELECT vec_id, cq,
+         CAST(ROUND(CAST(list_reduce(list_transform(cq, c -> c * c),
+                (a, x) -> a + x) AS DOUBLE) / 1e6, 0) AS BIGINT) AS dq
+  FROM q
+),
+gl AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dq) AS BIGINT) AS sdq
+  FROM perdoc
+),
+dims AS (
+  SELECT g.pos, CAST(SUM(cq[g.pos]) AS BIGINT) AS sd
+  FROM perdoc, (SELECT unnest(generate_series(1, 64)) AS pos) g
+  GROUP BY g.pos
+),
+sds AS (
+  SELECT list_reduce(list_transform(list(sd ORDER BY pos),
+           s -> (CAST(s AS DOUBLE) / 1e6) * (CAST(s AS DOUBLE) / 1e6)),
+           (a, b) -> a + b) AS ssq2,
+         CAST(COUNT(*) AS INT) AS dim
+  FROM dims
+)
+SELECT n AS n_docs, dim,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * 1e6 < 9e18
+            THEN ROUND((ssq2 - CAST(sdq AS DOUBLE) / 1e6)
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)), 6)
+       END AS avg_pairwise_cosine,
+       CASE WHEN n > 0 AND CAST(n AS DOUBLE) * 1e6 < 9e18
+            THEN ROUND(SQRT(ssq2) / CAST(n AS DOUBLE), 6)
+       END AS centroid_norm
+FROM gl CROSS JOIN sds
+"""
+
+
+def _sim_corpus_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise cosine + centroid norm of the embeddings corpus
+    via the centroid identity — no pair join. See _DISPERSION_SPARK."""
+    load(spark, sf_dir)
+    return spark.sql(_DISPERSION_SPARK)
+
+
+QUERIES["sim_corpus_dispersion"] = _sim_corpus_dispersion
+ORACLES["sim_corpus_dispersion"] = _DISPERSION_DUCK

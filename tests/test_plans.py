@@ -753,6 +753,8 @@ _BNLJ_BEARING_R11 = (
     # curation_eb_shrinkage (r13): one exempt one-row prior (alpha/beta)
     # cross
     "curation_eb_shrinkage",
+    # sim_corpus_dispersion (r13): one exempt one-row gl x sds cross
+    "sim_corpus_dispersion",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
     # (the r13 pocock sibling and the streaming twin share _GS_FOLD,
     # hence the same 3 exempt BNLJs)

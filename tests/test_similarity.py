@@ -441,3 +441,53 @@ def test_random_projection_matches_numpy_and_preserves_norms(spark):
     # JL with +-1 signs: norms preserved in expectation — the MEAN
     # squared ratio concentrates near 1 even at k=8
     assert 0.7 < float(np.mean(np.square(ratios))) < 1.3
+
+
+def test_corpus_dispersion_centroid_identity(spark):
+    """The centroid identity vs brute-force pairs: identical vectors
+    give avg pairwise cosine ~1 and centroid_norm ~1; mutually
+    orthogonal vectors give avg cosine ~ 0 (exact up to the 1e-6
+    quantization grid); a mixed corpus matches the O(n^2) replay within
+    the documented quantization bias."""
+    import itertools
+    import math
+
+    from datafusion_gpu_spark.queries.pipeline_eval import _DISPERSION_SPARK
+
+    def run(vecs):
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).createOrReplaceTempView("embeddings")
+        return spark.sql(_DISPERSION_SPARK).collect()[0]
+
+    dim = 64
+    same = [[1.0] + [0.0] * (dim - 1)] * 5
+    r = run(same)
+    assert r.n_docs == 5 and r.dim == dim
+    assert abs(r.avg_pairwise_cosine - 1.0) < 1e-5
+    assert abs(r.centroid_norm - 1.0) < 1e-5
+
+    ortho = [[1.0 if j == i else 0.0 for j in range(dim)] for i in range(8)]
+    r = run(ortho)
+    assert abs(r.avg_pairwise_cosine) < 1e-5
+    assert abs(r.centroid_norm - math.sqrt(8) / 8) < 1e-5
+
+    mixed = [
+        [math.sin(0.7 * i * j + i) for j in range(dim)] for i in range(1, 13)
+    ]
+    r = run(mixed)
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    # float32 storage: replay on the float32-rounded values
+    import struct
+
+    f32 = lambda v: [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+    mixed32 = [f32(v) for v in mixed]
+    pairs = [cos(a, b) for a, b in itertools.combinations(mixed32, 2)]
+    brute = sum(pairs) * 2 / (12 * 11)  # directed-pair mean
+    assert abs(r.avg_pairwise_cosine - brute) < 2e-5
