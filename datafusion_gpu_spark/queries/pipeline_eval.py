@@ -1682,3 +1682,92 @@ def _sim_corpus_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sim_corpus_dispersion"] = _sim_corpus_dispersion
 ORACLES["sim_corpus_dispersion"] = _DISPERSION_DUCK
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — capture-recapture corpus estimation (Chapman 1951; Seber
+# 1970 variance): how large is a population you can only SAMPLE — the
+# dedup-adjacent question ("how many unique documents exist across
+# crawls we can't fully enumerate?"). Two deterministic 40% "captures"
+# are drawn with the portable salted md5 bucket (the hash_split
+# family, replayed bit-for-bit by DuckDB), their overlap m observed,
+# and Chapman's nearly-unbiased estimator N_hat = (n1+1)(n2+1)/(m+1)-1
+# with Seber's SE reconstructs the total. The gate is SELF-VALIDATING:
+# it also counts the true N and reports the standardized error — on
+# the sf corpora the estimate lands within 2 SE of truth (pinned by
+# pytest across plant sizes). Counts are exact bigints from ONE pass
+# over documents; the estimator is terminal double arithmetic (the
+# (n1+1)(n2+1) product is computed in doubles — exact to 2^53, i.e.
+# ~9e7 docs per capture before the last digit rounds).
+# ---------------------------------------------------------------------------
+_CHAPMAN_BUCKET_A = (
+    "CAST('0x' || substring(md5('crawl-a:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15) AS BIGINT) % 1000000"
+)
+_CHAPMAN_BUCKET_B = (
+    "CAST('0x' || substring(md5('crawl-b:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15) AS BIGINT) % 1000000"
+)
+
+_CHAPMAN = f"""
+WITH marks AS (
+  SELECT doc_id,
+         CASE WHEN {_CHAPMAN_BUCKET_A} < 400000 THEN 1 ELSE 0 END AS a,
+         CASE WHEN {_CHAPMAN_BUCKET_B} < 400000 THEN 1 ELSE 0 END AS b
+  FROM documents
+),
+cnt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+         CAST(SUM(a) AS BIGINT) AS n1,
+         CAST(SUM(b) AS BIGINT) AS n2,
+         CAST(SUM(a * b) AS BIGINT) AS m
+  FROM marks
+)
+SELECT n1, n2, m AS m_overlap, n_true,
+       ROUND((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+             / (CAST(m AS DOUBLE) + 1.0) - 1.0, 6) AS n_hat,
+       ROUND(SQRT((CAST(n1 AS DOUBLE) + 1.0) * (CAST(n2 AS DOUBLE) + 1.0)
+                  * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                  * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                  / ((CAST(m AS DOUBLE) + 1.0) * (CAST(m AS DOUBLE) + 1.0)
+                     * (CAST(m AS DOUBLE) + 2.0))), 6) AS se_hat,
+       CASE WHEN CAST(n1 AS DOUBLE) - m > 0 AND CAST(n2 AS DOUBLE) - m > 0
+            THEN ABS(((CAST(n1 AS DOUBLE) + 1.0)
+                      * (CAST(n2 AS DOUBLE) + 1.0)
+                      / (CAST(m AS DOUBLE) + 1.0) - 1.0)
+                     - CAST(n_true AS DOUBLE))
+                 <= 2.0 * SQRT((CAST(n1 AS DOUBLE) + 1.0)
+                     * (CAST(n2 AS DOUBLE) + 1.0)
+                     * (CAST(n1 AS DOUBLE) - CAST(m AS DOUBLE))
+                     * (CAST(n2 AS DOUBLE) - CAST(m AS DOUBLE))
+                     / ((CAST(m AS DOUBLE) + 1.0)
+                        * (CAST(m AS DOUBLE) + 1.0)
+                        * (CAST(m AS DOUBLE) + 2.0)))
+       END AS within_2se
+FROM cnt
+"""
+
+#: Spark twin — only the md5-prefix-to-int spelling differs.
+_CHAPMAN_SPARK = _CHAPMAN.replace(
+    "CAST('0x' || substring(md5('crawl-a:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15) AS BIGINT)",
+    "CAST(CONV(SUBSTRING(MD5(CONCAT_WS(':', 'crawl-a',"
+    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+).replace(
+    "CAST('0x' || substring(md5('crawl-b:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 15) AS BIGINT)",
+    "CAST(CONV(SUBSTRING(MD5(CONCAT_WS(':', 'crawl-b',"
+    " CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+)
+
+
+def _curation_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chapman capture-recapture estimate of the documents population
+    from two deterministic 40% hash captures, with Seber SE and the
+    self-validating within-2-SE check. See _CHAPMAN."""
+    load(spark, sf_dir)
+    return spark.sql(_CHAPMAN_SPARK)
+
+
+QUERIES["curation_capture_recapture"] = _curation_capture_recapture
+ORACLES["curation_capture_recapture"] = _CHAPMAN

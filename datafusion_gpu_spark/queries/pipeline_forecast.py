@@ -2956,3 +2956,108 @@ SELECT CAST(MAX(np2) AS BIGINT) AS n_points,
 FROM rranked
 """
 QUERIES["events_siegel_trend"] = _events_siegel_trend
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — Hurst exponent by rescaled-range analysis (Hurst 1951;
+# Mandelbrot & Wallis 1969): the LONG-MEMORY diagnostic the
+# autocorr/PACF gates can't express — ACF sees fixed lags, R/S sees
+# whether fluctuations GROW like n^H across scales (H ~ 0.5 random
+# walk increments, H -> 1 persistent/trending, H -> 0 mean-reverting),
+# which decides whether the Holt/HW forecast horizon is even
+# meaningful. Per block of K in {16, 64, 256} consecutive observed
+# hours: the cumulative-deviation range R over the block's own mean,
+# divided by the block's population sd S; H = the log-log slope of the
+# across-block mean R/S vs K — with three centered sizes that is the
+# closed form (ln m(256) - ln m(16)) / (ln 256 - ln 16).
+#
+# Exactness: v is cents; K*D_i = K*P_i - i*SumV is EXACT int64 (the
+# block-scaled cumulative deviation), so R*K is an exact integer
+# max-min; S is one terminal double expression; each block's R/S
+# quantizes once to a 1e-9 bigint before the across-block mean
+# (order-independent). Zero-variance blocks are excluded (their R/S
+# is 0/0); full blocks only. Scale: the hourly relation is wall-clock
+# bounded; all block windows PARTITION BY (K, block) — parallel; only
+# the initial ROW_NUMBER over observed hours is single-partition.
+# ---------------------------------------------------------------------------
+_HURST = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+seq AS (
+  SELECT v, ROW_NUMBER() OVER (ORDER BY bucket) AS rn FROM hourly
+),
+blk AS (
+  SELECT s.k, (rn - 1) // s.k AS b, rn, v
+  FROM seq CROSS JOIN (VALUES (16), (64), (256)) s(k)
+),
+w AS (
+  SELECT k, b, v, rn,
+         SUM(v) OVER (PARTITION BY k, b ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS p,
+         ROW_NUMBER() OVER (PARTITION BY k, b ORDER BY rn) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY k, b) AS BIGINT) AS cnt,
+         CAST(SUM(v) OVER (PARTITION BY k, b) AS BIGINT) AS sv,
+         CAST(SUM(v * v) OVER (PARTITION BY k, b) AS BIGINT) AS svv
+  FROM blk
+),
+dev AS (
+  SELECT k, b, sv, svv,
+         CAST(k AS BIGINT) * p - CAST(i AS BIGINT) * sv AS kd
+  FROM w WHERE cnt = k
+),
+per_blk AS (
+  SELECT k, b,
+         CAST(MAX(kd) - MIN(kd) AS BIGINT) AS rk,
+         CAST(MAX(sv) AS BIGINT) AS sv,
+         CAST(MAX(svv) AS BIGINT) AS svv
+  FROM dev GROUP BY k, b
+),
+rs AS (
+  SELECT k,
+         (CAST(rk AS DOUBLE) / k)
+           / SQRT(CAST(svv AS DOUBLE) / k
+                  - (CAST(sv AS DOUBLE) / k) * (CAST(sv AS DOUBLE) / k))
+           AS rsv
+  FROM per_blk
+  WHERE CAST(svv AS DOUBLE) / k
+        - (CAST(sv AS DOUBLE) / k) * (CAST(sv AS DOUBLE) / k) > 0
+),
+rsq AS (
+  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(CAST(ROUND(1e9 * rsv, 0) AS BIGINT)) AS BIGINT) AS srsq
+  FROM rs GROUP BY k
+),
+hp AS (
+  SELECT (LN(MAX(CASE WHEN k = 256
+                      THEN srsq / 1e9 / n_blocks END))
+          - LN(MAX(CASE WHEN k = 16
+                        THEN srsq / 1e9 / n_blocks END)))
+         / (LN(256e0) - LN(16e0)) AS h
+  FROM rsq
+)
+SELECT k AS block_size, n_blocks,
+       ROUND(srsq / 1e9 / n_blocks, 6) AS mean_rs,
+       ROUND(h, 6) AS hurst
+FROM rsq CROSS JOIN hp ORDER BY block_size
+"""
+
+#: Spark twin — identical except the epoch spelling and DIV.
+_HURST_SPARK = _HURST.replace(
+    "epoch_us(ts) // 3600000000",
+    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000",
+).replace("(rn - 1) // s.k", "(rn - 1) DIV s.k")
+
+
+def _events_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rescaled-range Hurst exponent of hourly purchase revenue at
+    block sizes 16/64/256. See _HURST."""
+    load(spark, sf_dir)
+    return spark.sql(_HURST_SPARK)
+
+
+QUERIES["events_hurst_rs"] = _events_hurst_rs
+ORACLES["events_hurst_rs"] = _HURST

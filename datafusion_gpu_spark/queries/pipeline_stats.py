@@ -2446,3 +2446,155 @@ def _curation_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["curation_eb_shrinkage"] = _curation_eb_shrinkage
 ORACLES["curation_eb_shrinkage"] = _EB_SHRINK
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — CUPED variance reduction (Deng, Xu, Kohavi & Walker 2013):
+# the modern experimentation workhorse the A/B family lacked. The
+# two-sample tests (events_ab_test, events_rate_ratio) pay the full
+# between-user variance; CUPED regresses each user's POST-period spend
+# on their PRE-period spend (theta = cov(X,Y)/var(X), fitted pooled —
+# the pre-period predates assignment, so adjustment cannot bias the
+# effect) and tests the adjusted metric Y - theta*(X - Xbar), cutting
+# variance by ~rho^2 and shrinking the detectable effect accordingly.
+#
+# Numeric contract: per-user pre/post cent totals are EXACT bigints
+# (one groupBy(user) with the global time midpoint broadcast); the
+# pooled moment folds (sx, sy, sxy, sxx, syy) are exact bigint sums
+# with a VISIBLE m2-based headroom guard (n * max(x^2, |xy|, y^2) <
+# 9e18 — per-row products stay inside int64 to ~$92M user totals);
+# theta/xbar are terminal single-expression doubles; the ADJUSTED
+# per-user value quantizes ONCE to the whole-cent grid (bias < 0.5
+# cent per user, deterministic both engines), making the per-cohort
+# adjusted folds exact bigints again. z tests are Welch-style on the
+# cohort folds. Scale: one groupBy(user), one one-row moment fold
+# broadcast back, one groupBy(cohort) — no pair spaces, no windows.
+# ---------------------------------------------------------------------------
+_CUPED = """
+WITH rng AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS tmid
+  FROM events
+),
+per_u AS (
+  SELECT user_id % 2 AS g,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) < tmid
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                            AND epoch_us(ts) >= tmid
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y
+  FROM events CROSS JOIN rng
+  GROUP BY user_id
+),
+mom AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(MAX(GREATEST(x * x, ABS(x * y), y * y)) AS BIGINT) AS m2
+  FROM per_u
+),
+th AS (
+  SELECT n, m2,
+         CAST(sx AS DOUBLE) / n AS xbar,
+         CASE WHEN CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n > 0
+              THEN (CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / (CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+              ELSE 0.0 END AS theta,
+         CAST(n AS DOUBLE) * m2 < 9e18 AS ok
+  FROM mom
+),
+adj AS (
+  SELECT g, x, y, theta, ok,
+         CAST(ROUND(CAST(y AS DOUBLE)
+                    - theta * (CAST(x AS DOUBLE) - xbar), 0) AS BIGINT)
+           AS a
+  FROM per_u CROSS JOIN th
+),
+coh AS (
+  SELECT g,
+         CAST(COUNT(*) AS BIGINT) AS ng,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(a) AS BIGINT) AS sa,
+         CAST(SUM(a * a) AS BIGINT) AS saa,
+         BOOL_AND(ok) AS ok
+  FROM adj GROUP BY g
+),
+piv AS (
+  SELECT MAX(CASE WHEN g = 1 THEN ng END) AS n1,
+         MAX(CASE WHEN g = 0 THEN ng END) AS n0,
+         MAX(CASE WHEN g = 1 THEN sy END) AS sy1,
+         MAX(CASE WHEN g = 0 THEN sy END) AS sy0,
+         MAX(CASE WHEN g = 1 THEN syy END) AS syy1,
+         MAX(CASE WHEN g = 0 THEN syy END) AS syy0,
+         MAX(CASE WHEN g = 1 THEN sa END) AS sa1,
+         MAX(CASE WHEN g = 0 THEN sa END) AS sa0,
+         MAX(CASE WHEN g = 1 THEN saa END) AS saa1,
+         MAX(CASE WHEN g = 0 THEN saa END) AS saa0,
+         BOOL_AND(ok) AS ok
+  FROM coh
+),
+st AS (
+  SELECT n1, n0, ok,
+         CAST(sy1 AS DOUBLE) / n1 AS my1,
+         CAST(sy0 AS DOUBLE) / n0 AS my0,
+         (CAST(syy1 AS DOUBLE)
+          - CAST(sy1 AS DOUBLE) * CAST(sy1 AS DOUBLE) / n1) / (n1 - 1)
+           AS vy1,
+         (CAST(syy0 AS DOUBLE)
+          - CAST(sy0 AS DOUBLE) * CAST(sy0 AS DOUBLE) / n0) / (n0 - 1)
+           AS vy0,
+         CAST(sa1 AS DOUBLE) / n1 AS ma1,
+         CAST(sa0 AS DOUBLE) / n0 AS ma0,
+         (CAST(saa1 AS DOUBLE)
+          - CAST(sa1 AS DOUBLE) * CAST(sa1 AS DOUBLE) / n1) / (n1 - 1)
+           AS va1,
+         (CAST(saa0 AS DOUBLE)
+          - CAST(sa0 AS DOUBLE) * CAST(sa0 AS DOUBLE) / n0) / (n0 - 1)
+           AS va0
+  FROM piv
+)
+SELECT n1, n0,
+       CASE WHEN ok THEN ROUND((SELECT theta FROM th), 6) END AS theta,
+       CASE WHEN ok THEN ROUND((my1 - my0) / 100.0, 6) END AS diff_unadj,
+       CASE WHEN ok AND vy1 / n1 + vy0 / n0 > 0
+            THEN ROUND((my1 - my0) / SQRT(vy1 / n1 + vy0 / n0), 6)
+       END AS z_unadj,
+       CASE WHEN ok THEN ROUND((ma1 - ma0) / 100.0, 6) END AS diff_cuped,
+       CASE WHEN ok AND va1 / n1 + va0 / n0 > 0
+            THEN ROUND((ma1 - ma0) / SQRT(va1 / n1 + va0 / n0), 6)
+       END AS z_cuped,
+       CASE WHEN ok AND vy1 + vy0 > 0
+            THEN ROUND(1.0 - (va1 + va0) / (vy1 + vy0), 6)
+       END AS var_reduction
+FROM st
+"""
+
+#: Spark twin — identical except the epoch spelling and DIV.
+_CUPED_SPARK = _CUPED.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(MIN(unix_micros(CAST(ts AS TIMESTAMP)))"
+    " + MAX(unix_micros(CAST(ts AS TIMESTAMP)))) // 2",
+    "(MIN(unix_micros(CAST(ts AS TIMESTAMP)))"
+    " + MAX(unix_micros(CAST(ts AS TIMESTAMP)))) DIV 2",
+).replace("BOOL_AND", "EVERY")
+
+
+def _events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted purchase-spend A/B between the user_id parity
+    cohorts: pre-period covariate theta-fit pooled, Welch z on raw and
+    adjusted metrics, realized variance reduction. See _CUPED."""
+    load(spark, sf_dir)
+    return spark.sql(_CUPED_SPARK)
+
+
+QUERIES["events_cuped"] = _events_cuped
+ORACLES["events_cuped"] = _CUPED

@@ -582,3 +582,44 @@ def test_t_closeness_planted(spark):
     assert got[2].tv_distance == 0.5 and got[2].violates_t025
     assert got[3].tv_distance == 0.5 and got[3].violates_t025
     assert got[2].class_size == 10
+
+
+def test_capture_recapture_chapman(spark):
+    """Chapman's estimator on deterministic hash captures: replay the
+    salted-md5 marks in Python, verify the exact counts and the
+    estimator arithmetic, and confirm the self-validating within-2-SE
+    contract holds on planted corpora of two sizes (the independence of
+    the two salts is what makes the overlap binomial)."""
+    import hashlib
+    import math
+
+    from datafusion_gpu_spark.queries.pipeline_eval import _CHAPMAN_SPARK
+
+    def bucket(salt, doc_id):
+        h = hashlib.md5(f"{salt}:{doc_id}".encode()).hexdigest()[:15]
+        return int(h, 16) % 1_000_000
+
+    for n_docs in (2000, 7000):
+        spark.range(n_docs).selectExpr(
+            "id AS doc_id", "'x' AS text", "'en' AS lang", "'web' AS source"
+        ).createOrReplaceTempView("documents")
+        got = spark.sql(_CHAPMAN_SPARK).collect()[0]
+        n1 = sum(1 for d in range(n_docs) if bucket("crawl-a", d) < 400000)
+        n2 = sum(1 for d in range(n_docs) if bucket("crawl-b", d) < 400000)
+        m = sum(
+            1
+            for d in range(n_docs)
+            if bucket("crawl-a", d) < 400000 and bucket("crawl-b", d) < 400000
+        )
+        assert (got.n1, got.n2, got.m_overlap, got.n_true) == (
+            n1, n2, m, n_docs
+        )
+        n_hat = (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0
+        se = math.sqrt(
+            (n1 + 1.0) * (n2 + 1.0) * (n1 - m) * (n2 - m)
+            / ((m + 1.0) ** 2 * (m + 2.0))
+        )
+        assert got.n_hat == round(n_hat, 6)
+        assert got.se_hat == round(se, 6)
+        assert got.within_2se == (abs(n_hat - n_docs) <= 2.0 * se)
+        assert got.within_2se is True  # the estimator really works

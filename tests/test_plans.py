@@ -755,6 +755,12 @@ _BNLJ_BEARING_R11 = (
     "curation_eb_shrinkage",
     # sim_corpus_dispersion (r13): one exempt one-row gl x sds cross
     "sim_corpus_dispersion",
+    # events_cuped (r13): exempt one-row crosses (tmid, theta, scalar
+    # theta subquery)
+    "events_cuped",
+    # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
+    # one-row hurst cross
+    "events_hurst_rs",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
     # (the r13 pocock sibling and the streaming twin share _GS_FOLD,
     # hence the same 3 exempt BNLJs)

@@ -2823,3 +2823,192 @@ def test_eb_shrinkage_degenerate_dispersion(spark):
     for r in spark.sql(_EB_SHRINK).collect():
         assert r.raw_rate == 0.5
         assert r.shrunk_rate is None and r.alpha is None
+
+
+def test_cuped_variance_reduction_planted(spark):
+    """CUPED on a plant where post = pre + small idiosyncrasy + a true
+    cohort effect: theta ~ 1, the realized variance reduction is large
+    (rho^2-sized), and the adjusted z DETECTS the effect the raw Welch
+    z also sees but with a far larger |z| — replayed exactly, cent
+    quantization included."""
+    import math
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _CUPED_SPARK
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    users = []
+    for u in range(200):
+        g = u % 2
+        x = 1000 + 137 * (u % 50)          # pre-period cents
+        y = x + 200 * (u % 7) + (500 if g == 1 else 0)  # post + effect
+        users.append((g, x, y))
+        rows.append((eid, t0 + timedelta(hours=1), u, "purchase", x / 100.0, ""))
+        eid += 1
+        rows.append(
+            (eid, t0 + timedelta(days=10), u, "purchase", y / 100.0, "")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_CUPED_SPARK).collect()[0]
+
+    n = len(users)
+    sx = sum(x for _, x, _ in users)
+    sy = sum(y for _, _, y in users)
+    sxy = sum(x * y for _, x, y in users)
+    sxx = sum(x * x for _, x, _ in users)
+    xbar = sx / n
+    theta = (sxy - sx * sy / n) / (sxx - sx * sx / n)
+    assert got.theta == round(theta, 6)
+
+    def coh(g, vals):
+        v = [val for gg, val in vals if gg == g]
+        m = sum(v) / len(v)
+        var = (sum(x * x for x in v) - sum(v) ** 2 / len(v)) / (len(v) - 1)
+        return len(v), m, var
+
+    raw = [(g, y) for g, _, y in users]
+    adj = [(g, rhu(y - theta * (x - xbar))) for g, x, y in users]
+    n1, my1, vy1 = coh(1, raw)
+    n0, my0, vy0 = coh(0, raw)
+    _, ma1, va1 = coh(1, adj)
+    _, ma0, va0 = coh(0, adj)
+    assert got.diff_unadj == round((my1 - my0) / 100.0, 6)
+    assert got.z_unadj == round((my1 - my0) / math.sqrt(vy1 / n1 + vy0 / n0), 6)
+    assert got.diff_cuped == round((ma1 - ma0) / 100.0, 6)
+    assert got.z_cuped == round((ma1 - ma0) / math.sqrt(va1 / n1 + va0 / n0), 6)
+    assert got.var_reduction == round(1.0 - (va1 + va0) / (vy1 + vy0), 6)
+    # the plant's point, twice over: (1) pre explains most post
+    # variance, so the adjusted test is far sharper; (2) the parity
+    # cohorts are PRE-IMBALANCED (u%2 interacts with the u%50 spend
+    # pattern), so the raw difference ($6.41) overstates the true $5
+    # effect while CUPED recovers it — covariate adjustment corrects
+    # pre-existing imbalance as well as shrinking variance
+    assert got.var_reduction > 0.9
+    assert abs(got.z_cuped) > 2 * abs(got.z_unadj)
+    assert abs(got.diff_cuped - 5.0) < 0.1
+    assert got.diff_unadj > 6.0
+
+
+def test_cuped_degenerate_pre_period(spark):
+    """Constant pre-period spend: var(X) = 0 -> theta = 0 by the guard
+    and the adjusted metric equals the raw metric exactly (variance
+    reduction 0)."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _CUPED_SPARK
+
+    t0 = datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(40):
+        rows.append((eid, t0 + timedelta(hours=1), u, "purchase", 10.0, ""))
+        eid += 1
+        rows.append(
+            (eid, t0 + timedelta(days=10), u, "purchase",
+             20.0 + (u % 5), "")
+        )
+        eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = spark.sql(_CUPED_SPARK).collect()[0]
+    assert got.theta == 0.0
+    assert got.diff_cuped == got.diff_unadj
+    assert got.z_cuped == got.z_unadj
+    assert got.var_reduction == 0.0
+
+
+def test_hurst_rs_regimes(spark):
+    """Directional contract across the three canonical regimes, using
+    planted hourly series: a strongly TRENDING series (cumulative
+    positive drift) gives H near 1; a strictly ALTERNATING series
+    (maximal mean reversion) gives H near 0; an iid-like scrambled
+    series sits near the random-walk 0.5 (small-sample R/S bias keeps
+    it in [0.4, 0.75])."""
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_forecast import _HURST_SPARK
+
+    t0 = datetime(2024, 1, 1)
+
+    def plant(vals):
+        rows = []
+        for h, v in enumerate(vals):
+            rows.append((h, t0 + timedelta(hours=h), h, "purchase",
+                         v / 100.0, ""))
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).createOrReplaceTempView("events")
+        out = spark.sql(_HURST_SPARK).collect()
+        assert len(out) == 3
+        assert [r.block_size for r in out] == [16, 64, 256]
+        return out[0]
+
+    trend = plant([1000 + 50 * h + (h % 3) for h in range(512)])
+    assert trend.hurst > 0.85
+
+    alt = plant([1000 if h % 2 else 2000 for h in range(512)])
+    assert alt.hurst < 0.15
+
+    import hashlib
+
+    iid = plant([
+        1000 + int(hashlib.md5(str(h).encode()).hexdigest()[:4], 16)
+        for h in range(512)
+    ])
+    assert 0.4 < iid.hurst < 0.75
+
+
+def test_hurst_rs_block_replay(spark):
+    """One 16-block replayed exactly: K*D_i = K*P_i - i*SumV integer
+    cumulative deviations, population sd, 1e-9-quantized block mean."""
+    import math
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.queries.pipeline_forecast import _HURST_SPARK
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    t0 = datetime(2024, 1, 1)
+    vals = [1000 + (h * 37) % 211 for h in range(32)]  # exactly two 16-blocks
+    rows = [
+        (h, t0 + timedelta(hours=h), h, "purchase", v / 100.0, "")
+        for h, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    got = {r.block_size: r for r in spark.sql(_HURST_SPARK).collect()}
+    srsq = 0
+    for b in range(2):
+        block = vals[16 * b : 16 * (b + 1)]
+        sv, svv, k = sum(block), sum(v * v for v in block), 16
+        p = 0
+        kds = []
+        for i, v in enumerate(block, start=1):
+            p += v
+            kds.append(k * p - i * sv)
+        rk = max(kds) - min(kds)
+        var = svv / k - (sv / k) * (sv / k)
+        srsq += rhu(1e9 * ((rk / k) / math.sqrt(var)))
+    assert got[16].n_blocks == 2
+    assert got[16].mean_rs == round(srsq / 1e9 / 2, 6)
+    # 64/256 blocks don't fit in 32 hours: absent from rs -> no rows
+    assert 64 not in got and 256 not in got
