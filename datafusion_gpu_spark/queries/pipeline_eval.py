@@ -1771,3 +1771,94 @@ def _curation_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["curation_capture_recapture"] = _curation_capture_recapture
 ORACLES["curation_capture_recapture"] = _CHAPMAN
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — k-fold cross-validated AUC (the eval-stability readout a
+# single agg_auc_exact number hides): the SAME rank-sum identity, run
+# per deterministic md5 fold (the hash_split family — fold assignment
+# replayed bit-for-bit by DuckDB), windows PARTITIONED BY FOLD
+# (parallel). Every per-fold statistic stays exact bigints until the
+# one AUC division; the across-fold mean/sd quantize each fold AUC
+# once to a 1e-9 bigint (k*1e18 < 9e18 for k = 5). A model whose AUC
+# swings across folds is overfit to slice composition — the sd is the
+# point.
+# ---------------------------------------------------------------------------
+_CV_AUC = """
+WITH t AS (
+  SELECT CAST('0x' || substring(md5('cv-v1:' || CAST(event_id AS VARCHAR)),
+              1, 15) AS BIGINT) % 5 AS fold,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT fold, c,
+         CAST(SUM(pos) AS BIGINT) AS dp,
+         CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY fold, c
+),
+cw AS (
+  SELECT fold, dp, tc,
+         CAST(COALESCE(SUM(tc) OVER (PARTITION BY fold ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+s AS (
+  SELECT fold,
+         CAST(SUM(dp) AS BIGINT) AS n_pos,
+         CAST(SUM(tc - dp) AS BIGINT) AS n_neg,
+         CAST(SUM(dp * (2 * cumb + tc + 1)) AS BIGINT) AS r2_pos
+  FROM cw GROUP BY fold
+),
+fa AS (
+  SELECT fold, n_pos, n_neg,
+         CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+           CAST(r2_pos - n_pos * (n_pos + 1) AS DOUBLE)
+             / (2.0 * n_pos * n_neg)
+         END AS auc
+  FROM s
+),
+fq AS (
+  SELECT fold, n_pos, n_neg, auc,
+         CAST(ROUND(1e9 * auc, 0) AS BIGINT) AS aq
+  FROM fa
+),
+cv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(aq) AS BIGINT) AS saq,
+         CAST(SUM(aq * aq) AS BIGINT) AS saq2
+  FROM fq WHERE aq IS NOT NULL
+)
+SELECT fold, n_pos, n_neg, ROUND(auc, 6) AS auc,
+       CASE WHEN k > 1 THEN ROUND(CAST(saq AS DOUBLE) / 1e9 / k, 6)
+       END AS cv_mean_auc,
+       CASE WHEN k > 1 THEN
+         ROUND(SQRT((CAST(saq2 AS DOUBLE) / 1e18
+                     - (CAST(saq AS DOUBLE) / 1e9)
+                       * (CAST(saq AS DOUBLE) / 1e9) / k) / (k - 1)), 6)
+       END AS cv_sd_auc
+FROM fq CROSS JOIN cv ORDER BY fold
+"""
+
+#: Spark twin — only the md5-prefix-to-int spelling differs.
+_CV_AUC_SPARK = _CV_AUC.replace(
+    "CAST('0x' || substring(md5('cv-v1:' || CAST(event_id AS VARCHAR)),\n"
+    "              1, 15) AS BIGINT)",
+    "CAST(CONV(SUBSTRING(MD5(CONCAT_WS(':', 'cv-v1',"
+    " CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)",
+)
+
+
+def _agg_cv_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated exact ROC AUC of 'value' as the
+    purchase-vs-click score: per-fold rank-sum AUC + across-fold
+    mean/sd. See _CV_AUC."""
+    load(spark, sf_dir)
+    return spark.sql(_CV_AUC_SPARK)
+
+
+QUERIES["agg_cv_auc"] = _agg_cv_auc
+ORACLES["agg_cv_auc"] = _CV_AUC

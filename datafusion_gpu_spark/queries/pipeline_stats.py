@@ -2598,3 +2598,95 @@ def _events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_cuped"] = _events_cuped
 ORACLES["events_cuped"] = _CUPED
+
+
+# ---------------------------------------------------------------------------
+# Round 13 — leave-one-user-out jackknife SE for a RATIO metric (Quenouille
+# 1956; Tukey 1958; the delta-method alternative every experimentation
+# platform ships): revenue-per-event theta = SUM(Y_u)/SUM(N_u) is a
+# ratio of sums, so the per-event CLT does not apply (events within a
+# user are correlated) and a naive SE is anti-conservative. The
+# jackknife resamples USERS: theta_(u) = (SY - Y_u)/(SN - N_u) is a
+# CLOSED FORM per user given the broadcast totals — n leave-one-out
+# estimates in ONE pass, no loop.
+#
+# Numeric contract: per-user Y (cents) and N are exact bigints; the
+# totals are one exact one-row fold; each LOO RELATIVE deviation
+# r_u = theta_(u)/theta - 1 quantizes once to a 1e-9 bigint (a single
+# user can move the ratio by at most O(1), so |rq| stays ~1e9; the
+# per-row square is VISIBLY guarded at |rq| < 3e9 — beyond it the row
+# poisons the fold to NULL rather than wrapping), making the jackknife
+# moment folds exact integer sums. SE = theta * sqrt((n-1)/n *
+# sum((r - rbar)^2)). Scale: one groupBy(user), one one-row totals
+# fold broadcast back, one one-row moment fold.
+# ---------------------------------------------------------------------------
+_JACKKNIFE = """
+WITH per_u AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                       THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS y,
+         CAST(COUNT(*) AS BIGINT) AS nn
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(nn) AS BIGINT) AS sn
+  FROM per_u
+),
+loo AS (
+  SELECT n, sy, sn,
+         CAST(sy AS DOUBLE) / sn AS theta,
+         CASE WHEN sn - nn > 0 THEN
+           CAST(ROUND(1e9 * ((CAST(sy - y AS DOUBLE) / (sn - nn))
+                             / (CAST(sy AS DOUBLE) / sn) - 1.0), 0)
+                AS BIGINT)
+         END AS rq
+  FROM per_u CROSS JOIN tot
+),
+mom AS (
+  SELECT MAX(n) AS n, MAX(theta) AS theta,
+         CAST(SUM(rq) AS BIGINT) AS srq,
+         CAST(SUM(CASE WHEN ABS(rq) < 3000000000 THEN rq * rq END)
+              AS BIGINT) AS srq2
+  FROM loo
+)
+SELECT n AS n_users,
+       ROUND(theta / 100.0, 6) AS revenue_per_event,
+       CASE WHEN n > 1 AND srq2 IS NOT NULL THEN
+         ROUND(theta / 100.0
+               * SQRT((CAST(n AS DOUBLE) - 1.0) / n
+                      * (CAST(srq2 AS DOUBLE) / 1e18
+                         - (CAST(srq AS DOUBLE) / 1e9)
+                           * (CAST(srq AS DOUBLE) / 1e9) / n)), 6)
+       END AS se_jackknife,
+       CASE WHEN n > 1 AND srq2 IS NOT NULL THEN
+         ROUND(theta / 100.0
+               - 1.959964 * (theta / 100.0
+                 * SQRT((CAST(n AS DOUBLE) - 1.0) / n
+                        * (CAST(srq2 AS DOUBLE) / 1e18
+                           - (CAST(srq AS DOUBLE) / 1e9)
+                             * (CAST(srq AS DOUBLE) / 1e9) / n))), 6)
+       END AS ci_lo,
+       CASE WHEN n > 1 AND srq2 IS NOT NULL THEN
+         ROUND(theta / 100.0
+               + 1.959964 * (theta / 100.0
+                 * SQRT((CAST(n AS DOUBLE) - 1.0) / n
+                        * (CAST(srq2 AS DOUBLE) / 1e18
+                           - (CAST(srq AS DOUBLE) / 1e9)
+                             * (CAST(srq AS DOUBLE) / 1e9) / n))), 6)
+       END AS ci_hi
+FROM mom
+"""
+
+
+def _events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-user-out jackknife SE + 95% CI for revenue-per-event
+    (a ratio of sums — user-clustered, so per-event CLT SEs are
+    wrong). See _JACKKNIFE."""
+    load(spark, sf_dir)
+    return spark.sql(_JACKKNIFE)
+
+
+QUERIES["events_jackknife_ratio"] = _events_jackknife_ratio
+ORACLES["events_jackknife_ratio"] = _JACKKNIFE

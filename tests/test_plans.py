@@ -761,6 +761,9 @@ _BNLJ_BEARING_R11 = (
     # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
     # one-row hurst cross
     "events_hurst_rs",
+    # agg_cv_auc / events_jackknife_ratio (r13): exempt one-row
+    # summary/totals crosses
+    "agg_cv_auc", "events_jackknife_ratio",
     # events_group_sequential: 5-row looks VALUES literal + one-row tot
     # (the r13 pocock sibling and the streaming twin share _GS_FOLD,
     # hence the same 3 exempt BNLJs)

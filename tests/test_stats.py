@@ -3012,3 +3012,120 @@ def test_hurst_rs_block_replay(spark):
     assert got[16].mean_rs == round(srsq / 1e9 / 2, 6)
     # 64/256 blocks don't fit in 32 hours: absent from rs -> no rows
     assert 64 not in got and 256 not in got
+
+
+def test_cv_auc_perfect_separation_and_replay(spark):
+    """Perfect score separation gives every fold AUC exactly 1 (mean 1,
+    sd exactly 0); a mixed plant is replayed per fold with the md5
+    fold assignment and the tie-averaged rank identity."""
+    import hashlib
+    from datetime import datetime, timedelta
+
+    from datafusion_gpu_spark.queries.pipeline_eval import _CV_AUC_SPARK
+
+    t0 = datetime(2024, 1, 1)
+
+    def fold_of(eid):
+        h = hashlib.md5(f"cv-v1:{eid}".encode()).hexdigest()[:15]
+        return int(h, 16) % 5
+
+    rows = []
+    for eid in range(400):
+        pos = eid % 2
+        val = (100 + (eid % 7)) if pos else (10 + (eid % 7))
+        rows.append((eid, t0 + timedelta(minutes=eid), eid,
+                     "purchase" if pos else "click", val / 100.0, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    out = spark.sql(_CV_AUC_SPARK).collect()
+    assert len(out) == 5
+    assert all(r.auc == 1.0 for r in out)
+    assert out[0].cv_mean_auc == 1.0 and out[0].cv_sd_auc == 0.0
+
+    # mixed plant: replay each fold's tie-averaged rank-sum AUC
+    rows = []
+    for eid in range(600):
+        pos = eid % 3 == 0
+        val = (eid * 17) % 50 + (25 if pos else 0)  # overlapping scores
+        rows.append((eid, t0 + timedelta(minutes=eid), eid,
+                     "purchase" if pos else "click", val / 100.0, ""))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string",
+    ).createOrReplaceTempView("events")
+    out = {r.fold: r for r in spark.sql(_CV_AUC_SPARK).collect()}
+    for f in range(5):
+        ev = [
+            ((eid * 17) % 50 + (25 if eid % 3 == 0 else 0), eid % 3 == 0)
+            for eid in range(600)
+            if fold_of(eid) == f
+        ]
+        pos_scores = sorted(s for s, p in ev if p)
+        neg_scores = sorted(s for s, p in ev if not p)
+        u = 0.0
+        for p in pos_scores:
+            for ng in neg_scores:
+                u += 1.0 if p > ng else (0.5 if p == ng else 0.0)
+        auc = u / (len(pos_scores) * len(neg_scores))
+        assert out[f].auc == round(auc, 6), (f, out[f].auc, auc)
+
+
+def test_jackknife_ratio_replay_and_homogeneous_zero(spark):
+    """LOO jackknife replayed exactly (1e-9 relative-deviation
+    quantization included) on a heterogeneous plant; identical users
+    make every LOO ratio equal the full ratio -> SE exactly 0."""
+    import math
+    from datetime import datetime, timedelta
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.queries.pipeline_stats import _JACKKNIFE
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    t0 = datetime(2024, 1, 1)
+
+    def plant(users):
+        rows, eid = [], 0
+        for u, (y_cents, n_ev) in enumerate(users):
+            per = y_cents // n_ev
+            rem = y_cents - per * (n_ev - 1)
+            for i in range(n_ev):
+                cents = rem if i == n_ev - 1 else per
+                rows.append((eid, t0 + timedelta(minutes=eid), u,
+                             "purchase", cents / 100.0, ""))
+                eid += 1
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        ).createOrReplaceTempView("events")
+        return spark.sql(_JACKKNIFE).collect()[0]
+
+    users = [(1000 + 317 * (u % 13), 1 + u % 9) for u in range(60)]
+    got = plant(users)
+    sy = sum(y for y, _ in users)
+    sn = sum(n for _, n in users)
+    theta = sy / sn
+    rqs = [
+        rhu(1e9 * (((sy - y) / (sn - n)) / theta - 1.0)) for y, n in users
+    ]
+    m = len(users)
+    srq, srq2 = sum(rqs), sum(q * q for q in rqs)
+    se = (theta / 100.0) * math.sqrt(
+        (m - 1) / m * (srq2 / 1e18 - (srq / 1e9) ** 2 / m)
+    )
+    assert got.n_users == m
+    assert got.revenue_per_event == round(theta / 100.0, 6)
+    assert got.se_jackknife == round(se, 6)
+    assert got.ci_lo == round(theta / 100.0 - 1.959964 * se, 6)
+    assert got.ci_hi == round(theta / 100.0 + 1.959964 * se, 6)
+    assert got.se_jackknife > 0
+
+    same = plant([(2400, 4)] * 30)
+    assert same.se_jackknife == 0.0
+    assert same.ci_lo == same.revenue_per_event == same.ci_hi == 6.0
