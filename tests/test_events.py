@@ -1574,3 +1574,91 @@ def test_siegel_trend_per_anchor_replay(spark):
     assert got.n_pairs == n * (n - 1) // 2 == 15
     assert got.slope == round(slope, 6)
     assert got.intercept == round(icpt, 6)
+
+
+def test_logrank_invariances(spark):
+    """Structural invariances of the log-rank family: (1) chi2 is
+    invariant under any strictly increasing duration transform (only
+    the event-time ORDER enters the folds); (2) swapping the group
+    labels leaves chi2/variance unchanged and maps O1 to the
+    complementary event count."""
+    from datafusion_gpu_spark.operators.events import survival_logrank
+
+    rows = _freireich_rows()
+    base = survival_logrank(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+
+    warped = [(g, 3 * t * t + 7, o) for g, t, o in rows]  # strictly increasing
+    w = survival_logrank(
+        spark.createDataFrame(warped, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert (w.chi2_lr, w.var_lr, w.o1, w.e1) == (
+        base.chi2_lr, base.var_lr, base.o1, base.e1
+    )
+
+    swapped = [(1 - g, t, o) for g, t, o in rows]
+    sw = survival_logrank(
+        spark.createDataFrame(swapped, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert sw.chi2_lr == base.chi2_lr
+    assert sw.o1 == 30 - base.o1  # total events - original O1
+    assert sw.reject_05 == base.reject_05
+
+
+def test_cox_group_swap_negates_beta(spark):
+    """Swapping the covariate labels must negate beta (HR inverts) —
+    the Newton path is symmetric because r_t(b) for swapped groups
+    equals 1 - r_t(-b); quantization is sign-symmetric, so the rounded
+    fits mirror exactly on this data."""
+    from datafusion_gpu_spark.operators.events import cox_ph_binary
+
+    rows = _freireich_rows()
+    base = cox_ph_binary(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    sw = cox_ph_binary(
+        spark.createDataFrame(
+            [(1 - g, t, o) for g, t, o in rows],
+            "grp int, duration long, observed int",
+        )
+    ).collect()[0]
+    assert abs(sw.beta + base.beta) < 2e-6
+    assert abs(sw.hazard_ratio * base.hazard_ratio - 1.0) < 2e-5
+    assert sw.reject_05 == base.reject_05
+
+
+def test_theil_sen_affine_equivariance(spark):
+    """Integer affine equivariance: y -> a*y + b maps slope -> a*slope
+    and intercept -> a*intercept + b EXACTLY (pair slopes scale by the
+    integer a before any rounding; residual medians shift by b)."""
+    from datafusion_gpu_spark.operators.events import theil_sen_trend
+
+    pts = [(1, 10), (2, 30), (4, 31), (7, 90), (11, 95), (13, 40)]
+    base = theil_sen_trend(
+        spark.createDataFrame(pts, "bucket long, v_c long")
+    ).collect()[0]
+    aff = theil_sen_trend(
+        spark.createDataFrame(
+            [(x, 3 * y + 500) for x, y in pts], "bucket long, v_c long"
+        )
+    ).collect()[0]
+    assert aff.slope == round(3 * base.slope, 6)
+    assert aff.intercept == round(3 * base.intercept + 500, 6)
+
+
+def test_life_table_censor_shift_within_interval_invariant(spark):
+    """The actuarial convention only counts WHICH interval a censoring
+    lands in — moving a censor time within its 12h interval changes
+    nothing."""
+    from datafusion_gpu_spark.operators.events import life_table
+
+    rows = [(3, 1), (7, 1), (5, 0), (11, 0), (15, 1), (30, 0)]
+    moved = [(3, 1), (7, 1), (1, 0), (6, 0), (15, 1), (35, 0)]
+    a = life_table(
+        spark.createDataFrame(rows, "duration long, observed int"), width=12
+    ).collect()
+    b = life_table(
+        spark.createDataFrame(moved, "duration long, observed int"), width=12
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
