@@ -1,4 +1,4 @@
-"""Governance, calibration and classifier-eval gates (rounds 9-11).
+"""Governance, calibration and classifier-eval gates (rounds 9-13).
 
 Data-governance trio (k-anonymity, l-diversity, t-closeness, source
 overlap, profile/checksum manifests), error-safe expressions, AUC /

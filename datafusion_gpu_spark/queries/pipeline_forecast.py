@@ -1,5 +1,5 @@
-"""Ranking curves + the forecasting / seasonal time-series family
-(rounds 10-11).
+"""Ranking curves + the forecasting / seasonal time-series /
+survival-comparison family (rounds 10-13).
 
 Gain/lift and precision@k ranking gates, Holt double smoothing,
 Holt-Winters additive, Croston intermittent demand, Theil U2 skill,

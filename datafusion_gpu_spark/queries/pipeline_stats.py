@@ -1,4 +1,4 @@
-"""Exact-arithmetic statistical inference gates (rounds 8-9).
+"""Exact-arithmetic statistical inference gates (rounds 8-13).
 
 Two-sample tests (Mann-Whitney U, KS, Cramer-von Mises, Welch t,
 Spearman, Benford), the k-group family (Kruskal-Wallis, ANOVA F,
