@@ -1662,3 +1662,114 @@ def test_life_table_censor_shift_within_interval_invariant(spark):
         spark.createDataFrame(moved, "duration long, observed int"), width=12
     ).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_survival_logrank_k4_adjugate_replay(spark):
+    """The m = 3 (k = 4) closed-form 3x3 adjugate path, untested by the
+    k=2/k=3 cases: four arms with distinct hazard profiles vs an
+    independent replay that inverts the summed covariance with
+    numpy-free cofactor arithmetic under the same 1e-9 quantization;
+    plus the identical-arms zero and a 4-arm single-death hand case
+    (E_j = n_j/n, V from the multivariate hypergeometric)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from datafusion_gpu_spark.operators.events import survival_logrank_k
+
+    def rhu(x):
+        return int(Decimal(x).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+    rows = []
+    for j in range(4):
+        for i in range(15):
+            t = 1 + (5 * i + 2 * j * i + j * j) % 19 + 3 * j
+            rows.append((j, t, 1 if (i + j) % 5 else 0))
+    df = spark.createDataFrame(rows, "grp int, duration long, observed int")
+    got = survival_logrank_k(df, 4).collect()[0]
+    assert got.n_groups == 4 and got.df == 3 and got.n_subjects == 60
+
+    per_t = {}
+    for g, t, o in rows:
+        e = per_t.setdefault(t, [[0, 0] for _ in range(4)])
+        e[g][0] += o
+        e[g][1] += 1 - o
+    times = sorted(per_t)
+    n = [0] * 4
+    suf = {}
+    for t in reversed(times):
+        for j in range(4):
+            n[j] += sum(per_t[t][j])
+        suf[t] = tuple(n)
+    o = [0] * 4
+    se = [0] * 4  # quantized E sums, index 1..3 used
+    sv = [[0] * 4 for _ in range(4)]
+    ot = 0
+    for t in times:
+        d_j = [per_t[t][j][0] for j in range(4)]
+        d = sum(d_j)
+        if d == 0:
+            continue
+        nj = suf[t]
+        nr = sum(nj)
+        nf = float(nr)
+        ot += d
+        tail = (nf - d) / (nf - 1.0) if nr > 1 else 0.0
+        for j in range(1, 4):
+            o[j] += d_j[j]
+            se[j] += rhu(1e9 * (float(d) * nj[j] / nf))
+            for l in range(j, 4):
+                if nr <= 1:
+                    continue
+                if j == l:
+                    v = float(d) * (nj[j] / nf) * ((nr - nj[j]) / nf) * tail
+                else:
+                    v = -(float(d) * (nj[j] / nf) * (nj[l] / nf) * tail)
+                sv[j][l] += rhu(1e9 * v)
+    z = [0.0] + [o[j] - se[j] / 1e9 for j in range(1, 4)]
+    V = [[0.0] * 4 for _ in range(4)]
+    for j in range(1, 4):
+        for l in range(j, 4):
+            V[j][l] = V[l][j] = sv[j][l] / 1e9
+    # cofactors of the symmetric 3x3 (indices 1..3)
+    c11 = V[2][2] * V[3][3] - V[2][3] * V[2][3]
+    c12 = V[1][3] * V[2][3] - V[1][2] * V[3][3]
+    c13 = V[1][2] * V[2][3] - V[1][3] * V[2][2]
+    c22 = V[1][1] * V[3][3] - V[1][3] * V[1][3]
+    c23 = V[1][3] * V[1][2] - V[1][1] * V[2][3]
+    c33 = V[1][1] * V[2][2] - V[1][2] * V[1][2]
+    det = V[1][1] * c11 + V[1][2] * c12 + V[1][3] * c13
+    quad = (
+        z[1] * z[1] * c11 + z[2] * z[2] * c22 + z[3] * z[3] * c33
+        + 2.0 * z[1] * z[2] * c12
+        + 2.0 * z[1] * z[3] * c13
+        + 2.0 * z[2] * z[3] * c23
+    )
+    chi2 = quad / det
+    assert got.o_total == ot
+    assert got.chi2_lr_k == round(chi2, 6)
+    assert got.reject_05 == (chi2 > 7.814728)
+
+    # identical 4 arms: chi2 exactly 0
+    prof = [(2, 1), (3, 1), (5, 0), (7, 1), (11, 0)]
+    same = survival_logrank_k(
+        spark.createDataFrame(
+            [(g, t, o) for g in range(4) for t, o in prof],
+            "grp int, duration long, observed int",
+        ),
+        4,
+    ).collect()[0]
+    assert same.chi2_lr_k == 0.0 and same.reject_05 is False
+
+    # 4-arm single death at t=1 with n = (2, 2, 2, 4): z = -(E_1..3)
+    # = -(1/5, 1/5, 2/5); V diag d*(nj/n)((n-nj)/n), offdiag -(nj*nl/n^2)
+    rows4 = (
+        [(0, 1, 1), (0, 9, 0)]
+        + [(1, 9, 0)] * 2
+        + [(2, 9, 0)] * 2
+        + [(3, 9, 0)] * 4
+    )
+    one = survival_logrank_k(
+        spark.createDataFrame(rows4, "grp int, duration long, observed int"),
+        4,
+    ).collect()[0]
+    assert one.o_total == 1 and one.n_subjects == 10
+    assert one.chi2_lr_k is not None and one.reject_05 is False
