@@ -5730,6 +5730,7 @@ SELECT node, label FROM r3
 # the pre-split module: private helpers are re-exported into this namespace
 # so existing import sites (tests, tools) resolve unchanged.
 # ---------------------------------------------------------------------------
+from datafusion_gpu_spark.queries import pipeline_diag as _m_diag  # noqa: E402
 from datafusion_gpu_spark.queries import pipeline_eval as _m_eval  # noqa: E402
 from datafusion_gpu_spark.queries import pipeline_forecast as _m_forecast  # noqa: E402
 from datafusion_gpu_spark.queries import pipeline_metrics as _m_metrics  # noqa: E402
@@ -5762,4 +5763,6 @@ def _merge_family_exports(target: dict, modules) -> None:
                 merged_from[k] = m.__name__
 
 
-_merge_family_exports(globals(), (_m_stats, _m_eval, _m_forecast, _m_metrics))
+_merge_family_exports(
+    globals(), (_m_stats, _m_eval, _m_forecast, _m_metrics, _m_diag)
+)
