@@ -322,3 +322,389 @@ def _agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_fleiss_kappa"] = _agg_fleiss_kappa
 ORACLES["agg_fleiss_kappa"] = _FLEISS_KAPPA
+
+
+# ---------------------------------------------------------------------------
+# Somers' D (Somers 1962) between hour-of-day (X, the predictor) and
+# purchase cents (Y) — the ASYMMETRIC member of the concordance family:
+# tau-b treats the two margins symmetrically, while d_yx answers "how
+# much does knowing the hour improve ordering predictions of value"
+# (pairs tied on the predictor are excluded from the denominator; pairs
+# tied only on Y count against the association). d_yx = (nc - nd) /
+# (n0 - Tx), d_xy = (nc - nd) / (n0 - Ty), with n0 = n(n-1)/2 and
+# Tx/Ty the pair counts tied on each margin (both-ties included, per
+# the standard definition).
+#
+# Spelling: the ENTIRE grid/cumulative machinery is _KENDALL_TAU's,
+# reused by marker-replace of its terminal SELECT (the streaming-twin
+# assert-marker technique), so the two gates can never drift apart; the
+# Somers tail is two guarded terminal divisions on the same exact
+# bigint folds. Same visible n^2 < 9e18 headroom guard.
+# ---------------------------------------------------------------------------
+from datafusion_gpu_spark.queries.pipeline_stats import _KENDALL_TAU
+
+_KT_TAIL_MARKER = "SELECT n, nc, nd, t2x / 2 AS ties_x"
+_KT_HEAD, _KT_SEP, _ = _KENDALL_TAU.partition(_KT_TAIL_MARKER)
+assert _KT_SEP, "kendall terminal SELECT drifted; fix _KT_TAIL_MARKER"
+
+_SOMERS_D = _KT_HEAD + """SELECT n, nc, nd,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+            THEN CAST(n * (n - 1) / 2 - t2x / 2 AS BIGINT)
+       END AS pairs_x_untied,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+            THEN CAST(n * (n - 1) / 2 - t2y / 2 AS BIGINT)
+       END AS pairs_y_untied,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND n * (n - 1) / 2 - t2x / 2 > 0
+            THEN ROUND(CAST(nc - nd AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2x / 2e0), 6)
+       END AS d_yx,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND n * (n - 1) / 2 - t2y / 2 > 0
+            THEN ROUND(CAST(nc - nd AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * (n - 1) / 2e0 - t2y / 2e0), 6)
+       END AS d_xy
+FROM folds, nn, tx, ty
+"""
+
+
+def _agg_somers_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Somers' d_yx / d_xy between hour-of-day and purchase cents —
+    asymmetric concordance on agg_kendall_tau's exact grid folds
+    (machinery reused by marker-replace, so the spellings cannot
+    drift). See _SOMERS_D."""
+    load(spark, sf_dir)
+    return spark.sql(_SOMERS_D)
+
+
+QUERIES["agg_somers_d"] = _agg_somers_d
+ORACLES["agg_somers_d"] = _SOMERS_D
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W coefficient of concordance (Kendall & Babington Smith
+# 1939), tie-corrected — do the five event types ("judges") agree on the
+# ranking of the 24 hours of the day ("items") by total cent volume?
+# The agreement member for RANKINGS the way Fleiss' kappa is for
+# categories; W = 1 is perfect agreement, W = 0 none, and
+# chi2 = m(n-1)W is Friedman's statistic read sideways (n-1 = 23 df).
+#
+# Exact arithmetic end to end: the (judge x hour) grid is the 24-row
+# VALUES hour axis (plan-exempt literal) cross joined with the judge
+# relation, missing cells COALESCE to 0 volume; DOUBLED average ranks
+# (2*min_rank + ties - 1) are integers; per-item rank sums R2_i, the
+# cross-item fold sum R2_i^2, and the per-judge tie correction
+# sum(t^3 - t) are all exact bigints on a domain-bounded (5 x 24)
+# relation — no headroom guard needed beyond the degenerate
+# denominator (all cells tied within every judge -> NULL):
+# W = 3 (sum R2^2 - m^2 n (n+1)^2) / (m^2 (n^3 - n) - m sumT).
+# ---------------------------------------------------------------------------
+_KENDALL_W = """
+WITH cellv AS (
+  SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY event_type, hour(ts)
+),
+hs AS (SELECT CAST(h AS BIGINT) AS h FROM (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9),(10),(11),(12),(13),(14),(15),(16),(17),(18),(19),(20),(21),(22),(23)) AS t(h)),
+gs AS (SELECT DISTINCT g FROM cellv),
+grid AS (
+  SELECT gs.g, hs.h, COALESCE(c.v, 0) AS v
+  FROM gs CROSS JOIN hs
+  LEFT JOIN cellv c ON c.g = gs.g AND c.h = hs.h
+),
+rk AS (
+  SELECT g, h,
+         2 * RANK() OVER (PARTITION BY g ORDER BY v)
+           + COUNT(*) OVER (PARTITION BY g, v) - 1 AS dr
+  FROM grid
+),
+itemsum AS (
+  SELECT h, CAST(SUM(dr) AS BIGINT) AS r2_i FROM rk GROUP BY h
+),
+folds AS (
+  SELECT CAST(SUM(r2_i * r2_i) AS BIGINT) AS sr2sq FROM itemsum
+),
+tiecorr AS (
+  SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS sum_t
+  FROM (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS t FROM grid GROUP BY g, v)
+),
+m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_judges FROM gs),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_items FROM hs),
+w AS (
+  SELECT m_judges, n_items, sr2sq, sum_t,
+         m_judges * m_judges * (n_items * n_items * n_items - n_items)
+           - m_judges * sum_t AS den,
+         3 * (sr2sq - m_judges * m_judges * n_items
+                      * (n_items + 1) * (n_items + 1)) AS num
+  FROM folds CROSS JOIN tiecorr CROSS JOIN m CROSS JOIN nn
+)
+SELECT m_judges, n_items, n_items - 1 AS df,
+       CASE WHEN den > 0
+            THEN ROUND(CAST(num AS DOUBLE) / den, 6) END AS w_concordance,
+       CASE WHEN den > 0
+            THEN ROUND(CAST(m_judges AS DOUBLE) * (n_items - 1)
+                       * num / den, 6) END AS chi2_w,
+       CASE WHEN den > 0
+            THEN CAST(m_judges AS DOUBLE) * (n_items - 1) * num / den
+                 > 35.172462 END AS reject_05
+FROM w
+"""
+
+
+def _agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's W (tie-corrected) — agreement among the five event
+    types on the ranking of the 24 hours by cent volume; integer rank
+    algebra on the bounded (5 x 24) grid, chi2 = m(n-1)W vs 23 df.
+    See _KENDALL_W."""
+    load(spark, sf_dir)
+    return spark.sql(_KENDALL_W)
+
+
+QUERIES["agg_kendall_w"] = _agg_kendall_w
+ORACLES["agg_kendall_w"] = _KENDALL_W
+
+
+# ---------------------------------------------------------------------------
+# Dunn's post-hoc test (Dunn 1964) with Benjamini-Hochberg adjustment —
+# the missing step AFTER agg_kruskal_wallis rejects: WHICH of the five
+# event types differ in value distribution? Each of the k(k-1)/2 = 10
+# pairs gets the rank z-statistic on the POOLED ranks (not a fresh
+# two-sample test — Dunn's point is that reusing the pooled ranks keeps
+# the comparisons consistent with the omnibus H), tie-corrected
+# variance N(N+1)/12 - sumT/(12(N-1)), then the BH step-up at q = 0.05
+# across the pair battery (the agg_bh_fdr machinery inline).
+#
+# Spelling: the vg/pv/cw/g rank CTEs are agg_kruskal_wallis' exact
+# doubled-rank folds; the pair relation is the k-row group summary
+# self-joined (k = 5, bounded); p-values use the Zelen & Severo
+# 26.2.17 Horner normal tail (|err| < 7.5e-8, four orders below the
+# 6dp round — the agg_bh_fdr precedent). VISIBLE guard: tie3 <= N^3-N,
+# so z goes NULL once CAST(n AS DOUBLE)*n*n reaches 9e18 (~2e6 rows;
+# the same bigint-cubic bound documented at _KRUSKAL_WALLIS, which
+# divides tie3 in DOUBLE for the same reason).
+# ---------------------------------------------------------------------------
+_DUNN_POSTHOC = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+vg AS (
+  SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM t GROUP BY grp, c
+),
+pv AS (
+  SELECT c, CAST(SUM(cnt) AS BIGINT) AS tc FROM vg GROUP BY c
+),
+cw AS (
+  SELECT c, tc,
+         CAST(COALESCE(SUM(tc) OVER (ORDER BY c
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS cumb
+  FROM pv
+),
+g AS (
+  SELECT vg.grp,
+         CAST(SUM(vg.cnt) AS BIGINT) AS n_g,
+         CAST(SUM(vg.cnt * (2 * cw.cumb + cw.tc + 1)) AS BIGINT) AS r2_g
+  FROM vg JOIN cw ON vg.c = cw.c
+  GROUP BY vg.grp
+),
+tot AS (
+  SELECT CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(tc * tc * tc - tc) AS BIGINT) AS tie3
+  FROM pv
+),
+pairs AS (
+  SELECT a.grp AS g1, b.grp AS g2, a.n_g AS n1, b.n_g AS n2,
+         a.r2_g AS r1, b.r2_g AS r2
+  FROM g a JOIN g b ON a.grp < b.grp
+),
+z AS (
+  SELECT g1, g2, n1, n2,
+         CASE WHEN CAST(n AS DOUBLE) * n * n < 9e18
+               AND n > 1 AND n1 > 0 AND n2 > 0
+               AND CAST(n AS DOUBLE) * (n + 1) / 12e0
+                   - CAST(tie3 AS DOUBLE) / (12e0 * (n - 1)) > 0
+              THEN (CAST(r1 AS DOUBLE) / (2e0 * n1)
+                    - CAST(r2 AS DOUBLE) / (2e0 * n2))
+                   / SQRT((CAST(n AS DOUBLE) * (n + 1) / 12e0
+                           - CAST(tie3 AS DOUBLE) / (12e0 * (n - 1)))
+                          * (1e0 / n1 + 1e0 / n2))
+         END AS zs
+  FROM pairs CROSS JOIN tot
+),
+p AS (
+  SELECT g1, g2, n1, n2, zs,
+         LEAST(1.0, 2.0 * ((EXP(-(ABS(zs) * ABS(zs)) / 2.0)
+           / 2.5066282746310002)
+           * ((((1.330274429 * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+                 - 1.821255978) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+                + 1.781477937) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+               - 0.356563782) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))
+              + 0.319381530) * (1.0 / (1.0 + 0.2316419 * ABS(zs)))))
+           AS pv
+  FROM z
+),
+ranked AS (
+  SELECT g1, g2, n1, n2, zs, pv,
+         ROW_NUMBER() OVER (ORDER BY pv, g1, g2) AS rn,
+         CAST(COUNT(pv) OVER () AS BIGINT) AS m
+  FROM p
+),
+kstar AS (
+  SELECT g1, g2, n1, n2, zs, pv, rn, m,
+         MAX(CASE WHEN pv <= 0.05 * rn / m THEN rn END) OVER () AS k_max
+  FROM ranked
+)
+SELECT g1, g2, n1, n2,
+       ROUND(zs, 6) AS z,
+       ROUND(pv, 6) AS p_value,
+       rn AS p_rank, m AS n_tests,
+       CASE WHEN zs IS NULL THEN NULL
+            WHEN k_max IS NOT NULL AND rn <= k_max THEN TRUE
+            ELSE FALSE END AS rejected
+FROM kstar ORDER BY p_rank, g1, g2
+"""
+
+
+def _agg_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's pairwise post-hoc on the pooled Kruskal-Wallis ranks with
+    BH control at q = 0.05 across the 10 event-type pairs. See
+    _DUNN_POSTHOC."""
+    load(spark, sf_dir)
+    return spark.sql(_DUNN_POSTHOC)
+
+
+QUERIES["agg_dunn_posthoc"] = _agg_dunn_posthoc
+ORACLES["agg_dunn_posthoc"] = _DUNN_POSTHOC
+
+
+# ---------------------------------------------------------------------------
+# Exact average precision (area under the precision-recall curve in its
+# rank-sum form) of 'value' as a purchase-vs-click score — the
+# PR-side companion of agg_auc_exact: AUC weighs ranking errors by
+# negatives (misleading at class imbalance), AP weighs them by
+# positives, which is what retrieval and rare-event gates report.
+# Tie convention (documented): documents at EQUAL scores retrieve as
+# one block and precision is evaluated at the block end —
+# AP = (1/P) * sum_blocks dp_b * cumP_b / cumT_b, descending score;
+# equal to classical AP when scores are unique, deterministic (not
+# tie-order-dependent) when they are not.
+#
+# Spelling: one groupBy(cents), a single descending cumulative over the
+# distinct-value relation, each block term quantized ONCE to 1e-9
+# (terms <= dp_b, so the fold is bounded by 1e9*N — VISIBLE guard
+# CAST(n_pos AS DOUBLE) * 1e9 < 9e18 on the final division's scale).
+# ---------------------------------------------------------------------------
+_AVG_PRECISION = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c, CAST(SUM(pos) AS BIGINT) AS dp, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+cum AS (
+  SELECT dp, tc,
+         CAST(SUM(dp) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cump,
+         CAST(SUM(tc) OVER (ORDER BY c DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cumt
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * dp * (CAST(cump AS DOUBLE) / cumt), 0)
+                       AS BIGINT)) AS BIGINT) AS sapq
+  FROM cum
+),
+np AS (
+  SELECT CAST(SUM(dp) AS BIGINT) AS n_pos,
+         CAST(SUM(tc - dp) AS BIGINT) AS n_neg
+  FROM pv
+)
+SELECT n_pos, n_neg,
+       CASE WHEN n_pos > 0 AND CAST(n_pos AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(sapq / 1e9 / n_pos, 6) END AS average_precision,
+       CASE WHEN n_pos + n_neg > 0
+            THEN ROUND(CAST(n_pos AS DOUBLE) / (n_pos + n_neg), 6)
+       END AS prevalence_baseline
+FROM s CROSS JOIN np
+"""
+
+
+def _agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked-tie average precision of 'value' as a
+    purchase-vs-click score, with the prevalence baseline a random
+    ranker would achieve. See _AVG_PRECISION."""
+    load(spark, sf_dir)
+    return spark.sql(_AVG_PRECISION)
+
+
+QUERIES["agg_average_precision"] = _agg_average_precision
+ORACLES["agg_average_precision"] = _AVG_PRECISION
+
+
+# ---------------------------------------------------------------------------
+# Binary cross-entropy (log loss) of the calibrated score p = value/500
+# (clamped to [1e-6, 1-1e-6]) against the purchase label — the PROPER
+# scoring rule beside agg_brier_score's quadratic one: log loss punishes
+# confident mistakes unboundedly, so it is the gate that catches a
+# model whose AUC looks fine but whose probabilities are unusable.
+#
+# Spelling: both LN terms are computed ONCE per distinct cent value
+# (identical bigint input -> identical double -> one libm call per
+# DISTINCT VALUE, the greenwood discipline), quantized to 1e-9, and
+# folded against the per-value label counts in exact integer
+# arithmetic; the mean is one terminal division. VISIBLE guard:
+# |ln p| <= ln(1e6) ~ 13.9, so the fold is bounded by 14e9 * N —
+# outputs NULL once CAST(n AS DOUBLE) * 14e9 reaches 9e18 (~6e8 rows).
+# ---------------------------------------------------------------------------
+_LOG_LOSS = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c, CAST(SUM(pos) AS BIGINT) AS dp, CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+q AS (
+  SELECT dp, tc,
+         CAST(ROUND(1e9 * LN(LEAST(GREATEST(
+              CAST(c AS DOUBLE) / 50000.0, 1e-6), 1.0 - 1e-6)), 0)
+              AS BIGINT) AS lpq,
+         CAST(ROUND(1e9 * LN(1.0 - LEAST(GREATEST(
+              CAST(c AS DOUBLE) / 50000.0, 1e-6), 1.0 - 1e-6)), 0)
+              AS BIGINT) AS lnq
+  FROM pv
+),
+s AS (
+  SELECT CAST(SUM(dp * lpq + (tc - dp) * lnq) AS BIGINT) AS sll,
+         CAST(SUM(tc) AS BIGINT) AS n,
+         CAST(SUM(dp) AS BIGINT) AS n_pos
+  FROM q
+)
+SELECT n, n_pos,
+       CASE WHEN n > 0 AND CAST(n AS DOUBLE) * 14e9 < 9e18
+            THEN ROUND(-(sll / 1e9) / n, 6) END AS log_loss
+FROM s
+"""
+
+
+def _agg_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary log loss of the value/500 score against the purchase
+    label — per-distinct-value quantized LN terms, exact integer fold,
+    one terminal mean. See _LOG_LOSS."""
+    load(spark, sf_dir)
+    return spark.sql(_LOG_LOSS)
+
+
+QUERIES["agg_log_loss"] = _agg_log_loss
+ORACLES["agg_log_loss"] = _LOG_LOSS
