@@ -708,3 +708,354 @@ def _agg_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["agg_log_loss"] = _agg_log_loss
 ORACLES["agg_log_loss"] = _LOG_LOSS
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box portmanteau test (Ljung & Box 1978) on the hourly cent
+# series per event type — the "is there ANY serial structure left"
+# omnibus beside events_autocorr's per-lag view and events_pacf's
+# AR-order view: Q = n(n+2) * sum_{k=1..3} r_k^2/(n-k), asymptotically
+# chi-square(3) under white noise.
+#
+# Estimator convention (documented): r_k is the engine's lag-Pearson
+# autocorrelation — the SAME six-moment machinery as
+# events_autocorr/events_pacf (exact bigint lag folds, one fixed
+# terminal float expression), so the family is internally consistent;
+# the classical common-mean/common-denominator ACF differs by O(k/n)
+# and the substitution is the standard finite-sample variant. n is the
+# bucket count per series. Guard: r_k NULL (degenerate variance)
+# propagates to Q; n > 3 required for the df.
+# ---------------------------------------------------------------------------
+_LJUNG_BOX = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v_c
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+lagged AS (
+  SELECT event_type, v_c AS y,
+         LAG(v_c, 1) OVER w AS x1,
+         LAG(v_c, 2) OVER w AS x2,
+         LAG(v_c, 3) OVER w AS x3
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+),
+nbuckets AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM hourly GROUP BY event_type
+),
+pairs AS (
+  SELECT event_type, 1 AS lag_k, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 2 AS lag_k, x2 AS x, y FROM lagged WHERE x2 IS NOT NULL
+  UNION ALL
+  SELECT event_type, 3 AS lag_k, x3 AS x, y FROM lagged WHERE x3 IS NOT NULL
+),
+m AS (
+  SELECT event_type, lag_k, COUNT(*) AS n_pairs,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pairs GROUP BY 1, 2
+),
+r AS (
+  SELECT event_type, lag_k,
+    CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+          AND (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+         THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+         END AS rk
+  FROM m
+),
+q AS (
+  SELECT r.event_type, nb.n,
+         CAST(nb.n AS DOUBLE) * (nb.n + 2)
+           * SUM(rk * rk / (nb.n - lag_k)) AS q_lb
+  FROM r JOIN nbuckets nb ON nb.event_type = r.event_type
+  WHERE nb.n > 3
+  GROUP BY r.event_type, nb.n
+)
+SELECT event_type, n AS n_buckets,
+       ROUND(q_lb, 6) AS q_ljung_box,
+       CASE WHEN q_lb IS NOT NULL
+            THEN q_lb > 7.814728 END AS reject_white_noise_05
+FROM q ORDER BY event_type
+"""
+
+
+def _events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box Q over lags 1..3 of the hourly cent series per event
+    type — the white-noise omnibus on the events_autocorr/pacf lag
+    machinery, vs chi-square(3) at 7.814728. See _LJUNG_BOX."""
+    load(spark, sf_dir)
+    return spark.sql(_LJUNG_BOX)
+
+
+QUERIES["events_ljung_box"] = _events_ljung_box
+ORACLES["events_ljung_box"] = _LJUNG_BOX
+
+
+# ---------------------------------------------------------------------------
+# KPSS level-stationarity test (Kwiatkowski, Phillips, Schmidt & Shin
+# 1992) on the hourly DOLLAR series per event type — the stationarity
+# gate every forecaster in this engine silently assumes (Holt/HW fit
+# levels; a trending series needs differencing first). eta =
+# (1/n^2) sum_t S_t^2 / lrv, with S_t the partial sums of the demeaned
+# series and lrv the Bartlett long-run variance at truncation q = 4;
+# reject level-stationarity when eta > 0.463 (the published 5% point).
+#
+# Exact-arithmetic spelling: the demeaned series quantizes ONCE to
+# integer dollars (eq_t = round(v_t - S/n), computed from the exact
+# bigint numerator (n*v_t - S)/n — ONE correctly-rounded IEEE division
+# per bucket); from there EVERYTHING is integer: partial sums P_t
+# (window cumsum), sum P_t^2, the five autocovariance numerators
+# sg_0..sg_4 (lag folds), and the x5-cleared Bartlett combination
+# L5 = 5*sg0 + 2*(4*sg1 + 3*sg2 + 2*sg3 + sg4), giving
+# eta = 5 * sumP2 / (n * L5) as ONE terminal division. Bartlett weights
+# make L5 >= 0 (Newey-West PSD); L5 = 0 (constant series) -> NULL.
+# VISIBLE guard: the P^2 fold wraps once n * mxP^2 reaches 9e18
+# (mxP = max |P_t|, folded alongside) — NULL past that, the dollar
+# quantum is the knob.
+# ---------------------------------------------------------------------------
+_KPSS = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+d AS (
+  SELECT event_type, bucket, v,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s
+  FROM hourly
+),
+e AS (
+  SELECT event_type, bucket, n,
+         CAST(ROUND(CAST(n * v - s AS DOUBLE) / n, 0) AS BIGINT) AS eq
+  FROM d
+),
+w AS (
+  SELECT event_type, n, eq,
+         CAST(SUM(eq) OVER (PARTITION BY event_type ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS p,
+         LAG(eq, 1) OVER wo AS e1,
+         LAG(eq, 2) OVER wo AS e2,
+         LAG(eq, 3) OVER wo AS e3,
+         LAG(eq, 4) OVER wo AS e4
+  FROM e
+  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket)
+),
+folds AS (
+  SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+         CAST(SUM(p * p) AS BIGINT) AS sump2,
+         CAST(MAX(ABS(p)) AS BIGINT) AS mxp,
+         CAST(SUM(eq * eq) AS BIGINT) AS sg0,
+         CAST(SUM(CASE WHEN e1 IS NOT NULL THEN eq * e1 ELSE 0 END)
+              AS BIGINT) AS sg1,
+         CAST(SUM(CASE WHEN e2 IS NOT NULL THEN eq * e2 ELSE 0 END)
+              AS BIGINT) AS sg2,
+         CAST(SUM(CASE WHEN e3 IS NOT NULL THEN eq * e3 ELSE 0 END)
+              AS BIGINT) AS sg3,
+         CAST(SUM(CASE WHEN e4 IS NOT NULL THEN eq * e4 ELSE 0 END)
+              AS BIGINT) AS sg4
+  FROM w GROUP BY event_type
+),
+k AS (
+  SELECT event_type, n, sump2,
+         CAST(n AS DOUBLE) * mxp * mxp < 9e18 AS headroom,
+         5 * sg0 + 2 * (4 * sg1 + 3 * sg2 + 2 * sg3 + sg4) AS l5
+  FROM folds
+)
+SELECT event_type, n AS n_buckets,
+       CASE WHEN headroom AND l5 > 0 AND n > 4
+            THEN ROUND(5e0 * sump2 / (CAST(n AS DOUBLE) * l5), 6)
+       END AS kpss_eta,
+       CASE WHEN headroom AND l5 > 0 AND n > 4
+            THEN 5e0 * sump2 / (CAST(n AS DOUBLE) * l5) > 0.463
+       END AS reject_level_stationary_05
+FROM k ORDER BY event_type
+"""
+
+
+def _events_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity statistic (Bartlett q = 4) of the hourly
+    dollar series per event type — demeaned series quantized once,
+    then integer partial-sum and autocovariance folds into one
+    terminal division, vs the published 0.463 5% point. See _KPSS."""
+    load(spark, sf_dir)
+    return spark.sql(_KPSS)
+
+
+QUERIES["events_kpss"] = _events_kpss
+ORACLES["events_kpss"] = _KPSS
+
+
+# ---------------------------------------------------------------------------
+# Lo-MacKinlay variance ratio test (Lo & MacKinlay 1988), q = 4, on the
+# hourly dollar series per event type — the random-walk diagnostic the
+# finance members (max_drawdown, OHLC, ATR) sit on top of: VR(q) near 1
+# means increments are serially uncorrelated; VR > 1 momentum; VR < 1
+# mean reversion. VR(q) = Var(v_t - v_{t-q}) / (q * Var(v_t - v_{t-1}))
+# with the drift mu = (v_n - v_1)/(n-1) removed from both, and the
+# homoskedastic z = (VR - 1)/sqrt(2(2q-1)(q-1)/(3qn)).
+#
+# Spelling: 1-step and q-step differences are exact bigint lag folds
+# (sum d, sum d^2 per kind); the drift-corrected sums of squares expand
+# as sum d^2 - 2 mu sum d + m mu^2 — terminal doubles on exact
+# operands. First/last values come from the same ordered window pass.
+# VISIBLE guard: the d^2 fold wraps once n * mxd^2 reaches 9e18 (mxd =
+# max |difference|, folded alongside) — NULL past that.
+# ---------------------------------------------------------------------------
+_VARIANCE_RATIO = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, v,
+         LAG(v, 1) OVER wo AS v1,
+         LAG(v, 4) OVER wo AS v4,
+         FIRST_VALUE(v) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS v_first,
+         LAST_VALUE(v) OVER (PARTITION BY event_type ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS v_last
+  FROM hourly
+  WINDOW wo AS (PARTITION BY event_type ORDER BY bucket)
+),
+folds AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(MAX(v_last) - MAX(v_first) AS BIGINT) AS drift_num,
+         CAST(COUNT(v1) AS BIGINT) AS m1,
+         CAST(SUM(v - v1) AS BIGINT) AS sd1,
+         CAST(SUM((v - v1) * (v - v1)) AS BIGINT) AS sd1sq,
+         CAST(COUNT(v4) AS BIGINT) AS m4,
+         CAST(SUM(v - v4) AS BIGINT) AS sd4,
+         CAST(SUM((v - v4) * (v - v4)) AS BIGINT) AS sd4sq,
+         CAST(MAX(GREATEST(ABS(COALESCE(v - v1, 0)),
+                           ABS(COALESCE(v - v4, 0)))) AS BIGINT) AS mxd
+  FROM w
+  GROUP BY event_type
+),
+v AS (
+  SELECT event_type, n, m1, m4,
+         CAST(n AS DOUBLE) * mxd * mxd < 9e18 AS headroom,
+         CAST(drift_num AS DOUBLE) / (n - 1) AS mu,
+         (CAST(sd1sq AS DOUBLE) - 2e0 * (CAST(drift_num AS DOUBLE) / (n - 1))
+            * sd1 + m1 * (CAST(drift_num AS DOUBLE) / (n - 1))
+            * (CAST(drift_num AS DOUBLE) / (n - 1))) / m1 AS var1,
+         (CAST(sd4sq AS DOUBLE) - 2e0 * (4e0 * CAST(drift_num AS DOUBLE)
+            / (n - 1)) * sd4 + m4 * (4e0 * CAST(drift_num AS DOUBLE)
+            / (n - 1)) * (4e0 * CAST(drift_num AS DOUBLE) / (n - 1)))
+           / (4e0 * m4) AS varq
+  FROM folds WHERE n > 5 AND m1 > 1 AND m4 > 1
+)
+SELECT event_type, n AS n_buckets,
+       CASE WHEN headroom AND var1 > 0
+            THEN ROUND(varq / var1, 6) END AS vr_4,
+       CASE WHEN headroom AND var1 > 0
+            THEN ROUND((varq / var1 - 1e0)
+                 / SQRT(2e0 * (2 * 4 - 1) * (4 - 1)
+                        / (3e0 * 4 * n)), 6) END AS z_homosked,
+       CASE WHEN headroom AND var1 > 0
+            THEN ABS((varq / var1 - 1e0)
+                 / SQRT(2e0 * (2 * 4 - 1) * (4 - 1) / (3e0 * 4 * n)))
+                 > 1.959964 END AS reject_random_walk_05
+FROM v ORDER BY event_type
+"""
+
+
+def _events_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VR(4) on the hourly dollar series per event type —
+    drift-corrected exact difference folds, terminal homoskedastic z
+    vs 1.959964. See _VARIANCE_RATIO."""
+    load(spark, sf_dir)
+    return spark.sql(_VARIANCE_RATIO)
+
+
+QUERIES["events_variance_ratio"] = _events_variance_ratio
+ORACLES["events_variance_ratio"] = _VARIANCE_RATIO
+
+
+# ---------------------------------------------------------------------------
+# Classical seasonal decomposition (the moving-average method of
+# Macaulay 1931, the decompose() every stats package ships) of the
+# hourly cent series per event type, period 24: trend = centered 24-MA
+# (half-weight endpoints, the even-period convention), seasonal index =
+# hour-of-day mean of the detrended series re-centered to sum ~0.
+# events_seasonality_strength MEASURES how seasonal a series is; this
+# emits the seasonal PROFILE itself (the 24 indices per type) — what a
+# capacity planner actually reads.
+#
+# Exact spelling: the centered MA's x48-cleared numerator
+# T = 2*sum_{t-12..t+12} v - v_{t-12} - v_{t+12} is an exact bigint
+# window fold (full 25-row windows only, COUNT(*) over the frame = 25);
+# the detrended numerator d48 = 48*v - T stays bigint; the per-hour and
+# grand means are terminal divisions of exact sums. Gaps in the hourly
+# grid are treated positionally (the Hurst/PACF row-number convention).
+# Bounded by 48*n*max(v): wraps past ~4e12 rows x cents — no guard
+# needed below int64 at any plausible sf (documented, not guarded).
+# ---------------------------------------------------------------------------
+_CLASSICAL_DECOMP = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+),
+ma AS (
+  SELECT event_type, bucket, v,
+         CAST(2 * SUM(v) OVER wf - FIRST_VALUE(v) OVER wf
+              - LAST_VALUE(v) OVER wf AS BIGINT) AS t48,
+         COUNT(*) OVER wf AS wn
+  FROM hourly
+  WINDOW wf AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+),
+det AS (
+  SELECT event_type, CAST(hour(bucket) AS BIGINT) AS hod,
+         CAST(48 * v - t48 AS BIGINT) AS d48
+  FROM ma WHERE wn = 25
+),
+byhod AS (
+  SELECT event_type, hod,
+         CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(d48) AS BIGINT) AS sd48
+  FROM det GROUP BY event_type, hod
+),
+grand AS (
+  SELECT event_type,
+         CAST(SUM(d48) AS BIGINT) AS gsum,
+         CAST(COUNT(*) AS BIGINT) AS gcnt
+  FROM det GROUP BY event_type
+)
+SELECT b.event_type, b.hod, b.n_windows,
+       ROUND(CAST(b.sd48 AS DOUBLE) / (48e0 * b.n_windows)
+             - CAST(g.gsum AS DOUBLE) / (48e0 * g.gcnt), 6)
+         AS seasonal_cents
+FROM byhod b JOIN grand g ON b.event_type = g.event_type
+ORDER BY b.event_type, b.hod
+"""
+
+
+def _events_classical_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical period-24 decomposition of the hourly cent series per
+    event type: centered 24-MA trend (exact x48 integer numerator),
+    hour-of-day seasonal indices re-centered against the grand
+    detrended mean. See _CLASSICAL_DECOMP."""
+    load(spark, sf_dir)
+    return spark.sql(_CLASSICAL_DECOMP)
+
+
+QUERIES["events_classical_decomp"] = _events_classical_decomp
+ORACLES["events_classical_decomp"] = _CLASSICAL_DECOMP
