@@ -1059,3 +1059,152 @@ def _events_classical_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_classical_decomp"] = _events_classical_decomp
 ORACLES["events_classical_decomp"] = _CLASSICAL_DECOMP
+
+
+# ---------------------------------------------------------------------------
+# Harrell's concordance index (Harrell et al. 1982) for the cohort
+# covariate on time-to-first-purchase — the DISCRIMINATION companion of
+# events_cox_ph's effect size: the Cox fit says how much the hazard
+# differs; C says how often the higher-risk subject actually fails
+# first. Same subjects relation as the Cox/log-rank gates (duration =
+# whole hours to first purchase, censored at last event; risk score =
+# user_id parity).
+#
+# Pair convention (the lifelines/Harrell standard): a pair is
+# comparable when the earlier time is an EVENT and the other subject's
+# time is strictly later, or equal-but-censored; both-event time ties
+# are excluded; score ties among comparable pairs count 1/2.
+# C = (concordant + tied/2) / (concordant + discordant + tied).
+#
+# EXACT pair counting with zero pair materialization: on the
+# distinct-duration relation, suffix sums give the later-risk-set per
+# group, so conc = sum_t d1*(later0 + c0_t), disc = sum_t d0*(later1 +
+# c1_t), tied = sum_t d1*(later1 + c1_t) + d0*(later0 + c0_t) — exact
+# bigints bounded by n^2 (VISIBLE guard CAST(n AS DOUBLE)*n < 9e18),
+# one terminal division. One groupBy(user), one groupBy(duration), one
+# window over distinct durations — the survival family's plan shape.
+# ---------------------------------------------------------------------------
+_HARRELL_C = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+sfx AS (
+  SELECT t, d1, c1, d0, c0,
+         COALESCE(CAST(SUM(d1 + c1) OVER wl AS BIGINT), 0) AS later1,
+         COALESCE(CAST(SUM(d0 + c0) OVER wl AS BIGINT), 0) AS later0
+  FROM per_t
+  WINDOW wl AS (ORDER BY t ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+),
+folds AS (
+  SELECT CAST(SUM(d1 * (later0 + c0)) AS BIGINT) AS conc,
+         CAST(SUM(d0 * (later1 + c1)) AS BIGINT) AS disc,
+         CAST(SUM(d1 * (later1 + c1) + d0 * (later0 + c0)) AS BIGINT)
+           AS tied,
+         CAST(SUM(d1 + c1 + d0 + c0) AS BIGINT) AS n
+  FROM sfx
+)
+SELECT n AS n_subjects, conc AS concordant, disc AS discordant,
+       tied AS tied_score,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND conc + disc + tied > 0
+            THEN ROUND((CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE) / 2e0)
+                       / (conc + disc + tied), 6)
+       END AS c_index
+FROM folds
+"""
+
+#: Spark twin — identical except the epoch spelling and DIV
+#: (the _HURST dialect-replace precedent).
+_HARRELL_C_SPARK = _HARRELL_C.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_harrell_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of the parity cohort as a risk score for
+    time-to-first-purchase — exact suffix-sum pair counting on the
+    distinct-duration relation, no pair materialization. See
+    _HARRELL_C."""
+    load(spark, sf_dir)
+    return spark.sql(_HARRELL_C_SPARK)
+
+
+QUERIES["events_harrell_c"] = _events_harrell_c
+ORACLES["events_harrell_c"] = _HARRELL_C
+
+
+# ---------------------------------------------------------------------------
+# Cutler's RSI(14) on the daily purchase close — the bounded-momentum
+# oscillator beside window_bollinger/window_atr/window_donchian
+# (volatility and channel members of the technical family). Cutler's
+# simple-average form (not Wilder's recursive smoothing, which is an
+# infinite-memory recursion a window cannot express exactly — the
+# documented choice): RSI = 100 * sumGain14 / (sumGain14 + sumLoss14),
+# the mean denominators cancelling, so the whole statistic is TWO exact
+# bigint window folds and one terminal division.
+#
+# Daily close = last purchase cents of the day by (ts, event_id) — the
+# events_ohlc convention; first-row NULL diffs are filtered before the
+# window so both engines fold the identical 14-term sets; emitted only
+# where the full 14-day history exists. The daily relation is bounded
+# by the calendar span, not row count — scale-free output.
+# ---------------------------------------------------------------------------
+_RSI = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         ROW_NUMBER() OVER (PARTITION BY CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+),
+chg AS (
+  SELECT d, c, c - LAG(c) OVER (ORDER BY d) AS diff
+  FROM daily WHERE rn = 1
+),
+gl AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END) OVER w14
+              AS BIGINT) AS sgain,
+         CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END) OVER w14
+              AS BIGINT) AS sloss,
+         COUNT(diff) OVER w14 AS n14
+  FROM chg WHERE diff IS NOT NULL
+  WINDOW w14 AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT d AS day, sgain AS gain_cents_14, sloss AS loss_cents_14,
+       CASE WHEN sgain + sloss > 0
+            THEN ROUND(100e0 * sgain / (sgain + sloss), 6) END AS rsi_14
+FROM gl WHERE n14 = 14 ORDER BY day
+"""
+
+
+def _window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI(14) over the daily purchase close — exact bigint
+    gain/loss window folds, one terminal division. See _RSI."""
+    load(spark, sf_dir)
+    return spark.sql(_RSI)
+
+
+QUERIES["window_rsi"] = _window_rsi
+ORACLES["window_rsi"] = _RSI
