@@ -1650,3 +1650,129 @@ def degree_assortativity(
         (F.col("m2") / 2).cast("long").alias("n_edges"),
         r.alias("r"),
     )
+
+
+def hits(
+    edges: DataFrame, iters: int = 2, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) over a
+    directed edge list, in the EXACT integer path-count formulation:
+    with h_0 = 1 on every source, each round folds a <- sum_in h and
+    h <- sum_out a, so after k rounds the raw authority score of a node
+    is the exact COUNT of alternating forward/backward walks of length
+    2k ending at it — bigint arithmetic end to end, graded exactly by
+    an unrolled SQL oracle. Normalization (the power-iteration scaling
+    step, which only changes scale, never order) happens ONCE
+    terminally per side: score = raw / max(raw), a single IEEE division
+    on exact integers — deterministic cross-engine, unlike a per-round
+    L2 normalization whose accumulated float state diverges in the
+    last ulp.
+
+    Scale shape: 2k equality-keyed join+aggregate passes over the edge
+    list (the pagerank plan without the dangling-mass term); raw scores
+    are bounded by max_degree^(2k-1), so at k = 2 the fold wraps int64
+    only past ~30M-degree hubs — domain-bounded on any bipartite
+    business graph, documented rather than guarded (the Kendall-W
+    convention). No checkpoint needed: lineage depth is fixed at 2k
+    joins, not data-dependent.
+
+    Returns (side, node, raw, score): side in ('hub', 'authority').
+    """
+    e = edges.select(src, dst).distinct()
+    h = (
+        e.select(F.col(src).alias("node"))
+        .distinct()
+        .withColumn("hv", F.lit(1).cast("long"))
+    )
+    a = None
+    for _ in range(iters):
+        a = (
+            e.join(h.select(F.col("node").alias(src), "hv"), src)
+            .groupBy(dst)
+            .agg(F.sum("hv").cast("long").alias("av"))
+            .select(F.col(dst).alias("node"), "av")
+        )
+        h = (
+            e.join(a.select(F.col("node").alias(dst), "av"), dst)
+            .groupBy(src)
+            .agg(F.sum("av").cast("long").alias("hv"))
+            .select(F.col(src).alias("node"), "hv")
+        )
+    scored = a.select(
+        F.lit("authority").alias("side"), "node", F.col("av").alias("raw")
+    ).unionAll(
+        h.select(F.lit("hub").alias("side"), "node", F.col("hv").alias("raw"))
+    )
+    w = Window.partitionBy("side")
+    return scored.select(
+        "side",
+        "node",
+        "raw",
+        F.round(
+            F.col("raw").cast("double") / F.max("raw").over(w), 8
+        ).alias("score"),
+    )
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, a: str = "a", b: str = "b"
+) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004) of a node partition
+    over the undirected graph: per community c,
+    contribution_c = e_c/m - (d_c/(2m))^2 with e_c the internal edge
+    count, d_c the community degree sum, m the total edge count; Q is
+    the sum over communities. The QUALITY gate for any partition the
+    engine emits (label propagation, connected components) — Louvain
+    maximizes this quantity internally (graph.louvain), but nothing
+    previously EXPOSED it for a given labeling.
+
+    Exact arithmetic: e_c, d_c, m are integer folds (two equality joins
+    of the edge list against the labels, one degree aggregation); each
+    community's contribution is a terminal double on exact bigints.
+    ``labels`` must cover every node in the edge-derived node set
+    (label_propagation's contract).
+
+    Returns (community, n_nodes, internal_edges, degree_sum,
+    contribution) — SUM(contribution) is Q.
+    """
+    lo = F.least(F.col(a), F.col(b)).alias("lo")
+    hi = F.greatest(F.col(a), F.col(b)).alias("hi")
+    und = edges.select(lo, hi).where(F.col("lo") != F.col("hi")).distinct()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("degree_sum"),
+        )
+        .select(F.col("label").alias("community"), "n_nodes", "degree_sum")
+    )
+    la = labels.select(F.col("node").alias("lo"), F.col("label").alias("cl"))
+    lb = labels.select(F.col("node").alias("hi"), F.col("label").alias("ch"))
+    internal = (
+        und.join(la, "lo")
+        .join(lb, "hi")
+        .where(F.col("cl") == F.col("ch"))
+        .groupBy("cl")
+        .agg(F.count(F.lit(1)).cast("long").alias("internal_edges"))
+        .select(F.col("cl").alias("community"), "internal_edges")
+    )
+    m = und.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    joined = comm.join(internal, "community", "left").crossJoin(m)
+    ec = F.coalesce(F.col("internal_edges"), F.lit(0).cast("long"))
+    dterm = F.col("degree_sum").cast("double") / (2 * F.col("m"))
+    return joined.select(
+        "community",
+        "n_nodes",
+        ec.alias("internal_edges"),
+        "degree_sum",
+        F.round(
+            ec.cast("double") / F.col("m") - dterm * dterm, 6
+        ).alias("contribution"),
+    )

@@ -5721,6 +5721,124 @@ r3 AS (SELECT node, label FROM (
 SELECT node, label FROM r3
 """
 
+
+# ---------------------------------------------------------------------------
+# Round 13 (second wave) — HITS hubs/authorities (Kleinberg 1999) over
+# the directed customer -> supplier purchase graph (the pagerank edge
+# set, kept directed): which customers' baskets concentrate on the
+# suppliers that the most hub-like customers buy from? Exact integer
+# path-count formulation (graph.hits): raw scores after k = 2 rounds
+# are alternating-walk counts (bigints), normalization is ONE terminal
+# division per side — the oracle unrolls the identical four folds.
+# ---------------------------------------------------------------------------
+def _graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (2 rounds, exact integer path counts, terminal max
+    normalization) on the directed customer->supplier graph
+    (graph.hits)."""
+    load(spark, sf_dir)
+    e = (
+        spark.table("orders")
+        .join(
+            spark.table("lineitem"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.hits(e, iters=2)
+
+
+QUERIES["graph_hits"] = _graph_hits
+ORACLES["graph_hits"] = """
+WITH e AS (
+  SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+),
+h0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS hv FROM e),
+a1 AS (SELECT e.dst AS node, CAST(SUM(h.hv) AS BIGINT) AS av
+       FROM e JOIN h0 h ON h.node = e.src GROUP BY e.dst),
+h1 AS (SELECT e.src AS node, CAST(SUM(a.av) AS BIGINT) AS hv
+       FROM e JOIN a1 a ON a.node = e.dst GROUP BY e.src),
+a2 AS (SELECT e.dst AS node, CAST(SUM(h.hv) AS BIGINT) AS av
+       FROM e JOIN h1 h ON h.node = e.src GROUP BY e.dst),
+h2 AS (SELECT e.src AS node, CAST(SUM(a.av) AS BIGINT) AS hv
+       FROM e JOIN a2 a ON a.node = e.dst GROUP BY e.src),
+scored AS (
+  SELECT 'authority' AS side, node, av AS raw FROM a2
+  UNION ALL
+  SELECT 'hub' AS side, node, hv AS raw FROM h2
+)
+SELECT side, node, raw,
+       ROUND(CAST(raw AS DOUBLE) / MAX(raw) OVER (PARTITION BY side), 8)
+         AS score
+FROM scored
+"""
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (second wave) — Newman modularity of the 3-round LPA
+# partition on the bulk co-purchase graph: the QUALITY score for the
+# communities graph_label_propagation emits (graph_louvain ASCENDS
+# modularity internally; nothing previously exposed Q for a given
+# labeling). Integer e_c/d_c/m folds (graph.modularity), terminal
+# per-community contribution; the oracle replays the LPA rounds
+# verbatim (marker-composed from ORACLES['graph_label_propagation'],
+# so the two spellings cannot drift) and appends the modularity tail.
+# ---------------------------------------------------------------------------
+def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-community modularity contributions of the deterministic
+    3-round LPA partition over the bulk co-purchase graph
+    (graph.modularity; SUM(contribution) is Q)."""
+    load(spark, sf_dir)
+    edges = _sparse_copurchase_edges(spark)
+    labels = graph.label_propagation(edges, rounds=3)
+    return graph.modularity(edges, labels)
+
+
+QUERIES["graph_modularity"] = _graph_modularity
+
+_LPA_TAIL_MARKER = "SELECT node, label FROM r3"
+assert _LPA_TAIL_MARKER in ORACLES["graph_label_propagation"], (
+    "LPA oracle terminal SELECT drifted; fix _LPA_TAIL_MARKER"
+)
+ORACLES["graph_modularity"] = ORACLES["graph_label_propagation"].replace(
+    _LPA_TAIL_MARKER,
+    """lab AS (SELECT node, label FROM r3),
+deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM nbr GROUP BY node),
+comm AS (
+  SELECT l.label AS community,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(d.d) AS BIGINT) AS degree_sum
+  FROM lab l JOIN deg d ON d.node = l.node
+  GROUP BY l.label
+),
+internal AS (
+  SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS internal_edges
+  FROM e JOIN lab la ON la.node = e.lo
+         JOIN lab lb ON lb.node = e.hi
+  WHERE la.label = lb.label GROUP BY la.label
+),
+mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e)
+SELECT c.community, c.n_nodes,
+       COALESCE(i.internal_edges, 0) AS internal_edges,
+       c.degree_sum,
+       ROUND(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / m
+             - (CAST(c.degree_sum AS DOUBLE) / (2 * m))
+               * (CAST(c.degree_sum AS DOUBLE) / (2 * m)), 6)
+         AS contribution
+FROM comm c LEFT JOIN internal i ON i.community = c.community
+CROSS JOIN mm""",
+)
+# the replace target sits inside a CTE chain: r3 was the final SELECT,
+# so the tail re-opens it as `lab AS (...)` — prepend the comma the
+# original terminal SELECT did not need.
+ORACLES["graph_modularity"] = ORACLES["graph_modularity"].replace(
+    "FROM c3) WHERE rn = 1)\nlab AS", "FROM c3) WHERE rn = 1),\nlab AS"
+)
+
 # ---------------------------------------------------------------------------
 # Round-12 split (VERDICT r11 ask #6): the round-8+ additions live in the
 # family modules queries/pipeline_{stats,eval,forecast,metrics}.py (moved

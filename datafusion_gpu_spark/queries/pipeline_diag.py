@@ -1208,3 +1208,19 @@ def _window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["window_rsi"] = _window_rsi
 ORACLES["window_rsi"] = _RSI
+
+
+def _streaming_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_jarque_bera
+    (streaming.materialized_jarque_bera): per-type seven-bigint moment
+    state + domain-bounded distinct state run to completion, then the
+    batch terminal tail verbatim — graded by the SAME oracle (27th
+    stream==batch automaton, 26th registry twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.materialized_jarque_bera(spark, sf_dir)
+
+
+QUERIES["streaming_jarque_bera"] = _streaming_jarque_bera
+ORACLES["streaming_jarque_bera"] = _JARQUE_BERA

@@ -2070,3 +2070,79 @@ def materialized_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame
 ),"""
     assert batch_hourly_cte in _GROUP_SEQ, "batch hourly CTE drifted"
     return spark.sql(_GROUP_SEQ.replace(batch_hourly_cte, stream_hourly_cte))
+
+
+def stream_jarque_bera_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-type moment state for the Jarque-Bera twin (the
+    27th stream==batch automaton): seven exact bigints per event type
+    (n, s1..s4 raw power sums over dollar-quantized values, max |d|) —
+    a pure incremental aggregation whose micro-batch update IS the
+    batch fold over the data seen so far, the welch-twin argument."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("d"),
+        )
+    )
+    d = F.col("d")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(d).cast("long").alias("s1"),
+        F.sum(d * d).cast("long").alias("s2"),
+        F.sum(d * d * d).cast("long").alias("s3"),
+        F.sum(d * d * d * d).cast("long").alias("s4"),
+        F.max(F.abs(d)).cast("long").alias("mx"),
+    )
+
+
+def stream_jarque_bera_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct-dollar counts per event type for the JB
+    twin's degenerate-variance guard (nv > 1) — dropDuplicates state is
+    one row per (type, dollar), bounded by the value domain (the
+    welch-twin precedent)."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value")).cast("long").alias("d"),
+        )
+    )
+    return (
+        ev.dropDuplicates(["event_type", "d"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("nv"))
+    )
+
+
+def materialized_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Jarque-Bera, materialized: the per-type moment and
+    distinct automatons run to completion, then the batch query's
+    terminal skewness/kurtosis/JB tail applied VERBATIM (marker-spliced
+    from _JARQUE_BERA at its c-CTE boundary) to the final state —
+    graded by the SAME DuckDB oracle as agg_jarque_bera."""
+    state = materialize_stream(
+        stream_jarque_bera_state(spark, sf_dir), output_mode="complete"
+    ).join(
+        materialize_stream(
+            stream_jarque_bera_distinct(spark, sf_dir), output_mode="complete"
+        ),
+        "event_type",
+    )
+    state.createOrReplaceTempView("__jb_state")
+    from datafusion_gpu_spark.queries.pipeline_diag import _JARQUE_BERA
+
+    marker = "\nc AS ("
+    head, sep, tail = _JARQUE_BERA.partition(marker)
+    assert sep, "_JARQUE_BERA c-CTE boundary drifted; fix the marker"
+    stream_head = """
+WITH m AS (
+  SELECT event_type, CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+         CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+         CAST(s4 AS BIGINT) AS s4, CAST(mx AS BIGINT) AS mx,
+         CAST(nv AS BIGINT) AS nv
+  FROM __jb_state
+),"""
+    return spark.sql(stream_head + marker + tail)

@@ -758,6 +758,16 @@ _BNLJ_BEARING_R11 = (
     # events_cuped (r13): exempt one-row crosses (tmid, theta, scalar
     # theta subquery)
     "events_cuped",
+    # r13 second wave: agg_g_test (3 exempt one-row tot/dims crosses),
+    # agg_fleiss_kappa (one-row subj x marg cross),
+    # agg_average_precision (one-row s x np cross), agg_kendall_w
+    # (24-row VALUES hour axis + folds/tiecorr/m/nn scalar crosses),
+    # agg_somers_d (kendall's exempt grid-literal + scalar crosses),
+    # graph_modularity (one-row m edge-count cross), agg_dunn_posthoc
+    # (one exempt tot cross + the ALLOW-LISTED 5-row group self-join)
+    "agg_g_test", "agg_fleiss_kappa", "agg_average_precision",
+    "agg_kendall_w", "agg_somers_d", "graph_modularity",
+    "agg_dunn_posthoc",
     # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
     # one-row hurst cross
     "events_hurst_rs",
@@ -812,10 +822,16 @@ _BNLJ_BEARING_R11 = (
 #:   behind the lineage cut and is a LogicalRDD leaf in the final plan).
 #: - events_siegel_trend (r13): the same wall-clock-bounded build, directed
 #:   (x_a <> x_b) — per-anchor medians need both orientations.
+#: - agg_dunn_posthoc (r13 second wave): the pairwise battery's build is
+#:   the k-row GROUP SUMMARY (one row per event type, k = 5) self-joined
+#:   on grp < grp — bounded by the CATEGORY domain like the
+#:   agg_chi_squared margin, never by row count; the k(k-1)/2 pair
+#:   relation is the test's own output shape.
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
      "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen",
-     "events_theil_sen_bucketed", "events_siegel_trend"}
+     "events_theil_sen_bucketed", "events_siegel_trend",
+     "agg_dunn_posthoc"}
 )
 
 
