@@ -1,0 +1,686 @@
+"""Closed-form / planted / brute-force tests for the round-13
+second-wave diagnostics family (queries/pipeline_diag.py, the graph
+additions, and the streaming Jarque-Bera twin).
+
+Every test either (a) plants a table whose statistic is known in closed
+form, (b) brute-forces the statistic in numpy/pandas from the same
+parquet the query reads, replicating the documented quantization
+spelling, or (c) pins a stream==batch identity — the established test
+strategy (SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import SF_DIR
+
+
+# ---------------------------------------------------------------------------
+# Jarque-Bera
+# ---------------------------------------------------------------------------
+def test_jarque_bera_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_jarque_bera
+
+    rows = {r.event_type: r for r in _agg_jarque_bera(spark, SF_DIR).collect()}
+    df = duck.execute(
+        "SELECT event_type, CAST(ROUND(value, 0) AS BIGINT) AS d "
+        "FROM events WHERE value IS NOT NULL"
+    ).df()
+    for g, sub in df.groupby("event_type"):
+        d = sub.d.to_numpy().astype(float)
+        n = len(d)
+        m2 = ((d - d.mean()) ** 2).mean()
+        g1 = ((d - d.mean()) ** 3).mean() / m2**1.5
+        g2 = ((d - d.mean()) ** 4).mean() / m2**2 - 3
+        jb = n * (g1**2 / 6 + g2**2 / 24)
+        r = rows[g]
+        assert r.n == n
+        assert abs(r.skewness - g1) < 1e-4
+        assert abs(r.excess_kurtosis - g2) < 1e-4
+        assert abs(r.jb - jb) < max(1e-3, abs(jb) * 1e-6)
+        assert r.reject_normal_05 == (jb > 5.991465)
+
+
+def test_jarque_bera_planted_degenerate(spark):
+    # one distinct value -> m2 = 0 -> NULL moments, NULL decision
+    from datafusion_gpu_spark.queries.pipeline import _JARQUE_BERA
+
+    df = spark.createDataFrame(
+        [("click", 7.0)] * 5, "event_type string, value double"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_JARQUE_BERA).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n == 5
+    assert row.skewness is None and row.jb is None
+    assert row.reject_normal_05 is None
+
+
+# ---------------------------------------------------------------------------
+# G-test
+# ---------------------------------------------------------------------------
+def test_g_test_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_g_test
+
+    [row] = _agg_g_test(spark, SF_DIR).collect()
+    obs = duck.execute(
+        "SELECT o_orderpriority AS r, o_orderstatus AS c, COUNT(*) AS o "
+        "FROM orders GROUP BY 1, 2"
+    ).df()
+    piv = obs.pivot_table(index="r", columns="c", values="o", fill_value=0)
+    o = piv.to_numpy().astype(float)
+    n = o.sum()
+    rt = o.sum(axis=1, keepdims=True)
+    ct = o.sum(axis=0, keepdims=True)
+    nz = o > 0
+    # G = 2 sum o*ln(o*n/(rt*ct)) over nonzero cells
+    g_ref = 2 * (o[nz] * np.log(
+        o[nz] * n
+        / (np.broadcast_to(rt, o.shape) * np.broadcast_to(ct, o.shape))[nz]
+    )).sum()
+    assert row.df == (o.shape[0] - 1) * (o.shape[1] - 1)
+    assert abs(row.g_stat - g_ref) < 1e-3
+
+
+def test_g_test_planted_independent(spark):
+    # exp == obs in every cell -> each ln term is ln(1) = 0 -> G == 0.0
+    from datafusion_gpu_spark.queries.pipeline import _G_TEST
+
+    rows = []
+    for r, rw in (("1-URGENT", 2), ("2-HIGH", 3)):
+        for c, cw in (("F", 4), ("O", 1)):
+            rows += [(r, c)] * (rw * cw)
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.createOrReplaceTempView("orders")
+    try:
+        [row] = spark.sql(_G_TEST).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+    assert row.df == 1 and row.g_stat == 0.0
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage
+# ---------------------------------------------------------------------------
+def test_cochran_armitage_planted_monotone(spark):
+    # shares rise 10% -> 50% across five levels of 10 trials each; the
+    # statistic is hand-computable: T = sum w*r - R*sum w*n / N
+    from datafusion_gpu_spark.queries.pipeline import _COCHRAN_ARMITAGE
+
+    rows = []
+    cases = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5}
+    for w, r in cases.items():
+        pr = f"{w}-LEVEL"
+        rows += [(pr, "F")] * r + [(pr, "O")] * (10 - r)
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.createOrReplaceTempView("orders")
+    try:
+        [row] = spark.sql(_COCHRAN_ARMITAGE).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+    n, rt = 50, 15
+    swr = sum(w * r for w, r in cases.items())  # 55
+    swn = sum(w * 10 for w in cases)  # 150
+    sw2n = sum(w * w * 10 for w in cases)  # 550
+    t = swr - rt * swn / n
+    var = (rt / n) * (1 - rt / n) * (sw2n - swn**2 / n)
+    assert row.n_levels == 5 and row.n_total == n and row.n_cases == rt
+    assert abs(row.trend_t - t) < 1e-9
+    assert abs(row.z - t / np.sqrt(var)) < 1e-6
+    assert bool(row.reject_05) == (abs(t / np.sqrt(var)) > 1.959964)
+
+
+def test_cochran_armitage_planted_flat_is_zero(spark):
+    # identical shares at every level -> T == 0 exactly
+    from datafusion_gpu_spark.queries.pipeline import _COCHRAN_ARMITAGE
+
+    rows = []
+    for w in range(1, 6):
+        pr = f"{w}-LEVEL"
+        rows += [(pr, "F")] * 3 + [(pr, "O")] * 7
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.createOrReplaceTempView("orders")
+    try:
+        [row] = spark.sql(_COCHRAN_ARMITAGE).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+    assert row.trend_t == 0.0 and row.z == 0.0 and row.reject_05 is False
+
+
+# ---------------------------------------------------------------------------
+# Fleiss' kappa
+# ---------------------------------------------------------------------------
+def _plant_events_panel(spark, panels):
+    """panels: list of per-user event_type triples."""
+    rows = []
+    eid = 0
+    for uid, types in enumerate(panels):
+        for j, t in enumerate(types):
+            rows.append((eid, uid, f"2024-01-01 00:{j:02d}:00", t, 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+
+
+def test_fleiss_kappa_perfect_agreement(spark):
+    from datafusion_gpu_spark.queries.pipeline import _FLEISS_KAPPA
+
+    _plant_events_panel(
+        spark, [["click"] * 3, ["view"] * 3, ["error"] * 3, ["click"] * 3]
+    )
+    try:
+        [row] = spark.sql(_FLEISS_KAPPA).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_subjects == 4 and row.p_bar == 1.0
+    assert row.kappa == 1.0
+
+
+def test_fleiss_kappa_matches_formula(spark):
+    from datafusion_gpu_spark.queries.pipeline import _FLEISS_KAPPA
+
+    panels = [
+        ["click", "click", "view"],
+        ["view", "view", "view"],
+        ["click", "error", "view"],
+        ["error", "error", "click"],
+        ["click", "click", "click"],
+        ["view", "click", "view"],
+    ]
+    _plant_events_panel(spark, panels)
+    try:
+        [row] = spark.sql(_FLEISS_KAPPA).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    cats = sorted({t for p in panels for t in p})
+    nij = np.array([[p.count(c) for c in cats] for p in panels], dtype=float)
+    n_sub, n_rat = nij.shape[0], 3
+    p_i = ((nij**2).sum(axis=1) - n_rat) / (n_rat * (n_rat - 1))
+    p_bar = p_i.mean()
+    p_j = nij.sum(axis=0) / (n_sub * n_rat)
+    p_e = (p_j**2).sum()
+    kappa = (p_bar - p_e) / (1 - p_e)
+    assert row.n_subjects == n_sub
+    # outputs are ROUND(...,6) -> compare on the 6dp grid
+    assert abs(row.p_bar - p_bar) < 1e-6
+    assert abs(row.p_e - p_e) < 1e-6
+    assert abs(row.kappa - kappa) < 1e-6
+
+
+def test_fleiss_kappa_short_users_excluded(spark):
+    # users with < 3 events contribute nothing (not partial panels)
+    from datafusion_gpu_spark.queries.pipeline import _FLEISS_KAPPA
+
+    _plant_events_panel(spark, [["click"] * 3, ["view"] * 2, ["error"]])
+    try:
+        [row] = spark.sql(_FLEISS_KAPPA).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_subjects == 1
+
+
+# ---------------------------------------------------------------------------
+# Somers' D (brute force over the purchase pairs)
+# ---------------------------------------------------------------------------
+def test_somers_d_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_somers_d
+
+    [row] = _agg_somers_d(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(hour(ts) AS BIGINT) AS h, "
+        "CAST(ROUND(value * 100) AS BIGINT) AS v FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL"
+    ).df()
+    h = df.h.to_numpy()
+    v = df.v.to_numpy()
+    n = len(h)
+    sh = np.sign(h[:, None] - h[None, :])
+    sv = np.sign(v[:, None] - v[None, :])
+    prod = sh * sv
+    iu = np.triu_indices(n, 1)
+    nc = int((prod[iu] > 0).sum())
+    nd = int((prod[iu] < 0).sum())
+    tx = int((sh[iu] == 0).sum())
+    ty = int((sv[iu] == 0).sum())
+    n0 = n * (n - 1) // 2
+    assert row.nc == nc and row.nd == nd
+    assert row.pairs_x_untied == n0 - tx
+    assert row.pairs_y_untied == n0 - ty
+    assert abs(row.d_yx - (nc - nd) / (n0 - tx)) < 1e-6
+    assert abs(row.d_xy - (nc - nd) / (n0 - ty)) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Kendall's W
+# ---------------------------------------------------------------------------
+def test_kendall_w_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_kendall_w
+
+    [row] = _agg_kendall_w(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_type AS g, CAST(hour(ts) AS BIGINT) AS h, "
+        "SUM(CAST(ROUND(value * 100) AS BIGINT)) AS v FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1, 2"
+    ).df()
+    judges = sorted(df.g.unique())
+    grid = np.zeros((len(judges), 24))
+    for _, r in df.iterrows():
+        grid[judges.index(r.g), int(r.h)] = r.v
+    ranks = np.vstack(
+        [pd.Series(grid[j]).rank(method="average").to_numpy()
+         for j in range(len(judges))]
+    )
+    m, n = ranks.shape
+    r_i = ranks.sum(axis=0)
+    s = ((r_i - r_i.mean()) ** 2).sum()
+    sum_t = 0.0
+    for j in range(m):
+        _, cnt = np.unique(grid[j], return_counts=True)
+        sum_t += (cnt**3 - cnt).sum()
+    w = 12 * s / (m**2 * (n**3 - n) - m * sum_t)
+    assert row.m_judges == m and row.n_items == n
+    assert abs(row.w_concordance - w) < 1e-6
+    assert abs(row.chi2_w - m * (n - 1) * w) < 1e-4
+
+
+def test_kendall_w_perfect_agreement_is_one(spark):
+    # every judge ranks the hours identically (distinct volumes) -> W = 1
+    from datafusion_gpu_spark.queries.pipeline import _KENDALL_W
+
+    rows = []
+    eid = 0
+    for t in ("click", "view", "error"):
+        for hod in range(24):
+            # one event per (type, hour), value strictly increasing in hour
+            rows.append(
+                (eid, 1, f"2024-01-01 {hod:02d}:30:00", t, float(hod + 1))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_KENDALL_W).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.m_judges == 3 and row.w_concordance == 1.0
+    assert row.reject_05 is True
+
+
+# ---------------------------------------------------------------------------
+# Dunn post-hoc
+# ---------------------------------------------------------------------------
+def test_dunn_posthoc_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_dunn_posthoc
+
+    rows = _agg_dunn_posthoc(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_type AS g, CAST(ROUND(value * 100) AS BIGINT) AS c "
+        "FROM events WHERE value IS NOT NULL"
+    ).df()
+    ranks = df.c.rank(method="average")
+    n = len(df)
+    _, cnt = np.unique(df.c.to_numpy(), return_counts=True)
+    tie3 = float((cnt**3 - cnt).sum())
+    sig2 = n * (n + 1) / 12 - tie3 / (12 * (n - 1))
+    means = {g: ranks[df.g == g].mean() for g in df.g.unique()}
+    sizes = {g: int((df.g == g).sum()) for g in df.g.unique()}
+    assert len(rows) == 10
+    for r in rows:
+        z_ref = (means[r.g1] - means[r.g2]) / np.sqrt(
+            sig2 * (1 / sizes[r.g1] + 1 / sizes[r.g2])
+        )
+        assert abs(r.z - z_ref) < 1e-5, (r.g1, r.g2)
+    # BH step-up semantics: the rejected set is exactly ranks <= k*
+    ps = sorted((r.p_rank, r.p_value, bool(r.rejected)) for r in rows)
+    m = len(ps)
+    kstar = max(
+        (rk for rk, p, _ in ps if p <= 0.05 * rk / m + 5e-7), default=None
+    )
+    for rk, _, rej in ps:
+        if kstar is None:
+            assert not rej
+        else:
+            assert rej == (rk <= kstar)
+
+
+# ---------------------------------------------------------------------------
+# Average precision / log loss
+# ---------------------------------------------------------------------------
+def test_average_precision_unique_scores_classical(spark):
+    # distinct scores -> blocked AP == classical AP (hand-computed):
+    # labels by descending score: 1,0,1,1,0 -> AP = (1 + 2/3 + 3/4)/3
+    from datafusion_gpu_spark.queries.pipeline import _AVG_PRECISION
+
+    rows = [
+        (1, "purchase", 5.00),
+        (2, "click", 4.00),
+        (3, "purchase", 3.00),
+        (4, "purchase", 2.00),
+        (5, "click", 1.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_AVG_PRECISION).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    ap = (1 + 2 / 3 + 3 / 4) / 3
+    assert row.n_pos == 3 and row.n_neg == 2
+    assert abs(row.average_precision - ap) < 1e-6
+    assert abs(row.prevalence_baseline - 0.6) < 1e-9
+
+
+def test_average_precision_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_average_precision
+
+    [row] = _agg_average_precision(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click', 'purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    blocks = (
+        df.groupby("c")
+        .agg(dp=("pos", "sum"), tc=("pos", "size"))
+        .sort_index(ascending=False)
+    )
+    cump = blocks.dp.cumsum()
+    cumt = blocks.tc.cumsum()
+    ap = float((blocks.dp * cump / cumt).sum() / blocks.dp.sum())
+    assert abs(row.average_precision - ap) < 1e-6
+
+
+def test_log_loss_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_log_loss
+
+    [row] = _agg_log_loss(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click', 'purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    p = np.clip(df.c.to_numpy() / 50000.0, 1e-6, 1 - 1e-6)
+    y = df.pos.to_numpy()
+    ll = -(y * np.log(p) + (1 - y) * np.log(1 - p)).mean()
+    assert row.n == len(df)
+    assert abs(row.log_loss - ll) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Ljung-Box / KPSS / variance ratio (spelling replicated in numpy)
+# ---------------------------------------------------------------------------
+def _hourly(duck, quantum_sql):
+    df = duck.execute(
+        "SELECT event_type, date_trunc('hour', ts) AS b, "
+        f"SUM(CAST(ROUND({quantum_sql}) AS BIGINT)) AS v "
+        "FROM events WHERE value IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    return {g: sub.v.to_numpy().astype(float) for g, sub in df.groupby("event_type")}
+
+
+def test_ljung_box_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_ljung_box
+
+    rows = {r.event_type: r for r in _events_ljung_box(spark, SF_DIR).collect()}
+    for g, v in _hourly(duck, "value * 100, 0").items():
+        n = len(v)
+        q = 0.0
+        for k in (1, 2, 3):
+            x, y = v[:-k], v[k:]
+            r = np.corrcoef(x, y)[0, 1]
+            q += r * r / (n - k)
+        q *= n * (n + 2)
+        assert rows[g].n_buckets == n
+        assert abs(rows[g].q_ljung_box - q) < max(1e-4, q * 1e-6)
+        assert rows[g].reject_white_noise_05 == (q > 7.814728)
+
+
+def test_kpss_matches_numpy_spelling(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_kpss
+
+    rows = {r.event_type: r for r in _events_kpss(spark, SF_DIR).collect()}
+    for g, v in _hourly(duck, "value, 0").items():
+        n = len(v)
+        s = v.sum()
+        eq = np.round((n * v - s) / n)
+        p = eq.cumsum()
+        sg = [float((eq[k:] * eq[: n - k if k else n]).sum()) for k in range(5)]
+        l5 = 5 * sg[0] + 2 * (4 * sg[1] + 3 * sg[2] + 2 * sg[3] + sg[4])
+        eta = 5 * (p**2).sum() / (n * l5)
+        assert rows[g].n_buckets == n
+        assert abs(rows[g].kpss_eta - eta) < 1e-5
+        assert rows[g].reject_level_stationary_05 == (eta > 0.463)
+
+
+def test_kpss_planted_trend_rejects(spark):
+    # a strongly trending hourly series is the textbook KPSS rejection
+    from datafusion_gpu_spark.queries.pipeline import _KPSS
+
+    rows = [
+        (i, 1, f"2024-01-{1 + i // 24:02d} {i % 24:02d}:15:00", "click",
+         float(10 * i + 5))
+        for i in range(240)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_KPSS).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_buckets == 240
+    assert row.reject_level_stationary_05 is True
+
+
+def test_variance_ratio_matches_numpy_spelling(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_variance_ratio
+
+    rows = {
+        r.event_type: r for r in _events_variance_ratio(spark, SF_DIR).collect()
+    }
+    for g, v in _hourly(duck, "value, 0").items():
+        n = len(v)
+        mu = (v[-1] - v[0]) / (n - 1)
+        d1 = v[1:] - v[:-1]
+        d4 = v[4:] - v[:-4]
+        var1 = ((d1 - mu) ** 2).sum() / len(d1)
+        varq = ((d4 - 4 * mu) ** 2).sum() / (4 * len(d4))
+        vr = varq / var1
+        z = (vr - 1) / np.sqrt(2 * (2 * 4 - 1) * (4 - 1) / (3 * 4 * n))
+        assert abs(rows[g].vr_4 - vr) < 1e-5
+        assert abs(rows[g].z_homosked - z) < 1e-4
+
+
+def test_classical_decomp_recovers_planted_seasonality(spark):
+    # linear trend + exact hour-of-day pattern: the centered 24-MA kills
+    # the trend exactly (it is linear), so the seasonal indices recover
+    # the planted pattern up to its own mean
+    from datafusion_gpu_spark.queries.pipeline import _CLASSICAL_DECOMP
+
+    pattern = [float((h % 6) * 12) for h in range(24)]
+    rows = []
+    for i in range(24 * 10):
+        val = 2.0 * i + pattern[i % 24]
+        rows.append(
+            (i, 1, f"2024-01-{1 + i // 24:02d} {i % 24:02d}:40:00", "view",
+             val / 100.0)
+        )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        out = spark.sql(_CLASSICAL_DECOMP).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    centered = np.array(pattern) - np.mean(pattern)
+    got = {r.hod: r.seasonal_cents for r in out}
+    assert len(got) == 24
+    for h in range(24):
+        assert abs(got[h] - centered[h]) < 0.75, h
+
+
+# ---------------------------------------------------------------------------
+# Harrell's C
+# ---------------------------------------------------------------------------
+def test_harrell_c_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_harrell_c
+
+    [row] = _events_harrell_c(spark, SF_DIR).collect()
+    df = duck.execute(
+        """
+        WITH life AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS start,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS fp,
+                 MAX(epoch_us(ts)) AS last
+          FROM events GROUP BY user_id)
+        SELECT user_id % 2 AS grp,
+               (COALESCE(fp, last) - start) // 3600000000 AS t,
+               CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+        FROM life
+        """
+    ).df()
+    grp = df.grp.to_numpy()
+    t = df.t.to_numpy()
+    obs = df.obs.to_numpy()
+    conc = disc = tied = 0
+    n = len(df)
+    for i in range(n):
+        if not obs[i]:
+            continue
+        later = (t > t[i]) | ((t == t[i]) & (obs == 0))
+        hi = grp[later]
+        if grp[i] == 1:
+            conc += int((hi == 0).sum())
+            tied += int((hi == 1).sum())
+        else:
+            disc += int((hi == 1).sum())
+            tied += int((hi == 0).sum())
+    assert row.n_subjects == n
+    assert row.concordant == conc and row.discordant == disc
+    assert row.tied_score == tied
+    c_ref = (conc + tied / 2) / (conc + disc + tied)
+    assert abs(row.c_index - c_ref) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# RSI
+# ---------------------------------------------------------------------------
+def test_rsi_hand_case(spark):
+    # 15 daily closes alternating +2/-1 dollar steps: every 14-diff
+    # window holds 7 gains of 200 cents and 7 losses of 100 cents ->
+    # RSI = 100*1400/2100 = 66.666667
+    from datafusion_gpu_spark.queries.pipeline import _RSI
+
+    rows = []
+    price = 50.0
+    for d in range(15):
+        price += 2.0 if d % 2 == 1 else (-1.0 if d else 0.0)
+        rows.append((d, 1, f"2024-01-{d + 1:02d} 12:00:00", "purchase", price))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        out = spark.sql(_RSI).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert len(out) == 1
+    assert out[0].gain_cents_14 == 1400 and out[0].loss_cents_14 == 700
+    assert abs(out[0].rsi_14 - 100 * 1400 / 2100) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# HITS / modularity (operator-level hand cases)
+# ---------------------------------------------------------------------------
+def test_hits_path_counts_hand_case(spark):
+    # c1 -> {s1, s2}, c2 -> {s2}. One round: a1 = in-degree = (s1:1,
+    # s2:2); h1 = out-fold of a1 = (c1: 1+2 = 3, c2: 2). Two rounds:
+    # a2 = in-fold of h1 = (s1: 3, s2: 3+2 = 5).
+    from datafusion_gpu_spark.operators import graph
+
+    e = spark.createDataFrame(
+        [("c1", "s1"), ("c1", "s2"), ("c2", "s2")], "src string, dst string"
+    )
+    out = {(r.side, r.node): r for r in graph.hits(e, iters=1).collect()}
+    assert out[("authority", "s1")].raw == 1
+    assert out[("authority", "s2")].raw == 2
+    assert out[("hub", "c1")].raw == 3
+    assert out[("hub", "c2")].raw == 2
+    assert out[("authority", "s2")].score == 1.0
+    assert abs(out[("authority", "s1")].score - 0.5) < 1e-9
+    assert abs(out[("hub", "c2")].score - 2 / 3) < 1e-8
+    out2 = {(r.side, r.node): r for r in graph.hits(e, iters=2).collect()}
+    assert out2[("authority", "s1")].raw == 3
+    assert out2[("authority", "s2")].raw == 5
+    assert abs(out2[("authority", "s1")].score - 0.6) < 1e-9
+
+
+def test_modularity_two_cliques_hand_case(spark):
+    # two triangles joined by one bridge edge, labeled by triangle:
+    # m = 7, each community: 3 internal edges, degree sum 7
+    # contribution = 3/7 - (7/14)^2 = 3/7 - 1/4; Q = 2*(3/7 - 1/4) = 5/14
+    from datafusion_gpu_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "a long, b long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, label long"
+    )
+    out = {r.community: r for r in graph.modularity(edges, labels).collect()}
+    assert out[1].internal_edges == 3 and out[4].internal_edges == 3
+    assert out[1].degree_sum == 7 and out[4].degree_sum == 7
+    q = sum(r.contribution for r in out.values())
+    assert abs(q - 5 / 14) < 1e-6
+
+
+def test_modularity_trivial_partition_is_zero_ish(spark):
+    # all nodes in ONE community: Q = m/m - (2m/2m)^2 = 0 exactly
+    from datafusion_gpu_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "a long, b long")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "node long, label long"
+    )
+    [row] = graph.modularity(edges, labels).collect()
+    assert row.internal_edges == 3 and row.contribution == 0.0
+
+
+# ---------------------------------------------------------------------------
+# streaming twin
+# ---------------------------------------------------------------------------
+def test_streaming_jarque_bera_matches_batch_exactly(spark):
+    from datafusion_gpu_spark.queries.pipeline import (
+        _agg_jarque_bera,
+        _streaming_jarque_bera,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch = {r.event_type: tuple(r) for r in _agg_jarque_bera(spark, sf).collect()}
+    stream = {
+        r.event_type: tuple(r) for r in _streaming_jarque_bera(spark, sf).collect()
+    }
+    assert stream == batch and len(batch) == 5
