@@ -1714,7 +1714,7 @@ def hits(
     )
 
 
-def modularity(
+def partition_modularity(
     edges: DataFrame, labels: DataFrame, a: str = "a", b: str = "b"
 ) -> DataFrame:
     """Newman modularity (Newman & Girvan 2004) of a node partition

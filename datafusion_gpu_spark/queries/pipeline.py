@@ -5795,7 +5795,7 @@ def _graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     load(spark, sf_dir)
     edges = _sparse_copurchase_edges(spark)
     labels = graph.label_propagation(edges, rounds=3)
-    return graph.modularity(edges, labels)
+    return graph.partition_modularity(edges, labels)
 
 
 QUERIES["graph_modularity"] = _graph_modularity

@@ -650,7 +650,7 @@ def test_modularity_two_cliques_hand_case(spark):
     labels = spark.createDataFrame(
         [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 4)], "node long, label long"
     )
-    out = {r.community: r for r in graph.modularity(edges, labels).collect()}
+    out = {r.community: r for r in graph.partition_modularity(edges, labels).collect()}
     assert out[1].internal_edges == 3 and out[4].internal_edges == 3
     assert out[1].degree_sum == 7 and out[4].degree_sum == 7
     q = sum(r.contribution for r in out.values())
@@ -665,7 +665,7 @@ def test_modularity_trivial_partition_is_zero_ish(spark):
     labels = spark.createDataFrame(
         [(1, 9), (2, 9), (3, 9)], "node long, label long"
     )
-    [row] = graph.modularity(edges, labels).collect()
+    [row] = graph.partition_modularity(edges, labels).collect()
     assert row.internal_edges == 3 and row.contribution == 0.0
 
 
