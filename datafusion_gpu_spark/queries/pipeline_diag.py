@@ -1224,3 +1224,460 @@ def _streaming_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_jarque_bera"] = _streaming_jarque_bera
 ORACLES["streaming_jarque_bera"] = _JARQUE_BERA
+
+
+# ---------------------------------------------------------------------------
+# Welch's heteroscedastic one-way ANOVA (Welch 1951) across the five
+# event types — the k-group member of the unequal-variance family:
+# agg_anova_f assumes equal variances (and agg_brown_forsythe TESTS
+# that assumption); when it fails, Welch's F* with Satterthwaite-style
+# df is the test to run, exactly as agg_welch_ttest replaces
+# events_ab_test at k = 2.
+#
+# Spelling discipline (the _ANOVA_F cross-group precedent): per-group
+# moments (n, s1, s2) are exact bigint cent folds; each group's float
+# terms quantize ONCE (w_i = n_i/v_i at 1e9; w_i*m_i at 1e6;
+# w_i*(m_i - xbar_w)^2 at 1e3; (1-w_i/W)^2/(n_i-1) at 1e12) before the
+# cross-group sums, so the k-row folds are exact integers — a plain
+# double SUM over groups would be accumulation-order-dependent
+# cross-engine. xbar_w needs the first fold, so the second pass joins
+# the one-row fold back (exempt cross). Degenerate guard: groups with
+# one distinct value (v = 0) are EXCLUDED and k_used reports how many
+# entered. VISIBLE headroom: the 1e3-quantized deviation terms wrap
+# once w*(m-xw)^2 ~ n*delta^2/v reaches 9e15 — NULL via the guard on
+# the folded magnitudes.
+# ---------------------------------------------------------------------------
+_WELCH_ANOVA = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS nv
+  FROM t GROUP BY grp
+),
+p AS (
+  SELECT grp, n,
+         CAST(s1 AS DOUBLE) / n AS m,
+         (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS v
+  FROM g WHERE nv > 1 AND n > 1
+),
+q1 AS (
+  SELECT grp, n, m, v,
+         CAST(ROUND(1e9 * n / v, 0) AS BIGINT) AS wq,
+         CAST(ROUND(1e6 * n / v * m, 0) AS BIGINT) AS wmq
+  FROM p
+),
+f1 AS (
+  SELECT CAST(SUM(wq) AS BIGINT) AS w9,
+         CAST(SUM(wmq) AS BIGINT) AS wm6,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM q1
+),
+q2 AS (
+  SELECT q1.grp, q1.n, f1.k, f1.w9,
+         CAST(ROUND(1e3 * (q1.n / q1.v)
+              * (q1.m - 1000e0 * f1.wm6 / f1.w9)
+              * (q1.m - 1000e0 * f1.wm6 / f1.w9), 0) AS BIGINT) AS aq,
+         CAST(ROUND(1e12 * (1e0 - q1.wq / CAST(f1.w9 AS DOUBLE))
+              * (1e0 - q1.wq / CAST(f1.w9 AS DOUBLE))
+              / (q1.n - 1), 0) AS BIGINT) AS hq
+  FROM q1 CROSS JOIN f1
+),
+f2 AS (
+  SELECT CAST(MAX(k) AS BIGINT) AS k,
+         CAST(SUM(aq) AS BIGINT) AS a3,
+         CAST(SUM(hq) AS BIGINT) AS h12,
+         CAST(MAX(ABS(aq)) AS BIGINT) AS mxa
+  FROM q2
+)
+SELECT k AS k_used, k - 1 AS df1,
+       CASE WHEN k > 1 AND CAST(mxa AS DOUBLE) * k < 9e18 THEN
+         ROUND((a3 / 1e3 / (k - 1))
+               / (1e0 + (2e0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1))
+                        * (h12 / 1e12)), 6) END AS f_welch,
+       CASE WHEN k > 1 AND h12 > 0 THEN
+         ROUND((CAST(k AS DOUBLE) * k - 1) / (3e0 * (h12 / 1e12)), 2)
+       END AS df2
+FROM f2
+"""
+
+
+def _agg_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance one-way ANOVA across event types —
+    per-group terms quantized before the exact cross-group folds, F*
+    and Satterthwaite df terminal. See _WELCH_ANOVA."""
+    load(spark, sf_dir)
+    return spark.sql(_WELCH_ANOVA)
+
+
+QUERIES["agg_welch_anova"] = _agg_welch_anova
+ORACLES["agg_welch_anova"] = _WELCH_ANOVA
+
+
+# ---------------------------------------------------------------------------
+# Bartlett's test of equal variances (Bartlett 1937) across the five
+# event types — the LIKELIHOOD-RATIO homogeneity test beside
+# agg_brown_forsythe's robust median-deviation one: Bartlett is the
+# more powerful member when the data are near-normal (which
+# agg_jarque_bera now checks), Brown-Forsythe the safe default.
+# B = ((N-k) ln s_p^2 - sum (n_i-1) ln v_i) / C with the standard
+# Bartlett correction C.
+#
+# Spelling: per-group (n_i-1)v_i and (n_i-1)ln(v_i) and 1/(n_i-1)
+# quantize ONCE (1e3 / 1e9 / 1e12) before exact cross-group folds
+# (one libm LN per GROUP, the greenwood discipline); the pooled
+# ln s_p^2 is ONE terminal libm call on the folded exact operands.
+# Groups with zero variance are excluded (k_used reports the count).
+# VISIBLE guard: the 1e3-quantized SSW fold wraps at ~9e15 cents^2
+# of pooled squared error — NULL past it.
+# ---------------------------------------------------------------------------
+_BARTLETT = """
+WITH t AS (
+  SELECT event_type AS grp, CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+  FROM events WHERE value IS NOT NULL
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1,
+         CAST(SUM(c * c) AS BIGINT) AS s2,
+         CAST(COUNT(DISTINCT c) AS BIGINT) AS nv
+  FROM t GROUP BY grp
+),
+p AS (
+  SELECT grp, n,
+         (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+           / (CAST(n AS DOUBLE) * (n - 1)) AS v
+  FROM g WHERE nv > 1 AND n > 1
+),
+q AS (
+  SELECT n,
+         CAST(ROUND(1e3 * (n - 1) * v, 0) AS BIGINT) AS sswq,
+         CAST(ROUND(1e9 * (n - 1) * LN(v), 0) AS BIGINT) AS slnq,
+         CAST(ROUND(1e12 / (n - 1), 0) AS BIGINT) AS rinq
+  FROM p
+),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(n) AS BIGINT) AS nt,
+         CAST(SUM(sswq) AS BIGINT) AS ssw3,
+         CAST(SUM(slnq) AS BIGINT) AS sln9,
+         CAST(SUM(rinq) AS BIGINT) AS rin12,
+         CAST(MAX(sswq) AS BIGINT) AS mxs
+  FROM q
+)
+SELECT k AS k_used, nt AS n_total, k - 1 AS df,
+       CASE WHEN k > 1 AND nt > k AND ssw3 > 0
+             AND CAST(mxs AS DOUBLE) * k < 9e18 THEN
+         ROUND(((nt - k) * LN(ssw3 / 1e3 / (nt - k)) - sln9 / 1e9)
+               / (1e0 + (rin12 / 1e12 - 1e0 / (nt - k))
+                        / (3e0 * (k - 1))), 6) END AS bartlett_stat,
+       CASE WHEN k > 1 AND nt > k AND ssw3 > 0
+             AND CAST(mxs AS DOUBLE) * k < 9e18 THEN
+         ((nt - k) * LN(ssw3 / 1e3 / (nt - k)) - sln9 / 1e9)
+         / (1e0 + (rin12 / 1e12 - 1e0 / (nt - k)) / (3e0 * (k - 1)))
+         > 9.487729 END AS reject_05
+FROM f
+"""
+
+
+def _agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's equal-variance test across event types — per-group
+    quantized LN/SSW folds, one terminal pooled LN, vs chi-square(4)
+    at 9.487729. See _BARTLETT."""
+    load(spark, sf_dir)
+    return spark.sql(_BARTLETT)
+
+
+QUERIES["agg_bartlett"] = _agg_bartlett
+ORACLES["agg_bartlett"] = _BARTLETT
+
+
+# ---------------------------------------------------------------------------
+# Lin's concordance correlation coefficient (Lin 1989) between each
+# user's mean click cents and mean purchase cents — the AGREEMENT
+# member of the correlation family: Pearson r rewards any linear
+# relation; CCC = 2 s_xy / (s_x^2 + s_y^2 + (xbar-ybar)^2) only rewards
+# agreement with the 45-degree line, which is what "do clicks predict
+# purchase spend one-to-one" actually asks (the method-comparison
+# statistic of clinical chemistry, re-read as a metric-parity gate).
+#
+# Spelling: per-user means quantize ONCE to integer cents (one
+# correctly-rounded IEEE division per user on exact bigint sums); the
+# (x, y) moment folds are then exact bigints and both CCC and Pearson
+# r are terminal expressions on the n^2-cleared identities. VISIBLE
+# guard: the sxx/syy folds wrap once n * mx^2 reaches 9e18.
+# ---------------------------------------------------------------------------
+_LIN_CCC = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sc,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS ncl,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sp,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS np
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pairs AS (
+  SELECT CAST(ROUND(CAST(sc AS DOUBLE) / ncl, 0) AS BIGINT) AS x,
+         CAST(ROUND(CAST(sp AS DOUBLE) / np, 0) AS BIGINT) AS y
+  FROM pu WHERE ncl > 0 AND np > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(MAX(GREATEST(ABS(x), ABS(y))) AS BIGINT) AS mx
+  FROM pairs
+)
+SELECT n AS n_pairs,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * mx * mx < 9e18
+             AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+            THEN ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * sy)), 6)
+       END AS pearson_r,
+       CASE WHEN n > 1 AND CAST(n AS DOUBLE) * mx * mx < 9e18
+             AND (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                 + (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                 + (CAST(sx AS DOUBLE) - sy) * (CAST(sx AS DOUBLE) - sy) > 0
+            THEN ROUND(2e0 * (CAST(n AS DOUBLE) * sxy
+                              - CAST(sx AS DOUBLE) * sy)
+                 / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                    + (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)
+                    + (CAST(sx AS DOUBLE) - sy)
+                      * (CAST(sx AS DOUBLE) - sy)), 6)
+       END AS ccc
+FROM m
+"""
+
+
+def _agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lin's concordance correlation (with Pearson r beside it) between
+    per-user mean click and purchase cents — exact moment folds on
+    once-quantized user means, two terminal divisions. See _LIN_CCC."""
+    load(spark, sf_dir)
+    return spark.sql(_LIN_CCC)
+
+
+QUERIES["agg_lin_ccc"] = _agg_lin_ccc
+ORACLES["agg_lin_ccc"] = _LIN_CCC
+
+
+# ---------------------------------------------------------------------------
+# Bland-Altman agreement interval (Bland & Altman 1986) on the SAME
+# per-user (mean click, mean purchase) pairs — CCC compresses agreement
+# to one number; the B-A bias +- 1.96 sd limits say WHERE the two
+# measures disagree and flag the users outside the limits (the
+# method-comparison plot's numbers, which is what a data-quality gate
+# stores). Differences are exact integer cents; the limits are
+# terminal; the outside-count joins the one-row fold back (exempt
+# cross). VISIBLE guard: the d^2 fold wraps once n * mxd^2 reaches
+# 9e18.
+# ---------------------------------------------------------------------------
+_BLAND_ALTMAN = """
+WITH pu AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sc,
+         CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS ncl,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+              THEN CAST(ROUND(value * 100, 0) AS BIGINT) END) AS BIGINT) AS sp,
+         CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS np
+  FROM events WHERE value IS NOT NULL GROUP BY user_id
+),
+pairs AS (
+  SELECT CAST(ROUND(CAST(sc AS DOUBLE) / ncl, 0) AS BIGINT)
+         - CAST(ROUND(CAST(sp AS DOUBLE) / np, 0) AS BIGINT) AS d
+  FROM pu WHERE ncl > 0 AND np > 0
+),
+m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(d) AS BIGINT) AS sd1,
+         CAST(SUM(d * d) AS BIGINT) AS sd2,
+         CAST(MAX(ABS(d)) AS BIGINT) AS mxd
+  FROM pairs
+),
+lim AS (
+  SELECT n, sd1, sd2,
+         CAST(n AS DOUBLE) * mxd * mxd < 9e18 AS headroom,
+         CAST(sd1 AS DOUBLE) / n AS bias,
+         SQRT((CAST(n AS DOUBLE) * sd2 - CAST(sd1 AS DOUBLE) * sd1)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sdd
+  FROM m WHERE n > 1
+)
+SELECT n AS n_pairs,
+       CASE WHEN headroom THEN ROUND(bias, 6) END AS bias_cents,
+       CASE WHEN headroom THEN ROUND(sdd, 6) END AS sd_cents,
+       CASE WHEN headroom
+            THEN ROUND(bias - 1.959964 * sdd, 6) END AS loa_lo,
+       CASE WHEN headroom
+            THEN ROUND(bias + 1.959964 * sdd, 6) END AS loa_hi,
+       CASE WHEN headroom THEN (
+         SELECT CAST(SUM(CASE WHEN p.d < l2.bias - 1.959964 * l2.sdd
+                               OR p.d > l2.bias + 1.959964 * l2.sdd
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM pairs p CROSS JOIN lim l2
+       ) END AS n_outside
+FROM lim
+"""
+
+
+def _agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bland-Altman bias and 95% limits of agreement on the per-user
+    (mean click, mean purchase) cent pairs, with the outside-limits
+    count. See _BLAND_ALTMAN."""
+    load(spark, sf_dir)
+    return spark.sql(_BLAND_ALTMAN)
+
+
+QUERIES["agg_bland_altman"] = _agg_bland_altman
+ORACLES["agg_bland_altman"] = _BLAND_ALTMAN
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (Mann 1945; Kendall 1975) on the hourly
+# purchase-revenue series — the SIGNIFICANCE member of the robust-trend
+# family: events_theil_sen/siegel ESTIMATE the slope; MK tests whether
+# ANY monotone trend exists, distribution-free (it is Kendall's S of
+# value vs time). S = sum_{i<j} sign(y_j - y_i), tie-corrected
+# Var(S) = (n(n-1)(2n+5) - sum t(t-1)(2t+5)) / 18, continuity-corrected
+# z = (S -+ 1)/sqrt(Var).
+#
+# Pair space = the wall-clock-bounded hourly relation self-joined on
+# x_a < x_b — the SAME allow-listed bounded pair join as
+# events_theil_sen (8,760 rows/year regardless of data volume; never
+# data x data); S and the tie fold are exact bigints, z terminal.
+# VISIBLE guard: n^3 * 2 < 9e18 bounds the variance folds (~1.6e6
+# buckets — 190 years of hours).
+# ---------------------------------------------------------------------------
+_MANN_KENDALL = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS x,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+pairs AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM hourly a JOIN hourly b ON a.x < b.x
+),
+s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_mk FROM pairs),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM hourly),
+ties AS (
+  SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+           AS tcorr
+  FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS t FROM hourly GROUP BY y) g
+  WHERE g.t > 1
+),
+v AS (
+  SELECT n, s_mk,
+         CAST(n AS DOUBLE) * n * n * 2 < 9e18 AS headroom,
+         (CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - tcorr) / 18e0 AS var_s
+  FROM s CROSS JOIN nn CROSS JOIN ties
+)
+SELECT n AS n_buckets, s_mk,
+       CASE WHEN headroom THEN ROUND(var_s, 6) END AS var_s,
+       CASE WHEN headroom AND var_s > 0 THEN
+         ROUND((CAST(s_mk AS DOUBLE)
+                - CASE WHEN s_mk > 0 THEN 1 WHEN s_mk < 0 THEN -1
+                       ELSE 0 END) / SQRT(var_s), 6) END AS z_mk,
+       CASE WHEN headroom AND var_s > 0 THEN
+         ABS((CAST(s_mk AS DOUBLE)
+              - CASE WHEN s_mk > 0 THEN 1 WHEN s_mk < 0 THEN -1 ELSE 0 END)
+             / SQRT(var_s)) > 1.959964 END AS reject_05
+FROM v
+"""
+
+#: Spark twin — identical except the epoch spelling (the _HURST
+#: dialect-replace precedent).
+_MANN_KENDALL_SPARK = _MANN_KENDALL.replace(
+    "epoch_us(ts) // 3600000000",
+    "unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000",
+)
+
+
+def _events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test of hourly purchase revenue —
+    exact S over the wall-clock-bounded pair space, tie-corrected
+    variance, continuity-corrected z. See _MANN_KENDALL."""
+    load(spark, sf_dir)
+    return spark.sql(_MANN_KENDALL_SPARK)
+
+
+QUERIES["events_mann_kendall"] = _events_mann_kendall
+ORACLES["events_mann_kendall"] = _MANN_KENDALL
+
+
+# ---------------------------------------------------------------------------
+# Page's trend test (Page 1963) for an ORDERED alternative across the
+# month's three 10-day segments, blocked by user — the directional
+# sibling of agg_friedman's blocked design: Friedman asks "do the
+# periods differ at all?"; Page asks "does per-user spend INCREASE
+# early -> mid -> late month?" with far more power when the truth is
+# monotone (the blocked analogue of agg_cochran_armitage). Blocks are
+# users with value-bearing activity in ALL three segments (complete
+# blocks, the textbook requirement). L = sum_j j * R_j over within-user
+# ranks; with k = 3 treatments E[L] = 12m and Var(L) = 2m, so
+# z = (L - 12m)/sqrt(2m) — spelled on the DOUBLED ranks as
+# (L2 - 24m)/(2 sqrt(2m)).
+#
+# Spelling: doubled average ranks keep the rank algebra integer (the
+# _FRIEDMAN machinery on the segment axis); L2 is an exact bigint
+# fold; one-sided rejection at z > 1.644854 (Page's test is
+# directional by construction — documented). VISIBLE guard: m * 36
+# bounds L2, so outputs NULL once CAST(m AS DOUBLE) * 36 >= 9e18.
+# ---------------------------------------------------------------------------
+_PAGE_TREND = """
+WITH seg AS (
+  SELECT user_id,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+              WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+              ELSE 3 END AS j,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id,
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+                WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+                ELSE 3 END
+),
+blocks AS (
+  SELECT user_id FROM seg GROUP BY user_id HAVING COUNT(*) = 3
+),
+rk AS (
+  SELECT s.user_id, s.j,
+         CAST(2 * RANK() OVER (PARTITION BY s.user_id ORDER BY s.v)
+              + COUNT(*) OVER (PARTITION BY s.user_id, s.v) - 1
+              AS BIGINT) AS r2
+  FROM seg s JOIN blocks b ON s.user_id = b.user_id
+),
+lsum AS (SELECT CAST(SUM(j * r2) AS BIGINT) AS l2 FROM rk),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM blocks)
+SELECT m AS n_blocks, l2,
+       CASE WHEN m > 0 AND CAST(m AS DOUBLE) * 36 < 9e18 THEN
+         ROUND((l2 - 24e0 * m) / (2e0 * SQRT(2e0 * m)), 6) END AS z_page,
+       CASE WHEN m > 0 AND CAST(m AS DOUBLE) * 36 < 9e18 THEN
+         (l2 - 24e0 * m) / (2e0 * SQRT(2e0 * m)) > 1.644854
+       END AS reject_increasing_05
+FROM lsum CROSS JOIN nb
+"""
+
+
+def _events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's ordered-alternative trend test across the month's three
+    10-day segments, blocked by user — doubled-rank integer folds,
+    one-sided z. See _PAGE_TREND."""
+    load(spark, sf_dir)
+    return spark.sql(_PAGE_TREND)
+
+
+QUERIES["events_page_trend"] = _events_page_trend
+ORACLES["events_page_trend"] = _PAGE_TREND

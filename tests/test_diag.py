@@ -684,3 +684,185 @@ def test_streaming_jarque_bera_matches_batch_exactly(spark):
         r.event_type: tuple(r) for r in _streaming_jarque_bera(spark, sf).collect()
     }
     assert stream == batch and len(batch) == 5
+
+
+# ---------------------------------------------------------------------------
+# Welch ANOVA / Bartlett
+# ---------------------------------------------------------------------------
+def test_welch_anova_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_welch_anova
+
+    [row] = _agg_welch_anova(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE value IS NOT NULL"
+    ).df()
+    groups = [sub.c.to_numpy().astype(float) for _, sub in df.groupby("g")]
+    groups = [x for x in groups if len(np.unique(x)) > 1 and len(x) > 1]
+    k = len(groups)
+    n = np.array([len(x) for x in groups], dtype=float)
+    m = np.array([x.mean() for x in groups])
+    v = np.array([x.var(ddof=1) for x in groups])
+    w = n / v
+    xw = (w * m).sum() / w.sum()
+    a = (w * (m - xw) ** 2).sum() / (k - 1)
+    h = ((1 - w / w.sum()) ** 2 / (n - 1)).sum()
+    f_ref = a / (1 + 2 * (k - 2) / (k**2 - 1) * h)
+    df2_ref = (k**2 - 1) / (3 * h)
+    assert row.k_used == k and row.df1 == k - 1
+    assert abs(row.f_welch - f_ref) < max(1e-3, abs(f_ref) * 1e-4)
+    assert abs(row.df2 - df2_ref) < max(0.05, df2_ref * 1e-4)
+
+
+def test_bartlett_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_bartlett
+
+    [row] = _agg_bartlett(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT event_type AS g, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
+        "FROM events WHERE value IS NOT NULL"
+    ).df()
+    groups = [sub.c.to_numpy().astype(float) for _, sub in df.groupby("g")]
+    groups = [x for x in groups if len(np.unique(x)) > 1 and len(x) > 1]
+    k = len(groups)
+    n = np.array([len(x) for x in groups], dtype=float)
+    v = np.array([x.var(ddof=1) for x in groups])
+    nt = n.sum()
+    sp2 = ((n - 1) * v).sum() / (nt - k)
+    b = (nt - k) * np.log(sp2) - ((n - 1) * np.log(v)).sum()
+    c = 1 + ((1 / (n - 1)).sum() - 1 / (nt - k)) / (3 * (k - 1))
+    b_ref = b / c
+    assert row.k_used == k and row.df == k - 1
+    assert abs(row.bartlett_stat - b_ref) < max(1e-3, abs(b_ref) * 1e-5)
+    assert row.reject_05 == (b_ref > 9.487729)
+
+
+# ---------------------------------------------------------------------------
+# Lin CCC / Bland-Altman
+# ---------------------------------------------------------------------------
+def _user_mean_pairs(duck):
+    df = duck.execute(
+        """
+        SELECT CAST(ROUND(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+               / CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                      AS DOUBLE), 0) AS BIGINT) AS x,
+               CAST(ROUND(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(ROUND(value * 100, 0) AS BIGINT) END)
+               / CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+                      AS DOUBLE), 0) AS BIGINT) AS y
+        FROM events WHERE value IS NOT NULL GROUP BY user_id
+        HAVING COUNT(CASE WHEN event_type = 'click' THEN 1 END) > 0
+           AND COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) > 0
+        """
+    ).df()
+    return df.x.to_numpy().astype(float), df.y.to_numpy().astype(float)
+
+
+def test_lin_ccc_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_lin_ccc
+
+    [row] = _agg_lin_ccc(spark, SF_DIR).collect()
+    x, y = _user_mean_pairs(duck)
+    n = len(x)
+    sxy = ((x - x.mean()) * (y - y.mean())).mean()
+    ccc = 2 * sxy / (x.var() + y.var() + (x.mean() - y.mean()) ** 2)
+    r = np.corrcoef(x, y)[0, 1]
+    assert row.n_pairs == n
+    assert abs(row.pearson_r - r) < 1e-5
+    assert abs(row.ccc - ccc) < 1e-5
+
+
+def test_bland_altman_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_bland_altman
+
+    [row] = _agg_bland_altman(spark, SF_DIR).collect()
+    x, y = _user_mean_pairs(duck)
+    d = x - y
+    bias = d.mean()
+    sd = d.std(ddof=1)
+    lo, hi = bias - 1.959964 * sd, bias + 1.959964 * sd
+    assert row.n_pairs == len(d)
+    assert abs(row.bias_cents - bias) < 1e-5
+    assert abs(row.sd_cents - sd) < 1e-5
+    assert row.n_outside == int(((d < lo) | (d > hi)).sum())
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall / Page trend
+# ---------------------------------------------------------------------------
+def test_mann_kendall_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_mann_kendall
+
+    [row] = _events_mann_kendall(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT epoch_us(ts) // 3600000000 AS x, "
+        "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y FROM events "
+        "WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"
+    ).df()
+    y = df.y.to_numpy()
+    n = len(y)
+    s = int(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)].sum())
+    _, t = np.unique(y, return_counts=True)
+    tcorr = int((t * (t - 1) * (2 * t + 5))[t > 1].sum())
+    var_s = (n * (n - 1) * (2 * n + 5) - tcorr) / 18
+    z = (s - np.sign(s)) / np.sqrt(var_s)
+    assert row.n_buckets == n and row.s_mk == s
+    assert abs(row.var_s - var_s) < 1e-6
+    assert abs(row.z_mk - z) < 1e-6
+
+
+def test_page_trend_planted_perfect_increase(spark):
+    # every block strictly increasing -> per-block L = 14 (max for
+    # k = 3), so L2 = 28m and z = sqrt(2m)
+    from datafusion_gpu_spark.queries.pipeline import _PAGE_TREND
+
+    rows = []
+    eid = 0
+    m = 50
+    for uid in range(m):
+        for j, day in enumerate(("05", "15", "25")):
+            rows.append(
+                (eid, uid, f"2024-01-{day} 10:00:00", "view",
+                 float(j + 1) + uid * 0.0)
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_PAGE_TREND).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.n_blocks == m and row.l2 == 28 * m
+    assert abs(row.z_page - np.sqrt(2 * m)) < 1e-6
+    assert row.reject_increasing_05 is True
+
+
+def test_page_trend_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_page_trend
+
+    [row] = _events_page_trend(spark, SF_DIR).collect()
+    df = duck.execute(
+        """
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+                    WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+                    ELSE 3 END AS j,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        """
+    ).df()
+    full = df.groupby("user_id").filter(lambda g: len(g) == 3)
+    l = 0.0
+    for _, g in full.groupby("user_id"):
+        g = g.sort_values("j")
+        r = g.v.rank(method="average").to_numpy()
+        l += (g.j.to_numpy() * r).sum()
+    m = full.user_id.nunique()
+    z = (l - 12 * m) / np.sqrt(2 * m)
+    assert row.n_blocks == m and row.l2 == int(round(2 * l))
+    assert abs(row.z_page - z) < 1e-5

@@ -768,6 +768,12 @@ _BNLJ_BEARING_R11 = (
     "agg_g_test", "agg_fleiss_kappa", "agg_average_precision",
     "agg_kendall_w", "agg_somers_d", "graph_modularity",
     "agg_dunn_posthoc",
+    # r13 wave 3: agg_welch_anova / agg_bland_altman (exempt one-row
+    # fold-back crosses), events_page_trend (one-row lsum x nb cross),
+    # events_mann_kendall (2 exempt scalar crosses + the ALLOW-LISTED
+    # wall-clock-bounded hourly pair join, the theil_sen class)
+    "agg_welch_anova", "agg_bland_altman", "events_page_trend",
+    "events_mann_kendall",
     # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
     # one-row hurst cross
     "events_hurst_rs",
@@ -827,11 +833,14 @@ _BNLJ_BEARING_R11 = (
 #:   on grp < grp — bounded by the CATEGORY domain like the
 #:   agg_chi_squared margin, never by row count; the k(k-1)/2 pair
 #:   relation is the test's own output shape.
+#: - events_mann_kendall (r13 second wave): the SAME wall-clock-bounded
+#:   hourly pair join as events_theil_sen (S is Kendall's statistic of
+#:   value vs time, so the pair space is hours^2, never data x data).
 _BNLJ_OTHER_ALLOWED = frozenset(
     {"agg_chi_squared", "curation_t_closeness", "text_heavy_hitters",
      "join_non_equi_band", "agg_isotonic_calibration", "events_theil_sen",
      "events_theil_sen_bucketed", "events_siegel_trend",
-     "agg_dunn_posthoc"}
+     "agg_dunn_posthoc", "events_mann_kendall"}
 )
 
 
