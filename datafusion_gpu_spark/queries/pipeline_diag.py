@@ -1681,3 +1681,355 @@ def _events_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_page_trend"] = _events_page_trend
 ORACLES["events_page_trend"] = _PAGE_TREND
+
+
+# ---------------------------------------------------------------------------
+# Theil's uncertainty coefficient (Theil 1970) on the priority x status
+# contingency — the ENTROPY member of the association family:
+# Cramer's V is symmetric and chi-square-scaled; U(Y|X) =
+# (H(Y) - H(Y|X)) / H(Y) reads as "what fraction of the uncertainty in
+# status does knowing priority remove", directional and in [0, 1] (the
+# proportional-reduction-in-uncertainty reading analysts actually
+# want). Emits both directions and the symmetric coefficient
+# 2(H(X) + H(Y) - H(X,Y)) / (H(X) + H(Y)).
+#
+# Spelling: all probabilities are exact bigint count ratios; each
+# entropy term quantizes ONCE to 1e-12 per cell/margin (libm LN on
+# identical exact inputs, the greenwood discipline), folds are exact,
+# the three U's are terminal divisions. VISIBLE guard: a 1e-12 term is
+# bounded by 0.37e12 (max of p ln 1/p), so the fold is safe to ~2.4e7
+# CELLS — domain-bounded here (15), guarded for the general shape.
+# ---------------------------------------------------------------------------
+_UNCERTAINTY_COEFF = """
+WITH obs AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+xt AS (SELECT x, CAST(SUM(o) AS BIGINT) AS nx FROM obs GROUP BY x),
+yt AS (SELECT y, CAST(SUM(o) AS BIGINT) AS ny FROM obs GROUP BY y),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+hx AS (
+  SELECT CAST(SUM(CAST(ROUND(1e12 * (CAST(nx AS DOUBLE) / nt)
+              * LN(CAST(nt AS DOUBLE) / nx), 0) AS BIGINT)) AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS kx
+  FROM xt CROSS JOIN tot
+),
+hy AS (
+  SELECT CAST(SUM(CAST(ROUND(1e12 * (CAST(ny AS DOUBLE) / nt)
+              * LN(CAST(nt AS DOUBLE) / ny), 0) AS BIGINT)) AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS ky
+  FROM yt CROSS JOIN tot
+),
+hxy AS (
+  SELECT CAST(SUM(CAST(ROUND(1e12 * (CAST(o AS DOUBLE) / nt)
+              * LN(CAST(nt AS DOUBLE) / o), 0) AS BIGINT)) AS BIGINT) AS hq,
+         CAST(COUNT(*) AS BIGINT) AS n_cells
+  FROM obs CROSS JOIN tot
+)
+SELECT n_cells, kx AS k_x, ky AS k_y,
+       ROUND(hx.hq / 1e12, 6) AS h_x,
+       ROUND(hy.hq / 1e12, 6) AS h_y,
+       ROUND(hxy.hq / 1e12, 6) AS h_xy,
+       CASE WHEN hy.hq > 0 AND n_cells < 24000000 THEN
+         ROUND(CAST(hx.hq + hy.hq - hxy.hq AS DOUBLE) / hy.hq, 6)
+       END AS u_y_given_x,
+       CASE WHEN hx.hq > 0 AND n_cells < 24000000 THEN
+         ROUND(CAST(hx.hq + hy.hq - hxy.hq AS DOUBLE) / hx.hq, 6)
+       END AS u_x_given_y,
+       CASE WHEN hx.hq + hy.hq > 0 AND n_cells < 24000000 THEN
+         ROUND(2e0 * (hx.hq + hy.hq - hxy.hq) / (hx.hq + hy.hq), 6)
+       END AS u_symmetric
+FROM hx CROSS JOIN hy CROSS JOIN hxy
+"""
+
+
+def _agg_uncertainty_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's U (both directions + symmetric) between order priority
+    and status — 1e-12-quantized entropy folds on exact count ratios,
+    terminal divisions. See _UNCERTAINTY_COEFF."""
+    load(spark, sf_dir)
+    return spark.sql(_UNCERTAINTY_COEFF)
+
+
+QUERIES["agg_uncertainty_coeff"] = _agg_uncertainty_coeff
+ORACLES["agg_uncertainty_coeff"] = _UNCERTAINTY_COEFF
+
+
+# ---------------------------------------------------------------------------
+# Goodman-Kruskal lambda (Goodman & Kruskal 1954) on the same
+# contingency — the MODAL-PREDICTION association: lambda(Y|X) = how
+# much better you predict status by guessing each priority's modal
+# status instead of the global modal status:
+# (sum_x max_y n_xy - max_y n_y) / (N - max_y n_y). PURE integer
+# arithmetic — counts, maxima, one terminal division per direction —
+# the only member of the association family with NO float ops at all.
+# ---------------------------------------------------------------------------
+_GK_LAMBDA = """
+WITH obs AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y,
+         CAST(COUNT(*) AS BIGINT) AS o
+  FROM orders GROUP BY o_orderpriority, o_orderstatus
+),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS nt FROM obs),
+rowmax AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS srm
+  FROM (SELECT x, CAST(MAX(o) AS BIGINT) AS mx FROM obs GROUP BY x)
+),
+colmax AS (
+  SELECT CAST(SUM(mx) AS BIGINT) AS scm
+  FROM (SELECT y, CAST(MAX(o) AS BIGINT) AS mx FROM obs GROUP BY y)
+),
+ymarg AS (
+  SELECT CAST(MAX(ny) AS BIGINT) AS mny
+  FROM (SELECT y, CAST(SUM(o) AS BIGINT) AS ny FROM obs GROUP BY y)
+),
+xmarg AS (
+  SELECT CAST(MAX(nx) AS BIGINT) AS mnx
+  FROM (SELECT x, CAST(SUM(o) AS BIGINT) AS nx FROM obs GROUP BY x)
+)
+SELECT nt AS n_total, srm AS sum_row_modes, mny AS global_y_mode,
+       CASE WHEN nt > mny THEN
+         ROUND(CAST(srm - mny AS DOUBLE) / (nt - mny), 6)
+       END AS lambda_y_given_x,
+       CASE WHEN nt > mnx THEN
+         ROUND(CAST(scm - mnx AS DOUBLE) / (nt - mnx), 6)
+       END AS lambda_x_given_y
+FROM tot CROSS JOIN rowmax CROSS JOIN colmax
+     CROSS JOIN ymarg CROSS JOIN xmarg
+"""
+
+
+def _agg_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goodman-Kruskal lambda (both directions) between order priority
+    and status — all-integer modal-prediction folds, one terminal
+    division each. See _GK_LAMBDA."""
+    load(spark, sf_dir)
+    return spark.sql(_GK_LAMBDA)
+
+
+QUERIES["agg_gk_lambda"] = _agg_gk_lambda
+ORACLES["agg_gk_lambda"] = _GK_LAMBDA
+
+
+# ---------------------------------------------------------------------------
+# Cohen's h (Cohen 1988) — the EFFECT-SIZE companion of
+# events_proportion_ztest and events_ab_srm: the arcsine-stabilized
+# difference of two proportions, h = 2 asin(sqrt(p1)) - 2 asin(sqrt(p2)),
+# whose interpretation thresholds (0.2 small / 0.5 medium / 0.8 large)
+# do not depend on the base rate the way a raw difference does. Here:
+# the purchase share of each user_id-parity cohort (the A/B split every
+# cohort gate uses). Counts are exact bigints; h is one terminal
+# expression (ASIN/SQRT on identical exact ratios — the hurst terminal
+# libm precedent), so the only rounding is the output's 6dp grid.
+# ---------------------------------------------------------------------------
+_COHENS_H = """
+WITH t AS (
+  SELECT user_id % 2 AS grp,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events
+),
+g AS (
+  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS k
+  FROM t GROUP BY grp
+),
+w AS (
+  SELECT
+    CAST(MAX(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n0,
+    CAST(MAX(CASE WHEN grp = 0 THEN k END) AS BIGINT) AS k0,
+    CAST(MAX(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1,
+    CAST(MAX(CASE WHEN grp = 1 THEN k END) AS BIGINT) AS k1
+  FROM g
+)
+SELECT n0, k0, n1, k1,
+       ROUND(CAST(k1 AS DOUBLE) / n1 - CAST(k0 AS DOUBLE) / n0, 6)
+         AS p_diff,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         ROUND(2e0 * ASIN(SQRT(CAST(k1 AS DOUBLE) / n1))
+               - 2e0 * ASIN(SQRT(CAST(k0 AS DOUBLE) / n0)), 6)
+       END AS cohens_h,
+       CASE WHEN n0 > 0 AND n1 > 0 THEN
+         ABS(2e0 * ASIN(SQRT(CAST(k1 AS DOUBLE) / n1))
+             - 2e0 * ASIN(SQRT(CAST(k0 AS DOUBLE) / n0))) >= 0.2
+       END AS at_least_small
+FROM w
+"""
+
+
+def _agg_cohens_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's h between the parity cohorts' purchase shares — exact
+    count folds, one terminal arcsine expression. See _COHENS_H."""
+    load(spark, sf_dir)
+    return spark.sql(_COHENS_H)
+
+
+QUERIES["agg_cohens_h"] = _agg_cohens_h
+ORACLES["agg_cohens_h"] = _COHENS_H
+
+
+# ---------------------------------------------------------------------------
+# Cronbach's alpha (Cronbach 1951) over the month's three 10-day
+# segment spends per user (the complete-blocks design shared with
+# events_page_trend) — the internal-consistency gate: do the three
+# period measurements "hang together" as one underlying spend trait?
+# alpha = k/(k-1) * (1 - sum_j var_j / var_total). Everything from
+# exact bigint cent moments (per-item sums/squares across users; the
+# per-user total's moments for var_total); sample variances (ddof = 1,
+# documented) as terminal expressions. VISIBLE guard: the s2 folds
+# wrap once n * mx^2 reaches 9e18 (mx = max |segment cents|, folded).
+# ---------------------------------------------------------------------------
+_CRONBACH_ALPHA = """
+WITH seg AS (
+  SELECT user_id,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+              WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+              ELSE 3 END AS j,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id,
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+                WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+                ELSE 3 END
+),
+blocks AS (
+  SELECT user_id FROM seg GROUP BY user_id HAVING COUNT(*) = 3
+),
+items AS (
+  SELECT s.user_id, s.j, s.v
+  FROM seg s JOIN blocks b ON s.user_id = b.user_id
+),
+peritem AS (
+  SELECT j, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS s1,
+         CAST(SUM(v * v) AS BIGINT) AS s2
+  FROM items GROUP BY j
+),
+itemvar AS (
+  SELECT CAST(SUM(CAST(ROUND(1e3 * (CAST(n AS DOUBLE) * s2
+              - CAST(s1 AS DOUBLE) * s1)
+              / (CAST(n AS DOUBLE) * (n - 1)), 0) AS BIGINT)) AS BIGINT)
+           AS sv3,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM peritem WHERE n > 1
+),
+totals AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(t) AS BIGINT) AS s1,
+         CAST(SUM(t * t) AS BIGINT) AS s2,
+         CAST(MAX(ABS(t)) AS BIGINT) AS mx
+  FROM (SELECT user_id, CAST(SUM(v) AS BIGINT) AS t
+        FROM items GROUP BY user_id)
+)
+SELECT t.n AS n_blocks, i.k AS k_items,
+       CASE WHEN t.n > 1 AND i.k > 1
+             AND CAST(t.n AS DOUBLE) * mx * mx < 9e18
+             AND (CAST(t.n AS DOUBLE) * t.s2
+                  - CAST(t.s1 AS DOUBLE) * t.s1) > 0 THEN
+         ROUND((CAST(i.k AS DOUBLE) / (i.k - 1))
+               * (1e0 - (i.sv3 / 1e3)
+                  / ((CAST(t.n AS DOUBLE) * t.s2
+                      - CAST(t.s1 AS DOUBLE) * t.s1)
+                     / (CAST(t.n AS DOUBLE) * (t.n - 1)))), 6)
+       END AS cronbach_alpha
+FROM itemvar i CROSS JOIN totals t
+"""
+
+
+def _agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cronbach's alpha over the three 10-day segment spends per
+    complete-block user — exact cent moment folds, per-item variances
+    1e-3-quantized before the cross-item sum, terminal alpha. See
+    _CRONBACH_ALPHA."""
+    load(spark, sf_dir)
+    return spark.sql(_CRONBACH_ALPHA)
+
+
+QUERIES["agg_cronbach_alpha"] = _agg_cronbach_alpha
+ORACLES["agg_cronbach_alpha"] = _CRONBACH_ALPHA
+
+
+# ---------------------------------------------------------------------------
+# Intraclass correlation ICC(1,1) (one-way random effects; Shrout &
+# Fleiss 1979 case 1) on the same complete-blocks design — the
+# agreement family's CONTINUOUS member (Fleiss kappa = categories,
+# Kendall W = rankings, ICC = measurements): how much of the spend
+# variance is BETWEEN users rather than between periods within a user?
+# ICC = (MSB - MSW) / (MSB + (k-1) MSW), from the one-way ANOVA
+# identities SSB = sum t_i^2/k - T^2/(nk), SSW = sum x^2 - sum t_i^2/k
+# — every sum an exact bigint (t_i = the user's total), both MS and
+# ICC terminal. VISIBLE guard: the t^2 fold wraps once n * mxt^2
+# reaches 9e18.
+# ---------------------------------------------------------------------------
+_ICC = """
+WITH seg AS (
+  SELECT user_id,
+         CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+              WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+              ELSE 3 END AS j,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v
+  FROM events WHERE value IS NOT NULL
+  GROUP BY user_id,
+           CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+                WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+                ELSE 3 END
+),
+blocks AS (
+  SELECT user_id FROM seg GROUP BY user_id HAVING COUNT(*) = 3
+),
+items AS (
+  SELECT s.user_id, s.v
+  FROM seg s JOIN blocks b ON s.user_id = b.user_id
+),
+f AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS st,
+         CAST(SUM(v * v) AS BIGINT) AS sxx
+  FROM items
+),
+u AS (
+  SELECT CAST(SUM(t * t) AS BIGINT) AS st2,
+         CAST(MAX(ABS(t)) AS BIGINT) AS mxt
+  FROM (SELECT user_id, CAST(SUM(v) AS BIGINT) AS t
+        FROM items GROUP BY user_id)
+),
+ms AS (
+  SELECT n, CAST(n AS DOUBLE) * mxt * mxt < 9e18 AS headroom,
+         (CAST(st2 AS DOUBLE) / 3 - CAST(st AS DOUBLE) * st
+            / (3e0 * n)) / (n - 1) AS msb,
+         (CAST(sxx AS DOUBLE) - CAST(st2 AS DOUBLE) / 3)
+           / (CAST(n AS DOUBLE) * 2) AS msw
+  FROM f CROSS JOIN u WHERE n > 1
+)
+SELECT n AS n_blocks, CAST(3 AS BIGINT) AS k_measurements,
+       CASE WHEN headroom THEN ROUND(msb, 6) END AS ms_between,
+       CASE WHEN headroom THEN ROUND(msw, 6) END AS ms_within,
+       CASE WHEN headroom AND msb + 2 * msw > 0 THEN
+         ROUND((msb - msw) / (msb + 2 * msw), 6) END AS icc_1_1
+FROM ms
+"""
+
+
+def _agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ICC(1,1) of the three segment spends per complete-block user —
+    exact one-way ANOVA sum folds, terminal MS and ICC. See _ICC."""
+    load(spark, sf_dir)
+    return spark.sql(_ICC)
+
+
+QUERIES["agg_icc"] = _agg_icc
+ORACLES["agg_icc"] = _ICC
+
+
+def _streaming_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of agg_log_loss (streaming.materialized_log_loss):
+    per-distinct-cent (dp, tc) count state run to completion, then the
+    batch quantized-LN tail verbatim — graded by the SAME oracle (28th
+    stream==batch automaton, 27th registry twin)."""
+    load(spark, sf_dir)
+    from datafusion_gpu_spark import streaming
+
+    return streaming.materialized_log_loss(spark, sf_dir)
+
+
+QUERIES["streaming_log_loss"] = _streaming_log_loss
+ORACLES["streaming_log_loss"] = _LOG_LOSS

@@ -2146,3 +2146,50 @@ WITH m AS (
   FROM __jb_state
 ),"""
     return spark.sql(stream_head + marker + tail)
+
+
+def stream_log_loss_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-distinct-cent label-count state for the log-loss
+    twin (the 28th stream==batch automaton): one (dp, tc) pair per
+    DISTINCT cent value — incremental counts whose state is bounded by
+    the value domain (the welch-distinct argument), with the same
+    JVM-side quantization as the batch SQL."""
+    ev = (
+        stream_events(spark, sf_dir)
+        .where(
+            F.col("event_type").isin("click", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .select(
+            F.round(F.col("value") * 100).cast("long").alias("c"),
+            (F.col("event_type") == "purchase").cast("long").alias("pos"),
+        )
+    )
+    return ev.groupBy("c").agg(
+        F.sum("pos").cast("long").alias("dp"),
+        F.count(F.lit(1)).cast("long").alias("tc"),
+    )
+
+
+def materialized_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming log loss, materialized: the per-value count automaton
+    run to completion, then the batch query's quantized-LN tail applied
+    VERBATIM (marker-spliced from _LOG_LOSS at its q-CTE boundary) to
+    the final state — graded by the SAME DuckDB oracle as
+    agg_log_loss."""
+    state = materialize_stream(
+        stream_log_loss_state(spark, sf_dir), output_mode="complete"
+    )
+    state.createOrReplaceTempView("__ll_state")
+    from datafusion_gpu_spark.queries.pipeline_diag import _LOG_LOSS
+
+    marker = "\nq AS ("
+    head, sep, tail = _LOG_LOSS.partition(marker)
+    assert sep, "_LOG_LOSS q-CTE boundary drifted; fix the marker"
+    stream_head = """
+WITH pv AS (
+  SELECT CAST(c AS BIGINT) AS c, CAST(dp AS BIGINT) AS dp,
+         CAST(tc AS BIGINT) AS tc
+  FROM __ll_state
+),"""
+    return spark.sql(stream_head + marker + tail)

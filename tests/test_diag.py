@@ -866,3 +866,142 @@ def test_page_trend_matches_bruteforce(spark, duck):
     z = (l - 12 * m) / np.sqrt(2 * m)
     assert row.n_blocks == m and row.l2 == int(round(2 * l))
     assert abs(row.z_page - z) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Uncertainty coefficient / GK lambda / Cohen's h
+# ---------------------------------------------------------------------------
+def test_uncertainty_coeff_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_uncertainty_coeff
+
+    [row] = _agg_uncertainty_coeff(spark, SF_DIR).collect()
+    obs = duck.execute(
+        "SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS o "
+        "FROM orders GROUP BY 1, 2"
+    ).df()
+    n = obs.o.sum()
+    px = obs.groupby("x").o.sum() / n
+    py = obs.groupby("y").o.sum() / n
+    pxy = obs.o / n
+    hx = -(px * np.log(px)).sum()
+    hy = -(py * np.log(py)).sum()
+    hxy = -(pxy * np.log(pxy)).sum()
+    assert abs(row.h_x - hx) < 1e-5
+    assert abs(row.h_y - hy) < 1e-5
+    assert abs(row.h_xy - hxy) < 1e-5
+    assert abs(row.u_y_given_x - (hx + hy - hxy) / hy) < 1e-5
+    assert abs(row.u_x_given_y - (hx + hy - hxy) / hx) < 1e-5
+    assert abs(row.u_symmetric - 2 * (hx + hy - hxy) / (hx + hy)) < 1e-5
+
+
+def test_gk_lambda_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_gk_lambda
+
+    [row] = _agg_gk_lambda(spark, SF_DIR).collect()
+    obs = duck.execute(
+        "SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS o "
+        "FROM orders GROUP BY 1, 2"
+    ).df()
+    piv = obs.pivot_table(index="x", columns="y", values="o", fill_value=0)
+    o = piv.to_numpy()
+    n = o.sum()
+    lam_yx = (o.max(axis=1).sum() - o.sum(axis=0).max()) / (
+        n - o.sum(axis=0).max()
+    )
+    lam_xy = (o.max(axis=0).sum() - o.sum(axis=1).max()) / (
+        n - o.sum(axis=1).max()
+    )
+    assert row.n_total == n
+    assert abs(row.lambda_y_given_x - lam_yx) < 1e-6
+    assert abs(row.lambda_x_given_y - lam_xy) < 1e-6
+
+
+def test_gk_lambda_perfect_prediction_is_one(spark):
+    # priority fully determines status -> lambda(Y|X) = 1 exactly
+    from datafusion_gpu_spark.queries.pipeline import _GK_LAMBDA
+
+    rows = [("1-A", "F")] * 5 + [("2-B", "O")] * 3 + [("3-C", "P")] * 2
+    df = spark.createDataFrame(rows, "o_orderpriority string, o_orderstatus string")
+    df.createOrReplaceTempView("orders")
+    try:
+        [row] = spark.sql(_GK_LAMBDA).collect()
+    finally:
+        spark.catalog.dropTempView("orders")
+    assert row.lambda_y_given_x == 1.0
+
+
+def test_cohens_h_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_cohens_h
+
+    [row] = _agg_cohens_h(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT user_id % 2 AS grp, "
+        "SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS k, "
+        "COUNT(*) AS n FROM events GROUP BY 1 ORDER BY 1"
+    ).df()
+    p0 = df.k[0] / df.n[0]
+    p1 = df.k[1] / df.n[1]
+    h = 2 * np.arcsin(np.sqrt(p1)) - 2 * np.arcsin(np.sqrt(p0))
+    assert abs(row.cohens_h - h) < 1e-6
+    assert row.at_least_small == (abs(h) >= 0.2)
+
+
+# ---------------------------------------------------------------------------
+# Cronbach alpha / ICC on the complete-blocks design
+# ---------------------------------------------------------------------------
+def _segment_matrix(duck):
+    df = duck.execute(
+        """
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) < DATE '2024-01-11' THEN 1
+                    WHEN CAST(ts AS DATE) < DATE '2024-01-21' THEN 2
+                    ELSE 3 END AS j,
+               SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+        """
+    ).df()
+    full = df.groupby("user_id").filter(lambda g: len(g) == 3)
+    return full.pivot_table(index="user_id", columns="j", values="v").to_numpy(
+        dtype=float
+    )
+
+
+def test_cronbach_alpha_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_cronbach_alpha
+
+    [row] = _agg_cronbach_alpha(spark, SF_DIR).collect()
+    x = _segment_matrix(duck)
+    k = x.shape[1]
+    alpha = k / (k - 1) * (
+        1 - x.var(axis=0, ddof=1).sum() / x.sum(axis=1).var(ddof=1)
+    )
+    assert row.n_blocks == x.shape[0] and row.k_items == k
+    assert abs(row.cronbach_alpha - alpha) < 1e-4
+
+
+def test_icc_matches_numpy(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _agg_icc
+
+    [row] = _agg_icc(spark, SF_DIR).collect()
+    x = _segment_matrix(duck)
+    n, k = x.shape
+    grand = x.mean()
+    msb = k * ((x.mean(axis=1) - grand) ** 2).sum() / (n - 1)
+    msw = ((x - x.mean(axis=1, keepdims=True)) ** 2).sum() / (n * (k - 1))
+    icc = (msb - msw) / (msb + (k - 1) * msw)
+    assert row.n_blocks == n
+    assert abs(row.ms_between - msb) < max(1e-3, msb * 1e-9)
+    assert abs(row.ms_within - msw) < max(1e-3, msw * 1e-9)
+    assert abs(row.icc_1_1 - icc) < 1e-6
+
+
+def test_streaming_log_loss_matches_batch_exactly(spark):
+    from datafusion_gpu_spark.queries.pipeline import (
+        _agg_log_loss,
+        _streaming_log_loss,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    [batch] = _agg_log_loss(spark, sf).collect()
+    [stream] = _streaming_log_loss(spark, sf).collect()
+    assert tuple(stream) == tuple(batch)

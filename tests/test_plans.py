@@ -774,6 +774,9 @@ _BNLJ_BEARING_R11 = (
     # wall-clock-bounded hourly pair join, the theil_sen class)
     "agg_welch_anova", "agg_bland_altman", "events_page_trend",
     "events_mann_kendall",
+    # r13 wave 4: all exempt one-row margin/total/fold crosses
+    "agg_uncertainty_coeff", "agg_gk_lambda", "agg_cronbach_alpha",
+    "agg_icc",
     # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
     # one-row hurst cross
     "events_hurst_rs",

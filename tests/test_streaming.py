@@ -675,13 +675,13 @@ def test_streaming_group_sequential_matches_batch_exactly(spark):
 
 
 def test_registry_twin_accounting():
-    # SURVEY §21/§23 twin table, as set arithmetic: 26 streaming_*
+    # SURVEY §21/§23 twin table, as set arithmetic: 27 streaming_*
     # registry rows after round 13's second wave (the 24 r12 twins +
-    # the group-sequential twin + the Jarque-Bera twin), every one of
-    # them oracled — the "stream graded by the batch oracle" contract
-    # has no rows-only exceptions
+    # the group-sequential, Jarque-Bera and log-loss twins), every one
+    # of them oracled — the "stream graded by the batch oracle"
+    # contract has no rows-only exceptions
     from datafusion_gpu_spark.queries import all_oracles, all_queries
 
     twins = {n for n in all_queries() if n.startswith("streaming_")}
-    assert len(twins) == 26
+    assert len(twins) == 27
     assert twins <= set(all_oracles())
