@@ -113,6 +113,12 @@ SF_BENCHES = [
     # wall-clock evidence that AQE exchange reuse actually collapses
     # the repeated subtree (~2.2-3.2 s exclusive at sf0.1).
     "events_cox_ph",
+    # The round-13 EXTENSION representative: exact-integer HITS — four
+    # node-keyed join+aggregate passes over the distinct c->s edge
+    # list, the plan family (repeated SMJ fan-in without iteration
+    # checkpointing) nothing else benches; first full-round median
+    # lands in BENCH_r13.
+    "graph_hits",
     # dedup_components runs after every non-iterative row: BENCH_r05
     # showed seven unchanged queries drifting +12-44% vs r04, and the
     # prime suspect is this entry's insertion at position 10 — ~39 s of
@@ -181,9 +187,10 @@ PROTECTED = frozenset({
     # Round-12 family representative: first full-round median must land
     # in BENCH_r12.
     "events_forecast_backtest",
-    # Round-13 family representative: first full-round median must land
-    # in BENCH_r13.
-    "events_cox_ph",
+    # Round-13 family representatives (survival + the extension's
+    # join-fan-in HITS): first full-round medians must land in
+    # BENCH_r13.
+    "events_cox_ph", "graph_hits",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose
@@ -201,7 +208,7 @@ PROTECTED = frozenset({
 SAMPLES_OVERRIDE = {
     "graph_louvain": 5, "dedup_components": 5,
     "dedup_minhash_lsh": 5, "dedup_lines": 5, "pipeline_end_to_end": 5,
-    "events_cox_ph": 5,
+    "events_cox_ph": 5, "graph_hits": 5,
 }
 
 
