@@ -1005,3 +1005,100 @@ def test_streaming_log_loss_matches_batch_exactly(spark):
     [batch] = _agg_log_loss(spark, sf).collect()
     [stream] = _streaming_log_loss(spark, sf).collect()
     assert tuple(stream) == tuple(batch)
+
+
+# ---------------------------------------------------------------------------
+# Cross-query invariances (the round-13 invariance-test pattern)
+# ---------------------------------------------------------------------------
+def test_tau_b_squared_is_somers_product(spark):
+    # Kendall & Somers on the SAME grid satisfy tau_b^2 = d_yx * d_xy
+    # exactly (both denominators multiply to tau_b's): a cross-query
+    # identity on exact integer folds, so it holds to fp precision of
+    # the two terminal divisions
+    from datafusion_gpu_spark.queries.pipeline import (
+        _agg_kendall_tau,
+        _agg_somers_d,
+    )
+
+    [kt] = _agg_kendall_tau(spark, SF_DIR).collect()
+    [sd] = _agg_somers_d(spark, SF_DIR).collect()
+    assert kt.nc == sd.nc and kt.nd == sd.nd
+    # all three outputs are ROUND(...,6), so the identity holds on the
+    # 6dp grid (error propagation ~2*|tau|*5e-7)
+    assert abs(kt.tau_b**2 - sd.d_yx * sd.d_xy) < 3e-6
+
+
+def test_mann_kendall_sign_agrees_with_theil_sen(spark):
+    # the MK statistic's sign and the Theil-Sen slope's sign must agree
+    # on the same hourly purchase series (both are monotone-trend reads
+    # of the identical relation; exact zero slopes exempt)
+    from datafusion_gpu_spark.queries.pipeline import (
+        _events_mann_kendall,
+        _events_theil_sen,
+    )
+
+    [mk] = _events_mann_kendall(spark, SF_DIR).collect()
+    [ts] = _events_theil_sen(spark, SF_DIR).collect()
+    # resolve the slope column by name fragment to stay schema-robust
+    slope_cols = [c for c in ts.__fields__ if "slope" in c]
+    assert slope_cols, ts.__fields__
+    slope = ts[slope_cols[0]]
+    if slope != 0 and mk.s_mk != 0:
+        assert (slope > 0) == (mk.s_mk > 0)
+
+
+def test_g_test_and_chi2_agree_on_shape(spark):
+    # same contingency -> same df, and both statistics nonnegative;
+    # the LR and Pearson forms agree asymptotically (NOT asserted
+    # numerically — only the exact-shape contract)
+    from datafusion_gpu_spark.queries.pipeline import (
+        _agg_chi2_independence,
+        _agg_g_test,
+    )
+
+    [g] = _agg_g_test(spark, SF_DIR).collect()
+    [c] = _agg_chi2_independence(spark, SF_DIR).collect()
+    assert g.df == c.df and g.n_cells == c.n_cells
+    assert g.g_stat >= 0 and c.chi2 >= 0
+
+
+def test_average_precision_beats_prevalence_iff_ranking_helps(spark):
+    # on this data value IS a positive signal for purchase (AUC > 0.5,
+    # pinned by the auc gate) — AP must then sit above the prevalence
+    # baseline; the two queries must also agree on the class counts
+    from datafusion_gpu_spark.queries.pipeline import (
+        _agg_auc_exact,
+        _agg_average_precision,
+    )
+
+    [auc] = _agg_auc_exact(spark, SF_DIR).collect()
+    [ap] = _agg_average_precision(spark, SF_DIR).collect()
+    assert (auc.n_pos, auc.n_neg) == (ap.n_pos, ap.n_neg)
+    if auc.auc > 0.5:
+        assert ap.average_precision > ap.prevalence_baseline
+
+
+def test_kendall_w_friedman_consistency_on_shared_design(spark):
+    # Kendall's W and Friedman's Q are the SAME statistic up to
+    # scaling (Q = m(n-1)W) when computed on one blocked design; our
+    # two gates use different designs on purpose, so assert the
+    # internal identity on the W gate's own outputs instead
+    from datafusion_gpu_spark.queries.pipeline import _agg_kendall_w
+
+    [w] = _agg_kendall_w(spark, SF_DIR).collect()
+    assert abs(w.chi2_w - w.m_judges * (w.n_items - 1) * w.w_concordance) < 1e-3
+    assert 0.0 <= w.w_concordance <= 1.0
+
+
+def test_harrell_c_bounds_and_complement(spark):
+    # C in [0,1]; flipping the score (parity) complements C around the
+    # tied mass: C + C_flipped = 1 exactly (conc and disc swap, tied
+    # stays) — asserted via the suffix identity on one query's outputs
+    from datafusion_gpu_spark.queries.pipeline import _events_harrell_c
+
+    [c] = _events_harrell_c(spark, SF_DIR).collect()
+    assert 0.0 <= c.c_index <= 1.0
+    total = c.concordant + c.discordant + c.tied_score
+    flipped = (c.discordant + c.tied_score / 2.0) / total
+    # c_index is ROUND(...,6); the complement identity holds on that grid
+    assert abs(c.c_index + flipped - 1.0) < 1e-6
