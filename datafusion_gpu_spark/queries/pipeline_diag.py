@@ -2033,3 +2033,195 @@ def _streaming_log_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["streaming_log_loss"] = _streaming_log_loss
 ORACLES["streaming_log_loss"] = _LOG_LOSS
+
+
+# ---------------------------------------------------------------------------
+# Brunner-Munzel test (Brunner & Munzel 2000) for click vs purchase
+# values — the modern replacement for Mann-Whitney when the two
+# distributions may differ in SHAPE as well as location (MW's variance
+# assumes exchangeability under H0; BM estimates each group's placement
+# variance separately, the rank-world analogue of Welch vs pooled t).
+# Estimand: p_hat = P(X < Y) + P(X = Y)/2 (the common-language effect).
+#
+# Spelling: everything lives on the distinct-cent relation. For a tied
+# block c with (a_c, b_c) group counts, the pooled and within-group
+# DOUBLED midranks are integers (2m = 2cumb + tc + 1, the MW algebra),
+# so each block's doubled placement deviation q_c = 2m_c - 2mk_c is an
+# exact integer and the group placement variances fold as exact bigint
+# (sum a*q, sum a*q^2) with S_k^2 = (n_k sum aq^2 - (sum aq)^2) /
+# (4 n_k (n_k - 1)) terminal. W and the Welch-Satterthwaite df are
+# terminal expressions; the 5% decision uses the large-sample normal
+# threshold (documented — a t quantile needs the emitted df and a
+# table). VISIBLE guard: q_c <= 2N so the q^2 fold is bounded by
+# 4N^3 — outputs NULL once CAST(n AS DOUBLE)*n*n*4 reaches 9e18
+# (~1.3e6 rows; the same cubic bound _KRUSKAL_WALLIS documents).
+# ---------------------------------------------------------------------------
+_BRUNNER_MUNZEL = """
+WITH t AS (
+  SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+  FROM events
+  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL
+),
+pv AS (
+  SELECT c, CAST(SUM(pos) AS BIGINT) AS b,
+         CAST(SUM(1 - pos) AS BIGINT) AS a,
+         CAST(COUNT(*) AS BIGINT) AS tc
+  FROM t GROUP BY c
+),
+cw AS (
+  SELECT c, a, b, tc,
+         COALESCE(CAST(SUM(tc) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS cumb,
+         COALESCE(CAST(SUM(a) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS cuma,
+         COALESCE(CAST(SUM(b) OVER (ORDER BY c
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS cumbb
+  FROM pv
+),
+q AS (
+  SELECT a, b,
+         (2 * cumb + tc + 1) - (2 * cuma + a + 1) AS qa,
+         (2 * cumb + tc + 1) - (2 * cumbb + b + 1) AS qb
+  FROM cw
+),
+f AS (
+  SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2,
+         CAST(SUM(a * qa) AS BIGINT) AS s1q,
+         CAST(SUM(a * qa * qa) AS BIGINT) AS s1qq,
+         CAST(SUM(b * qb) AS BIGINT) AS s2q,
+         CAST(SUM(b * qb * qb) AS BIGINT) AS s2qq
+  FROM q
+),
+v AS (
+  SELECT n1, n2, s1q, s2q, n1 + n2 AS n,
+         CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2) * 4 < 9e18
+           AS headroom,
+         (CAST(n1 AS DOUBLE) * s1qq - CAST(s1q AS DOUBLE) * s1q)
+           / (4e0 * n1 * (n1 - 1)) AS v1,
+         (CAST(n2 AS DOUBLE) * s2qq - CAST(s2q AS DOUBLE) * s2q)
+           / (4e0 * n2 * (n2 - 1)) AS v2,
+         (CAST(s2q AS DOUBLE) / (2e0 * n2)
+          - CAST(s1q AS DOUBLE) / (2e0 * n1)
+          + (CAST(n2 AS DOUBLE) - n1) / 2e0) AS mean_diff
+  FROM f WHERE n1 > 1 AND n2 > 1
+)
+SELECT n1, n2,
+       CASE WHEN headroom THEN
+         ROUND(0.5 + (CAST(s2q AS DOUBLE) / (2e0 * n2)) / n1 / 2e0
+               - (CAST(s1q AS DOUBLE) / (2e0 * n1)) / n2 / 2e0, 6)
+       END AS p_hat_xy,
+       CASE WHEN headroom AND n1 * v1 + n2 * v2 > 0 THEN
+         ROUND(CAST(n1 AS DOUBLE) * n2 * mean_diff
+               / (CAST(n AS DOUBLE)
+                  * SQRT(CAST(n1 AS DOUBLE) * v1
+                         + CAST(n2 AS DOUBLE) * v2)), 6)
+       END AS w_bm,
+       CASE WHEN headroom AND n1 * v1 + n2 * v2 > 0 THEN
+         ROUND((CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2)
+               * (CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2)
+               / ((CAST(n1 AS DOUBLE) * v1) * (CAST(n1 AS DOUBLE) * v1)
+                  / (n1 - 1)
+                  + (CAST(n2 AS DOUBLE) * v2) * (CAST(n2 AS DOUBLE) * v2)
+                    / (n2 - 1)), 2)
+       END AS df_bm,
+       CASE WHEN headroom AND n1 * v1 + n2 * v2 > 0 THEN
+         ABS(CAST(n1 AS DOUBLE) * n2 * mean_diff
+             / (CAST(n AS DOUBLE)
+                * SQRT(CAST(n1 AS DOUBLE) * v1 + CAST(n2 AS DOUBLE) * v2)))
+         > 1.959964 END AS reject_05_normal
+FROM v
+"""
+
+
+def _agg_brunner_munzel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brunner-Munzel heteroscedastic rank test (click vs purchase
+    values) — exact doubled-placement folds on the distinct-cent
+    relation, terminal W / Satterthwaite df / p_hat. See
+    _BRUNNER_MUNZEL."""
+    load(spark, sf_dir)
+    return spark.sql(_BRUNNER_MUNZEL)
+
+
+QUERIES["agg_brunner_munzel"] = _agg_brunner_munzel
+ORACLES["agg_brunner_munzel"] = _BRUNNER_MUNZEL
+
+
+# ---------------------------------------------------------------------------
+# Seasonal Mann-Kendall (Hirsch & Slack 1984) on the (hour-of-day x
+# day) purchase grid — the trend test to run when the series has the
+# strong diurnal cycle events_seasonality_strength measures: the plain
+# MK compares 3am to 3pm values and calls the cycle "trend noise";
+# the seasonal variant compares each hour-of-day ONLY with itself
+# across days (S' = sum_g S_g) and sums the per-season variances, so
+# diurnal structure cancels exactly.
+#
+# Spelling: the pair space is per-season (a.g = b.g AND a.d < b.d) —
+# an EQUALITY-keyed join whose per-key width is the day count
+# (wall-clock bounded, the theil_sen argument, but hash-joinable
+# because the season key exists). S' and the x18-cleared variance
+# numerator sum_g (n_g(n_g-1)(2n_g+5) - sum_t t(t-1)(2t+5)) are exact
+# bigint folds; z is terminal with the continuity correction. VISIBLE
+# guard: the per-season cubic is bounded by 48*max_n^3 — NULL once
+# that reaches 9e18 (~570k days per season; five millennia of hours).
+# ---------------------------------------------------------------------------
+_SEASONAL_MK = """
+WITH cellv AS (
+  SELECT CAST(hour(ts) AS BIGINT) AS g, CAST(ts AS DATE) AS d,
+         CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS y
+  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn
+  FROM cellv a JOIN cellv b ON a.g = b.g AND a.d < b.d
+),
+s AS (SELECT CAST(COALESCE(SUM(sgn), 0) AS BIGINT) AS s_mk FROM pairs),
+seas AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n FROM cellv GROUP BY g),
+ties AS (
+  SELECT q.g, CAST(SUM(q.t * (q.t - 1) * (2 * q.t + 5)) AS BIGINT) AS tc
+  FROM (SELECT g, y, CAST(COUNT(*) AS BIGINT) AS t
+        FROM cellv GROUP BY g, y) q
+  WHERE q.t > 1 GROUP BY q.g
+),
+v AS (
+  SELECT CAST(SUM(se.n) AS BIGINT) AS n_obs,
+         CAST(COUNT(*) AS BIGINT) AS n_seasons,
+         CAST(SUM(se.n * (se.n - 1) * (2 * se.n + 5)
+                  - COALESCE(ti.tc, 0)) AS BIGINT) AS varnum18,
+         CAST(MAX(se.n) AS BIGINT) AS mxn
+  FROM seas se LEFT JOIN ties ti ON se.g = ti.g
+)
+SELECT n_obs, n_seasons, s_mk,
+       CASE WHEN CAST(mxn AS DOUBLE) * mxn * mxn * 48 < 9e18
+            THEN ROUND(varnum18 / 18e0, 6) END AS var_s,
+       CASE WHEN CAST(mxn AS DOUBLE) * mxn * mxn * 48 < 9e18
+             AND varnum18 > 0
+            THEN ROUND((CAST(s_mk AS DOUBLE)
+                 - CASE WHEN s_mk > 0 THEN 1 WHEN s_mk < 0 THEN -1
+                        ELSE 0 END) / SQRT(varnum18 / 18e0), 6)
+       END AS z_smk,
+       CASE WHEN CAST(mxn AS DOUBLE) * mxn * mxn * 48 < 9e18
+             AND varnum18 > 0
+            THEN ABS((CAST(s_mk AS DOUBLE)
+                 - CASE WHEN s_mk > 0 THEN 1 WHEN s_mk < 0 THEN -1
+                        ELSE 0 END) / SQRT(varnum18 / 18e0)) > 1.959964
+       END AS reject_05
+FROM s CROSS JOIN v
+"""
+
+
+def _events_seasonal_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (24 hour-of-day seasons, days as the time
+    axis) over daily purchase cents — per-season exact S folds summed,
+    x18-cleared variance numerator, continuity-corrected z. See
+    _SEASONAL_MK."""
+    load(spark, sf_dir)
+    return spark.sql(_SEASONAL_MK)
+
+
+QUERIES["events_seasonal_mk"] = _events_seasonal_mk
+ORACLES["events_seasonal_mk"] = _SEASONAL_MK

@@ -1102,3 +1102,118 @@ def test_harrell_c_bounds_and_complement(spark):
     flipped = (c.discordant + c.tied_score / 2.0) / total
     # c_index is ROUND(...,6); the complement identity holds on that grid
     assert abs(c.c_index + flipped - 1.0) < 1e-6
+
+
+def test_brunner_munzel_matches_numpy(spark, duck):
+    # replicate the scipy.stats.brunnermunzel formulas from the pooled
+    # and within-group midranks (Brunner & Munzel 2000)
+    from datafusion_gpu_spark.queries.pipeline import _agg_brunner_munzel
+
+    [row] = _agg_brunner_munzel(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
+        "FROM events WHERE event_type IN ('click', 'purchase') "
+        "AND value IS NOT NULL"
+    ).df()
+    x = df.c[df.pos == 0].to_numpy()
+    y = df.c[df.pos == 1].to_numpy()
+    n1, n2 = len(x), len(y)
+    pooled = pd.Series(np.concatenate([x, y])).rank(method="average").to_numpy()
+    rx, ry = pooled[:n1], pooled[n1:]
+    rxin = pd.Series(x).rank(method="average").to_numpy()
+    ryin = pd.Series(y).rank(method="average").to_numpy()
+    s1 = ((rx - rxin - rx.mean() + (n1 + 1) / 2) ** 2).sum() / (n1 - 1)
+    s2 = ((ry - ryin - ry.mean() + (n2 + 1) / 2) ** 2).sum() / (n2 - 1)
+    w = n1 * n2 * (ry.mean() - rx.mean()) / (
+        (n1 + n2) * np.sqrt(n1 * s1 + n2 * s2)
+    )
+    dfree = (n1 * s1 + n2 * s2) ** 2 / (
+        (n1 * s1) ** 2 / (n1 - 1) + (n2 * s2) ** 2 / (n2 - 1)
+    )
+    p_hat = (ry.mean() - (n2 + 1) / 2) / n1
+    assert (row.n1, row.n2) == (n1, n2)
+    assert abs(row.p_hat_xy - p_hat) < 1e-6
+    assert abs(row.w_bm - w) < 1e-5
+    assert abs(row.df_bm - dfree) < max(0.05, dfree * 1e-5)
+
+
+def test_brunner_munzel_planted_unbalanced(spark):
+    # an UNBALANCED plant (n1 != n2) — the case where the rank-mean
+    # constants do not cancel; clicks at low cents, purchases high,
+    # one overlap point
+    from datafusion_gpu_spark.queries.pipeline import _BRUNNER_MUNZEL
+
+    rows = (
+        [(i, "click", 1.0 + i * 0.01) for i in range(8)]
+        + [(100 + i, "purchase", 2.0 + i * 0.01) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_BRUNNER_MUNZEL).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    # complete separation: p_hat = 1, zero placement variance -> the
+    # degenerate guard (v1 = v2 = 0) must emit NULL W, not a 0-divide
+    assert row.n1 == 8 and row.n2 == 4
+    assert row.p_hat_xy == 1.0
+    assert row.w_bm is None and row.reject_05_normal is None
+
+
+def test_seasonal_mk_matches_bruteforce(spark, duck):
+    from datafusion_gpu_spark.queries.pipeline import _events_seasonal_mk
+
+    [row] = _events_seasonal_mk(spark, SF_DIR).collect()
+    df = duck.execute(
+        "SELECT CAST(hour(ts) AS BIGINT) AS g, CAST(ts AS DATE) AS d, "
+        "SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS y FROM events "
+        "WHERE event_type = 'purchase' AND value IS NOT NULL "
+        "GROUP BY 1, 2 ORDER BY 1, 2"
+    ).df()
+    s = 0
+    varnum = 0
+    n_obs = 0
+    for _, sub in df.groupby("g"):
+        y = sub.sort_values("d").y.to_numpy()
+        n = len(y)
+        n_obs += n
+        s += int(np.sign(y[None, :] - y[:, None])[np.triu_indices(n, 1)].sum())
+        _, t = np.unique(y, return_counts=True)
+        varnum += n * (n - 1) * (2 * n + 5) - int(
+            (t * (t - 1) * (2 * t + 5))[t > 1].sum()
+        )
+    z = (s - np.sign(s)) / np.sqrt(varnum / 18)
+    assert row.n_obs == n_obs and row.s_mk == s
+    assert abs(row.var_s - varnum / 18) < 1e-6
+    assert abs(row.z_smk - z) < 1e-6
+
+
+def test_seasonal_mk_cancels_planted_diurnal_cycle(spark):
+    # a pure diurnal cycle with NO day-over-day trend: plain MK sees
+    # structure, seasonal MK must see S' == 0 exactly (each season's
+    # series is constant across days)
+    from datafusion_gpu_spark.queries.pipeline import _SEASONAL_MK
+
+    rows = []
+    eid = 0
+    for day in range(1, 11):
+        for h in range(24):
+            rows.append(
+                (eid, 1, f"2024-01-{day:02d} {h:02d}:00:00", "purchase",
+                 float(10 + (h % 6) * 5))
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type", "value"
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [row] = spark.sql(_SEASONAL_MK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert row.s_mk == 0 and row.n_seasons == 24
+    # all-tied seasons -> zero variance -> honest NULL, never 0/0
+    assert row.z_smk is None

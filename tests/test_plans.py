@@ -777,6 +777,9 @@ _BNLJ_BEARING_R11 = (
     # r13 wave 4: all exempt one-row margin/total/fold crosses
     "agg_uncertainty_coeff", "agg_gk_lambda", "agg_cronbach_alpha",
     "agg_icc",
+    # r13 wave 5: events_seasonal_mk (one exempt s x v one-row cross;
+    # its pair join is EQUALITY-keyed on the season, so it hash-joins)
+    "events_seasonal_mk",
     # events_hurst_rs (r13): the 3-row block-size VALUES literal + the
     # one-row hurst cross
     "events_hurst_rs",
