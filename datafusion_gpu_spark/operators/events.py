@@ -2424,6 +2424,152 @@ def cox_ph_binary(
     )
 
 
+def cox_schoenfeld_ph(
+    subjects: DataFrame,
+    group_col: str = "grp",
+    duration_col: str = "duration",
+    observed_col: str = "observed",
+    iters: int = 5,
+) -> DataFrame:
+    """Schoenfeld-residual proportional-hazards check for the binary-
+    covariate Cox fit (Schoenfeld 1982; Grambsch & Therneau 1994) —
+    the DIAGNOSTIC companion of :func:`cox_ph_binary`: the fit reports
+    a hazard ratio under the PH assumption; this tests the assumption
+    itself. For binary x under Breslow ties the per-event-time
+    Schoenfeld residual is s_t = d1_t - d_t * r_t(beta_hat) and the
+    per-time information is v_t = d_t * r_t (1 - r_t) — exactly the
+    U/I terms of the Newton fold, evaluated ONCE MORE at the converged
+    beta. The Grambsch-Therneau score test for a time-varying effect
+    beta(t) = beta + theta * g(t) is then
+
+        U_theta = sum_t (g_t - gbar) s_t,  gbar = sum g v / sum v
+        Var     = sum_t g_t^2 v_t - (sum g v)^2 / sum v
+        chi2_ph = U_theta^2 / Var   ~ chi2(1) under PH
+
+    with g the IDENTITY time transform, min-max normalized to [0, 1]
+    over event times (chi2 is invariant under affine maps of g, so
+    this equals the raw-identity statistic exactly while keeping every
+    quantized term <= d_t — the same CAST(o_total AS DOUBLE) * 1e9 <
+    9e18 headroom guard as the fit, ~9e9 events). Per-time terms are
+    quantized once to exact 1e-9 bigints before the cross-time sums
+    (order-independent, engine-portable); rounded outputs that can be
+    ±tiny carry the signed-zero normalization (+ 0.0 — the r13
+    graph_modularity forensic). A degenerate grid (all events at one
+    time, or one cohort empty) drives Var to 0 — chi2/reject go NULL
+    through the var > 0 guard.
+
+    Scale: identical shape to the fit — ONE data-sized
+    groupBy(duration) shuffle; everything downstream runs on the
+    distinct-duration relation; the iteration folds are one-row
+    aggregates joined by exempt one-row crosses, collapsed by AQE
+    exchange reuse (cox_ph_binary's plan note applies verbatim).
+    Returns one row (n_event_times, n_events, beta, u_theta,
+    var_theta, chi2_ph, reject_05) where reject_05 = TRUE means the
+    PH assumption is VIOLATED at the 5% level (chi2 > 3.841459).
+
+    The Newton chain deliberately restates :func:`cox_ph_binary`'s
+    fold rather than calling into it: the fit's machinery stays
+    untouched (its driver row stays valid), and the survival family
+    already duplicates the per-time spelling across the log-rank
+    variants for the same reason.
+    """
+    q = F.lit(1_000_000_000.0)
+    is1 = (F.col(group_col) == 1).cast("long")
+    obs = F.col(observed_col).cast("long")
+    per_t = subjects.groupBy(F.col(duration_col).alias("t")).agg(
+        F.sum(is1 * obs).alias("d1"),
+        F.sum(is1 * (F.lit(1) - obs)).alias("c1"),
+        F.sum((F.lit(1) - is1) * obs).alias("d0"),
+        F.sum((F.lit(1) - is1) * (F.lit(1) - obs)).alias("c0"),
+    )
+    w_suf = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    ev = (
+        per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
+        .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
+        .where(F.col("d1") + F.col("d0") > 0)
+        .select("t", "d1", (F.col("d1") + F.col("d0")).alias("d"), "n1", "n0")
+    )
+
+    def fold(beta_df):
+        src = ev if beta_df is None else ev.crossJoin(beta_df)
+        b = F.lit(0.0) if beta_df is None else F.col("b")
+        eb = F.exp(b)
+        num = F.col("n1").cast("double") * eb
+        rr = num / (num + F.col("n0").cast("double"))
+        u_q = F.round(
+            q * (F.col("d1").cast("double") - F.col("d").cast("double") * rr),
+            0,
+        ).cast("long")
+        i_q = F.round(
+            q * (F.col("d").cast("double") * rr * (F.lit(1.0) - rr)), 0
+        ).cast("long")
+        aggs = [F.sum(u_q).alias("su"), F.sum(i_q).alias("si")]
+        if beta_df is not None:
+            aggs.append(F.max("b").alias("b_in"))
+        return src.groupBy().agg(*aggs)
+
+    step = F.when(F.col("si") > 0, (F.col("su") / q) / (F.col("si") / q))
+    beta = fold(None).select((F.lit(0.0) + step).alias("b"))
+    for _ in range(iters - 1):
+        beta = fold(beta).select((F.col("b_in") + step).alias("b"))
+    b_fin = beta  # after `iters` updates — the SAME beta cox_ph_binary reports
+
+    # GT fold at the converged beta: min-max-normalized event time as
+    # the transform, per-time terms quantized exactly like the fit's.
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    gt = (
+        ev.withColumn("tmin", F.min("t").over(w_all))
+        .withColumn("tmax", F.max("t").over(w_all))
+        .crossJoin(b_fin)
+    )
+    eb = F.exp(F.col("b"))
+    num = F.col("n1").cast("double") * eb
+    rr = num / (num + F.col("n0").cast("double"))
+    gtr = F.when(
+        F.col("tmax") > F.col("tmin"),
+        (F.col("t") - F.col("tmin")).cast("double")
+        / (F.col("tmax") - F.col("tmin")).cast("double"),
+    ).otherwise(F.lit(0.0))
+    s = F.col("d1").cast("double") - F.col("d").cast("double") * rr
+    v = F.col("d").cast("double") * rr * (F.lit(1.0) - rr)
+    folded = gt.groupBy().agg(
+        F.sum(F.round(q * s, 0).cast("long")).alias("ssq"),
+        F.sum(F.round(q * gtr * s, 0).cast("long")).alias("sgsq"),
+        F.sum(F.round(q * v, 0).cast("long")).alias("svq"),
+        F.sum(F.round(q * gtr * v, 0).cast("long")).alias("sgvq"),
+        F.sum(F.round(q * gtr * gtr * v, 0).cast("long")).alias("sg2vq"),
+        F.sum("d").alias("o_total"),
+        F.count(F.lit(1)).alias("n_times"),
+        F.max("b").alias("beta"),
+    )
+    headroom = F.col("o_total").cast("double") * q < F.lit(9e18)
+    u_theta = (
+        F.col("sgsq") / q
+        - (F.col("sgvq") / q) * (F.col("ssq") / q) / (F.col("svq") / q)
+    )
+    var_theta = (
+        F.col("sg2vq") / q
+        - (F.col("sgvq") / q) * (F.col("sgvq") / q) / (F.col("svq") / q)
+    )
+    chi2 = u_theta * u_theta / var_theta
+    ok = headroom & (F.col("svq") > 0)
+    return folded.select(
+        F.col("n_times").alias("n_event_times"),
+        F.col("o_total").alias("n_events"),
+        F.when(headroom, F.round(F.col("beta"), 6) + F.lit(0.0)).alias("beta"),
+        F.when(ok, F.round(u_theta, 6) + F.lit(0.0)).alias("u_theta"),
+        F.when(ok, F.round(var_theta, 6) + F.lit(0.0)).alias("var_theta"),
+        F.when(ok & (var_theta > 0), F.round(chi2, 6)).alias("chi2_ph"),
+        F.when(ok & (var_theta > 0), chi2 > F.lit(3.841459)).alias(
+            "reject_05"
+        ),
+    )
+
+
 def life_table(
     subjects: DataFrame,
     duration_col: str = "duration",

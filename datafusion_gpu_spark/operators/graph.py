@@ -1772,7 +1772,11 @@ def partition_modularity(
         "n_nodes",
         ec.alias("internal_edges"),
         "degree_sum",
-        F.round(
-            ec.cast("double") / F.col("m") - dterm * dterm, 6
+        # + 0.0 normalizes IEEE signed zero: singleton communities round to
+        # -0.0 under libm (DuckDB) but +0.0 under BigDecimal HALF_UP (Spark);
+        # the driver's string-level hash sees the sign. -0.0 + 0.0 == +0.0.
+        (
+            F.round(ec.cast("double") / F.col("m") - dterm * dterm, 6)
+            + F.lit(0.0)
         ).alias("contribution"),
     )

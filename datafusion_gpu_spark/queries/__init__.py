@@ -239,6 +239,22 @@ _CHECKED_R12 = (
     "text_tokens", "text_winnowing",
 )
 
+_CHECKED_R13 = (
+    "agg_average_precision", "agg_bartlett", "agg_bh_fdr", "agg_bland_altman",
+    "agg_cochran_armitage", "agg_cohens_h", "agg_cronbach_alpha", "agg_cv_auc",
+    "agg_dunn_posthoc", "agg_fleiss_kappa", "agg_g_test", "agg_gk_lambda",
+    "agg_icc", "agg_jarque_bera", "agg_kendall_w", "agg_lin_ccc",
+    "agg_log_loss", "agg_somers_d", "agg_uncertainty_coeff", "agg_welch_anova",
+    "curation_capture_recapture", "curation_eb_shrinkage", "events_classical_decomp", "events_cox_ph",
+    "events_cuped", "events_group_sequential", "events_group_sequential_pocock", "events_harrell_c",
+    "events_hurst_rs", "events_jackknife_ratio", "events_kpss", "events_life_table",
+    "events_ljung_box", "events_logrank_k", "events_logrank_weighted", "events_mann_kendall",
+    "events_page_trend", "events_rate_ratio", "events_siegel_trend", "events_survival_diff_72h",
+    "events_theil_sen", "events_theil_sen_bucketed", "events_variance_ratio", "graph_hits",
+    "graph_modularity", "sim_corpus_dispersion", "streaming_group_sequential", "streaming_jarque_bera",
+    "streaming_log_loss", "window_rsi",
+)
+
 #: Rows whose IMPLEMENTATION changed after their most recent driver check
 #: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
 #: age only, so a query rewired in round N but last driver-checked in round
@@ -248,13 +264,21 @@ _CHECKED_R12 = (
 #: add its name here; when its post-change driver row lands, the _CHECKED_R{N}
 #: fold supersedes the pin — remove the name from this tuple at the same time.
 #:
-#: Round-13 pins (all six r12 ADVICE pins pruned — each got a post-fix green
-#: driver row in CORRECTNESS_r12; the fold above supersedes them): rows whose
-#: spelling or shared machinery the r13 diff touches, added as the changes land.
+#: Round-14 pins (the r13 `events_group_sequential` pin pruned — its
+#: post-fix green row landed in CORRECTNESS_r13; the fold supersedes it):
+#: the four rows whose spelling the r14 representation fixes touch
+#: (VERDICT r13 "What's wrong" #1-#3 / ADVICE r13). The two driver reds
+#: MUST re-check first; the two latent-Decimal rows changed spelling too.
 _CHANGED_SINCE_CHECK = (
-    # ADVICE r12 #1: _GROUP_SEQ's int64-headroom guard re-keyed to cn so it
-    # bounds the 18*cn z-numerator term as well as 100*cd (operator+oracle)
-    "events_group_sequential",
+    # VERDICT r13 #1: signed-zero normalization (+ 0.0 after the terminal
+    # ROUND) on both the operator and the oracle tail
+    "graph_modularity",
+    # VERDICT r13 #2: bh_threshold forced to DOUBLE (CAST(0.05 AS DOUBLE)),
+    # p_rank BIGINT-cast, and the k_max threshold comparison double-cast
+    "agg_bh_fdr",
+    # VERDICT r13 #3: latent Spark-Decimal outputs normalized to DOUBLE
+    "agg_tost_equivalence",
+    "agg_weighted_median",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and
@@ -264,7 +288,7 @@ _CHECK_COUNT: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
      _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11,
-     _CHECKED_R12), start=1
+     _CHECKED_R12, _CHECKED_R13), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd

@@ -353,7 +353,7 @@ c AS (
   FROM t
 )
 SELECT flag,
-       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) / 100.0, 2)
+       ROUND(MIN(CASE WHEN 2 * cw >= tw THEN price_c END) / CAST(100.0 AS DOUBLE), 2)
          AS w_median_price,
        CAST(MIN(tw) AS BIGINT) AS total_weight
 FROM c GROUP BY flag

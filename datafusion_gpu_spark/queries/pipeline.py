@@ -5827,7 +5827,7 @@ SELECT c.community, c.n_nodes,
        c.degree_sum,
        ROUND(CAST(COALESCE(i.internal_edges, 0) AS DOUBLE) / m
              - (CAST(c.degree_sum AS DOUBLE) / (2 * m))
-               * (CAST(c.degree_sum AS DOUBLE) / (2 * m)), 6)
+               * (CAST(c.degree_sum AS DOUBLE) / (2 * m)), 6) + 0.0
          AS contribution
 FROM comm c LEFT JOIN internal i ON i.community = c.community
 CROSS JOIN mm""",

@@ -1155,6 +1155,118 @@ ORACLES["events_harrell_c"] = _HARRELL_C
 
 
 # ---------------------------------------------------------------------------
+# Round 14 — Harrell's C for a MULTI-LEVEL risk score (the
+# "continuous-score" generalization, VERDICT r13 ask #6): the binary
+# version above compares two cohorts; real risk scores have many
+# levels. Score = the user's activity level LEAST(total events, 64) —
+# a genuine ordinal risk score whose 64-level cap is the explicit
+# SCALE CONTRACT: exact pair counting needs a dense (duration x score)
+# grid, and capping the score axis at a literal 64 keeps the grid
+# LINEAR in distinct durations (64x), never quadratic in rows. The cap
+# is a VALUES literal, so the cross join's build side is plan-visibly
+# bounded (the agg_kendall_tau 24-hour-axis precedent — same exempt
+# class, no allowlist entry needed).
+#
+# The two-level (score x duration) cumulative: per score level, a
+# suffix sum over duration gives later(t, s) = subjects outliving t at
+# level s; per duration, cumulatives ACROSS the bounded score axis
+# give, for each event cell, the comparable later-or-equal-censored
+# subjects at strictly lower / strictly higher / equal score. Pair
+# convention identical to events_harrell_c (lifelines standard):
+# comparable = earlier-event vs strictly-later or equal-but-censored;
+# both-event time ties excluded; score ties count 1/2. Every fold is
+# an exact bigint bounded by n^2 (VISIBLE guard CAST(n AS DOUBLE) * n
+# < 9e18), one terminal division. One groupBy(user), one
+# groupBy(t, s), windows over the grid — the survival family's shape.
+# ---------------------------------------------------------------------------
+_HARRELL_C_CONT = f"""
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last,
+         CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id
+),
+subj AS (
+  SELECT CASE WHEN n_ev > 64 THEN 64 ELSE n_ev END AS s,
+         (COALESCE(fp, last) - start) // 3600000000 AS t,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+  FROM life
+),
+cell AS (
+  SELECT t, s,
+         CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t, s
+),
+lv AS (SELECT CAST(s AS BIGINT) AS s
+       FROM (VALUES {",".join(f"({i})" for i in range(1, 65))}) AS q(s)),
+tg AS (SELECT DISTINCT t FROM cell),
+grid AS (
+  SELECT tg.t AS t, lv.s AS s, COALESCE(cl.d, 0) AS d, COALESCE(cl.c, 0) AS c
+  FROM tg CROSS JOIN lv
+  LEFT JOIN cell cl ON cl.t = tg.t AND cl.s = lv.s
+),
+lat AS (
+  SELECT t, s, d, c,
+         COALESCE(CAST(SUM(d + c) OVER (PARTITION BY s ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              AS BIGINT), 0) AS later
+  FROM grid
+),
+acc AS (
+  SELECT t, s, d,
+         COALESCE(CAST(SUM(later + c) OVER (PARTITION BY t ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS lower_cnt,
+         COALESCE(CAST(SUM(later + c) OVER (PARTITION BY t ORDER BY s DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS higher_cnt,
+         later + c AS same_cnt
+  FROM lat
+),
+folds AS (
+  SELECT CAST(SUM(d * lower_cnt) AS BIGINT) AS conc,
+         CAST(SUM(d * higher_cnt) AS BIGINT) AS disc,
+         CAST(SUM(d * same_cnt) AS BIGINT) AS tied
+  FROM acc
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MAX(s) AS BIGINT) AS max_level FROM subj)
+SELECT n AS n_subjects, max_level, conc AS concordant, disc AS discordant,
+       tied AS tied_score,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND conc + disc + tied > 0
+            THEN ROUND((CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE) / 2e0)
+                       / (conc + disc + tied), 6)
+       END AS c_index
+FROM folds, nn
+"""
+
+#: Spark twin — the _HARRELL_C dialect replaces.
+_HARRELL_C_CONT_SPARK = _HARRELL_C_CONT.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_harrell_c_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of the 64-level activity score for
+    time-to-first-purchase — exact two-level (score x duration)
+    cumulative pair counting on the dense bounded grid, no pair
+    materialization. See _HARRELL_C_CONT."""
+    load(spark, sf_dir)
+    return spark.sql(_HARRELL_C_CONT_SPARK)
+
+
+QUERIES["events_harrell_c_cont"] = _events_harrell_c_cont
+ORACLES["events_harrell_c_cont"] = _HARRELL_C_CONT
+
+
+# ---------------------------------------------------------------------------
 # Cutler's RSI(14) on the daily purchase close — the bounded-momentum
 # oscillator beside window_bollinger/window_atr/window_donchian
 # (volatility and channel members of the technical family). Cutler's

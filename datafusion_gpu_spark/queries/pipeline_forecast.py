@@ -1041,7 +1041,7 @@ v AS (
 SELECT n_a, n_b,
        ROUND(mdiff / 100, 4) AS mean_diff,
        ROUND(se / 100, 6) AS se,
-       0.5 AS delta,
+       CAST(0.5 AS DOUBLE) AS delta,
        CASE WHEN se > 0 THEN ROUND((mdiff + 50.0) / se, 6) END AS t_lower,
        CASE WHEN se > 0 THEN ROUND((50.0 - mdiff) / se, 6) END AS t_upper,
        CASE WHEN se > 0 THEN
@@ -2540,6 +2540,114 @@ SELECT n1_subjects, n0_subjects, o_total AS n_events,
 FROM fin
 """
 QUERIES["events_cox_ph"] = _events_cox_ph
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — Schoenfeld-residual PH check (Schoenfeld 1982; Grambsch &
+# Therneau 1994): the diagnostic that validates events_cox_ph's
+# proportional-hazards assumption. Same subjects relation and Newton
+# chain; the Grambsch-Therneau score test for a time-varying effect
+# runs as ONE extra fold of the distinct-duration relation at the
+# converged beta (operators/events.cox_schoenfeld_ph has the numeric
+# contract). The oracle reuses the cox oracle's unrolled chain via a
+# marker splice (the graph_modularity precedent, assert-pinned below)
+# and replaces only the terminal fold.
+# ---------------------------------------------------------------------------
+def _events_schoenfeld_ph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grambsch-Therneau PH check of the cohort Cox fit on
+    time-to-first-purchase (events.cox_schoenfeld_ph, 5 Newton
+    iterations): chi2_ph vs 3.841459; reject_05 = PH violated."""
+    load(spark, sf_dir)
+    ep = F.unix_micros(F.col("ts").cast("timestamp"))
+    life = (
+        spark.table("events")
+        .select(
+            "user_id",
+            ep.alias("us"),
+            F.when(F.col("event_type") == "purchase", ep).alias("pus"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.min("us").alias("start"),
+            F.min("pus").alias("fp"),
+            F.max("us").alias("last"),
+        )
+    )
+    subjects = life.select(
+        (F.col("user_id") % 2).alias("grp"),
+        F.expr("(coalesce(fp, last) - start) DIV 3600000000").alias("duration"),
+        F.col("fp").isNotNull().cast("int").alias("observed"),
+    )
+    return events.cox_schoenfeld_ph(
+        subjects, "grp", "duration", "observed", iters=5
+    )
+
+
+_COX_TAIL_MARKER = "fin AS ("
+assert ORACLES["events_cox_ph"].count(_COX_TAIL_MARKER) == 1, (
+    "cox oracle terminal fold drifted; fix _COX_TAIL_MARKER"
+)
+ORACLES["events_schoenfeld_ph"] = (
+    ORACLES["events_cox_ph"].split(_COX_TAIL_MARKER)[0]
+    + """gt AS (
+  SELECT t, d1, d, b,
+         (CAST(n1 AS DOUBLE) * EXP(b))
+           / (CAST(n1 AS DOUBLE) * EXP(b) + CAST(n0 AS DOUBLE)) AS rr,
+         MIN(t) OVER () AS tmin,
+         MAX(t) OVER () AS tmax
+  FROM ev CROSS JOIN b5
+),
+terms AS (
+  SELECT d, b,
+         CASE WHEN tmax > tmin
+              THEN CAST(t - tmin AS DOUBLE) / CAST(tmax - tmin AS DOUBLE)
+              ELSE 0.0 END AS gtr,
+         CAST(d1 AS DOUBLE) - CAST(d AS DOUBLE) * rr AS s,
+         CAST(d AS DOUBLE) * rr * (1.0 - rr) AS v
+  FROM gt
+),
+folded AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * s, 0) AS BIGINT)) AS BIGINT) AS ssq,
+         CAST(SUM(CAST(ROUND(1e9 * gtr * s, 0) AS BIGINT)) AS BIGINT)
+           AS sgsq,
+         CAST(SUM(CAST(ROUND(1e9 * v, 0) AS BIGINT)) AS BIGINT) AS svq,
+         CAST(SUM(CAST(ROUND(1e9 * gtr * v, 0) AS BIGINT)) AS BIGINT)
+           AS sgvq,
+         CAST(SUM(CAST(ROUND(1e9 * gtr * gtr * v, 0) AS BIGINT)) AS BIGINT)
+           AS sg2vq,
+         CAST(SUM(d) AS BIGINT) AS o_total,
+         CAST(COUNT(*) AS BIGINT) AS n_times,
+         MAX(b) AS beta
+  FROM terms
+)
+SELECT n_times AS n_event_times, o_total AS n_events,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18
+            THEN ROUND(beta, 6) + 0.0 END AS beta,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND(sgsq / 1e9
+                 - (sgvq / 1e9) * (ssq / 1e9) / (svq / 1e9), 6) + 0.0
+       END AS u_theta,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+            THEN ROUND(sg2vq / 1e9
+                 - (sgvq / 1e9) * (sgvq / 1e9) / (svq / 1e9), 6) + 0.0
+       END AS var_theta,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+             AND sg2vq / 1e9 - (sgvq / 1e9) * (sgvq / 1e9) / (svq / 1e9) > 0
+            THEN ROUND((sgsq / 1e9
+                        - (sgvq / 1e9) * (ssq / 1e9) / (svq / 1e9))
+                 * (sgsq / 1e9 - (sgvq / 1e9) * (ssq / 1e9) / (svq / 1e9))
+                 / (sg2vq / 1e9 - (sgvq / 1e9) * (sgvq / 1e9) / (svq / 1e9)),
+                 6) END AS chi2_ph,
+       CASE WHEN CAST(o_total AS DOUBLE) * 1e9 < 9e18 AND svq > 0
+             AND sg2vq / 1e9 - (sgvq / 1e9) * (sgvq / 1e9) / (svq / 1e9) > 0
+            THEN (sgsq / 1e9 - (sgvq / 1e9) * (ssq / 1e9) / (svq / 1e9))
+                 * (sgsq / 1e9 - (sgvq / 1e9) * (ssq / 1e9) / (svq / 1e9))
+                 / (sg2vq / 1e9 - (sgvq / 1e9) * (sgvq / 1e9) / (svq / 1e9))
+                 > 3.841459 END AS reject_05
+FROM folded
+"""
+)
+QUERIES["events_schoenfeld_ph"] = _events_schoenfeld_ph
 
 
 # ---------------------------------------------------------------------------

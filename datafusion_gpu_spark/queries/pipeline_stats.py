@@ -2262,15 +2262,15 @@ ranked AS (
 ),
 kstar AS (
   SELECT event_type, n, x, zs, pv, rn, m,
-         MAX(CASE WHEN pv <= 0.05 * rn / m THEN rn END)
+         MAX(CASE WHEN pv <= CAST(0.05 AS DOUBLE) * rn / m THEN rn END)
            OVER () AS k_max
   FROM ranked
 )
 SELECT event_type, n, x,
        ROUND(zs, 6) AS z,
        ROUND(pv, 6) AS p_value,
-       rn AS p_rank, m AS n_tests,
-       ROUND(0.05 * rn / m, 6) AS bh_threshold,
+       CAST(rn AS BIGINT) AS p_rank, m AS n_tests,
+       ROUND(CAST(0.05 AS DOUBLE) * rn / m, 6) AS bh_threshold,
        CASE WHEN zs IS NULL THEN NULL
             WHEN k_max IS NOT NULL AND rn <= k_max THEN TRUE
             ELSE FALSE END AS rejected

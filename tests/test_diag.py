@@ -1217,3 +1217,118 @@ def test_seasonal_mk_cancels_planted_diurnal_cycle(spark):
     assert row.s_mk == 0 and row.n_seasons == 24
     # all-tied seasons -> zero variance -> honest NULL, never 0/0
     assert row.z_smk is None
+
+
+# ---------------------------------------------------------------------------
+# Round 14: multi-level-score Harrell C (two-level score x duration
+# cumulative on the bounded dense grid)
+# ---------------------------------------------------------------------------
+def test_harrell_c_cont_matches_bruteforce(spark, duck):
+    """The grid-cumulative pair counts must equal O(n^2) enumeration of
+    the lifelines pair convention on the same capped activity score."""
+    from datafusion_gpu_spark.queries.pipeline import _events_harrell_c_cont
+
+    [row] = _events_harrell_c_cont(spark, SF_DIR).collect()
+    df = duck.execute(
+        """
+        WITH life AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS start,
+                 MIN(CASE WHEN event_type = 'purchase'
+                     THEN epoch_us(ts) END) AS fp,
+                 MAX(epoch_us(ts)) AS last, COUNT(*) AS n_ev
+          FROM events GROUP BY user_id)
+        SELECT CASE WHEN n_ev > 64 THEN 64 ELSE n_ev END AS s,
+               (COALESCE(fp, last) - start) // 3600000000 AS t,
+               CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS obs
+        FROM life
+        """
+    ).df()
+    s = df.s.to_numpy()
+    t = df.t.to_numpy()
+    obs = df.obs.to_numpy()
+    conc = disc = tied = 0
+    for i in range(len(df)):
+        if not obs[i]:
+            continue
+        later = (t > t[i]) | ((t == t[i]) & (obs == 0))
+        sl = s[later]
+        conc += int((sl < s[i]).sum())
+        disc += int((sl > s[i]).sum())
+        tied += int((sl == s[i]).sum())
+    assert row.n_subjects == len(df)
+    assert row.concordant == conc and row.discordant == disc
+    assert row.tied_score == tied
+    c_ref = (conc + tied / 2) / (conc + disc + tied)
+    assert abs(row.c_index - c_ref) < 1e-6
+
+
+def test_harrell_c_cont_hand_case(spark):
+    """Four users: u1 (2 events, purchase at +1h), u2 (1 event,
+    censored at 0h), u3 (3 events, purchase at +2h), u4 (2 events,
+    censored at +3h). Comparable pairs: u1-u3 (u3 scores higher but
+    fails later: discordant), u1-u4 (score tie), u3-u4 (concordant) ->
+    C = (1 + 0.5) / 3 = 0.5."""
+    from datafusion_gpu_spark.queries.pipeline import _HARRELL_C_CONT_SPARK
+
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "view", None),
+        (2, 1, "2024-01-01 01:00:00", "purchase", 5.0),
+        (3, 2, "2024-01-01 00:00:00", "view", None),
+        (4, 3, "2024-01-01 00:00:00", "view", None),
+        (5, 3, "2024-01-01 02:00:00", "purchase", 7.0),
+        (6, 3, "2024-01-01 05:00:00", "view", None),
+        (7, 4, "2024-01-01 00:00:00", "view", None),
+        (8, 4, "2024-01-01 03:00:00", "view", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [out] = spark.sql(_HARRELL_C_CONT_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.n_subjects == 4 and out.max_level == 3
+    assert out.concordant == 1 and out.discordant == 1
+    assert out.tied_score == 1
+    assert out.c_index == 0.5
+
+
+def test_harrell_c_cont_cap_is_64(spark):
+    """A user with 200 events lands on score level 64 exactly (the
+    literal cap is the scale contract, and the grid axis never grows
+    past it)."""
+    from datafusion_gpu_spark.queries.pipeline import _HARRELL_C_CONT_SPARK
+
+    rows = [
+        (i, 1, f"2024-01-01 {i % 24:02d}:{i % 60:02d}:00", "view", None)
+        for i in range(200)
+    ] + [
+        (200, 1, "2024-01-02 00:00:00", "purchase", 1.0),
+        (201, 2, "2024-01-01 00:00:00", "view", None),
+        (202, 2, "2024-01-03 00:00:00", "view", None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+    try:
+        [out] = spark.sql(_HARRELL_C_CONT_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.max_level == 64
+    # u1 (201 events -> level 64) purchases at +24h; u2 (level 2)
+    # censored at +48h: one comparable pair, higher score failed
+    # first -> concordant, C = 1.
+    assert out.concordant == 1 and out.discordant == 0
+    assert out.tied_score == 0 and out.c_index == 1.0

@@ -1773,3 +1773,150 @@ def test_survival_logrank_k4_adjugate_replay(spark):
     ).collect()[0]
     assert one.o_total == 1 and one.n_subjects == 10
     assert one.chi2_lr_k is not None and one.reject_05 is False
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Schoenfeld-residual PH check (Grambsch & Therneau 1994)
+# ---------------------------------------------------------------------------
+def _gt_zph_reference(rows, iters=5):
+    """Independent numpy spelling of the binary-covariate Cox fit +
+    Grambsch-Therneau score test (no quantization — the operator's
+    1e-9 per-term quantization keeps it within 1e-6 of this): the
+    external-reference plant the cross-engine oracle cannot replace
+    (it would agree with a shared-spelling bug; SURVEY §23 method
+    note)."""
+    import math
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for g, t, o in rows:
+        per[t][(0 if g == 1 else 2) + (1 - o)] += 1
+    times = sorted(per)
+    n1 = n0 = 0
+    suf = {}
+    for t in reversed(times):
+        d1, c1, d0, c0 = per[t]
+        n1 += d1 + c1
+        n0 += d0 + c0
+        suf[t] = (n1, n0)
+    ev = [
+        (t, per[t][0], per[t][0] + per[t][2], *suf[t])
+        for t in times
+        if per[t][0] + per[t][2] > 0
+    ]
+    b = 0.0
+    for _ in range(iters):
+        u = i = 0.0
+        for t, d1, d, m1, m0 in ev:
+            rr = m1 * math.exp(b) / (m1 * math.exp(b) + m0)
+            u += d1 - d * rr
+            i += d * rr * (1 - rr)
+        if i > 0:
+            b += u / i
+    tmin, tmax = ev[0][0], ev[-1][0]
+    ss = sv = sgs = sgv = sg2v = 0.0
+    for t, d1, d, m1, m0 in ev:
+        rr = m1 * math.exp(b) / (m1 * math.exp(b) + m0)
+        s, v = d1 - d * rr, d * rr * (1 - rr)
+        g = (t - tmin) / (tmax - tmin) if tmax > tmin else 0.0
+        ss += s
+        sv += v
+        sgs += g * s
+        sgv += g * v
+        sg2v += g * g * v
+    u_theta = sgs - sgv * ss / sv
+    var_theta = sg2v - sgv * sgv / sv
+    chi2 = u_theta * u_theta / var_theta if var_theta > 0 else None
+    return b, u_theta, var_theta, chi2
+
+
+def test_schoenfeld_ph_numpy_reference(spark):
+    """Mixed-censoring two-cohort data: the operator must land on the
+    independent numpy GT statistic to 1e-5 on every output."""
+    from datafusion_gpu_spark.operators.events import cox_schoenfeld_ph
+
+    rows = [
+        (1, 2, 1), (1, 3, 1), (1, 3, 0), (1, 5, 1), (1, 8, 0),
+        (1, 9, 1), (1, 12, 1), (1, 15, 0), (0, 1, 1), (0, 2, 1),
+        (0, 4, 1), (0, 4, 1), (0, 6, 0), (0, 7, 1), (0, 11, 1),
+        (0, 14, 0), (0, 16, 1),
+    ]
+    got = cox_schoenfeld_ph(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    b, u, var, chi2 = _gt_zph_reference(rows)
+    assert got.n_events == 12
+    assert abs(got.beta - b) <= 1e-5
+    assert abs(got.u_theta - u) <= 1e-5
+    assert abs(got.var_theta - var) <= 1e-5
+    assert abs(got.chi2_ph - chi2) <= 1e-4
+    assert got.reject_05 == (chi2 > 3.841459)
+
+
+def test_schoenfeld_ph_violation_fires(spark):
+    """Crossing hazards (cohort 1 fails first, cohort 0 later, both
+    with late-censored survivors keeping the risk sets informative):
+    the GT trend is strongly negative and the check FIRES. The
+    time-symmetric null (one failure per cohort per time) scores
+    u_theta = chi2 = 0 and does not."""
+    from datafusion_gpu_spark.operators.events import cox_schoenfeld_ph
+
+    crossing = (
+        [(1, t, 1) for t in range(1, 11)]
+        + [(0, t, 1) for t in range(11, 21)]
+        + [(1, 30, 0)] * 8
+        + [(0, 30, 0)] * 8
+    )
+    hot = cox_schoenfeld_ph(
+        spark.createDataFrame(crossing, "grp int, duration long, observed int")
+    ).collect()[0]
+    _, u, var, chi2 = _gt_zph_reference(crossing)
+    assert hot.reject_05 is True and hot.chi2_ph > 3.841459
+    assert abs(hot.chi2_ph - chi2) <= 1e-4
+
+    null_rows = (
+        [(1, t, 1) for t in range(1, 11)]
+        + [(0, t, 1) for t in range(1, 11)]
+        + [(1, 15, 0)] * 3
+        + [(0, 15, 0)] * 3
+    )
+    cold = cox_schoenfeld_ph(
+        spark.createDataFrame(null_rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert cold.reject_05 is False
+    assert cold.u_theta == 0.0 and cold.chi2_ph == 0.0
+    # signed-zero normalization: +0.0, never -0.0, on the exact-null row
+    import math
+    assert not math.copysign(1.0, cold.u_theta) < 0
+
+
+def test_schoenfeld_beta_matches_cox(spark):
+    """Cross-query invariance: the diagnostic evaluates at the SAME
+    converged beta the fit reports (Freireich 6-MP)."""
+    from datafusion_gpu_spark.operators.events import (
+        cox_ph_binary,
+        cox_schoenfeld_ph,
+    )
+
+    df = spark.createDataFrame(
+        _freireich_rows(), "grp int, duration long, observed int"
+    )
+    fit = cox_ph_binary(df).collect()[0]
+    diag = cox_schoenfeld_ph(df).collect()[0]
+    assert diag.beta == fit.beta
+    assert diag.n_events == fit.n_events
+    # the 6-MP trial satisfies PH (the published zph p is ~0.9)
+    assert diag.reject_05 is False
+
+
+def test_schoenfeld_degenerate_one_cohort(spark):
+    """One cohort empty: every v_t = 0, so var_theta = 0 and the
+    chi2/reject outputs go NULL through the guard instead of dividing
+    by zero."""
+    from datafusion_gpu_spark.operators.events import cox_schoenfeld_ph
+
+    rows = [(1, t, 1) for t in range(1, 8)] + [(1, 9, 0)] * 2
+    got = cox_schoenfeld_ph(
+        spark.createDataFrame(rows, "grp int, duration long, observed int")
+    ).collect()[0]
+    assert got.chi2_ph is None and got.reject_05 is None

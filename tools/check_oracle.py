@@ -5,6 +5,16 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 results (columns sorted by name, rows sorted by all values), and compares
 exactly. Exit code != 0 on any mismatch.
 
+Representation-faithful since round 14 (VERDICT r13 "What's wrong" #4):
+the driver hashes CANONICALIZED VALUE STRINGS, so numeric equality is not
+enough — ``Decimal('0.010000')`` vs ``0.01`` and ``-0.0`` vs ``0.0`` are
+bit-identical as floats but hash-red at the driver. This mirror therefore
+fails hard on (a) any ``decimal.Decimal`` in either engine's output,
+(b) signed-zero splits between engines, and (c) per-cell canonical-string
+mismatches, in addition to the numeric compare. Integer-width-only dtype
+diffs (int32 vs int64) stay informational — they cannot move a value
+string; every other dtype mismatch is a failure.
+
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
@@ -13,6 +23,7 @@ from __future__ import annotations
 import sys
 import time
 import traceback
+from decimal import Decimal
 
 import duckdb
 import numpy as np
@@ -34,9 +45,30 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _is_pure_date_col(col: pd.Series) -> bool:
+    """Object column whose non-null values are all datetime.date (and not
+    datetime.datetime): Spark materializes DATE this way while DuckDB's
+    .df() gives datetime64[us] — the driver canonicalizes both to the same
+    string (events_retention is driver-green), so the mirror must too."""
+    import datetime as _dt
+
+    if col.dtype != object:
+        return False
+    seen = False
+    for v in col:
+        if v is None:
+            continue
+        if not isinstance(v, _dt.date) or isinstance(v, _dt.datetime):
+            return False
+        seen = True
+    return seen
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     for c in df.columns:
+        if _is_pure_date_col(df[c]):
+            df[c] = pd.to_datetime(df[c])
         if df[c].dtype == object:
             df[c] = df[c].map(
                 lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
@@ -50,6 +82,36 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _has_decimal(col: pd.Series) -> bool:
+    if col.dtype != object:
+        return False
+    return any(isinstance(v, Decimal) for v in col if v is not None)
+
+
+def _canon(v) -> str:
+    """Canonical value string, representation-sensitive like the driver's
+    hash: distinguishes -0.0 from 0.0 and Decimal('0.010000') from 0.01."""
+    if v is None or (isinstance(v, float) and v != v):
+        return "<null>"
+    try:
+        if pd.isna(v):  # pandas NaT / numpy nan scalars
+            return "<null>"
+    except (TypeError, ValueError):  # arrays / tuples
+        pass
+    if isinstance(v, (np.floating, float)):
+        return repr(float(v))  # repr keeps the -0.0 sign
+    if isinstance(v, (np.integer, int)) and not isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, tuple):
+        return "(" + ",".join(_canon(x) for x in v) + ")"
+    return str(v)
+
+
+_INT_DTYPES = {"int8", "int16", "int32", "int64", "Int8", "Int16", "Int32", "Int64"}
+
+
 def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     problems: list[str] = []
     a, b = normalize(spark_df), normalize(duck_df)
@@ -57,6 +119,17 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
         return [f"columns differ: spark={list(a.columns)} duck={list(b.columns)}"]
     if len(a) != len(b):
         return [f"row count differs: spark={len(a)} duck={len(b)}"]
+    for c in a.columns:
+        # Decimal anywhere is a failure even when it PRINTS like the double
+        # (Decimal('0.5')): formatting luck, one data change from hash-red.
+        for side, df in (("spark", a), ("duck", b)):
+            if _has_decimal(df[c]):
+                problems.append(
+                    f"col {c}: DECIMAL-typed output on {side} — cast to "
+                    f"DOUBLE/BIGINT in the query (driver hash is string-level)"
+                )
+    if problems:
+        return problems
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
@@ -72,6 +145,17 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
                     f"max|diff|={diff:.3e}, first at row {idx}: "
                     f"spark={av[idx]!r} duck={bv[idx]!r}"
                 )
+            # signed-zero split: numerically equal, hash-red at the driver
+            zsplit = eq & ~both_nan & (
+                np.signbit(av64) != np.signbit(bv64)
+            )
+            if zsplit.any():
+                idx = int(np.argmax(zsplit))
+                problems.append(
+                    f"col {c}: {int(zsplit.sum())} signed-zero splits "
+                    f"(first at row {idx}: spark={av64[idx]!r} duck={bv64[idx]!r}) "
+                    f"— normalize with + 0.0 after the terminal ROUND"
+                )
         else:
             eq = (pd.Series(av) == pd.Series(bv)) | (pd.isna(av) & pd.isna(bv))
             if not eq.all():
@@ -80,10 +164,31 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
                     f"col {c}: {int((~eq).sum())} mismatches, first at row {idx}: "
                     f"spark={av[idx]!r} duck={bv[idx]!r}"
                 )
-    # dtype visibility (not a hard failure, but the driver may hash schemas)
+        # driver-faithful layer: canonical value strings must match even
+        # where the numeric compare passes (catches representation splits
+        # the classes above don't enumerate)
+        if not problems:
+            ac = [_canon(v) for v in av]
+            bc = [_canon(v) for v in bv]
+            if ac != bc:
+                idx = next(i for i, (x, y) in enumerate(zip(ac, bc)) if x != y)
+                problems.append(
+                    f"col {c}: canonical-string mismatch at row {idx}: "
+                    f"spark={ac[idx]!r} duck={bc[idx]!r}"
+                )
+    # dtype gate: integer-width-only diffs can't move a value string and
+    # stay notes; anything else (float vs int, object vs numeric, ...)
+    # is a hard failure.
     for c in a.columns:
-        if str(a[c].dtype) != str(b[c].dtype):
-            problems.append(f"col {c}: dtype spark={a[c].dtype} duck={b[c].dtype}")
+        da, db = str(a[c].dtype), str(b[c].dtype)
+        if da != db:
+            if da in _INT_DTYPES and db in _INT_DTYPES:
+                problems.append(f"col {c}: dtype spark={da} duck={db}")
+            else:
+                problems.append(
+                    f"col {c}: DTYPE MISMATCH spark={da} duck={db} — "
+                    f"pin the output type in both spellings"
+                )
     return problems
 
 
@@ -126,7 +231,10 @@ def main() -> int:
             problems = compare(sdf, ddf)
         except Exception as exc:  # compare itself blew up => treat as fail
             problems = [f"compare raised: {exc!r}"]
-        hard = [p for p in problems if not p.startswith("col ") or "dtype" not in p]
+        # integer-width dtype notes ("dtype spark=int32 duck=int64") are the
+        # ONLY soft class; everything else — including DECIMAL, signed-zero,
+        # canonical-string, and DTYPE MISMATCH rows — fails the gate.
+        hard = [p for p in problems if ": dtype spark=" not in p]
         if hard:
             print(f"FAIL  {name} ({len(sdf)} rows) [{time.time()-t0:.1f}s]")
             for p in problems:
