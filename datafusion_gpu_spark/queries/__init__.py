@@ -279,6 +279,10 @@ _CHANGED_SINCE_CHECK = (
     # VERDICT r13 #3: latent Spark-Decimal outputs normalized to DOUBLE
     "agg_tost_equivalence",
     "agg_weighted_median",
+    # r14's own registry-wide DecimalType schema gate found a FIFTH:
+    # gt_adjusted_r1's bare 2.0 literal (the r13 sweep's value-level
+    # compare missed it — the Decimal printed like the double)
+    "text_missing_mass",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and

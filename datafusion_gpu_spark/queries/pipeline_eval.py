@@ -936,7 +936,8 @@ SELECT CAST(SUM(cnt) AS BIGINT) AS n_tokens,
        ROUND(CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / SUM(cnt), 6) AS missing_mass,
        CASE WHEN SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) > 0 THEN
-         ROUND(2.0 * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
+         ROUND(CAST(2.0 AS DOUBLE)
+               * SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END)
                / SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END), 6)
        END AS gt_adjusted_r1
 FROM c
@@ -972,7 +973,7 @@ def _text_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("ROUND(CAST(n1 AS DOUBLE) / n_tokens, 6)").alias("missing_mass"),
         F.expr(
-            "CASE WHEN n1 > 0 THEN ROUND(2.0 * n2 / n1, 6) END"
+            "CASE WHEN n1 > 0 THEN ROUND(CAST(2.0 AS DOUBLE) * n2 / n1, 6) END"
         ).alias("gt_adjusted_r1"),
     )
 
