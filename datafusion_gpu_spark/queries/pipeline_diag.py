@@ -1267,6 +1267,159 @@ ORACLES["events_harrell_c_cont"] = _HARRELL_C_CONT
 
 
 # ---------------------------------------------------------------------------
+# Round 14 — Uno's censoring-adjusted C (Uno, Cai, Pencina, D'Agostino
+# & Wei 2011, "On the C-statistics for evaluating overall adequacy of
+# risk prediction procedures with censored survival data"): Harrell's C
+# depends on the CENSORING distribution (late-censored subjects drop
+# out of more pairs); Uno's estimator removes that bias by weighting
+# each event-anchored pair by 1/G(t_i-)^2, where G is the Kaplan-Meier
+# of the censoring distribution, and restricting to a fixed horizon tau
+# where G stays bounded away from 0 (tau = 120 h here, a literal).
+#
+# The testdata's natural time-to-first-purchase carries almost no
+# censoring (none at sf0.1), which would leave every weight at 1 and
+# the IPCW machinery inert — so the subjects carry DETERMINISTIC
+# STAGGERED ADMINISTRATIVE CENSORING, C_u = 24 + user_id % 120 hours
+# (the staggered-entry design every survival textbook uses): a subject
+# is observed only while t <= C_u. Censorings now interleave with
+# event times, G drops below 1 inside the horizon, and the weight path
+# is exercised by the GATE DATA, not just the plants. (The parity
+# cohort itself is the same synthetic-covariate move the whole
+# survival family makes.)
+#
+# Conventions (documented divergences): comparability is Uno's STRICT
+# t_i < t_j (no equal-time-censored pairs, unlike events_harrell_c's
+# lifelines convention — on fully-observed data the two differ only by
+# that term); score ties count 1/2 (Uno's paper assumes a continuous
+# score; the discrete-score extension is the standard one). Deaths
+# precede censorings at ties, so G(t-) = the censoring-KM over times
+# STRICTLY before t (an exclusive running sum).
+#
+# Numeric portability: the censoring-KM rides the survival family's
+# ln-quantization (per-time ln(1 - c/n) rounded once to 1e-9 bigints,
+# exclusive cumulative sum, ONE exp per event time) — the
+# events_survival_km precedent. The weighted pair terms are NOT
+# integer, so each per-time term is normalized by n^2 FIRST (the
+# common factor cancels in the terminal num/den ratio), bounding every
+# term by w_t, then quantized once to 1e-9 bigints (order-independent
+# exact folds). VISIBLE guards: n^2 < 9e18 for the integer pair
+# products AND n_times * w_max * 1e9 < 9e18 for the quantized fold.
+# Plan: one groupBy(user), one groupBy(t), windows over distinct
+# durations — the survival family's shape, zero pair materialization.
+# ---------------------------------------------------------------------------
+_UNO_C = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj0 AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS tr,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS orr,
+         CAST(24 + user_id % 120 AS BIGINT) AS ct
+  FROM life
+),
+subj AS (
+  SELECT grp,
+         CASE WHEN tr <= ct THEN tr ELSE ct END AS t,
+         CASE WHEN orr = 1 AND tr <= ct THEN 1 ELSE 0 END AS obs
+  FROM subj0
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+sfx AS (
+  SELECT t, d1, c1, d0, c0,
+         CAST(SUM(d1 + c1 + d0 + c0) OVER (ORDER BY t
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+              AS BIGINT) AS n_risk,
+         COALESCE(CAST(SUM(d1 + c1) OVER (ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              AS BIGINT), 0) AS later1,
+         COALESCE(CAST(SUM(d0 + c0) OVER (ORDER BY t
+              ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+              AS BIGINT), 0) AS later0
+  FROM per_t
+),
+lnc AS (
+  SELECT t, d1, d0, later1, later0,
+         CASE WHEN c1 + c0 > 0 AND c1 + c0 < n_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(c1 + c0 AS DOUBLE) / n_risk)
+                   * 1e9, 0) AS BIGINT)
+              ELSE 0 END AS lnq
+  FROM sfx
+),
+wts AS (
+  SELECT t, d1, d0, later1, later0,
+         COALESCE(CAST(SUM(lnq) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS slnq
+  FROM lnc
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+terms AS (
+  SELECT d1, d0, d1 + d0 AS d, later1, later0, n,
+         EXP((slnq / 1e9) * (0e0 - 2e0)) AS w
+  FROM wts CROSS JOIN nn
+  WHERE d1 + d0 > 0 AND t < 120
+),
+folds AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (w
+              * (CAST(d1 * later0 AS DOUBLE)
+                 + CAST(d1 * later1 + d0 * later0 AS DOUBLE) / 2e0)
+              / (CAST(n AS DOUBLE) * n)), 0) AS BIGINT)) AS BIGINT) AS numq,
+         CAST(SUM(CAST(ROUND(1e9 * (w
+              * CAST(d * (later1 + later0) AS DOUBLE)
+              / (CAST(n AS DOUBLE) * n)), 0) AS BIGINT)) AS BIGINT) AS denq,
+         CAST(SUM(d) AS BIGINT) AS o_h,
+         CAST(COUNT(*) AS BIGINT) AS n_times,
+         MAX(w) AS wmax,
+         MAX(n) AS n
+  FROM terms
+)
+SELECT n AS n_subjects, o_h AS n_events_h,
+       CAST(120 AS BIGINT) AS horizon_h,
+       ROUND(wmax, 6) AS w_max,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND CAST(n_times AS DOUBLE) * wmax * 1e9 < 9e18
+             AND denq > 0
+            THEN ROUND(CAST(numq AS DOUBLE) / denq, 6)
+       END AS c_uno
+FROM folds
+"""
+
+#: Spark twin — the _HARRELL_C dialect replaces.
+_UNO_C_SPARK = _UNO_C.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_uno_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uno's IPCW-weighted C-index of the parity cohort for
+    time-to-first-purchase within a 120 h horizon, under staggered
+    administrative censoring C_u = 24 + user_id % 120 h — censoring-KM
+    weights via ln-quantized cumulative products, weighted pair counts
+    via suffix sums, zero pair materialization. See _UNO_C."""
+    load(spark, sf_dir)
+    return spark.sql(_UNO_C_SPARK)
+
+
+QUERIES["events_uno_c"] = _events_uno_c
+ORACLES["events_uno_c"] = _UNO_C
+
+
+# ---------------------------------------------------------------------------
 # Cutler's RSI(14) on the daily purchase close — the bounded-momentum
 # oscillator beside window_bollinger/window_atr/window_donchian
 # (volatility and channel members of the technical family). Cutler's

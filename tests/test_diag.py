@@ -1332,3 +1332,145 @@ def test_harrell_c_cont_cap_is_64(spark):
     # first -> concordant, C = 1.
     assert out.concordant == 1 and out.discordant == 0
     assert out.tied_score == 0 and out.c_index == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Round 14: Uno's censoring-adjusted C (IPCW weights off the
+# censoring Kaplan-Meier)
+# ---------------------------------------------------------------------------
+def _uno_reference(subjects, tau):
+    """Independent float spelling of Uno's C_tau over (grp, t, obs)
+    subjects (censoring already applied): censoring-KM weights
+    1/G(t-)^2 with deaths-before-censorings ties, strict t_i < t_j
+    comparability, half-credit score ties."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d0, c0
+    for g, t, o in subjects:
+        per[t][(0 if g == 1 else 2) + (1 - o)] += 1
+    times = sorted(per)
+    suf = {}
+    n1 = n0 = 0
+    for t in reversed(times):
+        d1, c1, d0, c0 = per[t]
+        suf[t] = (n1, n0, n1 + n0 + d1 + c1 + d0 + c0)  # later1, later0, n_risk
+        n1 += d1 + c1
+        n0 += d0 + c0
+    g_before = 1.0
+    num = den = 0.0
+    for t in times:
+        d1, c1, d0, c0 = per[t]
+        later1, later0, n_risk = suf[t]
+        if t < tau and d1 + d0 > 0 and g_before > 0:
+            w = 1.0 / (g_before * g_before)
+            num += w * (d1 * later0 + 0.5 * (d1 * later1 + d0 * later0))
+            den += w * (d1 + d0) * (later1 + later0)
+        c_tot = c1 + c0
+        g_before *= (1.0 - c_tot / n_risk) if c_tot < n_risk else 0.0
+    return num / den if den > 0 else None
+
+
+def _uno_events_view(spark, users):
+    """Build an events temp view from (user_id, purchase_hour or None,
+    last_hour) rows: first view at hour 0; a purchase at purchase_hour
+    or a final view at last_hour."""
+    rows = []
+    eid = 0
+    for uid, ph, lh in users:
+        rows.append((eid, uid, "2024-01-01 00:00:00", "view", None))
+        eid += 1
+        h = ph if ph is not None else lh
+        day, hod = 1 + h // 24, h % 24
+        ts = f"2024-01-{day:02d} {hod:02d}:00:00"
+        rows.append(
+            (eid, uid, ts, "purchase" if ph is not None else "view",
+             1.0 if ph is not None else None)
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def test_uno_c_numpy_reference(spark):
+    """Mixed censored/observed users with interleaved staggered
+    censoring: the SQL must land on the independent float reference to
+    1e-5, with weights genuinely above 1."""
+    from datafusion_gpu_spark.queries.pipeline import _UNO_C_SPARK
+
+    # user u: ct = 24 + u % 120; purchases at (3u + 7) % 200 h unless
+    # u % 5 == 0 (then a censored trace ending at (7u + 11) % 150 h)
+    users = []
+    for u in range(40):
+        if u % 5 == 0:
+            users.append((u, None, (7 * u + 11) % 150))
+        else:
+            users.append((u, (3 * u + 7) % 200, None))
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_UNO_C_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = []
+    for u, ph, lh in users:
+        ct = 24 + u % 120
+        tr = ph if ph is not None else lh
+        orr = 1 if ph is not None else 0
+        t = min(tr, ct)
+        obs = 1 if (orr == 1 and tr <= ct) else 0
+        subjects.append((u % 2, t, obs))
+    ref = _uno_reference(subjects, tau=120)
+    assert out.n_subjects == 40
+    assert out.w_max > 1.0  # the IPCW path is genuinely exercised
+    assert ref is not None and abs(out.c_uno - ref) <= 1e-5
+
+
+def test_uno_c_no_censoring_equals_unweighted(spark):
+    """Every purchase lands inside every C_u (tr < 24 <= ct) -> no
+    censoring anywhere, all weights exactly 1 (ln terms fold to the
+    exact integer 0), and C equals the unweighted strict-comparability
+    brute force."""
+    from datafusion_gpu_spark.queries.pipeline import _UNO_C_SPARK
+
+    users = [(u, (u * 5 + 3) % 24, None) for u in range(30)]
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_UNO_C_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = [(u % 2, (u * 5 + 3) % 24, 1) for u in range(30)]
+    conc = disc = tied = 0
+    for i, (gi, ti, _oi) in enumerate(subjects):
+        for j, (gj, tj, _oj) in enumerate(subjects):
+            if tj > ti:  # strict comparability, i is the event anchor
+                if gi > gj:
+                    conc += 1
+                elif gi < gj:
+                    disc += 1
+                else:
+                    tied += 1
+    c_ref = (conc + tied / 2) / (conc + disc + tied)
+    assert out.w_max == 1.0
+    assert abs(out.c_uno - round(c_ref, 6)) <= 1e-6
+
+
+def test_uno_c_degenerate_single_time(spark):
+    """All events at one duration: no strictly-later subjects, den
+    folds to 0, c_uno goes NULL through the guard."""
+    from datafusion_gpu_spark.queries.pipeline import _UNO_C_SPARK
+
+    users = [(u, 5, None) for u in range(10)]
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_UNO_C_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.c_uno is None
