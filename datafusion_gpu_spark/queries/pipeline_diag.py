@@ -1279,7 +1279,9 @@ ORACLES["events_harrell_c_cont"] = _HARRELL_C_CONT
 # The testdata's natural time-to-first-purchase carries almost no
 # censoring (none at sf0.1), which would leave every weight at 1 and
 # the IPCW machinery inert — so the subjects carry DETERMINISTIC
-# STAGGERED ADMINISTRATIVE CENSORING, C_u = 24 + user_id % 120 hours
+# STAGGERED ADMINISTRATIVE CENSORING, C_u = 24 + (user_id * 37) % 120
+# hours (37 is coprime with 120, so even a handful of consecutive ids
+# spreads across the full window)
 # (the staggered-entry design every survival textbook uses): a subject
 # is observed only while t <= C_u. Censorings now interleave with
 # event times, G drops below 1 inside the horizon, and the weight path
@@ -1319,7 +1321,7 @@ subj0 AS (
   SELECT user_id % 2 AS grp,
          (COALESCE(fp, last) - start) // 3600000000 AS tr,
          CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS orr,
-         CAST(24 + user_id % 120 AS BIGINT) AS ct
+         CAST(24 + (user_id * 37) % 120 AS BIGINT) AS ct
   FROM life
 ),
 subj AS (
@@ -1408,7 +1410,7 @@ _UNO_C_SPARK = _UNO_C.replace(
 def _events_uno_c(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Uno's IPCW-weighted C-index of the parity cohort for
     time-to-first-purchase within a 120 h horizon, under staggered
-    administrative censoring C_u = 24 + user_id % 120 h — censoring-KM
+    administrative censoring C_u = 24 + (user_id * 37) % 120 h — censoring-KM
     weights via ln-quantized cumulative products, weighted pair counts
     via suffix sums, zero pair materialization. See _UNO_C."""
     load(spark, sf_dir)
@@ -1417,6 +1419,162 @@ def _events_uno_c(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_uno_c"] = _events_uno_c
 ORACLES["events_uno_c"] = _UNO_C
+
+
+# ---------------------------------------------------------------------------
+# Round 14 — time-dependent cumulative/dynamic AUC at a fixed horizon
+# (Heagerty, Lumley & Pepe 2000 definition; Uno et al. 2007 IPCW
+# estimator): "how well does the score separate subjects who fail BY
+# tau from subjects still event-free AT tau?" — the horizon-anchored
+# discrimination companion of Uno's C (which integrates over all
+# horizons). Cases = events with t <= tau, IPCW-weighted by
+# 1/G(t_i-); controls = subjects with t > tau, whose common 1/G(tau)
+# weight CANCELS in the ratio (so only case weights appear). Score =
+# the same 64-level capped activity score as events_harrell_c_cont;
+# censoring = the same staggered C_u = 24 + user_id % 120 h design as
+# events_uno_c but with a 6 h offset (C_u = 6 + (user_id * 37) % 120 h) so
+# censorings START INSIDE the 24 h horizon and the case weights
+# genuinely exceed 1 (the natural data has no censoring at sf0.1);
+# score ties get the standard half credit. tau = 24 h (a literal
+# chosen so both case and control sets are populated from sf0.001 up).
+#
+# Shape: censoring-KM on the distinct-time relation (ln-quantized,
+# the events_survival_km precedent); per-level case-weight folds
+# W(s) = sum_t d_{t,s} * w_t with each term normalized by n and
+# quantized once to 1e-9 bigints (bounded by w_max * d_t / n); the
+# level-axis cumulative runs over the SAME 64-value literal axis as
+# harrell_c_cont (plan-visibly bounded); one terminal division.
+# VISIBLE guards: n^2 < 9e18 and n_times * w_max * 1e9 < 9e18.
+# ---------------------------------------------------------------------------
+_AUC_TD = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last,
+         CAST(COUNT(*) AS BIGINT) AS n_ev
+  FROM events GROUP BY user_id
+),
+subj0 AS (
+  SELECT CASE WHEN n_ev > 64 THEN 64 ELSE n_ev END AS s,
+         (COALESCE(fp, last) - start) // 3600000000 AS tr,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS orr,
+         CAST(6 + (user_id * 37) % 120 AS BIGINT) AS ct
+  FROM life
+),
+subj AS (
+  SELECT s,
+         CASE WHEN tr <= ct THEN tr ELSE ct END AS t,
+         CASE WHEN orr = 1 AND tr <= ct THEN 1 ELSE 0 END AS obs
+  FROM subj0
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(obs) AS BIGINT) AS d,
+         CAST(SUM(1 - obs) AS BIGINT) AS c
+  FROM subj GROUP BY t
+),
+wts AS (
+  SELECT t, d,
+         COALESCE(CAST(SUM(CASE WHEN c > 0 AND c < n_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(c AS DOUBLE) / n_risk)
+                   * 1e9, 0) AS BIGINT) ELSE 0 END) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS slnq
+  FROM (
+    SELECT t, d, c,
+           CAST(SUM(d + c) OVER (ORDER BY t
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                AS BIGINT) AS n_risk
+    FROM per_t
+  ) r
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+case_cells AS (
+  SELECT s, t, CAST(SUM(obs) AS BIGINT) AS dts
+  FROM subj WHERE obs = 1 AND t <= 24 GROUP BY s, t
+),
+case_w AS (
+  SELECT cc.s AS s,
+         CAST(SUM(CAST(ROUND(1e9 * (EXP((w.slnq / 1e9) * (0e0 - 1e0))
+              * CAST(cc.dts AS DOUBLE) / n), 0) AS BIGINT)) AS BIGINT)
+           AS wq,
+         MAX(EXP((w.slnq / 1e9) * (0e0 - 1e0))) AS wmax_s,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM case_cells cc JOIN wts w ON w.t = cc.t CROSS JOIN nn
+  GROUP BY cc.s
+),
+ctrl AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS m
+  FROM subj WHERE t > 24 GROUP BY s
+),
+lv AS (SELECT CAST(s AS BIGINT) AS s
+       FROM (VALUES {LEVELS}) AS q(s)),
+axis AS (
+  SELECT lv.s AS s, COALESCE(cw.wq, 0) AS wq,
+         COALESCE(cw.wmax_s, 0e0) AS wmax_s,
+         COALESCE(cw.n_terms, 0) AS n_terms,
+         COALESCE(ct2.m, 0) AS m
+  FROM lv LEFT JOIN case_w cw ON cw.s = lv.s
+          LEFT JOIN ctrl ct2 ON ct2.s = lv.s
+),
+acc AS (
+  SELECT s, wq, wmax_s, n_terms, m,
+         COALESCE(CAST(SUM(m) OVER (ORDER BY s
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS m_lower,
+         CAST(SUM(m) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS m_tot
+  FROM axis
+),
+folds AS (
+  SELECT CAST(SUM(CAST(ROUND((wq / 1e9)
+              * (CAST(m_lower AS DOUBLE) + CAST(m AS DOUBLE) / 2e0)
+              / n * 1e9, 0) AS BIGINT)) AS BIGINT) AS numq,
+         CAST(SUM(CAST(ROUND((wq / 1e9) * CAST(m_tot AS DOUBLE)
+              / n * 1e9, 0) AS BIGINT)) AS BIGINT) AS denq,
+         CAST(SUM(CASE WHEN wq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_case_levels,
+         CAST(SUM(n_terms) AS BIGINT) AS n_times,
+         MAX(wmax_s) AS wmax,
+         MAX(m_tot) AS m_controls,
+         MAX(n) AS n
+  FROM acc CROSS JOIN nn
+)
+SELECT n AS n_subjects, m_controls AS n_controls,
+       CAST(24 AS BIGINT) AS horizon_h,
+       ROUND(wmax, 6) AS w_max,
+       CASE WHEN CAST(n AS DOUBLE) * n < 9e18
+             AND CAST(n_times AS DOUBLE) * wmax * 1e9 < 9e18
+             AND denq > 0
+            THEN ROUND(CAST(numq AS DOUBLE) / denq, 6)
+       END AS auc_td
+FROM folds
+""".replace(
+    "{LEVELS}", ",".join(f"({i})" for i in range(1, 65))
+)
+
+#: Spark twin — the _HARRELL_C dialect replaces.
+_AUC_TD_SPARK = _AUC_TD.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_auc_td(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative/dynamic time-dependent AUC of the 64-level activity
+    score at a 24 h horizon, IPCW case weights off the censoring KM,
+    under the staggered administrative censoring design (6 h offset).
+    See
+    _AUC_TD."""
+    load(spark, sf_dir)
+    return spark.sql(_AUC_TD_SPARK)
+
+
+QUERIES["events_auc_td"] = _events_auc_td
+ORACLES["events_auc_td"] = _AUC_TD
 
 
 # ---------------------------------------------------------------------------

@@ -1404,7 +1404,7 @@ def test_uno_c_numpy_reference(spark):
     1e-5, with weights genuinely above 1."""
     from datafusion_gpu_spark.queries.pipeline import _UNO_C_SPARK
 
-    # user u: ct = 24 + u % 120; purchases at (3u + 7) % 200 h unless
+    # user u: ct = 24 + (u * 37) % 120; purchases at (3u + 7) % 200 h unless
     # u % 5 == 0 (then a censored trace ending at (7u + 11) % 150 h)
     users = []
     for u in range(40):
@@ -1420,7 +1420,7 @@ def test_uno_c_numpy_reference(spark):
 
     subjects = []
     for u, ph, lh in users:
-        ct = 24 + u % 120
+        ct = 24 + (u * 37) % 120
         tr = ph if ph is not None else lh
         orr = 1 if ph is not None else 0
         t = min(tr, ct)
@@ -1474,3 +1474,149 @@ def test_uno_c_degenerate_single_time(spark):
     finally:
         spark.catalog.dropTempView("events")
     assert out.c_uno is None
+
+
+# ---------------------------------------------------------------------------
+# Round 14: time-dependent cumulative/dynamic AUC (IPCW case weights)
+# ---------------------------------------------------------------------------
+def _auc_td_reference(subjects, tau):
+    """Independent float spelling of the IPCW cumulative/dynamic AUC
+    over (s, t, obs) subjects (censoring already applied): case weight
+    1/G(t-) off the censoring KM, controls = t > tau (their common
+    weight cancels), half-credit score ties."""
+    from collections import defaultdict
+
+    per_c = defaultdict(int)
+    per_all = defaultdict(int)
+    for _s, t, o in subjects:
+        per_all[t] += 1
+        if not o:
+            per_c[t] += 1
+    times = sorted(per_all)
+    at_risk = len(subjects)
+    g_before = 1.0
+    g_at = {}
+    for t in times:
+        g_at[t] = g_before  # G(t-): censorings strictly before t
+        g_before *= (
+            (1.0 - per_c[t] / at_risk) if per_c[t] < at_risk else 0.0
+        )
+        at_risk -= per_all[t]
+    controls = [s for s, t, _o in subjects if t > tau]
+    num = den = 0.0
+    for s, t, o in subjects:
+        if o and t <= tau and g_at[t] > 0:
+            w = 1.0 / g_at[t]
+            num += w * (
+                sum(1 for sc in controls if sc < s)
+                + 0.5 * sum(1 for sc in controls if sc == s)
+            )
+            den += w * len(controls)
+    return num / den if den > 0 else None
+
+
+def _auc_events_view(spark, users):
+    """Events temp view from (user_id, n_extra_views, purchase_hour or
+    None, last_hour): first view + extras at hour 0 (score = 2 +
+    extras without touching durations), then the terminal event."""
+    rows = []
+    eid = 0
+    for uid, extras, ph, lh in users:
+        for _ in range(1 + extras):
+            rows.append((eid, uid, "2024-01-01 00:00:00", "view", None))
+            eid += 1
+        h = ph if ph is not None else lh
+        day, hod = 1 + h // 24, h % 24
+        ts = f"2024-01-{day:02d} {hod:02d}:00:00"
+        rows.append(
+            (eid, uid, ts, "purchase" if ph is not None else "view",
+             1.0 if ph is not None else None)
+        )
+        eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts string, event_type string,"
+        " value double",
+    ).selectExpr(
+        "event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+        "event_type", "value",
+    )
+    df.createOrReplaceTempView("events")
+
+
+def test_auc_td_numpy_reference(spark):
+    """Varied scores, interleaved staggered censoring: the SQL must
+    land on the independent float reference to 1e-5 with weights
+    genuinely above 1."""
+    from datafusion_gpu_spark.queries.pipeline import _AUC_TD_SPARK
+
+    users = []
+    for u in range(40):
+        extras = u % 5
+        if u % 4 == 0:
+            users.append((u, extras, None, (7 * u + 11) % 90))
+        else:
+            users.append((u, extras, (3 * u + 5) % 90, None))
+    _auc_events_view(spark, users)
+    try:
+        [out] = spark.sql(_AUC_TD_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = []
+    for u, extras, ph, lh in users:
+        ct = 6 + (u * 37) % 120
+        tr = ph if ph is not None else lh
+        orr = 1 if ph is not None else 0
+        t = min(tr, ct)
+        obs = 1 if (orr == 1 and tr <= ct) else 0
+        subjects.append((min(2 + extras, 64), t, obs))
+    ref = _auc_td_reference(subjects, tau=24)
+    assert out.n_subjects == 40
+    assert out.w_max > 1.0
+    assert ref is not None and abs(out.auc_td - ref) <= 1e-5
+
+
+def test_auc_td_no_censoring_equals_mw_auc(spark):
+    """Every uid is ~107 mod 120 (C_u = 125 h), every trace ends
+    before 100 h, every subject purchases -> zero censoring, weights
+    exactly 1, and the statistic collapses to the plain Mann-Whitney
+    AUC of score for cases (t <= 24) vs controls (t > 24)."""
+    from datafusion_gpu_spark.queries.pipeline import _AUC_TD_SPARK
+
+    users = [
+        (107 + 120 * k, k % 6, (11 * k + 3) % 90, None) for k in range(30)
+    ]
+    _auc_events_view(spark, users)
+    try:
+        [out] = spark.sql(_AUC_TD_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = [
+        (min(2 + k % 6, 64), (11 * k + 3) % 90, 1) for k in range(30)
+    ]
+    cases = [s for s, t, _ in subjects if t <= 24]
+    controls = [s for s, t, _ in subjects if t > 24]
+    num = sum(
+        sum(1 for c in controls if c < s)
+        + 0.5 * sum(1 for c in controls if c == s)
+        for s in cases
+    )
+    den = len(cases) * len(controls)
+    assert out.w_max == 1.0
+    assert abs(out.auc_td - round(num / den, 6)) <= 1e-6
+
+
+def test_auc_td_no_controls_null(spark):
+    """Every duration inside the horizon: no controls, auc goes NULL
+    through the den > 0 guard."""
+    from datafusion_gpu_spark.queries.pipeline import _AUC_TD_SPARK
+
+    users = [(107 + 120 * k, k % 3, (k * 3) % 20, None) for k in range(10)]
+    _auc_events_view(spark, users)
+    try:
+        [out] = spark.sql(_AUC_TD_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.auc_td is None
