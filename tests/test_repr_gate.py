@@ -91,3 +91,17 @@ def test_canon_distinguishes_the_split_classes():
     assert _canon(np.int32(5)) == _canon(np.int64(5)) == "5"
     assert _canon(float("nan")) == _canon(None) == "<null>"
     assert _canon(np.float64(0.5)) == _canon(0.5)
+
+
+def test_all_null_column_dtype_is_exempt():
+    # a null BOOLEAN materializes as object-None on Spark and
+    # float64-NaN on DuckDB; the driver hashes both as null
+    spark = pd.DataFrame({"k": [1], "v": np.array([None], dtype=object)})
+    duck = pd.DataFrame({"k": [1], "v": [float("nan")]})
+    assert _hard(compare(spark, duck)) == []
+
+
+def test_partially_null_dtype_mismatch_still_fails():
+    spark = pd.DataFrame({"v": np.array([None, True], dtype=object)})
+    duck = pd.DataFrame({"v": [float("nan"), 1.0]})
+    assert _hard(compare(spark, duck))
