@@ -1578,6 +1578,169 @@ ORACLES["events_auc_td"] = _AUC_TD
 
 
 # ---------------------------------------------------------------------------
+# Round 14 — IPCW Brier score at a fixed horizon (Graf, Schmoor,
+# Sauerbrei & Schumacher 1999): the PREDICTION-ERROR member of the
+# validation trio — td-AUC ranks (discrimination), this scores the
+# predicted probabilities themselves. BS(tau) = n^-1 sum_i w_i
+# (Y_i - s_hat_i)^2 with Y_i = 1(t_i > tau): subjects failing by tau
+# contribute s_hat^2 weighted 1/G(t_i-), survivors contribute
+# (1 - s_hat)^2 weighted 1/G(tau), subjects censored inside the
+# horizon contribute nothing (their mass is what IPCW redistributes).
+# The predictor is the PARITY-COHORT Kaplan-Meier at tau evaluated on
+# the same data — apparent (in-sample) error, the standard first
+# report; the cohort KM rides the survival family's ln-quantized
+# cumulative products, as does the censoring KM G. Same staggered
+# 6 h-offset censoring design and tau = 24 h as events_auc_td.
+#
+# Numeric portability: THREE ln-quantized systems on the one
+# distinct-duration relation (cohort-1 survival, cohort-0 survival,
+# pooled censoring); the per-event-time weighted terms are normalized
+# by n then quantized once to 1e-9 bigints; the survivor term is pure
+# scalar arithmetic off the one-row fold. VISIBLE guards: the usual
+# n_times * w_max * 1e9 < 9e18 headroom, plus NULL-through-guard when
+# G(tau) hits exact zero (all remaining subjects censored inside the
+# horizon — weights undefined) or a cohort KM dies before tau.
+# ---------------------------------------------------------------------------
+_BRIER_IPCW = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj0 AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS tr,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS orr,
+         CAST(6 + (user_id * 37) % 120 AS BIGINT) AS ct
+  FROM life
+),
+subj AS (
+  SELECT grp,
+         CASE WHEN tr <= ct THEN tr ELSE ct END AS t,
+         CASE WHEN orr = 1 AND tr <= ct THEN 1 ELSE 0 END AS obs
+  FROM subj0
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+sfx AS (
+  SELECT t, d1, c1, d0, c0,
+         CAST(SUM(d1 + c1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1_risk,
+         CAST(SUM(d0 + c0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0_risk
+  FROM per_t
+),
+lnq AS (
+  SELECT t, d1, d0, c1, c0,
+         CASE WHEN d1 > 0 AND d1 < n1_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(d1 AS DOUBLE) / n1_risk)
+                   * 1e9, 0) AS BIGINT) ELSE 0 END AS lnq_s1,
+         CASE WHEN d1 = n1_risk AND d1 > 0 THEN 1 ELSE 0 END AS dead1,
+         CASE WHEN d0 > 0 AND d0 < n0_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(d0 AS DOUBLE) / n0_risk)
+                   * 1e9, 0) AS BIGINT) ELSE 0 END AS lnq_s0,
+         CASE WHEN d0 = n0_risk AND d0 > 0 THEN 1 ELSE 0 END AS dead0,
+         CASE WHEN c1 + c0 > 0 AND c1 + c0 < n1_risk + n0_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(c1 + c0 AS DOUBLE)
+                   / (n1_risk + n0_risk)) * 1e9, 0) AS BIGINT)
+              ELSE 0 END AS lnq_c,
+         CASE WHEN c1 + c0 = n1_risk + n0_risk AND c1 + c0 > 0
+              THEN 1 ELSE 0 END AS cdead
+  FROM sfx
+),
+scalars AS (
+  SELECT CAST(SUM(CASE WHEN t <= 24 THEN lnq_s1 ELSE 0 END) AS BIGINT)
+           AS s1q,
+         CAST(SUM(CASE WHEN t <= 24 THEN lnq_s0 ELSE 0 END) AS BIGINT)
+           AS s0q,
+         CAST(SUM(CASE WHEN t <= 24 THEN lnq_c ELSE 0 END) AS BIGINT)
+           AS gq,
+         CAST(MAX(CASE WHEN t <= 24 THEN dead1 ELSE 0 END) AS BIGINT)
+           AS s1_dead,
+         CAST(MAX(CASE WHEN t <= 24 THEN dead0 ELSE 0 END) AS BIGINT)
+           AS s0_dead,
+         CAST(MAX(CASE WHEN t <= 24 THEN cdead ELSE 0 END) AS BIGINT)
+           AS g_dead,
+         CAST(SUM(CASE WHEN t > 24 THEN d1 + c1 ELSE 0 END) AS BIGINT)
+           AS m1,
+         CAST(SUM(CASE WHEN t > 24 THEN d0 + c0 ELSE 0 END) AS BIGINT)
+           AS m0,
+         CAST(SUM(d1 + c1 + d0 + c0) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN t <= 24 THEN d1 + d0 ELSE 0 END) AS BIGINT)
+           AS o_h
+  FROM lnq
+),
+wts AS (
+  SELECT t, d1, d0,
+         COALESCE(CAST(SUM(lnq_c) OVER (ORDER BY t
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              AS BIGINT), 0) AS slnq_c
+  FROM lnq
+),
+evt AS (
+  SELECT CAST(SUM(CAST(ROUND(1e9 * (EXP((w.slnq_c / 1e9) * (0e0 - 1e0))
+              * (CAST(w.d1 AS DOUBLE)
+                 * EXP(s.s1q / 1e9) * EXP(s.s1q / 1e9)
+                 * (1 - s.s1_dead)
+                 + CAST(w.d0 AS DOUBLE)
+                 * EXP(s.s0q / 1e9) * EXP(s.s0q / 1e9)
+                 * (1 - s.s0_dead))
+              / s.n), 0) AS BIGINT)) AS BIGINT) AS eventq,
+         MAX(EXP((w.slnq_c / 1e9) * (0e0 - 1e0))) AS wmax,
+         CAST(COUNT(*) AS BIGINT) AS n_times
+  FROM wts w CROSS JOIN scalars s
+  WHERE w.d1 + w.d0 > 0 AND w.t <= 24
+)
+SELECT s.n AS n_subjects, s.o_h AS n_events_h,
+       CAST(24 AS BIGINT) AS horizon_h,
+       ROUND(EXP(s.s1q / 1e9) * (1 - s.s1_dead), 6) AS s1_tau,
+       ROUND(EXP(s.s0q / 1e9) * (1 - s.s0_dead), 6) AS s0_tau,
+       ROUND(EXP(s.gq / 1e9) * (1 - s.g_dead), 6) AS g_tau,
+       ROUND(e.wmax, 6) AS w_max,
+       CASE WHEN s.g_dead = 0
+             AND CAST(e.n_times AS DOUBLE) * e.wmax * 1e9 < 9e18
+            THEN ROUND((e.eventq / 1e9
+                 + (CAST(s.m1 AS DOUBLE)
+                    * (1e0 - EXP(s.s1q / 1e9) * (1 - s.s1_dead))
+                    * (1e0 - EXP(s.s1q / 1e9) * (1 - s.s1_dead))
+                    + CAST(s.m0 AS DOUBLE)
+                    * (1e0 - EXP(s.s0q / 1e9) * (1 - s.s0_dead))
+                    * (1e0 - EXP(s.s0q / 1e9) * (1 - s.s0_dead)))
+                   / (EXP(s.gq / 1e9) * s.n)), 6)
+       END AS brier_ipcw
+FROM scalars s CROSS JOIN evt e
+"""
+
+#: Spark twin — the _HARRELL_C dialect replaces.
+_BRIER_IPCW_SPARK = _BRIER_IPCW.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_brier_ipcw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPCW Brier score of the parity-cohort KM prediction at a 24 h
+    horizon (apparent error), censoring-KM weights, staggered 6 h
+    administrative censoring. See _BRIER_IPCW."""
+    load(spark, sf_dir)
+    return spark.sql(_BRIER_IPCW_SPARK)
+
+
+QUERIES["events_brier_ipcw"] = _events_brier_ipcw
+ORACLES["events_brier_ipcw"] = _BRIER_IPCW
+
+
+# ---------------------------------------------------------------------------
 # Cutler's RSI(14) on the daily purchase close — the bounded-momentum
 # oscillator beside window_bollinger/window_atr/window_donchian
 # (volatility and channel members of the technical family). Cutler's

@@ -1620,3 +1620,125 @@ def test_auc_td_no_controls_null(spark):
     finally:
         spark.catalog.dropTempView("events")
     assert out.auc_td is None
+
+
+# ---------------------------------------------------------------------------
+# Round 14: IPCW Brier score at a horizon (Graf et al. 1999)
+# ---------------------------------------------------------------------------
+def _brier_reference(subjects, tau):
+    """Independent float spelling: cohort-KM predictions at tau,
+    censoring-KM weights (1/G(t-) for failures, 1/G(tau) for
+    survivors), censored-inside-horizon subjects dropped."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # d1, c1, d0, c0
+    for g, t, o in subjects:
+        per[t][(0 if g == 1 else 2) + (1 - o)] += 1
+    times = sorted(per)
+    n = len(subjects)
+    n1 = sum(1 for g, _t, _o in subjects if g == 1)
+    n0 = n - n1
+    s1 = s0 = g_km = 1.0
+    g_before = {}
+    r1, r0 = n1, n0
+    for t in times:
+        d1, c1, d0, c0 = per[t]
+        g_before[t] = g_km
+        if t <= tau:
+            if d1:
+                s1 *= 1.0 - d1 / r1
+            if d0:
+                s0 *= 1.0 - d0 / r0
+            ct = c1 + c0
+            if ct:
+                g_km *= 1.0 - ct / (r1 + r0) if ct < r1 + r0 else 0.0
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    total = 0.0
+    for g, t, o in subjects:
+        pred = s1 if g == 1 else s0
+        if o and t <= tau:
+            total += pred * pred / g_before[t]
+        elif t > tau:
+            total += (1.0 - pred) * (1.0 - pred) / g_km
+    return total / n, s1, s0, g_km
+
+
+def test_brier_ipcw_numpy_reference(spark):
+    """Mixed censored/observed users, interleaved 6 h-offset staggered
+    censoring: the SQL must land on the independent float reference to
+    1e-5 on brier and both cohort KMs."""
+    from datafusion_gpu_spark.queries.pipeline import _BRIER_IPCW_SPARK
+
+    users = []
+    for u in range(40):
+        if u % 4 == 0:
+            users.append((u, None, (7 * u + 11) % 90))
+        else:
+            users.append((u, (3 * u + 5) % 90, None))
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_BRIER_IPCW_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = []
+    for u, ph, lh in users:
+        ct = 6 + (u * 37) % 120
+        tr = ph if ph is not None else lh
+        orr = 1 if ph is not None else 0
+        subjects.append(
+            (u % 2, min(tr, ct), 1 if (orr == 1 and tr <= ct) else 0)
+        )
+    bs, s1, s0, g_tau = _brier_reference(subjects, tau=24)
+    assert out.n_subjects == 40
+    assert abs(out.s1_tau - s1) <= 1e-5
+    assert abs(out.s0_tau - s0) <= 1e-5
+    assert abs(out.g_tau - g_tau) <= 1e-5
+    assert abs(out.brier_ipcw - bs) <= 1e-5
+
+
+def test_brier_ipcw_no_censoring_is_group_mean_brier(spark):
+    """Zero censoring (uids ~107 mod 120 -> C_u = 125 h; every trace a
+    purchase before 100 h): weights are exactly 1, the cohort KM at
+    tau is the empirical survival fraction, and the statistic equals
+    the classic Brier score of group-mean predictions."""
+    from datafusion_gpu_spark.queries.pipeline import _BRIER_IPCW_SPARK
+
+    # uids alternate 107 mod 120 (odd, C_u = 125 h) and 94 mod 120
+    # (even, C_u = 124 h) so BOTH parity cohorts are populated
+    uids = [(107 if k % 2 else 94) + 120 * k for k in range(30)]
+    users = [(uid, (11 * k + 3) % 90, None) for k, uid in enumerate(uids)]
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_BRIER_IPCW_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = [
+        (uid % 2, (11 * k + 3) % 90, 1) for k, uid in enumerate(uids)
+    ]
+    tot = {g: sum(1 for gg, _t, _ in subjects if gg == g) for g in (0, 1)}
+    surv = {
+        g: sum(1 for gg, t, _ in subjects if gg == g and t > 24) / tot[g]
+        for g in (0, 1)
+    }
+    bs = sum(
+        ((1.0 if t > 24 else 0.0) - surv[g]) ** 2 for g, t, _ in subjects
+    ) / len(subjects)
+    assert out.w_max == 1.0 and out.g_tau == 1.0
+    assert abs(out.brier_ipcw - bs) <= 1e-5
+
+
+def test_brier_ipcw_g_zero_guard(spark):
+    """Every subject censored inside the horizon: G(tau) hits exact
+    zero and brier goes NULL through the g_dead guard."""
+    from datafusion_gpu_spark.queries.pipeline import _BRIER_IPCW_SPARK
+
+    users = [(107 + 120 * k, None, 3 + k % 5) for k in range(10)]
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_BRIER_IPCW_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.g_tau == 0.0 and out.brier_ipcw is None
