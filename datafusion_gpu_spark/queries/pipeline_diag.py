@@ -1741,6 +1741,137 @@ ORACLES["events_brier_ipcw"] = _BRIER_IPCW
 
 
 # ---------------------------------------------------------------------------
+# Round 14 — calibration-in-the-large for survival at the horizon
+# (the O/E check every risk-model validation reports beside
+# discrimination and Brier; Crowson et al. 2016 formalize the
+# survival version): does the model's mean predicted survival at tau
+# match the OBSERVED pooled Kaplan-Meier at tau? With the
+# parity-cohort KM as the model, expected = the cohort-size-weighted
+# mean of the two cohort KMs; observed = the pooled KM — these
+# genuinely differ (KM is nonlinear in the risk sets), and the gap is
+# the in-the-large miscalibration. Same subjects relation, staggered
+# censoring, tau = 24 h, and ln-quantized KM spellings as
+# events_brier_ipcw; the terminal difference carries the + 0.0
+# signed-zero normalization (it CAN be ±tiny by construction).
+# ---------------------------------------------------------------------------
+_SURV_CALIB = """
+WITH life AS (
+  SELECT user_id,
+         MIN(epoch_us(ts)) AS start,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS fp,
+         MAX(epoch_us(ts)) AS last
+  FROM events GROUP BY user_id
+),
+subj0 AS (
+  SELECT user_id % 2 AS grp,
+         (COALESCE(fp, last) - start) // 3600000000 AS tr,
+         CASE WHEN fp IS NULL THEN 0 ELSE 1 END AS orr,
+         CAST(6 + (user_id * 37) % 120 AS BIGINT) AS ct
+  FROM life
+),
+subj AS (
+  SELECT grp,
+         CASE WHEN tr <= ct THEN tr ELSE ct END AS t,
+         CASE WHEN orr = 1 AND tr <= ct THEN 1 ELSE 0 END AS obs
+  FROM subj0
+),
+per_t AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN grp = 1 THEN obs ELSE 0 END) AS BIGINT) AS d1,
+         CAST(SUM(CASE WHEN grp = 1 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c1,
+         CAST(SUM(CASE WHEN grp = 0 THEN obs ELSE 0 END) AS BIGINT) AS d0,
+         CAST(SUM(CASE WHEN grp = 0 THEN 1 - obs ELSE 0 END) AS BIGINT) AS c0
+  FROM subj GROUP BY t
+),
+sfx AS (
+  SELECT t, d1, c1, d0, c0,
+         CAST(SUM(d1 + c1) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n1_risk,
+         CAST(SUM(d0 + c0) OVER (ORDER BY t ROWS BETWEEN CURRENT ROW
+              AND UNBOUNDED FOLLOWING) AS BIGINT) AS n0_risk
+  FROM per_t
+),
+lnq AS (
+  SELECT t,
+         CASE WHEN d1 > 0 AND d1 < n1_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(d1 AS DOUBLE) / n1_risk)
+                   * 1e9, 0) AS BIGINT) ELSE 0 END AS lnq_s1,
+         CASE WHEN d1 = n1_risk AND d1 > 0 THEN 1 ELSE 0 END AS dead1,
+         CASE WHEN d0 > 0 AND d0 < n0_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(d0 AS DOUBLE) / n0_risk)
+                   * 1e9, 0) AS BIGINT) ELSE 0 END AS lnq_s0,
+         CASE WHEN d0 = n0_risk AND d0 > 0 THEN 1 ELSE 0 END AS dead0,
+         CASE WHEN d1 + d0 > 0 AND d1 + d0 < n1_risk + n0_risk
+              THEN CAST(ROUND(LN(1e0 - CAST(d1 + d0 AS DOUBLE)
+                   / (n1_risk + n0_risk)) * 1e9, 0) AS BIGINT)
+              ELSE 0 END AS lnq_sp,
+         CASE WHEN d1 + d0 = n1_risk + n0_risk AND d1 + d0 > 0
+              THEN 1 ELSE 0 END AS deadp,
+         n1_risk, n0_risk
+  FROM sfx
+),
+scalars AS (
+  SELECT CAST(SUM(CASE WHEN t <= 24 THEN lnq_s1 ELSE 0 END) AS BIGINT)
+           AS s1q,
+         CAST(SUM(CASE WHEN t <= 24 THEN lnq_s0 ELSE 0 END) AS BIGINT)
+           AS s0q,
+         CAST(SUM(CASE WHEN t <= 24 THEN lnq_sp ELSE 0 END) AS BIGINT)
+           AS spq,
+         CAST(MAX(CASE WHEN t <= 24 THEN dead1 ELSE 0 END) AS BIGINT)
+           AS s1_dead,
+         CAST(MAX(CASE WHEN t <= 24 THEN dead0 ELSE 0 END) AS BIGINT)
+           AS s0_dead,
+         CAST(MAX(CASE WHEN t <= 24 THEN deadp ELSE 0 END) AS BIGINT)
+           AS sp_dead,
+         CAST(MAX(n1_risk) AS BIGINT) AS n1_tot,
+         CAST(MAX(n0_risk) AS BIGINT) AS n0_tot
+  FROM lnq
+)
+SELECT n1_tot + n0_tot AS n_subjects,
+       CAST(24 AS BIGINT) AS horizon_h,
+       ROUND(EXP(spq / 1e9) * (1 - sp_dead), 6) AS observed_s,
+       ROUND((CAST(n1_tot AS DOUBLE) * EXP(s1q / 1e9) * (1 - s1_dead)
+              + CAST(n0_tot AS DOUBLE) * EXP(s0q / 1e9) * (1 - s0_dead))
+             / (n1_tot + n0_tot), 6) AS expected_s,
+       ROUND(EXP(spq / 1e9) * (1 - sp_dead)
+             - (CAST(n1_tot AS DOUBLE) * EXP(s1q / 1e9) * (1 - s1_dead)
+                + CAST(n0_tot AS DOUBLE) * EXP(s0q / 1e9) * (1 - s0_dead))
+               / (n1_tot + n0_tot), 6) + 0.0 AS calib_diff,
+       CASE WHEN (CAST(n1_tot AS DOUBLE) * EXP(s1q / 1e9) * (1 - s1_dead)
+                  + CAST(n0_tot AS DOUBLE) * EXP(s0q / 1e9) * (1 - s0_dead))
+                 / (n1_tot + n0_tot) > 0
+            THEN ROUND(EXP(spq / 1e9) * (1 - sp_dead)
+                 / ((CAST(n1_tot AS DOUBLE) * EXP(s1q / 1e9) * (1 - s1_dead)
+                     + CAST(n0_tot AS DOUBLE) * EXP(s0q / 1e9)
+                       * (1 - s0_dead))
+                    / (n1_tot + n0_tot)), 6)
+       END AS calib_ratio
+FROM scalars
+"""
+
+#: Spark twin — the _HARRELL_C dialect replaces.
+_SURV_CALIB_SPARK = _SURV_CALIB.replace(
+    "epoch_us(ts)", "unix_micros(CAST(ts AS TIMESTAMP))"
+).replace(
+    "(COALESCE(fp, last) - start) // 3600000000",
+    "(COALESCE(fp, last) - start) DIV 3600000000",
+)
+
+
+def _events_survival_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-in-the-large of the parity-cohort KM model at the
+    24 h horizon: observed pooled KM vs cohort-size-weighted mean
+    predicted survival, as a difference (+ 0.0 normalized) and a
+    ratio. See _SURV_CALIB."""
+    load(spark, sf_dir)
+    return spark.sql(_SURV_CALIB_SPARK)
+
+
+QUERIES["events_survival_calibration"] = _events_survival_calibration
+ORACLES["events_survival_calibration"] = _SURV_CALIB
+
+
+# ---------------------------------------------------------------------------
 # Cutler's RSI(14) on the daily purchase close — the bounded-momentum
 # oscillator beside window_bollinger/window_atr/window_donchian
 # (volatility and channel members of the technical family). Cutler's

@@ -1742,3 +1742,87 @@ def test_brier_ipcw_g_zero_guard(spark):
     finally:
         spark.catalog.dropTempView("events")
     assert out.g_tau == 0.0 and out.brier_ipcw is None
+
+
+# ---------------------------------------------------------------------------
+# Round 14: calibration-in-the-large for survival
+# ---------------------------------------------------------------------------
+def _calib_reference(subjects, tau):
+    """Pooled KM vs cohort-size-weighted mean of cohort KMs at tau."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for g, t, o in subjects:
+        per[t][(0 if g == 1 else 2) + (1 - o)] += 1
+    n1 = sum(1 for g, _t, _o in subjects if g == 1)
+    n0 = len(subjects) - n1
+    s1 = s0 = sp = 1.0
+    r1, r0 = n1, n0
+    for t in sorted(per):
+        d1, c1, d0, c0 = per[t]
+        if t <= tau:
+            if d1:
+                s1 *= 1.0 - d1 / r1
+            if d0:
+                s0 *= 1.0 - d0 / r0
+            if d1 + d0:
+                sp *= 1.0 - (d1 + d0) / (r1 + r0)
+        r1 -= d1 + c1
+        r0 -= d0 + c0
+    exp = (n1 * s1 + n0 * s0) / (n1 + n0)
+    return sp, exp
+
+
+def test_survival_calibration_numpy_reference(spark):
+    from datafusion_gpu_spark.queries.pipeline import _SURV_CALIB_SPARK
+
+    users = []
+    for u in range(40):
+        if u % 4 == 0:
+            users.append((u, None, (7 * u + 11) % 90))
+        else:
+            users.append((u, (3 * u + 5) % 90, None))
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_SURV_CALIB_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+
+    subjects = []
+    for u, ph, lh in users:
+        ct = 6 + (u * 37) % 120
+        tr = ph if ph is not None else lh
+        orr = 1 if ph is not None else 0
+        subjects.append(
+            (u % 2, min(tr, ct), 1 if (orr == 1 and tr <= ct) else 0)
+        )
+    sp, exp = _calib_reference(subjects, tau=24)
+    assert out.n_subjects == 40
+    assert abs(out.observed_s - sp) <= 1e-5
+    assert abs(out.expected_s - exp) <= 1e-5
+    assert abs(out.calib_diff - (sp - exp)) <= 1e-5
+
+
+def test_survival_calibration_identical_cohorts_zero_diff(spark):
+    """Identical cohort profiles (paired uids u, u+1 with the same
+    trace and the same C_u would need equal stagger — instead pair
+    uids 120k+94 and 120k+107 whose C_u are 124/125 h, both far above
+    every trace): pooled KM == both cohort KMs, calib_diff is EXACTLY
+    +0.0 (the signed-zero normalization in the wild)."""
+    import math
+
+    from datafusion_gpu_spark.queries.pipeline import _SURV_CALIB_SPARK
+
+    users = []
+    for k in range(12):
+        h = (9 * k + 4) % 80
+        users.append((94 + 120 * k, h, None))   # even cohort
+        users.append((107 + 120 * k, h, None))  # odd cohort, same trace
+    _uno_events_view(spark, users)
+    try:
+        [out] = spark.sql(_SURV_CALIB_SPARK).collect()
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out.observed_s == out.expected_s
+    assert out.calib_diff == 0.0 and out.calib_ratio == 1.0
+    assert not math.copysign(1.0, out.calib_diff) < 0
