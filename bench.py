@@ -69,7 +69,9 @@ SF_BENCHES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
-    "tpch_q10_returned_items",
+    # tpch_q10 trimmed r15 (VERDICT r14 #1): TPC-H keeps q1/q3/q5/q6 —
+    # q5 is the benched join-fan-in representative; q10's slot pays for
+    # protecting the dedup flagships below.
     "window_rows_frame",
     "dedup_exact",
     "dedup_lines",
@@ -81,7 +83,9 @@ SF_BENCHES = [
     "sim_topk_ivf",
     "sim_knn_graph",
     "curation_pack_sequences",
-    "curation_shuffle",
+    # curation_shuffle trimmed r15 (VERDICT r14 #1): curation keeps
+    # pack_sequences + dsir_resample; its slot pays for the dedup
+    # PROTECTED additions.
     "curation_dsir_resample",
     "pipeline_end_to_end",
     "retrieval_bm25",
@@ -191,6 +195,13 @@ PROTECTED = frozenset({
     # join-fan-in HITS): first full-round medians must land in
     # BENCH_r13.
     "events_cox_ph", "graph_hits",
+    # Round-15 (VERDICT r14 "What's wrong" #1): the r14 driver bench
+    # planner-evicted BOTH dedup flagships on a tired box, leaving the
+    # LLM-pipeline's near-dup representative with no fresh wall-clock.
+    # Protect them; tpch_q10 + curation_shuffle trimmed from SF_BENCHES
+    # to pay for the guaranteed ~13.5 s (minhash 5-sample) + ~2.5 s
+    # (exact 10-sample) on a slow pass.
+    "dedup_minhash_lsh", "dedup_exact",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose

@@ -255,6 +255,22 @@ _CHECKED_R13 = (
     "streaming_log_loss", "window_rsi",
 )
 
+_CHECKED_R14 = (
+    "agg_bh_fdr", "agg_bitmap_distinct", "agg_brunner_munzel", "agg_count_min_estimate",
+    "agg_kll_quantiles", "agg_mode_deterministic", "agg_regression", "agg_string_agg",
+    "agg_theta_setops", "agg_tost_equivalence", "agg_weighted_median", "curation_pack_sequences",
+    "curation_stratified_sample", "curation_temperature_mix", "curation_weighted_sample", "dedup_incremental_bloom",
+    "events_ab_test", "events_auc_td", "events_brier_ipcw", "events_funnel",
+    "events_harrell_c_cont", "events_retention", "events_rfm", "events_scd2_asof",
+    "events_schoenfeld_ph", "events_seasonal_mk", "events_survival_calibration", "events_top_paths",
+    "events_transitions", "events_uno_c", "fn_bitwise_pack", "fn_collation",
+    "graph_modularity", "io_merge_upsert", "join_band_bucketed", "multimodal_audio",
+    "multimodal_frame_sample", "pipeline_multimodal", "sim_pca_contract", "sort_limit_with_ties",
+    "source_python_stream", "streaming_funnel", "streaming_multi_rollup", "streaming_stream_stream_join",
+    "text_heavy_hitters", "text_missing_mass", "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "window_ignore_nulls",
+)
+
 #: Rows whose IMPLEMENTATION changed after their most recent driver check
 #: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
 #: age only, so a query rewired in round N but last driver-checked in round
@@ -264,26 +280,12 @@ _CHECKED_R13 = (
 #: add its name here; when its post-change driver row lands, the _CHECKED_R{N}
 #: fold supersedes the pin — remove the name from this tuple at the same time.
 #:
-#: Round-14 pins (the r13 `events_group_sequential` pin pruned — its
-#: post-fix green row landed in CORRECTNESS_r13; the fold supersedes it):
-#: the four rows whose spelling the r14 representation fixes touch
-#: (VERDICT r13 "What's wrong" #1-#3 / ADVICE r13). The two driver reds
-#: MUST re-check first; the two latent-Decimal rows changed spelling too.
-_CHANGED_SINCE_CHECK = (
-    # VERDICT r13 #1: signed-zero normalization (+ 0.0 after the terminal
-    # ROUND) on both the operator and the oracle tail
-    "graph_modularity",
-    # VERDICT r13 #2: bh_threshold forced to DOUBLE (CAST(0.05 AS DOUBLE)),
-    # p_rank BIGINT-cast, and the k_max threshold comparison double-cast
-    "agg_bh_fdr",
-    # VERDICT r13 #3: latent Spark-Decimal outputs normalized to DOUBLE
-    "agg_tost_equivalence",
-    "agg_weighted_median",
-    # r14's own registry-wide DecimalType schema gate found a FIFTH:
-    # gt_adjusted_r1's bare 2.0 literal (the r13 sweep's value-level
-    # compare missed it — the Decimal printed like the double)
-    "text_missing_mass",
-)
+#: Round-15 pins: all five round-14 representation pins pruned — each got
+#: its post-fix green driver row in CORRECTNESS_r14 (graph_modularity,
+#: agg_bh_fdr, agg_tost_equivalence, agg_weighted_median,
+#: text_missing_mass), so the _CHECKED_R14 fold supersedes them. No code
+#: respellings this round yet.
+_CHANGED_SINCE_CHECK: tuple[str, ...] = ()
 
 #: name -> round of its most recent green driver CORRECTNESS row, and
 #: name -> how many distinct rounds have checked it green.
@@ -292,7 +294,7 @@ _CHECK_COUNT: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
      _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11,
-     _CHECKED_R12, _CHECKED_R13), start=1
+     _CHECKED_R12, _CHECKED_R13, _CHECKED_R14), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
