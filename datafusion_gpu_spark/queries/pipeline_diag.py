@@ -1431,8 +1431,8 @@ ORACLES["events_uno_c"] = _UNO_C
 # 1/G(t_i-); controls = subjects with t > tau, whose common 1/G(tau)
 # weight CANCELS in the ratio (so only case weights appear). Score =
 # the same 64-level capped activity score as events_harrell_c_cont;
-# censoring = the same staggered C_u = 24 + user_id % 120 h design as
-# events_uno_c but with a 6 h offset (C_u = 6 + (user_id * 37) % 120 h) so
+# censoring = the same staggered C_u = 24 + (user_id * 37) % 120 h design
+# as events_uno_c but with a 6 h offset (C_u = 6 + (user_id * 37) % 120 h) so
 # censorings START INSIDE the 24 h horizon and the case weights
 # genuinely exceed 1 (the natural data has no censoring at sf0.1);
 # score ties get the standard half credit. tau = 24 h (a literal

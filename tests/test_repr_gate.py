@@ -105,3 +105,39 @@ def test_partially_null_dtype_mismatch_still_fails():
     spark = pd.DataFrame({"v": np.array([None, True], dtype=object)})
     duck = pd.DataFrame({"v": [float("nan"), 1.0]})
     assert _hard(compare(spark, duck))
+
+
+def test_multi_column_canon_splits_both_reported():
+    # ADVICE r14 / VERDICT r14 #3: the canonical-string layer used to be
+    # gated on the GLOBAL problems list, so the first failing column
+    # suppressed canon checks for every later column. Plant canon-only
+    # splits (signed zero — numerically equal, representation-red) in
+    # TWO columns and require BOTH in the report.
+    spark = pd.DataFrame({"a": [0.0], "b": [0.0]})
+    duck = pd.DataFrame({"a": [-0.0], "b": [-0.0]})
+    hard = _hard(compare(spark, duck))
+    assert any("col a" in p for p in hard), hard
+    assert any("col b" in p for p in hard), hard
+
+
+def test_later_column_canon_split_reported_after_value_failure():
+    # a VALUE failure in column a must not hide column b's canon split
+    spark = pd.DataFrame({"a": [1.0], "b": [0.0]})
+    duck = pd.DataFrame({"a": [2.0], "b": [-0.0]})
+    hard = _hard(compare(spark, duck))
+    assert any("col a" in p and "mismatch" in p for p in hard), hard
+    assert any("col b" in p and "zero" in p for p in hard), hard
+
+
+def test_all_nan_vs_value_mismatch_reports_without_warning():
+    # ADVICE r14: when every float mismatch is NaN-vs-value, the old
+    # np.nanmax over the all-NaN diff slice warned and printed nan;
+    # the report must instead say the mismatch class and still fail.
+    import warnings
+
+    spark = pd.DataFrame({"v": [float("nan"), float("nan")]})
+    duck = pd.DataFrame({"v": [1.0, 3.0]})
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # any RuntimeWarning -> test failure
+        hard = _hard(compare(spark, duck))
+    assert any("NaN-vs-value" in p for p in hard), hard

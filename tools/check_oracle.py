@@ -90,7 +90,16 @@ def _has_decimal(col: pd.Series) -> bool:
 
 def _canon(v) -> str:
     """Canonical value string, representation-sensitive like the driver's
-    hash: distinguishes -0.0 from 0.0 and Decimal('0.010000') from 0.01."""
+    hash: distinguishes -0.0 from 0.0 and Decimal('0.010000') from 0.01.
+
+    DOCUMENTED ASSUMPTION (ADVICE r14): float NaN and NULL both map to
+    '<null>', so a NaN-on-one-engine vs NULL-on-the-other split passes
+    this mirror. No driver row has ever exercised that split (the
+    registry's query-spelling rule is to guard every 0/0 and log(<=0)
+    with NULLIF/CASE on BOTH sides, so neither engine emits NaN), and
+    the driver's actual NaN canonicalization is unobserved. If a future
+    driver red ever shows NaN!=NULL at the hash layer, split the tokens
+    here and drop NaN from the both_nan equality in compare()."""
     if v is None or (isinstance(v, float) and v != v):
         return "<null>"
     try:
@@ -131,6 +140,7 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
     if problems:
         return problems
     for c in a.columns:
+        n_before = len(problems)  # per-column gate for the canon layer
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
             av64 = av.astype(np.float64)
@@ -139,10 +149,16 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
             eq = (av64 == bv64) | both_nan
             if not eq.all():
                 idx = int(np.argmin(eq))
-                diff = np.nanmax(np.abs(av64 - bv64))
+                # ADVICE r14: nanmax over an all-NaN diff slice (every
+                # mismatch is NaN-vs-value) warns and prints nan; report
+                # the finite max where one exists, else say so.
+                diffs = np.abs(av64 - bv64)[~eq]
+                finite = diffs[np.isfinite(diffs)]
+                desc = (f"max|diff|={float(np.max(finite)):.3e}"
+                        if finite.size else "all NaN-vs-value")
                 problems.append(
                     f"col {c}: {int((~eq).sum())} float mismatches, "
-                    f"max|diff|={diff:.3e}, first at row {idx}: "
+                    f"{desc}, first at row {idx}: "
                     f"spark={av[idx]!r} duck={bv[idx]!r}"
                 )
             # signed-zero split: numerically equal, hash-red at the driver
@@ -166,8 +182,11 @@ def compare(spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str]:
                 )
         # driver-faithful layer: canonical value strings must match even
         # where the numeric compare passes (catches representation splits
-        # the classes above don't enumerate)
-        if not problems:
+        # the classes above don't enumerate). Gated PER COLUMN (ADVICE
+        # r14: `if not problems:` let any earlier column's failure
+        # suppress canon checks for every later column, hiding
+        # multi-column representation splits from the report).
+        if len(problems) == n_before:
             ac = [_canon(v) for v in av]
             bc = [_canon(v) for v in bv]
             if ac != bc:
