@@ -560,6 +560,132 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_band_index(
+    docs: DataFrame, num_hashes: int = 64, rows_per_band: int = 2, n: int = 3
+) -> DataFrame:
+    """(band, bucket, doc_id) — the persisted near-dup index of a corpus.
+
+    This is the relation a daily-ingest pipeline writes ONCE over the
+    historical corpus (parquet, bucketed by (band, bucket)) and then
+    probes per batch via :func:`incremental_minhash_lsh`; re-banding
+    100 TB of history per ingest is the cost this removes. The banding
+    spelling is kept IDENTICAL to minhash_lsh_pairs' inline bands
+    (xxhash64(band_j, sig elements) — the index and the full-recompute
+    path must bucket identically or the A/B equivalence breaks; the
+    restatement-over-refactor choice follows the documented family
+    precedent, and test_incremental_minhash_matches_full_recompute
+    pins the two spellings together).
+    """
+    bands = num_hashes // rows_per_band
+    sig = minhash_signatures(docs, num_hashes, n)
+    band_cols = [
+        F.xxhash64(
+            F.lit(j), *[F.element_at("sig", j * rows_per_band + r + 1) for r in range(rows_per_band)]
+        )
+        for j in range(bands)
+    ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band", "bucket")
+    )
+
+
+def incremental_minhash_lsh(
+    history: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    rows_per_band: int = 2,
+    n: int = 3,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """NEAR-dup of an incoming batch against the historical corpus — the
+    fuzzy twin of :func:`incremental_dedup` (which is exact-hash only).
+    A daily-ingest 100 TB pipeline runs exactly this shape: today's
+    batch vs the persisted band index at near-dup granularity, never
+    re-banding history.
+
+    Returns (hist_id, batch_id, jaccard) for every cross-corpus pair
+    with exact 3-word-shingle Jaccard >= threshold (same verification
+    contract as minhash_lsh_pairs: banding generates candidates, exact
+    Jaccard removes every false positive, so the output is oracle-exact
+    up to the banding recall bound (1 - j^rows)^bands).
+
+    Scale shape — per-ingest work is BATCH-sized, history appears only
+    through two candidate-bounded paths:
+    - the band probe joins batch buckets (|batch| x bands rows) against
+      ``index`` on (band, bucket) — with the index parquet bucketed on
+      those keys the probe co-locates without shuffling history;
+    - exact verification re-shingles ONLY the candidate history docs
+      (left-semi on the candidate hist_ids) — candidate-sized, not
+      history-sized. Everything else (signatures, buckets, shingles of
+      the batch) is batch-sized. No all-pairs space ever materializes.
+    ``index`` defaults to banding ``history`` in-plan (the gate/test
+    path); production passes the persisted index relation. doc_id
+    spaces are assumed disjoint across the two sides (fresh ingest ids
+    — the incremental_dedup convention).
+
+    Honest cost accounting: per-ingest IO still includes ONE scan of
+    the persisted index — but that relation is 3 longs/row (~32
+    band rows/doc), orders of magnitude below re-reading and
+    re-shingling the corpus text, and the only thing that shuffles is
+    batch-sized. tools/incremental_minhash_probe.py measures the A/B:
+    at 500k history / 5k batch (100:1), probe 12.1s vs full re-band
+    40.4s with identical cross-pair output; the gap widens linearly
+    with the history:batch ratio because the full path re-processes
+    text while the probe path only re-scans hashes.
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+
+    batch = ensure_parallelism(batch)
+    if index is None:
+        index = minhash_band_index(history, num_hashes, rows_per_band, n)
+    probe = minhash_band_index(batch, num_hashes, rows_per_band, n)
+    # persist: the candidate relation (tiny — true near-dups + band
+    # collisions) feeds THREE consumers (both semi-join restrictions and
+    # the verification join); without materialization the band-probe
+    # subtree re-executes per consumer (the double-executed-subtree trap
+    # BENCH_NOTES documents; incremental_dedup_bloom is the precedent —
+    # measured 14.0s -> 4.1s on the 100k/2k A/B probe)
+    candidates = (
+        probe.withColumnRenamed("doc_id", "batch_id")
+        .join(index.withColumnRenamed("doc_id", "hist_id"), ["band", "bucket"])
+        .select("hist_id", "batch_id")
+        .distinct()
+        .persist()
+    )
+    # exact verification restricted to candidate docs on BOTH sides;
+    # the second shingle join keys on (batch_id, shingle) — both
+    # columns — for the same reason as minhash_lsh_pairs (doc-only key
+    # would build the per-pair shingle cross product before filtering)
+    hist_cand = history.join(
+        candidates.select(F.col("hist_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    batch_cand = batch.join(
+        candidates.select(F.col("batch_id").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    hist_sh = exploded_shingles(hist_cand, n)
+    batch_sh = exploded_shingles(batch_cand, n)
+    common = (
+        candidates.join(hist_sh.withColumnRenamed("doc_id", "hist_id"), "hist_id")
+        .join(batch_sh.withColumnRenamed("doc_id", "batch_id"), ["batch_id", "shingle"])
+        .groupBy("hist_id", "batch_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sh_a = shingle_set_sizes(hist_sh).withColumnRenamed("doc_id", "hist_id").withColumnRenamed("n_sh", "n_a")
+    sh_b = shingle_set_sizes(batch_sh).withColumnRenamed("doc_id", "batch_id").withColumnRenamed("n_sh", "n_b")
+    jacc = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sh_a, "hist_id")
+        .join(sh_b, "batch_id")
+        .select("hist_id", "batch_id", F.round(jacc, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 

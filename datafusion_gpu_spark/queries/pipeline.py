@@ -108,6 +108,38 @@ SELECT * FROM (
 """
 
 
+def _incremental_jaccard_sql(threshold: float) -> str:
+    """Cross-side twin of _jaccard_pairs_sql for the incremental
+    MinHash-LSH entry: exact 3-shingle Jaccard restricted to
+    (history, batch) pairs under the doc_id % 10 ingest split — the
+    recall+precision oracle for the persisted-band-index probe."""
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(w) >= 3
+             THEN list_transform(generate_series(1, len(w) - 2),
+                                 i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE []::VARCHAR[] END) AS sh
+  FROM (SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents)
+),
+sizes AS (SELECT doc_id, len(sh) AS n_sh FROM base),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM base),
+common AS (
+  SELECT a.doc_id AS hist_id, b.doc_id AS batch_id, COUNT(*) AS n_common
+  FROM ex a JOIN ex b ON a.shingle = b.shingle
+   AND a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+  GROUP BY 1, 2
+)
+SELECT * FROM (
+  SELECT hist_id, batch_id,
+         ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+  FROM common
+  JOIN sizes sa ON sa.doc_id = hist_id
+  JOIN sizes sb ON sb.doc_id = batch_id
+) WHERE jaccard >= {threshold}
+"""
+
+
 def _containment_pairs_sql(threshold: float, max_doc_freq: int | None = None) -> str:
     """Directional containment twin of _jaccard_pairs_sql: ordered
     pairs (a != b, both orders), C = n_common / |S(a)|."""
@@ -324,6 +356,20 @@ def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def _dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup ingest (VERDICT r14 ask #3): today's batch
+    (doc_id % 10 >= 8, the incremental_dedup split convention) probed
+    against the historical corpus' band index at MinHash-LSH
+    granularity — the fuzzy twin of dedup_incremental, whose exact-hash
+    anti-join misses every edited near-duplicate. Oracle = exact
+    cross-side 3-shingle Jaccard (the same recall+precision contract as
+    dedup_minhash_lsh: banding proposes, exact Jaccard disposes)."""
+    docs = _docs(spark, sf_dir)
+    history = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    return dedup.incremental_minhash_lsh(history, batch, threshold=0.5)
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2882,6 +2928,7 @@ QUERIES = {
     "dedup_ngram_jaccard": _dedup_ngram,
     "dedup_containment": _dedup_containment,
     "dedup_minhash_lsh": _dedup_minhash,
+    "dedup_incremental_minhash": _dedup_incremental_minhash,
     "dedup_components": _dedup_components,
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
@@ -3553,6 +3600,7 @@ GROUP BY h.doc_id
     "dedup_ngram_jaccard": _jaccard_pairs_sql(0.3, max_doc_freq=100),
     "dedup_containment": _containment_pairs_sql(0.6, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
+    "dedup_incremental_minhash": _incremental_jaccard_sql(0.5),
     # transitive closure over the SAME pair set (recursive CTE), min-id
     # labeling — must equal the Spark side's hash-min fixpoint exactly
     "dedup_components": f"""

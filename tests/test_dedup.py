@@ -432,3 +432,65 @@ def test_prefix_filter_exact_boundary_threshold(spark):
     got = [(r.doc_a, r.doc_b, r.jaccard)
            for r in prefix_filter_pairs(docs, threshold=0.07).collect()]
     assert got == [(1, 2, 0.07)]
+
+
+def test_incremental_minhash_finds_planted_cross_near_dup(planted):
+    # history = {0, 2, 3}, batch = {1, 4}: the batch's whitespace/case
+    # variant of doc 0 must surface as a cross-corpus near-dup; the
+    # unrelated batch doc must not pair with anything; intra-side pairs
+    # (0, 2) must NOT appear — incremental semantics are cross-only
+    from datafusion_gpu_spark.operators.dedup import incremental_minhash_lsh
+
+    history = planted.where(F.col("doc_id").isin(0, 2, 3))
+    batch = planted.where(F.col("doc_id").isin(1, 4))
+    pairs = {
+        (r.hist_id, r.batch_id): r.jaccard
+        for r in incremental_minhash_lsh(history, batch, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # normalization makes them identical
+    assert (2, 1) in pairs  # one-word edit of the same base text
+    assert all(b != 4 for _, b in pairs)  # unrelated batch doc is novel
+    assert all(h in {0, 2, 3} and b in {1, 4} for h, b in pairs)
+
+
+def test_incremental_minhash_matches_full_recompute(planted):
+    # the A/B contract: probing the history band index with the batch
+    # must return EXACTLY the cross-side slice of a full recompute over
+    # history+batch — this is the test that pins minhash_band_index's
+    # restated banding spelling to minhash_lsh_pairs' inline one (a
+    # drift in either xxhash64 band seed breaks this equality)
+    from datafusion_gpu_spark.operators.dedup import incremental_minhash_lsh
+
+    hist_ids, batch_ids = {0, 2, 3}, {1, 4}
+    history = planted.where(F.col("doc_id").isin(*hist_ids))
+    batch = planted.where(F.col("doc_id").isin(*batch_ids))
+    inc = {
+        (r.hist_id, r.batch_id, r.jaccard)
+        for r in incremental_minhash_lsh(history, batch, threshold=0.3).collect()
+    }
+    full = set()
+    for r in minhash_lsh_pairs(planted, 0.3).collect():
+        if r.doc_a in hist_ids and r.doc_b in batch_ids:
+            full.add((r.doc_a, r.doc_b, r.jaccard))
+        elif r.doc_b in hist_ids and r.doc_a in batch_ids:
+            full.add((r.doc_b, r.doc_a, r.jaccard))
+    assert inc == full and inc
+
+
+def test_incremental_minhash_explicit_index_equals_inline(planted):
+    # production passes the PERSISTED band index; the result must be
+    # identical to banding history in-plan
+    from datafusion_gpu_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_band_index,
+    )
+
+    history = planted.where(F.col("doc_id").isin(0, 2, 3))
+    batch = planted.where(F.col("doc_id").isin(1, 4))
+    idx = minhash_band_index(history)
+    a = {tuple(r) for r in incremental_minhash_lsh(history, batch).collect()}
+    b = {
+        tuple(r)
+        for r in incremental_minhash_lsh(history, batch, index=idx).collect()
+    }
+    assert a == b and a
