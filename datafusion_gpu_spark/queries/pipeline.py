@@ -2102,6 +2102,44 @@ def _multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_features(binary_df)
 
 
+def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint in the gate (multimodal.
+    audio_fingerprint — VERDICT r14 ask #4): deterministic pseudo-noise
+    clips s_i = ((doc_id*13 + i*7919) % 4096) - 2048 of 31 * (8 +
+    doc_id % 23) samples are written as RIFF/WAV PCM16 and REALLY
+    decoded executor-side, then framed into 31 frames whose two-band
+    (adjacent-sum / adjacent-difference) energies are median-
+    thresholded into a 62-bit integer fingerprint. Every stage is
+    int64-exact, so the DuckDB oracle rebuilds each sample from the
+    same closed form and replays the transform arithmetically — a
+    codec bug (header, endianness, interleave) or a fingerprint bug
+    (framing, band filter, median) flips hash bits."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators import multimodal
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 31 * (8 + d % 23)
+                i = np.arange(n, dtype=np.int64)
+                sig = ((d * 13 + i * 7919) % 4096 - 2048).astype(np.int16)
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    multimodal.encode_wav_pcm16(sig, sample_rate=8000)
+                )
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return multimodal.audio_fingerprint(binary_df)
+
+
 def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate: deterministic solid-luma Y4M
     streams (frame count, dimensions, luma derived from doc_id) are
@@ -2869,6 +2907,7 @@ QUERIES = {
     "events_top_paths": _events_top_paths,
     "sim_pca_contract": _sim_pca_contract,
     "multimodal_audio": _multimodal_audio,
+    "multimodal_audio_fp": _multimodal_audio_fp,
     "multimodal_frame_sample": _multimodal_frame_sample,
     "source_python_stream": _source_python_stream,
     "pipeline_multimodal": _pipeline_multimodal,
@@ -5197,6 +5236,52 @@ _PHASH_COEF_ROWS = ", ".join(
     for u, row in enumerate(_PHASH_COEF)
     for x, c in enumerate(row)
 )
+# The audio-fingerprint mirror of the phash oracle: rebuild every
+# sample from the gate generator's closed form, replay the integer
+# two-band frame-energy transform, median-threshold per band (31
+# frames — odd, so MEDIAN is the exact middle element), pack bits.
+ORACLES["multimodal_audio_fp"] = """
+WITH d AS (
+  SELECT doc_id, 8 + doc_id % 23 AS n_f
+  FROM documents WHERE doc_id < 300
+),
+samples AS (
+  SELECT doc_id, n_f, i,
+         ((doc_id * 13 + i * 7919) % 4096) - 2048 AS s
+  FROM d, LATERAL (SELECT unnest(range(0, 31 * n_f)) AS i) gen
+),
+terms AS (
+  SELECT x.doc_id, x.i // x.n_f AS f,
+         (y.s + x.s) AS a, (y.s - x.s) AS dd
+  FROM samples x
+  JOIN samples y ON y.doc_id = x.doc_id AND y.i = x.i + 1
+  WHERE (x.i % x.n_f) < x.n_f - 1
+),
+energy AS (
+  SELECT doc_id, f,
+         CAST(SUM(a * a) AS BIGINT) AS L,
+         CAST(SUM(dd * dd) AS BIGINT) AS H
+  FROM terms GROUP BY 1, 2
+),
+med AS (
+  SELECT doc_id,
+         CAST(MEDIAN(L) AS BIGINT) AS mL,
+         CAST(MEDIAN(H) AS BIGINT) AS mH
+  FROM energy GROUP BY doc_id
+),
+bits AS (
+  SELECT e.doc_id, f,
+         CASE WHEN L > mL THEN 1 ELSE 0 END AS lb,
+         CASE WHEN H > mH THEN 1 ELSE 0 END AS hb
+  FROM energy e JOIN med USING (doc_id)
+)
+SELECT doc_id,
+       CAST(SUM(lb * (CAST(1 AS BIGINT) << f)
+              + hb * (CAST(1 AS BIGINT) << (31 + f))) AS BIGINT) AS afp,
+       CAST(SUM(lb + hb) AS INTEGER) AS n_bits
+FROM bits GROUP BY doc_id
+"""
+
 ORACLES["multimodal_phash"] = f"""
 WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 300),
 g AS (SELECT unnest(range(0, 16)) AS i),

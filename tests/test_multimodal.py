@@ -311,3 +311,87 @@ def test_phash64_rejects_wrong_size(spark):
     df = spark.createDataFrame([(0, bad)], "doc_id long, payload binary")
     with _pytest.raises(Exception, match="16x16"):
         phash64(df).collect()
+
+
+def _wav_of(sig):
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import encode_wav_pcm16
+
+    return encode_wav_pcm16(np.asarray(sig, dtype=np.int16), 8000)
+
+
+def test_audio_fingerprint_near_dup_vs_distinct(spark):
+    """The fingerprint's defining properties, end-to-end through the
+    REAL WAV decode — the audio mirror of the pHash plant suite:
+    exact gain change -> identical fingerprint; renormalization with
+    rounding -> dust radius (<= 3 bits); small time shift -> near
+    (<= 6 bits, see inline note); different audio -> far."""
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import audio_fingerprint
+
+    n = 31 * 20
+    i = np.arange(n, dtype=np.int64)
+    # realistic shape: pseudo-noise under a smooth amplitude envelope
+    # (a loudness ramp, +1 every 2 frames) — frame energies are then
+    # well-separated, the regime the fingerprint is perturbation-robust
+    # in. White noise is the adversarial case: all frame energies are
+    # statistically identical, every bit is a coin flip around the
+    # median, and any perturbation flips many — but two white-noise
+    # takes aren't perceptual near-dups either.
+    noise = (i * 7919 + 13) % 128 - 64
+    base = noise * (1 + i // 40)
+    doubled = base * 2                              # exact gain x2
+    renorm = np.round(base * 0.7).astype(np.int64)  # rounded renormalize
+    shifted = np.roll(base, 3)                      # 3-sample time shift
+    other = noise * (1 + (n - 1 - i) // 40)         # reversed envelope
+    df = spark.createDataFrame(
+        [(0, _wav_of(base)), (1, _wav_of(doubled)), (2, _wav_of(renorm)),
+         (3, _wav_of(shifted)), (4, _wav_of(other))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: r.afp for r in audio_fingerprint(df).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")
+    assert got[0] == got[1]                 # gain-invariant by construction
+    assert ham(got[0], got[2]) <= 3         # renormalized: inside the
+    #                                         4x16-band pigeonhole radius
+    # a time shift moves samples across EVERY frame boundary at once,
+    # flipping the near-median bits (measured: 5 of 62, deterministic)
+    # — ~10x under the ~50% an unrelated clip scores, but outside the
+    # hamming<=3 single-table guarantee; the scale path for shifted
+    # copies is a second band table over a rotated frame grid (the
+    # standard multi-probe LSH move)
+    assert 0 < ham(got[0], got[3]) <= 6     # shifted copy: near, not exact
+    assert ham(got[0], got[4]) > 20         # distinct audio is far
+
+
+def test_audio_fingerprint_stereo_mixes_to_mono(spark):
+    # a stereo clip whose channels are (x, x) must fingerprint exactly
+    # like mono x — the integer mono mix sums channels // n_channels
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import audio_fingerprint
+
+    n = 31 * 8
+    i = np.arange(n, dtype=np.int64)
+    x = ((i * 101 + 7) % 2048 - 1024).astype(np.int16)
+    stereo = np.stack([x, x], axis=1)
+    df = spark.createDataFrame(
+        [(0, _wav_of(x)), (1, _wav_of(stereo))], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert got[0] == got[1]
+
+
+def test_audio_fingerprint_rejects_too_short(spark):
+    import numpy as np
+    import pytest as _pytest
+
+    from datafusion_gpu_spark.operators.multimodal import audio_fingerprint
+
+    df = spark.createDataFrame(
+        [(0, _wav_of(np.zeros(40, np.int16)))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="samples"):
+        audio_fingerprint(df).collect()
