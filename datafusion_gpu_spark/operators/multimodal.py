@@ -477,6 +477,57 @@ def audio_fingerprint(binary_df: DataFrame, frames: int = 31) -> DataFrame:
     return binary_df.select("doc_id", "payload").mapInPandas(compute, AFP_SCHEMA)
 
 
+def audio_neardup_pairs(
+    binary_df: DataFrame,
+    max_hamming: int = 3,
+    chunks: int = 4,
+    frames: int = 31,
+) -> DataFrame:
+    """Audio near-duplicate pairs: :func:`audio_fingerprint` + the
+    SimHash chunked-equality pigeonhole (dedup.simhash_pairs'
+    candidate machinery restated over the 62-bit afp) — a gain-changed
+    re-encode of a clip pairs with its original at hamming 0..3 while
+    unrelated clips sit ~31 bits apart, and candidate generation is an
+    equality join on (chunk_id, chunk_value), never an all-pairs scan.
+
+    Pigeonhole: hamming < chunks implies one of the ``chunks``
+    bit-slices identical. Chunk width covers ceil(62/chunks) bits;
+    the top chunk being narrower only ADDS candidates (a flip in an
+    uncovered position breaks no chunk), so completeness at
+    max_hamming <= chunks - 1 is preserved. Verification is one
+    bit_count(xor) per candidate. Same scale shape as simhash_pairs:
+    bucket-blocked join, distinct, no pair space.
+    """
+    sig = audio_fingerprint(binary_df, frames)
+    width = (2 * frames + chunks - 1) // chunks
+    mask = (1 << width) - 1
+    chunk_cols = [
+        (F.shiftrightunsigned(F.col("afp"), i * width).bitwiseAND(F.lit(mask)))
+        for i in range(chunks)
+    ]
+    buckets = sig.select(
+        "doc_id", "afp", F.posexplode(F.array(*chunk_cols)).alias("chunk", "val")
+    )
+    x, y = buckets.alias("x"), buckets.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.chunk") == F.col("y.chunk"))
+            & (F.col("x.val") == F.col("y.val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.afp").bitwiseXOR(F.col("y.afp"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.where(F.col("hamming") <= max_hamming)
+
+
 # -- video: pure-NumPy YUV4MPEG2 (Y4M) codec + frame sampling ---------------
 
 FRAME_SCHEMA = StructType(

@@ -2140,6 +2140,56 @@ def _multimodal_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.audio_fingerprint(binary_df)
 
 
+def _multimodal_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup PAIRS in the gate (multimodal.audio_neardup_pairs):
+    every doc_id % 5 == 4 clip is a gain-2 re-encode of its group
+    leader (seed doc_id - 4), identical fingerprint by the gain
+    invariance — so the planted pairs surface at hamming 0 through the
+    chunked-equality pigeonhole while unrelated clips stay >= 22 bits
+    apart (median 32; measured over the full 300-doc generator at
+    sf0.01: exactly the 60 planted pairs, zero accidental
+    collisions). The oracle rebuilds every clip's fingerprint
+    from the closed form and takes the exact all-pairs hamming <= 3
+    slice (all-pairs is the ORACLE's luxury at 300 docs; the Spark
+    side never scans pairs — plan-asserted)."""
+    import numpy as np
+    import pandas as pd
+
+    from datafusion_gpu_spark.operators import multimodal
+
+    load(spark, sf_dir)
+    docs = spark.table("documents").where(F.col("doc_id") < 300).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = {"doc_id": [], "payload": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                seed, gain = (d - 4, 2) if d % 5 == 4 else (d, 1)
+                n = 31 * (8 + seed % 23)
+                i = np.arange(n, dtype=np.int64)
+                # seed enters MULTIPLICATIVELY (odd factor mod 4096 is a
+                # bijection): an additive-only seed leaves the adjacent-
+                # difference stream seed-independent, so same-length
+                # clips would share their whole high band and collide
+                sig = (
+                    gain
+                    * (
+                        ((2 * seed + 1) * (i * i * 31 + i * 7919) + seed * 13)
+                        % 4096
+                        - 2048
+                    )
+                ).astype(np.int16)
+                rows["doc_id"].append(d)
+                rows["payload"].append(
+                    multimodal.encode_wav_pcm16(sig, sample_rate=8000)
+                )
+            yield pd.DataFrame(rows)
+
+    binary_df = docs.mapInPandas(encode, "doc_id long, payload binary")
+    return multimodal.audio_neardup_pairs(binary_df)
+
+
 def _multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode in the gate: deterministic solid-luma Y4M
     streams (frame count, dimensions, luma derived from doc_id) are
@@ -2273,6 +2323,19 @@ def _streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     load(spark, sf_dir)
     return streaming.materialized_view_purchase_join(spark, sf_dir)
+
+
+def _streaming_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dedup_incremental_minhash: the doc feed lands
+    in 4 micro-batches, each probing the band index persisted ONCE from
+    history (streaming.materialized_incremental_minhash). Per-doc
+    results are independent of micro-batch co-membership, so the union
+    equals the one-shot batch run — graded by the SAME exact cross-side
+    Jaccard oracle."""
+    from datafusion_gpu_spark import streaming
+
+    load(spark, sf_dir)
+    return streaming.materialized_incremental_minhash(spark, sf_dir)
 
 
 def _text_bpe_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2908,6 +2971,7 @@ QUERIES = {
     "sim_pca_contract": _sim_pca_contract,
     "multimodal_audio": _multimodal_audio,
     "multimodal_audio_fp": _multimodal_audio_fp,
+    "multimodal_audio_neardup": _multimodal_audio_neardup,
     "multimodal_frame_sample": _multimodal_frame_sample,
     "source_python_stream": _source_python_stream,
     "pipeline_multimodal": _pipeline_multimodal,
@@ -2968,6 +3032,7 @@ QUERIES = {
     "dedup_containment": _dedup_containment,
     "dedup_minhash_lsh": _dedup_minhash,
     "dedup_incremental_minhash": _dedup_incremental_minhash,
+    "streaming_incremental_minhash": _streaming_incremental_minhash,
     "dedup_components": _dedup_components,
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
@@ -3640,6 +3705,8 @@ GROUP BY h.doc_id
     "dedup_containment": _containment_pairs_sql(0.6, max_doc_freq=100),
     "dedup_minhash_lsh": _jaccard_pairs_sql(0.5),
     "dedup_incremental_minhash": _incremental_jaccard_sql(0.5),
+    # stream == batch: the SAME exact oracle grades the streaming twin
+    "streaming_incremental_minhash": _incremental_jaccard_sql(0.5),
     # transitive closure over the SAME pair set (recursive CTE), min-id
     # labeling — must equal the Spark side's hash-min fixpoint exactly
     "dedup_components": f"""
@@ -5280,6 +5347,61 @@ SELECT doc_id,
               + hb * (CAST(1 AS BIGINT) << (31 + f))) AS BIGINT) AS afp,
        CAST(SUM(lb + hb) AS INTEGER) AS n_bits
 FROM bits GROUP BY doc_id
+"""
+
+# Pair twin: rebuild each clip's fingerprint from the gate generator's
+# seeded closed form (doc_id % 5 == 4 -> gain-2 copy of seed doc_id-4),
+# then the exact all-pairs hamming <= 3 slice. All-pairs is fine for
+# the ORACLE (300 docs); the Spark side is the chunked pigeonhole.
+ORACLES["multimodal_audio_neardup"] = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 4 THEN doc_id - 4 ELSE doc_id END AS seed,
+         CASE WHEN doc_id % 5 = 4 THEN 2 ELSE 1 END AS gain
+  FROM documents WHERE doc_id < 300
+),
+d2 AS (SELECT doc_id, seed, gain, 8 + seed % 23 AS n_f FROM d),
+samples AS (
+  SELECT doc_id, n_f, i,
+         gain * ((((2 * seed + 1) * (i * i * 31 + i * 7919) + seed * 13)
+                  % 4096) - 2048) AS s
+  FROM d2, LATERAL (SELECT unnest(range(0, 31 * n_f)) AS i) gen
+),
+terms AS (
+  SELECT x.doc_id, x.i // x.n_f AS f,
+         (y.s + x.s) AS a, (y.s - x.s) AS dd
+  FROM samples x
+  JOIN samples y ON y.doc_id = x.doc_id AND y.i = x.i + 1
+  WHERE (x.i % x.n_f) < x.n_f - 1
+),
+energy AS (
+  SELECT doc_id, f,
+         CAST(SUM(a * a) AS BIGINT) AS L,
+         CAST(SUM(dd * dd) AS BIGINT) AS H
+  FROM terms GROUP BY 1, 2
+),
+med AS (
+  SELECT doc_id,
+         CAST(MEDIAN(L) AS BIGINT) AS mL,
+         CAST(MEDIAN(H) AS BIGINT) AS mH
+  FROM energy GROUP BY doc_id
+),
+bits AS (
+  SELECT e.doc_id, f,
+         CASE WHEN L > mL THEN 1 ELSE 0 END AS lb,
+         CASE WHEN H > mH THEN 1 ELSE 0 END AS hb
+  FROM energy e JOIN med USING (doc_id)
+),
+fp AS (
+  SELECT doc_id,
+         CAST(SUM(lb * (CAST(1 AS BIGINT) << f)
+                + hb * (CAST(1 AS BIGINT) << (31 + f))) AS BIGINT) AS afp
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 3
 """
 
 ORACLES["multimodal_phash"] = f"""

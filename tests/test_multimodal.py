@@ -395,3 +395,22 @@ def test_audio_fingerprint_rejects_too_short(spark):
     )
     with _pytest.raises(Exception, match="samples"):
         audio_fingerprint(df).collect()
+
+
+def test_audio_neardup_pairs_planted_gain_copy(spark):
+    # a gain-2 re-encode pairs with its original at hamming 0; the
+    # unrelated clip pairs with nothing (multiplicatively-seeded noise)
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.multimodal import audio_neardup_pairs
+
+    n = 31 * 12
+    i = np.arange(n, dtype=np.int64)
+    mk = lambda seed: ((2 * seed + 1) * (i * i * 31 + i * 7919) + seed * 13) % 4096 - 2048
+    base = mk(5)
+    df = spark.createDataFrame(
+        [(0, _wav_of(base)), (1, _wav_of(base * 2)), (2, _wav_of(mk(9)))],
+        "doc_id long, payload binary",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in audio_neardup_pairs(df).collect()}
+    assert pairs == {(0, 1): 0}

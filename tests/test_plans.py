@@ -898,3 +898,11 @@ def test_incremental_minhash_is_band_probe_not_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "LeftSemi" in plan
+
+
+def test_audio_neardup_is_chunk_keyed_not_all_pairs(spark):
+    # candidate generation must be the (chunk, value) equality join —
+    # never a pair scan — exactly like the simhash pigeonhole it restates
+    plan = plan_of(spark, "multimodal_audio_neardup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

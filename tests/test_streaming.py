@@ -675,13 +675,38 @@ def test_streaming_group_sequential_matches_batch_exactly(spark):
 
 
 def test_registry_twin_accounting():
-    # SURVEY §21/§23 twin table, as set arithmetic: 27 streaming_*
-    # registry rows after round 13's second wave (the 24 r12 twins +
-    # the group-sequential, Jarque-Bera and log-loss twins), every one
-    # of them oracled — the "stream graded by the batch oracle"
-    # contract has no rows-only exceptions
+    # SURVEY §21/§23 twin table, as set arithmetic: 28 streaming_*
+    # registry rows after round 15 (the 24 r12 twins + group-sequential,
+    # Jarque-Bera and log-loss + r15's incremental-minhash ingest twin),
+    # every one of them oracled — the "stream graded by the batch
+    # oracle" contract has no rows-only exceptions
     from datafusion_gpu_spark.queries import all_oracles, all_queries
 
     twins = {n for n in all_queries() if n.startswith("streaming_")}
-    assert len(twins) == 27
+    assert len(twins) == 28
     assert twins <= set(all_oracles())
+
+
+def test_streaming_incremental_minhash_equals_batch(spark):
+    # the 4-micro-batch ingest loop over the persisted band index must
+    # union to EXACTLY the one-shot batch probe (per-doc independence)
+    from pyspark.sql import functions as F
+
+    from tests.conftest import SF_DIR
+
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.operators.dedup import incremental_minhash_lsh
+    from datafusion_gpu_spark.streaming import materialized_incremental_minhash
+
+    register_tables(spark, SF_DIR)
+    got = {tuple(r) for r in materialized_incremental_minhash(spark, SF_DIR).collect()}
+    docs = spark.table("documents")
+    want = {
+        tuple(r)
+        for r in incremental_minhash_lsh(
+            docs.where(F.col("doc_id") % 10 < 8),
+            docs.where(F.col("doc_id") % 10 >= 8),
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == want
