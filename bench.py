@@ -220,6 +220,11 @@ SAMPLES_OVERRIDE = {
     "graph_louvain": 5, "dedup_components": 5,
     "dedup_minhash_lsh": 5, "dedup_lines": 5, "pipeline_end_to_end": 5,
     "events_cox_ph": 5, "graph_hits": 5,
+    # r15: dsir missed the r14 driver bench AND the r15 trial run (both
+    # times the first eviction at ~1.3-1.5 s x 10); at 5 samples it fits
+    # ahead of the eviction line — an honest recorded count beats a
+    # second consecutive omission for a row with four rounds of history.
+    "curation_dsir_resample": 5,
 }
 
 
