@@ -566,9 +566,15 @@ def minhash_band_index(
     """(band, bucket, doc_id) — the persisted near-dup index of a corpus.
 
     This is the relation a daily-ingest pipeline writes ONCE over the
-    historical corpus (parquet, bucketed by (band, bucket)) and then
+    historical corpus (io.write_bucketed on (band, bucket)) and then
     probes per batch via :func:`incremental_minhash_lsh`; re-banding
-    100 TB of history per ingest is the cost this removes. The banding
+    100 TB of history per ingest is the cost this removes. With the
+    bucketed layout the probe join reads the index co-located —
+    plan-asserted (test_incremental_minhash_bucketed_index_no_index_
+    shuffle): the index scan is ``Bucketed: true`` with ZERO exchange,
+    and the only (band, bucket) repartition in the plan is the
+    batch-sized probe side, so per-ingest shuffle IO is independent of
+    corpus size. The banding
     spelling is kept IDENTICAL to minhash_lsh_pairs' inline bands
     (xxhash64(band_j, sig elements) — the index and the full-recompute
     path must bucket identically or the A/B equivalence breaks; the

@@ -906,3 +906,46 @@ def test_audio_neardup_is_chunk_keyed_not_all_pairs(spark):
     plan = plan_of(spark, "multimodal_audio_neardup")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_incremental_minhash_bucketed_index_no_index_shuffle(spark):
+    # the production layout claim: with the band index persisted via
+    # write_bucketed on (band, bucket), the per-ingest probe join reads
+    # the index co-located (Bucketed: true, NO exchange above its scan)
+    # and the ONLY (band, bucket) repartition is the batch-sized probe
+    # side — per-ingest shuffle IO is independent of corpus size
+    from pyspark.sql import functions as F
+
+    from datafusion_gpu_spark.context import register_tables
+    from datafusion_gpu_spark.io import write_bucketed
+    from datafusion_gpu_spark.operators.dedup import minhash_band_index
+
+    register_tables(spark, SF_DIR)
+    docs = spark.table("documents")
+    history = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    write_bucketed(
+        minhash_band_index(history), "b_band_index", ["band", "bucket"],
+        num_buckets=8,
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        idx = spark.table("b_band_index")
+        probe = minhash_band_index(batch)
+        joined = probe.withColumnRenamed("doc_id", "batch_id").join(
+            idx.withColumnRenamed("doc_id", "hist_id"), ["band", "bucket"]
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Bucketed: true" in plan  # index read pre-partitioned
+        # exactly ONE (band, bucket) exchange: the batch probe side
+        import re
+
+        # SMJ requires BOTH sides partitioned on (band, bucket); with
+        # only one band-key Exchange in the whole plan and the index
+        # scan marked bucketed, the index side necessarily satisfied
+        # the requirement from its storage layout — zero index shuffle
+        assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) == 1
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_band_index")
