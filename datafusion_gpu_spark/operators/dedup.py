@@ -818,6 +818,88 @@ def embedding_near_dup_lsh(
     )
 
 
+def embedding_bucket_index(
+    embs: DataFrame,
+    planes: int = 6,
+    num_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(tbl, bucket, vec_id) — the persisted embedding near-dup index,
+    the ANN-modality twin of :func:`minhash_band_index`: written ONCE
+    over the historical embedding corpus (io.write_bucketed on (tbl,
+    bucket) for the co-located probe layout) and probed per ingest by
+    :func:`incremental_embedding_lsh`. The seeded hyperplanes are the
+    SAME ones embedding_near_dup_lsh uses, so index and full-recompute
+    buckets agree (pinned by
+    test_incremental_embedding_matches_full_recompute)."""
+    from datafusion_gpu_spark.operators.similarity import _hyperplanes, lsh_bucket
+
+    tables = [_hyperplanes(dim, planes, seed + t) for t in range(num_tables)]
+    per_table = F.array(*[lsh_bucket(F.col("embedding"), hp) for hp in tables])
+    return embs.select(
+        "vec_id", F.posexplode(per_table).alias("tbl", "bucket")
+    )
+
+
+def incremental_embedding_lsh(
+    history: DataFrame,
+    batch: DataFrame,
+    threshold: float = 0.2,
+    planes: int = 6,
+    num_tables: int = 2,
+    dim: int = 64,
+    seed: int = 42,
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup of an incoming batch against the
+    historical corpus via the persisted bucket index — the third leg of
+    the incremental-ingest family (exact-hash incremental_dedup, text
+    incremental_minhash_lsh, and now the embedding modality): new
+    vectors are bucketed, probed against the stored (tbl, bucket)
+    relation, and every candidate is exact-cosine verified, so emitted
+    pairs have precision 1.0 and recall is the (planes, num_tables)
+    collision bound — identical to embedding_near_dup_lsh's contract.
+
+    Returns (hist_id, batch_id, cosine) with cosine >= threshold.
+    Per-ingest work is batch-sized: bucketing the batch is a
+    projection; the probe join reads the index co-located when it is
+    persisted bucketed on (tbl, bucket) (the minhash_band_index plan
+    argument); verification fetches ONLY candidate embeddings from
+    each side via keyed joins. vec_id spaces are assumed disjoint
+    across the sides (fresh ingest ids).
+    """
+    from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.similarity import cosine_similarity
+
+    batch = ensure_parallelism(batch)
+    if index is None:
+        index = embedding_bucket_index(history, planes, num_tables, dim, seed)
+    probe = embedding_bucket_index(batch, planes, num_tables, dim, seed)
+    # persist: tiny candidate relation, two verification consumers (the
+    # incremental_minhash_lsh precedent)
+    candidates = (
+        probe.withColumnRenamed("vec_id", "batch_id")
+        .join(index.withColumnRenamed("vec_id", "hist_id"), ["tbl", "bucket"])
+        .select("hist_id", "batch_id")
+        .distinct()
+        .persist()
+    )
+    ea = history.select(
+        F.col("vec_id").alias("hist_id"), F.col("embedding").alias("ea")
+    )
+    eb = batch.select(
+        F.col("vec_id").alias("batch_id"), F.col("embedding").alias("eb")
+    )
+    cs = cosine_similarity(F.col("ea"), F.col("eb"))
+    return (
+        candidates.join(ea, "hist_id")
+        .join(eb, "batch_id")
+        .select("hist_id", "batch_id", F.round(cs, 6).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
 def embedding_near_dup_pairs(
     embs: DataFrame, threshold: float = 0.4, block_col: str = "label"
 ) -> DataFrame:

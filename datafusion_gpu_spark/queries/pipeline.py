@@ -386,6 +386,21 @@ def _dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.embedding_near_dup_lsh(spark.table("embeddings"), threshold=0.2)
 
 
+def _dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-modality incremental near-dup ingest: new vectors
+    (vec_id % 10 >= 8) probed against the historical corpus' persisted
+    LSH bucket index (dedup.incremental_embedding_lsh), every candidate
+    exact-cosine verified. The oracle replays the SAME seeded
+    hyperplanes through the inlined +-embedding[i] bucket expression
+    (the dedup_embedding_lsh machinery), restricted to cross-side
+    pairs — so candidate generation AND verification are both graded."""
+    load(spark, sf_dir)
+    embs = spark.table("embeddings")
+    history = embs.where(F.col("vec_id") % 10 < 8)
+    batch = embs.where(F.col("vec_id") % 10 >= 8)
+    return dedup.incremental_embedding_lsh(history, batch, threshold=0.2)
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     # full pipeline: MinHash-LSH pairs -> connected components -> keeper
     # flag per document (the actual "dedup the corpus" deliverable)
@@ -3037,6 +3052,7 @@ QUERIES = {
     "dedup_simhash": _dedup_simhash,
     "dedup_embedding_cosine": _dedup_embedding,
     "dedup_embedding_lsh": _dedup_embedding_lsh,
+    "dedup_incremental_embedding": _dedup_incremental_embedding,
     "dedup_semantic": _dedup_semantic,
     "dedup_substring_spans": _dedup_substring_spans,
     "sim_topk_bruteforce": _sim_topk_bruteforce,
@@ -3752,6 +3768,25 @@ SELECT * FROM (
   FROM cand
   JOIN embeddings a ON a.vec_id = vec_a
   JOIN embeddings b ON b.vec_id = vec_b
+) WHERE cosine >= 0.2
+""",
+    # cross-side twin: the same seeded-hyperplane bucket replay, with
+    # the candidate join restricted to (history, batch) under the
+    # vec_id % 10 ingest split — grades the persisted-index probe
+    "dedup_incremental_embedding": f"""
+WITH cb AS (
+{_lsh_buckets_cte()}
+),
+cand AS (
+  SELECT DISTINCT x.vec_id AS hist_id, y.vec_id AS batch_id
+  FROM cb x JOIN cb y ON x.tbl = y.tbl AND x.bucket = y.bucket
+   AND x.vec_id % 10 < 8 AND y.vec_id % 10 >= 8
+)
+SELECT * FROM (
+  SELECT hist_id, batch_id, ROUND({_COS_AB}, 6) AS cosine
+  FROM cand
+  JOIN embeddings a ON a.vec_id = hist_id
+  JOIN embeddings b ON b.vec_id = batch_id
 ) WHERE cosine >= 0.2
 """,
     # margin mining: full cross cosine, top-k avgs per side, per-x argmax

@@ -494,3 +494,57 @@ def test_incremental_minhash_explicit_index_equals_inline(planted):
         for r in incremental_minhash_lsh(history, batch, index=idx).collect()
     }
     assert a == b and a
+
+
+def _emb_df(spark, rows):
+    # rows: [(vec_id, numpy-able 64-dim vector)]
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_incremental_embedding_matches_full_recompute(spark):
+    # the persisted-bucket probe must return EXACTLY the cross-side
+    # slice of embedding_near_dup_lsh over history+batch — pins
+    # embedding_bucket_index's hyperplanes to the full-recompute path
+    import numpy as np
+
+    from datafusion_gpu_spark.operators.dedup import (
+        embedding_bucket_index,
+        embedding_near_dup_lsh,
+        incremental_embedding_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 64))
+    rows = [(i, base[i]) for i in range(6)]
+    rows.append((10, base[2] + rng.normal(scale=0.01, size=64)))  # near-dup of 2
+    rows.append((11, base[4] * 1.7))                              # scaled copy of 4
+    df = _emb_df(spark, rows)
+    hist_ids, batch_ids = {0, 1, 2, 3, 4, 5}, {10, 11}
+    history = df.where(F.col("vec_id") < 10)
+    batch = df.where(F.col("vec_id") >= 10)
+    inc = {
+        (r.hist_id, r.batch_id, r.cosine)
+        for r in incremental_embedding_lsh(history, batch, threshold=0.2).collect()
+    }
+    full = set()
+    for r in embedding_near_dup_lsh(df, threshold=0.2).collect():
+        if r.vec_a in hist_ids and r.vec_b in batch_ids:
+            full.add((r.vec_a, r.vec_b, r.cosine))
+        elif r.vec_b in hist_ids and r.vec_a in batch_ids:
+            full.add((r.vec_b, r.vec_a, r.cosine))
+    assert inc == full
+    # the two plants are cross-side near-dups and must be present
+    assert any(h == 2 and b == 10 for h, b, _ in inc)
+    assert any(h == 4 and b == 11 and c > 0.99 for h, b, c in inc)
+    # explicit persisted index == inline banding
+    idx = embedding_bucket_index(history)
+    inc2 = {
+        (r.hist_id, r.batch_id, r.cosine)
+        for r in incremental_embedding_lsh(
+            history, batch, threshold=0.2, index=idx
+        ).collect()
+    }
+    assert inc2 == inc

@@ -949,3 +949,11 @@ def test_incremental_minhash_bucketed_index_no_index_shuffle(spark):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_band_index")
+
+
+def test_incremental_embedding_is_bucket_probe_not_all_pairs(spark):
+    # same contract as the minhash twin: candidates from the keyed
+    # (tbl, bucket) equality join, never a pair scan
+    plan = plan_of(spark, "dedup_incremental_embedding")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
