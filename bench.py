@@ -69,9 +69,12 @@ SF_BENCHES = [
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "tpch_q6_forecast_revenue",
-    # tpch_q10 trimmed r15 (VERDICT r14 #1): TPC-H keeps q1/q3/q5/q6 —
-    # q5 is the benched join-fan-in representative; q10's slot pays for
-    # protecting the dedup flagships below.
+    # r15 correction: tpch_q10 was trimmed mid-round to pay for the dedup
+    # PROTECTED additions, but it reported a median in BENCH_r14 and the
+    # driver contract forbids removing reported entries — restored (its
+    # ~0.55 s x 10 fits comfortably now that the heavy iterative rows run
+    # 2-4x faster post-optimization).
+    "tpch_q10_returned_items",
     "window_rows_frame",
     "dedup_exact",
     "dedup_lines",
@@ -83,9 +86,10 @@ SF_BENCHES = [
     "sim_topk_ivf",
     "sim_knn_graph",
     "curation_pack_sequences",
-    # curation_shuffle trimmed r15 (VERDICT r14 #1): curation keeps
-    # pack_sequences + dsir_resample; its slot pays for the dedup
-    # PROTECTED additions.
+    # r15 correction: curation_shuffle was trimmed mid-round for the same
+    # budget reason as tpch_q10 and restored for the same contract reason
+    # (BENCH_r14 reports its median; never remove reported entries).
+    "curation_shuffle",
     "curation_dsir_resample",
     "pipeline_end_to_end",
     "retrieval_bm25",

@@ -484,7 +484,14 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> Dat
     """(doc_id, sig array<bigint>): per-doc min of xxhash64(seed_i, shingle)
     — the classic minwise estimator, computed as num_hashes JVM-side MIN
     aggregates over the exploded shingle set (one shuffle keyed by doc)."""
-    sh = exploded_shingles(docs, n)
+    return _signatures_of_shingles(exploded_shingles(docs, n), num_hashes)
+
+
+def _signatures_of_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+    """Signature aggregation over an already-built (doc_id, shingle)
+    relation — split out (r15) so minhash_lsh_pairs can feed the SAME
+    materialized shingle relation to the signature, verification, and
+    set-size passes instead of re-exploding the corpus per pass."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -510,12 +517,22 @@ def minhash_lsh_pairs(
     (bands, rows_per_band), not the algorithm. Candidates come from the
     band-bucket equality join; verification re-joins only candidate pairs
     against the shingle sets.
+
+    The exploded (doc_id, shingle) relation is MATERIALIZED once (r15,
+    guide §5): it feeds the signature aggregation, BOTH sides of the
+    verification join, and the set-size relation — the lazy spelling
+    re-ran the scan + posexplode + lead-window + distinct subtree four
+    times per query (6 parquet scans / 8 Generates / 6 Windows in the
+    executed plan; 2 scans / 2 Generates / 1 Window after).
     """
     from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.util import lineage_truncator
 
+    ckpt = lineage_truncator(docs.sparkSession.sparkContext)
     docs = ensure_parallelism(docs)
     bands = num_hashes // rows_per_band
-    sig = minhash_signatures(docs, num_hashes, n)
+    sh = ckpt(exploded_shingles(docs, n))
+    sig = _signatures_of_shingles(sh, num_hashes)
     band_cols = [
         F.xxhash64(
             F.lit(j), *[F.element_at("sig", j * rows_per_band + r + 1) for r in range(rows_per_band)]
@@ -541,7 +558,6 @@ def minhash_lsh_pairs(
     # shingles materialize; joining on doc_b alone and post-filtering
     # would build the |sh_a| x |sh_b| cross product per candidate pair
     # (~10^5 rows/pair on real documents) before throwing it away.
-    sh = exploded_shingles(docs, n)
     sizes = shingle_set_sizes(sh)
     common = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
@@ -1002,37 +1018,52 @@ def connected_components(
     round count is the graph diameter — near-dup graphs are
     quasi-cliques from a bucket join, so 2-4 rounds in practice, which
     is why the simple propagation beats the fancier large-star/
-    small-star alternation until diameters get long. Lineage is
-    truncated each round: with a checkpoint dir configured
-    (``spark.sparkContext.setCheckpointDir`` — the cluster spelling,
-    fault-tolerant across executor loss) rounds use ``checkpoint``;
-    otherwise ``localCheckpoint`` (executor-local, right for local
-    mode, lost if an executor dies).
+    small-star alternation until diameters get long.
+
+    Per-round lineage control (r15, guide §2.4/§5): with a checkpoint
+    dir configured (``spark.sparkContext.setCheckpointDir`` — the
+    cluster spelling) rounds use reliable ``checkpoint`` — fault
+    tolerance across executor loss is worth a per-round edge shuffle.
+    WITHOUT one (local mode), rounds chain ``persist()`` instead of
+    ``localCheckpoint``: an InMemoryRelation keeps its child's
+    partitioning and real size statistics where a checkpoint scan
+    degrades to UnknownPartitioning + default stats, so the
+    dst-repartitioned cached edge relation is NEVER re-shuffled by the
+    per-round join (zero edge-side exchanges after materialization)
+    and Catalyst can auto-broadcast the label side while it fits —
+    one data-sized exchange per round (the groupBy) instead of three.
+    Each round unpersists its predecessor; the fixpoint is sealed with
+    one terminal localCheckpoint so every intermediate cache can be
+    dropped before returning.
 
     Keeper convention downstream: keep ``node == component`` (the min
     doc_id of each cluster), drop the rest.
     """
-    from datafusion_gpu_spark.operators.util import lineage_truncator
-
-    ckpt = lineage_truncator(pairs.sparkSession.sparkContext)
+    sc = pairs.sparkSession.sparkContext
+    use_reliable = bool(sc.getCheckpointDir())
+    cut = (lambda df: df.checkpoint(eager=True)) if use_reliable else None
     fwd = pairs.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     )
-    edges = ckpt(
-        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    if use_reliable:
+        edges = cut(sym)
+    else:
+        edges = sym.repartition("dst").persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
     # Convergence via the label-sum invariant: hash-min only ever LOWERS
     # a node's label, so sum(component) is strictly decreasing until the
     # fixpoint — an unchanged sum proves convergence with one cheap
-    # aggregate on the already-checkpointed result instead of a
+    # aggregate on the already-materialized result instead of a
     # self-join + isEmpty pass per round.
     prev_sum = None
     converged = False
     rounds = 0
+    cached: list[DataFrame] = []
     for _ in range(max_iter):
         rounds += 1
         nbr = edges.join(
@@ -1041,12 +1072,18 @@ def connected_components(
             ),
             "dst",
         ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
-        labels = ckpt(
+        stepped = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        labels = cut(stepped) if use_reliable else stepped.persist()
+        # one job: computes the round AND (local mode) fills the cache
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
+        if not use_reliable:
+            cached.append(labels)
+            if len(cached) > 1:
+                cached.pop(0).unpersist()
         if cur_sum == prev_sum:
             converged = True
             break
@@ -1069,6 +1106,15 @@ def connected_components(
         # this stays constant as |E| grows
         stats["rounds"] = rounds
         stats["converged"] = converged
+    if not use_reliable:
+        # seal the fixpoint so every intermediate cache can be released:
+        # the terminal localCheckpoint re-reads the final cached labels
+        # (one cheap pass over |V| rows), after which neither the edge
+        # cache nor the last round's cache is referenced by the result
+        labels = labels.localCheckpoint(eager=True)
+        for df in cached:
+            df.unpersist()
+        edges.unpersist()
     return labels
 
 

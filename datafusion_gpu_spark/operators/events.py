@@ -2321,15 +2321,20 @@ def cox_ph_binary(
     Scale: ONE data-sized groupBy(duration) shuffle; the iteration
     folds are (iters + 1) one-row aggregates of the distinct-duration
     relation, each joined to the previous scalar beta (exempt one-row
-    cross joins). AQE's runtime exchange reuse collapses the repeated
-    subtree: in the final adaptive plan the later fold references are
-    ReusedExchange nodes at the single-partition (or duration) level,
-    so the data-sized exchanges (subjects fold, groupBy(duration))
-    execute exactly once and only the distinct-duration-sized window
-    re-executes at most once more (verified on the gate plan; SCALE.md
-    round-13 block). Returns one row (n1_subjects, n0_subjects,
+    cross joins). The distinct-duration relation ``ev`` is
+    MATERIALIZED once (r15, guide §5 / §2.4): the lazy spelling nested
+    ev inside every Newton step's plan — iters + 1 copies of the
+    subjects fold + suffix-window subtree that only AQE runtime
+    exchange reuse partially collapsed (the window still re-executed
+    per fold and the planner re-optimized the full nested tree); one
+    localCheckpoint runs the data-sized work exactly once and leaves
+    each fold a one-row aggregate over a distinct-duration-sized RDD.
+    Returns one row (n1_subjects, n0_subjects,
     n_events, beta, hazard_ratio, se_beta, z_wald, reject_05).
     """
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(subjects.sparkSession.sparkContext)
     q = F.lit(1_000_000_000.0)
     is1 = (F.col(group_col) == 1).cast("long")
     obs = F.col(observed_col).cast("long")
@@ -2345,7 +2350,7 @@ def cox_ph_binary(
     w_all = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ev = (
+    ev = ckpt(
         per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
         .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
         .withColumn("n1_all", F.sum(F.col("d1") + F.col("c1")).over(w_all))

@@ -723,24 +723,30 @@ def modularity(
 
     Two broadcast joins + two aggregations; the result is ONE scalar
     (the bounded fixpoint-check collect pattern, like bellman_ford's
-    (count, sum) certificate)."""
+    (count, sum) certificate). The two single-row aggregates are
+    unioned and collected in ONE job (r15): each ``first()`` was a
+    separate job dispatch, and louvain calls this once per pass."""
     ai = F.broadcast(assign.select(F.col("node").alias("i"), F.col("comm").alias("ci")))
     aj = F.broadcast(assign.select(F.col("node").alias("j"), F.col("comm").alias("cj")))
-    intra = (
+    intra_rel = (
         sym.join(ai, "i").join(aj, "j")
         .where(F.col("ci") == F.col("cj"))
-        .agg(F.sum("w"))
-        .first()[0]
-        or 0.0
+        .agg(F.sum("w").alias("v"))
     )
-    sq = (
+    sq_rel = (
         assign.join(deg, "node")
         .groupBy("comm")
         .agg(F.sum("k").alias("tot"))
-        .agg(F.sum(F.col("tot") * F.col("tot")))
-        .first()[0]
-        or 0.0
+        .agg(F.sum(F.col("tot") * F.col("tot")).alias("v"))
     )
+    parts = {
+        r["part"]: r["v"]
+        for r in intra_rel.select(F.lit("intra").alias("part"), "v")
+        .unionAll(sq_rel.select(F.lit("sq").alias("part"), "v"))
+        .collect()
+    }
+    intra = parts.get("intra") or 0.0
+    sq = parts.get("sq") or 0.0
     return intra / two_m - sq / (two_m * two_m)
 
 
@@ -831,18 +837,29 @@ def louvain(
             aj = F.broadcast(
                 assign.select(F.col("node").alias("j"), F.col("comm").alias("D"))
             )
-            nbr = (
+            # ONE data-sized exchange per round (r15, guide §2.4): the
+            # joined neighbor rows and the own-community zero rows are
+            # unioned BEFORE aggregating and hash-repartitioned by i
+            # alone; HashPartitioning(i) satisfies the clustering
+            # requirement of BOTH downstream aggregations (groupBy(i, D)
+            # here and pick's groupBy(i) below — broadcast joins
+            # preserve the streamed side's partitioning), where the old
+            # spelling paid three exchanges: nbr's groupBy(i, D), the
+            # union re-aggregation, and pick's groupBy(i).
+            nbr_rows = (
                 g_sym.where(F.col("i") != F.col("j"))
                 .join(aj, "j")
-                .groupBy("i", "D")
-                .agg(F.sum("w").alias("kiD"))
+                .select("i", "D", "w")
             )
             own = assign.select(
                 F.col("node").alias("i"), F.col("comm").alias("D"),
-                F.lit(0.0).alias("kiD"),
+                F.lit(0.0).alias("w"),
             )
-            cand = nbr.unionAll(own).groupBy("i", "D").agg(
-                F.sum("kiD").alias("kiD")
+            cand = (
+                nbr_rows.unionAll(own)
+                .repartition("i")
+                .groupBy("i", "D")
+                .agg(F.sum("w").alias("kiD"))
             )
             comm_tot = (
                 assign.join(g_deg, "node")
@@ -888,10 +905,16 @@ def louvain(
         if membership is None:
             membership = assign
         else:
+            # the relabel map is supernode-sized; broadcast it (r15) —
+            # stats_barrier pins the checkpointed assign at the 8 EiB
+            # default size, so without the hint this |V|-row composition
+            # planned as a two-exchange sort-merge join every pass
             membership = ckpt(
                 membership.join(
-                    assign.select(
-                        F.col("node").alias("comm"), F.col("comm").alias("__c2__")
+                    F.broadcast(
+                        assign.select(
+                            F.col("node").alias("comm"), F.col("comm").alias("__c2__")
+                        )
                     ),
                     "comm",
                 ).select("node", F.col("__c2__").alias("comm"))
@@ -1673,12 +1696,21 @@ def hits(
     are bounded by max_degree^(2k-1), so at k = 2 the fold wraps int64
     only past ~30M-degree hubs — domain-bounded on any bipartite
     business graph, documented rather than guarded (the Kendall-W
-    convention). No checkpoint needed: lineage depth is fixed at 2k
-    joins, not data-dependent.
+    convention). Lineage depth is fixed at 2k joins, not
+    data-dependent, but the deduplicated edge list is MATERIALIZED
+    once up front (r15, guide §2.4/§5): every round references ``e``
+    in a fresh join branch, so the lazy spelling re-ran the upstream
+    edge construction (for graph_hits: the orders x lineitem join +
+    distinct) once per branch — 5 identical scan+join+aggregate
+    subtrees in the executed plan. One checkpoint turns 2k+1 passes
+    over the raw input into one.
 
     Returns (side, node, raw, score): side in ('hub', 'authority').
     """
-    e = edges.select(src, dst).distinct()
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    e = ckpt(edges.select(src, dst).distinct())
     h = (
         e.select(F.col(src).alias("node"))
         .distinct()

@@ -283,9 +283,15 @@ _CHECKED_R14 = (
 #: Round-15 pins: all five round-14 representation pins pruned — each got
 #: its post-fix green driver row in CORRECTNESS_r14 (graph_modularity,
 #: agg_bh_fdr, agg_tost_equivalence, agg_weighted_median,
-#: text_missing_mass), so the _CHECKED_R14 fold supersedes them. No code
-#: respellings this round yet.
-_CHANGED_SINCE_CHECK: tuple[str, ...] = ()
+#: text_missing_mass), so the _CHECKED_R14 fold supersedes them.
+#: Optimization-round pins (r15): rows whose machinery was restructured
+#: for performance (materialized intermediates, exchange-count
+#: reductions — OPTIMIZATION_r15.md) — results proven identical against
+#: the local oracle, but the post-change DRIVER row must land first.
+_CHANGED_SINCE_CHECK: tuple[str, ...] = (
+    "graph_hits", "graph_louvain", "dedup_minhash_lsh", "dedup_components",
+    "events_cox_ph",
+)
 
 #: name -> round of its most recent green driver CORRECTNESS row, and
 #: name -> how many distinct rounds have checked it green.

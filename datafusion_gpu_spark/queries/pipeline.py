@@ -6036,7 +6036,9 @@ def _graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
+        # no .distinct() here (r15): graph.hits dedups its input edge
+        # list itself — the doubled distinct cost a full extra exchange
+        # + aggregation over the raw join output
     )
     return graph.hits(e, iters=2)
 
