@@ -317,26 +317,47 @@ def dsir_weights(
     The bucket hash is the portable md5-prefix (dedup.word_hash60), so
     the oracle replays scores bit-for-bit; log-weights are ROUNDED to 6
     decimals to absorb fold-order noise in the double sums.
+
+    Respelled r15 (guide §2.3/§5): ONE explode feeds ONE
+    map-side-combining groupBy(doc_id, is_target, bucket) — is_target
+    is functionally dependent on doc_id, so the grouping is unchanged —
+    and that counted relation (three ints + a count, strictly smaller
+    than the word instances) is materialized once; the corpus bucket
+    distribution is its exact re-aggregation (sum of cnt == count of
+    instances, sum of cnt*is_target == sum of is_target), and the
+    per-doc weight sum consumes the identical (doc_id, bucket, cnt)
+    rows the lazy spelling built. The old spelling re-ran the scan +
+    normalize + split + explode + md5 subtree for both distributions.
     """
     from datafusion_gpu_spark.context import ensure_parallelism
     from datafusion_gpu_spark.operators.dedup import normalize_text, word_hash60
+    from datafusion_gpu_spark.operators.util import lineage_truncator
 
     docs = ensure_parallelism(docs)
-    words = docs.select(
-        "doc_id",
-        target.alias("is_target"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
-    ).select(
-        "doc_id", "is_target", (word_hash60(F.col("word")) % buckets).alias("bucket")
-    )
-    doc_buckets = words.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    ckpt = lineage_truncator(docs.sparkSession.sparkContext)
+    doc_buckets = ckpt(
+        docs.select(
+            "doc_id",
+            target.alias("is_target"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("word"),
+        )
+        .select(
+            "doc_id",
+            "is_target",
+            (word_hash60(F.col("word")) % buckets).alias("bucket"),
+        )
+        .groupBy("doc_id", "is_target", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     dist = (
-        words.groupBy("bucket")
+        doc_buckets.groupBy("bucket")
         .agg(
-            F.sum(F.col("is_target").cast("long")).alias("t_cnt"),
-            F.count(F.lit(1)).alias("r_cnt"),
+            F.sum(
+                F.col("is_target").cast("long") * F.col("cnt")
+            ).alias("t_cnt"),
+            F.sum("cnt").alias("r_cnt"),
         )
     )
     totals = dist.agg(

@@ -322,9 +322,20 @@ def line_dedup(lines: DataFrame, max_line_docs: int = 1) -> DataFrame:
     it is, by Zipf: duplicated boilerplate is few distinct strings), one
     per-doc agg. Parity: reference has no line-level op; this extends
     SURVEY §2's dedup family per the LLM-pipeline mandate.
+
+    The hashed line relation is MATERIALIZED once (r15, guide §5): it
+    feeds the dup-line aggregate, the anti-join probe side, AND the
+    per-doc n_lines aggregate — the lazy spelling re-ran the upstream
+    segmentation (scan + normalize + split + posexplode + slice for
+    :func:`segment_lines` input) three times per query.
     """
-    hashed = lines.select(
-        "doc_id", "pos", "line", F.md5(F.col("line")).alias("lh")
+    from datafusion_gpu_spark.operators.util import lineage_truncator
+
+    ckpt = lineage_truncator(lines.sparkSession.sparkContext)
+    hashed = ckpt(
+        lines.select(
+            "doc_id", "pos", "line", F.md5(F.col("line")).alias("lh")
+        )
     )
     dup_lines = (
         hashed.groupBy("lh")
@@ -348,7 +359,9 @@ def line_dedup(lines: DataFrame, max_line_docs: int = 1) -> DataFrame:
             ).alias("kept_md5"),
         )
         .join(
-            lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines")),
+            # n_lines from the SAME materialized relation (row-identical
+            # to `lines`), not a re-derivation of the segmentation
+            hashed.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines")),
             "doc_id",
             "right",
         )
@@ -1020,28 +1033,35 @@ def connected_components(
     is why the simple propagation beats the fancier large-star/
     small-star alternation until diameters get long.
 
-    Per-round lineage control (r15, guide §2.4/§5): with a checkpoint
-    dir configured (``spark.sparkContext.setCheckpointDir`` — the
-    cluster spelling) rounds use reliable ``checkpoint`` — fault
-    tolerance across executor loss is worth a per-round edge shuffle.
-    WITHOUT one (local mode), rounds chain ``persist()`` instead of
-    ``localCheckpoint``: an InMemoryRelation keeps its child's
-    partitioning and real size statistics where a checkpoint scan
-    degrades to UnknownPartitioning + default stats, so the
-    dst-repartitioned cached edge relation is NEVER re-shuffled by the
-    per-round join (zero edge-side exchanges after materialization)
-    and Catalyst can auto-broadcast the label side while it fits —
-    one data-sized exchange per round (the groupBy) instead of three.
-    Each round unpersists its predecessor; the fixpoint is sealed with
-    one terminal localCheckpoint so every intermediate cache can be
-    dropped before returning.
+    Per-round lineage control (r15, guide §2.4/§5): every round's
+    labels are lineage-truncated (reliable ``checkpoint`` with a
+    checkpoint dir configured — the cluster spelling, fault-tolerant
+    across executor loss; ``localCheckpoint`` otherwise). Truncation
+    each round is NOT optional: the round references ``labels`` twice
+    (join probe + union), so an untruncated spelling doubles the plan
+    tree per round — exponential in diameter, and the r15 first
+    attempt (persist-only rounds) OOMed the driver's explainString on
+    graph_mst's deeper propagation loops. The EDGE relation is static
+    across rounds, so in local mode it is hash-repartitioned by dst
+    once and ``persist()``-ed: an InMemoryRelation keeps its child's
+    partitioning (a checkpoint scan degrades to UnknownPartitioning),
+    so the per-round join re-shuffles only the |V|-sized label side,
+    never the |E|-sized edge side — two |V|-ish exchanges per round
+    (label join side + groupBy) instead of three with one |E|-sized.
+    With a checkpoint dir the reliable-checkpoint edge path is
+    unchanged — fault tolerance is worth the per-round edge shuffle
+    there.
 
     Keeper convention downstream: keep ``node == component`` (the min
     doc_id of each cluster), drop the rest.
     """
     sc = pairs.sparkSession.sparkContext
     use_reliable = bool(sc.getCheckpointDir())
-    cut = (lambda df: df.checkpoint(eager=True)) if use_reliable else None
+    cut = (
+        (lambda df: df.checkpoint(eager=True))
+        if use_reliable
+        else (lambda df: df.localCheckpoint(eager=True))
+    )
     fwd = pairs.select(
         F.col(a).cast("long").alias("src"), F.col(b).cast("long").alias("dst")
     )
@@ -1063,7 +1083,6 @@ def connected_components(
     prev_sum = None
     converged = False
     rounds = 0
-    cached: list[DataFrame] = []
     for _ in range(max_iter):
         rounds += 1
         nbr = edges.join(
@@ -1072,18 +1091,12 @@ def connected_components(
             ),
             "dst",
         ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
-        stepped = (
+        labels = cut(
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        labels = cut(stepped) if use_reliable else stepped.persist()
-        # one job: computes the round AND (local mode) fills the cache
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if not use_reliable:
-            cached.append(labels)
-            if len(cached) > 1:
-                cached.pop(0).unpersist()
         if cur_sum == prev_sum:
             converged = True
             break
@@ -1107,13 +1120,8 @@ def connected_components(
         stats["rounds"] = rounds
         stats["converged"] = converged
     if not use_reliable:
-        # seal the fixpoint so every intermediate cache can be released:
-        # the terminal localCheckpoint re-reads the final cached labels
-        # (one cheap pass over |V| rows), after which neither the edge
-        # cache nor the last round's cache is referenced by the result
-        labels = labels.localCheckpoint(eager=True)
-        for df in cached:
-            df.unpersist()
+        # the result labels are already localCheckpointed (no lineage
+        # back to the edge cache), so the cache can be released now
         edges.unpersist()
     return labels
 

@@ -79,29 +79,65 @@ def bm25_topk(
     ``ln(1 + (N - df + 0.5)/(df + 0.5))`` IDF variant) for a bag of
     query terms.
 
-    Shape at scale: the corpus is touched twice map-side (doc lengths
-    from an array expression — no explode; term frequencies from an
-    explode FILTERED to the query terms, so the tf relation is
-    query-sized, not corpus-sized). Document frequencies and the
-    (N, avgdl) scalars are dimension-sized aggregates that broadcast.
-    The only corpus-keyed shuffle is the final per-doc score sum, and
-    the top-k is TakeOrderedAndProject (per-partition heaps), never a
-    global sort. Scores round(6) so the DuckDB oracle's fold order
-    can't flip ties; doc_id breaks remaining ties.
+    Shape at scale (respelled r15, guide §2.3/§2.4/§5): the corpus is
+    scanned ONCE — per-doc length and per-query-term counts are pure
+    array expressions over the split words (``size(w) -
+    size(array_remove(w, term))`` per term — the term list is a literal
+    bag, so tf needs no explode and no (doc_id, word) shuffle), and
+    that narrow per-doc relation (doc_id, dl, |terms| counts) is
+    materialized once and feeds the (N, avgdl) scalars, the document
+    frequencies, and the scoring pass. The old spelling re-ran the scan + normalize + split
+    4x (lens, stats, tf's explode, df_t) and paid a corpus-keyed
+    groupBy(doc_id, word) for tf. Document frequencies and the
+    (N, avgdl) scalars are dimension-sized aggregates that broadcast;
+    the only remaining shuffle is the query-term-doc-sized per-doc
+    score sum, and the top-k is TakeOrderedAndProject (per-partition
+    heaps), never a global sort. Scores round(6) so the DuckDB
+    oracle's fold order can't flip ties; doc_id breaks remaining ties.
     """
     from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.util import lineage_truncator
 
     docs = ensure_parallelism(docs)
-    words_arr = F.split(normalize_text(F.col(text_col)), " ")
-    lens = docs.select("doc_id", F.size(words_arr).alias("dl"))
-    stats = lens.agg(
+    ckpt = lineage_truncator(docs.sparkSession.sparkContext)
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
+
+    # normalize+split ONCE per row into a real column so the regex-heavy
+    # tokenization is not re-run per term; tf(t) is the codegen-friendly
+    # size(w) - size(array_remove(w, t)) — the first r15 attempt used a
+    # higher-order filter(w, x -> x = t), whose interpreted per-element
+    # lambda cost MORE than the old explode+shuffle spelling (measured
+    # +27%; backed out per guide §1)
+    split_docs = docs.select(
+        "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("w")
+    )
+    per_doc = ckpt(
+        split_docs.select(
+            "doc_id",
+            F.size("w").alias("dl"),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("word"),
+                        (
+                            F.size("w") - F.size(F.array_remove("w", t))
+                        ).cast("long").alias("tf"),
+                    )
+                    for t in terms
+                ]
+            ).alias("tfs"),
+        )
+    )
+    stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
 
-    words = docs.select(
-        "doc_id", F.explode(words_arr).alias("word")
-    ).where(F.col("word").isin(query_terms))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        per_doc.select("doc_id", "dl", F.explode("tfs").alias("kv"))
+        .select("doc_id", "dl", F.col("kv.word").alias("word"),
+                F.col("kv.tf").alias("tf"))
+        .where(F.col("tf") > 0)
+    )
     df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
 
     idf = F.log(
@@ -118,7 +154,6 @@ def bm25_topk(
     )
     scored = (
         tf.join(F.broadcast(df_t), "word")
-        .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))

@@ -380,14 +380,35 @@ def perplexity_filter(
     broadcasts into a map-side join against the exploded words, and the
     per-doc average is the one corpus-keyed shuffle. avg_nll rounds to
     6dp so the oracle's fold order can't flip the threshold comparison.
+
+    Training the LM and scoring against it are two fundamentally
+    separate passes over the words, so one re-tokenization is inherent;
+    the lazy spelling paid a THIRD copy under the (total, vocab) scalar
+    and re-derived the counts independently for the broadcast build.
+    r15 (guide §5): the vocabulary-sized ``counts`` relation is
+    materialized once and feeds both the (total, vocab) scalar and the
+    broadcast-join build side — tokenize runs exactly twice (LM build +
+    scoring probe), no new shuffle, and the cached relation is
+    vocabulary-sized, never corpus-sized. (Measured-first alternatives
+    LOST on the bench and were backed out: materializing the word
+    instances caches a corpus-sized relation; pre-aggregating per-doc
+    tf adds a corpus-keyed groupBy(doc_id, word) shuffle just to save
+    one map-side tokenize — a bad trade at any scale.)
     """
     from datafusion_gpu_spark.context import ensure_parallelism
+    from datafusion_gpu_spark.operators.util import lineage_truncator
 
     docs = ensure_parallelism(docs)
+    ckpt = lineage_truncator(docs.sparkSession.sparkContext)
     words = docs.select(
-        "doc_id", F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word")
+        "doc_id",
+        F.explode(
+            F.split(normalize_text(F.col(text_col)), " ")
+        ).alias("word"),
     )
-    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    counts = ckpt(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    )
     stats = counts.agg(
         F.sum("n_w").alias("total"), F.count(F.lit(1)).alias("vocab")
     )

@@ -291,6 +291,11 @@ _CHECKED_R14 = (
 _CHANGED_SINCE_CHECK: tuple[str, ...] = (
     "graph_hits", "graph_louvain", "dedup_minhash_lsh", "dedup_components",
     "events_cox_ph",
+    # Second r15 batch: single-scan respellings + vocabulary-sized
+    # materializations (retrieval/text/curation/dedup) and the CC
+    # lineage revision that graph_mst's Boruvka loop rides on.
+    "retrieval_bm25", "text_perplexity", "curation_dsir_resample",
+    "dedup_lines", "graph_mst",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and

@@ -90,6 +90,28 @@ def test_cap_none_keeps_exact_semantics(planted):
     assert a == b  # an unreachable cap must not change results
 
 
+def test_connected_components_long_diameter_path(spark):
+    # a 14-node path needs ~14 propagation rounds: every round's labels
+    # must be lineage-truncated — the r15 persist-only first attempt
+    # doubled the plan tree per round (labels referenced by both the
+    # join and the union) and OOMed the driver on deep loops like this
+    # (the graph_mst regression); this pins bounded-lineage behavior
+    from datafusion_gpu_spark.operators.dedup import connected_components
+
+    n = 14
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, max_iter=25, stats=stats).collect()
+    }
+    assert comp == {i: 0 for i in range(n)}
+    assert stats["converged"]
+    assert stats["rounds"] >= n // 2  # genuinely a deep loop
+
+
 def test_connected_components_collapse_transitive_chain(spark):
     # A~B and B~C but never A~C: the cluster must still collapse to one
     # keeper — the property pair-list dedup alone cannot deliver

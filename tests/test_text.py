@@ -200,6 +200,24 @@ def test_bm25_ranks_term_frequency_and_rarity(spark):
     assert got == pytest.approx(expected, abs=2e-6)
 
 
+def test_bm25_duplicate_query_terms_not_double_counted(spark):
+    # the r15 respelling expands the query bag into a literal struct
+    # array; a repeated term must not produce a second struct (which
+    # would double df and the per-doc score contribution)
+    from datafusion_gpu_spark.operators.retrieval import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(0, "table join table"), (1, "scan filter")],
+        "doc_id long, text string",
+    )
+    once = {r.doc_id: r.bm25 for r in bm25_topk(docs, ["table", "scan"], k=10).collect()}
+    twice = {
+        r.doc_id: r.bm25
+        for r in bm25_topk(docs, ["table", "scan", "table"], k=10).collect()
+    }
+    assert once == twice
+
+
 def test_chunk_documents_windows_and_tail(spark):
     from datafusion_gpu_spark.operators.text import chunk_documents
 
