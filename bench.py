@@ -206,6 +206,12 @@ PROTECTED = frozenset({
     # to pay for the guaranteed ~13.5 s (minhash 5-sample) + ~2.5 s
     # (exact 10-sample) on a slow pass.
     "dedup_minhash_lsh", "dedup_exact",
+    # r15 optimization round: these two rows' SPELLINGS changed this
+    # round (single-scan bm25, materialized line-hash relation), so the
+    # judge needs their post-change medians — the local r15 trial run
+    # planner-dropped both on the slow box. 5-sample overrides below
+    # keep the protected cost bounded.
+    "retrieval_bm25", "dedup_lines",
 })
 
 #: Per-query sample-count overrides (expensive iterative rows whose
@@ -229,6 +235,10 @@ SAMPLES_OVERRIDE = {
     # ahead of the eviction line — an honest recorded count beats a
     # second consecutive omission for a row with four rounds of history.
     "curation_dsir_resample": 5,
+    # r15: bm25's spelling changed this round and it was planner-
+    # dropped in the local trial; protected + 5 samples bounds its cost
+    # (~1.5 s x 5) while guaranteeing a post-change median.
+    "retrieval_bm25": 5,
 }
 
 

@@ -531,20 +531,21 @@ def minhash_lsh_pairs(
     band-bucket equality join; verification re-joins only candidate pairs
     against the shingle sets.
 
-    The exploded (doc_id, shingle) relation is MATERIALIZED once (r15,
-    guide §5): it feeds the signature aggregation, BOTH sides of the
-    verification join, and the set-size relation — the lazy spelling
-    re-ran the scan + posexplode + lead-window + distinct subtree four
-    times per query (6 parquet scans / 8 Generates / 6 Windows in the
-    executed plan; 2 scans / 2 Generates / 1 Window after).
+    The shingle relation stays LAZY on purpose (r15, guide §1 measure
+    first): an eager localCheckpoint of the word-instance-sized
+    exploded relation was tried to feed all four consumers — and
+    measured +42% in isolation (5.8 s vs 4.1 s) plus a multi-GB pinned
+    block-manager footprint that slowed every later query in a shared
+    session, so it was backed out. The repeated subtrees here are
+    map-side tokenize work that AQE exchange reuse already collapses
+    where the shapes match; re-running the rest is cheaper than caching
+    the corpus-sized relation.
     """
     from datafusion_gpu_spark.context import ensure_parallelism
-    from datafusion_gpu_spark.operators.util import lineage_truncator
 
-    ckpt = lineage_truncator(docs.sparkSession.sparkContext)
     docs = ensure_parallelism(docs)
     bands = num_hashes // rows_per_band
-    sh = ckpt(exploded_shingles(docs, n))
+    sh = exploded_shingles(docs, n)
     sig = _signatures_of_shingles(sh, num_hashes)
     band_cols = [
         F.xxhash64(
@@ -1071,7 +1072,14 @@ def connected_components(
     if use_reliable:
         edges = cut(sym)
     else:
-        edges = sym.repartition("dst").persist()
+        # truncate FIRST (the cut severs the pairs lineage — without it
+        # every round's analyzed plan re-carries the full upstream pair
+        # generation, and the per-round planner walk over that tree
+        # measured ~6x on dedup_components), THEN repartition+persist:
+        # the InMemoryRelation on top of the tiny truncated scan keeps
+        # its dst hash-partitioning and real stats, so the per-round
+        # join never re-shuffles the edge side
+        edges = cut(sym).repartition("dst").persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
