@@ -202,9 +202,10 @@ PROTECTED = frozenset({
     # Round-15 (VERDICT r14 "What's wrong" #1): the r14 driver bench
     # planner-evicted BOTH dedup flagships on a tired box, leaving the
     # LLM-pipeline's near-dup representative with no fresh wall-clock.
-    # Protect them; tpch_q10 + curation_shuffle trimmed from SF_BENCHES
-    # to pay for the guaranteed ~13.5 s (minhash 5-sample) + ~2.5 s
-    # (exact 10-sample) on a slow pass.
+    # Protect them (guaranteed ~13.5 s minhash 5-sample + ~2.5 s exact
+    # 10-sample on a slow pass; tpch_q10 + curation_shuffle were briefly
+    # trimmed to pay for it, then restored — see SF_BENCHES — because
+    # reported medians are never removed).
     "dedup_minhash_lsh", "dedup_exact",
     # r15 optimization round: these two rows' SPELLINGS changed this
     # round (single-scan bm25, materialized line-hash relation), so the
