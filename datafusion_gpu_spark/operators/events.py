@@ -859,16 +859,24 @@ def ewma_halflife(
 
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     df = events.withColumn("__c__", F.round(F.col(val_col) * scale).cast("long"))
+    # each distinct lag projected once, folds consume the shared column
+    # (r15, guide §1.2 — Spark does not deduplicate identical window
+    # expressions; see holt_linear): 2 call sites per offset -> 1
+    lagged_df = df.select(
+        key_col,
+        id_col,
+        *[F.lag("__c__", k).over(w).alias(f"__el{k}__") for k in range(span)],
+    )
     num = F.lit(0).cast("long")
     den = F.lit(0).cast("long")
     for k in range(span):
         wgt = 1 << (span - 1 - k)
-        lagged = F.lag("__c__", k).over(w)
-        num = num + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        den = den + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__el{k}__")
+        num = num + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        den = den + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
-    exact = df.select(key_col, id_col, num.alias("num"), den.alias("den"))
+    exact = lagged_df.select(key_col, id_col, num.alias("num"), den.alias("den"))
     return exact.select(
         key_col,
         id_col,
@@ -962,23 +970,38 @@ def holt_linear(
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     df = events.withColumn("__c__", F.round(F.col(val_col) * scale).cast("long"))
     w1, w2 = holt_weights(span)
+    # Each distinct lag is projected ONCE and the folds consume the
+    # shared column (r15, guide §1.2 per-task work): Spark does NOT
+    # deduplicate identical window expressions — the inline-lag
+    # spelling's WindowExec evaluated 118 window expressions per row
+    # (each 0..span-1 lag 4x: num1 term, den1 null-check, num2, den2;
+    # each span..2span-2 lag 2x) where only 2*span-1 are distinct.
+    # Same single window sort/shuffle, identical lag values feeding
+    # identical arithmetic in identical order — proven byte-identical
+    # on both engines before landing.
+    n_lags = 2 * span - 1
+    lagged = df.select(
+        key_col,
+        id_col,
+        *[F.lag("__c__", j).over(w).alias(f"__hl{j}__") for j in range(n_lags)],
+    )
     num1 = F.lit(0).cast("long")
     den1 = F.lit(0).cast("long")
     for k, wgt in enumerate(w1):
-        lagged = F.lag("__c__", k).over(w)
-        num1 = num1 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        den1 = den1 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__hl{k}__")
+        num1 = num1 + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        den1 = den1 + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
     num2 = F.lit(0).cast("long")
     den2 = F.lit(0).cast("long")
     for j, wgt in enumerate(w2):
-        lagged = F.lag("__c__", j).over(w)
-        num2 = num2 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        den2 = den2 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__hl{j}__")
+        num2 = num2 + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        den2 = den2 + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
-    exact = df.select(
+    exact = lagged.select(
         key_col,
         id_col,
         num1.alias("num1"),
@@ -1089,16 +1112,23 @@ def holt_winters_additive(
     df = events.withColumn(
         "__c__", F.round(F.col(val_col) * scale).cast("long")
     ).withColumn("slot", F.hour(ts_col).cast("int"))
+    # r15 (guide §1.2, see holt_linear): each distinct lag projected
+    # ONCE per window spec; the folds consume the shared columns
+    season_lags = list(range(1, len(holt_winters_weights(season_span)) + 1))
+    s_lagged = df.select(
+        key_col, id_col, ts_col, "slot", "__c__",
+        *[F.lag("__c__", k).over(w_s).alias(f"__sl{k}__") for k in season_lags],
+    )
     s_num = F.lit(0).cast("long")
     s_den = F.lit(0).cast("long")
     for k, wgt in enumerate(holt_winters_weights(season_span), start=1):
-        lagged = F.lag("__c__", k).over(w_s)
-        s_num = s_num + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        s_den = s_den + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__sl{k}__")
+        s_num = s_num + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        s_den = s_den + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
     deseas = (
-        df.select(
+        s_lagged.select(
             key_col, id_col, ts_col, "slot", "__c__",
             s_num.alias("s_num"), s_den.alias("s_den"),
         )
@@ -1107,23 +1137,28 @@ def holt_winters_additive(
     )
     w = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     w1, w2 = holt_weights(span)
+    n_lags = 2 * span - 1
+    d_lagged = deseas.select(
+        key_col, id_col, "slot", "sq",
+        *[F.lag("d", j).over(w).alias(f"__dl{j}__") for j in range(n_lags)],
+    )
     num1 = F.lit(0).cast("long")
     den1 = F.lit(0).cast("long")
     for k, wgt in enumerate(w1):
-        lagged = F.lag("d", k).over(w)
-        num1 = num1 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        den1 = den1 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__dl{k}__")
+        num1 = num1 + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        den1 = den1 + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
     num2 = F.lit(0).cast("long")
     den2 = F.lit(0).cast("long")
     for j, wgt in enumerate(w2):
-        lagged = F.lag("d", j).over(w)
-        num2 = num2 + F.coalesce(lagged * F.lit(wgt), F.lit(0).cast("long"))
-        den2 = den2 + F.when(lagged.isNotNull(), F.lit(wgt)).otherwise(
+        lcol = F.col(f"__dl{j}__")
+        num2 = num2 + F.coalesce(lcol * F.lit(wgt), F.lit(0).cast("long"))
+        den2 = den2 + F.when(lcol.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
-    exact = deseas.select(
+    exact = d_lagged.select(
         key_col, id_col, "slot", "sq",
         num1.alias("num1"), den1.alias("den1"),
         num2.alias("num2"), den2.alias("den2"),
@@ -1171,23 +1206,30 @@ def croston(
         "__g__",
         (_epoch_us(ts_col) - F.lag(_epoch_us(ts_col)).over(w)).cast("long"),
     )
+    # r15 (guide §1.2, see holt_linear): each distinct lag projected
+    # ONCE; the two smoothers consume the shared columns
+    lagged_df = df.select(
+        key_col, id_col,
+        *[F.lag("__z__", k).over(w).alias(f"__lz{k}__") for k in range(span)],
+        *[F.lag("__g__", k).over(w).alias(f"__lg{k}__") for k in range(span)],
+    )
     num_z = F.lit(0).cast("long")
     den_z = F.lit(0).cast("long")
     num_g = F.lit(0).cast("long")
     den_g = F.lit(0).cast("long")
     for k in range(span):
         wgt = 1 << (span - 1 - k)
-        lz = F.lag("__z__", k).over(w)
+        lz = F.col(f"__lz{k}__")
         num_z = num_z + F.coalesce(lz * F.lit(wgt), F.lit(0).cast("long"))
         den_z = den_z + F.when(lz.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
-        lg = F.lag("__g__", k).over(w)
+        lg = F.col(f"__lg{k}__")
         num_g = num_g + F.coalesce(lg * F.lit(wgt), F.lit(0).cast("long"))
         den_g = den_g + F.when(lg.isNotNull(), F.lit(wgt)).otherwise(
             F.lit(0)
         ).cast("long")
-    exact = df.select(
+    exact = lagged_df.select(
         key_col, id_col,
         num_z.alias("num_z"), den_z.alias("den_z"),
         num_g.alias("num_g"), den_g.alias("den_g"),

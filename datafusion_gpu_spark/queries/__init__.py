@@ -296,6 +296,12 @@ _CHANGED_SINCE_CHECK: tuple[str, ...] = (
     # lineage revision that graph_mst's Boruvka loop rides on.
     "retrieval_bm25", "text_perplexity", "curation_dsir_resample",
     "dedup_lines", "graph_mst",
+    # Third r15 batch: the lag-fold family's shared-column respelling
+    # (each distinct lag evaluated once — Spark does not deduplicate
+    # identical window expressions; OPTIMIZATION_r15.md, proven
+    # byte-identical on both engines before landing).
+    "events_holt_smoothing", "events_forecast_backtest", "events_ewma",
+    "events_holt_winters", "events_croston",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and

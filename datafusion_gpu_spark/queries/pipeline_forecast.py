@@ -1309,32 +1309,48 @@ def _backtest_sql(
     )
 
     sw = holt_winters_weights(season_span)
+    # r15 (guide §1.2 per-task work): each distinct lag is projected
+    # ONCE in a pre-CTE and the fold sums consume the shared columns —
+    # Spark does not deduplicate identical window expressions, so the
+    # inline spelling's WindowExec evaluated ~236 lag expressions per
+    # row in CTE `l` (each c/d lag 4x or 2x) where only 78 are
+    # distinct, and 16 in `s` where 8 are distinct. Same window
+    # specs/shuffles, identical lag values through identical
+    # arithmetic — proven byte-identical on BOTH engines (the oracle
+    # shares this string) before landing.
+    s_lagcols = ",\n         ".join(
+        f"lag(c, {k}) OVER ws AS sl{k}" for k in range(1, len(sw) + 1)
+    )
     s_num = " + ".join(
-        f"COALESCE(lag(c, {k}) OVER ws * {wgt}, 0)"
-        for k, wgt in enumerate(sw, start=1)
+        f"COALESCE(sl{k} * {wgt}, 0)" for k, wgt in enumerate(sw, start=1)
     )
     s_den = " + ".join(
-        f"(CASE WHEN lag(c, {k}) OVER ws IS NOT NULL THEN {wgt} ELSE 0 END)"
+        f"(CASE WHEN sl{k} IS NOT NULL THEN {wgt} ELSE 0 END)"
         for k, wgt in enumerate(sw, start=1)
     )
     w1, w2 = holt_weights(span)
+    n_lags = 2 * span - 1
+    lagcols = ",\n         ".join(
+        [f"lag(c, {k}) OVER w AS lc{k}" for k in range(n_lags)]
+        + [f"lag(d, {k}) OVER w AS ld{k}" for k in range(n_lags)]
+    )
 
-    def fold(col: str, wgts: list[int], start: int = 0) -> tuple[str, str]:
+    def fold(pfx: str, wgts: list[int], start: int = 0) -> tuple[str, str]:
         num = " + ".join(
-            f"COALESCE(lag({col}, {k}) OVER w * {wgt}, 0)"
+            f"COALESCE({pfx}{k} * {wgt}, 0)"
             for k, wgt in enumerate(wgts, start=start)
         )
         den = " + ".join(
-            f"(CASE WHEN lag({col}, {k}) OVER w IS NOT NULL"
+            f"(CASE WHEN {pfx}{k} IS NOT NULL"
             f" THEN {wgt} ELSE 0 END)"
             for k, wgt in enumerate(wgts, start=start)
         )
         return num, den
 
-    cnum1, cden1 = fold("c", w1)
-    cnum2, cden2 = fold("c", w2)
-    dnum1, dden1 = fold("d", w1)
-    dnum2, dden2 = fold("d", w2)
+    cnum1, cden1 = fold("lc", w1)
+    cnum2, cden2 = fold("lc", w2)
+    dnum1, dden1 = fold("ld", w1)
+    dnum2, dden2 = fold("ld", w2)
     kp1 = k_folds + 1
     return f"""
 WITH p AS (
@@ -1343,11 +1359,16 @@ WITH p AS (
   FROM events
   WHERE event_type = 'purchase' AND value IS NOT NULL
 ),
+sl AS (
+  SELECT user_id, event_id, ts, slot, c,
+         {s_lagcols}
+  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
+),
 s AS (
   SELECT user_id, event_id, ts, slot, c,
          {s_num} AS s_num,
          CAST({s_den} AS BIGINT) AS s_den
-  FROM p WINDOW ws AS (PARTITION BY user_id, slot ORDER BY ts, event_id)
+  FROM sl
 ),
 q AS (
   SELECT user_id, event_id, ts, slot, c,
@@ -1355,20 +1376,25 @@ q AS (
   FROM s
 ),
 dd AS (SELECT *, c - sq AS d FROM q),
-l AS (
+lg AS (
   SELECT user_id, event_id, ts, c, sq,
-         {cnum1} AS cnum1, CAST({cden1} AS BIGINT) AS cden1,
-         {cnum2} AS cnum2, CAST({cden2} AS BIGINT) AS cden2,
-         {dnum1} AS dnum1, CAST({dden1} AS BIGINT) AS dden1,
-         {dnum2} AS dnum2, CAST({dden2} AS BIGINT) AS dden2,
+         {lagcols},
          CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
          CAST(COUNT(*) OVER wu AS BIGINT) AS n_u
   FROM dd
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
          wu AS (PARTITION BY user_id)
 ),
+l AS (
+  SELECT user_id, event_id, ts, c, sq, rn, n_u, lc1,
+         {cnum1} AS cnum1, CAST({cden1} AS BIGINT) AS cden1,
+         {cnum2} AS cnum2, CAST({cden2} AS BIGINT) AS cden2,
+         {dnum1} AS dnum1, CAST({dden1} AS BIGINT) AS dden1,
+         {dnum2} AS dnum2, CAST({dden2} AS BIGINT) AS dden2
+  FROM lg
+),
 f AS (
-  SELECT user_id, event_id, ts, c, sq, rn, n_u,
+  SELECT user_id, event_id, ts, c, sq, rn, n_u, lc1,
          CAST(ROUND(3.0 * (CAST(cnum1 AS DOUBLE) / cden1)
                     - 2.0 * (CAST(cnum2 AS DOUBLE) / cden2), 0)
               AS BIGINT) AS hfq,
@@ -1381,7 +1407,7 @@ e AS (
   SELECT user_id, c, sq,
          CAST(FLOOR(CAST((rn - 1) * {kp1} AS DOUBLE) / n_u) AS BIGINT)
            AS fold,
-         LAG(c) OVER w AS pc,
+         lc1 AS pc,
          LAG(hfq) OVER w AS pf,
          LAG(wdq) OVER w AS pw
   FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

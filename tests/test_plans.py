@@ -957,3 +957,35 @@ def test_incremental_embedding_is_bucket_probe_not_all_pairs(spark):
     plan = plan_of(spark, "dedup_incremental_embedding")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_lag_folds_evaluate_each_distinct_lag_once(spark):
+    # r15 (guide §1.2): Spark does NOT deduplicate identical window
+    # expressions — the pre-r15 inline-lag fold spellings paid 118
+    # (holt) / 255 (backtest) lag evaluations per row where only
+    # 39 / 89 are distinct. The shared-column respelling pins every
+    # (column, offset) pair to exactly ONE window expression.
+    import re
+    from collections import Counter
+
+    spark.conf.set("spark.sql.debug.maxToStringFields", "4000")
+    try:
+        for name in (
+            "events_holt_smoothing", "events_forecast_backtest",
+            "events_ewma", "events_holt_winters", "events_croston",
+        ):
+            plan = plan_of(spark, name)
+            # key = (input column, offset, window partition/order spec):
+            # the same (column, offset) under DIFFERENT specs (e.g. the
+            # backtest's seasonal ws vs per-user w) is legitimately a
+            # distinct evaluation, not a duplicate
+            lags = re.findall(
+                r"lag\((\w+#\d+L?), (-?\d+), \w+\)"
+                r" windowspecdefinition\((.*?)specifiedwindowframe",
+                plan,
+            )
+            assert lags, f"{name}: no lag expressions found in plan"
+            dup = {k: n for k, n in Counter(lags).items() if n > 1}
+            assert not dup, f"{name}: duplicated lag evaluations {dup}"
+    finally:
+        spark.conf.unset("spark.sql.debug.maxToStringFields")

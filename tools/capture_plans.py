@@ -37,8 +37,15 @@ def main() -> int:
     from datafusion_gpu_spark.context import get_spark
     from datafusion_gpu_spark.queries import all_queries
 
-    spark = get_spark("capture-plans")
+    # Full-width expression lists: the default 25-field truncation hides
+    # exactly the evidence these files exist to carry (e.g. the window
+    # expression count of a lag fold).
+    spark = get_spark(
+        "capture-plans",
+        extra_conf={"spark.sql.debug.maxToStringFields": "2000"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.debug.maxToStringFields", "2000")
     registry = all_queries()
     for name in names:
         if name not in registry:
