@@ -2363,20 +2363,21 @@ def cox_ph_binary(
     Scale: ONE data-sized groupBy(duration) shuffle; the iteration
     folds are (iters + 1) one-row aggregates of the distinct-duration
     relation, each joined to the previous scalar beta (exempt one-row
-    cross joins). The distinct-duration relation ``ev`` is
-    MATERIALIZED once (r15, guide §5 / §2.4): the lazy spelling nested
-    ev inside every Newton step's plan — iters + 1 copies of the
-    subjects fold + suffix-window subtree that only AQE runtime
-    exchange reuse partially collapsed (the window still re-executed
-    per fold and the planner re-optimized the full nested tree); one
-    localCheckpoint runs the data-sized work exactly once and leaves
-    each fold a one-row aggregate over a distinct-duration-sized RDD.
+    cross joins). The distinct-duration relation ``ev`` is reliably
+    checkpointed ONLY on the cluster path (checkpoint dir configured —
+    util.scale_truncator, r16): there, one cut runs the data-sized
+    work exactly once and leaves each fold a one-row aggregate over a
+    distinct-duration-sized RDD. In local mode ev stays lazy — AQE
+    exchange reuse collapses the repeated groupBy(duration) exchange
+    across the nested fold plans, and the r15 driver bench measured
+    the eager localCheckpoint +25% at sf0.1 (the cut's synchronous job
+    + pinned blocks cost more than the re-run suffix windows).
     Returns one row (n1_subjects, n0_subjects,
     n_events, beta, hazard_ratio, se_beta, z_wald, reject_05).
     """
-    from datafusion_gpu_spark.operators.util import lineage_truncator
+    from datafusion_gpu_spark.operators.util import scale_truncator
 
-    ckpt = lineage_truncator(subjects.sparkSession.sparkContext)
+    ckpt = scale_truncator(subjects.sparkSession.sparkContext)
     q = F.lit(1_000_000_000.0)
     is1 = (F.col(group_col) == 1).cast("long")
     obs = F.col(observed_col).cast("long")
@@ -2392,7 +2393,7 @@ def cox_ph_binary(
     w_all = Window.orderBy("t").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    ev = ckpt(
+    ev = (
         per_t.withColumn("n1", F.sum(F.col("d1") + F.col("c1")).over(w_suf))
         .withColumn("n0", F.sum(F.col("d0") + F.col("c0")).over(w_suf))
         .withColumn("n1_all", F.sum(F.col("d1") + F.col("c1")).over(w_all))
@@ -2407,6 +2408,12 @@ def cox_ph_binary(
             "n0_all",
         )
     )
+    # Reuse-vs-recompute gate (r16): checkpointed only on the cluster
+    # path (checkpoint dir configured); identity in local mode, where
+    # the r15 driver bench measured the eager cut +25% at sf0.1 — AQE
+    # exchange reuse already collapses the repeated groupBy(duration)
+    # exchange across the Newton folds there.
+    ev = ckpt(ev)
 
     def fold(beta_df):
         """One-row (su, si, o_total, n1_all, n0_all[, b]) fold of the

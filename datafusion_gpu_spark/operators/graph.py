@@ -1697,19 +1697,28 @@ def hits(
     only past ~30M-degree hubs — domain-bounded on any bipartite
     business graph, documented rather than guarded (the Kendall-W
     convention). Lineage depth is fixed at 2k joins, not
-    data-dependent, but the deduplicated edge list is MATERIALIZED
-    once up front (r15, guide §2.4/§5): every round references ``e``
-    in a fresh join branch, so the lazy spelling re-ran the upstream
-    edge construction (for graph_hits: the orders x lineitem join +
-    distinct) once per branch — 5 identical scan+join+aggregate
-    subtrees in the executed plan. One checkpoint turns 2k+1 passes
-    over the raw input into one.
+    data-dependent. Every round references ``e`` in a fresh join
+    branch, so at scale the lazy spelling re-runs the upstream edge
+    construction (for graph_hits: the orders x lineitem join +
+    distinct) once per branch; with a checkpoint dir configured (the
+    cluster spelling — util.scale_truncator, r16) one reliable
+    checkpoint turns those 2k+1 passes over the raw input into one.
+    In local mode e stays lazy: the r15 driver bench measured the
+    eager localCheckpoint +15% at sf0.1, and the lazy spelling pins
+    no RDD after return.
 
     Returns (side, node, raw, score): side in ('hub', 'authority').
     """
-    from datafusion_gpu_spark.operators.util import lineage_truncator
+    from datafusion_gpu_spark.operators.util import scale_truncator
 
-    ckpt = lineage_truncator(edges.sparkSession.sparkContext)
+    # Reuse-vs-recompute gate (r16): the deduplicated edge list is
+    # reliably checkpointed only on the cluster path (checkpoint dir
+    # configured) where each of the 2k join branches would otherwise
+    # re-run the upstream edge construction; identity in local mode,
+    # where the r15 driver bench measured the eager cut +15% at sf0.1
+    # (extra synchronous job + pinned blocks > the broadcast-join
+    # re-execution it removes), and nothing pins an RDD after return.
+    ckpt = scale_truncator(edges.sparkSession.sparkContext)
     e = ckpt(edges.select(src, dst).distinct())
     h = (
         e.select(F.col(src).alias("node"))
