@@ -271,6 +271,22 @@ _CHECKED_R14 = (
     "tpch_q5_local_supplier", "window_ignore_nulls",
 )
 
+_CHECKED_R15 = (
+    "curation_dsir_resample", "dedup_components", "dedup_incremental_embedding", "dedup_incremental_minhash",
+    "dedup_lines", "dedup_minhash_lsh", "dedup_url", "events_anomaly_mad",
+    "events_cox_ph", "events_croston", "events_ewma", "events_forecast_backtest",
+    "events_histogram", "events_holt_smoothing", "events_holt_winters", "graph_common_neighbors",
+    "graph_degree_hist", "graph_hits", "graph_kcore", "graph_louvain",
+    "graph_mst", "graph_triangle_count", "io_bucketed_join", "io_csv_quoted_multiline",
+    "io_snapshot_diff", "io_time_travel", "multimodal_audio_fp", "multimodal_audio_neardup",
+    "multimodal_resize", "retrieval_bm25", "sim_random_projection", "streaming_histogram",
+    "streaming_incremental_minhash", "text_bigram_lm", "text_bpe_contract", "text_bpe_encode",
+    "text_perplexity", "text_readability", "tpch_q10_returned_items", "tpch_q14_promo_share",
+    "tpch_q15_top_supplier_view", "tpch_q16_supplier_cnt", "tpch_q18_large_volume", "tpch_q19_disjunctive_pred",
+    "tpch_q22_inactive_customers", "tpch_q4_priority_exists", "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_profit_rollup",
+)
+
 #: Rows whose IMPLEMENTATION changed after their most recent driver check
 #: (VERDICT r10, "What's wrong" #1: the staleness rotation keyed on check
 #: age only, so a query rewired in round N but last driver-checked in round
@@ -284,24 +300,17 @@ _CHECKED_R14 = (
 #: its post-fix green driver row in CORRECTNESS_r14 (graph_modularity,
 #: agg_bh_fdr, agg_tost_equivalence, agg_weighted_median,
 #: text_missing_mass), so the _CHECKED_R14 fold supersedes them.
-#: Optimization-round pins (r15): rows whose machinery was restructured
-#: for performance (materialized intermediates, exchange-count
-#: reductions — OPTIMIZATION_r15.md) — results proven identical against
-#: the local oracle, but the post-change DRIVER row must land first.
+#: Round-16 pins: all fifteen r15 optimization pins pruned — the r15
+#: driver sample deliberately covered every respelled row and all
+#: landed green in CORRECTNESS_r15 (the _CHECKED_R15 fold supersedes
+#: them). Re-pinned below: rows whose machinery changed AGAIN in the
+#: r16 optimization round (OPTIMIZATION_r16.md) — results proven
+#: identical against the local oracle, but the post-change DRIVER row
+#: must land first.
 _CHANGED_SINCE_CHECK: tuple[str, ...] = (
-    "graph_hits", "graph_louvain", "dedup_minhash_lsh", "dedup_components",
-    "events_cox_ph",
-    # Second r15 batch: single-scan respellings + vocabulary-sized
-    # materializations (retrieval/text/curation/dedup) and the CC
-    # lineage revision that graph_mst's Boruvka loop rides on.
-    "retrieval_bm25", "text_perplexity", "curation_dsir_resample",
-    "dedup_lines", "graph_mst",
-    # Third r15 batch: the lag-fold family's shared-column respelling
-    # (each distinct lag evaluated once — Spark does not deduplicate
-    # identical window expressions; OPTIMIZATION_r15.md, proven
-    # byte-identical on both engines before landing).
-    "events_holt_smoothing", "events_forecast_backtest", "events_ewma",
-    "events_holt_winters", "events_croston",
+    # cox/hits eager materialization reverted to the lazy local-mode
+    # spelling (cluster-gated via util.scale_truncator).
+    "events_cox_ph", "graph_hits",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and
@@ -311,7 +320,7 @@ _CHECK_COUNT: dict[str, int] = {}
 for _rnd, _names in enumerate(
     (_CHECKED_R1, _CHECKED_R2, _CHECKED_R3, _CHECKED_R4, _CHECKED_R5, _CHECKED_R6,
      _CHECKED_R7, _CHECKED_R8, _CHECKED_R9, _CHECKED_R10, _CHECKED_R11,
-     _CHECKED_R12, _CHECKED_R13, _CHECKED_R14), start=1
+     _CHECKED_R12, _CHECKED_R13, _CHECKED_R14, _CHECKED_R15), start=1
 ):
     for _n in _names:
         _LAST_DRIVER_ROUND[_n] = _rnd
