@@ -20,6 +20,8 @@ Pipeline shapes:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -500,19 +502,31 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 3) -> Dat
     return _signatures_of_shingles(exploded_shingles(docs, n), num_hashes)
 
 
-def _signatures_of_shingles(sh: DataFrame, num_hashes: int = 64) -> DataFrame:
+def _signatures_of_shingles(
+    sh: DataFrame, num_hashes: int = 64, with_n_sh: bool = False
+) -> DataFrame:
     """Signature aggregation over an already-built (doc_id, shingle)
     relation — split out (r15) so minhash_lsh_pairs can feed the SAME
-    materialized shingle relation to the signature, verification, and
-    set-size passes instead of re-exploding the corpus per pass."""
+    shingle relation to the signature and verification passes instead
+    of re-exploding the corpus per pass.
+
+    ``with_n_sh=True`` additionally emits the per-doc distinct-shingle
+    count in the SAME groupBy(doc_id) pass (r16, guide §1.2): sh is
+    already per-doc distinct, so ``count(1)`` here equals
+    :func:`shingle_set_sizes` exactly — fusing it removes an entire
+    extra corpus pass (explode + window + distinct + groupBy) from
+    minhash_lsh_pairs' verification tail."""
     aggs = [
         F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    if with_n_sh:
+        aggs.append(F.count(F.lit(1)).alias("n_sh"))
     sig = sh.groupBy("doc_id").agg(*aggs)
-    return sig.select(
-        "doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
-    )
+    cols = ["doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")]
+    if with_n_sh:
+        cols.append(F.col("n_sh"))
+    return sig.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -521,6 +535,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     rows_per_band: int = 2,
     n: int = 3,
+    materialize_sig: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding, verified with exact
     Jaccard so the output contains no false positives.
@@ -536,17 +551,29 @@ def minhash_lsh_pairs(
     exploded relation was tried to feed all four consumers — and
     measured +42% in isolation (5.8 s vs 4.1 s) plus a multi-GB pinned
     block-manager footprint that slowed every later query in a shared
-    session, so it was backed out. The repeated subtrees here are
-    map-side tokenize work that AQE exchange reuse already collapses
-    where the shapes match; re-running the rest is cheaper than caching
-    the corpus-sized relation.
+    session, so it was backed out. What IS materialized (r16, the
+    VERDICT r15 middle ground) is the SIGNATURE relation — doc-sized,
+    64 longs + one count per doc — carrying the per-doc shingle-set
+    size fused into the same groupBy(doc_id) pass (``with_n_sh``): the
+    lazy spelling re-ran the corpus-wide explode + signature aggregate
+    once for the band self-join and once more (as the near-identical
+    65-agg shape column pruning keeps from reusing) for the set sizes.
+    One pass now feeds the band index, both verification size joins,
+    and the candidate generation; only the verification's shingle
+    equality joins still re-derive shingles lazily.
+    ``materialize_sig=False`` keeps the fully lazy r15 spelling (the
+    A/B control).
     """
     from datafusion_gpu_spark.context import ensure_parallelism
 
     docs = ensure_parallelism(docs)
     bands = num_hashes // rows_per_band
     sh = exploded_shingles(docs, n)
-    sig = _signatures_of_shingles(sh, num_hashes)
+    sig = _signatures_of_shingles(sh, num_hashes, with_n_sh=True)
+    if materialize_sig:
+        from datafusion_gpu_spark.operators.util import lineage_truncator
+
+        sig = lineage_truncator(docs.sparkSession.sparkContext)(sig)
     band_cols = [
         F.xxhash64(
             F.lit(j), *[F.element_at("sig", j * rows_per_band + r + 1) for r in range(rows_per_band)]
@@ -572,7 +599,9 @@ def minhash_lsh_pairs(
     # shingles materialize; joining on doc_b alone and post-filtering
     # would build the |sh_a| x |sh_b| cross product per candidate pair
     # (~10^5 rows/pair on real documents) before throwing it away.
-    sizes = shingle_set_sizes(sh)
+    # Set sizes ride the signature pass (with_n_sh above) instead of a
+    # fourth corpus explode (r16, guide §1.2).
+    sizes = sig.select("doc_id", "n_sh")
     common = (
         candidates.join(sh.withColumnRenamed("doc_id", "doc_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b"), ["doc_b", "shingle"])
@@ -1083,6 +1112,21 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
+    # Label-side broadcast guard (r16, VERDICT r15 ask #6): each round's
+    # labels relation is a fresh lineage cut whose inherited stats keep
+    # Catalyst from auto-broadcasting it, so the per-round join ran as
+    # SMJ — re-SORTING the static |E| edge cache every round and
+    # shuffling the |V| label side. When |V| fits comfortably in the
+    # broadcast budget (guard below; ~16 B/row, so the 4M default is
+    # ~64 MB framed), an explicit broadcast hint removes both. Guarded,
+    # not unconditional: a billion-node cluster graph must stay on the
+    # shuffle path — 0 disables. One count() job prices the guard; it
+    # runs once per call against the already-materialized edge relation
+    # (the same cost class as one round's convergence aggregate).
+    bc_max = int(
+        os.environ.get("SPARK_GRAFT_CC_BROADCAST_MAX_NODES", "4000000")
+    )
+    bcast = 0 < bc_max and labels.count() <= bc_max
     # Convergence via the label-sum invariant: hash-min only ever LOWERS
     # a node's label, so sum(component) is strictly decreasing until the
     # fixpoint — an unchanged sum proves convergence with one cheap
@@ -1093,17 +1137,25 @@ def connected_components(
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
+        lbl = labels.select(
+            F.col("node").alias("dst"), F.col("component").alias("nbr_component")
+        )
         nbr = edges.join(
-            labels.select(
-                F.col("node").alias("dst"), F.col("component").alias("nbr_component")
-            ),
+            F.broadcast(lbl) if bcast else lbl,
             "dst",
         ).select(F.col("src").alias("node"), F.col("nbr_component").alias("component"))
-        labels = cut(
+        step = (
             labels.union(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        labels = cut(step)
+        if stats is not None and rounds == 1:
+            # post-execution physical plan of the first round (the cut
+            # above ran it eagerly) — the broadcast-guard evidence
+            stats["round1_plan"] = (
+                step._jdf.queryExecution().executedPlan().toString()
+            )
         cur_sum = labels.agg(F.sum("component")).collect()[0][0]
         if cur_sum == prev_sum:
             converged = True

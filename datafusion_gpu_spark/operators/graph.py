@@ -861,19 +861,33 @@ def louvain(
                 .groupBy("i", "D")
                 .agg(F.sum("w").alias("kiD"))
             )
-            comm_tot = (
-                assign.join(g_deg, "node")
-                .groupBy(F.col("comm").alias("D"))
-                .agg(F.sum("k").alias("tot"))
+            # (node, comm, k) built ONCE per round with a broadcast-
+            # hinted degree side (r16): the old spelling planned this
+            # assign-to-degree attachment as a sort-merge join (both
+            # sides carry reset 8 EiB stats) — two exchanges + two
+            # sorts per round — and then SEPARATELY broadcast g_deg and
+            # the assignment into the scoring join, two more
+            # HashedRelation builds on the same key. One BHJ feeds both
+            # comm_tot and the scoring join's i-keyed node_info
+            # broadcast; the g_deg BroadcastExchange is shared by reuse
+            # within the round's single query execution.
+            joined = assign.join(
+                F.broadcast(g_deg), "node"
             )
-            cur = assign.select(F.col("node").alias("i"), F.col("comm").alias("A"))
+            comm_tot = joined.groupBy(F.col("comm").alias("D")).agg(
+                F.sum("k").alias("tot")
+            )
+            node_info = F.broadcast(
+                joined.select(
+                    F.col("node").alias("i"), F.col("comm").alias("A"), "k"
+                )
+            )
             s_excl = F.col("tot") - F.when(
                 F.col("D") == F.col("A"), F.col("k")
             ).otherwise(F.lit(0.0))
             scored = (
                 cand.join(F.broadcast(comm_tot), "D")
-                .join(F.broadcast(g_deg.select(F.col("node").alias("i"), "k")), "i")
-                .join(F.broadcast(cur), "i")
+                .join(node_info, "i")
                 .select(
                     "i", "D", "A",
                     (F.col("kiD") - F.col("k") * s_excl / two_m).alias("score"),

@@ -311,6 +311,15 @@ _CHANGED_SINCE_CHECK: tuple[str, ...] = (
     # cox/hits eager materialization reverted to the lazy local-mode
     # spelling (cluster-gated via util.scale_truncator).
     "events_cox_ph", "graph_hits",
+    # minhash: set sizes fused into the signature pass + doc-sized
+    # signature relation materialized once.
+    "dedup_minhash_lsh",
+    # connected_components: guarded label-side broadcast (graph_mst's
+    # Boruvka loop rides the same machinery).
+    "dedup_components", "graph_mst",
+    # louvain: broadcast-hinted assign-degree attachment shared by
+    # comm_tot and the scoring join.
+    "graph_louvain",
 )
 
 #: name -> round of its most recent green driver CORRECTNESS row, and

@@ -112,6 +112,40 @@ def test_connected_components_long_diameter_path(spark):
     assert stats["rounds"] >= n // 2  # genuinely a deep loop
 
 
+def test_connected_components_label_broadcast_guard(spark, monkeypatch):
+    # r16: below the node guard, each round's label side is broadcast —
+    # the per-round join must be a BroadcastHashJoin (no re-sort /
+    # re-shuffle of the static edge cache); with the guard disabled (0)
+    # the shuffle path returns. Same labels either way.
+    from datafusion_gpu_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
+    )
+    stats: dict = {}
+    comp = {
+        r.node: r.component
+        for r in connected_components(pairs, stats=stats).collect()
+    }
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    assert "BroadcastHashJoin" in stats["round1_plan"]
+
+    # the hinted path must never fall back to a sort-merge join (which
+    # would re-sort the static edge cache every round)
+    assert "SortMergeJoin" not in stats["round1_plan"]
+
+    # guard disabled: same labels; the plan is AQE's choice (it may
+    # still convert to broadcast at runtime for a tiny label side, but
+    # only AFTER paying the label-side shuffle write the hint skips)
+    monkeypatch.setenv("SPARK_GRAFT_CC_BROADCAST_MAX_NODES", "0")
+    stats2: dict = {}
+    comp2 = {
+        r.node: r.component
+        for r in connected_components(pairs, stats=stats2).collect()
+    }
+    assert comp2 == comp
+
+
 def test_connected_components_collapse_transitive_chain(spark):
     # A~B and B~C but never A~C: the cluster must still collapse to one
     # keeper — the property pair-list dedup alone cannot deliver
