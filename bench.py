@@ -241,6 +241,15 @@ SAMPLES_OVERRIDE = {
     # dropped in the local trial; protected + 5 samples bounds its cost
     # (~1.5 s x 5) while guaranteeing a post-change median.
     "retrieval_bm25": 5,
+    # r16: the two heaviest 10-sample rows (27.5 s + 19 s of guaranteed
+    # timed cost at r15 medians) start at 5 — with the planner now
+    # required to fit ALL 31 sf rows in the deadline, their 10-sample
+    # blocks were the first thing the shave ladder cut anyway; a
+    # recorded 5-sample start is more comparable round-over-round than
+    # a 10-or-7-depending-on-box one. Both have 4+ rounds of history
+    # and 1.9-3 s medians (the 10-sample floor was calibrated for 1 s
+    # rows).
+    "events_forecast_backtest": 5, "events_holt_smoothing": 5,
 }
 
 

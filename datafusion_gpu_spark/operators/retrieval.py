@@ -107,7 +107,13 @@ def bm25_topk(
     # size(w) - size(array_remove(w, t)) — the first r15 attempt used a
     # higher-order filter(w, x -> x = t), whose interpreted per-element
     # lambda cost MORE than the old explode+shuffle spelling (measured
-    # +27%; backed out per guide §1)
+    # +27%; backed out per guide §1).
+    # Bound: map-side work is O(doc_length x n_terms) and the struct
+    # array is n_terms wide — right for the ad-hoc query bags this
+    # serves (n_terms ~ 10^0-10^2). A RETRIEVAL EVALUATION workload
+    # (thousands of query terms at once) should fall back to the
+    # explode + groupBy(doc, word) + isin spelling, which scales with
+    # corpus token count instead of terms x tokens.
     split_docs = docs.select(
         "doc_id", F.split(normalize_text(F.col(text_col)), " ").alias("w")
     )

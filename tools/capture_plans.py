@@ -2,7 +2,13 @@
 
 Usage: python tools/capture_plans.py <tag> <suffix> [query ...]
 Writes plans/<tag>/<query>_<suffix>.txt for each query (default: the
-benched SF set). Planning only — no job is executed.
+benched SF set). Capture itself only plans, but CONSTRUCTING a query
+whose operator eagerly materializes an intermediate (lineage_truncator
+sites: retrieval_bm25, text_perplexity, dedup_lines,
+curation_dsir_resample, dedup_minhash_lsh) runs those Spark jobs at
+capture time. Uses the private df._sc/_jvm handles to reach
+explainString at full field width; pyspark 4.x keeps both stable, and
+the bench/driver never import this tool.
 """
 
 from __future__ import annotations
