@@ -1109,8 +1109,14 @@ def connected_components(
         # its dst hash-partitioning and real stats, so the per-round
         # join never re-shuffles the edge side
         edges = cut(sym).repartition("dst").persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "component", F.col("node")
+    # initial labels cut ONCE (r16): the guard's count() below and round
+    # 1's union/join both consume them — lazy, the |V| distinct would
+    # execute twice; cut, it is one job and every consumer reads the
+    # materialized RDD
+    labels = cut(
+        edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "component", F.col("node")
+        )
     )
     # Label-side broadcast guard (r16, VERDICT r15 ask #6): each round's
     # labels relation is a fresh lineage cut whose inherited stats keep
