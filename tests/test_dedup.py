@@ -112,38 +112,46 @@ def test_connected_components_long_diameter_path(spark):
     assert stats["rounds"] >= n // 2  # genuinely a deep loop
 
 
-def test_connected_components_label_broadcast_guard(spark, monkeypatch):
-    # r16: below the node guard, each round's label side is broadcast —
-    # the per-round join must be a BroadcastHashJoin (no re-sort /
-    # re-shuffle of the static edge cache); with the guard disabled (0)
-    # the shuffle path returns. Same labels either way.
+def test_connected_components_label_broadcast_guard(spark, tmp_path, monkeypatch):
+    # r16: in LOCAL mode the per-round label join is left to AQE, which
+    # converts it to broadcast at runtime (the explicit hint measured
+    # +6% at sf0.1 — one extra broadcast-build dispatch per round); on
+    # the cluster path (checkpoint dir configured) the guarded explicit
+    # hint fires, because there AQE could only convert after the edge
+    # side's per-round shuffle write. Either way the executed round-1
+    # plan must show a BroadcastHashJoin and never a sort-merge join,
+    # and labels must be identical.
     from datafusion_gpu_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame(
         [(0, 1), (1, 2), (3, 4)], "doc_a long, doc_b long"
     )
+    expected = {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
     stats: dict = {}
     comp = {
         r.node: r.component
         for r in connected_components(pairs, stats=stats).collect()
     }
-    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+    assert comp == expected
+    assert stats["label_join"] == "aqe"
     assert "BroadcastHashJoin" in stats["round1_plan"]
-
-    # the hinted path must never fall back to a sort-merge join (which
-    # would re-sort the static edge cache every round)
     assert "SortMergeJoin" not in stats["round1_plan"]
 
-    # guard disabled: same labels; the plan is AQE's choice (it may
-    # still convert to broadcast at runtime for a tiny label side, but
-    # only AFTER paying the label-side shuffle write the hint skips)
-    monkeypatch.setenv("SPARK_GRAFT_CC_BROADCAST_MAX_NODES", "0")
-    stats2: dict = {}
-    comp2 = {
-        r.node: r.component
-        for r in connected_components(pairs, stats=stats2).collect()
-    }
-    assert comp2 == comp
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "cc_ckpt"))
+    try:
+        stats2: dict = {}
+        comp2 = {
+            r.node: r.component
+            for r in connected_components(pairs, stats=stats2).collect()
+        }
+        assert comp2 == expected
+        assert stats2["label_join"] == "broadcast-hint"
+        assert "BroadcastHashJoin" in stats2["round1_plan"]
+        assert "SortMergeJoin" not in stats2["round1_plan"]
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
 
 
 def test_connected_components_collapse_transitive_chain(spark):

@@ -92,10 +92,16 @@ def main() -> int:
             (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(10_000)) / 100.0).alias("v"),
         )
 
-    # byte-identity of the two spellings at the smallest size
+    # byte-identity of the two spellings at the smallest size: sum of
+    # bounded per-row hash residues (raw bigint sums overflow int64 —
+    # num2 <= den2 * max_cents ~ 4e13/row)
     df0 = series(sizes[0])
-    agg = [F.sum("num1"), F.sum("den1"), F.sum("num2"), F.sum("den2"),
-           F.count(F.lit(1))]
+    agg = [
+        F.sum(F.pmod(
+            F.xxhash64("num1", "den1", "num2", "den2"), F.lit(1 << 40)
+        )),
+        F.count(F.lit(1)),
+    ]
     a = holt_linear(df0, key_col="key", ts_col="ts", id_col="id",
                     val_col="v", span=span).agg(*agg).collect()[0]
     b = holt_inline_lags(df0, span).agg(*agg).collect()[0]
