@@ -20,7 +20,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 def spark():
     from datafusion_gpu_spark.context import get_spark
 
-    s = get_spark("datafusion-gpu-spark-tests")
+    # Test-session parallelism (r16): suite inputs are tiny Python-built
+    # DataFrames (createDataFrame over lists -> pickled-RDD scans that
+    # round-trip through Python workers on EVERY branch re-execution),
+    # so at the production default of 32 partitions a 20-row operator
+    # test dispatches hundreds of near-empty Python tasks: the
+    # theil-sen replay measured 37.8 s warm at 32/32 vs 4.7 s at 4/8
+    # (driver thread dumps showed 31 threads blocked in
+    # PythonRunner.ReaderInputStream.read). Production/bench sessions
+    # are untouched — this is the conftest fixture only.
+    s = get_spark(
+        "datafusion-gpu-spark-tests",
+        extra_conf={
+            "spark.default.parallelism": "4",
+            "spark.sql.shuffle.partitions": "8",
+        },
+    )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

@@ -457,6 +457,7 @@ def test_incremental_agg_bucketed_view_skips_view_exchange(spark):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total"),
     )
     write_bucketed(view, "b_view", ["custkey"], num_buckets=8)
+    prior_parts = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         # align the delta agg's shuffle with the bucket count, or Spark
@@ -478,7 +479,7 @@ def test_incremental_agg_bucketed_view_skips_view_exchange(spark):
         assert out.count() > 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prior_parts)
         spark.sql("DROP TABLE IF EXISTS b_view")
 
 
