@@ -199,9 +199,12 @@ def test_synthetic_zipf_corpus_is_wide_deterministic_and_injective(spark):
 def test_bpe_widevocab_batched_fidelity(spark):
     # the in-test wide-vocab fidelity check the 31-word driver corpus
     # cannot host (it saturates at 90 merges): on a 2k-word Zipf corpus,
-    # batched training to 128 merges must stay within a few percent of
+    # batched training to 64 merges must stay within a few percent of
     # exact training on the consumer-facing number — the encoded token
-    # count — while using ~16x fewer distributed rounds
+    # count — while using ~16x fewer distributed rounds. (r16: 128->64
+    # merges — the exact arm is 1 distributed round per merge, and 64
+    # already exercises every batching boundary the 128-merge original
+    # did while halving the suite's single most expensive test.)
     from pyspark.sql import functions as F
 
     from datafusion_gpu_spark.operators.text import (
@@ -212,9 +215,9 @@ def test_bpe_widevocab_batched_fidelity(spark):
 
     docs = synthetic_zipf_corpus(spark, vocab_size=2_000, n_tokens=50_000).cache()
     try:
-        exact = bpe_train(docs, num_merges=128, merge_batch=1)
-        batched = bpe_train(docs, num_merges=128, merge_batch=16)
-        assert len(exact) == len(batched) == 128
+        exact = bpe_train(docs, num_merges=64, merge_batch=1)
+        batched = bpe_train(docs, num_merges=64, merge_batch=16)
+        assert len(exact) == len(batched) == 64
         n_exact = bpe_encode(docs, exact).agg(F.sum("n_tokens")).first()[0]
         n_batch = bpe_encode(docs, batched).agg(F.sum("n_tokens")).first()[0]
         assert n_batch <= n_exact * 1.10, (n_exact, n_batch)
